@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.TemporalBounds
+
+/** Per-subject rolling sums of every predicate column over a fixed-length
+  * temporal window anchored at each row.
+  *
+  * Semantics ported from the reference's `aggregate_temporal_window`
+  * (reference: src/aces/aggregate.py:91-315): for each row at time `t`, sum
+  * every predicate column over rows of the same subject whose timestamp
+  * falls in `[t + offset, t + offset + window]` (negative window flips the
+  * span), with 4-way closed-endpoint semantics. Adds `timestamp_at_start`
+  * = t + offset and `timestamp_at_end` = t + offset + window.
+  *
+  * Spark-first execution: a single range-frame window aggregation over
+  * epoch-microseconds — one hash-partition shuffle on `subject_id` (reused
+  * across all window ops on the same frame), sort within partitions, no
+  * join, fully whole-stage-codegen. Open endpoints are emulated by
+  * shrinking the inclusive frame 1 µs (timestamps are µs-quantized; the
+  * reference relies on the same epsilon, src/aces/aggregate.py:1012-1017).
+  * Unlike the reference there is no special ≤1-row path (aggregate.py:10-88)
+  * — the range frame handles it uniformly.
+  */
+object TemporalWindowAgg {
+
+  private val TsUs = "__ts_us"
+
+  def apply(df: DataFrame, bounds: TemporalBounds): DataFrame = {
+    val predCols = df.columns.filterNot(c => c == "subject_id" || c == "timestamp")
+    val (lo, hi) = bounds.inclusiveFrame
+
+    val withTs = df.withColumn(TsUs, unix_micros(col("timestamp")))
+
+    val out =
+      if (lo > hi) {
+        // Degenerate frame (e.g. zero-length window with an open endpoint):
+        // empty aggregation set for every row.
+        withTs.select(
+          Seq(col("subject_id"), col("timestamp"), col(TsUs)) ++
+            predCols.map(c => lit(0L).as(c)): _*
+        )
+      } else {
+        val w = Window
+          .partitionBy("subject_id")
+          .orderBy(TsUs)
+          .rangeBetween(lo, hi)
+        withTs.select(
+          Seq(col("subject_id"), col("timestamp"), col(TsUs)) ++
+            predCols.map(c => coalesce(sum(col(c)).over(w), lit(0L)).cast("long").as(c)): _*
+        )
+      }
+
+    out.select(
+      Seq(
+        col("subject_id"),
+        col("timestamp"),
+        timestamp_micros(col(TsUs) + lit(bounds.offsetMicros)).as("timestamp_at_start"),
+        timestamp_micros(col(TsUs) + lit(bounds.offsetMicros + bounds.windowMicros))
+          .as("timestamp_at_end")
+      ) ++ predCols.map(col): _*
+    )
+  }
+}

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{EndpointBounds, EventBounds, TemporalBounds}
+import graft.operators.{Constraints, EventBoundAgg, TemporalWindowAgg}
+
+/** A node of the window tree: the trigger root plus one node per window
+  * start/end boundary, each carrying the endpoint expression that defines
+  * the window between it and its parent, and the count constraints that
+  * window must satisfy. (reference: src/aces/config.py:1574-1640 builds the
+  * same tree with bigtree Nodes.)
+  */
+final case class WindowNode(
+    name: String,
+    endpointExpr: Option[EndpointBounds],
+    constraints: Map[String, Constraints.Range] = Map.empty,
+    children: Seq[WindowNode] = Seq.empty
+)
+
+/** Recursive window-tree evaluator.
+  *
+  * (reference: src/aces/extract_subtree.py:16-386; prose spec in
+  * docs/source/algorithm.md:181-306.)
+  *
+  * The recursion happens on the *driver*, composing one lazy Spark plan per
+  * tree edge; every per-subject operator below reuses a single hash
+  * partitioning on `subject_id`. To keep Catalyst re-analysis cost from
+  * growing multiplicatively with tree depth (the Spark analogue of the
+  * reference's eager materialization at every step), each level's
+  * constrained window summary is `localCheckpoint`ed — truncating lineage
+  * while preserving partitioning.
+  */
+object ExtractSubtree {
+
+  /** Whether to cut lineage at each recursion level. On for real queries;
+    * tests on tiny data may disable to keep plans inspectable.
+    */
+  @volatile var checkpointLevels: Boolean = true
+
+  private def maybeCheckpoint(df: DataFrame): DataFrame =
+    if (checkpointLevels) df.localCheckpoint(true) else df
+
+  /** @param anchors DataFrame(subject_id, subtree_anchor_timestamp) of valid
+    *                realizations of this subtree's root.
+    * @param rootOffsetUs the accumulated temporal offset from this subtree's
+    *                anchor row to its logical root (grows through temporal
+    *                edges, resets at event-bound edges).
+    */
+  def apply(
+      subtree: WindowNode,
+      anchors: DataFrame,
+      predicatesDf: DataFrame,
+      rootOffsetUs: Long = 0L
+  ): DataFrame = {
+    val predCols =
+      predicatesDf.columns.filterNot(c => c == "subject_id" || c == "timestamp").toSeq
+
+    if (subtree.children.isEmpty) return anchors
+
+    val childResults = subtree.children.map { child =>
+      // Step 1: summarize the window from subtree root to this child, with
+      // the accumulated parent offset applied (copy, never mutate — the
+      // reference had an offset-compounding bug here, extract_subtree.py:288-298).
+      val endpoint = child.endpointExpr
+        .getOrElse(throw new IllegalStateException(s"Node '${child.name}' lacks endpoint expr"))
+        .withAddedOffset(rootOffsetUs)
+
+      val (childRootOffsetUs, windowSummary0) = endpoint match {
+        case tb: TemporalBounds =>
+          val s = TemporalWindowAgg(predicatesDf, tb)
+            .withColumn("subtree_anchor_timestamp", col("timestamp"))
+            .withColumn("child_anchor_timestamp", col("timestamp"))
+            .drop("timestamp")
+          (rootOffsetUs + tb.windowMicros, s)
+        case eb: EventBounds =>
+          // Event-bound child anchors are proper extant events → offset resets.
+          val childAnchorTime =
+            if (eb.endEvent.startsWith("-")) "timestamp_at_start" else "timestamp_at_end"
+          val s = EventBoundAgg(predicatesDf, eb)
+            .withColumn("subtree_anchor_timestamp", col("timestamp"))
+            .withColumn("child_anchor_timestamp", col(childAnchorTime))
+            .drop("timestamp")
+          (0L, s)
+      }
+
+      // Step 2: keep summaries only at valid anchor rows. Both sides are
+      // hash-partitioned by subject_id (window output / previous level), so
+      // this equi-join needs no new shuffle; AQE converts it to a broadcast
+      // join at runtime when the anchor side turns out small. Deliberately
+      // unhinted: at scale the anchor set (e.g. trigger = _ANY_EVENT) can be
+      // as large as the event stream itself.
+      val anchorKeys = anchors.select("subject_id", "subtree_anchor_timestamp")
+      val atAnchors =
+        windowSummary0.join(anchorKeys, Seq("subject_id", "subtree_anchor_timestamp"), "inner")
+
+      // Step 3: constraint filter, then cut lineage for the recursion below.
+      val windowSummary =
+        maybeCheckpoint(Constraints.checkConstraints(child.constraints, atAnchors))
+
+      // Step 4: child anchor realizations.
+      val childAnchors = windowSummary
+        .select(
+          col("subject_id"),
+          col("child_anchor_timestamp").as("subtree_anchor_timestamp"))
+        .dropDuplicates("subject_id", "subtree_anchor_timestamp")
+
+      // Step 5: recurse.
+      val recursive = apply(child, childAnchors, predicatesDf, childRootOffsetUs)
+
+      // Step 6.1: map recursion results back up to this subtree's anchor space.
+      val reanchored = recursive
+        .withColumnRenamed("subtree_anchor_timestamp", "child_anchor_timestamp")
+        .join(
+          windowSummary.select("subject_id", "subtree_anchor_timestamp", "child_anchor_timestamp"),
+          Seq("subject_id", "child_anchor_timestamp"),
+          "left")
+        .drop("child_anchor_timestamp")
+
+      // Step 6.2: attach this window's struct summary.
+      val summaryStruct = struct(
+        lit(child.name).as("window_name") +:
+          col("timestamp_at_start") +:
+          col("timestamp_at_end") +:
+          predCols.map(col): _*
+      ).as(s"${child.name}_summary")
+      val forReturn = windowSummary.select(
+        col("subject_id"), col("subtree_anchor_timestamp"), summaryStruct)
+
+      reanchored.join(forReturn, Seq("subject_id", "subtree_anchor_timestamp"), "left")
+    }
+
+    // Step 7: intersect across children (all children must realize).
+    childResults.reduce((a, b) => a.join(b, Seq("subject_id", "subtree_anchor_timestamp"), "inner"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver testdata tables, normalizing physical quirks.
+  *
+  * The `events` table carries parquet `TIMESTAMP(NANOS)`, which Spark does
+  * not read natively ([PARQUET_TYPE_ILLEGAL]); with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as Long
+  * nanoseconds, which we floor-divide to µs — the same truncation DuckDB
+  * applies when casting TIMESTAMP_NS → TIMESTAMP, keeping oracle
+  * comparisons exact.
+  */
+object Tables {
+
+  /** Session settings every graft entry point applies. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Nanosecond-long → µs timestamp, matching DuckDB's ns→µs cast.
+    * Integer (decimal) division — `c / 1000` on longs would go through
+    * double, which is inexact above 2^53 (epoch-ns ≈ 1.7e18).
+    */
+  def nanosToTs(c: Column): Column =
+    timestamp_micros(floor(c.cast("decimal(20,0)") / 1000).cast("long"))
+
+  /** events with `ts` normalized to a proper µs TimestampType column. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType.typeName match {
+      case "long" => df.withColumn("ts", nanosToTs(col("ts")))
+      case _      => df
+    }
+  }
+
+  /** The events table shaped as the engine's canonical predicates frame:
+    * one Int64 count column per event_type predicate, collapsed to unique
+    * (subject_id, timestamp) keys.
+    *
+    * Repartitioned by `subject_id` *before* the collapse: HashPartitioning
+    * on `subject_id` satisfies the group-by's ClusteredDistribution on
+    * (subject_id, timestamp) AND every downstream per-subject window op —
+    * one shuffle for the whole per-subject pipeline instead of two.
+    */
+  def eventsAsPredicates(spark: SparkSession, sfDir: String, types: Seq[String]): DataFrame = {
+    val ev = events(spark, sfDir)
+    val sums = types.map(t => sum(s"is_$t").cast("long").as(s"is_$t"))
+    ev.select(
+        Seq(col("user_id").as("subject_id"), col("ts").as("timestamp")) ++
+          types.map(t => (col("event_type") === t).cast("long").as(s"is_$t")): _*
+      )
+      .repartition(col("subject_id"))
+      .groupBy("subject_id", "timestamp")
+      .agg(sums.head, sums.tail: _*)
+  }
+}
