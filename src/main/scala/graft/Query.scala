@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.TaskConfig
+import graft.operators.Constraints
+import graft.plans.ExtractSubtree
+
+/** Task-query orchestration: trigger anchors → recursive window-tree
+  * extraction → label / index-timestamp projection.
+  * (reference: src/aces/query.py:19-197 `query`)
+  */
+object Query {
+
+  /** Run a task query over a canonical predicates frame.
+    *
+    * The reference eagerly validates (subject_id, timestamp) uniqueness
+    * with a full scan (query.py:110-115); loaders built with
+    * `PredicateFrames.collapse` guarantee it by construction, so the scan
+    * is opt-in here (`validateUnique`).
+    */
+  def apply(cfg: TaskConfig, predicatesDf: DataFrame, validateUnique: Boolean = false): DataFrame = {
+    if (validateUnique) {
+      val dupes = predicatesDf.groupBy("subject_id", "timestamp").count().filter(col("count") > 1)
+      require(dupes.isEmpty, "The (subject_id, timestamp) columns must be unique.")
+    }
+
+    // Static-demographics filter, else drop null-timestamp rows
+    // (reference: query.py:121-127).
+    val staticVariables = cfg.predicates.collect { case (n, p) if p.static => n }.toSeq
+    val filtered =
+      if (staticVariables.nonEmpty) Constraints.checkStaticVariables(staticVariables, predicatesDf)
+      else predicatesDf.na.drop(Seq("subject_id", "timestamp"))
+
+    // Trigger anchors (reference: query.py:133-140).
+    val anchors = Constraints
+      .checkConstraints(Map(cfg.trigger.predicate -> (Some(1L), None)), filtered)
+      .select(col("subject_id"), col("timestamp").as("subtree_anchor_timestamp"))
+
+    val extracted = ExtractSubtree(cfg.windowTree, anchors, filtered)
+
+    val result = extracted.withColumnRenamed("subtree_anchor_timestamp", "trigger")
+
+    // Column order: subject_id, [index_timestamp], [label], trigger,
+    // then summaries in pre-order tree walk (reference: query.py:153-197).
+    var out = result
+    var headCols = Seq("subject_id")
+
+    cfg.labelWindow.foreach { lw =>
+      val w = cfg.windows.collectFirst { case (n, wd) if n == lw => wd }.get
+      val labelCol = if (w.rootNode == "start") "end" else "start"
+      out = out.withColumn("label", col(s"`$lw.${labelCol}_summary`").getField(w.label.get))
+      headCols = headCols.take(1) ++ Seq("label") ++ headCols.drop(1)
+    }
+    cfg.indexTimestampWindow.foreach { iw =>
+      val w = cfg.windows.collectFirst { case (n, wd) if n == iw => wd }.get
+      val itCol = if (w.rootNode == "start") "end" else "start"
+      out = out.withColumn(
+        "index_timestamp",
+        col(s"`$iw.${itCol}_summary`").getField(s"timestamp_at_${w.indexTimestamp.get}"))
+      headCols = headCols.take(1) ++ Seq("index_timestamp") ++ headCols.drop(1)
+    }
+
+    val ordered = headCols ++ Seq("trigger") ++ cfg.preorderWindowNames.map(_ + "_summary")
+    out.select(ordered.map(c => col(s"`$c`")): _*)
+  }
+
+  /** Coerce a query result to the fixed MEDS label output schema
+    * `(subject_id, prediction_time, boolean_value, integer_value,
+    * float_value, categorical_value)`. (reference: src/aces/run.py:22-118,
+    * :146-160)
+    */
+  def toMedsLabels(result: DataFrame): DataFrame = {
+    var df = result
+    Seq("index_timestamp" -> "prediction_time", "label" -> "boolean_value").foreach {
+      case (from, to) => if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
+    }
+    require(df.columns.contains("subject_id"), "Output dataframe is missing a 'subject_id' column.")
+
+    val optional: Seq[(String, DataType)] = Seq(
+      "prediction_time" -> TimestampType,
+      "boolean_value" -> BooleanType,
+      "integer_value" -> LongType,
+      "float_value" -> DoubleType,
+      "categorical_value" -> StringType)
+
+    var out = df.withColumn("subject_id", col("subject_id").cast(LongType))
+    optional.foreach { case (name, t) =>
+      out =
+        if (out.columns.contains(name)) out.withColumn(name, col(name).cast(t))
+        else out.withColumn(name, lit(null).cast(t))
+    }
+    out.select(("subject_id" +: optional.map(_._1)).map(col): _*)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.config.{PlainPredicateDef, TaskConfig}
+import graft.model.EventBounds
+
+/** Builders for the engine's canonical predicates frame —
+  * `(subject_id, timestamp, <Int64 count per predicate>)`, unique and
+  * per-subject ordered keys — from the three supported input standards.
+  * (reference: src/aces/predicates.py)
+  *
+  * All loaders repartition by `subject_id` before the same-instant
+  * collapse: HashPartitioning(subject_id) satisfies the group-by's
+  * clustered distribution on (subject_id, timestamp) AND every downstream
+  * per-subject window op, so the whole engine pipeline runs off one
+  * shuffle of the raw events.
+  */
+object PredicateFrames {
+
+  /** "direct" standard: pre-computed predicate columns in CSV/Parquet.
+    * (reference: predicates.py:21-226 `direct_load_plain_predicates`)
+    *
+    * @param tsFormat Spark datetime pattern (e.g. `"M/d/yyyy H:mm"`) —
+    *                 required when `timestamp` is a string column.
+    */
+  def directLoad(
+      spark: SparkSession,
+      path: String,
+      predicateNames: Seq[String],
+      tsFormat: Option[String] = None
+  ): DataFrame = {
+    val raw =
+      if (path.endsWith(".csv"))
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else if (path.endsWith(".parquet")) spark.read.parquet(path)
+      else throw new IllegalArgumentException(s"Unsupported file format: $path")
+    directFrom(raw, predicateNames, tsFormat)
+  }
+
+  def directFrom(
+      raw: DataFrame,
+      predicateNames: Seq[String],
+      tsFormat: Option[String] = None
+  ): DataFrame = {
+    val columns = Seq("subject_id", "timestamp") ++ predicateNames
+    val missing = columns.filterNot(raw.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"Missing columns: ${missing.mkString(", ")}")
+
+    val tsTyped = raw.schema("timestamp").dataType match {
+      case _: TimestampType => raw
+      case t if t.typeName == "string" =>
+        val fmt = tsFormat.getOrElse(throw new IllegalArgumentException(
+          "Must provide a timestamp format for direct predicates with str timestamps."))
+        raw.withColumn("timestamp", to_timestamp(col("timestamp"), fmt))
+      case t if t.typeName.startsWith("date") =>
+        raw.withColumn("timestamp", col("timestamp").cast(TimestampType))
+      case t =>
+        throw new IllegalArgumentException(s"Passed predicates have timestamps of invalid type $t.")
+    }
+
+    collapse(tsTyped.select(columns.map(col): _*), predicateNames)
+  }
+
+  /** MEDS standard: long/tidy rows `(subject_id, time, code, numeric_value)`.
+    * (reference: predicates.py:229-288 `generate_plain_predicates_from_meds`)
+    */
+  def fromMeds(raw: DataFrame, plain: Seq[(String, PlainPredicateDef)]): DataFrame = {
+    val base = (if (raw.columns.contains("time"))
+                  raw.withColumnRenamed("time", "timestamp")
+                else raw)
+      .withColumn("code", col("code").cast("string"))
+    val withPreds = base.select(
+      Seq(col("subject_id"), col("timestamp")) ++
+        plain.map { case (name, p) => p.medsExpr.cast(LongType).as(name) }: _*
+    )
+    collapse(withPreds, plain.map(_._1))
+  }
+
+  def fromMedsPath(spark: SparkSession, path: String, plain: Seq[(String, PlainPredicateDef)]): DataFrame =
+    fromMeds(spark.read.parquet(path), plain)
+
+  /** ESGPT standard: subjects + events + dynamic measurements, joined on
+    * `event_id`; static predicates become null-timestamp rows.
+    * (reference: predicates.py:291-418 `process_esgpt_data`)
+    *
+    * @param valueColumns predicate name → numeric-value column in the
+    *                     measurements table (for value-bounded predicates).
+    */
+  def fromEsgpt(
+      subjectsDf: DataFrame,
+      eventsDf: DataFrame,
+      measurementsDf: DataFrame,
+      valueColumns: Map[String, String],
+      predicates: Seq[(String, PlainPredicateDef)]
+  ): DataFrame = {
+    var subjects = subjectsDf
+    var events = eventsDf
+    var meas = measurementsDf
+    predicates.foreach { case (name, p) =>
+      if (p.code.text.toLowerCase.startsWith("event_type"))
+        events = events.withColumn(name, p.esgptExpr(None).cast(LongType))
+      else if (p.static)
+        subjects = subjects.withColumn(name, p.esgptExpr(None).cast(LongType))
+      else
+        meas = meas.withColumn(name, p.esgptExpr(valueColumns.get(name)).cast(LongType))
+    }
+    val predCols = predicates.map(_._1)
+    val measCols = predCols.filter(meas.columns.contains)
+    val measAgg = meas
+      .groupBy("event_id")
+      .agg(measCols.map(c => sum(col(c)).cast(LongType).as(c)).head,
+        measCols.map(c => sum(col(c)).cast(LongType).as(c)).tail: _*)
+
+    val predMap = predicates.toMap
+    val dynamic = predCols.filterNot(c => predMap(c).static)
+    val static = predCols.filter(c => predMap(c).static)
+
+    val data = events
+      .join(measAgg, Seq("event_id"), "left")
+      .select(
+        Seq(col("subject_id"), col("timestamp").cast(TimestampType)) ++
+          dynamic.map(c => coalesce(col(c), lit(0L)).as(c)) ++
+          static.map(c => lit(0L).as(c)): _*
+      )
+    val staticRows = subjects.select(
+      Seq(col("subject_id"), lit(null).cast(TimestampType).as("timestamp")) ++
+        dynamic.map(c => lit(0L).as(c)) ++
+        static.map(c => coalesce(col(c), lit(0L)).as(c)): _*
+    )
+    staticRows.unionByName(data)
+  }
+
+  /** Collapse same-instant rows into unique (subject_id, timestamp) keys.
+    * (reference: predicates.py:221-226, :284-288)
+    */
+  def collapse(df: DataFrame, predCols: Seq[String]): DataFrame = {
+    val sums = predCols.map(c => sum(col(c)).cast(LongType).as(c))
+    df.withColumn("subject_id", col("subject_id").cast(LongType))
+      .repartition(col("subject_id"))
+      .groupBy("subject_id", "timestamp")
+      .agg(sums.head, sums.tail: _*)
+  }
+
+  /** Add derived predicates (in dependency order, with static-value
+    * propagation) and the special `_ANY_EVENT` / `_RECORD_START` /
+    * `_RECORD_END` columns the config references.
+    * (reference: predicates.py:477-791 `get_predicates_df`, from :718)
+    */
+  def finalize(cfg: TaskConfig, plainDf: DataFrame): DataFrame = {
+    var data = plainDf
+    val staticVars = cfg.plainPredicates.collect { case (n, p) if p.static => n }.toSeq
+
+    // Derived predicates, computing dependencies before dependents; if a
+    // derived predicate references a static demographic, propagate the
+    // static row's value across the subject first (reference: :722-736).
+    val wSubjAll = Window
+      .partitionBy("subject_id")
+      .orderBy(col("timestamp").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cfg.derivedPredicatesInOrder.foreach { case (name, d) =>
+      if (d.inputPredicates.exists(staticVars.contains)) {
+        data = data.select(
+          data.columns.map {
+            case c if staticVars.contains(c) => first(col(c)).over(wSubjAll).as(c)
+            case c                           => col(c)
+          }.toSeq: _*
+        )
+      }
+      data = data.withColumn(name, d.evalExpr.cast(LongType))
+    }
+
+    // Special predicates referenced by windows or the trigger (reference: :738-789).
+    val needed = (cfg.windows.flatMap { case (_, w) =>
+      w.referencedPredicates.intersect(Set(EventBounds.AnyEvent)) ++
+        w.constraintPredicates.intersect(Set(EventBounds.StartOfRecord, EventBounds.EndOfRecord)) ++
+        (if (w.constraintPredicates.contains("*")) Seq(EventBounds.AnyEvent) else Nil)
+    } ++ Seq(cfg.trigger.predicate).filter(p =>
+      Set(EventBounds.AnyEvent, EventBounds.StartOfRecord, EventBounds.EndOfRecord).contains(p))).distinct
+
+    val wSubj = Window.partitionBy("subject_id")
+    if (needed.contains(EventBounds.AnyEvent))
+      data = data.withColumn(
+        EventBounds.AnyEvent,
+        when(col("timestamp").isNotNull, lit(1L)).otherwise(lit(null).cast(LongType)))
+    if (needed.contains(EventBounds.StartOfRecord))
+      data = data.withColumn(
+        EventBounds.StartOfRecord,
+        (col("timestamp") === min("timestamp").over(wSubj)).cast(LongType))
+    if (needed.contains(EventBounds.EndOfRecord))
+      data = data.withColumn(
+        EventBounds.EndOfRecord,
+        (col("timestamp") === max("timestamp").over(wSubj)).cast(LongType))
+    data
+  }
+}

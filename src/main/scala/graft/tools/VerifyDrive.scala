@@ -44,6 +44,45 @@ object VerifyDrive {
     println("== probe: explain of temporal agg (shuffle count) ==")
     w.explain("formatted")
 
+    println("== full query pipeline: YAML task over events table ==")
+    val yaml =
+      """predicates:
+        |  click: { code: click }
+        |  purchase: { code: purchase }
+        |  error: { code: error }
+        |  converted: { expr: "or(purchase, signup)" }
+        |  signup: { code: signup }
+        |trigger: click
+        |windows:
+        |  input:
+        |    start: NULL
+        |    end: trigger + 24h
+        |    start_inclusive: True
+        |    end_inclusive: True
+        |    has: { _ANY_EVENT: "(2, None)" }
+        |    index_timestamp: end
+        |  target:
+        |    start: input.end
+        |    end: start -> converted
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    label: purchase
+        |""".stripMargin
+    val cfg = graft.config.TaskConfig.fromYaml(yaml)
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(
+        col("user_id").as("subject_id"),
+        col("ts").as("timestamp"),
+        col("event_type").as("code"),
+        col("value").cast("float").as("numeric_value"))
+    val plain = graft.sources.PredicateFrames.fromMeds(ev, cfg.plainPredicates.toSeq)
+    val preds2 = graft.sources.PredicateFrames.finalize(cfg, plain)
+    val res = graft.Query(cfg, preds2)
+    res.select("subject_id", "index_timestamp", "label", "trigger").show(6, truncate = false)
+    println(s"cohort rows=${res.count()}")
+    println("== probe: MEDS label coercion ==")
+    graft.Query.toMedsLabels(res).show(4, truncate = false)
+
     spark.stop()
   }
 }
