@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID heuristics, quality scoring and
+  * fingerprinting. All pure `Column` expressions — whole-stage-codegen,
+  * no UDFs, no shuffles.
+  */
+object Texts {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word tokens via a BPE-ish regex (letter runs). Spark 4 `regexp_count`. */
+  def wordCount(text: Column): Column = regexp_count(text, lit("[A-Za-z]+"))
+
+  /** Contiguous word n-gram shingles (n >= 1) as an array of strings.
+    * `slice` is 1-based; empty array when fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)), i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Tiny per-language stopword lists for the n-gram language-ID heuristic.
+    * Deterministic and SQL-portable (the DuckDB oracle embeds the same
+    * lists), not linguistically serious.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个")
+  )
+
+  /** Count of tokens belonging to `lang`'s stopword list. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(array_intersect(tokens(text), array(stopwords(lang).map(lit): _*)))
+
+  /** Predicted language = argmax stopword hits (ties → lexicographically
+    * LAST language code, from the (hits, lang) struct sort), "und" when no
+    * list matches.
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Simple quality metrics: character count, token count, mean token
+    * length, punctuation ratio, stopword ratio (any language).
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nTokens = size(tokens(text))
+    val nPunct = regexp_count(text, lit("[\\p{Punct}]"))
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    val nStop = size(array_intersect(tokens(text), array(allStops.map(lit): _*)))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTokens.cast("long"),
+      "mean_token_len" -> round((nChars - nTokens + 1).cast("double") / nTokens, 3),
+      "punct_ratio" -> round(nPunct.cast("double") / greatest(nChars, lit(1)), 4),
+      "stopword_ratio" -> round(nStop.cast("double") / greatest(nTokens, lit(1)), 4)
+    )
+  }
+
+  /** Deterministic 64-bit document fingerprint: order-sensitive polynomial
+    * rolling hash over tokens (Rabin–Karp style), built from `xxhash64`
+    * token hashes folded with `aggregate` — codegen-friendly, no UDF.
+    */
+  def fingerprint(text: Column): Column =
+    // Fold kept within [0, 2^32) so the multiply never overflows a Long
+    // under ANSI arithmetic: acc*1000003 + h32 < 2^52 + 2^32 < 2^63.
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, tok) => pmod(acc * lit(1000003L) + pmod(xxhash64(tok), lit(1L << 32)), lit(1L << 32)))
+
+  /** SimHash-64 over whitespace tokens: per bit, sum +1/-1 votes from each
+    * token's xxhash64 bit, emit the sign bit. Pure expressions.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(
+        toks,
+        lit(0L),
+        (acc, tok) => acc + when(shiftright(xxhash64(tok), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    // bitwise OR, not +: bit 63 is Long.MinValue and ANSI addition overflows.
+    bits.reduce(_ bitwiseOR _)
+  }
+}

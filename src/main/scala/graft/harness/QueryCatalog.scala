@@ -1,0 +1,734 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.DerivedPredicateDef
+import graft.functions.Texts
+import graft.model.{Closed, EventBounds, TemporalBounds}
+import graft.operators._
+import graft.sources.Tables
+
+/** The driver-facing operator catalog: one named query per operator ID in
+  * SURVEY.md §2 (plus the §2.10 scale extensions), each with an equivalent
+  * DuckDB oracle SQL over the same parquet tables.
+  *
+  * Conventions keeping the DuckDB hash-compare exact:
+  *   - every aggregate/computed column aliased identically on both sides;
+  *   - deterministic ORDER BY on every query;
+  *   - `events.ts` is TIMESTAMP_NS in parquet — Spark reads via
+  *     [[Tables.events]] (µs truncation), oracles use CAST(ts AS TIMESTAMP)
+  *     which truncates identically;
+  *   - no floating-point aggregation except where rounded or exactly
+  *     reproducible.
+  */
+object QueryCatalog {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = false)
+
+  private val predTypes = Seq("click", "purchase", "error")
+
+  /** Collapsed per-(subject, µs-timestamp) predicate frame over events. */
+  private def preds(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsAsPredicates(s, dir, predTypes)
+
+  /** The same frame as a DuckDB CTE. */
+  private val predsCte =
+    """WITH p AS (
+      |  SELECT user_id AS subject_id, CAST(ts AS TIMESTAMP) AS timestamp,
+      |         CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS is_click,
+      |         CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS is_purchase,
+      |         CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS is_error
+      |  FROM events GROUP BY 1, 2)
+      |""".stripMargin
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
+
+  // ==========================================================================
+  // §2.1 scans / sources / sinks
+  // ==========================================================================
+
+  private val scans = Seq(
+    Q("scan_csv", (s, dir) => {
+      val csvDir = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(csvDir, "_SUCCESS").exists()) {
+        Tables.table(s, dir, "events")
+          .select("event_id", "user_id", "event_type")
+          .write.mode("overwrite").option("header", "true").csv(csvDir)
+      }
+      s.read.option("header", "true").option("inferSchema", "true").csv(csvDir)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1")),
+
+    Q("scan_parquet", (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1997-01-01' ORDER BY 1, 2""".stripMargin)),
+
+    Q("sink_parquet", (s, dir) => {
+      val out = s"/tmp/graft_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.table(s, dir, "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("o_orderstatus")
+    }, Some("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY 1")),
+
+    Q("shard_expand", (s, dir) => {
+      val out = s"/tmp/graft_shards_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(out).exists()) {
+        Tables.events(s, dir)
+          .withColumn("shard", pmod(col("user_id"), lit(2)))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+      }
+      s.read.parquet(out)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1")),
+
+    Q("ts_parse", (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), to_timestamp(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm"), "yyyy-MM-dd HH:mm").as("tp"))
+        .groupBy("user_id")
+        .agg(min("tp").as("min_tp"), max("tp").as("max_tp"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |MIN(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M')) AS min_tp,
+             |MAX(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M')) AS max_tp
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("schema_validate", (s, dir) => {
+      val df = Tables.events(s, dir)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .withColumn("categorical_value", lit(null).cast("string"))
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_value"),
+        count(col("categorical_value")).as("n_cat"))
+    }, Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(value) AS BIGINT) AS n_value,
+              |CAST(0 AS BIGINT) AS n_cat FROM events""".stripMargin))
+  )
+
+  // ==========================================================================
+  // §2.2 projections / filters / predicate compiler
+  // ==========================================================================
+
+  private def sumPerUser(s: SparkSession, dir: String, cond: org.apache.spark.sql.Column, as: String) =
+    Tables.events(s, dir)
+      .groupBy(col("user_id").as("subject_id"))
+      .agg(sum(cond.cast("long")).as(as))
+      .orderBy("subject_id")
+
+  private val predicates = Seq(
+    Q("pred_code_eq", (s, dir) => sumPerUser(s, dir, col("event_type") === "click", "n_click"),
+      Some("""SELECT user_id AS subject_id, CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT)
+             |AS n_click FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("pred_regex", (s, dir) => sumPerUser(s, dir, col("event_type").rlike("^p.*e$"), "n_match"),
+      Some("""SELECT user_id AS subject_id, CAST(SUM(CASE WHEN regexp_matches(event_type, '^p.*e$')
+             |THEN 1 ELSE 0 END) AS BIGINT) AS n_match FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("pred_any_of", (s, dir) => sumPerUser(s, dir, col("event_type").isin("click", "view"), "n_cv"),
+      Some("""SELECT user_id AS subject_id, CAST(SUM(CASE WHEN event_type IN ('click','view')
+             |THEN 1 ELSE 0 END) AS BIGINT) AS n_cv FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("pred_value_range", (s, dir) =>
+      sumPerUser(s, dir, col("value") >= 10 && col("value") < 100, "n_in_range"),
+      Some("""SELECT user_id AS subject_id, CAST(SUM(CASE WHEN value >= 10 AND value < 100
+             |THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("pred_other_cols", (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(sum((col("props") === """{"k": 0}""").cast("long")).as("n_k0"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(SUM(CASE WHEN props = '{"k": 0}' THEN 1 ELSE 0 END) AS BIGINT)
+             |AS n_k0 FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("pred_conj", (s, dir) =>
+      sumPerUser(s, dir, col("event_type") === "click" && col("value") > 50, "n_big_click"),
+      Some("""SELECT user_id AS subject_id, CAST(SUM(CASE WHEN event_type='click' AND value > 50
+             |THEN 1 ELSE 0 END) AS BIGINT) AS n_big_click FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("pred_split_contains", (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(sum(array_contains(split(col("text"), " "), "spark").cast("long")).as("n_spark"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(SUM(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+             |THEN 1 ELSE 0 END) AS BIGINT) AS n_spark FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("pred_not_null", (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(col("value").isNotNull.cast("long")).as("n_nonnull"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |AS n_nonnull FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("derived_and", (s, dir) => {
+      val d = DerivedPredicateDef("and(is_click, is_error)")
+      preds(s, dir)
+        .withColumn("click_and_error", d.evalExpr.cast("long"))
+        .groupBy("subject_id").agg(sum("click_and_error").as("n_both"))
+        .orderBy("subject_id")
+    }, Some(predsCte +
+      """SELECT subject_id, CAST(SUM(CASE WHEN is_click > 0 AND is_error > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |AS n_both FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("derived_or", (s, dir) => {
+      val d = DerivedPredicateDef("or(is_click, is_error)")
+      preds(s, dir)
+        .withColumn("click_or_error", d.evalExpr.cast("long"))
+        .groupBy("subject_id").agg(sum("click_or_error").as("n_either"))
+        .orderBy("subject_id")
+    }, Some(predsCte +
+      """SELECT subject_id, CAST(SUM(CASE WHEN is_click > 0 OR is_error > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |AS n_either FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("bool_to_count", (s, dir) => sumPerUser(s, dir, col("event_type") === "error", "n_error"),
+      Some("""SELECT user_id AS subject_id, CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT)
+             |AS n_error FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("select_cols", (s, dir) => docs(s, dir).select("doc_id", "lang").orderBy("doc_id"),
+      Some("SELECT doc_id, lang FROM documents ORDER BY 1")),
+
+    Q("filter_rows", (s, dir) =>
+      docs(s, dir).filter(col("n_chars") > 400).select("doc_id", "n_chars").orderBy("doc_id"),
+      Some("SELECT doc_id, n_chars FROM documents WHERE n_chars > 400 ORDER BY 1")),
+
+    Q("when_otherwise", (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", when(col("value") >= 50, "high").otherwise("low"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS bucket,
+             |CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("lit_col", (s, dir) =>
+      docs(s, dir).select(col("doc_id"), lit("corpus_v1").as("tag")).orderBy("doc_id"),
+      Some("SELECT doc_id, 'corpus_v1' AS tag FROM documents ORDER BY 1")),
+
+    Q("rename", (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "order_key")
+        .groupBy("order_key").agg(count(lit(1)).as("n_lines"))
+        .orderBy("order_key"),
+      Some("""SELECT l_orderkey AS order_key, CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("drop_nulls", (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", when(col("value") > 50, col("value")))
+        .na.drop(Seq("v"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+             |WHERE (CASE WHEN value > 50 THEN value END) IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("is_empty_guard", (s, dir) => {
+      val isEmpty = Tables.events(s, dir).filter(col("event_type") === "nonexistent").isEmpty
+      s.range(1).select(lit(if (isEmpty) 1L else 0L).as("empty_flag"))
+    }, Some("""SELECT CAST(CASE WHEN NOT EXISTS(SELECT 1 FROM events WHERE event_type='nonexistent')
+              |THEN 1 ELSE 0 END AS BIGINT) AS empty_flag""".stripMargin))
+  )
+
+  // ==========================================================================
+  // §2.3 joins
+  // ==========================================================================
+
+  private val joins = Seq(
+    Q("join_inner_anchor", (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .join(broadcast(Tables.table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders
+             |JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("join_inner_sibling", (s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val aSide = li.filter(col("l_returnflag") === "R").select("l_orderkey").distinct()
+      val bSide = li.filter(col("l_returnflag") === "A").select("l_orderkey").distinct()
+      aSide.join(bSide, Seq("l_orderkey"), "inner").orderBy("l_orderkey")
+    }, Some("""SELECT a.l_orderkey FROM
+              |(SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag='R') a
+              |JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag='A') b
+              |USING (l_orderkey) ORDER BY 1""".stripMargin)),
+
+    Q("join_left_reanchor", (s, dir) => {
+      val counts = Tables.table(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      Tables.table(s, dir, "orders")
+        .join(counts, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("n"), lit(0L)).as("n_lines"))
+        .orderBy("o_orderkey")
+    }, Some("""SELECT o_orderkey, CAST(COALESCE(n, 0) AS BIGINT) AS n_lines FROM orders
+              |LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1) li
+              |ON o_orderkey = li.l_orderkey ORDER BY 1""".stripMargin)),
+
+    Q("join_left_summary", (s, dir) => {
+      val sums = Tables.table(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      Tables.table(s, dir, "customer")
+        .join(sums, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    }, Some("""SELECT c_custkey, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders FROM customer
+              |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o
+              |ON c_custkey = o.o_custkey ORDER BY 1""".stripMargin)),
+
+    Q("join_left_offset", (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val next = daily.select(
+        col("user_id"), date_add(col("day"), -1).as("day"), col("n").as("n_in_offset_period"))
+      daily.join(next, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          col("n"), coalesce(col("n_in_offset_period"), lit(0L)).as("n_in_offset_period"))
+        .orderBy("user_id", "day")
+    }, Some("""WITH daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+              |CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+              |SELECT d.user_id, d.day, d.n, CAST(COALESCE(nx.n, 0) AS BIGINT) AS n_in_offset_period
+              |FROM daily d LEFT JOIN daily nx
+              |ON d.user_id = nx.user_id AND nx.day = d.day + INTERVAL 1 DAY
+              |ORDER BY 1, 2""".stripMargin)),
+
+    Q("join_left_esgpt", (s, dir) => {
+      val meas = Tables.table(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      Tables.table(s, dir, "part")
+        .join(meas, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), coalesce(col("total_qty"), lit(0L)).as("total_qty"))
+        .orderBy("p_partkey")
+    }, Some("""SELECT p_partkey, CAST(COALESCE(total_qty, 0) AS BIGINT) AS total_qty FROM part
+              |LEFT JOIN (SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+              |FROM lineitem GROUP BY 1) li ON p_partkey = li.l_partkey ORDER BY 1""".stripMargin)),
+
+    Q("join_semi", (s, dir) =>
+      Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE EXISTS
+             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""".stripMargin))
+  )
+
+  // ==========================================================================
+  // §2.4 aggregations + §2.5 window functions + §2.6 event-bound
+  // ==========================================================================
+
+  private val aggsAndWindows = Seq(
+    Q("groupby_sum_event", (s, dir) => preds(s, dir).orderBy("subject_id", "timestamp"),
+      Some(predsCte + "SELECT * FROM p ORDER BY 1, 2"), bench = true),
+
+    Q("groupby_sum_eventid", (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             |CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("rolling_sum_temporal", (s, dir) =>
+      TemporalWindowAgg(preds(s, dir), TemporalBounds(true, 24L * 3600000000L, true, 0L))
+        .orderBy("subject_id", "timestamp"),
+      Some(predsCte +
+        """SELECT subject_id, timestamp,
+          |timestamp AS timestamp_at_start,
+          |timestamp + INTERVAL 24 HOURS AS timestamp_at_end,
+          |CAST(SUM(is_click) OVER w AS BIGINT) AS is_click,
+          |CAST(SUM(is_purchase) OVER w AS BIGINT) AS is_purchase,
+          |CAST(SUM(is_error) OVER w AS BIGINT) AS is_error
+          |FROM p WINDOW w AS (PARTITION BY subject_id ORDER BY timestamp
+          |RANGE BETWEEN CURRENT ROW AND INTERVAL 24 HOURS FOLLOWING)
+          |ORDER BY 1, 2""".stripMargin), bench = true),
+
+    Q("cumsum_over_subject", (s, dir) => {
+      val w = Window.partitionBy("subject_id").orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      preds(s, dir)
+        .select(col("subject_id"), col("timestamp"),
+          sum("is_click").over(w).as("cum_click"),
+          sum("is_purchase").over(w).as("cum_purchase"))
+        .orderBy("subject_id", "timestamp")
+    }, Some(predsCte +
+      """SELECT subject_id, timestamp,
+        |CAST(SUM(is_click) OVER w AS BIGINT) AS cum_click,
+        |CAST(SUM(is_purchase) OVER w AS BIGINT) AS cum_purchase
+        |FROM p WINDOW w AS (PARTITION BY subject_id ORDER BY timestamp
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY 1, 2""".stripMargin)),
+
+    Q("count_distinct", (s, dir) =>
+      Tables.events(s, dir).agg(countDistinct("user_id").as("n_users"),
+        countDistinct("event_type").as("n_types")),
+      Some("""SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types FROM events""".stripMargin)),
+
+    Q("sum_horizontal_drop", (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      counts.agg(sum((col("n") < 2).cast("long")).as("n_dropped"))
+    }, Some("""SELECT CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM
+              |(SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+              |FROM events GROUP BY 1, 2) t""".stripMargin)),
+
+    Q("min_over_subject", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), min("ts").over(w).as("record_start"))
+        .distinct().orderBy("user_id")
+    }, Some("""SELECT DISTINCT user_id, MIN(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id)
+              |AS record_start FROM events ORDER BY 1""".stripMargin)),
+
+    Q("max_over_subject", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), max("ts").over(w).as("record_end"))
+        .distinct().orderBy("user_id")
+    }, Some("""SELECT DISTINCT user_id, MAX(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id)
+              |AS record_end FROM events ORDER BY 1""".stripMargin)),
+
+    Q("first_over_subject", (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), col("ts")).as("first_type"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, arg_min(event_type, ts) AS first_type FROM events GROUP BY 1 ORDER BY 1")),
+
+    Q("any_over_subject", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          max((col("event_type") === "purchase").cast("long")).over(w).as("has_purchase"))
+        .distinct().orderBy("user_id")
+    }, Some("""SELECT user_id, CAST(MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT)
+              |AS has_purchase FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("ffill_over_subject", (s, dir) => {
+      val w = Window.partitionBy("subject_id").orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      preds(s, dir)
+        .withColumn("v", when(col("is_purchase") > 0, col("timestamp")))
+        .select(col("subject_id"), col("timestamp"),
+          last(col("v"), ignoreNulls = true).over(w).as("last_purchase_ts"))
+        .orderBy("subject_id", "timestamp")
+    }, Some(predsCte +
+      """SELECT subject_id, timestamp,
+        |LAST_VALUE(CASE WHEN is_purchase > 0 THEN timestamp END IGNORE NULLS) OVER
+        |(PARTITION BY subject_id ORDER BY timestamp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |AS last_purchase_ts FROM p ORDER BY 1, 2""".stripMargin)),
+
+    Q("bfill_over_subject", (s, dir) => {
+      val w = Window.partitionBy("subject_id").orderBy("timestamp")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      preds(s, dir)
+        .withColumn("v", when(col("is_purchase") > 0, col("timestamp")))
+        .select(col("subject_id"), col("timestamp"),
+          first(col("v"), ignoreNulls = true).over(w).as("next_purchase_ts"))
+        .orderBy("subject_id", "timestamp")
+    }, Some(predsCte +
+      """SELECT subject_id, timestamp,
+        |FIRST_VALUE(CASE WHEN is_purchase > 0 THEN timestamp END IGNORE NULLS) OVER
+        |(PARTITION BY subject_id ORDER BY timestamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |AS next_purchase_ts FROM p ORDER BY 1, 2""".stripMargin)),
+
+    Q("range_frame_sum", (s, dir) =>
+      TemporalWindowAgg(preds(s, dir), TemporalBounds(true, -3600000000L, true, 0L))
+        .select("subject_id", "timestamp", "is_click", "is_purchase", "is_error")
+        .orderBy("subject_id", "timestamp"),
+      Some(predsCte +
+        """SELECT subject_id, timestamp,
+          |CAST(SUM(is_click) OVER w AS BIGINT) AS is_click,
+          |CAST(SUM(is_purchase) OVER w AS BIGINT) AS is_purchase,
+          |CAST(SUM(is_error) OVER w AS BIGINT) AS is_error
+          |FROM p WINDOW w AS (PARTITION BY subject_id ORDER BY timestamp
+          |RANGE BETWEEN INTERVAL 1 HOURS PRECEDING AND CURRENT ROW)
+          |ORDER BY 1, 2""".stripMargin)),
+
+    Q("event_bound_sum", (s, dir) =>
+      EventBoundAgg(preds(s, dir), EventBounds(true, "is_purchase", true, 0L))
+        .orderBy("subject_id", "timestamp"),
+      Some(predsCte +
+        """, b AS (SELECT p.*, MIN(CASE WHEN is_purchase > 0 THEN timestamp END) OVER
+          |(PARTITION BY subject_id ORDER BY timestamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          |AS bound_ts FROM p)
+          |SELECT subject_id, timestamp,
+          |CASE WHEN bound_ts IS NOT NULL THEN timestamp END AS timestamp_at_start,
+          |bound_ts AS timestamp_at_end,
+          |CAST(COALESCE((SELECT SUM(x.is_click) FROM p x WHERE x.subject_id = b.subject_id
+          |  AND x.timestamp >= b.timestamp AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_click,
+          |CAST(COALESCE((SELECT SUM(x.is_purchase) FROM p x WHERE x.subject_id = b.subject_id
+          |  AND x.timestamp >= b.timestamp AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_purchase,
+          |CAST(COALESCE((SELECT SUM(x.is_error) FROM p x WHERE x.subject_id = b.subject_id
+          |  AND x.timestamp >= b.timestamp AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_error
+          |FROM b ORDER BY 1, 2""".stripMargin), bench = true)
+  )
+
+  // ==========================================================================
+  // §2.7 sorts / set ops / dedup + §2.8 structs + §2.9 scalars
+  // ==========================================================================
+
+  private val sortsAndStructs = Seq(
+    Q("sort_subject_time", (s, dir) =>
+      preds(s, dir).orderBy(col("subject_id"), col("timestamp").asc_nulls_first)
+        .select("subject_id", "timestamp", "is_click"),
+      Some(predsCte + "SELECT subject_id, timestamp, is_click FROM p ORDER BY 1, 2 NULLS FIRST")),
+
+    Q("distinct_anchors", (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id").as("subject_id"), to_date(col("ts")).as("day"))
+        .dropDuplicates("subject_id", "day")
+        .orderBy("subject_id", "day"),
+      Some("""SELECT DISTINCT user_id AS subject_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |FROM events ORDER BY 1, 2""".stripMargin)),
+
+    Q("union_diagonal", (s, dir) => {
+      val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("subject_id"), lit(1L).as("is_click"))
+      val views = Tables.events(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id").as("subject_id"), lit(1L).as("is_view"))
+      clicks.unionByName(views, allowMissingColumns = true)
+        .groupBy("subject_id")
+        .agg(count(lit(1)).as("n_rows"), count("is_click").as("n_click"), count("is_view").as("n_view"))
+        .orderBy("subject_id")
+    }, Some("""WITH u AS (
+              |  SELECT user_id AS subject_id, 1 AS is_click, NULL AS is_view FROM events WHERE event_type='click'
+              |  UNION ALL
+              |  SELECT user_id AS subject_id, NULL AS is_click, 1 AS is_view FROM events WHERE event_type='view')
+              |SELECT subject_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |CAST(COUNT(is_click) AS BIGINT) AS n_click, CAST(COUNT(is_view) AS BIGINT) AS n_view
+              |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("limit_head", (s, dir) =>
+      Tables.table(s, dir, "orders").orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey").limit(5),
+      Some("SELECT o_orderkey, o_custkey FROM orders ORDER BY 1 LIMIT 5")),
+
+    Q("struct_pack", (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .select(struct(lit("orders_by_status").as("window_name"),
+          col("o_orderstatus"), col("n")).as("summary"))
+        .select(col("summary").getField("window_name").as("window_name"),
+          col("summary").getField("o_orderstatus").as("o_orderstatus"),
+          col("summary").getField("n").as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT 'orders_by_status' AS window_name, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 2 ORDER BY 2""".stripMargin)),
+
+    Q("struct_field", (s, dir) =>
+      Tables.table(s, dir, "customer")
+        .select(struct(col("c_custkey").as("id"), col("c_mktsegment").as("seg")).as("st"))
+        .select(col("st.id").as("c_custkey"), col("st.seg").as("segment"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_mktsegment AS segment FROM customer ORDER BY 1")),
+
+    Q("ts_arith", (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min("ts").as("first_ts"))
+        .select(col("user_id"),
+          timestamp_micros(unix_micros(col("first_ts")) + lit(36L * 3600000000L)).as("first_plus_36h"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) + INTERVAL 36 HOURS AS first_plus_36h
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
+  // ==========================================================================
+  // Scale extensions: dedup / similarity / text / multimodal
+  // ==========================================================================
+
+  private val extensions = Seq(
+    Q("dedup_exact", (s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY text ORDER BY 1""".stripMargin), bench = true),
+
+    Q("dedup_minhash", (s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), threshold = 0.5, numHashes = 64, bands = 16, shingleN = 3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      None, bench = true),
+
+    Q("dedup_simhash", (s, dir) =>
+      Dedup.simhash(docs(s, dir), maxHamming = 10)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    Q("dedup_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH sh AS (
+              |  SELECT doc_id, s FROM (
+              |    SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS s FROM documents)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+              |FROM pairs JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+              |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+              |ORDER BY 1, 2""".stripMargin)),
+
+    Q("sim_bruteforce_cosine", (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }, Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              |s AS (SELECT q.qid, c.vec_id AS nid,
+              |  list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+              |  FROM q, embeddings c WHERE c.vec_id <> q.qid),
+              |r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              |  FROM s)
+              |SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS rnk
+              |FROM r WHERE rk <= 5 ORDER BY 1, 3""".stripMargin), bench = true),
+
+    Q("sim_ann_lsh", (s, dir) =>
+      Similarity.lshTopK(emb(s, dir).filter(col("vec_id") < 50), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk"),
+      None),
+
+    Q("text_langid", (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), Texts.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some {
+        val hits = Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+          s"len(list_intersect(string_split(lower(text), ' '), [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
+        }.mkString(", ")
+        s"""WITH h AS (SELECT doc_id, $hits FROM documents),
+           |g AS (SELECT doc_id, h_de, h_en, h_es, h_fr, h_zh,
+           |  GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS g FROM h)
+           |SELECT doc_id, CASE WHEN g = 0 THEN 'und'
+           |  WHEN h_zh = g THEN 'zh' WHEN h_fr = g THEN 'fr' WHEN h_es = g THEN 'es'
+           |  WHEN h_en = g THEN 'en' ELSE 'de' END AS pred_lang
+           |FROM g ORDER BY 1""".stripMargin
+      }),
+
+    Q("text_quality", (s, dir) => {
+      val metrics = Texts.qualityMetrics(col("text"))
+      docs(s, dir)
+        .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }, Some {
+      val allStops = Texts.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+         |CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         |CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |ROUND(CAST(LENGTH(text) - len(string_split(lower(text), ' ')) + 1 AS DOUBLE)
+         |  / len(string_split(lower(text), ' ')), 3) AS mean_token_len,
+         |ROUND(CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE)
+         |  / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+         |ROUND(CAST(len(list_intersect(string_split(lower(text), ' '), [$allStops])) AS DOUBLE)
+         |  / GREATEST(len(string_split(lower(text), ' ')), 1), 4) AS stopword_ratio
+         |FROM documents ORDER BY 1""".stripMargin
+    }, bench = true),
+
+    Q("text_tokens", (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(Texts.tokens(col("text"))).cast("long").as("ws_tokens"),
+          Texts.wordCount(col("text")).cast("long").as("word_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS word_tokens
+             |FROM documents ORDER BY 1""".stripMargin)),
+
+    Q("text_fingerprint", (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), Texts.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+        .orderBy("keep_id"),
+      None),
+
+    Q("multimodal_features", (s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes"))
+        .orderBy("media_id")
+    }, Some("""SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+              |FROM documents ORDER BY 1""".stripMargin))
+  )
+
+  /** The flagship cohort query (same shape as the reference's in-hospital
+    * mortality task) on the events table.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """predicates:
+        |  click: { code: click }
+        |  purchase: { code: purchase }
+        |  error: { code: error }
+        |  signup: { code: signup }
+        |  converted: { expr: "or(purchase, signup)" }
+        |trigger: click
+        |windows:
+        |  input:
+        |    start: NULL
+        |    end: trigger + 24h
+        |    start_inclusive: True
+        |    end_inclusive: True
+        |    has: { _ANY_EVENT: "(2, None)" }
+        |    index_timestamp: end
+        |  gap:
+        |    start: trigger
+        |    end: start + 48h
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    has: { error: "(None, 0)" }
+        |  target:
+        |    start: gap.end
+        |    end: start -> converted
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    label: purchase
+        |""".stripMargin
+    val cfg = graft.config.TaskConfig.fromYaml(yaml)
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("subject_id"),
+      col("ts").as("timestamp"),
+      col("event_type").as("code"),
+      col("value").cast("float").as("numeric_value"))
+    val plain = graft.sources.PredicateFrames.fromMeds(ev, cfg.plainPredicates.toSeq)
+    val frame = graft.sources.PredicateFrames.finalize(cfg, plain)
+    graft.Query(cfg, frame)
+  }
+
+  val all: Seq[Q] =
+    scans ++ predicates ++ joins ++ aggsAndWindows ++ sortsAndStructs ++ extensions ++ Seq(
+      Q("aces_flagship", (s, dir) =>
+        flagship(s, dir).select("subject_id", "index_timestamp", "label", "trigger")
+          .orderBy("subject_id", "trigger"),
+        None, bench = true))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Texts
+
+/** Deduplication operators for document corpora at training-data scale.
+  *
+  * Scale notes: exact dedup is one hash-aggregate shuffle on the text (or
+  * its hash); MinHash-LSH shuffles only (band_id, band_hash, doc_id) pairs
+  * — b rows per doc, never the text — and joins candidates within tiny
+  * hash buckets, so the quadratic verify step touches only bucket-local
+  * pairs. Signatures are computed with pure array expressions (no UDFs,
+  * no explode) to stay inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full text equality: one representative
+    * (min doc_id) per group plus the duplicate count.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .select(col("keep_id"), col("n_docs"))
+
+  /** MinHash signature as a column expression: for each of `numHashes`
+    * seeded hash functions, the min `xxhash64` over the document's distinct
+    * word `shingleN`-gram shingles. NOTE: `transform` is an interpreted
+    * higher-order function — fine for tests/small frames; the scale path is
+    * [[minhashSignatures]] (explode + codegen hash-aggregate).
+    */
+  def minhashSignature(text: org.apache.spark.sql.Column, numHashes: Int, shingleN: Int) = {
+    val sh = Texts.distinctShingles(text, shingleN)
+    array((0 until numHashes).map { i =>
+      coalesce(array_min(transform(sh, s => xxhash64(lit(i), s))), lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** MinHash signatures for a whole corpus: explode distinct shingles →
+    * one codegen'd hash-aggregate taking 64 `min(xxhash64(seed, s))`
+    * columns. ~10-100× faster than per-row `transform` lambdas (Spark
+    * evaluates higher-order functions interpreted, per element).
+    * Docs with fewer than `shingleN` tokens produce no signature.
+    *
+    * @return (doc_id, h0..h{numHashes-1})
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      numHashes: Int,
+      shingleN: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val ex = docs.select(
+      col(idCol).as("doc_id"),
+      explode(Texts.distinctShingles(col(textCol), shingleN)).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact
+    * Jaccard over distinct shingles.
+    *
+    * Pipeline: signature (narrow) → band rows (explode b id-only rows/doc)
+    * → bucket-size cap → bucket self-join on (band, band hash) → distinct
+    * candidate id pairs → re-attach shingle arrays by doc_id → exact
+    * Jaccard → threshold filter.
+    *
+    * Scale safeguards (both essential at corpus scale):
+    *   - the bucket join carries ONLY (band, bucket, doc_id) — shingle
+    *     arrays are re-joined after pair dedup, so the potentially
+    *     quadratic stage shuffles a few dozen bytes per row;
+    *   - buckets larger than `maxBucketSize` are dropped before the join
+    *     (standard skew guard: giant buckets are low-information, and true
+    *     near-dup pairs almost surely co-occur in another, smaller band
+    *     bucket out of the `bands` chances).
+    *
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    val shingled = docs.select(
+      col(idCol).as("doc_id"),
+      Texts.distinctShingles(col(textCol), shingleN).as("sh"))
+
+    // Band rows: hash each signature slice to one bucket key per band.
+    // Signatures come from the codegen'd explode+aggregate path; the band
+    // bucket is xxhash64 over the band's signature columns directly.
+    val bandRows = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
+      .select(
+        col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+          struct(
+            lit(b).as("band"),
+            xxhash64(lit(b) +: slice: _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+    val bucketSizes = bandRows.groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+    val capped = bandRows
+      .join(bucketSizes.filter(col("bsize") <= maxBucketSize), Seq("band", "bucket"))
+      .select("band", "bucket", "doc_id")
+
+    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = a
+      .join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
+    * explode distinct shingles → co-occurrence join on the shingle →
+    * per-pair intersection counts → Jaccard from set sizes. Exact (no
+    * hashing), SQL-oracle-friendly, but the shingle join scales with
+    * shared-shingle frequency — use `minhashLsh` as the scale path.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      Texts.distinctShingles(col(textCol), shingleN).as("sh"))
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, banded into 4×16-bit
+    * chunks for candidate generation (Hamming distance ≤ k implies some
+    * chunk matches for k < 4), verified by exact Hamming distance.
+    */
+  /** SimHash signatures for a whole corpus via the codegen'd explode +
+    * aggregate path (same rationale as [[minhashSignatures]]): per bit,
+    * sum ±1 votes from each token's xxhash64 bit, emit the sign bit.
+    */
+  def simhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val ex = docs.select(
+      col(idCol).as("doc_id"),
+      explode(Texts.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    ex.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _)
+          .as("sig"))
+  }
+
+  def simhash(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol, idCol)
+    val chunks = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), shiftright(col("sig"), c * 16).bitwiseAND(0xffffL).as("key"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
+
+    val a = chunks.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunks.select(col("chunk"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (cross join of queries × corpus —
+  * correct, O(Q·N), broadcast the query side). Scale path: LSH-bucketed
+  * ANN via deterministic random-hyperplane signatures — candidates only
+  * within matching buckets, recall traded via band count.
+  *
+  * Dot products and norms are pure `zip_with`/`aggregate` expressions —
+  * no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k neighbors for each query vector.
+    * The query side is broadcast; ranking is per-query via a window.
+    *
+    * @return (query_id, neighbor_id, rank, sim) with rank 1..k,
+    *         self-matches excluded, ties broken by neighbor_id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q)
+      .crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-1, 1). Same on every executor — no state.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(20001L)) - 10000L).cast("double") / 10000.0
+
+  /** Random-hyperplane signature bit for one plane: sign of <v, plane>. */
+  private def planeBit(vec: Column, plane: Int): Column = {
+    val dot = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(plane, i)),
+      lit(0.0d),
+      (acc, v) => acc + v)
+    when(dot >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** LSH-bucketed approximate nearest neighbors: `bands` signatures of
+    * `bitsPerBand` hyperplane bits each; vectors sharing any band bucket
+    * become candidates, then exact cosine + per-query top-k.
+    */
+  def lshTopK(
+      vectors: DataFrame,
+      k: Int,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBuckets = base.select(
+      col("id"),
+      col("v"),
+      explode(array((0 until bands).map { band =>
+        val key = (0 until bitsPerBand)
+          .map(bit => planeBit(col("v"), band * bitsPerBand + bit) * lit(1L << bit))
+          .reduce(_ + _)
+        struct(lit(band).as("band"), key.as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
+
+    val a = withBuckets.select(col("band"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val b = withBuckets.select(col("band"), col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val candidates = a
+      .join(b, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
