@@ -30,9 +30,15 @@ object Query {
     // Static-demographics filter, else drop null-timestamp rows
     // (reference: query.py:121-127).
     val staticVariables = cfg.predicates.collect { case (n, p) if p.static => n }.toSeq
-    val filtered =
+    val filtered0 =
       if (staticVariables.nonEmpty) Constraints.checkStaticVariables(staticVariables, predicatesDf)
       else predicatesDf.na.drop(Seq("subject_id", "timestamp"))
+
+    // The filtered frame is scanned once per tree edge (every window agg
+    // reads it) plus once for trigger anchors — persist it for the run.
+    // MEMORY_AND_DISK: spills rather than OOMs at scale; the frame is the
+    // narrow post-collapse predicate matrix, far smaller than raw input.
+    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Trigger anchors (reference: query.py:133-140).
     val anchors = Constraints

@@ -39,8 +39,13 @@ object ExtractSubtree {
     */
   @volatile var checkpointLevels: Boolean = true
 
+  /** Lazy checkpoint: materialized on first action and reused by every
+    * consumer (each level's summary has three — child anchors, the
+    * re-anchor join, and the struct summary), without the serial eager
+    * pass per recursion level.
+    */
   private def maybeCheckpoint(df: DataFrame): DataFrame =
-    if (checkpointLevels) df.localCheckpoint(true) else df
+    if (checkpointLevels) df.localCheckpoint(false) else df
 
   /** @param anchors DataFrame(subject_id, subtree_anchor_timestamp) of valid
     *                realizations of this subtree's root.

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Closed, EventBounds, TemporalBounds}
+import graft.operators.{EventBoundAgg, TemporalWindowAgg}
+
+/** Property tests mirroring the reference's Hypothesis suite
+  * (reference: tests/test_aggregate_hypothesis.py:16-113): random small
+  * predicate frames, random bounds; outputs re-verified by brute-force
+  * per-row re-filtering and re-summing.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val US_PER_HOUR = 3600000000L
+
+  private case class Ev(subject: Long, tsUs: Long, vals: Seq[Long])
+
+  // ≤3 subjects, ≤50 events each, 3 predicate columns, hour-grid timestamps
+  // in a ~10-year range (mirrors the reference's strategy ranges).
+  private val frameGen: Gen[List[Ev]] = for {
+    nSubj <- Gen.choose(1, 3)
+    rows <- Gen.listOfN(
+      nSubj * 12, // enough to get interesting density
+      for {
+        s <- Gen.choose(1L, nSubj.toLong)
+        t <- Gen.choose(0L, 87600L) // hours in ~10 years
+        vs <- Gen.listOfN(3, Gen.choose(0L, 3L))
+      } yield Ev(s, t * US_PER_HOUR, vs))
+  } yield rows
+    .groupBy(e => (e.subject, e.tsUs))
+    .map(_._2.head)
+    .toList // unique (subject, ts)
+
+  private val boundsGen: Gen[TemporalBounds] = for {
+    li <- Gen.oneOf(true, false)
+    ri <- Gen.oneOf(true, false)
+    windowH <- Gen.oneOf(Gen.choose(1L, 24L * 366 * 5), Gen.choose(-24L * 366 * 5, -1L))
+    offsetH <- Gen.choose(0L, 24L * 365)
+  } yield TemporalBounds(li, windowH * US_PER_HOUR, ri, offsetH * US_PER_HOUR)
+
+  private def toDf(rows: List[Ev]) = {
+    import spark.implicits._
+    rows
+      .map(e => (e.subject, new java.sql.Timestamp(e.tsUs / 1000), e.vals(0), e.vals(1), e.vals(2)))
+      .toDF("subject_id", "timestamp", "pA", "pB", "pC")
+  }
+
+  /** Brute-force oracle (reference: test_aggregate_hypothesis.py:89-113). */
+  private def bruteTemporal(rows: List[Ev], b: TemporalBounds): Map[(Long, Long), Seq[Long]] = {
+    val (lo, hi) = b.frameLoHi
+    rows.map { r =>
+      val inWin = rows.filter { x =>
+        x.subject == r.subject && {
+          val d = x.tsUs - r.tsUs
+          val loOk = if (b.closed == Closed.Both || b.closed == Closed.Left) d >= lo else d > lo
+          val hiOk = if (b.closed == Closed.Both || b.closed == Closed.Right) d <= hi else d < hi
+          loOk && hiOk
+        }
+      }
+      (r.subject, r.tsUs) -> Seq(0, 1, 2).map(i => inWin.map(_.vals(i)).sum)
+    }.toMap
+  }
+
+  test("TemporalWindowAgg matches brute-force oracle on random frames") {
+    check(Prop.forAll(frameGen, boundsGen) { (rows, b) =>
+      rows.isEmpty || {
+        val out = TemporalWindowAgg(toDf(rows), b)
+          .collect()
+          .map { r =>
+            (r.getLong(0), r.getTimestamp(1).getTime * 1000) ->
+              Seq(r.getLong(4), r.getLong(5), r.getLong(6))
+          }
+          .toMap
+        out == bruteTemporal(rows, b)
+      }
+    }, 30)
+  }
+
+  /** Brute-force event-bound oracle, per the executable doctest semantics:
+    * find the nearest boundary position the fill pass would select, then
+    * sum the window per `closed`.
+    */
+  private def bruteEventBound(
+      rows: List[Ev],
+      boundaryIdx: Int,
+      mode: String,
+      closed: Closed.Value): Map[(Long, Long), Seq[Long]] = {
+    val bySubj = rows.groupBy(_.subject).view.mapValues(_.sortBy(_.tsUs)).toMap
+    rows.map { r =>
+      val subjRows = bySubj(r.subject)
+      val bounds = subjRows.filter(_.vals(boundaryIdx) > 0).map(_.tsUs)
+      val boundTs: Option[Long] =
+        if (mode == "bound_to_row") {
+          // phantom at 2b-1 (left/both) or 2b+1 (right/none); row uses last
+          // phantom with position <= 2t.
+          val eligible =
+            if (closed == Closed.Left || closed == Closed.Both) bounds.filter(b => 2 * b - 1 <= 2 * r.tsUs)
+            else bounds.filter(b => 2 * b + 1 <= 2 * r.tsUs)
+          eligible.lastOption
+        } else {
+          val eligible =
+            if (closed == Closed.Right || closed == Closed.Both) bounds.filter(b => 2 * b + 1 >= 2 * r.tsUs)
+            else bounds.filter(b => 2 * b - 1 >= 2 * r.tsUs)
+          eligible.headOption
+        }
+      val sums = boundTs match {
+        case None => Seq(0L, 0L, 0L)
+        case Some(b) =>
+          val (lo, hi) = if (mode == "bound_to_row") (b, r.tsUs) else (r.tsUs, b)
+          val inWin = subjRows.filter { x =>
+            val loOk = if (closed == Closed.Both || closed == Closed.Left) x.tsUs >= lo else x.tsUs > lo
+            val hiOk = if (closed == Closed.Both || closed == Closed.Right) x.tsUs <= hi else x.tsUs < hi
+            loOk && hiOk
+          }
+          Seq(0, 1, 2).map(i => inWin.map(_.vals(i)).sum)
+      }
+      (r.subject, r.tsUs) -> sums
+    }.toMap
+  }
+
+  test("EventBoundAgg (offset 0) matches brute-force oracle on random frames") {
+    val modeGen = Gen.oneOf("bound_to_row", "row_to_bound")
+    val closedGen = Gen.oneOf(Closed.Both, Closed.Left, Closed.Right, Closed.None)
+    check(Prop.forAll(frameGen, modeGen, closedGen) { (rows, mode, closed) =>
+      rows.isEmpty || {
+        val endEvent = if (mode == "bound_to_row") "-pB" else "pB"
+        val out = EventBoundAgg(
+          toDf(rows),
+          EventBounds(
+            leftInclusive = closed == Closed.Both || closed == Closed.Left,
+            endEvent = endEvent,
+            rightInclusive = closed == Closed.Both || closed == Closed.Right,
+            0L))
+          .collect()
+          .map { r =>
+            (r.getLong(0), r.getTimestamp(1).getTime * 1000) ->
+              Seq(r.getLong(4), r.getLong(5), r.getLong(6))
+          }
+          .toMap
+        out == bruteEventBound(rows, 1, mode, closed)
+      }
+    }, 30)
+  }
+}
