@@ -74,8 +74,8 @@ object Similarity {
   def lshTopK(
       vectors: DataFrame,
       k: Int,
-      bands: Int = 8,
-      bitsPerBand: Int = 8,
+      bands: Int = 16,
+      bitsPerBand: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {

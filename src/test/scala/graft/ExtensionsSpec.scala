@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Texts
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Correctness tests for the scale-extension operators against local
+  * brute-force computations on the real sf0.001 testdata.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private lazy val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private def localShingles(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").toSeq
+    if (toks.size < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("minhash LSH pairs are a high-recall subset of exact jaccard pairs") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = 3
+    val truth = (for {
+      (a, ta) <- texts.toSeq
+      (b, tb) <- texts.toSeq if a < b
+      sa = localShingles(ta, n); sb = localShingles(tb, n)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+
+    val got = Dedup.minhashLsh(docs, threshold = 0.5, numHashes = 64, bands = 16, shingleN = n)
+      .collect().map(r => (r.getLong(1).min(r.getLong(0)), r.getLong(0).max(r.getLong(1))) -> r.getDouble(2))
+      .toMap
+
+    // Every reported pair must be a true pair with the exact jaccard.
+    got.foreach { case (pair, j) =>
+      assert(truth.contains(pair), s"false positive pair $pair")
+      assert(math.abs(truth(pair) - j) < 1e-9, s"jaccard mismatch for $pair")
+    }
+    // Recall: LSH with b=16,r=4 at tau=0.5 should find the large majority.
+    if (truth.nonEmpty) {
+      val recall = got.size.toDouble / truth.size
+      assert(recall >= 0.8, s"recall $recall too low (${got.size}/${truth.size})")
+    }
+  }
+
+  test("ngramJaccard matches local brute force exactly") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = (for {
+      (a, ta) <- texts.toSeq
+      (b, tb) <- texts.toSeq if a < b
+      sa = localShingles(ta, 1); sb = localShingles(tb, 1)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.8
+    } yield (a, b)).toSet
+
+    val got = Dedup.ngramJaccard(docs, threshold = 0.8, shingleN = 1)
+      .collect().map(r => (r.getLong(1).min(r.getLong(0)), r.getLong(0).max(r.getLong(1)))).toSet
+    assert(got == truth)
+  }
+
+  test("simhash finds identical documents at hamming 0") {
+    // Duplicate the corpus with shifted ids: every doc has an exact twin.
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val both = docs.unionByName(shifted)
+    val pairs = Dedup.simhash(both, maxHamming = 0)
+      .collect().map(r => (r.getLong(1).min(r.getLong(0)), r.getLong(0).max(r.getLong(1)))).toSet
+    val expectedTwins = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expectedTwins.subsetOf(pairs), "every exact twin must collide at hamming 0")
+  }
+
+  test("brute-force cosine top-k matches local computation") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val queries = vecs.keys.filter(_ < 5)
+    val local = queries.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).map(_._1)
+    }.toMap
+
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(got == local)
+  }
+
+  test("LSH ANN reports correct cosine values and reasonable recall") {
+    val k = 3
+    val subset = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(subset, subset, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(subset, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    // 16 bands x 4 hyperplane bits on clustered synthetic vectors.
+    assert(recall >= 0.5, s"ANN recall $recall unexpectedly low")
+  }
+
+  test("language-ID heuristic identifies stopword-bearing texts") {
+    // NOTE: the corpus `lang` column is synthetic metadata unrelated to the
+    // text (all rows are English-ish token soup), so accuracy against it is
+    // meaningless — test on constructed texts instead.
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("el perro es grande y no se ve en la casa", "es"),
+      ("le chat est dans la maison et il dort pour un moment", "fr"),
+      ("der hund ist ein freund und das ist gut zu wissen", "de"),
+      ("xyzzy qwerty plugh", "und"))
+    val df = samples.map(_._1).toDF("text")
+    val out = df.select(Texts.langId(col("text")).as("pred")).collect().map(_.getString(0)).toSeq
+    assert(out == samples.map(_._2))
+  }
+
+  test("fingerprint is deterministic and separates distinct texts") {
+    val fps = docs.select(col("doc_id"), Texts.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fps2 = docs.select(col("doc_id"), Texts.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps == fps2)
+    val texts = docs.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical texts must collide
+    texts.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      assert(grp.keys.map(fps).toSet.size == 1)
+    }
+  }
+
+  test("multimodal plumbing: features align with payload bytes") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text")
+    val feats = Multimodal.extractFeatures(media, batchSize = 64)
+    val got = feats.select("media_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.select(col("doc_id"), length(col("text")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected) // ASCII corpus: bytes == chars
+    val f = feats.head()
+    assert(f.getSeq[Double](f.fieldIndex("feature")).length == 8)
+  }
+}
