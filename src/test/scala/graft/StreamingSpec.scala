@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingPredicates
+import graft.streaming.StreamingPredicates.SubjectEvent
+
+/** Structured Streaming extension tests via MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates tumbling windows and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("subject_id", "timestamp", "code")
+
+    val out = StreamingPredicates.windowedCounts(
+      events,
+      preds = Seq("is_a" -> (col("code") === "a"), "is_b" -> (col("code") === "b")),
+      window = "1 hour",
+      watermark = "1 hour")
+
+    val query = out.writeStream
+      .format("memory").queryName("win_counts").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"), "a"),
+        (1L, ts("2024-01-01 10:35:00"), "b"),
+        (1L, ts("2024-01-01 11:10:00"), "a"))
+      query.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData((1L, ts("2024-01-01 14:00:00"), "a"))
+      query.processAllAvailable()
+      // this event is now far behind the watermark -> dropped
+      input.addData((1L, ts("2024-01-01 10:45:00"), "a"))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 16:00:00"), "b"))
+      query.processAllAvailable()
+
+      val rows = spark.table("win_counts")
+        .select(col("subject_id"), col("window_start").cast("string"), col("is_a"), col("is_b"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00", 1L, 1L)),
+        s"10:00 window must have a=1 b=1 (late 10:45 'a' dropped); got $rows")
+      assert(rows.contains((1L, "2024-01-01 11:00:00", 1L, 0L)))
+    } finally query.stop()
+  }
+
+  test("cumulativeCounts keeps running per-subject totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[SubjectEvent]
+    val out = StreamingPredicates.cumulativeCounts(input.toDS(), nPreds = 2)
+
+    val query = out.writeStream
+      .format("memory").queryName("cum_counts").outputMode("append").start()
+    try {
+      input.addData(SubjectEvent(1L, 1000L, Array(1L, 0L)), SubjectEvent(1L, 2000L, Array(2L, 1L)))
+      query.processAllAvailable()
+      input.addData(SubjectEvent(1L, 3000L, Array(0L, 5L)), SubjectEvent(2L, 500L, Array(7L, 0L)))
+      query.processAllAvailable()
+
+      val rows = spark.table("cum_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      // latest emission per subject reflects the running totals
+      val latest = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(latest(1L)._3 == List(3L, 6L))
+      assert(latest(2L)._3 == List(7L, 0L))
+    } finally query.stop()
+  }
+}
