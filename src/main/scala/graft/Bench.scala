@@ -28,8 +28,9 @@ object Bench {
     val names = QueryCatalog.benchNames
     val fns = QueryCatalog.queries
 
-    // Warm-up: JIT + file listing, not timed.
-    try fns(names.head)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Warm-up: JIT + file listing across the widest code path (the
+    // flagship exercises scans, collapse, windows, joins, checkpoints).
+    try fns("aces_flagship")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
     val results = names.map { name =>

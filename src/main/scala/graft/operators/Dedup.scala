@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Texts
@@ -92,9 +93,12 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
+    // Shingle arrays are consumed twice (verification join per pair side) —
+    // persist so tokenization+shingling runs once.
     val shingled = docs.select(
       col(idCol).as("doc_id"),
       Texts.distinctShingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band rows: hash each signature slice to one bucket key per band.
     // Signatures come from the codegen'd explode+aggregate path; the band
@@ -110,9 +114,12 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
-    val bucketSizes = bandRows.groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+    // Bucket-size cap via a window count: partitions by (band, bucket),
+    // which the self-join below then reuses — no extra shuffle.
+    val wBucket = Window.partitionBy("band", "bucket")
     val capped = bandRows
-      .join(bucketSizes.filter(col("bsize") <= maxBucketSize), Seq("band", "bucket"))
+      .withColumn("bsize", count(lit(1)).over(wBucket))
+      .filter(col("bsize") <= maxBucketSize)
       .select("band", "bucket", "doc_id")
 
     val a = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))

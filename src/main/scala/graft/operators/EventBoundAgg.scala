@@ -12,35 +12,33 @@ import graft.model.{Closed, EventBounds, TemporalBounds}
   *
   * Semantics ported from the reference's `boolean_expr_bound_sum`
   * (reference: src/aces/aggregate.py:479-1126; truth table :523-541; public
-  * wrapper `aggregate_event_bound_window` :318-476).
+  * wrapper `aggregate_event_bound_window` :318-476). Where the prose truth
+  * table and the executable doctests disagree (boundary rows under
+  * closed=left / closed=right), we match the executable doctests
+  * (aggregate.py:600-962).
   *
-  * Spark-first execution (no UDAF, all codegen-friendly built-ins), same
-  * cumsum-difference formulation as the reference:
-  *   1. per-subject running cumulative sums (one window over `subject_id`);
-  *   2. project boundary rows into "phantom" rows carrying their adjusted
-  *      cumsum, positioned at (boundary_ts - offset) ± ε;
-  *   3. union phantoms with real rows (`unionByName` allowMissingColumns);
-  *   4. forward/backward-fill the boundary cumsum & timestamp per subject;
-  *   5. per-row result = difference of cumsums ± own-row counts;
-  *   6. non-zero offset: correct with a `TemporalWindowAgg` over the offset
+  * Spark-first execution (no UDAF, all codegen-friendly built-ins):
+  *   1. per-subject running cumulative sums (window over `subject_id`);
+  *   2. resolve each row's bound timestamp with a *range-frame* min/max
+  *      over the boundary rows' timestamps — the reference's ±1 µs phantom
+  *      trick (aggregate.py:1012-1017) reduces exactly to the frame bound
+  *      `b ≤/< t + offset` (backward: `b ≥/> t + offset`), so no phantom
+  *      rows, no union, no re-sort;
+  *   3. fetch the bound row's (adjusted) cumsums with a co-partitioned
+  *      equi-join on (subject_id, bound_ts) against the boundary rows;
+  *   4. per-row result = cumsum difference ± own-row counts per `closed`;
+  *   5. non-zero offset: correct with a `TemporalWindowAgg` over the offset
   *      span, joined back on (subject_id, timestamp).
   *
-  * One deliberate improvement over the reference: instead of shifting
-  * phantom timestamps ±1 µs on the µs grid (aggregate.py:1012-1017), which
-  * can collide with a real row at the same instant and then depends on an
-  * unstable sort, we order the union by a 2×-scaled position key in which
-  * phantoms sit strictly *between* grid points (2·(b−offset) ± 1). This is
-  * collision-free and deterministically realizes the truth-table semantics.
-  *
-  * All per-subject steps reuse the same hash partitioning on `subject_id`;
-  * the only shuffle beyond it is the (narrow, co-partitioned) offset join.
+  * Everything — both windows, both joins — reuses the single hash
+  * partitioning on `subject_id`; the operator adds NO shuffle beyond the
+  * one the canonical frame already carries. (The reference-shaped
+  * phantom-union formulation costs one extra full shuffle because the
+  * union discards partitioning before the fill windows.)
   */
 object EventBoundAgg {
 
   private val TsUs = "__ts_us"
-  private val Pos = "__pos"
-  private val IsReal = "__is_real"
-  private val BoundaryTs = "__boundary_ts"
 
   def apply(df: DataFrame, bounds: EventBounds): DataFrame =
     boolExprBoundSum(df, bounds.boundaryExpr, bounds.mode, bounds.closed, bounds.offsetMicros)
@@ -90,53 +88,43 @@ object EventBoundAgg {
           predCols.map(c => sum(col(c)).over(wCum).as(s"__cum_$c")): _*
       )
 
-    // 2. Phantom boundary rows (reference: aggregate.py:1002-1017, 1052-1058).
+    // 2. Bound timestamp per row. The reference's phantom shift (−1 µs for
+    // bound_to_row left/both, +1 µs for right/none; mirrored for
+    // row_to_bound, aggregate.py:1012-1036) is exactly the frame-endpoint
+    // inclusivity below.
+    val includeEq =
+      if (boundToRow) closed == Closed.Left || closed == Closed.Both
+      else closed == Closed.Right || closed == Closed.Both
+    val boundMarker = when(col("__is_boundary"), col(TsUs))
+    val wBound =
+      if (boundToRow)
+        Window.partitionBy("subject_id").orderBy(TsUs)
+          .rangeBetween(Window.unboundedPreceding, if (includeEq) offsetUs else offsetUs - 1)
+      else
+        Window.partitionBy("subject_id").orderBy(TsUs)
+          .rangeBetween(if (includeEq) offsetUs else offsetUs + 1, Window.unboundedFollowing)
+    val boundAgg = if (boundToRow) max(boundMarker) else min(boundMarker)
+
+    val withBound = withCum.withColumn("__bound_ts_us", boundAgg.over(wBound))
+
+    // 3. Boundary rows' cumsums, adjusted to include/exclude the boundary
+    // event per closed (reference: aggregate.py:1002-1010).
     val subtractOwnAtBoundary =
       (boundToRow && (closed == Closed.Left || closed == Closed.Both)) ||
         (!boundToRow && !(closed == Closed.Right || closed == Closed.Both))
-    val phantomShift: Long =
-      if (boundToRow) { if (closed == Closed.Left || closed == Closed.Both) -1L else 1L }
-      else { if (closed == Closed.Right || closed == Closed.Both) 1L else -1L }
-
-    val phantoms = withCum
+    val boundaries = withCum
       .filter(col("__is_boundary"))
       .select(
-        Seq(
-          col("subject_id"),
-          col("timestamp").as(BoundaryTs),
-          (col(TsUs) * 2 - lit(2 * offsetUs) + lit(phantomShift)).as(Pos),
-          lit(false).as(IsReal)
-        ) ++ predCols.map { c =>
-          val base = col(s"__cum_$c")
-          (if (subtractOwnAtBoundary) base - col(c) else base).as(s"__bcum_$c")
-        }: _*
+        Seq(col("subject_id"), col(TsUs).as("__bound_ts_us")) ++
+          predCols.map { c =>
+            val base = col(s"__cum_$c")
+            (if (subtractOwnAtBoundary) base - col(c) else base).as(s"__bcum_$c")
+          }: _*
       )
 
-    // 3. Union with real rows (reference: diagonal concat, aggregate.py:1060-1062).
-    val reals = withCum.select(
-      Seq(
-        col("subject_id"),
-        col("timestamp"),
-        col(TsUs),
-        (col(TsUs) * 2).as(Pos),
-        lit(true).as(IsReal)
-      ) ++ predCols.map(col) ++ predCols.map(c => col(s"__cum_$c")): _*
-    )
-    val unioned = reals.unionByName(phantoms, allowMissingColumns = true)
+    val joined = withBound.join(boundaries, Seq("subject_id", "__bound_ts_us"), "left")
 
-    // 4. Fill boundary cumsum & timestamp per subject (reference: :1019-1045, :1066).
-    val wFill =
-      if (boundToRow)
-        Window.partitionBy("subject_id").orderBy(Pos)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else
-        Window.partitionBy("subject_id").orderBy(Pos)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def fill(c: Column): Column =
-      if (boundToRow) last(c, ignoreNulls = true).over(wFill)
-      else first(c, ignoreNulls = true).over(wFill)
-
-    // 5. Cumsum differences ± own-row counts (reference: :1020-1050).
+    // 4. Cumsum differences ± own-row counts (reference: :1020-1050).
     val adjustOwn =
       if (boundToRow)
         ((closed == Closed.Left || closed == Closed.None) && offsetUs <= 0) || offsetUs < 0
@@ -145,8 +133,8 @@ object EventBoundAgg {
 
     val sumCols = predCols.map { c =>
       val diff =
-        if (boundToRow) col(s"__cum_$c") - fill(col(s"__bcum_$c"))
-        else fill(col(s"__bcum_$c")) - col(s"__cum_$c")
+        if (boundToRow) col(s"__cum_$c") - col(s"__bcum_$c")
+        else col(s"__bcum_$c") - col(s"__cum_$c")
       val adj =
         if (!adjustOwn) diff
         else if (boundToRow) diff - col(c)
@@ -154,58 +142,47 @@ object EventBoundAgg {
       adj.as(s"__sum_$c")
     }
 
-    val filled = unioned
-      .select(
-        Seq(
-          col("subject_id"),
-          col("timestamp"),
-          col(TsUs),
-          fill(col(BoundaryTs)).as(BoundaryTs),
-          col(IsReal)
-        ) ++ sumCols: _*
-      )
-      .filter(col(IsReal))
-
-    // 6. Start/end timestamps (reference: :1074-1092).
+    val boundTs = timestamp_micros(col("__bound_ts_us"))
     val rowPlusOffset = timestamp_micros(col(TsUs) + lit(offsetUs))
     val (startTs, endTs) =
-      if (boundToRow)
-        (col(BoundaryTs), when(col(BoundaryTs).isNotNull, rowPlusOffset))
-      else
-        (when(col(BoundaryTs).isNotNull, rowPlusOffset), col(BoundaryTs))
+      if (boundToRow) (boundTs, when(col("__bound_ts_us").isNotNull, rowPlusOffset))
+      else (when(col("__bound_ts_us").isNotNull, rowPlusOffset), boundTs)
+
+    val resolved = joined.select(
+      Seq(
+        col("subject_id"),
+        col("timestamp"),
+        startTs.as("timestamp_at_start"),
+        endTs.as("timestamp_at_end")
+      ) ++ sumCols: _*
+    )
 
     aggdOverOffset match {
       case None =>
-        filled.select(
-          Seq(
-            col("subject_id"),
-            col("timestamp"),
-            startTs.as("timestamp_at_start"),
-            endTs.as("timestamp_at_end")
-          ) ++ predCols.map(c => coalesce(col(s"__sum_$c"), lit(0L)).cast("long").as(c)): _*
+        resolved.select(
+          Seq(col("subject_id"), col("timestamp"), col("timestamp_at_start"),
+            col("timestamp_at_end")) ++
+            predCols.map(c => coalesce(col(s"__sum_$c"), lit(0L)).cast("long").as(c)): _*
         )
       case Some(aggd) =>
-        // 7. Offset-span correction join (reference: :1094-1126). Both sides
-        // share hash partitioning on subject_id — co-partitioned join.
+        // 5. Offset-span correction join (reference: :1094-1126), also
+        // co-partitioned on subject_id.
         val addOffsetPeriod = boundToRow == (offsetUs > 0)
         val offs = aggd.select(
           Seq(col("subject_id"), col("timestamp")) ++
             predCols.map(c => col(c).as(s"__off_$c")): _*
         )
-        filled
+        resolved
           .join(offs, Seq("subject_id", "timestamp"), "left")
           .select(
-            Seq(
-              col("subject_id"),
-              col("timestamp"),
-              startTs.as("timestamp_at_start"),
-              endTs.as("timestamp_at_end")
-            ) ++ predCols.map { c =>
-              val combined =
-                if (addOffsetPeriod) col(s"__sum_$c") + col(s"__off_$c")
-                else col(s"__sum_$c") - col(s"__off_$c")
-              coalesce(combined, lit(0L)).cast("long").as(c)
-            }: _*
+            Seq(col("subject_id"), col("timestamp"), col("timestamp_at_start"),
+              col("timestamp_at_end")) ++
+              predCols.map { c =>
+                val combined =
+                  if (addOffsetPeriod) col(s"__sum_$c") + col(s"__off_$c")
+                  else col(s"__sum_$c") - col(s"__off_$c")
+                coalesce(combined, lit(0L)).cast("long").as(c)
+              }: _*
           )
     }
   }
