@@ -722,7 +722,39 @@ object QueryCatalog {
       Q("aces_flagship", (s, dir) =>
         flagship(s, dir).select("subject_id", "index_timestamp", "label", "trigger")
           .orderBy("subject_id", "trigger"),
-        None, bench = true))
+        // The whole cohort task expressed independently in SQL: trigger
+        // anchors, input-window _ANY_EVENT>=2 over [record_start, t+24h],
+        // error-free gap (t, t+48h], label = purchases in (t+48h, first
+        // conversion at-or-after t+48h].
+        Some("""WITH p AS (
+                |  SELECT user_id AS subject_id, CAST(ts AS TIMESTAMP) AS timestamp,
+                |    CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS is_click,
+                |    CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS is_purchase,
+                |    CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS is_error,
+                |    CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS is_signup
+                |  FROM events GROUP BY 1, 2),
+                |p2 AS (SELECT *, CASE WHEN is_purchase > 0 OR is_signup > 0 THEN 1 ELSE 0 END AS conv FROM p),
+                |anchors AS (SELECT subject_id, timestamp AS trig FROM p2 WHERE is_click >= 1),
+                |checks AS (
+                |  SELECT a.subject_id, a.trig,
+                |    (SELECT COUNT(*) FROM p2 x WHERE x.subject_id = a.subject_id
+                |       AND x.timestamp <= a.trig + INTERVAL 24 HOURS) AS n_any,
+                |    (SELECT COALESCE(SUM(x.is_error), 0) FROM p2 x WHERE x.subject_id = a.subject_id
+                |       AND x.timestamp > a.trig AND x.timestamp <= a.trig + INTERVAL 48 HOURS) AS n_err,
+                |    (SELECT MIN(x.timestamp) FROM p2 x WHERE x.subject_id = a.subject_id
+                |       AND x.conv > 0 AND x.timestamp >= a.trig + INTERVAL 48 HOURS) AS conv_ts
+                |  FROM anchors a)
+                |SELECT c.subject_id,
+                |  c.trig + INTERVAL 24 HOURS AS index_timestamp,
+                |  CAST(COALESCE((SELECT SUM(y.is_purchase) FROM p2 y WHERE y.subject_id = c.subject_id
+                |    AND y.timestamp > c.trig + INTERVAL 48 HOURS AND y.timestamp <= c.conv_ts), 0) AS BIGINT) AS label,
+                |  c.trig AS "trigger"
+                |FROM checks c
+                |-- anchors with no conversion bound are dropped by the
+                |-- engine's re-anchor equi-join (null keys never match),
+                |-- matching the reference's join semantics
+                |WHERE c.n_any >= 2 AND c.n_err = 0 AND c.conv_ts IS NOT NULL
+                |ORDER BY 1, 4""".stripMargin), bench = true))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
