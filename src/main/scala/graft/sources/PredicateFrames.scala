@@ -57,7 +57,7 @@ object PredicateFrames {
         val fmt = tsFormat.getOrElse(throw new IllegalArgumentException(
           "Must provide a timestamp format for direct predicates with str timestamps."))
         raw.withColumn("timestamp", to_timestamp(col("timestamp"), fmt))
-      case t if t.typeName.startsWith("date") =>
+      case t if t.typeName.startsWith("date") || t.typeName.startsWith("timestamp") =>
         raw.withColumn("timestamp", col("timestamp").cast(TimestampType))
       case t =>
         throw new IllegalArgumentException(s"Passed predicates have timestamps of invalid type $t.")
@@ -141,6 +141,9 @@ object PredicateFrames {
   def collapse(df: DataFrame, predCols: Seq[String]): DataFrame = {
     val sums = predCols.map(c => sum(col(c)).cast(LongType).as(c))
     df.withColumn("subject_id", col("subject_id").cast(LongType))
+      // TIMESTAMP_NTZ (e.g. non-UTC-adjusted parquet) → TIMESTAMP; exact
+      // under the pinned UTC session timezone.
+      .withColumn("timestamp", col("timestamp").cast(TimestampType))
       .repartition(col("subject_id"))
       .groupBy("subject_id", "timestamp")
       .agg(sums.head, sums.tail: _*)
