@@ -38,7 +38,14 @@ object Query {
     // reads it) plus once for trigger anchors — persist it for the run.
     // MEMORY_AND_DISK: spills rather than OOMs at scale; the frame is the
     // narrow post-collapse predicate matrix, far smaller than raw input.
-    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pre-materialize the epoch-micros ordering key and sort within
+    // partitions on it: the cached relation then *reports* that ordering,
+    // so every downstream window operator skips its own per-operator sort
+    // of the full frame.
+    val filtered = filtered0
+      .withColumn(graft.operators.TemporalWindowAgg.TsUs, unix_micros(col("timestamp")))
+      .sortWithinPartitions(col("subject_id"), col(graft.operators.TemporalWindowAgg.TsUs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Trigger anchors (reference: query.py:133-140).
     val anchors = Constraints

@@ -541,6 +541,18 @@ object QueryCatalog {
         .orderBy("c_custkey"),
       Some("SELECT c_custkey, c_mktsegment AS segment FROM customer ORDER BY 1")),
 
+    Q("salted_groupby", (s, dir) =>
+      Skew.saltedSum(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            (col("value") >= 50).cast("long").as("n_high"),
+            lit(1L).as("n_rows")),
+        keyCols = Seq("event_type"),
+        sumCols = Seq("n_high", "n_rows"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("ts_arith", (s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")

@@ -38,7 +38,7 @@ import graft.model.{Closed, EventBounds, TemporalBounds}
   */
 object EventBoundAgg {
 
-  private val TsUs = "__ts_us"
+  private val TsUs = TemporalWindowAgg.TsUs
 
   def apply(df: DataFrame, bounds: EventBounds): DataFrame =
     boolExprBoundSum(df, bounds.boundaryExpr, bounds.mode, bounds.closed, bounds.offsetMicros)
@@ -52,7 +52,8 @@ object EventBoundAgg {
       offsetUs: Long = 0L
   ): DataFrame = {
     require(mode == "bound_to_row" || mode == "row_to_bound", s"Mode '$mode' invalid!")
-    val predCols = df.columns.filterNot(c => c == "subject_id" || c == "timestamp").toSeq
+    val predCols =
+      df.columns.filterNot(c => c == "subject_id" || c == "timestamp" || c == TsUs).toSeq
     val boundToRow = mode == "bound_to_row"
 
     // Offset-correction window bounds (reference: aggregate.py:969-995).
@@ -79,8 +80,10 @@ object EventBoundAgg {
       .partitionBy("subject_id")
       .orderBy(TsUs)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = df
-      .withColumn(TsUs, unix_micros(col("timestamp")))
+    val withTs =
+      if (df.columns.contains(TsUs)) df
+      else df.withColumn(TsUs, unix_micros(col("timestamp")))
+    val withCum = withTs
       .withColumn("__is_boundary", boundaryExpr)
       .select(
         Seq(col("subject_id"), col("timestamp"), col(TsUs), col("__is_boundary")) ++

@@ -27,13 +27,20 @@ import graft.model.TemporalBounds
   */
 object TemporalWindowAgg {
 
-  private val TsUs = "__ts_us"
+  /** Epoch-micros ordering key. Callers that pre-materialize it (sorted
+    * within partitions) let every window op here skip its per-operator
+    * sort — see Query's persist-and-sort of the canonical frame.
+    */
+  val TsUs = "__ts_us"
 
   def apply(df: DataFrame, bounds: TemporalBounds): DataFrame = {
-    val predCols = df.columns.filterNot(c => c == "subject_id" || c == "timestamp")
+    val predCols =
+      df.columns.filterNot(c => c == "subject_id" || c == "timestamp" || c == TsUs)
     val (lo, hi) = bounds.inclusiveFrame
 
-    val withTs = df.withColumn(TsUs, unix_micros(col("timestamp")))
+    val withTs =
+      if (df.columns.contains(TsUs)) df
+      else df.withColumn(TsUs, unix_micros(col("timestamp")))
 
     val out =
       if (lo > hi) {

@@ -59,8 +59,10 @@ object ExtractSubtree {
       predicatesDf: DataFrame,
       rootOffsetUs: Long = 0L
   ): DataFrame = {
-    val predCols =
-      predicatesDf.columns.filterNot(c => c == "subject_id" || c == "timestamp").toSeq
+    val predCols = predicatesDf.columns
+      .filterNot(c => c == "subject_id" || c == "timestamp" ||
+        c == graft.operators.TemporalWindowAgg.TsUs)
+      .toSeq
 
     if (subtree.children.isEmpty) return anchors
 

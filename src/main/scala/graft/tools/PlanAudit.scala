@@ -68,6 +68,22 @@ object PlanAudit {
     if (!pushed || !pruned) scan.explain("formatted")
 
     // Whole-stage codegen coverage on the temporal window path.
+    // Sort elimination: over a frame cached sorted-within-partitions on
+    // (subject_id, __ts_us), window operators must NOT re-sort.
+    val sortedCached = preds
+      .withColumn(graft.operators.TemporalWindowAgg.TsUs, unix_micros(col("timestamp")))
+      .sortWithinPartitions(col("subject_id"), col(graft.operators.TemporalWindowAgg.TsUs))
+      .persist()
+    sortedCached.count()
+    val overCached = TemporalWindowAgg(sortedCached, TemporalBounds(true, 86400000000L, true, 0L))
+    // Count sorts only above the cache boundary — the cached plan's own
+    // materialization sort is printed inside InMemoryRelation.
+    val planAboveCache =
+      overCached.queryExecution.executedPlan.toString.split("InMemoryRelation").head
+    val nSorts = "Sort ".r.findAllIn(planAboveCache).length
+    println(s"${if (nSorts == 0) "OK " else "HOT"} window sort reuse              sorts=$nSorts")
+    sortedCached.unpersist()
+
     // Codegen'd operators carry a "*(stageId)" prefix in the plan string.
     val wsPlan = TemporalWindowAgg(preds, TemporalBounds(true, 86400000000L, true, 0L))
       .queryExecution.executedPlan.toString
