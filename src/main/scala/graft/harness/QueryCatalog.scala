@@ -622,6 +622,12 @@ object QueryCatalog {
         .orderBy("query_id", "rnk"),
       None),
 
+    Q("sim_ann_ivf", (s, dir) =>
+      Similarity.ivfTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk"),
+      None),
+
     Q("text_langid", (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), Texts.langId(col("text")).as("pred_lang"))

@@ -67,6 +67,63 @@ object Similarity {
     when(dot >= 0, lit(1L)).otherwise(lit(0L))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors.
+    *
+    * Fit: `nlist` centroids chosen deterministically as the vectors with
+    * the smallest `xxhash64(id)` (a seedless pseudo-random sample — a real
+    * deployment would run a few k-means refinement passes over the same
+    * join). Assign: each vector to its max-cosine centroid. Probe: each
+    * query scans only the `nprobe` clusters whose centroids score highest,
+    * then exact cosine + per-query top-k.
+    *
+    * The centroid table stays tiny (`nlist` rows) and is broadcast on both
+    * the assignment and probe joins; the corpus is never shuffled beyond
+    * its cluster-id tag.
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    val centroids = base
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h")
+      .limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"))
+
+    val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    val assigned = base
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("__rk", row_number().over(wAssign))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+    val probes = base
+      .crossJoin(broadcast(centroids))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probes
+      .join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate nearest neighbors: `bands` signatures of
     * `bitsPerBand` hyperplane bits each; vectors sharing any band bucket
     * become candidates, then exact cosine + per-query top-k.

@@ -111,6 +111,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall $recall unexpectedly low")
   }
 
+  test("IVF ANN reports correct cosine values and reasonable recall") {
+    val k = 3
+    val subset = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(subset, subset, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(subset, k, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
+  }
+
   test("language-ID heuristic identifies stopword-bearing texts") {
     // NOTE: the corpus `lang` column is synthetic metadata unrelated to the
     // text (all rows are English-ish token soup), so accuracy against it is
