@@ -31,6 +31,7 @@ object Run {
     val standard = opts.getOrElse("standard", "meds").toLowerCase
     val outPath = opts.getOrElse("output", "/tmp/graft_result.parquet")
 
+    val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = Tables
       .configure(
         SparkSession.builder()
@@ -67,7 +68,7 @@ object Run {
     val out = if (standard == "meds") Query.toMedsLabels(result) else result
     out.write.mode("overwrite").parquet(outPath)
     println(s"[graft.Run] wrote ${spark.read.parquet(outPath).count()} rows to $outPath")
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 
   private def parseArgs(args: Array[String]): Map[String, String] =

@@ -16,6 +16,10 @@ import graft.sources.PredicateFrames
   */
 class EndToEndSpec extends SparkSpec {
 
+  // exposed for RunSpec (defs: class-init order)
+  def predicatesCsvText: String = predicatesCsv
+  def taskYamlText: String = taskYaml
+
   private val predicatesCsv =
     """subject_id,timestamp,male,female,admission,death,discharge,lab,spo2,normal_spo2,abnormally_low_spo2,abnormally_high_spo2,procedure_start,procedure_end,ventilation,diagnosis_ICD9CM_41071,diagnosis_ICD10CM_I214
       |1,,1,0,0,0,0,0,0,0,0,0,0,0,0,0,0
