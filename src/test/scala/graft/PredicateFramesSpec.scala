@@ -95,6 +95,41 @@ class PredicateFramesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Constraints.checkStaticVariables(Seq("female"), df))
   }
 
+  test("derived predicates referencing statics propagate the static row value (predicates.py:722-736)") {
+    import spark.implicits._
+    val yaml =
+      """predicates:
+        |  lab: { code: LAB }
+        |  male_lab: { expr: "and(lab, male)" }
+        |patient_demographics:
+        |  male: { code: MALE }
+        |trigger: lab
+        |windows:
+        |  w:
+        |    start: null
+        |    end: trigger + 24h
+        |    start_inclusive: True
+        |    end_inclusive: True
+        |    has: { male_lab: "(1, None)" }
+        |""".stripMargin
+    val cfg = graft.config.TaskConfig.fromYaml(yaml)
+    val plain = Seq(
+      (1L, None: Option[String], 0L, 1L), // static row: subject 1 is male
+      (1L, Some("2020-01-01 00:00"), 1L, 0L),
+      (2L, None: Option[String], 0L, 0L),
+      (2L, Some("2020-01-02 00:00"), 1L, 0L)
+    ).toDF("subject_id", "ts", "lab", "male")
+      .withColumn("timestamp", to_timestamp(col("ts"))).drop("ts")
+      .select("subject_id", "timestamp", "lab", "male")
+    val out = PredicateFrames.finalize(cfg, plain)
+    // male_lab must be 1 on subject 1's event row (male propagated from the
+    // static row), 0 for subject 2.
+    val vals = out.filter(col("timestamp").isNotNull)
+      .select("subject_id", "male_lab").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals == Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("special predicates (predicates.py:761-788)") {
     import spark.implicits._
     val yaml =
