@@ -102,40 +102,54 @@ object ExtractSubtree {
       val atAnchors =
         windowSummary0.join(anchorKeys, Seq("subject_id", "subtree_anchor_timestamp"), "inner")
 
-      // Step 3: constraint filter, then cut lineage for the recursion below.
-      val windowSummary =
-        maybeCheckpoint(Constraints.checkConstraints(child.constraints, atAnchors))
+      val constrained = Constraints.checkConstraints(child.constraints, atAnchors)
 
-      // Step 4: child anchor realizations.
-      val childAnchors = windowSummary
-        .select(
-          col("subject_id"),
-          col("child_anchor_timestamp").as("subtree_anchor_timestamp"))
-        .dropDuplicates("subject_id", "subtree_anchor_timestamp")
-
-      // Step 5: recurse.
-      val recursive = apply(child, childAnchors, predicatesDf, childRootOffsetUs)
-
-      // Step 6.1: map recursion results back up to this subtree's anchor space.
-      val reanchored = recursive
-        .withColumnRenamed("subtree_anchor_timestamp", "child_anchor_timestamp")
-        .join(
-          windowSummary.select("subject_id", "subtree_anchor_timestamp", "child_anchor_timestamp"),
-          Seq("subject_id", "child_anchor_timestamp"),
-          "left")
-        .drop("child_anchor_timestamp")
-
-      // Step 6.2: attach this window's struct summary.
       val summaryStruct = struct(
         lit(child.name).as("window_name") +:
           col("timestamp_at_start") +:
           col("timestamp_at_end") +:
           predCols.map(col): _*
       ).as(s"${child.name}_summary")
-      val forReturn = windowSummary.select(
-        col("subject_id"), col("subtree_anchor_timestamp"), summaryStruct)
 
-      reanchored.join(forReturn, Seq("subject_id", "subtree_anchor_timestamp"), "left")
+      if (child.children.isEmpty) {
+        // Leaf fast path. The reference's steps 4-6 (dedup child anchors →
+        // recurse trivially → re-join) reduce, for a leaf, to projecting
+        // each surviving summary row — except rows whose child anchor is
+        // null (missing event bound), which the reference's null-key
+        // equi-joins drop. Saves a dedup shuffle, two joins, and a
+        // checkpoint per leaf.
+        constrained
+          .filter(col("child_anchor_timestamp").isNotNull)
+          .select(col("subject_id"), col("subtree_anchor_timestamp"), summaryStruct)
+      } else {
+        // Step 3b: cut lineage — this summary feeds three consumers below.
+        val windowSummary = maybeCheckpoint(constrained)
+
+        // Step 4: child anchor realizations.
+        val childAnchors = windowSummary
+          .select(
+            col("subject_id"),
+            col("child_anchor_timestamp").as("subtree_anchor_timestamp"))
+          .dropDuplicates("subject_id", "subtree_anchor_timestamp")
+
+        // Step 5: recurse.
+        val recursive = apply(child, childAnchors, predicatesDf, childRootOffsetUs)
+
+        // Step 6.1: map recursion results back up to this subtree's anchor space.
+        val reanchored = recursive
+          .withColumnRenamed("subtree_anchor_timestamp", "child_anchor_timestamp")
+          .join(
+            windowSummary.select("subject_id", "subtree_anchor_timestamp", "child_anchor_timestamp"),
+            Seq("subject_id", "child_anchor_timestamp"),
+            "left")
+          .drop("child_anchor_timestamp")
+
+        // Step 6.2: attach this window's struct summary.
+        val forReturn = windowSummary.select(
+          col("subject_id"), col("subtree_anchor_timestamp"), summaryStruct)
+
+        reanchored.join(forReturn, Seq("subject_id", "subtree_anchor_timestamp"), "left")
+      }
     }
 
     // Step 7: intersect across children (all children must realize).
