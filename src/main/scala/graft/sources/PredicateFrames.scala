@@ -149,6 +149,24 @@ object PredicateFrames {
       .agg(sums.head, sums.tail: _*)
   }
 
+  /** Materialize a canonical predicates frame as a bucketed, sorted table —
+    * the ingest-once pattern for repeated querying at corpus scale: every
+    * subsequent per-subject pipeline (windows, joins, collapse) reads the
+    * bucketed table with NO shuffle and NO sort at all, because the bucket
+    * spec (`subject_id` buckets, sorted by `subject_id, timestamp`)
+    * satisfies the operators' distribution and ordering requirements at
+    * scan time.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int = 32): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, "subject_id")
+      .sortBy("subject_id", "timestamp")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
   /** Add derived predicates (in dependency order, with static-value
     * propagation) and the special `_ANY_EVENT` / `_RECORD_START` /
     * `_RECORD_END` columns the config references.
