@@ -735,6 +735,40 @@ object QueryCatalog {
     graft.Query(cfg, frame)
   }
 
+  /** Second cohort task: backward event bound (`end <- click`) + temporal
+    * label window — exercises bound_to_row and index-from-bound-timestamp.
+    */
+  def readmission(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """predicates:
+        |  click: { code: click }
+        |  purchase: { code: purchase }
+        |trigger: purchase
+        |windows:
+        |  input:
+        |    start: end <- click
+        |    end: trigger
+        |    start_inclusive: True
+        |    end_inclusive: True
+        |    index_timestamp: start
+        |  target:
+        |    start: trigger
+        |    end: start + 30 days
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    label: click
+        |""".stripMargin
+    val cfg = graft.config.TaskConfig.fromYaml(yaml)
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("subject_id"),
+      col("ts").as("timestamp"),
+      col("event_type").as("code"),
+      col("value").cast("float").as("numeric_value"))
+    val plain = graft.sources.PredicateFrames.fromMeds(ev, cfg.plainPredicates.toSeq)
+    val frame = graft.sources.PredicateFrames.finalize(cfg, plain)
+    graft.Query(cfg, frame)
+  }
+
   val all: Seq[Q] =
     scans ++ predicates ++ joins ++ aggsAndWindows ++ sortsAndStructs ++ extensions ++ Seq(
       Q("aces_flagship", (s, dir) =>
@@ -772,7 +806,28 @@ object QueryCatalog {
                 |-- engine's re-anchor equi-join (null keys never match),
                 |-- matching the reference's join semantics
                 |WHERE c.n_any >= 2 AND c.n_err = 0 AND c.conv_ts IS NOT NULL
-                |ORDER BY 1, 4""".stripMargin), bench = true))
+                |ORDER BY 1, 4""".stripMargin), bench = true),
+
+      Q("aces_readmission", (s, dir) =>
+        readmission(s, dir).select("subject_id", "index_timestamp", "label", "trigger")
+          .orderBy("subject_id", "trigger"),
+        Some("""WITH p AS (
+                |  SELECT user_id AS subject_id, CAST(ts AS TIMESTAMP) AS timestamp,
+                |    CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS is_click,
+                |    CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS is_purchase
+                |  FROM events GROUP BY 1, 2),
+                |anchors AS (SELECT subject_id, timestamp AS trig FROM p WHERE is_purchase >= 1),
+                |c AS (
+                |  SELECT a.subject_id, a.trig,
+                |    (SELECT MAX(x.timestamp) FROM p x WHERE x.subject_id = a.subject_id
+                |       AND x.is_click > 0 AND x.timestamp <= a.trig) AS last_click_ts,
+                |    (SELECT COALESCE(SUM(y.is_click), 0) FROM p y WHERE y.subject_id = a.subject_id
+                |       AND y.timestamp > a.trig AND y.timestamp <= a.trig + INTERVAL 30 DAYS) AS n_click
+                |  FROM anchors a)
+                |SELECT subject_id, last_click_ts AS index_timestamp,
+                |  CAST(n_click AS BIGINT) AS label, trig AS "trigger"
+                |FROM c WHERE last_click_ts IS NOT NULL
+                |ORDER BY 1, 4""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
