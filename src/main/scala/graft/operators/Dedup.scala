@@ -39,10 +39,38 @@ object Dedup {
     }: _*)
   }
 
-  /** MinHash signatures for a whole corpus: explode distinct shingles →
-    * one codegen'd hash-aggregate taking 64 `min(xxhash64(seed, s))`
-    * columns. ~10-100× faster than per-row `transform` lambdas (Spark
-    * evaluates higher-order functions interpreted, per element).
+  /** Distinct word n-gram shingles as rows `(doc_id, s)` — the corpus-scale
+    * shingle path: posexplode tokens, assemble n-grams with `lead` over a
+    * per-doc window, dedupe. Fully codegen-friendly; the array-expression
+    * variant (`Texts.distinctShingles`) costs ~1 ms/doc because Spark
+    * evaluates higher-order array lambdas interpreted, per element.
+    * The repartition parallelizes single-partition input files AND
+    * pre-clusters by doc_id for the window and downstream group-bys.
+    */
+  def shingleRows(
+      docs: DataFrame,
+      shingleN: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(lower(col("__text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = (0 until shingleN).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    toks
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("s"),
+        (if (shingleN == 1) lit(true) else parts.last.isNotNull).as("__complete"))
+      .filter(col("__complete"))
+      .dropDuplicates("doc_id", "s")
+  }
+
+  /** MinHash signatures for a whole corpus: shingle rows → one codegen'd
+    * hash-aggregate taking `numHashes` `min(xxhash64(seed, s))` columns.
     * Docs with fewer than `shingleN` tokens produce no signature.
     *
     * @return (doc_id, h0..h{numHashes-1})
@@ -54,11 +82,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val ex = docs.select(
-      col(idCol).as("doc_id"),
-      explode(Texts.distinctShingles(col(textCol), shingleN)).as("s"))
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    shingleRows(docs, shingleN, textCol, idCol).groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-duplicate candidate pairs, verified by exact
@@ -94,10 +119,11 @@ object Dedup {
     val rowsPerBand = numHashes / bands
 
     // Shingle arrays are consumed twice (verification join per pair side) —
-    // persist so tokenization+shingling runs once.
-    val shingled = docs.select(
-      col(idCol).as("doc_id"),
-      Texts.distinctShingles(col(textCol), shingleN).as("sh"))
+    // persist so shingling runs once. collect_set order is arbitrary;
+    // array_intersect/array_union sizes are order-invariant.
+    val shingled = shingleRows(docs, shingleN, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band rows: hash each signature slice to one bucket key per band.
@@ -154,10 +180,9 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("doc_id"),
-      Texts.distinctShingles(col(textCol), shingleN).as("sh"))
-    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val inv = shingleRows(docs, shingleN, textCol, idCol)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("n"), col("s"))
     val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
     a.join(b, Seq("s"))
@@ -182,9 +207,10 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val ex = docs.select(
-      col(idCol).as("doc_id"),
-      explode(Texts.tokens(col(textCol))).as("tok"))
+    val ex = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(Texts.tokens(col("__text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")
