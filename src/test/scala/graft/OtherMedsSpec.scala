@@ -177,4 +177,107 @@ class OtherMedsSpec extends SparkSpec {
       (1L, "2022-01-20 08:00:00", true)
     ))
   }
+
+  test("nested_preds_readmission labels: 73-predicate fan-in (test_other_meds.py)") {
+    // The reference task defines 59 admission + 14 discharge plain
+    // predicates or()-ed into two deriveds; only a handful ever fire on
+    // the fixture, but the width stresses config closure, topo order, and
+    // the predicate matrix.
+    val admissionKinds = Seq(
+      "ED", "EU OBSERVATION//EMERGENCY ROOM", "SURGICAL",
+      "OBSERVATION ADMIT//EMERGENCY ROOM", "URGENT//TRANSFER FROM HOSPITAL",
+      "URGENT//PHYSICIAN REFERRAL", "DIRECT EMER.//PHYSICIAN REFERRAL",
+      "OBSERVATION ADMIT//PHYSICIAN REFERRAL", "DIRECT OBSERVATION//PHYSICIAN REFERRAL",
+      "ELECTIVE//PHYSICIAN REFERRAL", "EU OBSERVATION//PHYSICIAN REFERRAL",
+      "OBSERVATION ADMIT//TRANSFER FROM HOSPITAL", "OBSERVATION ADMIT//WALK-IN/SELF REFERRAL",
+      "DIRECT EMER.//CLINIC REFERRAL", "EU OBSERVATION//WALK-IN/SELF REFERRAL",
+      "EW EMER.//TRANSFER FROM HOSPITAL", "EW EMER.//PHYSICIAN REFERRAL",
+      "AMBULATORY OBSERVATION//PROCEDURE SITE", "URGENT//INTERNAL TRANSFER TO OR FROM PSYCH",
+      "EW EMER.//PROCEDURE SITE", "EW EMER.//WALK-IN/SELF REFERRAL",
+      "AMBULATORY OBSERVATION//PACU", "EW EMER.//PACU", "OBSERVATION ADMIT//CLINIC REFERRAL",
+      "DIRECT OBSERVATION//TRANSFER FROM HOSPITAL",
+      "URGENT//TRANSFER FROM SKILLED NURSING FACILITY", "EU OBSERVATION//TRANSFER FROM HOSPITAL",
+      "DIRECT OBSERVATION//CLINIC REFERRAL",
+      "OBSERVATION ADMIT//TRANSFER FROM SKILLED NURSING FACILITY",
+      "DIRECT OBSERVATION//EMERGENCY ROOM", "DIRECT OBSERVATION//WALK-IN/SELF REFERRAL",
+      "EU OBSERVATION//CLINIC REFERRAL", "EW EMER.//TRANSFER FROM SKILLED NURSING FACILITY",
+      "EW EMER.//INTERNAL TRANSFER TO OR FROM PSYCH", "URGENT//WALK-IN/SELF REFERRAL",
+      "DIRECT OBSERVATION//TRANSFER FROM SKILLED NURSING FACILITY", "EW EMER.//CLINIC REFERRAL",
+      "OBSERVATION ADMIT//PROCEDURE SITE", "DIRECT OBSERVATION//PROCEDURE SITE",
+      "EU OBSERVATION//TRANSFER FROM SKILLED NURSING FACILITY", "URGENT//CLINIC REFERRAL",
+      "EW EMER.//INFORMATION NOT AVAILABLE", "URGENT//PROCEDURE SITE",
+      "OBSERVATION ADMIT//INTERNAL TRANSFER TO OR FROM PSYCH", "URGENT//EMERGENCY ROOM",
+      "DIRECT OBSERVATION//PACU", "OBSERVATION ADMIT//PACU", "MEDICAL",
+      "OBSERVATION ADMIT//INFORMATION NOT AVAILABLE",
+      "DIRECT OBSERVATION//INFORMATION NOT AVAILABLE", "URGENT//PACU",
+      "EW EMER.//AMBULATORY SURGERY TRANSFER",
+      "DIRECT OBSERVATION//INTERNAL TRANSFER TO OR FROM PSYCH",
+      "URGENT//AMBULATORY SURGERY TRANSFER",
+      "SURGICAL SAME DAY ADMISSION//TRANSFER FROM SKILLED NURSING FACILITY",
+      "EU OBSERVATION//INFORMATION NOT AVAILABLE", "URGENT//INFORMATION NOT AVAILABLE",
+      "EU OBSERVATION//AMBULATORY SURGERY TRANSFER",
+      "SURGICAL SAME DAY ADMISSION//TRANSFER FROM HOSPITAL")
+    val dischargeKinds = Seq(
+      "HOME", "UNK", "HOME HEALTH CARE", "SKILLED NURSING FACILITY", "REHAB", "DIED",
+      "CHRONIC/LONG TERM ACUTE CARE", "HOSPICE", "HOME_AMA", "PSYCH FACILITY",
+      "ACUTE HOSPITAL", "OTHER FACILITY", "ASSISTED LIVING", "HEALTHCARE FACILITY")
+
+    val admPreds = admissionKinds.zipWithIndex
+      .map { case (k, i) => s"""  hospital_admission_$i: { code: "ADMISSION//$k" }""" }
+      .mkString("\n")
+    val disPreds = dischargeKinds.zipWithIndex
+      .map { case (k, i) => s"""  hospital_discharge_$i: { code: "DISCHARGE//$k" }""" }
+      .mkString("\n")
+    val admOr = admissionKinds.indices.map(i => s"hospital_admission_$i").mkString(",")
+    val disOr = dischargeKinds.indices.map(i => s"hospital_discharge_$i").mkString(",")
+
+    val yaml =
+      s"""predicates:
+         |$admPreds
+         |$disPreds
+         |  admission: { expr: "or($admOr)" }
+         |  discharge: { expr: "or($disOr)" }
+         |  death: { code: DEATH }
+         |  discharge_or_death: { expr: "or(discharge, death)" }
+         |trigger: discharge
+         |windows:
+         |  data_within_5yr_of_admit:
+         |    start: end - 1825d
+         |    end: prior_admission.start
+         |    start_inclusive: True
+         |    end_inclusive: False
+         |    has: { _ANY_EVENT: "(1, None)" }
+         |  prior_admission:
+         |    start: end <- admission
+         |    end: trigger
+         |    start_inclusive: True
+         |    end_inclusive: False
+         |    has: { discharge_or_death: "(None, 0)" }
+         |  input:
+         |    start: NULL
+         |    end: trigger
+         |    start_inclusive: True
+         |    end_inclusive: True
+         |    index_timestamp: end
+         |  target:
+         |    start: input.end
+         |    end: start + 30d
+         |    start_inclusive: False
+         |    end_inclusive: True
+         |    label: admission
+         |  censor_protection:
+         |    start: target.end
+         |    end: null
+         |    start_inclusive: False
+         |    end_inclusive: True
+         |    has: { _ANY_EVENT: "(1, None)" }
+         |""".stripMargin
+
+    assert(runTask(yaml) == Set(
+      (1L, "2022-01-20 08:00:00", true),
+      (3L, "2020-01-20 15:18:00", false),
+      (3L, "2024-03-28 10:00:00", true),
+      (3L, "2024-04-19 13:32:00", false)
+    ))
+  }
 }
