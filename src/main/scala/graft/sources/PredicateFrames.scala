@@ -56,7 +56,7 @@ object PredicateFrames {
       case t if t.typeName == "string" =>
         val fmt = tsFormat.getOrElse(throw new IllegalArgumentException(
           "Must provide a timestamp format for direct predicates with str timestamps."))
-        raw.withColumn("timestamp", to_timestamp(col("timestamp"), fmt))
+        raw.withColumn("timestamp", to_timestamp(col("timestamp"), normalizeTsFormat(fmt)))
       case t if t.typeName.startsWith("date") || t.typeName.startsWith("timestamp") =>
         raw.withColumn("timestamp", col("timestamp").cast(TimestampType))
       case t =>
@@ -65,6 +65,21 @@ object PredicateFrames {
 
     collapse(tsTyped.select(columns.map(col): _*), predicateNames)
   }
+
+  /** Accept Python strptime patterns (what the reference's data configs
+    * use, e.g. `"%m/%d/%Y %H:%M"`) alongside Spark datetime patterns —
+    * a reference user's config keeps working unchanged. Unpadded Spark
+    * letters (`M/d/H`) parse both padded and unpadded digits, matching
+    * strptime's leniency.
+    */
+  def normalizeTsFormat(fmt: String): String =
+    if (!fmt.contains("%")) fmt
+    else
+      fmt
+        .replace("%Y", "yyyy").replace("%y", "yy")
+        .replace("%m", "M").replace("%d", "d")
+        .replace("%H", "H").replace("%M", "mm").replace("%S", "ss")
+        .replace("%f", "SSSSSS")
 
   /** MEDS standard: long/tidy rows `(subject_id, time, code, numeric_value)`.
     * (reference: predicates.py:229-288 `generate_plain_predicates_from_meds`)

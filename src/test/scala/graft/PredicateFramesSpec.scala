@@ -9,6 +9,14 @@ import graft.sources.PredicateFrames
 /** Loader tests ported from the reference's predicates doctests. */
 class PredicateFramesSpec extends SparkSpec {
 
+  test("direct loader accepts Python strptime formats (run.py data configs)") {
+    import spark.implicits._
+    val raw = Seq((1L, "12/1/1989 12:03", 1L)).toDF("subject_id", "timestamp", "admission")
+    val out = PredicateFrames.directFrom(raw, Seq("admission"), Some("%m/%d/%Y %H:%M"))
+    assert(snap(out) == Seq("1|1989-12-01 12:03:00|1"))
+    assert(PredicateFrames.normalizeTsFormat("%Y-%m-%d %H:%M:%S.%f") == "yyyy-M-d H:mm:ss.SSSSSS")
+  }
+
   test("MEDS loader: derive, collapse, static rows (predicates.py:245-268)") {
     import spark.implicits._
     val raw = Seq(

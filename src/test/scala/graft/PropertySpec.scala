@@ -83,37 +83,40 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }, 30)
   }
 
-  /** Brute-force event-bound oracle, per the executable doctest semantics:
-    * find the nearest boundary position the fill pass would select, then
-    * sum the window per `closed`.
+  /** Brute-force event-bound oracle, per the executable doctest semantics
+    * (incl. the offset doctests, aggregate.py:768-944): the bound is the
+    * nearest eligible boundary relative to `t + offset` (eligibility
+    * inclusive/exclusive per mode × closed), and the aggregation window is
+    * [bound, t+offset] (bound_to_row) / [t+offset, bound] (row_to_bound)
+    * with the `closed` endpoints applied.
     */
   private def bruteEventBound(
       rows: List[Ev],
       boundaryIdx: Int,
       mode: String,
-      closed: Closed.Value): Map[(Long, Long), Seq[Long]] = {
+      closed: Closed.Value,
+      offsetUs: Long = 0L): Map[(Long, Long), Seq[Long]] = {
     val bySubj = rows.groupBy(_.subject).view.mapValues(_.sortBy(_.tsUs)).toMap
     rows.map { r =>
       val subjRows = bySubj(r.subject)
       val bounds = subjRows.filter(_.vals(boundaryIdx) > 0).map(_.tsUs)
+      val anchor = r.tsUs + offsetUs
       val boundTs: Option[Long] =
         if (mode == "bound_to_row") {
-          // phantom at 2b-1 (left/both) or 2b+1 (right/none); row uses last
-          // phantom with position <= 2t.
           val eligible =
-            if (closed == Closed.Left || closed == Closed.Both) bounds.filter(b => 2 * b - 1 <= 2 * r.tsUs)
-            else bounds.filter(b => 2 * b + 1 <= 2 * r.tsUs)
+            if (closed == Closed.Left || closed == Closed.Both) bounds.filter(_ <= anchor)
+            else bounds.filter(_ < anchor)
           eligible.lastOption
         } else {
           val eligible =
-            if (closed == Closed.Right || closed == Closed.Both) bounds.filter(b => 2 * b + 1 >= 2 * r.tsUs)
-            else bounds.filter(b => 2 * b - 1 >= 2 * r.tsUs)
+            if (closed == Closed.Right || closed == Closed.Both) bounds.filter(_ >= anchor)
+            else bounds.filter(_ > anchor)
           eligible.headOption
         }
       val sums = boundTs match {
         case None => Seq(0L, 0L, 0L)
         case Some(b) =>
-          val (lo, hi) = if (mode == "bound_to_row") (b, r.tsUs) else (r.tsUs, b)
+          val (lo, hi) = if (mode == "bound_to_row") (b, anchor) else (anchor, b)
           val inWin = subjRows.filter { x =>
             val loOk = if (closed == Closed.Both || closed == Closed.Left) x.tsUs >= lo else x.tsUs > lo
             val hiOk = if (closed == Closed.Both || closed == Closed.Right) x.tsUs <= hi else x.tsUs < hi
@@ -147,5 +150,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         out == bruteEventBound(rows, 1, mode, closed)
       }
     }, 30)
+  }
+
+  test("EventBoundAgg with random signed offsets matches brute-force oracle") {
+    val modeGen = Gen.oneOf("bound_to_row", "row_to_bound")
+    val closedGen = Gen.oneOf(Closed.Both, Closed.Left, Closed.Right, Closed.None)
+    val offsetGen = Gen.oneOf(
+      Gen.choose(1L, 24L * 14).map(_ * US_PER_HOUR),
+      Gen.choose(-24L * 14, -1L).map(_ * US_PER_HOUR))
+    check(Prop.forAll(frameGen, modeGen, closedGen, offsetGen) { (rows, mode, closed, off) =>
+      rows.isEmpty || {
+        val out = EventBoundAgg
+          .boolExprBoundSum(
+            toDf(rows), org.apache.spark.sql.functions.col("pB") > 0, mode, closed, off)
+          .collect()
+          .map { r =>
+            (r.getLong(0), r.getTimestamp(1).getTime * 1000) ->
+              Seq(r.getLong(4), r.getLong(5), r.getLong(6))
+          }
+          .toMap
+        out == bruteEventBound(rows, 1, mode, closed, off)
+      }
+    }, 40)
   }
 }
