@@ -8,6 +8,10 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Tiny smoke input — avoid the 200-partition default if the driver's
+    // session didn't size shuffles.
+    if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     QueryCatalog.flagship(spark, "/root/testdata/sf0.001")
   }
 
