@@ -77,7 +77,18 @@ object Query {
     }
 
     val ordered = headCols ++ Seq("trigger") ++ cfg.preorderWindowNames.map(_ + "_summary")
-    out.select(ordered.map(c => col(s"`$c`")): _*)
+    val projected = out.select(ordered.map(c => col(s"`$c`")): _*)
+
+    // Materialize the (cohort-sized, small) result eagerly and release the
+    // canonical-frame cache: per-call persist without unpersist leaks a
+    // cache entry per query run — BENCH_r01's "Asked to cache already
+    // cached data" tail — and masks timing. Mirrors the reference's eager
+    // execution (query() returns a computed frame, query.py:142-151).
+    if (ExtractSubtree.checkpointLevels) {
+      val result = graft.plans.Materialize(projected, eager = true)
+      filtered.unpersist(blocking = false)
+      result
+    } else projected
   }
 
   /** Coerce a query result to the fixed MEDS label output schema

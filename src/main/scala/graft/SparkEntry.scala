@@ -7,7 +7,7 @@ import graft.harness.QueryCatalog
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.sources.Tables.tune(spark)
     // Tiny smoke input — avoid the 200-partition default if the driver's
     // session didn't size shuffles.
     if (spark.conf.get("spark.sql.shuffle.partitions") == "200")

@@ -343,7 +343,7 @@ object QueryCatalog {
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n_lines"))
         .orderBy("l_orderkey"),
-      Some("""SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      Some("""SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              |CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("rolling_sum_temporal", (s, dir) =>
@@ -830,7 +830,9 @@ object QueryCatalog {
                 |ORDER BY 1, 4""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    all.map { q =>
+      q.name -> ((s: SparkSession, dir: String) => { Tables.tune(s); q.fn(s, dir) })
+    }.toMap
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -36,6 +36,8 @@ object ExtractSubtree {
 
   /** Whether to cut lineage at each recursion level. On for real queries;
     * tests on tiny data may disable to keep plans inspectable.
+    * (Storage mode — local vs reliable — comes from `spark.graft.checkpoint`,
+    * see [[Materialize]].)
     */
   @volatile var checkpointLevels: Boolean = true
 
@@ -45,7 +47,7 @@ object ExtractSubtree {
     * pass per recursion level.
     */
   private def maybeCheckpoint(df: DataFrame): DataFrame =
-    if (checkpointLevels) df.localCheckpoint(false) else df
+    if (checkpointLevels) Materialize(df) else df
 
   /** @param anchors DataFrame(subject_id, subtree_anchor_timestamp) of valid
     *                realizations of this subtree's root.

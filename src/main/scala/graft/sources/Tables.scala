@@ -14,10 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Session settings every graft entry point applies. */
+  /** Session settings every graft entry point applies.
+    *
+    * `requireAllClusterKeysForCoPartition=false`: the whole engine runs off
+    * ONE hash partitioning on `subject_id`; its joins key on
+    * (subject_id, timestamp). With the default (true), EnsureRequirements
+    * refuses subset-key co-partitioning and re-shuffles BOTH sides of every
+    * such join to hash(subject_id, timestamp) — at 100 TB that is the
+    * difference between one ingest shuffle and 2 extra full-data shuffles
+    * per window-tree level. Subset co-partitioning is semantically exact
+    * here: both sides always descend from the same hash(subject_id)
+    * exchange, so equal keys are co-located by construction.
+    */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+
+  /** Same settings for an externally-created session (driver harness):
+    * every conf here is runtime-settable SQLConf.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

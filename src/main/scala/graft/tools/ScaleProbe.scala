@@ -1,6 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.config.TaskConfig
@@ -12,10 +13,18 @@ import graft.sources.{PredicateFrames, Tables}
   * compare against the reference baseline (~0.22-0.45 M rows/s per task on
   * 36 cores, BASELINE.md). At small SF the engine is stage-overhead-bound;
   * this shows what amortizes at scale. Temporary inputs go to /tmp.
+  *
+  * Args: [replication] [--no-checkpoint] [--stages] [--skew]
+  *   --no-checkpoint  disable per-level lineage cuts (ExtractSubtree)
+  *   --stages         print per-stage wall times of the timed run
+  *   --skew           inject a pathological subject owning ~10% of events
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val replication = args.headOption.map(_.toInt).getOrElse(32)
+    val replication = args.find(!_.startsWith("--")).map(_.toInt).getOrElse(32)
+    val noCheckpoint = args.contains("--no-checkpoint")
+    val printStages = args.contains("--stages")
+    val skew = args.contains("--skew")
     val spark = Tables
       .configure(
         SparkSession.builder()
@@ -25,20 +34,42 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaled = s"/tmp/graft_scale_${replication}x"
+    val scaled = s"/tmp/graft_scale_${replication}x" + (if (skew) "_skew" else "")
     if (!new java.io.File(scaled, "_SUCCESS").exists()) {
       val base = Tables.events(spark, "/root/testdata/sf0.1")
-      base
+      val rep = base
         .crossJoin(spark.range(replication).select(col("id").as("rep")))
         .select(
           (col("user_id") + col("rep") * 1000000L).as("subject_id"),
           col("ts").as("timestamp"),
           col("event_type").as("code"),
           col("value").cast("float").as("numeric_value"))
-        .write.mode("overwrite").parquet(scaled)
+      // --skew: remap ~10% of all events onto one subject id (still at
+      // distinct timestamps, so the collapse keeps them as distinct rows —
+      // the straggler hits the per-subject window sort, the worst case).
+      val out =
+        if (!skew) rep
+        else rep.withColumn(
+          "subject_id",
+          when(pmod(hash(col("subject_id"), col("timestamp")), lit(10)) === 0, lit(42L))
+            .otherwise(col("subject_id")))
+      out.write.mode("overwrite").parquet(scaled)
     }
 
     val cfg = TaskConfig.fromYaml(flagshipYaml)
+    graft.plans.ExtractSubtree.checkpointLevels = !noCheckpoint
+
+    val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
+    @volatile var record = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = if (record) {
+        val i = sc.stageInfo
+        val ms = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
+        val ops = i.rddInfos.flatMap(_.scope).map(_.name).distinct.mkString(">")
+        stageTimes.add((i.stageId, ops, ms, i.numTasks))
+      }
+    })
+
     def run(): (Long, Double) = {
       val ev = spark.read.parquet(scaled)
       val nRows = ev.count()
@@ -51,9 +82,19 @@ object ScaleProbe {
     }
 
     run() // warm-up
+    record = true
     val (rows, secs) = run()
-    println(f"[scale-probe] replication=${replication}x rows=$rows wall=${secs}%.1f s " +
-      f"throughput=${rows / secs / 1e6}%.3f M rows/s")
+    record = false
+    println(f"[scale-probe] replication=${replication}x skew=$skew checkpoint=${!noCheckpoint} " +
+      f"rows=$rows wall=${secs}%.1f s throughput=${rows / secs / 1e6}%.3f M rows/s")
+    if (printStages) {
+      import scala.jdk.CollectionConverters._
+      val ts = stageTimes.asScala.toSeq.sortBy(-_._3)
+      println(f"[scale-probe] ${ts.size} stages, sum-of-stage-wall=${ts.map(_._3).sum / 1e3}%.1f s")
+      ts.take(20).foreach { case (id, name, ms, n) =>
+        println(f"  stage $id%4d $ms%6d ms $n%4d tasks  $name")
+      }
+    }
     spark.stop()
   }
 

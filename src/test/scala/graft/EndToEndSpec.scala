@@ -187,6 +187,23 @@ class EndToEndSpec extends SparkSpec {
     ExtractSubtree.checkpointLevels = true
   }
 
+  test("flagship identical under local and reliable checkpoint modes") {
+    val cfg = TaskConfig.fromYaml(taskYaml)
+    val csvPath = Files.createTempFile("graft_e2e3", ".csv")
+    Files.writeString(csvPath, predicatesCsv)
+    val plainDf = PredicateFrames.directLoad(
+      spark, csvPath.toString, cfg.plainPredicates.keys.toSeq, Some("M/d/yyyy H:mm"))
+    val predsDf = PredicateFrames.finalize(cfg, plainDf).cache()
+
+    ExtractSubtree.checkpointLevels = true
+    spark.conf.set("spark.graft.checkpoint", "local")
+    val local = snap(Query(cfg, predsDf))
+    spark.conf.set("spark.graft.checkpoint", "reliable")
+    val reliable = snap(Query(cfg, predsDf))
+    spark.conf.unset("spark.graft.checkpoint")
+    assert(local.nonEmpty && local == reliable)
+  }
+
   test("query is idempotent (tests/test_extract_subtree_idempotency.py)") {
     val cfg = TaskConfig.fromYaml(taskYaml)
     val csvPath = Files.createTempFile("graft_e2e2", ".csv")

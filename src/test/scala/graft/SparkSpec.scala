@@ -30,8 +30,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def snap(df: DataFrame): Seq[String] = {
     val cols = df.schema.fields.map { f =>
       f.dataType.typeName match {
-        case "timestamp" => date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
-        case _           => col(f.name).cast("string").as(f.name)
+        case "timestamp" => date_format(df(s"`${f.name}`"), "yyyy-MM-dd HH:mm:ss").as(f.name)
+        case _           => df(s"`${f.name}`").cast("string").as(f.name)
       }
     }
     df.select(cols.toSeq: _*)
