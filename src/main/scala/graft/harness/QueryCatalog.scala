@@ -479,6 +479,26 @@ object QueryCatalog {
           |  AND x.timestamp >= b.timestamp AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_purchase,
           |CAST(COALESCE((SELECT SUM(x.is_error) FROM p x WHERE x.subject_id = b.subject_id
           |  AND x.timestamp >= b.timestamp AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_error
+          |FROM b ORDER BY 1, 2""".stripMargin), bench = true),
+
+    Q("event_bound_sum_offset", (s, dir) =>
+      EventBoundAgg(preds(s, dir), EventBounds(true, "is_purchase", true, 3600000000L))
+        .orderBy("subject_id", "timestamp"),
+      // Signed-offset path (reference: aggregate.py:969-995, 1094-1126):
+      // closed=both, offset=+1h ⇒ bound = first purchase at/after t+1h,
+      // counts over [t+1h, bound].
+      Some(predsCte +
+        """, b AS (SELECT p.*, (SELECT MIN(x.timestamp) FROM p x WHERE x.subject_id = p.subject_id
+          |  AND x.is_purchase > 0 AND x.timestamp >= p.timestamp + INTERVAL 1 HOUR) AS bound_ts FROM p)
+          |SELECT subject_id, timestamp,
+          |CASE WHEN bound_ts IS NOT NULL THEN timestamp + INTERVAL 1 HOUR END AS timestamp_at_start,
+          |bound_ts AS timestamp_at_end,
+          |CAST(COALESCE((SELECT SUM(x.is_click) FROM p x WHERE x.subject_id = b.subject_id
+          |  AND x.timestamp >= b.timestamp + INTERVAL 1 HOUR AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_click,
+          |CAST(COALESCE((SELECT SUM(x.is_purchase) FROM p x WHERE x.subject_id = b.subject_id
+          |  AND x.timestamp >= b.timestamp + INTERVAL 1 HOUR AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_purchase,
+          |CAST(COALESCE((SELECT SUM(x.is_error) FROM p x WHERE x.subject_id = b.subject_id
+          |  AND x.timestamp >= b.timestamp + INTERVAL 1 HOUR AND x.timestamp <= b.bound_ts), 0) AS BIGINT) AS is_error
           |FROM b ORDER BY 1, 2""".stripMargin), bench = true)
   )
 
@@ -683,9 +703,12 @@ object QueryCatalog {
       None),
 
     Q("multimodal_features", (s, dir) => {
+      // Codec-free metrics are pure expressions (codegen'd scan→project);
+      // Multimodal.extractFeatures remains the partition-wise decode hook
+      // for real codecs (exercised in ExtensionsSpec).
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text")
-      Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("n_bytes"))
+      media
+        .select(col("media_id"), Multimodal.nBytes(col("payload")).as("n_bytes"))
         .orderBy("media_id")
     }, Some("""SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
               |FROM documents ORDER BY 1""".stripMargin))
@@ -827,7 +850,7 @@ object QueryCatalog {
                 |SELECT subject_id, last_click_ts AS index_timestamp,
                 |  CAST(n_click AS BIGINT) AS label, trig AS "trigger"
                 |FROM c WHERE last_click_ts IS NOT NULL
-                |ORDER BY 1, 4""".stripMargin)))
+                |ORDER BY 1, 4""".stripMargin), bench = true))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { q =>

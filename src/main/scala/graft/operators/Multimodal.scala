@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,6 +45,15 @@ object Multimodal {
         lit(null).cast(IntegerType).as("width"),
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
+
+  /** Pure-expression payload metrics — anything derivable WITHOUT a codec
+    * stays a codegen'd Column over the binary payload; only the actual
+    * decode belongs in the partition-wise [[extractFeatures]] hook.
+    * (Routing these through the RDD hook forfeits whole-stage codegen and
+    * AQE for no reason.)
+    */
+  def nBytes(payload: Column): Column = coalesce(octet_length(payload), lit(0)).cast(LongType)
+  def payloadChecksum(payload: Column): Column = xxhash64(payload)
 
   private val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -127,6 +127,12 @@ object Similarity {
   /** LSH-bucketed approximate nearest neighbors: `bands` signatures of
     * `bitsPerBand` hyperplane bits each; vectors sharing any band bucket
     * become candidates, then exact cosine + per-query top-k.
+    *
+    * Scale shape (mirrors [[Dedup.minhashLsh]]): the candidate join and
+    * the pair dedup shuffle ONLY (band, bucket, id) / (query_id,
+    * neighbor_id) — at 1B×768-dim, carrying vector payloads through those
+    * shuffles would dominate the exchange; instead the (much smaller)
+    * deduped pair set re-joins the vectors before scoring.
     */
   def lshTopK(
       vectors: DataFrame,
@@ -137,23 +143,27 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withBuckets = base.select(
+    val buckets = base.select(
       col("id"),
-      col("v"),
       explode(array((0 until bands).map { band =>
         val key = (0 until bitsPerBand)
           .map(bit => planeBit(col("v"), band * bitsPerBand + bit) * lit(1L << bit))
           .reduce(_ + _)
         struct(lit(band).as("band"), key.as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    val a = withBuckets.select(col("band"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
-    val b = withBuckets.select(col("band"), col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
-    val candidates = a
+    val a = buckets.select(col("band"), col("bucket"), col("id").as("query_id"))
+    val b = buckets.select(col("band"), col("bucket"), col("id").as("neighbor_id"))
+    val pairs = a
       .join(b, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+
+    val candidates = pairs
+      .join(base.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
