@@ -97,11 +97,21 @@ object Query {
     * :146-160)
     */
   def toMedsLabels(result: DataFrame): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     var df = result
     Seq("index_timestamp" -> "prediction_time", "label" -> "boolean_value").foreach {
       case (from, to) => if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
     }
-    require(df.columns.contains("subject_id"), "Output dataframe is missing a 'subject_id' column.")
+    // Mandatory column: hard error (reference: run.py:91-99).
+    if (!df.columns.contains("subject_id"))
+      throw new IllegalArgumentException(
+        "MEDS Label DataFrame must have a 'subject_id' column of type Int64.")
+    // Missing prediction time: warn, proceed (reference: run.py:84-89).
+    if (!df.columns.contains("prediction_time"))
+      log.warn(
+        "Output DataFrame is missing a 'prediction_time' column. If this is not intentional, " +
+          "add a 'index_timestamp' key to the task configuration identifying which window's " +
+          "start or end time to use as the prediction time.")
 
     val optional: Seq[(String, DataType)] = Seq(
       "prediction_time" -> TimestampType,
@@ -109,6 +119,14 @@ object Query {
       "integer_value" -> LongType,
       "float_value" -> DoubleType,
       "categorical_value" -> StringType)
+
+    // Extra columns: warn, then drop (reference: run.py:106-116).
+    val known = Set("subject_id") ++ optional.map(_._1)
+    val extras = df.columns.filterNot(known)
+    if (extras.nonEmpty)
+      log.warn(
+        "Output contains columns that are not valid MEDS label columns. Dropping them:\n" +
+          extras.map(c => s"  - $c").mkString("\n"))
 
     var out = df.withColumn("subject_id", col("subject_id").cast(LongType))
     optional.foreach { case (name, t) =>

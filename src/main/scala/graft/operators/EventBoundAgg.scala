@@ -99,13 +99,21 @@ object EventBoundAgg {
       if (boundToRow) closed == Closed.Left || closed == Closed.Both
       else closed == Closed.Right || closed == Closed.Both
     val boundMarker = when(col("__is_boundary"), col(TsUs))
+    // Both directions use GROWING (unboundedPreceding → moving bound)
+    // frames, which Spark evaluates incrementally in O(n) per partition.
+    // The forward lookup is naturally growing; the backward lookup
+    // (`min marker over [t+a, ∞)`) is expressed over a DESCENDING ordering
+    // — under desc, rangeBetween's bound arithmetic flips sign, so the
+    // frame `(unboundedPreceding, -a)` is exactly `ts ≥ t + a`. The naive
+    // `(a, unboundedFollowing)` ascending frame re-aggregates the whole
+    // remaining partition per row — O(n²) on a heavy-hitter subject.
     val wBound =
       if (boundToRow)
         Window.partitionBy("subject_id").orderBy(TsUs)
           .rangeBetween(Window.unboundedPreceding, if (includeEq) offsetUs else offsetUs - 1)
       else
-        Window.partitionBy("subject_id").orderBy(TsUs)
-          .rangeBetween(if (includeEq) offsetUs else offsetUs + 1, Window.unboundedFollowing)
+        Window.partitionBy("subject_id").orderBy(col(TsUs).desc)
+          .rangeBetween(Window.unboundedPreceding, -(if (includeEq) offsetUs else offsetUs + 1))
     val boundAgg = if (boundToRow) max(boundMarker) else min(boundMarker)
 
     val withBound = withCum.withColumn("__bound_ts_us", boundAgg.over(wBound))

@@ -152,16 +152,37 @@ object PredicateFrames {
 
   /** Collapse same-instant rows into unique (subject_id, timestamp) keys.
     * (reference: predicates.py:221-226, :284-288)
+    *
+    * Skew-safe by default: the aggregation shuffles on its FULL key
+    * (subject_id, timestamp) — map-side partial sums combine same-instant
+    * duplicates before the exchange, and a heavy-hitter subject's raw rows
+    * spread across partitions by timestamp instead of funneling through
+    * one task. Only the already-collapsed (unique-instant) rows then
+    * repartition to the hash(subject_id) layout every downstream window
+    * op reuses. Identical results to the direct path (algebraic sums) —
+    * proven by the `salted_groupby` oracle and SkewSpec.
+    *
+    * `spark.graft.collapse=direct` restores the single-shuffle path
+    * (repartition raw rows by subject, then group): marginally cheaper
+    * when the corpus is known skew-free and nearly duplicate-free.
     */
   def collapse(df: DataFrame, predCols: Seq[String]): DataFrame = {
     val sums = predCols.map(c => sum(col(c)).cast(LongType).as(c))
-    df.withColumn("subject_id", col("subject_id").cast(LongType))
+    val typed = df
+      .withColumn("subject_id", col("subject_id").cast(LongType))
       // TIMESTAMP_NTZ (e.g. non-UTC-adjusted parquet) → TIMESTAMP; exact
       // under the pinned UTC session timezone.
       .withColumn("timestamp", col("timestamp").cast(TimestampType))
-      .repartition(col("subject_id"))
-      .groupBy("subject_id", "timestamp")
-      .agg(sums.head, sums.tail: _*)
+    if (df.sparkSession.conf.get("spark.graft.collapse", "skew-safe") == "direct")
+      typed
+        .repartition(col("subject_id"))
+        .groupBy("subject_id", "timestamp")
+        .agg(sums.head, sums.tail: _*)
+    else
+      typed
+        .groupBy("subject_id", "timestamp")
+        .agg(sums.head, sums.tail: _*)
+        .repartition(col("subject_id"))
   }
 
   /** Materialize a canonical predicates frame as a bucketed, sorted table —

@@ -63,22 +63,16 @@ object Tables {
 
   /** The events table shaped as the engine's canonical predicates frame:
     * one Int64 count column per event_type predicate, collapsed to unique
-    * (subject_id, timestamp) keys.
-    *
-    * Repartitioned by `subject_id` *before* the collapse: HashPartitioning
-    * on `subject_id` satisfies the group-by's ClusteredDistribution on
-    * (subject_id, timestamp) AND every downstream per-subject window op —
-    * one shuffle for the whole per-subject pipeline instead of two.
+    * (subject_id, timestamp) keys via [[PredicateFrames.collapse]] (ends
+    * hash(subject_id)-partitioned for the per-subject window pipeline).
     */
   def eventsAsPredicates(spark: SparkSession, sfDir: String, types: Seq[String]): DataFrame = {
     val ev = events(spark, sfDir)
-    val sums = types.map(t => sum(s"is_$t").cast("long").as(s"is_$t"))
-    ev.select(
+    PredicateFrames.collapse(
+      ev.select(
         Seq(col("user_id").as("subject_id"), col("ts").as("timestamp")) ++
           types.map(t => (col("event_type") === t).cast("long").as(s"is_$t")): _*
-      )
-      .repartition(col("subject_id"))
-      .groupBy("subject_id", "timestamp")
-      .agg(sums.head, sums.tail: _*)
+      ),
+      types.map(t => s"is_$t"))
   }
 }

@@ -162,6 +162,27 @@ class OtherMedsSpec extends SparkSpec {
       .toSet
   }
 
+  test("MEDS label schema strictness (run.py:84-118 / test_meds.py)") {
+    import spark.implicits._
+
+    // Missing mandatory subject_id → hard error.
+    val noSubject = Seq((java.sql.Timestamp.valueOf("2021-01-01 00:00:00"), true))
+      .toDF("index_timestamp", "label")
+    val err = intercept[IllegalArgumentException](Query.toMedsLabels(noSubject))
+    assert(err.getMessage.contains("subject_id"))
+
+    // Missing prediction_time → warns, fills null; int label → boolean;
+    // extra columns → dropped.
+    val messy = Seq((1L, 100L, "x"), (2L, 0L, "y"))
+      .toDF("subject_id", "label", "extra_col")
+    val out = Query.toMedsLabels(messy)
+    assert(out.columns.toSeq == Seq("subject_id", "prediction_time", "boolean_value",
+      "integer_value", "float_value", "categorical_value"))
+    val rows = out.orderBy("subject_id").collect()
+    assert(rows.map(_.getBoolean(2)).toSeq == Seq(true, false))
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
   test("inhospital_mortality labels (test_other_meds.py WANT_SHARDS)") {
     assert(runTask(inhospitalYaml) == Set(
       (1L, "2020-01-15 15:14:00", false),
