@@ -1,0 +1,33 @@
+package graft.harness
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Canonical text rendering for golden-fixture comparison of the catalog
+  * entries with no SQL-portable oracle (hash-seeded outputs). Rows are
+  * rendered sorted with a header line; doubles keep full Java precision
+  * (deterministic — the pipelines are xxhash64-seeded with no RNG/time).
+  */
+object GoldenFormat {
+
+  /** The catalog entries covered by golden fixtures. */
+  val goldenNames: Seq[String] =
+    Seq("dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "text_fingerprint")
+
+  def render(df: DataFrame): String = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType.typeName match {
+        case "timestamp" => date_format(df(s"`${f.name}`"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(f.name)
+        case _           => df(s"`${f.name}`").cast("string").as(f.name)
+      }
+    }
+    val header = df.columns.mkString("|")
+    val lines = df
+      .select(cols.toSeq: _*)
+      .collect()
+      .map(r =>
+        (0 until r.length).map(i => if (r.isNullAt(i)) "␀null" else r.getString(i)).mkString("|"))
+      .sorted
+    (header +: lines).mkString("", "\n", "\n")
+  }
+}
