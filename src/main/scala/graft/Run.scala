@@ -12,8 +12,11 @@ import graft.sources.{PredicateFrames, Tables}
   *
   * Usage:
   *   runMain graft.Run --config task.yaml --data events.parquet \
-  *     [--predicates overrides.yaml] [--standard meds|direct] \
+  *     [--predicates overrides.yaml] [--standard meds|direct|esgpt] \
   *     [--ts-format "M/d/yyyy H:mm"] [--output out.parquet] [--window-stats dir]
+  *
+  * For `--standard esgpt`, `--data` is an ESGPT dataset directory
+  * (subjects_df/events_df/dynamic_measurements_df parquet + config.json).
   *
   * `--data` accepts a file, directory, or glob — sharded datasets
   * (reference: expand_shards.py) are read as partitions of one distributed
@@ -52,10 +55,10 @@ object Run {
           spark, dataPath, cfg.plainPredicates.keys.toSeq, opts.get("ts-format"))
       case "meds" =>
         PredicateFrames.fromMeds(spark.read.parquet(dataPath), cfg.plainPredicates.toSeq)
+      case "esgpt" =>
+        PredicateFrames.fromEsgptDir(spark, dataPath, cfg.plainPredicates.toSeq)
       case other =>
-        sys.error(s"Invalid data standard: $other. Options are 'direct', 'MEDS' " +
-          "(ESGPT is API-only via PredicateFrames.fromEsgpt, as the reference " +
-          "needs the external EventStream package for directory loading).")
+        sys.error(s"Invalid data standard: $other. Options are 'direct', 'MEDS', 'ESGPT'.")
     }
 
     val predicates = PredicateFrames.finalize(cfg, plain)

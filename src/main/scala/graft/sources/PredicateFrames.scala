@@ -150,6 +150,74 @@ object PredicateFrames {
     staticRows.unionByName(data)
   }
 
+  /** Load an ESGPT dataset DIRECTORY (the layout EventStreamGPT's
+    * `Dataset.save` writes and the reference loads through the external
+    * `EventStream` package — reference: predicates.py:420-474):
+    * `subjects_df.parquet`, `events_df.parquet`,
+    * `dynamic_measurements_df.parquet`, plus `config.json` whose
+    * `measurement_configs.<name>.values_column` names the value column of
+    * multivariate measurements (predicates.py:465-471). No external
+    * package needed — the three frames are plain parquet.
+    */
+  def fromEsgptDir(
+      spark: SparkSession,
+      path: String,
+      predicates: Seq[(String, PlainPredicateDef)]
+  ): DataFrame = {
+    // ESGPT datasets are written by polars' arrow2 writer, whose
+    // dictionary-encoded string pages trip parquet-mr's VECTORIZED reader
+    // (EOFException); the row-based reader handles them. The conf is
+    // consulted at execution, so materialize the (column-pruned) predicate
+    // frame eagerly while the row-based reader is active — the eager load
+    // also mirrors the reference (EventStream Dataset.load is eager).
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val subjects = spark.read.parquet(s"$path/subjects_df.parquet")
+      val events = spark.read.parquet(s"$path/events_df.parquet")
+      val meas = spark.read.parquet(s"$path/dynamic_measurements_df.parquet")
+      val out = fromEsgpt(subjects, events, meas, esgptValueColumns(spark, path, predicates), predicates)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** predicate name → measurement values-column, resolved from the ESGPT
+    * dataset's `config.json` (reference: predicates.py:465-471: event_type
+    * predicates have none; otherwise
+    * `measurement_configs[code.split("//")[0]].values_column`).
+    */
+  def esgptValueColumns(
+      spark: SparkSession,
+      path: String,
+      predicates: Seq[(String, PlainPredicateDef)]
+  ): Map[String, String] = {
+    val cfg = spark.read.option("multiLine", "true").json(s"$path/config.json")
+    val mcField = cfg.schema.fields.find(_.name == "measurement_configs")
+    val measConfigs: Map[String, Option[String]] = mcField match {
+      case Some(f) =>
+        val mcType = f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        val row = cfg.select("measurement_configs.*").head()
+        mcType.fieldNames.zipWithIndex.map { case (m, i) =>
+          val sub = row.getStruct(i)
+          val vc =
+            if (sub == null) None
+            else sub.schema.fieldNames.zipWithIndex.collectFirst {
+              case ("values_column", j) if !sub.isNullAt(j) => sub.getString(j)
+            }
+          m -> vc
+        }.toMap
+      case None => Map.empty
+    }
+    predicates.flatMap { case (name, p) =>
+      val codeStr = p.code.text
+      if (codeStr.toLowerCase.startsWith("event_type")) None
+      else measConfigs.get(codeStr.split("//", 2)(0)).flatten.map(name -> _)
+    }.toMap
+  }
+
   /** Collapse same-instant rows into unique (subject_id, timestamp) keys.
     * (reference: predicates.py:221-226, :284-288)
     *
