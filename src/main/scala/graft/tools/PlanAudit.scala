@@ -40,21 +40,39 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
 
+    // Ingest budgets: skew-safe collapse = 2 exchanges (full-key group-by
+    // shuffle, then the COLLAPSED rows repartition to subject_id);
+    // direct mode = 1 (repartition raw, group in place).
     val preds = Tables.eventsAsPredicates(spark, dir, Seq("click", "purchase", "error"))
+    audit("ingest_collapse(skew-safe)", preds, 2)
+    spark.conf.set("spark.graft.collapse", "direct")
+    val predsDirect = Tables.eventsAsPredicates(spark, dir, Seq("click", "purchase", "error"))
+    audit("ingest_collapse(direct)", predsDirect, 1)
+    spark.conf.unset("spark.graft.collapse")
 
-    // 1 exchange: the subject_id repartition; collapse + window reuse it.
-    audit("temporal_window", TemporalWindowAgg(preds, TemporalBounds(true, 86400000000L, true, 0L)), 1)
-
-    // 2 = main stream (1, reused by cumsum window, bound window, and the
-    // co-partitioned boundary join) + the boundaries side-branch, which
-    // Catalyst rebuilds with the boundary filter pushed to the scan — a
-    // *reduced* re-read, not a re-shuffle of the main stream. Inside
-    // Query/ExtractSubtree the input frame is persisted, so the branch
-    // reads the cache instead.
-    audit("event_bound", EventBoundAgg(preds, EventBounds(true, "is_purchase", true, 0L)), 2)
-
-    // +1 for the offset-correction branch (same pushdown-reduced shape).
-    audit("event_bound_offset", EventBoundAgg(preds, EventBounds(true, "is_purchase", true, 3600000000L)), 3)
+    // Post-ingest, the engine runs off the CACHED canonical frame (Query
+    // persists it sorted-within-partitions); every per-subject operator
+    // must add ZERO exchanges above the cache — one partitioning for the
+    // whole pipeline.
+    val canonical = preds
+      .withColumn(TemporalWindowAgg.TsUs, unix_micros(col("timestamp")))
+      .sortWithinPartitions(col("subject_id"), col(TemporalWindowAgg.TsUs))
+      .persist()
+    canonical.count()
+    def aboveCache(df: DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString.split("InMemoryRelation").head
+      "Exchange hashpartitioning".r.findAllIn(plan).length +
+        "Exchange rangepartitioning".r.findAllIn(plan).length
+    }
+    def auditCached(name: String, df: DataFrame, budget: Int): Unit = {
+      val n = aboveCache(df)
+      val flag = if (n <= budget) "OK " else "HOT"
+      println(f"$flag $name%-28s exchanges=$n (budget $budget)")
+      if (n > budget) df.explain("formatted")
+    }
+    auditCached("temporal_window", TemporalWindowAgg(canonical, TemporalBounds(true, 86400000000L, true, 0L)), 0)
+    auditCached("event_bound", EventBoundAgg(canonical, EventBounds(true, "is_purchase", true, 0L)), 0)
+    auditCached("event_bound_offset", EventBoundAgg(canonical, EventBounds(true, "is_purchase", true, 3600000000L)), 0)
 
     // Parquet pushdown: filter + projection must reach the scan.
     val scan = Tables.table(spark, dir, "lineitem")
@@ -67,28 +85,43 @@ object PlanAudit {
     println(s"${if (pruned) "OK " else "HOT"} parquet column pruning          pruned=$pruned")
     if (!pushed || !pruned) scan.explain("formatted")
 
-    // Whole-stage codegen coverage on the temporal window path.
-    // Sort elimination: over a frame cached sorted-within-partitions on
-    // (subject_id, __ts_us), window operators must NOT re-sort.
-    val sortedCached = preds
-      .withColumn(graft.operators.TemporalWindowAgg.TsUs, unix_micros(col("timestamp")))
-      .sortWithinPartitions(col("subject_id"), col(graft.operators.TemporalWindowAgg.TsUs))
-      .persist()
-    sortedCached.count()
-    val overCached = TemporalWindowAgg(sortedCached, TemporalBounds(true, 86400000000L, true, 0L))
-    // Count sorts only above the cache boundary — the cached plan's own
-    // materialization sort is printed inside InMemoryRelation.
+    // Sort elimination: over the canonical frame (cached sorted-within-
+    // partitions on (subject_id, __ts_us)), window operators must NOT
+    // re-sort. Count sorts only above the cache boundary — the cached
+    // plan's own materialization sort is printed inside InMemoryRelation.
+    val overCached = TemporalWindowAgg(canonical, TemporalBounds(true, 86400000000L, true, 0L))
     val planAboveCache =
       overCached.queryExecution.executedPlan.toString.split("InMemoryRelation").head
     val nSorts = "Sort ".r.findAllIn(planAboveCache).length
     println(s"${if (nSorts == 0) "OK " else "HOT"} window sort reuse              sorts=$nSorts")
-    sortedCached.unpersist()
 
     // Codegen'd operators carry a "*(stageId)" prefix in the plan string.
     val wsPlan = TemporalWindowAgg(preds, TemporalBounds(true, 86400000000L, true, 0L))
       .queryExecution.executedPlan.toString
     val codegenOps = "\\*\\(\\d+\\)".r.findAllIn(wsPlan).length
     println(s"${if (codegenOps > 0) "OK " else "HOT"} codegen'd operators            n=$codegenOps")
+
+    // Subset-key co-partitioning: a join on (subject_id, timestamp) over
+    // two branches of the hash(subject_id)-partitioned frame must add NO
+    // exchange (requireAllClusterKeysForCoPartition=false — without it,
+    // EnsureRequirements re-shuffles BOTH sides of every window-tree join
+    // to hash(subject_id, timestamp): 2 extra full-data shuffles per tree
+    // level at 100 TB). Regression guard for Tables.configure/tune.
+    val anchors = canonical.filter(col("is_click") > 0).select("subject_id", "timestamp")
+    val joined = canonical.join(anchors, Seq("subject_id", "timestamp"), "inner")
+    val nJoinEx = aboveCache(joined)
+    println(s"${if (nJoinEx == 0) "OK " else "HOT"} co-partitioned anchor join     extra exchanges=$nJoinEx")
+    if (nJoinEx != 0) joined.explain("formatted")
+
+    // O(n) window frames: bounded rolling sums must compile to GROWING
+    // (unboundedpreceding → bound) frames only — a sliding frame
+    // re-aggregates its buffer per row, O(n·k), quadratic on heavy
+    // subjects. Guard for the prefix-difference formulation.
+    val framePlan = TemporalWindowAgg(preds, TemporalBounds(false, 86400000000L, false, 0L))
+      .queryExecution.analyzed.toString
+    val slidingFrames = "specifiedwindowframe\\(RangeFrame, (?!unboundedpreceding)".r
+      .findAllIn(framePlan).length
+    println(s"${if (slidingFrames == 0) "OK " else "HOT"} growing-frame windows          sliding=$slidingFrames")
 
     spark.stop()
   }
