@@ -605,6 +605,20 @@ object QueryCatalog {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    Q("dedup_embedding", (s, dir) =>
+      // Exact all-pairs variant as the oracle path (mirrors
+      // dedup_ngram_jaccard); Dedup.embeddingNearDup is the LSH-bucketed
+      // scale path, recall-tested in ExtensionsSpec. The synthetic
+      // embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so
+      // the threshold sits where the data has pairs.
+      Dedup.embeddingNearDupExact(emb(s, dir), threshold = 0.4)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 3).as("cos"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |SELECT doc_a, doc_b, ROUND(c, 3) AS cos FROM p WHERE c >= 0.4 ORDER BY 1, 2""".stripMargin)),
+
     Q("dedup_ngram_jaccard", (s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -167,6 +167,64 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact embedding-cosine near-dup pairs: all (a < b) pairs with
+    * cosine ≥ threshold. O(N²) by design — the SQL-oracle-friendly
+    * reference path; [[embeddingNearDup]] is the LSH-bucketed scale path.
+    */
+  def embeddingNearDupExact(
+      vectors: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs at corpus scale: banded
+    * random-hyperplane LSH buckets ([[Similarity.hyperplaneBuckets]])
+    * generate candidates, exact cosine verifies. Same scale safeguards as
+    * [[minhashLsh]]: the candidate join and pair dedup shuffle ids only
+    * (vectors re-join after), and buckets above `maxBucketSize` are
+    * dropped before the quadratic self-join.
+    *
+    * @return (doc_a, doc_b, cos) with doc_a < doc_b, cos ≥ threshold.
+    */
+  def embeddingNearDup(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int = 32,
+      bitsPerBand: Int = 4,
+      maxBucketSize: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val wBucket = Window.partitionBy("band", "bucket")
+    val capped = Similarity.hyperplaneBuckets(base, bands, bitsPerBand, "id", "v")
+      .withColumn("bsize", count(lit(1)).over(wBucket))
+      .filter(col("bsize") <= maxBucketSize)
+      .select("band", "bucket", "id")
+
+    val a = capped.select(col("band"), col("bucket"), col("id").as("doc_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("doc_b"))
+    val pairs = a
+      .join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    pairs
+      .join(base.select(col("id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles → co-occurrence join on the shingle →
     * per-pair intersection counts → Jaccard from set sizes. Exact (no

@@ -59,7 +59,7 @@ object Similarity {
     (pmod(xxhash64(lit(plane), dim), lit(20001L)) - 10000L).cast("double") / 10000.0
 
   /** Random-hyperplane signature bit for one plane: sign of <v, plane>. */
-  private def planeBit(vec: Column, plane: Int): Column = {
+  private[operators] def planeBit(vec: Column, plane: Int): Column = {
     val dot = aggregate(
       zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeComponent(plane, i)),
       lit(0.0d),
@@ -134,6 +134,27 @@ object Similarity {
     * shuffles would dominate the exchange; instead the (much smaller)
     * deduped pair set re-joins the vectors before scoring.
     */
+  /** (id, band, bucket) rows from banded random-hyperplane signatures —
+    * the shared LSH bucketing for ANN top-k and embedding near-dup.
+    * Carries ids only; vectors are dropped before any shuffle.
+    */
+  def hyperplaneBuckets(
+      vectors: DataFrame,
+      bands: Int,
+      bitsPerBand: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    vectors.select(
+      col(idCol).as("id"),
+      explode(array((0 until bands).map { band =>
+        val key = (0 until bitsPerBand)
+          .map(bit => planeBit(col(vecCol), band * bitsPerBand + bit) * lit(1L << bit))
+          .reduce(_ + _)
+        struct(lit(band).as("band"), key.as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
   def lshTopK(
       vectors: DataFrame,
       k: Int,
@@ -143,15 +164,7 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val buckets = base.select(
-      col("id"),
-      explode(array((0 until bands).map { band =>
-        val key = (0 until bitsPerBand)
-          .map(bit => planeBit(col("v"), band * bitsPerBand + bit) * lit(1L << bit))
-          .reduce(_ + _)
-        struct(lit(band).as("band"), key.as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val buckets = hyperplaneBuckets(base, bands, bitsPerBand, "id", "v")
 
     val a = buckets.select(col("band"), col("bucket"), col("id").as("query_id"))
     val b = buckets.select(col("band"), col("bucket"), col("id").as("neighbor_id"))

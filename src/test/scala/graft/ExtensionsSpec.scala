@@ -122,6 +122,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
   }
 
+  test("embedding near-dup LSH is a high-recall subset of the exact pairs") {
+    val t = 0.35
+    val exact = Dedup.embeddingNearDupExact(emb, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "threshold yields no pairs — test data changed?")
+    val lsh = Dedup.embeddingNearDup(emb, t, bands = 32, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates verified by exact cosine → subset; banding gives recall.
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact path did not")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"embedding near-dup recall $recall unexpectedly low")
+  }
+
   test("language-ID heuristic identifies stopword-bearing texts") {
     // NOTE: the corpus `lang` column is synthetic metadata unrelated to the
     // text (all rows are English-ish token soup), so accuracy against it is
