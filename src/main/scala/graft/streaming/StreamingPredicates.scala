@@ -53,6 +53,111 @@ object StreamingPredicates {
   final case class SubjectEvent(subject_id: Long, tsMicros: Long, counts: Array[Long])
   final case class SubjectTotals(subject_id: Long, lastTsMicros: Long, totals: Array[Long])
 
+  /** Input row for [[triggerWindowCounts]] — keeps the watermarked
+    * `timestamp` column (event-time timeout requires it to survive into
+    * the stateful operator's input).
+    */
+  final case class TimedEvent(
+      subject_id: Long,
+      timestamp: java.sql.Timestamp,
+      counts: Array[Long]) {
+    def tsMicros: Long = (timestamp.getTime / 1000L) * 1000000L + timestamp.getNanos / 1000L
+  }
+
+  final case class TriggerWindow(
+      subject_id: Long,
+      triggerTsMicros: Long,
+      windowEndMicros: Long,
+      counts: Array[Long])
+
+  /** Flat state (primitive arrays only — nested collection encoders break
+    * codegen; must be public for the same reason): `bufferedCounts` is
+    * row-major with stride nPreds.
+    */
+  final case class TriggerState(
+      pendingTriggers: Array[Long],
+      bufferedTs: Array[Long],
+      bufferedCounts: Array[Long])
+
+  /** Streaming trigger-window evaluation — the incremental analogue of the
+    * batch engine's trigger + temporal-lookahead window: every event where
+    * `counts(triggerIdx) > 0` opens a window `(trigger, trigger+horizon]`;
+    * its predicate sums are emitted exactly once, when the event-time
+    * watermark passes the window end (so the window is provably closed).
+    *
+    * State per subject = pending triggers + events still inside some
+    * pending-or-future window; both are pruned on every watermark advance,
+    * so state is bounded by (horizon + allowed lateness) × event rate.
+    * Rows older than the watermark are dropped at entry (the same
+    * discipline `withWatermark` applies to windowed aggregates).
+    */
+  def triggerWindowCounts(
+      events: Dataset[TimedEvent],
+      nPreds: Int,
+      triggerIdx: Int,
+      horizonMicros: Long
+  ): Dataset[TriggerWindow] = {
+    implicit val outEnc = Encoders.product[TriggerWindow]
+    implicit val stateEnc = Encoders.product[TriggerState]
+    events
+      .groupByKey(_.subject_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TriggerState, TriggerWindow](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (subject: Long, rows: Iterator[TimedEvent], state: GroupState[TriggerState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(
+            TriggerState(Array.empty, Array.empty, Array.empty))
+
+          // Ingest on-time rows; events double as triggers when flagged.
+          val triggers = scala.collection.mutable.ArrayBuffer(prev.pendingTriggers: _*)
+          val bufTs = scala.collection.mutable.ArrayBuffer(prev.bufferedTs: _*)
+          val bufCounts = scala.collection.mutable.ArrayBuffer(prev.bufferedCounts: _*)
+          rows.foreach { e =>
+            if (e.tsMicros > wmMicros) {
+              bufTs += e.tsMicros
+              bufCounts ++= e.counts
+              if (e.counts(triggerIdx) > 0) triggers += e.tsMicros
+            }
+          }
+
+          // Close every window whose end the watermark has passed.
+          val (due, stillPending) = triggers.partition(t => t + horizonMicros <= wmMicros)
+          val emissions = due.sorted.map { t =>
+            val sums = Array.fill(nPreds)(0L)
+            var r = 0
+            while (r < bufTs.length) {
+              val ts = bufTs(r)
+              if (ts > t && ts <= t + horizonMicros) {
+                var i = 0
+                while (i < nPreds) { sums(i) += bufCounts(r * nPreds + i); i += 1 }
+              }
+              r += 1
+            }
+            TriggerWindow(subject, t, t + horizonMicros, sums)
+          }
+
+          // Prune events no pending or future trigger can reach: windows
+          // are (t, t+h], pending triggers all have t >= min(pending), and
+          // future triggers have t > wm — so an event is dead once
+          // ts_e <= min(wm, earliest pending trigger).
+          val pruneBelow = stillPending.foldLeft(wmMicros)(math.min)
+          val keepIdx = (0 until bufTs.length).filter(r => bufTs(r) > pruneBelow)
+          val keepTs = keepIdx.map(bufTs).toArray
+          val keepCounts = keepIdx.flatMap(r =>
+            (0 until nPreds).map(i => bufCounts(r * nPreds + i))).toArray
+
+          if (stillPending.isEmpty && keepTs.isEmpty) state.remove()
+          else {
+            state.update(TriggerState(stillPending.toArray, keepTs, keepCounts))
+            val nextDeadline =
+              (stillPending.map(_ + horizonMicros) ++ keepTs.map(_ + horizonMicros)).min
+            state.setTimeoutTimestamp(nextDeadline / 1000L + 1L)
+          }
+          emissions.iterator
+      }
+  }
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

@@ -52,6 +52,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("triggerWindowCounts emits closed windows exactly once at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Long, Long)]
+    val events = input.toDF().toDF("subject_id", "timestamp", "is_click", "is_buy")
+      .withWatermark("timestamp", "0 seconds")
+      .select(col("subject_id"), col("timestamp"),
+        array(col("is_click"), col("is_buy")).as("counts"))
+      .as[StreamingPredicates.TimedEvent]
+
+    // trigger = click; horizon = 1h lookahead
+    val out = StreamingPredicates.triggerWindowCounts(
+      events, nPreds = 2, triggerIdx = 0, horizonMicros = 3600L * 1000000L)
+
+    val query = out.writeStream
+      .format("memory").queryName("trig_win").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, 0L), // trigger
+        (1L, ts("2024-01-01 10:20:00"), 0L, 1L), // in window
+        (1L, ts("2024-01-01 10:50:00"), 0L, 1L), // in window
+        (2L, ts("2024-01-01 10:00:00"), 0L, 1L)) // no trigger for subject 2
+      query.processAllAvailable()
+      assert(spark.table("trig_win").count() == 0, "window not closed yet — nothing emitted")
+
+      // advance the watermark past 11:00 -> subject 1's window closes
+      input.addData((1L, ts("2024-01-01 12:00:00"), 0L, 0L))
+      query.processAllAvailable()
+      // one more batch so the event-time timeout fires with the new watermark
+      input.addData((2L, ts("2024-01-01 12:30:00"), 0L, 0L))
+      query.processAllAvailable()
+
+      val rows = spark.table("trig_win").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3).toList))
+      assert(rows.toSeq == Seq((1L, ts("2024-01-01 10:00:00").getTime * 1000L,
+        List(0L, 2L))), s"got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("cumulativeCounts keeps running per-subject totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
