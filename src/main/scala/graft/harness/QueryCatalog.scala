@@ -725,7 +725,24 @@ object QueryCatalog {
         .select(col("media_id"), Multimodal.nBytes(col("payload")).as("n_bytes"))
         .orderBy("media_id")
     }, Some("""SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-              |FROM documents ORDER BY 1""".stripMargin))
+              |FROM documents ORDER BY 1""".stripMargin)),
+
+    Q("multimodal_framesample", (s, dir) => {
+      // Real binary slicing on the Spark side (sequence→explode→substring,
+      // codegen'd); the oracle verifies the frame lattice arithmetically
+      // (DuckDB has no BLOB substring). sampleFramesDecoded is the
+      // partition-wise codec hook, asserted equal in ExtensionsSpec.
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text")
+      Multimodal.sampleFrames(media, frameBytes = 256, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("media_id", "frame_idx")
+    }, Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+              |f AS (SELECT media_id, n,
+              |  UNNEST(range(0, GREATEST(CAST(CEIL(n / 256.0) AS BIGINT), 1), 2)) AS frame_idx FROM m)
+              |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+              |  CAST(LEAST(256, n - frame_idx * 256) AS BIGINT) AS frame_len
+              |FROM f WHERE n - frame_idx * 256 > 0 ORDER BY 1, 2""".stripMargin))
   )
 
   /** The flagship cohort query (same shape as the reference's in-hospital

@@ -88,6 +88,75 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Frame sampling over an opaque media payload: every `stride`-th
+    * fixed-size chunk, as (media_id, frame_idx, frame_bytes) rows.
+    *
+    * For byte-addressable formats this is pure expressions (sequence →
+    * explode → substring), fully codegen'd — sampling 1B payloads never
+    * leaves Tungsten. Codec-addressable formats (video GOPs, audio
+    * packets) swap in [[sampleFramesDecoded]], the partition-wise hook.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int")
+    media
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_idx"),
+        col("payload"))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        substring(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame_bytes"))
+      .filter(octet_length(col("frame_bytes")) > 0)
+  }
+
+  private val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", BinaryType, nullable = true)
+  ))
+
+  /** Partition-wise frame sampling for codec-addressable media — the
+    * `mapInPandas`-shaped hook where a real decoder (initialized once per
+    * partition) would seek keyframes. The STUB slices fixed-size chunks,
+    * matching [[sampleFrames]] exactly (asserted in tests).
+    */
+  def sampleFramesDecoded(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media
+      .select("media_id", "payload")
+      .rdd
+      .mapPartitions { rows =>
+        // Real codecs initialize their decoder state here, once.
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val nFrames = math.max(1, (payload.length + frameBytes - 1) / frameBytes)
+          (0 until nFrames by stride).iterator
+            .map(i => Row(id, i, payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, payload.length))))
+            .filter(_.getAs[Array[Byte]](2).nonEmpty)
+        }
+      }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Resize metadata projection — the codec-free half of an image resize:
+    * recompute target dims preserving aspect ratio as pure expressions.
+    * The pixel work belongs in the [[extractFeatures]]-style hook; this
+    * keeps the metadata column flowing through codegen.
+    */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h))
+    media.withColumn(
+      "resize_meta",
+      struct(
+        round(w * scale).cast(IntegerType).as("target_width"),
+        round(h * scale).cast(IntegerType).as("target_height"),
+        scale.as("scale")))
+  }
+
   /** STUB decode: rolling checksum + 8-bin byte histogram normalized to a
     * fake feature vector. Replace with the real codec call at deploy time.
     */

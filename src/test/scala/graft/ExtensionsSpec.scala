@@ -164,6 +164,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frame sampling: expression and codec-hook paths agree") {
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text", "text")
+    def snap50(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("media_id"), col("frame_idx"), xxhash64(col("frame_bytes")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expr = snap50(Multimodal.sampleFrames(media, frameBytes = 64, stride = 3))
+    val hook = snap50(Multimodal.sampleFramesDecoded(media, frameBytes = 64, stride = 3))
+    assert(expr.nonEmpty && expr == hook)
+  }
+
+  test("multimodal resizeMeta preserves aspect ratio") {
+    import spark.implicits._
+    val media = Seq((1L, "img", Array[Byte](1), ("raw", 4000, 1000, -1L)))
+      .toDF("media_id", "modality", "payload", "meta")
+      .select(col("media_id"), col("modality"), col("payload"),
+        col("meta").cast("struct<codec:string,width:int,height:int,duration_ms:bigint>").as("meta"))
+    val out = Multimodal.resizeMeta(media, maxDim = 1024).select("resize_meta.*").head()
+    assert(out.getInt(0) == 1024 && out.getInt(1) == 256)
+  }
+
   test("multimodal plumbing: features align with payload bytes") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "text")
     val feats = Multimodal.extractFeatures(media, batchSize = 64)
