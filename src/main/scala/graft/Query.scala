@@ -41,10 +41,28 @@ object Query {
     // Pre-materialize the epoch-micros ordering key and sort within
     // partitions on it: the cached relation then *reports* that ordering,
     // so every downstream window operator skips its own per-operator sort
-    // of the full frame.
-    val filtered = filtered0
-      .withColumn(graft.operators.TemporalWindowAgg.TsUs, unix_micros(col("timestamp")))
-      .sortWithinPartitions(col("subject_id"), col(graft.operators.TemporalWindowAgg.TsUs))
+    // of the full frame. When the window tree has event-bound edges, also
+    // pre-materialize the per-subject cumsums (`__cum_<pred>`) they all
+    // share — one window pass at cache build instead of one per edge
+    // (EventBoundAgg detects and reuses them).
+    def hasEventBound(n: graft.plans.WindowNode): Boolean =
+      n.endpointExpr.exists(_.isInstanceOf[graft.model.EventBounds]) || n.children.exists(hasEventBound)
+    val tsUs = graft.operators.TemporalWindowAgg.TsUs
+    val keyed = filtered0.withColumn(tsUs, unix_micros(col("timestamp")))
+    val enriched =
+      if (cfg.windowTree.children.exists(hasEventBound)) {
+        val predCols = keyed.columns
+          .filterNot(c => c == "subject_id" || c == "timestamp" || c.startsWith("__"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy("subject_id").orderBy(tsUs)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        keyed.select(
+          keyed.columns.map(col).toSeq ++
+            predCols.map(c => sum(col(c)).over(wCum).as(s"__cum_$c")): _*)
+      } else keyed
+    val filtered = enriched
+      .sortWithinPartitions(col("subject_id"), col(tsUs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Trigger anchors (reference: query.py:133-140).

@@ -52,8 +52,9 @@ object EventBoundAgg {
       offsetUs: Long = 0L
   ): DataFrame = {
     require(mode == "bound_to_row" || mode == "row_to_bound", s"Mode '$mode' invalid!")
+    // `__`-prefixed columns are engine internals, never predicates.
     val predCols =
-      df.columns.filterNot(c => c == "subject_id" || c == "timestamp" || c == TsUs).toSeq
+      df.columns.filterNot(c => c == "subject_id" || c == "timestamp" || c.startsWith("__")).toSeq
     val boundToRow = mode == "bound_to_row"
 
     // Offset-correction window bounds (reference: aggregate.py:969-995).
@@ -76,19 +77,24 @@ object EventBoundAgg {
       }
 
     // 1. Per-subject cumulative sums (reference: aggregate.py:997-1000).
+    // When the caller pre-computed `__cum_<pred>` columns (Query does,
+    // once, in the cached canonical frame — they are identical for every
+    // event-bound edge of a window tree), reuse them and skip the pass.
+    val withTs =
+      if (df.columns.contains(TsUs)) df
+      else df.withColumn(TsUs, unix_micros(col("timestamp")))
+    val haveCums = predCols.forall(c => df.columns.contains(s"__cum_$c"))
     val wCum = Window
       .partitionBy("subject_id")
       .orderBy(TsUs)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withTs =
-      if (df.columns.contains(TsUs)) df
-      else df.withColumn(TsUs, unix_micros(col("timestamp")))
     val withCum = withTs
       .withColumn("__is_boundary", boundaryExpr)
       .select(
         Seq(col("subject_id"), col("timestamp"), col(TsUs), col("__is_boundary")) ++
           predCols.map(col) ++
-          predCols.map(c => sum(col(c)).over(wCum).as(s"__cum_$c")): _*
+          predCols.map(c =>
+            (if (haveCums) col(s"__cum_$c") else sum(col(c)).over(wCum)).as(s"__cum_$c")): _*
       )
 
     // 2. Bound timestamp per row. The reference's phantom shift (−1 µs for

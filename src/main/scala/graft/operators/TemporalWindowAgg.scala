@@ -46,8 +46,10 @@ object TemporalWindowAgg {
   val TsUs = "__ts_us"
 
   def apply(df: DataFrame, bounds: TemporalBounds): DataFrame = {
+    // `__`-prefixed columns are engine internals (ordering key, shared
+    // cumsums), never predicates.
     val predCols =
-      df.columns.filterNot(c => c == "subject_id" || c == "timestamp" || c == TsUs)
+      df.columns.filterNot(c => c == "subject_id" || c == "timestamp" || c.startsWith("__"))
     val (lo, hi) = bounds.inclusiveFrame
 
     val withTs =

@@ -62,8 +62,7 @@ object ExtractSubtree {
       rootOffsetUs: Long = 0L
   ): DataFrame = {
     val predCols = predicatesDf.columns
-      .filterNot(c => c == "subject_id" || c == "timestamp" ||
-        c == graft.operators.TemporalWindowAgg.TsUs)
+      .filterNot(c => c == "subject_id" || c == "timestamp" || c.startsWith("__"))
       .toSeq
 
     if (subtree.children.isEmpty) return anchors
