@@ -20,7 +20,12 @@ import graft.sources.{PredicateFrames, Tables}
   *
   * `--data` accepts a file, directory, or glob — sharded datasets
   * (reference: expand_shards.py) are read as partitions of one distributed
-  * scan rather than per-shard processes.
+  * scan rather than per-shard processes. `--shard-mode per-shard` instead
+  * mirrors the reference's Hydra-multirun layout exactly: one output file
+  * per input shard at `<output>/<shard>.parquet`, shard names being
+  * extension-less relative paths (train/0, tuning/1, …) as produced by
+  * `expand_shards.py` — for pipelines whose downstream steps key on
+  * per-shard files.
   *
   * Output: MEDS label schema for the `meds` standard (subject_id,
   * prediction_time, boolean_value, integer_value, float_value,
@@ -49,29 +54,58 @@ object Run {
       Files.readString(Paths.get(configPath)),
       opts.get("predicates").map(p => Files.readString(Paths.get(p))))
 
-    val plain = standard match {
+    def loadPlain(path: String) = standard match {
       case "direct" =>
         PredicateFrames.directLoad(
-          spark, dataPath, cfg.plainPredicates.keys.toSeq, opts.get("ts-format"))
+          spark, path, cfg.plainPredicates.keys.toSeq, opts.get("ts-format"))
       case "meds" =>
-        PredicateFrames.fromMeds(spark.read.parquet(dataPath), cfg.plainPredicates.toSeq)
+        PredicateFrames.fromMeds(spark.read.parquet(path), cfg.plainPredicates.toSeq)
       case "esgpt" =>
-        PredicateFrames.fromEsgptDir(spark, dataPath, cfg.plainPredicates.toSeq)
+        PredicateFrames.fromEsgptDir(spark, path, cfg.plainPredicates.toSeq)
       case other =>
         sys.error(s"Invalid data standard: $other. Options are 'direct', 'MEDS', 'ESGPT'.")
     }
 
-    val predicates = PredicateFrames.finalize(cfg, plain)
-    val result = Query(cfg, predicates)
-
-    opts.get("window-stats").foreach { dir =>
-      result.write.mode("overwrite").parquet(dir)
+    def runOne(path: String, out: String): Long = {
+      val result = Query(cfg, PredicateFrames.finalize(cfg, loadPlain(path)))
+      opts.get("window-stats").foreach { dir =>
+        result.write.mode("overwrite").parquet(dir)
+      }
+      val coerced = if (standard == "meds") Query.toMedsLabels(result) else result
+      coerced.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).count()
     }
 
-    val out = if (standard == "meds") Query.toMedsLabels(result) else result
-    out.write.mode("overwrite").parquet(outPath)
-    println(s"[graft.Run] wrote ${spark.read.parquet(outPath).count()} rows to $outPath")
+    if (opts.get("shard-mode").contains("per-shard")) {
+      val shards = expandShards(dataPath)
+      require(shards.nonEmpty, s"No parquet shards found under $dataPath")
+      shards.foreach { case (name, path) =>
+        val n = runOne(path, s"$outPath/$name.parquet")
+        println(s"[graft.Run] shard $name: wrote $n rows to $outPath/$name.parquet")
+      }
+    } else {
+      val n = runOne(dataPath, outPath)
+      println(s"[graft.Run] wrote $n rows to $outPath")
+    }
     if (!preexisting) spark.stop()
+  }
+
+  /** Enumerate the shards of a dataset directory: every `*.parquet`
+    * file/dir below `root`, named by its extension-less relative path —
+    * the reference's shard naming (`expand_shards.py:9-76`: train/0,
+    * tuning/1, …). A plain file is its own single shard.
+    */
+  def expandShards(root: String): Seq[(String, String)] = {
+    val rootFile = new java.io.File(root)
+    if (!rootFile.isDirectory) return Seq(rootFile.getName.replaceAll("\\.[^.]+$", "") -> root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else if (f.getName.endsWith(".parquet")) Seq(f) // parquet dataset dir
+      else Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+    walk(rootFile).map { f =>
+      val rel = rootFile.toPath.relativize(f.toPath).toString
+      rel.replaceAll("\\.parquet$", "") -> f.getPath
+    }
   }
 
   private def parseArgs(args: Array[String]): Map[String, String] =

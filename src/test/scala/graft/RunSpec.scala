@@ -35,4 +35,57 @@ class RunSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("1991-01-28 23:32:00"))
     assert(row.getAs[Long]("label") == 0L)
   }
+
+  test("per-shard output mode mirrors expand_shards naming (expand_shards.py)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    // Two MEDS shards under train/, subjects disjoint (the MEDS sharding
+    // invariant), one trivial click->purchase task.
+    val dir = Files.createTempDirectory("graft_shards")
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", "click", 0.0f),
+      (1L, "2024-01-01 10:30:00", "purchase", 1.0f),
+      (2L, "2024-01-02 09:00:00", "click", 0.0f),
+      (2L, "2024-01-02 11:00:00", "click", 0.0f))
+      .toDF("subject_id", "time", "code", "numeric_value")
+      .withColumn("time", to_timestamp(col("time")))
+    events.filter(col("subject_id") === 1).coalesce(1)
+      .write.parquet(dir.resolve("data/train/0.parquet").toString)
+    events.filter(col("subject_id") === 2).coalesce(1)
+      .write.parquet(dir.resolve("data/train/1.parquet").toString)
+
+    val yaml = dir.resolve("task.yaml")
+    Files.writeString(yaml,
+      """predicates:
+        |  click: { code: click }
+        |  purchase: { code: purchase }
+        |trigger: click
+        |windows:
+        |  target:
+        |    start: trigger
+        |    end: start + 24h
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    label: purchase
+        |    index_timestamp: end
+        |""".stripMargin)
+
+    val outDir = dir.resolve("out").toString
+    Run.main(Array(
+      "--config", yaml.toString,
+      "--data", dir.resolve("data").toString,
+      "--standard", "meds",
+      "--shard-mode", "per-shard",
+      "--output", outDir))
+
+    assert(Run.expandShards(dir.resolve("data").toString).map(_._1) ==
+      Seq("train/0", "train/1"))
+    val s0 = spark.read.parquet(s"$outDir/train/0.parquet")
+    val s1 = spark.read.parquet(s"$outDir/train/1.parquet")
+    assert(s0.select("subject_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(s1.select("subject_id").distinct().collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(s0.filter(col("boolean_value")).count() == 1) // subj 1 purchased in window
+    assert(s1.filter(col("boolean_value")).count() == 0)
+  }
 }
