@@ -67,6 +67,61 @@ object ExtractSubtree {
 
     if (subtree.children.isEmpty) return anchors
 
+    val anchorKeysShared = anchors.select("subject_id", "subtree_anchor_timestamp")
+
+    // Sibling fusion: ≥2 NON-LEAF temporal children of this node each need
+    // a full-frame window pass + anchor join + lineage cut. All their
+    // prefix-sum frames share (partitionBy subject, orderBy ts), so ONE
+    // WindowExec pass computes every sibling's sums; one anchor join and
+    // one checkpoint then serve them all (per-child constraints are cheap
+    // filters over the shared materialized frame). Leaf children keep the
+    // uncheckpointed fast path below.
+    val fusableTemporal: Seq[(WindowNode, TemporalBounds)] = subtree.children.flatMap { c =>
+      if (c.children.isEmpty) None
+      else c.endpointExpr.map(_.withAddedOffset(rootOffsetUs)).collect { case tb: TemporalBounds => (c, tb) }
+    }
+    val fusedSummaries: Map[String, DataFrame] =
+      if (fusableTemporal.size < 2) Map.empty
+      else {
+        import graft.operators.TemporalWindowAgg.TsUs
+        val withTs =
+          if (predicatesDf.columns.contains(TsUs)) predicatesDf
+          else predicatesDf.withColumn(TsUs, unix_micros(col("timestamp")))
+        val fusedCols = fusableTemporal.zipWithIndex.flatMap { case ((_, tb), i) =>
+          val (lo, hi) = tb.inclusiveFrame
+          val sums =
+            if (lo > hi) predCols.map(c => lit(0L).as(s"__f${i}_$c"))
+            else {
+              val wHi = org.apache.spark.sql.expressions.Window
+                .partitionBy("subject_id").orderBy(TsUs)
+                .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, hi)
+              val wLo = org.apache.spark.sql.expressions.Window
+                .partitionBy("subject_id").orderBy(TsUs)
+                .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, lo - 1)
+              predCols.map(c =>
+                (coalesce(sum(col(c)).over(wHi), lit(0L)) -
+                  coalesce(sum(col(c)).over(wLo), lit(0L))).cast("long").as(s"__f${i}_$c"))
+            }
+          sums ++ Seq(
+            timestamp_micros(col(TsUs) + lit(tb.offsetMicros)).as(s"__f${i}_ts_start"),
+            timestamp_micros(col(TsUs) + lit(tb.offsetMicros + tb.windowMicros)).as(s"__f${i}_ts_end"))
+        }
+        val fused = withTs
+          .select(Seq(col("subject_id"), col("timestamp").as("subtree_anchor_timestamp")) ++ fusedCols: _*)
+          .join(anchorKeysShared, Seq("subject_id", "subtree_anchor_timestamp"), "inner")
+        val shared = maybeCheckpoint(fused)
+        fusableTemporal.zipWithIndex.map { case ((child, _), i) =>
+          child.name -> shared.select(
+            Seq(
+              col("subject_id"),
+              col("subtree_anchor_timestamp"),
+              col("subtree_anchor_timestamp").as("child_anchor_timestamp"),
+              col(s"__f${i}_ts_start").as("timestamp_at_start"),
+              col(s"__f${i}_ts_end").as("timestamp_at_end")) ++
+              predCols.map(c => col(s"__f${i}_$c").as(c)): _*)
+        }.toMap
+      }
+
     val childResults = subtree.children.map { child =>
       // Step 1: summarize the window from subtree root to this child, with
       // the accumulated parent offset applied (copy, never mutate — the
@@ -75,14 +130,26 @@ object ExtractSubtree {
         .getOrElse(throw new IllegalStateException(s"Node '${child.name}' lacks endpoint expr"))
         .withAddedOffset(rootOffsetUs)
 
-      val (childRootOffsetUs, windowSummary0) = endpoint match {
-        case tb: TemporalBounds =>
+      val fused = fusedSummaries.get(child.name)
+      val (childRootOffsetUs, atAnchors) = (endpoint, fused) match {
+        case (tb: TemporalBounds, Some(shared)) =>
+          // Anchor join + lineage cut already happened in the fused pass.
+          (rootOffsetUs + tb.windowMicros, shared)
+        case (tb: TemporalBounds, None) =>
           val s = TemporalWindowAgg(predicatesDf, tb)
             .withColumn("subtree_anchor_timestamp", col("timestamp"))
             .withColumn("child_anchor_timestamp", col("timestamp"))
             .drop("timestamp")
-          (rootOffsetUs + tb.windowMicros, s)
-        case eb: EventBounds =>
+          // Step 2: keep summaries only at valid anchor rows. Both sides
+          // are hash-partitioned by subject_id (window output / previous
+          // level), so this equi-join needs no new shuffle; AQE converts
+          // it to a broadcast join at runtime when the anchor side turns
+          // out small. Deliberately unhinted: at scale the anchor set
+          // (e.g. trigger = _ANY_EVENT) can be as large as the event
+          // stream itself.
+          (rootOffsetUs + tb.windowMicros,
+            s.join(anchorKeysShared, Seq("subject_id", "subtree_anchor_timestamp"), "inner"))
+        case (eb: EventBounds, _) =>
           // Event-bound child anchors are proper extant events → offset resets.
           val childAnchorTime =
             if (eb.endEvent.startsWith("-")) "timestamp_at_start" else "timestamp_at_end"
@@ -90,18 +157,9 @@ object ExtractSubtree {
             .withColumn("subtree_anchor_timestamp", col("timestamp"))
             .withColumn("child_anchor_timestamp", col(childAnchorTime))
             .drop("timestamp")
-          (0L, s)
+          (0L,
+            s.join(anchorKeysShared, Seq("subject_id", "subtree_anchor_timestamp"), "inner"))
       }
-
-      // Step 2: keep summaries only at valid anchor rows. Both sides are
-      // hash-partitioned by subject_id (window output / previous level), so
-      // this equi-join needs no new shuffle; AQE converts it to a broadcast
-      // join at runtime when the anchor side turns out small. Deliberately
-      // unhinted: at scale the anchor set (e.g. trigger = _ANY_EVENT) can be
-      // as large as the event stream itself.
-      val anchorKeys = anchors.select("subject_id", "subtree_anchor_timestamp")
-      val atAnchors =
-        windowSummary0.join(anchorKeys, Seq("subject_id", "subtree_anchor_timestamp"), "inner")
 
       val constrained = Constraints.checkConstraints(child.constraints, atAnchors)
 
@@ -124,7 +182,9 @@ object ExtractSubtree {
           .select(col("subject_id"), col("subtree_anchor_timestamp"), summaryStruct)
       } else {
         // Step 3b: cut lineage — this summary feeds three consumers below.
-        val windowSummary = maybeCheckpoint(constrained)
+        // (Fused children are already materialized pre-constraint; the
+        // per-child constraint filter is a cheap narrow op over it.)
+        val windowSummary = if (fused.isDefined) constrained else maybeCheckpoint(constrained)
 
         // Step 4: child anchor realizations.
         val childAnchors = windowSummary
