@@ -119,12 +119,15 @@ object Dedup {
     val rowsPerBand = numHashes / bands
 
     // Shingle arrays are consumed twice (verification join per pair side) —
-    // persist so shingling runs once. collect_set order is arbitrary;
-    // array_intersect/array_union sizes are order-invariant.
-    val shingled = shingleRows(docs, shingleN, textCol, idCol)
-      .groupBy("doc_id")
-      .agg(collect_set(col("s")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cut lineage so shingling runs once. Materialize (not persist): blocks
+    // are freed by the ContextCleaner when the frame goes out of scope,
+    // where a CacheManager entry would leak per call and mask timings of
+    // later runs. collect_set order is arbitrary; array_intersect/
+    // array_union sizes are order-invariant.
+    val shingled = graft.plans.Materialize(
+      shingleRows(docs, shingleN, textCol, idCol)
+        .groupBy("doc_id")
+        .agg(collect_set(col("s")).as("sh")))
 
     // Band rows: hash each signature slice to one bucket key per band.
     // Signatures come from the codegen'd explode+aggregate path; the band
