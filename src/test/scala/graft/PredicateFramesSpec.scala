@@ -42,6 +42,21 @@ class PredicateFramesSpec extends SparkSpec {
     ).sorted)
   }
 
+  test("collapse: skew-safe and direct modes produce identical frames") {
+    import spark.implicits._
+    val raw = (1 to 500).map { i =>
+      (i % 7L, f"1989-01-01 ${i % 24}%02d:00", (i % 3).toLong, 1L)
+    }.toDF("subject_id", "timestamp", "a", "b")
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+
+    val skewSafe = snap(PredicateFrames.collapse(raw, Seq("a", "b")))
+    spark.conf.set("spark.graft.collapse", "direct")
+    val direct =
+      try snap(PredicateFrames.collapse(raw, Seq("a", "b")))
+      finally spark.conf.unset("spark.graft.collapse")
+    assert(skewSafe.nonEmpty && skewSafe == direct)
+  }
+
   test("ESGPT loader: 3-table join + static rows (predicates.py:312-365)") {
     import spark.implicits._
     val subjects = Seq((1L, "A123", "brown"), (2L, "B456", "blue"))
