@@ -30,11 +30,19 @@ object ScaleProbe {
         SparkSession.builder()
           .master("local[32]")
           .config("spark.sql.shuffle.partitions", "64")
+          // The ~130 MB single-file probe input would scan as 4 tasks at
+          // the 128 MB default — probe-local parallelism knob only (a real
+          // cluster's many files parallelize naturally and a lower global
+          // value would explode task counts at 100 TB).
+          .config("spark.sql.files.maxPartitionBytes", "16m")
           .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaled = s"/tmp/graft_scale_${replication}x" + (if (skew) "_skew" else "")
+    // v2: written as 64 files — a 100 TB corpus arrives as many files; a
+    // 4-file input caps the initial scan at 4 tasks and measures the
+    // writer's layout, not the engine.
+    val scaled = s"/tmp/graft_scale_v2_${replication}x" + (if (skew) "_skew" else "")
     if (!new java.io.File(scaled, "_SUCCESS").exists()) {
       val base = Tables.events(spark, "/root/testdata/sf0.1")
       val rep = base
@@ -53,7 +61,7 @@ object ScaleProbe {
           "subject_id",
           when(pmod(hash(col("subject_id"), col("timestamp")), lit(10)) === 0, lit(42L))
             .otherwise(col("subject_id")))
-      out.write.mode("overwrite").parquet(scaled)
+      out.repartition(64).write.mode("overwrite").parquet(scaled)
     }
 
     val cfg = TaskConfig.fromYaml(flagshipYaml)
@@ -81,12 +89,14 @@ object ScaleProbe {
       (nRows, (System.nanoTime() - t0) / 1e9)
     }
 
-    run() // warm-up
+    run() // warm-up (JIT + file listing)
     record = true
-    val (rows, secs) = run()
+    // Best of 3: this box is shared and same-config runs vary ±50%; every
+    // run is a full end-to-end execution (Query releases its own caches).
+    val (rows, secs) = (1 to 3).map(_ => run()).minBy(_._2)
     record = false
     println(f"[scale-probe] replication=${replication}x skew=$skew checkpoint=${!noCheckpoint} " +
-      f"rows=$rows wall=${secs}%.1f s throughput=${rows / secs / 1e6}%.3f M rows/s")
+      f"rows=$rows wall=${secs}%.1f s (best of 3) throughput=${rows / secs / 1e6}%.3f M rows/s")
     if (printStages) {
       import scala.jdk.CollectionConverters._
       val ts = stageTimes.asScala.toSeq.sortBy(-_._3)
