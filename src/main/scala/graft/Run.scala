@@ -32,7 +32,29 @@ import graft.sources.{PredicateFrames, Tables}
   * categorical_value; reference run.py:22-32), raw result otherwise.
   */
 object Run {
+  val usage: String =
+    """Usage: graft.Run --config TASK.yaml --data PATH [options]
+      |
+      |Required:
+      |  --config PATH        task configuration YAML
+      |  --data PATH          input data: file, directory, or glob; an ESGPT
+      |                       dataset directory for --standard esgpt
+      |Options:
+      |  --standard S         meds (default) | direct | esgpt
+      |  --predicates PATH    predicates override/fleshing-out YAML
+      |  --ts-format FMT      timestamp format for direct string timestamps
+      |                       (Spark or Python strptime pattern)
+      |  --output PATH        output parquet (default /tmp/graft_result.parquet)
+      |  --shard-mode MODE    per-shard: one output per input shard at
+      |                       <output>/<shard>.parquet (expand_shards naming)
+      |  --window-stats DIR   also write the full per-window summary frame
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || args.contains("--help") || args.contains("-h")) {
+      println(usage)
+      return
+    }
     val opts = parseArgs(args)
     val configPath = opts.getOrElse("config", sys.error("--config is required"))
     val dataPath = opts.getOrElse("data", sys.error("--data is required"))
@@ -105,6 +127,21 @@ object Run {
     walk(rootFile).map { f =>
       val rel = rootFile.toPath.relativize(f.toPath).toString
       rel.replaceAll("\\.parquet$", "") -> f.getPath
+    }
+  }
+
+  /** Reference `expand_shards` parity (expand_shards.py:9-76): `prefix/N`
+    * or `prefix_N` expands to `prefix{/|_}0 .. N-1`; a directory expands to
+    * the extension-less relative paths of every parquet shard beneath it.
+    */
+  def expandShardNames(args: Seq[String]): Seq[String] = {
+    val pat = "(.+)([/_])(\\d+)".r
+    args.flatMap { arg =>
+      if (new java.io.File(arg).isDirectory) expandShards(arg).map(_._1)
+      else arg match {
+        case pat(prefix, delim, num) => (0 until num.toInt).map(i => s"$prefix$delim$i")
+        case _ => throw new IllegalArgumentException(s"Invalid shard format: $arg")
+      }
     }
   }
 

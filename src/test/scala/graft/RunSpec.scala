@@ -36,6 +36,28 @@ class RunSpec extends SparkSpec {
     assert(row.getAs[Long]("label") == 0L)
   }
 
+  test("expandShardNames ports the reference doctests (expand_shards.py:28-55)") {
+    assert(Run.expandShardNames(Seq("train/4", "val/IID/1", "val/prospective/1")) ==
+      Seq("train/0", "train/1", "train/2", "train/3", "val/IID/0", "val/prospective/0"))
+    assert(Run.expandShardNames(Seq("data/data_4", "data/test_4")) ==
+      Seq("data/data_0", "data/data_1", "data/data_2", "data/data_3",
+        "data/test_0", "data/test_1", "data/test_2", "data/test_3"))
+    intercept[IllegalArgumentException](Run.expandShardNames(Seq("train.invalid")))
+    // Directory form: extension-less relative parquet paths.
+    val dir = Files.createTempDirectory("graft_expand")
+    Files.createDirectories(dir.resolve("evens/0"))
+    Seq("1.parquet", "3.parquet", "evens/0/file_0.parquet", "4.json")
+      .foreach(f => Files.writeString(dir.resolve(f), ""))
+    assert(Run.expandShardNames(Seq(dir.toString)).sorted ==
+      Seq("1", "3", "evens/0/file_0"))
+  }
+
+  test("Run --help prints usage (tests/test_help_message.py)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(buf)(Run.main(Array("--help")))
+    assert(buf.toString.contains("--config") && buf.toString.contains("--standard"))
+  }
+
   test("per-shard output mode mirrors expand_shards naming (expand_shards.py)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
