@@ -126,17 +126,24 @@ object PredicateFrames {
     }
     val predCols = predicates.map(_._1)
     val measCols = predCols.filter(meas.columns.contains)
-    val measAgg = meas
-      .groupBy("event_id")
-      .agg(measCols.map(c => sum(col(c)).cast(LongType).as(c)).head,
-        measCols.map(c => sum(col(c)).cast(LongType).as(c)).tail: _*)
 
     val predMap = predicates.toMap
     val dynamic = predCols.filterNot(c => predMap(c).static)
     val static = predCols.filter(c => predMap(c).static)
 
-    val data = events
-      .join(measAgg, Seq("event_id"), "left")
+    // No measurement-level predicates (event_type/static only) → no
+    // aggregation or join against the measurements table at all.
+    val eventsJoined =
+      if (measCols.isEmpty) events
+      else {
+        val measAgg = meas
+          .groupBy("event_id")
+          .agg(measCols.map(c => sum(col(c)).cast(LongType).as(c)).head,
+            measCols.map(c => sum(col(c)).cast(LongType).as(c)).tail: _*)
+        events.join(measAgg, Seq("event_id"), "left")
+      }
+
+    val data = eventsJoined
       .select(
         Seq(col("subject_id"), col("timestamp").cast(TimestampType)) ++
           dynamic.map(c => coalesce(col(c), lit(0L)).as(c)) ++

@@ -55,6 +55,31 @@ class EsgptDirSpec extends SparkSpec {
     assert(vcs == Map("high_spo2" -> "lab_value"))
   }
 
+  test("full ESGPT cohort task end-to-end (admission -> discharge stay)") {
+    assume(new java.io.File(s"$dir/events_df.parquet").exists())
+    val yaml =
+      """predicates:
+        |  admission: { code: event_type//ADMISSION }
+        |  discharge: { code: event_type//DISCHARGE }
+        |trigger: admission
+        |windows:
+        |  stay:
+        |    start: trigger
+        |    end: start -> discharge
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    label: discharge
+        |""".stripMargin
+    val cfg = graft.config.TaskConfig.fromYaml(yaml)
+    val plain = PredicateFrames.fromEsgptDir(spark, dir, cfg.plainPredicates.toSeq)
+    val result = Query(cfg, PredicateFrames.finalize(cfg, plain)).cache()
+    // Independently computed with DuckDB over the same parquet: 194
+    // admissions, every one bounded by a discharge, exactly one discharge
+    // per stay window.
+    assert(result.count() == 194)
+    assert(result.agg(sum("label")).head().getLong(0) == 194L)
+  }
+
   test("directory path == API-level fromEsgpt path") {
     assume(new java.io.File(s"$dir/events_df.parquet").exists())
     val viaDir = PredicateFrames.fromEsgptDir(spark, dir, predicates)
