@@ -437,12 +437,17 @@ object QueryCatalog {
         |AS last_purchase_ts FROM p ORDER BY 1, 2""".stripMargin)),
 
     Q("bfill_over_subject", (s, dir) => {
-      val w = Window.partitionBy("subject_id").orderBy("timestamp")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // Backward fill via a DESCENDING growing frame (= forward fill in
+      // reverse order): Spark evaluates (currentRow, unboundedFollowing)
+      // frames by re-scanning the remaining partition per row — O(n²) on a
+      // heavy subject — while growing frames are incremental O(n). Same
+      // idiom as EventBoundAgg's backward bound lookup.
+      val w = Window.partitionBy("subject_id").orderBy(col("timestamp").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       preds(s, dir)
         .withColumn("v", when(col("is_purchase") > 0, col("timestamp")))
         .select(col("subject_id"), col("timestamp"),
-          first(col("v"), ignoreNulls = true).over(w).as("next_purchase_ts"))
+          last(col("v"), ignoreNulls = true).over(w).as("next_purchase_ts"))
         .orderBy("subject_id", "timestamp")
     }, Some(predsCte +
       """SELECT subject_id, timestamp,
