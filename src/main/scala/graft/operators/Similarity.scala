@@ -16,8 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns (double math), via the
+    * codegen'd `FloatVectorCosine` expression — the higher-order
+    * `zip_with`/`aggregate` formulation evaluates interpreted per element,
+    * which dominates candidate scoring at corpus scale.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.cosine(a, b)
+
+  /** The interpreted higher-order formulation, kept as the semantic
+    * cross-check for the native expression (ExtensionsSpec asserts
+    * agreement). Products round through float here, so low bits differ
+    * from the double-math expression.
+    */
+  private[graft] def cosineInterpreted(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))

@@ -1,0 +1,71 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding-vector math.
+  *
+  * Spark evaluates higher-order array lambdas (`zip_with` + `aggregate`)
+  * INTERPRETED, one function call per element — at 768-dim × billions of
+  * candidate pairs that is the hot path of every similarity/near-dup
+  * operator. This binary expression generates a tight fused Java loop
+  * inside whole-stage codegen instead (the preference order for custom
+  * ops: compose built-ins < native codegen Expression < UDF).
+  *
+  * Lives under `org.apache.spark.sql` because the expression-authoring
+  * surface (`AbstractDataType`, `ExpressionUtils.column`) is
+  * `private[sql]` — the standard extension-library arrangement; no Spark
+  * code is modified or shadowed.
+  *
+  * Math is pure double (products included), matching what DuckDB computes
+  * for `list_cosine_similarity(CAST(... AS DOUBLE[]))` — the oracle
+  * harness's formulation.
+  */
+case class FloatVectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double dot = 0.0, na = 0.0, nb = 0.0;
+      |for (int i = 0; i < n; i++) {
+      |  double x = (double) $a.getFloat(i);
+      |  double y = (double) $b.getFloat(i);
+      |  dot += x * y; na += x * x; nb += y * y;
+      |}
+      |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Codegen'd cosine similarity of two `array<float>` columns. */
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVectorCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -122,6 +122,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
   }
 
+  test("codegen'd cosine expression agrees with the interpreted formulation") {
+    val pairs = emb.limit(50).select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.limit(50).select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val diffs = pairs.select(
+      abs(Similarity.cosine(col("va"), col("vb")) -
+        Similarity.cosineInterpreted(col("va"), col("vb"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    // interpreted path rounds products through float; double-math expression differs only in low bits
+    assert(diffs < 1e-6, s"max |codegen - interpreted| = $diffs")
+  }
+
   test("embedding near-dup LSH is a high-recall subset of the exact pairs") {
     val t = 0.35
     val exact = Dedup.embeddingNearDupExact(emb, t)
