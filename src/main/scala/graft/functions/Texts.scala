@@ -5,8 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, shingling, language-ID heuristics, quality scoring and
-  * fingerprinting. All pure `Column` expressions — whole-stage-codegen,
-  * no UDFs, no shuffles.
+  * fingerprinting. All pure `Column` expressions, no UDFs, no shuffles.
+  *
+  * Codegen caveat: the helpers built on higher-order array lambdas
+  * (`shingles`, `fingerprint`, `simhash64`) evaluate INTERPRETED per
+  * element — fine as per-document scalar features, but corpus-scale
+  * signature pipelines route through the explode + hash-aggregate
+  * variants in [[graft.operators.Dedup]] (`shingleRows`,
+  * `minhashSignatures`, `simhashSignatures`) instead. The regex/array
+  * built-ins (`tokens`, `wordCount`, `qualityMetrics`, `langId`) are
+  * fully codegen'd.
   */
 object Texts {
 
