@@ -79,14 +79,28 @@ object Similarity {
     when(dot >= 0, lit(1L)).otherwise(lit(0L))
   }
 
+  /** Assign every vector to its max-cosine centroid (broadcast join). */
+  private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    base
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("__rk", row_number().over(wAssign))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("v"), col("cid"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors.
     *
-    * Fit: `nlist` centroids chosen deterministically as the vectors with
-    * the smallest `xxhash64(id)` (a seedless pseudo-random sample — a real
-    * deployment would run a few k-means refinement passes over the same
-    * join). Assign: each vector to its max-cosine centroid. Probe: each
-    * query scans only the `nprobe` clusters whose centroids score highest,
-    * then exact cosine + per-query top-k.
+    * Fit: `nlist` seed centroids chosen deterministically as the vectors
+    * with the smallest `xxhash64(id)` (a seedless pseudo-random sample),
+    * then `refineIters` Lloyd iterations: assign all vectors to their
+    * max-cosine centroid, recompute each centroid as the element-wise
+    * cluster mean (posexplode → per-(cluster, dim) avg → re-assemble —
+    * one explode-shuffle of dim × N rows per iteration, the standard
+    * distributed k-means cost). Assign: each vector to its max-cosine
+    * centroid. Probe: each query scans only the `nprobe` clusters whose
+    * centroids score highest, then exact cosine + per-query top-k.
     *
     * The centroid table stays tiny (`nlist` rows) and is broadcast on both
     * the assignment and probe joins; the corpus is never shuffled beyond
@@ -97,24 +111,35 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
+      refineIters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    val centroids = base
+    var centroids = base
       .withColumn("__h", xxhash64(col("id")))
       .orderBy("__h")
       .limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"))
 
-    val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
-    val assigned = base
-      .crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("__rk", row_number().over(wAssign))
-      .filter(col("__rk") === 1)
-      .select(col("id"), col("v"), col("cid"))
+    // Lloyd refinement. Centroid means are float-cast so `cv` keeps the
+    // array<float> type the cosine expression expects; empty clusters
+    // simply drop out (their seed stops attracting vectors).
+    for (_ <- 1 to math.max(0, refineIters)) {
+      centroids = assignToCentroids(base, centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(collect_list(struct(col("pos"), col("m"))).as("dims"))
+        .select(
+          col("cid"),
+          transform(array_sort(col("dims")), d => d.getField("m").cast("float")).as("cv"))
+      centroids = graft.plans.Materialize(centroids, eager = true)
+    }
+
+    val assigned = assignToCentroids(base, centroids)
 
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
     val probes = base
