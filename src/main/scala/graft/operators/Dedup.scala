@@ -19,10 +19,25 @@ object Dedup {
 
   /** Exact duplicate groups by full text equality: one representative
     * (min doc_id) per group plus the duplicate count.
+    *
+    * Shuffles the full text as the group key — exact and SQL-oracle
+    * friendly; prefer [[exactByHash]] at corpus scale.
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .select(col("keep_id"), col("n_docs"))
+
+  /** Exact-dedup scale shape: group on (xxhash64(text), length(text)) —
+    * the shuffle carries 16 bytes per document instead of the document.
+    * A collision would need equal 64-bit hashes AND equal lengths on
+    * different texts (~2⁻⁶⁴ per candidate pair); deployments that must
+    * be collision-proof re-verify groups with a second keyed hash.
+    */
+  def exactByHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__len"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
       .select(col("keep_id"), col("n_docs"))
 

@@ -122,6 +122,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
   }
 
+  test("hash-keyed exact dedup equals full-text exact dedup") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Dedup.exact(docs)) == rows(Dedup.exactByHash(docs)))
+  }
+
   test("codegen'd cosine expression agrees with the interpreted formulation") {
     val pairs = emb.limit(50).select(col("vec_id").as("ia"), col("embedding").as("va"))
       .crossJoin(emb.limit(50).select(col("vec_id").as("ib"), col("embedding").as("vb")))
