@@ -12,7 +12,8 @@ object GoldenFormat {
 
   /** The catalog entries covered by golden fixtures. */
   val goldenNames: Seq[String] =
-    Seq("dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "text_fingerprint")
+    Seq("dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
+      "sim_ann_lsh", "sim_ann_ivf", "text_fingerprint")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

@@ -624,6 +624,14 @@ object QueryCatalog {
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
              |SELECT doc_a, doc_b, ROUND(c, 3) AS cos FROM p WHERE c >= 0.4 ORDER BY 1, 2""".stripMargin)),
 
+    Q("dedup_embedding_lsh", (s, dir) =>
+      // The LSH-bucketed scale path (hash-seeded → golden-fixture oracle;
+      // recall-vs-exact asserted in ExtensionsSpec).
+      Dedup.embeddingNearDup(emb(s, dir), threshold = 0.4, bands = 32, bitsPerBand = 2)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 3).as("cos"))
+        .orderBy("doc_a", "doc_b"),
+      None),
+
     Q("dedup_ngram_jaccard", (s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
