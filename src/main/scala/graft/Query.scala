@@ -70,7 +70,17 @@ object Query {
       .checkConstraints(Map(cfg.trigger.predicate -> (Some(1L), None)), filtered)
       .select(col("subject_id"), col("timestamp").as("subtree_anchor_timestamp"))
 
-    val extracted = ExtractSubtree(cfg.windowTree, anchors, filtered)
+    // Subjects with no trigger event can never contribute a cohort row
+    // (every window is anchored per subject), so prune them from the frame
+    // every window pass reads. The semi-join is co-partitioned with the
+    // cache (no shuffle) and costs a hash probe per row; for a selective
+    // trigger (e.g. one diagnosis code) it drops most of a 100 TB corpus
+    // before any window work. The reference has no such pruning — it
+    // aggregates the full frame per edge.
+    val anchorSubjects = anchors.select("subject_id").distinct()
+    val pruned = filtered.join(anchorSubjects, Seq("subject_id"), "left_semi")
+
+    val extracted = ExtractSubtree(cfg.windowTree, anchors, pruned)
 
     val result = extracted.withColumnRenamed("subtree_anchor_timestamp", "trigger")
 
