@@ -92,6 +92,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("triggerWindowCounts tolerates out-of-order arrival within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Long, Long)]
+    val events = input.toDF().toDF("subject_id", "timestamp", "is_click", "is_buy")
+      .withWatermark("timestamp", "2 hours")
+      .select(col("subject_id"), col("timestamp"),
+        array(col("is_click"), col("is_buy")).as("counts"))
+      .as[StreamingPredicates.TimedEvent]
+
+    val out = StreamingPredicates.triggerWindowCounts(
+      events, nPreds = 2, triggerIdx = 0, horizonMicros = 3600L * 1000000L)
+    val query = out.writeStream
+      .format("memory").queryName("trig_win_ooo").outputMode("append").start()
+    try {
+      // Window contents arrive BEFORE the trigger, in a later batch order.
+      input.addData((1L, ts("2024-01-01 10:40:00"), 0L, 1L))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:10:00"), 0L, 1L)) // late but within watermark
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1L, 0L)) // the trigger, latest arrival
+      query.processAllAvailable()
+      // advance watermark past 11:00 + 2h lateness, plus a batch for the timeout
+      input.addData((1L, ts("2024-01-01 13:30:00"), 0L, 0L))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 14:00:00"), 0L, 0L))
+      query.processAllAvailable()
+
+      val rows = spark.table("trig_win_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3).toList))
+      assert(rows.toSeq == Seq((1L, ts("2024-01-01 10:00:00").getTime * 1000L,
+        List(0L, 2L))), s"got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("cumulativeCounts keeps running per-subject totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
