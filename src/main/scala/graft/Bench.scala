@@ -30,13 +30,19 @@ object Bench {
 
     // Warm-up: JIT + file listing across the widest code path (the
     // flagship exercises scans, collapse, windows, joins, checkpoints).
+    // A warm-up failure is a loud signal the flagship itself is broken —
+    // surface the stack instead of letting the timed run print -1 mutely.
     try fns("aces_flagship")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARM-UP FAILED — flagship is broken: $e")
+      e.printStackTrace()
+    }
 
     // Best of 2 runs per query: this box is shared and noisy (same-config
     // runs vary ±50%); the minimum is the standard noise-robust estimator
     // and every run is a full end-to-end execution (no cross-run caches —
-    // Query releases its own).
+    // Query releases its own). A query that failed EITHER run reports -1:
+    // a flaky query must not produce a clean-looking timing.
     val results = names.map { name =>
       def once(): Double =
         try {
@@ -45,14 +51,26 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
       val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+    println(json)
+    // Also write the JSON to a file: the driver scrapes the sbt log tail and
+    // both BENCH_r01/r02 artifacts recorded "parsed": null. A file is exact.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

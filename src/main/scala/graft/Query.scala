@@ -112,7 +112,7 @@ object Query {
     // cache entry per query run — BENCH_r01's "Asked to cache already
     // cached data" tail — and masks timing. Mirrors the reference's eager
     // execution (query() returns a computed frame, query.py:142-151).
-    if (ExtractSubtree.checkpointLevels) {
+    if (graft.plans.Materialize.mode(projected) != "off") {
       val result = graft.plans.Materialize(projected, eager = true)
       filtered.unpersist(blocking = false)
       result
@@ -130,10 +130,17 @@ object Query {
     Seq("index_timestamp" -> "prediction_time", "label" -> "boolean_value").foreach {
       case (from, to) => if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
     }
-    // Mandatory column: hard error (reference: run.py:91-99).
-    if (!df.columns.contains("subject_id"))
-      throw new IllegalArgumentException(
-        "MEDS Label DataFrame must have a 'subject_id' column of type Int64.")
+    // Mandatory column — unless the result is EMPTY, in which case the
+    // reference warns and emits an empty frame with a null Int64
+    // subject_id instead of failing the pipeline (run.py:154-160).
+    // The emptiness check runs a job, but only on this degenerate path.
+    if (!df.columns.contains("subject_id")) {
+      if (!df.isEmpty)
+        throw new IllegalArgumentException(
+          "MEDS Label DataFrame must have a 'subject_id' column of type Int64.")
+      log.warn("Output dataframe is empty; adding an empty patient ID column.")
+      df = df.withColumn("subject_id", lit(null).cast(LongType)).limit(0)
+    }
     // Missing prediction time: warn, proceed (reference: run.py:84-89).
     if (!df.columns.contains("prediction_time"))
       log.warn(

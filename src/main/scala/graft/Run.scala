@@ -88,10 +88,13 @@ object Run {
         sys.error(s"Invalid data standard: $other. Options are 'direct', 'MEDS', 'ESGPT'.")
     }
 
-    def runOne(path: String, out: String): Long = {
+    def runOne(path: String, out: String, shard: Option[String] = None): Long = {
       val result = Query(cfg, PredicateFrames.finalize(cfg, loadPlain(path)))
       opts.get("window-stats").foreach { dir =>
-        result.write.mode("overwrite").parquet(dir)
+        // Per-shard runs each get their own stats subdirectory; a shared
+        // mode("overwrite") target would keep only the last shard's stats.
+        val statsDir = shard.fold(dir)(s => s"$dir/$s")
+        result.write.mode("overwrite").parquet(statsDir)
       }
       val coerced = if (standard == "meds") Query.toMedsLabels(result) else result
       coerced.write.mode("overwrite").parquet(out)
@@ -102,7 +105,7 @@ object Run {
       val shards = expandShards(dataPath)
       require(shards.nonEmpty, s"No parquet shards found under $dataPath")
       shards.foreach { case (name, path) =>
-        val n = runOne(path, s"$outPath/$name.parquet")
+        val n = runOne(path, s"$outPath/$name.parquet", Some(name))
         println(s"[graft.Run] shard $name: wrote $n rows to $outPath/$name.parquet")
       }
     } else {

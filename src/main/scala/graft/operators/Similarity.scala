@@ -161,16 +161,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed approximate nearest neighbors: `bands` signatures of
-    * `bitsPerBand` hyperplane bits each; vectors sharing any band bucket
-    * become candidates, then exact cosine + per-query top-k.
-    *
-    * Scale shape (mirrors [[Dedup.minhashLsh]]): the candidate join and
-    * the pair dedup shuffle ONLY (band, bucket, id) / (query_id,
-    * neighbor_id) — at 1B×768-dim, carrying vector payloads through those
-    * shuffles would dominate the exchange; instead the (much smaller)
-    * deduped pair set re-joins the vectors before scoring.
-    */
   /** (id, band, bucket) rows from banded random-hyperplane signatures —
     * the shared LSH bucketing for ANN top-k and embedding near-dup.
     * Carries ids only; vectors are dropped before any shuffle.
@@ -192,6 +182,16 @@ object Similarity {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
+  /** LSH-bucketed approximate nearest neighbors: `bands` signatures of
+    * `bitsPerBand` hyperplane bits each; vectors sharing any band bucket
+    * become candidates, then exact cosine + per-query top-k.
+    *
+    * Scale shape (mirrors [[Dedup.minhashLsh]]): the candidate join and
+    * the pair dedup shuffle ONLY (band, bucket, id) / (query_id,
+    * neighbor_id) — at 1B×768-dim, carrying vector payloads through those
+    * shuffles would dominate the exchange; instead the (much smaller)
+    * deduped pair set re-joins the vectors before scoring.
+    */
   def lshTopK(
       vectors: DataFrame,
       k: Int,

@@ -34,20 +34,14 @@ final case class WindowNode(
   */
 object ExtractSubtree {
 
-  /** Whether to cut lineage at each recursion level. On for real queries;
-    * tests on tiny data may disable to keep plans inspectable.
-    * (Storage mode — local vs reliable — comes from `spark.graft.checkpoint`,
-    * see [[Materialize]].)
-    */
-  @volatile var checkpointLevels: Boolean = true
-
   /** Lazy checkpoint: materialized on first action and reused by every
     * consumer (each level's summary has three — child anchors, the
     * re-anchor join, and the struct summary), without the serial eager
-    * pass per recursion level.
+    * pass per recursion level. Mode (local / reliable / off) comes from
+    * the single `spark.graft.checkpoint` conf, see [[Materialize]] —
+    * tests on tiny data set `off` to keep plans inspectable.
     */
-  private def maybeCheckpoint(df: DataFrame): DataFrame =
-    if (checkpointLevels) Materialize(df) else df
+  private def maybeCheckpoint(df: DataFrame): DataFrame = Materialize(df)
 
   /** @param anchors DataFrame(subject_id, subtree_anchor_timestamp) of valid
     *                realizations of this subtree's root.

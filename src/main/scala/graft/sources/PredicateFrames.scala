@@ -174,21 +174,35 @@ object PredicateFrames {
     // ESGPT datasets are written by polars' arrow2 writer, whose
     // dictionary-encoded string pages trip parquet-mr's VECTORIZED reader
     // (EOFException); the row-based reader handles them. The conf is
-    // consulted at execution, so materialize the (column-pruned) predicate
-    // frame eagerly while the row-based reader is active — the eager load
-    // also mirrors the reference (EventStream Dataset.load is eager).
+    // consulted at execution time, so a lazily-recomputed frame (partition
+    // loss, caller unpersist) would re-scan with the vectorized reader
+    // after the conf is restored. Instead, STAGE the (column-pruned)
+    // predicate frame through Spark-written parquet while the row-based
+    // reader is active: the returned frame scans Spark's own files, which
+    // every reader handles, so recomputation is always safe and no cache
+    // is leaked. The eager write also mirrors the reference (EventStream
+    // Dataset.load is eager). On a cluster, point
+    // `spark.graft.esgpt.staging` at shared storage.
     val key = "spark.sql.parquet.enableVectorizedReader"
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
-    try {
-      val subjects = spark.read.parquet(s"$path/subjects_df.parquet")
-      val events = spark.read.parquet(s"$path/events_df.parquet")
-      val meas = spark.read.parquet(s"$path/dynamic_measurements_df.parquet")
-      val out = fromEsgpt(subjects, events, meas, esgptValueColumns(spark, path, predicates), predicates)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      out
-    } finally spark.conf.set(key, prev)
+    val staged =
+      try {
+        val subjects = spark.read.parquet(s"$path/subjects_df.parquet")
+        val events = spark.read.parquet(s"$path/events_df.parquet")
+        val meas = spark.read.parquet(s"$path/dynamic_measurements_df.parquet")
+        val out = fromEsgpt(
+          subjects, events, meas, esgptValueColumns(spark, path, predicates), predicates)
+        val staging = spark.conf.getOption("spark.graft.esgpt.staging").getOrElse {
+          val d = java.nio.file.Files.createTempDirectory("graft_esgpt_")
+          d.toFile.deleteOnExit()
+          d.toString
+        }
+        val dir = s"$staging/esgpt_${math.abs(path.hashCode).toHexString}"
+        out.write.mode("overwrite").parquet(dir)
+        dir
+      } finally spark.conf.set(key, prev)
+    spark.read.parquet(staged)
   }
 
   /** predicate name → measurement values-column, resolved from the ESGPT
@@ -228,18 +242,24 @@ object PredicateFrames {
   /** Collapse same-instant rows into unique (subject_id, timestamp) keys.
     * (reference: predicates.py:221-226, :284-288)
     *
-    * Skew-safe by default: the aggregation shuffles on its FULL key
-    * (subject_id, timestamp) — map-side partial sums combine same-instant
-    * duplicates before the exchange, and a heavy-hitter subject's raw rows
-    * spread across partitions by timestamp instead of funneling through
-    * one task. Only the already-collapsed (unique-instant) rows then
-    * repartition to the hash(subject_id) layout every downstream window
-    * op reuses. Identical results to the direct path (algebraic sums) —
-    * proven by the `salted_groupby` oracle and SkewSpec.
+    * Two physical strategies, identical results (algebraic sums — proven
+    * by the `salted_groupby` oracle and PredicateFramesSpec):
     *
-    * `spark.graft.collapse=direct` restores the single-shuffle path
-    * (repartition raw rows by subject, then group): marginally cheaper
-    * when the corpus is known skew-free and nearly duplicate-free.
+    *   - `direct`: ONE exchange — repartition raw rows to the
+    *     hash(subject_id) layout every downstream window op reuses, then
+    *     group in place. Cheapest when the corpus is skew-free, but a
+    *     heavy-hitter subject funnels all its raw rows through one task.
+    *   - `skew-safe`: TWO exchanges — aggregate on the FULL key
+    *     (subject_id, timestamp) first (map-side partial sums combine
+    *     same-instant duplicates before the shuffle; a heavy subject's
+    *     rows spread across partitions by timestamp), then repartition
+    *     only the already-collapsed rows to hash(subject_id).
+    *
+    * `spark.graft.collapse` picks: `adaptive` (default) measures the
+    * input and chooses ([[chooseCollapseMode]]); `direct` / `skew-safe`
+    * force a strategy. At 100 TB the difference is a full-data exchange —
+    * the single largest avoidable cost in the pipeline — so the default
+    * spends a column-pruned sample scan to earn the right to skip it.
     */
   def collapse(df: DataFrame, predCols: Seq[String]): DataFrame = {
     val sums = predCols.map(c => sum(col(c)).cast(LongType).as(c))
@@ -248,7 +268,11 @@ object PredicateFrames {
       // TIMESTAMP_NTZ (e.g. non-UTC-adjusted parquet) → TIMESTAMP; exact
       // under the pinned UTC session timezone.
       .withColumn("timestamp", col("timestamp").cast(TimestampType))
-    if (df.sparkSession.conf.get("spark.graft.collapse", "skew-safe") == "direct")
+    val mode = df.sparkSession.conf.get("spark.graft.collapse", "adaptive") match {
+      case "adaptive" => chooseCollapseMode(typed)
+      case m          => m
+    }
+    if (mode == "direct")
       typed
         .repartition(col("subject_id"))
         .groupBy("subject_id", "timestamp")
@@ -258,6 +282,54 @@ object PredicateFrames {
         .groupBy("subject_id", "timestamp")
         .agg(sums.head, sums.tail: _*)
         .repartition(col("subject_id"))
+  }
+
+  /** Pick the collapse strategy from cheap input statistics.
+    *
+    * 1. Catalyst size estimate below `spark.graft.collapse.smallInputBytes`
+    *    (default 32 MB): `direct` — at that size a straggler task cannot
+    *    matter and a sampling job would cost more than it saves.
+    * 2. Otherwise, one scalar-aggregate job over a column-pruned sample
+    *    (`spark.graft.collapse.sampleFraction`, default 0.002, of just
+    *    (subject_id, timestamp)) measures:
+    *      - subject skew: the largest subject's estimated row share ×
+    *        shuffle partitions — if it exceeds
+    *        `spark.graft.collapse.skewFactor` (default 0.5, i.e. one
+    *        subject owning >50% of an average partition), the direct
+    *        path's hash(subject) exchange would straggle → `skew-safe`.
+    *      - duplication: sampled distinct-(subject,ts) share below
+    *        `spark.graft.collapse.dupFactor` (default 0.6) means the
+    *        full-key first phase's map-side combine shrinks the shuffle
+    *        below what direct moves → `skew-safe`. (Fraction sampling
+    *        only surfaces heavy duplication — exactly the case where the
+    *        combine pays.)
+    *
+    * This is a planning-time statistics job (one scalar row to the
+    * driver), not per-row driver processing — the same class of
+    * decision AQE makes from runtime shuffle stats, taken one stage
+    * earlier than AQE can (the choice changes the plan's first exchange).
+    */
+  def chooseCollapseMode(typed: DataFrame): String = {
+    val conf = typed.sparkSession.conf
+    val smallBytes =
+      conf.get("spark.graft.collapse.smallInputBytes", (32L << 20).toString).toLong
+    if (typed.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) return "direct"
+    val fraction = conf.get("spark.graft.collapse.sampleFraction", "0.002").toDouble
+    val skewFactor = conf.get("spark.graft.collapse.skewFactor", "0.5").toDouble
+    val dupFactor = conf.get("spark.graft.collapse.dupFactor", "0.6").toDouble
+    val parts = conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val stats = typed
+      .select("subject_id", "timestamp")
+      .sample(withReplacement = false, fraction, seed = 41)
+      .groupBy("subject_id")
+      .agg(count(lit(1)).as("n"), count_distinct(col("timestamp")).as("d"))
+      .agg(sum("n"), max("n"), sum("d"))
+      .head()
+    if (stats.isNullAt(0) || stats.getLong(0) == 0L) return "direct"
+    val (total, maxN, dist) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val skewed = maxN.toDouble * parts / total > skewFactor
+    val dupHeavy = dist.toDouble / total < dupFactor
+    if (skewed || dupHeavy) "skew-safe" else "direct"
   }
 
   /** Materialize a canonical predicates frame as a bucketed, sorted table —

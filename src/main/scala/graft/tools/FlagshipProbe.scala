@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 import graft.harness.QueryCatalog
-import graft.plans.ExtractSubtree
 
 /** Timing probe: flagship with vs without per-level checkpointing. */
 object FlagshipProbe {
@@ -28,16 +27,16 @@ object FlagshipProbe {
     QueryCatalog.flagship(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     for (_ <- 1 to 2) {
-      ExtractSubtree.checkpointLevels = true
+      spark.conf.set("spark.graft.checkpoint", "local")
       time("flagship checkpoint=lazy-local") {
         QueryCatalog.flagship(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
-      ExtractSubtree.checkpointLevels = false
+      spark.conf.set("spark.graft.checkpoint", "off")
       time("flagship checkpoint=off      ") {
         QueryCatalog.flagship(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
     }
-    ExtractSubtree.checkpointLevels = true
+    spark.conf.set("spark.graft.checkpoint", "local")
     spark.stop()
   }
 }

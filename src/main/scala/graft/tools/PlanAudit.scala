@@ -42,13 +42,35 @@ object PlanAudit {
 
     // Ingest budgets: skew-safe collapse = 2 exchanges (full-key group-by
     // shuffle, then the COLLAPSED rows repartition to subject_id);
-    // direct mode = 1 (repartition raw, group in place).
+    // direct mode = 1 (repartition raw, group in place). The adaptive
+    // default must shortcut a small input straight to direct — 1 exchange,
+    // no sampling job.
     val preds = Tables.eventsAsPredicates(spark, dir, Seq("click", "purchase", "error"))
-    audit("ingest_collapse(skew-safe)", preds, 2)
+    audit("ingest_collapse(adaptive)", preds, 1)
+    spark.conf.set("spark.graft.collapse", "skew-safe")
+    val predsSafe = Tables.eventsAsPredicates(spark, dir, Seq("click", "purchase", "error"))
+    audit("ingest_collapse(skew-safe)", predsSafe, 2)
     spark.conf.set("spark.graft.collapse", "direct")
     val predsDirect = Tables.eventsAsPredicates(spark, dir, Seq("click", "purchase", "error"))
     audit("ingest_collapse(direct)", predsDirect, 1)
     spark.conf.unset("spark.graft.collapse")
+
+    // Adaptive decision quality: sampled statistics must route a skewed /
+    // duplicate-heavy corpus to skew-safe and a uniform one to direct
+    // (forced full sample + no size shortcut for determinism).
+    spark.conf.set("spark.graft.collapse.smallInputBytes", "0")
+    spark.conf.set("spark.graft.collapse.sampleFraction", "1.0")
+    import spark.implicits._
+    def synth(f: Int => Long) = (1 to 4000)
+      .map(i => (f(i), java.sql.Timestamp.valueOf(f"1989-01-01 ${i % 24}%02d:00:00")))
+      .toDF("subject_id", "timestamp")
+    val modeUniform = graft.sources.PredicateFrames.chooseCollapseMode(synth(_.toLong))
+    val modeSkewed =
+      graft.sources.PredicateFrames.chooseCollapseMode(synth(i => if (i % 2 == 0) 42L else i.toLong))
+    spark.conf.unset("spark.graft.collapse.smallInputBytes")
+    spark.conf.unset("spark.graft.collapse.sampleFraction")
+    val adaptOk = modeUniform == "direct" && modeSkewed == "skew-safe"
+    println(s"${if (adaptOk) "OK " else "HOT"} adaptive collapse decision     uniform=$modeUniform skewed=$modeSkewed")
 
     // Post-ingest, the engine runs off the CACHED canonical frame (Query
     // persists it sorted-within-partitions); every per-subject operator

@@ -20,7 +20,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (args.contains("--no-checkpoint")) graft.plans.ExtractSubtree.checkpointLevels = false
+    if (args.contains("--no-checkpoint")) spark.conf.set("spark.graft.checkpoint", "off")
     val scaled = "/tmp/graft_scale_32x"
     val ev = spark.read.parquet(scaled)
     val cfg = TaskConfig.fromYaml(ScaleProbeYaml.yaml)

@@ -65,7 +65,7 @@ object ScaleProbe {
     }
 
     val cfg = TaskConfig.fromYaml(flagshipYaml)
-    graft.plans.ExtractSubtree.checkpointLevels = !noCheckpoint
+    spark.conf.set("spark.graft.checkpoint", if (noCheckpoint) "off" else "local")
 
     val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
     @volatile var record = false

@@ -47,16 +47,28 @@ case class FloatVectorCosine(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double dot = 0.0, na = 0.0, nb = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double x = (double) $a.getFloat(i);
-      |  double y = (double) $b.getFloat(i);
-      |  dot += x * y; na += x * x; nb += y * y;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh names: with non-nullable inputs nullSafeCodeGen inlines this
+      // block unbraced, so two cosine expressions in one codegen scope would
+      // otherwise declare duplicate Java locals and break Janino compilation.
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $x = (double) $a.getFloat($i);
+      |  double $y = (double) $b.getFloat($i);
+      |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
       |}
-      |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
-      |""".stripMargin)
+      |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVectorCosine =

@@ -6,7 +6,6 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.config.TaskConfig
-import graft.plans.ExtractSubtree
 import graft.sources.PredicateFrames
 
 /** Full-pipeline golden test ported from the reference's end-to-end CLI
@@ -137,7 +136,7 @@ class EndToEndSpec extends SparkSpec {
       spark, csvPath.toString, plainNames, Some("M/d/yyyy H:mm"))
     val predsDf = PredicateFrames.finalize(cfg, plainDf)
 
-    ExtractSubtree.checkpointLevels = false
+    spark.conf.set("spark.graft.checkpoint", "off")
     val result = Query(cfg, predsDf).cache()
 
     assert(result.count() == 1)
@@ -184,7 +183,7 @@ class EndToEndSpec extends SparkSpec {
       "subject_id", "index_timestamp", "label", "trigger",
       "input.end_summary", "input.start_summary", "gap.end_summary", "target.end_summary"))
 
-    ExtractSubtree.checkpointLevels = true
+    spark.conf.unset("spark.graft.checkpoint")
   }
 
   test("flagship identical under local and reliable checkpoint modes") {
@@ -195,7 +194,6 @@ class EndToEndSpec extends SparkSpec {
       spark, csvPath.toString, cfg.plainPredicates.keys.toSeq, Some("M/d/yyyy H:mm"))
     val predsDf = PredicateFrames.finalize(cfg, plainDf).cache()
 
-    ExtractSubtree.checkpointLevels = true
     spark.conf.set("spark.graft.checkpoint", "local")
     val local = snap(Query(cfg, predsDf))
     spark.conf.set("spark.graft.checkpoint", "reliable")
@@ -212,10 +210,10 @@ class EndToEndSpec extends SparkSpec {
       spark, csvPath.toString, cfg.plainPredicates.keys.toSeq, Some("M/d/yyyy H:mm"))
     val predsDf = PredicateFrames.finalize(cfg, plainDf).cache()
 
-    ExtractSubtree.checkpointLevels = false
+    spark.conf.set("spark.graft.checkpoint", "off")
     val r1 = Query(cfg, predsDf).collect()
     val r2 = Query(cfg, predsDf).collect()
     assert(r1.toSeq == r2.toSeq)
-    ExtractSubtree.checkpointLevels = true
+    spark.conf.unset("spark.graft.checkpoint")
   }
 }

@@ -82,13 +82,21 @@ class EsgptDirSpec extends SparkSpec {
 
   test("directory path == API-level fromEsgpt path") {
     assume(new java.io.File(s"$dir/events_df.parquet").exists())
-    val viaDir = PredicateFrames.fromEsgptDir(spark, dir, predicates)
-    val viaApi = PredicateFrames.fromEsgpt(
-      spark.read.parquet(s"$dir/subjects_df.parquet"),
-      spark.read.parquet(s"$dir/events_df.parquet"),
-      spark.read.parquet(s"$dir/dynamic_measurements_df.parquet"),
-      Map("high_spo2" -> "lab_value"),
-      predicates)
-    assert(snap(viaDir) == snap(viaApi))
+    val viaDir = snap(PredicateFrames.fromEsgptDir(spark, dir, predicates))
+    // The API-level path hands fromEsgpt raw frames; reading THIS dataset's
+    // arrow2-written parquet is the caller's responsibility — the vectorized
+    // reader can't decode its pages (see fromEsgptDir), so disable it for
+    // the evaluation window.
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    val viaApi =
+      try
+        snap(PredicateFrames.fromEsgpt(
+          spark.read.parquet(s"$dir/subjects_df.parquet"),
+          spark.read.parquet(s"$dir/events_df.parquet"),
+          spark.read.parquet(s"$dir/dynamic_measurements_df.parquet"),
+          Map("high_spo2" -> "lab_value"),
+          predicates))
+      finally spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
+    assert(viaDir == viaApi)
   }
 }

@@ -165,11 +165,20 @@ class OtherMedsSpec extends SparkSpec {
   test("MEDS label schema strictness (run.py:84-118 / test_meds.py)") {
     import spark.implicits._
 
-    // Missing mandatory subject_id → hard error.
+    // Missing mandatory subject_id on a NON-empty result → hard error.
     val noSubject = Seq((java.sql.Timestamp.valueOf("2021-01-01 00:00:00"), true))
       .toDF("index_timestamp", "label")
     val err = intercept[IllegalArgumentException](Query.toMedsLabels(noSubject))
     assert(err.getMessage.contains("subject_id"))
+
+    // Missing subject_id on an EMPTY result → leniency: warn and emit an
+    // empty frame with a null Int64 subject_id (run.py:154-160).
+    val emptyNoSubject = Query.toMedsLabels(noSubject.limit(0))
+    assert(emptyNoSubject.count() == 0)
+    assert(emptyNoSubject.columns.toSeq == Seq("subject_id", "prediction_time",
+      "boolean_value", "integer_value", "float_value", "categorical_value"))
+    assert(emptyNoSubject.schema("subject_id").dataType ==
+      org.apache.spark.sql.types.LongType)
 
     // Missing prediction_time → warns, fills null; int label → boolean;
     // extra columns → dropped.

@@ -49,12 +49,46 @@ class PredicateFramesSpec extends SparkSpec {
     }.toDF("subject_id", "timestamp", "a", "b")
       .withColumn("timestamp", to_timestamp(col("timestamp")))
 
-    val skewSafe = snap(PredicateFrames.collapse(raw, Seq("a", "b")))
+    spark.conf.set("spark.graft.collapse", "skew-safe")
+    val skewSafe =
+      try snap(PredicateFrames.collapse(raw, Seq("a", "b")))
+      finally spark.conf.unset("spark.graft.collapse")
     spark.conf.set("spark.graft.collapse", "direct")
     val direct =
       try snap(PredicateFrames.collapse(raw, Seq("a", "b")))
       finally spark.conf.unset("spark.graft.collapse")
-    assert(skewSafe.nonEmpty && skewSafe == direct)
+    // default = adaptive; on a tiny in-memory frame it must shortcut to
+    // direct without a sampling job, and match both forced modes.
+    val adaptive = snap(PredicateFrames.collapse(raw, Seq("a", "b")))
+    assert(skewSafe.nonEmpty && skewSafe == direct && direct == adaptive)
+  }
+
+  test("adaptive collapse decides from sampled skew and duplication") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, String)]) =
+      rows.toDF("subject_id", "timestamp")
+        .withColumn("timestamp", to_timestamp(col("timestamp")))
+        .withColumn("a", lit(1L))
+    // Deterministic decisions on tiny frames: disable the size shortcut
+    // and sample everything.
+    spark.conf.set("spark.graft.collapse.smallInputBytes", "0")
+    spark.conf.set("spark.graft.collapse.sampleFraction", "1.0")
+    try {
+      val uniform = frame((1 to 2000).map(i => (i.toLong, f"1989-01-01 ${i % 24}%02d:00")))
+      assert(PredicateFrames.chooseCollapseMode(uniform) == "direct")
+
+      // One subject owns ~half the rows → hash(subject) exchange straggles.
+      val skewed = frame((1 to 2000).map(i =>
+        (if (i % 2 == 0) 42L else i.toLong, f"1989-01-01 ${i % 24}%02d:00")))
+      assert(PredicateFrames.chooseCollapseMode(skewed) == "skew-safe")
+
+      // Heavy same-instant duplication → full-key map-side combine pays.
+      val dupes = frame((1 to 2000).map(i => ((i % 100).toLong, "1989-01-01 00:00")))
+      assert(PredicateFrames.chooseCollapseMode(dupes) == "skew-safe")
+    } finally {
+      spark.conf.unset("spark.graft.collapse.smallInputBytes")
+      spark.conf.unset("spark.graft.collapse.sampleFraction")
+    }
   }
 
   test("ESGPT loader: 3-table join + static rows (predicates.py:312-365)") {
