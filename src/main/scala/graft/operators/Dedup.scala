@@ -133,21 +133,26 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
-    // Shingle arrays are consumed twice (verification join per pair side) —
-    // cut lineage so shingling runs once. Materialize (not persist): blocks
-    // are freed by the ContextCleaner when the frame goes out of scope,
-    // where a CacheManager entry would leak per call and mask timings of
-    // later runs. collect_set order is arbitrary; array_intersect/
-    // array_union sizes are order-invariant.
-    val shingled = graft.plans.Materialize(
+    // ONE shingle pass feeds everything: a single per-doc hash-aggregate
+    // computes the verification shingle set AND all `numHashes` min-hash
+    // columns together (shingleRows pre-clusters by doc_id, so the
+    // aggregate is shuffle-free), then is materialized once — it has three
+    // consumers (band rows + both verification join sides). Materialize
+    // (not persist): blocks are freed by the ContextCleaner when the frame
+    // goes out of scope, where a CacheManager entry would leak per call
+    // and mask timings of later runs. collect_set order is arbitrary;
+    // array_intersect/array_union sizes are order-invariant.
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val perDoc = graft.plans.Materialize(
       shingleRows(docs, shingleN, textCol, idCol)
         .groupBy("doc_id")
-        .agg(collect_set(col("s")).as("sh")))
+        .agg(collect_set(col("s")).as("sh"), mins: _*))
 
-    // Band rows: hash each signature slice to one bucket key per band.
-    // Signatures come from the codegen'd explode+aggregate path; the band
-    // bucket is xxhash64 over the band's signature columns directly.
-    val bandRows = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
+    val shingled = perDoc.select(col("doc_id"), col("sh"))
+
+    // Band rows: hash each signature slice to one bucket key per band —
+    // a narrow projection over the materialized per-doc frame.
+    val bandRows = perDoc
       .select(
         col("doc_id"),
         explode(array((0 until bands).map { b =>
