@@ -110,7 +110,7 @@ object Similarity {
       vectors: DataFrame,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4,
+      nprobe: Int = 10,
       refineIters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
@@ -195,7 +195,7 @@ object Similarity {
   def lshTopK(
       vectors: DataFrame,
       k: Int,
-      bands: Int = 16,
+      bands: Int = 32,
       bitsPerBand: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"

@@ -107,8 +107,10 @@ class ExtensionsSpec extends SparkSpec {
     val ann = Similarity.lshTopK(subset, k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ann.intersect(brute).size.toDouble / brute.size
-    // 16 bands x 4 hyperplane bits on clustered synthetic vectors.
-    assert(recall >= 0.5, s"ANN recall $recall unexpectedly low")
+    // Default 32 bands x 4 hyperplane bits on clustered synthetic vectors;
+    // deterministic (hash-seeded planes), so this is a fixed measurement —
+    // RECALL.json records the committed numbers.
+    assert(recall >= 0.9, s"ANN recall $recall below the 0.9 bar")
   }
 
   test("IVF ANN reports correct cosine values and reasonable recall") {
@@ -116,10 +118,11 @@ class ExtensionsSpec extends SparkSpec {
     val subset = emb.filter(col("vec_id") < 100)
     val brute = Similarity.bruteForceTopK(subset, subset, k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(subset, k, nlist = 8, nprobe = 3)
+    val ivf = Similarity.ivfTopK(subset, k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall unexpectedly low")
+    // Default nlist=16/nprobe=10 (deterministic seeds — fixed measurement).
+    assert(recall >= 0.9, s"IVF recall $recall below the 0.9 bar")
   }
 
   test("hash-keyed exact dedup equals full-text exact dedup") {
