@@ -158,6 +158,177 @@ object StreamingPredicates {
       }
   }
 
+  /** One window of a streaming cohort task, anchored at the trigger.
+    *
+    *   - Temporal window (`endPredIdx = -1`): spans
+    *     `(trigger + startOffsetMicros, trigger + endOffsetMicros]`.
+    *   - Event-bound window (`endPredIdx >= 0`): spans from
+    *     `start = trigger + startOffsetMicros` to the FIRST event with
+    *     `counts(endPredIdx) > 0` strictly after `start` (end event
+    *     included). The search is capped at `start + maxHorizonMicros`:
+    *     the batch engine's unbounded `start -> pred` lookahead cannot be
+    *     streamed with finite state, so a trigger whose bound event does
+    *     not arrive within the cap is dropped (same outcome as the batch
+    *     null-bound drop, provided the cap covers the data's real gaps).
+    *
+    * `minCounts`/`maxCounts`: per-predicate constraint bounds over the
+    * window's sums (`Long.MinValue`/`Long.MaxValue` = unconstrained) —
+    * the streaming analogue of the batch `has:` constraints.
+    */
+  final case class StreamWindowSpec(
+      name: String,
+      startOffsetMicros: Long,
+      endOffsetMicros: Long,
+      endPredIdx: Int,
+      maxHorizonMicros: Long,
+      minCounts: Array[Long],
+      maxCounts: Array[Long])
+
+  /** One emitted cohort row: `counts` is row-major `[window][predicate]`
+    * with stride nPreds; `windowEndsMicros` carries each window's resolved
+    * end. (Flat primitive arrays — see [[TriggerState]].)
+    */
+  final case class CohortRow(
+      subject_id: Long,
+      triggerTsMicros: Long,
+      windowEndsMicros: Array[Long],
+      counts: Array[Long])
+
+  /** Streaming MULTI-window cohort evaluation — the incremental analogue
+    * of the batch `Query` window tree for trigger-anchored window chains
+    * (e.g. the flagship's gap + event-bound target): every event with
+    * `counts(triggerIdx) > 0` opens one candidate cohort row; the row is
+    * emitted exactly once, when the event-time watermark has closed EVERY
+    * window (so sums are provably complete), and only if every window's
+    * constraints pass — StreamingSpec asserts output parity with the
+    * batch `Query` on the same data.
+    *
+    * State per subject = pending triggers + events some pending-or-future
+    * window could still read; both pruned on every watermark advance, so
+    * state is bounded by (max window deadline + allowed lateness) × rate.
+    */
+  def cohortWindows(
+      events: Dataset[TimedEvent],
+      nPreds: Int,
+      triggerIdx: Int,
+      windows: Seq[StreamWindowSpec]
+  ): Dataset[CohortRow] = {
+    implicit val outEnc = Encoders.product[CohortRow]
+    implicit val stateEnc = Encoders.product[TriggerState]
+    val specs = windows.toArray
+    val minStartOffset = specs.map(_.startOffsetMicros).min
+    // By trigger + this offset, every window is either closed or failed.
+    val maxDeadlineOffset = specs.map(w =>
+      if (w.endPredIdx >= 0) w.startOffsetMicros + w.maxHorizonMicros else w.endOffsetMicros).max
+    events
+      .groupByKey(_.subject_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TriggerState, CohortRow](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (subject: Long, rows: Iterator[TimedEvent], state: GroupState[TriggerState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(
+            TriggerState(Array.empty, Array.empty, Array.empty))
+
+          val triggers = scala.collection.mutable.ArrayBuffer(prev.pendingTriggers: _*)
+          val bufTs = scala.collection.mutable.ArrayBuffer(prev.bufferedTs: _*)
+          val bufCounts = scala.collection.mutable.ArrayBuffer(prev.bufferedCounts: _*)
+          rows.foreach { e =>
+            if (e.tsMicros > wmMicros) {
+              bufTs += e.tsMicros
+              bufCounts ++= e.counts
+              if (e.counts(triggerIdx) > 0) triggers += e.tsMicros
+            }
+          }
+
+          val emissions = scala.collection.mutable.ArrayBuffer.empty[CohortRow]
+          val stillPending = scala.collection.mutable.ArrayBuffer.empty[Long]
+          triggers.sorted.foreach { t =>
+            var allClosed = true
+            var failed = false
+            val ends = new Array[Long](specs.length)
+            var wi = 0
+            while (wi < specs.length && allClosed && !failed) {
+              val w = specs(wi)
+              val start = t + w.startOffsetMicros
+              if (w.endPredIdx < 0) {
+                val end = t + w.endOffsetMicros
+                if (wmMicros >= end) ends(wi) = end else allClosed = false
+              } else {
+                // First end-predicate event strictly after start. Events at
+                // or below the watermark are final (later arrivals would be
+                // late and dropped), so a found bound <= wm is THE bound.
+                var best = Long.MaxValue
+                var r = 0
+                while (r < bufTs.length) {
+                  val ts0 = bufTs(r)
+                  if (ts0 > start && ts0 <= start + w.maxHorizonMicros && ts0 < best &&
+                      bufCounts(r * nPreds + w.endPredIdx) > 0) best = ts0
+                  r += 1
+                }
+                if (best != Long.MaxValue && best <= wmMicros) ends(wi) = best
+                else if (wmMicros >= start + w.maxHorizonMicros) failed = true
+                else allClosed = false
+              }
+              wi += 1
+            }
+            if (!allClosed && !failed) stillPending += t
+            else if (!failed) {
+              val counts = new Array[Long](specs.length * nPreds)
+              var pass = true
+              wi = 0
+              while (wi < specs.length) {
+                val w = specs(wi)
+                val start = t + w.startOffsetMicros
+                val end = ends(wi)
+                var r = 0
+                while (r < bufTs.length) {
+                  val ts0 = bufTs(r)
+                  if (ts0 > start && ts0 <= end) {
+                    var i = 0
+                    while (i < nPreds) { counts(wi * nPreds + i) += bufCounts(r * nPreds + i); i += 1 }
+                  }
+                  r += 1
+                }
+                var i = 0
+                while (i < nPreds) {
+                  val c = counts(wi * nPreds + i)
+                  if (c < w.minCounts(i) || c > w.maxCounts(i)) pass = false
+                  i += 1
+                }
+                wi += 1
+              }
+              if (pass) emissions += CohortRow(subject, t, ends, counts)
+            }
+            // failed => trigger resolved with no emission (batch drops the
+            // row when an event bound is missing / a constraint fails)
+          }
+
+          // Prune events nothing can read anymore: pending triggers all
+          // have window starts >= min(pending) + minStartOffset; future
+          // triggers arrive > wm, so their starts are > wm + min(0, off).
+          val pendingFloor =
+            if (stillPending.isEmpty) Long.MaxValue else stillPending.min + minStartOffset
+          val pruneBelow = math.min(pendingFloor, wmMicros + math.min(0L, minStartOffset))
+          val keepIdx = (0 until bufTs.length).filter(r => bufTs(r) > pruneBelow)
+          val keepTs = keepIdx.map(bufTs).toArray
+          val keepCounts = keepIdx.flatMap(r =>
+            (0 until nPreds).map(i => bufCounts(r * nPreds + i))).toArray
+
+          if (stillPending.isEmpty && keepTs.isEmpty) state.remove()
+          else {
+            state.update(TriggerState(stillPending.toArray, keepTs, keepCounts))
+            val nextDeadlineMs =
+              if (stillPending.nonEmpty) stillPending.map(_ + maxDeadlineOffset).min / 1000L + 1L
+              // Events retained only for future triggers: wake on any
+              // watermark advance so the prune floor keeps moving.
+              else wmMicros / 1000L + 1L
+            state.setTimeoutTimestamp(nextDeadlineMs)
+          }
+          emissions.iterator
+      }
+  }
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

@@ -128,6 +128,107 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("cohortWindows matches batch Query on a gap + event-bound target task") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // A two-window cohort task: temporal gap with an error-free constraint,
+    // then an event-bound target — the flagship tree's shape.
+    val yaml =
+      """predicates:
+        |  click: { code: click }
+        |  buy: { code: buy }
+        |  error: { code: error }
+        |trigger: click
+        |windows:
+        |  gap:
+        |    start: trigger
+        |    end: start + 2h
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    has: { error: "(None, 0)" }
+        |  target:
+        |    start: gap.end
+        |    end: start -> buy
+        |    start_inclusive: False
+        |    end_inclusive: True
+        |    label: buy
+        |""".stripMargin
+    val cfg = graft.config.TaskConfig.fromYaml(yaml)
+
+    val data = Seq(
+      (1L, "2024-01-01 10:00:00", "click"), // trigger 1
+      (1L, "2024-01-01 10:30:00", "buy"),
+      (1L, "2024-01-01 11:00:00", "click"), // trigger 2
+      (1L, "2024-01-01 12:30:00", "buy"),   // target 1's bound event
+      (1L, "2024-01-01 14:00:00", "buy"),   // target 2's bound event
+      (2L, "2024-01-01 09:00:00", "click"), // trigger; gap has an error -> dropped
+      (2L, "2024-01-01 09:30:00", "error"),
+      (3L, "2024-01-01 11:00:00", "buy"))   // no trigger
+
+    // Batch side.
+    val medsDf = data.toDF("subject_id", "time", "code")
+      .withColumn("time", to_timestamp(col("time")))
+    val preds = graft.sources.PredicateFrames.finalize(
+      cfg, graft.sources.PredicateFrames.fromMeds(medsDf, cfg.plainPredicates.toSeq))
+    spark.conf.set("spark.graft.checkpoint", "off")
+    val batchRows =
+      try
+        Query(cfg, preds)
+          .select(
+            col("subject_id"), unix_micros(col("trigger")).as("t"),
+            col("`gap.end_summary`.click"), col("`gap.end_summary`.buy"),
+            col("`gap.end_summary`.error"),
+            col("`target.end_summary`.click"), col("`target.end_summary`.buy"),
+            col("`target.end_summary`.error"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            List(r.getLong(2), r.getLong(3), r.getLong(4)),
+            List(r.getLong(5), r.getLong(6), r.getLong(7))))
+          .toSet
+      finally spark.conf.unset("spark.graft.checkpoint")
+    assert(batchRows.size == 2, s"batch fixture should yield 2 cohort rows: $batchRows")
+
+    // Streaming side: same data through cohortWindows, one flush event to
+    // push the watermark past every deadline + one batch for the timeout.
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("subject_id", "timestamp", "code")
+      .withWatermark("timestamp", "0 seconds")
+      .select(col("subject_id"), col("timestamp"),
+        array(
+          (col("code") === "click").cast("long"),
+          (col("code") === "buy").cast("long"),
+          (col("code") === "error").cast("long")).as("counts"))
+      .as[StreamingPredicates.TimedEvent]
+    val hour = 3600L * 1000000L
+    val none = Array.fill(3)(Long.MinValue)
+    val any = Array.fill(3)(Long.MaxValue)
+    val specs = Seq(
+      // gap: (trigger, trigger+2h], error count must be 0
+      StreamingPredicates.StreamWindowSpec("gap", 0L, 2 * hour, -1, 2 * hour,
+        none, Array(Long.MaxValue, Long.MaxValue, 0L)),
+      // target: (trigger+2h, first buy], capped at 24h of lookahead
+      StreamingPredicates.StreamWindowSpec("target", 2 * hour, 0L, 1, 24 * hour, none, any))
+    val out = StreamingPredicates.cohortWindows(events, nPreds = 3, triggerIdx = 0, specs)
+
+    val query = out.writeStream
+      .format("memory").queryName("cohort_win").outputMode("append").start()
+    try {
+      input.addData(data.map { case (s, t, c) => (s, ts(t), c) }: _*)
+      query.processAllAvailable()
+      input.addData((99L, ts("2024-01-03 00:00:00"), "noop"))
+      query.processAllAvailable()
+      input.addData((99L, ts("2024-01-03 01:00:00"), "noop"))
+      query.processAllAvailable()
+
+      val streamed = spark.table("cohort_win").collect().map { r =>
+        val c = r.getSeq[Long](3)
+        (r.getLong(0), r.getLong(1), c.slice(0, 3).toList, c.slice(3, 6).toList)
+      }.toSet
+      assert(streamed == batchRows, s"streamed $streamed != batch $batchRows")
+    } finally query.stop()
+  }
+
   test("cumulativeCounts keeps running per-subject totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
