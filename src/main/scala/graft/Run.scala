@@ -48,6 +48,13 @@ object Run {
       |  --shard-mode MODE    per-shard: one output per input shard at
       |                       <output>/<shard>.parquet (expand_shards naming)
       |  --window-stats DIR   also write the full per-window summary frame
+      |
+      |Hydra-compat form (aces-cli parity; `key=value` args):
+      |  graft.Run [--multirun] cohort_dir=DIR cohort_name=TASK \
+      |    data.standard=meds|direct|esgpt [data.path=PATH] \
+      |    [data=sharded data.root=DIR data.shard=train/0,train/1] \
+      |    [config_path=..] [predicates_path=..] [output_filepath=..] \
+      |    [data.ts_format=..] [window_stats_dir=..]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -55,7 +62,78 @@ object Run {
       println(usage)
       return
     }
-    val opts = parseArgs(args)
+    // Hydra-style invocation (`key=value` args, `aces-cli` parity) vs the
+    // native flag CLI.
+    if (args.exists(a => !a.startsWith("-") && a.contains("="))) hydraMain(args)
+    else runWithOpts(parseArgs(args))
+  }
+
+  /** `aces-cli` Hydra-compat entry: `key=value` overrides over the
+    * reference's `_aces.yaml` defaults (reference: configs/_aces.yaml and
+    * the configs/data group), including the interpolations
+    * `config_path=${cohort_dir}/${cohort_name}.yaml`,
+    * `output_filepath=${cohort_dir}/${cohort_name}${data._prefix}.parquet`,
+    * and the `data=single_file|sharded` config group
+    * (`data.path=${data.root}/${data.shard}.parquet`, `_prefix=/${shard}`).
+    *
+    * `--multirun`/`-m` with a comma-separated `data.shard` sweeps shards
+    * exactly like Hydra multirun over `$(expand_shards ...)` output
+    * (reference: tests/utils.py:96-130): one output per shard at
+    * `${cohort_dir}/${cohort_name}/${shard}.parquet`.
+    */
+  def hydraMain(args: Array[String]): Unit = {
+    val multirun = args.contains("--multirun") || args.contains("-m")
+    val kv = args
+      .filterNot(a => a == "--multirun" || a == "-m")
+      .map { a =>
+        val parts = a.split("=", 2)
+        require(parts.length == 2, s"Expected key=value argument, got: $a")
+        parts(0) -> parts(1)
+      }
+      .toMap
+    val cohortDir = kv.getOrElse("cohort_dir", "")
+    val cohortName = kv.getOrElse("cohort_name", "")
+    val configPath = kv.getOrElse("config_path", s"$cohortDir/$cohortName.yaml")
+    val standard = kv.getOrElse("data.standard", sys.error("data.standard is required"))
+
+    // (shard name, data path, output _prefix) per run.
+    val shards: Seq[(String, String, String)] =
+      if (kv.get("data").contains("sharded")) {
+        val root = kv.getOrElse("data.root", sys.error("data.root is required for data=sharded"))
+        val spec = kv.getOrElse("data.shard", sys.error("data.shard is required for data=sharded"))
+        // Post-shell values are literal shard names (Hydra sweeps the
+        // comma list that `$(expand_shards ...)` printed).
+        val names = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(multirun || names.size == 1,
+          s"${names.size} shards given without --multirun")
+        names.map(n => (n, s"$root/$n.parquet", s"/$n"))
+      } else
+        Seq(("", kv.getOrElse("data.path", sys.error("data.path is required")), ""))
+
+    // One session for the whole (multi)run; runWithOpts leaves
+    // caller-owned sessions running (and so does this, for tests).
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = Tables
+      .configure(
+        SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    try shards.foreach { case (shard, dataPath, prefix) =>
+      val out = kv.getOrElse("output_filepath", s"$cohortDir/$cohortName$prefix.parquet")
+      val opts = Map("config" -> configPath, "data" -> dataPath,
+        "standard" -> standard, "output" -> out) ++
+        kv.get("predicates_path").map("predicates" -> _) ++
+        kv.get("data.ts_format").map("ts-format" -> _) ++
+        kv.get("window_stats_dir").map(d => "window-stats" -> s"$d/$cohortName$prefix.parquet")
+      if (shard.nonEmpty) println(s"[graft.Run] shard $shard")
+      runWithOpts(opts)
+    } finally if (!preexisting) spark.stop()
+  }
+
+  def runWithOpts(opts: Map[String, String]): Unit = {
     val configPath = opts.getOrElse("config", sys.error("--config is required"))
     val dataPath = opts.getOrElse("data", sys.error("--data is required"))
     val standard = opts.getOrElse("standard", "meds").toLowerCase

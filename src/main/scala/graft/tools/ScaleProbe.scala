@@ -14,10 +14,11 @@ import graft.sources.{PredicateFrames, Tables}
   * 36 cores, BASELINE.md). At small SF the engine is stage-overhead-bound;
   * this shows what amortizes at scale. Temporary inputs go to /tmp.
   *
-  * Args: [replication] [--no-checkpoint] [--stages] [--skew]
+  * Args: [replication] [--no-checkpoint] [--stages] [--skew] [--runs N]
   *   --no-checkpoint  disable per-level lineage cuts (ExtractSubtree)
   *   --stages         print per-stage wall times of the timed run
   *   --skew           inject a pathological subject owning ~10% of events
+  *   --runs N         timed end-to-end runs (default 3); reports median
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -25,6 +26,9 @@ object ScaleProbe {
     val noCheckpoint = args.contains("--no-checkpoint")
     val printStages = args.contains("--stages")
     val skew = args.contains("--skew")
+    val nRuns = args.sliding(2).collectFirst {
+      case Array("--runs", n) => n.toInt
+    }.getOrElse(3)
     val spark = Tables
       .configure(
         SparkSession.builder()
@@ -89,14 +93,32 @@ object ScaleProbe {
       (nRows, (System.nanoTime() - t0) / 1e9)
     }
 
+    // Report which collapse strategy the adaptive default picks for this
+    // corpus (the probe input is > the small-input shortcut, so this is
+    // the sampled decision the engine will take inside the timed runs).
+    val decision = PredicateFrames.chooseCollapseMode(
+      spark.read.parquet(scaled).select(
+        col("subject_id"), col("timestamp").cast("timestamp").as("timestamp")))
+    println(s"[scale-probe] adaptive collapse decision: $decision")
+
     run() // warm-up (JIT + file listing)
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == MemoryType.HEAP)
+    heapPools.foreach(_.resetPeakUsage())
     record = true
-    // Best of 3: this box is shared and same-config runs vary ±50%; every
+    // Median of N: this box is shared and same-config runs vary ±50%; every
     // run is a full end-to-end execution (Query releases its own caches).
-    val (rows, secs) = (1 to 3).map(_ => run()).minBy(_._2)
+    val timed = (1 to nRuns).map(_ => run())
     record = false
+    val rows = timed.head._1
+    val sorted = timed.map(_._2).sorted
+    val secs = sorted(sorted.length / 2)
+    val peakHeapMb = heapPools.map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
     println(f"[scale-probe] replication=${replication}x skew=$skew checkpoint=${!noCheckpoint} " +
-      f"rows=$rows wall=${secs}%.1f s (best of 3) throughput=${rows / secs / 1e6}%.3f M rows/s")
+      f"rows=$rows wall=${secs}%.1f s (median of $nRuns: ${sorted.map(s => f"$s%.1f").mkString("/")}) " +
+      f"throughput=${rows / secs / 1e6}%.3f M rows/s peakHeap=${peakHeapMb} MB")
     if (printStages) {
       import scala.jdk.CollectionConverters._
       val ts = stageTimes.asScala.toSeq.sortBy(-_._3)

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Hydra-compat CLI parity (reference: configs/_aces.yaml +
+  * tests/utils.py:96-130 — `aces-cli cohort_dir=... cohort_name=...
+  * data.standard=meds ...`, and `--multirun data=sharded
+  * data.shard=$(expand_shards ...)`). Asserts the interpolated default
+  * paths and the per-shard multirun output layout.
+  */
+class HydraCliSpec extends SparkSpec {
+
+  private val taskYaml =
+    """predicates:
+      |  admission: { code: admission }
+      |  discharge: { code: discharge }
+      |trigger: admission
+      |windows:
+      |  target:
+      |    start: trigger
+      |    end: start + 48h
+      |    start_inclusive: False
+      |    end_inclusive: True
+      |    label: discharge
+      |    index_timestamp: end
+      |""".stripMargin
+
+  private def writeEvents(path: String, subjects: Seq[Long]): Unit = {
+    import spark.implicits._
+    subjects
+      .flatMap(s => Seq(
+        (s, s"2024-01-0${1 + (s % 3)} 10:00:00", "admission"),
+        (s, s"2024-01-0${1 + (s % 3)} 20:00:00", "discharge")))
+      .toDF("subject_id", "time", "code")
+      .withColumn("time", to_timestamp(col("time")))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  test("single-file run: interpolated config/output paths (aces-cli parity)") {
+    val cohortDir = Files.createTempDirectory("graft_hydra").toString
+    Files.writeString(java.nio.file.Paths.get(s"$cohortDir/mytask.yaml"), taskYaml)
+    val dataPath = s"$cohortDir/data.parquet"
+    writeEvents(dataPath, Seq(1L, 2L, 3L))
+
+    Run.main(Array(
+      s"cohort_dir=$cohortDir", "cohort_name=mytask",
+      "data.standard=meds", s"data.path=$dataPath"))
+
+    val out = spark.read.parquet(s"$cohortDir/mytask.parquet")
+    assert(out.columns.toSeq == Seq("subject_id", "prediction_time", "boolean_value",
+      "integer_value", "float_value", "categorical_value"), "MEDS label schema")
+    assert(out.count() == 3, "one label row per admitted subject")
+  }
+
+  test("multirun sharded: one output per shard at cohort_dir/task/shard.parquet") {
+    val cohortDir = Files.createTempDirectory("graft_hydra_sh").toString
+    Files.writeString(java.nio.file.Paths.get(s"$cohortDir/mytask.yaml"), taskYaml)
+    val dataRoot = s"$cohortDir/data"
+    writeEvents(s"$dataRoot/train/0.parquet", Seq(1L, 2L))
+    writeEvents(s"$dataRoot/train/1.parquet", Seq(10L, 11L, 12L))
+
+    Run.main(Array("--multirun",
+      s"cohort_dir=$cohortDir", "cohort_name=mytask",
+      "data=sharded", s"data.root=$dataRoot", "data.shard=train/0,train/1",
+      "data.standard=meds"))
+
+    assert(spark.read.parquet(s"$cohortDir/mytask/train/0.parquet").count() == 2)
+    assert(spark.read.parquet(s"$cohortDir/mytask/train/1.parquet").count() == 3)
+  }
+
+  test("sharded without --multirun rejects a multi-shard sweep") {
+    val err = intercept[IllegalArgumentException] {
+      Run.hydraMain(Array("cohort_dir=/tmp", "cohort_name=x", "data=sharded",
+        "data.root=/tmp", "data.shard=0,1", "data.standard=meds"))
+    }
+    assert(err.getMessage.contains("--multirun"))
+  }
+}
