@@ -729,6 +729,38 @@ object QueryCatalog {
         .orderBy("keep_id"),
       None),
 
+    Q("text_packing", (s, dir) =>
+      Packing.packSequences(docs(s, dir), budgetTokens = 512, buckets = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             |    doc_id % 8 AS bucket FROM documents),
+             |c AS (SELECT doc_id, n_tokens, bucket,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t)
+             |SELECT doc_id, n_tokens, bucket,
+             |  CAST(bucket * 1000000 + FLOOR(start_tok / 512.0) AS BIGINT) AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("text_decontaminate", (s, dir) => {
+      // Probe set = the first five documents standing in for an eval set;
+      // corpus = the rest. 3-gram overlap counts per contaminated doc.
+      val d = docs(s, dir)
+      Decontaminate.matches(
+        d.filter(col("doc_id") >= 5), d.filter(col("doc_id") < 5), shingleN = 3)
+        .orderBy("doc_id")
+    }, Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              |g0 AS (SELECT doc_id,
+              |    UNNEST(list_transform(range(1, len(toks) - 1),
+              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+              |  FROM t WHERE len(toks) >= 3),
+              |g AS (SELECT DISTINCT doc_id, s FROM g0),
+              |probe AS (SELECT DISTINCT s FROM g WHERE doc_id < 5),
+              |corpus AS (SELECT doc_id, s FROM g WHERE doc_id >= 5)
+              |SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS matched_ngrams
+              |FROM corpus c JOIN probe p ON c.s = p.s
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("multimodal_features", (s, dir) => {
       // Codec-free metrics are pure expressions (codegen'd scan→project);
       // Multimodal.extractFeatures remains the partition-wise decode hook

@@ -21,7 +21,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.contains("--no-checkpoint")) spark.conf.set("spark.graft.checkpoint", "off")
-    val scaled = "/tmp/graft_scale_32x"
+    // ScaleProbe's generated corpus (run `ScaleProbe 32` first).
+    val scaled = "/tmp/graft_scale_v2_32x"
     val ev = spark.read.parquet(scaled)
     val cfg = TaskConfig.fromYaml(ScaleProbeYaml.yaml)
     val plain = PredicateFrames.fromMeds(ev.withColumnRenamed("timestamp", "time"), cfg.plainPredicates.toSeq)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Texts
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Similarity}
 
 /** Correctness tests for the scale-extension operators against local
   * brute-force computations on the real sf0.001 testdata.
@@ -123,6 +123,41 @@ class ExtensionsSpec extends SparkSpec {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     // Default nlist=16/nprobe=10 (deterministic seeds — fixed measurement).
     assert(recall >= 0.9, s"IVF recall $recall below the 0.9 bar")
+  }
+
+  test("packSequences: pack ids follow the bucketed running token sum") {
+    val packed = Packing.packSequences(docs, budgetTokens = 100, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length == docs.count())
+    // Replicate the bucketed concat-then-chunk rule locally.
+    packed.groupBy(_._3).foreach { case (bucket, rows) =>
+      var runningTokens = 0L
+      rows.sortBy(_._1).foreach { case (id, nTokens, b, packId) =>
+        assert(b == id % 4, s"doc $id bucket")
+        assert(packId == b * 1000000L + runningTokens / 100,
+          s"doc $id pack_id (start_tok=$runningTokens)")
+        runningTokens += nTokens
+      }
+    }
+    // Pack ids never decrease along a bucket and the corpus packs tightly:
+    // total packs ≈ total tokens / budget (+ ≤1 open pack per bucket).
+    val totalTokens = packed.map(_._2).sum
+    val nPacks = packed.map(_._4).distinct.length
+    assert(nPacks <= totalTokens / 100 + 4, s"$nPacks packs for $totalTokens tokens")
+  }
+
+  test("decontaminate flags exactly the documents sharing probe n-grams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // shares 2 probe 3-grams
+      (11L, "zeta eta theta iota"),            // clean
+      (12L, "one two alpha beta gamma two")    // shares 1 (dedup'd per doc)
+    ).toDF("doc_id", "text")
+    val probes = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Decontaminate.matches(corpus, probes, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probe 3-grams: "alpha beta gamma", "beta gamma delta"
+    assert(got == Map(10L -> 2L, 12L -> 1L), s"got $got")
   }
 
   test("hash-keyed exact dedup equals full-text exact dedup") {
