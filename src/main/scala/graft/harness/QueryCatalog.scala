@@ -632,6 +632,32 @@ object QueryCatalog {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    Q("dedup_clusters", (s, dir) =>
+      // Connected components over the exact n-gram-Jaccard pair graph —
+      // pairs → duplicate clusters → keep min-id representative. The
+      // DuckDB oracle computes the same components with a recursive CTE.
+      Dedup.duplicateClusters(Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+              |  SELECT doc_id, s FROM (
+              |    SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS s FROM documents)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |good AS (SELECT doc_a, doc_b FROM pairs
+              |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+              |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+              |  UNION SELECT doc_b, doc_a FROM good),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+              |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+              |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("dedup_ngram_jaccard", (s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -190,6 +190,57 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components with the
+    * min doc id as each cluster's representative — the step that turns any
+    * pairwise dedup output ([[minhashLsh]], [[ngramJaccard]], [[simhash]],
+    * [[embeddingNearDup]]) into an actionable keep/drop decision (keep the
+    * representative, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint (≤ graph diameter rounds; duplicate clusters are small and
+    * dense, so typically 2-3). Each round is one co-partitioned join + one
+    * map-side-combining aggregate on the node id, with a lineage cut per
+    * round ([[graft.plans.Materialize]]) so the plan stays flat. The edge
+    * list carries only id pairs. (For adversarial long-chain graphs the
+    * alternating large-star/small-star variant halves round counts; dedup
+    * graphs don't need it.)
+    *
+    * @return (doc_id, cluster_rep) for every node that appears in `pairs`
+    *         (singleton documents have no row — they are their own keeper).
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"
+  ): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = graft.plans.Materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      eager = true)
+    var labels = graft.plans.Materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")),
+      eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("dlbl").as("nlbl"))
+      val next = graft.plans.Materialize(
+        labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")),
+        eager = true)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .filter(col("lbl") =!= col("old"))
+        .count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+  }
+
   /** Exact embedding-cosine near-dup pairs: all (a < b) pairs with
     * cosine ≥ threshold. O(N²) by design — the SQL-oracle-friendly
     * reference path; [[embeddingNearDup]] is the LSH-bucketed scale path.

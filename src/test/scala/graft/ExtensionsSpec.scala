@@ -146,6 +146,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(nPacks <= totalTokens / 100 + 4, s"$nPacks packs for $totalTokens tokens")
   }
 
+  test("duplicateClusters: min-label connected components over pair graph") {
+    import spark.implicits._
+    // Chain 1-2-3 (transitive cluster), isolated pair 7-8, pair 5-9.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 5L -> 5L, 9L -> 5L),
+      s"got $got")
+  }
+
   test("decontaminate flags exactly the documents sharing probe n-grams") {
     import spark.implicits._
     val corpus = Seq(
