@@ -135,6 +135,19 @@ object PlanAudit {
     println(s"${if (nJoinEx == 0) "OK " else "HOT"} co-partitioned anchor join     extra exchanges=$nJoinEx")
     if (nJoinEx != 0) joined.explain("formatted")
 
+    // Extension-operator plan shapes. Packing: one exchange (the bucket
+    // repartition) feeds the per-bucket running-sum window. Decontaminate:
+    // the probe side must arrive by BROADCAST (no shuffle of corpus text),
+    // shingle explode + per-doc distinct-count reuse the doc_id clustering.
+    val docsT = Tables.table(spark, dir, "documents")
+    audit("packing", graft.operators.Packing.packSequences(docsT, 512, 8), 1)
+    val decon = graft.operators.Decontaminate.matches(
+      docsT.filter(col("doc_id") >= 5), docsT.filter(col("doc_id") < 5))
+    val deconPlan = decon.queryExecution.executedPlan.toString
+    val deconBroadcast = deconPlan.contains("BroadcastHashJoin") || deconPlan.contains("BroadcastExchange")
+    println(s"${if (deconBroadcast) "OK " else "HOT"} decontaminate broadcast probe  broadcast=$deconBroadcast")
+    audit("decontaminate", decon, 2)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
