@@ -170,6 +170,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Map(10L -> 2L, 12L -> 1L), s"got $got")
   }
 
+  test("new operators tolerate empty inputs (0 rows, schema intact, no throw)") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val packed = Packing.packSequences(noDocs, budgetTokens = 128)
+    assert(packed.count() == 0 &&
+      packed.columns.toSeq == Seq("doc_id", "n_tokens", "bucket", "pack_id"))
+    val decon = Decontaminate.matches(noDocs, noDocs)
+    assert(decon.count() == 0 && decon.columns.toSeq == Seq("doc_id", "matched_ngrams"))
+    val clusters = Dedup.duplicateClusters(noPairs)
+    assert(clusters.count() == 0 && clusters.columns.toSeq == Seq("doc_id", "cluster_rep"))
+  }
+
   test("hash-keyed exact dedup equals full-text exact dedup") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

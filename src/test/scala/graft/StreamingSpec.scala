@@ -128,45 +128,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("cohortWindows matches batch Query on a gap + event-bound target task") {
+  // A two-window cohort task: temporal gap with an error-free constraint,
+  // then an event-bound target — the flagship tree's shape.
+  private val cohortYaml =
+    """predicates:
+      |  click: { code: click }
+      |  buy: { code: buy }
+      |  error: { code: error }
+      |trigger: click
+      |windows:
+      |  gap:
+      |    start: trigger
+      |    end: start + 2h
+      |    start_inclusive: False
+      |    end_inclusive: True
+      |    has: { error: "(None, 0)" }
+      |  target:
+      |    start: gap.end
+      |    end: start -> buy
+      |    start_inclusive: False
+      |    end_inclusive: True
+      |    label: buy
+      |""".stripMargin
+
+  /** Run `data` through the batch Query AND cohortWindows; return both
+    * result sets as (subject, trigger µs, gap counts, target counts).
+    */
+  private def cohortBothWays(
+      data: Seq[(Long, String, String)],
+      sinkName: String): (Set[(Long, Long, List[Long], List[Long])], Set[(Long, Long, List[Long], List[Long])]) = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.config.TaskConfig.fromYaml(cohortYaml)
 
-    // A two-window cohort task: temporal gap with an error-free constraint,
-    // then an event-bound target — the flagship tree's shape.
-    val yaml =
-      """predicates:
-        |  click: { code: click }
-        |  buy: { code: buy }
-        |  error: { code: error }
-        |trigger: click
-        |windows:
-        |  gap:
-        |    start: trigger
-        |    end: start + 2h
-        |    start_inclusive: False
-        |    end_inclusive: True
-        |    has: { error: "(None, 0)" }
-        |  target:
-        |    start: gap.end
-        |    end: start -> buy
-        |    start_inclusive: False
-        |    end_inclusive: True
-        |    label: buy
-        |""".stripMargin
-    val cfg = graft.config.TaskConfig.fromYaml(yaml)
-
-    val data = Seq(
-      (1L, "2024-01-01 10:00:00", "click"), // trigger 1
-      (1L, "2024-01-01 10:30:00", "buy"),
-      (1L, "2024-01-01 11:00:00", "click"), // trigger 2
-      (1L, "2024-01-01 12:30:00", "buy"),   // target 1's bound event
-      (1L, "2024-01-01 14:00:00", "buy"),   // target 2's bound event
-      (2L, "2024-01-01 09:00:00", "click"), // trigger; gap has an error -> dropped
-      (2L, "2024-01-01 09:30:00", "error"),
-      (3L, "2024-01-01 11:00:00", "buy"))   // no trigger
-
-    // Batch side.
     val medsDf = data.toDF("subject_id", "time", "code")
       .withColumn("time", to_timestamp(col("time")))
     val preds = graft.sources.PredicateFrames.finalize(
@@ -187,10 +181,9 @@ class StreamingSpec extends SparkSpec {
             List(r.getLong(5), r.getLong(6), r.getLong(7))))
           .toSet
       finally spark.conf.unset("spark.graft.checkpoint")
-    assert(batchRows.size == 2, s"batch fixture should yield 2 cohort rows: $batchRows")
 
-    // Streaming side: same data through cohortWindows, one flush event to
-    // push the watermark past every deadline + one batch for the timeout.
+    // Streaming side: same data through cohortWindows, flush events to
+    // push the watermark past every deadline + a batch for the timeout.
     val input = MemoryStream[(Long, Timestamp, String)]
     val events = input.toDF().toDF("subject_id", "timestamp", "code")
       .withWatermark("timestamp", "0 seconds")
@@ -212,21 +205,60 @@ class StreamingSpec extends SparkSpec {
     val out = StreamingPredicates.cohortWindows(events, nPreds = 3, triggerIdx = 0, specs)
 
     val query = out.writeStream
-      .format("memory").queryName("cohort_win").outputMode("append").start()
-    try {
-      input.addData(data.map { case (s, t, c) => (s, ts(t), c) }: _*)
-      query.processAllAvailable()
-      input.addData((99L, ts("2024-01-03 00:00:00"), "noop"))
-      query.processAllAvailable()
-      input.addData((99L, ts("2024-01-03 01:00:00"), "noop"))
-      query.processAllAvailable()
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(data.map { case (s, t, c) => (s, ts(t), c) }: _*)
+        query.processAllAvailable()
+        input.addData((99L, ts("2024-01-05 00:00:00"), "noop"))
+        query.processAllAvailable()
+        input.addData((99L, ts("2024-01-05 01:00:00"), "noop"))
+        query.processAllAvailable()
+        spark.table(sinkName).collect().map { r =>
+          val c = r.getSeq[Long](3)
+          (r.getLong(0), r.getLong(1), c.slice(0, 3).toList, c.slice(3, 6).toList)
+        }.toSet
+      } finally query.stop()
+    (batchRows, streamed)
+  }
 
-      val streamed = spark.table("cohort_win").collect().map { r =>
-        val c = r.getSeq[Long](3)
-        (r.getLong(0), r.getLong(1), c.slice(0, 3).toList, c.slice(3, 6).toList)
-      }.toSet
-      assert(streamed == batchRows, s"streamed $streamed != batch $batchRows")
-    } finally query.stop()
+  test("cohortWindows matches batch Query on a gap + event-bound target task") {
+    val data = Seq(
+      (1L, "2024-01-01 10:00:00", "click"), // trigger 1
+      (1L, "2024-01-01 10:30:00", "buy"),
+      (1L, "2024-01-01 11:00:00", "click"), // trigger 2
+      (1L, "2024-01-01 12:30:00", "buy"),   // target 1's bound event
+      (1L, "2024-01-01 14:00:00", "buy"),   // target 2's bound event
+      (2L, "2024-01-01 09:00:00", "click"), // trigger; gap has an error -> dropped
+      (2L, "2024-01-01 09:30:00", "error"),
+      (3L, "2024-01-01 11:00:00", "buy"))   // no trigger
+    val (batch, streamed) = cohortBothWays(data, "cohort_win")
+    assert(batch.size == 2, s"batch fixture should yield 2 cohort rows: $batch")
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("cohortWindows matches batch Query on randomized event streams") {
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      // Unique (subject, minute) slots so raw streamed events equal the
+      // batch engine's collapsed same-instant rows one-to-one.
+      val data = (1L to 4L).flatMap { subj =>
+        val minutes = rnd.shuffle((0 until 1440).toList).take(30).sorted
+        minutes.map { m =>
+          val code = rnd.nextInt(10) match {
+            case 0 | 1 | 2 => "click"
+            case 3 | 4 | 5 | 6 => "buy"
+            case 7 => "error"
+            case _ => "noop"
+          }
+          (subj, f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00", code)
+        }
+      }
+      val (batch, streamed) = cohortBothWays(data, s"cohort_rand_$seed")
+      assert(streamed == batch,
+        s"seed $seed: streamed ${streamed.size} rows != batch ${batch.size}: " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    }
   }
 
   test("cumulativeCounts keeps running per-subject totals") {
