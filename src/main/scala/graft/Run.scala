@@ -63,8 +63,12 @@ object Run {
       return
     }
     // Hydra-style invocation (`key=value` args, `aces-cli` parity) vs the
-    // native flag CLI.
-    if (args.exists(a => !a.startsWith("-") && a.contains("="))) hydraMain(args)
+    // native flag CLI. Hydra mode only when EVERY arg is key=value (or the
+    // multirun flag) — a native `--data /path/date=2024-06-01` flag value
+    // containing '=' must not flip the whole invocation.
+    val isHydra = args.forall(a =>
+      a == "--multirun" || a == "-m" || (!a.startsWith("-") && a.contains("=")))
+    if (isHydra) hydraMain(args)
     else runWithOpts(parseArgs(args))
   }
 
@@ -121,6 +125,14 @@ object Run {
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
           .config("spark.ui.enabled", "false"))
       .getOrCreate()
+    if (shards.size > 1 && kv.contains("output_filepath"))
+      // Hydra parity: an explicit literal output_filepath has no
+      // ${data._prefix} interpolation, so every shard writes the same
+      // file (last one wins) — as in the reference. Warn loudly.
+      System.err.println(
+        "[graft.Run] WARNING: explicit output_filepath with --multirun — " +
+          "all shards write the same path; only the last shard's output survives. " +
+          "Omit output_filepath to get per-shard ${cohort_dir}/${cohort_name}/<shard>.parquet.")
     try shards.foreach { case (shard, dataPath, prefix) =>
       val out = kv.getOrElse("output_filepath", s"$cohortDir/$cohortName$prefix.parquet")
       val opts = Map("config" -> configPath, "data" -> dataPath,

@@ -765,7 +765,7 @@ object QueryCatalog {
              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t)
              |SELECT doc_id, n_tokens, bucket,
-             |  CAST(bucket * 1000000 + FLOOR(start_tok / 512.0) AS BIGINT) AS pack_id
+             |  CAST(bucket * 1099511627776 + FLOOR(start_tok / 512.0) AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     Q("text_decontaminate", (s, dir) => {

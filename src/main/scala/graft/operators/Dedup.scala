@@ -214,24 +214,29 @@ object Dedup {
       aCol: String = "doc_a",
       bCol: String = "doc_b"
   ): DataFrame = {
+    // The per-round lineage cut is load-bearing here, not an optimization:
+    // without it, round k's plan nests k self-joins and the convergence
+    // count() re-executes the whole chain — combinatorial blow-up. So when
+    // `spark.graft.checkpoint=off` (plan-inspection mode), fall back to an
+    // eager localCheckpoint instead of honoring the no-op.
+    def cut(df: DataFrame): DataFrame =
+      if (graft.plans.Materialize.mode(df) == "off") df.localCheckpoint(true)
+      else graft.plans.Materialize(df, eager = true)
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val edges = graft.plans.Materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
-      eager = true)
-    var labels = graft.plans.Materialize(
-      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")),
-      eager = true)
+    val edges = cut(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labels = cut(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dlbl").as("nlbl"))
-      val next = graft.plans.Materialize(
+      val next = cut(
         labels
           .join(neighborMin, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")),
-        eager = true)
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       changed = next
         .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
         .filter(col("lbl") =!= col("old"))

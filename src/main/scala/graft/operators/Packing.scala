@@ -17,7 +17,10 @@ import graft.functions.Texts
   * independent packing streams (`pmod(doc_id, buckets)`); each bucket's
   * cumulative sum is one growing-frame window pass over its own partition
   * — fully parallel, one shuffle on the bucket key, codegen'd end to end.
-  * Pack ids are globally unique via `bucket * 1e6 + pack-in-bucket`.
+  * Pack ids are globally unique via `(bucket << 40) + pack-in-bucket`:
+  * up to ~1.1e12 packs per bucket and 2^23 buckets before overflow —
+  * beyond any real corpus (a 1e6 multiplier would silently collide at
+  * ~2e9 tokens per bucket).
   */
 object Packing {
 
@@ -39,7 +42,7 @@ object Packing {
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("doc_id"), col("n_tokens"), col("bucket"),
-        (col("bucket") * lit(1000000L) +
+        (shiftleft(col("bucket"), 40) +
           floor(col("start_tok") / lit(budgetTokens.toDouble))).cast("long").as("pack_id"))
   }
 }

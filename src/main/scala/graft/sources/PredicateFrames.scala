@@ -21,6 +21,8 @@ import graft.model.EventBounds
   */
 object PredicateFrames {
 
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** "direct" standard: pre-computed predicate columns in CSV/Parquet.
     * (reference: predicates.py:21-226 `direct_load_plain_predicates`)
     *
@@ -198,7 +200,10 @@ object PredicateFrames {
           d.toFile.deleteOnExit()
           d.toString
         }
-        val dir = s"$staging/esgpt_${math.abs(path.hashCode).toHexString}"
+        // Unique dir per CALL: a shared dir keyed on inputs alone would be
+        // rewritten by a later load (other predicates, refreshed dataset)
+        // underneath an earlier call's still-live lazy frame.
+        val dir = s"$staging/esgpt_${math.abs(path.hashCode).toHexString}_${stagingSeq.incrementAndGet()}"
         out.write.mode("overwrite").parquet(dir)
         dir
       } finally spark.conf.set(key, prev)

@@ -217,9 +217,6 @@ object StreamingPredicates {
     implicit val stateEnc = Encoders.product[TriggerState]
     val specs = windows.toArray
     val minStartOffset = specs.map(_.startOffsetMicros).min
-    // By trigger + this offset, every window is either closed or failed.
-    val maxDeadlineOffset = specs.map(w =>
-      if (w.endPredIdx >= 0) w.startOffsetMicros + w.maxHorizonMicros else w.endOffsetMicros).max
     events
       .groupByKey(_.subject_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[TriggerState, CohortRow](
@@ -243,6 +240,12 @@ object StreamingPredicates {
 
           val emissions = scala.collection.mutable.ArrayBuffer.empty[CohortRow]
           val stillPending = scala.collection.mutable.ArrayBuffer.empty[Long]
+          // Earliest event-time at which some pending window could newly
+          // close — the next wake-up. Waking at the worst-case deadline
+          // (trigger + maxDeadlineOffset) instead would delay emission of
+          // an already-resolvable row by up to the full horizon when the
+          // subject receives no further events of its own.
+          var nextWake = Long.MaxValue
           triggers.sorted.foreach { t =>
             var allClosed = true
             var failed = false
@@ -253,7 +256,8 @@ object StreamingPredicates {
               val start = t + w.startOffsetMicros
               if (w.endPredIdx < 0) {
                 val end = t + w.endOffsetMicros
-                if (wmMicros >= end) ends(wi) = end else allClosed = false
+                if (wmMicros >= end) ends(wi) = end
+                else { allClosed = false; nextWake = math.min(nextWake, end) }
               } else {
                 // First end-predicate event strictly after start. Events at
                 // or below the watermark are final (later arrivals would be
@@ -268,7 +272,12 @@ object StreamingPredicates {
                 }
                 if (best != Long.MaxValue && best <= wmMicros) ends(wi) = best
                 else if (wmMicros >= start + w.maxHorizonMicros) failed = true
-                else allClosed = false
+                else {
+                  allClosed = false
+                  // Candidate close: the buffered bound event (if one is
+                  // already known) or the horizon cap.
+                  nextWake = math.min(nextWake, math.min(best, start + w.maxHorizonMicros))
+                }
               }
               wi += 1
             }
@@ -319,7 +328,7 @@ object StreamingPredicates {
           else {
             state.update(TriggerState(stillPending.toArray, keepTs, keepCounts))
             val nextDeadlineMs =
-              if (stillPending.nonEmpty) stillPending.map(_ + maxDeadlineOffset).min / 1000L + 1L
+              if (stillPending.nonEmpty) math.max(nextWake / 1000L + 1L, wmMicros / 1000L + 1L)
               // Events retained only for future triggers: wake on any
               // watermark advance so the prune floor keeps moving.
               else wmMicros / 1000L + 1L

@@ -44,14 +44,14 @@ object RecallProbe {
       if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
 
     // sim_ann_lsh — the catalog configuration (self-ANN over vec_id < 50,
-    // k=5, default bands=16 × 4 bits).
+    // k=5, default bands=32 × 4 bits).
     val lshSubset = emb.filter(col("vec_id") < 50)
     val lshExact = pairs(Similarity.bruteForceTopK(lshSubset, lshSubset, k = 5), "query_id", "neighbor_id")
     val lshGot = pairs(Similarity.lshTopK(lshSubset, k = 5), "query_id", "neighbor_id")
     val lshRecall = recall(lshGot, lshExact)
 
     // sim_ann_ivf — the catalog configuration (vec_id < 100, k=5,
-    // default nlist=16, nprobe=4, 2 Lloyd iterations).
+    // default nlist=16, nprobe=10, 2 Lloyd iterations).
     val ivfSubset = emb.filter(col("vec_id") < 100)
     val ivfExact = pairs(Similarity.bruteForceTopK(ivfSubset, ivfSubset, k = 5), "query_id", "neighbor_id")
     val ivfGot = pairs(Similarity.ivfTopK(ivfSubset, k = 5), "query_id", "neighbor_id")

@@ -134,7 +134,7 @@ class ExtensionsSpec extends SparkSpec {
       var runningTokens = 0L
       rows.sortBy(_._1).foreach { case (id, nTokens, b, packId) =>
         assert(b == id % 4, s"doc $id bucket")
-        assert(packId == b * 1000000L + runningTokens / 100,
+        assert(packId == (b << 40) + runningTokens / 100,
           s"doc $id pack_id (start_tok=$runningTokens)")
         runningTokens += nTokens
       }

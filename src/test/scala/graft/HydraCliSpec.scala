@@ -70,6 +70,19 @@ class HydraCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$cohortDir/mytask/train/1.parquet").count() == 3)
   }
 
+  test("native flag CLI keeps routing when a path value contains '='") {
+    val cohortDir = Files.createTempDirectory("graft_hydra_eq").toString
+    Files.writeString(java.nio.file.Paths.get(s"$cohortDir/mytask.yaml"), taskYaml)
+    // Hive-partitioned-style path segment with '=' must not flip the
+    // invocation into Hydra key=value mode.
+    val dataPath = s"$cohortDir/date=2024-01-01/data.parquet"
+    writeEvents(dataPath, Seq(1L, 2L))
+    Run.main(Array(
+      "--config", s"$cohortDir/mytask.yaml", "--data", dataPath,
+      "--standard", "meds", "--output", s"$cohortDir/out.parquet"))
+    assert(spark.read.parquet(s"$cohortDir/out.parquet").count() == 2)
+  }
+
   test("sharded without --multirun rejects a multi-shard sweep") {
     val err = intercept[IllegalArgumentException] {
       Run.hydraMain(Array("cohort_dir=/tmp", "cohort_name=x", "data=sharded",
