@@ -15,10 +15,15 @@ import graft.sources.{PredicateFrames, Tables}
   * this shows what amortizes at scale. Temporary inputs go to /tmp.
   *
   * Args: [replication] [--no-checkpoint] [--stages] [--skew] [--runs N]
+  *       [--bucketed]
   *   --no-checkpoint  disable per-level lineage cuts (ExtractSubtree)
   *   --stages         print per-stage wall times of the timed run
   *   --skew           inject a pathological subject owning ~10% of events
   *   --runs N         timed end-to-end runs (default 3); reports median
+  *   --bucketed       ingest-once mode: collapse once into a bucketed,
+  *                    sorted table (PredicateFrames.writeBucketed), then
+  *                    time repeat queries reading it — the amortized
+  *                    repeated-querying path at corpus scale
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -29,6 +34,7 @@ object ScaleProbe {
     val nRuns = args.sliding(2).collectFirst {
       case Array("--runs", n) => n.toInt
     }.getOrElse(3)
+    val bucketed = args.contains("--bucketed")
     val spark = Tables
       .configure(
         SparkSession.builder()
@@ -82,11 +88,24 @@ object ScaleProbe {
       }
     })
 
+    // --bucketed: pay the collapse ONCE into a bucketed, sorted table;
+    // timed runs then read it with zero ingest shuffle — the repeated-
+    // querying pattern at corpus scale (BucketedSpec proves the plan).
+    val bucketTable = s"graft_scale_${replication}x" + (if (skew) "_skew" else "")
+    if (bucketed && !spark.catalog.tableExists(bucketTable)) {
+      val ev = spark.read.parquet(scaled)
+      val plain = PredicateFrames.fromMeds(
+        ev.withColumnRenamed("timestamp", "time"), cfg.plainPredicates.toSeq)
+      PredicateFrames.writeBucketed(plain, bucketTable, buckets = 64)
+    }
+
     def run(): (Long, Double) = {
       val ev = spark.read.parquet(scaled)
       val nRows = ev.count()
       val t0 = System.nanoTime()
-      val plain = PredicateFrames.fromMeds(ev.withColumnRenamed("timestamp", "time"), cfg.plainPredicates.toSeq)
+      val plain =
+        if (bucketed) PredicateFrames.readBucketed(spark, bucketTable)
+        else PredicateFrames.fromMeds(ev.withColumnRenamed("timestamp", "time"), cfg.plainPredicates.toSeq)
       val preds = PredicateFrames.finalize(cfg, plain)
       val out = graft.Query(cfg, preds)
       out.write.format("noop").mode("overwrite").save()
@@ -117,6 +136,7 @@ object ScaleProbe {
     val secs = sorted(sorted.length / 2)
     val peakHeapMb = heapPools.map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
     println(f"[scale-probe] replication=${replication}x skew=$skew checkpoint=${!noCheckpoint} " +
+      f"bucketed=$bucketed " +
       f"rows=$rows wall=${secs}%.1f s (median of $nRuns: ${sorted.map(s => f"$s%.1f").mkString("/")}) " +
       f"throughput=${rows / secs / 1e6}%.3f M rows/s peakHeap=${peakHeapMb} MB")
     if (printStages) {
