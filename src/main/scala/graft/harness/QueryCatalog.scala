@@ -787,6 +787,20 @@ object QueryCatalog {
               |FROM corpus c JOIN probe p ON c.s = p.s
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("sample_quota", (s, dir) =>
+      // Training-mix curation: exact per-language quotas, deterministic
+      // multiplicative-hash pick (reproduced verbatim by the oracle).
+      Sampling.quotaSample(docs(s, dir), Map("en" -> 50L, "es" -> 20L, "fr" -> 10L))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, lang,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM documents),
+             |k AS (SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk FROM r)
+             |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM k
+             |WHERE (lang = 'en' AND rk <= 50) OR (lang = 'es' AND rk <= 20)
+             |   OR (lang = 'fr' AND rk <= 10)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("multimodal_features", (s, dir) => {
       // Codec-free metrics are pure expressions (codegen'd scan→project);
       // Multimodal.extractFeatures remains the partition-wise decode hook

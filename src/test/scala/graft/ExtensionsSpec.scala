@@ -156,6 +156,19 @@ class ExtensionsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("quotaSample: exact per-group quotas, deterministic, unknown groups dropped") {
+    import graft.operators.Sampling
+    val got = Sampling.quotaSample(docs, Map("en" -> 3L, "fr" -> 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.count(_._2 == "en") == 3 && got.count(_._2 == "fr") == 2)
+    assert(got.map(_._2).toSet == Set("en", "fr"), "unquoted groups dropped")
+    assert(got.forall(_._3 >= 1L) && got.filter(_._2 == "en").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    // Deterministic: a second run picks the identical sample.
+    val again = Sampling.quotaSample(docs, Map("en" -> 3L, "fr" -> 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("decontaminate flags exactly the documents sharing probe n-grams") {
     import spark.implicits._
     val corpus = Seq(
