@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   * batches (the JVM analogue of `mapInPandas`) so codec state is
   * initialized once per partition, not per row.
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. The Spark-side plumbing — schema, binary handling, partitioning,
-  * per-partition batch shape — is real and tested.
+  * Decode status: REAL for uncompressed formats — [[decodeMedia]] parses
+  * 24-bit BMP images (dimensions + mean RGB) and 16-bit PCM WAV audio
+  * (sample rate, duration, amplitude stats) with pure byte arithmetic, no
+  * codec library. Compressed codecs (JPEG, MP4, …) remain behind the
+  * deterministic stub (`decodeOne`) — those genuinely require native
+  * libraries this container lacks; a deployment swaps only that body.
+  * The Spark-side plumbing — schema, binary handling, partitioning,
+  * per-partition batch shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -172,5 +176,133 @@ object Multimodal {
     }
     val total = math.max(1.0, payload.length.toDouble)
     (checksum, hist.map(_ / total))
+  }
+
+  // ==========================================================================
+  // REAL decode — uncompressed formats need no codec library, so BMP
+  // (image) and PCM WAV (audio) are parsed for real with byte arithmetic:
+  // dimensions + mean RGB channels, and sample rate / duration + mean-abs /
+  // RMS amplitude. Compressed codecs (JPEG, MP4, …) remain behind the
+  // documented stub — those genuinely require native libraries this
+  // container lacks.
+  // ==========================================================================
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    le16(b, off) | (le16(b, off + 2) << 16)
+
+  /** Decoded-media row: `format` is what the magic bytes identified
+    * ("bmp" | "wav" | "opaque"); image fields null for audio and vice
+    * versa; `feature` = mean-RGB (bmp), [meanAbs, rms] amplitude (wav), or
+    * the byte-histogram fallback (opaque).
+    */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)
+  ))
+
+  /** Uncompressed 24-bit BMP: (width, height, [meanR, meanG, meanB]).
+    * Rows are bottom-up (or top-down when height < 0) and padded to 4-byte
+    * multiples; pixels are stored B,G,R. Channel means are /255-normalized.
+    */
+  private[operators] def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOffset = le32(p, 10)
+    val width = le32(p, 18)
+    val heightRaw = le32(p, 22)
+    val height = math.abs(heightRaw)
+    val bpp = le16(p, 28)
+    val compression = le32(p, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
+    val rowSize = ((24 * width + 31) / 32) * 4
+    if (dataOffset.toLong + rowSize.toLong * height > p.length) return None
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var row = 0
+    while (row < height) {
+      val base = dataOffset + row * rowSize
+      var c = 0
+      while (c < width) {
+        sb += (p(base + c * 3) & 0xff)
+        sg += (p(base + c * 3 + 1) & 0xff)
+        sr += (p(base + c * 3 + 2) & 0xff)
+        c += 1
+      }
+      row += 1
+    }
+    val n = width.toDouble * height * 255.0
+    Some((width, height, Array(sr / n, sg / n, sb / n)))
+  }
+
+  /** PCM WAV (16-bit): (durationMs, [meanAbs, rms]) with amplitudes
+    * normalized to [0, 1] by 32768. Walks RIFF chunks for `fmt ` + `data`.
+    */
+  private[operators] def decodeWav(p: Array[Byte]): Option[(Long, Array[Double])] = {
+    if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var fmtCode = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= p.length) {
+      val id = new String(p.slice(off, off + 4), "US-ASCII")
+      val size = le32(p, off + 4)
+      if (id == "fmt " && off + 24 <= p.length) {
+        fmtCode = le16(p, off + 8)
+        channels = le16(p, off + 10)
+        sampleRate = le32(p, off + 12)
+        bits = le16(p, off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(size, p.length - dataOff)
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || bits != 16 || sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
+    val bytesPerSec = sampleRate.toLong * channels * (bits / 8)
+    val durationMs = dataLen * 1000L / bytesPerSec
+    var sumAbs = 0.0; var sumSq = 0.0; var i = dataOff; var n = 0L
+    while (i + 1 < dataOff + dataLen) {
+      val s = (le16(p, i) << 16 >> 16) / 32768.0 // sign-extend 16-bit LE
+      sumAbs += math.abs(s); sumSq += s * s; n += 1
+      i += 2
+    }
+    val cnt = math.max(1L, n).toDouble
+    Some((durationMs, Array(sumAbs / cnt, math.sqrt(sumSq / cnt))))
+  }
+
+  /** Partition-wise REAL decode, dispatching on magic bytes: BMP images →
+    * dims + mean RGB; PCM WAV audio → duration + amplitude stats; anything
+    * else → the byte-histogram fallback with format "opaque". Same batch
+    * shape as [[extractFeatures]] (codec state, were one needed, would
+    * initialize once per partition).
+    */
+  def decodeMedia(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media
+      .select("media_id", "payload")
+      .rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val p = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+            decodeBmp(p) match {
+              case Some((w, h, rgb)) => Row(id, "bmp", w, h, null, rgb.toSeq)
+              case None =>
+                decodeWav(p) match {
+                  case Some((ms, amp)) => Row(id, "wav", null, null, ms, amp.toSeq)
+                  case None =>
+                    val (_, hist) = decodeOne(p)
+                    Row(id, "opaque", null, null, null, hist.toSeq)
+                }
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, decodedSchema)
   }
 }

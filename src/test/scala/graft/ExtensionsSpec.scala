@@ -266,6 +266,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(expr.nonEmpty && expr == hook)
   }
 
+  test("real decode: BMP dims + mean RGB and WAV duration + amplitude") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    // 2x2 uncompressed 24-bit BMP, every pixel pure red (stored B,G,R;
+    // rows padded to 4-byte multiples: 6 pixel bytes + 2 pad).
+    val bmp = {
+      val b = ByteBuffer.allocate(70).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+      b.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      b.putInt(0).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+      for (_ <- 0 until 2) {
+        for (_ <- 0 until 2) b.put(0.toByte).put(0.toByte).put(255.toByte)
+        b.put(0.toByte).put(0.toByte)
+      }
+      b.array()
+    }
+    // PCM WAV: mono, 16-bit, 1000 Hz, 4 samples -> 4 ms.
+    val wav = {
+      val b = ByteBuffer.allocate(52).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(1000).putInt(2000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(8)
+      b.putShort(16384).putShort(-16384).putShort(32767).putShort(0)
+      b.array()
+    }
+    val media = Seq((1L, bmp), (2L, wav), (3L, "plain text".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeMedia(media).collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L).getString(1) == "bmp")
+    assert(got(1L).getInt(2) == 2 && got(1L).getInt(3) == 2)
+    val rgb = got(1L).getSeq[Double](5)
+    assert(math.abs(rgb(0) - 1.0) < 1e-9 && rgb(1) == 0.0 && rgb(2) == 0.0, s"rgb $rgb")
+
+    assert(got(2L).getString(1) == "wav")
+    assert(got(2L).getLong(4) == 4L, "4 samples at 1 kHz = 4 ms")
+    val amp = got(2L).getSeq[Double](5)
+    assert(math.abs(amp(0) - (0.5 + 0.5 + 32767.0 / 32768 + 0.0) / 4) < 1e-9, s"meanAbs $amp")
+    assert(math.abs(amp(1) - math.sqrt((0.25 + 0.25 + math.pow(32767.0 / 32768, 2)) / 4)) < 1e-9)
+
+    assert(got(3L).getString(1) == "opaque" && got(3L).getSeq[Double](5).length == 8)
+  }
+
   test("multimodal resizeMeta preserves aspect ratio") {
     import spark.implicits._
     val media = Seq((1L, "img", Array[Byte](1), ("raw", 4000, 1000, -1L)))
