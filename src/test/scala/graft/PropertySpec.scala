@@ -173,4 +173,60 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }, 40)
   }
+
+  test("collapse modes (direct / skew-safe / adaptive) agree on random frames") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import spark.implicits._
+    // Raw rows WITH duplicate (subject, ts) pairs — collapse's whole job.
+    val rawGen: Gen[List[(Long, Long, Long, Long)]] = Gen.listOfN(
+      40,
+      for {
+        s <- Gen.choose(1L, 4L)
+        t <- Gen.choose(0L, 48L)
+        a <- Gen.choose(0L, 3L)
+        b <- Gen.choose(0L, 3L)
+      } yield (s, t, a, b))
+    check(Prop.forAll(rawGen) { rows =>
+      rows.isEmpty || {
+        val df = rows
+          .toDF("subject_id", "h", "a", "b")
+          .withColumn("timestamp",
+            to_timestamp(col("h") * 3600 + 1700000000L))
+          .select("subject_id", "timestamp", "a", "b")
+        def run(mode: String): Seq[String] = {
+          spark.conf.set("spark.graft.collapse", mode)
+          try snap(graft.sources.PredicateFrames.collapse(df, Seq("a", "b")))
+          finally spark.conf.unset("spark.graft.collapse")
+        }
+        val direct = run("direct")
+        direct.nonEmpty && direct == run("skew-safe") && direct == run("adaptive")
+      }
+    }, 15)
+  }
+
+  test("duplicateClusters matches a local union-find on random graphs") {
+    import spark.implicits._
+    val graphGen: Gen[List[(Long, Long)]] = Gen.listOfN(
+      25,
+      for { a <- Gen.choose(1L, 15L); b <- Gen.choose(1L, 15L) if a != b } yield (a, b))
+    check(Prop.forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.Dedup
+          .duplicateClusters(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // Local union-find with min-id representatives.
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val want = parent.keys.map(n => n -> find(n)).toMap
+        got == want
+      }
+    }, 15)
+  }
 }
