@@ -346,6 +346,28 @@ object QueryCatalog {
       Some("""SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              |CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("sessionize", (s, dir) =>
+      // Gap-based sessions (1h) over the canonical frame: growing-frame
+      // running count of gap boundaries, per-session summary.
+      Sessionize.sessions(preds(s, dir), gapMicros = 3600000000L)
+        .select(col("subject_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"), col("duration_us"))
+        .orderBy("subject_id", "session_id"),
+      Some(predsCte +
+        """, g AS (SELECT subject_id, timestamp,
+          |  CASE WHEN LAG(timestamp) OVER w IS NULL
+          |    OR epoch_us(timestamp) - epoch_us(LAG(timestamp) OVER w) > 3600000000
+          |    THEN 1 ELSE 0 END AS st
+          |  FROM p WINDOW w AS (PARTITION BY subject_id ORDER BY timestamp)),
+          |s AS (SELECT subject_id, timestamp,
+          |  SUM(st) OVER (PARTITION BY subject_id ORDER BY timestamp
+          |    ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM g)
+          |SELECT subject_id, CAST(session_id AS BIGINT) AS session_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_events,
+          |  MIN(timestamp) AS session_start, MAX(timestamp) AS session_end,
+          |  CAST(epoch_us(MAX(timestamp)) - epoch_us(MIN(timestamp)) AS BIGINT) AS duration_us
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("rolling_sum_temporal", (s, dir) =>
       TemporalWindowAgg(preds(s, dir), TemporalBounds(true, 24L * 3600000000L, true, 0L))
         .orderBy("subject_id", "timestamp"),

@@ -156,6 +156,19 @@ class ExtensionsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("sessionize: gap boundaries split sessions per subject") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:30:00"), // session 0
+      (1L, "2024-01-01 12:00:00"),                              // gap >1h -> session 1
+      (2L, "2024-01-01 09:00:00"))                              // own session 0
+      .toDF("subject_id", "ts").withColumn("timestamp", to_timestamp(col("ts")))
+    val got = Sessionize.sessions(ev, gapMicros = 3600000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(got == Set((1L, 0L, 2L, 1800000000L), (1L, 1L, 1L, 0L), (2L, 0L, 1L, 0L)), s"got $got")
+  }
+
   test("quotaSample: exact per-group quotas, deterministic, unknown groups dropped") {
     import graft.operators.Sampling
     val got = Sampling.quotaSample(docs, Map("en" -> 3L, "fr" -> 2L))
