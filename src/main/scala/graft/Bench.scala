@@ -61,13 +61,24 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+    // The driver scrapes the sbt log tail (r01–r03 artifacts all recorded
+    // "parsed": null). Maximize its odds: quiesce the logger first, emit
+    // the line on BOTH streams (sbt tags forked stdout [info] and stderr
+    // [error] — we can't know which the scraper strips), and repeat it
+    // after spark.stop() so the tail ENDS with the JSON whatever WARN
+    // lines earlier queries produced. BENCH_LOCAL.json stays the exact
+    // machine-readable copy.
+    spark.sparkContext.setLogLevel("ERROR")
     println(json)
-    // Also write the JSON to a file: the driver scrapes the sbt log tail and
-    // both BENCH_r01/r02 artifacts recorded "parsed": null. A file is exact.
+    System.out.flush()
+    System.err.println(json)
+    System.err.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
+    System.out.flush()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
       sys.exit(1)

@@ -627,6 +627,19 @@ object QueryCatalog {
         .orderBy("doc_a", "doc_b"),
       None, bench = true),
 
+    Q("dedup_minhash_incr", (s, dir) =>
+      // Incremental ingest loop: docs >= 400 arrive as a new shard and are
+      // deduped against the minhash index of the first 400 — no corpus
+      // re-shingling (hash-seeded → golden-fixture oracle; full-run parity
+      // asserted in ExtensionsSpec).
+      Dedup.minhashLshIncremental(
+        docs(s, dir).filter(col("doc_id") >= 400),
+        Dedup.minhashIndex(docs(s, dir).filter(col("doc_id") < 400)),
+        threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      None),
+
     Q("dedup_simhash", (s, dir) =>
       Dedup.simhash(docs(s, dir), maxHamming = 10)
         .orderBy("doc_a", "doc_b"),
@@ -719,6 +732,25 @@ object QueryCatalog {
 
     Q("sim_ann_ivf", (s, dir) =>
       Similarity.ivfTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk"),
+      None),
+
+    Q("sim_ann_lsh_q", (s, dir) =>
+      // Asymmetric retrieval shape: a small disjoint query frame against
+      // the rest of the corpus (hash-seeded → golden-fixture oracle;
+      // recall vs the two-frame brute force in RECALL.json).
+      Similarity.lshTopK(
+        emb(s, dir).filter(col("vec_id") < 20), emb(s, dir).filter(col("vec_id") >= 20),
+        k = 5, bands = 32, bitsPerBand = 4, idCol = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk"),
+      None),
+
+    Q("sim_ann_ivf_q", (s, dir) =>
+      Similarity.ivfTopK(
+        emb(s, dir).filter(col("vec_id") < 20), emb(s, dir).filter(col("vec_id") >= 20),
+        k = 5, nlist = 16, nprobe = 12, refineIters = 2, idCol = "vec_id", vecCol = "embedding")
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
       None),

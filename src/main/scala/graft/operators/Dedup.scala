@@ -120,6 +120,51 @@ object Dedup {
     *
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
+  /** The per-document minhash index: one row per doc carrying its
+    * distinct-shingle set (for exact-Jaccard verification) and all
+    * `numHashes` min-hash columns (for LSH banding) — computed in ONE
+    * shingle pass + one per-doc hash-aggregate (shingleRows pre-clusters
+    * by doc_id, so the aggregate is shuffle-free).
+    *
+    * This is both [[minhashLsh]]'s internal frame and the PERSISTED
+    * contract for [[minhashLshIncremental]]: write it once per corpus
+    * (`index.write.bucketBy(n, "doc_id").saveAsTable(...)` on a cluster —
+    * the verification join then reads it pre-clustered), then dedup each
+    * incoming shard against it without ever re-shingling the corpus.
+    *
+    * @return (doc_id, sh: array<string>, h0..h{numHashes-1}: long)
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      shingleN: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    shingleRows(docs, shingleN, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sh"), mins: _*)
+  }
+
+  /** (doc_id, band, bucket) rows from an index frame's signature columns:
+    * hash each `rowsPerBand`-wide slice to one bucket key per band — a
+    * narrow projection, ids and 16-byte keys only.
+    */
+  private def bandRowsOf(perDoc: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    perDoc
+      .select(
+        col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+          struct(
+            lit(b).as("band"),
+            xxhash64(lit(b) +: slice: _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
   def minhashLsh(
       docs: DataFrame,
       threshold: Double,
@@ -131,37 +176,19 @@ object Dedup {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
 
-    // ONE shingle pass feeds everything: a single per-doc hash-aggregate
-    // computes the verification shingle set AND all `numHashes` min-hash
-    // columns together (shingleRows pre-clusters by doc_id, so the
-    // aggregate is shuffle-free), then is materialized once — it has three
-    // consumers (band rows + both verification join sides). Materialize
-    // (not persist): blocks are freed by the ContextCleaner when the frame
-    // goes out of scope, where a CacheManager entry would leak per call
-    // and mask timings of later runs. collect_set order is arbitrary;
-    // array_intersect/array_union sizes are order-invariant.
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    // The index frame feeds everything and is materialized once — it has
+    // three consumers (band rows + both verification join sides).
+    // Materialize (not persist): blocks are freed by the ContextCleaner
+    // when the frame goes out of scope, where a CacheManager entry would
+    // leak per call and mask timings of later runs. collect_set order is
+    // arbitrary; array_intersect/array_union sizes are order-invariant.
     val perDoc = graft.plans.Materialize(
-      shingleRows(docs, shingleN, textCol, idCol)
-        .groupBy("doc_id")
-        .agg(collect_set(col("s")).as("sh"), mins: _*))
+      minhashIndex(docs, numHashes, shingleN, textCol, idCol))
 
     val shingled = perDoc.select(col("doc_id"), col("sh"))
 
-    // Band rows: hash each signature slice to one bucket key per band —
-    // a narrow projection over the materialized per-doc frame.
-    val bandRows = perDoc
-      .select(
-        col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-          struct(
-            lit(b).as("band"),
-            xxhash64(lit(b) +: slice: _*).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val bandRows = bandRowsOf(perDoc, numHashes, bands)
 
     // Bucket-size cap via a window count: partitions by (band, bucket),
     // which the self-join below then reuses — no extra shuffle.
@@ -178,6 +205,78 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Incremental near-dup detection: dedup an incoming shard against an
+    * existing corpus INDEX ([[minhashIndex]], typically persisted as a
+    * bucketed table) — the production ingest loop. The corpus is never
+    * re-shingled: its band rows and shingle sets are narrow projections of
+    * the index. Emits exactly the [[minhashLsh]]-on-the-union pairs that
+    * involve at least one new document (corpus-internal pairs were
+    * reported when the corpus itself was ingested); the bucket-size cap is
+    * evaluated over the COMBINED band rows, so results match the full run
+    * (DedupIncrementalSpec asserts parity, jaccard values included).
+    *
+    * New doc ids must be disjoint from the index's ids.
+    *
+    * @param index the persisted [[minhashIndex]] of the existing corpus,
+    *              built with the SAME numHashes/shingleN.
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, each pair
+    *         touching ≥1 new doc.
+    */
+  def minhashLshIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+
+    val newPerDoc = graft.plans.Materialize(
+      minhashIndex(newDocs, numHashes, shingleN, textCol, idCol))
+
+    // Combined band rows, tagged by side: the cap must see TOTAL bucket
+    // size (a bucket can be degenerate only across the union), and the
+    // candidate join's left side is restricted to new docs so no
+    // corpus-internal pair is ever generated.
+    val allBands = bandRowsOf(newPerDoc, numHashes, bands)
+      .withColumn("__new", lit(true))
+      .unionByName(
+        bandRowsOf(index, numHashes, bands).withColumn("__new", lit(false)))
+    val wBucket = Window.partitionBy("band", "bucket")
+    val capped = allBands
+      .withColumn("bsize", count(lit(1)).over(wBucket))
+      .filter(col("bsize") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("doc_id"), col("__new"))
+
+    val a = capped.filter(col("__new"))
+      .select(col("band"), col("bucket"), col("doc_id").as("ida"))
+    val b = capped.select(col("band"), col("bucket"), col("doc_id").as("idb"))
+    val candidates = a
+      .join(b, Seq("band", "bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select(
+        least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    val shingled = newPerDoc.select(col("doc_id"), col("sh"))
+      .unionByName(index.select(col("doc_id"), col("sh")))
 
     candidates
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -365,6 +464,7 @@ object Dedup {
   def simhash(
       docs: DataFrame,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 256,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
@@ -377,8 +477,18 @@ object Dedup {
       }: _*)).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
 
-    val a = chunks.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = chunks.select(col("chunk"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // Bucket-size cap (same skew guard as [[minhashLsh]]): a degenerate
+    // corpus — millions of near-empty docs hashing to one 16-bit chunk key
+    // — would otherwise make the self-join below quadratic in one bucket.
+    // The window partitions by (chunk, key), which the join reuses.
+    val wChunk = Window.partitionBy("chunk", "key")
+    val capped = chunks
+      .withColumn("bsize", count(lit(1)).over(wChunk))
+      .filter(col("bsize") <= maxBucketSize)
+      .select(col("chunk"), col("key"), col("doc_id"), col("sig"))
+
+    val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

@@ -79,32 +79,72 @@ object Similarity {
     when(dot >= 0, lit(1L)).otherwise(lit(0L))
   }
 
-  /** Assign every vector to its max-cosine centroid (broadcast join). */
-  private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+  /** All centroids collapsed into ONE row holding an array of
+    * (cid, cv) structs — the broadcastable unit for per-row centroid
+    * scoring. The global aggregate moves only `nlist` rows.
+    */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+
+  /** Comparator for (csim, cid) structs: best score first, ties broken by
+    * ascending centroid id — the same total order the previous
+    * window-argmax used.
+    */
+  private def byScoreDesc(l: Column, r: Column): Column =
+    when(l.getField("csim") > r.getField("csim"), -1)
+      .when(l.getField("csim") < r.getField("csim"), 1)
+      .when(l.getField("cid") < r.getField("cid"), -1)
+      .when(l.getField("cid") > r.getField("cid"), 1)
+      .otherwise(0)
+
+  /** Per-vector centroid scores, sorted best-first — computed entirely
+    * map-side against the broadcast centroid array (a `transform` over
+    * `nlist` elements per row, each a codegen'd cosine).
+    */
+  private def scoredCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
     base
-      .crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("__rk", row_number().over(wAssign))
-      .filter(col("__rk") === 1)
-      .select(col("id"), col("v"), col("cid"))
-  }
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(
+        col("id"),
+        col("v"),
+        array_sort(
+          transform(col("cents"), c =>
+            struct(cosine(col("v"), c.getField("cv")).as("csim"), c.getField("cid").as("cid"))),
+          byScoreDesc _).as("ranked"))
+
+  /** Assign every vector to its max-cosine centroid.
+    *
+    * Scale shape: the former formulation (crossJoin to N×nlist rows, then
+    * `row_number` over `partitionBy(id)`) shuffled every exploded row WITH
+    * its full vector — ~50 TB per Lloyd pass at 1B×768-dim. This one tags
+    * each row in place from the broadcast centroid array: ZERO exchanges
+    * over the corpus (PlanAudit asserts it).
+    */
+  private[graft] def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
+    scoredCentroids(base, centroids)
+      .select(col("id"), col("v"), element_at(col("ranked"), 1).getField("cid").as("cid"))
 
   /** IVF (inverted-file) approximate nearest neighbors.
     *
     * Fit: `nlist` seed centroids chosen deterministically as the vectors
     * with the smallest `xxhash64(id)` (a seedless pseudo-random sample),
-    * then `refineIters` Lloyd iterations: assign all vectors to their
+    * then `refineIters` Lloyd iterations: assign vectors to their
     * max-cosine centroid, recompute each centroid as the element-wise
-    * cluster mean (posexplode → per-(cluster, dim) avg → re-assemble —
-    * one explode-shuffle of dim × N rows per iteration, the standard
-    * distributed k-means cost). Assign: each vector to its max-cosine
-    * centroid. Probe: each query scans only the `nprobe` clusters whose
-    * centroids score highest, then exact cosine + per-query top-k.
+    * cluster mean (posexplode → per-(cluster, dim) avg → re-assemble).
+    * `spark.graft.ivf.fitFraction` (default 1.0) fits Lloyd on a
+    * deterministic hash sample of the corpus — at billions of vectors the
+    * centroid estimate converges on a small fraction, so the per-iteration
+    * explode-shuffle is bounded by the sample, not the corpus. Assign:
+    * each vector to its max-cosine centroid. Probe: each query scans only
+    * the `nprobe` clusters whose centroids score highest, then exact
+    * cosine + per-query top-k.
     *
-    * The centroid table stays tiny (`nlist` rows) and is broadcast on both
-    * the assignment and probe joins; the corpus is never shuffled beyond
-    * its cluster-id tag.
+    * Scale shape: assignment and probe selection both score against the
+    * centroid set collapsed into one broadcast array row and rank with a
+    * per-row `array_sort` — no N×nlist explode, no window shuffle; the
+    * corpus is never exchanged for either step (PlanAudit asserts zero
+    * exchanges on the assignment plan). The only corpus shuffle in the
+    * whole operator is the probe↔cluster join that IVF is.
     */
   def ivfTopK(
       vectors: DataFrame,
@@ -114,20 +154,51 @@ object Similarity {
       refineIters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+  ): DataFrame =
+    ivfTopK(vectors, vectors, k, nlist, nprobe, refineIters, idCol, vecCol)
 
-    var centroids = base
+  /** Asymmetric IVF ANN: a (typically small) query frame against a big
+    * corpus — the production retrieval shape. The index (centroid fit +
+    * corpus assignment) depends only on the corpus; queries are scored
+    * against the broadcast centroid array map-side and meet the corpus
+    * only at the per-cluster join. Both frames must share the id/vector
+    * column names; ids must not collide across frames (equal ids are
+    * treated as the same document and self-excluded).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      refineIters: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    // Deterministic Lloyd-fit sample: hash-gated on id (stable under any
+    // partitioning, unlike DataFrame.sample) — 1.0 keeps the full corpus.
+    val fitFraction = corpus.sparkSession.conf
+      .get("spark.graft.ivf.fitFraction", "1.0").toDouble
+    val fitBase =
+      if (fitFraction >= 1.0) base
+      else base.filter(
+        pmod(xxhash64(col("id"), lit("ivf-fit")), lit(1000000L)) <
+          lit((fitFraction * 1000000).toLong))
+
+    var centroids = fitBase
       .withColumn("__h", xxhash64(col("id")))
       .orderBy("__h")
       .limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"))
 
-    // Lloyd refinement. Centroid means are float-cast so `cv` keeps the
-    // array<float> type the cosine expression expects; empty clusters
-    // simply drop out (their seed stops attracting vectors).
+    // Lloyd refinement over the fit sample. Centroid means are float-cast
+    // so `cv` keeps the array<float> type the cosine expression expects;
+    // empty clusters simply drop out (their seed stops attracting vectors).
     for (_ <- 1 to math.max(0, refineIters)) {
-      centroids = assignToCentroids(base, centroids)
+      centroids = assignToCentroids(fitBase, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(avg("x").as("m"))
@@ -141,14 +212,13 @@ object Similarity {
 
     val assigned = assignToCentroids(base, centroids)
 
-    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
-    val probes = base
-      .crossJoin(broadcast(centroids))
-      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"),
-        cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("__rk", row_number().over(wProbe))
-      .filter(col("__rk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    // Top-nprobe clusters per query: slice of the same per-row ranked
+    // centroid array — map-side, no window, queries keep their vectors
+    // local until the cluster join.
+    val probes = scoredCentroids(qBase, centroids)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(slice(col("ranked"), 1, nprobe)).as("t"))
+      .select(col("query_id"), col("qv"), col("t.cid"))
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     probes
@@ -199,12 +269,33 @@ object Similarity {
       bitsPerBand: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val buckets = hyperplaneBuckets(base, bands, bitsPerBand, "id", "v")
+  ): DataFrame =
+    lshTopK(vectors, vectors, k, bands, bitsPerBand, idCol, vecCol)
 
-    val a = buckets.select(col("band"), col("bucket"), col("id").as("query_id"))
-    val b = buckets.select(col("band"), col("bucket"), col("id").as("neighbor_id"))
+  /** Asymmetric LSH ANN: a (typically small) query frame against a big
+    * corpus. Both sides are bucketed with the SAME deterministic
+    * hyperplanes, so signatures agree across frames; the candidate join
+    * still carries ids only, and with a small query side Catalyst/AQE
+    * broadcasts the query buckets — the corpus bucket rows never shuffle.
+    * Ids must not collide across frames (equal ids are treated as the
+    * same document and self-excluded).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      bands: Int,
+      bitsPerBand: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cBase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    val a = hyperplaneBuckets(qBase, bands, bitsPerBand, "id", "v")
+      .select(col("band"), col("bucket"), col("id").as("query_id"))
+    val b = hyperplaneBuckets(cBase, bands, bitsPerBand, "id", "v")
+      .select(col("band"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a
       .join(b, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -212,8 +303,8 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
 
     val candidates = pairs
-      .join(base.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+      .join(qBase.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(cBase.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),

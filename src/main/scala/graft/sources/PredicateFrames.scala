@@ -182,9 +182,13 @@ object PredicateFrames {
     // predicate frame through Spark-written parquet while the row-based
     // reader is active: the returned frame scans Spark's own files, which
     // every reader handles, so recomputation is always safe and no cache
-    // is leaked. The eager write also mirrors the reference (EventStream
-    // Dataset.load is eager). On a cluster, point
-    // `spark.graft.esgpt.staging` at shared storage.
+    // is leaked. The toggle is session-global only for the duration of the
+    // EAGER staging write below (parquet has no per-read vectorized-reader
+    // option — FileSourceScanExec consults the session conf); a concurrent
+    // unrelated read during that window merely runs row-based. The eager
+    // write also mirrors the reference (EventStream Dataset.load is
+    // eager). On a cluster, point `spark.graft.esgpt.staging` at shared
+    // storage.
     val key = "spark.sql.parquet.enableVectorizedReader"
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")

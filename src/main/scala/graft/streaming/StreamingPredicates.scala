@@ -338,6 +338,36 @@ object StreamingPredicates {
       }
   }
 
+  /** Project streamed cohort rows ([[cohortWindows]] output, live or from
+    * a sink table) onto the batch `Query` label surface:
+    * `(subject_id, index_timestamp, label, trigger)` — `label` is the
+    * label predicate's count over its window and `index_timestamp` the
+    * resolved end of the index window, both already carried by
+    * [[CohortRow]]. With this projection a streaming deployment emits the
+    * same label rows the batch engine writes (StreamingSpec asserts
+    * full-row equality), so a consumer can swap sinks without remapping.
+    *
+    * @param labelWindowIdx index into the `windows` spec seq of the window
+    *                       whose `label:` predicate defines the label.
+    * @param labelPredIdx   predicate index of the label predicate.
+    * @param indexWindowIdx window whose resolved end is the
+    *                       `index_timestamp` (reference: the window
+    *                       carrying `index_timestamp: end`).
+    */
+  def labelRows(
+      cohort: DataFrame,
+      nPreds: Int,
+      labelWindowIdx: Int,
+      labelPredIdx: Int,
+      indexWindowIdx: Int
+  ): DataFrame =
+    cohort.select(
+      col("subject_id"),
+      timestamp_micros(element_at(col("windowEndsMicros"), indexWindowIdx + 1))
+        .as("index_timestamp"),
+      element_at(col("counts"), labelWindowIdx * nPreds + labelPredIdx + 1).as("label"),
+      timestamp_micros(col("triggerTsMicros")).as("trigger"))
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

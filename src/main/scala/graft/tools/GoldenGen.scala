@@ -6,10 +6,11 @@ import org.apache.spark.sql.SparkSession
 
 import graft.harness.{GoldenFormat, QueryCatalog}
 
-/** Regenerates the committed golden fixtures for the 5 catalog entries
-  * whose outputs are hash-seeded (xxhash64) and therefore have no
-  * SQL-portable DuckDB oracle. Outputs are deterministic (no RNG, no
-  * time), so an exact fixture compare is a valid oracle.
+/** Regenerates the committed golden fixtures for the catalog entries in
+  * [[GoldenFormat.goldenNames]] — the ones whose outputs are hash-seeded
+  * (xxhash64) and therefore have no SQL-portable DuckDB oracle. Outputs
+  * are deterministic (no RNG, no time), so an exact fixture compare is a
+  * valid oracle.
   *
   * Usage: runMain graft.tools.GoldenGen [sfDir] [outDir]
   * then commit the CSVs under src/test/resources/goldens/.

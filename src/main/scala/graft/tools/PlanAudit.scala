@@ -148,6 +148,15 @@ object PlanAudit {
     println(s"${if (deconBroadcast) "OK " else "HOT"} decontaminate broadcast probe  broadcast=$deconBroadcast")
     audit("decontaminate", decon, 2)
 
+    // IVF centroid assignment: scoring against the broadcast centroid
+    // array must tag each vector in place — zero hash/range exchanges of
+    // the corpus (the former crossJoin + window argmax shuffled N×nlist
+    // rows carrying full vectors; regression guard for that scale-killer).
+    val embT = Tables.table(spark, dir, "embeddings")
+    val embBase = embT.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val embCents = embBase.limit(4).select(col("id").as("cid"), col("v").as("cv"))
+    audit("ivf_assignment", graft.operators.Similarity.assignToCentroids(embBase, embCents), 0)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

@@ -65,6 +65,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("incremental minhash dedup matches the full-corpus run on the union") {
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    // Roundtrip the index through parquet — the persisted-table contract
+    // (the production loop writes it once per corpus, bucketed by doc_id).
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_index_").toString
+    Dedup.minhashIndex(corpus).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val incr = Dedup.minhashLshIncremental(fresh, index, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLsh(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= 250 || b >= 250 }.toSet
+    // Exact parity, jaccard values included: same pairs as running the
+    // full corpus, minus the corpus-internal ones already known.
+    assert(incr == full)
+  }
+
   test("simhash finds identical documents at hamming 0") {
     // Duplicate the corpus with shifted ids: every doc has an exact twin.
     val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000L)
@@ -123,6 +142,56 @@ class ExtensionsSpec extends SparkSpec {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     // Default nlist=16/nprobe=10 (deterministic seeds — fixed measurement).
     assert(recall >= 0.9, s"IVF recall $recall below the 0.9 bar")
+  }
+
+  test("two-frame ANN: query frame vs disjoint corpus keeps recall") {
+    val k = 3
+    val q = emb.filter(col("vec_id") < 20)
+    val c = emb.filter(col("vec_id") >= 20)
+    val brute = Similarity.bruteForceTopK(q, c, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Every result must come from the corpus side only.
+    val lshGot = Similarity.lshTopK(q, c, k, 32, 4, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfGot = Similarity.ivfTopK(q, c, k, 16, 10, 2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (lshGot ++ ivfGot).foreach { case (qid, nid) =>
+      assert(qid < 20 && nid >= 20, s"pair ($qid,$nid) crosses frame boundaries")
+    }
+    val lshRecall = lshGot.intersect(brute).size.toDouble / brute.size
+    val ivfRecall = ivfGot.intersect(brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.9, s"two-frame LSH recall $lshRecall below the 0.9 bar")
+    assert(ivfRecall >= 0.9, s"two-frame IVF recall $ivfRecall below the 0.9 bar")
+  }
+
+  test("IVF sampled Lloyd fit (fitFraction < 1) keeps recall") {
+    val k = 3
+    val subset = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(subset, subset, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.ivf.fitFraction", "0.5")
+    val ivf =
+      try Similarity.ivfTopK(subset, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.ivf.fitFraction")
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // Centroids fitted on a deterministic hash-sampled half of the corpus
+    // (the 100 TB fit path); assignment and probe still cover every vector.
+    assert(recall >= 0.85, s"sampled-fit IVF recall $recall below the 0.85 bar")
+  }
+
+  test("simhash caps degenerate buckets but keeps small-bucket pairs") {
+    import spark.implicits._
+    // 2000 identical docs (every chunk bucket hits size 2000 → dropped by
+    // the cap) plus one exact twin pair in its own size-2 buckets. Without
+    // the cap this corpus costs ~2000² bucket-local comparisons ×4 chunks.
+    val flood = (0L until 2000L).map(i => (i, "aaa bbb ccc aaa bbb"))
+    val twins = Seq((10000L, "xxx yyy zzz www vvv"), (10001L, "xxx yyy zzz www vvv"))
+    val docs = (flood ++ twins).toDF("doc_id", "text")
+    val pairs = Dedup.simhash(docs, maxHamming = 0, maxBucketSize = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10000L, 10001L)),
+      s"expected only the small-bucket twin pair, got ${pairs.size} pairs")
   }
 
   test("packSequences: pack ids follow the bucketed running token sum") {

@@ -149,14 +149,26 @@ class StreamingSpec extends SparkSpec {
       |    start_inclusive: False
       |    end_inclusive: True
       |    label: buy
+      |    index_timestamp: end
       |""".stripMargin
 
+  /** One cohort row in both parity shapes: the per-window count tuples
+    * and the batch label surface (subject, index_timestamp µs, label,
+    * trigger µs).
+    */
+  private case class ParityRun(
+      batchCounts: Set[(Long, Long, List[Long], List[Long])],
+      streamedCounts: Set[(Long, Long, List[Long], List[Long])],
+      batchLabels: Set[(Long, Long, Long, Long)],
+      streamedLabels: Set[(Long, Long, Long, Long)])
+
   /** Run `data` through the batch Query AND cohortWindows; return both
-    * result sets as (subject, trigger µs, gap counts, target counts).
+    * result sets as (subject, trigger µs, gap counts, target counts) plus
+    * the full label-row surfaces from each side.
     */
   private def cohortBothWays(
       data: Seq[(Long, String, String)],
-      sinkName: String): (Set[(Long, Long, List[Long], List[Long])], Set[(Long, Long, List[Long], List[Long])]) = {
+      sinkName: String): ParityRun = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val cfg = graft.config.TaskConfig.fromYaml(cohortYaml)
@@ -166,9 +178,10 @@ class StreamingSpec extends SparkSpec {
     val preds = graft.sources.PredicateFrames.finalize(
       cfg, graft.sources.PredicateFrames.fromMeds(medsDf, cfg.plainPredicates.toSeq))
     spark.conf.set("spark.graft.checkpoint", "off")
-    val batchRows =
-      try
-        Query(cfg, preds)
+    val (batchRows, batchLabels) =
+      try {
+        val batchOut = Query(cfg, preds)
+        val counts = batchOut
           .select(
             col("subject_id"), unix_micros(col("trigger")).as("t"),
             col("`gap.end_summary`.click"), col("`gap.end_summary`.buy"),
@@ -180,7 +193,14 @@ class StreamingSpec extends SparkSpec {
             List(r.getLong(2), r.getLong(3), r.getLong(4)),
             List(r.getLong(5), r.getLong(6), r.getLong(7))))
           .toSet
-      finally spark.conf.unset("spark.graft.checkpoint")
+        val labels = batchOut
+          .select(col("subject_id"), unix_micros(col("index_timestamp")),
+            col("label"), unix_micros(col("trigger")))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        (counts, labels)
+      } finally spark.conf.unset("spark.graft.checkpoint")
 
     // Streaming side: same data through cohortWindows, flush events to
     // push the watermark past every deadline + a batch for the timeout.
@@ -219,7 +239,17 @@ class StreamingSpec extends SparkSpec {
           (r.getLong(0), r.getLong(1), c.slice(0, 3).toList, c.slice(3, 6).toList)
         }.toSet
       } finally query.stop()
-    (batchRows, streamed)
+    // Label surface from the SAME sink rows: target (idx 1) carries both
+    // the label predicate (buy, idx 1) and index_timestamp: end.
+    val streamedLabels = StreamingPredicates
+      .labelRows(spark.table(sinkName), nPreds = 3,
+        labelWindowIdx = 1, labelPredIdx = 1, indexWindowIdx = 1)
+      .select(col("subject_id"), unix_micros(col("index_timestamp")),
+        col("label"), unix_micros(col("trigger")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    ParityRun(batchRows, streamed, batchLabels, streamedLabels)
   }
 
   test("cohortWindows matches batch Query on a gap + event-bound target task") {
@@ -232,9 +262,16 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 09:00:00", "click"), // trigger; gap has an error -> dropped
       (2L, "2024-01-01 09:30:00", "error"),
       (3L, "2024-01-01 11:00:00", "buy"))   // no trigger
-    val (batch, streamed) = cohortBothWays(data, "cohort_win")
-    assert(batch.size == 2, s"batch fixture should yield 2 cohort rows: $batch")
-    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    val run = cohortBothWays(data, "cohort_win")
+    assert(run.batchCounts.size == 2,
+      s"batch fixture should yield 2 cohort rows: ${run.batchCounts}")
+    assert(run.streamedCounts == run.batchCounts,
+      s"streamed ${run.streamedCounts} != batch ${run.batchCounts}")
+    // Full label-row parity: the streaming projection emits exactly the
+    // batch engine's (subject_id, index_timestamp, label, trigger) rows.
+    assert(run.batchLabels.nonEmpty)
+    assert(run.streamedLabels == run.batchLabels,
+      s"streamed labels ${run.streamedLabels} != batch ${run.batchLabels}")
   }
 
   test("cohortWindows matches batch Query on randomized event streams") {
@@ -254,10 +291,14 @@ class StreamingSpec extends SparkSpec {
           (subj, f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00", code)
         }
       }
-      val (batch, streamed) = cohortBothWays(data, s"cohort_rand_$seed")
+      val run = cohortBothWays(data, s"cohort_rand_$seed")
+      val (batch, streamed) = (run.batchCounts, run.streamedCounts)
       assert(streamed == batch,
         s"seed $seed: streamed ${streamed.size} rows != batch ${batch.size}: " +
           s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      assert(run.streamedLabels == run.batchLabels,
+        s"seed $seed: label rows diverge: missing=${(run.batchLabels -- run.streamedLabels).take(3)} " +
+          s"extra=${(run.streamedLabels -- run.batchLabels).take(3)}")
     }
   }
 
