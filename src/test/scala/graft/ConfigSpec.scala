@@ -40,18 +40,43 @@ class ConfigSpec extends AnyFunSuite {
     assert(backward.endEndpointExpr.contains(EventBounds(false, "-discharge_or_death", false, 0L)))
   }
 
-  test("invalid windows raise (config.py:497-618)") {
-    intercept[IllegalArgumentException](win(Some("gap.end gap.start"), Some("start -> x")))
-    intercept[IllegalArgumentException](win(Some("window.foo -> x"), Some("input.end")))
-    intercept[IllegalArgumentException](win(None, None))
-    intercept[IllegalArgumentException](win(Some("input.end"), Some("start - 2d")))
-    intercept[IllegalArgumentException](win(Some("end -> predicate"), Some("input.end")))
-    intercept[IllegalArgumentException](win(Some("end - 24h"), Some("start + 1d")))
-    intercept[IllegalArgumentException](win(Some("input.end"), Some("input.end + 2d")))
-    intercept[IllegalArgumentException](win(Some("input.end"), Some("start + -24h")))
-    intercept[IllegalArgumentException](win(Some("input.end"), Some("start + invalid time string.")))
-    intercept[IllegalArgumentException](win(Some("gap.end"), Some("start <-> dd")))
-    intercept[IllegalArgumentException](WindowDef.parseConstraint("discharge", "(0)"))
+  test("invalid windows raise with the reference's diagnostics (config.py:497-618)") {
+    // Each case mirrors one config.py doctest Traceback: same trigger,
+    // same message surface (the YAML front door users actually see).
+    def msg(t: => Any): String = intercept[IllegalArgumentException](t).getMessage
+
+    val refErr = "Window boundary reference must be either a valid alphanumeric/'_' string"
+    val m1 = msg(win(Some("gap.end gap.start"), Some("start -> x")))
+    assert(m1.contains(refErr) && m1.endsWith("Got: 'gap.end gap.start'"))
+    val m2 = msg(win(Some("input"), Some("start window -> discharge_or_death")))
+    assert(m2.contains(refErr) && m2.endsWith("Got: 'start window'"))
+    val m3 = msg(win(Some("window.foo -> x"), Some("input.end")))
+    assert(m3.contains(refErr) && m3.endsWith("Got: 'window.foo'"))
+
+    assert(msg(win(None, None)).contains(
+      "Window cannot progress from the start of the record to the end of the record."))
+
+    assert(msg(win(Some("input.end"), Some("start - 2d"))).contains(
+      "Window start will not occur before window end! Got: input.end -> start - 2d"))
+    assert(msg(win(Some("end -> predicate"), Some("input.end"))).contains(
+      "Window start will not occur before window end! Got: end -> predicate -> input.end"))
+
+    assert(msg(win(Some("end - 24h"), Some("start + 1d"))).contains(
+      "Exactly one of the start or end of the window must reference the other. " +
+        "Got: end - 24h -> start + 1d"))
+    assert(msg(win(Some("input.end"), Some("input.end + 2d"))).contains(
+      "Exactly one of the start or end of the window must reference the other. " +
+        "Got: input.end -> input.end + 2d"))
+
+    assert(msg(win(Some("input.end"), Some("start + -24h")))
+      .contains("Window boundary cannot contain both '+' and '-' operators."))
+    assert(msg(win(Some("input.end"), Some("start + invalid time string.")))
+      .contains("Failed to parse timedelta from window offset for 'invalid time string.'"))
+    assert(msg(win(Some("gap.end"), Some("start <-> dd")))
+      .contains("Window boundary cannot contain both '->' and '<-' operators."))
+
+    assert(msg(WindowDef.parseConstraint("discharge", "(0)")).contains(
+      "Invalid constraint format: discharge. Expected format: '(min, max)'. Got: '(0)'"))
   }
 
   test("derived predicate validation (config.py:252-293)") {
