@@ -54,7 +54,9 @@ object Run {
       |    data.standard=meds|direct|esgpt [data.path=PATH] \
       |    [data=sharded data.root=DIR data.shard=train/0,train/1] \
       |    [config_path=..] [predicates_path=..] [output_filepath=..] \
-      |    [data.ts_format=..] [window_stats_dir=..]
+      |    [data.ts_format=..] [window_stats_dir=..] \
+      |    [any.dotted.path=value ...]   # OmegaConf-style task-YAML overrides,
+      |                                  # e.g. windows.target.end=start+36h
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -84,6 +86,11 @@ object Run {
     * exactly like Hydra multirun over `$(expand_shards ...)` output
     * (reference: tests/utils.py:96-130): one output per shard at
     * `${cohort_dir}/${cohort_name}/${shard}.parquet`.
+    *
+    * Any other `a.b.c=value` argument is an OmegaConf-style dotted
+    * override merged into the task YAML itself
+    * ([[graft.config.TaskConfig.applyOverrides]]) — the reference's
+    * arbitrary-override grammar (`windows.target.end=start+36h`).
     */
   def hydraMain(args: Array[String]): Unit = {
     val multirun = args.contains("--multirun") || args.contains("-m")
@@ -99,6 +106,30 @@ object Run {
     val cohortName = kv.getOrElse("cohort_name", "")
     val configPath = kv.getOrElse("config_path", s"$cohortDir/$cohortName.yaml")
     val standard = kv.getOrElse("data.standard", sys.error("data.standard is required"))
+
+    // Hydra parity (reference run.py:120-121): every key that is not a
+    // launcher/config-group key is an OmegaConf-style dotted override into
+    // the task YAML itself — `windows.target.end=start+36h`,
+    // `trigger=discharge`, `predicates.buy.code=purchase`, … The merged
+    // config goes through the normal fromYaml validation, so a typo'd
+    // root key still fails with the unrecognized-key error.
+    val launcherKeys = Set(
+      "cohort_dir", "cohort_name", "config_path", "output_filepath",
+      "predicates_path", "window_stats_dir", "data", "data.standard",
+      "data.root", "data.shard", "data.path", "data.ts_format")
+    val taskOverrides = kv.toSeq
+      .filter { case (k, _) => !launcherKeys(k) && !k.startsWith("hydra.") }
+      .sortBy(_._1)
+    val effectiveConfigPath =
+      if (taskOverrides.isEmpty) configPath
+      else {
+        val merged = graft.config.TaskConfig.applyOverrides(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(configPath)), taskOverrides)
+        val tmp = java.nio.file.Files.createTempFile("graft_task_override_", ".yaml")
+        tmp.toFile.deleteOnExit()
+        java.nio.file.Files.writeString(tmp, merged)
+        tmp.toString
+      }
 
     // (shard name, data path, output _prefix) per run.
     val shards: Seq[(String, String, String)] =
@@ -135,7 +166,7 @@ object Run {
           "Omit output_filepath to get per-shard ${cohort_dir}/${cohort_name}/<shard>.parquet.")
     try shards.foreach { case (shard, dataPath, prefix) =>
       val out = kv.getOrElse("output_filepath", s"$cohortDir/$cohortName$prefix.parquet")
-      val opts = Map("config" -> configPath, "data" -> dataPath,
+      val opts = Map("config" -> effectiveConfigPath, "data" -> dataPath,
         "standard" -> standard, "output" -> out) ++
         kv.get("predicates_path").map("predicates" -> _) ++
         kv.get("data.ts_format").map("ts-format" -> _) ++

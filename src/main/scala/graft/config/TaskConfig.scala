@@ -190,6 +190,42 @@ object TaskConfig {
     * Prunes predicates not transitively referenced by windows/trigger/label.
     * (reference: config.py:1100-1419 `TaskExtractorConfig.load`)
     */
+  /** OmegaConf-style dotted overrides into a task-config YAML (reference:
+    * run.py:120-121 — Hydra merges arbitrary `a.b.c=value` CLI overrides
+    * into the loaded task config, e.g. `windows.target.end=start+36h` or
+    * `trigger=discharge`). Values are parsed as YAML scalars, so
+    * `windows.gap.end_inclusive=False` arrives as a boolean and numeric
+    * constraints as numbers. Intermediate mappings are created when
+    * absent (Hydra's merge semantics); traversing through a scalar fails
+    * loud. Returns the merged YAML text — feed it to [[fromYaml]], whose
+    * unknown-top-key validation still rejects typo'd roots.
+    */
+  def applyOverrides(configYaml: String, overrides: Seq[(String, String)]): String = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = yaml.load[java.util.Map[String, Object]](configYaml)
+    require(root != null, "Cannot apply overrides to an empty configuration")
+    overrides.foreach { case (path, value) =>
+      val parts = path.split("\\.")
+      var node = root
+      parts.dropRight(1).foreach { p =>
+        node.get(p) match {
+          case m: java.util.Map[_, _] =>
+            node = m.asInstanceOf[java.util.Map[String, Object]]
+          case null =>
+            val m = new java.util.LinkedHashMap[String, Object]()
+            node.put(p, m)
+            node = m
+          case other =>
+            throw new IllegalArgumentException(
+              s"Override '$path=$value' traverses '$p', which is a " +
+                s"${other.getClass.getSimpleName}, not a mapping.")
+        }
+      }
+      node.put(parts.last, yaml.load[Object](value))
+    }
+    yaml.dump(root)
+  }
+
   def fromYaml(configYaml: String, predicatesYaml: Option[String] = None): TaskConfig = {
     val root = parseYamlMap(configYaml, "configuration")
     val overrideRoot = predicatesYaml.map(parseYamlMap(_, "predicates"))

@@ -70,6 +70,43 @@ class HydraCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$cohortDir/mytask/train/1.parquet").count() == 3)
   }
 
+  test("arbitrary dotted overrides merge into the task YAML (OmegaConf parity)") {
+    val cohortDir = Files.createTempDirectory("graft_hydra_ovr").toString
+    Files.writeString(java.nio.file.Paths.get(s"$cohortDir/mytask.yaml"), taskYaml)
+    val dataPath = s"$cohortDir/data.parquet"
+    writeEvents(dataPath, Seq(1L, 2L, 3L))
+
+    // Baseline: discharge 10h after admission, window end start+48h →
+    // every label true. Override the window end to start+5h → discharge
+    // falls outside → every label false, same cohort size.
+    Run.main(Array(
+      s"cohort_dir=$cohortDir", "cohort_name=mytask",
+      "data.standard=meds", s"data.path=$dataPath",
+      "windows.target.end=start + 5h"))
+    val out = spark.read.parquet(s"$cohortDir/mytask.parquet")
+    assert(out.count() == 3, "override must not change the cohort size")
+    assert(out.filter(col("boolean_value")).count() == 0,
+      "start+5h window excludes the discharge 10h later")
+
+    // A typo'd root key still fails loudly through fromYaml's validation.
+    val typo = intercept[IllegalArgumentException] {
+      Run.main(Array(
+        s"cohort_dir=$cohortDir", "cohort_name=mytask",
+        "data.standard=meds", s"data.path=$dataPath",
+        "windoes.target.end=start + 5h"))
+    }
+    assert(typo.getMessage.contains("Unrecognized keys"), typo.getMessage)
+
+    // Traversing through a scalar names the offending segment.
+    val scalar = intercept[IllegalArgumentException] {
+      Run.main(Array(
+        s"cohort_dir=$cohortDir", "cohort_name=mytask",
+        "data.standard=meds", s"data.path=$dataPath",
+        "trigger.nested=admission"))
+    }
+    assert(scalar.getMessage.contains("traverses 'trigger'"), scalar.getMessage)
+  }
+
   test("native flag CLI keeps routing when a path value contains '='") {
     val cohortDir = Files.createTempDirectory("graft_hydra_eq").toString
     Files.writeString(java.nio.file.Paths.get(s"$cohortDir/mytask.yaml"), taskYaml)
