@@ -710,6 +710,41 @@ object QueryCatalog {
               |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
               |ORDER BY 1, 2""".stripMargin)),
 
+    Q("text_repetition", (s, dir) =>
+      // Gopher-style repetition quality filters: duplicate-token /
+      // duplicate-bigram fractions, most-frequent-n-gram share.
+      Repetition.repetitionMetrics(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS sl FROM documents),
+             |toks AS (SELECT doc_id, UNNEST(sl) AS tok FROM base),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+             |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 4) AS dup_token_frac,
+             |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_token_frac
+             |  FROM tc GROUP BY 1),
+             |bgs AS (SELECT doc_id,
+             |  UNNEST(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i + 1])) AS bg
+             |  FROM base),
+             |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+             |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |  ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 4) AS dup_bigram_frac,
+             |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_bigram_frac
+             |  FROM bc GROUP BY 1)
+             |SELECT ts.doc_id, n_tokens, dup_token_frac, top_token_frac,
+             |  n_bigrams, dup_bigram_frac, top_bigram_frac
+             |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY 1""".stripMargin)),
+
+    Q("split_assign", (s, dir) =>
+      // Deterministic train/val/test assignment by multiplicative id-hash
+      // buckets (0.8/0.1/0.1) — reproduced verbatim by the oracle.
+      Sampling.splitAssign(docs(s, dir))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM documents)
+             |SELECT doc_id, CASE WHEN rnd < 3435973836 THEN 'train'
+             |  WHEN rnd < 3865470566 THEN 'val' ELSE 'test' END AS split
+             |FROM r ORDER BY 1""".stripMargin)),
+
     Q("sim_bruteforce_cosine", (s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)

@@ -26,6 +26,32 @@ object Sampling {
   private def pseudoShuffle(id: Column): Column =
     pmod(pmod(id, lit(1048576L)) * lit(2654435761L), lit(4294967296L))
 
+  /** Deterministic train/val/test split assignment: each row lands in the
+    * split whose cumulative-fraction bucket its id-hash falls into — the
+    * standard reproducible alternative to `randomSplit` (whose output
+    * depends on partitioning). Purely map-side: no shuffle, no state, and
+    * any engine computing the same multiplicative hash (the SQL oracle
+    * does) reproduces the assignment row-for-row. Fractions must sum to 1.
+    *
+    * @return the input plus a `split` column.
+    */
+  def splitAssign(
+      df: DataFrame,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got: $splits")
+    val r = pseudoShuffle(col(idCol))
+    // Cumulative thresholds in hash space; the last split takes the rest,
+    // so rounding never drops a row.
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c * 4294967296.0).toLong)
+    val assigned = splits.zip(thresholds).dropRight(1).foldRight(
+      lit(splits.last._1)) { case (((name, _), thr), acc) => when(r < thr, name).otherwise(acc) }
+    df.withColumn("split", assigned)
+  }
+
   /** @return (idCol, groupCol, rk) — the quota sample with each row's
     *         1-based pick rank within its group.
     */

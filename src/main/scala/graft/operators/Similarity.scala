@@ -174,9 +174,32 @@ object Similarity {
       refineIters: Int,
       idCol: String,
       vecCol: String
+  ): DataFrame =
+    ivfTopK(queries, corpus, ivfCentroids(corpus, nlist, refineIters, idCol, vecCol),
+      k, nprobe, idCol, vecCol)
+
+  /** Fit the IVF centroid table once — `nlist` rows of `(cid, cv)`, the
+    * persistable index contract (mirror of [[Dedup.minhashIndex]] for
+    * ANN): write it out after one fit, then hand it to the
+    * centroid-taking [[ivfTopK]] overload so repeated query batches skip
+    * the Lloyd fit entirely.
+    *
+    * Seeds are the `nlist` vectors with smallest `xxhash64(id)` (a
+    * seedless pseudo-random sample), refined by `refineIters` Lloyd
+    * iterations (assign → element-wise cluster mean).
+    * `spark.graft.ivf.fitFraction` (default 1.0) fits on a deterministic
+    * hash sample of the corpus — at billions of vectors the centroid
+    * estimate converges on a small fraction, so the per-iteration
+    * explode-shuffle is bounded by the sample, not the corpus.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      refineIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
 
     // Deterministic Lloyd-fit sample: hash-gated on id (stable under any
     // partitioning, unlike DataFrame.sample) — 1.0 keeps the full corpus.
@@ -209,6 +232,25 @@ object Similarity {
           transform(array_sort(col("dims")), d => d.getField("m").cast("float")).as("cv"))
       centroids = graft.plans.Materialize(centroids, eager = true)
     }
+    centroids
+  }
+
+  /** Query a fitted centroid table ([[ivfCentroids]], fresh or read back
+    * from storage): corpus assignment and query probes are both map-side
+    * against the broadcast centroid array; the only shuffle is the
+    * probe↔cluster join.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
 
     val assigned = assignToCentroids(base, centroids)
 

@@ -164,6 +164,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(ivfRecall >= 0.9, s"two-frame IVF recall $ivfRecall below the 0.9 bar")
   }
 
+  test("IVF fit-once: persisted centroids reproduce the one-shot result") {
+    val subset = emb.filter(col("vec_id") < 100)
+    val oneShot = Similarity.ivfTopK(subset, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // Fit once, roundtrip the centroid table through parquet (the
+    // persisted-index contract), query against it twice.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cent_").toString
+    Similarity.ivfCentroids(subset).write.mode("overwrite").parquet(dir)
+    val cents = spark.read.parquet(dir)
+    def queryOnce() = Similarity
+      .ivfTopK(subset, subset, cents, k = 3, nprobe = 10, idCol = "vec_id", vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(queryOnce() == oneShot, "persisted centroids must reproduce the one-shot ranking")
+    assert(queryOnce() == oneShot, "repeat queries against the same index are stable")
+  }
+
   test("IVF sampled Lloyd fit (fitFraction < 1) keeps recall") {
     val k = 3
     val subset = emb.filter(col("vec_id") < 100)
@@ -192,6 +208,46 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10000L, 10001L)),
       s"expected only the small-bucket twin pair, got ${pairs.size} pairs")
+  }
+
+  test("repetitionMetrics matches local brute force") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = texts.map { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      val n = toks.size.toLong
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val bn = bgs.size.toLong
+      val bcounts = bgs.groupBy(identity).view.mapValues(_.size.toLong)
+      id -> (n, r4((n - counts.size).toDouble / n), r4(counts.values.max.toDouble / n),
+        bn, if (bn == 0) null else r4((bn - bcounts.size).toDouble / bn))
+    }
+    val got = graft.operators.Repetition.repetitionMetrics(docs).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4), if (r.isNullAt(5)) null else r.getDouble(5))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(v == expected(id), s"doc $id: $v != ${expected(id)}") }
+  }
+
+  test("splitAssign is deterministic, exhaustive, and partitioning-invariant") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.splitAssign(df, splits)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assignments(docs)
+    val b = assignments(docs.repartition(17))
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.keySet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val byCat = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byCat.keySet.subsetOf(Set("train", "val", "test")))
+    // 500 docs: hash buckets land within a loose tolerance of the targets.
+    assert(byCat("train") > 350 && byCat("train") < 450, s"train share off: $byCat")
+    intercept[IllegalArgumentException](
+      graft.operators.Sampling.splitAssign(docs, Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
   test("packSequences: pack ids follow the bucketed running token sum") {
