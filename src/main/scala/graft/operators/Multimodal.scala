@@ -13,14 +13,17 @@ import org.apache.spark.sql.types._
   * batches (the JVM analogue of `mapInPandas`) so codec state is
   * initialized once per partition, not per row.
   *
-  * Decode status: REAL for uncompressed formats — [[decodeMedia]] parses
-  * 24-bit BMP images (dimensions + mean RGB) and 16-bit PCM WAV audio
-  * (sample rate, duration, amplitude stats) with pure byte arithmetic, no
-  * codec library. Compressed codecs (JPEG, MP4, …) remain behind the
-  * deterministic stub (`decodeOne`) — those genuinely require native
-  * libraries this container lacks; a deployment swaps only that body.
-  * The Spark-side plumbing — schema, binary handling, partitioning,
-  * per-partition batch shape — is real and tested either way.
+  * Decode status: REAL for all common image formats — [[decodeMedia]]
+  * parses 24-bit BMP with pure byte arithmetic and JPEG / PNG / GIF via
+  * `javax.imageio.ImageIO` (standard JDK, java.desktop module, fully
+  * headless — no native library needed), producing dimensions + mean RGB
+  * under one contract. 16-bit PCM WAV audio (sample rate, duration,
+  * amplitude stats) is likewise parsed with byte arithmetic. Only video
+  * containers (MP4/WebM) and compressed audio (MP3/AAC/Opus) remain
+  * behind the deterministic stub (`decodeOne`) — those DO require codec
+  * libraries (ffmpeg et al.) the JDK does not ship; a deployment swaps
+  * only that body. The Spark-side plumbing — schema, binary handling,
+  * partitioning, per-partition batch shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -161,8 +164,12 @@ object Multimodal {
         scale.as("scale")))
   }
 
-  /** STUB decode: rolling checksum + 8-bin byte histogram normalized to a
-    * fake feature vector. Replace with the real codec call at deploy time.
+  /** STUB decode for formats the JDK cannot decode — video containers
+    * (MP4/WebM) and compressed audio (MP3/AAC/Opus), which need external
+    * codec libraries (ffmpeg et al.): rolling checksum + 8-bin byte
+    * histogram as a deterministic fake feature vector. Images (BMP via
+    * byte arithmetic, JPEG/PNG/GIF via ImageIO) and PCM WAV are decoded
+    * for REAL above; a deployment swaps only this body.
     */
   private def decodeOne(payload: Array[Byte]): (Long, Array[Double]) = {
     var checksum = 0L
@@ -179,12 +186,12 @@ object Multimodal {
   }
 
   // ==========================================================================
-  // REAL decode — uncompressed formats need no codec library, so BMP
-  // (image) and PCM WAV (audio) are parsed for real with byte arithmetic:
-  // dimensions + mean RGB channels, and sample rate / duration + mean-abs /
-  // RMS amplitude. Compressed codecs (JPEG, MP4, …) remain behind the
-  // documented stub — those genuinely require native libraries this
-  // container lacks.
+  // REAL decode — BMP (byte arithmetic), JPEG/PNG/GIF (javax.imageio,
+  // standard JDK, headless), PCM WAV (byte arithmetic). Dimensions + mean
+  // RGB channels for images; sample rate / duration + mean-abs / RMS
+  // amplitude for audio. Only video containers and compressed audio remain
+  // behind the documented stub — those need external codecs (ffmpeg) the
+  // JDK does not ship.
   // ==========================================================================
 
   private def le16(b: Array[Byte], off: Int): Int =
@@ -238,6 +245,52 @@ object Multimodal {
     Some((width, height, Array(sr / n, sg / n, sb / n)))
   }
 
+  /** Magic-byte sniff for the compressed image formats ImageIO handles.
+    * Cheap reject before paying for a decoder lookup on non-image payloads.
+    */
+  private[graft] def imageFormat(p: Array[Byte]): Option[String] = {
+    if (p.length < 8) None
+    else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) Some("jpeg")
+    else if ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') Some("png")
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') Some("gif")
+    else None
+  }
+
+  /** JPEG / PNG / GIF via `javax.imageio.ImageIO` — standard JDK
+    * (java.desktop), decodes headlessly with no native dependency.
+    * Returns (width, height, [meanR, meanG, meanB]) /255-normalized,
+    * the same feature contract as [[decodeBmp]]. Channel means are taken
+    * over the decoded ARGB pixels (alpha ignored), one row-batch of ints
+    * at a time to bound allocation on large images.
+    */
+  private[graft] def decodeImage(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val argb = rowBuf(x)
+          sr += (argb >>> 16) & 0xff
+          sg += (argb >>> 8) & 0xff
+          sb += argb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h * 255.0
+      Some((w, h, Array(sr / n, sg / n, sb / n)))
+    } catch {
+      case _: Exception => None // corrupt payload → caller falls back to opaque
+    }
+  }
+
   /** PCM WAV (16-bit): (durationMs, [meanAbs, rms]) with amplitudes
     * normalized to [0, 1] by 32768. Walks RIFF chunks for `fmt ` + `data`.
     */
@@ -274,11 +327,12 @@ object Multimodal {
     Some((durationMs, Array(sumAbs / cnt, math.sqrt(sumSq / cnt))))
   }
 
-  /** Partition-wise REAL decode, dispatching on magic bytes: BMP images →
-    * dims + mean RGB; PCM WAV audio → duration + amplitude stats; anything
-    * else → the byte-histogram fallback with format "opaque". Same batch
-    * shape as [[extractFeatures]] (codec state, were one needed, would
-    * initialize once per partition).
+  /** Partition-wise REAL decode, dispatching on magic bytes: BMP (byte
+    * arithmetic) and JPEG/PNG/GIF (ImageIO) → dims + mean RGB; PCM WAV
+    * audio → duration + amplitude stats; anything else (video, compressed
+    * audio, corrupt payloads) → the byte-histogram fallback with format
+    * "opaque". Same batch shape as [[extractFeatures]] (codec state, were
+    * one needed, would initialize once per partition).
     */
   def decodeMedia(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
@@ -286,6 +340,11 @@ object Multimodal {
       .select("media_id", "payload")
       .rdd
       .mapPartitions { rows =>
+        // ImageIO is headless-safe for decoding; pin it explicitly so a
+        // misconfigured executor JVM never tries to touch a display, and
+        // skip its disk cache (payloads are in-memory byte arrays).
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
             val id = r.getLong(0)
@@ -293,11 +352,15 @@ object Multimodal {
             decodeBmp(p) match {
               case Some((w, h, rgb)) => Row(id, "bmp", w, h, null, rgb.toSeq)
               case None =>
-                decodeWav(p) match {
-                  case Some((ms, amp)) => Row(id, "wav", null, null, ms, amp.toSeq)
+                imageFormat(p).flatMap(fmt => decodeImage(p).map(d => (fmt, d))) match {
+                  case Some((fmt, (w, h, rgb))) => Row(id, fmt, w, h, null, rgb.toSeq)
                   case None =>
-                    val (_, hist) = decodeOne(p)
-                    Row(id, "opaque", null, null, null, hist.toSeq)
+                    decodeWav(p) match {
+                      case Some((ms, amp)) => Row(id, "wav", null, null, ms, amp.toSeq)
+                      case None =>
+                        val (_, hist) = decodeOne(p)
+                        Row(id, "opaque", null, null, null, hist.toSeq)
+                    }
                 }
             }
           }

@@ -449,6 +449,80 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L).getString(1) == "opaque" && got(3L).getSeq[Double](5).length == 8)
   }
 
+  test("real decode: JPEG/PNG/GIF via javax.imageio (dims + mean RGB)") {
+    import spark.implicits._
+
+    // Hand-crafted 2x1 truecolor PNG — bytes assembled from the PNG spec
+    // (zlib IDAT + CRC32 chunks), NOT ImageIO.write, so decode is tested
+    // against an encoder-independent golden. Pixels: (255,0,0), (0,255,0)
+    // → mean RGB (0.5, 0.5, 0.0).
+    val png = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+        out.write(len)
+        val body = typ.getBytes("US-ASCII") ++ data
+        out.write(body)
+        val crc = new java.util.zip.CRC32(); crc.update(body)
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(2).putInt(1) // width=2 height=1
+        .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (truecolor)
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+        .array()
+      chunk("IHDR", ihdr)
+      val scanline = Array[Byte](0, 255.toByte, 0, 0, 0, 255.toByte, 0) // filter + RGB RGB
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(scanline); deflater.finish()
+      val comp = new Array[Byte](64)
+      val n = deflater.deflate(comp)
+      chunk("IDAT", comp.take(n))
+      chunk("IEND", Array.empty[Byte])
+      out.toByteArray
+    }
+    // JPEG and GIF: encode a solid-color 3x2 with ImageIO.write (round-trip);
+    // GIF palette is lossless for solid colors, JPEG needs tolerance.
+    def encoded(fmt: String, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 3; y <- 0 until 2) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must encode $fmt")
+      out.toByteArray
+    }
+    val jpeg = encoded("jpg", 0x4080c0)  // (64, 128, 192)
+    val gif = encoded("gif", 0x0000ff)   // pure blue
+
+    assert(Multimodal.imageFormat(png).contains("png"))
+    assert(Multimodal.imageFormat(jpeg).contains("jpeg"))
+    assert(Multimodal.imageFormat(gif).contains("gif"))
+
+    val media = Seq((1L, png), (2L, jpeg), (3L, gif)).toDF("media_id", "payload")
+    val got = Multimodal.decodeMedia(media).collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L).getString(1) == "png")
+    assert(got(1L).getInt(2) == 2 && got(1L).getInt(3) == 1)
+    val pngRgb = got(1L).getSeq[Double](5)
+    assert(math.abs(pngRgb(0) - 0.5) < 1e-9 && math.abs(pngRgb(1) - 0.5) < 1e-9 && pngRgb(2) == 0.0,
+      s"png mean rgb $pngRgb")
+
+    assert(got(2L).getString(1) == "jpeg")
+    assert(got(2L).getInt(2) == 3 && got(2L).getInt(3) == 2)
+    val jRgb = got(2L).getSeq[Double](5)
+    assert(math.abs(jRgb(0) - 64.0 / 255) < 0.02 && math.abs(jRgb(1) - 128.0 / 255) < 0.02 &&
+      math.abs(jRgb(2) - 192.0 / 255) < 0.02, s"jpeg mean rgb $jRgb")
+
+    assert(got(3L).getString(1) == "gif")
+    assert(got(3L).getInt(2) == 3 && got(3L).getInt(3) == 2)
+    val gRgb = got(3L).getSeq[Double](5)
+    assert(gRgb(0) == 0.0 && gRgb(1) == 0.0 && math.abs(gRgb(2) - 1.0) < 1e-9, s"gif mean rgb $gRgb")
+
+    // Truncated JPEG payload (valid magic, corrupt body) falls back to opaque.
+    val corrupt = Seq((9L, jpeg.take(8))).toDF("media_id", "payload")
+    assert(Multimodal.decodeMedia(corrupt).head().getString(1) == "opaque")
+  }
+
   test("multimodal resizeMeta preserves aspect ratio") {
     import spark.implicits._
     val media = Seq((1L, "img", Array[Byte](1), ("raw", 4000, 1000, -1L)))
