@@ -10,12 +10,11 @@ import org.apache.spark.sql.functions._
   * engine (and the SQL oracle) reproduces the same sample. Groups absent
   * from the quota map are dropped.
   *
-  * Scale shape: one shuffle on the group key, then a per-group
-  * window rank — exact quotas. A group so large its partition sort hurts
-  * (e.g. 90%-English corpora) can first pre-filter with the same hash as
-  * a threshold (`__r < quota/|g| × 2³²` with a safety factor) to cut the
-  * sort input, then rank exactly; the hash ordering makes the two-step
-  * pick identical to the one-step one.
+  * Scale shape: a hash-threshold pre-filter (auto-applied, see
+  * [[quotaSample]]) cuts each group to ~`slack×quota` survivors BEFORE
+  * the per-group rank, so a giant group (90%-English corpora) never hits
+  * a single-task full sort; the hash ordering makes the two-step pick
+  * identical to the one-step one.
   */
 object Sampling {
 
@@ -52,21 +51,70 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
-  /** @return (idCol, groupCol, rk) — the quota sample with each row's
-    *         1-based pick rank within its group.
+  /** Hash-space size of [[pseudoShuffle]] — thresholds live in [0, 2³²). */
+  private val HashSpace = 4294967296L
+
+  /** Quota sample with each row's 1-based pick rank within its group.
+    *
+    * Scale shape — the giant-group guard: a naive
+    * `row_number().over(partitionBy(group))` sends EVERY row of a group
+    * to one task; on a 90%-English 100 TB corpus that is a single-core
+    * sort of 90% of the data. Instead the pick runs in two provably
+    * equivalent steps:
+    *
+    *   1. *Pre-filter*: keep only rows whose hash falls below a per-group
+    *      threshold `thr(g) = (slack·quota(g) + 64) / |g|` of the hash
+    *      space (group sizes come from a map-side-combined count, joined
+    *      back by BROADCAST — the count frame is one row per group).
+    *      Groups small enough that `thr ≥ 2³²` skip the filter entirely.
+    *   2. *Rank*: the exact `row_number` pick, but over only ~`slack×quota`
+    *      survivors per group instead of `|g|`.
+    *
+    * Equivalence: the rank orders by `(__r, id)` and the filter is a
+    * strict `__r < thr` cut, so every excluded row orders after every
+    * survivor; as long as a group keeps ≥ `min(quota, |g|)` survivors the
+    * two-step pick is IDENTICAL to the one-step one. With the default
+    * `slack = 8` the expected survivor count is `8·quota + 64`, putting
+    * undershoot at Chernoff-bound odds (< e^-3·quota); the multiplicative
+    * hash is low-discrepancy on dense ids, so practice beats that bound.
+    * `preFilterSlack = Double.MaxValue` forces the single-step exact path
+    * (threshold ≥ 2³² keeps everything) if a pathological id distribution
+    * ever undershoots.
+    *
+    * The corpus is scanned twice (once for counts, once for the pick) —
+    * both scans read only (id, group) and the second is cut to ~quota
+    * rows map-side, a cheap trade against the single-task giant sort.
+    * PlanAudit asserts the pre-filter sits below the rank window.
+    *
+    * @return (idCol, groupCol, rk)
     */
   def quotaSample(
       df: DataFrame,
       quotas: Map[String, Long],
       groupCol: String = "lang",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      preFilterSlack: Double = 8.0
   ): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
-    df
+    val q = element_at(typedLit(quotas), col(groupCol))
+    // Groups without a (positive) quota contribute nothing — drop them
+    // map-side, before the count shuffle ever sees them.
+    val hashed = df
       .select(col(idCol), col(groupCol), pseudoShuffle(col(idCol)).as("__r"))
+      .filter(q.isNotNull && q > 0L)
+    val counts = hashed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val thr =
+      if (preFilterSlack == Double.MaxValue) lit(HashSpace)
+      else least(
+        lit(HashSpace),
+        ceil(lit(HashSpace.toDouble) * (q.cast("double") * lit(preFilterSlack) + lit(64.0d)) /
+          col("__n").cast("double")).cast("long"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
+    hashed
+      .join(broadcast(counts), Seq(groupCol))
+      .withColumn("__thr", thr)
+      .filter(col("__r") < col("__thr"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= coalesce(
-        element_at(typedLit(quotas), col(groupCol)), lit(0L)))
+      .filter(col("rk") <= q)
       .select(col(idCol), col(groupCol), col("rk"))
   }
 }

@@ -148,6 +148,26 @@ object PlanAudit {
     println(s"${if (deconBroadcast) "OK " else "HOT"} decontaminate broadcast probe  broadcast=$deconBroadcast")
     audit("decontaminate", decon, 2)
 
+    // Quota sampling: the giant-group guard. The hash-threshold
+    // pre-filter (__r < __thr, thresholds from a BROADCAST group-count
+    // join) must execute BELOW the per-group rank window, so the
+    // single-partition sort ranks only ~slack×quota survivors — never
+    // the raw group (the 90%-English 100 TB scale-killer).
+    val quotaPlan = graft.operators.Sampling
+      .quotaSample(docsT, Map("en" -> 50L, "es" -> 20L))
+      .queryExecution.executedPlan.toString
+    val quotaWinAt = quotaPlan.indexOf("Window")
+    // Catalyst folds the pre-filter into the broadcast join condition:
+    // BroadcastHashJoin [...], (__r#L < least(2^32, ceil(...))), below
+    // the Window in the top-down plan print.
+    val quotaPreAt =
+      "__r#\\d+L? < least\\(".r.findFirstMatchIn(quotaPlan).map(_.start).getOrElse(-1)
+    val quotaBroadcast = quotaPlan.contains("BroadcastHashJoin")
+    val quotaOk = quotaWinAt >= 0 && quotaPreAt > quotaWinAt && quotaBroadcast
+    println(s"${if (quotaOk) "OK " else "HOT"} quota-sample pre-filter        " +
+      s"filterBelowRank=${quotaPreAt > quotaWinAt} countsBroadcast=$quotaBroadcast")
+    if (!quotaOk) println(quotaPlan)
+
     // IVF centroid assignment: scoring against the broadcast centroid
     // array must tag each vector in place — zero hash/range exchanges of
     // the corpus (the former crossJoin + window argmax shuffled N×nlist

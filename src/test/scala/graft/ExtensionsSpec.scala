@@ -307,6 +307,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("quotaSample: skewed giant group — pre-filter cuts the rank input, pick unchanged") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 90% of rows in one group (the 90%-English shape the pre-filter
+    // exists for), small quotas — exactly the regime where the naive
+    // single-partition rank dies at scale.
+    val skewed = (0L until 50000L)
+      .map(i => (i, if (i % 10 != 0) "en" else if (i % 20 == 0) "es" else "fr"))
+      .toDF("doc_id", "lang")
+    val quotas = Map("en" -> 40L, "es" -> 15L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val fast = Sampling.quotaSample(skewed, quotas)
+    // Equivalence proof in miniature: the pre-filtered pick is identical
+    // to the exact single-step path (slack=MaxValue disables the filter).
+    val exact = rows(Sampling.quotaSample(skewed, quotas, preFilterSlack = Double.MaxValue))
+    assert(rows(fast) == exact, "pre-filtered pick must equal the exact single-step pick")
+    assert(exact.count(_._2 == "en") == 40 && exact.count(_._2 == "es") == 15)
+    // Plan shape: Catalyst folds the __r < thr pre-filter into the
+    // broadcast group-count join's condition, which must execute BELOW
+    // the rank window (top-down plan print → join line appears after
+    // Window), so the rank sorts only the pre-filtered survivors.
+    val plan = fast.queryExecution.executedPlan.toString
+    val winAt = plan.indexOf("Window")
+    val preAt = "__r#\\d+L? < least\\(".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(winAt >= 0 && preAt > winAt,
+      s"pre-filter must sit below the rank window (win@$winAt, filter@$preAt)")
+    assert(plan.contains("BroadcastHashJoin"), "group counts must join by broadcast")
+  }
+
   test("decontaminate flags exactly the documents sharing probe n-grams") {
     import spark.implicits._
     val corpus = Seq(
