@@ -79,6 +79,31 @@ object Similarity {
     when(dot >= 0, lit(1L)).otherwise(lit(0L))
   }
 
+  /** Resolve an `nlist` request: positive = explicit (validated ≥ 1);
+    * `<= 0` = auto-derive `max(16, ceil(√N))` from the corpus size — the
+    * standard IVF heuristic balancing the per-row centroid scan (O(nlist))
+    * against cluster size (O(N/nlist)), with a floor because probe-join
+    * parallelism is BOUNDED BY nlist: candidate scoring runs over at most
+    * `nlist` cluster partitions per probe wave, so a small explicit nlist
+    * on a big corpus serializes the probe join (at 1B vectors, √N ≈ 31623
+    * clusters of ~31k vectors each — thousands-way probe parallelism and
+    * a ~93 MB broadcast centroid array at 768 dims, both fine; nlist=16
+    * there would mean 16-way probes over 62M-vector clusters).
+    * The derivation costs one `count()` of the corpus ids — noise next to
+    * the eager Lloyd fit that follows.
+    */
+  private[graft] def resolveNlist(corpus: DataFrame, nlist: Int, idCol: String): Int =
+    if (nlist > 0) nlist
+    else math.max(16, math.ceil(math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
+
+  /** Resolve an `nprobe` request: positive = explicit; `<= 0` = the
+    * recall-calibrated default fraction of the resolved centroid count —
+    * `ceil(0.625·nlist)`, the same 10-of-16 probing ratio the committed
+    * RECALL.json numbers were measured at.
+    */
+  private[graft] def resolveNprobe(nprobe: Int, nlist: Int): Int =
+    if (nprobe > 0) nprobe else math.max(1, math.ceil(0.625 * nlist).toInt)
+
   /** All centroids collapsed into ONE row holding an array of
     * (cid, cv) structs — the broadcastable unit for per-row centroid
     * scoring. The global aggregate moves only `nlist` rows.
@@ -144,13 +169,17 @@ object Similarity {
     * per-row `array_sort` — no N×nlist explode, no window shuffle; the
     * corpus is never exchanged for either step (PlanAudit asserts zero
     * exchanges on the assignment plan). The only corpus shuffle in the
-    * whole operator is the probe↔cluster join that IVF is.
+    * whole operator is the probe↔cluster join that IVF is — and its
+    * parallelism is bounded by `nlist` (one cluster = one join key), so
+    * `nlist = 0` (the default) auto-derives `max(16, ⌈√N⌉)` via
+    * [[resolveNlist]] and `nprobe = 0` keeps the recall-calibrated
+    * 0.625·nlist probing fraction via [[resolveNprobe]].
     */
   def ivfTopK(
       vectors: DataFrame,
       k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 10,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       refineIters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
@@ -174,9 +203,11 @@ object Similarity {
       refineIters: Int,
       idCol: String,
       vecCol: String
-  ): DataFrame =
-    ivfTopK(queries, corpus, ivfCentroids(corpus, nlist, refineIters, idCol, vecCol),
-      k, nprobe, idCol, vecCol)
+  ): DataFrame = {
+    val resolvedNlist = resolveNlist(corpus, nlist, idCol)
+    ivfTopK(queries, corpus, ivfCentroids(corpus, resolvedNlist, refineIters, idCol, vecCol),
+      k, resolveNprobe(nprobe, resolvedNlist), idCol, vecCol)
+  }
 
   /** Fit the IVF centroid table once — `nlist` rows of `(cid, cv)`, the
     * persistable index contract (mirror of [[Dedup.minhashIndex]] for
@@ -194,11 +225,12 @@ object Similarity {
     */
   def ivfCentroids(
       corpus: DataFrame,
-      nlist: Int = 16,
+      nlist: Int = 0,
       refineIters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    val resolvedNlist = resolveNlist(corpus, nlist, idCol)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
     // Deterministic Lloyd-fit sample: hash-gated on id (stable under any
@@ -214,7 +246,7 @@ object Similarity {
     var centroids = fitBase
       .withColumn("__h", xxhash64(col("id")))
       .orderBy("__h")
-      .limit(nlist)
+      .limit(resolvedNlist)
       .select(col("id").as("cid"), col("v").as("cv"))
 
     // Lloyd refinement over the fit sample. Centroid means are float-cast
@@ -249,6 +281,10 @@ object Similarity {
       idCol: String,
       vecCol: String
   ): DataFrame = {
+    // nprobe <= 0 against a pre-fitted index: derive from the actual
+    // centroid count (nlist rows — the count is free).
+    val resolvedNprobe =
+      if (nprobe > 0) nprobe else resolveNprobe(nprobe, centroids.count().toInt)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
 
@@ -259,7 +295,7 @@ object Similarity {
     // local until the cluster join.
     val probes = scoredCentroids(qBase, centroids)
       .select(col("id").as("query_id"), col("v").as("qv"),
-        explode(slice(col("ranked"), 1, nprobe)).as("t"))
+        explode(slice(col("ranked"), 1, resolvedNprobe)).as("t"))
       .select(col("query_id"), col("qv"), col("t.cid"))
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))

@@ -57,18 +57,15 @@ object RecallProbe {
     val ivfGot = pairs(Similarity.ivfTopK(ivfSubset, k = 5), "query_id", "neighbor_id")
     val ivfRecall = recall(ivfGot, ivfExact)
 
-    // sim_ann_ivf with a sampled Lloyd fit — the 100 TB fit path
-    // (spark.graft.ivf.fitFraction): centroids from a deterministic
-    // hash-sampled half of the corpus, full corpus assigned and probed.
-    // Measured on the full table (500 vectors → ~250-vector fit): the
-    // sample must stay comfortably above nlist for the fit to converge,
-    // which is exactly the regime the fraction targets at scale.
+    // sim_ann_ivf_auto — the nlist<=0 auto-derivation path (nlist =
+    // max(16, ceil(sqrt(N))) = 23 on the 500-vector table, nprobe =
+    // ceil(0.625*23) = 15): the default a user gets without tuning.
     val ivfFullExact = pairs(Similarity.bruteForceTopK(emb, emb, k = 5), "query_id", "neighbor_id")
-    spark.conf.set("spark.graft.ivf.fitFraction", "0.5")
-    val ivfSampledGot =
-      try pairs(Similarity.ivfTopK(emb, k = 5), "query_id", "neighbor_id")
-      finally spark.conf.unset("spark.graft.ivf.fitFraction")
-    val ivfSampledRecall = recall(ivfSampledGot, ivfFullExact)
+    val ivfAutoRecall = recall(
+      pairs(Similarity.ivfTopK(emb, k = 5), "query_id", "neighbor_id"), ivfFullExact)
+
+    // (sampled-fit recall moves to the sf0.1 block below — the 500-vector
+    // table cannot give fitFraction a non-degenerate sample.)
 
     // Asymmetric (two-frame) ANN — the catalog configurations: 20 query
     // vectors against the disjoint 480-vector rest of the corpus.
@@ -91,6 +88,43 @@ object RecallProbe {
       Dedup.embeddingNearDup(emb, threshold = 0.4, bands = 32, bitsPerBand = 2), "doc_a", "doc_b")
     val dupRecall = recall(dupGot, dupExact)
 
+    // ── sf0.1 — the bench-scale corpus (2000 embeddings, 4x sf0.01):
+    // the same operators and assertions on the next scale factor up, so
+    // the >=0.9 claims are not an artifact of the 500-vector table.
+    // Self-ANN measures the full corpus; IVF uses the auto-derived index
+    // (nlist = ceil(sqrt(2000)) = 45, nprobe = 29).
+    val emb1 = Tables.table(spark, "/root/testdata/sf0.1", "embeddings")
+    val exact1 = pairs(Similarity.bruteForceTopK(emb1, emb1, k = 5), "query_id", "neighbor_id")
+    val lsh1Recall = recall(pairs(Similarity.lshTopK(emb1, k = 5), "query_id", "neighbor_id"), exact1)
+    val ivf1Recall = recall(pairs(Similarity.ivfTopK(emb1, k = 5), "query_id", "neighbor_id"), exact1)
+    val q1 = emb1.filter(col("vec_id") < 100)
+    val c1 = emb1.filter(col("vec_id") >= 100)
+    val asymExact1 = pairs(Similarity.bruteForceTopK(q1, c1, k = 5), "query_id", "neighbor_id")
+    val lshQ1Recall = recall(
+      pairs(Similarity.lshTopK(q1, c1, 5, 32, 4, "vec_id", "embedding"),
+        "query_id", "neighbor_id"),
+      asymExact1)
+    val ivfQ1Recall = recall(
+      pairs(Similarity.ivfTopK(q1, c1, 5, 0, 0, 2, "vec_id", "embedding"),
+        "query_id", "neighbor_id"),
+      asymExact1)
+
+    // Sampled Lloyd fit — the 100 TB fit path (spark.graft.ivf
+    // .fitFraction): centroids from a deterministic hash-sampled half of
+    // the corpus, full corpus assigned and probed. Measured HERE, on the
+    // largest table, at the recall-calibrated nlist=16/nprobe=10: a
+    // ~1000-vector fit for 16 centroids (62x sample-to-centroid ratio)
+    // is the regime the fraction targets — the former 500-vector
+    // measurement (250-sample fit, ratio 16) sat 2 points over its bar
+    // and flipped on unrelated seeding changes.
+    spark.conf.set("spark.graft.ivf.fitFraction", "0.5")
+    val ivfSampledRecall =
+      try recall(
+        pairs(Similarity.ivfTopK(emb1, emb1, k = 5, nlist = 16, nprobe = 10,
+          refineIters = 2, idCol = "vec_id", vecCol = "embedding"), "query_id", "neighbor_id"),
+        exact1)
+      finally spark.conf.unset("spark.graft.ivf.fitFraction")
+
     val json =
       f"""{
          |  "sf_dir": "$sfDir",
@@ -103,18 +137,32 @@ object RecallProbe {
          |    "exact_pairs": ${asymExact.size}, "config": "two-frame, bands=32, bitsPerBand=4"},
          |  "sim_ann_ivf_q": {"recall_at_k": $ivfQRecall%.4f, "k": 5, "queries": 20,
          |    "exact_pairs": ${asymExact.size}, "config": "two-frame, nlist=16, nprobe=12"},
-         |  "sim_ann_ivf_sampled_fit": {"recall_at_k": $ivfSampledRecall%.4f, "k": 5,
-         |    "exact_pairs": ${ivfFullExact.size}, "asserted_min": 0.85,
-         |    "config": "fitFraction=0.5, nlist=16, nprobe=10, full table",
-         |    "note": "worst-case regime: a 250-vector fit sample for 16 centroids; the fraction targets corpora where the sample stays millions of vectors"},
+         |  "sim_ann_ivf_auto": {"recall_at_k": $ivfAutoRecall%.4f, "k": 5,
+         |    "exact_pairs": ${ivfFullExact.size},
+         |    "config": "auto-derived nlist=23 (ceil(sqrt(500))), nprobe=15, full table"},
          |  "dedup_embedding_lsh": {"pair_recall": $dupRecall%.4f, "threshold": 0.4,
-         |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0}
+         |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0},
+         |  "sf0.1": {
+         |    "sim_ann_lsh": {"recall_at_k": $lsh1Recall%.4f, "k": 5, "queries": ${emb1.count()},
+         |      "exact_pairs": ${exact1.size}, "config": "bands=32, bitsPerBand=4"},
+         |    "sim_ann_ivf": {"recall_at_k": $ivf1Recall%.4f, "k": 5, "queries": ${emb1.count()},
+         |      "exact_pairs": ${exact1.size}, "config": "auto nlist=45, nprobe=29"},
+         |    "sim_ann_lsh_q": {"recall_at_k": $lshQ1Recall%.4f, "k": 5, "queries": 100,
+         |      "exact_pairs": ${asymExact1.size}, "config": "two-frame, bands=32, bitsPerBand=4"},
+         |    "sim_ann_ivf_q": {"recall_at_k": $ivfQ1Recall%.4f, "k": 5, "queries": 100,
+         |      "exact_pairs": ${asymExact1.size}, "config": "two-frame, auto nlist/nprobe"},
+         |    "sim_ann_ivf_sampled_fit": {"recall_at_k": $ivfSampledRecall%.4f, "k": 5,
+         |      "exact_pairs": ${exact1.size}, "asserted_min": 0.85,
+         |      "config": "fitFraction=0.5, nlist=16, nprobe=10, full table",
+         |      "note": "~1000-vector fit for 16 centroids (62x sample-to-centroid ratio) — the regime fitFraction targets"}
+         |  }
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
 
     val ok = lshRecall >= 0.9 && ivfRecall >= 0.9 && lshQRecall >= 0.9 && ivfQRecall >= 0.9 &&
-      ivfSampledRecall >= 0.85 && dupRecall >= 0.9
+      ivfAutoRecall >= 0.9 && ivfSampledRecall >= 0.85 && dupRecall >= 0.9 &&
+      lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9
     println(s"[recall-probe] all above asserted minimums: $ok")
     spark.stop()
     if (!ok) sys.exit(1)
