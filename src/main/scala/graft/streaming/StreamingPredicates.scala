@@ -165,11 +165,16 @@ object StreamingPredicates {
     *   - Event-bound window (`endPredIdx >= 0`): spans from
     *     `start = trigger + startOffsetMicros` to the FIRST event with
     *     `counts(endPredIdx) > 0` strictly after `start` (end event
-    *     included). The search is capped at `start + maxHorizonMicros`:
-    *     the batch engine's unbounded `start -> pred` lookahead cannot be
-    *     streamed with finite state, so a trigger whose bound event does
-    *     not arrive within the cap is dropped (same outcome as the batch
-    *     null-bound drop, provided the cap covers the data's real gaps).
+    *     included). The search is capped at `start + maxHorizonMicros`;
+    *     a trigger whose bound event does not arrive within the cap is
+    *     dropped (same outcome as the batch null-bound drop, provided the
+    *     cap covers the data's real gaps). Pass `Long.MaxValue` for an
+    *     UNCAPPED window — the batch engine's true unbounded
+    *     `start -> pred` lookahead ("wait for discharge") — which then
+    *     requires a finite `stateTtlMicros` on [[cohortWindows]] so state
+    *     stays bounded: the trigger waits for its bound event
+    *     indefinitely-up-to-TTL, and is evicted (no emission) once the
+    *     watermark passes `trigger + TTL`.
     *
     * `minCounts`/`maxCounts`: per-predicate constraint bounds over the
     * window's sums (`Long.MinValue`/`Long.MaxValue` = unconstrained) —
@@ -206,17 +211,41 @@ object StreamingPredicates {
     * State per subject = pending triggers + events some pending-or-future
     * window could still read; both pruned on every watermark advance, so
     * state is bounded by (max window deadline + allowed lateness) × rate.
+    *
+    * @param stateTtlMicros eviction deadline for unresolved triggers,
+    *        measured from the trigger event time: once the watermark
+    *        passes `trigger + TTL`, a still-open trigger is dropped
+    *        without emission (the batch null-bound drop). Mandatory when
+    *        any event-bound window is uncapped
+    *        (`maxHorizonMicros = Long.MaxValue`) — it is then the ONLY
+    *        state bound, giving per-subject state
+    *        ≈ (TTL + allowed lateness) × event rate.
     */
   def cohortWindows(
       events: Dataset[TimedEvent],
       nPreds: Int,
       triggerIdx: Int,
-      windows: Seq[StreamWindowSpec]
+      windows: Seq[StreamWindowSpec],
+      stateTtlMicros: Long = Long.MaxValue
   ): Dataset[CohortRow] = {
     implicit val outEnc = Encoders.product[CohortRow]
     implicit val stateEnc = Encoders.product[TriggerState]
     val specs = windows.toArray
+    val uncapped = specs.filter(w => w.endPredIdx >= 0 && w.maxHorizonMicros == Long.MaxValue)
+    require(
+      uncapped.isEmpty || stateTtlMicros < Long.MaxValue,
+      s"event-bound window(s) [${uncapped.map(_.name).mkString(", ")}] are uncapped " +
+        "(maxHorizonMicros = Long.MaxValue) but no stateTtlMicros was given: an unbounded " +
+        "'start -> pred' lookahead cannot be streamed with finite state. Either cap the " +
+        "window (maxHorizonMicros >= the data's largest trigger-to-bound gap) or pass a " +
+        "finite stateTtlMicros T; per-subject state is then bounded by " +
+        "(T + watermark allowed lateness) x event rate, and a trigger whose bound event " +
+        "has not arrived once the watermark passes trigger + T is dropped — the same " +
+        "outcome as the batch engine's null-bound row drop.")
     val minStartOffset = specs.map(_.startOffsetMicros).min
+    // Saturating add: uncapped horizons use Long.MaxValue as +infinity.
+    def satAdd(a: Long, b: Long): Long =
+      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
     events
       .groupByKey(_.subject_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[TriggerState, CohortRow](
@@ -249,6 +278,7 @@ object StreamingPredicates {
           triggers.sorted.foreach { t =>
             var allClosed = true
             var failed = false
+            val ttlDeadline = satAdd(t, stateTtlMicros)
             val ends = new Array[Long](specs.length)
             var wi = 0
             while (wi < specs.length && allClosed && !failed) {
@@ -262,25 +292,32 @@ object StreamingPredicates {
                 // First end-predicate event strictly after start. Events at
                 // or below the watermark are final (later arrivals would be
                 // late and dropped), so a found bound <= wm is THE bound.
+                val capEnd = satAdd(start, w.maxHorizonMicros)
                 var best = Long.MaxValue
                 var r = 0
                 while (r < bufTs.length) {
                   val ts0 = bufTs(r)
-                  if (ts0 > start && ts0 <= start + w.maxHorizonMicros && ts0 < best &&
+                  if (ts0 > start && ts0 <= capEnd && ts0 < best &&
                       bufCounts(r * nPreds + w.endPredIdx) > 0) best = ts0
                   r += 1
                 }
                 if (best != Long.MaxValue && best <= wmMicros) ends(wi) = best
-                else if (wmMicros >= start + w.maxHorizonMicros) failed = true
+                else if (wmMicros >= capEnd) failed = true
                 else {
                   allClosed = false
                   // Candidate close: the buffered bound event (if one is
-                  // already known) or the horizon cap.
-                  nextWake = math.min(nextWake, math.min(best, start + w.maxHorizonMicros))
+                  // already known), the horizon cap, or the TTL eviction
+                  // point (whichever the watermark reaches first).
+                  nextWake = math.min(nextWake,
+                    math.min(best, math.min(capEnd, ttlDeadline)))
                 }
               }
               wi += 1
             }
+            // TTL eviction: still unresolved once the watermark passes
+            // trigger + TTL -> drop without emission (batch null-bound
+            // drop). This is the state bound for uncapped windows.
+            if (!allClosed && wmMicros >= ttlDeadline) failed = true
             if (!allClosed && !failed) stillPending += t
             else if (!failed) {
               val counts = new Array[Long](specs.length * nPreds)

@@ -168,7 +168,10 @@ class StreamingSpec extends SparkSpec {
     */
   private def cohortBothWays(
       data: Seq[(Long, String, String)],
-      sinkName: String): ParityRun = {
+      sinkName: String,
+      targetHorizonMicros: Long = 24 * 3600L * 1000000L,
+      stateTtlMicros: Long = Long.MaxValue,
+      flushTimes: Seq[String] = Seq("2024-01-05 00:00:00", "2024-01-05 01:00:00")): ParityRun = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val cfg = graft.config.TaskConfig.fromYaml(cohortYaml)
@@ -220,9 +223,11 @@ class StreamingSpec extends SparkSpec {
       // gap: (trigger, trigger+2h], error count must be 0
       StreamingPredicates.StreamWindowSpec("gap", 0L, 2 * hour, -1, 2 * hour,
         none, Array(Long.MaxValue, Long.MaxValue, 0L)),
-      // target: (trigger+2h, first buy], capped at 24h of lookahead
-      StreamingPredicates.StreamWindowSpec("target", 2 * hour, 0L, 1, 24 * hour, none, any))
-    val out = StreamingPredicates.cohortWindows(events, nPreds = 3, triggerIdx = 0, specs)
+      // target: (trigger+2h, first buy], horizon per the caller (default
+      // 24h cap; Long.MaxValue = uncapped, TTL-bounded)
+      StreamingPredicates.StreamWindowSpec("target", 2 * hour, 0L, 1, targetHorizonMicros, none, any))
+    val out = StreamingPredicates.cohortWindows(
+      events, nPreds = 3, triggerIdx = 0, specs, stateTtlMicros = stateTtlMicros)
 
     val query = out.writeStream
       .format("memory").queryName(sinkName).outputMode("append").start()
@@ -230,10 +235,10 @@ class StreamingSpec extends SparkSpec {
       try {
         input.addData(data.map { case (s, t, c) => (s, ts(t), c) }: _*)
         query.processAllAvailable()
-        input.addData((99L, ts("2024-01-05 00:00:00"), "noop"))
-        query.processAllAvailable()
-        input.addData((99L, ts("2024-01-05 01:00:00"), "noop"))
-        query.processAllAvailable()
+        flushTimes.foreach { t =>
+          input.addData((99L, ts(t), "noop"))
+          query.processAllAvailable()
+        }
         spark.table(sinkName).collect().map { r =>
           val c = r.getSeq[Long](3)
           (r.getLong(0), r.getLong(1), c.slice(0, 3).toList, c.slice(3, 6).toList)
@@ -300,6 +305,48 @@ class StreamingSpec extends SparkSpec {
         s"seed $seed: label rows diverge: missing=${(run.batchLabels -- run.streamedLabels).take(3)} " +
           s"extra=${(run.streamedLabels -- run.batchLabels).take(3)}")
     }
+  }
+
+  test("uncapped event-bound window matches batch when the bound arrives days later") {
+    val day = 24 * 3600L * 1000000L
+    val data = Seq(
+      // Subject 1's buy lands 5 days after the trigger — far beyond the
+      // 24h cap the capped variant uses; only the uncapped window (the
+      // batch engine's true unbounded `start -> buy`) finds it.
+      (1L, "2024-01-01 10:00:00", "click"),
+      (1L, "2024-01-06 10:00:00", "buy"),
+      // Subject 2's buy never arrives: batch drops the row (null bound);
+      // streaming evicts the trigger at trigger + TTL with no emission.
+      (2L, "2024-01-01 09:00:00", "click"))
+    val run = cohortBothWays(
+      data, "cohort_uncapped",
+      targetHorizonMicros = Long.MaxValue,
+      stateTtlMicros = 30 * day,
+      // Push the watermark past subject 1's bound, then past every TTL.
+      flushTimes = Seq("2024-01-07 00:00:00", "2024-02-15 00:00:00", "2024-02-15 01:00:00"))
+    assert(run.batchCounts.size == 1,
+      s"batch fixture should keep exactly subject 1's row: ${run.batchCounts}")
+    assert(run.streamedCounts == run.batchCounts,
+      s"streamed ${run.streamedCounts} != batch ${run.batchCounts}")
+    assert(run.streamedLabels == run.batchLabels,
+      s"streamed labels ${run.streamedLabels} != batch ${run.batchLabels}")
+  }
+
+  test("uncapped event-bound window without a TTL is rejected with the bound formula") {
+    import spark.implicits._
+    val none = Array.fill(1)(Long.MinValue)
+    val any = Array.fill(1)(Long.MaxValue)
+    val err = intercept[IllegalArgumentException] {
+      StreamingPredicates.cohortWindows(
+        spark.emptyDataset[StreamingPredicates.TimedEvent],
+        nPreds = 1, triggerIdx = 0,
+        windows = Seq(StreamingPredicates.StreamWindowSpec(
+          "discharge", 0L, 0L, 0, Long.MaxValue, none, any)))
+    }
+    assert(err.getMessage.contains("discharge"))
+    assert(err.getMessage.contains("stateTtlMicros"))
+    assert(err.getMessage.contains("(T + watermark allowed lateness) x event rate"),
+      s"message must give the state-bound formula; got: ${err.getMessage}")
   }
 
   test("cumulativeCounts keeps running per-subject totals") {
