@@ -199,9 +199,15 @@ object TaskConfig {
     * absent (Hydra's merge semantics); traversing through a scalar fails
     * loud. Returns the merged YAML text — feed it to [[fromYaml]], whose
     * unknown-top-key validation still rejects typo'd roots.
+    *
+    * Values come straight from argv, so they are parsed with a
+    * [[safeYaml]] (standard scalars/collections only — no tagged object
+    * instantiation), and surrounding quotes force a string (OmegaConf's
+    * CLI grammar): `code=on` is YAML-1.1-coerced to a boolean, but
+    * `code='on'` / `code="on"` stays the string `on`.
     */
   def applyOverrides(configYaml: String, overrides: Seq[(String, String)]): String = {
-    val yaml = new org.yaml.snakeyaml.Yaml()
+    val yaml = safeYaml()
     val root = yaml.load[java.util.Map[String, Object]](configYaml)
     require(root != null, "Cannot apply overrides to an empty configuration")
     overrides.foreach { case (path, value) =>
@@ -221,9 +227,35 @@ object TaskConfig {
                 s"${other.getClass.getSimpleName}, not a mapping.")
         }
       }
-      node.put(parts.last, yaml.load[Object](value))
+      node.put(parts.last, parseOverrideValue(value, yaml))
     }
     yaml.dump(root)
+  }
+
+  /** One CLI override value: surrounding single or double quotes force a
+    * verbatim string (no YAML scalar resolution — the only way to pass
+    * `on`, `08:30`, or `1e3` AS TEXT from argv); anything else goes
+    * through safe YAML scalar parsing.
+    */
+  private def parseOverrideValue(value: String, yaml: org.yaml.snakeyaml.Yaml): Object = {
+    val quoted = value.length >= 2 &&
+      ((value.head == '"' && value.last == '"') ||
+        (value.head == '\'' && value.last == '\''))
+    if (quoted) value.substring(1, value.length - 1)
+    else yaml.load[Object](value)
+  }
+
+  /** SnakeYAML with the SafeConstructor: standard YAML types only, so a
+    * value arriving from argv (or a config file) can never instantiate an
+    * arbitrary tagged Java object.
+    */
+  private def safeYaml(): org.yaml.snakeyaml.Yaml = {
+    import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+    import org.yaml.snakeyaml.constructor.SafeConstructor
+    import org.yaml.snakeyaml.representer.Representer
+    import org.yaml.snakeyaml.DumperOptions
+    val dumper = new DumperOptions()
+    new Yaml(new SafeConstructor(new LoaderOptions()), new Representer(dumper), dumper)
   }
 
   def fromYaml(configYaml: String, predicatesYaml: Option[String] = None): TaskConfig = {
@@ -297,7 +329,7 @@ object TaskConfig {
     scala.collection.immutable.ListMap(entries.toSeq: _*)
 
   private def parseYamlMap(text: String, what: String): Map[String, Any] = {
-    val yaml = new org.yaml.snakeyaml.Yaml()
+    val yaml = safeYaml()
     Option(yaml.load[Any](text)) match {
       case Some(m: java.util.Map[_, _]) =>
         orderedMap(m.asScala.map { case (k, v) => k.toString -> v })

@@ -714,7 +714,9 @@ object QueryCatalog {
       // Gopher-style repetition quality filters: duplicate-token /
       // duplicate-bigram fractions, most-frequent-n-gram share.
       Repetition.repetitionMetrics(docs(s, dir)).orderBy("doc_id"),
-      Some("""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS sl FROM documents),
+      Some("""WITH base AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS sl
+             |  FROM documents),
              |toks AS (SELECT doc_id, UNNEST(sl) AS tok FROM base),
              |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
              |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
@@ -805,6 +807,50 @@ object QueryCatalog {
            |  WHEN h_zh = g THEN 'zh' WHEN h_fr = g THEN 'fr' WHEN h_es = g THEN 'es'
            |  WHEN h_en = g THEN 'en' ELSE 'de' END AS pred_lang
            |FROM g ORDER BY 1""".stripMargin
+      }),
+
+    Q("text_langid_trigram", (s, dir) =>
+      // Cavnar–Trenkle char-trigram language ID (10 languages + und):
+      // rank-profile out-of-place distance against UDHR-seeded profiles.
+      // The oracle embeds the identical profile table and mirrors the
+      // ranking/distance arithmetic — full SQL oracle, no golden.
+      graft.operators.LangIdTrigram.classifyAll(docs(s, dir)).orderBy("doc_id"),
+      Some {
+        val topK = graft.operators.LangIdTrigram.defaultTopK
+        val profileValues = graft.operators.LangIdTrigram.profileRows(topK)
+          .map { case (l, tg, r) => s"('$l','${tg.replace("'", "''")}',$r)" }
+          .mkString(", ")
+        val langValues = graft.operators.LangIdTrigram.seeds.keys.toSeq.sorted
+          .map(l => s"('$l')").mkString(", ")
+        s"""WITH profiles(lang, tg, lrank) AS (VALUES $profileValues),
+           |langs(lang) AS (VALUES $langValues),
+           |toks AS (SELECT doc_id, tok
+           |  FROM (SELECT doc_id,
+           |          UNNEST(string_split(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'), ' ')) AS tok
+           |        FROM documents)
+           |  WHERE tok <> ''),
+           |tgs AS (SELECT doc_id,
+           |    UNNEST(flatten(list_transform([1, 2, 3],
+           |      n -> list_transform(range(1, length(' ' || tok || ' ') - n + 2),
+           |                          i -> substr(' ' || tok || ' ', CAST(i AS INT), CAST(n AS INT)))))) AS tg
+           |  FROM toks),
+           |counts AS (SELECT doc_id, tg, COUNT(*) AS cnt FROM tgs GROUP BY 1, 2),
+           |prof AS (SELECT doc_id, tg, drank FROM (
+           |    SELECT doc_id, tg,
+           |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tg) AS drank
+           |    FROM counts) WHERE drank <= $topK),
+           |dists AS (SELECT p.doc_id, l.lang,
+           |    SUM(COALESCE(ABS(p.drank - pr.lrank), $topK)) AS dist
+           |  FROM prof p CROSS JOIN langs l
+           |  LEFT JOIN profiles pr ON pr.lang = l.lang AND pr.tg = p.tg
+           |  GROUP BY 1, 2),
+           |best AS (SELECT doc_id, lang FROM (
+           |    SELECT doc_id, lang,
+           |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+           |    FROM dists) WHERE rn = 1)
+           |SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+           |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+           |ORDER BY 1""".stripMargin
       }),
 
     Q("text_quality", (s, dir) => {
@@ -899,6 +945,28 @@ object QueryCatalog {
         .select(col("media_id"), Multimodal.nBytes(col("payload")).as("n_bytes"))
         .orderBy("media_id")
     }, Some("""SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+              |FROM documents ORDER BY 1""".stripMargin)),
+
+    Q("multimodal_container_meta", (s, dir) => {
+      // Container-envelope metadata WITHOUT a codec: MP4 box walk, WebM
+      // EBML walk, MP3 frame-header walk (Multimodal.containerMeta).
+      // Payloads are built per-id by MediaFixtures (independent writer
+      // code path) so the expected metadata is closed-form in doc_id and
+      // the oracle is plain SQL — a full round-trip check of the parsers.
+      val ids = docs(s, dir).select(col("doc_id"))
+      Multimodal.containerMeta(MediaFixtures.syntheticContainers(ids))
+        .orderBy("media_id")
+    }, Some("""SELECT doc_id AS media_id,
+              |  CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' ELSE 'webm' END AS container,
+              |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+              |       WHEN 2 THEN 32 + doc_id % 128 END AS INT) AS width,
+              |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (7 * doc_id) % 64
+              |       WHEN 2 THEN 32 + (3 * doc_id) % 128 END AS INT) AS height,
+              |  CAST(CASE doc_id % 3 WHEN 0 THEN 500 + doc_id % 1000
+              |       WHEN 1 THEN ((5 + doc_id % 20) * 1152 * 1000) // 44100
+              |       ELSE 250 + doc_id % 500 END AS BIGINT) AS duration_ms,
+              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 128 END AS INT) AS bitrate_kbps,
+              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44100 END AS INT) AS sample_rate
               |FROM documents ORDER BY 1""".stripMargin)),
 
     Q("multimodal_framesample", (s, dir) => {

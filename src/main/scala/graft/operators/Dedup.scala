@@ -461,6 +461,20 @@ object Dedup {
           .as("sig"))
   }
 
+  /** SimHash near-dup pairs with an exact-duplicate pre-pass.
+    *
+    * Identical texts are first collapsed to one representative per
+    * exact-hash cluster (min doc_id), emitted as linear STAR pairs
+    * `(rep, member, hamming = 0)` — so a corpus with millions of copies
+    * of the same boilerplate (the exact input dedup targets) reports its
+    * duplicates in O(cluster) pairs instead of being silently dropped by
+    * the bucket cap (or exploding into O(cluster²) pairs). Banding then
+    * runs on representatives only; rep-level near-dup pairs plus the star
+    * edges give the same transitive closure (connected components) as
+    * all-pairs output. After the pre-pass, the `maxBucketSize` skew guard
+    * only ever drops DISTINCT texts that collide on a 16-bit chunk —
+    * inspect [[simhashCappedBuckets]] to see what a given cap would drop.
+    */
   def simhash(
       docs: DataFrame,
       maxHamming: Int = 3,
@@ -468,7 +482,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val sigs = simhashSignatures(docs, textCol, idCol)
+    val (reps, starPairs) = exactClusters(docs, textCol, idCol)
+    val sigs = simhashSignatures(reps, textCol, idCol)
     val chunks = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -478,9 +493,10 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
 
     // Bucket-size cap (same skew guard as [[minhashLsh]]): a degenerate
-    // corpus — millions of near-empty docs hashing to one 16-bit chunk key
-    // — would otherwise make the self-join below quadratic in one bucket.
-    // The window partitions by (chunk, key), which the join reuses.
+    // corpus — millions of near-empty DISTINCT docs hashing to one 16-bit
+    // chunk key — would otherwise make the self-join below quadratic in
+    // one bucket. The window partitions by (chunk, key), which the join
+    // reuses. Exact duplicates never hit this cap (pre-pass above).
     val wChunk = Window.partitionBy("chunk", "key")
     val capped = chunks
       .withColumn("bsize", count(lit(1)).over(wChunk))
@@ -495,5 +511,53 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .unionByName(starPairs)
+  }
+
+  /** Exact-text clusters for the simhash pre-pass: returns
+    * (representatives frame — original columns, one row per distinct
+    * text; star-pair frame — `(doc_a = rep, doc_b = member, hamming = 0)`
+    * for every non-representative member). One hash-exchange on the
+    * 64-bit text hash; the explode/signature work downstream then runs
+    * once per DISTINCT text, not once per copy.
+    */
+  private def exactClusters(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String
+  ): (DataFrame, DataFrame) = {
+    val wHash = Window.partitionBy("__ehash")
+    val withRep = docs
+      .withColumn("__ehash", xxhash64(col(textCol)))
+      .withColumn("__rep", min(col(idCol)).over(wHash))
+    val reps = withRep.filter(col(idCol) === col("__rep")).drop("__ehash", "__rep")
+    val starPairs = withRep
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"), lit(0).as("hamming"))
+    (reps, starPairs)
+  }
+
+  /** Observability companion for [[simhash]]'s skew guard: the (chunk,
+    * key, bsize) buckets a given `maxBucketSize` would drop — after the
+    * exact-duplicate pre-pass, i.e. buckets of DISTINCT texts colliding
+    * on a 16-bit signature chunk. Empty result = the cap is lossless on
+    * this corpus.
+    */
+  def simhashCappedBuckets(
+      docs: DataFrame,
+      maxBucketSize: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val (reps, _) = exactClusters(docs, textCol, idCol)
+    simhashSignatures(reps, textCol, idCol)
+      .select(
+        col("doc_id"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"), shiftright(col("sig"), c * 16).bitwiseAND(0xffffL).as("key"))
+        }: _*)).as("ck"))
+      .groupBy(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucketSize)
   }
 }

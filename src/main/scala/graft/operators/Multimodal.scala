@@ -18,12 +18,15 @@ import org.apache.spark.sql.types._
   * `javax.imageio.ImageIO` (standard JDK, java.desktop module, fully
   * headless — no native library needed), producing dimensions + mean RGB
   * under one contract. 16-bit PCM WAV audio (sample rate, duration,
-  * amplitude stats) is likewise parsed with byte arithmetic. Only video
-  * containers (MP4/WebM) and compressed audio (MP3/AAC/Opus) remain
-  * behind the deterministic stub (`decodeOne`) — those DO require codec
-  * libraries (ffmpeg et al.) the JDK does not ship; a deployment swaps
-  * only that body. The Spark-side plumbing — schema, binary handling,
-  * partitioning, per-partition batch shape — is real and tested either way.
+  * amplitude stats) is likewise parsed with byte arithmetic. Video
+  * containers (MP4/WebM) and MP3 get REAL envelope metadata — duration,
+  * dimensions, bitrate, sample rate — via pure box/frame-header walks
+  * ([[containerMeta]]); only their compressed sample DATA remains behind
+  * the deterministic stub (`decodeOne`), because decoding it genuinely
+  * requires codec libraries (ffmpeg et al.) the JDK does not ship; a
+  * deployment swaps only that body. The Spark-side plumbing — schema,
+  * binary handling, partitioning, per-partition batch shape — is real
+  * and tested either way.
   */
 object Multimodal {
 
@@ -325,6 +328,241 @@ object Multimodal {
     }
     val cnt = math.max(1L, n).toDouble
     Some((durationMs, Array(sumAbs / cnt, math.sqrt(sumSq / cnt))))
+  }
+
+  // ==========================================================================
+  // Container METADATA — MP4/ISO-BMFF and WebM/EBML box walks, MP3 frame-
+  // header walk. Pure byte arithmetic (no codec): duration, dimensions,
+  // bitrate, sample rate. This shrinks the "opaque" class to actual
+  // sample DATA decode (which genuinely needs ffmpeg-class codecs); the
+  // container envelope is readable with ~150 LoC of public-spec parsing.
+  // ==========================================================================
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((be16(b, off).toLong << 16) | be16(b, off + 2)) & 0xffffffffL
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  /** Parsed container envelope: image/video dims when the container
+    * declares them, duration, and (audio) bitrate / sample rate.
+    */
+  final case class ContainerMeta(
+      container: String,
+      width: Option[Int],
+      height: Option[Int],
+      durationMs: Option[Long],
+      bitrateKbps: Option[Int],
+      sampleRate: Option[Int])
+
+  /** MP4 / ISO-BMFF (ISO 14496-12): walk top-level boxes to `moov`, read
+    * `mvhd` (timescale + duration, version 0 or 1) and every `trak/tkhd`
+    * (16.16 fixed-point width/height; audio traks carry zeros, so take
+    * the max across traks). Box sizes: 32-bit, 1 = 64-bit largesize
+    * follows, 0 = to end of payload.
+    */
+  private[graft] def parseMp4(p: Array[Byte]): Option[ContainerMeta] = {
+    if (p.length < 16 || !(p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p')) return None
+    var durationMs: Option[Long] = None
+    var w = 0; var h = 0
+
+    def boxes(off: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var o = off
+      while (o + 8 <= end) {
+        val size32 = be32(p, o.toInt)
+        val name = new String(p, o.toInt + 4, 4, "US-ASCII")
+        val (cStart, cEnd) =
+          if (size32 == 1 && o + 16 <= end) (o + 16, o + be64(p, o.toInt + 8))
+          else if (size32 == 0) (o + 8, end)
+          else (o + 8, o + size32)
+        if (cEnd <= o || cEnd > end) return // corrupt size: stop the walk
+        f(name, cStart, cEnd)
+        o = cEnd
+      }
+    }
+
+    boxes(0, p.length) {
+      case ("moov", mS, mE) =>
+        boxes(mS, mE) {
+          case ("mvhd", cS, _) =>
+            val v = p(cS.toInt) & 0xff
+            val (ts, dur) =
+              if (v == 1) (be32(p, cS.toInt + 20), be64(p, cS.toInt + 24))
+              else (be32(p, cS.toInt + 12), be32(p, cS.toInt + 16))
+            if (ts > 0) durationMs = Some(dur * 1000L / ts)
+          case ("trak", tS, tE) =>
+            boxes(tS, tE) {
+              case ("tkhd", cS, _) =>
+                val v = p(cS.toInt) & 0xff
+                val base = if (v == 1) cS.toInt + 88 else cS.toInt + 76
+                if (base + 8 <= p.length) {
+                  w = math.max(w, (be32(p, base) >> 16).toInt)
+                  h = math.max(h, (be32(p, base + 4) >> 16).toInt)
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    Some(ContainerMeta("mp4",
+      if (w > 0) Some(w) else None, if (h > 0) Some(h) else None,
+      durationMs, None, None))
+  }
+
+  /** Minimal EBML walk for WebM/Matroska: `Segment → Info` gives
+    * TimecodeScale (ns/tick, default 1 000 000) and Duration (float
+    * ticks); `Segment → Tracks → TrackEntry → Video` gives
+    * PixelWidth/PixelHeight. Vints: leading-zero count of the first byte
+    * gives the length; the marker bit is masked for sizes but kept for
+    * IDs (per convention).
+    */
+  private[graft] def parseWebm(p: Array[Byte]): Option[ContainerMeta] = {
+    if (p.length < 4 || be32(p, 0) != 0x1a45dfa3L) return None
+
+    // (value, bytesConsumed); keepMarker for element IDs.
+    def vint(off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= p.length) return None
+      val first = p(off) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (off + len > p.length) return None
+      var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (p(off + i) & 0xff); i += 1 }
+      Some((v, len))
+    }
+
+    var timecodeScale = 1000000L
+    var durationTicks: Option[Double] = None
+    var w = 0; var h = 0
+
+    def walk(off: Int, end: Int, depth: Int): Unit = {
+      var o = off
+      while (o < end) {
+        val idr = vint(o, keepMarker = true).getOrElse(return)
+        val szr = vint(o + idr._2, keepMarker = false).getOrElse(return)
+        val cS = o + idr._2 + szr._2
+        val cE = math.min(end.toLong, cS.toLong + szr._1).toInt
+        if (cE < cS) return
+        idr._1 match {
+          case 0x18538067L | 0x1549a966L | 0x1654ae6bL | 0xaeL | 0xe0L =>
+            walk(cS, cE, depth + 1) // Segment / Info / Tracks / TrackEntry / Video
+          case 0x2ad7b1L =>
+            var v = 0L; var i = cS
+            while (i < cE) { v = (v << 8) | (p(i) & 0xff); i += 1 }
+            if (v > 0) timecodeScale = v
+          case 0x4489L =>
+            if (cE - cS == 4)
+              durationTicks = Some(java.lang.Float.intBitsToFloat(be32(p, cS).toInt).toDouble)
+            else if (cE - cS == 8)
+              durationTicks = Some(java.lang.Double.longBitsToDouble(be64(p, cS)))
+          case 0xb0L | 0xbaL =>
+            var v = 0L; var i = cS
+            while (i < cE) { v = (v << 8) | (p(i) & 0xff); i += 1 }
+            if (idr._1 == 0xb0L) w = math.max(w, v.toInt) else h = math.max(h, v.toInt)
+          case _ => // skip leaf
+        }
+        o = cE
+      }
+    }
+    walk(0, p.length, 0)
+    val durationMs = durationTicks.map(t => (t * timecodeScale / 1e6).round)
+    Some(ContainerMeta("webm",
+      if (w > 0) Some(w) else None, if (h > 0) Some(h) else None,
+      durationMs, None, None))
+  }
+
+  private val mp3BitratesV1L3 = // kbps, index 1..14 (0/15 invalid)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val mp3BitratesV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val mp3SampleRatesV1 = Array(44100, 48000, 32000, 0)
+
+  /** MP3 (MPEG-1/2 Layer III): skip an ID3v2 tag (syncsafe size), then
+    * walk frame headers — 11-bit sync, version/layer bits, bitrate and
+    * sample-rate indices, padding — summing samples per frame (1152 for
+    * MPEG-1, 576 for MPEG-2/2.5) for an exact duration even under VBR.
+    * Reports the first frame's bitrate and the stream sample rate.
+    */
+  private[graft] def parseMp3(p: Array[Byte]): Option[ContainerMeta] = {
+    var off = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val tagSize = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      off = 10 + tagSize
+    }
+    var frames = 0L
+    var totalSamples = 0L
+    var sampleRate = 0
+    var firstBitrate = 0
+    while (off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff || (p(off + 1) & 0xe0) != 0xe0) {
+        // lost sync: stop at the first non-frame byte after >=1 frame,
+        // fail if we never found one
+        return if (frames > 0)
+          Some(ContainerMeta("mp3", None, None,
+            Some(totalSamples * 1000L / sampleRate), Some(firstBitrate), Some(sampleRate)))
+        else None
+      }
+      val versionBits = (p(off + 1) >> 3) & 3 // 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5
+      val layerBits = (p(off + 1) >> 1) & 3   // 1 = Layer III
+      val bitrateIdx = (p(off + 2) >> 4) & 15
+      val srIdx = (p(off + 2) >> 2) & 3
+      val padding = (p(off + 2) >> 1) & 1
+      if (layerBits != 1 || versionBits == 1 || bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3)
+        return None
+      val v1 = versionBits == 3
+      val bitrate = (if (v1) mp3BitratesV1L3 else mp3BitratesV2L3)(bitrateIdx)
+      val sr = mp3SampleRatesV1(srIdx) / (if (v1) 1 else if (versionBits == 2) 2 else 4)
+      val frameLen = (if (v1) 144000 else 72000) * bitrate / sr + padding
+      if (frameLen <= 4) return None
+      if (frames == 0) { firstBitrate = bitrate; sampleRate = sr }
+      else if (sr != sampleRate) return None // sample rate is fixed per stream
+      frames += 1
+      totalSamples += (if (v1) 1152 else 576)
+      off += frameLen
+    }
+    if (frames == 0) None
+    else Some(ContainerMeta("mp3", None, None,
+      Some(totalSamples * 1000L / sampleRate), Some(firstBitrate), Some(sampleRate)))
+  }
+
+  val containerMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("bitrate_kbps", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true)
+  ))
+
+  /** Partition-wise container-metadata extraction, dispatching on magic
+    * bytes: MP4 ("ftyp" at offset 4), WebM (EBML header), MP3 (ID3 tag or
+    * frame sync). Unrecognized payloads → container "opaque", all fields
+    * null. Same batch shape as [[decodeMedia]].
+    */
+  def containerMeta(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media
+      .select("media_id", "payload")
+      .rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val p = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+            val meta = parseMp4(p).orElse(parseWebm(p)).orElse(parseMp3(p))
+              .getOrElse(ContainerMeta("opaque", None, None, None, None, None))
+            Row(id, meta.container,
+              meta.width.orNull, meta.height.orNull, meta.durationMs.orNull,
+              meta.bitrateKbps.orNull, meta.sampleRate.orNull)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, containerMetaSchema)
   }
 
   /** Partition-wise REAL decode, dispatching on magic bytes: BMP (byte

@@ -36,6 +36,11 @@ object Repetition {
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(split(lower(col("__text")), "\\s+")).as(Seq("pos", "tok")))
+      // split keeps a leading/trailing empty token on ragged whitespace
+      // (Spark's limit -1 semantics); drop them so metrics are invariant
+      // to padding. Bigram adjacency still follows `pos` order, so the
+      // surviving neighbors pair up exactly as in the trimmed text.
+      .filter(col("tok") =!= "")
 
     val tokStats = toks
       .groupBy("doc_id", "tok")

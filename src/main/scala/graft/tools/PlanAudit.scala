@@ -168,6 +168,14 @@ object PlanAudit {
       s"filterBelowRank=${quotaPreAt > quotaWinAt} countsBroadcast=$quotaBroadcast")
     if (!quotaOk) println(quotaPlan)
 
+    // Trigram language ID: the doc_id repartition is the ONE exchange of
+    // corpus-sized data — n-gram explode, (doc, tg) count, per-doc rank
+    // window, per-(doc, lang) distance aggregate and argmin window all
+    // reuse hash(doc_id); the language/profile tables arrive by
+    // broadcast. The trailing und-fallback join may re-exchange the thin
+    // id set, hence the bound of 2.
+    audit("langid_trigram", graft.operators.LangIdTrigram.classifyAll(docsT), 2)
+
     // IVF centroid assignment: scoring against the broadcast centroid
     // array must tag each vector in place — zero hash/range exchanges of
     // the corpus (the former crossJoin + window argmax shuffled N×nlist

@@ -220,26 +220,206 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.8, s"sampled-fit IVF recall $recall fell off the cliff (bar 0.8)")
   }
 
-  test("simhash caps degenerate buckets but keeps small-bucket pairs") {
+  test("simhash reports mass-identical docs as linear star pairs despite the bucket cap") {
     import spark.implicits._
-    // 2000 identical docs (every chunk bucket hits size 2000 → dropped by
-    // the cap) plus one exact twin pair in its own size-2 buckets. Without
-    // the cap this corpus costs ~2000² bucket-local comparisons ×4 chunks.
+    // 2000 identical docs — far beyond maxBucketSize — plus one exact twin
+    // pair. The exact-duplicate pre-pass collapses the flood to one
+    // representative, so the cluster surfaces as 1999 star pairs (rep 0 ↔
+    // each copy, hamming 0) instead of being silently dropped by the cap
+    // (or costing ~2000² bucket-local comparisons ×4 chunks uncapped).
     val flood = (0L until 2000L).map(i => (i, "aaa bbb ccc aaa bbb"))
     val twins = Seq((10000L, "xxx yyy zzz www vvv"), (10001L, "xxx yyy zzz www vvv"))
     val docs = (flood ++ twins).toDF("doc_id", "text")
     val pairs = Dedup.simhash(docs, maxHamming = 0, maxBucketSize = 256)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((10000L, 10001L)),
-      s"expected only the small-bucket twin pair, got ${pairs.size} pairs")
+    val expected = (1L until 2000L).map(i => (0L, i)).toSet + ((10000L, 10001L))
+    assert(pairs == expected,
+      s"expected 1999 star pairs + the twin pair, got ${pairs.size} pairs")
+    // After the pre-pass only DISTINCT texts reach the banding stage, so
+    // the cap drops nothing on this corpus — the observability companion
+    // proves it.
+    assert(Dedup.simhashCappedBuckets(docs, maxBucketSize = 256).count() == 0L)
+  }
+
+  test("trigram langid classifies held-out sentences in all 10 languages") {
+    import spark.implicits._
+    // None of these sentences appear in the UDHR seed profiles.
+    val samples = Seq(
+      1L -> ("en", "the quick brown fox jumps over the lazy dog and runs through the green forest every morning"),
+      2L -> ("es", "el perro corre por la calle y come mucha comida durante la noche con sus amigos"),
+      3L -> ("fr", "le chien mange du pain et boit de l'eau dans la cuisine chaque matin avec les enfants"),
+      4L -> ("de", "der hund läuft durch den wald und trinkt wasser aus dem fluss jeden morgen"),
+      5L -> ("it", "il cane corre nella strada e mangia il pane con gli amici della città ogni giorno"),
+      6L -> ("pt", "o cachorro corre pela rua e come pão com os amigos durante a manhã todos os dias"),
+      7L -> ("nl", "de hond loopt door het bos en drinkt water uit de rivier elke dag met de kinderen"),
+      8L -> ("sv", "hunden springer genom skogen och dricker vatten från floden varje dag med barnen"),
+      9L -> ("da", "hunden løber gennem skoven og drikker vand fra floden hver dag med børnene"),
+      10L -> ("zh", "今天天气很好我们一起去公园散步然后在餐厅吃饭聊天"),
+      11L -> ("und", "12345 !!! ??? 678"))
+    val df = samples.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
+    val got = graft.operators.LangIdTrigram.classifyAll(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    samples.foreach { case (id, (want, _)) =>
+      assert(got(id) == want, s"doc $id: predicted ${got(id)}, wanted $want")
+    }
+  }
+
+  test("trigram langid agrees with the stopword heuristic on natural-language text") {
+    // The two heuristics share 5 languages (en/es/fr/de/zh). Agreement is
+    // measured on natural sentences — the fixture corpus is synthetic
+    // database jargon ("key agg row scan ..."), i.e. no natural language
+    // to identify, so corpus-level agreement would measure noise (the
+    // corpus itself is covered exactly by the DuckDB oracle instead).
+    import spark.implicits._
+    val sentences = Seq(
+      "the old man walked to the market in the morning and bought some bread for his family",
+      "she said that it was the best day of the year and everyone agreed with her",
+      "a small bird sat on the roof of the house and sang in the warm evening air",
+      "el mercado de la ciudad estaba lleno de gente que compraba fruta y pan para la semana",
+      "la casa de mis padres es grande y tiene un jardín con muchas flores y árboles",
+      "los niños juegan en el parque todos los días después de la escuela con sus amigos",
+      "le marché de la ville était plein de gens qui achetaient du pain et des fruits",
+      "la maison de mes parents est grande et elle a un jardin avec beaucoup de fleurs",
+      "les enfants jouent dans le parc tous les jours après l'école avec leurs amis",
+      "der alte mann ging am morgen zum markt und kaufte brot für seine familie",
+      "das haus meiner eltern ist groß und hat einen garten mit vielen blumen und bäumen",
+      "die kinder spielen jeden tag nach der schule mit ihren freunden im park",
+      "早上老人走到市场给家人买了一些面包然后回到家里",
+      "我父母的房子很大有一个花园里面有很多花和树",
+      "孩子们每天放学后都和他们的朋友在公园里玩")
+    val df = sentences.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sw = df.select(col("doc_id"), graft.functions.Texts.langId(col("text")).as("sw"))
+    val ct = graft.operators.LangIdTrigram.classifyAll(df)
+    val joined = sw.join(ct, "doc_id").filter(col("sw") =!= "und").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(joined.length >= 12, s"stopword heuristic should fire on most sentences: ${joined.length}")
+    val agree = joined.count { case (a, b) => a == b }
+    val frac = agree.toDouble / joined.length
+    val confusion = joined.filter { case (a, b) => a != b }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(frac >= 0.9,
+      s"agreement $agree/${joined.length} = $frac below 0.9; confusion: $confusion")
+  }
+
+  test("trigram langid matches a local Cavnar–Trenkle model exactly") {
+    import graft.operators.LangIdTrigram
+    val topK = LangIdTrigram.defaultTopK
+    val profiles = LangIdTrigram.profileRows(topK)
+      .groupBy(_._1).view.mapValues(_.map { case (_, tg, r) => tg -> r }.toMap).toMap
+    val langs = LangIdTrigram.seeds.keys.toSeq.sorted
+    def localClassify(text: String): String = {
+      val ranked = LangIdTrigram.localTrigrams(text)
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (tg, c) => (-c, tg) }
+        .take(topK).zipWithIndex.map { case ((tg, _), i) => tg -> (i + 1) }
+      if (ranked.isEmpty) "und"
+      else langs.map { l =>
+        val prof = profiles(l)
+        (ranked.map { case (tg, dr) =>
+          prof.get(tg).map(lr => math.abs(dr - lr).toLong).getOrElse(topK.toLong)
+        }.sum, l)
+      }.min._2
+    }
+    val texts = docs.select("doc_id", "text").limit(60).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val ids = texts.map(_._1).toSet
+    val got = LangIdTrigram.classifyAll(docs.filter(col("doc_id").isin(ids.toSeq: _*)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == localClassify(t), s"doc $id: spark ${got(id)} != local ${localClassify(t)}")
+    }
+  }
+
+  test("containerMeta round-trips MediaFixtures payloads to closed-form metadata") {
+    import spark.implicits._
+    val ids = (0L until 30L).toDF("doc_id")
+    val got = graft.operators.Multimodal
+      .containerMeta(graft.harness.MediaFixtures.syntheticContainers(ids))
+      .collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (0L until 30L).foreach { id =>
+      val r = got(id)
+      (id % 3) match {
+        case 0 =>
+          assert(r.getString(1) == "mp4")
+          assert(r.getInt(2) == 16 + (id % 64).toInt, s"mp4 $id width")
+          assert(r.getInt(3) == 16 + ((7 * id) % 64).toInt, s"mp4 $id height")
+          assert(r.getLong(4) == 500 + id % 1000, s"mp4 $id duration")
+          assert(r.isNullAt(5) && r.isNullAt(6))
+        case 1 =>
+          assert(r.getString(1) == "mp3")
+          assert(r.isNullAt(2) && r.isNullAt(3))
+          val frames = 5 + (id % 20)
+          assert(r.getLong(4) == frames * 1152L * 1000L / 44100L, s"mp3 $id duration")
+          assert(r.getInt(5) == 128 && r.getInt(6) == 44100)
+        case _ =>
+          assert(r.getString(1) == "webm")
+          assert(r.getInt(2) == 32 + (id % 128).toInt, s"webm $id width")
+          assert(r.getInt(3) == 32 + ((3 * id) % 128).toInt, s"webm $id height")
+          assert(r.getLong(4) == 250 + id % 500, s"webm $id duration")
+          assert(r.isNullAt(5) && r.isNullAt(6))
+      }
+    }
+  }
+
+  test("container parsers handle v1 MP4 boxes, ID3-tagged MP3, and corrupt payloads") {
+    import graft.operators.Multimodal
+    // Hand-assembled (NOT via MediaFixtures) version-1 MP4: 64-bit mvhd
+    // duration 45000 ticks at timescale 90000 → 500 ms; tkhd v1 with
+    // 640×360 in 16.16 fixed point.
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 120 + 8 + 104)
+    bb.putInt(16); bb.put("ftyp".getBytes); bb.put("isom".getBytes); bb.putInt(0)
+    bb.putInt(8 + 120 + 8 + 104); bb.put("moov".getBytes)
+    bb.putInt(120); bb.put("mvhd".getBytes)
+    bb.putInt(0x01000000)               // version 1, flags 0
+    bb.putLong(0L); bb.putLong(0L)      // creation, modification
+    bb.putInt(90000)                    // timescale
+    bb.putLong(45000L)                  // duration (64-bit)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort)
+    bb.put(new Array[Byte](10 + 36 + 24)); bb.putInt(2)
+    bb.putInt(8 + 104); bb.put("trak".getBytes)
+    bb.putInt(104); bb.put("tkhd".getBytes)
+    bb.putInt(0x01000000)               // version 1, flags 0
+    bb.putLong(0L); bb.putLong(0L)      // creation, modification
+    bb.putInt(1); bb.putInt(0)          // track_ID, reserved
+    bb.putLong(45000L)                  // duration (64-bit)
+    bb.put(new Array[Byte](8))          // reserved
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    bb.put(new Array[Byte](36))         // matrix
+    bb.putInt(640 << 16); bb.putInt(360 << 16)
+    val mp4v1 = bb.array()
+    val m4 = Multimodal.parseMp4(mp4v1).get
+    assert((m4.width, m4.height, m4.durationMs) == (Some(640), Some(360), Some(500L)),
+      s"v1 MP4 parse: $m4")
+
+    // ID3v2-tagged MP3 (tag must be skipped via its syncsafe size): 7
+    // frames of MPEG-1 Layer III 128 kbps / 44100 Hz after 100 tag bytes.
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++ new Array[Byte](100)
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      new Array[Byte](144000 * 128 / 44100 - 4)
+    val mp3 = tag ++ Array.fill(7)(frame).flatten
+    val m3 = Multimodal.parseMp3(mp3).get
+    assert((m3.durationMs, m3.bitrateKbps, m3.sampleRate) ==
+      (Some(7L * 1152 * 1000 / 44100), Some(128), Some(44100)), s"ID3 MP3 parse: $m3")
+
+    // Corrupt / truncated payloads never throw and never misreport.
+    assert(Multimodal.parseMp4("plain text, not a container".getBytes).isEmpty)
+    assert(Multimodal.parseMp3(Array[Byte](0x12, 0x34, 0x56)).isEmpty)
+    assert(Multimodal.parseWebm(Array[Byte](0x1a, 0x45)).isEmpty)
+    val truncated = graft.harness.MediaFixtures.mp4Payload(3L).take(40)
+    assert(Multimodal.parseMp4(truncated).exists(m => m.width.isEmpty && m.durationMs.isEmpty) ||
+      Multimodal.parseMp4(truncated).isEmpty)
   }
 
   test("repetitionMetrics matches local brute force") {
     val texts = docs.select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ++
+      // Ragged whitespace: leading/trailing/consecutive separators must
+      // not mint empty tokens on any side (operator, this model, oracle).
+      Map(900001L -> "  foo\tbar  foo\n baz  ", 900002L -> "\t one two three ")
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = texts.map { case (id, t) =>
-      val toks = t.toLowerCase.split("\\s+").toSeq
+      val toks = t.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
       val n = toks.size.toLong
       val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
       val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
@@ -248,7 +428,13 @@ class ExtensionsSpec extends SparkSpec {
       id -> (n, r4((n - counts.size).toDouble / n), r4(counts.values.max.toDouble / n),
         bn, if (bn == 0) null else r4((bn - bcounts.size).toDouble / bn))
     }
-    val got = graft.operators.Repetition.repetitionMetrics(docs).collect().map { r =>
+    val augmented = {
+      import spark.implicits._
+      docs.select("doc_id", "text").unionByName(
+        Seq(900001L -> "  foo\tbar  foo\n baz  ", 900002L -> "\t one two three ")
+          .toDF("doc_id", "text"))
+    }
+    val got = graft.operators.Repetition.repetitionMetrics(augmented).collect().map { r =>
       r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
         if (r.isNullAt(4)) 0L else r.getLong(4), if (r.isNullAt(5)) null else r.getDouble(5))
     }.toMap

@@ -107,6 +107,27 @@ class HydraCliSpec extends SparkSpec {
     assert(scalar.getMessage.contains("traverses 'trigger'"), scalar.getMessage)
   }
 
+  test("override values parse safely: quoting forces strings, tags cannot instantiate objects") {
+    import graft.config.TaskConfig
+    val base = "predicates:\n  admission: { code: ADMIT }\n"
+    // Unquoted `on` is a YAML 1.1 boolean — quoted forms stay the string
+    // (the dump re-quotes it, proving it survived as text).
+    val dq = TaskConfig.applyOverrides(base, Seq("predicates.admission.code" -> "\"on\""))
+    assert(dq.contains("code: 'on'"), s"quoted 'on' must stay a string: $dq")
+    val sq = TaskConfig.applyOverrides(base, Seq("predicates.admission.code" -> "'08:30'"))
+    assert(sq.contains("08:30"), s"quoted sexagesimal must stay text: $sq")
+    val bare = TaskConfig.applyOverrides(base, Seq("predicates.admission.code" -> "on"))
+    assert(bare.contains("code: true"), s"unquoted on is a YAML 1.1 boolean: $bare")
+    // A YAML global tag from argv must NOT instantiate an arbitrary class.
+    val tagged = intercept[org.yaml.snakeyaml.error.YAMLException] {
+      TaskConfig.applyOverrides(base,
+        Seq("predicates.admission.code" -> "!!java.io.File [/tmp/x]"))
+    }
+    assert(tagged.getMessage.toLowerCase.contains("could not determine a constructor")
+      || tagged.getMessage.toLowerCase.contains("global tag is not allowed"),
+      tagged.getMessage)
+  }
+
   test("native flag CLI keeps routing when a path value contains '='") {
     val cohortDir = Files.createTempDirectory("graft_hydra_eq").toString
     Files.writeString(java.nio.file.Paths.get(s"$cohortDir/mytask.yaml"), taskYaml)
