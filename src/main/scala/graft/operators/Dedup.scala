@@ -132,7 +132,13 @@ object Dedup {
     * the verification join then reads it pre-clustered), then dedup each
     * incoming shard against it without ever re-shingling the corpus.
     *
-    * @return (doc_id, sh: array<string>, h0..h{numHashes-1}: long)
+    * Covers EVERY doc: `ehash` (the 64-bit exact-text hash) drives the
+    * incremental exact-duplicate pre-pass, so even docs too short to
+    * shingle (null signature columns, empty `sh`) are dedupable against
+    * the corpus. Only rows with non-null signatures are banded.
+    *
+    * @return (doc_id, ehash: long, sh: array<string>,
+    *         h0..h{numHashes-1}: long — null when the doc has no shingles)
     */
   def minhashIndex(
       docs: DataFrame,
@@ -142,9 +148,16 @@ object Dedup {
       idCol: String = "doc_id"
   ): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    shingleRows(docs, shingleN, textCol, idCol)
+    val sigs = shingleRows(docs, shingleN, textCol, idCol)
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("sh"), mins: _*)
+    // The ehash side carries 16 bytes/doc through one hash-join; the
+    // aggregate side is already clustered by doc_id from shingleRows'
+    // repartition. Left join keeps shingle-less docs (null h*, empty sh).
+    docs
+      .select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("ehash"))
+      .join(sigs, Seq("doc_id"), "left")
+      .withColumn("sh", coalesce(col("sh"), array().cast("array<string>")))
   }
 
   /** (doc_id, band, bucket) rows from an index frame's signature columns:
@@ -165,6 +178,15 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** MinHash + LSH near-duplicate pairs with an exact-duplicate pre-pass:
+    * identical texts collapse to one representative (min doc_id), emitted
+    * as linear star pairs `(rep, member, jaccard = 1.0)`; banding and
+    * verification then run on representatives only. Same rationale and
+    * transitive-closure equivalence as [[simhash]] — mass-identical
+    * boilerplate can no longer be silently dropped by `maxBucketSize`,
+    * and (a strict improvement) identical docs too short to shingle are
+    * now reported too.
+    */
   def minhashLsh(
       docs: DataFrame,
       threshold: Double,
@@ -177,6 +199,9 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
 
+    val (reps, star) = exactClusters(docs, textCol, idCol)
+    val starPairs = star.withColumn("jaccard", lit(1.0))
+
     // The index frame feeds everything and is materialized once — it has
     // three consumers (band rows + both verification join sides).
     // Materialize (not persist): blocks are freed by the ContextCleaner
@@ -184,11 +209,11 @@ object Dedup {
     // leak per call and mask timings of later runs. collect_set order is
     // arbitrary; array_intersect/array_union sizes are order-invariant.
     val perDoc = graft.plans.Materialize(
-      minhashIndex(docs, numHashes, shingleN, textCol, idCol))
+      minhashIndex(reps, numHashes, shingleN, textCol, idCol))
 
     val shingled = perDoc.select(col("doc_id"), col("sh"))
 
-    val bandRows = bandRowsOf(perDoc, numHashes, bands)
+    val bandRows = bandRowsOf(perDoc.filter(col("h0").isNotNull), numHashes, bands)
 
     // Bucket-size cap via a window count: partitions by (band, bucket),
     // which the self-join below then reuses — no extra shuffle.
@@ -215,6 +240,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .unionByName(starPairs)
   }
 
   /** Incremental near-dup detection: dedup an incoming shard against an
@@ -250,14 +276,39 @@ object Dedup {
     val newPerDoc = graft.plans.Materialize(
       minhashIndex(newDocs, numHashes, shingleN, textCol, idCol))
 
-    // Combined band rows, tagged by side: the cap must see TOTAL bucket
-    // size (a bucket can be degenerate only across the union), and the
-    // candidate join's left side is restricted to new docs so no
-    // corpus-internal pair is ever generated.
-    val allBands = bandRowsOf(newPerDoc, numHashes, bands)
+    // Union-level exact clusters from the `ehash` columns — the
+    // incremental face of [[minhashLsh]]'s pre-pass, WITHOUT re-hashing
+    // any corpus text: rep = min doc_id across corpus + shard (the
+    // (doc_id, __new) struct-min carries whether the rep is a new doc),
+    // star pairs touching >=1 new doc are emitted at jaccard 1.0, and
+    // only representatives proceed to banding — so results still match
+    // the full run on the union exactly.
+    val unionIds = newPerDoc.select(col("doc_id"), col("ehash"), lit(true).as("__new"))
+      .unionByName(index.select(col("doc_id"), col("ehash"), lit(false).as("__new")))
+    val wEhash = Window.partitionBy("ehash")
+    val repStruct = min(struct(col("doc_id"), col("__new"))).over(wEhash)
+    val withRep = unionIds
+      .withColumn("__rep", repStruct.getField("doc_id"))
+      .withColumn("__repNew", repStruct.getField("__new"))
+    val starPairs = withRep
+      .filter(col("doc_id") =!= col("__rep") && (col("__new") || col("__repNew")))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"), lit(1.0).as("jaccard"))
+    val repIds = withRep.filter(col("doc_id") === col("__rep")).select("doc_id", "__new")
+
+    // Combined band rows over REPRESENTATIVES, tagged by side: the cap
+    // must see TOTAL bucket size (a bucket can be degenerate only across
+    // the union), and the candidate join's left side is restricted to new
+    // docs so no corpus-internal pair is ever generated. Shingle-less
+    // reps (null signatures) are exact-dedupable only.
+    val newReps = newPerDoc
+      .join(repIds.filter(col("__new")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val corpusReps = index
+      .join(repIds.filter(!col("__new")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val allBands = bandRowsOf(newReps.filter(col("h0").isNotNull), numHashes, bands)
       .withColumn("__new", lit(true))
       .unionByName(
-        bandRowsOf(index, numHashes, bands).withColumn("__new", lit(false)))
+        bandRowsOf(corpusReps.filter(col("h0").isNotNull), numHashes, bands)
+          .withColumn("__new", lit(false)))
     val wBucket = Window.partitionBy("band", "bucket")
     val capped = allBands
       .withColumn("bsize", count(lit(1)).over(wBucket))
@@ -287,6 +338,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .unionByName(starPairs)
   }
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components with the
@@ -482,7 +534,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val (reps, starPairs) = exactClusters(docs, textCol, idCol)
+    val (reps, star) = exactClusters(docs, textCol, idCol)
+    val starPairs = star.withColumn("hamming", lit(0))
     val sigs = simhashSignatures(reps, textCol, idCol)
     val chunks = sigs.select(
       col("doc_id"),
@@ -514,12 +567,16 @@ object Dedup {
       .unionByName(starPairs)
   }
 
-  /** Exact-text clusters for the simhash pre-pass: returns
-    * (representatives frame — original columns, one row per distinct
-    * text; star-pair frame — `(doc_a = rep, doc_b = member, hamming = 0)`
-    * for every non-representative member). One hash-exchange on the
-    * 64-bit text hash; the explode/signature work downstream then runs
-    * once per DISTINCT text, not once per copy.
+  /** Exact-text clusters for the near-dup pre-passes ([[simhash]],
+    * [[minhashLsh]]): returns (representatives frame — original columns,
+    * one row per distinct text; star-pair frame —
+    * `(doc_a = rep, doc_b = member)` for every non-representative
+    * member; callers attach their metric column — hamming 0 / jaccard
+    * 1.0). One hash-exchange on the 64-bit text hash; the
+    * explode/signature work downstream then runs once per DISTINCT text,
+    * not once per copy, and a mass-identical cluster surfaces as
+    * O(cluster) star pairs instead of being silently dropped by a
+    * bucket-size cap (or exploding into O(cluster²) pairs).
     */
   private def exactClusters(
       docs: DataFrame,
@@ -533,7 +590,7 @@ object Dedup {
     val reps = withRep.filter(col(idCol) === col("__rep")).drop("__ehash", "__rep")
     val starPairs = withRep
       .filter(col(idCol) =!= col("__rep"))
-      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"), lit(0).as("hamming"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
     (reps, starPairs)
   }
 

@@ -220,6 +220,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.8, s"sampled-fit IVF recall $recall fell off the cliff (bar 0.8)")
   }
 
+  test("minhashLsh reports mass-identical docs as star pairs; incremental matches full run") {
+    import spark.implicits._
+    // 500 identical docs (every band bucket would blow maxBucketSize=64)
+    // plus one twin pair and one short doc pair below the shingle width.
+    val flood = (0L until 500L).map(i => (i, "lorem ipsum dolor sit amet consectetur"))
+    val twins = Seq((9000L, "alpha beta gamma delta epsilon"), (9001L, "alpha beta gamma delta epsilon"))
+    val shorties = Seq((9100L, "hi"), (9101L, "hi")) // < shingleN tokens: unshingleable
+    val docs = (flood ++ twins ++ shorties).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = (1L until 500L).map(i => (0L, i, 1.0)).toSet +
+      ((9000L, 9001L, 1.0)) + ((9100L, 9101L, 1.0))
+    assert(pairs == expected,
+      s"expected 499 star pairs + twins + short-doc pair, got ${pairs.size}")
+
+    // Incremental against a persisted index must see the same pairs for a
+    // shard that duplicates corpus boilerplate exactly.
+    val corpus = docs.filter(col("doc_id") < 9000L)
+    val shard = Seq(
+      (20000L, "lorem ipsum dolor sit amet consectetur"), // exact dup of the flood
+      (20001L, "totally novel text about something else entirely")).toDF("doc_id", "text")
+    val incr = Dedup.minhashLshIncremental(shard, Dedup.minhashIndex(corpus), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == Set((0L, 20000L, 1.0)),
+      s"shard dup of a capped-out boilerplate cluster must still be caught: $incr")
+  }
+
   test("simhash reports mass-identical docs as linear star pairs despite the bucket cap") {
     import spark.implicits._
     // 2000 identical docs — far beyond maxBucketSize — plus one exact twin
