@@ -810,7 +810,7 @@ object QueryCatalog {
       }),
 
     Q("text_langid_trigram", (s, dir) =>
-      // Cavnar–Trenkle char-trigram language ID (10 languages + und):
+      // Cavnar–Trenkle char n-gram language ID (15 languages + und):
       // rank-profile out-of-place distance against UDHR-seeded profiles.
       // The oracle embeds the identical profile table and mirrors the
       // ranking/distance arithmetic — full SQL oracle, no golden.

@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * frequent character n-grams (n = 1..3 over space-padded tokens, the
   * paper's mixed-length profiles), compare against per-language ranked
   * profiles with the out-of-place distance, pick the closest profile.
+  * Covers 15 languages across 6 scripts (Latin ×9, Han, Cyrillic,
+  * kana/kanji, Hangul, Arabic, Greek) plus "und" for letterless text.
   *
   * Language profiles are built at startup from embedded seed sentences
   * (UDHR Article 1 — public domain, the de-facto standard language-ID
@@ -81,7 +83,27 @@ object LangIdTrigram {
       "Dette er huset som vi har set i byen og det var ikke der da de kom " +
       "til stedet med deres venner for første gang."),
     "zh" -> ("人人生而自由，在尊严和权利上一律平等。他们赋有理性和良心，并应以兄弟关系的精神相对待。" +
-      "这是我们在城市里看到的房子，那天他们和朋友们第一次来到这个地方的时候它不在那里。")
+      "这是我们在城市里看到的房子，那天他们和朋友们第一次来到这个地方的时候它不在那里。"),
+    "ru" -> ("Все люди рождаются свободными и равными в своем достоинстве и " +
+      "правах. Они наделены разумом и совестью и должны поступать в отношении " +
+      "друг друга в духе братства. " +
+      "Это тот дом который мы видели в городе и его там не было когда они " +
+      "пришли на это место со своими друзьями в первый раз."),
+    "ja" -> ("すべての人間は、生まれながらにして自由であり、かつ、尊厳と権利とについて平等である。" +
+      "人間は、理性と良心とを授けられており、互いに同胞の精神をもって行動しなければならない。" +
+      "これは私たちが町で見た家で、彼らが友達と初めてこの場所に来たとき、それはそこにありませんでした。"),
+    "ko" -> ("모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다. " +
+      "인간은 천부적으로 이성과 양심을 부여받았으며 서로 형제애의 정신으로 행동하여야 한다. " +
+      "이것은 우리가 도시에서 본 집인데 그들이 친구들과 처음 이 곳에 왔을 때 그것은 거기에 없었다."),
+    "ar" -> ("يولد جميع الناس أحرارا متساوين في الكرامة والحقوق. وقد وهبوا عقلا " +
+      "وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء. " +
+      "هذا هو البيت الذي رأيناه في المدينة ولم يكن هناك عندما جاءوا إلى هذا " +
+      "المكان مع أصدقائهم في المرة الأولى."),
+    "el" -> ("Όλοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι στην αξιοπρέπεια " +
+      "και τα δικαιώματα. Είναι προικισμένοι με λογική και συνείδηση και " +
+      "οφείλουν να συμπεριφέρονται μεταξύ τους με πνεύμα αδελφοσύνης. " +
+      "Αυτό είναι το σπίτι που είδαμε στην πόλη και δεν ήταν εκεί όταν ήρθαν " +
+      "σε αυτό το μέρος με τους φίλους τους για πρώτη φορά.")
   )
 
   /** Default profile depth (Cavnar–Trenkle use 1–400; short seeds saturate

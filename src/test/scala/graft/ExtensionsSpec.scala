@@ -268,7 +268,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(Dedup.simhashCappedBuckets(docs, maxBucketSize = 256).count() == 0L)
   }
 
-  test("trigram langid classifies held-out sentences in all 10 languages") {
+  test("trigram langid classifies held-out sentences in all 15 languages") {
     import spark.implicits._
     // None of these sentences appear in the UDHR seed profiles.
     val samples = Seq(
@@ -282,7 +282,12 @@ class ExtensionsSpec extends SparkSpec {
       8L -> ("sv", "hunden springer genom skogen och dricker vatten från floden varje dag med barnen"),
       9L -> ("da", "hunden løber gennem skoven og drikker vand fra floden hver dag med børnene"),
       10L -> ("zh", "今天天气很好我们一起去公园散步然后在餐厅吃饭聊天"),
-      11L -> ("und", "12345 !!! ??? 678"))
+      11L -> ("und", "12345 !!! ??? 678"),
+      12L -> ("ru", "сегодня утром мы пошли в магазин и купили хлеб для всей семьи"),
+      13L -> ("ja", "今日は天気がいいので公園に行って友達と一緒に遊びました"),
+      14L -> ("ko", "오늘 아침에 우리는 시장에 가서 가족을 위해 빵을 샀습니다"),
+      15L -> ("ar", "ذهب الرجل إلى السوق في الصباح واشترى خبزا لعائلته"),
+      16L -> ("el", "σήμερα το πρωί πήγαμε στην αγορά και αγοράσαμε ψωμί για την οικογένεια"))
     val df = samples.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
     val got = graft.operators.LangIdTrigram.classifyAll(df).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
