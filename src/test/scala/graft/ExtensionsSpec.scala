@@ -434,6 +434,32 @@ class ExtensionsSpec extends SparkSpec {
     assert((m3.durationMs, m3.bitrateKbps, m3.sampleRate) ==
       (Some(7L * 1152 * 1000 / 44100), Some(128), Some(44100)), s"ID3 MP3 parse: $m3")
 
+    // VBR MP3: frame lengths follow each frame's own bitrate index; the
+    // sample-sum duration is bitrate-independent (5 frames of 1152
+    // samples at 44100 Hz), and the reported bitrate is the FIRST frame's.
+    def mp3Frame(bitrateIdx: Int, kbps: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xfb.toByte, ((bitrateIdx << 4) | 0x00).toByte, 0x00) ++
+        new Array[Byte](144000 * kbps / 44100 - 4)
+    val vbr = mp3Frame(9, 128) ++ mp3Frame(14, 320) ++ mp3Frame(5, 64) ++
+      mp3Frame(11, 192) ++ mp3Frame(9, 128)
+    val mv = Multimodal.parseMp3(vbr).get
+    assert((mv.durationMs, mv.bitrateKbps, mv.sampleRate) ==
+      (Some(5L * 1152 * 1000 / 44100), Some(128), Some(44100)), s"VBR MP3 parse: $mv")
+
+    // WebM Duration may be an 8-byte double; the EBML walk must honor the
+    // element size. Hand-assemble: EBML header + Segment(Info(
+    // TimecodeScale=1e6, Duration=double 1234.0)).
+    def vintElem(idBytes: Array[Int], content: Array[Byte]): Array[Byte] =
+      idBytes.map(_.toByte).toArray ++ Array((0x80 | content.length).toByte) ++ content
+    val dur8 = java.nio.ByteBuffer.allocate(8).putDouble(1234.0).array()
+    val info8 = vintElem(Array(0x15, 0x49, 0xa9, 0x66),
+      vintElem(Array(0x2a, 0xd7, 0xb1), Array(0x0f, 0x42, 0x40).map(_.toByte)) ++
+        vintElem(Array(0x44, 0x89), dur8))
+    val webm8 = vintElem(Array(0x1a, 0x45, 0xdf, 0xa3), Array.empty) ++
+      vintElem(Array(0x18, 0x53, 0x80, 0x67), info8)
+    val mw = Multimodal.parseWebm(webm8).get
+    assert(mw.durationMs == Some(1234L) && mw.width.isEmpty, s"double-duration WebM parse: $mw")
+
     // Corrupt / truncated payloads never throw and never misreport.
     assert(Multimodal.parseMp4("plain text, not a container".getBytes).isEmpty)
     assert(Multimodal.parseMp3(Array[Byte](0x12, 0x34, 0x56)).isEmpty)

@@ -304,6 +304,20 @@ class StreamingSpec extends SparkSpec {
       assert(run.streamedLabels == run.batchLabels,
         s"seed $seed: label rows diverge: missing=${(run.batchLabels -- run.streamedLabels).take(3)} " +
           s"extra=${(run.streamedLabels -- run.batchLabels).take(3)}")
+
+      // Same stream through the UNCAPPED target window (TTL-bounded
+      // state): on data whose bound gaps fit inside the TTL this is the
+      // batch engine's exact unbounded semantics, so parity must hold
+      // here too — triggers whose bound never arrives simply stay
+      // pending/evicted, matching the batch null-bound drop.
+      val unc = cohortBothWays(data, s"cohort_rand_unc_$seed",
+        targetHorizonMicros = Long.MaxValue,
+        stateTtlMicros = 30L * 24 * 3600 * 1000000L)
+      assert(unc.streamedCounts == unc.batchCounts,
+        s"seed $seed uncapped: streamed ${unc.streamedCounts.size} != batch ${unc.batchCounts.size}: " +
+          s"missing=${(unc.batchCounts -- unc.streamedCounts).take(3)} " +
+          s"extra=${(unc.streamedCounts -- unc.batchCounts).take(3)}")
+      assert(unc.streamedLabels == unc.batchLabels, s"seed $seed uncapped: label rows diverge")
     }
   }
 
