@@ -773,6 +773,15 @@ object QueryCatalog {
         .orderBy("query_id", "rnk"),
       None),
 
+    Q("sim_ann_pq", (s, dir) =>
+      // Product quantization ANN: ADC scan over m-byte codes + exact
+      // cosine re-rank (ProductQuant). Hash-seeded → golden fixture;
+      // recall vs brute force measured in RECALL.json / ExtensionsSpec.
+      graft.operators.ProductQuant.pqTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk"),
+      None),
+
     Q("sim_ann_lsh_q", (s, dir) =>
       // Asymmetric retrieval shape: a small disjoint query frame against
       // the rest of the corpus (hash-seeded → golden-fixture oracle;

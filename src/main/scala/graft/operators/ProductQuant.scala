@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Product quantization (PQ) for approximate nearest neighbors — the
+  * memory shape that makes 100 TB-scale ANN feasible (Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", IEEE
+  * TPAMI 2011): each unit-normalized vector is split into `m` subspaces
+  * and every subspace quantized to one of `ks` learned codewords, so a
+  * 768-dim float vector (3 KB) compresses to `m` small codes (8–16
+  * bytes) — the full corpus code table fits where the raw vectors never
+  * could, and candidate scoring never touches a float vector.
+  *
+  * Query scoring is ADC (asymmetric distance computation): per query,
+  * one dot product per (subspace, codeword) builds an `m × ks` lookup
+  * table; each candidate's approximate cosine is then `m` table lookups
+  * summed — a STATIC chain of codegen'd `element_at` adds, no vector
+  * math on the scan. The top `k·rerankFactor` ADC candidates are
+  * re-ranked with exact cosine against the original vectors (the
+  * standard PQ refinement), so reported `sim` values are exact.
+  *
+  * Scale shape: codebook fit runs per-subspace Lloyd on the (optionally
+  * `spark.graft.ivf.fitFraction`-sampled) corpus with map-side
+  * assignment against broadcast codewords — the corpus is never
+  * exchanged. Encoding is one map-side pass (broadcast codebooks). The
+  * ADC scan is a broadcast of the (small) query table across the code
+  * rows — `m` lookups per pair. Only the re-rank join touches original
+  * vectors, for `k·rerankFactor` rows per query. The interpreted
+  * higher-order lambdas (normalize, per-subspace argmin) run on the
+  * index-BUILD path once per corpus, not on the per-pair scan.
+  */
+object ProductQuant {
+
+  private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+  private def l2sq(a: Column, b: Column): Column = VectorExpressions.l2sq(a, b)
+
+  /** Unit-L2 normalization (float array out): after it, dot == cosine,
+    * which is what lets the ADC tables approximate cosine similarity.
+    */
+  private def normalized(v: Column): Column = {
+    val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    transform(v, x => (x / norm).cast("float"))
+  }
+
+  /** Comparator for (d, cid) structs: smallest distance first, ties by
+    * ascending codeword id.
+    */
+  private def byDistAsc(l: Column, r: Column): Column =
+    when(l.getField("d") < r.getField("d"), -1)
+      .when(l.getField("d") > r.getField("d"), 1)
+      .when(l.getField("cid") < r.getField("cid"), -1)
+      .when(l.getField("cid") > r.getField("cid"), 1)
+      .otherwise(0)
+
+  /** Fit the per-subspace codebooks — `(m, cid, cv)` rows with cid dense
+    * in `0 until <codewords in subspace m>`; the persistable PQ index
+    * contract (pair it with [[pqEncode]] output, as
+    * [[Similarity.ivfCentroids]] pairs with its assignment).
+    *
+    * Seeds per subspace are the `ks` sub-vectors with smallest
+    * `xxhash64(id, m)` (deterministic), refined by `refineIters` Lloyd
+    * iterations under squared-L2 (the PQ assignment metric); empty
+    * codewords drop out and ids are re-densified, so downstream layouts
+    * are always gap-free. Honors `spark.graft.ivf.fitFraction`.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      m: Int = 16,
+      ks: Int = 32,
+      refineIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"vector dim $dims is not divisible by m=$m subspaces")
+    val sub = dims / m
+
+    val base = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
+    val fitFraction = corpus.sparkSession.conf
+      .get("spark.graft.ivf.fitFraction", "1.0").toDouble
+    val fitBase =
+      if (fitFraction >= 1.0) base
+      else base.filter(
+        pmod(xxhash64(col("id"), lit("pq-fit")), lit(1000000L)) <
+          lit((fitFraction * 1000000).toLong))
+
+    val books = (0 until m).map { mi =>
+      val sb = fitBase.select(col("id"), slice(col("v"), mi * sub + 1, sub).as("sv"))
+      var cents = sb
+        .withColumn("__h", xxhash64(col("id"), lit(mi)))
+        .orderBy("__h")
+        .limit(ks)
+        .select(
+          (row_number().over(Window.orderBy("__h")) - 1).as("cid"),
+          col("sv").as("cv"))
+
+      for (_ <- 1 to math.max(0, refineIters)) {
+        cents = assignSub(sb, cents)
+          .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(avg("x").as("mn"))
+          .groupBy("cid")
+          .agg(collect_list(struct(col("pos"), col("mn"))).as("dims"))
+          .select(
+            col("cid"),
+            transform(array_sort(col("dims")), d => d.getField("mn").cast("float")).as("cv"))
+        cents = graft.plans.Materialize(cents, eager = true)
+      }
+      // Re-densify ids (empty codewords drop out during Lloyd) so code
+      // values always index the per-subspace codeword list positionally.
+      cents
+        .select((row_number().over(Window.orderBy("cid")) - 1).as("cid"), col("cv"))
+        .withColumn("m", lit(mi))
+    }
+    books.reduce(_ unionByName _).select("m", "cid", "cv")
+  }
+
+  /** Map-side sub-vector assignment against broadcast codewords:
+    * (id, sv) → (id, sv, cid of the L2-nearest codeword).
+    */
+  private def assignSub(sb: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = cents.groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
+    sb.crossJoin(broadcast(arr))
+      .select(
+        col("id"),
+        col("sv"),
+        element_at(
+          array_sort(
+            transform(col("cb"), c =>
+              struct(l2sq(col("sv"), c.getField("cv")).as("d"), c.getField("cid").as("cid"))),
+            byDistAsc _),
+          1).getField("cid").as("cid"))
+  }
+
+  /** Driver-side codebook layout: (subspace count, per-subspace codeword
+    * counts, flattened-table offsets, sub-dim) — `ks` rows per subspace at
+    * most, so the collect is trivially small.
+    */
+  private def layoutOf(codebooks: DataFrame): (Int, Array[Int], Array[Int], Int) = {
+    val counts = codebooks.groupBy("m").count().orderBy("m")
+      .collect().map(r => (r.getInt(0), r.getLong(1).toInt))
+    val mCount = counts.length
+    require(counts.map(_._1).sameElements(0 until mCount), "codebook subspaces must be dense")
+    val sizes = counts.map(_._2)
+    val offsets = sizes.scanLeft(0)(_ + _).dropRight(1)
+    val sub = codebooks.select(size(col("cv"))).head().getInt(0)
+    (mCount, sizes, offsets, sub)
+  }
+
+  /** The codebooks collapsed to ONE broadcastable row, sorted by (m, cid)
+    * so per-subspace slices are positional.
+    */
+  private def codebookArray(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy()
+      .agg(sort_array(collect_list(struct(col("m"), col("cid"), col("cv")))).as("cb"))
+
+  /** Encode every corpus vector to its `m` codeword ids in ONE map-side
+    * pass (broadcast codebooks, zero corpus exchanges): (id, codes).
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val (mCount, _, _, sub) = layoutOf(codebooks)
+    val base = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
+    base.crossJoin(broadcast(codebookArray(codebooks)))
+      .select(
+        col("id"),
+        array((0 until mCount).map { mi =>
+          val cands = filter(col("cb"), c => c.getField("m") === mi)
+          element_at(
+            array_sort(
+              transform(cands, c =>
+                struct(
+                  l2sq(slice(col("v"), mi * sub + 1, sub), c.getField("cv")).as("d"),
+                  c.getField("cid").as("cid"))),
+              byDistAsc _),
+            1).getField("cid")
+        }: _*).as("codes"))
+  }
+
+  /** PQ ANN top-k, self-join form (fit + encode + scan in one call).
+    *
+    * Defaults (m=16, ks=32, auto re-rank budget) measure 0.94+ recall@5
+    * on both fixture corpora (RECALL.json); recall rises monotonically
+    * in m, ks and the re-rank budget — the measured sweep spans 0.38
+    * (m=8, ks=16, 20 candidates) to 1.00 (m=16, ks=32, 48+ candidates at
+    * sf0.001; m=32 at sf0.1). At production dims (768+) the standard
+    * operating point is ks=256 (1 byte/code) with m sized to the memory
+    * budget (m bytes/vector).
+    *
+    * `rerankFactor > 0` re-ranks exactly `rerankFactor·k` ADC
+    * candidates; `<= 0` (default) auto-derives the budget as
+    * `max(8k, ⌈2√N⌉)` — a FIXED budget goes stale as the corpus grows
+    * (the same 40 candidates are 40% of a 100-vector corpus but 0.004%
+    * of a million), so the budget must scale with N to hold a recall
+    * bar. The derivation costs one corpus `count()`.
+    */
+  def pqTopK(
+      vectors: DataFrame,
+      k: Int,
+      m: Int = 16,
+      ks: Int = 32,
+      refineIters: Int = 2,
+      rerankFactor: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    pqTopK(vectors, vectors, k, m, ks, refineIters, rerankFactor, idCol, vecCol)
+
+  /** Asymmetric PQ ANN: ADC-scan the corpus CODES with per-query lookup
+    * tables, keep the top `k·rerankFactor` per query, re-rank those with
+    * exact cosine. Ids must not collide across frames (equal ids are the
+    * same document, self-excluded).
+    *
+    * @return (query_id, neighbor_id, rank, sim) — `sim` is the EXACT
+    *         cosine (re-rank output), rank 1..k by sim desc.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int,
+      ks: Int,
+      refineIters: Int,
+      rerankFactor: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val codebooks = graft.plans.Materialize(
+      pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)
+    val (mCount, _, offsets, sub) = layoutOf(codebooks)
+
+    // Re-rank budget: explicit, or auto-scaled with the corpus (see
+    // scaladoc) — the exact re-rank then touches `rerankCands` original
+    // vectors per query regardless of corpus size.
+    val rerankCands =
+      if (rerankFactor > 0) rerankFactor * k
+      else math.max(8 * k,
+        math.ceil(2 * math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
+
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
+
+    // Per-query ADC tables: dot(query sub-vector, codeword) for every
+    // (subspace, codeword), flattened positionally to match `offsets`.
+    // `qv` stays the ORIGINAL vector (the re-rank must produce bit-exact
+    // cosines — the float-rounded normalized copy feeds only the tables).
+    val qBase = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), normalized(col(vecCol)).as("qn"))
+    val qTab = qBase
+      .crossJoin(broadcast(codebookArray(codebooks)))
+      .select(
+        col("query_id"),
+        col("qv"),
+        flatten(array((0 until mCount).map { mi =>
+          transform(
+            filter(col("cb"), c => c.getField("m") === mi),
+            c => dot(slice(col("qn"), mi * sub + 1, sub), c.getField("cv")))
+        }: _*)).as("tab"))
+
+    // The ADC scan: approximate cosine = m positional lookups summed — a
+    // static codegen'd expression; code rows never carry vectors.
+    val adcScore = (0 until mCount)
+      .map(mi => element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(offsets(mi) + 1)))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val candidates = codes
+      .crossJoin(broadcast(qTab))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"), adcScore.as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerankCands)
+
+    // Exact re-rank over the surviving candidate set only.
+    val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .join(cVecs, Seq("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

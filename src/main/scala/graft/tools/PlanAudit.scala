@@ -185,6 +185,12 @@ object PlanAudit {
     val embCents = embBase.limit(4).select(col("id").as("cid"), col("v").as("cv"))
     audit("ivf_assignment", graft.operators.Similarity.assignToCentroids(embBase, embCents), 0)
 
+    // PQ encode: one map-side pass against broadcast codebooks — zero
+    // hash/range exchanges of the corpus (the codes come out of the same
+    // scan that read the vectors; only the tiny codebook aggregate moves).
+    val pqBooks = graft.operators.ProductQuant.pqCodebooks(embT, m = 8, ks = 8, refineIters = 1)
+    audit("pq_encode", graft.operators.ProductQuant.pqEncode(embT, pqBooks), 0)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, ProductQuant, Similarity}
 import graft.sources.Tables
 
 /** ANN quality probe: measures recall of every approximate operator
@@ -81,6 +81,15 @@ object RecallProbe {
         "query_id", "neighbor_id"),
       asymExact)
 
+    // sim_ann_pq — the catalog configuration (vec_id < 100, k=5, default
+    // m=16 subspaces × ks=32 codewords, auto re-rank budget).
+    val pqRecall = recall(
+      pairs(ProductQuant.pqTopK(ivfSubset, k = 5), "query_id", "neighbor_id"), ivfExact)
+    val pqQRecall = recall(
+      pairs(ProductQuant.pqTopK(qFrame, cFrame, 5, 16, 32, 2, 0, "vec_id", "embedding"),
+        "query_id", "neighbor_id"),
+      asymExact)
+
     // dedup_embedding_lsh — the catalog configuration (full table,
     // threshold 0.4, bands=32 × 2 bits) vs the exact all-pairs oracle.
     val dupExact = pairs(Dedup.embeddingNearDupExact(emb, threshold = 0.4), "doc_a", "doc_b")
@@ -108,6 +117,9 @@ object RecallProbe {
       pairs(Similarity.ivfTopK(q1, c1, 5, 0, 0, 2, "vec_id", "embedding"),
         "query_id", "neighbor_id"),
       asymExact1)
+
+    val pq1Recall = recall(
+      pairs(ProductQuant.pqTopK(emb1, k = 5), "query_id", "neighbor_id"), exact1)
 
     // Sampled Lloyd fit — the 100 TB fit path (spark.graft.ivf
     // .fitFraction): centroids from a deterministic hash-sampled half of
@@ -140,6 +152,10 @@ object RecallProbe {
          |  "sim_ann_ivf_auto": {"recall_at_k": $ivfAutoRecall%.4f, "k": 5,
          |    "exact_pairs": ${ivfFullExact.size},
          |    "config": "auto-derived nlist=23 (ceil(sqrt(500))), nprobe=15, full table"},
+         |  "sim_ann_pq": {"recall_at_k": $pqRecall%.4f, "k": 5, "queries": ${ivfSubset.count()},
+         |    "exact_pairs": ${ivfExact.size}, "config": "m=16, ks=32, rerank=auto"},
+         |  "sim_ann_pq_q": {"recall_at_k": $pqQRecall%.4f, "k": 5, "queries": 20,
+         |    "exact_pairs": ${asymExact.size}, "config": "two-frame, m=16, ks=32, rerank=auto"},
          |  "dedup_embedding_lsh": {"pair_recall": $dupRecall%.4f, "threshold": 0.4,
          |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0},
          |  "sf0.1": {
@@ -151,6 +167,8 @@ object RecallProbe {
          |      "exact_pairs": ${asymExact1.size}, "config": "two-frame, bands=32, bitsPerBand=4"},
          |    "sim_ann_ivf_q": {"recall_at_k": $ivfQ1Recall%.4f, "k": 5, "queries": 100,
          |      "exact_pairs": ${asymExact1.size}, "config": "two-frame, auto nlist/nprobe"},
+         |    "sim_ann_pq": {"recall_at_k": $pq1Recall%.4f, "k": 5, "queries": ${emb1.count()},
+         |      "exact_pairs": ${exact1.size}, "config": "m=16, ks=32, rerank=auto (2*sqrt(N)=90)"},
          |    "sim_ann_ivf_sampled_fit": {"recall_at_k": $ivfSampledRecall%.4f, "k": 5,
          |      "exact_pairs": ${exact1.size}, "asserted_min": 0.85,
          |      "config": "fitFraction=0.5, nlist=16, nprobe=10, full table",
@@ -162,6 +180,7 @@ object RecallProbe {
 
     val ok = lshRecall >= 0.9 && ivfRecall >= 0.9 && lshQRecall >= 0.9 && ivfQRecall >= 0.9 &&
       ivfAutoRecall >= 0.9 && ivfSampledRecall >= 0.85 && dupRecall >= 0.9 &&
+      pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 &&
       lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9
     println(s"[recall-probe] all above asserted minimums: $ok")
     spark.stop()

@@ -75,9 +75,106 @@ case class FloatVectorCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance of two `array<float>` columns — the
+  * product-quantization codeword-assignment metric. Same design notes as
+  * [[FloatVectorCosine]].
+  */
+case class FloatVectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+      |  $s += $d * $d;
+      |}
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two `array<float>` columns (double accumulation) — the
+  * asymmetric-distance table builder for PQ. Same design notes as
+  * [[FloatVectorCosine]].
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+      |}
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd cosine similarity of two `array<float>` columns. */
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVectorCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd squared L2 distance of two `array<float>` columns. */
+  def l2sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVectorL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd dot product of two `array<float>` columns. */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -144,6 +144,60 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall below the 0.9 bar")
   }
 
+  test("native dot / l2sq expressions agree with interpreted formulations") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val checked = emb.limit(50)
+      .select(
+        VectorExpressions.dot(col("embedding"), col("embedding")).as("ndot"),
+        aggregate(zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y),
+          lit(0.0d), (acc, v) => acc + v).as("idot"),
+        VectorExpressions.l2sq(col("embedding"), reverse(col("embedding"))).as("nl2"),
+        aggregate(zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0d), (acc, v) => acc + v).as("il2"))
+      .collect()
+    checked.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9, s"dot mismatch: $r")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9, s"l2sq mismatch: $r")
+    }
+  }
+
+  test("PQ ANN: ADC + exact re-rank keeps recall, sims are exact") {
+    import graft.operators.ProductQuant
+    val k = 3
+    val subset = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(subset, subset, k)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pq = ProductQuant.pqTopK(subset, k)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val recall = pq.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    // Deterministic (hash-seeded codebooks) — a fixed measurement, like
+    // the LSH/IVF bars; RECALL.json records the committed numbers.
+    assert(recall >= 0.9, s"PQ recall $recall below the 0.9 bar")
+    // Re-ranked sims must be EXACT cosines (not ADC approximations).
+    pq.foreach { case (pair, sim) =>
+      brute.get(pair).foreach(exact =>
+        assert(math.abs(sim - exact) < 1e-9, s"sim for $pair drifted: $sim vs $exact"))
+    }
+  }
+
+  test("two-frame PQ ANN: query frame vs disjoint corpus keeps recall") {
+    import graft.operators.ProductQuant
+    val k = 3
+    val q = emb.filter(col("vec_id") < 20)
+    val c = emb.filter(col("vec_id") >= 20)
+    val brute = Similarity.bruteForceTopK(q, c, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ProductQuant.pqTopK(q, c, k, m = 16, ks = 32, refineIters = 2,
+      rerankFactor = 0, idCol = "vec_id", vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (qid, nid) =>
+      assert(qid < 20 && nid >= 20, s"pair ($qid,$nid) crosses frame boundaries")
+    }
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"two-frame PQ recall $recall below the 0.9 bar")
+  }
+
   test("two-frame ANN: query frame vs disjoint corpus keeps recall") {
     val k = 3
     val q = emb.filter(col("vec_id") < 20)
