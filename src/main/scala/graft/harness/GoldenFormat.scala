@@ -14,7 +14,7 @@ object GoldenFormat {
   val goldenNames: Seq[String] =
     Seq("dedup_minhash", "dedup_minhash_incr", "dedup_simhash", "dedup_embedding_lsh",
       "sim_ann_lsh", "sim_ann_ivf", "sim_ann_lsh_q", "sim_ann_ivf_q", "sim_ann_pq",
-      "text_fingerprint")
+      "sim_ann_ivfpq", "text_fingerprint")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

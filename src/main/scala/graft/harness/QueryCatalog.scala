@@ -773,6 +773,15 @@ object QueryCatalog {
         .orderBy("query_id", "rnk"),
       None),
 
+    Q("sim_ann_ivfpq", (s, dir) =>
+      // Combined IVF-PQ: coarse clusters route each query to nprobe
+      // clusters whose PQ codes alone are ADC-scanned — the
+      // billion-vector operating shape. Hash-seeded → golden fixture.
+      graft.operators.ProductQuant.ivfPqTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk"),
+      None),
+
     Q("sim_ann_pq", (s, dir) =>
       // Product quantization ANN: ADC scan over m-byte codes + exact
       // cosine re-rank (ProductQuant). Hash-seeded → golden fixture;

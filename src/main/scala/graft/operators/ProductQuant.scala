@@ -213,6 +213,110 @@ object ProductQuant {
   ): DataFrame =
     pqTopK(vectors, vectors, k, m, ks, refineIters, rerankFactor, idCol, vecCol)
 
+  /** IVF-PQ ANN, self-join form — the paper's combined index and the
+    * billion-scale operating shape: a coarse IVF quantizer routes each
+    * query to its `nprobe` closest clusters, and only THOSE clusters'
+    * PQ codes are ADC-scanned (≈ nprobe/nlist of the corpus instead of
+    * all of it); survivors re-rank exactly. nlist/nprobe `<= 0`
+    * auto-derive as in [[Similarity.ivfTopK]]; the re-rank budget
+    * auto-scales as in [[pqTopK]].
+    */
+  def ivfPqTopK(
+      vectors: DataFrame,
+      k: Int,
+      nlist: Int = 0,
+      nprobe: Int = 0,
+      m: Int = 16,
+      ks: Int = 32,
+      refineIters: Int = 2,
+      rerankFactor: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    ivfPqTopK(vectors, vectors, k, nlist, nprobe, m, ks, refineIters, rerankFactor, idCol, vecCol)
+
+  /** Asymmetric IVF-PQ ANN (query frame vs corpus). The index side —
+    * coarse centroids, cluster assignment, PQ codes — depends only on
+    * the corpus; queries meet it at the probe↔cluster join carrying
+    * their ADC tables. The one corpus-sized exchange is that join (keyed
+    * by cluster id, parallelism = nlist, rows = m-byte codes + cid) —
+    * exactly the IVF probe shuffle, but over codes instead of vectors.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ks: Int,
+      refineIters: Int,
+      rerankFactor: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val resolvedNlist = Similarity.resolveNlist(corpus, nlist, idCol)
+    val resolvedNprobe = Similarity.resolveNprobe(nprobe, resolvedNlist)
+    val cents = graft.plans.Materialize(
+      Similarity.ivfCentroids(corpus, resolvedNlist, refineIters, idCol, vecCol), eager = true)
+    val codebooks = graft.plans.Materialize(
+      pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)
+    val (mCount, _, offsets, sub) = layoutOf(codebooks)
+
+    val rerankCands =
+      if (rerankFactor > 0) rerankFactor * k
+      else math.max(8 * k,
+        math.ceil(2 * math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
+
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Index side: coarse cluster id + PQ codes per corpus vector — both
+    // computed map-side; the thin (id, cid, codes) rows join on id (the
+    // only index-build exchange beyond the fits, ~m+12 bytes per row).
+    val codesWithCid = Similarity.assignToCentroids(base, cents).select("id", "cid")
+      .join(pqEncode(corpus, codebooks, idCol, vecCol), Seq("id"))
+
+    // Query side: top-nprobe clusters AND the ADC table, one row per
+    // (query, probed cluster).
+    val qBase = queries.select(
+      col(idCol).as("id"), col(vecCol).as("v"), normalized(col(vecCol)).as("qn"))
+    val qTab = Similarity.scoredCentroids(qBase.select("id", "v"), cents)
+      .join(qBase.select(col("id"), col("qn")), Seq("id"))
+      .crossJoin(broadcast(codebookArray(codebooks)))
+      .select(
+        col("id").as("query_id"),
+        col("v").as("qv"),
+        explode(slice(col("ranked"), 1, resolvedNprobe)).as("t"),
+        flatten(array((0 until mCount).map { mi =>
+          transform(
+            filter(col("cb"), c => c.getField("m") === mi),
+            c => dot(slice(col("qn"), mi * sub + 1, sub), c.getField("cv")))
+        }: _*)).as("tab"))
+      .select(col("query_id"), col("qv"), col("t.cid"), col("tab"))
+
+    val adcScore = (0 until mCount)
+      .map(mi => element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(offsets(mi) + 1)))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val candidates = qTab
+      .join(codesWithCid, Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"), adcScore.as("adc"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerankCands)
+
+    val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .join(cVecs, Seq("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Asymmetric PQ ANN: ADC-scan the corpus CODES with per-query lookup
     * tables, keep the top `k·rerankFactor` per query, re-rank those with
     * exact cosine. Ids must not collide across frames (equal ids are the

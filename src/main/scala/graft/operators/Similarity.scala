@@ -126,7 +126,7 @@ object Similarity {
     * map-side against the broadcast centroid array (a `transform` over
     * `nlist` elements per row, each a codegen'd cosine).
     */
-  private def scoredCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def scoredCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
     base
       .crossJoin(broadcast(centroidArray(centroids)))
       .select(

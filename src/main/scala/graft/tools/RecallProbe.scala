@@ -89,6 +89,8 @@ object RecallProbe {
       pairs(ProductQuant.pqTopK(qFrame, cFrame, 5, 16, 32, 2, 0, "vec_id", "embedding"),
         "query_id", "neighbor_id"),
       asymExact)
+    val ivfPqRecall = recall(
+      pairs(ProductQuant.ivfPqTopK(ivfSubset, k = 5), "query_id", "neighbor_id"), ivfExact)
 
     // dedup_embedding_lsh — the catalog configuration (full table,
     // threshold 0.4, bands=32 × 2 bits) vs the exact all-pairs oracle.
@@ -120,6 +122,8 @@ object RecallProbe {
 
     val pq1Recall = recall(
       pairs(ProductQuant.pqTopK(emb1, k = 5), "query_id", "neighbor_id"), exact1)
+    val ivfPq1Recall = recall(
+      pairs(ProductQuant.ivfPqTopK(emb1, k = 5), "query_id", "neighbor_id"), exact1)
 
     // Sampled Lloyd fit — the 100 TB fit path (spark.graft.ivf
     // .fitFraction): centroids from a deterministic hash-sampled half of
@@ -156,6 +160,8 @@ object RecallProbe {
          |    "exact_pairs": ${ivfExact.size}, "config": "m=16, ks=32, rerank=auto"},
          |  "sim_ann_pq_q": {"recall_at_k": $pqQRecall%.4f, "k": 5, "queries": 20,
          |    "exact_pairs": ${asymExact.size}, "config": "two-frame, m=16, ks=32, rerank=auto"},
+         |  "sim_ann_ivfpq": {"recall_at_k": $ivfPqRecall%.4f, "k": 5, "queries": ${ivfSubset.count()},
+         |    "exact_pairs": ${ivfExact.size}, "config": "auto nlist/nprobe, m=16, ks=32, rerank=auto"},
          |  "dedup_embedding_lsh": {"pair_recall": $dupRecall%.4f, "threshold": 0.4,
          |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0},
          |  "sf0.1": {
@@ -169,6 +175,8 @@ object RecallProbe {
          |      "exact_pairs": ${asymExact1.size}, "config": "two-frame, auto nlist/nprobe"},
          |    "sim_ann_pq": {"recall_at_k": $pq1Recall%.4f, "k": 5, "queries": ${emb1.count()},
          |      "exact_pairs": ${exact1.size}, "config": "m=16, ks=32, rerank=auto (2*sqrt(N)=90)"},
+         |    "sim_ann_ivfpq": {"recall_at_k": $ivfPq1Recall%.4f, "k": 5, "queries": ${emb1.count()},
+         |      "exact_pairs": ${exact1.size}, "config": "auto nlist=45/nprobe=29, m=16, ks=32, rerank=auto"},
          |    "sim_ann_ivf_sampled_fit": {"recall_at_k": $ivfSampledRecall%.4f, "k": 5,
          |      "exact_pairs": ${exact1.size}, "asserted_min": 0.85,
          |      "config": "fitFraction=0.5, nlist=16, nprobe=10, full table",
@@ -181,6 +189,7 @@ object RecallProbe {
     val ok = lshRecall >= 0.9 && ivfRecall >= 0.9 && lshQRecall >= 0.9 && ivfQRecall >= 0.9 &&
       ivfAutoRecall >= 0.9 && ivfSampledRecall >= 0.85 && dupRecall >= 0.9 &&
       pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 &&
+      ivfPqRecall >= 0.9 && ivfPq1Recall >= 0.9 &&
       lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9
     println(s"[recall-probe] all above asserted minimums: $ok")
     spark.stop()

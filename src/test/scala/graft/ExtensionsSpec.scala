@@ -181,6 +181,18 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ ANN: coarse routing + ADC + exact re-rank keeps recall") {
+    import graft.operators.ProductQuant
+    val k = 3
+    val subset = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(subset, subset, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ProductQuant.ivfPqTopK(subset, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall below the 0.9 bar")
+  }
+
   test("two-frame PQ ANN: query frame vs disjoint corpus keeps recall") {
     import graft.operators.ProductQuant
     val k = 3
