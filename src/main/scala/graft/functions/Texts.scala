@@ -81,6 +81,33 @@ object Texts {
     )
   }
 
+  /** PII patterns for [[redactPii]] — deliberately restricted to regex
+    * constructs with identical semantics in Java regex (Spark) and RE2
+    * (the DuckDB oracle): character classes, bounded repetition, \b.
+    * No alternation/backtracking-sensitive syntax, so leftmost-first
+    * (Java) and leftmost-longest (RE2) agree on every match.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+\\d{7,15}\\b")
+
+  /** Per-pattern PII counts over the ORIGINAL text (order-independent). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat) =>
+      s"n_$name" -> regexp_count(text, lit(pat)).cast("long")
+    }
+
+  /** Redacted text: each PII class replaced by its `[CLASS]` marker,
+    * applied in [[piiPatterns]] order. Pure codegen'd regexp_replace
+    * chain — the scrub step of a training-data pipeline, run over every
+    * document exactly once.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"[${name.toUpperCase}]")
+    }
+
   /** Deterministic 64-bit document fingerprint: order-sensitive polynomial
     * rolling hash over tokens (Rabin–Karp style), built from `xxhash64`
     * token hashes folded with `aggregate` — codegen-friendly, no UDF.

@@ -871,6 +871,37 @@ object QueryCatalog {
            |ORDER BY 1""".stripMargin
       }),
 
+    Q("text_redact", (s, dir) => {
+      // PII scrub: emails / IPv4s / phone numbers replaced by class
+      // markers, with per-class counts over the original text. The
+      // fixture corpus is PII-free, so deterministic PII is synthesized
+      // from doc_id identically on both sides — the oracle exercises the
+      // actual redaction, not a no-op.
+      val t = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 tel +1555"),
+        (col("doc_id") % 10000 + 10000).cast("string"))
+      val counts = Texts.piiCounts(t)
+      docs(s, dir)
+        .select(col("doc_id") +: Texts.redactPii(t).as("redacted") +:
+          counts.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }, Some {
+      val Seq(email, ipv4, phone) = Texts.piiPatterns.map(_._2)
+      s"""WITH t AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1555' ||
+         |    CAST(doc_id % 10000 + 10000 AS VARCHAR) AS t FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '[EMAIL]', 'g'), '$ipv4', '[IPV4]', 'g'), '$phone', '[PHONE]', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone
+         |FROM t ORDER BY 1""".stripMargin
+    }),
+
     Q("text_quality", (s, dir) => {
       val metrics = Texts.qualityMetrics(col("text"))
       docs(s, dir)

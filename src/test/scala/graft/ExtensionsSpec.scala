@@ -535,6 +535,28 @@ class ExtensionsSpec extends SparkSpec {
       Multimodal.parseMp4(truncated).isEmpty)
   }
 
+  test("redactPii scrubs emails, IPs and phones; counts match; clean text untouched") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "write to alice.smith+tag@sub.example.org today",
+        "write to [EMAIL] today", (1L, 0L, 0L)),
+      (2L, "servers 10.0.42.7 and 192.168.1.254 are up",
+        "servers [IPV4] and [IPV4] are up", (0L, 2L, 0L)),
+      (3L, "call +15551234567 or mail bob@x.io from 8.8.8.8",
+        "call [PHONE] or mail [EMAIL] from [IPV4]", (1L, 1L, 1L)),
+      (4L, "no pii here, just version 1.2 and a plus + sign",
+        "no pii here, just version 1.2 and a plus + sign", (0L, 0L, 0L)))
+    val df = cases.map { case (id, t, _, _) => (id, t) }.toDF("doc_id", "text")
+    val counts = Texts.piiCounts(col("text"))
+    val got = df.select(col("doc_id") +: Texts.redactPii(col("text")).as("r") +:
+      counts.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    cases.foreach { case (id, _, wantText, wantCounts) =>
+      assert(got(id)._1 == wantText, s"doc $id: ${got(id)._1}")
+      assert(got(id)._2 == wantCounts, s"doc $id counts: ${got(id)._2}")
+    }
+  }
+
   test("repetitionMetrics matches local brute force") {
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap ++
