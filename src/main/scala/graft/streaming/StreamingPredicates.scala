@@ -405,6 +405,34 @@ object StreamingPredicates {
       element_at(col("counts"), labelWindowIdx * nPreds + labelPredIdx + 1).as("label"),
       timestamp_micros(col("triggerTsMicros")).as("trigger"))
 
+  /** Streaming exact dedup on the ingest path: keep the FIRST arrival of
+    * each distinct text (by 64-bit exact hash + length, the
+    * [[graft.operators.Dedup.exactByHash]] key — 16 bytes of state per
+    * distinct doc, never the text), drop every duplicate arriving within
+    * the watermark of the original. This is the streaming face of the
+    * batch exact-dedup operator — the "don't ingest the same boilerplate
+    * twice" step of a continuous pipeline.
+    *
+    * State is bounded by the watermark delay (`dropDuplicatesWithin
+    * Watermark` evicts keys once the watermark passes their event time +
+    * delay): a duplicate arriving AFTER that horizon is re-admitted, the
+    * documented trade for finite state — batch [[graft.operators.Dedup]]
+    * over the persisted corpus catches those.
+    *
+    * @param docs streaming frame with `timestamp` (watermarked by the
+    *             caller), a `textCol` and arbitrary other columns.
+    * @return the input rows minus within-watermark exact duplicates.
+    */
+  def dedupExactStream(
+      docs: DataFrame,
+      textCol: String = "text"
+  ): DataFrame =
+    docs
+      .withColumn("__ehash", xxhash64(col(textCol)))
+      .withColumn("__elen", length(col(textCol)).cast("long"))
+      .dropDuplicatesWithinWatermark("__ehash", "__elen")
+      .drop("__ehash", "__elen")
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

@@ -363,6 +363,37 @@ class StreamingSpec extends SparkSpec {
       s"message must give the state-bound formula; got: ${err.getMessage}")
   }
 
+  test("dedupExactStream keeps first arrival, drops within-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "timestamp", "text")
+      .withWatermark("timestamp", "1 hour")
+    val out = StreamingPredicates.dedupExactStream(docs)
+
+    val query = out.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "the same boilerplate"),
+        (2L, ts("2024-01-01 10:05:00"), "the same boilerplate"), // dup, same batch
+        (3L, ts("2024-01-01 10:10:00"), "a unique document"))
+      query.processAllAvailable()
+      // Cross-batch duplicate within the watermark window → dropped too.
+      input.addData((4L, ts("2024-01-01 10:30:00"), "the same boilerplate"))
+      query.processAllAvailable()
+      input.addData((5L, ts("2024-01-01 11:00:00"), "another unique one"))
+      query.processAllAvailable()
+
+      val kept = spark.table("dedup_stream").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L),
+        s"first arrivals only — dups 2 and 4 must be dropped; got $kept")
+      // The schema passes through unchanged (no helper columns leak).
+      assert(spark.table("dedup_stream").columns.toSeq == Seq("doc_id", "timestamp", "text"))
+    } finally query.stop()
+  }
+
   test("cumulativeCounts keeps running per-subject totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
