@@ -667,6 +667,18 @@ object QueryCatalog {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    Q("dedup_embedding_incr", (s, dir) =>
+      // Incremental shard-vs-corpus embedding near-dup — the ingest-loop
+      // shape; parity with the full union run asserted in ExtensionsSpec
+      // (hash-seeded → golden fixture).
+      Dedup.embeddingNearDupIncremental(
+        emb(s, dir).filter(col("vec_id") >= 400),
+        emb(s, dir).filter(col("vec_id") < 400),
+        threshold = 0.4, bands = 32, bitsPerBand = 2)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 3).as("cos"))
+        .orderBy("doc_a", "doc_b"),
+      None),
+
     Q("dedup_clusters", (s, dir) =>
       // Connected components over the exact n-gram-Jaccard pair graph —
       // pairs → duplicate clusters → keep min-id representative. The

@@ -455,6 +455,63 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Incremental embedding near-dup: an incoming shard of vectors against
+    * the standing corpus — the ingest-loop shape ([[minhashLshIncremental]]
+    * for embeddings). The hyperplane signatures are DETERMINISTIC
+    * functions of the vector (hash-seeded planes, no fitted state), so
+    * both frames bucket identically with no persisted index beyond the
+    * corpus itself; the bucket-size cap is evaluated over the COMBINED
+    * bucket rows and the candidate join's left side is restricted to new
+    * ids, so results equal [[embeddingNearDup]] on the union restricted
+    * to pairs touching ≥1 new vector (parity asserted in tests). New ids
+    * must be disjoint from corpus ids.
+    *
+    * @return (doc_a, doc_b, cos) with doc_a < doc_b, cos ≥ threshold,
+    *         each pair touching ≥1 new vector.
+    */
+  def embeddingNearDupIncremental(
+      newVectors: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      bands: Int = 32,
+      bitsPerBand: Int = 4,
+      maxBucketSize: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val newBase = newVectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val corpusBase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    val allBuckets = Similarity.hyperplaneBuckets(newBase, bands, bitsPerBand, "id", "v")
+      .withColumn("__new", lit(true))
+      .unionByName(
+        Similarity.hyperplaneBuckets(corpusBase, bands, bitsPerBand, "id", "v")
+          .withColumn("__new", lit(false)))
+    val wBucket = Window.partitionBy("band", "bucket")
+    val capped = allBuckets
+      .withColumn("bsize", count(lit(1)).over(wBucket))
+      .filter(col("bsize") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("id"), col("__new"))
+
+    val a = capped.filter(col("__new"))
+      .select(col("band"), col("bucket"), col("id").as("ida"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
+    val pairs = a
+      .join(b, Seq("band", "bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select(
+        least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    val vecs = newBase.unionByName(corpusBase)
+    pairs
+      .join(vecs.select(col("id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(vecs.select(col("id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
     * explode distinct shingles → co-occurrence join on the shingle →
     * per-pair intersection counts → Jaccard from set sizes. Exact (no

@@ -84,6 +84,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(incr == full)
   }
 
+  test("incremental embedding near-dup matches the full run on the union") {
+    val corpus = emb.filter(col("vec_id") < 400)
+    val fresh = emb.filter(col("vec_id") >= 400)
+    val incr = Dedup.embeddingNearDupIncremental(fresh, corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.embeddingNearDup(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= 400 || b >= 400 }.toSet
+    // Exact parity, cosines included: same pairs as bucketing the whole
+    // corpus, minus the corpus-internal ones already known.
+    assert(incr == full, s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+    assert(incr.nonEmpty, "fixture split should produce cross-frame near-dup pairs")
+  }
+
   test("simhash finds identical documents at hamming 0") {
     // Duplicate the corpus with shifted ids: every doc has an exact twin.
     val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000L)
