@@ -385,7 +385,10 @@ object Multimodal {
     boxes(0, p.length) {
       case ("moov", mS, mE) =>
         boxes(mS, mE) {
-          case ("mvhd", cS, _) =>
+          case ("mvhd", cS, _) if cS + 32 <= p.length =>
+            // The guard covers the deepest fixed-offset read (v1 duration
+            // at content+24..32) — a corrupt size field must not let the
+            // reads run past the payload at file end.
             val v = p(cS.toInt) & 0xff
             val (ts, dur) =
               if (v == 1) (be32(p, cS.toInt + 20), be64(p, cS.toInt + 24))

@@ -571,6 +571,48 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("container parsers never throw on fuzzed payloads (hash-derived + mutated fixtures)") {
+    import graft.operators.Multimodal
+    def parseAll(p: Array[Byte]): Unit = {
+      Multimodal.parseMp4(p); Multimodal.parseWebm(p); Multimodal.parseMp3(p)
+      ()
+    }
+    // Deterministic pseudo-random payloads (xxhash-style LCG over a seed).
+    def bytes(seed: Long, n: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 56).toByte }
+    }
+    (0 until 100).foreach(i => parseAll(bytes(i.toLong, 16 + (i * 37) % 4096)))
+    // Valid fixtures with every prefix truncation and single-bit flips:
+    // the walks must stop cleanly on any corrupt size/offset they meet.
+    Seq(
+      graft.harness.MediaFixtures.mp4Payload(7L),
+      graft.harness.MediaFixtures.webmPayload(8L),
+      graft.harness.MediaFixtures.mp3Payload(4L).take(900)).foreach { base =>
+      (0 to base.length by math.max(1, base.length / 50)).foreach(n => parseAll(base.take(n)))
+      (0 until base.length by math.max(1, base.length / 64)).foreach { i =>
+        val mutated = base.clone()
+        mutated(i) = (mutated(i) ^ 0x81).toByte
+        parseAll(mutated)
+      }
+    }
+    // Regression: an empty mvhd box ending exactly at the payload edge —
+    // the fixed-offset header reads must be bounds-guarded, not trust the
+    // box size.
+    val edge = java.nio.ByteBuffer.allocate(16 + 8 + 8)
+    edge.putInt(16); edge.put("ftyp".getBytes); edge.put("isom".getBytes); edge.putInt(0)
+    edge.putInt(16); edge.put("moov".getBytes)
+    edge.putInt(8); edge.put("mvhd".getBytes) // zero-content box at EOF
+    parseAll(edge.array())
+
+    // And through the distributed operator: fuzz rows must come back as
+    // SOME row (parsed or opaque), never a task failure.
+    import spark.implicits._
+    val fuzz = (0L until 50L).map(i => (i, bytes(i * 31 + 5, 64 + (i * 97 % 2048).toInt)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.containerMeta(fuzz).count() == 50L)
+  }
+
   test("repetitionMetrics matches local brute force") {
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap ++
