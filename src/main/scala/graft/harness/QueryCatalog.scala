@@ -883,6 +883,14 @@ object QueryCatalog {
            |ORDER BY 1""".stripMargin
       }),
 
+    Q("text_compress", (s, dir) =>
+      // Deflate compression-ratio quality signal (entropy proxy; the
+      // CCNet/RefinedWeb-style degenerate-text filter). No SQL-portable
+      // deflate in DuckDB → golden fixture; a local java.util.zip
+      // re-implementation is asserted equal in ExtensionsSpec.
+      graft.operators.Compressibility.compressionRatio(docs(s, dir)).orderBy("doc_id"),
+      None),
+
     Q("text_redact", (s, dir) => {
       // PII scrub: emails / IPv4s / phone numbers replaced by class
       // markers, with per-class counts over the original text. The

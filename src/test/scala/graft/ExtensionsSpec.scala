@@ -613,6 +613,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(Multimodal.containerMeta(fuzz).count() == 50L)
   }
 
+  test("compressionRatio matches a local deflate and flags repetitive text") {
+    import spark.implicits._
+    val aug = docs.select("doc_id", "text").unionByName(Seq(
+      (910001L, "spam " * 400),                 // degenerate → very low ratio
+      (910002L, ""),                            // empty → null ratio
+      (910003L, (0 until 400).map(i => (i * 2654435761L % 997).toString).mkString(" "))
+    ).toDF("doc_id", "text"))
+    def localRatio(t: String): (Long, Long, Option[Double]) = {
+      val bytes = t.getBytes("UTF-8")
+      if (bytes.isEmpty) return (0L, 0L, None)
+      val d = new java.util.zip.Deflater()
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](64 * 1024)
+      var c = 0L
+      while (!d.finished()) c += d.deflate(buf)
+      d.end()
+      (bytes.length.toLong, c, Some(math.rint(c.toDouble / bytes.length * 10000) / 10000))
+    }
+    val expected = aug.collect().map(r => r.getLong(0) -> localRatio(r.getString(1))).toMap
+    val got = graft.operators.Compressibility.compressionRatio(aug).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(v == expected(id), s"doc $id: $v != ${expected(id)}") }
+    // The degenerate doc compresses far harder than the hash-numbers doc.
+    assert(got(910001L)._3.get < 0.05, s"boilerplate ratio: ${got(910001L)._3}")
+    assert(got(910003L)._3.get > got(910001L)._3.get * 5)
+  }
+
   test("repetitionMetrics matches local brute force") {
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap ++
