@@ -792,7 +792,7 @@ object QueryCatalog {
       graft.operators.ProductQuant.ivfPqTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None),
+      None, bench = true),
 
     Q("sim_ann_pq", (s, dir) =>
       // Product quantization ANN: ADC scan over m-byte codes + exact
@@ -801,7 +801,7 @@ object QueryCatalog {
       graft.operators.ProductQuant.pqTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None),
+      None, bench = true),
 
     Q("sim_ann_lsh_q", (s, dir) =>
       // Asymmetric retrieval shape: a small disjoint query frame against
@@ -881,7 +881,7 @@ object QueryCatalog {
            |SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
            |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
            |ORDER BY 1""".stripMargin
-      }),
+      }, bench = true),
 
     Q("text_compress", (s, dir) =>
       // Deflate compression-ratio quality signal (entropy proxy; the
@@ -1003,7 +1003,7 @@ object QueryCatalog {
              |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM k
              |WHERE (lang = 'en' AND rk <= 50) OR (lang = 'es' AND rk <= 20)
              |   OR (lang = 'fr' AND rk <= 10)
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin), bench = true),
 
     Q("multimodal_features", (s, dir) => {
       // Codec-free metrics are pure expressions (codegen'd scan→project);
@@ -1036,7 +1036,7 @@ object QueryCatalog {
               |       ELSE 250 + doc_id % 500 END AS BIGINT) AS duration_ms,
               |  CAST(CASE WHEN doc_id % 3 = 1 THEN 128 END AS INT) AS bitrate_kbps,
               |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44100 END AS INT) AS sample_rate
-              |FROM documents ORDER BY 1""".stripMargin)),
+              |FROM documents ORDER BY 1""".stripMargin), bench = true),
 
     Q("multimodal_framesample", (s, dir) => {
       // Real binary slicing on the Spark side (sequence→explode→substring,

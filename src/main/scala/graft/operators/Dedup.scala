@@ -132,12 +132,19 @@ object Dedup {
     * the verification join then reads it pre-clustered), then dedup each
     * incoming shard against it without ever re-shingling the corpus.
     *
-    * Covers EVERY doc: `ehash` (the 64-bit exact-text hash) drives the
+    * Covers EVERY doc: `(ehash, elen)` (the 64-bit exact-text hash plus
+    * the text length — the same compound key as [[exactByHash]], so a
+    * bare hash collision cannot conflate distinct texts) drives the
     * incremental exact-duplicate pre-pass, so even docs too short to
     * shingle (null signature columns, empty `sh`) are dedupable against
     * the corpus. Only rows with non-null signatures are banded.
     *
-    * @return (doc_id, ehash: long, sh: array<string>,
+    * FORMAT NOTE: `ehash` was added in the round-6 index format and
+    * `elen` in round-7 — [[minhashLshIncremental]] refuses an index
+    * missing either column with an explicit re-index message rather than
+    * failing downstream with an unresolved-column error.
+    *
+    * @return (doc_id, ehash: long, elen: int, sh: array<string>,
     *         h0..h{numHashes-1}: long — null when the doc has no shingles)
     */
   def minhashIndex(
@@ -155,7 +162,10 @@ object Dedup {
     // aggregate side is already clustered by doc_id from shingleRows'
     // repartition. Left join keeps shingle-less docs (null h*, empty sh).
     docs
-      .select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("ehash"))
+      .select(
+        col(idCol).as("doc_id"),
+        xxhash64(col(textCol)).as("ehash"),
+        length(col(textCol)).as("elen"))
       .join(sigs, Seq("doc_id"), "left")
       .withColumn("sh", coalesce(col("sh"), array().cast("array<string>")))
   }
@@ -272,20 +282,30 @@ object Dedup {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // Explicit format gate: an index persisted before the exact-dup
+    // columns existed would otherwise die mid-plan on an
+    // unresolved-column error. Fail fast with the remedy instead.
+    require(index.columns.contains("ehash") && index.columns.contains("elen"),
+      "corpus index is missing the exact-duplicate columns (ehash, elen) — " +
+        "it was persisted with an older minhashIndex format; re-index the " +
+        "corpus with minhashIndex (same numHashes/shingleN) before " +
+        "incremental dedup")
 
     val newPerDoc = graft.plans.Materialize(
       minhashIndex(newDocs, numHashes, shingleN, textCol, idCol))
 
-    // Union-level exact clusters from the `ehash` columns — the
+    // Union-level exact clusters from the `(ehash, elen)` columns — the
     // incremental face of [[minhashLsh]]'s pre-pass, WITHOUT re-hashing
     // any corpus text: rep = min doc_id across corpus + shard (the
     // (doc_id, __new) struct-min carries whether the rep is a new doc),
     // star pairs touching >=1 new doc are emitted at jaccard 1.0, and
     // only representatives proceed to banding — so results still match
     // the full run on the union exactly.
-    val unionIds = newPerDoc.select(col("doc_id"), col("ehash"), lit(true).as("__new"))
-      .unionByName(index.select(col("doc_id"), col("ehash"), lit(false).as("__new")))
-    val wEhash = Window.partitionBy("ehash")
+    val unionIds = newPerDoc
+      .select(col("doc_id"), col("ehash"), col("elen"), lit(true).as("__new"))
+      .unionByName(
+        index.select(col("doc_id"), col("ehash"), col("elen"), lit(false).as("__new")))
+    val wEhash = Window.partitionBy("ehash", "elen")
     val repStruct = min(struct(col("doc_id"), col("__new"))).over(wEhash)
     val withRep = unionIds
       .withColumn("__rep", repStruct.getField("doc_id"))
@@ -640,11 +660,16 @@ object Dedup {
       textCol: String,
       idCol: String
   ): (DataFrame, DataFrame) = {
-    val wHash = Window.partitionBy("__ehash")
+    // (hash, length) key — the same documented [[exactByHash]] key: a
+    // bare 64-bit collision would otherwise report two DISTINCT texts as
+    // exact duplicates AND hide the non-representative from banding,
+    // losing its true near-duplicates.
+    val wHash = Window.partitionBy("__ehash", "__elen")
     val withRep = docs
       .withColumn("__ehash", xxhash64(col(textCol)))
+      .withColumn("__elen", length(col(textCol)))
       .withColumn("__rep", min(col(idCol)).over(wHash))
-    val reps = withRep.filter(col(idCol) === col("__rep")).drop("__ehash", "__rep")
+    val reps = withRep.filter(col(idCol) === col("__rep")).drop("__ehash", "__elen", "__rep")
     val starPairs = withRep
       .filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))

@@ -396,7 +396,10 @@ object Multimodal {
             if (ts > 0) durationMs = Some(dur * 1000L / ts)
           case ("trak", tS, tE) =>
             boxes(tS, tE) {
-              case ("tkhd", cS, _) =>
+              // cS < p.length guard: an empty tkhd box (size 8) ending at
+              // the file edge puts cS == p.length — the version read must
+              // not run past the payload.
+              case ("tkhd", cS, _) if cS < p.length =>
                 val v = p(cS.toInt) & 0xff
                 val base = if (v == 1) cS.toInt + 88 else cS.toInt + 76
                 if (base + 8 <= p.length) {
@@ -450,7 +453,13 @@ object Multimodal {
         val cE = math.min(end.toLong, cS.toLong + szr._1).toInt
         if (cE < cS) return
         idr._1 match {
-          case 0x18538067L | 0x1549a966L | 0x1654ae6bL | 0xaeL | 0xe0L =>
+          // Depth cap: real WebM nesting here is ≤4 (Segment → Tracks →
+          // TrackEntry → Video), but the container ids include 1-byte
+          // codes (0xae, 0xe0) a crafted payload can repeat every 2
+          // bytes — unbounded recursion would StackOverflowError (an
+          // Error, escaping the never-throw contract). Beyond the cap
+          // the element is skipped as a leaf.
+          case 0x18538067L | 0x1549a966L | 0x1654ae6bL | 0xaeL | 0xe0L if depth < 8 =>
             walk(cS, cE, depth + 1) // Segment / Info / Tracks / TrackEntry / Video
           case 0x2ad7b1L =>
             var v = 0L; var i = cS
@@ -557,7 +566,12 @@ object Multimodal {
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val p = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-            val meta = parseMp4(p).orElse(parseWebm(p)).orElse(parseMp3(p))
+            // Belt over the parsers' own bounds guards: ANY parse failure
+            // on a corrupt/adversarial payload degrades that row to
+            // "opaque" — a 100 TB scan must never die on one bad blob.
+            val meta = scala.util.Try(
+              parseMp4(p).orElse(parseWebm(p)).orElse(parseMp3(p)))
+              .toOption.flatten
               .getOrElse(ContainerMeta("opaque", None, None, None, None, None))
             Row(id, meta.container,
               meta.width.orNull, meta.height.orNull, meta.durationMs.orNull,

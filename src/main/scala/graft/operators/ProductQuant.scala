@@ -26,11 +26,16 @@ import org.apache.spark.sql.graft.VectorExpressions
   * `spark.graft.ivf.fitFraction`-sampled) corpus with map-side
   * assignment against broadcast codewords — the corpus is never
   * exchanged. Encoding is one map-side pass (broadcast codebooks). The
-  * ADC scan is a broadcast of the (small) query table across the code
-  * rows — `m` lookups per pair. Only the re-rank join touches original
-  * vectors, for `k·rerankFactor` rows per query. The interpreted
-  * higher-order lambdas (normalize, per-subspace argmin) run on the
-  * index-BUILD path once per corpus, not on the per-pair scan.
+  * ADC scan routes by query-table size: a genuinely small query frame
+  * broadcasts its lookup tables across the code rows; a large one (and
+  * the self-join form always — there the "query table" IS the corpus)
+  * takes a bucketed shuffle join instead, replicating only the thin
+  * m-byte code rows, so no corpus-sized frame is ever broadcast.
+  * Candidate rows carry (query_id, neighbor_id, adc) ONLY — the query
+  * vector joins back after the per-query candidate cut, never riding
+  * across the scan. The interpreted higher-order lambdas (normalize,
+  * per-subspace argmin) run on the index-BUILD path once per corpus,
+  * not on the per-pair scan.
   */
 object ProductQuant {
 
@@ -276,7 +281,8 @@ object ProductQuant {
       .join(pqEncode(corpus, codebooks, idCol, vecCol), Seq("id"))
 
     // Query side: top-nprobe clusters AND the ADC table, one row per
-    // (query, probed cluster).
+    // (query, probed cluster). Candidate rows stay vector-free — the
+    // original query vector joins back only after the per-query cut.
     val qBase = queries.select(
       col(idCol).as("id"), col(vecCol).as("v"), normalized(col(vecCol)).as("qn"))
     val qTab = Similarity.scoredCentroids(qBase.select("id", "v"), cents)
@@ -284,14 +290,13 @@ object ProductQuant {
       .crossJoin(broadcast(codebookArray(codebooks)))
       .select(
         col("id").as("query_id"),
-        col("v").as("qv"),
         explode(slice(col("ranked"), 1, resolvedNprobe)).as("t"),
         flatten(array((0 until mCount).map { mi =>
           transform(
             filter(col("cb"), c => c.getField("m") === mi),
             c => dot(slice(col("qn"), mi * sub + 1, sub), c.getField("cv")))
         }: _*)).as("tab"))
-      .select(col("query_id"), col("qv"), col("t.cid"), col("tab"))
+      .select(col("query_id"), col("t.cid"), col("tab"))
 
     val adcScore = (0 until mCount)
       .map(mi => element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(offsets(mi) + 1)))
@@ -300,14 +305,16 @@ object ProductQuant {
     val candidates = qTab
       .join(codesWithCid, Seq("cid"))
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"), adcScore.as("adc"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adcScore.as("adc"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerankCands)
 
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     candidates
+      .join(qVecs, Seq("query_id"))
       .join(cVecs, Seq("neighbor_id"))
       .select(
         col("query_id"),
@@ -321,6 +328,23 @@ object ProductQuant {
     * tables, keep the top `k·rerankFactor` per query, re-rank those with
     * exact cosine. Ids must not collide across frames (equal ids are the
     * same document, self-excluded).
+    *
+    * Scan routing: the per-query lookup tables are `Σks·8 ≈ m·ks·8`
+    * bytes each, so a query frame is broadcastable only while
+    * `|Q|·m·ks·8` stays under `spark.graft.pq.adcBroadcastMaxBytes`
+    * (default 64 MB ≈ 16k queries at m=16, ks=32). Beyond that — and
+    * ALWAYS in the self-join form, where the query frame is the corpus
+    * itself — the scan becomes a bucketed shuffle join: queries hash
+    * into `min(shuffle.partitions, ⌈|Q|/64⌉)` buckets (each query's
+    * table shuffles ONCE), the thin (id, m-byte codes) rows replicate
+    * across the buckets, and the per-query candidate cut runs as a
+    * window over (bucket, query_id) — satisfied by the join's own
+    * bucket partitioning, so the Q×N candidate frame is never
+    * re-exchanged. Both routes produce the identical candidate set
+    * (exhaustive ADC), so recall is route-independent. The exhaustive
+    * scan is still O(Q·N) compute by design — for corpus-scale query
+    * sets prefer [[ivfPqTopK]], which prunes the pair space by cluster
+    * routing instead.
     *
     * @return (query_id, neighbor_id, rank, sim) — `sim` is the EXACT
     *         cosine (re-rank output), rank 1..k by sim desc.
@@ -336,31 +360,31 @@ object ProductQuant {
       idCol: String,
       vecCol: String
   ): DataFrame = {
+    val spark = corpus.sparkSession
     val codebooks = graft.plans.Materialize(
       pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)
-    val (mCount, _, offsets, sub) = layoutOf(codebooks)
+    val (mCount, sizes, offsets, sub) = layoutOf(codebooks)
 
     // Re-rank budget: explicit, or auto-scaled with the corpus (see
     // scaladoc) — the exact re-rank then touches `rerankCands` original
     // vectors per query regardless of corpus size.
+    val corpusCount = corpus.select(idCol).count()
     val rerankCands =
       if (rerankFactor > 0) rerankFactor * k
-      else math.max(8 * k,
-        math.ceil(2 * math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
+      else math.max(8 * k, math.ceil(2 * math.sqrt(corpusCount.toDouble)).toInt)
 
     val codes = pqEncode(corpus, codebooks, idCol, vecCol)
 
     // Per-query ADC tables: dot(query sub-vector, codeword) for every
     // (subspace, codeword), flattened positionally to match `offsets`.
-    // `qv` stays the ORIGINAL vector (the re-rank must produce bit-exact
-    // cosines — the float-rounded normalized copy feeds only the tables).
+    // The normalized copy feeds only the tables; the ORIGINAL vector
+    // (bit-exact re-rank input) joins back post-cut via `qVecs`.
     val qBase = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"), normalized(col(vecCol)).as("qn"))
+      col(idCol).as("query_id"), normalized(col(vecCol)).as("qn"))
     val qTab = qBase
       .crossJoin(broadcast(codebookArray(codebooks)))
       .select(
         col("query_id"),
-        col("qv"),
         flatten(array((0 until mCount).map { mi =>
           transform(
             filter(col("cb"), c => c.getField("m") === mi),
@@ -372,18 +396,59 @@ object ProductQuant {
     val adcScore = (0 until mCount)
       .map(mi => element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(offsets(mi) + 1)))
       .reduce(_ + _)
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
-    val candidates = codes
-      .crossJoin(broadcast(qTab))
-      .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"), adcScore.as("adc"))
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= rerankCands)
 
-    // Exact re-rank over the surviving candidate set only.
+    val qCount =
+      if (queries eq corpus) corpusCount else queries.select(idCol).count()
+    val tabBytes = sizes.sum.toLong * 8 + 32
+    val maxBroadcastBytes = spark.conf
+      .get("spark.graft.pq.adcBroadcastMaxBytes", (64L << 20).toString).toLong
+    val useBroadcast =
+      !(queries eq corpus) && qCount * tabBytes <= maxBroadcastBytes
+
+    val candidates =
+      if (useBroadcast) {
+        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+        codes
+          .crossJoin(broadcast(qTab))
+          .filter(col("query_id") =!= col("id"))
+          .select(col("query_id"), col("id").as("neighbor_id"), adcScore.as("adc"))
+          .withColumn("arank", row_number().over(wAdc))
+          .filter(col("arank") <= rerankCands)
+          .drop("arank")
+      } else {
+        val nb = math.max(1L, math.min(
+          spark.conf.get("spark.sql.shuffle.partitions", "200").toLong,
+          (qCount + 63) / 64)).toInt
+        // shuffle_hash on the query side: build the per-bucket tab map,
+        // stream the replicated codes — and the hint forecloses a
+        // stats-mislead broadcast of the tabs (the exact plan this
+        // routing exists to prevent).
+        val qB = qTab.withColumn(
+          "__b", pmod(xxhash64(col("query_id")), lit(nb.toLong)).cast("int"))
+          .hint("shuffle_hash")
+        val codesRep = codes.withColumn("__b", explode(sequence(lit(0), lit(nb - 1))))
+        // __b is a pure function of query_id, so ranking within
+        // (__b, query_id) IS the per-query rank — and the window's
+        // clustering requirement is already met by the join's __b hash
+        // partitioning, so the Q×N candidate frame adds no exchange.
+        val wAdc = Window.partitionBy("__b", "query_id")
+          .orderBy(col("adc").desc, col("neighbor_id"))
+        codesRep
+          .join(qB, Seq("__b"))
+          .filter(col("query_id") =!= col("id"))
+          .select(col("__b"), col("query_id"), col("id").as("neighbor_id"), adcScore.as("adc"))
+          .withColumn("arank", row_number().over(wAdc))
+          .filter(col("arank") <= rerankCands)
+          .drop("__b", "arank")
+      }
+
+    // Exact re-rank over the surviving candidate set only — the original
+    // query vectors meet `rerankCands` rows per query here, not the scan.
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     candidates
+      .join(qVecs, Seq("query_id"))
       .join(cVecs, Seq("neighbor_id"))
       .select(
         col("query_id"),

@@ -191,6 +191,33 @@ object PlanAudit {
     val pqBooks = graft.operators.ProductQuant.pqCodebooks(embT, m = 8, ks = 8, refineIters = 1)
     audit("pq_encode", graft.operators.ProductQuant.pqEncode(embT, pqBooks), 0)
 
+    // PQ ADC scan routing. Self-join form: the "query table" is the
+    // corpus, so its ADC tables must NEVER arrive by broadcast (the
+    // O(N·m·ks) driver/executor OOM shape) — required plan is the
+    // bucketed shuffle join (hashpartitioning(__b)) with the per-query
+    // cut reusing that partitioning. Asymmetric small-query form: the
+    // broadcast IS the right plan — assert it stays.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def tabBroadcasts(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec if b.output.exists(_.name == "tab") => b
+      }.length
+    val pqSelf = graft.operators.ProductQuant
+      .pqTopK(embT, k = 5, m = 8, ks = 8, refineIters = 1)
+    val selfTabBc = tabBroadcasts(pqSelf)
+    val selfPlan = pqSelf.queryExecution.executedPlan.toString
+    val selfBucketed = "hashpartitioning\\(__b".r.findFirstIn(selfPlan).isDefined
+    val pqSelfOk = selfTabBc == 0 && selfBucketed
+    println(s"${if (pqSelfOk) "OK " else "HOT"} pq self-join ADC routing       " +
+      s"tabBroadcasts=$selfTabBc bucketedShuffle=$selfBucketed")
+    if (!pqSelfOk) pqSelf.explain("formatted")
+    val pqAsym = graft.operators.ProductQuant.pqTopK(
+      embT.filter(col("vec_id") < 20), embT.filter(col("vec_id") >= 20),
+      k = 5, m = 8, ks = 8, refineIters = 1, rerankFactor = 8,
+      idCol = "vec_id", vecCol = "embedding")
+    val asymTabBc = tabBroadcasts(pqAsym)
+    println(s"${if (asymTabBc == 1) "OK " else "HOT"} pq small-query ADC broadcast   tabBroadcasts=$asymTabBc")
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

@@ -141,6 +141,25 @@ object RecallProbe {
         exact1)
       finally spark.conf.unset("spark.graft.ivf.fitFraction")
 
+    // nprobe cost sweep at the auto-derived nlist: the probe join scans
+    // ~nprobe/nlist of the corpus, so the auto default should be the
+    // CHEAPEST fraction that still holds the 0.9 recall bar — measured
+    // here (recall is the decider; secs are indicative on a shared box).
+    val nlist1 = Similarity.resolveNlist(emb1, 0, "vec_id")
+    val nprobeSweep = Seq(
+      ("ceil(sqrt(nlist))", math.ceil(math.sqrt(nlist1)).toInt),
+      ("0.25*nlist", math.max(1, math.ceil(0.25 * nlist1).toInt)),
+      ("0.625*nlist", math.max(1, math.ceil(0.625 * nlist1).toInt))
+    ).map { case (label, np) =>
+      val t0 = System.nanoTime()
+      val got = pairs(
+        Similarity.ivfTopK(emb1, emb1, 5, nlist1, np, 2, "vec_id", "embedding"),
+        "query_id", "neighbor_id")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val r = recall(got, exact1)
+      f"""{"rule": "$label", "nprobe": $np, "nlist": $nlist1, "scan_fraction": ${np.toDouble / nlist1}%.3f, "recall_at_k": $r%.4f, "secs": $secs%.1f}"""
+    }.mkString(",\n      ")
+
     val json =
       f"""{
          |  "sf_dir": "$sfDir",
@@ -180,7 +199,10 @@ object RecallProbe {
          |    "sim_ann_ivf_sampled_fit": {"recall_at_k": $ivfSampledRecall%.4f, "k": 5,
          |      "exact_pairs": ${exact1.size}, "asserted_min": 0.85,
          |      "config": "fitFraction=0.5, nlist=16, nprobe=10, full table",
-         |      "note": "~1000-vector fit for 16 centroids (62x sample-to-centroid ratio) — the regime fitFraction targets"}
+         |      "note": "~1000-vector fit for 16 centroids (62x sample-to-centroid ratio) — the regime fitFraction targets"},
+         |    "nprobe_sweep": [
+         |      $nprobeSweep
+         |    ]
          |  }
          |}""".stripMargin
     println(json)
