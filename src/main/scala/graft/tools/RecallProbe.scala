@@ -149,6 +149,8 @@ object RecallProbe {
     val nprobeSweep = Seq(
       ("ceil(sqrt(nlist))", math.ceil(math.sqrt(nlist1)).toInt),
       ("0.25*nlist", math.max(1, math.ceil(0.25 * nlist1).toInt)),
+      ("0.4*nlist", math.max(1, math.ceil(0.4 * nlist1).toInt)),
+      ("0.5*nlist", math.max(1, math.ceil(0.5 * nlist1).toInt)),
       ("0.625*nlist", math.max(1, math.ceil(0.625 * nlist1).toInt))
     ).map { case (label, np) =>
       val t0 = System.nanoTime()
