@@ -189,15 +189,37 @@ object ProductQuant {
         }: _*).as("codes"))
   }
 
+  /** [[pqEncode]] in the PRODUCTION memory layout: codes packed into a
+    * `binary` column, ONE byte per subspace — `m` bytes/vector flat
+    * (measured 16 bytes/vector at m=16 in RECALL.json), versus
+    * ~4·m + 16 for the `array<int>` form. Requires every subspace's
+    * codeword count ≤ 256 (the standard ks=256 operating point is the
+    * ceiling); still one map-side pass, zero corpus exchanges. This is
+    * the frame the ADC scans in [[pqTopK]]/[[ivfPqTopK]] run on.
+    */
+  def pqEncodePacked(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val (_, sizes, _, _) = layoutOf(codebooks)
+    require(sizes.forall(_ <= 256),
+      s"byte-packed PQ codes need <=256 codewords per subspace, got max ${sizes.max}")
+    pqEncode(corpus, codebooks, idCol, vecCol)
+      .select(col("id"), VectorExpressions.packBytes(col("codes")).as("codes"))
+  }
+
   /** PQ ANN top-k, self-join form (fit + encode + scan in one call).
     *
     * Defaults (m=16, ks=32, auto re-rank budget) measure 0.94+ recall@5
     * on both fixture corpora (RECALL.json); recall rises monotonically
     * in m, ks and the re-rank budget — the measured sweep spans 0.38
     * (m=8, ks=16, 20 candidates) to 1.00 (m=16, ks=32, 48+ candidates at
-    * sf0.001; m=32 at sf0.1). At production dims (768+) the standard
-    * operating point is ks=256 (1 byte/code) with m sized to the memory
-    * budget (m bytes/vector).
+    * sf0.001; m=32 at sf0.1). The production operating point ks=256
+    * (1 byte/code, m bytes/vector — the scan runs on [[pqEncodePacked]]'s
+    * binary layout at every ks) is measured in RECALL.json
+    * (`sim_ann_pq_ks256`).
     *
     * `rerankFactor > 0` re-ranks exactly `rerankFactor·k` ADC
     * candidates; `<= 0` (default) auto-derives the budget as
@@ -274,11 +296,12 @@ object ProductQuant {
         math.ceil(2 * math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
 
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // Index side: coarse cluster id + PQ codes per corpus vector — both
-    // computed map-side; the thin (id, cid, codes) rows join on id (the
-    // only index-build exchange beyond the fits, ~m+12 bytes per row).
+    // Index side: coarse cluster id + byte-packed PQ codes per corpus
+    // vector — both computed map-side; the thin (id, cid, codes) rows
+    // join on id (the only index-build exchange beyond the fits, m+12
+    // bytes per row flat).
     val codesWithCid = Similarity.assignToCentroids(base, cents).select("id", "cid")
-      .join(pqEncode(corpus, codebooks, idCol, vecCol), Seq("id"))
+      .join(pqEncodePacked(corpus, codebooks, idCol, vecCol), Seq("id"))
 
     // Query side: top-nprobe clusters AND the ADC table, one row per
     // (query, probed cluster). Candidate rows stay vector-free — the
@@ -298,9 +321,9 @@ object ProductQuant {
         }: _*)).as("tab"))
       .select(col("query_id"), col("t.cid"), col("tab"))
 
-    val adcScore = (0 until mCount)
-      .map(mi => element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(offsets(mi) + 1)))
-      .reduce(_ + _)
+    // ADC score: one fused codegen'd loop over the packed bytes (same
+    // doubles, same summation order as the former element_at chain).
+    val adcScore = VectorExpressions.pqAdcScore(col("codes"), col("tab"), offsets.toSeq)
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
     val candidates = qTab
       .join(codesWithCid, Seq("cid"))
@@ -373,7 +396,7 @@ object ProductQuant {
       if (rerankFactor > 0) rerankFactor * k
       else math.max(8 * k, math.ceil(2 * math.sqrt(corpusCount.toDouble)).toInt)
 
-    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
+    val codes = pqEncodePacked(corpus, codebooks, idCol, vecCol)
 
     // Per-query ADC tables: dot(query sub-vector, codeword) for every
     // (subspace, codeword), flattened positionally to match `offsets`.
@@ -391,11 +414,9 @@ object ProductQuant {
             c => dot(slice(col("qn"), mi * sub + 1, sub), c.getField("cv")))
         }: _*)).as("tab"))
 
-    // The ADC scan: approximate cosine = m positional lookups summed — a
-    // static codegen'd expression; code rows never carry vectors.
-    val adcScore = (0 until mCount)
-      .map(mi => element_at(col("tab"), element_at(col("codes"), mi + 1) + lit(offsets(mi) + 1)))
-      .reduce(_ + _)
+    // The ADC scan: approximate cosine = m byte-indexed lookups in ONE
+    // fused codegen'd loop; code rows never carry vectors.
+    val adcScore = VectorExpressions.pqAdcScore(col("codes"), col("tab"), offsets.toSeq)
 
     val qCount =
       if (queries eq corpus) corpusCount else queries.select(idCol).count()

@@ -125,6 +125,14 @@ object RecallProbe {
     val ivfPq1Recall = recall(
       pairs(ProductQuant.ivfPqTopK(emb1, k = 5), "query_id", "neighbor_id"), exact1)
 
+    // Production PQ operating point: ks=256 (1 byte/code) on the packed
+    // binary layout, plus the measured code footprint in bytes/vector.
+    val pqKs256Recall = recall(
+      pairs(ProductQuant.pqTopK(emb1, k = 5, ks = 256), "query_id", "neighbor_id"), exact1)
+    val books256 = ProductQuant.pqCodebooks(emb1, m = 16, ks = 256)
+    val bytesPerVector = ProductQuant.pqEncodePacked(emb1, books256)
+      .agg(avg(octet_length(col("codes")))).head().getDouble(0)
+
     // Sampled Lloyd fit — the 100 TB fit path (spark.graft.ivf
     // .fitFraction): centroids from a deterministic hash-sampled half of
     // the corpus, full corpus assigned and probed. Measured HERE, on the
@@ -198,6 +206,9 @@ object RecallProbe {
          |      "exact_pairs": ${exact1.size}, "config": "m=16, ks=32, rerank=auto (2*sqrt(N)=90)"},
          |    "sim_ann_ivfpq": {"recall_at_k": $ivfPq1Recall%.4f, "k": 5, "queries": ${emb1.count()},
          |      "exact_pairs": ${exact1.size}, "config": "auto nlist=45/nprobe=29, m=16, ks=32, rerank=auto"},
+         |    "sim_ann_pq_ks256": {"recall_at_k": $pqKs256Recall%.4f, "k": 5, "queries": ${emb1.count()},
+         |      "exact_pairs": ${exact1.size}, "bytes_per_vector": $bytesPerVector%.1f,
+         |      "config": "m=16, ks=256 (1 byte/code), packed binary codes, rerank=auto"},
          |    "sim_ann_ivf_sampled_fit": {"recall_at_k": $ivfSampledRecall%.4f, "k": 5,
          |      "exact_pairs": ${exact1.size}, "asserted_min": 0.85,
          |      "config": "fitFraction=0.5, nlist=16, nprobe=10, full table",
@@ -212,7 +223,7 @@ object RecallProbe {
 
     val ok = lshRecall >= 0.9 && ivfRecall >= 0.9 && lshQRecall >= 0.9 && ivfQRecall >= 0.9 &&
       ivfAutoRecall >= 0.9 && ivfSampledRecall >= 0.85 && dupRecall >= 0.9 &&
-      pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 &&
+      pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 && pqKs256Recall >= 0.9 &&
       ivfPqRecall >= 0.9 && ivfPq1Recall >= 0.9 &&
       lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9
     println(s"[recall-probe] all above asserted minimums: $ok")

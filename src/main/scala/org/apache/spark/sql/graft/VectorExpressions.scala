@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -162,6 +162,88 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack an `array<int>` of small codes into a `binary` column, one byte
+  * per element (values taken mod 256) — the production PQ code layout
+  * (ks ≤ 256 codewords → 1 byte/subspace → m bytes/vector, vs ~4·m + 16
+  * for the `array<int>` form). Same design notes as [[FloatVectorCosine]].
+  */
+case class IntArrayToBytes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "int_array_to_bytes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val out = new Array[Byte](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = (arr.getInt(i) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+      |int $n = $a.numElements();
+      |byte[] $out = new byte[$n];
+      |for (int $i = 0; $i < $n; $i++) { $out[$i] = (byte)($a.getInt($i) & 0xff); }
+      |${ev.value} = $out;
+      |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IntArrayToBytes =
+    copy(child = newChild)
+}
+
+/** The PQ ADC hot-path in ONE codegen'd loop: score = Σᵢ
+  * tab[offsets(i) + codes(i)] over the packed byte codes — `m` array
+  * lookups per candidate pair with zero per-subspace expression
+  * overhead (the previous formulation chained m `element_at` calls).
+  * `offsets` are the flattened per-subspace table offsets (a compile-time
+  * constant of the codebook layout, not a column). Unsigned byte
+  * semantics: code 255 = codeword 255, so ks=256 round-trips.
+  */
+case class PqAdcScoreBytes(left: Expression, right: Expression, offsets: Seq[Int])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score_bytes"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val tab = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.length, offsets.length)
+    var s = 0.0; var i = 0
+    while (i < m) { s += tab.getDouble(offsets(i) + (codes(i) & 0xff)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val off = ctx.addReferenceObj("pqOffsets", offsets.toArray, "int[]")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+      |int $m = java.lang.Math.min($a.length, $off.length);
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $m; $i++) {
+      |  $s += $b.getDouble($off[$i] + ($a[$i] & 0xff));
+      |}
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreBytes =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd cosine similarity of two `array<float>` columns. */
   def cosine(a: Column, b: Column): Column =
@@ -177,4 +259,15 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Pack an `array<int>` of codes (each < 256) into one byte each. */
+  def packBytes(codes: Column): Column =
+    ExpressionUtils.column(IntArrayToBytes(ExpressionUtils.expression(codes)))
+
+  /** Codegen'd PQ ADC score over packed byte codes and a flattened
+    * per-query lookup table, with constant per-subspace offsets.
+    */
+  def pqAdcScore(codes: Column, tab: Column, offsets: Seq[Int]): Column =
+    ExpressionUtils.column(PqAdcScoreBytes(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(tab), offsets))
 }

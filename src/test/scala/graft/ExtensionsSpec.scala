@@ -195,6 +195,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("packed PQ codes: byte layout round-trips and fused ADC matches element_at") {
+    import graft.operators.ProductQuant
+    import org.apache.spark.sql.graft.VectorExpressions
+    // ks=256 exercises the full unsigned-byte range (codes up to 255).
+    val books = ProductQuant.pqCodebooks(emb, m = 8, ks = 256, refineIters = 1)
+    val unpacked = ProductQuant.pqEncode(emb, books)
+    val packed = ProductQuant.pqEncodePacked(emb, books)
+    val joined = unpacked.join(packed.withColumnRenamed("codes", "bcodes"), Seq("id"))
+      .select(col("codes"), col("bcodes")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val arr = r.getSeq[Int](0)
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(bytes.length == arr.length, "packed length != m")
+      arr.indices.foreach(i =>
+        assert((bytes(i) & 0xff) == arr(i), s"byte $i: ${bytes(i) & 0xff} != ${arr(i)}"))
+    }
+    // Fused ADC loop == the chained element_at formulation, bit-exact.
+    val sizes = books.groupBy("m").count().orderBy("m").collect().map(_.getLong(1).toInt)
+    val offsets = sizes.scanLeft(0)(_ + _).dropRight(1)
+    val tab = array((0 until sizes.sum).map(i => lit(i * 0.125 - 3.0)): _*)
+    val viaElementAt = sizes.indices
+      .map(mi => element_at(tab, element_at(col("codes"), mi + 1) + lit(offsets(mi) + 1)))
+      .reduce(_ + _)
+    val cmp = unpacked.join(packed.withColumnRenamed("codes", "bcodes"), Seq("id"))
+      .select(
+        viaElementAt.as("ref"),
+        VectorExpressions.pqAdcScore(col("bcodes"), tab, offsets.toSeq).as("fused"))
+      .collect()
+    cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"ADC drift: $r"))
+  }
+
+  test("PQ ANN at the ks=256 production point keeps recall") {
+    import graft.operators.ProductQuant
+    val k = 3
+    val subset = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(subset, subset, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ProductQuant.pqTopK(subset, k, ks = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ks=256 PQ recall $recall below the 0.9 bar")
+  }
+
   test("IVF-PQ ANN: coarse routing + ADC + exact re-rank keeps recall") {
     import graft.operators.ProductQuant
     val k = 3
