@@ -433,6 +433,195 @@ object StreamingPredicates {
       .dropDuplicatesWithinWatermark("__ehash", "__elen")
       .drop("__ehash", "__elen")
 
+  /** One (band, bucket)-routed copy of an incoming document for
+    * [[minhashNearDupStream]]: carries the FULL bucket vector (all bands)
+    * so any two colliding docs can agree on the lowest band they share —
+    * the exactly-once emission rule — plus the packed distinct-shingle
+    * set for exact-Jaccard verification in state.
+    */
+  final case class BandedDoc(
+      band: Int,
+      bucket: Long,
+      doc_id: Long,
+      timestamp: java.sql.Timestamp,
+      buckets: Array[Long],
+      packed: String) {
+    def tsMicros: Long = (timestamp.getTime / 1000L) * 1000000L + timestamp.getNanos / 1000L
+  }
+
+  /** Per-bucket state for [[minhashNearDupStream]]: parallel flat arrays,
+    * one entry per live doc (`buckets` row-major with stride = bands —
+    * nested collections break state encoders, see [[TriggerState]]).
+    * `saturated` latches once the live population exceeds the bucket cap:
+    * the stored docs are dropped and the bucket emits nothing more until
+    * its state expires (the streaming face of the batch skew guard).
+    */
+  final case class BucketDocsState(
+      ids: Array[Long],
+      ts: Array[Long],
+      packed: Array[String],
+      buckets: Array[Long],
+      saturated: Boolean)
+
+  /** One verified near-duplicate pair (doc_a < doc_b, exact Jaccard). */
+  final case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Streaming MinHash near-dup detection on the ingest path — the
+    * banding-with-TTL analogue of batch
+    * [[graft.operators.Dedup.minhashLshIncremental]], for the pipeline
+    * stage AFTER [[dedupExactStream]] (exact duplicates never reach
+    * banding — the same division of labor as the batch pre-pass, which is
+    * a no-op on an exact-dedup'd stream).
+    *
+    * Shape: each doc computes its signature + band buckets map-side (the
+    * SAME xxhash64 values as the batch band rows, so stream and batch
+    * agree bucket-for-bucket), then routes one copy per band to a
+    * `(band, bucket)` state group holding the bucket's live docs. An
+    * arriving doc pairs against the live docs, verifies with EXACT
+    * Jaccard over the packed distinct-shingle sets, and is appended.
+    *
+    * Exactly-once pairs without cross-group state: every doc carries its
+    * full bucket vector, so both sides of a collision can compute the
+    * LOWEST band they share — only that band's group emits the pair.
+    * (Divergence from batch at the cap: if that lowest band's bucket is
+    * saturated the pair is lost even when a higher band's bucket is
+    * small; the batch cap lets any surviving band report it. Size caps
+    * are a skew guard — parity holds whenever buckets stay under the
+    * cap.)
+    *
+    * State: live docs per bucket, evicted once the watermark passes
+    * `arrival + ttlMicros` — a duplicate arriving after its original
+    * expired is NOT paired (finite-state trade, same as
+    * [[dedupExactStream]]; the persisted-corpus batch pass catches it).
+    * `ttlMicros = Long.MaxValue` keeps state forever (tests/backfills
+    * only). Doc ids must be unique across the stream.
+    *
+    * @param docs streaming frame with a `timestamp` column (watermarked
+    *             by the caller — required for eviction), `textCol`,
+    *             `idCol`. Docs too short to shingle are passed through
+    *             unbanded (never paired), as in batch.
+    * @return one row per verified pair: (doc_a, doc_b, jaccard).
+    */
+  def minhashNearDupStream(
+      docs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 64,
+      ttlMicros: Long = Long.MaxValue,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Dataset[NearDupPair] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sep = "\u0000"
+
+    val bucketCols = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(i => element_at(col("__sig"), b * rowsPerBand + i + 1)): _*)
+    }
+    implicit val bandedEnc = Encoders.product[BandedDoc]
+    val banded = docs
+      .withColumn("__sh", graft.functions.Texts.distinctShingles(col(textCol), shingleN))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", graft.operators.Dedup.minhashSignature(col(textCol), numHashes, shingleN))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        col("timestamp"),
+        concat_ws(sep, col("__sh")).as("packed"),
+        array(bucketCols: _*).as("buckets"))
+      .select(
+        col("doc_id"), col("timestamp"), col("packed"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .select("band", "bucket", "doc_id", "timestamp", "buckets", "packed")
+      .as[BandedDoc]
+
+    implicit val pairEnc = Encoders.product[NearDupPair]
+    implicit val stateEnc = Encoders.product[BucketDocsState]
+    def satAdd(a: Long, b: Long): Long =
+      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
+    banded
+      .groupByKey(d => (d.band, d.bucket))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState[BucketDocsState, NearDupPair](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketDocsState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val band = key._1
+          val prev = state.getOption.getOrElse(
+            BucketDocsState(Array.empty, Array.empty, Array.empty, Array.empty, saturated = false))
+
+          // Saturated latch: ids empty, ts = [last arrival]. It clears
+          // (fresh bucket) once the watermark passes lastArrival + TTL.
+          var saturated = prev.saturated &&
+            !(prev.ts.nonEmpty && satAdd(prev.ts(0), ttlMicros) <= wmMicros)
+          // Evict live entries whose TTL the watermark has passed.
+          val liveIdx =
+            if (saturated) Seq.empty
+            else prev.ids.indices.filter(j => satAdd(prev.ts(j), ttlMicros) > wmMicros)
+          val ids = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.ids): _*)
+          val ts = scala.collection.mutable.ArrayBuffer(
+            (if (saturated) prev.ts.toSeq else liveIdx.map(prev.ts)): _*)
+          val packed = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.packed): _*)
+          val bkts = scala.collection.mutable.ArrayBuffer(
+            liveIdx.flatMap(j => (0 until bands).map(i => prev.buckets(j * bands + i))): _*)
+
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          rows.toSeq.sortBy(d => (d.tsMicros, d.doc_id)).foreach { d =>
+            if (d.tsMicros > wmMicros) {
+              if (saturated) {
+                // Dark bucket: arrivals only refresh the latch's clock.
+                ts(0) = math.max(ts(0), d.tsMicros)
+              } else if (ids.length + 1 > maxBucketSize) {
+                // Skew guard: this bucket's live population blew the cap —
+                // drop its docs and go dark until the latch expires.
+                saturated = true
+                ids.clear(); packed.clear(); bkts.clear()
+                ts.clear(); ts += d.tsMicros
+              } else {
+                val dSet = d.packed.split(sep).toSet
+                var j = 0
+                while (j < ids.length) {
+                  if (ids(j) != d.doc_id) {
+                    // Lowest shared band: the one group allowed to emit.
+                    var mb = -1
+                    var i = 0
+                    while (mb < 0 && i < bands) {
+                      if (bkts(j * bands + i) == d.buckets(i)) mb = i
+                      i += 1
+                    }
+                    if (mb == band) {
+                      val eSet = packed(j).split(sep).toSet
+                      val inter = dSet.intersect(eSet).size
+                      val uni = dSet.size + eSet.size - inter
+                      val jac = if (uni == 0) 0.0 else inter.toDouble / uni
+                      if (jac >= threshold)
+                        out += NearDupPair(
+                          math.min(ids(j), d.doc_id), math.max(ids(j), d.doc_id), jac)
+                    }
+                  }
+                  j += 1
+                }
+                ids += d.doc_id; ts += d.tsMicros; packed += d.packed
+                bkts ++= d.buckets
+              }
+            }
+          }
+
+          if (ids.isEmpty && !saturated) state.remove()
+          else {
+            state.update(BucketDocsState(
+              ids.toArray, ts.toArray, packed.toArray, bkts.toArray, saturated))
+            if (ttlMicros < Long.MaxValue && ts.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(satAdd(ts.min, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

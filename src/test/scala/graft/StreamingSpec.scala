@@ -394,6 +394,91 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("minhashNearDupStream matches batch incremental dedup on a shard sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+
+    // The production upstream is dedupExactStream, so the banding stage
+    // sees distinct texts — mirror that with one representative per text
+    // (min doc_id, the batch pre-pass's choice).
+    val docsD = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    val rows = docsD.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (shard1, shard2) = rows.partition(_._1 < 250)
+    val threshold = 0.5
+
+    // Batch counterpart on the SAME shard sequence: full run on shard 1,
+    // then incremental shard 2 vs shard 1's persisted index.
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val s1df = spark.createDataFrame(shard1.toSeq).toDF("doc_id", "text")
+    val s2df = spark.createDataFrame(shard2.toSeq).toDF("doc_id", "text")
+    val batchPairs =
+      pairSet(Dedup.minhashLsh(s1df, threshold)) ++
+        pairSet(Dedup.minhashLshIncremental(s2df, Dedup.minhashIndex(s1df), threshold))
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "timestamp", "text")
+      .withWatermark("timestamp", "1 hour")
+    val out = StreamingPredicates.minhashNearDupStream(docs, threshold)
+    val query = out.writeStream
+      .format("memory").queryName("neardup_stream").outputMode("append").start()
+    try {
+      input.addData(shard1.map { case (id, t) => (id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(shard2.map { case (id, t) => (id, ts("2024-01-01 10:30:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+
+      val streamed = pairSet(spark.table("neardup_stream"))
+      assert(streamed == batchPairs,
+        s"stream/batch divergence: stream-only=${streamed.diff(batchPairs).take(5)} " +
+          s"batch-only=${batchPairs.diff(streamed).take(5)} " +
+          s"(${streamed.size} streamed vs ${batchPairs.size} batch)")
+      assert(batchPairs.nonEmpty, "fixture corpus must actually contain near-dups")
+    } finally query.stop()
+  }
+
+  test("minhashNearDupStream evicts bucket state after the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sleepy pelicans watch from the old wooden pier near the harbor wall"
+    val variant1 = base.replace("seventeen", "nineteen")
+    val variant2 = base.replace("harbor", "marina")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "timestamp", "text")
+      .withWatermark("timestamp", "0 seconds")
+    val out = StreamingPredicates.minhashNearDupStream(
+      docs, threshold = 0.5, ttlMicros = 3600L * 1000000L)
+    val query = out.writeStream
+      .format("memory").queryName("neardup_ttl").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), base),
+        (2L, ts("2024-01-01 10:05:00"), variant1))
+      query.processAllAvailable()
+      // March the watermark past 10:05 + TTL with an unrelated doc.
+      input.addData((100L, ts("2024-01-01 20:00:00"), "something entirely different here"))
+      query.processAllAvailable()
+      // Docs 1/2 expired: their near-dup finds nothing to pair with...
+      input.addData((3L, ts("2024-01-01 20:10:00"), variant2))
+      query.processAllAvailable()
+      // ...but live state still pairs: doc 4 against doc 3.
+      input.addData((4L, ts("2024-01-01 20:15:00"), base))
+      query.processAllAvailable()
+
+      val pairs = spark.table("neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (3L, 4L)),
+        s"expected the pre-TTL pair and the post-TTL fresh pair only; got $pairs")
+    } finally query.stop()
+  }
+
   test("cumulativeCounts keeps running per-subject totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
