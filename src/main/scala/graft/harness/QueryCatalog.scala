@@ -679,6 +679,18 @@ object QueryCatalog {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    Q("dedup_semantic", (s, dir) =>
+      // SemDeDup (Abbas et al. 2023): IVF clusters bound the quadratic
+      // cosine comparison; within a duplicate relation the member
+      // closest to its centroid drops (keep-the-least-typical).
+      // Hash-seeded centroids → golden fixture; precision/pair-recall
+      // vs the exact all-pairs oracle asserted in ExtensionsSpec and
+      // committed in RECALL.json.
+      Dedup.semDeDup(emb(s, dir), threshold = 0.4, nlist = 16, nprobe = 2)
+        .select(col("vec_id"), col("cid"), round(col("csim"), 3).as("csim"), col("keep"))
+        .orderBy("vec_id"),
+      None),
+
     Q("dedup_clusters", (s, dir) =>
       // Connected components over the exact n-gram-Jaccard pair graph —
       // pairs → duplicate clusters → keep min-id representative. The

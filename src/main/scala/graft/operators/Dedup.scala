@@ -475,6 +475,88 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup semantic dedup (Abbas, Tirumala, Simig, Ganguli & Morcos,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023, arXiv:2303.09540): cluster
+    * the embedding space with the IVF coarse quantizer
+    * ([[Similarity.ivfCentroids]] — k-means, hash-seeded), compare
+    * cosine ONLY within a cluster, and whenever two members are semantic
+    * duplicates (cosine ≥ threshold) drop the one MORE similar to its
+    * cluster centroid — the paper's keep-the-least-typical rule (ties
+    * broken by ascending id). A member is kept iff no preceding member
+    * (lower centroid-sim, then lower id) in its cluster duplicates it —
+    * one local, deterministic pass, no iterative components.
+    *
+    * Scale shape (the paper's tractability argument): clustering bounds
+    * the quadratic comparison to within-cluster pairs — O(N²/nlist)
+    * total at balanced clusters, and the auto `nlist = ⌈√N⌉` makes that
+    * O(N^1.5). The only corpus-sized exchange is the self-join keyed on
+    * the cluster id (parallelism = nlist); centroid assignment and
+    * scoring are map-side against the broadcast centroid array (zero
+    * exchanges). Duplicate relations that cross cluster boundaries are
+    * missed by design; `nprobe > 1` soft-assigns each vector to its
+    * `nprobe` nearest clusters for the comparison (relations compared
+    * when ANY probed cluster is shared), recovering boundary pairs for
+    * an `nprobe×` comparison volume — measured pair recall vs the exact
+    * all-pairs oracle is committed in RECALL.json and asserted in
+    * ExtensionsSpec. `nprobe = 1` is the paper's exact procedure.
+    *
+    * @return (idCol, cid, csim, keep) — one row per input vector: its
+    *         primary cluster, centroid cosine, and the keep/drop
+    *         decision.
+    */
+  def semDeDup(
+      vectors: DataFrame,
+      threshold: Double = 0.95,
+      nlist: Int = 0,
+      nprobe: Int = 1,
+      refineIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val resolvedNlist = Similarity.resolveNlist(vectors, nlist, idCol)
+    val cents = graft.plans.Materialize(
+      Similarity.ivfCentroids(vectors, resolvedNlist, refineIters, idCol, vecCol),
+      eager = true)
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // One probed row per (vector, one of its nprobe nearest clusters);
+    // cid/csim stay the PRIMARY cluster — the keep order and the output
+    // are single-assignment regardless of nprobe.
+    val probed = Similarity.scoredCentroids(base, cents)
+      .select(
+        col("id"),
+        col("v"),
+        element_at(col("ranked"), 1).getField("cid").as("cid"),
+        element_at(col("ranked"), 1).getField("csim").as("csim"),
+        explode(slice(col("ranked"), 1, nprobe)).as("t"))
+      .select(col("id"), col("v"), col("cid"), col("csim"), col("t.cid").as("pcid"))
+
+    // x drops when some y sharing a probed cluster and PRECEDING it in
+    // the keep order (ascending centroid-sim, ties by id) has
+    // cosine(x, y) >= threshold. The cheap precedence predicate runs
+    // before the cosine.
+    val other = probed
+      .select(col("pcid"), col("id").as("idb"), col("v").as("vb"), col("csim").as("csimb"))
+    val dropped = probed.join(other, Seq("pcid"))
+      .filter(col("idb") =!= col("id"))
+      .filter(col("csimb") < col("csim") ||
+        (col("csimb") === col("csim") && col("idb") < col("id")))
+      .filter(Similarity.cosine(col("v"), col("vb")) >= threshold)
+      .select(col("id"))
+      .distinct()
+
+    probed
+      .select(col("id"), col("cid"), col("csim"))
+      .dropDuplicates("id")
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("cid"),
+        col("csim"),
+        not(coalesce(col("__drop"), lit(false))).as("keep"))
+  }
+
   /** Incremental embedding near-dup: an incoming shard of vectors against
     * the standing corpus — the ingest-loop shape ([[minhashLshIncremental]]
     * for embeddings). The hyperplane signatures are DETERMINISTIC

@@ -99,6 +99,24 @@ object RecallProbe {
       Dedup.embeddingNearDup(emb, threshold = 0.4, bands = 32, bitsPerBand = 2), "doc_a", "doc_b")
     val dupRecall = recall(dupGot, dupExact)
 
+    // dedup_semantic — SemDeDup pair recall: fraction of exact near-dup
+    // pairs with at least one member dropped (cross-cluster relations
+    // are invisible to the intra-cluster comparison — the measured cost
+    // of the paper's O(N²/nlist) bound). Precision is 1.0 by
+    // construction (drops require a verified cosine >= threshold).
+    val semKeep = Dedup.semDeDup(emb, threshold = 0.4, nlist = 16, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val semRecall =
+      if (dupExact.isEmpty) 1.0
+      else dupExact.count(p => !semKeep(p._1) || !semKeep(p._2)).toDouble / dupExact.size
+    // The paper-exact single-assignment recall, for the committed record
+    // of what nprobe=2 buys on a near-uniform (worst-case) corpus.
+    val semKeep1 = Dedup.semDeDup(emb, threshold = 0.4, nlist = 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val semRecall1 =
+      if (dupExact.isEmpty) 1.0
+      else dupExact.count(p => !semKeep1(p._1) || !semKeep1(p._2)).toDouble / dupExact.size
+
     // ── sf0.1 — the bench-scale corpus (2000 embeddings, 4x sf0.01):
     // the same operators and assertions on the next scale factor up, so
     // the >=0.9 claims are not an artifact of the 500-vector table.
@@ -193,6 +211,10 @@ object RecallProbe {
          |    "exact_pairs": ${ivfExact.size}, "config": "auto nlist/nprobe, m=16, ks=32, rerank=auto"},
          |  "dedup_embedding_lsh": {"pair_recall": $dupRecall%.4f, "threshold": 0.4,
          |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0},
+         |  "dedup_semantic": {"pair_recall": $semRecall%.4f, "threshold": 0.4,
+         |    "exact_pairs": ${dupExact.size},
+         |    "config": "SemDeDup, nlist=16, nprobe=2 soft assignment, keep-least-typical",
+         |    "paper_exact_nprobe1_recall": $semRecall1%.4f, "precision": 1.0},
          |  "sf0.1": {
          |    "sim_ann_lsh": {"recall_at_k": $lsh1Recall%.4f, "k": 5, "queries": ${emb1.count()},
          |      "exact_pairs": ${exact1.size}, "config": "bands=32, bitsPerBand=4"},

@@ -195,6 +195,49 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup: precision 1.0, intra-cluster completeness, measured pair recall") {
+    val threshold = 0.4
+    val out = Dedup.semDeDup(emb, threshold = threshold, nlist = 8, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+
+    // Local exact all-pairs oracle.
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val exactPairs = for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      if cos(vecs(a), vecs(b)) >= threshold
+    } yield (a, b)
+
+    assert(out.keySet == vecs.keySet, "one decision row per input vector")
+    // Precision 1.0: a dropped vector really has a semantic duplicate.
+    val withDup = exactPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val droppedIds = out.collect { case (id, (_, false)) => id }.toSet
+    assert(droppedIds.subsetOf(withDup),
+      s"false drops: ${droppedIds.diff(withDup).take(5)}")
+    // Intra-cluster completeness: a duplicate pair sharing a cluster
+    // cannot keep both members (the later one in the keep order drops).
+    exactPairs.filter(p => out(p._1)._1 == out(p._2)._1).foreach { p =>
+      assert(!(out(p._1)._2 && out(p._2)._2),
+        s"intra-cluster dup pair $p kept both members")
+    }
+    // Measured pair recall (cross-cluster pairs are missed by design):
+    // the fixture corpus must stay above the committed RECALL.json bar.
+    if (exactPairs.nonEmpty) {
+      val covered = exactPairs.count(p => !out(p._1)._2 || !out(p._2)._2)
+      val recall = covered.toDouble / exactPairs.size
+      assert(recall >= 0.5, s"semantic-dedup pair recall $recall below 0.5 on the fixture")
+    }
+  }
+
   test("packed PQ codes: byte layout round-trips and fused ADC matches element_at") {
     import graft.operators.ProductQuant
     import org.apache.spark.sql.graft.VectorExpressions
