@@ -14,12 +14,20 @@ import org.apache.spark.sql.types._
   * independent code paths, so the oracle genuinely exercises the parse.
   *
   * Parameter map (id = doc_id):
-  *   - id % 3 == 0 → MP4:  width 16 + id%64, height 16 + (7·id)%64,
+  *   - id % 6 == 0 → MP4:  width 16 + id%64, height 16 + (7·id)%64,
   *     timescale 1000, duration 500 + id%1000 ticks → duration_ms same.
-  *   - id % 3 == 1 → MP3:  MPEG-1 Layer III, 128 kbps, 44100 Hz,
+  *   - id % 6 == 1 → MP3:  MPEG-1 Layer III, 128 kbps, 44100 Hz,
   *     5 + id%20 frames → duration_ms = frames·1152·1000 / 44100 (floor).
-  *   - id % 3 == 2 → WebM: width 32 + id%128, height 32 + (3·id)%128,
+  *   - id % 6 == 2 → WebM: width 32 + id%128, height 32 + (3·id)%128,
   *     TimecodeScale 1 000 000 ns, Duration 250 + id%500 ticks (ms).
+  *   - id % 6 == 3 → FLAC: 44100 Hz, total samples (10 + id%50)·4410 →
+  *     duration_ms = (10 + id%50)·100 exactly.
+  *   - id % 6 == 4 → Ogg/Vorbis: 44100 Hz, nominal 112000 bps → 112
+  *     kbps, last-page granule (20 + id%100)·441 →
+  *     duration_ms = (20 + id%100)·10 exactly.
+  *   - id % 6 == 5 → AAC ADTS: 44100 Hz, 3 + id%15 frames of 200 bytes,
+  *     1024 samples each → duration_ms = frames·1024·1000 / 44100
+  *     (floor), bitrate_kbps = frames·200·8 / duration_ms (floor).
   */
 object MediaFixtures {
 
@@ -123,10 +131,76 @@ object MediaFixtures {
     ebml ++ segment
   }
 
-  def payloadFor(id: Long): Array[Byte] = (id % 3) match {
+  def flacPayload(id: Long): Array[Byte] = {
+    val totalSamples = (10 + id % 50) * 4410
+    val o = new ByteArrayOutputStream()
+    o.write("fLaC".getBytes("US-ASCII"))
+    o.write(0x80) // last block + type 0 (STREAMINFO)
+    o.write(0); be16(o, 34) // 3-byte length
+    be16(o, 4096); be16(o, 4096) // min/max block size
+    o.write(new Array[Byte](6))  // min/max frame size (unknown)
+    // 20-bit sample rate 44100 | 3-bit channels-1 (1) | 5-bit bps-1 (15)
+    // | 36-bit total samples, packed MSB-first into 8 bytes.
+    val sr = 44100L
+    val packed = (sr << 44) | (1L << 41) | (15L << 36) | totalSamples
+    (0 until 8).foreach(i => o.write(((packed >>> (8 * (7 - i))) & 0xff).toInt))
+    o.write(new Array[Byte](16)) // MD5
+    o.toByteArray
+  }
+
+  def oggPayload(id: Long): Array[Byte] = {
+    val granule = (20 + id % 100) * 441
+    def le32o(o: ByteArrayOutputStream, v: Long): Unit =
+      (0 until 4).foreach(i => o.write(((v >>> (8 * i)) & 0xff).toInt))
+    def page(typeFlag: Int, gran: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255)
+      val o = new ByteArrayOutputStream()
+      o.write("OggS".getBytes("US-ASCII")); o.write(0); o.write(typeFlag)
+      (0 until 8).foreach(i => o.write(((gran >>> (8 * i)) & 0xff).toInt))
+      le32o(o, 0x6772L); le32o(o, seq.toLong); le32o(o, 0L) // serial, seq, crc (unchecked)
+      o.write(1); o.write(payload.length) // one lacing segment
+      o.write(payload)
+      o.toByteArray
+    }
+    val idHeader = {
+      val o = new ByteArrayOutputStream()
+      o.write(0x01); o.write("vorbis".getBytes("US-ASCII"))
+      le32o(o, 0L)      // version
+      o.write(2)        // channels
+      le32o(o, 44100L)  // sample rate
+      le32o(o, 0L); le32o(o, 112000L); le32o(o, 0L) // br max/nominal/min
+      o.write(0xb8); o.write(0x01) // blocksizes + framing
+      o.toByteArray
+    }
+    page(0x02, 0L, 0, idHeader) ++ page(0x04, granule, 1, Array[Byte](0x00))
+  }
+
+  def adtsPayload(id: Long): Array[Byte] = {
+    val frames = (3 + id % 15).toInt
+    val frameLen = 200
+    val o = new ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      o.write(0xff); o.write(0xf1)  // sync + MPEG-4 + layer 00 + no CRC
+      o.write((1 << 6) | (4 << 2))  // AAC-LC, sample-rate index 4 (44100)
+      o.write((2 << 6) | ((frameLen >> 11) & 0x03)) // 2 channels + len hi
+      o.write((frameLen >> 3) & 0xff)               // len mid
+      o.write(((frameLen & 0x07) << 5) | 0x1f)      // len lo + buffer fullness
+      o.write(0xfc)                                 // fullness lo + rdb = 0 (1 block)
+      var i = 7
+      while (i < frameLen) { o.write(((id + f + i) & 0xff).toInt); i += 1 }
+      f += 1
+    }
+    o.toByteArray
+  }
+
+  def payloadFor(id: Long): Array[Byte] = (id % 6) match {
     case 0 => mp4Payload(id)
     case 1 => mp3Payload(id)
-    case _ => webmPayload(id)
+    case 2 => webmPayload(id)
+    case 3 => flacPayload(id)
+    case 4 => oggPayload(id)
+    case _ => adtsPayload(id)
   }
 
   private val mediaIdPayloadSchema = StructType(Seq(

@@ -1030,24 +1030,31 @@ object QueryCatalog {
 
     Q("multimodal_container_meta", (s, dir) => {
       // Container-envelope metadata WITHOUT a codec: MP4 box walk, WebM
-      // EBML walk, MP3 frame-header walk (Multimodal.containerMeta).
-      // Payloads are built per-id by MediaFixtures (independent writer
-      // code path) so the expected metadata is closed-form in doc_id and
-      // the oracle is plain SQL — a full round-trip check of the parsers.
+      // EBML walk, FLAC STREAMINFO, Ogg/Vorbis page walk, MP3 and AAC
+      // ADTS frame-header walks (Multimodal.containerMeta). Payloads are
+      // built per-id by MediaFixtures (independent writer code path) so
+      // the expected metadata is closed-form in doc_id and the oracle is
+      // plain SQL — a full round-trip check of the parsers.
       val ids = docs(s, dir).select(col("doc_id"))
       Multimodal.containerMeta(MediaFixtures.syntheticContainers(ids))
         .orderBy("media_id")
     }, Some("""SELECT doc_id AS media_id,
-              |  CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' ELSE 'webm' END AS container,
-              |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+              |  CASE doc_id % 6 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' WHEN 2 THEN 'webm'
+              |       WHEN 3 THEN 'flac' WHEN 4 THEN 'ogg' ELSE 'aac' END AS container,
+              |  CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 64
               |       WHEN 2 THEN 32 + doc_id % 128 END AS INT) AS width,
-              |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (7 * doc_id) % 64
+              |  CAST(CASE doc_id % 6 WHEN 0 THEN 16 + (7 * doc_id) % 64
               |       WHEN 2 THEN 32 + (3 * doc_id) % 128 END AS INT) AS height,
-              |  CAST(CASE doc_id % 3 WHEN 0 THEN 500 + doc_id % 1000
+              |  CAST(CASE doc_id % 6 WHEN 0 THEN 500 + doc_id % 1000
               |       WHEN 1 THEN ((5 + doc_id % 20) * 1152 * 1000) // 44100
-              |       ELSE 250 + doc_id % 500 END AS BIGINT) AS duration_ms,
-              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 128 END AS INT) AS bitrate_kbps,
-              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44100 END AS INT) AS sample_rate
+              |       WHEN 2 THEN 250 + doc_id % 500
+              |       WHEN 3 THEN (10 + doc_id % 50) * 100
+              |       WHEN 4 THEN (20 + doc_id % 100) * 10
+              |       ELSE ((3 + doc_id % 15) * 1024 * 1000) // 44100 END AS BIGINT) AS duration_ms,
+              |  CAST(CASE doc_id % 6 WHEN 1 THEN 128 WHEN 4 THEN 112
+              |       WHEN 5 THEN ((3 + doc_id % 15) * 200 * 8)
+              |            // (((3 + doc_id % 15) * 1024 * 1000) // 44100) END AS INT) AS bitrate_kbps,
+              |  CAST(CASE WHEN doc_id % 6 IN (1, 3, 4, 5) THEN 44100 END AS INT) AS sample_rate
               |FROM documents ORDER BY 1""".stripMargin), bench = true),
 
     Q("multimodal_framesample", (s, dir) => {

@@ -541,6 +541,122 @@ object Multimodal {
       Some(totalSamples * 1000L / sampleRate), Some(firstBitrate), Some(sampleRate)))
   }
 
+  /** FLAC (xiph.org spec): "fLaC" magic, then metadata blocks — the
+    * mandatory first STREAMINFO block (type 0, 34 bytes) packs the
+    * sample rate (20 bits), channels, bits/sample and the 36-bit total
+    * sample count; duration = samples / rate. Pure header arithmetic —
+    * no frame decode.
+    */
+  private[graft] def parseFlac(p: Array[Byte]): Option[ContainerMeta] = {
+    if (p.length < 8 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C') return None
+    var off = 4
+    while (off + 4 <= p.length) {
+      val blockType = p(off) & 0x7f
+      val last = (p(off) & 0x80) != 0
+      val len = (((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff))
+      val c = off + 4
+      if (blockType == 0 && len >= 34 && c + 18 <= p.length) {
+        val sr = ((p(c + 10) & 0xff) << 12) | ((p(c + 11) & 0xff) << 4) | ((p(c + 12) & 0xff) >> 4)
+        val totalSamples =
+          ((p(c + 13) & 0x0fL) << 32) | ((p(c + 14) & 0xffL) << 24) |
+            ((p(c + 15) & 0xffL) << 16) | ((p(c + 16) & 0xffL) << 8) | (p(c + 17) & 0xffL)
+        if (sr <= 0) return None
+        val durationMs = if (totalSamples > 0) Some(totalSamples * 1000L / sr) else None
+        return Some(ContainerMeta("flac", None, None, durationMs, None, Some(sr)))
+      }
+      if (last || len < 0) return None
+      off = c + len
+    }
+    None
+  }
+
+  /** Ogg (RFC 3533) page walk with a Vorbis identification header: the
+    * first page's packet ("vorbis") declares sample rate and
+    * nominal bitrate; the LAST page's granule position is the absolute
+    * sample count, so duration = granule / rate — exact even for VBR,
+    * mirroring the MP3 frame walk. CRCs are not verified (metadata walk,
+    * not integrity check).
+    */
+  private[graft] def parseOgg(p: Array[Byte]): Option[ContainerMeta] = {
+    if (p.length < 27 || p(0) != 'O' || p(1) != 'g' || p(2) != 'g' || p(3) != 'S') return None
+    def le64(b: Array[Byte], o: Int): Long =
+      (le32(b, o).toLong & 0xffffffffL) | ((le32(b, o + 4).toLong & 0xffffffffL) << 32)
+    var off = 0
+    var rate = 0
+    var nominalBps = 0
+    var lastGranule = -1L
+    var firstPage = true
+    while (off + 27 <= p.length &&
+      p(off) == 'O' && p(off + 1) == 'g' && p(off + 2) == 'g' && p(off + 3) == 'S') {
+      val granule = le64(p, off + 6)
+      val nsegs = p(off + 26) & 0xff
+      if (off + 27 + nsegs > p.length) return None
+      var payloadLen = 0
+      var s = 0
+      while (s < nsegs) { payloadLen += p(off + 27 + s) & 0xff; s += 1 }
+      val c = off + 27 + nsegs
+      if (c + payloadLen > p.length) return None
+      if (firstPage && payloadLen >= 28 && p(c) == 0x01 &&
+        p(c + 1) == 'v' && p(c + 2) == 'o' && p(c + 3) == 'r' &&
+        p(c + 4) == 'b' && p(c + 5) == 'i' && p(c + 6) == 's') {
+        rate = le32(p, c + 12)
+        nominalBps = le32(p, c + 20)
+      }
+      if (granule >= 0) lastGranule = math.max(lastGranule, granule)
+      firstPage = false
+      off = c + payloadLen
+    }
+    if (rate <= 0) return None
+    val durationMs = if (lastGranule > 0) Some(lastGranule * 1000L / rate) else None
+    Some(ContainerMeta("ogg", None, None, durationMs,
+      if (nominalBps > 0) Some(nominalBps / 1000) else None, Some(rate)))
+  }
+
+  private val adtsSampleRates = Array(
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350, 0, 0, 0)
+
+  /** AAC ADTS (ISO 14496-3): 12-bit sync + layer 00 frame headers with a
+    * 13-bit frame length; each frame carries (rdb + 1) × 1024 samples.
+    * Walking every frame sums exact samples (VBR-safe, like the MP3
+    * walk); the reported bitrate is the measured average over the walked
+    * bytes (ADTS declares none).
+    */
+  private[graft] def parseAdts(p: Array[Byte]): Option[ContainerMeta] = {
+    var off = 0
+    var frames = 0L
+    var totalSamples = 0L
+    var totalBytes = 0L
+    var sampleRate = 0
+    while (off + 7 <= p.length) {
+      if ((p(off) & 0xff) != 0xff || (p(off + 1) & 0xf6) != 0xf0) {
+        return finishAdts(frames, totalSamples, totalBytes, sampleRate)
+      }
+      val srIdx = (p(off + 2) >> 2) & 0x0f
+      val sr = adtsSampleRates(srIdx)
+      val frameLen = ((p(off + 3) & 0x03) << 11) | ((p(off + 4) & 0xff) << 3) | ((p(off + 5) & 0xff) >> 5)
+      val rdb = (p(off + 6) & 0x03) + 1
+      if (sr <= 0 || frameLen < 7) return None
+      if (frames == 0) sampleRate = sr
+      else if (sr != sampleRate) return None // fixed per stream
+      frames += 1
+      totalSamples += rdb * 1024L
+      totalBytes += frameLen
+      off += frameLen
+    }
+    finishAdts(frames, totalSamples, totalBytes, sampleRate)
+  }
+
+  private def finishAdts(
+      frames: Long, totalSamples: Long, totalBytes: Long, sampleRate: Int
+  ): Option[ContainerMeta] =
+    if (frames == 0) None
+    else {
+      val durationMs = totalSamples * 1000L / sampleRate
+      val kbps = if (durationMs > 0) Some((totalBytes * 8L / durationMs).toInt) else None
+      Some(ContainerMeta("aac", None, None, Some(durationMs), kbps, Some(sampleRate)))
+    }
+
   val containerMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("container", StringType, nullable = false),
@@ -552,9 +668,12 @@ object Multimodal {
   ))
 
   /** Partition-wise container-metadata extraction, dispatching on magic
-    * bytes: MP4 ("ftyp" at offset 4), WebM (EBML header), MP3 (ID3 tag or
-    * frame sync). Unrecognized payloads → container "opaque", all fields
-    * null. Same batch shape as [[decodeMedia]].
+    * bytes: MP4 ("ftyp" at offset 4), WebM (EBML header), FLAC ("fLaC"),
+    * Ogg ("OggS"), MP3 (ID3 tag or frame sync), AAC ADTS (layer-00
+    * sync) — the MP3/ADTS syncwords overlap, but each parser's
+    * layer-bits check rejects the other's frames, so the order is safe.
+    * Unrecognized payloads → container "opaque", all fields null. Same
+    * batch shape as [[decodeMedia]].
     */
   def containerMeta(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
@@ -570,7 +689,8 @@ object Multimodal {
             // on a corrupt/adversarial payload degrades that row to
             // "opaque" — a 100 TB scan must never die on one bad blob.
             val meta = scala.util.Try(
-              parseMp4(p).orElse(parseWebm(p)).orElse(parseMp3(p)))
+              parseMp4(p).orElse(parseWebm(p)).orElse(parseFlac(p)).orElse(parseOgg(p))
+                .orElse(parseMp3(p)).orElse(parseAdts(p)))
               .toOption.flatten
               .getOrElse(ContainerMeta("opaque", None, None, None, None, None))
             Row(id, meta.container,

@@ -92,15 +92,21 @@ object ProductQuant {
         pmod(xxhash64(col("id"), lit("pq-fit")), lit(1000000L)) <
           lit((fitFraction * 1000000).toLong))
 
+    // Dense 0-based numbering of ≤ks rows WITHOUT a partition-less
+    // window (WindowExec's single-partition warning would drown out
+    // real ones in CI logs): collapse to one row, sort, posexplode —
+    // the position IS the dense id. Only ever applied to ≤ks rows.
+    def denseIds(df: DataFrame, orderCol: String, payloadCol: String): DataFrame =
+      df.groupBy()
+        .agg(sort_array(collect_list(struct(col(orderCol), col(payloadCol)))).as("__arr"))
+        .select(posexplode(col("__arr")).as(Seq("cid", "__t")))
+        .select(col("cid"), col(s"__t.$payloadCol").as("cv"))
+
     val books = (0 until m).map { mi =>
       val sb = fitBase.select(col("id"), slice(col("v"), mi * sub + 1, sub).as("sv"))
-      var cents = sb
-        .withColumn("__h", xxhash64(col("id"), lit(mi)))
-        .orderBy("__h")
-        .limit(ks)
-        .select(
-          (row_number().over(Window.orderBy("__h")) - 1).as("cid"),
-          col("sv").as("cv"))
+      var cents = denseIds(
+        sb.withColumn("__h", xxhash64(col("id"), lit(mi))).orderBy("__h").limit(ks),
+        "__h", "sv")
 
       for (_ <- 1 to math.max(0, refineIters)) {
         cents = assignSub(sb, cents)
@@ -116,9 +122,7 @@ object ProductQuant {
       }
       // Re-densify ids (empty codewords drop out during Lloyd) so code
       // values always index the per-subspace codeword list positionally.
-      cents
-        .select((row_number().over(Window.orderBy("cid")) - 1).as("cid"), col("cv"))
-        .withColumn("m", lit(mi))
+      denseIds(cents, "cid", "cv").withColumn("m", lit(mi))
     }
     books.reduce(_ unionByName _).select("m", "cid", "cv")
   }

@@ -538,7 +538,7 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r).toMap
     (0L until 30L).foreach { id =>
       val r = got(id)
-      (id % 3) match {
+      (id % 6) match {
         case 0 =>
           assert(r.getString(1) == "mp4")
           assert(r.getInt(2) == 16 + (id % 64).toInt, s"mp4 $id width")
@@ -551,12 +551,30 @@ class ExtensionsSpec extends SparkSpec {
           val frames = 5 + (id % 20)
           assert(r.getLong(4) == frames * 1152L * 1000L / 44100L, s"mp3 $id duration")
           assert(r.getInt(5) == 128 && r.getInt(6) == 44100)
-        case _ =>
+        case 2 =>
           assert(r.getString(1) == "webm")
           assert(r.getInt(2) == 32 + (id % 128).toInt, s"webm $id width")
           assert(r.getInt(3) == 32 + ((3 * id) % 128).toInt, s"webm $id height")
           assert(r.getLong(4) == 250 + id % 500, s"webm $id duration")
           assert(r.isNullAt(5) && r.isNullAt(6))
+        case 3 =>
+          assert(r.getString(1) == "flac")
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5))
+          assert(r.getLong(4) == (10 + id % 50) * 100, s"flac $id duration")
+          assert(r.getInt(6) == 44100)
+        case 4 =>
+          assert(r.getString(1) == "ogg")
+          assert(r.isNullAt(2) && r.isNullAt(3))
+          assert(r.getLong(4) == (20 + id % 100) * 10, s"ogg $id duration")
+          assert(r.getInt(5) == 112 && r.getInt(6) == 44100)
+        case _ =>
+          assert(r.getString(1) == "aac")
+          assert(r.isNullAt(2) && r.isNullAt(3))
+          val frames = 3 + (id % 15)
+          val durMs = frames * 1024L * 1000L / 44100L
+          assert(r.getLong(4) == durMs, s"adts $id duration")
+          assert(r.getInt(5) == (frames * 200L * 8L / durMs).toInt, s"adts $id bitrate")
+          assert(r.getInt(6) == 44100)
       }
     }
   }
@@ -662,6 +680,7 @@ class ExtensionsSpec extends SparkSpec {
     import graft.operators.Multimodal
     def parseAll(p: Array[Byte]): Unit = {
       Multimodal.parseMp4(p); Multimodal.parseWebm(p); Multimodal.parseMp3(p)
+      Multimodal.parseFlac(p); Multimodal.parseOgg(p); Multimodal.parseAdts(p)
       ()
     }
     // Deterministic pseudo-random payloads (xxhash-style LCG over a seed).
@@ -675,7 +694,10 @@ class ExtensionsSpec extends SparkSpec {
     Seq(
       graft.harness.MediaFixtures.mp4Payload(7L),
       graft.harness.MediaFixtures.webmPayload(8L),
-      graft.harness.MediaFixtures.mp3Payload(4L).take(900)).foreach { base =>
+      graft.harness.MediaFixtures.mp3Payload(4L).take(900),
+      graft.harness.MediaFixtures.flacPayload(9L),
+      graft.harness.MediaFixtures.oggPayload(10L),
+      graft.harness.MediaFixtures.adtsPayload(11L).take(900)).foreach { base =>
       (0 to base.length by math.max(1, base.length / 50)).foreach(n => parseAll(base.take(n)))
       (0 until base.length by math.max(1, base.length / 64)).foreach { i =>
         val mutated = base.clone()
