@@ -37,6 +37,26 @@ import org.apache.spark.sql.graft.VectorExpressions
   * per-subspace argmin) run on the index-BUILD path once per corpus,
   * not on the per-pair scan.
   */
+/** Run independent Spark-action thunks as concurrent jobs on a bounded
+  * pool. Spark schedules concurrent actions from multiple threads fairly;
+  * each thunk's lineage is untouched, so results are identical to a
+  * serial loop — only the end-to-end latency changes.
+  */
+private[operators] object ConcurrentFits {
+  def run[T](thunks: Seq[() => T], parallelism: Int = 8): Seq[T] = {
+    if (thunks.lengthCompare(1) <= 0) return thunks.map(_.apply())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, thunks.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = thunks.map { t =>
+        new java.util.concurrent.Callable[T] { def call(): T = t() }
+      }
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
+  }
+}
+
 object ProductQuant {
 
   private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
@@ -102,7 +122,7 @@ object ProductQuant {
         .select(posexplode(col("__arr")).as(Seq("cid", "__t")))
         .select(col("cid"), col(s"__t.$payloadCol").as("cv"))
 
-    val books = (0 until m).map { mi =>
+    def fitSubspace(mi: Int): DataFrame = {
       val sb = fitBase.select(col("id"), slice(col("v"), mi * sub + 1, sub).as("sv"))
       var cents = denseIds(
         sb.withColumn("__h", xxhash64(col("id"), lit(mi))).orderBy("__h").limit(ks),
@@ -124,6 +144,15 @@ object ProductQuant {
       // values always index the per-subspace codeword list positionally.
       denseIds(cents, "cid", "cv").withColumn("m", lit(mi))
     }
+
+    // The m subspace fits are INDEPENDENT chains of small jobs (seed
+    // take + eager Lloyd materializations each) — run them as concurrent
+    // Spark actions, not a serial loop. Serially, fit wall-time is
+    // m × refineIters job latencies end-to-end (the dominant cost of
+    // every PQ call at bench scale); concurrently the scheduler
+    // interleaves them. Per-subspace lineage (and so every result bit)
+    // is unchanged by submission order.
+    val books = ConcurrentFits.run((0 until m).map(mi => () => fitSubspace(mi)))
     books.reduce(_ unionByName _).select("m", "cid", "cv")
   }
 
@@ -288,10 +317,14 @@ object ProductQuant {
   ): DataFrame = {
     val resolvedNlist = Similarity.resolveNlist(corpus, nlist, idCol)
     val resolvedNprobe = Similarity.resolveNprobe(nprobe, resolvedNlist)
-    val cents = graft.plans.Materialize(
-      Similarity.ivfCentroids(corpus, resolvedNlist, refineIters, idCol, vecCol), eager = true)
-    val codebooks = graft.plans.Materialize(
-      pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)
+    // The coarse-centroid fit and the PQ codebook fit are independent —
+    // run them as concurrent Spark actions (results unchanged).
+    val Seq(cents, codebooks) = ConcurrentFits.run(Seq(
+      () => graft.plans.Materialize(
+        Similarity.ivfCentroids(corpus, resolvedNlist, refineIters, idCol, vecCol),
+        eager = true),
+      () => graft.plans.Materialize(
+        pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)))
     val (mCount, _, offsets, sub) = layoutOf(codebooks)
 
     val rerankCands =
