@@ -419,10 +419,29 @@ object ProductQuant {
       rerankFactor: Int,
       idCol: String,
       vecCol: String
+  ): DataFrame =
+    pqTopK(
+      queries, corpus,
+      graft.plans.Materialize(
+        pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true),
+      k, rerankFactor, idCol, vecCol)
+
+  /** Query a fitted PQ codebook table ([[pqCodebooks]], fresh or read
+    * back from storage) — the persistable-index overload (mirror of the
+    * centroid-taking [[Similarity.ivfTopK]]): fit once per corpus, then
+    * every query batch pays only the map-side encode + the ADC scan,
+    * never the Lloyd fits.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      k: Int,
+      rerankFactor: Int,
+      idCol: String,
+      vecCol: String
   ): DataFrame = {
     val spark = corpus.sparkSession
-    val codebooks = graft.plans.Materialize(
-      pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)
     val (mCount, sizes, offsets, sub) = layoutOf(codebooks)
 
     // Re-rank budget: explicit, or auto-scaled with the corpus (see

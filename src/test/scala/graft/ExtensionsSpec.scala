@@ -270,6 +270,24 @@ class ExtensionsSpec extends SparkSpec {
     cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"ADC drift: $r"))
   }
 
+  test("PQ index overload: persisted codebooks round-trip and match the one-shot path") {
+    import graft.operators.ProductQuant
+    val k = 3
+    val q = emb.filter(col("vec_id") < 20)
+    val c = emb.filter(col("vec_id") >= 20)
+    val oneShot = ProductQuant.pqTopK(q, c, k, m = 8, ks = 16, refineIters = 1,
+      rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    // Fit once, persist, read back, query — the production retrieval loop.
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString
+    ProductQuant.pqCodebooks(c, m = 8, ks = 16, refineIters = 1)
+      .write.mode("overwrite").parquet(dir)
+    val fromIndex = ProductQuant.pqTopK(q, c, spark.read.parquet(dir), k,
+      rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    assert(fromIndex == oneShot, "index-overload results drifted from the one-shot path")
+  }
+
   test("PQ ANN at the ks=256 production point keeps recall") {
     import graft.operators.ProductQuant
     val k = 3
