@@ -218,6 +218,14 @@ object PlanAudit {
     val asymTabBc = tabBroadcasts(pqAsym)
     println(s"${if (asymTabBc == 1) "OK " else "HOT"} pq small-query ADC broadcast   tabBroadcasts=$asymTabBc")
 
+    // SemDeDup: centroid assignment/scoring must stay map-side — the
+    // ONLY hash exchanges of corpus-sized data are the cluster-keyed
+    // self-join sides (+ the dropped-id distinct and decision join),
+    // never an N×nlist explode. Budget: 6 (2 join inputs, distinct
+    // partial/final, left-join sides).
+    audit("semdedup", graft.operators.Dedup.semDeDup(
+      embT, threshold = 0.4, nlist = 4, nprobe = 2, refineIters = 1), 6)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
