@@ -159,6 +159,12 @@ object LangIdTrigram {
 
   /** (doc_id, tg) rows of per-token padded 1/2/3-grams (C&T pad tokens so
     * n-grams never span a word boundary) for a (doc_id, __text) frame.
+    *
+    * Formulation note: windows slide via explode-over-positions +
+    * projected `substring`s — whole-stage-codegen'd end to end. The
+    * `transform(sequence(...), substr)` alternative evaluates its lambda
+    * INTERPRETED per element (the [[graft.operators.Dedup.shingleRows]]
+    * lesson), which at corpus scale dominates this operator's wall time.
     */
   private def trigramRows(base: DataFrame): DataFrame =
     base
@@ -167,13 +173,13 @@ object LangIdTrigram {
         explode(split(regexp_replace(lower(col("__text")), "[^\\p{L}]+", " "), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), concat(lit(" "), col("tok"), lit(" ")).as("ptok"))
+      .select(col("doc_id"), col("ptok"), explode(sequence(lit(1), length(col("ptok")))).as("i"))
       .select(
         col("doc_id"),
-        explode(concat((1 to 3).map { n =>
-          transform(
-            sequence(lit(1), length(col("ptok")) - (n - 1)),
-            i => col("ptok").substr(i, lit(n)))
+        explode(array((1 to 3).map { n =>
+          when(col("i") + (n - 1) <= length(col("ptok")), col("ptok").substr(col("i"), lit(n)))
         }: _*)).as("tg"))
+      .filter(col("tg").isNotNull)
 
   private def classifyFromTrigramRows(tgRows: DataFrame, topK: Int): DataFrame = {
     val spark = tgRows.sparkSession
