@@ -43,7 +43,7 @@ import org.apache.spark.sql.graft.VectorExpressions
   * serial loop — only the end-to-end latency changes.
   */
 private[operators] object ConcurrentFits {
-  def run[T](thunks: Seq[() => T], parallelism: Int = 8): Seq[T] = {
+  def run[T](thunks: Seq[() => T], parallelism: Int = 16): Seq[T] = {
     if (thunks.lengthCompare(1) <= 0) return thunks.map(_.apply())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, thunks.length))
