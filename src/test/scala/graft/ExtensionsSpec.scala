@@ -270,6 +270,28 @@ class ExtensionsSpec extends SparkSpec {
     cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"ADC drift: $r"))
   }
 
+  test("PQ ADC scan routes are result-identical (broadcast vs bucketed shuffle)") {
+    import graft.operators.ProductQuant
+    val k = 3
+    val q = emb.filter(col("vec_id") < 20)
+    val c = emb.filter(col("vec_id") >= 20)
+    def run(): Set[((Long, Long), (Double, Int))] =
+      ProductQuant.pqTopK(q, c, k, m = 8, ks = 16, refineIters = 1,
+        rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toSet
+    val viaBroadcast = run()
+    // Force the bucketed shuffle route for the SAME asymmetric input: the
+    // scaladoc's route-independence claim, asserted directly.
+    spark.conf.set("spark.graft.pq.adcBroadcastMaxBytes", "0")
+    val viaShuffle =
+      try run()
+      finally spark.conf.unset("spark.graft.pq.adcBroadcastMaxBytes")
+    assert(viaShuffle == viaBroadcast,
+      s"route divergence: broadcast-only=${viaBroadcast.diff(viaShuffle).take(3)} " +
+        s"shuffle-only=${viaShuffle.diff(viaBroadcast).take(3)}")
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("PQ index overload: persisted codebooks round-trip and match the one-shot path") {
     import graft.operators.ProductQuant
     val k = 3
