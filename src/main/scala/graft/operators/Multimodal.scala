@@ -607,7 +607,14 @@ object Multimodal {
       off = c + payloadLen
     }
     if (rate <= 0) return None
-    val durationMs = if (lastGranule > 0) Some(lastGranule * 1000L / rate) else None
+    // Split-form duration (⌊g/r⌋·1000 + ⌊(g mod r)·1000/r⌋ ≡ ⌊g·1000/r⌋
+    // exactly) — an adversarial last-page granule near Long.MaxValue must
+    // degrade to a large-but-sane duration, not overflow `g·1000` into a
+    // negative one. `g mod r < r ≤ 2³¹`, so the remainder product fits.
+    val durationMs =
+      if (lastGranule > 0)
+        Some(lastGranule / rate * 1000L + lastGranule % rate * 1000L / rate)
+      else None
     Some(ContainerMeta("ogg", None, None, durationMs,
       if (nominalBps > 0) Some(nominalBps / 1000) else None, Some(rate)))
   }

@@ -42,18 +42,39 @@ import org.apache.spark.sql.graft.VectorExpressions
   * each thunk's lineage is untouched, so results are identical to a
   * serial loop — only the end-to-end latency changes.
   */
-private[operators] object ConcurrentFits {
-  def run[T](thunks: Seq[() => T], parallelism: Int = 16): Seq[T] = {
+private[graft] object ConcurrentFits {
+
+  /** Pool width: `spark.graft.pq.fitParallelism` (default 16) — on a busy
+    * cluster scheduler a narrower wave keeps concurrent fit jobs from
+    * starving co-tenant queries.
+    */
+  private def configuredParallelism: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.pq.fitParallelism"))
+      .map(_.toInt)
+      .getOrElse(16)
+
+  def run[T](thunks: Seq[() => T], parallelism: Int = 0): Seq[T] = {
     if (thunks.lengthCompare(1) <= 0) return thunks.map(_.apply())
+    val width = if (parallelism > 0) parallelism else configuredParallelism
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(parallelism, thunks.length))
+      math.min(width, thunks.length))
     try {
-      import scala.jdk.CollectionConverters._
-      val tasks = thunks.map { t =>
-        new java.util.concurrent.Callable[T] { def call(): T = t() }
+      val futures = thunks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[T] { def call(): T = t() }))
+      futures.map { f =>
+        // Surface the ORIGINAL exception (not an ExecutionException
+        // wrapper) and cancel the not-yet-started fits instead of
+        // waiting out the whole wave — a failed subspace fit should
+        // read like the former serial loop's failure, just sooner.
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            futures.foreach(_.cancel(false))
+            throw e.getCause
+        }
       }
-      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
 }
 
@@ -401,10 +422,14 @@ object ProductQuant {
     * window over (bucket, query_id) — satisfied by the join's own
     * bucket partitioning, so the Q×N candidate frame is never
     * re-exchanged. Both routes produce the identical candidate set
-    * (exhaustive ADC), so recall is route-independent. The exhaustive
-    * scan is still O(Q·N) compute by design — for corpus-scale query
-    * sets prefer [[ivfPqTopK]], which prunes the pair space by cluster
-    * routing instead.
+    * (exhaustive ADC), so recall is route-independent. Note the shuffle
+    * route's replication factor: every code row is emitted once per
+    * bucket — O(nb·N) shuffled rows, nb ≤ `spark.sql.shuffle.partitions`
+    * — which is the exhaustive scan's O(Q·N) pair volume made explicit
+    * (each replicated row is m bytes + id, and it meets ~Q/nb queries in
+    * its bucket). The exhaustive scan is O(Q·N) compute by design — for
+    * corpus-scale query sets prefer [[ivfPqTopK]], which prunes the pair
+    * space by cluster routing instead of replicating codes.
     *
     * @return (query_id, neighbor_id, rank, sim) — `sim` is the EXACT
     *         cosine (re-rank output), rank 1..k by sim desc.

@@ -433,6 +433,22 @@ object StreamingPredicates {
       .dropDuplicatesWithinWatermark("__ehash", "__elen")
       .drop("__ehash", "__elen")
 
+  /** Fail fast on a non-integral id column: the state encoders cast it to
+    * long, and a string/decimal id silently becoming null would kill the
+    * streaming query mid-run with an opaque non-nullable-field encoder
+    * error instead of naming the actual contract violation.
+    */
+  private def requireIntegralId(docs: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$op requires an integral '$idCol' column (doc ids must be unique " +
+            s"integers — they key the dedup state); got ${other.simpleString}")
+    }
+  }
+
   /** One (band, bucket)-routed copy of an incoming document for
     * [[minhashNearDupStream]]: carries the FULL bucket vector (all bands)
     * so any two colliding docs can agree on the lowest band they share —
@@ -514,6 +530,7 @@ object StreamingPredicates {
       idCol: String = "doc_id"
   ): Dataset[NearDupPair] = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    requireIntegralId(docs, idCol, "minhashNearDupStream")
     val rowsPerBand = numHashes / bands
     val sep = "\u0000"
 

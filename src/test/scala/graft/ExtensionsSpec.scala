@@ -716,6 +716,52 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("parseOgg: near-Long.MaxValue last granule degrades to a sane duration, not overflow") {
+    import graft.operators.Multimodal
+    // Minimal single-page Ogg: 27-byte page header + 1 segment holding a
+    // 28-byte Vorbis identification payload (rate 48 kHz), with the page
+    // granule position adversarially set near Long.MaxValue.
+    val payload = new Array[Byte](28)
+    payload(0) = 0x01
+    "vorbis".getBytes("US-ASCII").copyToArray(payload, 1)
+    val pb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pb.putInt(12, 48000)
+    pb.putInt(20, 128000)
+    val hb = java.nio.ByteBuffer.allocate(28).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.put("OggS".getBytes("US-ASCII"))
+    hb.putLong(6, Long.MaxValue - 7)
+    hb.put(26, 1.toByte)
+    hb.put(27, 28.toByte)
+    val meta = Multimodal.parseOgg(hb.array() ++ payload)
+    assert(meta.isDefined)
+    val d = meta.get.durationMs
+    // Exact split-form value: ⌊g/48000⌋·1000 + ⌊(g mod 48000)·1000/48000⌋.
+    val g = Long.MaxValue - 7
+    assert(d.contains(g / 48000 * 1000L + g % 48000 * 1000L / 48000), s"got $d")
+    assert(d.exists(_ > 0))
+    // And the normal fixture still reads the same duration as before.
+    val normal = Multimodal.parseOgg(graft.harness.MediaFixtures.oggPayload(10L))
+    assert(normal.exists(_.durationMs.exists(_ > 0)))
+  }
+
+  test("ConcurrentFits surfaces the original exception, not an ExecutionException wrapper") {
+    import graft.operators.ConcurrentFits
+    class FitBoom extends RuntimeException("subspace fit failed")
+    val caught = intercept[FitBoom] {
+      ConcurrentFits.run[Int](Seq(
+        () => 1,
+        () => throw new FitBoom,
+        () => 3))
+    }
+    assert(caught.getMessage == "subspace fit failed")
+    // Success path unchanged: results in submission order.
+    assert(ConcurrentFits.run[Int](Seq(() => 1, () => 2, () => 3)) == Seq(1, 2, 3))
+    // Pool width honors spark.graft.pq.fitParallelism when a session is up.
+    spark.conf.set("spark.graft.pq.fitParallelism", "2")
+    try assert(ConcurrentFits.run[Int]((1 to 8).map(i => () => i)) == (1 to 8))
+    finally spark.conf.unset("spark.graft.pq.fitParallelism")
+  }
+
   test("container parsers never throw on fuzzed payloads (hash-derived + mutated fixtures)") {
     import graft.operators.Multimodal
     def parseAll(p: Array[Byte]): Unit = {
