@@ -806,6 +806,27 @@ object QueryCatalog {
         .orderBy("query_id", "rnk"),
       None, bench = true),
 
+    Q("sim_ann_ivfpq_idx", (s, dir) => {
+      // Fit-once / serve-many IVF-PQ: the persisted index (coarse
+      // centroids + PQ codebooks + packed codes) is fit and saved on
+      // first use; every subsequent run LOADS it and pays only probe
+      // selection + the ADC scan + exact re-rank — never the two Lloyd
+      // fits. This is the billion-vector serving loop (refit on ingest
+      // cadence, query on demand). Hash-seeded → golden fixture; parquet
+      // round-trip bit-parity with the one-shot path asserted in
+      // ExtensionsSpec.
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 20)
+      val idxDir = s"/tmp/graft_ivfpq_idx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
+        ProductQuant.ivfPqIndex(corpus, nlist = 16, m = 16, ks = 32).save(idxDir)
+      ProductQuant.ivfPqTopK(
+        e.filter(col("vec_id") < 20), corpus, IvfPqIndex.load(s, idxDir),
+        k = 5, nprobe = 10, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }, None, bench = true),
+
     Q("sim_ann_pq", (s, dir) =>
       // Product quantization ANN: ADC scan over m-byte codes + exact
       // cosine re-rank (ProductQuant). Hash-seeded → golden fixture;

@@ -78,6 +78,51 @@ private[graft] object ConcurrentFits {
   }
 }
 
+/** A fitted IVF-PQ index — the three persistable frames the serving path
+  * needs, fit ONCE per corpus ([[ProductQuant.ivfPqIndex]]):
+  *
+  *   - `centroids` (cid, cv): the coarse IVF quantizer
+  *     ([[Similarity.ivfCentroids]] contract);
+  *   - `codebooks` (m, cid, cv): the per-subspace PQ codewords
+  *     ([[ProductQuant.pqCodebooks]] contract);
+  *   - `codes` (id, cid, codes): every corpus vector's coarse cluster id
+  *     plus its byte-packed PQ codes ([[ProductQuant.pqEncodePacked]]
+  *     layout) — m+12 bytes per vector, the frame the ADC scan runs on.
+  *
+  * `save` writes the three frames as parquet under one directory;
+  * `load` reads them back in the serving job. A query batch against the
+  * index-taking [[ProductQuant.ivfPqTopK]] overload then pays only the
+  * map-side probe selection + the cluster-keyed ADC join — never the two
+  * Lloyd fits (coarse + codebooks), which dominate wall-time at query
+  * time and are pure waste when the corpus hasn't changed. This is the
+  * billion-vector serving loop: refit on ingest cadence, query on demand.
+  */
+final case class IvfPqIndex(
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame) {
+
+  /** Persist all three frames under `dir` (parquet, overwrite). */
+  def save(dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+}
+
+object IvfPqIndex {
+
+  /** Read an index written by [[IvfPqIndex.save]]. Row order is
+    * immaterial: every consumer either sorts (codebook layout, centroid
+    * ranking) or is order-independent (the ADC join).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
+    IvfPqIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
+}
+
 object ProductQuant {
 
   private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
@@ -338,14 +383,70 @@ object ProductQuant {
   ): DataFrame = {
     val resolvedNlist = Similarity.resolveNlist(corpus, nlist, idCol)
     val resolvedNprobe = Similarity.resolveNprobe(nprobe, resolvedNlist)
-    // The coarse-centroid fit and the PQ codebook fit are independent —
-    // run them as concurrent Spark actions (results unchanged).
+    ivfPqTopK(
+      queries, corpus, ivfPqIndex(corpus, resolvedNlist, m, ks, refineIters, idCol, vecCol),
+      k, resolvedNprobe, rerankFactor, idCol, vecCol)
+  }
+
+  /** Fit the full IVF-PQ index for a corpus — the fit-once half of the
+    * serving loop (see [[IvfPqIndex]]). The coarse-centroid fit and the
+    * PQ codebook fit are independent chains of Spark jobs and run as
+    * concurrent actions; corpus assignment and encoding are map-side
+    * against the broadcast fit results, so the only index-build exchange
+    * beyond the fits is the thin (id, cid) ⋈ (id, codes) join on id
+    * (m+12 bytes per row flat).
+    */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      nlist: Int = 0,
+      m: Int = 16,
+      ks: Int = 32,
+      refineIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): IvfPqIndex = {
+    val resolvedNlist = Similarity.resolveNlist(corpus, nlist, idCol)
     val Seq(cents, codebooks) = ConcurrentFits.run(Seq(
       () => graft.plans.Materialize(
         Similarity.ivfCentroids(corpus, resolvedNlist, refineIters, idCol, vecCol),
         eager = true),
       () => graft.plans.Materialize(
         pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val codesWithCid = Similarity.assignToCentroids(base, cents).select("id", "cid")
+      .join(pqEncodePacked(corpus, codebooks, idCol, vecCol), Seq("id"))
+    IvfPqIndex(cents, codebooks, codesWithCid)
+  }
+
+  /** Query a fitted IVF-PQ index ([[ivfPqIndex]], fresh or [[IvfPqIndex.load]]ed
+    * back from storage) — the serving-path overload (mirror of the
+    * centroid-taking [[Similarity.ivfTopK]] and the codebook-taking
+    * [[pqTopK]]): every query batch pays only the map-side probe
+    * selection + the cluster-keyed ADC join + the exact re-rank, never
+    * the Lloyd fits. `corpus` supplies the original vectors for the exact
+    * re-rank (and the auto re-rank budget) — it is touched only AFTER the
+    * per-query candidate cut, `rerankCands` rows per query.
+    *
+    * `nprobe <= 0` derives from the index's actual centroid count
+    * (`nlist` rows — the count is free); the result is bit-identical to
+    * the one-shot [[ivfPqTopK]] at the same parameters (asserted via a
+    * parquet round-trip in ExtensionsSpec).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: IvfPqIndex,
+      k: Int,
+      nprobe: Int,
+      rerankFactor: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val cents = index.centroids
+    val codebooks = index.codebooks
+    val resolvedNprobe =
+      if (nprobe > 0) nprobe
+      else Similarity.resolveNprobe(nprobe, cents.select("cid").count().toInt)
     val (mCount, _, offsets, sub) = layoutOf(codebooks)
 
     val rerankCands =
@@ -353,13 +454,7 @@ object ProductQuant {
       else math.max(8 * k,
         math.ceil(2 * math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
 
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // Index side: coarse cluster id + byte-packed PQ codes per corpus
-    // vector — both computed map-side; the thin (id, cid, codes) rows
-    // join on id (the only index-build exchange beyond the fits, m+12
-    // bytes per row flat).
-    val codesWithCid = Similarity.assignToCentroids(base, cents).select("id", "cid")
-      .join(pqEncodePacked(corpus, codebooks, idCol, vecCol), Seq("id"))
+    val codesWithCid = index.codes
 
     // Query side: top-nprobe clusters AND the ADC table, one row per
     // (query, probed cluster). Candidate rows stay vector-free — the

@@ -92,6 +92,20 @@ object RecallProbe {
     val ivfPqRecall = recall(
       pairs(ProductQuant.ivfPqTopK(ivfSubset, k = 5), "query_id", "neighbor_id"), ivfExact)
 
+    // sim_ann_ivfpq_idx — the catalog's persisted-index serving path:
+    // fit + save the index once, load it back, query the disjoint query
+    // frame (the fit-once/serve-many loop; bit-parity with the one-shot
+    // path is asserted in ExtensionsSpec, so this measures the same
+    // operating point through the serving API).
+    val idxDir = java.nio.file.Files.createTempDirectory("recall-ivfpq-idx").toString
+    ProductQuant.ivfPqIndex(cFrame, nlist = 16, m = 16, ks = 32).save(idxDir)
+    val ivfPqIdxRecall = recall(
+      pairs(ProductQuant.ivfPqTopK(
+        qFrame, cFrame, graft.operators.IvfPqIndex.load(spark, idxDir),
+        k = 5, nprobe = 10, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding"),
+        "query_id", "neighbor_id"),
+      asymExact)
+
     // dedup_embedding_lsh — the catalog configuration (full table,
     // threshold 0.4, bands=32 × 2 bits) vs the exact all-pairs oracle.
     val dupExact = pairs(Dedup.embeddingNearDupExact(emb, threshold = 0.4), "doc_a", "doc_b")
@@ -209,6 +223,9 @@ object RecallProbe {
          |    "exact_pairs": ${asymExact.size}, "config": "two-frame, m=16, ks=32, rerank=auto"},
          |  "sim_ann_ivfpq": {"recall_at_k": $ivfPqRecall%.4f, "k": 5, "queries": ${ivfSubset.count()},
          |    "exact_pairs": ${ivfExact.size}, "config": "auto nlist/nprobe, m=16, ks=32, rerank=auto"},
+         |  "sim_ann_ivfpq_idx": {"recall_at_k": $ivfPqIdxRecall%.4f, "k": 5, "queries": 20,
+         |    "exact_pairs": ${asymExact.size},
+         |    "config": "persisted index (save/load round trip), nlist=16, nprobe=10, m=16, ks=32, rerank=auto"},
          |  "dedup_embedding_lsh": {"pair_recall": $dupRecall%.4f, "threshold": 0.4,
          |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0},
          |  "dedup_semantic": {"pair_recall": $semRecall%.4f, "threshold": 0.4,
@@ -246,7 +263,7 @@ object RecallProbe {
     val ok = lshRecall >= 0.9 && ivfRecall >= 0.9 && lshQRecall >= 0.9 && ivfQRecall >= 0.9 &&
       ivfAutoRecall >= 0.9 && ivfSampledRecall >= 0.85 && dupRecall >= 0.9 &&
       pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 && pqKs256Recall >= 0.9 &&
-      ivfPqRecall >= 0.9 && ivfPq1Recall >= 0.9 &&
+      ivfPqRecall >= 0.9 && ivfPq1Recall >= 0.9 && ivfPqIdxRecall >= 0.9 &&
       lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9
     println(s"[recall-probe] all above asserted minimums: $ok")
     spark.stop()

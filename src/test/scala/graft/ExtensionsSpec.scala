@@ -310,6 +310,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(fromIndex == oneShot, "index-overload results drifted from the one-shot path")
   }
 
+  test("IVF-PQ index overload: parquet round-trip is bit-identical to the one-shot path") {
+    import graft.operators.{IvfPqIndex, ProductQuant}
+    val k = 3
+    val q = emb.filter(col("vec_id") < 20)
+    val c = emb.filter(col("vec_id") >= 20)
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Double, Int)] =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    val oneShot = rows(ProductQuant.ivfPqTopK(q, c, k, nlist = 8, nprobe = 5,
+      m = 8, ks = 16, refineIters = 1, rerankFactor = 8,
+      idCol = "vec_id", vecCol = "embedding"))
+    // Fit once, persist all three frames, read back, query — the serving
+    // loop. The fits are deterministic, so the loaded index must produce
+    // the SAME ranks and the SAME exact-cosine sims, bit for bit.
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    ProductQuant.ivfPqIndex(c, nlist = 8, m = 8, ks = 16, refineIters = 1).save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    val fromIndex = rows(ProductQuant.ivfPqTopK(q, c, loaded, k, nprobe = 5,
+      rerankFactor = 8, idCol = "vec_id", vecCol = "embedding"))
+    assert(fromIndex == oneShot,
+      s"index-overload drift: oneShot-only=${oneShot.toSet.diff(fromIndex.toSet).take(3)} " +
+        s"index-only=${fromIndex.toSet.diff(oneShot.toSet).take(3)}")
+    assert(fromIndex.nonEmpty)
+    // The serving shape also answers self-join queries (corpus vs itself).
+    val selfServed = ProductQuant.ivfPqTopK(c, c, loaded, k, nprobe = 5,
+      rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")
+    assert(selfServed.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // nprobe <= 0 derives from the loaded index's actual centroid count.
+    assert(rows(ProductQuant.ivfPqTopK(q, c, loaded, k, nprobe = 0,
+      rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")).nonEmpty)
+  }
+
   test("PQ ANN at the ks=256 production point keeps recall") {
     import graft.operators.ProductQuant
     val k = 3
