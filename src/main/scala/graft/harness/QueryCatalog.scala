@@ -822,7 +822,7 @@ object QueryCatalog {
         ProductQuant.ivfPqIndex(corpus, nlist = 16, m = 16, ks = 32).save(idxDir)
       ProductQuant.ivfPqTopK(
         e.filter(col("vec_id") < 20), corpus, IvfPqIndex.load(s, idxDir),
-        k = 5, nprobe = 10, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding")
+        k = 5, nprobe = 12, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding")
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }, None, bench = true),

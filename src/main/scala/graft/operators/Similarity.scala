@@ -97,22 +97,40 @@ object Similarity {
     else math.max(16, math.ceil(math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
 
   /** Resolve an `nprobe` request: positive = explicit; `<= 0` = the
-    * recall-calibrated default fraction of the resolved centroid count —
-    * `ceil(0.625·nlist)`, the same 10-of-16 probing ratio the committed
-    * RECALL.json numbers were measured at.
+    * configured fraction of the resolved centroid count —
+    * `ceil(spark.graft.ivf.nprobeFraction · nlist)`, default 0.625 (the
+    * same 10-of-16 probing ratio the committed RECALL.json numbers were
+    * measured at).
     *
-    * 0.625 is a MEASURED floor, not an oversight: the RECALL.json
-    * `nprobe_sweep` (sf0.1, auto nlist=45, k=5) reads recall 0.514 at
-    * `⌈√nlist⌉`, 0.677 at 0.25·nlist, 0.797 at 0.4, 0.872 at 0.5 and
-    * 0.935 at 0.625 — the textbook O(√nlist) probing that works on
-    * clustered real-world embeddings fails hard here because the
-    * fixture vectors are near-uniform (no cluster structure, the IVF
-    * worst case), so 0.625 is the cheapest swept fraction holding the
-    * asserted 0.9 bar. On a corpus with genuine cluster structure pass
-    * an explicit lower `nprobe`.
+    * The probing fraction is DATA-DEPENDENT, and both regimes are
+    * measured in RECALL.json:
+    *   - Near-uniform vectors (no cluster structure — the IVF worst
+    *     case, and what the driver's synthetic fixture is): the
+    *     `nprobe_sweep` (sf0.1, auto nlist=45, k=5) reads recall 0.514
+    *     at `⌈√nlist⌉`, 0.677 at 0.25·nlist, 0.797 at 0.4, 0.872 at 0.5
+    *     and 0.935 at 0.625 — 0.625 is the cheapest swept fraction
+    *     holding the asserted 0.9 bar, hence the conservative default.
+    *   - Clustered corpora (what real embedding corpora are — the
+    *     `mog_nprobe_sweep` over the deterministic mixture-of-Gaussians
+    *     fixture, [[graft.harness.SyntheticEmbeddings]]): the textbook
+    *     `⌈√nlist⌉` probes (a ~15% corpus scan) already hold ≥ 0.9, so
+    *     set `spark.graft.ivf.nprobeFraction` ≈ `√nlist / nlist` (or
+    *     pass explicit `nprobe`) and scan 4× less than the default.
+    * The default favors correctness on adversarially-unclustered data;
+    * the knob (session-wide) or the explicit parameter (per call) buys
+    * the clustered-corpus speedup once the corpus is known to cluster.
     */
   private[graft] def resolveNprobe(nprobe: Int, nlist: Int): Int =
-    if (nprobe > 0) nprobe else math.max(1, math.ceil(0.625 * nlist).toInt)
+    if (nprobe > 0) nprobe
+    else {
+      val frac = org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.ivf.nprobeFraction"))
+        .map(_.toDouble)
+        .getOrElse(0.625)
+      require(frac > 0 && frac <= 1.0,
+        s"spark.graft.ivf.nprobeFraction must be in (0, 1], got $frac")
+      math.max(1, math.ceil(frac * nlist).toInt)
+    }
 
   /** All centroids collapsed into ONE row holding an array of
     * (cid, cv) structs — the broadcastable unit for per-row centroid
@@ -323,6 +341,19 @@ object Similarity {
     * the shared LSH bucketing for ANN top-k and embedding near-dup.
     * Carries ids only; vectors are dropped before any shuffle.
     */
+  /** Per-band hyperplane bucket keys as ONE `array<long>` column (index =
+    * band) — the shared signature for batch bucketing and streaming state
+    * routing ([[graft.streaming.StreamingPredicates.embeddingNearDupStream]]):
+    * both paths derive the SAME xxhash64-seeded plane bits, so stream and
+    * batch agree bucket-for-bucket with no fitted state.
+    */
+  private[graft] def bandBucketArray(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { band =>
+      (0 until bitsPerBand)
+        .map(bit => planeBit(vec, band * bitsPerBand + bit) * lit(1L << bit))
+        .reduce(_ + _)
+    }: _*)
+
   def hyperplaneBuckets(
       vectors: DataFrame,
       bands: Int,
@@ -332,13 +363,8 @@ object Similarity {
   ): DataFrame =
     vectors.select(
       col(idCol).as("id"),
-      explode(array((0 until bands).map { band =>
-        val key = (0 until bitsPerBand)
-          .map(bit => planeBit(col(vecCol), band * bitsPerBand + bit) * lit(1L << bit))
-          .reduce(_ + _)
-        struct(lit(band).as("band"), key.as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      posexplode(bandBucketArray(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"))
 
   /** LSH-bucketed approximate nearest neighbors: `bands` signatures of
     * `bitsPerBand` hyperplane bits each; vectors sharing any band bucket

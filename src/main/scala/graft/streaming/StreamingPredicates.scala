@@ -639,6 +639,185 @@ object StreamingPredicates {
       }
   }
 
+  /** One (band, bucket)-routed copy of an incoming vector for
+    * [[embeddingNearDupStream]]: carries the FULL bucket vector (all
+    * bands) for the lowest-shared-band exactly-once emission rule, plus
+    * the embedding itself for exact-cosine verification in state.
+    */
+  final case class HplaneDoc(
+      band: Int,
+      bucket: Long,
+      doc_id: Long,
+      timestamp: java.sql.Timestamp,
+      buckets: Array[Long],
+      vec: Array[Float]) {
+    def tsMicros: Long = (timestamp.getTime / 1000L) * 1000000L + timestamp.getNanos / 1000L
+  }
+
+  /** Per-bucket state for [[embeddingNearDupStream]]: parallel flat
+    * arrays, one entry per live vector (`vecs` row-major with stride =
+    * the embedding dim, `buckets` row-major with stride = bands — nested
+    * collections break state encoders). `saturated` latches as in
+    * [[BucketDocsState]].
+    */
+  final case class BucketVecsState(
+      ids: Array[Long],
+      ts: Array[Long],
+      vecs: Array[Float],
+      buckets: Array[Long],
+      saturated: Boolean)
+
+  /** One verified embedding near-duplicate pair (doc_a < doc_b). */
+  final case class EmbNearDupPair(doc_a: Long, doc_b: Long, cos: Double)
+
+  /** Streaming embedding-cosine near-dup detection on the ingest path —
+    * the hyperplane-LSH analogue of [[minhashNearDupStream]] for the
+    * embedding modality (batch counterparts:
+    * [[graft.operators.Dedup.embeddingNearDup]] /
+    * [[graft.operators.Dedup.embeddingNearDupIncremental]]).
+    *
+    * The hyperplane signatures are DETERMINISTIC functions of the vector
+    * (xxhash64-seeded planes, [[graft.operators.Similarity]] — no fitted
+    * state), so streaming needs no persisted index at all: each arriving
+    * vector computes its per-band bucket keys map-side with the SAME
+    * plane bits as the batch path (shared `bandBucketArray` expression,
+    * so stream and batch agree bucket-for-bucket), routes one copy per
+    * band to a `(band, bucket)` state group, pairs against the group's
+    * live vectors, and verifies with EXACT cosine (double accumulation in
+    * element order — the same arithmetic as the batch codegen cosine, so
+    * emitted `cos` values are bit-identical to batch).
+    *
+    * Exactly-once pairs, TTL-bounded state, and the `maxBucketSize`
+    * saturation latch all work as in [[minhashNearDupStream]] (lowest
+    * shared band emits; watermark-driven eviction; a blown bucket goes
+    * dark until its latch expires). Parity with the batch shard-ingest
+    * loop is asserted in StreamingSpec.
+    *
+    * @param vectors streaming frame with a `timestamp` column
+    *                (watermarked by the caller), `idCol`, `vecCol`.
+    * @return one row per verified pair: (doc_a, doc_b, cos) with
+    *         doc_a < doc_b, cos ≥ threshold.
+    */
+  def embeddingNearDupStream(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int = 32,
+      bitsPerBand: Int = 4,
+      maxBucketSize: Int = 256,
+      ttlMicros: Long = Long.MaxValue,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Dataset[EmbNearDupPair] = {
+    requireIntegralId(vectors, idCol, "embeddingNearDupStream")
+    implicit val hplaneEnc = Encoders.product[HplaneDoc]
+    val banded = vectors
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        col("timestamp"),
+        col(vecCol).cast("array<float>").as("vec"),
+        graft.operators.Similarity
+          .bandBucketArray(col(vecCol), bands, bitsPerBand).as("buckets"))
+      .select(
+        col("doc_id"), col("timestamp"), col("vec"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .select("band", "bucket", "doc_id", "timestamp", "buckets", "vec")
+      .as[HplaneDoc]
+
+    // Exact cosine over flat state arrays — double accumulation in
+    // element order, matching FloatVectorCosine (VectorExpressions) so
+    // streamed `cos` values equal the batch expression's bit for bit.
+    def cosineAt(vecs: Array[Float], off: Int, dim: Int, q: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(dim, q.length)
+      while (i < n) {
+        val xv = vecs(off + i).toDouble
+        val yv = q(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    implicit val pairEnc = Encoders.product[EmbNearDupPair]
+    implicit val stateEnc = Encoders.product[BucketVecsState]
+    def satAdd(a: Long, b: Long): Long =
+      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
+    banded
+      .groupByKey(d => (d.band, d.bucket))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState[BucketVecsState, EmbNearDupPair](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[HplaneDoc], state: GroupState[BucketVecsState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val band = key._1
+          val prev = state.getOption.getOrElse(
+            BucketVecsState(Array.empty, Array.empty, Array.empty, Array.empty, saturated = false))
+          val dim = if (prev.ids.isEmpty) 0 else prev.vecs.length / prev.ids.length
+
+          var saturated = prev.saturated &&
+            !(prev.ts.nonEmpty && satAdd(prev.ts(0), ttlMicros) <= wmMicros)
+          val liveIdx =
+            if (saturated) Seq.empty
+            else prev.ids.indices.filter(j => satAdd(prev.ts(j), ttlMicros) > wmMicros)
+          val ids = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.ids): _*)
+          val ts = scala.collection.mutable.ArrayBuffer(
+            (if (saturated) prev.ts.toSeq else liveIdx.map(prev.ts)): _*)
+          val vecs = scala.collection.mutable.ArrayBuffer(
+            liveIdx.flatMap(j => (0 until dim).map(i => prev.vecs(j * dim + i))): _*)
+          val bkts = scala.collection.mutable.ArrayBuffer(
+            liveIdx.flatMap(j => (0 until bands).map(i => prev.buckets(j * bands + i))): _*)
+
+          val out = scala.collection.mutable.ArrayBuffer.empty[EmbNearDupPair]
+          rows.toSeq.sortBy(d => (d.tsMicros, d.doc_id)).foreach { d =>
+            if (d.tsMicros > wmMicros) {
+              if (saturated) {
+                ts(0) = math.max(ts(0), d.tsMicros)
+              } else if (ids.length + 1 > maxBucketSize) {
+                saturated = true
+                ids.clear(); vecs.clear(); bkts.clear()
+                ts.clear(); ts += d.tsMicros
+              } else {
+                val vdim = d.vec.length
+                // One flat snapshot per arrival (not per pair) for the
+                // unboxed cosine loop.
+                val vecsArr = vecs.toArray
+                var j = 0
+                while (j < ids.length) {
+                  if (ids(j) != d.doc_id) {
+                    // Lowest shared band: the one group allowed to emit.
+                    var mb = -1
+                    var i = 0
+                    while (mb < 0 && i < bands) {
+                      if (bkts(j * bands + i) == d.buckets(i)) mb = i
+                      i += 1
+                    }
+                    if (mb == band) {
+                      val c = cosineAt(vecsArr, j * vdim, vdim, d.vec)
+                      if (c >= threshold)
+                        out += EmbNearDupPair(
+                          math.min(ids(j), d.doc_id), math.max(ids(j), d.doc_id), c)
+                    }
+                  }
+                  j += 1
+                }
+                ids += d.doc_id; ts += d.tsMicros
+                vecs ++= d.vec; bkts ++= d.buckets
+              }
+            }
+          }
+
+          if (ids.isEmpty && !saturated) state.remove()
+          else {
+            state.update(BucketVecsState(
+              ids.toArray, ts.toArray, vecs.toArray, bkts.toArray, saturated))
+            if (ttlMicros < Long.MaxValue && ts.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(satAdd(ts.min, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

@@ -102,7 +102,7 @@ object RecallProbe {
     val ivfPqIdxRecall = recall(
       pairs(ProductQuant.ivfPqTopK(
         qFrame, cFrame, graft.operators.IvfPqIndex.load(spark, idxDir),
-        k = 5, nprobe = 10, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding"),
+        k = 5, nprobe = 12, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding"),
         "query_id", "neighbor_id"),
       asymExact)
 
@@ -202,6 +202,46 @@ object RecallProbe {
       f"""{"rule": "$label", "nprobe": $np, "nlist": $nlist1, "scan_fraction": ${np.toDouble / nlist1}%.3f, "recall_at_k": $r%.4f, "secs": $secs%.1f}"""
     }.mkString(",\n      ")
 
+    // ── clustered mixture-of-Gaussians fixture: the driver's synthetic
+    // embeddings are near-uniform (IVF's worst case — the sweep above
+    // needs a 64% corpus scan to hold 0.9). Real embedding corpora
+    // cluster, and this deterministic MoG fixture (SyntheticEmbeddings)
+    // measures THAT regime: the textbook nprobe ≈ ⌈√nlist⌉ operating
+    // point must hold ≥0.9 here, or IVF isn't worth having.
+    val mog = graft.plans.Materialize(
+      graft.harness.SyntheticEmbeddings
+        .mixtureOfGaussians(spark, n = 2000, dim = 64, nClusters = 40, clusterStd = 0.08)
+        .select("vec_id", "embedding"),
+      eager = true)
+    val mogExact = pairs(Similarity.bruteForceTopK(mog, mog, k = 5), "query_id", "neighbor_id")
+    val mogNlist = Similarity.resolveNlist(mog, 0, "vec_id")
+    val mogSweep = Seq(
+      ("ceil(sqrt(nlist))", math.ceil(math.sqrt(mogNlist)).toInt),
+      ("0.15*nlist", math.max(1, math.ceil(0.15 * mogNlist).toInt)),
+      ("0.25*nlist", math.max(1, math.ceil(0.25 * mogNlist).toInt)),
+      ("0.4*nlist", math.max(1, math.ceil(0.4 * mogNlist).toInt)),
+      ("0.625*nlist", math.max(1, math.ceil(0.625 * mogNlist).toInt))
+    ).map { case (label, np) =>
+      val t0 = System.nanoTime()
+      val got = pairs(
+        Similarity.ivfTopK(mog, mog, 5, mogNlist, np, 2, "vec_id", "embedding"),
+        "query_id", "neighbor_id")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val r = recall(got, mogExact)
+      (np, r,
+        f"""{"rule": "$label", "nprobe": $np, "nlist": $mogNlist, "scan_fraction": ${np.toDouble / mogNlist}%.3f, "recall_at_k": $r%.4f, "secs": $secs%.1f}""")
+    }
+    val mogSweepJson = mogSweep.map(_._3).mkString(",\n      ")
+    val mogSqrtRecall = mogSweep.head._2
+    // The knob users actually turn: spark.graft.ivf.nprobeFraction at the
+    // √nlist ratio, auto nlist/nprobe — the documented clustered-corpus
+    // configuration, measured through the same public entry point.
+    val sqrtFrac = math.ceil(math.sqrt(mogNlist)) / mogNlist
+    spark.conf.set("spark.graft.ivf.nprobeFraction", f"$sqrtFrac%.4f")
+    val mogFracRecall =
+      try recall(pairs(Similarity.ivfTopK(mog, k = 5), "query_id", "neighbor_id"), mogExact)
+      finally spark.conf.unset("spark.graft.ivf.nprobeFraction")
+
     val json =
       f"""{
          |  "sf_dir": "$sfDir",
@@ -225,7 +265,7 @@ object RecallProbe {
          |    "exact_pairs": ${ivfExact.size}, "config": "auto nlist/nprobe, m=16, ks=32, rerank=auto"},
          |  "sim_ann_ivfpq_idx": {"recall_at_k": $ivfPqIdxRecall%.4f, "k": 5, "queries": 20,
          |    "exact_pairs": ${asymExact.size},
-         |    "config": "persisted index (save/load round trip), nlist=16, nprobe=10, m=16, ks=32, rerank=auto"},
+         |    "config": "persisted index (save/load round trip), nlist=16, nprobe=12, m=16, ks=32, rerank=auto"},
          |  "dedup_embedding_lsh": {"pair_recall": $dupRecall%.4f, "threshold": 0.4,
          |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0},
          |  "dedup_semantic": {"pair_recall": $semRecall%.4f, "threshold": 0.4,
@@ -255,6 +295,17 @@ object RecallProbe {
          |    "nprobe_sweep": [
          |      $nprobeSweep
          |    ]
+         |  },
+         |  "mog_fixture": {
+         |    "note": "deterministic mixture-of-Gaussians corpus (SyntheticEmbeddings): the clustered regime real embedding corpora live in, vs the near-uniform driver fixture above (IVF worst case)",
+         |    "config": "n=2000, dim=64, nClusters=40, clusterStd=0.08, auto nlist=$mogNlist",
+         |    "exact_pairs": ${mogExact.size},
+         |    "recall_at_sqrt_nprobe": $mogSqrtRecall%.4f,
+         |    "recall_with_nprobeFraction_knob": {"fraction": $sqrtFrac%.4f, "recall_at_k": $mogFracRecall%.4f,
+         |      "config": "spark.graft.ivf.nprobeFraction=sqrt(nlist)/nlist, auto nlist/nprobe"},
+         |    "mog_nprobe_sweep": [
+         |      $mogSweepJson
+         |    ]
          |  }
          |}""".stripMargin
     println(json)
@@ -264,7 +315,8 @@ object RecallProbe {
       ivfAutoRecall >= 0.9 && ivfSampledRecall >= 0.85 && dupRecall >= 0.9 &&
       pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 && pqKs256Recall >= 0.9 &&
       ivfPqRecall >= 0.9 && ivfPq1Recall >= 0.9 && ivfPqIdxRecall >= 0.9 &&
-      lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9
+      lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9 &&
+      mogSqrtRecall >= 0.9 && mogFracRecall >= 0.9
     println(s"[recall-probe] all above asserted minimums: $ok")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -353,6 +353,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.9, s"ks=256 PQ recall $recall below the 0.9 bar")
   }
 
+  test("clustered MoG fixture: deterministic, and IVF holds 0.9 recall at nprobe=ceil(sqrt(nlist))") {
+    import graft.harness.SyntheticEmbeddings
+    val mog = SyntheticEmbeddings
+      .mixtureOfGaussians(spark, n = 1000, dim = 64, nClusters = 25, clusterStd = 0.08)
+      .select("vec_id", "embedding")
+      .cache()
+    try {
+      // Deterministic: two independent generations are byte-identical.
+      val again = SyntheticEmbeddings
+        .mixtureOfGaussians(spark, n = 1000, dim = 64, nClusters = 25, clusterStd = 0.08)
+        .select("vec_id", "embedding")
+      def sig(df: org.apache.spark.sql.DataFrame): Array[(Long, Seq[Float])] =
+        df.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      assert(sig(mog).toSeq == sig(again).toSeq, "MoG fixture is not deterministic")
+
+      // The clustered regime: textbook sqrt-probing must hold the bar
+      // that the near-uniform fixture provably can't (RECALL.json).
+      val exact = Similarity.bruteForceTopK(mog, mog, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nlist = 32 // ceil(sqrt(1000))
+      val nprobe = math.ceil(math.sqrt(nlist)).toInt // 6 — a ~19% scan
+      val got = Similarity.ivfTopK(mog, mog, 5, nlist, nprobe, 2, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"MoG sqrt-nprobe recall $recall below the 0.9 bar")
+
+      // And through the documented knob: auto nlist/nprobe with
+      // spark.graft.ivf.nprobeFraction at the sqrt ratio.
+      spark.conf.set("spark.graft.ivf.nprobeFraction", (math.sqrt(nlist) / nlist).toString)
+      val viaKnob =
+        try Similarity.ivfTopK(mog, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally spark.conf.unset("spark.graft.ivf.nprobeFraction")
+      val knobRecall = viaKnob.intersect(exact).size.toDouble / exact.size
+      assert(knobRecall >= 0.9, s"nprobeFraction-knob recall $knobRecall below the 0.9 bar")
+    } finally { mog.unpersist(); () }
+  }
+
   test("IVF-PQ ANN: coarse routing + ADC + exact re-rank keeps recall") {
     import graft.operators.ProductQuant
     val k = 3

@@ -441,6 +441,107 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("embeddingNearDupStream matches batch incremental dedup on a shard sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+
+    val embAll = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val rows = embAll.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (shard1, shard2) = rows.partition(_._1 < 250)
+    val threshold = 0.4
+
+    // Batch counterpart on the SAME shard sequence: full run on shard 1,
+    // then incremental shard 2 vs shard 1 as the standing corpus.
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val s1df = spark.createDataFrame(shard1.toSeq).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val s2df = spark.createDataFrame(shard2.toSeq).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val batchPairs =
+      pairSet(Dedup.embeddingNearDup(s1df, threshold, bands = 32, bitsPerBand = 2)) ++
+        pairSet(Dedup.embeddingNearDupIncremental(s2df, s1df, threshold,
+          bands = 32, bitsPerBand = 2))
+
+    val input = MemoryStream[(Long, Timestamp, Array[Float])]
+    val vecs = input.toDF().toDF("vec_id", "timestamp", "embedding")
+      .withWatermark("timestamp", "1 hour")
+    val out = StreamingPredicates.embeddingNearDupStream(
+      vecs, threshold, bands = 32, bitsPerBand = 2)
+    val query = out.writeStream
+      .format("memory").queryName("embdup_stream").outputMode("append").start()
+    try {
+      input.addData(shard1.map { case (id, v) => (id, ts("2024-01-01 10:00:00"), v) }.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(shard2.map { case (id, v) => (id, ts("2024-01-01 10:30:00"), v) }.toSeq: _*)
+      query.processAllAvailable()
+
+      val streamed = pairSet(spark.table("embdup_stream"))
+      assert(streamed == batchPairs,
+        s"stream/batch divergence: stream-only=${streamed.diff(batchPairs).take(5)} " +
+          s"batch-only=${batchPairs.diff(streamed).take(5)} " +
+          s"(${streamed.size} streamed vs ${batchPairs.size} batch)")
+      assert(batchPairs.nonEmpty, "fixture corpus must actually contain near-dups")
+    } finally query.stop()
+  }
+
+  test("embeddingNearDupStream evicts bucket state after the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Two near-parallel vector families, far apart from each other.
+    def vec(base: Array[Float], jitter: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => if (i == 0) x + jitter else x }
+    val famA = Array.fill(8)(1.0f)
+    val famB = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+
+    val input = MemoryStream[(Long, Timestamp, Array[Float])]
+    val vecs = input.toDF().toDF("vec_id", "timestamp", "embedding")
+      .withWatermark("timestamp", "0 seconds")
+    val out = StreamingPredicates.embeddingNearDupStream(
+      vecs, threshold = 0.95, bands = 8, bitsPerBand = 2,
+      ttlMicros = 3600L * 1000000L)
+    val query = out.writeStream
+      .format("memory").queryName("embdup_ttl").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), famA),
+        (2L, ts("2024-01-01 10:05:00"), vec(famA, 0.05f)))
+      query.processAllAvailable()
+      // March the watermark past 10:05 + TTL with an unrelated vector.
+      input.addData((100L, ts("2024-01-01 20:00:00"), famB))
+      query.processAllAvailable()
+      // Vectors 1/2 expired: their near-dup finds nothing to pair with...
+      input.addData((3L, ts("2024-01-01 20:10:00"), vec(famA, 0.1f)))
+      query.processAllAvailable()
+      // ...but live state still pairs: vector 4 against vector 3.
+      input.addData((4L, ts("2024-01-01 20:15:00"), famA))
+      query.processAllAvailable()
+
+      val pairs = spark.table("embdup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (3L, 4L)),
+        s"expected the pre-TTL pair and the post-TTL fresh pair only; got $pairs")
+    } finally query.stop()
+  }
+
+  test("embeddingNearDupStream rejects a non-integral id column with a named error") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Array[Float])]
+    val vecs = input.toDF().toDF("vec_id", "timestamp", "embedding")
+      .withWatermark("timestamp", "1 hour")
+    val err = intercept[IllegalArgumentException] {
+      StreamingPredicates.embeddingNearDupStream(vecs, threshold = 0.9)
+    }
+    assert(err.getMessage.contains("embeddingNearDupStream"))
+    assert(err.getMessage.contains("vec_id"))
+    assert(err.getMessage.contains("string"))
+  }
+
   test("minhashNearDupStream evicts bucket state after the TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
