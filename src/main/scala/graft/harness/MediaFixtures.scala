@@ -194,6 +194,100 @@ object MediaFixtures {
     o.toByteArray
   }
 
+  // ==========================================================================
+  // Synthetic bitmaps with closed-form dHash — the perceptual-hash oracle
+  // fixture. Each id's 9×8 24-bit BMP is constructed so its dHash
+  // ([[graft.operators.PerceptualHash]] convention: 8 rows × 8
+  // horizontal comparisons, bit r*8+c set iff cell (r,c+1) > cell (r,c))
+  // is EXACTLY [[dhashTarget]]: families of 5 ids (fam = id / 5) share a
+  // hash-derived base pattern, and variant v = id % 5 flips bit v-1
+  // (v = 0 keeps the base). Within a family, Hamming distances are
+  // closed-form (1 against the base, 2 between flipped variants) and
+  // expressible in plain SQL; across families the 64-bit base hashes are
+  // far apart (min distance asserted in tests), so the expected pair set
+  // at maxHamming = 2 is exactly the within-family pairs.
+  // ==========================================================================
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The dHash value [[bmpPayload]]'s image realizes, closed-form in id. */
+  def dhashTarget(id: Long): Long = {
+    val base = splitmix64(id / 5)
+    val v = id % 5
+    base ^ (if (v == 0) 0L else 1L << (v - 1))
+  }
+
+  /** A 9×8 24-bit grayscale BMP (bottom-up rows) whose dHash is exactly
+    * [[dhashTarget]](id): each row walks left→right from gray 128,
+    * stepping +8 where the target bit is 1 (next cell strictly brighter)
+    * and -8 where it is 0. At the 9×8 native dHash resolution the
+    * average-pool is the identity, so builder (writes pixels) and hasher
+    * (pools + compares) are independent code paths over the same
+    * closed-form expectation.
+    */
+  def bmpPayload(id: Long): Array[Byte] = {
+    val h = dhashTarget(id)
+    val g = Array.ofDim[Int](8, 9)
+    var r = 0
+    while (r < 8) {
+      g(r)(0) = 128
+      var c = 0
+      while (c < 8) {
+        val bit = (h >>> (r * 8 + c)) & 1L
+        g(r)(c + 1) = g(r)(c) + (if (bit == 1L) 8 else -8)
+        c += 1
+      }
+      r += 1
+    }
+    val width = 9; val height = 8
+    val rowSize = ((24 * width + 31) / 32) * 4 // 28: 27 pixel bytes + 1 pad
+    val o = new ByteArrayOutputStream()
+    def le16o(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff) }
+    def le32o(v: Int): Unit = { le16o(v & 0xffff); le16o((v >>> 16) & 0xffff) }
+    o.write('B'); o.write('M')
+    le32o(54 + rowSize * height) // file size
+    le32o(0)                     // reserved
+    le32o(54)                    // pixel data offset
+    le32o(40)                    // BITMAPINFOHEADER size
+    le32o(width); le32o(height)  // height > 0 → bottom-up
+    le16o(1); le16o(24)          // planes, bpp
+    le32o(0)                     // BI_RGB (uncompressed)
+    le32o(rowSize * height)      // image size
+    le32o(2835); le32o(2835)     // 72 dpi
+    le32o(0); le32o(0)           // palette counts
+    var fileRow = 0
+    while (fileRow < height) {
+      val imageRow = height - 1 - fileRow // bottom-up
+      var c = 0
+      while (c < width) {
+        val v = g(imageRow)(c)
+        o.write(v); o.write(v); o.write(v) // B, G, R — gray
+        c += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { o.write(0); pad += 1 }
+      fileRow += 1
+    }
+    o.toByteArray
+  }
+
+  /** (media_id, payload) frame of synthetic dHash-oracle bitmaps, one per
+    * input id — generated partition-wise like [[syntheticContainers]].
+    */
+  def syntheticBitmaps(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      Row(id, bmpPayload(id))
+    })
+    spark.createDataFrame(rdd, mediaIdPayloadSchema)
+  }
+
   def payloadFor(id: Long): Array[Byte] = (id % 6) match {
     case 0 => mp4Payload(id)
     case 1 => mp3Payload(id)

@@ -691,6 +691,23 @@ object QueryCatalog {
         .orderBy("vec_id"),
       None),
 
+    Q("dedup_semantic_incr", (s, dir) => {
+      // Shard ingest with PERSISTED cluster state: centroids fit once on
+      // the standing corpus (vec_id < 400), the arriving shard (>= 400)
+      // gets keep/drop decisions without a refit — the 100 TB ingest
+      // shape for the semantic family. Hash-seeded centroids → golden
+      // fixture; exact parity with the full-corpus run (same centroids)
+      // restricted to shard ids asserted in ExtensionsSpec.
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") < 400)
+      Dedup.semDeDupIncremental(
+        e.filter(col("vec_id") >= 400), corpus,
+        Similarity.ivfCentroids(corpus, nlist = 16),
+        threshold = 0.4, nprobe = 2)
+        .select(col("vec_id"), col("cid"), round(col("csim"), 3).as("csim"), col("keep"))
+        .orderBy("vec_id")
+    }, None),
+
     Q("dedup_clusters", (s, dir) =>
       // Connected components over the exact n-gram-Jaccard pair graph —
       // pairs → duplicate clusters → keep min-id representative. The
@@ -733,6 +750,28 @@ object QueryCatalog {
               |FROM pairs JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
               |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
               |ORDER BY 1, 2""".stripMargin)),
+
+    Q("dedup_phash", (s, dir) => {
+      // Image perceptual-hash dedup: dHash over decoded bitmaps,
+      // Hamming-banded candidates (4×16-bit chunks), exact bit_count
+      // verify. The synthetic BMP corpus (MediaFixtures.syntheticBitmaps
+      // — an independent writer code path) realizes a CLOSED-FORM dHash
+      // per id: families of 5 (fam = id/5) share a base pattern, variant
+      // v = id%5 flips bit v-1 — so within-family Hamming distances are
+      // 1 (against the v=0 base) or 2 (between flipped variants), and at
+      // maxHamming = 2 the expected pair set is exactly the
+      // within-family pairs, in plain SQL. Cross-family base hashes are
+      // ≥ 13 bits apart over every id range in use (asserted in
+      // ExtensionsSpec), so no extra pairs can appear.
+      val ids = docs(s, dir).select(col("doc_id"))
+      PerceptualHash.dedup(MediaFixtures.syntheticBitmaps(ids), maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END AS INT) AS hamming
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |ORDER BY 1, 2""".stripMargin), bench = true),
 
     Q("text_repetition", (s, dir) =>
       // Gopher-style repetition quality filters: duplicate-token /

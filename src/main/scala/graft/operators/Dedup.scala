@@ -514,16 +514,82 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
     val resolvedNlist = Similarity.resolveNlist(vectors, nlist, idCol)
     val cents = graft.plans.Materialize(
       Similarity.ivfCentroids(vectors, resolvedNlist, refineIters, idCol, vecCol),
       eager = true)
+    semDeDup(vectors, cents, threshold, nprobe, idCol, vecCol)
+  }
+
+  /** [[semDeDup]] against a fitted centroid table ([[Similarity.ivfCentroids]],
+    * fresh or read back from storage) — the persistable-cluster-state
+    * overload: the centroid fit is the only corpus-global step, so with
+    * it persisted the whole decision pass is one map-side assignment plus
+    * the cluster-keyed comparison join.
+    */
+  def semDeDup(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      threshold: Double,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val probed = semProbed(vectors, centroids, nprobe, idCol, vecCol)
+    semDecide(probed, probed, threshold, idCol)
+  }
+
+  /** Incremental SemDeDup: keep/drop decisions for an incoming shard
+    * against a standing corpus, reusing PERSISTED cluster state (the
+    * centroid table) instead of refitting — completing the shard-ingest
+    * story ([[minhashLshIncremental]] / [[embeddingNearDupIncremental]]
+    * for the semantic family).
+    *
+    * Semantics: a shard member's decision in the one-pass keep rule
+    * depends only on members PRECEDING it in the keep order (ascending
+    * centroid-sim, ties by id) — and precedence is a function of the
+    * vectors, not of the predecessors' own keep status. Standing-corpus
+    * rows are frozen (ingest never revisits them), so shard-row output is
+    * EXACTLY the full-corpus [[semDeDup]] run (same centroids) restricted
+    * to shard ids — parity asserted in ExtensionsSpec. New ids must be
+    * disjoint from corpus ids.
+    *
+    * Scale shape: assignment stays map-side for both frames; the only
+    * corpus-sized exchange is the cluster-keyed comparison join, now with
+    * the shard on the probe side — comparison volume is
+    * O(|shard|·cluster), not O(N²/nlist).
+    *
+    * @return (idCol, cid, csim, keep) for the SHARD rows only.
+    */
+  def semDeDupIncremental(
+      newVectors: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      threshold: Double = 0.95,
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val newProbed = semProbed(newVectors, centroids, nprobe, idCol, vecCol)
+    val allProbed = newProbed.unionByName(
+      semProbed(corpus, centroids, nprobe, idCol, vecCol))
+    semDecide(newProbed, allProbed, threshold, idCol)
+  }
+
+  /** One probed row per (vector, one of its nprobe nearest clusters);
+    * cid/csim stay the PRIMARY cluster — the keep order and the output
+    * are single-assignment regardless of nprobe.
+    */
+  private def semProbed(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // One probed row per (vector, one of its nprobe nearest clusters);
-    // cid/csim stay the PRIMARY cluster — the keep order and the output
-    // are single-assignment regardless of nprobe.
-    val probed = Similarity.scoredCentroids(base, cents)
+    Similarity.scoredCentroids(base, centroids)
       .select(
         col("id"),
         col("v"),
@@ -531,14 +597,23 @@ object Dedup {
         element_at(col("ranked"), 1).getField("csim").as("csim"),
         explode(slice(col("ranked"), 1, nprobe)).as("t"))
       .select(col("id"), col("v"), col("cid"), col("csim"), col("t.cid").as("pcid"))
+  }
 
-    // x drops when some y sharing a probed cluster and PRECEDING it in
-    // the keep order (ascending centroid-sim, ties by id) has
-    // cosine(x, y) >= threshold. The cheap precedence predicate runs
-    // before the cosine.
-    val other = probed
+  /** The keep/drop pass over probed rows: a `deciding` member x drops
+    * when some `pool` member y sharing a probed cluster and PRECEDING it
+    * in the keep order (ascending centroid-sim, ties by id) has
+    * cosine(x, y) >= threshold. The cheap precedence predicate runs
+    * before the cosine.
+    */
+  private def semDecide(
+      deciding: DataFrame,
+      pool: DataFrame,
+      threshold: Double,
+      idCol: String
+  ): DataFrame = {
+    val other = pool
       .select(col("pcid"), col("id").as("idb"), col("v").as("vb"), col("csim").as("csimb"))
-    val dropped = probed.join(other, Seq("pcid"))
+    val dropped = deciding.join(other, Seq("pcid"))
       .filter(col("idb") =!= col("id"))
       .filter(col("csimb") < col("csim") ||
         (col("csimb") === col("csim") && col("idb") < col("id")))
@@ -546,7 +621,7 @@ object Dedup {
       .select(col("id"))
       .distinct()
 
-    probed
+    deciding
       .select(col("id"), col("cid"), col("csim"))
       .dropDuplicates("id")
       .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
@@ -695,7 +770,32 @@ object Dedup {
   ): DataFrame = {
     val (reps, star) = exactClusters(docs, textCol, idCol)
     val starPairs = star.withColumn("hamming", lit(0))
-    val sigs = simhashSignatures(reps, textCol, idCol)
+    hammingBandPairs(simhashSignatures(reps, textCol, idCol), maxHamming, maxBucketSize)
+      .unionByName(starPairs)
+  }
+
+  /** Banded Hamming near-dup pairs over 64-bit signatures — the shared
+    * core of [[simhash]] and [[graft.operators.PerceptualHash.dedup]]:
+    * signatures band into 4×16-bit chunks (Hamming ≤ k implies some
+    * chunk matches for k < 4 — guaranteed recall at the small distances
+    * these operators run at), candidates verify with exact
+    * `bit_count(xor)`. Input: one `(doc_id, sig)` row per DISTINCT
+    * signature-bearing doc (callers run their exact pre-pass first, so a
+    * mass-duplicate cluster reports as O(cluster) star pairs instead of
+    * hitting the cap).
+    *
+    * Scale shape: the chunk join shuffles (chunk, key, id, sig) rows only
+    * — ~28 bytes flat; the bucket-size cap (same skew guard as
+    * [[minhashLsh]]) stops a degenerate corpus — millions of DISTINCT
+    * docs colliding on one 16-bit chunk key — from making the self-join
+    * quadratic in one bucket. The window partitions by (chunk, key),
+    * which the join reuses.
+    */
+  private[graft] def hammingBandPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
     val chunks = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -704,11 +804,6 @@ object Dedup {
       }: _*)).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
 
-    // Bucket-size cap (same skew guard as [[minhashLsh]]): a degenerate
-    // corpus — millions of near-empty DISTINCT docs hashing to one 16-bit
-    // chunk key — would otherwise make the self-join below quadratic in
-    // one bucket. The window partitions by (chunk, key), which the join
-    // reuses. Exact duplicates never hit this cap (pre-pass above).
     val wChunk = Window.partitionBy("chunk", "key")
     val capped = chunks
       .withColumn("bsize", count(lit(1)).over(wChunk))
@@ -723,7 +818,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .unionByName(starPairs)
   }
 
   /** Exact-text clusters for the near-dup pre-passes ([[simhash]],

@@ -353,6 +353,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.9, s"ks=256 PQ recall $recall below the 0.9 bar")
   }
 
+  test("semDeDupIncremental: shard decisions equal the full run restricted to the shard") {
+    import graft.operators.Dedup
+    val corpus = emb.filter(col("vec_id") < 400)
+    val shard = emb.filter(col("vec_id") >= 400)
+    // Persisted cluster state: ONE centroid table drives both runs.
+    val cents = graft.plans.Materialize(
+      Similarity.ivfCentroids(corpus, nlist = 16), eager = true)
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double, Boolean)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val full = rows(Dedup.semDeDup(emb, cents, threshold = 0.4, nprobe = 2,
+      idCol = "vec_id", vecCol = "embedding")
+      .filter(col("vec_id") >= 400))
+    val incr = rows(Dedup.semDeDupIncremental(shard, corpus, cents,
+      threshold = 0.4, nprobe = 2))
+    assert(incr == full,
+      s"incremental drift: full-only=${full.toSet.diff(incr.toSet).take(3)} " +
+        s"incr-only=${incr.toSet.diff(full.toSet).take(3)}")
+    assert(incr.nonEmpty && incr.exists(!_._2._3),
+      "fixture shard must contain at least one drop for the parity to be meaningful")
+  }
+
   test("clustered MoG fixture: deterministic, and IVF holds 0.9 recall at nprobe=ceil(sqrt(nlist))") {
     import graft.harness.SyntheticEmbeddings
     val mog = SyntheticEmbeddings
@@ -829,6 +850,95 @@ class ExtensionsSpec extends SparkSpec {
     spark.conf.set("spark.graft.pq.fitParallelism", "2")
     try assert(ConcurrentFits.run[Int]((1 to 8).map(i => () => i)) == (1 to 8))
     finally spark.conf.unset("spark.graft.pq.fitParallelism")
+  }
+
+  test("dHash: synthetic BMPs realize their closed-form target hashes (builder vs hasher)") {
+    import graft.harness.MediaFixtures
+    import graft.operators.PerceptualHash
+    (0L until 60L).foreach { id =>
+      val got = PerceptualHash.dhash(MediaFixtures.bmpPayload(id))
+      assert(got.contains(MediaFixtures.dhashTarget(id)),
+        s"id $id: dhash $got != target ${MediaFixtures.dhashTarget(id)}")
+    }
+    // Cross-family base hashes stay far apart over every id range in use
+    // (sf0.1 has 5000 docs → 1000 families): the SQL oracle's "no
+    // cross-family pairs at maxHamming=2" claim needs min base distance
+    // > 4 (variant flips can close at most 2 bits); assert a wide margin.
+    val bases = (0L until 1000L).map(f => MediaFixtures.dhashTarget(f * 5))
+    var minD = 64
+    var i = 0
+    while (i < bases.length) {
+      var j = i + 1
+      while (j < bases.length) {
+        val d = java.lang.Long.bitCount(bases(i) ^ bases(j))
+        if (d < minD) minD = d
+        j += 1
+      }
+      i += 1
+    }
+    assert(minD >= 13, s"cross-family min Hamming $minD — oracle margin eroded")
+  }
+
+  test("dHash is format- and scale-invariant: BMP, PNG, and a 2x upscale hash identically") {
+    import graft.harness.MediaFixtures
+    import graft.operators.PerceptualHash
+    (0L until 10L).foreach { id =>
+      val bmp = MediaFixtures.bmpPayload(id)
+      val target = MediaFixtures.dhashTarget(id)
+      // ImageIO reads BMP too — the ImageIO path must agree with the
+      // byte-arithmetic path on the same payload.
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null, "JDK ImageIO failed to read the BMP fixture")
+      def png(im: java.awt.image.BufferedImage): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", o)
+        o.toByteArray
+      }
+      assert(PerceptualHash.dhash(png(img)).contains(target), s"id $id: PNG re-encode drifted")
+      // 2x nearest-neighbor upscale: every 9x8 pool cell averages a 2x2
+      // block of identical grays — the hash must not move.
+      val up = new java.awt.image.BufferedImage(
+        img.getWidth * 2, img.getHeight * 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < up.getHeight) {
+        var x = 0
+        while (x < up.getWidth) {
+          up.setRGB(x, y, img.getRGB(x / 2, y / 2)); x += 1
+        }
+        y += 1
+      }
+      assert(PerceptualHash.dhash(png(up)).contains(target), s"id $id: 2x upscale drifted")
+    }
+  }
+
+  test("phash dedup recovers the family structure; identical images star-pair at hamming 0") {
+    import graft.harness.MediaFixtures
+    import graft.operators.PerceptualHash
+    import spark.implicits._
+    val ids = spark.range(0, 50).select(col("id").as("doc_id"))
+    val got = PerceptualHash.dedup(MediaFixtures.syntheticBitmaps(ids), maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val expected = (for {
+      a <- 0L until 50L; b <- (a + 1) until 50L
+      if a / 5 == b / 5
+    } yield ((a, b), if (a % 5 == 0 || b % 5 == 0) 1 else 2)).toMap
+    assert(got == expected,
+      s"family structure: missing=${expected.keySet.diff(got.keySet).take(5)} " +
+        s"extra=${got.keySet.diff(expected.keySet).take(5)}")
+
+    // Byte-identical images (same target hash) collapse to star pairs.
+    val dup = Seq(
+      (1000L, MediaFixtures.bmpPayload(0L)),
+      (1001L, MediaFixtures.bmpPayload(0L)),
+      (1002L, MediaFixtures.bmpPayload(0L))).toDF("media_id", "payload")
+    val stars = PerceptualHash.dedup(dup, maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(stars == Map((1000L, 1001L) -> 0, (1000L, 1002L) -> 0),
+      s"expected min-id star pairs at hamming 0; got $stars")
+
+    // Non-image payloads simply produce no signatures (and no pairs).
+    val mixed = Seq((1L, "not an image at all".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(PerceptualHash.signatures(mixed).count() == 0)
   }
 
   test("container parsers never throw on fuzzed payloads (hash-derived + mutated fixtures)") {
