@@ -48,11 +48,18 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg()
 
-    // Best of 2 runs per query: the minimum is the standard noise-robust
-    // estimator and every run is a full end-to-end execution (no
-    // cross-run caches — Query releases its own). A query that failed
-    // EITHER run reports -1: a flaky query must not produce a
+    // Best of 2 runs per query, ESCALATING to best of 3 under contention:
+    // the minimum is the standard noise-robust estimator and every run is
+    // a full end-to-end execution (no cross-run caches — Query releases
+    // its own), but two contended runs can both be slow (BENCH_r07
+    // recorded 6-12x phantom regressions at loadavg 10+). So when this
+    // query STARTED on a loaded box (loadavg > cores/4) or its two runs
+    // disagree badly (spread > 1.0), take a third sample — one more
+    // chance for a quiet window the minimum can latch onto. All raw runs
+    // are emitted (`raw_runs`) so any reader can re-adjudicate. A query
+    // that failed ANY run reports -1: a flaky query must not produce a
     // clean-looking timing.
+    val escalateLoad = cpus.toDouble / 4
     val results = names.map { name =>
       def once(): Double =
         try {
@@ -60,7 +67,15 @@ object Bench {
           fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
-      val runs = Seq(once(), once())
+      val loadAtStart = loadavg()
+      val two = Seq(once(), once())
+      val spread2 =
+        if (two.exists(_ < 0)) 0.0 else (two.max - two.min) / math.max(two.min, 1e-9)
+      val contended = loadAtStart > escalateLoad || spread2 > 1.0
+      val runs = if (contended && two.forall(_ >= 0)) two :+ once() else two
+      if (contended)
+        System.err.println(
+          f"[bench] $name: contention escalation (loadavg $loadAtStart%.1f, spread $spread2%.2f) -> best of ${runs.length}")
       (name, if (runs.exists(_ < 0)) -1.0 else runs.min, runs)
     }
     val loadEnd = loadavg()
@@ -76,12 +91,19 @@ object Bench {
         "\"" + k + "\":" + f"$s%.3f"
       }
       .mkString("{", ",", "}")
+    // Every raw sample, so a suspicious minimum can be re-adjudicated
+    // from the artifact alone (no re-run needed).
+    val rawRuns = results
+      .map { case (k, _, runs) =>
+        "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,""" +
-        f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"run_spread":$spreads,""" +
-        f""""noise_note":"shared box; distrust totals when loadavg >> ${cpus} cores or spreads exceed ~0.3"}"""
+        f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"run_spread":$spreads,"raw_runs":$rawRuns,""" +
+        f""""noise_note":"shared box; best-of-2, escalated to best-of-3 when loadavg > cores/4 or spread > 1.0; distrust totals when loadavg >> ${cpus} cores or spreads exceed ~0.3"}"""
     // The driver scrapes the sbt log tail (r01–r03 artifacts all recorded
     // "parsed": null). Maximize its odds: quiesce the logger first, emit
     // the line on BOTH streams (sbt tags forked stdout [info] and stderr
