@@ -226,6 +226,44 @@ object PlanAudit {
     audit("semdedup", graft.operators.Dedup.semDeDup(
       embT, threshold = 0.4, nlist = 4, nprobe = 2, refineIters = 1), 6)
 
+    // Incremental SemDeDup (persisted centroids, shard vs corpus): same
+    // map-side assignment story — only cluster-keyed exchanges, same
+    // budget as the full run.
+    val semCents = graft.operators.Similarity.ivfCentroids(
+      embT.filter(col("vec_id") < 400), nlist = 4, refineIters = 1)
+    audit("semdedup_incr", graft.operators.Dedup.semDeDupIncremental(
+      embT.filter(col("vec_id") >= 400), embT.filter(col("vec_id") < 400),
+      semCents, threshold = 0.4, nprobe = 2), 6)
+
+    // Perceptual-hash signatures: one partition-wise decode pass — the
+    // image payloads must never shuffle (only 8-byte signatures leave
+    // the scan), so the signature frame has ZERO exchanges.
+    val bitmaps = graft.harness.MediaFixtures.syntheticBitmaps(
+      docsT.select(col("doc_id")))
+    audit("phash_signatures", graft.operators.PerceptualHash.signatures(bitmaps), 0)
+
+    // Perceptual-hash dedup: signature-only exchanges downstream of the
+    // decode scan (identical-hash window, chunk-band window + join, pair
+    // dedup, star union) — every shuffled row is ≤ ~28 bytes. Budget 6.
+    audit("phash_dedup", graft.operators.PerceptualHash.dedup(bitmaps), 6)
+
+    // IVF-PQ serving path (persisted index): the query-time plan must
+    // contain NO Lloyd refinement (the posexplode → per-dim avg shape) —
+    // fits happened at index-build time — and its exchanges are bounded
+    // by the probe join + candidate cut + re-rank joins.
+    val idxCorpus = embT.filter(col("vec_id") >= 20)
+    val servedIdx = graft.operators.ProductQuant.ivfPqIndex(
+      idxCorpus, nlist = 4, m = 8, ks = 8, refineIters = 1)
+    val served = graft.operators.ProductQuant.ivfPqTopK(
+      embT.filter(col("vec_id") < 20), idxCorpus, servedIdx,
+      k = 5, nprobe = 2, rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")
+    val servedPlan = served.queryExecution.optimizedPlan.toString
+    val servedLloyd = "posexplode".r.findAllIn(servedPlan).length
+    println(s"${if (servedLloyd == 0) "OK " else "HOT"} ivfpq serving: no query-time fit posexplode=$servedLloyd")
+    // Measured 4: probe↔codes cluster join, candidate-cut window, and
+    // the two re-rank vector joins — the serving floor.
+    audit("ivfpq_serving", served, 4)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
