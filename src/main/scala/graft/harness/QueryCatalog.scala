@@ -856,7 +856,11 @@ object QueryCatalog {
       // ExtensionsSpec.
       val e = emb(s, dir)
       val corpus = e.filter(col("vec_id") >= 20)
-      val idxDir = s"/tmp/graft_ivfpq_idx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // Cache dir keyed on the fit-format version: a /tmp index fit by
+      // OLDER fit code must refit, not silently diverge from a fresh fit
+      // (the golden fixture and the driver's fresh container must agree).
+      val idxDir = s"/tmp/graft_ivfpq_idx_v${ProductQuant.indexFormatVersion}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
       if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
         ProductQuant.ivfPqIndex(corpus, nlist = 16, m = 16, ks = 32).save(idxDir)
       ProductQuant.ivfPqTopK(

@@ -125,6 +125,15 @@ object IvfPqIndex {
 
 object ProductQuant {
 
+  /** Version of the deterministic fit procedure behind [[ivfPqIndex]]
+    * (seeding, Lloyd update, encode layout). BUMP THIS whenever a change
+    * alters fit OUTPUT bits — consumers that cache fitted indexes on disk
+    * (e.g. the harness catalog) key their cache on it, so a stale index
+    * from older fit code refits instead of silently diverging from a
+    * fresh fit.
+    */
+  val indexFormatVersion: Int = 1
+
   private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
   private def l2sq(a: Column, b: Column): Column = VectorExpressions.l2sq(a, b)
 

@@ -693,6 +693,15 @@ object StreamingPredicates {
     * dark until its latch expires). Parity with the batch shard-ingest
     * loop is asserted in StreamingSpec.
     *
+    * State sizing: each live doc is held once per band group (band-local
+    * state needs no cross-group lookups — the same trade as
+    * [[minhashNearDupStream]]'s per-band shingle copies), so live state ≈
+    * `bands · (4·dim + 8·bands + 16)` bytes per doc within the TTL window
+    * (~8 KB/doc at dim=64, bands=32). Size `ttlMicros` to the dedup
+    * horizon × ingest rate; the persisted-corpus batch pass
+    * ([[graft.operators.Dedup.embeddingNearDupIncremental]]) catches
+    * pairs beyond the horizon.
+    *
     * @param vectors streaming frame with a `timestamp` column
     *                (watermarked by the caller), `idCol`, `vecCol`.
     * @return one row per verified pair: (doc_a, doc_b, cos) with
