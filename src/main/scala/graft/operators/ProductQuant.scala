@@ -427,6 +427,32 @@ object ProductQuant {
     IvfPqIndex(cents, codebooks, codesWithCid)
   }
 
+  /** Append a new shard to a fitted IVF-PQ index WITHOUT refitting — the
+    * ingest half of the serving loop: the shard is assigned to the
+    * EXISTING coarse centroids and encoded against the EXISTING codebooks
+    * (both map-side, zero shard exchanges beyond the thin id join), and
+    * its (id, cid, codes) rows union into the index. Because per-vector
+    * assignment and encoding are deterministic functions of (vector,
+    * centroids, codebooks), the appended index is bit-identical to
+    * encoding corpus ∪ shard against the same fits in one pass (asserted
+    * in ExtensionsSpec) — so ingest cadence and refit cadence decouple:
+    * append every shard, refit (a new [[ivfPqIndex]]) only when the
+    * embedding distribution has drifted enough that quantization error
+    * degrades recall (monitor via a recall probe on held-out queries).
+    * New ids must be disjoint from indexed ids.
+    */
+  def ivfPqIndexAppend(
+      newVectors: DataFrame,
+      index: IvfPqIndex,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): IvfPqIndex = {
+    val base = newVectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val shardCodes = Similarity.assignToCentroids(base, index.centroids).select("id", "cid")
+      .join(pqEncodePacked(newVectors, index.codebooks, idCol, vecCol), Seq("id"))
+    index.copy(codes = index.codes.unionByName(shardCodes))
+  }
+
   /** Query a fitted IVF-PQ index ([[ivfPqIndex]], fresh or [[IvfPqIndex.load]]ed
     * back from storage) — the serving-path overload (mirror of the
     * centroid-taking [[Similarity.ivfTopK]] and the codebook-taking

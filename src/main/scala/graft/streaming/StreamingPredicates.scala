@@ -827,6 +827,158 @@ object StreamingPredicates {
       }
   }
 
+  /** One (chunk, key)-routed copy of an incoming image signature for
+    * [[phashNearDupStream]]. Unlike the minhash/embedding streams, no
+    * bucket vector rides along: all four 16-bit chunk keys are pure
+    * functions of the 8-byte signature, so both sides of a collision
+    * recompute the lowest shared chunk from the two sigs alone.
+    */
+  final case class PhashDoc(
+      chunk: Int,
+      key: Long,
+      doc_id: Long,
+      timestamp: java.sql.Timestamp,
+      sig: Long) {
+    def tsMicros: Long = (timestamp.getTime / 1000L) * 1000000L + timestamp.getNanos / 1000L
+  }
+
+  /** Per-bucket state for [[phashNearDupStream]]: 24 bytes per live doc
+    * (id, arrival, signature) — parallel flat arrays as in
+    * [[BucketDocsState]], with the same saturation latch.
+    */
+  final case class BucketSigsState(
+      ids: Array[Long],
+      ts: Array[Long],
+      sigs: Array[Long],
+      saturated: Boolean)
+
+  /** One verified image near-duplicate pair (doc_a < doc_b). */
+  final case class ImageNearDupPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Streaming image near-dup detection on the ingest path — the
+    * perceptual-hash face of [[minhashNearDupStream]] /
+    * [[embeddingNearDupStream]], completing the streaming dedup triad
+    * (text / embedding / image). Each arriving image dHashes map-side
+    * ([[graft.operators.PerceptualHash.dhash]] — the SAME signature as
+    * batch, so stream and batch agree bucket-for-bucket), routes one
+    * 24-byte copy per 16-bit chunk to a `(chunk, key)` state group, and
+    * pairs against the group's live signatures with exact Hamming
+    * verification. Payloads never enter state — only (id, ts, sig).
+    *
+    * Exactly-once pairs: the lowest chunk the two signatures share is
+    * recomputable from the sigs alone, and only that chunk's group emits.
+    * Banding guarantees full recall for `maxHamming < 4` (pigeonhole over
+    * 4 chunks), as in batch. TTL eviction and the `maxBucketSize`
+    * saturation latch work as in [[minhashNearDupStream]]. Divergence
+    * from batch on IDENTICAL-hash clusters: batch collapses them to
+    * min-id star pairs, the stream emits all live pairwise pairs — the
+    * same transitive closure, more edges; parity is exact whenever
+    * hashes are distinct (asserted in StreamingSpec). Undecodable and
+    * sub-9×8 payloads produce no signature and are never paired.
+    *
+    * @param media streaming frame with a `timestamp` column, `idCol`,
+    *              binary `payloadCol`. Unlike the expression-only streams,
+    *              the decode step is a typed flatMap (object
+    *              round-trip), which DROPS any caller watermark — so this
+    *              operator applies its own AFTER decoding
+    *              (`watermarkDelay`); don't bother watermarking upstream.
+    * @return one row per verified pair: (doc_a, doc_b, hamming).
+    */
+  def phashNearDupStream(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      maxBucketSize: Int = 256,
+      ttlMicros: Long = Long.MaxValue,
+      watermarkDelay: String = "1 hour",
+      idCol: String = "media_id",
+      payloadCol: String = "payload"
+  ): Dataset[ImageNearDupPair] = {
+    requireIntegralId(media, idCol, "phashNearDupStream")
+    implicit val rowEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.BINARY)
+    implicit val phashEnc = Encoders.product[PhashDoc]
+    val banded = media
+      .select(col(idCol).cast("long"), col("timestamp"), col(payloadCol))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (id, ts, payload) =>
+        graft.operators.PerceptualHash.dhash(payload).toSeq.flatMap { sig =>
+          (0 until 4).map(c => PhashDoc(c, (sig >>> (c * 16)) & 0xffffL, id, ts, sig))
+        }
+      }
+      .withWatermark("timestamp", watermarkDelay)
+      .as[PhashDoc]
+
+    def lowestSharedChunk(a: Long, b: Long): Int = {
+      var c = 0
+      while (c < 4) {
+        if (((a >>> (c * 16)) & 0xffffL) == ((b >>> (c * 16)) & 0xffffL)) return c
+        c += 1
+      }
+      -1
+    }
+
+    implicit val pairEnc = Encoders.product[ImageNearDupPair]
+    implicit val stateEnc = Encoders.product[BucketSigsState]
+    def satAdd(a: Long, b: Long): Long =
+      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
+    banded
+      .groupByKey(d => (d.chunk, d.key))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState[BucketSigsState, ImageNearDupPair](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[PhashDoc], state: GroupState[BucketSigsState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val chunk = key._1
+          val prev = state.getOption.getOrElse(
+            BucketSigsState(Array.empty, Array.empty, Array.empty, saturated = false))
+
+          var saturated = prev.saturated &&
+            !(prev.ts.nonEmpty && satAdd(prev.ts(0), ttlMicros) <= wmMicros)
+          val liveIdx =
+            if (saturated) Seq.empty
+            else prev.ids.indices.filter(j => satAdd(prev.ts(j), ttlMicros) > wmMicros)
+          val ids = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.ids): _*)
+          val ts = scala.collection.mutable.ArrayBuffer(
+            (if (saturated) prev.ts.toSeq else liveIdx.map(prev.ts)): _*)
+          val sigs = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.sigs): _*)
+
+          val out = scala.collection.mutable.ArrayBuffer.empty[ImageNearDupPair]
+          rows.toSeq.sortBy(d => (d.tsMicros, d.doc_id)).foreach { d =>
+            if (d.tsMicros > wmMicros) {
+              if (saturated) {
+                ts(0) = math.max(ts(0), d.tsMicros)
+              } else if (ids.length + 1 > maxBucketSize) {
+                saturated = true
+                ids.clear(); sigs.clear()
+                ts.clear(); ts += d.tsMicros
+              } else {
+                var j = 0
+                while (j < ids.length) {
+                  if (ids(j) != d.doc_id && lowestSharedChunk(sigs(j), d.sig) == chunk) {
+                    val hamming = java.lang.Long.bitCount(sigs(j) ^ d.sig)
+                    if (hamming <= maxHamming)
+                      out += ImageNearDupPair(
+                        math.min(ids(j), d.doc_id), math.max(ids(j), d.doc_id), hamming)
+                  }
+                  j += 1
+                }
+                ids += d.doc_id; ts += d.tsMicros; sigs += d.sig
+              }
+            }
+          }
+
+          if (ids.isEmpty && !saturated) state.remove()
+          else {
+            state.update(BucketSigsState(ids.toArray, ts.toArray, sigs.toArray, saturated))
+            if (ttlMicros < Long.MaxValue && ts.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(satAdd(ts.min, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

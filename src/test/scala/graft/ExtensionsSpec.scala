@@ -341,6 +341,32 @@ class ExtensionsSpec extends SparkSpec {
       rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")).nonEmpty)
   }
 
+  test("IVF-PQ index append: shard ingest equals one-pass encoding, and the grown index serves") {
+    import graft.operators.ProductQuant
+    val corpus = emb.filter(col("vec_id") >= 20 && col("vec_id") < 300)
+    val shard = emb.filter(col("vec_id") >= 300)
+    val q = emb.filter(col("vec_id") < 20)
+    val full = emb.filter(col("vec_id") >= 20)
+    // Fit once on the standing corpus; append the shard encode-only.
+    val idx = ProductQuant.ivfPqIndex(corpus, nlist = 8, m = 8, ks = 16, refineIters = 1)
+    val appended = ProductQuant.ivfPqIndexAppend(shard, idx)
+    // Bit-identical to encoding corpus ∪ shard against the SAME fits.
+    def codeRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Byte])] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val onePass = Similarity.assignToCentroids(
+      full.select(col("vec_id").as("id"), col("embedding").as("v")), idx.centroids)
+      .select("id", "cid")
+      .join(ProductQuant.pqEncodePacked(full, idx.codebooks), Seq("id"))
+    assert(codeRows(appended.codes) == codeRows(onePass),
+      "appended codes drifted from one-pass encoding against the same fits")
+    // The grown index answers queries over the full corpus (shard ids
+    // reachable as neighbors).
+    val served = ProductQuant.ivfPqTopK(q, full, appended, k = 5, nprobe = 5,
+      rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")
+    assert(served.filter(col("neighbor_id") >= 300).count() > 0,
+      "appended shard never surfaces as a neighbor — append is not serving")
+  }
+
   test("PQ ANN at the ks=256 production point keeps recall") {
     import graft.operators.ProductQuant
     val k = 3

@@ -542,6 +542,83 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("string"))
   }
 
+  test("phashNearDupStream matches batch perceptual-hash dedup on a shard sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.harness.MediaFixtures
+    import graft.operators.PerceptualHash
+
+    // The dHash family fixture: all 50 hashes are DISTINCT, so batch
+    // star-pair collapsing never kicks in and stream/batch pair sets
+    // must be identical.
+    val allIds = (0L until 50L)
+    val batchPairs = PerceptualHash
+      .dedup(MediaFixtures.syntheticBitmaps(
+        allIds.toDF("doc_id")), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "timestamp", "payload")
+    val out = StreamingPredicates.phashNearDupStream(media, maxHamming = 2)
+    val query = out.writeStream
+      .format("memory").queryName("phash_stream").outputMode("append").start()
+    try {
+      val (shard1, shard2) = allIds.partition(_ < 25)
+      input.addData(shard1.map(id => (id, ts("2024-01-01 10:00:00"), MediaFixtures.bmpPayload(id))): _*)
+      query.processAllAvailable()
+      input.addData(shard2.map(id => (id, ts("2024-01-01 10:30:00"), MediaFixtures.bmpPayload(id))): _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("phash_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batchPairs,
+        s"stream/batch divergence: stream-only=${streamed.diff(batchPairs).take(5)} " +
+          s"batch-only=${batchPairs.diff(streamed).take(5)} " +
+          s"(${streamed.size} streamed vs ${batchPairs.size} batch)")
+      assert(batchPairs.nonEmpty, "fixture must actually contain near-dup images")
+      // Undecodable payloads pass through silently (no signature, no pair).
+      input.addData((999L, ts("2024-01-01 10:45:00"), "not an image".getBytes("UTF-8")))
+      query.processAllAvailable()
+      assert(spark.table("phash_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == streamed)
+    } finally query.stop()
+  }
+
+  test("phashNearDupStream evicts bucket state after the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.harness.MediaFixtures
+
+    // Family 0 variants: ids 0-4 share a base pattern within Hamming 2.
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "timestamp", "payload")
+    val out = StreamingPredicates.phashNearDupStream(
+      media, maxHamming = 2, ttlMicros = 3600L * 1000000L,
+      watermarkDelay = "0 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("phash_ttl").outputMode("append").start()
+    try {
+      input.addData(
+        (0L, ts("2024-01-01 10:00:00"), MediaFixtures.bmpPayload(0L)),
+        (1L, ts("2024-01-01 10:05:00"), MediaFixtures.bmpPayload(1L)))
+      query.processAllAvailable()
+      // March the watermark past 10:05 + TTL with a far-family image.
+      input.addData((100L, ts("2024-01-01 20:00:00"), MediaFixtures.bmpPayload(500L)))
+      query.processAllAvailable()
+      // 0/1 expired: variant 2 finds nothing...
+      input.addData((2L, ts("2024-01-01 20:10:00"), MediaFixtures.bmpPayload(2L)))
+      query.processAllAvailable()
+      // ...but live state still pairs: variant 3 against variant 2.
+      input.addData((3L, ts("2024-01-01 20:15:00"), MediaFixtures.bmpPayload(3L)))
+      query.processAllAvailable()
+
+      val pairs = spark.table("phash_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((0L, 1L), (2L, 3L)),
+        s"expected the pre-TTL pair and the post-TTL fresh pair only; got $pairs")
+    } finally query.stop()
+  }
+
   test("minhashNearDupStream evicts bucket state after the TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
