@@ -220,7 +220,7 @@ object Multimodal {
     * Rows are bottom-up (or top-down when height < 0) and padded to 4-byte
     * multiples; pixels are stored B,G,R. Channel means are /255-normalized.
     */
-  private[operators] def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+  private[graft] def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
     val dataOffset = le32(p, 10)
     val width = le32(p, 18)
@@ -229,8 +229,13 @@ object Multimodal {
     val bpp = le16(p, 28)
     val compression = le32(p, 30)
     if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
-    val rowSize = ((24 * width + 31) / 32) * 4
-    if (dataOffset.toLong + rowSize.toLong * height > p.length) return None
+    // Long arithmetic + offset validation: an adversarial header (width
+    // near 2^27 overflowing 24·width, or a negative data offset) must
+    // fail the bounds check, not index out of bounds.
+    if (dataOffset < 54 || dataOffset > p.length) return None
+    val rowSizeL = ((24L * width + 31) / 32) * 4
+    if (dataOffset.toLong + rowSizeL * height > p.length) return None
+    val rowSize = rowSizeL.toInt // fits: rowSize·height ≤ p.length ≤ Int.MaxValue
     var (sr, sg, sb) = (0.0, 0.0, 0.0)
     var row = 0
     while (row < height) {

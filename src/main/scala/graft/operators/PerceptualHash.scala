@@ -78,7 +78,7 @@ object PerceptualHash {
     * bottom-up when the header height is positive — the walk maps file
     * rows to image rows so the hash is orientation-correct either way.
     */
-  private[operators] def dhashBmp(p: Array[Byte]): Option[Long] = {
+  private[graft] def dhashBmp(p: Array[Byte]): Option[Long] = {
     if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
     val dataOffset = le32(p, 10)
     val width = le32(p, 18)
@@ -87,8 +87,13 @@ object PerceptualHash {
     val bpp = le16(p, 28)
     val compression = le32(p, 30)
     if (bpp != 24 || compression != 0 || width < 9 || height < 8) return None
-    val rowSize = ((24 * width + 31) / 32) * 4
-    if (dataOffset.toLong + rowSize.toLong * height > p.length) return None
+    // Long arithmetic + offset validation: an adversarial header (width
+    // near 2^27 overflowing 24·width, or a negative data offset) must
+    // fail the bounds check, not index out of bounds.
+    if (dataOffset < 54 || dataOffset > p.length) return None
+    val rowSizeL = ((24L * width + 31) / 32) * 4
+    if (dataOffset.toLong + rowSizeL * height > p.length) return None
+    val rowSize = rowSizeL.toInt // fits: rowSize·height ≤ p.length ≤ Int.MaxValue
     val grid = new PoolGrid(width, height)
     var fileRow = 0
     while (fileRow < height) {
@@ -110,7 +115,7 @@ object PerceptualHash {
   /** dHash via ImageIO (JPEG/PNG/GIF — headless JDK decode), one row of
     * ARGB ints at a time to bound allocation on large images.
     */
-  private[operators] def dhashImageIO(p: Array[Byte]): Option[Long] = {
+  private[graft] def dhashImageIO(p: Array[Byte]): Option[Long] = {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
       if (img == null) return None

@@ -905,6 +905,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(minD >= 13, s"cross-family min Hamming $minD — oracle margin eroded")
   }
 
+  test("BMP walks reject adversarial headers (rowSize overflow, bad data offset) without throwing") {
+    import graft.operators.{Multimodal, PerceptualHash}
+    def bmpHeader(width: Int, height: Int, dataOffset: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte); b.put('M'.toByte)
+      b.putInt(2, 100)          // file size
+      b.putInt(10, dataOffset)
+      b.putInt(14, 40)          // info header size
+      b.putInt(18, width)
+      b.putInt(22, height)
+      b.putShort(26, 1)         // planes
+      b.putShort(28, 24)        // bpp
+      b.putInt(30, 0)           // BI_RGB
+      b.array()
+    }
+    // width ~2^27: 24*width overflows Int to negative — the former Int
+    // rowSize passed the bounds check and indexed out of bounds.
+    val hugeWidth = bmpHeader(200000000, 8, 54)
+    assert(PerceptualHash.dhashBmp(hugeWidth).isEmpty)
+    assert(Multimodal.decodeBmp(hugeWidth).isEmpty)
+    // Negative / out-of-range data offsets.
+    Seq(-100, -1, 101, Int.MaxValue).foreach { off =>
+      val p = bmpHeader(9, 8, off)
+      assert(PerceptualHash.dhashBmp(p).isEmpty, s"offset $off")
+      assert(Multimodal.decodeBmp(p).isEmpty, s"offset $off")
+    }
+    // Sanity: the honest fixture still decodes after the hardening.
+    assert(PerceptualHash.dhashBmp(graft.harness.MediaFixtures.bmpPayload(7L)).isDefined)
+    assert(Multimodal.decodeBmp(graft.harness.MediaFixtures.bmpPayload(7L)).isDefined)
+  }
+
   test("dHash is format- and scale-invariant: BMP, PNG, and a 2x upscale hash identically") {
     import graft.harness.MediaFixtures
     import graft.operators.PerceptualHash
