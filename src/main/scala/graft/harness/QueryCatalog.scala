@@ -700,9 +700,13 @@ object QueryCatalog {
       // restricted to shard ids asserted in ExtensionsSpec.
       val e = emb(s, dir)
       val corpus = e.filter(col("vec_id") < 400)
+      // Materialize the fit ONCE: semDeDupIncremental references the
+      // centroid frame from three subtrees, and an un-cut Lloyd plan
+      // would re-execute per occurrence (the "fit once" this entry is
+      // demonstrating).
       Dedup.semDeDupIncremental(
         e.filter(col("vec_id") >= 400), corpus,
-        Similarity.ivfCentroids(corpus, nlist = 16),
+        graft.plans.Materialize(Similarity.ivfCentroids(corpus, nlist = 16), eager = true),
         threshold = 0.4, nprobe = 2)
         .select(col("vec_id"), col("cid"), round(col("csim"), 3).as("csim"), col("keep"))
         .orderBy("vec_id")

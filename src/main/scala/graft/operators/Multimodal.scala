@@ -216,11 +216,19 @@ object Multimodal {
     StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)
   ))
 
-  /** Uncompressed 24-bit BMP: (width, height, [meanR, meanG, meanB]).
-    * Rows are bottom-up (or top-down when height < 0) and padded to 4-byte
-    * multiples; pixels are stored B,G,R. Channel means are /255-normalized.
+  /** Validated uncompressed-24-bit-BMP header: Some((dataOffset, width,
+    * heightRaw, rowSize)) iff the pixel walk is fully in-bounds — the ONE
+    * hardened gate both BMP consumers ([[decodeBmp]] means,
+    * [[PerceptualHash.dhashBmp]]) go through, so adversarial-header fixes
+    * land once. Guards, in order: magic + minimum size; 24 bpp
+    * uncompressed; positive dims; data offset inside the payload; row
+    * size computed in Long (24·width overflows Int near width 2^27); and
+    * the row-count bound expressed as a DIVISION (`height >
+    * available/rowSize`) because the multiplication `rowSize·height` can
+    * wrap Long for adversarial width×height. After these, rowSize·height
+    * ≤ payload length ≤ Int.MaxValue, so Int arithmetic is safe.
     */
-  private[graft] def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+  private[graft] def bmpHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
     val dataOffset = le32(p, 10)
     val width = le32(p, 18)
@@ -228,14 +236,21 @@ object Multimodal {
     val height = math.abs(heightRaw)
     val bpp = le16(p, 28)
     val compression = le32(p, 30)
-    if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
-    // Long arithmetic + offset validation: an adversarial header (width
-    // near 2^27 overflowing 24·width, or a negative data offset) must
-    // fail the bounds check, not index out of bounds.
+    if (bpp != 24 || compression != 0 || width <= 0 || height == 0 || heightRaw == Int.MinValue)
+      return None
     if (dataOffset < 54 || dataOffset > p.length) return None
     val rowSizeL = ((24L * width + 31) / 32) * 4
-    if (dataOffset.toLong + rowSizeL * height > p.length) return None
-    val rowSize = rowSizeL.toInt // fits: rowSize·height ≤ p.length ≤ Int.MaxValue
+    if (height > (p.length - dataOffset).toLong / rowSizeL) return None
+    Some((dataOffset, width, heightRaw, rowSizeL.toInt))
+  }
+
+  /** Uncompressed 24-bit BMP: (width, height, [meanR, meanG, meanB]).
+    * Rows are bottom-up (or top-down when height < 0) and padded to 4-byte
+    * multiples; pixels are stored B,G,R. Channel means are /255-normalized.
+    */
+  private[graft] def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    val (dataOffset, width, heightRaw, rowSize) = bmpHeader(p).getOrElse(return None)
+    val height = math.abs(heightRaw)
     var (sr, sg, sb) = (0.0, 0.0, 0.0)
     var row = 0
     while (row < height) {
@@ -614,10 +629,13 @@ object Multimodal {
     if (rate <= 0) return None
     // Split-form duration (⌊g/r⌋·1000 + ⌊(g mod r)·1000/r⌋ ≡ ⌊g·1000/r⌋
     // exactly) — an adversarial last-page granule near Long.MaxValue must
-    // degrade to a large-but-sane duration, not overflow `g·1000` into a
-    // negative one. `g mod r < r ≤ 2³¹`, so the remainder product fits.
+    // degrade cleanly, not overflow `g·1000` into a negative duration.
+    // `g mod r < r ≤ 2³¹`, so the remainder product always fits; the
+    // quotient term can still overflow when rate < 1000 (⌊g/r⌋·1000 >
+    // Long.MaxValue), and a duration that big is a corrupt header —
+    // report the envelope without a duration rather than a garbage one.
     val durationMs =
-      if (lastGranule > 0)
+      if (lastGranule > 0 && lastGranule / rate <= Long.MaxValue / 1000)
         Some(lastGranule / rate * 1000L + lastGranule % rate * 1000L / rate)
       else None
     Some(ContainerMeta("ogg", None, None, durationMs,

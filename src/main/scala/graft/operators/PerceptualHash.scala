@@ -68,32 +68,17 @@ object PerceptualHash {
   private def luma(r: Int, g: Int, b: Int): Double =
     0.299 * r + 0.587 * g + 0.114 * b
 
-  private def le16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], off: Int): Int =
-    le16(b, off) | (le16(b, off + 2) << 16)
-
-  /** dHash of an uncompressed 24-bit BMP (bounds-guarded byte walk,
-    * mirrors [[Multimodal.decodeBmp]]'s validation). BMP rows are
-    * bottom-up when the header height is positive — the walk maps file
-    * rows to image rows so the hash is orientation-correct either way.
+  /** dHash of an uncompressed 24-bit BMP — header validation is the
+    * shared hardened gate [[Multimodal.bmpHeader]] (one place for
+    * adversarial-header fixes); this walk only consumes pixels. BMP rows
+    * are bottom-up when the header height is positive — the walk maps
+    * file rows to image rows so the hash is orientation-correct either
+    * way.
     */
   private[graft] def dhashBmp(p: Array[Byte]): Option[Long] = {
-    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
-    val dataOffset = le32(p, 10)
-    val width = le32(p, 18)
-    val heightRaw = le32(p, 22)
+    val (dataOffset, width, heightRaw, rowSize) = Multimodal.bmpHeader(p).getOrElse(return None)
     val height = math.abs(heightRaw)
-    val bpp = le16(p, 28)
-    val compression = le32(p, 30)
-    if (bpp != 24 || compression != 0 || width < 9 || height < 8) return None
-    // Long arithmetic + offset validation: an adversarial header (width
-    // near 2^27 overflowing 24·width, or a negative data offset) must
-    // fail the bounds check, not index out of bounds.
-    if (dataOffset < 54 || dataOffset > p.length) return None
-    val rowSizeL = ((24L * width + 31) / 32) * 4
-    if (dataOffset.toLong + rowSizeL * height > p.length) return None
-    val rowSize = rowSizeL.toInt // fits: rowSize·height ≤ p.length ≤ Int.MaxValue
+    if (width < 9 || height < 8) return None
     val grid = new PoolGrid(width, height)
     var fileRow = 0
     while (fileRow < height) {

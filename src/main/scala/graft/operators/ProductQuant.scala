@@ -51,7 +51,13 @@ private[graft] object ConcurrentFits {
   private def configuredParallelism: Int =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(_.conf.getOption("spark.graft.pq.fitParallelism"))
-      .map(_.toInt)
+      .map { raw =>
+        val n = raw.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"spark.graft.pq.fitParallelism must be a positive integer, got '$raw'"))
+        require(n > 0, s"spark.graft.pq.fitParallelism must be positive, got $n")
+        n
+      }
       .getOrElse(16)
 
   def run[T](thunks: Seq[() => T], parallelism: Int = 0): Seq[T] = {

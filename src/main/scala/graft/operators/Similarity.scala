@@ -337,10 +337,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** (id, band, bucket) rows from banded random-hyperplane signatures —
-    * the shared LSH bucketing for ANN top-k and embedding near-dup.
-    * Carries ids only; vectors are dropped before any shuffle.
-    */
   /** Per-band hyperplane bucket keys as ONE `array<long>` column (index =
     * band) — the shared signature for batch bucketing and streaming state
     * routing ([[graft.streaming.StreamingPredicates.embeddingNearDupStream]]):
@@ -354,6 +350,10 @@ object Similarity {
         .reduce(_ + _)
     }: _*)
 
+  /** (id, band, bucket) rows from banded random-hyperplane signatures —
+    * the shared LSH bucketing for ANN top-k and embedding near-dup.
+    * Carries ids only; vectors are dropped before any shuffle.
+    */
   def hyperplaneBuckets(
       vectors: DataFrame,
       bands: Int,

@@ -24,6 +24,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPredicates {
 
+  /** Saturating micros add — uncapped horizons/TTLs use Long.MaxValue as
+    * +infinity, so `t + ttl` must clamp instead of wrapping. Shared by
+    * every TTL-bounded state operator in this file (one definition: the
+    * eviction-clock math must never diverge between the dedup streams).
+    */
+  private def satAdd(a: Long, b: Long): Long =
+    if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
+
   /** Tumbling-window per-subject predicate counts.
     *
     * @param events    streaming frame with `subject_id`, `timestamp`, and
@@ -243,9 +251,6 @@ object StreamingPredicates {
         "has not arrived once the watermark passes trigger + T is dropped — the same " +
         "outcome as the batch engine's null-bound row drop.")
     val minStartOffset = specs.map(_.startOffsetMicros).min
-    // Saturating add: uncapped horizons use Long.MaxValue as +infinity.
-    def satAdd(a: Long, b: Long): Long =
-      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
     events
       .groupByKey(_.subject_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[TriggerState, CohortRow](
@@ -556,8 +561,6 @@ object StreamingPredicates {
 
     implicit val pairEnc = Encoders.product[NearDupPair]
     implicit val stateEnc = Encoders.product[BucketDocsState]
-    def satAdd(a: Long, b: Long): Long =
-      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
     banded
       .groupByKey(d => (d.band, d.bucket))(
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
@@ -748,8 +751,6 @@ object StreamingPredicates {
 
     implicit val pairEnc = Encoders.product[EmbNearDupPair]
     implicit val stateEnc = Encoders.product[BucketVecsState]
-    def satAdd(a: Long, b: Long): Long =
-      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
     banded
       .groupByKey(d => (d.band, d.bucket))(
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
@@ -761,7 +762,12 @@ object StreamingPredicates {
           val band = key._1
           val prev = state.getOption.getOrElse(
             BucketVecsState(Array.empty, Array.empty, Array.empty, Array.empty, saturated = false))
-          val dim = if (prev.ids.isEmpty) 0 else prev.vecs.length / prev.ids.length
+          // The state stride: every stored vector's length. Established by
+          // the first append; a later arrival with a DIFFERENT length is a
+          // contract violation (embeddings must share one dim) and is
+          // skipped below — indexing state with the arrival's length would
+          // read across vector boundaries or out of bounds.
+          var dim = if (prev.ids.isEmpty) 0 else prev.vecs.length / prev.ids.length
 
           var saturated = prev.saturated &&
             !(prev.ts.nonEmpty && satAdd(prev.ts(0), ttlMicros) <= wmMicros)
@@ -775,6 +781,7 @@ object StreamingPredicates {
             liveIdx.flatMap(j => (0 until dim).map(i => prev.vecs(j * dim + i))): _*)
           val bkts = scala.collection.mutable.ArrayBuffer(
             liveIdx.flatMap(j => (0 until bands).map(i => prev.buckets(j * bands + i))): _*)
+          if (ids.isEmpty) dim = 0 // fully evicted: next arrival re-establishes
 
           val out = scala.collection.mutable.ArrayBuffer.empty[EmbNearDupPair]
           rows.toSeq.sortBy(d => (d.tsMicros, d.doc_id)).foreach { d =>
@@ -785,10 +792,15 @@ object StreamingPredicates {
                 saturated = true
                 ids.clear(); vecs.clear(); bkts.clear()
                 ts.clear(); ts += d.tsMicros
+              } else if (dim != 0 && d.vec.length != dim) {
+                // Mixed-dim arrival: cannot be compared against (or stored
+                // beside) the bucket's vectors — drop it.
+                ()
               } else {
-                val vdim = d.vec.length
+                if (dim == 0) dim = d.vec.length
                 // One flat snapshot per arrival (not per pair) for the
-                // unboxed cosine loop.
+                // unboxed cosine loop; offsets use the STATE stride `dim`
+                // (== d.vec.length here, enforced above).
                 val vecsArr = vecs.toArray
                 var j = 0
                 while (j < ids.length) {
@@ -801,7 +813,7 @@ object StreamingPredicates {
                       i += 1
                     }
                     if (mb == band) {
-                      val c = cosineAt(vecsArr, j * vdim, vdim, d.vec)
+                      val c = cosineAt(vecsArr, j * dim, dim, d.vec)
                       if (c >= threshold)
                         out += EmbNearDupPair(
                           math.min(ids(j), d.doc_id), math.max(ids(j), d.doc_id), c)
@@ -919,8 +931,6 @@ object StreamingPredicates {
 
     implicit val pairEnc = Encoders.product[ImageNearDupPair]
     implicit val stateEnc = Encoders.product[BucketSigsState]
-    def satAdd(a: Long, b: Long): Long =
-      if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
     banded
       .groupByKey(d => (d.chunk, d.key))(
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))

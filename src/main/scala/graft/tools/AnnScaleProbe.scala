@@ -63,19 +63,20 @@ object AnnScaleProbe {
       val n = corpus.count() // materialize the cache before timing
       val queries = corpus.filter(col("vec_id") < 100)
       // Fit: the full persistable index (coarse centroids + codebooks +
-      // packed codes). Force materialization by writing the codes.
+      // packed codes), built ONCE — the best-of-2 timing refits, and the
+      // last fit's index is reused (cached) for the serve measurement,
+      // mirroring a serving job that reads codes from storage instead of
+      // recomputing the encode.
+      var idx: graft.operators.IvfPqIndex = null
       val tFit = time {
-        ProductQuant.ivfPqIndex(corpus, m = 16, ks = 32)
-          .codes.write.format("noop").mode("overwrite").save()
+        if (idx != null) idx.codes.unpersist()
+        val i = ProductQuant.ivfPqIndex(corpus, m = 16, ks = 32)
+        idx = i.copy(codes = i.codes.cache())
+        idx.codes.write.format("noop").mode("overwrite").save()
       }
-      // Serve: one 100-query batch against a fitted index (codes
-      // cached — a serving job reads them from storage, it never
-      // recomputes the encode).
-      val idx = ProductQuant.ivfPqIndex(corpus, m = 16, ks = 32)
-      val cachedIdx = idx.copy(codes = idx.codes.cache())
-      cachedIdx.codes.count()
+      // Serve: one 100-query batch against the fitted index.
       val tServe = time {
-        ProductQuant.ivfPqTopK(queries, corpus, cachedIdx, k = 5, nprobe = 0,
+        ProductQuant.ivfPqTopK(queries, corpus, idx, k = 5, nprobe = 0,
           rerankFactor = 0, idCol = "vec_id", vecCol = "embedding")
           .write.format("noop").mode("overwrite").save()
       }
@@ -85,7 +86,8 @@ object AnnScaleProbe {
         ProductQuant.ivfPqTopK(queries, corpus, 5, 0, 0, 16, 32, 2, 0, "vec_id", "embedding")
           .write.format("noop").mode("overwrite").save()
       }
-      cachedIdx.codes.unpersist()
+      idx.codes.unpersist()
+      corpus.unpersist() // the next scale's run must not share this cache
       f"""{"corpus": "$label", "n": $n, "fit_secs": $tFit%.2f, "serve_secs": $tServe%.2f, "one_shot_secs": $tOneShot%.2f, "serve_fraction_of_one_shot": ${tServe / math.max(tOneShot, 1e-9)}%.2f}"""
     }
 

@@ -229,8 +229,10 @@ object PlanAudit {
     // Incremental SemDeDup (persisted centroids, shard vs corpus): same
     // map-side assignment story — only cluster-keyed exchanges, same
     // budget as the full run.
-    val semCents = graft.operators.Similarity.ivfCentroids(
-      embT.filter(col("vec_id") < 400), nlist = 4, refineIters = 1)
+    val semCents = graft.plans.Materialize(
+      graft.operators.Similarity.ivfCentroids(
+        embT.filter(col("vec_id") < 400), nlist = 4, refineIters = 1),
+      eager = true)
     audit("semdedup_incr", graft.operators.Dedup.semDeDupIncremental(
       embT.filter(col("vec_id") >= 400), embT.filter(col("vec_id") < 400),
       semCents, threshold = 0.4, nprobe = 2), 6)
