@@ -925,6 +925,16 @@ class ExtensionsSpec extends SparkSpec {
     val hugeWidth = bmpHeader(200000000, 8, 54)
     assert(PerceptualHash.dhashBmp(hugeWidth).isEmpty)
     assert(Multimodal.decodeBmp(hugeWidth).isEmpty)
+    // width×height chosen so rowSize*height wraps LONG negative — the
+    // first hardening's multiplication-form bounds check passed this; the
+    // division-form check must not.
+    val longWrap = bmpHeader(Int.MaxValue, 2000000000, 54)
+    assert(PerceptualHash.dhashBmp(longWrap).isEmpty)
+    assert(Multimodal.decodeBmp(longWrap).isEmpty)
+    // |Int.MinValue| overflows abs — must reject, not loop on a negative height.
+    val minHeight = bmpHeader(9, Int.MinValue, 54)
+    assert(PerceptualHash.dhashBmp(minHeight).isEmpty)
+    assert(Multimodal.decodeBmp(minHeight).isEmpty)
     // Negative / out-of-range data offsets.
     Seq(-100, -1, 101, Int.MaxValue).foreach { off =>
       val p = bmpHeader(9, 8, off)

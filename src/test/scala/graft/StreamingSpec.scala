@@ -520,11 +520,17 @@ class StreamingSpec extends SparkSpec {
       // ...but live state still pairs: vector 4 against vector 3.
       input.addData((4L, ts("2024-01-01 20:15:00"), famA))
       query.processAllAvailable()
+      // A ragged-dim arrival (contract violation) must neither crash the
+      // query nor corrupt state-stride indexing — it is dropped.
+      input.addData((5L, ts("2024-01-01 20:20:00"), Array.fill(4)(1.0f)))
+      query.processAllAvailable()
+      input.addData((6L, ts("2024-01-01 20:25:00"), vec(famA, 0.02f)))
+      query.processAllAvailable()
 
       val pairs = spark.table("embdup_ttl").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(pairs == Set((1L, 2L), (3L, 4L)),
-        s"expected the pre-TTL pair and the post-TTL fresh pair only; got $pairs")
+      assert(pairs == Set((1L, 2L), (3L, 4L), (3L, 6L), (4L, 6L)),
+        s"expected pre-TTL, post-TTL, and post-ragged pairs only (5 dropped); got $pairs")
     } finally query.stop()
   }
 
