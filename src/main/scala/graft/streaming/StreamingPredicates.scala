@@ -32,6 +32,48 @@ object StreamingPredicates {
   private def satAdd(a: Long, b: Long): Long =
     if (b >= Long.MaxValue - math.max(a, 0L)) Long.MaxValue else a + b
 
+  /** TTL/latch entry decisions shared by the near-dup stream operators
+    * (minhash / embedding / phash) so the eviction clock can never
+    * diverge between them: returns (stillSaturated, live entry indexes).
+    * A saturated latch holds `ts = [lastArrival]` and clears — fresh
+    * bucket — once the watermark passes lastArrival + TTL; otherwise an
+    * entry is live while its arrival + TTL is ahead of the watermark.
+    */
+  private def ttlSurvivors(
+      prevTs: Array[Long],
+      prevSaturated: Boolean,
+      n: Int,
+      ttlMicros: Long,
+      wmMicros: Long): (Boolean, Seq[Int]) = {
+    val saturated = prevSaturated &&
+      !(prevTs.nonEmpty && satAdd(prevTs(0), ttlMicros) <= wmMicros)
+    val liveIdx =
+      if (saturated) Seq.empty
+      else (0 until n).filter(j => satAdd(prevTs(j), ttlMicros) > wmMicros)
+    (saturated, liveIdx)
+  }
+
+  /** State-finalize tail shared by the near-dup stream operators: drop
+    * empty unlatched state, otherwise persist `build` and (for finite
+    * TTLs) arm the event-time timeout at the earliest possible eviction
+    * instant (never behind the current watermark).
+    */
+  private def finishTtlState[S](
+      state: GroupState[S],
+      empty: Boolean,
+      saturated: Boolean,
+      ts: scala.collection.Seq[Long],
+      ttlMicros: Long,
+      wmMicros: Long)(build: => S): Unit = {
+    if (empty && !saturated) state.remove()
+    else {
+      state.update(build)
+      if (ttlMicros < Long.MaxValue && ts.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(satAdd(ts.min, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
+    }
+  }
+
   /** Tumbling-window per-subject predicate counts.
     *
     * @param events    streaming frame with `subject_id`, `timestamp`, and
@@ -573,14 +615,9 @@ object StreamingPredicates {
           val prev = state.getOption.getOrElse(
             BucketDocsState(Array.empty, Array.empty, Array.empty, Array.empty, saturated = false))
 
-          // Saturated latch: ids empty, ts = [last arrival]. It clears
-          // (fresh bucket) once the watermark passes lastArrival + TTL.
-          var saturated = prev.saturated &&
-            !(prev.ts.nonEmpty && satAdd(prev.ts(0), ttlMicros) <= wmMicros)
-          // Evict live entries whose TTL the watermark has passed.
-          val liveIdx =
-            if (saturated) Seq.empty
-            else prev.ids.indices.filter(j => satAdd(prev.ts(j), ttlMicros) > wmMicros)
+          val (saturated0, liveIdx) =
+            ttlSurvivors(prev.ts, prev.saturated, prev.ids.length, ttlMicros, wmMicros)
+          var saturated = saturated0
           val ids = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.ids): _*)
           val ts = scala.collection.mutable.ArrayBuffer(
             (if (saturated) prev.ts.toSeq else liveIdx.map(prev.ts)): _*)
@@ -630,14 +667,9 @@ object StreamingPredicates {
             }
           }
 
-          if (ids.isEmpty && !saturated) state.remove()
-          else {
-            state.update(BucketDocsState(
+          finishTtlState(state, ids.isEmpty, saturated, ts, ttlMicros, wmMicros)(
+            BucketDocsState(
               ids.toArray, ts.toArray, packed.toArray, bkts.toArray, saturated))
-            if (ttlMicros < Long.MaxValue && ts.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(satAdd(ts.min, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
-          }
           out.iterator
       }
   }
@@ -769,11 +801,9 @@ object StreamingPredicates {
           // read across vector boundaries or out of bounds.
           var dim = if (prev.ids.isEmpty) 0 else prev.vecs.length / prev.ids.length
 
-          var saturated = prev.saturated &&
-            !(prev.ts.nonEmpty && satAdd(prev.ts(0), ttlMicros) <= wmMicros)
-          val liveIdx =
-            if (saturated) Seq.empty
-            else prev.ids.indices.filter(j => satAdd(prev.ts(j), ttlMicros) > wmMicros)
+          val (saturated0, liveIdx) =
+            ttlSurvivors(prev.ts, prev.saturated, prev.ids.length, ttlMicros, wmMicros)
+          var saturated = saturated0
           val ids = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.ids): _*)
           val ts = scala.collection.mutable.ArrayBuffer(
             (if (saturated) prev.ts.toSeq else liveIdx.map(prev.ts)): _*)
@@ -827,14 +857,9 @@ object StreamingPredicates {
             }
           }
 
-          if (ids.isEmpty && !saturated) state.remove()
-          else {
-            state.update(BucketVecsState(
+          finishTtlState(state, ids.isEmpty, saturated, ts, ttlMicros, wmMicros)(
+            BucketVecsState(
               ids.toArray, ts.toArray, vecs.toArray, bkts.toArray, saturated))
-            if (ttlMicros < Long.MaxValue && ts.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(satAdd(ts.min, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
-          }
           out.iterator
       }
   }
@@ -943,11 +968,9 @@ object StreamingPredicates {
           val prev = state.getOption.getOrElse(
             BucketSigsState(Array.empty, Array.empty, Array.empty, saturated = false))
 
-          var saturated = prev.saturated &&
-            !(prev.ts.nonEmpty && satAdd(prev.ts(0), ttlMicros) <= wmMicros)
-          val liveIdx =
-            if (saturated) Seq.empty
-            else prev.ids.indices.filter(j => satAdd(prev.ts(j), ttlMicros) > wmMicros)
+          val (saturated0, liveIdx) =
+            ttlSurvivors(prev.ts, prev.saturated, prev.ids.length, ttlMicros, wmMicros)
+          var saturated = saturated0
           val ids = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.ids): _*)
           val ts = scala.collection.mutable.ArrayBuffer(
             (if (saturated) prev.ts.toSeq else liveIdx.map(prev.ts)): _*)
@@ -978,13 +1001,8 @@ object StreamingPredicates {
             }
           }
 
-          if (ids.isEmpty && !saturated) state.remove()
-          else {
-            state.update(BucketSigsState(ids.toArray, ts.toArray, sigs.toArray, saturated))
-            if (ttlMicros < Long.MaxValue && ts.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(satAdd(ts.min, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
-          }
+          finishTtlState(state, ids.isEmpty, saturated, ts, ttlMicros, wmMicros)(
+            BucketSigsState(ids.toArray, ts.toArray, sigs.toArray, saturated))
           out.iterator
       }
   }
