@@ -459,6 +459,34 @@ object ProductQuant {
     index.copy(codes = index.codes.unionByName(shardCodes))
   }
 
+  /** Measured recall@k of a fitted index on a held-out query frame — the
+    * drift monitor for the append-without-refit loop ([[ivfPqIndexAppend]]):
+    * as appended shards move the embedding distribution away from the
+    * fitted centroids/codebooks, quantization error grows and this number
+    * falls; refit (a fresh [[ivfPqIndex]]) when it crosses the serving
+    * bar. Cost: one exact brute-force pass over queries × corpus plus one
+    * served batch — size the held-out query frame accordingly (hundreds,
+    * not millions).
+    */
+  def servingRecall(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: IvfPqIndex,
+      k: Int,
+      nprobe: Int = 0,
+      rerankFactor: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Double = {
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k, idCol, vecCol))
+    if (exact.isEmpty) return 1.0
+    val got = pairs(ivfPqTopK(queries, corpus, index, k, nprobe, rerankFactor, idCol, vecCol))
+    got.intersect(exact).size.toDouble / exact.size
+  }
+
   /** Query a fitted IVF-PQ index ([[ivfPqIndex]], fresh or [[IvfPqIndex.load]]ed
     * back from storage) — the serving-path overload (mirror of the
     * centroid-taking [[Similarity.ivfTopK]] and the codebook-taking

@@ -365,6 +365,19 @@ class ExtensionsSpec extends SparkSpec {
       rerankFactor = 8, idCol = "vec_id", vecCol = "embedding")
     assert(served.filter(col("neighbor_id") >= 300).count() > 0,
       "appended shard never surfaces as a neighbor — append is not serving")
+    // The drift monitor measures the grown index through the serving API;
+    // it must equal the recall computed by hand from the same two runs
+    // (this asserts the monitor, not the cheap test index's quality).
+    val recall = ProductQuant.servingRecall(q, full, appended, k = 5, nprobe = 5,
+      rerankFactor = 8)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Similarity.bruteForceTopK(q, full, 5))
+    val got = pairsOf(served)
+    val byHand = got.intersect(exact).size.toDouble / exact.size
+    assert(math.abs(recall - byHand) < 1e-12 && recall > 0 && recall <= 1.0,
+      s"servingRecall $recall != hand-computed $byHand")
   }
 
   test("PQ ANN at the ks=256 production point keeps recall") {
