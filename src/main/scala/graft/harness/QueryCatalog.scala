@@ -755,6 +755,75 @@ object QueryCatalog {
               |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
               |ORDER BY 1, 2""".stripMargin)),
 
+    // Exact duplicate-SPAN detection (Lee et al. 2022, arXiv:2107.06499):
+    // every 5-token window occurring >= 2 times anywhere in the corpus,
+    // merged per doc into maximal spans (gaps-and-islands). String window
+    // keys here for the exact oracle; `hashWindows = true` is the 16-byte
+    // corpus-scale key (parity asserted in ExtensionsSpec).
+    Q("dedup_substring", (s, dir) =>
+      Dedup.duplicateSpanSummary(docs(s, dir), k = 5)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+              |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              |t2 AS (SELECT doc_id, toks, len(toks) AS nt FROM tok),
+              |win AS (
+              |  SELECT doc_id, UNNEST(range(0, nt - 5 + 1)) AS pos, toks FROM t2 WHERE nt >= 5),
+              |w2 AS (
+              |  SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 5], ' ') AS w FROM win),
+              |cnt AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS c FROM w2),
+              |hits AS (SELECT doc_id, pos FROM cnt WHERE c >= 2),
+              |brk AS (
+              |  SELECT doc_id, pos,
+              |         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              |              OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 5
+              |              THEN 1 ELSE 0 END AS b
+              |  FROM hits),
+              |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+              |span AS (SELECT doc_id, g, MIN(pos) AS st, MAX(pos) AS e, COUNT(*) AS nw
+              |         FROM isl GROUP BY 1, 2),
+              |per_doc AS (
+              |  SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS dup_windows,
+              |         CAST(COUNT(*) AS BIGINT) AS dup_spans,
+              |         CAST(SUM(e - st + 5) AS BIGINT) AS covered_tokens
+              |  FROM span GROUP BY 1)
+              |SELECT t2.doc_id, COALESCE(dup_windows, 0) AS dup_windows,
+              |       COALESCE(dup_spans, 0) AS dup_spans,
+              |       COALESCE(covered_tokens, 0) AS covered_tokens,
+              |       CAST(nt AS BIGINT) AS total_tokens
+              |FROM t2 LEFT JOIN per_doc ON t2.doc_id = per_doc.doc_id
+              |ORDER BY 1""".stripMargin), bench = true),
+
+    // Incremental duplicate-span detection: shard (doc_id >= 450) against
+    // the persisted window index of the corpus (< 450) — no corpus
+    // re-windowing. Output must equal the full-corpus span run restricted
+    // to shard ids, which is exactly what the oracle computes.
+    Q("dedup_substring_incr", (s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.substringIndex(d.filter(col("doc_id") < 450), k = 5)
+      Dedup.duplicateSpansIncremental(d.filter(col("doc_id") >= 450), idx, k = 5)
+        .orderBy("doc_id", "span_start")
+    }, Some("""WITH tok AS (
+              |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              |t2 AS (SELECT doc_id, toks, len(toks) AS nt FROM tok),
+              |win AS (
+              |  SELECT doc_id, UNNEST(range(0, nt - 5 + 1)) AS pos, toks FROM t2 WHERE nt >= 5),
+              |w2 AS (
+              |  SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 5], ' ') AS w FROM win),
+              |cnt AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS c FROM w2),
+              |hits AS (SELECT doc_id, pos FROM cnt WHERE c >= 2),
+              |brk AS (
+              |  SELECT doc_id, pos,
+              |         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              |              OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 5
+              |              THEN 1 ELSE 0 END AS b
+              |  FROM hits),
+              |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+              |span AS (SELECT doc_id, g, MIN(pos) AS st, MAX(pos) AS e, COUNT(*) AS nw
+              |         FROM isl GROUP BY 1, 2)
+              |SELECT doc_id, CAST(st AS BIGINT) AS span_start,
+              |       CAST(e - st + 5 AS BIGINT) AS span_len, CAST(nw AS BIGINT) AS n_windows
+              |FROM span WHERE doc_id >= 450 ORDER BY 1, 2""".stripMargin)),
+
     Q("dedup_phash", (s, dir) => {
       // Image perceptual-hash dedup: dHash over decoded bitmaps,
       // Hamming-banded candidates (4×16-bit chunks), exact bit_count
@@ -1070,6 +1139,65 @@ object QueryCatalog {
               |SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS matched_ngrams
               |FROM corpus c JOIN probe p ON c.s = p.s
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Same contamination check through the relational Bloom-bitmap
+    // pre-pass (no false negatives + exact verify on survivors ⇒ result
+    // identical to text_decontaminate; parity also asserted in
+    // ExtensionsSpec). The small bitmap (16 bits per probe n-gram)
+    // forces real bit arithmetic and some false-positive verify traffic
+    // at fixture scale.
+    Q("text_decontaminate_bloom", (s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.matchesBloom(
+        d.filter(col("doc_id") >= 5), d.filter(col("doc_id") < 5),
+        shingleN = 3, bloomBits = 1L << 14)
+        .orderBy("doc_id")
+    }, Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              |g0 AS (SELECT doc_id,
+              |    UNNEST(list_transform(range(1, len(toks) - 1),
+              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+              |  FROM t WHERE len(toks) >= 3),
+              |g AS (SELECT DISTINCT doc_id, s FROM g0),
+              |probe AS (SELECT DISTINCT s FROM g WHERE doc_id < 5),
+              |corpus AS (SELECT doc_id, s FROM g WHERE doc_id >= 5)
+              |SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS matched_ngrams
+              |FROM corpus c JOIN probe p ON c.s = p.s
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus vocabulary build: top-100 bigrams by occurrence count,
+    // document frequency alongside, deterministic (count DESC, gram ASC)
+    // tiebreak. TakeOrdered top-k — never a full sort.
+    Q("text_topk_ngrams", (s, dir) =>
+      Vocabulary.topKNgrams(docs(s, dir), n = 2, k = 100)
+        .orderBy(col("n_occurrences").desc, col("gram")),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id,
+             |    UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+             |  FROM t WHERE len(toks) >= 2)
+             |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin)),
+
+    // CCNet-style LM quality signal (Wenzek et al. 2020): per-doc
+    // perplexity under an add-one unigram LM fit on the corpus itself.
+    // vocabSize=20 on the 31-token fixture vocabulary so the OOV floor
+    // is exercised by the oracle too. High ppl = far from the corpus
+    // distribution.
+    Q("text_perplexity", (s, dir) =>
+      Vocabulary.perplexity(docs(s, dir), vocabSize = 20),
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+             |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+             |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+             |vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM voc),
+             |lm AS (SELECT tok, LN((c + 1) / (t + v + 1)) AS logp
+             |       FROM voc CROSS JOIN tot CROSS JOIN vs),
+             |sc AS (SELECT doc_id, COALESCE(logp, LN(1 / (t + v + 1))) AS lp
+             |       FROM tok LEFT JOIN lm USING (tok) CROSS JOIN tot CROSS JOIN vs),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, -AVG(lp) AS nll
+             |        FROM sc GROUP BY 1)
+             |SELECT doc_id, n_tokens, ROUND(nll, 4) AS avg_nll, ROUND(EXP(nll), 4) AS ppl
+             |FROM agg ORDER BY doc_id""".stripMargin)),
 
     Q("sample_quota", (s, dir) =>
       // Training-mix curation: exact per-language quotas, deterministic

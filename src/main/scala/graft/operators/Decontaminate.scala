@@ -35,4 +35,59 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count_distinct(col("s")).as("matched_ngrams"))
   }
+
+  /** [[matches]] with a relational Bloom-filter pre-pass — the shape for
+    * probe sets too large to broadcast as strings. The probe shingles
+    * collapse into an `m`-bit bitmap held as `(word, bits)` rows (`m/64`
+    * rows ≈ 10 bits per probe n-gram at the default two hashes — vs 64+
+    * bits each for a broadcast hash set, and far less than the strings);
+    * every corpus shingle checks its `bloomHashes` bit positions against
+    * the BROADCAST bitmap and survives only if all are set. Bloom
+    * membership has no false negatives, so the exact verify join on the
+    * (tiny) surviving candidate set — a plain shuffled join, NOT a
+    * broadcast of the probe strings — makes the result identical to
+    * [[matches]]; false-positive shingles cost only wasted verify rows
+    * (rate ~(1 - e^(-hn/m))^h). Everything is codegen column arithmetic:
+    * no UDF, no driver-side sketch object.
+    *
+    * @param bloomBits bitmap width m; size for ~5-10 bits per distinct
+    *                  probe n-gram.
+    */
+  def matchesBloom(
+      docs: DataFrame,
+      probes: DataFrame,
+      shingleN: Int = 3,
+      bloomBits: Long = 1L << 20,
+      bloomHashes: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      probeTextCol: String = "text"
+  ): DataFrame = {
+    require(bloomBits % 64 == 0, s"bloomBits must be a multiple of 64, got $bloomBits")
+    val probeShingles = probes
+      .select(explode(graft.functions.Texts.distinctShingles(col(probeTextCol), shingleN)).as("s"))
+      .distinct()
+    def positions(s: org.apache.spark.sql.Column) =
+      array((0 until bloomHashes).map(j => pmod(xxhash64(lit(j), s), lit(bloomBits))): _*)
+    val probeBits = probeShingles
+      .select(explode(positions(col("s"))).as("__pos"))
+      .select(shiftright(col("__pos"), 6).as("__word"),
+        expr("shiftleft(1L, CAST(pmod(__pos, 64) AS INT))").as("__mask"))
+      .groupBy("__word")
+      .agg(expr("bit_or(__mask)").as("__bits"))
+    val candidates = Dedup.shingleRows(docs, shingleN, textCol, idCol)
+      .select(col("doc_id"), col("s"), explode(positions(col("s"))).as("__pos"))
+      .select(col("doc_id"), col("s"), shiftright(col("__pos"), 6).as("__word"),
+        expr("shiftleft(1L, CAST(pmod(__pos, 64) AS INT))").as("__mask"))
+      .join(broadcast(probeBits), Seq("__word"), "left")
+      .withColumn("__hit", coalesce(col("__bits"), lit(0L)).bitwiseAND(col("__mask")) =!= 0)
+      .groupBy("doc_id", "s")
+      .agg(sum(when(col("__hit"), 1).otherwise(0)).as("__nhit"))
+      .filter(col("__nhit") === bloomHashes)
+      .select("doc_id", "s")
+    candidates
+      .join(probeShingles, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("matched_ngrams"))
+  }
 }

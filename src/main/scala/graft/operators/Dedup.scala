@@ -852,6 +852,217 @@ object Dedup {
     (reps, starPairs)
   }
 
+  /** Positioned k-token windows `(doc_id, pos, w)` — one row per token
+    * position, `w` = the k tokens starting there joined by a single
+    * space. Same codegen shape as [[shingleRows]] (posexplode + `lead`
+    * over a per-doc window) but keeps the position and emits every
+    * occurrence, because span detection needs both.
+    */
+  private[operators] def windowRows(
+      docs: DataFrame,
+      k: Int,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(lower(col("__text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = (0 until k).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    toks
+      .select(col("doc_id"), col("pos"), concat_ws(" ", parts: _*).as("w"),
+        (if (k == 1) lit(true) else parts.last.isNotNull).as("__complete"))
+      .filter(col("__complete"))
+      .drop("__complete")
+  }
+
+  /** Exact duplicate-SPAN detection — the "exact substring dedup" of Lee,
+    * Ippolito, Nystrom, Zhang, Eck, Callison-Burch & Carlini,
+    * "Deduplicating Training Data Makes Language Models Better" (2022,
+    * arXiv:2107.06499), re-expressed relationally: a k-token window is
+    * *duplicated* when the same k tokens occur at >= 2 positions anywhere
+    * in the corpus (another doc or the same doc — self-repetition is
+    * duplication too); a doc's duplicated windows merge into maximal
+    * spans wherever their k-token coverages overlap (window starts less
+    * than k apart).
+    *
+    * The paper builds a single-machine suffix array; the relational
+    * equivalent is an inverted window index: one shuffle clusters
+    * identical windows (an analytic count — no self-join, no second
+    * shuffle of the window rows), one shuffle re-clusters the surviving
+    * duplicated positions per doc for the gaps-and-islands merge. Two
+    * exchanges total over thin `(doc_id, pos[, key])` rows — at 100 TB
+    * nothing wider than a window key ever shuffles, and the second
+    * exchange carries only the duplicated fraction of positions.
+    *
+    * `hashWindows = true` is the corpus-scale key: windows shuffle as a
+    * compound `(xxhash64(w), length(w))` — 16 bytes instead of ~k words —
+    * with the same collision contract as [[exactByHash]]. The default
+    * string key is exact and SQL-oracle friendly; both keys are asserted
+    * result-identical on the fixture corpus in DedupSpec.
+    *
+    * @return one row per merged span: `(doc_id, span_start, span_len,
+    *         n_windows)` — token index of the span start, tokens covered,
+    *         and how many duplicated windows merged into it.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashWindows: Boolean = false
+  ): DataFrame = {
+    val keyed = keyedWindows(docs, k, textCol, idCol, hashWindows)
+    val byWin = Window.partitionBy("__wk", "__wl")
+    val hits = keyed
+      .withColumn("__c", count(lit(1)).over(byWin))
+      .filter(col("__c") >= 2)
+      .select("doc_id", "pos")
+    spansFromHits(hits, k)
+  }
+
+  /** [[windowRows]] under the span operators' shuffle key: the window
+    * string itself (`hashWindows = false` — exact, oracle-friendly) or
+    * the compound `(xxhash64(w), length(w))` (16 bytes at corpus scale,
+    * [[exactByHash]] collision contract).
+    */
+  private def keyedWindows(
+      docs: DataFrame,
+      k: Int,
+      textCol: String,
+      idCol: String,
+      hashWindows: Boolean
+  ): DataFrame = {
+    val win = windowRows(docs, k, textCol, idCol)
+    if (hashWindows)
+      win.select(col("doc_id"), col("pos"),
+        xxhash64(col("w")).as("__wk"), length(col("w")).as("__wl"))
+    else
+      win.select(col("doc_id"), col("pos"), col("w").as("__wk"), lit(0).as("__wl"))
+  }
+
+  /** Gaps-and-islands merge of duplicated window positions `(doc_id,
+    * pos)` into maximal spans: a new island starts where the previous
+    * duplicated window's k-token coverage no longer overlaps (gap >= k).
+    */
+  private def spansFromHits(hits: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(byDoc) >= k), 1).otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(runs))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("__e"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        (col("__e") - col("span_start") + k).cast("long").as("span_len"),
+        col("n_windows"))
+  }
+
+  /** The persisted inverted window index for
+    * [[duplicateSpansIncremental]]: one row per distinct window key with
+    * its corpus occurrence count. Write once per corpus (bucket by `wk`
+    * on a cluster so shard joins read it pre-clustered); the build
+    * config `(k, hashed)` rides on the `n` column's schema metadata —
+    * it survives a parquet round-trip, so a config-mismatched index
+    * fails fast with a remedy instead of silently producing wrong spans.
+    *
+    * @return (wk, wl, n) — key columns match the `hashWindows` mode.
+    */
+  def substringIndex(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashWindows: Boolean = false
+  ): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("k", k.toLong).putBoolean("hashed", hashWindows).build()
+    keyedWindows(docs, k, textCol, idCol, hashWindows)
+      .groupBy(col("__wk").as("wk"), col("__wl").as("wl"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("wk"), col("wl"), col("n").as("n", meta))
+  }
+
+  /** Incremental duplicate-span detection: span output for an incoming
+    * SHARD against a persisted [[substringIndex]], without re-windowing
+    * the corpus — the 100 TB ingest shape (index once per corpus, each
+    * shard pays only its own windows + one count join on the window
+    * key). A window is duplicated when shard-internal + indexed-corpus
+    * occurrences total >= 2, so the output EXACTLY equals
+    * [[duplicateSpans]] over corpus ∪ shard restricted to shard doc ids
+    * (parity asserted in ExtensionsSpec; shard and corpus ids must be
+    * disjoint).
+    */
+  def duplicateSpansIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashWindows: Boolean = false
+  ): DataFrame = {
+    // Explicit config gate (metadata survives parquet): a k or key-mode
+    // mismatch would silently mis-join and report wrong spans.
+    require(index.columns.sorted.sameElements(Array("n", "wk", "wl")),
+      s"not a substringIndex frame (columns ${index.columns.mkString(",")}) — " +
+        "build the corpus index with substringIndex")
+    val m = index.schema("n").metadata
+    require(m.contains("k") && m.contains("hashed"),
+      "corpus index carries no build config — it was not written by " +
+        "substringIndex; re-index the corpus")
+    require(m.getLong("k") == k.toLong && m.getBoolean("hashed") == hashWindows,
+      s"corpus index was built with k=${m.getLong("k")} hashed=${m.getBoolean("hashed")} " +
+        s"but this query asks k=$k hashed=$hashWindows — re-index or match the config")
+
+    val keyed = keyedWindows(newDocs, k, textCol, idCol, hashWindows)
+    val shardCnt = keyed.groupBy("__wk", "__wl").agg(count(lit(1)).as("__cs"))
+    val dupKeys = shardCnt
+      .join(index.select(col("wk").as("__wk"), col("wl").as("__wl"), col("n")),
+        Seq("__wk", "__wl"), "left")
+      .filter(col("__cs") + coalesce(col("n"), lit(0L)) >= 2)
+      .select("__wk", "__wl")
+    val hits = keyed.join(dupKeys, Seq("__wk", "__wl"), "leftsemi").select("doc_id", "pos")
+    spansFromHits(hits, k)
+  }
+
+  /** Per-document rollup of [[duplicateSpans]]: every input doc with its
+    * duplicated-window count, merged-span count, duplicated-token
+    * coverage, and total token count (zeros for clean docs). The group-by
+    * and the final join both reuse the spans' doc_id clustering; the
+    * totals side is a map-only projection of the input.
+    *
+    * @return (doc_id, dup_windows, dup_spans, covered_tokens, total_tokens)
+    */
+  def duplicateSpanSummary(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashWindows: Boolean = false
+  ): DataFrame = {
+    val perDoc = duplicateSpans(docs, k, textCol, idCol, hashWindows)
+      .groupBy("doc_id")
+      .agg(sum(col("n_windows")).as("dup_windows"), count(lit(1)).as("dup_spans"),
+        sum(col("span_len")).as("covered_tokens"))
+    val totals = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), "\\s+")).cast("long").as("total_tokens"))
+    totals
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("total_tokens"))
+  }
+
   /** Observability companion for [[simhash]]'s skew guard: the (chunk,
     * key, bsize) buckets a given `maxBucketSize` would drop — after the
     * exact-duplicate pre-pass, i.e. buckets of DISTINCT texts colliding

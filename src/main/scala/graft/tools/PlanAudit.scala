@@ -249,6 +249,61 @@ object PlanAudit {
     // dedup, star union) — every shuffled row is ≤ ~28 bytes. Budget 6.
     audit("phash_dedup", graft.operators.PerceptualHash.dedup(bitmaps), 6)
 
+    // Exact duplicate-span detection: the inverted window index is an
+    // ANALYTIC count — one exchange on the window key, no self-join and
+    // no second shuffle of the window rows; plus the doc_id repartition
+    // and the doc-keyed islands re-cluster (which carries only the
+    // duplicated positions). Spans = 3; summary adds the totals join
+    // sides (thin per-doc rows), budget 5.
+    audit("dedup_substring(spans)",
+      graft.operators.Dedup.duplicateSpans(docsT, k = 5, hashWindows = true), 3)
+    audit("dedup_substring(summary)",
+      graft.operators.Dedup.duplicateSpanSummary(docsT, k = 5, hashWindows = true), 5)
+
+    // Incremental spans: the shard pays its own windows + one count join
+    // against the persisted index — the corpus is never re-windowed
+    // (nothing in this plan touches corpus text; budget = shard
+    // repartition, shard count aggregate, index join sides, islands
+    // re-cluster).
+    val subIdx = graft.operators.Dedup.substringIndex(
+      docsT.filter(col("doc_id") < 450), k = 5, hashWindows = true)
+    audit("dedup_substring(incr)", graft.operators.Dedup.duplicateSpansIncremental(
+      docsT.filter(col("doc_id") >= 450), subIdx, k = 5, hashWindows = true), 6)
+
+    // Vocabulary top-k: global top-k must compile to TakeOrdered (a
+    // per-partition k-heap merged on the driver), NEVER a full sort of
+    // the gram counts; exchanges = doc_id repartition + the two-phase
+    // distinct aggregate on the gram.
+    val topk = graft.operators.Vocabulary.topKNgrams(docsT, n = 2, k = 100)
+    val topkPlan = topk.queryExecution.executedPlan.toString
+    val takeOrdered = topkPlan.contains("TakeOrderedAndProject")
+    println(s"${if (takeOrdered) "OK " else "HOT"} topk-ngrams TakeOrdered        present=$takeOrdered")
+    if (!takeOrdered) println(topkPlan)
+    audit("text_topk_ngrams", topk, 3)
+
+    // Perplexity scoring: the fitted LM (bounded vocab) must arrive by
+    // BROADCAST — the corpus token rows never hash-exchange on the token
+    // for scoring (the only token-keyed exchange is the count fit); the
+    // per-doc aggregate is the one other corpus-sized exchange.
+    val ppl = graft.operators.Vocabulary.perplexity(docsT, vocabSize = 20)
+    val lmBc = ppl.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeExec if b.output.exists(_.name == "__logp") => b
+    }.length
+    println(s"${if (lmBc == 1) "OK " else "HOT"} perplexity LM broadcast        lmBroadcasts=$lmBc")
+    audit("text_perplexity", ppl, 3)
+
+    // Bloom decontamination: the probe side must reach the corpus as the
+    // broadcast (word, bits) BITMAP — never as broadcast probe strings on
+    // the pre-pass path; the exact verify join sees only bloom survivors.
+    val bloomDf = graft.operators.Decontaminate.matchesBloom(
+      docsT.filter(col("doc_id") >= 5), docsT.filter(col("doc_id") < 5),
+      shingleN = 3, bloomBits = 1L << 14)
+    val bitsBc = bloomDf.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeExec if b.output.exists(_.name == "__bits") => b
+    }.length
+    println(s"${if (bitsBc == 1) "OK " else "HOT"} bloom-decontam bitmap bcast    bitmapBroadcasts=$bitsBc")
+    audit("text_decontaminate_bloom", bloomDf, 8)
+
     // IVF-PQ serving path (persisted index): the query-time plan must
     // contain NO Lloyd refinement (the posexplode → per-dim avg shape) —
     // fits happened at index-build time — and its exchanges are bounded

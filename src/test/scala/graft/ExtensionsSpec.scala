@@ -1166,6 +1166,183 @@ class ExtensionsSpec extends SparkSpec {
     assert(nPacks <= totalTokens / 100 + 4, s"$nPacks packs for $totalTokens tokens")
   }
 
+  test("duplicateSpans: closed-form cross-doc and self-repetition spans") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b c d e f g h"),            // shares "a b c d e" with doc 2
+      (2L, "x x a b c d e y"),
+      (3L, "p q r s t u p q r s t u"),    // self-repetition: pos 0,1 ~ 6,7
+      (4L, "m n o")                       // too short for k=5, clean
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.duplicateSpans(toy, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set(
+      (1L, 0L, 5L, 1L),
+      (2L, 2L, 5L, 1L),
+      (3L, 0L, 6L, 2L),   // windows at pos 0,1 merge: tokens [0,5]
+      (3L, 6L, 6L, 2L)),  // windows at pos 6,7 merge: tokens [6,11]
+      s"got $spans")
+
+    val summary = Dedup.duplicateSpanSummary(toy, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(summary == Map(
+      1L -> ((1L, 1L, 5L, 8L)),
+      2L -> ((1L, 1L, 5L, 8L)),
+      3L -> ((4L, 2L, 12L, 12L)),
+      4L -> ((0L, 0L, 0L, 3L))),
+      s"got $summary")
+  }
+
+  test("duplicateSpanSummary matches local brute force on the fixture corpus") {
+    val k = 5
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wins = texts.toSeq.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      if (toks.size < k) Seq.empty
+      else toks.sliding(k).zipWithIndex.map { case (w, i) => (id, i, w.mkString(" ")) }.toSeq
+    }
+    val counts = wins.groupBy(_._3).map { case (w, xs) => w -> xs.size }
+    val hitPos = wins.filter(x => counts(x._3) >= 2).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).sorted }
+    val truth = texts.map { case (id, t) =>
+      val total = t.toLowerCase.split("\\s+").length.toLong
+      val ps = hitPos.getOrElse(id, Seq.empty)
+      val spans = ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p - e < k => (s, p) :: rest
+        case (acc, p)                         => (p, p) :: acc
+      }
+      val covered = spans.map { case (s, e) => e - s + k }.sum.toLong
+      id -> ((ps.size.toLong, spans.size.toLong, covered, total))
+    }
+
+    val got = Dedup.duplicateSpanSummary(docs, k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == truth, {
+      val diff = (got.keySet ++ truth.keySet).filter(id => got.get(id) != truth.get(id)).take(5)
+      s"mismatch on ${diff.map(id => s"$id: got=${got.get(id)} want=${truth.get(id)}")}"
+    })
+    // The fixture corpus must actually exercise the operator.
+    assert(got.values.exists(_._1 > 0L), "fixture has no duplicated spans — test is vacuous")
+  }
+
+  test("duplicateSpans: hashed window keys match string keys exactly") {
+    val str = snap(Dedup.duplicateSpanSummary(docs, k = 5, hashWindows = false))
+    val hsh = snap(Dedup.duplicateSpanSummary(docs, k = 5, hashWindows = true))
+    assert(str == hsh)
+  }
+
+  test("duplicateSpansIncremental: shard output equals full run restricted to shard") {
+    val corpus = docs.filter(col("doc_id") < 450)
+    val shard = docs.filter(col("doc_id") >= 450)
+    val full = snap(Dedup.duplicateSpans(docs, k = 5).filter(col("doc_id") >= 450))
+    assert(full.nonEmpty, "shard has no duplicated spans — parity test is vacuous")
+    for (hashed <- Seq(false, true)) {
+      val idx = Dedup.substringIndex(corpus, k = 5, hashWindows = hashed)
+      val incr = snap(Dedup.duplicateSpansIncremental(shard, idx, k = 5, hashWindows = hashed))
+      assert(incr == full, s"hashed=$hashed parity broken")
+    }
+  }
+
+  test("substringIndex: config survives parquet; mismatches fail fast with remedy") {
+    val dir = "/tmp/graft_test_subidx"
+    Dedup.substringIndex(docs.filter(col("doc_id") < 450), k = 5, hashWindows = true)
+      .write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val shard = docs.filter(col("doc_id") >= 450)
+    // Round-trip: results identical to the in-memory index.
+    assert(snap(Dedup.duplicateSpansIncremental(shard, loaded, k = 5, hashWindows = true)) ==
+      snap(Dedup.duplicateSpansIncremental(shard,
+        Dedup.substringIndex(docs.filter(col("doc_id") < 450), k = 5, hashWindows = true),
+        k = 5, hashWindows = true)))
+    // Config mismatches are explicit errors, not wrong answers.
+    val eK = intercept[IllegalArgumentException] {
+      Dedup.duplicateSpansIncremental(shard, loaded, k = 7, hashWindows = true)
+    }
+    assert(eK.getMessage.contains("re-index"))
+    val eMode = intercept[IllegalArgumentException] {
+      Dedup.duplicateSpansIncremental(shard, loaded, k = 5, hashWindows = false)
+    }
+    assert(eMode.getMessage.contains("re-index"))
+    val eFrame = intercept[IllegalArgumentException] {
+      Dedup.duplicateSpansIncremental(shard, docs, k = 5)
+    }
+    assert(eFrame.getMessage.contains("substringIndex"))
+  }
+
+  test("topKNgrams: every occurrence counted, deterministic tiebreak") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    val toy = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // Bigrams: doc 1 → "a b","b a","a b","b c"; doc 2 → "a b","b x".
+    val got = Vocabulary.topKNgrams(toy, n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)), s"got $got")
+  }
+
+  test("topKNgrams matches local brute force on the fixture corpus") {
+    import graft.operators.Vocabulary
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val occ = texts.toSeq.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      if (toks.size < 2) Seq.empty else toks.sliding(2).map(w => id -> w.mkString(" ")).toSeq
+    }
+    val truth = occ.groupBy(_._2).map { case (g, xs) =>
+      (g, xs.size.toLong, xs.map(_._1).distinct.size.toLong)
+    }.toSeq.sortBy { case (g, n, _) => (-n, g) }.take(50)
+
+    val got = Vocabulary.topKNgrams(docs, n = 2, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == truth, s"first diff: ${got.zip(truth).find(p => p._1 != p._2)}")
+  }
+
+  test("perplexity: corpus-fit unigram LM with OOV floor matches local math") {
+    import graft.operators.Vocabulary
+    val vocabSize = 10
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allToks = texts.toSeq.flatMap { case (id, t) => t.toLowerCase.split("\\s+").toSeq.map(id -> _) }
+    val counts = allToks.groupBy(_._2).map { case (tok, xs) => tok -> xs.size.toLong }
+    val tTotal = allToks.size.toDouble
+    val vocab = counts.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(vocabSize).toMap
+    val v = vocab.size.toDouble
+    def logp(tok: String): Double = vocab.get(tok) match {
+      case Some(c) => math.log((c + 1) / (tTotal + v + 1))
+      case None    => math.log(1.0 / (tTotal + v + 1))
+    }
+    val truth = allToks.groupBy(_._1).map { case (id, xs) =>
+      val nll = -xs.map(x => logp(x._2)).sum / xs.size
+      id -> ((xs.size.toLong, nll, math.exp(nll)))
+    }
+
+    val got = Vocabulary.perplexity(docs, vocabSize = vocabSize)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (id, (n, nll, ppl)) =>
+      val (tn, tnll, tppl) = truth(id)
+      assert(n == tn, s"doc $id token count $n != $tn")
+      assert(math.abs(nll - tnll) < 1e-4 + 1e-9, s"doc $id nll $nll != $tnll")
+      assert(math.abs(ppl - tppl) / tppl < 1e-4, s"doc $id ppl $ppl != $tppl")
+    }
+    // The corpus must exercise the OOV floor at this vocab size.
+    assert(counts.size > vocabSize, "fixture vocab too small — OOV path not exercised")
+  }
+
+  test("matchesBloom equals exact decontamination (bloom pre-pass is lossless)") {
+    import graft.operators.Decontaminate
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val probes = docs.filter(col("doc_id") < 5)
+    val exact = snap(Decontaminate.matches(corpus, probes, shingleN = 3))
+    assert(exact.nonEmpty, "fixture has no contamination — test is vacuous")
+    assert(snap(Decontaminate.matchesBloom(corpus, probes, shingleN = 3,
+      bloomBits = 1L << 14)) == exact)
+    // A saturated 64-bit bloom degrades to pure verify — still exact.
+    assert(snap(Decontaminate.matchesBloom(corpus, probes, shingleN = 3,
+      bloomBits = 64L)) == exact)
+  }
+
   test("duplicateClusters: min-label connected components over pair graph") {
     import spark.implicits._
     // Chain 1-2-3 (transitive cluster), isolated pair 7-8, pair 5-9.
