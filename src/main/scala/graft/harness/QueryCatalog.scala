@@ -824,6 +824,72 @@ object QueryCatalog {
               |       CAST(e - st + 5 AS BIGINT) AS span_len, CAST(nw AS BIGINT) AS n_windows
               |FROM span WHERE doc_id >= 450 ORDER BY 1, 2""".stripMargin)),
 
+    // The span-removal TRANSFORM: duplicated spans excised (drop-every-
+    // duplicated-token policy), original case/order preserved, docs with
+    // no spans round-trip unchanged, fully-duplicated docs come back "".
+    Q("dedup_substring_remove", (s, dir) =>
+      Dedup.removeDuplicateSpans(docs(s, dir), k = 5)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+              |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              |t2 AS (SELECT doc_id, toks, len(toks) AS nt FROM tok),
+              |win AS (
+              |  SELECT doc_id, UNNEST(range(0, nt - 5 + 1)) AS pos, toks FROM t2 WHERE nt >= 5),
+              |w2 AS (
+              |  SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 5], ' ') AS w FROM win),
+              |cnt AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS c FROM w2),
+              |hits AS (SELECT doc_id, pos FROM cnt WHERE c >= 2),
+              |brk AS (
+              |  SELECT doc_id, pos,
+              |         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              |              OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 5
+              |              THEN 1 ELSE 0 END AS b
+              |  FROM hits),
+              |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+              |span AS (SELECT doc_id, g, MIN(pos) AS st, MAX(pos) AS e FROM isl GROUP BY 1, 2),
+              |drops AS (SELECT doc_id, UNNEST(range(st, e + 5)) AS pos FROM span),
+              |tokpos AS (
+              |  SELECT doc_id, UNNEST(range(0, len(toks0))) AS pos, toks0
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents)),
+              |toks AS (SELECT doc_id, pos, toks0[pos + 1] AS tk FROM tokpos),
+              |keep AS (
+              |  SELECT t.doc_id, t.pos, t.tk FROM toks t
+              |  LEFT JOIN drops d ON t.doc_id = d.doc_id AND t.pos = d.pos
+              |  WHERE d.pos IS NULL),
+              |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text
+              |        FROM keep GROUP BY 1)
+              |SELECT t2.doc_id, COALESCE(agg.text, '') AS text
+              |FROM t2 LEFT JOIN agg ON t2.doc_id = agg.doc_id ORDER BY 1""".stripMargin)),
+
+    // LM serving shape: fit the unigram LM on a reference corpus
+    // (doc_id < 250), score the candidate shard (>= 250) against it —
+    // the actual CCNet filter topology (clean reference LM, candidate
+    // scoring), with the LM persistable as a self-contained frame.
+    Q("text_perplexity_lm", (s, dir) => {
+      val d = docs(s, dir)
+      Vocabulary.perplexity(
+        d.filter(col("doc_id") >= 250),
+        Vocabulary.unigramLm(d.filter(col("doc_id") < 250), vocabSize = 20),
+        "text", "doc_id")
+    }, Some("""WITH tokc AS (
+              |  SELECT UNNEST(string_split(lower(text), ' ')) AS tok
+              |  FROM documents WHERE doc_id < 250),
+              |cnt AS (SELECT tok, COUNT(*) AS c FROM tokc GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+              |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+              |vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM voc),
+              |lm AS (SELECT tok, LN((c + 1) / (t + v + 1)) AS logp
+              |       FROM voc CROSS JOIN tot CROSS JOIN vs),
+              |toks AS (
+              |  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+              |  FROM documents WHERE doc_id >= 250),
+              |sc AS (SELECT doc_id, COALESCE(logp, LN(1 / (t + v + 1))) AS lp
+              |       FROM toks LEFT JOIN lm USING (tok) CROSS JOIN tot CROSS JOIN vs),
+              |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, -AVG(lp) AS nll
+              |        FROM sc GROUP BY 1)
+              |SELECT doc_id, n_tokens, ROUND(nll, 4) AS avg_nll, ROUND(EXP(nll), 4) AS ppl
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_phash", (s, dir) => {
       // Image perceptual-hash dedup: dHash over decoded bitmaps,
       // Hamming-banded candidates (4×16-bit chunks), exact bit_count

@@ -991,6 +991,53 @@ object Dedup {
       .select(col("wk"), col("wl"), col("n").as("n", meta))
   }
 
+  /** The duplicate-span TRANSFORM: every doc with its duplicated spans
+    * excised — the text actually fed to training after
+    * [[duplicateSpans]] detection. Policy: drop EVERY duplicated token
+    * (both/all occurrences — the aggressive variant; dropping all-but-one
+    * needs a global owner per window cluster, which no longer
+    * decomposes into per-doc relational passes). Tokens are rejoined
+    * with single spaces in original case and order; docs with no
+    * duplicated spans round-trip their (whitespace-normalized) text
+    * unchanged, fully-duplicated docs come back empty.
+    *
+    * Scale shape: spans explode back into (doc_id, pos) drop rows —
+    * only the duplicated fraction — and anti-join the token rows on the
+    * doc_id clustering both sides already carry; the rebuild is one
+    * per-doc sort_array over the doc's own tokens (same cost class as
+    * carrying the text).
+    *
+    * @return (doc_id, text) with duplicated spans removed.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashWindows: Boolean = false
+  ): DataFrame = {
+    val dropPos = duplicateSpans(docs, k, textCol, idCol, hashWindows)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_start") + col("span_len") - 1)).as("__pos"))
+    // Original-case tokens: positions align with the lowercased windows
+    // because the split is identical.
+    val toks = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("__text"), "\\s+")).as(Seq("__pos", "__tok")))
+      .select(col("doc_id"), col("__pos").cast("long").as("__pos"), col("__tok"))
+    val rebuilt = toks
+      .join(dropPos, Seq("doc_id", "__pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("text"))
+    // Fully-duplicated docs lose every token row — restore them as empty.
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Incremental duplicate-span detection: span output for an incoming
     * SHARD against a persisted [[substringIndex]], without re-windowing
     * the corpus — the 100 TB ingest shape (index once per corpus, each

@@ -44,47 +44,69 @@ object Vocabulary {
     docs.select(col(idCol).as("doc_id"),
       explode(split(lower(col(textCol)), "\\s+")).as("tok"))
 
-  /** Per-document unigram-LM negative log-likelihood and perplexity,
-    * scored with an add-one-smoothed model fit on the corpus itself: the
-    * top `vocabSize` tokens get `ln((c + 1) / (T + V + 1))` (`T` = total
-    * token occurrences, `V` = realized vocab size), everything else the
-    * out-of-vocab floor `ln(1 / (T + V + 1))`. High perplexity = far
-    * from the corpus distribution — the standard LM quality-filter
-    * signal.
+  /** The fitted add-one-smoothed unigram LM as a persistable,
+    * self-contained frame: one `(tok, logp)` row per vocab token —
+    * `ln((c + 1) / (T + V + 1))` for the top `vocabSize` tokens (`T` =
+    * total token occurrences, `V` = realized vocab size) — plus ONE
+    * `tok IS NULL` row carrying the out-of-vocab floor
+    * `ln(1 / (T + V + 1))` (split tokens can never be SQL null, so the
+    * null key is unambiguous). All scoring constants are baked into the
+    * rows, so a loaded LM needs no side config and no fail-fast gate:
+    * write once per corpus, score any stream of shards against it.
     *
-    * The `T`/`V` scalars stay in the plan as broadcast one-row frames
-    * (no driver action); the LM is at most `vocabSize` rows and
-    * broadcast into the scoring join. Rounded to 4 decimals for oracle
-    * hash stability.
-    *
-    * @return (doc_id, n_tokens, avg_nll, ppl) ordered by doc_id.
+    * The `T`/`V` scalars stay in the plan as broadcast one-row frames —
+    * no driver action; the one token-count aggregate is materialized
+    * ([[graft.plans.Materialize]]) because totals, the vocab cut, and
+    * the LM rows all read it (3 full corpus passes otherwise).
     */
-  def perplexity(
+  def unigramLm(
       docs: DataFrame,
       vocabSize: Int = 1 << 16,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     val tok = tokenRows(docs, textCol, idCol)
-    // One token-count fit, materialized ([[graft.plans.Materialize]]):
-    // totals, vocab cut, and LM all read the same counts — without the
-    // lineage cut Catalyst recomputes the corpus-wide count aggregate
-    // per consumer (3 full passes).
     val counts = graft.plans.Materialize(
       tok.groupBy("tok").agg(count(lit(1)).as("__c")))
     val vocab = counts.orderBy(col("__c").desc, col("tok").asc).limit(vocabSize)
     val totals = counts.agg(sum(col("__c")).cast("double").as("__T"))
     val vsize = vocab.agg(count(lit(1)).cast("double").as("__V"))
-    val lm = vocab
+    val inVocab = vocab
       .crossJoin(broadcast(totals)).crossJoin(broadcast(vsize))
       .select(col("tok"),
-        log((col("__c") + lit(1)) / (col("__T") + col("__V") + lit(1))).as("__logp"))
-    tok
-      .join(broadcast(lm), Seq("tok"), "left")
-      .crossJoin(broadcast(totals)).crossJoin(broadcast(vsize))
-      .select(col("doc_id"),
-        coalesce(col("__logp"),
-          log(lit(1.0) / (col("__T") + col("__V") + lit(1)))).as("__lp"))
+        log((col("__c") + lit(1)) / (col("__T") + col("__V") + lit(1))).as("logp"))
+    val oovRow = totals.crossJoin(vsize)
+      .select(lit(null).cast("string").as("tok"),
+        log(lit(1.0) / (col("__T") + col("__V") + lit(1))).as("logp"))
+    inVocab.unionByName(oovRow)
+  }
+
+  /** Per-document negative log-likelihood and perplexity under a FITTED
+    * [[unigramLm]] frame — the serving shape: fit once per corpus (or
+    * load from parquet), score every incoming shard paying only the
+    * broadcast LM join + one per-doc aggregate; the corpus token counts
+    * are never recomputed. High perplexity = far from the LM's training
+    * distribution — the standard LM quality-filter signal. Rounded to 4
+    * decimals for oracle hash stability.
+    *
+    * @return (doc_id, n_tokens, avg_nll, ppl) ordered by doc_id.
+    */
+  def perplexity(
+      docs: DataFrame,
+      lm: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    require(lm.columns.contains("tok") && lm.columns.contains("logp"),
+      s"not a unigramLm frame (columns ${lm.columns.mkString(",")}) — " +
+        "fit the corpus with unigramLm")
+    val oov = lm.filter(col("tok").isNull).select(col("logp").as("__oov"))
+    val voc = lm.filter(col("tok").isNotNull)
+      .select(col("tok"), col("logp").as("__logp"))
+    tokenRows(docs, textCol, idCol)
+      .join(broadcast(voc), Seq("tok"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), coalesce(col("__logp"), col("__oov")).as("__lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), (-avg(col("__lp"))).as("__nll"))
       .select(col("doc_id"), col("n_tokens"),
@@ -92,4 +114,15 @@ object Vocabulary {
         round(exp(col("__nll")), 4).as("ppl"))
       .orderBy("doc_id")
   }
+
+  /** One-shot [[perplexity]]: fit [[unigramLm]] on `docs` and score the
+    * same corpus with it (self-perplexity — the quality-filter default).
+    */
+  def perplexity(
+      docs: DataFrame,
+      vocabSize: Int = 1 << 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    perplexity(docs, unigramLm(docs, vocabSize, textCol, idCol), textCol, idCol)
 }

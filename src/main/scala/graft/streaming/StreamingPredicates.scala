@@ -1007,6 +1007,138 @@ object StreamingPredicates {
       }
   }
 
+  /** One occurrence of a k-token window on the stream: routed to its
+    * `(wk, wl)` compound-key state group ([[graft.operators.Dedup]]'s
+    * hashed-window collision contract), carrying the doc position for hit
+    * emission.
+    */
+  final case class WindowOcc(
+      wk: Long,
+      wl: Int,
+      doc_id: Long,
+      timestamp: java.sql.Timestamp,
+      pos: Int) {
+    def tsMicros: Long = (timestamp.getTime / 1000L) * 1000000L + timestamp.getNanos / 1000L
+  }
+
+  /** Per-window-key state for [[substringDupStream]]: occurrences seen so
+    * far and the last arrival (the TTL clock) — 16 bytes per distinct
+    * live window, never a position list, so a boilerplate window repeated
+    * millions of times costs the same state as one seen twice.
+    */
+  final case class WinKeyState(count: Long, lastTs: Long)
+
+  /** One duplicated-window hit: token position `pos` of the arriving doc
+    * starts a k-token window that has now been seen >= 2 times. */
+  final case class SubstringHit(doc_id: Long, pos: Int)
+
+  /** Streaming exact duplicate-SPAN detection — the ingest face of batch
+    * [[graft.operators.Dedup.duplicateSpansIncremental]]: every k-token
+    * window of an arriving doc checks (and increments) the running
+    * occurrence count of its hashed window key; if corpus-so-far +
+    * this-batch occurrences reach 2, ALL of the key's occurrences in the
+    * batch emit as hits (a key first seen in an EARLIER batch is not
+    * retro-reported — exactly the incremental-batch contract, so shard
+    * sequences agree with `duplicateSpansIncremental` against the
+    * accumulated `substringIndex`; parity asserted in StreamingSpec via
+    * [[substringHitSummary]]).
+    *
+    * State: `(count, lastTs)` per distinct live window key, evicted once
+    * the watermark passes `lastArrival + ttlMicros` (an expired key's
+    * count restarts — the finite-state trade shared by the other dedup
+    * streams; the persisted-index batch pass catches cross-horizon
+    * duplication). Windows are assembled with array expressions
+    * (interpreted per element — fine at ingest rate; the batch operator
+    * keeps the codegen explode path for corpus-scale re-runs).
+    *
+    * @return one [[SubstringHit]] per duplicated window occurrence; merge
+    *         to spans/coverage with [[substringHitSummary]].
+    */
+  def substringDupStream(
+      docs: DataFrame,
+      k: Int,
+      ttlMicros: Long = Long.MaxValue,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Dataset[SubstringHit] = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    requireIntegralId(docs, idCol, "substringDupStream")
+    implicit val occEnc = Encoders.product[WindowOcc]
+    val occ = docs
+      .select(col(idCol).cast("long").as("doc_id"), col("timestamp"),
+        split(lower(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__nt", size(col("__toks")))
+      .filter(col("__nt") >= k)
+      .select(col("doc_id"), col("timestamp"),
+        posexplode(transform(sequence(lit(0), col("__nt") - lit(k)),
+          i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))))
+          .as(Seq("pos", "__w")))
+      .select(xxhash64(col("__w")).as("wk"), length(col("__w")).as("wl"),
+        col("doc_id"), col("timestamp"), col("pos"))
+      .as[WindowOcc]
+
+    implicit val hitEnc = Encoders.product[SubstringHit]
+    implicit val stateEnc = Encoders.product[WinKeyState]
+    occ
+      .groupByKey(o => (o.wk, o.wl))(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+      .flatMapGroupsWithState[WinKeyState, SubstringHit](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, Int), rows: Iterator[WindowOcc], state: GroupState[WinKeyState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val live = state.getOption.filter(s => satAdd(s.lastTs, ttlMicros) > wmMicros)
+          val fresh = rows.toSeq.filter(_.tsMicros > wmMicros)
+          if (fresh.isEmpty) {
+            // Timeout tick (or an all-late batch): evict or keep as-is.
+            live match {
+              case None => if (state.exists) state.remove()
+              case Some(s) =>
+                state.update(s)
+                if (ttlMicros < Long.MaxValue)
+                  state.setTimeoutTimestamp(
+                    math.max(satAdd(s.lastTs, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
+            }
+            Iterator.empty
+          } else {
+            val total = live.map(_.count).getOrElse(0L) + fresh.length
+            val lastTs = math.max(
+              live.map(_.lastTs).getOrElse(Long.MinValue), fresh.map(_.tsMicros).max)
+            state.update(WinKeyState(total, lastTs))
+            if (ttlMicros < Long.MaxValue)
+              state.setTimeoutTimestamp(
+                math.max(satAdd(lastTs, ttlMicros) / 1000L + 1L, wmMicros / 1000L + 1L))
+            if (total >= 2)
+              fresh.sortBy(o => (o.doc_id, o.pos))
+                .map(o => SubstringHit(o.doc_id, o.pos)).iterator
+            else Iterator.empty
+          }
+      }
+  }
+
+  /** Per-doc span rollup over [[SubstringHit]] rows (a batch of stream
+    * output), via the closed forms over the sorted hit positions:
+    * `covered = k + Σ min(gap, k)` and `spans = 1 + #{gap >= k}` —
+    * algebraically identical to the batch gaps-and-islands merge.
+    *
+    * @return (doc_id, dup_windows, dup_spans, covered_tokens) for docs
+    *         with at least one hit.
+    */
+  def substringHitSummary(hits: DataFrame, k: Int): DataFrame = {
+    val ps = col("__ps")
+    val gaps = when(size(ps) > 1,
+      zip_with(slice(ps, lit(2), size(ps) - 1), slice(ps, lit(1), size(ps) - 1),
+        (a, b) => a - b))
+      .otherwise(array().cast("array<int>"))
+    hits
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("doc_id"),
+        size(ps).cast("long").as("dup_windows"),
+        (lit(1) + size(filter(gaps, g => g >= lit(k)))).cast("long").as("dup_spans"),
+        aggregate(gaps, lit(k), (acc, g) => acc + least(g, lit(k)))
+          .cast("long").as("covered_tokens"))
+  }
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

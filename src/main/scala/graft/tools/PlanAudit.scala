@@ -270,6 +270,22 @@ object PlanAudit {
     audit("dedup_substring(incr)", graft.operators.Dedup.duplicateSpansIncremental(
       docsT.filter(col("doc_id") >= 450), subIdx, k = 5, hashWindows = true), 6)
 
+    // Span removal: spans explode into thin (doc_id, pos) drop rows and
+    // anti-join the token rows on the doc_id clustering both sides carry;
+    // budget = span detection (3) + token repartition + rebuild/restore
+    // joins.
+    audit("dedup_substring(remove)",
+      graft.operators.Dedup.removeDuplicateSpans(docsT, k = 5, hashWindows = true), 7)
+
+    // LM SERVING: scoring a shard against a fitted LM frame must never
+    // re-aggregate corpus counts — no token-keyed hash exchange at all;
+    // just the broadcast LM join, the per-doc aggregate, and the ordered
+    // output.
+    val lmFit = graft.operators.Vocabulary.unigramLm(docsT.filter(col("doc_id") < 250), vocabSize = 20)
+    val lmServe = graft.operators.Vocabulary.perplexity(
+      docsT.filter(col("doc_id") >= 250), lmFit, "text", "doc_id")
+    audit("text_perplexity(serve)", lmServe, 2)
+
     // Vocabulary top-k: global top-k must compile to TakeOrdered (a
     // per-partition k-heap merged on the driver), NEVER a full sort of
     // the gram counts; exchanges = doc_id repartition + the two-phase

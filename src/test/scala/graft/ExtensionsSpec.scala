@@ -1271,6 +1271,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(eFrame.getMessage.contains("substringIndex"))
   }
 
+  test("removeDuplicateSpans: excises spans, preserves case/order, empties full dups") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "A B C d e f g h"),            // case-insensitive match on "a b c d e"
+      (2L, "x x a b c d e y"),
+      (3L, "p q r s t u p q r s t u"),    // fully covered → ""
+      (4L, "m n o")                       // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(toy, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "f g h", 2L -> "x x y", 3L -> "", 4L -> "m n o"), s"got $got")
+  }
+
+  test("removeDuplicateSpans: removed token mass equals summary coverage on the fixture") {
+    val summary = Dedup.duplicateSpanSummary(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val cleaned = Dedup.removeDuplicateSpans(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val original = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned.keySet == original.keySet)
+    cleaned.foreach { case (id, t) =>
+      val (covered, total) = summary(id)
+      val kept = if (t.isEmpty) 0 else t.split(" ").length
+      assert(kept == total - covered, s"doc $id kept $kept != ${total - covered}")
+      if (covered == 0) assert(t == original(id), s"doc $id with no spans was altered")
+    }
+  }
+
+  test("unigramLm: persisted LM scores identically to the one-shot fit") {
+    import graft.operators.Vocabulary
+    val oneShot = snap(Vocabulary.perplexity(docs, vocabSize = 10))
+    val dir = "/tmp/graft_test_unilm"
+    Vocabulary.unigramLm(docs, vocabSize = 10).write.mode("overwrite").parquet(dir)
+    val served = snap(Vocabulary.perplexity(docs, spark.read.parquet(dir), "text", "doc_id"))
+    assert(served == oneShot)
+    // Cross-corpus serving: a shard never seen at fit time scores without error
+    // and hits the OOV floor for unseen tokens.
+    val lm = spark.read.parquet(dir)
+    val shardScores = Vocabulary.perplexity(docs.filter(col("doc_id") >= 400), lm, "text", "doc_id")
+    assert(shardScores.count() == docs.filter(col("doc_id") >= 400).count())
+    val eFrame = intercept[IllegalArgumentException] {
+      Vocabulary.perplexity(docs, docs, "text", "doc_id")
+    }
+    assert(eFrame.getMessage.contains("unigramLm"))
+  }
+
   test("topKNgrams: every occurrence counted, deterministic tiebreak") {
     import spark.implicits._
     import graft.operators.Vocabulary

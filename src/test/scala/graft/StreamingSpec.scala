@@ -441,6 +441,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("substringDupStream matches batch incremental spans on a shard sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+
+    val docsD = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val rows = docsD.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (shard1, shard2) = rows.partition(_._1 < 250)
+    val k = 5
+
+    // Batch counterpart on the SAME shard sequence: full span run on
+    // shard 1, then incremental shard 2 vs shard 1's persisted index.
+    def summarySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.groupBy("doc_id")
+        .agg(sum("n_windows").as("w"), count(lit(1)).as("s"), sum("span_len").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val s1df = spark.createDataFrame(shard1.toSeq).toDF("doc_id", "text")
+    val s2df = spark.createDataFrame(shard2.toSeq).toDF("doc_id", "text")
+    val batchSummaries =
+      summarySet(Dedup.duplicateSpans(s1df, k = k, hashWindows = true)) ++
+        summarySet(Dedup.duplicateSpansIncremental(
+          s2df, Dedup.substringIndex(s1df, k = k, hashWindows = true), k = k, hashWindows = true))
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "timestamp", "text")
+      .withWatermark("timestamp", "1 hour")
+    val out = StreamingPredicates.substringDupStream(docs, k = k)
+    val query = out.writeStream
+      .format("memory").queryName("substr_stream").outputMode("append").start()
+    try {
+      input.addData(shard1.map { case (id, t) => (id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(shard2.map { case (id, t) => (id, ts("2024-01-01 10:30:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+
+      val streamed = StreamingPredicates.substringHitSummary(spark.table("substr_stream"), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batchSummaries,
+        s"stream/batch divergence: stream-only=${streamed.diff(batchSummaries).take(5)} " +
+          s"batch-only=${batchSummaries.diff(streamed).take(5)} " +
+          s"(${streamed.size} streamed vs ${batchSummaries.size} batch)")
+      assert(batchSummaries.nonEmpty, "fixture corpus must actually contain duplicated spans")
+    } finally query.stop()
+  }
+
   test("embeddingNearDupStream matches batch incremental dedup on a shard sequence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
