@@ -1279,6 +1279,25 @@ object QueryCatalog {
              |   OR (lang = 'fr' AND rk <= 10)
              |ORDER BY doc_id""".stripMargin), bench = true),
 
+    // Temperature (√-smoothed) data-mixing sample: per-language quotas
+    // ∝ sqrt(group size) — natural proportions flattened toward uniform,
+    // the standard multilingual mixing rule; quota arithmetic in-plan,
+    // same deterministic hash pick as sample_quota.
+    Q("sample_temperature", (s, dir) =>
+      Sampling.temperatureSample(docs(s, dir), totalN = 100, alpha = 0.5)
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM documents),
+             |n AS (SELECT lang, COUNT(*) AS n FROM h GROUP BY 1),
+             |z AS (SELECT SUM(SQRT(n)) AS z FROM n),
+             |q AS (SELECT lang, GREATEST(1, CAST(FLOOR(100 * SQRT(n) / z) AS BIGINT)) AS q
+             |      FROM n CROSS JOIN z),
+             |k AS (SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk FROM h)
+             |SELECT k.doc_id, k.lang, CAST(k.rk AS BIGINT) AS rk
+             |FROM k JOIN q USING (lang) WHERE k.rk <= q.q
+             |ORDER BY k.doc_id""".stripMargin)),
+
     Q("multimodal_features", (s, dir) => {
       // Codec-free metrics are pure expressions (codegen'd scan→project);
       // Multimodal.extractFeatures remains the partition-wise decode hook

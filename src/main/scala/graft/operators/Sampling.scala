@@ -88,6 +88,52 @@ object Sampling {
     *
     * @return (idCol, groupCol, rk)
     */
+  /** Temperature (exponent-smoothed) mixing sample — the standard
+    * multilingual/domain data-mixing rule (smoothed sampling with
+    * `p_g ∝ n_g^alpha`, as popularized by massively-multilingual
+    * pretraining): group g's quota is `max(1, floor(totalN · n_g^alpha /
+    * Σ_h n_h^alpha))` — `alpha = 1` reproduces natural proportions,
+    * `alpha → 0` flattens toward uniform, upweighting low-resource
+    * groups. The pick within each group is the same deterministic
+    * multiplicative-hash pseudo-shuffle as [[quotaSample]], and the
+    * quota arithmetic stays IN-PLAN (counts → one-row Σ n^alpha, both
+    * broadcast) — no driver-side collect of group statistics.
+    *
+    * The per-group rank is a window over the full group (no hash
+    * pre-filter: quotas here are data-dependent, so the threshold cut
+    * cannot be proven lossless up front); totalN ≪ corpus mixes should
+    * go through [[quotaSample]] with materialized quotas when single
+    * groups dominate a 100 TB corpus. `alpha = 0.5` (√-smoothing) is
+    * exactly rounded IEEE sqrt on every engine — the cross-engine-
+    * reproducible choice the SQL oracle mirrors.
+    *
+    * @return (idCol, groupCol, rk) — rk = 1-based pick rank in-group.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      totalN: Long,
+      alpha: Double = 0.5,
+      groupCol: String = "lang",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val hashed = df.select(col(idCol), col(groupCol), pseudoShuffle(col(idCol)).as("__r"))
+    val counts = hashed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val z = counts.agg(sum(pow(col("__n").cast("double"), alpha)).as("__z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .select(col(groupCol),
+        greatest(lit(1L),
+          floor(lit(totalN.toDouble) * pow(col("__n").cast("double"), alpha) / col("__z"))
+            .cast("long")).as("__q"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
+    hashed
+      .join(broadcast(quotas), Seq(groupCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= col("__q"))
+      .select(col(idCol), col(groupCol), col("rk"))
+  }
+
   def quotaSample(
       df: DataFrame,
       quotas: Map[String, Long],

@@ -168,6 +168,13 @@ object PlanAudit {
       s"filterBelowRank=${quotaPreAt > quotaWinAt} countsBroadcast=$quotaBroadcast")
     if (!quotaOk) println(quotaPlan)
 
+    // Temperature mixing sample: quota arithmetic stays IN-PLAN (group
+    // counts + the one-row Σ n^α both arrive by broadcast — no driver
+    // collect of group statistics); exchanges = the count aggregate +
+    // the per-group rank window re-cluster.
+    audit("sample_temperature",
+      graft.operators.Sampling.temperatureSample(docsT, totalN = 100, alpha = 0.5), 3)
+
     // Trigram language ID: the doc_id repartition is the ONE exchange of
     // corpus-sized data — n-gram explode, (doc, tg) count, per-doc rank
     // window, per-(doc, lang) distance aggregate and argmin window all

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Vocabulary}
+import graft.sources.Tables
+
+/** Text-pipeline scaling probe: duplicate-span detection, top-k
+  * vocabulary, and LM-perplexity scoring at 1×/k×/K× the sf0.1 documents
+  * corpus — the measurement behind the "window-key analytic scales
+  * linearly" and "LM serving pays no fit" claims in BENCH_NOTES.
+  *
+  * Replicas are SALTED (every token suffixed with its copy index), so
+  * copies collide with themselves exactly like the base corpus but never
+  * with each other — the duplicated-window FRACTION stays constant as
+  * the corpus grows, which is the honest scaling experiment (bare
+  * replication would make every window a duplicate, the degenerate
+  * worst case). Copy 0 keeps the original text, so ×1 matches the bench
+  * numbers.
+  *
+  * Run: `sbt "runMain graft.tools.TextScaleProbe [sfDir] [k] [K]"`;
+  * results are committed to BENCH_NOTES.md.
+  */
+object TextScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val midCopies = args.lift(1).map(_.toInt).getOrElse(10)
+    val bigCopies = args.lift(2).map(_.toInt).getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables
+      .configure(
+        SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val n1 = base.count()
+
+    def replicated(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val salted =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "\\S+", "$0_" + i)
+        base.select((col("doc_id") + lit(i * n1)).as("doc_id"), salted.as("text"))
+      }.reduce(_ unionByName _).cache()
+
+    // Warm-up: tiny end-to-end runs so JIT/codegen compilation doesn't
+    // land in the first timed pass.
+    Dedup.duplicateSpanSummary(base.limit(50), k = 5, hashWindows = true)
+      .write.format("noop").mode("overwrite").save()
+    Vocabulary.perplexity(base.limit(50), vocabSize = 20)
+      .write.format("noop").mode("overwrite").save()
+
+    def time(f: => Unit): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    def measure(label: String, corpus: DataFrame): String = {
+      val n = corpus.count() // materialize the cache before timing
+      val tSpans = time {
+        Dedup.duplicateSpanSummary(corpus, k = 5, hashWindows = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tTopk = time {
+        Vocabulary.topKNgrams(corpus, n = 2, k = 100)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tPplOneShot = time {
+        Vocabulary.perplexity(corpus, vocabSize = 1 << 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // Serving: score against a PRE-FIT LM (fit excluded, the
+      // fit-once/score-many shape) — materialized once outside the timer.
+      val lm = graft.plans.Materialize(
+        Vocabulary.unigramLm(corpus, vocabSize = 1 << 16), eager = true)
+      val tPplServe = time {
+        Vocabulary.perplexity(corpus, lm, "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      corpus.unpersist()
+      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f}"""
+    }
+
+    val loadStart = loadavg()
+    val r1 = measure("sf0.1 x1", replicated(1))
+    val rMid = measure(s"sf0.1 x$midCopies", replicated(midCopies))
+    val rBig = measure(s"sf0.1 x$bigCopies", replicated(bigCopies))
+    println(
+      f"""{"text_scaling": [\n  $r1,\n  $rMid,\n  $rBig\n], "loadavg_start": $loadStart%.2f, "loadavg_end": ${loadavg()}%.2f, "note": "best-of-2 per timing; salted replicas keep the dup fraction constant"}""")
+    spark.stop()
+  }
+}

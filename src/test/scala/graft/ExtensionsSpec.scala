@@ -1390,6 +1390,30 @@ class ExtensionsSpec extends SparkSpec {
       bloomBits = 64L)) == exact)
   }
 
+  test("temperatureSample: sqrt-smoothed quotas match local math; skew flattened") {
+    import graft.operators.Sampling
+    val rows = docs.select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    def shuffle(id: Long) = ((id % 1048576L) * 2654435761L) % 4294967296L
+    val n = rows.groupBy(_._2).map { case (l, xs) => l -> xs.size }
+    val totalN = 100L
+    val z = n.values.map(v => math.sqrt(v.toDouble)).sum
+    val q = n.map { case (l, c) =>
+      l -> math.max(1L, math.floor(totalN * math.sqrt(c.toDouble) / z).toLong)
+    }
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (l, xs) =>
+      xs.map(_._1).sortBy(id => (shuffle(id), id)).take(q(l).toInt).zipWithIndex
+        .map { case (id, i) => (id, l, i + 1L) }
+    }.toSet
+
+    val got = Sampling.temperatureSample(docs, totalN = totalN, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"diff: got-only=${got.diff(want).take(5)} want-only=${want.diff(got).take(5)}")
+    // Flattening: the dominant group's sample share sits below its corpus share.
+    val (domLang, domN) = n.maxBy(_._2)
+    assert(q(domLang).toDouble / got.size < domN.toDouble / rows.length,
+      s"$domLang not flattened: quota ${q(domLang)} of ${got.size} vs $domN of ${rows.length}")
+  }
+
   test("duplicateClusters: min-label connected components over pair graph") {
     import spark.implicits._
     // Chain 1-2-3 (transitive cluster), isolated pair 7-8, pair 5-9.

@@ -229,4 +229,44 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }, 15)
   }
+
+  test("duplicateSpanSummary matches brute-force oracle on random corpora") {
+    import spark.implicits._
+    // Tiny vocab forces heavy window collisions; doc lengths straddle k
+    // so the too-short, exactly-k, and long cases all occur.
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = for {
+      nd <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(nd, docGen)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val kGen = Gen.choose(1, 6)
+    check(Prop.forAll(corpusGen, kGen) { (rows, k) =>
+      val df = rows.toDF("doc_id", "text")
+      val wins = rows.flatMap { case (id, t) =>
+        val toks = t.toLowerCase.split("\\s+").toSeq
+        if (toks.size < k) Seq.empty
+        else toks.sliding(k).zipWithIndex.map { case (w, i) => (id, i, w.mkString(" ")) }.toSeq
+      }
+      val cnt = wins.groupBy(_._3).map { case (w, xs) => w -> xs.size }
+      val hitPos = wins.filter(x => cnt(x._3) >= 2).groupBy(_._1)
+        .map { case (id, xs) => id -> xs.map(_._2).sorted }
+      val want = rows.map { case (id, t) =>
+        val total = t.toLowerCase.split("\\s+").length.toLong
+        val ps = hitPos.getOrElse(id, Seq.empty)
+        val spans = ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p - e < k => (s, p) :: rest
+          case (acc, p)                         => (p, p) :: acc
+        }
+        val covered = spans.map { case (s, e) => e - s + k }.sum.toLong
+        id -> ((ps.size.toLong, spans.size.toLong, covered, total))
+      }.toMap
+      val got = graft.operators.Dedup.duplicateSpanSummary(df, k = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      got == want
+    }, 12)
+  }
 }
