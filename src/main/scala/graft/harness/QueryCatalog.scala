@@ -890,6 +890,37 @@ object QueryCatalog {
               |SELECT doc_id, n_tokens, ROUND(nll, 4) AS avg_nll, ROUND(EXP(nll), 4) AS ppl
               |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Bigram LM with stupid backoff (Brants et al. 2007): top-200
+    // bigrams (of the fixture's 916 — pruning exercises the backoff),
+    // 20-token vocab (OOV floor exercised), first token scores unigram.
+    Q("text_perplexity_bigram", (s, dir) =>
+      Vocabulary.perplexityBigram(docs(s, dir), vocabSize = 20, bigramSize = 200),
+      Some("""WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+             |tp AS (SELECT doc_id, UNNEST(range(0, len(toks))) AS pos, toks FROM t0),
+             |t AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+             |        CASE WHEN pos = 0 THEN NULL ELSE toks[pos] END AS prev FROM tp),
+             |c1 AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM c1),
+             |voc AS (SELECT tok, c FROM c1 ORDER BY c DESC, tok LIMIT 20),
+             |vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM voc),
+             |uni AS (SELECT tok, LN((c + 1) / (tt + v + 1)) AS lu
+             |        FROM voc CROSS JOIN tot CROSS JOIN vs),
+             |big0 AS (SELECT prev, tok, COUNT(*) AS c2 FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |bigt AS (SELECT prev, tok, c2 FROM big0 ORDER BY c2 DESC, prev, tok LIMIT 200),
+             |big AS (SELECT b.prev, b.tok, LN(CAST(b.c2 AS DOUBLE) / c1.c) AS lb
+             |        FROM bigt b JOIN c1 ON b.prev = c1.tok),
+             |sc AS (SELECT t.doc_id,
+             |         CASE WHEN t.prev IS NULL THEN COALESCE(u.lu, LN(1 / (tt + v + 1)))
+             |              WHEN b.lb IS NOT NULL THEN b.lb
+             |              ELSE LN(0.4) + COALESCE(u.lu, LN(1 / (tt + v + 1))) END AS lp
+             |       FROM t LEFT JOIN big b ON t.prev = b.prev AND t.tok = b.tok
+             |              LEFT JOIN uni u ON t.tok = u.tok
+             |              CROSS JOIN tot CROSS JOIN vs),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, -AVG(lp) AS nll
+             |        FROM sc GROUP BY 1)
+             |SELECT doc_id, n_tokens, ROUND(nll, 4) AS avg_nll, ROUND(EXP(nll), 4) AS ppl
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_phash", (s, dir) => {
       // Image perceptual-hash dedup: dHash over decoded bitmaps,
       // Hamming-banded candidates (4×16-bit chunks), exact bit_count

@@ -125,4 +125,111 @@ object Vocabulary {
       idCol: String = "doc_id"
   ): DataFrame =
     perplexity(docs, unigramLm(docs, vocabSize, textCol, idCol), textCol, idCol)
+
+  /** Per-doc token rows with position and the preceding token (null at
+    * doc start) — the bigram adjacency frame; one doc_id repartition
+    * pre-clusters the lag window AND the downstream per-doc aggregate.
+    */
+  private def adjacencyRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(lower(col("__text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("__prev", lag(col("tok"), 1).over(w))
+  }
+
+  /** Bigram LM with STUPID BACKOFF (Brants, Popat, Xu, Och & Dean,
+    * "Large Language Models in Machine Translation", 2007 — the score
+    * large-scale pipelines actually use: unnormalized, no discounting,
+    * `S(w|w') = c(w'w)/c(w')` when the bigram is in the table, else
+    * `0.4 · P_uni(w)`), persisted as ONE self-contained frame:
+    *
+    *   - bigram rows `(tok_prev, tok, ln(c2/c1))` — the top `bigramSize`
+    *     bigrams by count (deterministic tiebreak), so the table is
+    *     bounded no matter the corpus;
+    *   - unigram rows `(null, tok, logp)` — the [[unigramLm]] vocab;
+    *   - one `(null, null, logp)` out-of-vocab floor row.
+    *
+    * An absent bigram (unseen OR pruned) backs off — the standard
+    * contract. Both lookup tables broadcast at scoring time.
+    */
+  def bigramLm(
+      docs: DataFrame,
+      vocabSize: Int = 1 << 16,
+      bigramSize: Int = 1 << 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val t = adjacencyRows(docs, textCol, idCol)
+    val c1 = graft.plans.Materialize(t.groupBy("tok").agg(count(lit(1)).as("__c1")))
+    val bigTop = t
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("tok"))
+      .agg(count(lit(1)).as("__c2"))
+      .orderBy(col("__c2").desc, col("__prev").asc, col("tok").asc)
+      .limit(bigramSize)
+    // c(prev) lookup: join the pruned bigram table (tiny) against the
+    // unigram counts on the PRECEDING token.
+    val bigScored = bigTop
+      .join(c1.select(col("tok").as("__prev"), col("__c1")), Seq("__prev"))
+      .select(col("__prev").as("tok_prev"), col("tok"),
+        log(col("__c2").cast("double") / col("__c1").cast("double")).as("logp"))
+    val uniRows = unigramLm(docs, vocabSize, textCol, idCol)
+      .select(lit(null).cast("string").as("tok_prev"), col("tok"), col("logp"))
+    bigScored.unionByName(uniRows)
+  }
+
+  /** Per-document perplexity under a FITTED [[bigramLm]] frame: first
+    * token scores with the unigram (OOV floor applies), later tokens
+    * with the bigram when present, else `ln(0.4) + unigram` — stupid
+    * backoff. Serving shape: both lookup sides broadcast; the corpus
+    * pays one doc_id re-cluster (for the lag window, reused by the
+    * per-doc aggregate) and never a token-keyed shuffle.
+    *
+    * @return (doc_id, n_tokens, avg_nll, ppl) ordered by doc_id.
+    */
+  def perplexityBigram(
+      docs: DataFrame,
+      lm: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    require(lm.columns.sorted.sameElements(Array("logp", "tok", "tok_prev")),
+      s"not a bigramLm frame (columns ${lm.columns.mkString(",")}) — " +
+        "fit the corpus with bigramLm")
+    val bi = lm.filter(col("tok_prev").isNotNull)
+      .select(col("tok_prev").as("__p"), col("tok").as("__t"), col("logp").as("__lb"))
+    val uni = lm.filter(col("tok_prev").isNull && col("tok").isNotNull)
+      .select(col("tok").as("tok"), col("logp").as("__lu"))
+    val oov = lm.filter(col("tok_prev").isNull && col("tok").isNull)
+      .select(col("logp").as("__lo"))
+    val t = adjacencyRows(docs, textCol, idCol)
+    val backUni = coalesce(col("__lu"), col("__lo"))
+    t
+      .join(broadcast(bi), col("__prev") === col("__p") && col("tok") === col("__t"), "left")
+      .join(broadcast(uni), Seq("tok"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"),
+        when(col("__prev").isNull, backUni)
+          .otherwise(when(col("__lb").isNotNull, col("__lb"))
+            .otherwise(log(lit(0.4)) + backUni)).as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), (-avg(col("__lp"))).as("__nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__nll"), 4).as("avg_nll"),
+        round(exp(col("__nll")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** One-shot [[perplexityBigram]]: fit on `docs`, score `docs`. */
+  def perplexityBigram(
+      docs: DataFrame,
+      vocabSize: Int = 1 << 16,
+      bigramSize: Int = 1 << 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    perplexityBigram(docs, bigramLm(docs, vocabSize, bigramSize, textCol, idCol),
+      textCol, idCol)
 }

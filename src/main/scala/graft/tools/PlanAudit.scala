@@ -293,6 +293,16 @@ object PlanAudit {
       docsT.filter(col("doc_id") >= 250), lmFit, "text", "doc_id")
     audit("text_perplexity(serve)", lmServe, 2)
 
+    // Bigram serving, same contract: a MATERIALIZED (≈ parquet-loaded)
+    // LM must score with only the doc_id re-cluster + ordered output —
+    // both lookup tables broadcast, no token-keyed exchange, no fit.
+    val biLm = graft.plans.Materialize(
+      graft.operators.Vocabulary.bigramLm(
+        docsT.filter(col("doc_id") < 250), vocabSize = 20, bigramSize = 200),
+      eager = true)
+    audit("text_perplexity(bigram)", graft.operators.Vocabulary.perplexityBigram(
+      docsT.filter(col("doc_id") >= 250), biLm, "text", "doc_id"), 2)
+
     // Vocabulary top-k: global top-k must compile to TakeOrdered (a
     // per-partition k-heap merged on the driver), NEVER a full sort of
     // the gram counts; exchanges = doc_id repartition + the two-phase

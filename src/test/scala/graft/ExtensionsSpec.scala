@@ -1318,6 +1318,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(eFrame.getMessage.contains("unigramLm"))
   }
 
+  test("perplexityBigram: stupid backoff matches local math; persisted LM identical") {
+    import graft.operators.Vocabulary
+    val vocabSize = 10
+    val bigramSize = 50
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val allToks = texts.toSeq.flatMap { case (id, t) =>
+      t.toLowerCase.split("\\s+").toSeq.zipWithIndex.map { case (tok, i) => (id, i, tok) }
+    }
+    val c1 = allToks.groupBy(_._3).map { case (tok, xs) => tok -> xs.size.toLong }
+    val tTotal = allToks.size.toDouble
+    val vocab = c1.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(vocabSize).toMap
+    val v = vocab.size.toDouble
+    def uniLp(tok: String): Double = vocab.get(tok) match {
+      case Some(c) => math.log((c + 1) / (tTotal + v + 1))
+      case None    => math.log(1.0 / (tTotal + v + 1))
+    }
+    val bigrams = texts.toSeq.flatMap { case (_, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      toks.zip(toks.drop(1))
+    }
+    val bigTop = bigrams.groupBy(identity).map { case (bg, xs) => bg -> xs.size.toLong }
+      .toSeq.sortBy { case ((p, w), c) => (-c, p, w) }.take(bigramSize).toMap
+    def lp(prev: Option[String], tok: String): Double = prev match {
+      case None => uniLp(tok)
+      case Some(p) => bigTop.get((p, tok)) match {
+        case Some(c2) => math.log(c2.toDouble / c1(p))
+        case None     => math.log(0.4) + uniLp(tok)
+      }
+    }
+    val truth = texts.map { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      val lps = toks.zipWithIndex.map { case (tok, i) =>
+        lp(if (i == 0) None else Some(toks(i - 1)), tok)
+      }
+      val nll = -lps.sum / lps.size
+      id -> ((toks.size.toLong, nll, math.exp(nll)))
+    }
+
+    val got = Vocabulary.perplexityBigram(docs, vocabSize = vocabSize, bigramSize = bigramSize)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (id, (n, nll, ppl)) =>
+      val (tn, tnll, tppl) = truth(id)
+      assert(n == tn, s"doc $id token count $n != $tn")
+      assert(math.abs(nll - tnll) < 1e-4 + 1e-9, s"doc $id nll $nll != $tnll")
+      assert(math.abs(ppl - tppl) / tppl < 1e-4, s"doc $id ppl $ppl != $tppl")
+    }
+    // The fixture must exercise the backoff (pruned bigrams) at this size.
+    assert(bigrams.distinct.size > bigramSize, "bigram table not pruned — backoff unexercised")
+
+    // Persisted LM round-trip scores identically.
+    val dir = "/tmp/graft_test_bilm"
+    Vocabulary.bigramLm(docs, vocabSize = vocabSize, bigramSize = bigramSize)
+      .write.mode("overwrite").parquet(dir)
+    assert(snap(Vocabulary.perplexityBigram(docs, spark.read.parquet(dir), "text", "doc_id")) ==
+      snap(Vocabulary.perplexityBigram(docs, vocabSize = vocabSize, bigramSize = bigramSize)))
+  }
+
   test("topKNgrams: every occurrence counted, deterministic tiebreak") {
     import spark.implicits._
     import graft.operators.Vocabulary
