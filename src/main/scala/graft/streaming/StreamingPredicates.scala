@@ -1139,6 +1139,53 @@ object StreamingPredicates {
           .cast("long").as("covered_tokens"))
   }
 
+  /** Streaming LM quality scoring — perplexity under a FITTED
+    * [[graft.operators.Vocabulary.unigramLm]] frame for every arriving
+    * doc, STATELESS (each doc scores within its own row: no
+    * aggregation, no state store, any output mode). The ingest-path
+    * quality filter that pairs with the dedup streams: one pass tags
+    * arriving docs with ppl and the caller thresholds.
+    *
+    * The LM is vocab-bounded by construction, so it rides along as one
+    * broadcast map column (built relationally — `map_from_entries` over
+    * the LM rows, one row crossJoined in; the per-doc score is a single
+    * codegen'd `aggregate` fold over the token array, and the map is
+    * projected away in the same stage, so it is never copied per row
+    * into the output).
+    *
+    * Scores are bit-identical to batch [[graft.operators.Vocabulary
+    * .perplexity]] up to summation order (asserted ≤1e-9 in
+    * StreamingSpec; the batch path averages in arrival order, this one
+    * folds left over the token array).
+    *
+    * @param lm a [[graft.operators.Vocabulary.unigramLm]] frame (or its
+    *           parquet round-trip).
+    * @return the input rows plus (n_tokens, avg_nll, ppl) — unrounded;
+    *         callers threshold, they don't hash-compare.
+    */
+  def perplexityStream(
+      docs: DataFrame,
+      lm: DataFrame,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(lm.columns.contains("tok") && lm.columns.contains("logp"),
+      s"not a unigramLm frame (columns ${lm.columns.mkString(",")}) — " +
+        "fit the corpus with unigramLm")
+    val lmRow = lm.agg(
+      map_from_entries(collect_list(
+        when(col("tok").isNotNull, struct(col("tok"), col("logp"))))).as("__lmmap"),
+      max(when(col("tok").isNull, col("logp"))).as("__oov"))
+    val toks = split(lower(col(textCol)), "\\s+")
+    val sumLp = aggregate(toks, lit(0.0d),
+      (acc, t) => acc + coalesce(element_at(col("__lmmap"), t), col("__oov")))
+    docs
+      .crossJoin(broadcast(lmRow))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_nll", -sumLp / col("n_tokens"))
+      .withColumn("ppl", exp(col("avg_nll")))
+      .drop("__lmmap", "__oov")
+  }
+
   /** Per-subject running totals with stateful processing. Emits one update
     * per micro-batch per active subject. State here is unbounded by design
     * (a running total never expires); a production deployment bounding

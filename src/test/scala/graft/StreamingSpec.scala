@@ -441,6 +441,65 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("perplexityStream: stateless LM scoring matches batch perplexity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Vocabulary
+
+    val docsD = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val lm = Vocabulary.unigramLm(docsD, vocabSize = 10)
+    val batch = Vocabulary.perplexity(docsD, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val rows = docsD.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "timestamp", "text")
+    val out = StreamingPredicates.perplexityStream(stream, lm)
+      .select("doc_id", "n_tokens", "avg_nll", "ppl")
+    val query = out.writeStream
+      .format("memory").queryName("ppl_stream").outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, t) => (id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ppl_stream")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, (n, nll)) =>
+        // Batch rounds to 4 decimals for its oracle; the stream is
+        // unrounded — compare at the rounding grain + float-order noise.
+        val (bn, bnll) = batch(id)
+        assert(n == bn, s"doc $id token count $n != $bn")
+        assert(math.abs(nll - bnll) <= 5e-5 + 1e-9, s"doc $id nll $nll != $bnll")
+      }
+    } finally query.stop()
+  }
+
+  test("stateless text operators run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Texts
+
+    val docsD = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    def enrich(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val metrics = Texts.qualityMetrics(col("text")).map { case (n, c) => c.as(n) }
+      df.select(Seq(col("doc_id"), Texts.langId(col("text")).as("lid"),
+        Texts.redactPii(col("text")).as("red")) ++ metrics: _*)
+    }
+    val want = snap(enrich(docsD.select("doc_id", "text")))
+
+    val rows = docsD.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = enrich(input.toDF().toDF("doc_id", "timestamp", "text"))
+      .writeStream.format("memory").queryName("stateless_stream").outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, t) => (id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      assert(snap(spark.table("stateless_stream")) == want)
+    } finally query.stop()
+  }
+
   test("substringDupStream matches batch incremental spans on a shard sequence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
