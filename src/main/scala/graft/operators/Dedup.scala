@@ -67,22 +67,10 @@ object Dedup {
       shingleN: Int,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), posexplode(split(lower(col("__text")), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val parts = (0 until shingleN).map {
-      case 0 => col("tok")
-      case i => lead(col("tok"), i).over(w)
-    }
-    toks
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("s"),
-        (if (shingleN == 1) lit(true) else parts.last.isNotNull).as("__complete"))
-      .filter(col("__complete"))
+  ): DataFrame =
+    windowRows(docs, shingleN, textCol, idCol)
+      .select(col("doc_id"), col("w").as("s"))
       .dropDuplicates("doc_id", "s")
-  }
 
   /** MinHash signatures for a whole corpus: shingle rows → one codegen'd
     * hash-aggregate taking `numHashes` `min(xxhash64(seed, s))` columns.
@@ -892,12 +880,13 @@ object Dedup {
     * than k apart).
     *
     * The paper builds a single-machine suffix array; the relational
-    * equivalent is an inverted window index: one shuffle clusters
-    * identical windows (an analytic count — no self-join, no second
-    * shuffle of the window rows), one shuffle re-clusters the surviving
-    * duplicated positions per doc for the gaps-and-islands merge. Two
-    * exchanges total over thin `(doc_id, pos[, key])` rows — at 100 TB
-    * nothing wider than a window key ever shuffles, and the second
+    * equivalent is an inverted window index: a MAP-SIDE-COMBINED count
+    * finds duplicated keys (a hot boilerplate window leaves each mapper
+    * as one partial row — no single-task giant group, unlike an
+    * analytic count over the key), a key-clustered semi-join streams
+    * the surviving occurrences, and one doc-keyed shuffle re-clusters
+    * the duplicated positions for the gaps-and-islands merge. Every
+    * shuffled row is a thin `(doc_id, pos[, key])`; the doc-keyed
     * exchange carries only the duplicated fraction of positions.
     *
     * `hashWindows = true` is the corpus-scale key: windows shuffle as a
@@ -918,10 +907,21 @@ object Dedup {
       hashWindows: Boolean = false
   ): DataFrame = {
     val keyed = keyedWindows(docs, k, textCol, idCol, hashWindows)
-    val byWin = Window.partitionBy("__wk", "__wl")
-    val hits = keyed
-      .withColumn("__c", count(lit(1)).over(byWin))
+    // Two-phase count + semi-join rather than an analytic count over the
+    // window key: a count(*) OVER (PARTITION BY key) buffers every
+    // occurrence of a key in one window group, and a boilerplate window
+    // repeated millions of times (the operator's headline case) is a
+    // single-task giant group. The aggregate combines map-side (a hot
+    // key leaves each mapper as ONE partial row) and the semi-join
+    // STREAMS the occurrences — same key-clustered shuffle, no per-key
+    // buffering.
+    val dupKeys = keyed
+      .groupBy("__wk", "__wl")
+      .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
+      .select("__wk", "__wl")
+    val hits = keyed
+      .join(dupKeys, Seq("__wk", "__wl"), "leftsemi")
       .select("doc_id", "pos")
     spansFromHits(hits, k)
   }

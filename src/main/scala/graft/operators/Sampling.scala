@@ -88,6 +88,36 @@ object Sampling {
     *
     * @return (idCol, groupCol, rk)
     */
+  def quotaSample(
+      df: DataFrame,
+      quotas: Map[String, Long],
+      groupCol: String = "lang",
+      idCol: String = "doc_id",
+      preFilterSlack: Double = 8.0
+  ): DataFrame = {
+    val q = element_at(typedLit(quotas), col(groupCol))
+    // Groups without a (positive) quota contribute nothing — drop them
+    // map-side, before the count shuffle ever sees them.
+    val hashed = df
+      .select(col(idCol), col(groupCol), pseudoShuffle(col(idCol)).as("__r"))
+      .filter(q.isNotNull && q > 0L)
+    val counts = hashed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val thr =
+      if (preFilterSlack == Double.MaxValue) lit(HashSpace)
+      else least(
+        lit(HashSpace),
+        ceil(lit(HashSpace.toDouble) * (q.cast("double") * lit(preFilterSlack) + lit(64.0d)) /
+          col("__n").cast("double")).cast("long"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
+    hashed
+      .join(broadcast(counts), Seq(groupCol))
+      .withColumn("__thr", thr)
+      .filter(col("__r") < col("__thr"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= q)
+      .select(col(idCol), col(groupCol), col("rk"))
+  }
+
   /** Temperature (exponent-smoothed) mixing sample — the standard
     * multilingual/domain data-mixing rule (smoothed sampling with
     * `p_g ∝ n_g^alpha`, as popularized by massively-multilingual
@@ -131,36 +161,6 @@ object Sampling {
       .join(broadcast(quotas), Seq(groupCol))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= col("__q"))
-      .select(col(idCol), col(groupCol), col("rk"))
-  }
-
-  def quotaSample(
-      df: DataFrame,
-      quotas: Map[String, Long],
-      groupCol: String = "lang",
-      idCol: String = "doc_id",
-      preFilterSlack: Double = 8.0
-  ): DataFrame = {
-    val q = element_at(typedLit(quotas), col(groupCol))
-    // Groups without a (positive) quota contribute nothing — drop them
-    // map-side, before the count shuffle ever sees them.
-    val hashed = df
-      .select(col(idCol), col(groupCol), pseudoShuffle(col(idCol)).as("__r"))
-      .filter(q.isNotNull && q > 0L)
-    val counts = hashed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    val thr =
-      if (preFilterSlack == Double.MaxValue) lit(HashSpace)
-      else least(
-        lit(HashSpace),
-        ceil(lit(HashSpace.toDouble) * (q.cast("double") * lit(preFilterSlack) + lit(64.0d)) /
-          col("__n").cast("double")).cast("long"))
-    val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
-    hashed
-      .join(broadcast(counts), Seq(groupCol))
-      .withColumn("__thr", thr)
-      .filter(col("__r") < col("__thr"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= q)
       .select(col(idCol), col(groupCol), col("rk"))
   }
 }

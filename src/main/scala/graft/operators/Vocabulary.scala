@@ -97,9 +97,12 @@ object Vocabulary {
       textCol: String,
       idCol: String
   ): DataFrame = {
-    require(lm.columns.contains("tok") && lm.columns.contains("logp"),
+    // Exact-columns gate: a bigramLm frame also carries (tok, logp) and
+    // would silently score garbage here (every bigram row joins its
+    // ending token) — reject anything but the unigram shape.
+    require(lm.columns.sorted.sameElements(Array("logp", "tok")),
       s"not a unigramLm frame (columns ${lm.columns.mkString(",")}) — " +
-        "fit the corpus with unigramLm")
+        "fit the corpus with unigramLm (bigramLm frames score via perplexityBigram)")
     val oov = lm.filter(col("tok").isNull).select(col("logp").as("__oov"))
     val voc = lm.filter(col("tok").isNotNull)
       .select(col("tok"), col("logp").as("__logp"))
@@ -175,9 +178,21 @@ object Vocabulary {
       .join(c1.select(col("tok").as("__prev"), col("__c1")), Seq("__prev"))
       .select(col("__prev").as("tok_prev"), col("tok"),
         log(col("__c2").cast("double") / col("__c1").cast("double")).as("logp"))
-    val uniRows = unigramLm(docs, vocabSize, textCol, idCol)
-      .select(lit(null).cast("string").as("tok_prev"), col("tok"), col("logp"))
-    bigScored.unionByName(uniRows)
+    // Unigram side derived from the SAME materialized counts — the exact
+    // [[unigramLm]] expressions, without a second corpus tokenize+count
+    // pass.
+    val vocab = c1.orderBy(col("__c1").desc, col("tok").asc).limit(vocabSize)
+    val totals = c1.agg(sum(col("__c1")).cast("double").as("__T"))
+    val vsize = vocab.agg(count(lit(1)).cast("double").as("__V"))
+    val uniRows = vocab
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vsize))
+      .select(lit(null).cast("string").as("tok_prev"), col("tok"),
+        log((col("__c1") + lit(1)) / (col("__T") + col("__V") + lit(1))).as("logp"))
+    val oovRow = totals.crossJoin(vsize)
+      .select(lit(null).cast("string").as("tok_prev"),
+        lit(null).cast("string").as("tok"),
+        log(lit(1.0) / (col("__T") + col("__V") + lit(1))).as("logp"))
+    bigScored.unionByName(uniRows).unionByName(oovRow)
   }
 
   /** Per-document perplexity under a FITTED [[bigramLm]] frame: first

@@ -1168,7 +1168,10 @@ object StreamingPredicates {
       lm: DataFrame,
       textCol: String = "text"
   ): DataFrame = {
-    require(lm.columns.contains("tok") && lm.columns.contains("logp"),
+    // Exact-columns gate (same contract as the batch scorer): a
+    // bigramLm frame also carries (tok, logp) but would die mid-stream
+    // with an opaque duplicate-map-key error here.
+    require(lm.columns.sorted.sameElements(Array("logp", "tok")),
       s"not a unigramLm frame (columns ${lm.columns.mkString(",")}) — " +
         "fit the corpus with unigramLm")
     val lmRow = lm.agg(

@@ -38,14 +38,16 @@ object TextScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
-    val n1 = base.count()
+    // Offset by max(doc_id)+1, not count(): sparse ids would otherwise
+    // collide across copies and interleave two docs' position spaces.
+    val idStride = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
     def replicated(k: Int): DataFrame =
       (0 until k).map { i =>
         val salted =
           if (i == 0) col("text")
           else regexp_replace(col("text"), "\\S+", "$0_" + i)
-        base.select((col("doc_id") + lit(i * n1)).as("doc_id"), salted.as("text"))
+        base.select((col("doc_id") + lit(i * idStride)).as("doc_id"), salted.as("text"))
       }.reduce(_ unionByName _).cache()
 
     // Warm-up: tiny end-to-end runs so JIT/codegen compilation doesn't
