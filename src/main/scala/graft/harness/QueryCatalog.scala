@@ -921,6 +921,15 @@ object QueryCatalog {
              |SELECT doc_id, n_tokens, ROUND(nll, 4) AS avg_nll, ROUND(EXP(nll), 4) AS ppl
              |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprint near-dup candidates (Schleimer et al. 2003):
+    // shared selected-min k-gram hashes, ubiquitous fingerprints dropped
+    // before the pair join. xxhash64-seeded → golden-fixture oracle;
+    // selection-rule parity and the w+k-1 guarantee are ScalaTested.
+    Q("dedup_winnow", (s, dir) =>
+      Dedup.winnow(docs(s, dir), minShared = 2)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
     Q("dedup_phash", (s, dir) => {
       // Image perceptual-hash dedup: dHash over decoded bitmaps,
       // Hamming-banded candidates (4×16-bit chunks), exact bit_count

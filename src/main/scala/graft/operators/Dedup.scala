@@ -1038,6 +1038,80 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003): hash every k-token window, slide a w-wide window over the
+    * hash sequence, select each window's minimum (rightmost on ties —
+    * the paper's robust-winnowing rule), dedupe selections. Guarantee:
+    * any shared run of ≥ w+k-1 tokens between two docs yields ≥1 shared
+    * fingerprint; expected density 2/(w+1) of positions.
+    *
+    * The sliding min is a w-row frame — O(n·w) per doc with w a SMALL
+    * CONSTANT (default 4), unlike the data-sized rolling windows the
+    * growing-frame discipline forbids; selection happens entirely on the
+    * doc_id clustering windowRows established (the rightmost-min is one
+    * `min(struct(hash, -pos))` — no second pass, no self-join).
+    *
+    * @return (doc_id, fp, fp_pos) — the selected hash and the token
+    *         position of the window it hashes.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val h = windowRows(docs, k, textCol, idCol)
+      .select(col("doc_id"), col("pos"), xxhash64(col("w")).as("__h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    h
+      .withColumn("__pick", min(struct(col("__h"), (-col("pos")).as("__np"))).over(frame))
+      .withColumn("__cnt", count(lit(1)).over(frame))
+      // Only complete w-windows select — the tail's short frames would
+      // over-select positions the paper's definition never visits.
+      .filter(col("__cnt") === w)
+      .select(col("doc_id"), col("__pick.__h").as("fp"),
+        (-col("__pick.__np")).cast("long").as("fp_pos"))
+      .distinct()
+  }
+
+  /** Winnowing near-dup candidates: doc pairs sharing ≥ `minShared`
+    * selected fingerprints, by inverted index on the fingerprint hash —
+    * the [[ngramJaccard]] join shape over the winnowed (≈ 2/(w+1)
+    * density) selection instead of every shingle. Fingerprints shared by
+    * more than `maxBucketSize` docs are dropped before the quadratic
+    * join (map-side-combined count + semi-join — the skew discipline):
+    * a ubiquitous fingerprint is boilerplate, not evidence.
+    *
+    * @return (doc_a, doc_b, shared_fps) with doc_a < doc_b.
+    */
+  def winnow(
+      docs: DataFrame,
+      minShared: Long = 2L,
+      k: Int = 5,
+      w: Int = 4,
+      maxBucketSize: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__b"))
+      .filter(col("__b") <= maxBucketSize)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"), "leftsemi")
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Incremental duplicate-span detection: span output for an incoming
     * SHARD against a persisted [[substringIndex]], without re-windowing
     * the corpus — the 100 TB ingest shape (index once per corpus, each

@@ -303,6 +303,12 @@ object PlanAudit {
     audit("text_perplexity(bigram)", graft.operators.Vocabulary.perplexityBigram(
       docsT.filter(col("doc_id") >= 250), biLm, "text", "doc_id"), 2)
 
+    // Winnowing: selection (sliding constant-w min) runs entirely on the
+    // windowRows doc clustering — one exchange; the pair path adds the
+    // fp-keyed count/semi-join and the inverted-index join.
+    audit("winnow_fingerprints", graft.operators.Dedup.winnowFingerprints(docsT), 1)
+    audit("dedup_winnow", graft.operators.Dedup.winnow(docsT), 6)
+
     // Vocabulary top-k: global top-k must compile to TakeOrdered (a
     // per-partition k-heap merged on the driver), NEVER a full sort of
     // the gram counts; exchanges = doc_id repartition + the two-phase

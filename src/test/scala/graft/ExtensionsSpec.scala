@@ -1166,6 +1166,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(nPacks <= totalTokens / 100 + 4, s"$nPacks packs for $totalTokens tokens")
   }
 
+  test("winnowFingerprints matches local selection over Spark-computed hashes") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val winLocal = texts.toSeq.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      if (toks.size < k) Seq.empty
+      else toks.sliding(k).zipWithIndex.map { case (ws, i) => (id, i, ws.mkString(" ")) }.toSeq
+    }
+    // Hashes computed by Spark itself, so the local replica selects over
+    // the operator's exact hash values.
+    val hmap = winLocal.toDF("doc_id", "pos", "win")
+      .withColumn("h", xxhash64(col("win")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val want = texts.keys.flatMap { id =>
+      val n = winLocal.count(_._1 == id)
+      (0 to n - w).map { j =>
+        val best = (j until j + w).minBy(p => (hmap((id, p)), -p))
+        (id, hmap((id, best)), best.toLong)
+      }
+    }.toSet
+
+    val got = Dedup.winnowFingerprints(docs, k = k, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"diff: got-only=${got.diff(want).take(5)} want-only=${want.diff(got).take(5)}")
+    // Winnowing must actually compress: strictly fewer selections than windows.
+    assert(got.size < winLocal.size && got.nonEmpty)
+  }
+
+  test("winnow: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9" // 10 tokens >= w+k-1 = 8
+    val toy = Seq(
+      (1L, s"a b c $shared z x c v b n m k l"),
+      (2L, s"m n o p $shared v w x y z a s d")).toDF("doc_id", "text")
+    val pairs = Dedup.winnow(toy, minShared = 1, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"guarantee violated: $pairs")
+  }
+
   test("duplicateSpans: closed-form cross-doc and self-repetition spans") {
     import spark.implicits._
     val toy = Seq(
