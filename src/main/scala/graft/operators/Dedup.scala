@@ -1041,10 +1041,19 @@ object Dedup {
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     * 2003): hash every k-token window, slide a w-wide window over the
-    * hash sequence, select each window's minimum (rightmost on ties —
-    * the paper's robust-winnowing rule), dedupe selections. Guarantee:
-    * any shared run of ≥ w+k-1 tokens between two docs yields ≥1 shared
-    * fingerprint; expected density 2/(w+1) of positions.
+    * hash sequence, select each window's minimum — rightmost on ties,
+    * the paper's standard winnowing rule (NOT the stateful
+    * prefer-previous-selection "robust winnowing" variant) — and dedupe
+    * selections. Guarantee: any shared run of ≥ w+k-1 tokens between two
+    * docs yields ≥1 shared fingerprint; expected density 2/(w+1).
+    *
+    * Short docs: a doc with ≥1 window hash but fewer than w of them has
+    * no complete w-window; its whole hash sequence selects as ONE
+    * degenerate window (so bit-identical short docs still pair — the
+    * paper assumes n ≥ w and says nothing here). Docs with < k tokens
+    * have no hashes at all and are OUT OF SCOPE for this family — run
+    * them through [[exact]]/[[exactByHash]], the same division of labor
+    * as MinHash's shingle-less docs.
     *
     * The sliding min is a w-row frame — O(n·w) per doc with w a SMALL
     * CONSTANT (default 4), unlike the data-sized rolling windows the
@@ -1061,21 +1070,37 @@ object Dedup {
       w: Int = 4,
       textCol: String = "text",
       idCol: String = "doc_id"
+  ): DataFrame =
+    winnowSelections(docs, k, w, textCol, idCol).distinct()
+
+  /** Pre-distinct winnow selections — one row per (complete or
+    * degenerate) w-window with its picked (fp, fp_pos); [[winnow]]
+    * dedupes on (doc_id, fp) directly so the pair path pays ONE
+    * aggregate pass, not a positional distinct followed by another.
+    */
+  private def winnowSelections(
+      docs: DataFrame,
+      k: Int,
+      w: Int,
+      textCol: String,
+      idCol: String
   ): DataFrame = {
     require(w >= 1, s"winnow window must be >= 1, got $w")
     val h = windowRows(docs, k, textCol, idCol)
       .select(col("doc_id"), col("pos"), xxhash64(col("w")).as("__h"))
-    val frame = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
     h
       .withColumn("__pick", min(struct(col("__h"), (-col("pos")).as("__np"))).over(frame))
       .withColumn("__cnt", count(lit(1)).over(frame))
-      // Only complete w-windows select — the tail's short frames would
-      // over-select positions the paper's definition never visits.
-      .filter(col("__cnt") === w)
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      // Complete w-windows select; the tail's short frames would
+      // over-select positions the paper's definition never visits. A doc
+      // with fewer than w hashes keeps exactly its pos-0 frame — the
+      // whole sequence as one degenerate window.
+      .filter(col("__cnt") === w || (col("__n") < w && col("pos") === 0))
       .select(col("doc_id"), col("__pick.__h").as("fp"),
         (-col("__pick.__np")).cast("long").as("fp_pos"))
-      .distinct()
   }
 
   /** Winnowing near-dup candidates: doc pairs sharing ≥ `minShared`
@@ -1097,7 +1122,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+    val fps = winnowSelections(docs, k, w, textCol, idCol)
       .select(col("doc_id"), col("fp")).distinct()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__b"))
       .filter(col("__b") <= maxBucketSize)

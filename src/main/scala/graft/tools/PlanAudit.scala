@@ -256,12 +256,15 @@ object PlanAudit {
     // dedup, star union) — every shuffled row is ≤ ~28 bytes. Budget 6.
     audit("phash_dedup", graft.operators.PerceptualHash.dedup(bitmaps), 6)
 
-    // Exact duplicate-span detection: the inverted window index is an
-    // ANALYTIC count — one exchange on the window key, no self-join and
-    // no second shuffle of the window rows; plus the doc_id repartition
-    // and the doc-keyed islands re-cluster (which carries only the
-    // duplicated positions). Spans = 3; summary adds the totals join
-    // sides (thin per-doc rows), budget 5.
+    // Exact duplicate-span detection: duplicated keys come from a
+    // MAP-SIDE-COMBINED count + semi-join (a hot boilerplate window
+    // leaves each mapper as one partial row; no single-task analytic
+    // group). Exchanges = doc_id repartition, the key-keyed count
+    // aggregate, and the doc-keyed islands re-cluster — the budget of 3
+    // holds because the tiny duplicated-key side of the semi-join
+    // broadcasts at this scale (at cluster scale AQE makes the same
+    // call); a shuffled semi-join would add one. Summary adds the
+    // totals join sides (thin per-doc rows), budget 5.
     audit("dedup_substring(spans)",
       graft.operators.Dedup.duplicateSpans(docsT, k = 5, hashWindows = true), 3)
     audit("dedup_substring(summary)",

@@ -1183,7 +1183,11 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
     val want = texts.keys.flatMap { id =>
       val n = winLocal.count(_._1 == id)
-      (0 to n - w).map { j =>
+      if (n >= 1 && n < w) {
+        // Degenerate window: the whole (short) hash sequence selects once.
+        val best = (0 until n).minBy(p => (hmap((id, p)), -p))
+        Seq((id, hmap((id, best)), best.toLong))
+      } else (0 to n - w).map { j =>
         val best = (j until j + w).minBy(p => (hmap((id, p)), -p))
         (id, hmap((id, best)), best.toLong)
       }
@@ -1206,6 +1210,22 @@ class ExtensionsSpec extends SparkSpec {
     val pairs = Dedup.winnow(toy, minShared = 1, k = 5, w = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)), s"guarantee violated: $pairs")
+  }
+
+  test("winnow: identical short docs (fewer than w hashes) still pair") {
+    import spark.implicits._
+    // 6 tokens → 2 k-gram hashes at k=5: no complete w=4 window exists,
+    // so the degenerate whole-sequence window must select.
+    val toy = Seq(
+      (1L, "alpha beta gamma delta eps zeta"),
+      (2L, "alpha beta gamma delta eps zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(toy, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fps.map(_._1) == Set(1L, 2L, 3L), s"short docs must fingerprint: $fps")
+    val pairs = Dedup.winnow(toy, minShared = 1, k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"got $pairs")
   }
 
   test("duplicateSpans: closed-form cross-doc and self-repetition spans") {
