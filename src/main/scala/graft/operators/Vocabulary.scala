@@ -64,22 +64,9 @@ object Vocabulary {
       vocabSize: Int = 1 << 16,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): DataFrame = {
-    val tok = tokenRows(docs, textCol, idCol)
-    val counts = graft.plans.Materialize(
-      tok.groupBy("tok").agg(count(lit(1)).as("__c")))
-    val vocab = counts.orderBy(col("__c").desc, col("tok").asc).limit(vocabSize)
-    val totals = counts.agg(sum(col("__c")).cast("double").as("__T"))
-    val vsize = vocab.agg(count(lit(1)).cast("double").as("__V"))
-    val inVocab = vocab
-      .crossJoin(broadcast(totals)).crossJoin(broadcast(vsize))
-      .select(col("tok"),
-        log((col("__c") + lit(1)) / (col("__T") + col("__V") + lit(1))).as("logp"))
-    val oovRow = totals.crossJoin(vsize)
-      .select(lit(null).cast("string").as("tok"),
-        log(lit(1.0) / (col("__T") + col("__V") + lit(1))).as("logp"))
-    inVocab.unionByName(oovRow)
-  }
+  ): DataFrame =
+    unigramLmFromCounts(
+      graft.plans.Materialize(unigramCounts(docs, textCol, idCol)), vocabSize)
 
   /** Per-document negative log-likelihood and perplexity under a FITTED
     * [[unigramLm]] frame — the serving shape: fit once per corpus (or
@@ -128,6 +115,52 @@ object Vocabulary {
       idCol: String = "doc_id"
   ): DataFrame =
     perplexity(docs, unigramLm(docs, vocabSize, textCol, idCol), textCol, idCol)
+
+  /** Raw token counts `(tok, c)` — the PERSISTABLE sufficient statistic
+    * behind [[unigramLm]] (the LM frame itself bakes `T`/`V` into its
+    * logp values, so two LMs cannot be combined; counts can). Write once
+    * per corpus; on shard ingest, [[mergeCounts]] folds the shard's
+    * counts in and [[unigramLmFromCounts]] re-derives the LM without
+    * ever re-tokenizing the corpus — the incremental story the dedup
+    * families already have (minhash/embedding/semantic/substring).
+    */
+  def unigramCounts(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    tokenRows(docs, textCol, idCol).groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Fold shard counts into corpus counts: one map-side-combinable sum
+    * per token — counts(corpus ∪ shard) exactly (parity asserted in
+    * ExtensionsSpec down to the scored perplexities).
+    */
+  def mergeCounts(corpus: DataFrame, shard: DataFrame): DataFrame = {
+    require(corpus.columns.sorted.sameElements(Array("c", "tok")) &&
+      shard.columns.sorted.sameElements(Array("c", "tok")),
+      "mergeCounts takes two unigramCounts frames (tok, c)")
+    corpus.unionByName(shard).groupBy("tok").agg(sum(col("c")).as("c"))
+  }
+
+  /** [[unigramLm]] from a persisted [[unigramCounts]] frame — the exact
+    * same vocab cut, smoothing, and OOV floor, with no corpus scan.
+    */
+  def unigramLmFromCounts(counts: DataFrame, vocabSize: Int = 1 << 16): DataFrame = {
+    require(counts.columns.sorted.sameElements(Array("c", "tok")),
+      s"not a unigramCounts frame (columns ${counts.columns.mkString(",")})")
+    val c = counts.select(col("tok"), col("c").as("__c"))
+    val vocab = c.orderBy(col("__c").desc, col("tok").asc).limit(vocabSize)
+    val totals = c.agg(sum(col("__c")).cast("double").as("__T"))
+    val vsize = vocab.agg(count(lit(1)).cast("double").as("__V"))
+    val inVocab = vocab
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vsize))
+      .select(col("tok"),
+        log((col("__c") + lit(1)) / (col("__T") + col("__V") + lit(1))).as("logp"))
+    val oovRow = totals.crossJoin(vsize)
+      .select(lit(null).cast("string").as("tok"),
+        log(lit(1.0) / (col("__T") + col("__V") + lit(1))).as("logp"))
+    inVocab.unionByName(oovRow)
+  }
 
   /** Per-doc token rows with position and the preceding token (null at
     * doc start) — the bigram adjacency frame; one doc_id repartition

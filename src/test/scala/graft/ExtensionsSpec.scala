@@ -1380,6 +1380,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(eFrame.getMessage.contains("unigramLm"))
   }
 
+  test("unigramCounts merge: shard ingest refits the LM without re-tokenizing") {
+    import graft.operators.Vocabulary
+    val corpus = docs.filter(col("doc_id") < 250)
+    val shard = docs.filter(col("doc_id") >= 250)
+    val dir = "/tmp/graft_test_ucounts"
+    Vocabulary.unigramCounts(corpus).write.mode("overwrite").parquet(dir)
+    val merged = Vocabulary.mergeCounts(
+      spark.read.parquet(dir), Vocabulary.unigramCounts(shard))
+    val lmIncr = Vocabulary.unigramLmFromCounts(merged, vocabSize = 10)
+    // Scores under the merged-counts LM are bit-equal to a from-scratch
+    // fit on the union — counts are the exact sufficient statistic.
+    val full = snap(Vocabulary.perplexity(docs,
+      Vocabulary.unigramLm(docs, vocabSize = 10), "text", "doc_id"))
+    assert(snap(Vocabulary.perplexity(docs, lmIncr, "text", "doc_id")) == full)
+    val bad = intercept[IllegalArgumentException] { Vocabulary.mergeCounts(docs, docs) }
+    assert(bad.getMessage.contains("unigramCounts"))
+  }
+
   test("perplexityBigram: stupid backoff matches local math; persisted LM identical") {
     import graft.operators.Vocabulary
     val vocabSize = 10
