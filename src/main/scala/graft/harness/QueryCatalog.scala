@@ -50,6 +50,101 @@ object QueryCatalog {
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
 
+  /** documents + a deterministic synthetic `url` column — closed-form in
+    * (doc_id, lang, source), reproduced verbatim in [[urlCte]], the same
+    * fixture pattern the multimodal oracles use. The decorations exercise
+    * every normalization rule: scheme/host case, `www.`, default port,
+    * multi-part suffix (`.co.uk`, `.com.cn`), trailing slash, tracking
+    * params, param order, fragment. Docs sharing (source, lang,
+    * doc_id%10) but differing in parity produce RAW-distinct urls that
+    * normalize EQUAL — real normalization-induced duplicates for
+    * [[graft.operators.UrlCuration.dedupByUrl]].
+    */
+  private def docsWithUrl(s: SparkSession, dir: String): DataFrame = {
+    // The closed-form url expression below is LARGE, and every downstream
+    // parse (scheme/host/path/query/domain) would re-inline it — the
+    // stacked tree blows the whole-stage-codegen unit past janino's
+    // limits (16k+ generated lines, observed compile failure → interpreted
+    // fallback). A real corpus carries url as a STORED column; the
+    // materialize reproduces that shape, so the UrlCuration operators
+    // compile to the same small codegen units they get in production.
+    val p = (col("doc_id") % 10).cast("int")
+    val even = col("doc_id") % 2 === 0
+    val tld = when(p === 0, lit(".co.uk"))
+      .when(col("lang") === "de", ".de")
+      .when(col("lang") === "fr", ".fr")
+      .when(col("lang") === "zh", ".com.cn")
+      .when(col("lang") === "es", ".es")
+      .otherwise(".com")
+    graft.plans.Materialize(docs(s, dir).withColumn("url", concat(
+      when(even, "HTTPS://").otherwise("https://"),
+      when(even, "WWW.").otherwise(lit("")),
+      when(even, upper(col("source"))).otherwise(col("source")),
+      tld,
+      when(p % 3 === 0, ":443").otherwise(lit("")),
+      lit("/"), col("lang"), lit("/Page"), p.cast("string"),
+      when(p % 5 === 0, "/").otherwise(lit("")),
+      when(p % 4 === 0,
+        when(even, "?utm_source=feed&b=2&a=1").otherwise("?b=2&a=1"))
+        .when(p % 4 === 1, "?a=1&b=2").otherwise(lit("")),
+      when(!even, "#frag").otherwise(lit("")))))
+  }
+
+  /** The [[docsWithUrl]] fixture + [[graft.operators.UrlCuration]]
+    * normalization as DuckDB CTEs (`du` → raw url, `urls` → doc_id, url,
+    * url_norm, host, domain) — regex/HOF constructs chosen to evaluate
+    * identically in Java regex and DuckDB's RE2.
+    */
+  private val urlCte =
+    """WITH du AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+      |    (CASE WHEN doc_id % 10 = 0 THEN '.co.uk' WHEN lang = 'de' THEN '.de'
+      |          WHEN lang = 'fr' THEN '.fr' WHEN lang = 'zh' THEN '.com.cn'
+      |          WHEN lang = 'es' THEN '.es' ELSE '.com' END) ||
+      |    (CASE WHEN (doc_id % 10) % 3 = 0 THEN ':443' ELSE '' END) ||
+      |    '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR) ||
+      |    (CASE WHEN (doc_id % 10) % 5 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN (doc_id % 10) % 4 = 0 THEN
+      |            (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?b=2&a=1' END)
+      |          WHEN (doc_id % 10) % 4 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |parsed AS (
+      |  -- Mirrors UrlCuration's compact forms: one host regex on the
+      |  -- lowered url, default ports stripped scheme-independently,
+      |  -- eTLD+1 in one leftmost-first alternation regex (identical
+      |  -- semantics in Java regex and DuckDB's RE2).
+      |  SELECT doc_id, url, n_chars,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+      |    regexp_replace(regexp_replace(
+      |      regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1),
+      |      ':(80|443)$', ''), '^www\.', '') AS host0,
+      |    regexp_replace(regexp_extract(url,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+      |    -- COALESCE: DuckDB array_to_string([]) is NULL, Spark's is ''.
+      |    COALESCE(array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)='))), '&'), '') AS qn
+      |  FROM du),
+      |normed AS (
+      |  SELECT doc_id, url, n_chars,
+      |    CASE WHEN host0 = '' THEN NULL ELSE host0 END AS host,
+      |    CASE WHEN host0 = '' THEN url
+      |         ELSE sch || '://' || host0 || path ||
+      |              (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) END AS url_norm
+      |  FROM parsed),
+      |urls AS (
+      |  SELECT doc_id, url, url_norm, host, n_chars,
+      |    COALESCE(NULLIF(regexp_extract(host,
+      |      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|co\.jp|ne\.jp|or\.jp|com\.au|net\.au|org\.au|com\.br|com\.cn|com\.mx|com\.tr|com\.sg|com\.hk|co\.in|co\.kr|co\.za)|[^.]+\.[^.]+)$',
+      |      1), ''), host) AS domain
+      |  FROM normed)
+      |""".stripMargin
+
   // ==========================================================================
   // §2.1 scans / sources / sinks
   // ==========================================================================
@@ -737,6 +832,68 @@ object QueryCatalog {
               |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
               |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
               |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("dedup_keep_best", (s, dir) =>
+      // Quality-aware representative selection: same component pass as
+      // dedup_clusters, but each cluster keeps its LONGEST member
+      // (score = n_chars, ties → min doc_id) — the keep-the-best-copy
+      // policy instead of keep-the-first-crawled.
+      Dedup.keepBest(
+        Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1),
+        docs(s, dir).select(col("doc_id"), col("n_chars").as("score")))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+              |  SELECT doc_id, s FROM (
+              |    SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS s FROM documents)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |good AS (SELECT doc_a, doc_b FROM pairs
+              |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+              |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+              |  UNION SELECT doc_b, doc_a FROM good),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+              |comp AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+              |  FROM reach GROUP BY 1)
+              |SELECT c.doc_id, c.cluster_rep, d.n_chars AS score,
+              |  (ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+              |     ORDER BY d.n_chars DESC, c.doc_id ASC) = 1) AS keep
+              |FROM comp c JOIN documents d USING (doc_id)
+              |ORDER BY c.doc_id""".stripMargin)),
+
+    Q("url_normalize", (s, dir) =>
+      // URL parse/normalize projection over the closed-form url fixture
+      // (docsWithUrl): canonical key + host + approximate eTLD+1.
+      UrlCuration.parseUrls(docsWithUrl(s, dir)).orderBy("doc_id"),
+      Some(urlCte +
+        "SELECT doc_id, url, url_norm, host, domain FROM urls ORDER BY doc_id")),
+
+    Q("dedup_url", (s, dir) =>
+      // URL-level dedup: one group per canonical url, min-id keeper —
+      // the byte-cost pre-pass that runs before any text dedup.
+      UrlCuration.dedupByUrl(docsWithUrl(s, dir)).orderBy("url_norm"),
+      Some(urlCte +
+        """SELECT url_norm, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM urls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("url_domain_filter", (s, dir) =>
+      // Blocklist filter on the registered domain + the post-filter
+      // per-domain count view (curation monitoring).
+      UrlCuration.domainCounts(docsWithUrl(s, dir),
+          blocked = Seq("src2.com", "src3.de", "src4.co.uk"))
+        .orderBy("domain"),
+      Some(urlCte +
+        """SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM urls WHERE domain IS NOT NULL
+          |  AND domain NOT IN ('src2.com', 'src3.de', 'src4.co.uk')
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("dedup_ngram_jaccard", (s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1)

@@ -405,6 +405,44 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
   }
 
+  /** Quality-aware keep/drop decision over near-dup clusters: instead of
+    * [[duplicateClusters]]' min-id representative, keep the HIGHEST-scored
+    * member of each cluster (ties → min id) — the policy real pipelines
+    * run ("keep the longest / highest-quality copy", e.g. the document
+    * selection step in CCNet-style curation), since crawl order is
+    * arbitrary but quality is not.
+    *
+    * `scores` is any `(doc_id, score)` frame — document length, an LM
+    * perplexity rank, a classifier margin. Plan shape: the cluster pass is
+    * [[duplicateClusters]] unchanged; the selection adds one co-keyed join
+    * (cluster rows × scores, both keyed by doc_id) and one window over
+    * `cluster_rep` — near-dup clusters are small and numerous, so the
+    * window partitions are tiny and the extra cost is one thin shuffle of
+    * `(doc_id, cluster_rep, score)` rows.
+    *
+    * @return (doc_id, cluster_rep, score, keep) for every clustered doc —
+    *         exactly one `keep=true` row per cluster. Singletons (docs in
+    *         no pair) have no row; they are implicitly kept, as in
+    *         [[duplicateClusters]].
+    */
+  def keepBest(
+      pairs: DataFrame,
+      scores: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "score"
+  ): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val scored = clusters.join(
+      scores.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).as("score")),
+      Seq("doc_id"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_rep", "score", "keep")
+  }
+
   /** Exact embedding-cosine near-dup pairs: all (a < b) pairs with
     * cosine ≥ threshold. O(N²) by design — the SQL-oracle-friendly
     * reference path; [[embeddingNearDup]] is the LSH-bucketed scale path.

@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Readers for the driver testdata tables, normalizing physical quirks.
   *
-  * The `events` table carries parquet `TIMESTAMP(NANOS)`, which Spark does
-  * not read natively ([PARQUET_TYPE_ILLEGAL]); with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as Long
-  * nanoseconds, which we floor-divide to µs — the same truncation DuckDB
-  * applies when casting TIMESTAMP_NS → TIMESTAMP, keeping oracle
-  * comparisons exact.
+  * The `events` table has shipped with two physical `ts` forms across
+  * testdata generations: parquet `TIMESTAMP(NANOS)` (not read natively —
+  * [PARQUET_TYPE_ILLEGAL]; with `spark.sql.legacy.parquet.nanosAsLong=true`
+  * it surfaces as Long nanoseconds, floor-divided to µs here — the same
+  * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP) and
+  * `TIMESTAMP(MICROS, isAdjustedToUTC=false)` (surfaces as TIMESTAMP_NTZ,
+  * reinterpreted as UTC under the pinned session timezone). [[events]]
+  * normalizes both to the same µs TimestampType column, keeping oracle
+  * comparisons exact whichever form the driver generated.
   */
 object Tables {
 
@@ -51,13 +54,21 @@ object Tables {
   def nanosToTs(c: Column): Column =
     timestamp_micros(floor(c.cast("decimal(20,0)") / 1000).cast("long"))
 
-  /** events with `ts` normalized to a proper µs TimestampType column. */
+  /** events with `ts` normalized to a proper µs TimestampType column,
+    * whatever the file's physical form: `TIMESTAMP(NANOS)` surfaces as
+    * Long ns (floor-divided to µs), `TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false)` surfaces as TIMESTAMP_NTZ (reinterpreted as
+    * UTC — exact under the pinned UTC session timezone, and the same
+    * reading DuckDB's `CAST(ts AS TIMESTAMP)` gives the oracle).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType.typeName match {
-      case "long" => df.withColumn("ts", nanosToTs(col("ts")))
-      case _      => df
+      case "long"          => df.withColumn("ts", nanosToTs(col("ts")))
+      case "timestamp_ntz" => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => df
     }
   }
 

@@ -363,6 +363,31 @@ object PlanAudit {
     // the two re-rank vector joins — the serving floor.
     audit("ivfpq_serving", served, 4)
 
+    // URL curation: parse/normalize is a pure map (ZERO exchanges); the
+    // url-level dedup pays exactly its one thin (url_norm, id) aggregate
+    // exchange; the blocklisted domain counts pay one. These also guard
+    // the compact-expression contract — the earlier split/element_at
+    // domain form exploded under pushdown substitution and fell out of
+    // codegen (janino 64 KB), which an exchange audit alone cannot see,
+    // so assert the whole-stage-codegen spans compile (no fallback).
+    val urlDocs = docsT.withColumn("url",
+      concat(lit("https://www."), col("source"), lit(".com/"), col("lang")))
+    audit("url_normalize", graft.operators.UrlCuration.parseUrls(urlDocs), 0)
+    audit("dedup_url", graft.operators.UrlCuration.dedupByUrl(urlDocs), 1)
+    audit("url_domain_filter", graft.operators.UrlCuration.domainCounts(
+      urlDocs, blocked = Seq("src2.com")), 1)
+    // With fallback disabled a codegen compile failure THROWS instead of
+    // silently degrading to interpreted execution.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val urlCodegenOk = try {
+      graft.operators.UrlCuration.domainCounts(urlDocs, blocked = Seq("src2.com"))
+        .collect()
+      graft.operators.UrlCuration.dedupByUrl(urlDocs).collect()
+      true
+    } catch { case _: Throwable => false }
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    println(s"${if (urlCodegenOk) "OK " else "HOT"} url-curation codegen compiles  ok=$urlCodegenOk")
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, UrlCuration}
+
+/** Unit coverage for the URL-curation family (normalize / domain /
+  * dedup / blocklist) and the quality-aware keepBest cluster policy.
+  */
+class UrlCurationSpec extends SparkSpec {
+
+  private def normOf(url: String): (String, Option[String], Option[String]) = {
+    import spark.implicits._
+    val r = Seq(url).toDF("url")
+      .select(UrlCuration.normalizeUrl(col("url")).as("n"),
+        UrlCuration.host(col("url")).as("h"),
+        UrlCuration.registeredDomain(UrlCuration.host(col("url"))).as("d"))
+      .head()
+    (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))
+  }
+
+  test("normalizeUrl: case, www, default port, tracking params, sort, fragment") {
+    assert(normOf("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag") ==
+      (("https://example.com/Path?a=1&b=2", Some("example.com"), Some("example.com"))))
+    assert(normOf("http://example.com:80/") ==
+      (("http://example.com", Some("example.com"), Some("example.com"))))
+    // Non-default port names a different origin — kept.
+    assert(normOf("http://example.com:8080/x")._1 == "http://example.com:8080/x")
+    // Userinfo stripped; multi-part public suffix → three-label domain.
+    assert(normOf("https://user:pw@sub.example.co.uk/a/b/") ==
+      (("https://sub.example.co.uk/a/b", Some("sub.example.co.uk"), Some("example.co.uk"))))
+    // All-tracking query collapses to no query at all.
+    assert(normOf("https://a.com/?utm_a=1&utm_b=2&gclid=z")._1 == "https://a.com")
+    // Path case preserved; non-http(s) scheme ports untouched.
+    assert(normOf("ftp://Files.Example.com/Data")._1 == "ftp://files.example.com/Data")
+  }
+
+  test("normalizeUrl: opaque (scheme-less) values pass through with null host") {
+    assert(normOf("not a url") == (("not a url", None, None)))
+    assert(normOf("example.com/path") == (("example.com/path", None, None)))
+  }
+
+  test("registeredDomain: single label, multi-part suffix, deep subdomains") {
+    import spark.implicits._
+    val got = Seq("localhost", "a.b.com.cn", "x.y.z.org", "news.bbc.co.uk")
+      .toDF("h")
+      .select(UrlCuration.registeredDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("localhost", "b.com.cn", "z.org", "bbc.co.uk"))
+  }
+
+  test("dedupByUrl groups normalization-equal urls under the min-id keeper") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/x?b=2&a=1"),
+      (2L, "HTTPS://WWW.A.COM/x/?a=1&b=2&utm_source=f"),
+      (3L, "https://a.com:443/x?a=1&b=2#frag"),
+      (4L, "https://b.com/y"),
+      (5L, "opaque-key")).toDF("doc_id", "url")
+    val got = UrlCuration.dedupByUrl(docs).orderBy("url_norm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("https://a.com/x?a=1&b=2", 1L, 3L),
+      ("https://b.com/y", 4L, 1L),
+      ("opaque-key", 5L, 1L)))
+  }
+
+  test("domainFilter drops blocked domains, keeps opaque rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://bad.com/x"),
+      (2L, "https://sub.bad.com/y"),
+      (3L, "https://good.com/z"),
+      (4L, "no scheme here")).toDF("doc_id", "url")
+    val kept = UrlCuration.domainFilter(docs, Seq("BAD.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+    val counts = UrlCuration.domainCounts(docs, Seq("bad.com")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts == Seq(("good.com", 1L)))
+  }
+
+  test("keepBest keeps the max-score member per cluster, ties to min id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "score")
+    val got = Dedup.keepBest(pairs, scores).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L, false), (2L, 1L, 9L, true), (3L, 1L, 7L, false),
+      (10L, 10L, 4L, true), (11L, 10L, 4L, false)))
+    // Exactly one keeper per cluster, and it is the min-id arg-max.
+    val perCluster = got.groupBy(_._2).values
+    assert(perCluster.forall(_.count(_._4) == 1))
+  }
+}
