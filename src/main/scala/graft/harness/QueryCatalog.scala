@@ -883,6 +883,27 @@ object QueryCatalog {
           |  CAST(COUNT(*) AS BIGINT) AS n_docs
           |FROM urls GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("dedup_url_incr", (s, dir) => {
+      // Incremental URL dedup: shard (doc_id >= 250) vs a persisted
+      // index over the corpus (doc_id < 250) — parquet round-trip makes
+      // the persistence real. The oracle computes the full-corpus dedup
+      // restricted to shard-touched urls, which the incremental path
+      // must equal exactly.
+      val all = docsWithUrl(s, dir)
+      val idxDir = s"/tmp/graft_urlidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      UrlCuration.urlIndex(all.filter(col("doc_id") < 250))
+        .write.mode("overwrite").parquet(idxDir)
+      UrlCuration.dedupByUrlIncremental(
+          all.filter(col("doc_id") >= 250), s.read.parquet(idxDir))
+        .orderBy("url_norm")
+    },
+      Some(urlCte +
+        """SELECT u.url_norm, CAST(MIN(u.doc_id) AS BIGINT) AS keeper,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM urls u
+          |WHERE u.url_norm IN (SELECT url_norm FROM urls WHERE doc_id >= 250)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("url_domain_filter", (s, dir) =>
       // Blocklist filter on the registered domain + the post-filter
       // per-domain count view (curation monitoring).

@@ -164,6 +164,40 @@ object UrlCuration {
       .groupBy("url_norm")
       .agg(min("__id").as("keeper"), count(lit(1)).as("n_docs"))
 
+  /** Persistable URL-dedup index: identical shape to [[dedupByUrl]]
+    * output (`url_norm, keeper, n_docs`) — write once per corpus, then
+    * shard ingest goes through [[dedupByUrlIncremental]] without ever
+    * re-parsing corpus urls. (Counts and min-ids are the exact
+    * sufficient statistic for URL dedup, so the index composes.)
+    */
+  def urlIndex(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = dedupByUrl(docs, urlCol, idCol)
+
+  /** Incremental URL dedup: the shard's groups folded against a
+    * persisted [[urlIndex]] — output rows are EXACTLY the full-corpus
+    * [[dedupByUrl]] over (corpus ∪ shard) restricted to url keys the
+    * shard touches (parity asserted in UrlCurationSpec). The corpus
+    * pays only the index join on the already-normalized key; shard
+    * ingest cost is the shard's own parse + one thin aggregate — the
+    * 100 TB ingest shape shared by the other `*_incr` dedup families.
+    * The refreshed index is this output unioned with the index rows
+    * whose `url_norm` the shard did not touch.
+    */
+  def dedupByUrlIncremental(shard: DataFrame, index: DataFrame,
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("keeper", "n_docs", "url_norm")),
+      s"not a urlIndex frame (columns ${index.columns.mkString(",")}); " +
+        "re-build it with UrlCuration.urlIndex")
+    val s = dedupByUrl(shard, urlCol, idCol)
+      .select(col("url_norm"), col("keeper").as("__sk"), col("n_docs").as("__sn"))
+    s.join(index.select(col("url_norm"), col("keeper").as("__ck"),
+          col("n_docs").as("__cn")),
+        Seq("url_norm"), "left")
+      .select(col("url_norm"),
+        least(col("__sk"), coalesce(col("__ck"), col("__sk"))).as("keeper"),
+        (col("__sn") + coalesce(col("__cn"), lit(0L))).as("n_docs"))
+  }
+
   /** Blocklist filter on the registered domain (case-normalized both
     * sides) — rows whose domain parses to a blocked entry are dropped;
     * opaque rows (null domain) are KEPT (they carry no domain evidence).

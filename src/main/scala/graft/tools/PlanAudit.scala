@@ -376,6 +376,13 @@ object PlanAudit {
     audit("dedup_url", graft.operators.UrlCuration.dedupByUrl(urlDocs), 1)
     audit("url_domain_filter", graft.operators.UrlCuration.domainCounts(
       urlDocs, blocked = Seq("src2.com")), 1)
+    // Incremental URL dedup: the shard pays its own parse + aggregate,
+    // plus the index join sides — NOTHING in the plan re-parses corpus
+    // urls (the index arrives pre-normalized).
+    val urlIdx = graft.plans.Materialize(graft.operators.UrlCuration.urlIndex(
+      urlDocs.filter(col("doc_id") < 250)), eager = true)
+    audit("dedup_url(incr)", graft.operators.UrlCuration.dedupByUrlIncremental(
+      urlDocs.filter(col("doc_id") >= 250), urlIdx), 3)
     // With fallback disabled a codegen compile failure THROWS instead of
     // silently degrading to interpreted execution.
     spark.conf.set("spark.sql.codegen.fallback", "false")

@@ -80,6 +80,36 @@ class UrlCurationSpec extends SparkSpec {
     assert(counts == Seq(("good.com", 1L)))
   }
 
+  test("dedupByUrlIncremental equals the full run restricted to shard urls") {
+    import spark.implicits._
+    val mk = (id: Long, u: String) => (id, u)
+    val corpus = Seq(
+      mk(1L, "https://a.com/x?b=2&a=1"),
+      mk(2L, "HTTPS://WWW.A.COM/x/?a=1&b=2"),
+      mk(3L, "https://b.com/y"),
+      mk(4L, "https://c.com/z")).toDF("doc_id", "url")
+    val shard = Seq(
+      mk(10L, "https://a.com/x?a=1&b=2#f"), // joins an existing group
+      mk(11L, "https://d.com/new"),         // new url
+      mk(12L, "https://d.com/new")).toDF("doc_id", "url")
+    val dir = "/tmp/graft_test_urlidx"
+    UrlCuration.urlIndex(corpus).write.mode("overwrite").parquet(dir)
+    val incr = UrlCuration.dedupByUrlIncremental(shard, spark.read.parquet(dir))
+    val full = UrlCuration.dedupByUrl(corpus.unionByName(shard))
+      .join(UrlCuration.parseUrls(shard).select("url_norm").distinct(), Seq("url_norm"))
+    assert(snap(incr.orderBy("url_norm")) == snap(full.orderBy("url_norm")))
+    // Shard-only group has the shard keeper; merged group keeps min id.
+    val got = incr.orderBy("url_norm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("https://a.com/x?a=1&b=2", 1L, 3L),
+      ("https://d.com/new", 11L, 2L)))
+    val bad = intercept[IllegalArgumentException] {
+      UrlCuration.dedupByUrlIncremental(shard, corpus)
+    }
+    assert(bad.getMessage.contains("urlIndex"))
+  }
+
   test("keepBest keeps the max-score member per cluster, ties to min id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
