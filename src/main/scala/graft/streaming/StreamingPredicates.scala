@@ -480,6 +480,33 @@ object StreamingPredicates {
       .dropDuplicatesWithinWatermark("__ehash", "__elen")
       .drop("__ehash", "__elen")
 
+  /** Streaming URL-level dedup on the ingest path: keep the FIRST arrival
+    * per canonical URL key ([[graft.operators.UrlCuration.normalizeUrl]]
+    * — tracking params out, params sorted, host/port/fragment
+    * canonicalized), drop re-crawls of the same page arriving within the
+    * watermark. The streaming face of
+    * [[graft.operators.UrlCuration.dedupByUrl]], and the cheapest dedup
+    * a continuous crawl pipeline runs — it fires before any text is
+    * tokenized. State per distinct url is the 16-byte
+    * `(xxhash64(url_norm), length(url_norm))` compound key (the
+    * [[dedupExactStream]] pattern), never the url string; a bare 64-bit
+    * collision alone cannot conflate two distinct urls. Duplicates
+    * arriving after watermark eviction are re-admitted (the documented
+    * finite-state trade) — the persisted-index batch path
+    * ([[graft.operators.UrlCuration.dedupByUrlIncremental]]) catches
+    * those.
+    */
+  def urlDedupStream(
+      docs: DataFrame,
+      urlCol: String = "url"
+  ): DataFrame =
+    docs
+      .withColumn("__unorm", graft.operators.UrlCuration.normalizeUrl(col(urlCol)))
+      .withColumn("__uhash", xxhash64(col("__unorm")))
+      .withColumn("__ulen", length(col("__unorm")).cast("long"))
+      .dropDuplicatesWithinWatermark("__uhash", "__ulen")
+      .drop("__unorm", "__uhash", "__ulen")
+
   /** Fail fast on a non-integral id column: the state encoders cast it to
     * long, and a string/decimal id silently becoming null would kill the
     * streaming query mid-run with an opaque non-nullable-field encoder

@@ -394,6 +394,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("urlDedupStream keeps first arrival per canonical url key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "timestamp", "url")
+      .withWatermark("timestamp", "1 hour")
+    val out = StreamingPredicates.urlDedupStream(docs)
+
+    val query = out.writeStream
+      .format("memory").queryName("url_dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "https://a.com/x?b=2&a=1"),
+        // Raw-distinct but normalization-equal (www/case/utm/order/frag).
+        (2L, ts("2024-01-01 10:05:00"), "HTTPS://WWW.A.COM/x/?a=1&b=2&utm_source=f"),
+        (3L, ts("2024-01-01 10:10:00"), "https://b.com/y"))
+      query.processAllAvailable()
+      // Cross-batch re-crawl within the watermark → dropped too.
+      input.addData((4L, ts("2024-01-01 10:30:00"), "https://a.com:443/x?a=1&b=2#frag"))
+      query.processAllAvailable()
+      input.addData((5L, ts("2024-01-01 11:00:00"), "opaque-key"))
+      query.processAllAvailable()
+
+      val kept = spark.table("url_dedup_stream").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L),
+        s"first arrivals only — re-crawls 2 and 4 must be dropped; got $kept")
+      assert(spark.table("url_dedup_stream").columns.toSeq ==
+        Seq("doc_id", "timestamp", "url"))
+    } finally query.stop()
+  }
+
   test("minhashNearDupStream matches batch incremental dedup on a shard sequence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -482,9 +514,15 @@ class StreamingSpec extends SparkSpec {
 
     val docsD = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
     def enrich(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import graft.operators.UrlCuration
       val metrics = Texts.qualityMetrics(col("text")).map { case (n, c) => c.as(n) }
+      // Synthetic url exercises the (equally stateless) URL parse family.
+      val url = concat(lit("HTTPS://WWW.s"), col("doc_id") % 7,
+        lit(".co.uk/P"), col("doc_id"), lit("?b=2&a=1&utm_x=1"))
       df.select(Seq(col("doc_id"), Texts.langId(col("text")).as("lid"),
-        Texts.redactPii(col("text")).as("red")) ++ metrics: _*)
+        Texts.redactPii(col("text")).as("red"),
+        UrlCuration.normalizeUrl(url).as("unorm"),
+        UrlCuration.registeredDomain(UrlCuration.host(url)).as("udom")) ++ metrics: _*)
     }
     val want = snap(enrich(docsD.select("doc_id", "text")))
 
