@@ -151,6 +151,27 @@ object LangIdTrigram {
       idCol: String = "doc_id",
       topK: Int = defaultTopK
   ): DataFrame = {
+    // Fallback for docs whose trigrams match NO language profile: they
+    // tie every language at the constant N_doc·topK distance, and the
+    // textbook argmin falls to the lexicographically first language.
+    // "Has any trigram" ⟺ "text contains a letter" (any letter yields a
+    // padded token and its 1-grams), so the eligible id set comes from
+    // the RAW scan — joining it here instead of re-deriving ids from the
+    // trigram frame keeps the explode pipeline single-consumer (a second
+    // consumer recomputes the whole explode+count+rank chain).
+    docs
+      .filter(col(textCol).rlike("\\p{L}"))
+      .select(col(idCol).as("doc_id"))
+      .join(bestMatches(docs, textCol, idCol, topK), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit(seeds.keys.min)).as("pred_lang"))
+  }
+
+  /** Best matched language per doc (docs with no profile overlap at all
+    * have no row — [[classify]]/[[classifyAll]] add the fallbacks).
+    */
+  private def bestMatches(
+      docs: DataFrame, textCol: String, idCol: String, topK: Int): DataFrame = {
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(col("doc_id"))
@@ -194,19 +215,28 @@ object LangIdTrigram {
       .select("doc_id", "tg", "drank")
 
     val profiles = profileRows(topK).toDF("lang", "tg", "lrank")
-    val langs = seeds.keys.toSeq.sorted.toDF("lang")
 
-    // Every (doc-profile trigram × language), left-joined against the
-    // language profile: absent trigrams pay the max displacement (topK).
-    // Both join sides are literal local tables — broadcast by size.
-    val dist = docProfile
-      .crossJoin(broadcast(langs))
-      .join(broadcast(profiles), Seq("lang", "tg"), "left")
+    // Out-of-place distance, MATCHED-ROWS-ONLY formulation. The textbook
+    // form scores every (doc trigram × language) with absent trigrams
+    // paying the max displacement: dist = Σ_match |dr−lr| +
+    // (N_doc − n_match)·topK. Since N_doc·topK is constant per doc,
+    //   dist = N_doc·topK − Σ_match (topK − |dr−lr|),
+    // so argmin(dist) = argmax of the matched-rank reduction Σ_match
+    // (topK − |dr−lr|) — and every match reduces strictly (ranks are in
+    // 1..topK, so topK − |dr−lr| ≥ 1), meaning any matched language
+    // beats every unmatched one. The crossJoin×languages (docs × topK ×
+    // 15 rows — the operator's former hot stage) collapses to the inner
+    // join on matching trigrams only (each doc trigram joins just the
+    // languages containing it), bit-identical predictions (brute-force
+    // parity in ExtensionsSpec; same tie-break: equal dist ⟺ equal
+    // reduction → lang asc).
+    val matched = docProfile
+      .join(broadcast(profiles), Seq("tg"))
       .groupBy("doc_id", "lang")
-      .agg(sum(coalesce(abs(col("drank") - col("lrank")), lit(topK.toLong))).as("dist"))
+      .agg(sum(lit(topK.toLong) - abs(col("drank") - col("lrank"))).as("__red"))
 
-    val wBest = Window.partitionBy("doc_id").orderBy(col("dist"), col("lang"))
-    dist
+    val wBest = Window.partitionBy("doc_id").orderBy(col("__red").desc, col("lang"))
+    matched
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"))
@@ -221,9 +251,16 @@ object LangIdTrigram {
       textCol: String = "text",
       idCol: String = "doc_id",
       topK: Int = defaultTopK
-  ): DataFrame = {
-    val ids = docs.select(col(idCol).as("doc_id"))
-    ids.join(classify(docs, textCol, idCol, topK), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
-  }
+  ): DataFrame =
+    // ONE left join covers both fallbacks ([[classify]] would chain a
+    // second): matched → predicted lang; letters but no profile overlap
+    // → lexicographic-first language; no letters → "und".
+    docs
+      .select(col(idCol).as("doc_id"),
+        col(textCol).rlike("\\p{L}").as("__letters"))
+      .join(bestMatches(docs, textCol, idCol, topK), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"),
+          when(col("__letters"), lit(seeds.keys.min)).otherwise(lit("und")))
+          .as("pred_lang"))
 }
