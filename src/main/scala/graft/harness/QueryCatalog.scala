@@ -126,7 +126,7 @@ object QueryCatalog {
       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
       |    -- COALESCE: DuckDB array_to_string([]) is NULL, Spark's is ''.
       |    COALESCE(array_to_string(list_sort(list_filter(
-      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
       |      x -> x <> '' AND NOT regexp_matches(x,
       |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)='))), '&'), '') AS qn
       |  FROM du),

@@ -101,10 +101,14 @@ object UrlCuration {
   def registeredDomain(hostCol: Column): Column =
     coalesce(nullif(regexp_extract(hostCol, domainRe, 1), lit("")), hostCol)
 
-  /** Sorted, tracking-free query string ('' when none survives). */
+  /** Sorted, tracking-free query string ('' when none survives). The
+    * non-greedy `^[^#]*?` anchor keeps the match BEFORE any fragment —
+    * a bare `\\?(...)` would match a `?` inside the fragment (legal
+    * there) and leak fragment content into the canonical key.
+    */
   private def normQuery(url: Column): Column =
     array_join(array_sort(filter(
-      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      split(regexp_extract(url, "^[^#]*?\\?([^#]*)", 1), "&"),
       x => x =!= "" && !x.rlike(TrackingParamRegex))), "&")
 
   /** Canonical URL key for dedup/grouping:

@@ -80,6 +80,51 @@ class UrlCurationSpec extends SparkSpec {
     assert(counts == Seq(("good.com", 1L)))
   }
 
+  test("normalizeUrl is an idempotent canonical key; host/domain contracts hold") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val label = Gen.oneOf("ex", "Site", "b2", "x9", "Alpha")
+    val structured = for {
+      sch <- Gen.oneOf("http", "HTTPS", "https", "Ftp")
+      ui <- Gen.oneOf("", "user@", "u:p@")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      labels <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, label))
+      suffix <- Gen.oneOf("", ".com", ".co.uk", ".de", ".org")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/x//", "/p")
+      query <- Gen.oneOf("", "?", "?b=2&a=1", "?utm_source=x", "?a=1&&b=2",
+        "?utm_a=1&z=9", "?UTM_k=1")
+      frag <- Gen.oneOf("", "#f", "#a?b") // '?' inside a fragment is legal
+    } yield s"$sch://$ui$www${labels.mkString(".")}$suffix$port$path$query$frag"
+    val junk = Gen.oneOf("not a url", "", "example.com/x", "://nohost", "http//x", "x")
+    val urlGen = Gen.frequency(9 -> structured, 1 -> junk)
+
+    val prop = Prop.forAll(Gen.listOfN(150, urlGen)) { urls =>
+      import spark.implicits._
+      val rows = urls.toDF("url").select(col("url"),
+        UrlCuration.normalizeUrl(col("url")).as("n1"),
+        UrlCuration.normalizeUrl(UrlCuration.normalizeUrl(col("url"))).as("n2"),
+        UrlCuration.host(col("url")).as("h"),
+        UrlCuration.registeredDomain(UrlCuration.host(col("url"))).as("d"))
+        .collect()
+      rows.forall { r =>
+        val (url, n1, n2) = (r.getString(0), r.getString(1), r.getString(2))
+        val h = Option(r.getString(3))
+        val d = Option(r.getString(4))
+        val hasScheme = url.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.+")
+        // The canonical key is a fixed point; opaque inputs pass through;
+        // domain is defined iff host is, and is a suffix of it; the key
+        // never carries a fragment.
+        n1 == n2 &&
+          (hasScheme || (h.isEmpty && n1 == url)) &&
+          h.isEmpty == d.isEmpty &&
+          h.zip(d).forall { case (hh, dd) => hh.endsWith(dd) } &&
+          (h.isEmpty || !n1.contains("#"))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dedupByUrlIncremental equals the full run restricted to shard urls") {
     import spark.implicits._
     val mk = (id: Long, u: String) => (id, u)
