@@ -124,6 +124,7 @@ object QueryCatalog {
       |      ':(80|443)$', ''), '^www\.', '') AS host0,
       |    regexp_replace(regexp_extract(url,
       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+      |    COALESCE(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '') AS qs,
       |    -- COALESCE: DuckDB array_to_string([]) is NULL, Spark's is ''.
       |    COALESCE(array_to_string(list_sort(list_filter(
       |      string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
@@ -903,6 +904,19 @@ object QueryCatalog {
           |FROM urls u
           |WHERE u.url_norm IN (SELECT url_norm FROM urls WHERE doc_id >= 250)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("url_features", (s, dir) =>
+      // URL quality signals (length/depth/params/tracking/host digits) —
+      // integer-only outputs keep the oracle compare rounding-free.
+      UrlCuration.urlFeatures(docsWithUrl(s, dir)).orderBy("doc_id"),
+      Some(urlCte +
+        """SELECT doc_id, CAST(length(url) AS BIGINT) AS url_len,
+          |  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS path_depth,
+          |  CAST(CASE WHEN qn = '' THEN 0 ELSE len(string_split(qn, '&')) END AS BIGINT) AS n_params,
+          |  regexp_matches(qs, '(^|&)(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)=') AS has_tracking,
+          |  CASE WHEN host0 = '' THEN NULL
+          |       ELSE CAST(len(regexp_extract_all(host0, '[0-9]')) AS BIGINT) END AS host_digits
+          |FROM parsed ORDER BY doc_id""".stripMargin)),
 
     Q("url_domain_filter", (s, dir) =>
       // Blocklist filter on the registered domain + the post-filter

@@ -168,6 +168,34 @@ object UrlCuration {
       .groupBy("url_norm")
       .agg(min("__id").as("keeper"), count(lit(1)).as("n_docs"))
 
+  /** URL quality signals (the RefinedWeb-style URL heuristics — spammy
+    * pages telegraph themselves in the URL before any text is fetched):
+    * total length, path depth, surviving (non-tracking) param count,
+    * tracking-decoration flag, digit count in the host (digit-heavy
+    * hosts correlate with generated spam domains). All integer/boolean
+    * outputs — deliberately no ratios, so the oracle compare never hits
+    * cross-engine float-rounding ties; a filter stage divides as it
+    * pleases. Opaque rows get null host_digits (no host evidence), 0
+    * depth/params. Zero-exchange map.
+    */
+  def urlFeatures(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = col(urlCol)
+    val path = regexp_extract(u, pathRe, 1)
+    val qs = regexp_extract(u, "^[^#]*?\\?([^#]*)", 1)
+    val h = host(u)
+    val qn = normQuery(u)
+    docs.select(
+      col(idCol),
+      length(u).cast("long").as("url_len"),
+      size(filter(split(path, "/"), x => x =!= "")).cast("long").as("path_depth"),
+      when(qn === "", lit(0L))
+        .otherwise(size(split(qn, "&")).cast("long")).as("n_params"),
+      qs.rlike("(^|&)(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)=")
+        .as("has_tracking"),
+      regexp_count(h, lit("[0-9]")).cast("long").as("host_digits"))
+  }
+
   /** Persistable URL-dedup index: identical shape to [[dedupByUrl]]
     * output (`url_norm, keeper, n_docs`) — write once per corpus, then
     * shard ingest goes through [[dedupByUrlIncremental]] without ever

@@ -90,8 +90,20 @@ object TextScaleProbe {
         Vocabulary.perplexity(corpus, lm, "text", "doc_id")
           .write.format("noop").mode("overwrite").save()
       }
+      // URL-level dedup on a synthetic url column: host carries the
+      // copy index so copies never collide with each other (the same
+      // constant-dup-fraction discipline as the salted text), ~1/60 of
+      // each copy's rows share a canonical key within the copy.
+      val withUrl = corpus.withColumn("url", concat(
+        lit("HTTPS://WWW.c"), (col("doc_id") / idStride).cast("long"),
+        lit("-s"), col("doc_id") % 97, lit(".co.uk/Page"), col("doc_id") % 23,
+        lit("?b=2&a=1&utm_copy="), col("doc_id")))
+      val tUrl = time {
+        graft.operators.UrlCuration.dedupByUrl(withUrl)
+          .write.format("noop").mode("overwrite").save()
+      }
       corpus.unpersist()
-      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f}"""
+      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f, "url_dedup_secs": $tUrl%.2f}"""
     }
 
     val loadStart = loadavg()

@@ -80,6 +80,23 @@ class UrlCurationSpec extends SparkSpec {
     assert(counts == Seq(("good.com", 1L)))
   }
 
+  test("urlFeatures: length, depth, surviving params, tracking flag, host digits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a1b2.com/x/y/z?a=1&utm_source=f&b=2"),
+      (2L, "https://c.co.uk/"),
+      (3L, "http://x.com/p#frag?notaquery"),
+      (4L, "no scheme")).toDF("doc_id", "url")
+    val got = UrlCuration.urlFeatures(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == Seq(
+      (1L, 43L, 3L, 2L, true, Some(2L)),   // utm stripped from count, flagged
+      (2L, 16L, 0L, 0L, false, Some(0L)),
+      (3L, 29L, 1L, 0L, false, Some(0L)),  // '?' inside fragment is no query
+      (4L, 9L, 0L, 0L, false, None)))
+  }
+
   test("normalizeUrl is an idempotent canonical key; host/domain contracts hold") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val label = Gen.oneOf("ex", "Site", "b2", "x9", "Alpha")
