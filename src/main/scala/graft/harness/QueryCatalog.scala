@@ -1144,6 +1144,31 @@ object QueryCatalog {
               |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
               |ORDER BY 1, 2""".stripMargin), bench = true),
 
+    Q("dedup_phash_incr", (s, dir) => {
+      // Incremental image near-dup: shard (doc_id >= 250) decoded
+      // against the PERSISTED signature index of the corpus
+      // (doc_id < 250) — parquet round-trip makes the persistence real,
+      // and the mid-family split (families of 5 → family 50 spans
+      // 248-252) guarantees corpus↔shard pairs. Same closed-form
+      // fixture oracle as dedup_phash restricted to pairs touching a
+      // shard id.
+      val ids = docs(s, dir).select(col("doc_id"))
+      val all = MediaFixtures.syntheticBitmaps(ids)
+      val idxDir = s"/tmp/graft_phashidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      PerceptualHash.signatures(all.filter(col("media_id") < 250))
+        .write.mode("overwrite").parquet(idxDir)
+      PerceptualHash.dedupIncremental(
+          all.filter(col("media_id") >= 250), s.read.parquet(idxDir),
+          maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END AS INT) AS hamming
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |WHERE a.doc_id >= 250 OR b.doc_id >= 250
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("text_repetition", (s, dir) =>
       // Gopher-style repetition quality filters: duplicate-token /
       // duplicate-bigram fractions, most-frequent-n-gram share.

@@ -175,8 +175,55 @@ object PerceptualHash {
       maxBucketSize: Int = 256,
       idCol: String = "media_id",
       payloadCol: String = "payload"
+  ): DataFrame =
+    dedupFromSignatures(signatures(media, idCol, payloadCol), maxHamming, maxBucketSize)
+
+  /** Incremental image near-dup: a shard of media against the PERSISTED
+    * signature index of the corpus ([[signatures]] output, written once
+    * per corpus) — completes the shard-ingest story the text/embedding/
+    * semantic/substring/url families already have. Only the shard is
+    * DECODED — decode dominates this operator's cost by orders of
+    * magnitude, and the corpus contributes its 8-byte signatures. The
+    * signature-level banding does re-run over the union's thin
+    * (id, hash) rows: the documented trade for exact parity with the
+    * one-shot run, since a small-id shard doc can take over a hash
+    * cluster's representative and re-shape its star pairs.
+    *
+    * @return (doc_a, doc_b, hamming) — exactly [[dedup]] over
+    *         (corpus ∪ shard) restricted to pairs touching ≥1 shard id
+    *         (parity asserted in ExtensionsSpec). Shard ids must be
+    *         disjoint from corpus ids.
+    */
+  def dedupIncremental(
+      shard: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 2,
+      maxBucketSize: Int = 256,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"
   ): DataFrame = {
-    val sigs = signatures(media, idCol, payloadCol)
+    require(corpusSigs.columns.sorted.sameElements(Array("media_id", "phash")),
+      s"not a signatures frame (columns ${corpusSigs.columns.mkString(",")}); " +
+        "build it with PerceptualHash.signatures")
+    val shardSigs = signatures(shard, idCol, payloadCol)
+    val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
+    dedupFromSignatures(
+      corpusSigs.select(col("media_id").cast("long"), col("phash").cast("long"))
+        .unionByName(shardSigs),
+      maxHamming, maxBucketSize)
+      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
+        Seq("doc_a"), "left")
+      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
+        Seq("doc_b"), "left")
+      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  private def dedupFromSignatures(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
     val wHash = Window.partitionBy("phash")
     val withRep = sigs.withColumn("__rep", min(col("media_id")).over(wHash))
     val reps = withRep.filter(col("media_id") === col("__rep"))

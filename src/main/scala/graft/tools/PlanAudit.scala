@@ -256,6 +256,14 @@ object PlanAudit {
     // dedup, star union) — every shuffled row is ≤ ~28 bytes. Budget 6.
     audit("phash_dedup", graft.operators.PerceptualHash.dedup(bitmaps), 6)
 
+    // Incremental phash: shard decode + signature-level banding over the
+    // union + the two touching-shard flag joins — corpus payloads never
+    // enter the plan (the index is the 16-byte (id, hash) rows).
+    val phashIdx = graft.plans.Materialize(graft.operators.PerceptualHash.signatures(
+      bitmaps.filter(col("media_id") < 250)), eager = true)
+    audit("phash_dedup(incr)", graft.operators.PerceptualHash.dedupIncremental(
+      bitmaps.filter(col("media_id") >= 250), phashIdx), 9)
+
     // Exact duplicate-span detection: duplicated keys come from a
     // MAP-SIDE-COMBINED count + semi-join (a hot boilerplate window
     // leaves each mapper as one partial row; no single-task analytic

@@ -991,6 +991,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("phash dedupIncremental equals the full run restricted to shard ids") {
+    import graft.harness.MediaFixtures
+    import graft.operators.PerceptualHash
+    val ids = spark.range(0, 50).select(col("id").as("doc_id"))
+    val all = MediaFixtures.syntheticBitmaps(ids)
+    // Split MID-family (family 6 spans ids 30-34) so corpus↔shard pairs
+    // exist, not just shard-internal ones.
+    val corpus = all.filter(col("media_id") < 32)
+    val shard = all.filter(col("media_id") >= 32)
+    val dir = "/tmp/graft_test_phashidx"
+    PerceptualHash.signatures(corpus).write.mode("overwrite").parquet(dir)
+    val incr = PerceptualHash.dedupIncremental(
+      shard, spark.read.parquet(dir), maxHamming = 2)
+    val full = PerceptualHash.dedup(all, maxHamming = 2)
+      .filter(col("doc_a") >= 32 || col("doc_b") >= 32)
+    assert(snap(incr.orderBy("doc_a", "doc_b")) ==
+      snap(full.orderBy("doc_a", "doc_b")))
+    // Cross-boundary pairs are present (family 6 straddles the split).
+    assert(incr.filter(col("doc_a") < 32).count() > 0)
+    val bad = intercept[IllegalArgumentException] {
+      PerceptualHash.dedupIncremental(shard, all)
+    }
+    assert(bad.getMessage.contains("signatures"))
+  }
+
   test("phash dedup recovers the family structure; identical images star-pair at hamming 0") {
     import graft.harness.MediaFixtures
     import graft.operators.PerceptualHash
