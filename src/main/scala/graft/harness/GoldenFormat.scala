@@ -12,7 +12,8 @@ object GoldenFormat {
 
   /** The catalog entries covered by golden fixtures. */
   val goldenNames: Seq[String] =
-    Seq("dedup_minhash", "dedup_minhash_incr", "dedup_simhash", "dedup_embedding_lsh",
+    Seq("dedup_minhash", "dedup_minhash_incr", "dedup_simhash", "dedup_simhash_incr",
+      "dedup_embedding_lsh",
       "dedup_embedding_incr", "dedup_semantic", "dedup_semantic_incr",
       "sim_ann_lsh", "sim_ann_ivf", "sim_ann_lsh_q", "sim_ann_ivf_q", "sim_ann_pq",
       "sim_ann_ivfpq", "sim_ann_ivfpq_idx", "text_fingerprint", "text_compress",

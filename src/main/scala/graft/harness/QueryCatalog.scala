@@ -741,6 +741,19 @@ object QueryCatalog {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    Q("dedup_simhash_incr", (s, dir) =>
+      // Incremental ingest loop for simhash: docs >= 400 arrive as a new
+      // shard and are signed + exact-clustered against the persisted
+      // (ehash, elen, sig) index of the first 400 — the corpus is never
+      // re-tokenized (hash-seeded → golden-fixture oracle; full-run
+      // parity asserted in ExtensionsSpec).
+      Dedup.simhashIncremental(
+        docs(s, dir).filter(col("doc_id") >= 400),
+        Dedup.simhashIndex(docs(s, dir).filter(col("doc_id") < 400)),
+        maxHamming = 10)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
     Q("dedup_embedding", (s, dir) =>
       // Exact all-pairs variant as the oracle path (mirrors
       // dedup_ngram_jaccard); Dedup.embeddingNearDup is the LSH-bucketed

@@ -800,6 +800,71 @@ object Dedup {
       .unionByName(starPairs)
   }
 
+  /** Persistable SimHash index: `(doc_id, ehash, elen, sig)` — the
+    * exact-text compound key (so union-level exact clusters never
+    * re-read corpus text) plus the 64-bit signature. Write once per
+    * corpus; shard ingest goes through [[simhashIncremental]]. Docs with
+    * no tokens carry a null `sig` (they band nowhere but still join
+    * exact clusters). SimHash signatures are deterministic functions of
+    * the text, so index and fresh computation always agree.
+    */
+  def simhashIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        xxhash64(col(textCol)).as("ehash"),
+        length(col(textCol)).cast("long").as("elen"))
+      .join(simhashSignatures(docs, textCol, idCol), Seq("doc_id"), "left")
+
+  /** Incremental SimHash near-dup: an incoming shard against the
+    * PERSISTED [[simhashIndex]] of the corpus — the shard is tokenized
+    * and signed, the corpus contributes only its `(id, ehash, elen,
+    * sig)` index rows (never re-tokenized). Union-level exact clusters
+    * rebuild from the compound keys (a small-id shard doc can take over
+    * a cluster's representative, reshaping its star pairs — same
+    * contract as the other `*Incremental` families), banding runs over
+    * the union's distinct-text representatives' signatures.
+    *
+    * @return (doc_a, doc_b, hamming) — exactly [[simhash]] over
+    *         (corpus ∪ shard) restricted to pairs touching ≥1 shard id
+    *         (parity asserted in DedupIncrementalSpec). Shard ids must
+    *         be disjoint from the index's.
+    */
+  def simhashIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "ehash", "elen", "sig")),
+      s"not a simhashIndex frame (columns ${index.columns.mkString(",")}); " +
+        "re-build it with Dedup.simhashIndex")
+    val all = index.select("doc_id", "ehash", "elen", "sig")
+      .unionByName(simhashIndex(newDocs, textCol, idCol))
+    val wKey = Window.partitionBy("ehash", "elen")
+    val withRep = all.withColumn("__rep", min(col("doc_id")).over(wKey))
+    val starPairs = withRep.filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .withColumn("hamming", lit(0))
+    val repSigs = withRep.filter(col("doc_id") === col("__rep") && col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"))
+    val sIds = newDocs.select(col(idCol).cast("long").as("__sid")).distinct()
+    hammingBandPairs(repSigs, maxHamming, maxBucketSize)
+      .unionByName(starPairs)
+      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
+        Seq("doc_a"), "left")
+      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
+        Seq("doc_b"), "left")
+      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Banded Hamming near-dup pairs over 64-bit signatures — the shared
     * core of [[simhash]] and [[graft.operators.PerceptualHash.dedup]]:
     * signatures band into 4×16-bit chunks (Hamming ≤ k implies some

@@ -371,6 +371,14 @@ object PlanAudit {
     // the two re-rank vector joins — the serving floor.
     audit("ivfpq_serving", served, 4)
 
+    // Incremental simhash: shard tokenize+sign + the union-level exact
+    // clustering and banding over thin (id, ehash, elen, sig) rows —
+    // corpus text never enters the plan.
+    val shIdx = graft.plans.Materialize(graft.operators.Dedup.simhashIndex(
+      docsT.filter(col("doc_id") < 250)), eager = true)
+    audit("dedup_simhash(incr)", graft.operators.Dedup.simhashIncremental(
+      docsT.filter(col("doc_id") >= 250), shIdx), 9)
+
     // URL curation: parse/normalize is a pure map (ZERO exchanges); the
     // url-level dedup pays exactly its one thin (url_norm, id) aggregate
     // exchange; the blocklisted domain counts pay one. These also guard

@@ -84,6 +84,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(incr == full)
   }
 
+  test("incremental simhash dedup matches the full-corpus run on the union") {
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_index_").toString
+    Dedup.simhashIndex(corpus).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val incr = Dedup.simhashIncremental(fresh, index, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.simhash(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => a >= 250 || b >= 250 }.toSet
+    // Exact parity, hamming values included.
+    assert(incr == full, s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+    assert(incr.nonEmpty, "fixture split should produce cross-frame simhash pairs")
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.simhashIncremental(fresh, corpus)
+    }
+    assert(bad.getMessage.contains("simhashIndex"))
+  }
+
   test("incremental embedding near-dup matches the full run on the union") {
     val corpus = emb.filter(col("vec_id") < 400)
     val fresh = emb.filter(col("vec_id") >= 400)
