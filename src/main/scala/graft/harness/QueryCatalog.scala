@@ -1135,6 +1135,19 @@ object QueryCatalog {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    Q("dedup_winnow_incr", (s, dir) =>
+      // Incremental ingest loop for winnowing: docs >= 400 arrive as a
+      // new shard and are fingerprinted against the persisted (doc_id,
+      // fp) index of the first 400 — the corpus is never
+      // re-fingerprinted (hash-seeded -> golden-fixture oracle;
+      // full-run parity asserted in ExtensionsSpec).
+      Dedup.winnowIncremental(
+        docs(s, dir).filter(col("doc_id") >= 400),
+        Dedup.winnowIndex(docs(s, dir).filter(col("doc_id") < 400)),
+        minShared = 2)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
     Q("dedup_phash", (s, dir) => {
       // Image perceptual-hash dedup: dHash over decoded bitmaps,
       // Hamming-banded candidates (4×16-bit chunks), exact bit_count

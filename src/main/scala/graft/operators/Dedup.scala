@@ -1240,6 +1240,67 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Persistable winnowing index: the corpus's distinct `(doc_id, fp)`
+    * selected-fingerprint rows — exactly the pair path's input, ≈
+    * 2/(w+1) of the k-gram density. Write once per corpus; shard ingest
+    * goes through [[winnowIncremental]] without re-fingerprinting the
+    * corpus. Build with the SAME k/w.
+    */
+  def winnowIndex(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    winnowSelections(docs, k, w, textCol, idCol)
+      .select(col("doc_id"), col("fp")).distinct()
+
+  /** Incremental winnowing near-dup: an incoming shard fingerprinted and
+    * joined against the persisted [[winnowIndex]] — the corpus is never
+    * re-fingerprinted. The ubiquity cap is evaluated over the COMBINED
+    * fingerprint rows and the candidate join's one side is restricted to
+    * shard docs, so results exactly equal [[winnow]] over
+    * (corpus ∪ shard) restricted to pairs touching ≥1 shard id (parity
+    * asserted in ExtensionsSpec; ids must be disjoint). Shard-internal
+    * pairs reach the join from both sides, hence the distinct-fp count.
+    *
+    * @return (doc_a, doc_b, shared_fps) with doc_a < doc_b, each pair
+    *         touching ≥1 shard doc.
+    */
+  def winnowIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      minShared: Long = 2L,
+      k: Int = 5,
+      w: Int = 4,
+      maxBucketSize: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "fp")),
+      s"not a winnowIndex frame (columns ${index.columns.mkString(",")}); " +
+        "re-build it with Dedup.winnowIndex (same k and w)")
+    val shardFps = winnowIndex(newDocs, k, w, textCol, idCol)
+    val all = index.select("doc_id", "fp").unionByName(shardFps)
+    val rare = all.groupBy("fp").agg(count(lit(1)).as("__b"))
+      .filter(col("__b") <= maxBucketSize)
+      .select("fp")
+    val kept = all.join(rare, Seq("fp"), "leftsemi")
+    val aShard = kept
+      .join(shardFps.select(col("doc_id")).distinct(), Seq("doc_id"), "leftsemi")
+      .select(col("fp"), col("doc_id").as("doc_x"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_y"))
+    aShard.join(b, Seq("fp"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      .select(col("fp"),
+        least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fp")).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Incremental duplicate-span detection: span output for an incoming
     * SHARD against a persisted [[substringIndex]], without re-windowing
     * the corpus — the 100 TB ingest shape (index once per corpus, each

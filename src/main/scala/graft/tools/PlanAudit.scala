@@ -379,6 +379,14 @@ object PlanAudit {
     audit("dedup_simhash(incr)", graft.operators.Dedup.simhashIncremental(
       docsT.filter(col("doc_id") >= 250), shIdx), 9)
 
+    // Incremental winnow: shard fingerprints + the union-level ubiquity
+    // cap and inverted-index join over thin (doc_id, fp) rows — corpus
+    // text never enters the plan.
+    val wnIdx = graft.plans.Materialize(graft.operators.Dedup.winnowIndex(
+      docsT.filter(col("doc_id") < 250)), eager = true)
+    audit("dedup_winnow(incr)", graft.operators.Dedup.winnowIncremental(
+      docsT.filter(col("doc_id") >= 250), wnIdx), 8)
+
     // URL curation: parse/normalize is a pure map (ZERO exchanges); the
     // url-level dedup pays exactly its one thin (url_norm, id) aggregate
     // exchange; the blocklisted domain counts pay one. These also guard

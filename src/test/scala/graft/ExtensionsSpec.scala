@@ -105,6 +105,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("simhashIndex"))
   }
 
+  test("incremental winnow dedup matches the full-corpus run on the union") {
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wn_index_").toString
+    Dedup.winnowIndex(corpus).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val incr = Dedup.winnowIncremental(fresh, index, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.winnow(docs, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => a >= 250 || b >= 250 }.toSet
+    // Exact parity, shared-fingerprint counts included.
+    assert(incr == full, s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+    assert(incr.nonEmpty, "fixture split should produce cross-frame winnow pairs")
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.winnowIncremental(fresh, corpus)
+    }
+    assert(bad.getMessage.contains("winnowIndex"))
+  }
+
   test("incremental embedding near-dup matches the full run on the union") {
     val corpus = emb.filter(col("vec_id") < 400)
     val fresh = emb.filter(col("vec_id") >= 400)
