@@ -960,6 +960,32 @@ object QueryCatalog {
               |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
               |ORDER BY 1, 2""".stripMargin)),
 
+    Q("dedup_ngram_jaccard_incr", (s, dir) =>
+      // Incremental exact jaccard: shard (doc_id >= 400) vs the
+      // persisted inverted shingle index of the corpus (doc_id < 400) —
+      // corpus never re-shingled. The oracle is the full-union jaccard
+      // restricted to pairs touching a shard id, which the incremental
+      // path must equal exactly.
+      Dedup.ngramJaccardIncremental(
+        docs(s, dir).filter(col("doc_id") >= 400),
+        Dedup.ngramIndex(docs(s, dir).filter(col("doc_id") < 400)),
+        threshold = 0.8, shingleN = 1)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH sh AS (
+              |  SELECT doc_id, s FROM (
+              |    SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS s FROM documents)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+              |FROM pairs JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+              |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+              |  AND (doc_a >= 400 OR doc_b >= 400)
+              |ORDER BY 1, 2""".stripMargin)),
+
     // Exact duplicate-SPAN detection (Lee et al. 2022, arXiv:2107.06499):
     // every 5-token window occurring >= 2 times anywhere in the corpus,
     // merged per doc into maximal spans (gaps-and-islands). String window

@@ -742,6 +742,63 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Persistable inverted shingle index for [[ngramJaccardIncremental]]:
+    * the corpus's distinct `(doc_id, s)` shingle rows — exactly the
+    * co-occurrence join's input. Write once per corpus (bucketed by `s`
+    * in production so shard joins co-locate); build with the SAME
+    * shingleN.
+    */
+  def ngramIndex(
+      docs: DataFrame,
+      shingleN: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    shingleRows(docs, shingleN, textCol, idCol).select("doc_id", "s")
+
+  /** Incremental exact n-gram Jaccard: an incoming shard's shingles
+    * joined against the persisted [[ngramIndex]] — the corpus is never
+    * re-shingled; set sizes recompute from the union's thin `(doc_id,
+    * s)` rows. One candidate-join side is restricted to shard docs
+    * (shard-internal pairs arrive from both sides, hence the
+    * distinct-shingle intersection count), so the output exactly equals
+    * [[ngramJaccard]] over (corpus ∪ shard) restricted to pairs
+    * touching ≥1 shard id (parity asserted; ids must be disjoint).
+    */
+  def ngramJaccardIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      threshold: Double,
+      shingleN: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "s")),
+      s"not an ngramIndex frame (columns ${index.columns.mkString(",")}); " +
+        "re-build it with Dedup.ngramIndex (same shingleN)")
+    val all = index.select("doc_id", "s")
+      .unionByName(ngramIndex(newDocs, shingleN, textCol, idCol))
+    val inv = all
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val sIds = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val aShard = inv.join(sIds, Seq("doc_id"), "leftsemi")
+      .select(col("s"), col("doc_id").as("doc_x"), col("n").as("n_x"))
+    val b = inv.select(col("s"), col("doc_id").as("doc_y"), col("n").as("n_y"))
+    aShard.join(b, Seq("s"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      .select(col("s"),
+        least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"),
+        when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
+        when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(countDistinct(col("s")).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, banded into 4×16-bit
     * chunks for candidate generation (Hamming distance ≤ k implies some
     * chunk matches for k < 4), verified by exact Hamming distance.

@@ -379,7 +379,15 @@ object PlanAudit {
     audit("dedup_simhash(incr)", graft.operators.Dedup.simhashIncremental(
       docsT.filter(col("doc_id") >= 250), shIdx), 9)
 
-    // Incremental winnow: shard fingerprints + the union-level ubiquity
+    // Incremental exact jaccard: shard shingles + union-level set sizes
+    // and the one-side-restricted co-occurrence join over thin
+    // (doc_id, s) rows — corpus text never enters the plan.
+    val ngIdx = graft.plans.Materialize(graft.operators.Dedup.ngramIndex(
+      docsT.filter(col("doc_id") < 250)), eager = true)
+    audit("dedup_ngram_jaccard(incr)", graft.operators.Dedup.ngramJaccardIncremental(
+      docsT.filter(col("doc_id") >= 250), ngIdx, threshold = 0.8), 8)
+
+    // Incremental winnow: shard fingerprints + union-level ubiquity
     // cap and inverted-index join over thin (doc_id, fp) rows — corpus
     // text never enters the plan.
     val wnIdx = graft.plans.Materialize(graft.operators.Dedup.winnowIndex(

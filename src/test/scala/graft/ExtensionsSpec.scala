@@ -126,6 +126,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("winnowIndex"))
   }
 
+  test("incremental ngram-jaccard matches the full-corpus run on the union") {
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ng_index_").toString
+    Dedup.ngramIndex(corpus).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val incr = Dedup.ngramJaccardIncremental(fresh, index, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.ngramJaccard(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= 250 || b >= 250 }.toSet
+    // Exact parity, jaccard values included.
+    assert(incr == full, s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+    assert(incr.nonEmpty, "fixture split should produce cross-frame jaccard pairs")
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardIncremental(fresh, corpus, threshold = 0.8)
+    }
+    assert(bad.getMessage.contains("ngramIndex"))
+  }
+
   test("incremental embedding near-dup matches the full run on the union") {
     val corpus = emb.filter(col("vec_id") < 400)
     val fresh = emb.filter(col("vec_id") >= 400)
