@@ -1662,7 +1662,123 @@ object QueryCatalog {
               |  UNNEST(range(0, GREATEST(CAST(CEIL(n / 256.0) AS BIGINT), 1), 2)) AS frame_idx FROM m)
               |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
               |  CAST(LEAST(256, n - frame_idx * 256) AS BIGINT) AS frame_len
-              |FROM f WHERE n - frame_idx * 256 > 0 ORDER BY 1, 2""".stripMargin))
+              |FROM f WHERE n - frame_idx * 256 > 0 ORDER BY 1, 2""".stripMargin)),
+
+    // Context-window chunking: 120-char windows, 24-char overlap (stride
+    // 96) — the pre-tokenization corpus shaping step. Pure map-side
+    // generate (explode over a closed-form chunk count), zero exchanges.
+    Q("text_chunk", (s, dir) =>
+      Chunking.chunk(docs(s, dir), chunkChars = 120, overlapChars = 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
+             |n AS (SELECT doc_id, text,
+             |    CASE WHEN len <= 120 THEN CAST(1 AS BIGINT)
+             |         ELSE CAST(FLOOR((len - 24 + 95) / 96.0) AS BIGINT) END AS cnt
+             |  FROM d),
+             |e AS (SELECT doc_id, text, UNNEST(range(0, cnt)) AS i FROM n)
+             |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             |  substr(text, CAST(i * 96 + 1 AS INT), 120) AS chunk_text,
+             |  CAST(LENGTH(substr(text, CAST(i * 96 + 1 AS INT), 120)) AS BIGINT) AS chunk_chars
+             |FROM e ORDER BY 1, 2""".stripMargin)),
+
+    // JSONL round-trip: documents written as JSON Lines (the dominant
+    // LLM-corpus interchange format), read back under an EXPLICIT schema
+    // (no inference scan — at 100 TB, schema inference is a full extra
+    // pass), aggregated. Oracle runs on the parquet originals, so the
+    // compare proves the round-trip lossless.
+    Q("scan_jsonl", (s, dir) => {
+      val out = s"/tmp/graft_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"))
+        .orderBy("lang")
+    }, Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("sink_jsonl", (s, dir) => {
+      val out = s"/tmp/graft_jsonl_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      docs(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("source STRING, n BIGINT, sum_chars BIGINT").json(out)
+        .orderBy("source")
+    }, Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BM25 top-10 over the corpus for a fixed probe set — the inverted-
+    // index retrieval plan (postings build is the only corpus-sized
+    // shuffle; probes broadcast). Scores rounded to 4 decimals BEFORE
+    // ranking on both engines so the hash-compare is exact.
+    Q("search_bm25", (s, dir) => {
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join"), (2L, "window merge sort"), (3L, "vector hash batch")))
+        .toDF("query_id", "query_text")
+      Retrieval.bm25TopK(qs, docs(s, dir), k = 10)
+        .orderBy("query_id", "rank")
+    }, Some("""WITH d AS (SELECT doc_id,
+              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
+              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
+              |    (3, 'vector hash batch')) v(query_id, qt)),
+              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
+              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
+              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
+              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
+              |sc AS (SELECT q.query_id, r.doc_id,
+              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
+              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
+              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+
+    // Corpus profiling: per-(source, lang) exact counts + distribution
+    // stats — one map-side-combined aggregate (the dataset-card numbers a
+    // curation pipeline reports per snapshot). Median via exact linear-
+    // interpolation percentile, identical arithmetic on both engines.
+    Q("corpus_stats", (s, dir) =>
+      docs(s, dir)
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 3).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 3).as("median_chars"))
+        .orderBy("source", "lang"),
+      Some("""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+             |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 3) AS avg_chars,
+             |  ROUND(quantile_cont(n_chars, 0.5), 3) AS median_chars
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Real BPE (Sennrich 2016): merges learned from the corpus word-
+    // frequency table (the bounded-dictionary learn), applied map-side
+    // with broadcast ranks. Iterative merge learning is not SQL-
+    // expressible — golden fixture (deterministic: lexicographic ties).
+    Q("text_bpe_tokens", (s, dir) => {
+      val merges = graft.functions.Bpe.learnMerges(
+        docs(s, dir), numMerges = 64, vocabLimit = 4096)
+      graft.functions.Bpe.tokenCounts(docs(s, dir), merges)
+        .orderBy("doc_id")
+    }, None)
   )
 
   /** The flagship cohort query (same shape as the reference's in-hospital

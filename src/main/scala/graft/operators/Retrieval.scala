@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus — BM25 (Robertson &
+  * Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond",
+  * FnTIR 2009) as a distributed postings join. The training-data use-cases
+  * are targeted corpus queries ("every document matching this probe set"),
+  * retrieval-based quality filters, and decontamination triage — all of
+  * which are top-k scans a 100 TB corpus must answer without an external
+  * search service.
+  *
+  * Scale shape (the classic distributed inverted-index plan):
+  *
+  *   1. postings `(term, doc_id, tf, dl)` — one explode + map-side-combined
+  *      aggregate, shuffled by term (the inverted index); the document
+  *      length rides IN the posting row (8 bytes), so query-time scoring
+  *      never joins a corpus-sized side frame;
+  *   2. corpus stats (N, avgdl) — one scalar aggregate, broadcast;
+  *   3. the query frame (probes, not documents) broadcasts into the
+  *      postings join FIRST, pruning the pair space to query-term postings
+  *      before anything else runs; per-term document frequency is then an
+  *      aggregate over the pruned postings (df of a term only involves that
+  *      term's rows), so it costs nothing corpus-sized at query time.
+  *
+  * Scores use doubles; both the operator and the catalog oracle round to
+  * 4 decimals BEFORE ranking so the DuckDB hash-compare is exact.
+  */
+object Retrieval {
+
+  /** Whitespace tokens, lowered, empties dropped — deliberately the same
+    * trivial tokenizer on both the corpus and query side (and expressible
+    * verbatim in the DuckDB oracle).
+    */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** The inverted index: `(term, doc_id, tf, dl)` — one row per (term,
+    * document), term frequency and document length inline. Build once per
+    * corpus snapshot, persist, serve every probe batch against it (the
+    * index-taking [[bm25TopK]] overload).
+    */
+  def postings(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
+    base
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"), explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-k: for each query row `(query_id, query_text)`, the `k`
+    * highest-scoring documents.
+    *
+    * @return (query_id, doc_id, rank, score) — score rounded to 4 decimals
+    *         (both for output and for ranking, keeping cross-engine order
+    *         identical); rank 1..k by score desc, ties by doc_id.
+    */
+  def bm25TopK(
+      queries: DataFrame,
+      docs: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    bm25TopK(queries, postings(docs, idCol, textCol), k, k1, b)
+
+  /** [[bm25TopK]] against a pre-built inverted index ([[postings]] output,
+    * fresh or read back from parquet) — the serve-many overload: the
+    * corpus-sized explode+aggregate happens once per corpus snapshot, and
+    * each probe batch pays only the broadcast query↔postings semi-join.
+    *
+    * Repeated terms within one query count once (the common simplification;
+    * qtf weighting would multiply the summand by the query-term count).
+    */
+  def bm25TopK(
+      queries: DataFrame,
+      post: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
+    // Corpus stats off the index itself: dl is constant per doc_id, so
+    // (N, Σdl) come from the per-doc firsts. Exact integer sums divided
+    // explicitly — the same double on any engine and aggregation order.
+    val stats = post.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+
+    val qTerms = queries
+      .select(col("query_id"), explode(toks(col("query_text"))).as("term"))
+      .distinct()
+
+    // Prune the index to query-term postings FIRST; everything downstream
+    // (df, scoring, ranking) runs on this thin slice.
+    val rel = post.join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+    val dfPerTerm = rel.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    rel
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfPerTerm), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(idf * tfNorm).as("raw"))
+      .select(col("query_id"), col("doc_id"), round(col("raw"), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score")
+  }
+}

@@ -427,6 +427,31 @@ object PlanAudit {
     finally spark.conf.set("spark.sql.codegen.fallback", "true")
     println(s"${if (urlCodegenOk) "OK " else "HOT"} url-curation codegen compiles  ok=$urlCodegenOk")
 
+    // Context-window chunking: pure map-side generate — ZERO exchanges,
+    // the explode count is closed-form in the document length.
+    audit("text_chunk", graft.operators.Chunking.chunk(docsT, 120, 24), 0)
+
+    // BM25: the postings build is the only corpus-sized shuffle; the
+    // probe set and its derived per-term stats all broadcast. Budget
+    // covers the un-materialized postings subtree recomputing under the
+    // stats/df/score consumers (a serve-many deployment persists
+    // postings — the index overload's plan is the thin slice).
+    val probes = Seq((1L, "src1 en"), (2L, "src2 de"))
+      .toDF("query_id", "query_text")
+    val bm = graft.operators.Retrieval.bm25TopK(probes, docsT.withColumn(
+      "text", concat_ws(" ", col("source"), col("lang"))), k = 5)
+    audit("search_bm25", bm, 8)
+    val bmPlan = bm.queryExecution.executedPlan.toString
+    val bmBroadcasts = "BroadcastExchange".r.findAllIn(bmPlan).length
+    println(s"${if (bmBroadcasts >= 3) "OK " else "HOT"} bm25 probe-side broadcasts     n=$bmBroadcasts (qTerms, df, stats)")
+
+    // BPE apply: broadcast ranks + mapPartitions — ZERO exchanges (the
+    // learn phase's word-count aggregate is the only corpus-sized step,
+    // and it runs once per corpus snapshot, not per tokenize).
+    val tinyMerges = graft.functions.Bpe.learnMerges(
+      docsT.limit(20), numMerges = 4, vocabLimit = 50)
+    audit("text_bpe_apply", graft.functions.Bpe.tokenCounts(docsT, tinyMerges), 0)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
