@@ -1744,7 +1744,7 @@ object QueryCatalog {
               |    ROW_NUMBER() OVER (PARTITION BY query_id
               |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
               |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin), bench = true),
 
     // Corpus profiling: per-(source, lang) exact counts + distribution
     // stats — one map-side-combined aggregate (the dataset-card numbers a
@@ -1778,7 +1778,7 @@ object QueryCatalog {
         docs(s, dir), numMerges = 64, vocabLimit = 4096)
       graft.functions.Bpe.tokenCounts(docs(s, dir), merges)
         .orderBy("doc_id")
-    }, None)
+    }, None, bench = true)
   )
 
   /** The flagship cohort query (same shape as the reference's in-hospital
