@@ -1746,6 +1746,62 @@ object QueryCatalog {
               |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
               |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin), bench = true),
 
+    // Hybrid retrieval: BM25 top-20 + exact dense cosine top-20 fused by
+    // reciprocal rank (RRF, rrfK=60) — rank-based, so the incomparable
+    // score scales never meet; both input lists are oracle-proven exact
+    // (search_bm25 / sim_bruteforce_cosine forms), and RRF summands are
+    // 1/(60+integer-rank) — the same double on any engine.
+    Q("search_hybrid", (s, dir) => {
+      val qs = s.createDataFrame(Seq(
+        (0L, "spark join"), (1L, "window merge sort"), (2L, "vector hash batch")))
+        .toDF("query_id", "query_text")
+      val lex = Retrieval.bm25TopK(qs, docs(s, dir), k = 20)
+      val dense = Similarity.bruteForceTopK(
+        emb(s, dir).filter(col("vec_id") < 3), emb(s, dir), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, k = 10)
+        .orderBy("query_id", "rank")
+    }, Some("""WITH d AS (SELECT doc_id,
+              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
+              |q0 AS (SELECT * FROM (VALUES (0, 'spark join'), (1, 'window merge sort'),
+              |    (2, 'vector hash batch')) v(query_id, qt)),
+              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
+              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
+              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
+              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
+              |sc AS (SELECT q.query_id, r.doc_id,
+              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
+              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
+              |  GROUP BY 1, 2),
+              |lex AS (SELECT query_id, doc_id, rk AS lex_rank FROM (
+              |  SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rk FROM sc) WHERE rk <= 20),
+              |qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id < 3),
+              |cs AS (SELECT qv.query_id, c.vec_id AS doc_id,
+              |    list_cosine_similarity(CAST(qv.v AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+              |  FROM qv, embeddings c WHERE c.vec_id <> qv.query_id),
+              |dense AS (SELECT query_id, doc_id, rk AS dense_rank FROM (
+              |  SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY sim DESC, doc_id) AS rk FROM cs) WHERE rk <= 20),
+              |fused AS (SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+              |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
+              |    ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0) +
+              |          COALESCE(1.0 / (60 + de.dense_rank), 0), 6) AS rrf_score
+              |  FROM lex l FULL OUTER JOIN dense de
+              |    ON l.query_id = de.query_id AND l.doc_id = de.doc_id),
+              |out AS (SELECT query_id, doc_id, rrf_score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, rrf_score
+              |FROM out WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+
     // Corpus profiling: per-(source, lang) exact counts + distribution
     // stats — one map-side-combined aggregate (the dataset-card numbers a
     // curation pipeline reports per snapshot). Median via exact linear-

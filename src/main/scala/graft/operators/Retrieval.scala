@@ -119,4 +119,36 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "rank", "score")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of a
+    * lexical and a dense ranked list — the standard hybrid-retrieval
+    * combiner: `score(d) = Σ_lists 1/(rrfK + rank_list(d))`, documents
+    * absent from a list contribute nothing from it. Rank-based, so the two
+    * retrievers' incomparable score scales never meet.
+    *
+    * Inputs are per-query top-k frames `(query_id, doc_id, rank)` — thin
+    * by construction (k rows per query), so the fusion join is probe-scale
+    * regardless of corpus size; the corpus-sized work already happened
+    * inside the retrievers (BM25 postings, ANN index). Pair [[bm25TopK]]
+    * with any member of the ANN ladder ([[Similarity.bruteForceTopK]] for
+    * exactness, `ivfPqTopK` at billion-vector scale).
+    *
+    * @return (query_id, doc_id, rank, rrf_score) — rrf_score rounded to 6
+    *         decimals (exact: ranks are integers, so each summand is the
+    *         same double on any engine), rank 1..k by score desc, ties by
+    *         doc_id.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val d = dense.select(col("query_id"), col("doc_id"), col("rank").as("dense_rank"))
+    val score =
+      coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
+    l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), round(score, 6).as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "rrf_score")
+  }
 }

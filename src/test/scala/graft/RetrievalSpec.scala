@@ -80,6 +80,30 @@ class RetrievalSpec extends SparkSpec {
     assert(snap(served) == snap(oneShot))
   }
 
+  // -------------------------------------------------------------------- RRF
+
+  test("rrf fusion rewards presence in both lists and handles one-sided docs") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, dense, k = 5)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect().toSeq
+    // doc 11 is in both lists (ranks 2 and 1) → 1/62 + 1/61 beats either
+    // single-list doc (1/61 or 1/62).
+    assert(out.map(_._2) == Seq(11L, 10L, 12L))
+    assert(math.abs(out.head._4 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    // One-sided docs carry only their own list's summand.
+    assert(math.abs(out(1)._4 - 1.0 / 61) < 1e-6)
+    assert(math.abs(out(2)._4 - 1.0 / 62) < 1e-6)
+  }
+
+  test("rrf equal scores break ties by doc_id") {
+    val lex = Seq((1L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 5L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, dense, k = 5)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(5L, 20L))
+  }
+
   // -------------------------------------------------------------------- BPE
 
   test("bpe learn merges most frequent pair first, lexicographic ties") {
