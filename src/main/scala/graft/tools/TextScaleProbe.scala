@@ -102,8 +102,39 @@ object TextScaleProbe {
         graft.operators.UrlCuration.dedupByUrl(withUrl)
           .write.format("noop").mode("overwrite").save()
       }
+      // BM25: the postings build is the corpus-sized cost (one explode +
+      // map-side-combined aggregate); serving a probe batch against the
+      // PRE-BUILT index is the fit-once/query-many shape. Probe terms hit
+      // only copy 0 (salting renames every other copy's tokens) — the
+      // honest serve shape: pruning happens at the broadcast join, and
+      // the build still processes every copy.
+      val tBm25Index = time {
+        graft.operators.Retrieval.postings(corpus)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val post = graft.plans.Materialize(
+        graft.operators.Retrieval.postings(corpus), eager = true)
+      val probes = spark.createDataFrame(Seq(
+        (1L, "spark join"), (2L, "window merge sort"), (3L, "vector hash batch")))
+        .toDF("query_id", "query_text")
+      val tBm25Serve = time {
+        graft.operators.Retrieval.bm25TopK(probes, post, 10, 1.2, 0.75)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // BPE: learn = one corpus-sized word count + bounded driver merge
+      // loop; apply = broadcast ranks + mapPartitions, embarrassingly
+      // parallel (the per-shard tokenize cost at ingest).
+      val tBpeLearn = time {
+        graft.functions.Bpe.learnMerges(corpus, numMerges = 64, vocabLimit = 4096)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val merges = graft.functions.Bpe.learnMerges(corpus, numMerges = 64, vocabLimit = 4096)
+      val tBpeApply = time {
+        graft.functions.Bpe.tokenCounts(corpus, merges)
+          .write.format("noop").mode("overwrite").save()
+      }
       corpus.unpersist()
-      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f, "url_dedup_secs": $tUrl%.2f}"""
+      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f, "url_dedup_secs": $tUrl%.2f, "bm25_index_secs": $tBm25Index%.2f, "bm25_serve_secs": $tBm25Serve%.2f, "bpe_learn_secs": $tBpeLearn%.2f, "bpe_apply_secs": $tBpeApply%.2f}"""
     }
 
     val loadStart = loadavg()
