@@ -1802,6 +1802,26 @@ object QueryCatalog {
               |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, rrf_score
               |FROM out WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
 
+    // Per-document keyword extraction: top-3 TF-IDF terms (smoothed idf,
+    // sklearn convention) — the corpus-tagging primitive. Thin postings
+    // frames only; scores rounded to 4 decimals before ranking.
+    Q("text_keywords", (s, dir) =>
+      Retrieval.tfidfKeywords(docs(s, dir), k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+             |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+             |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+             |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM post),
+             |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+             |sc AS (SELECT post.doc_id, post.term,
+             |    ROUND(post.tf * LN((1.0 + n.n_docs) / (1.0 + dfT.df)), 4) AS score
+             |  FROM post JOIN dfT ON dfT.term = post.term CROSS JOIN n),
+             |rk AS (SELECT doc_id, term, score,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+             |SELECT doc_id, term, CAST(rank AS INT) AS rank, score
+             |FROM rk WHERE rank <= 3 ORDER BY 1, 3""".stripMargin)),
+
     // Corpus profiling: per-(source, lang) exact counts + distribution
     // stats — one map-side-combined aggregate (the dataset-card numbers a
     // curation pipeline reports per snapshot). Median via exact linear-

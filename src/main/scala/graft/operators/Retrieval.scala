@@ -120,6 +120,40 @@ object Retrieval {
       .select("query_id", "doc_id", "rank", "score")
   }
 
+  /** Per-document keyword extraction: the `k` highest-TF-IDF terms of each
+    * document (smoothed idf `ln((1+N)/(1+df))`, the sklearn convention) —
+    * the corpus-tagging primitive (topic bucketing, facet indexes, doc
+    * summaries for curation review).
+    *
+    * Scale shape: one postings build (the corpus-sized explode+aggregate),
+    * one term-keyed df aggregate, one term-keyed join back, one doc-keyed
+    * window — every frame thin (term, doc_id, counts), no text after the
+    * first projection. Scores rounded to 4 decimals before ranking (ties
+    * by term ascending) so the DuckDB hash-compare is exact.
+    *
+    * @return (doc_id, term, rank, score), rank 1..k per document.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val nDocs = post.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"))
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf") * log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    post
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), round(score, 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "rank", "score")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of a
     * lexical and a dense ranked list — the standard hybrid-retrieval
     * combiner: `score(d) = Σ_lists 1/(rrfK + rank_list(d))`, documents

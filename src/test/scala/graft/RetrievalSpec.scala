@@ -80,6 +80,26 @@ class RetrievalSpec extends SparkSpec {
     assert(snap(served) == snap(oneShot))
   }
 
+  // ----------------------------------------------------------------- TF-IDF
+
+  test("tfidf keywords favor document-specific terms over ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare common unique"),
+      (2L, "common filler filler"),
+      (3L, "common filler other")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfKeywords(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Int, Double)].collect().toSeq
+    // "common" appears in all 3 docs → idf ln(4/4)=0 → never a keyword
+    // over terms with positive idf.
+    val doc1 = out.filter(_._1 == 1L).map(_._2)
+    assert(doc1.toSet == Set("rare", "unique"))
+    // Hand check: df(rare)=1 → score = 1·ln(4/2) = 0.6931.
+    assert(out.filter(t => t._1 == 1L && t._2 == "rare").head._4 == 0.6931)
+    // doc 2: "filler" tf=2, df=2 → 2·ln(4/3) top; "common" scores 0.
+    assert(out.filter(_._1 == 2L).head._2 == "filler")
+  }
+
   // -------------------------------------------------------------------- RRF
 
   test("rrf fusion rewards presence in both lists and handles one-sided docs") {

@@ -538,6 +538,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("chunking and BPE tokenization run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docsD = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // The merge table is batch-learned (fit on the reference corpus) and
+    // broadcast into the stream — the CCNet-style topology: fit offline,
+    // score/tokenize the ingest stream statelessly.
+    val merges = graft.functions.Bpe.learnMerges(docsD, numMerges = 16, vocabLimit = 1000)
+    def enrich(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val chunks = graft.operators.Chunking.chunk(df, chunkChars = 120, overlapChars = 24)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text"))
+      graft.functions.Bpe.tokenCounts(chunks, merges)
+    }
+    val want = snap(enrich(docsD))
+
+    val rows = docsD.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = enrich(input.toDF().toDF("doc_id", "timestamp", "text"))
+      .writeStream.format("memory").queryName("chunk_bpe_stream").outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, t) => (id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      assert(snap(spark.table("chunk_bpe_stream")) == want)
+    } finally query.stop()
+  }
+
   test("substringDupStream matches batch incremental spans on a shard sequence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
