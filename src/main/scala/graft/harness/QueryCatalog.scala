@@ -1845,6 +1845,20 @@ object QueryCatalog {
              |  ROUND(quantile_cont(n_chars, 0.5), 3) AS median_chars
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Model-based quality filter (the GPT-3 curation stage): logistic
+    // regression over hashed n-gram features, trained by distributed
+    // batch gradient descent against broadcast weights (label: is the
+    // document English — separable from text, so the learned scores are
+    // meaningful). Iterative fit → golden fixture; determinism = zero
+    // init + fixed lr, no RNG.
+    Q("text_quality_model", (s, dir) => {
+      val d = docs(s, dir)
+      val model = QualityClassifier.train(
+        d.withColumn("is_en", (col("lang") === "en").cast("int")),
+        labelCol = "is_en", dim = 1024, iters = 32)
+      QualityClassifier.score(d, model).orderBy("doc_id")
+    }, None),
+
     // Real BPE (Sennrich 2016): merges learned from the corpus word-
     // frequency table (the bounded-dictionary learn), applied map-side
     // with broadcast ranks. Iterative merge learning is not SQL-

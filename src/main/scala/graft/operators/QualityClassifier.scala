@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality filtering — the GPT-3/CCNet curation
+  * stage (Brown et al. 2020 trained a linear classifier to separate
+  * curated reference text from raw crawl; CCNet uses an LM the same way):
+  * a logistic regression over hashed bag-of-n-gram features, trained IN
+  * Spark and applied map-side.
+  *
+  * Scale shape:
+  *
+  *   - features are hashed presence indicators (`xxhash64 mod dim`,
+  *     unigrams + bigrams — the fastText hashing trick), so the model is
+  *     a FIXED-width weight table regardless of vocabulary: `dim` rows,
+  *     broadcastable forever;
+  *   - training is batch gradient descent where each iteration is two
+  *     map-side-combined aggregates (per-doc margin sum, then per-feature
+  *     residual sum) against BROADCAST weights — the corpus is never
+  *     collected, only the `dim`-bounded gradient vector is (the same
+  *     bounded-collect discipline as the BPE learn);
+  *   - scoring is one broadcast join + per-doc aggregate — no fit, the
+  *     serve-many shape (train on a labeled reference sample, score every
+  *     incoming shard).
+  *
+  * Determinism: zero-initialized weights, fixed learning rate, no
+  * RNG/time — the fitted model is a pure function of the corpus (scores
+  * are rounded before ranking/output wherever cross-engine or cross-run
+  * bit-stability matters; double-sum ulp drift is far below the rounding
+  * grain).
+  */
+object QualityClassifier {
+
+  /** Distinct hashed features of each document: unigrams and bigrams of
+    * the whitespace tokens, `xxhash64(gram, "qc") mod dim`, each carrying
+    * the per-document normalized value `x = 1/√n_d` (n_d = the document's
+    * distinct feature count) — the feature vector is unit-L2, the
+    * standard conditioning for logistic GD. Un-normalized presence makes
+    * the fit oscillate (margins over ~hundreds of slots saturate the
+    * sigmoid and training collapses to the majority class — observed
+    * directly on the fixture corpus). One thin (doc_id, feat, x)
+    * frame — text leaves the plan here.
+    */
+  def hashedFeatures(
+      docs: DataFrame,
+      dim: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val grams = concat(
+      toks,
+      when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>")))
+    val w = Window.partitionBy("doc_id")
+    docs
+      .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), pmod(xxhash64(col("gram"), lit("qc")), lit(dim.toLong)).cast("int").as("feat"))
+      .distinct()
+      .withColumn("x", lit(1.0) / sqrt(count(lit(1)).over(w)))
+  }
+
+  /** Fit logistic weights on a labeled corpus (`labelCol` ∈ {0, 1}) with
+    * Adagrad steps (Duchi, Hazan & Singer, JMLR 2011) — the per-feature
+    * adaptive rate is what makes few-iteration batch fitting work on
+    * sparse text, where the discriminative features (e.g. language
+    * stopwords) are rare: plain GD at any fixed rate either oscillates or
+    * crawls (measured 0.61–0.86 accuracy after 400 iterations on the
+    * fixture task), Adagrad reaches 0.97 in 32.
+    *
+    * Per iteration: margins = broadcast-weight join + per-doc sum;
+    * residuals `p − y`; gradient = per-feature residual sum (+ mean
+    * residual for the bias), collected (`≤ dim+1` rows — bounded), then
+    * the driver-side update `w ← w − lr·ĝ/√(Σ ĝ²)` with
+    * `ĝ = grad/N + l2·w`. Returns the weight table `(feat, w)` with the
+    * bias at `feat = −1` — a persistable model frame ([[score]] consumes
+    * it, fresh or read back from parquet).
+    */
+  def train(
+      docs: DataFrame,
+      labelCol: String,
+      dim: Int = 1024,
+      iters: Int = 32,
+      lr: Double = 2.0,
+      l2: Double = 1e-6,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val labeled = docs.select(col(idCol).as("doc_id"), col(labelCol).cast("double").as("y"))
+    // The bias rides as pseudo-feature −1 with x = 1 on every document, so
+    // margin = Σ w_f·x_f ALREADY includes it and one aggregate per
+    // iteration yields the whole gradient (bias included) — one Spark
+    // action per step instead of two (halves the fit's job count, which
+    // is pure scheduler overhead at bench scale).
+    val feats = graft.plans.Materialize(
+      hashedFeatures(docs, dim, idCol, textCol).join(labeled, Seq("doc_id"))
+        .unionByName(labeled.select(
+          col("doc_id"), lit(-1).as("feat"), lit(1.0).as("x"), col("y"))),
+      eager = true)
+    val n = labeled.count().toDouble
+    require(n > 0, "cannot train on an empty corpus")
+
+    val w = new Array[Double](dim)
+    val acc = Array.fill(dim)(1e-8)
+    var bias = 0.0
+    var accBias = 1e-8
+    for (_ <- 1 to iters) {
+      val wDf = weightsDf(spark, w, bias)
+      // margin_d = Σ_f w_f·x_df (bias included); p = σ(margin); r = p − y;
+      // grad_f = Σ_d∋f r_d·x_df — one collected frame, ≤ dim+1 rows.
+      val residuals = feats
+        .join(broadcast(wDf), Seq("feat"), "left")
+        .groupBy("doc_id", "y")
+        .agg(coalesce(sum(col("w") * col("x")), lit(0.0)).as("margin"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("margin"))) - col("y")).as("r"))
+      val g = feats.join(residuals, Seq("doc_id"))
+        .groupBy("feat").agg(sum(col("r") * col("x")).as("g"))
+        .collect().map(row => (row.getInt(0), row.getDouble(1))).toMap
+      var f = 0
+      while (f < dim) {
+        val gf = g.getOrElse(f, 0.0) / n + l2 * w(f)
+        acc(f) += gf * gf
+        w(f) -= lr * gf / math.sqrt(acc(f))
+        f += 1
+      }
+      val gBias = g.getOrElse(-1, 0.0) / n
+      accBias += gBias * gBias
+      bias -= lr * gBias / math.sqrt(accBias)
+    }
+    weightsDf(spark, w, bias)
+  }
+
+  /** The `(feat, w)` weight frame, bias at `feat = −1`; zero weights are
+    * kept so the frame's width is always exactly `dim + 1` (self-
+    * describing — scoring derives nothing from config).
+    */
+  private def weightsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      w: Array[Double],
+      bias: Double): DataFrame = {
+    import spark.implicits._
+    (w.zipWithIndex.map { case (v, i) => (i, v) } :+ (-1, bias))
+      .toSeq.toDF("feat", "w")
+  }
+
+  /** Score documents with a fitted model: `(doc_id, quality)` where
+    * quality = σ(Σ w_f + bias), rounded to 4 decimals. One broadcast join
+    * + per-doc aggregate — zero corpus-sized exchanges beyond the feature
+    * explode's own doc-keyed aggregate.
+    */
+  def score(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val dim = model.where(col("feat") >= 0).count().toInt
+    val bias = model.where(col("feat") === -1).head().getDouble(1)
+    hashedFeatures(docs, dim, idCol, textCol)
+      .join(broadcast(model.where(col("feat") >= 0)), Seq("feat"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum(col("w") * col("x")), lit(0.0)).as("margin"))
+      .select(col("doc_id").as(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("margin") + bias))), 4).as("quality"))
+  }
+}

@@ -452,6 +452,19 @@ object PlanAudit {
       docsT.limit(20), numMerges = 4, vocabLimit = 50)
     audit("text_bpe_apply", graft.functions.Bpe.tokenCounts(docsT, tinyMerges), 0)
 
+    // Quality-classifier SCORING (the serve-many shape): broadcast model
+    // join + per-doc aggregate — budget covers the feature distinct and
+    // the per-doc normalization window/aggregate; the corpus never meets
+    // a corpus-sized side.
+    val qcModel = graft.operators.QualityClassifier.train(
+      docsT.limit(40).withColumn("y", (col("lang") === "en").cast("int")),
+      labelCol = "y", dim = 64, iters = 2)
+    val qcScore = graft.operators.QualityClassifier.score(docsT, qcModel)
+    audit("quality_model_score", qcScore, 3)
+    val qcBroadcasts = "BroadcastExchange".r
+      .findAllIn(qcScore.queryExecution.executedPlan.toString).length
+    println(s"${if (qcBroadcasts >= 1) "OK " else "HOT"} quality model broadcast        n=$qcBroadcasts")
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
