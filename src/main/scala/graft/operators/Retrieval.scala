@@ -70,7 +70,10 @@ object Retrieval {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame =
-    bm25TopK(queries, postings(docs, idCol, textCol), k, k1, b)
+    // Materialize the one-shot index: three consumers (corpus stats, the
+    // pruned slice, scoring) would otherwise each re-run the corpus
+    // explode+aggregate.
+    bm25TopK(queries, graft.plans.Materialize(postings(docs, idCol, textCol)), k, k1, b)
 
   /** [[bm25TopK]] against a pre-built inverted index ([[postings]] output,
     * fresh or read back from parquet) — the serve-many overload: the
@@ -139,7 +142,9 @@ object Retrieval {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val post = postings(docs, idCol, textCol)
+    // Three consumers of the postings (N, df, scoring) — cut the lineage
+    // so the corpus explode+aggregate runs once.
+    val post = graft.plans.Materialize(postings(docs, idCol, textCol))
     val nDocs = post.groupBy("doc_id").agg(first("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"))
     val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
