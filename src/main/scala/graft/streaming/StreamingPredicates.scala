@@ -1166,6 +1166,64 @@ object StreamingPredicates {
           .cast("long").as("covered_tokens"))
   }
 
+  /** Streaming model-based quality scoring — σ(w·x) under a FITTED
+    * [[graft.operators.QualityClassifier.train]] model frame for every
+    * arriving doc, STATELESS (the batch scorer's explode + distinct +
+    * window normalization are all stateful plan shapes a stream can't
+    * run; here the hashed feature set is built IN-ROW — array_distinct
+    * over the hashed grams — and the margin is one codegen'd `aggregate`
+    * fold over it against the broadcast weight map, divided by √n_d for
+    * the same unit-L2 normalization). The ingest-path face of the
+    * GPT-3-style quality filter: train offline on a labeled reference
+    * corpus, tag every arriving doc with its quality score, threshold
+    * downstream.
+    *
+    * Scores equal the batch [[graft.operators.QualityClassifier.score]]
+    * up to summation order (the batch path sums w·x per feature row, this
+    * one folds Σw then scales — asserted ≤5e-5 in StreamingSpec, well
+    * inside the batch scorer's own 1e-4 rounding grain). Docs with no
+    * tokens get a NULL quality (the batch scorer omits them entirely).
+    *
+    * @param model a [[graft.operators.QualityClassifier.train]] frame
+    *              (or its parquet round-trip): (feat, w) with bias at −1.
+    * @return the input rows plus `quality` — unrounded; callers
+    *         threshold, they don't hash-compare.
+    */
+  def qualityScoreStream(
+      docs: DataFrame,
+      model: DataFrame,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(model.columns.sorted.sameElements(Array("feat", "w")),
+      s"not a QualityClassifier model frame (columns ${model.columns.mkString(",")}) — " +
+        "fit with QualityClassifier.train")
+    // Driver-side scalars (the model is a batch frame): width + bias.
+    val dim = model.filter(col("feat") >= 0).count()
+    val bias = model.filter(col("feat") === -1).head().getDouble(1)
+    val wRow = model.filter(col("feat") >= 0).agg(
+      map_from_entries(collect_list(struct(col("feat"), col("w")))).as("__wmap"))
+
+    // In-row mirror of QualityClassifier.hashedFeatures: unigrams +
+    // bigrams, xxhash64(gram, "qc") mod dim, distinct.
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val grams = concat(
+      toks,
+      when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>")))
+    val feats = array_distinct(transform(grams,
+      g => pmod(xxhash64(g, lit("qc")), lit(dim)).cast("int")))
+    val sumW = aggregate(feats, lit(0.0d),
+      (acc, f) => acc + coalesce(element_at(col("__wmap"), f), lit(0.0d)))
+    val margin = sumW / sqrt(size(feats)) + bias
+    docs
+      .crossJoin(broadcast(wRow))
+      .withColumn("quality",
+        when(size(feats) > 0, lit(1.0) / (lit(1.0) + exp(-margin))))
+      .drop("__wmap")
+  }
+
   /** Streaming LM quality scoring — perplexity under a FITTED
     * [[graft.operators.Vocabulary.unigramLm]] frame for every arriving
     * doc, STATELESS (each doc scores within its own row: no

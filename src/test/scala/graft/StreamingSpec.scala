@@ -507,6 +507,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("qualityScoreStream: stateless model scoring matches batch score") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.QualityClassifier
+
+    val docsD = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val model = QualityClassifier.train(
+      docsD.withColumn("is_en", (col("lang") === "en").cast("int")),
+      "is_en", dim = 256, iters = 8)
+    val batch = QualityClassifier.score(docsD, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val rows = docsD.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "timestamp", "text")
+    val query = StreamingPredicates.qualityScoreStream(stream, model)
+      .select("doc_id", "quality")
+      .writeStream.format("memory").queryName("qc_stream").outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, t) => (id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("qc_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, q) =>
+        // Batch rounds to 4 decimals; the stream folds Σw then scales —
+        // compare at the rounding grain + float-order noise.
+        assert(math.abs(q - batch(id)) <= 5e-5 + 1e-9, s"doc $id quality $q != ${batch(id)}")
+      }
+    } finally query.stop()
+  }
+
+  test("qualityScoreStream rejects a non-model frame with a named error") {
+    val bad = spark.range(3).toDF("feat")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingPredicates.qualityScoreStream(
+        spark.range(1).toDF("doc_id").withColumn("text", lit("a")), bad)
+    }
+    assert(ex.getMessage.contains("QualityClassifier.train"))
+  }
+
   test("stateless text operators run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
