@@ -1607,6 +1607,19 @@ object QueryCatalog {
              |FROM k JOIN q USING (lang) WHERE k.rk <= q.q
              |ORDER BY k.doc_id""".stripMargin)),
 
+    // Deterministic global shuffle-shard: training-order randomization
+    // without a global sort — hash-keyed shard + in-shard rank, exact
+    // permutation reproduced by the oracle's identical multiplicative
+    // hash.
+    Q("shuffle_shard", (s, dir) =>
+      Sampling.shuffleShards(docs(s, dir), numShards = 8)
+        .orderBy("shard", "pos"),
+      Some("""WITH h AS (SELECT doc_id,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS r FROM documents)
+             |SELECT doc_id, r % 8 AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY r % 8 ORDER BY r, doc_id) AS BIGINT) AS pos
+             |FROM h ORDER BY 2, 3""".stripMargin)),
+
     Q("multimodal_features", (s, dir) => {
       // Codec-free metrics are pure expressions (codegen'd scan→project);
       // Multimodal.extractFeatures remains the partition-wise decode hook

@@ -163,4 +163,35 @@ object Sampling {
       .filter(col("rk") <= col("__q"))
       .select(col(idCol), col(groupCol), col("rk"))
   }
+
+  /** Deterministic global shuffle-shard: every row lands in shard
+    * `hash(id) mod numShards` at position `rank of hash(id) within the
+    * shard` — the training-order randomization step that closes the
+    * curation pipeline (models must not see the corpus in crawl/source
+    * order; `df.orderBy(rand())` is irreproducible and a single global
+    * sort besides). One hash-partitioned exchange on the shard key +
+    * per-shard rank — no global total order is ever materialized, which
+    * is what makes it the 100 TB plan (a global sort's range partitioning
+    * needs sampling and balancing; shard-local order is enough for
+    * training ingestion and each shard writes independently). Same
+    * multiplicative id-hash as [[splitAssign]], so the SQL oracle
+    * reproduces the permutation row-for-row.
+    *
+    * @return (idCol, shard, pos) — pos is the 1-based position within the
+    *         shard; reading shards in order of (shard, pos) yields the
+    *         full deterministic permutation.
+    */
+  def shuffleShards(
+      df: DataFrame,
+      numShards: Int,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val hashed = df.select(col(idCol), pseudoShuffle(col(idCol)).as("__r"))
+      .withColumn("shard", pmod(col("__r"), lit(numShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("__r"), col(idCol))
+    hashed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -1233,6 +1233,30 @@ class ExtensionsSpec extends SparkSpec {
       graft.operators.Sampling.splitAssign(docs, Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("shuffleShards is a partitioning-invariant permutation with dense in-shard positions") {
+    def perm(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.shuffleShards(df, numShards = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = perm(docs)
+    val b = perm(docs.repartition(17))
+    assert(a.sorted.sameElements(b.sorted), "permutation must not depend on partitioning")
+    // Every doc exactly once; positions dense 1..n per shard.
+    assert(a.map(_._1).distinct.length == docs.count())
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"shard $shard positions not dense")
+    }
+    // The order is a genuine shuffle, not id order: within some shard the
+    // doc_id sequence along pos must not be monotonic.
+    val scrambled = a.groupBy(_._2).values.exists { rows =>
+      val ids = rows.sortBy(_._3).map(_._1)
+      ids.zip(ids.tail).exists { case (x, y) => x > y }
+    }
+    assert(scrambled, "expected non-monotonic doc_id order within shards")
+    intercept[IllegalArgumentException](
+      graft.operators.Sampling.shuffleShards(docs, numShards = 0))
+  }
+
   test("packSequences: pack ids follow the bucketed running token sum") {
     val packed = Packing.packSequences(docs, budgetTokens = 100, buckets = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
