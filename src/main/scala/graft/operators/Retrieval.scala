@@ -41,6 +41,14 @@ object Retrieval {
     * document), term frequency and document length inline. Build once per
     * corpus snapshot, persist, serve every probe batch against it (the
     * index-taking [[bm25TopK]] overload).
+    *
+    * The index is APPEND-ONLY incremental for free: every row depends on
+    * its own document alone, and the corpus-level statistics (N, avgdl,
+    * df) are derived at query time from whatever index frame is passed —
+    * so shard ingest is `index ∪ postings(shard)` with no corpus
+    * re-tokenization, exactly row-equal to a from-scratch build over the
+    * union (asserted in ExtensionsSpec). New doc ids must be disjoint
+    * from indexed ids.
     */
   def postings(
       docs: DataFrame,

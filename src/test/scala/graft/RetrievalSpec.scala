@@ -80,6 +80,41 @@ class RetrievalSpec extends SparkSpec {
     assert(snap(served) == snap(oneShot))
   }
 
+  test("postings index is append-only incremental: shard union equals full rebuild") {
+    val corpus = Seq((1L, "spark join window"), (2L, "merge sort join")).toDF("doc_id", "text")
+    val shard = Seq((3L, "hash batch spark")).toDF("doc_id", "text")
+    val appended = Retrieval.postings(corpus).unionByName(Retrieval.postings(shard))
+    val rebuilt = Retrieval.postings(corpus.unionByName(shard))
+    assert(snap(appended) == snap(rebuilt))
+    // And querying the appended index equals querying the rebuild.
+    val qs = Seq((1L, "spark")).toDF("query_id", "query_text")
+    assert(snap(Retrieval.bm25TopK(qs, appended, 5, 1.2, 0.75)) ==
+      snap(Retrieval.bm25TopK(qs, rebuilt, 5, 1.2, 0.75)))
+  }
+
+  test("rrf fusion composes with the ANN ladder as the dense side") {
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val qs = Seq((0L, "spark join"), (1L, "merge sort")).toDF("query_id", "query_text")
+    val lex = Retrieval.bm25TopK(qs, docs, k = 20)
+    def denseOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val qVecs = emb.filter(col("vec_id") < 2)
+    val exactHybrid = Retrieval.rrfFuse(
+      lex, denseOf(graft.operators.Similarity.bruteForceTopK(qVecs, emb, 20)), k = 10)
+    val annHybrid = Retrieval.rrfFuse(
+      lex, denseOf(graft.operators.ProductQuant.ivfPqTopK(
+        qVecs, emb, 20, 0, 0, 16, 32, 2, 0, "vec_id", "embedding")), k = 10)
+    // The ANN-backed hybrid is the 100 TB shape; at fixture scale its
+    // top-10 must agree heavily with the exact-dense hybrid (ANN recall
+    // ≥0.9 on this fixture per RECALL.json).
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = tops(annHybrid).intersect(tops(exactHybrid)).size.toDouble /
+      tops(exactHybrid).size
+    assert(overlap >= 0.8, s"ANN-hybrid overlap $overlap < 0.8")
+  }
+
   // ----------------------------------------------------------------- TF-IDF
 
   test("tfidf keywords favor document-specific terms over ubiquitous ones") {
