@@ -1607,6 +1607,37 @@ object QueryCatalog {
              |FROM k JOIN q USING (lang) WHERE k.rk <= q.q
              |ORDER BY k.doc_id""".stripMargin)),
 
+    // Snapshot diff (dataset versioning): before = the documents table,
+    // after = a deterministic mutation (every 17th doc dropped, every
+    // 5th doc's text edited, 20 new docs) — classified added / removed /
+    // changed / unchanged on md5 content keys (cross-engine, so the
+    // oracle computes the identical diff).
+    Q("corpus_diff", (s, dir) => {
+      val before = docs(s, dir)
+      val after = before
+        .filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+        .unionByName(before.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000L).as("doc_id"), col("text")))
+      SnapshotDiff.diff(before, after).orderBy("doc_id")
+    }, Some("""WITH before AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |after AS (
+              |  SELECT doc_id,
+              |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END) AS h
+              |  FROM documents WHERE doc_id % 17 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, md5(text) AS h
+              |  FROM documents WHERE doc_id < 20),
+              |j AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, b.h AS hb, a.h AS ha
+              |  FROM before b FULL OUTER JOIN after a ON a.doc_id = b.doc_id)
+              |SELECT doc_id,
+              |  CASE WHEN hb IS NULL THEN 'added' WHEN ha IS NULL THEN 'removed'
+              |       WHEN hb <> ha THEN 'changed' ELSE 'unchanged' END AS status
+              |FROM j ORDER BY 1""".stripMargin)),
+
     // Deterministic global shuffle-shard: training-order randomization
     // without a global sort — hash-keyed shard + in-shard rank, exact
     // permutation reproduced by the oracle's identical multiplicative

@@ -269,4 +269,52 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       got == want
     }, 12)
   }
+
+  test("BPE encode is lossless and respects merge ranks on random words") {
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val mergesGen = Gen.listOf(
+      Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc", "aa"), Gen.oneOf("a", "b", "c")))
+      .map(_.distinct.zipWithIndex.map { case ((l, r), i) => ((l, r), i) }.toMap)
+    check(Prop.forAll(wordGen, mergesGen) { (word, ranks) =>
+      val toks = graft.functions.Bpe.encodeWord(word, ranks)
+      // Lossless: concatenation reconstructs the word exactly.
+      val lossless = toks.mkString == word
+      // Fixpoint: no adjacent pair in the output is still mergeable.
+      val done = toks.length < 2 ||
+        toks.zip(toks.tail).forall(p => !ranks.contains(p))
+      lossless && done
+    }, 200)
+  }
+
+  test("chunking invariants hold on random texts (driven through Spark once)") {
+    import spark.implicits._
+    val texts = (0 until 300).map { i =>
+      val len = (i * 37) % 400
+      (i.toLong, ("ab" * 200).substring(0, len) + "x") // lengths 1..400
+    }
+    val chunkChars = 50
+    val overlap = 13
+    val stride = chunkChars - overlap
+    val out = graft.operators.Chunking
+      .chunk(texts.toDF("doc_id", "text"), chunkChars, overlap)
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1)
+    val byId = texts.toMap
+    out.foreach { case (id, chunks) =>
+      val text = byId(id)
+      val sorted = chunks.sortBy(_._2)
+      // Dense chunk ids from 0; every chunk is the exact substring at its
+      // stride offset; full coverage; all but the last are full-width.
+      assert(sorted.map(_._2).sameElements(sorted.indices))
+      sorted.foreach { case (_, cid, ct, cc) =>
+        val start = cid * stride
+        assert(ct == text.substring(start, math.min(start + chunkChars, text.length)))
+        assert(cc == ct.length)
+      }
+      assert(sorted.init.forall(_._4 == chunkChars))
+      assert(sorted.last._2 * stride + sorted.last._4 == text.length)
+      if (text.length <= chunkChars) assert(sorted.length == 1)
+    }
+    assert(out.size == texts.size)
+  }
 }
