@@ -108,6 +108,18 @@ object Texts {
       regexp_replace(acc, pat, s"[${name.toUpperCase}]")
     }
 
+  /** Cleaned text — the standard pre-filter normalization pass of a
+    * crawl pipeline: ASCII control characters (tabs and newlines
+    * included) become spaces, space runs collapse to one, ends trimmed.
+    * Pure codegen'd regexp chain, zero exchanges; case and punctuation
+    * are preserved (casefolding is a modeling decision, not cleaning).
+    * Patterns restricted to constructs identical in Java regex and
+    * DuckDB's RE2, so the catalog oracle is exact.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), " {2,}", " "))
+
   /** Deterministic 64-bit document fingerprint: order-sensitive polynomial
     * rolling hash over tokens (Rabin–Karp style), built from `xxhash64`
     * token hashes folded with `aggregate` — codegen-friendly, no UDF.

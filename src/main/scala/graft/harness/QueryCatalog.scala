@@ -1708,6 +1708,28 @@ object QueryCatalog {
               |  CAST(LEAST(256, n - frame_idx * 256) AS BIGINT) AS frame_len
               |FROM f WHERE n - frame_idx * 256 > 0 ORDER BY 1, 2""".stripMargin)),
 
+    // Crawl-text cleaning: control chars → space, space runs collapsed,
+    // ends trimmed. The fixture decorates each doc with control-char +
+    // ragged-space noise (closed-form, reproduced by the oracle with
+    // chr() arithmetic — the multimodal/url fixture pattern), so the
+    // transform is exercised for real.
+    Q("text_clean", (s, dir) =>
+      docs(s, dir)
+        .withColumn("noisy",
+          concat(lit("  "), col("text"), lit("\t\tmid\u0007  end  ")))
+        .select(col("doc_id"), Texts.cleanText(col("noisy")).as("cleaned"))
+        .withColumn("n_chars_clean", length(col("cleaned")).cast("long"))
+        .orderBy("doc_id"),
+      Some("""WITH noisy AS (SELECT doc_id,
+             |    '  ' || text || chr(9) || chr(9) || 'mid' || chr(7) || '  end  ' AS noisy
+             |  FROM documents)
+             |SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(noisy, '[\x00-\x1F\x7F]', ' ', 'g'),
+             |       ' {2,}', ' ', 'g')) AS cleaned,
+             |  CAST(LENGTH(trim(regexp_replace(regexp_replace(noisy, '[\x00-\x1F\x7F]', ' ', 'g'),
+             |       ' {2,}', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+             |FROM noisy ORDER BY 1""".stripMargin)),
+
     // Context-window chunking: 120-char windows, 24-char overlap (stride
     // 96) — the pre-tokenization corpus shaping step. Pure map-side
     // generate (explode over a closed-form chunk count), zero exchanges.
@@ -1744,6 +1766,22 @@ object QueryCatalog {
     }, Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
               |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars
               |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ORC round-trip: the other columnar lake format Spark ships natively
+    // (predicate pushdown + column pruning work the same as parquet).
+    // Oracle runs on the parquet originals → round-trip proven lossless.
+    Q("scan_orc", (s, dir) => {
+      val out = s"/tmp/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("n_chars") >= 100)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("sum_text_chars"))
+        .orderBy("source")
+    }, Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars
+              |FROM documents WHERE n_chars >= 100 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("sink_jsonl", (s, dir) => {
       val out = s"/tmp/graft_jsonl_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
