@@ -1976,7 +1976,7 @@ object QueryCatalog {
         d.withColumn("is_en", (col("lang") === "en").cast("int")),
         labelCol = "is_en", dim = 1024, iters = 32)
       QualityClassifier.score(d, model).orderBy("doc_id")
-    }, None),
+    }, None, bench = true),
 
     // Real BPE (Sennrich 2016): merges learned from the corpus word-
     // frequency table (the bounded-dictionary learn), applied map-side
