@@ -452,6 +452,23 @@ object PlanAudit {
       docsT.limit(20), numMerges = 4, vocabLimit = 50)
     audit("text_bpe_apply", graft.functions.Bpe.tokenCounts(docsT, tinyMerges), 0)
 
+    // Crawl-text cleaning: pure regexp projection — ZERO exchanges.
+    audit("text_clean", docsT.select(col("doc_id"),
+      graft.functions.Texts.cleanText(col("text")).as("cleaned")), 0)
+
+    // Snapshot diff: each side collapses to (id, md5) BEFORE the one
+    // id-keyed full-outer join — two exchanges, text never shuffled.
+    audit("corpus_diff", graft.operators.SnapshotDiff.diff(
+      docsT, docsT.filter(col("doc_id") % 7 =!= 0)), 2)
+
+    // Shuffle-shard: one shard-keyed exchange + in-shard rank — no
+    // global sort / range partitioning anywhere in the plan.
+    val shuf = graft.operators.Sampling.shuffleShards(docsT, numShards = 8)
+    audit("shuffle_shard", shuf, 1)
+    val shufRange = "Exchange rangepartitioning".r
+      .findAllIn(shuf.queryExecution.executedPlan.toString).length
+    println(s"${if (shufRange == 0) "OK " else "HOT"} shuffle-shard no global sort   rangeExchanges=$shufRange")
+
     // Quality-classifier SCORING (the serve-many shape): broadcast model
     // join + per-doc aggregate — budget covers the feature distinct and
     // the per-doc normalization window/aggregate; the corpus never meets

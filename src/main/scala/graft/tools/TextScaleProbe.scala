@@ -133,8 +133,22 @@ object TextScaleProbe {
         graft.functions.Bpe.tokenCounts(corpus, merges)
           .write.format("noop").mode("overwrite").save()
       }
+      // Quality classifier: train = iters × one bounded-collect aggregate
+      // (corpus size enters only through the per-iteration aggregate);
+      // score = broadcast join + per-doc aggregate, the per-shard cost.
+      val labeled = corpus.withColumn("y",
+        (pmod(xxhash64(col("doc_id")), lit(2L)) === 0L).cast("int"))
+      val tQcTrain = time {
+        graft.operators.QualityClassifier.train(labeled, "y", dim = 1024, iters = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val qcModel = graft.operators.QualityClassifier.train(labeled, "y", dim = 1024, iters = 8)
+      val tQcScore = time {
+        graft.operators.QualityClassifier.score(corpus, qcModel)
+          .write.format("noop").mode("overwrite").save()
+      }
       corpus.unpersist()
-      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f, "url_dedup_secs": $tUrl%.2f, "bm25_index_secs": $tBm25Index%.2f, "bm25_serve_secs": $tBm25Serve%.2f, "bpe_learn_secs": $tBpeLearn%.2f, "bpe_apply_secs": $tBpeApply%.2f}"""
+      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f, "url_dedup_secs": $tUrl%.2f, "bm25_index_secs": $tBm25Index%.2f, "bm25_serve_secs": $tBm25Serve%.2f, "bpe_learn_secs": $tBpeLearn%.2f, "bpe_apply_secs": $tBpeApply%.2f, "qc_train8_secs": $tQcTrain%.2f, "qc_score_secs": $tQcScore%.2f}"""
     }
 
     val loadStart = loadavg()
