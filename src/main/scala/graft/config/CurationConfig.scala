@@ -1,0 +1,116 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+/** Declarative curation-pipeline language — the extension-layer analogue
+  * of the cohort task YAML ([[TaskConfig]]): a corpus-curation run is a
+  * YAML list of steps, each a named operator with parameters, compiled to
+  * one DataFrame chain by [[graft.operators.CurationPipeline]]. The
+  * pipeline a 100 TB crawl actually runs (clean → language filter →
+  * quality filter → dedup → mix → split → shuffle) becomes config, not
+  * code — reviewable, diffable, re-runnable.
+  *
+  * ```yaml
+  * steps:
+  *   - clean: {}
+  *   - langid_keep: { langs: [en, es] }
+  *   - quality: { min_tokens: 5 }
+  *   - dedup_exact: {}
+  *   - quota: { group: lang, quotas: { en: 50, es: 20 } }
+  *   - split: { train: 0.8, val: 0.1, test: 0.1 }
+  *   - shuffle: { shards: 4 }
+  * ```
+  *
+  * Parsing is strict: unknown step names and malformed parameter shapes
+  * fail fast with the offending step named — a silently-skipped curation
+  * step is corpus damage discovered months later.
+  */
+object CurationConfig {
+
+  sealed trait Step
+  case object Clean extends Step
+  final case class LangIdKeep(langs: Seq[String]) extends Step
+  final case class Quality(minTokens: Option[Long], maxPunctRatio: Option[Double]) extends Step
+  case object Redact extends Step
+  case object DedupExact extends Step
+  final case class Quota(group: String, quotas: Map[String, Long]) extends Step
+  final case class Split(fractions: Seq[(String, Double)]) extends Step
+  final case class Shuffle(shards: Int) extends Step
+  final case class Chunk(chars: Int, overlap: Int) extends Step
+
+  final case class Pipeline(steps: Seq[Step])
+
+  def fromYaml(yamlText: String): Pipeline = {
+    import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+    import org.yaml.snakeyaml.constructor.SafeConstructor
+    val yaml = new Yaml(new SafeConstructor(new LoaderOptions()))
+    val root = Option(yaml.load[java.util.Map[String, Object]](yamlText))
+      .getOrElse(throw new IllegalArgumentException("empty curation config"))
+    val rawSteps = Option(root.get("steps"))
+      .getOrElse(throw new IllegalArgumentException("curation config needs a 'steps' list"))
+      .asInstanceOf[java.util.List[Object]].asScala.toSeq
+    Pipeline(rawSteps.zipWithIndex.map { case (raw, i) => parseStep(raw, i) })
+  }
+
+  private def parseStep(raw: Object, idx: Int): Step = {
+    val m = raw match {
+      case s: String => Map(s -> Map.empty[String, Object]) // bare `- clean`
+      case jm: java.util.Map[_, _] =>
+        jm.asScala.map { case (k, v) =>
+          k.toString -> Option(v).map {
+            case pm: java.util.Map[_, _] =>
+              pm.asScala.map { case (pk, pv) => pk.toString -> pv.asInstanceOf[Object] }.toMap
+            case other =>
+              throw new IllegalArgumentException(
+                s"step #$idx ('$k'): parameters must be a map, got $other")
+          }.getOrElse(Map.empty[String, Object])
+        }.toMap
+      case other =>
+        throw new IllegalArgumentException(s"step #$idx: expected a map or name, got $other")
+    }
+    require(m.size == 1, s"step #$idx must have exactly one operator name, got ${m.keys}")
+    val (name, params) = m.head
+
+    def longParam(k: String): Option[Long] =
+      params.get(k).map { case n: Number => n.longValue }
+    def doubleParam(k: String): Option[Double] =
+      params.get(k).map { case n: Number => n.doubleValue }
+    def need[T](o: Option[T], what: String): T =
+      o.getOrElse(throw new IllegalArgumentException(s"step #$idx ('$name') needs $what"))
+
+    name match {
+      case "clean"  => Clean
+      case "redact" => Redact
+      case "dedup_exact" => DedupExact
+      case "langid_keep" =>
+        val langs = need(params.get("langs"), "'langs' (list)")
+          .asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
+        require(langs.nonEmpty, s"step #$idx: langid_keep needs a non-empty langs list")
+        LangIdKeep(langs)
+      case "quality" =>
+        val q = Quality(longParam("min_tokens"), doubleParam("max_punct_ratio"))
+        require(q.minTokens.nonEmpty || q.maxPunctRatio.nonEmpty,
+          s"step #$idx: quality needs min_tokens and/or max_punct_ratio")
+        q
+      case "quota" =>
+        val group = params.get("group").map(_.toString).getOrElse("lang")
+        val quotas = need(params.get("quotas"), "'quotas' (map of group -> n)")
+          .asInstanceOf[java.util.Map[Object, Object]].asScala
+          .map { case (k, v) => k.toString -> v.asInstanceOf[Number].longValue }.toMap
+        Quota(group, quotas)
+      case "split" =>
+        require(params.nonEmpty, s"step #$idx: split needs name -> fraction entries")
+        Split(params.toSeq.map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue }
+          .sortBy(_._1))
+      case "shuffle" =>
+        Shuffle(need(longParam("shards"), "'shards'").toInt)
+      case "chunk" =>
+        Chunk(need(longParam("chars"), "'chars'").toInt,
+          longParam("overlap").getOrElse(0L).toInt)
+      case other =>
+        throw new IllegalArgumentException(
+          s"step #$idx: unknown curation step '$other' (known: clean, redact, " +
+            "dedup_exact, langid_keep, quality, quota, split, shuffle, chunk)")
+    }
+  }
+}

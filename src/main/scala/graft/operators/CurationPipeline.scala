@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.CurationConfig
+import graft.config.CurationConfig._
+import graft.functions.Texts
+
+/** Compiler from the declarative curation language
+  * ([[graft.config.CurationConfig]]) to one DataFrame chain: each step
+  * maps onto the already-audited operator it names, so the YAML inherits
+  * every scale property the operators carry individually (zero-exchange
+  * projections, map-side hash picks, thin semi-joins — nothing here adds
+  * a plan shape of its own).
+  *
+  * Column contract: every step preserves the input columns it does not
+  * explicitly produce. Filters (`langid_keep`, `quality`) compute their
+  * evidence transiently and drop it; `split`/`shuffle` append their
+  * assignment columns; `chunk` changes the row grain (doc → chunk) and is
+  * therefore only legal as a final step.
+  */
+object CurationPipeline {
+
+  def fromYaml(docs: DataFrame, yamlText: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    apply(docs, CurationConfig.fromYaml(yamlText), idCol, textCol)
+
+  def apply(docs: DataFrame, pipeline: Pipeline,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    pipeline.steps.dropRight(1).foreach(s =>
+      require(!s.isInstanceOf[Chunk],
+        "chunk changes the row grain and must be the final step"))
+    pipeline.steps.foldLeft(docs)((df, step) => applyStep(df, step, idCol, textCol))
+  }
+
+  private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String): DataFrame =
+    step match {
+      case Clean =>
+        df.withColumn(textCol, Texts.cleanText(col(textCol)))
+      case Redact =>
+        df.withColumn(textCol, Texts.redactPii(col(textCol)))
+      case LangIdKeep(langs) =>
+        df.filter(Texts.langId(col(textCol)).isin(langs: _*))
+      case Quality(minTokens, maxPunct) =>
+        val metrics = Texts.qualityMetrics(col(textCol)).toMap
+        val conds =
+          minTokens.map(n => metrics("n_tokens") >= n).toSeq ++
+            maxPunct.map(r => metrics("punct_ratio") <= r).toSeq
+        df.filter(conds.reduce(_ && _))
+      case DedupExact =>
+        // Keep the lowest id of each exact-text group: thin (hash, id)
+        // aggregate + semi-join, the dedup_exact shape.
+        val keep = df
+          .groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__len"))
+          .agg(min(col(idCol)).as(idCol))
+          .select(idCol)
+        df.join(keep, Seq(idCol), "left_semi")
+      case Quota(group, quotas) =>
+        val keep = Sampling.quotaSample(df, quotas, group, idCol).select(idCol)
+        df.join(keep, Seq(idCol), "left_semi")
+      case Split(fractions) =>
+        Sampling.splitAssign(df, fractions, idCol)
+      case Shuffle(shards) =>
+        df.join(Sampling.shuffleShards(df, shards, idCol), Seq(idCol))
+      case Chunk(chars, overlap) =>
+        Chunking.chunk(df, chars, overlap, idCol, textCol)
+    }
+}

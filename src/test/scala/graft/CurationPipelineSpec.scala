@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.CurationConfig
+import graft.operators.CurationPipeline
+
+class CurationPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables
+    .table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("yaml parses every step form, bare names included") {
+    val p = CurationConfig.fromYaml(
+      """steps:
+        |  - clean
+        |  - redact: {}
+        |  - langid_keep: { langs: [en] }
+        |  - quality: { min_tokens: 3, max_punct_ratio: 0.5 }
+        |  - dedup_exact
+        |  - quota: { quotas: { en: 10 } }
+        |  - split: { train: 0.9, test: 0.1 }
+        |  - shuffle: { shards: 2 }
+        |  - chunk: { chars: 100, overlap: 10 }
+        |""".stripMargin)
+    assert(p.steps.length == 9)
+    assert(p.steps(5) == CurationConfig.Quota("lang", Map("en" -> 10L)))
+    assert(p.steps(6) == CurationConfig.Split(Seq("test" -> 0.1, "train" -> 0.9)))
+  }
+
+  test("unknown steps and malformed parameters fail fast with the step named") {
+    val bad = intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - frobnicate: {}\n"))
+    assert(bad.getMessage.contains("frobnicate") && bad.getMessage.contains("#0"))
+    val missing = intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - clean\n  - langid_keep: {}\n"))
+    assert(missing.getMessage.contains("#1"))
+    intercept[IllegalArgumentException](CurationConfig.fromYaml("nothing: here\n"))
+  }
+
+  test("each step composes: the pipeline output matches manual chaining") {
+    val yaml =
+      """steps:
+        |  - clean
+        |  - quality: { min_tokens: 10 }
+        |  - dedup_exact
+        |  - split: { train: 0.5, test: 0.5 }
+        |""".stripMargin
+    val got = CurationPipeline.fromYaml(docs, yaml)
+    // Manual equivalent.
+    val cleaned = docs.withColumn("text", graft.functions.Texts.cleanText(col("text")))
+    val metrics = graft.functions.Texts.qualityMetrics(col("text")).toMap
+    val filtered = cleaned.filter(metrics("n_tokens") >= 10)
+    val keep = filtered.groupBy(xxhash64(col("text")), length(col("text")))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = filtered.join(keep, Seq("doc_id"), "left_semi")
+    val want = graft.operators.Sampling.splitAssign(
+      deduped, Seq("test" -> 0.5, "train" -> 0.5))
+    assert(snap(got) == snap(want))
+    // Steps preserved the non-produced columns.
+    assert(got.columns.toSet == Set("doc_id", "text", "lang", "source", "n_chars", "split"))
+  }
+
+  test("quota step keeps full rows and exact group counts") {
+    val yaml =
+      """steps:
+        |  - quota: { group: lang, quotas: { en: 7, es: 3 } }
+        |""".stripMargin
+    val out = CurationPipeline.fromYaml(docs, yaml)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 7L, "es" -> 3L))
+    assert(out.columns.contains("text"))
+  }
+
+  test("chunk must be the final step") {
+    val ex = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - chunk: { chars: 100 }\n  - clean\n"))
+    assert(ex.getMessage.contains("final step"))
+  }
+
+  test("shuffle positions are dense per shard after the full pipeline") {
+    val yaml =
+      """steps:
+        |  - dedup_exact
+        |  - shuffle: { shards: 4 }
+        |""".stripMargin
+    val out = CurationPipeline.fromYaml(docs, yaml)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+  }
+}
