@@ -66,7 +66,7 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
-    val merges = learnOnDict(wordCounts, numMerges)
+    val merges = learnOnDict(wordCounts.toIndexedSeq, numMerges)
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.map(m => Row(m.rank, m.left, m.right)), 1),
       StructType(Seq(

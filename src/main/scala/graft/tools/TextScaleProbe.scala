@@ -40,7 +40,7 @@ object TextScaleProbe {
     val base = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
     // Offset by max(doc_id)+1, not count(): sparse ids would otherwise
     // collide across copies and interleave two docs' position spaces.
-    val idStride = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val idStride = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
 
     def replicated(k: Int): DataFrame =
       (0 until k).map { i =>
