@@ -48,6 +48,48 @@ object QueryCatalog {
       |""".stripMargin
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  /** The 7-step declarative curation pipeline both `curation_pipeline`
+    * and `curation_funnel` run.
+    */
+  private val curationYaml =
+    """steps:
+      |  - clean: {}
+      |  - langid_keep: { langs: [en, es, fr] }
+      |  - quality: { min_tokens: 10 }
+      |  - dedup_exact: {}
+      |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
+      |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+      |  - shuffle: { shards: 4 }
+      |""".stripMargin
+
+  /** The same pipeline as composed DuckDB CTEs (each stage the proven
+    * oracle form of its operator): `c` clean → `lk` langid keep → `q`
+    * quality → `d` exact dedup → `kept` quota → `sp` split → `sh` shard.
+    */
+  private lazy val curationCtes: String = {
+    val hits = graft.functions.Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      s"len(list_intersect(string_split(lower(text), ' '), [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
+    }.mkString(", ")
+    s"""WITH c AS (SELECT doc_id, lang,
+       |    trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang, text, $hits FROM c),
+       |g AS (SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS g FROM h),
+       |lid AS (SELECT doc_id, lang, text, CASE WHEN g = 0 THEN 'und'
+       |  WHEN h_zh = g THEN 'zh' WHEN h_fr = g THEN 'fr' WHEN h_es = g THEN 'es'
+       |  WHEN h_en = g THEN 'en' ELSE 'de' END AS pred FROM g),
+       |lk AS (SELECT * FROM lid WHERE pred IN ('en', 'es', 'fr')),
+       |q AS (SELECT * FROM lk WHERE len(string_split(lower(text), ' ')) >= 10),
+       |d AS (SELECT * FROM q WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
+       |r AS (SELECT doc_id, lang, (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM d),
+       |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk FROM r),
+       |kept AS (SELECT * FROM k WHERE (lang = 'en' AND rk <= 60)
+       |   OR (lang = 'es' AND rk <= 25) OR (lang = 'fr' AND rk <= 15)),
+       |sp AS (SELECT *, CASE WHEN rnd < 429496729 THEN 'test'
+       |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split FROM kept),
+       |sh AS (SELECT *, rnd % 4 AS shard FROM sp)""".stripMargin
+  }
   private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
 
   /** documents + a deterministic synthetic `url` column — closed-form in
@@ -1612,46 +1654,34 @@ object QueryCatalog {
     // shuffle-shard, all from ONE YAML config (CurationConfig /
     // CurationPipeline). The oracle composes the already-proven SQL
     // forms of every step — the whole pipeline is exact, not sampled.
-    Q("curation_pipeline", (s, dir) => {
-      val yaml =
-        """steps:
-          |  - clean: {}
-          |  - langid_keep: { langs: [en, es, fr] }
-          |  - quality: { min_tokens: 10 }
-          |  - dedup_exact: {}
-          |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
-          |  - split: { train: 0.8, val: 0.1, test: 0.1 }
-          |  - shuffle: { shards: 4 }
-          |""".stripMargin
-      CurationPipeline.fromYaml(docs(s, dir), yaml)
+    Q("curation_pipeline", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir), curationYaml)
         .select(col("doc_id"), col("lang"), col("split"), col("shard"), col("pos"))
-        .orderBy("doc_id")
-    }, Some {
-      val hits = Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-        s"len(list_intersect(string_split(lower(text), ' '), [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
-      }.mkString(", ")
-      s"""WITH c AS (SELECT doc_id, lang,
-         |    trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text
-         |  FROM documents),
-         |h AS (SELECT doc_id, lang, text, $hits FROM c),
-         |g AS (SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS g FROM h),
-         |lid AS (SELECT doc_id, lang, text, CASE WHEN g = 0 THEN 'und'
-         |  WHEN h_zh = g THEN 'zh' WHEN h_fr = g THEN 'fr' WHEN h_es = g THEN 'es'
-         |  WHEN h_en = g THEN 'en' ELSE 'de' END AS pred FROM g),
-         |lk AS (SELECT * FROM lid WHERE pred IN ('en', 'es', 'fr')),
-         |q AS (SELECT * FROM lk WHERE len(string_split(lower(text), ' ')) >= 10),
-         |d AS (SELECT * FROM q WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
-         |r AS (SELECT doc_id, lang, (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM d),
-         |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk FROM r),
-         |kept AS (SELECT * FROM k WHERE (lang = 'en' AND rk <= 60)
-         |   OR (lang = 'es' AND rk <= 25) OR (lang = 'fr' AND rk <= 15)),
-         |sp AS (SELECT *, CASE WHEN rnd < 429496729 THEN 'test'
-         |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split FROM kept),
-         |sh AS (SELECT *, rnd % 4 AS shard FROM sp)
+        .orderBy("doc_id"),
+      Some(s"""$curationCtes
          |SELECT doc_id, lang, split, CAST(shard AS BIGINT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rnd, doc_id) AS BIGINT) AS pos
-         |FROM sh ORDER BY 1""".stripMargin
-    }),
+         |FROM sh ORDER BY 1""".stripMargin)),
+
+    // The pipeline funnel: per-step survivor counts — the observability
+    // view every curation run publishes ("which step dropped the
+    // corpus?"); oracle counts the same composed CTEs stage by stage.
+    Q("curation_funnel", (s, dir) =>
+      CurationPipeline.funnel(
+        docs(s, dir), graft.config.CurationConfig.fromYaml(curationYaml))
+        .orderBy("step_idx"),
+      Some(s"""$curationCtes
+         |SELECT * FROM (
+         |  SELECT -1 AS step_idx, 'input' AS step,
+         |    CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS rows_out
+         |  UNION ALL SELECT 0, 'clean', (SELECT COUNT(*) FROM c)
+         |  UNION ALL SELECT 1, 'langid_keep', (SELECT COUNT(*) FROM lk)
+         |  UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM q)
+         |  UNION ALL SELECT 3, 'dedup_exact', (SELECT COUNT(*) FROM d)
+         |  UNION ALL SELECT 4, 'quota', (SELECT COUNT(*) FROM kept)
+         |  UNION ALL SELECT 5, 'split', (SELECT COUNT(*) FROM sp)
+         |  UNION ALL SELECT 6, 'shuffle', (SELECT COUNT(*) FROM sh)
+         |) ORDER BY step_idx""".stripMargin)),
 
     // Snapshot diff (dataset versioning): before = the documents table,
     // after = a deterministic mutation (every 17th doc dropped, every

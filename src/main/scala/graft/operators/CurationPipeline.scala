@@ -34,6 +34,38 @@ object CurationPipeline {
     pipeline.steps.foldLeft(docs)((df, step) => applyStep(df, step, idCol, textCol))
   }
 
+  /** Per-step survivor counts — the curation funnel report every
+    * large-scale pipeline publishes ("which step dropped 90% of the
+    * corpus?"): one row per step `(step_idx, step, rows_out)` plus the
+    * input row as step −1. Costs one count action per step (each a
+    * map-side-combined aggregate over that prefix of the chain) — a
+    * diagnostic run, not the production path; run it on a sampled corpus
+    * when the full one is expensive.
+    */
+  def funnel(docs: DataFrame, pipeline: Pipeline,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val names = pipeline.steps.map(stepName)
+    val counts = pipeline.steps.scanLeft(docs)(
+      (df, step) => applyStep(df, step, idCol, textCol))
+      .map(_.count())
+    (("input" +: names).zipWithIndex.map { case (nm, i) => (i - 1, nm, counts(i)) })
+      .toDF("step_idx", "step", "rows_out")
+  }
+
+  private def stepName(s: Step): String = s match {
+    case Clean => "clean"
+    case Redact => "redact"
+    case LangIdKeep(_) => "langid_keep"
+    case Quality(_, _) => "quality"
+    case DedupExact => "dedup_exact"
+    case Quota(_, _) => "quota"
+    case Split(_) => "split"
+    case Shuffle(_) => "shuffle"
+    case Chunk(_, _) => "chunk"
+  }
+
   private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String): DataFrame =
     step match {
       case Clean =>

@@ -74,6 +74,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out.columns.contains("text"))
   }
 
+  test("funnel reports monotone survivor counts per step") {
+    val p = CurationConfig.fromYaml(
+      """steps:
+        |  - clean
+        |  - quality: { min_tokens: 10 }
+        |  - dedup_exact
+        |  - quota: { quotas: { en: 20 } }
+        |""".stripMargin)
+    val rows = CurationPipeline.funnel(docs, p)
+      .orderBy("step_idx").as[(Int, String, Long)].collect().toSeq
+    assert(rows.map(_._2) == Seq("input", "clean", "quality", "dedup_exact", "quota"))
+    assert(rows.head._3 == docs.count())
+    // Counts never grow through filters; quota ends at exactly 20.
+    assert(rows.map(_._3).zip(rows.tail.map(_._3)).forall { case (a, b) => b <= a })
+    assert(rows.last._3 == 20L)
+  }
+
   test("chunk must be the final step") {
     val ex = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
       "steps:\n  - chunk: { chars: 100 }\n  - clean\n"))
