@@ -482,6 +482,24 @@ object PlanAudit {
       .findAllIn(qcScore.queryExecution.executedPlan.toString).length
     println(s"${if (qcBroadcasts >= 1) "OK " else "HOT"} quality model broadcast        n=$qcBroadcasts")
 
+    // The declarative 7-step curation pipeline composed: its exchange
+    // count is the SUM of its steps' audited budgets (clean/langid/
+    // quality/split map-side; dedup_exact one agg + semi-join; quota
+    // count+rank; shuffle one shard exchange + id join) — composition
+    // must not add plan shapes of its own.
+    val curationYaml =
+      """steps:
+        |  - clean: {}
+        |  - langid_keep: { langs: [en, es, fr] }
+        |  - quality: { min_tokens: 10 }
+        |  - dedup_exact: {}
+        |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
+        |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+        |  - shuffle: { shards: 4 }
+        |""".stripMargin
+    audit("curation_pipeline", graft.operators.CurationPipeline.fromYaml(
+      docsT, curationYaml), 5)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
