@@ -38,6 +38,25 @@ object CurationConfig {
   final case class Shuffle(shards: Int) extends Step
   final case class Chunk(chars: Int, overlap: Int) extends Step
 
+  /** Drop documents sharing ≥ `minMatches` word n-grams with the probe
+    * frame named `probesTable` (an eval set) — probe sets are TABLES in
+    * production, so the step names an auxiliary frame supplied to the
+    * compiler rather than inlining strings into config.
+    */
+  final case class Decontam(probesTable: String, ngram: Int, minMatches: Long) extends Step
+
+  /** Keep documents whose self-perplexity under an add-one unigram LM
+    * fit on the surviving corpus is ≤ `maxPpl` (CCNet-style LM filter).
+    */
+  final case class PerplexityKeep(maxPpl: Double, vocabSize: Int) extends Step
+
+  /** Near-duplicate removal: banded MinHash-LSH pairs at `threshold`
+    * Jaccard, connected-component clusters, keep each cluster's min-id
+    * member (singletons implicitly kept).
+    */
+  final case class DedupMinhash(
+      threshold: Double, numHashes: Int, bands: Int, shingleN: Int) extends Step
+
   final case class Pipeline(steps: Seq[Step])
 
   def fromYaml(yamlText: String): Pipeline = {
@@ -107,10 +126,26 @@ object CurationConfig {
       case "chunk" =>
         Chunk(need(longParam("chars"), "'chars'").toInt,
           longParam("overlap").getOrElse(0L).toInt)
+      case "decontaminate" =>
+        Decontam(
+          need(params.get("probes").map(_.toString), "'probes' (auxiliary table name)"),
+          longParam("ngram").getOrElse(3L).toInt,
+          longParam("min_matches").getOrElse(1L))
+      case "perplexity" =>
+        PerplexityKeep(
+          need(doubleParam("max_ppl"), "'max_ppl'"),
+          longParam("vocab").getOrElse(1L << 16).toInt)
+      case "dedup_minhash" =>
+        DedupMinhash(
+          need(doubleParam("threshold"), "'threshold'"),
+          longParam("num_hashes").getOrElse(64L).toInt,
+          longParam("bands").getOrElse(16L).toInt,
+          longParam("shingle_n").getOrElse(3L).toInt)
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, redact, " +
-            "dedup_exact, langid_keep, quality, quota, split, shuffle, chunk)")
+            "dedup_exact, dedup_minhash, langid_keep, quality, quota, split, " +
+            "shuffle, chunk, decontaminate, perplexity)")
     }
   }
 }

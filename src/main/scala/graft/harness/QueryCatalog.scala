@@ -464,8 +464,87 @@ object QueryCatalog {
         .select("c_custkey")
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey FROM customer WHERE EXISTS
-             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""".stripMargin))
+             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""".stripMargin)),
+
+    // As-of joins (AsOfJoin: union + ordered window — one key exchange,
+    // no range-join pair blow-up). Oracle is DuckDB's native ASOF JOIN —
+    // an independent implementation of the same published semantics.
+    Q("join_asof", (s, dir) => {
+      val (pur, clk) = asofFrames(s, dir)
+      AsOfJoin.backward(pur, clk, Seq("user_id"), "pts", "cts")
+        .select("user_id", "pts", "cts", "n_clicks").orderBy("user_id", "pts")
+    }, Some(asofCte +
+      """SELECT p.user_id, p.pts, c.cts, c.n_clicks FROM pur p
+        |ASOF LEFT JOIN clk c ON p.user_id = c.user_id AND p.pts >= c.cts
+        |ORDER BY 1, 2""".stripMargin)),
+
+    Q("join_asof_fwd", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts")).distinct()
+      val err = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").as("ets"))
+        .agg(count(lit(1)).as("n_errors"))
+      AsOfJoin.forward(pur, err, Seq("user_id"), "pts", "ets")
+        .select("user_id", "pts", "ets", "n_errors").orderBy("user_id", "pts")
+    }, Some(
+      """WITH pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events
+        |  WHERE event_type='purchase' GROUP BY 1, 2),
+        |err AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ets,
+        |  CAST(COUNT(*) AS BIGINT) AS n_errors FROM events
+        |  WHERE event_type='error' GROUP BY 1, 2)
+        |SELECT p.user_id, p.pts, e.ets, e.n_errors FROM pur p
+        |ASOF LEFT JOIN err e ON p.user_id = e.user_id AND p.pts <= e.ets
+        |ORDER BY 1, 2""".stripMargin)),
+
+    Q("join_asof_tol", (s, dir) => {
+      val (pur, clk) = asofFrames(s, dir)
+      AsOfJoin.backward(pur, clk, Seq("user_id"), "pts", "cts",
+        toleranceMicros = 3600000000L)
+        .select("user_id", "pts", "cts", "n_clicks").orderBy("user_id", "pts")
+    }, Some(asofCte +
+      """SELECT user_id, pts,
+        |  CASE WHEN pts - cts <= INTERVAL 1 HOUR THEN cts END AS cts,
+        |  CASE WHEN pts - cts <= INTERVAL 1 HOUR THEN n_clicks END AS n_clicks
+        |FROM (SELECT p.user_id, p.pts, c.cts, c.n_clicks FROM pur p
+        |  ASOF LEFT JOIN clk c ON p.user_id = c.user_id AND p.pts >= c.cts)
+        |ORDER BY 1, 2""".stripMargin)),
+
+    Q("join_asof_nearest", (s, dir) => {
+      val (pur, clk) = asofFrames(s, dir)
+      AsOfJoin.nearest(pur, clk, Seq("user_id"), "pts", "cts")
+        .select("user_id", "pts", "cts", "n_clicks").orderBy("user_id", "pts")
+    }, Some(asofCte +
+      // Brute-force nearest: smallest |Δt|, ties to the backward row —
+      // LEFT JOIN keeps purchase rows for users with no clicks.
+      """SELECT p.user_id, p.pts, c.cts, c.n_clicks FROM pur p
+        |LEFT JOIN clk c ON p.user_id = c.user_id
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.user_id, p.pts
+        |  ORDER BY ABS(epoch_us(p.pts) - epoch_us(c.cts)), c.cts >= p.pts, c.cts) = 1
+        |ORDER BY 1, 2""".stripMargin))
   )
+
+  /** Purchases (left) and per-µs-collapsed clicks (right) for the as-of
+    * entries — the right side MUST be unique per (key, ts) for a
+    * well-defined match (AsOfJoin contract).
+    */
+  private def asofFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts")).distinct()
+    val clk = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(count(lit(1)).as("n_clicks"))
+    (pur, clk)
+  }
+
+  private def asofCte =
+    """WITH pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events
+      |  WHERE event_type='purchase' GROUP BY 1, 2),
+      |clk AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clicks FROM events
+      |  WHERE event_type='click' GROUP BY 1, 2)
+      |""".stripMargin
 
   // ==========================================================================
   // §2.4 aggregations + §2.5 window functions + §2.6 event-bound
@@ -1314,6 +1393,17 @@ object QueryCatalog {
               |SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS rnk
               |FROM r WHERE rk <= 5 ORDER BY 1, 3""".stripMargin), bench = true),
 
+    // Distributed PCA (EmbeddingProjection): one-pass per-partition
+    // moment accumulation → driver d×d Jacobi eigensolve → map-side
+    // projection against literal components. Deterministic (fixed-order
+    // moment merge, canonical eigenvector signs) but not SQL-expressible
+    // → golden fixture; orthonormality/variance/closed-form invariants
+    // are property-tested in EmbeddingProjectionSpec.
+    Q("embedding_pca", (s, dir) =>
+      EmbeddingProjection.pca(emb(s, dir), k = 8)
+        .orderBy("vec_id"),
+      None),
+
     Q("sim_ann_lsh", (s, dir) =>
       Similarity.lshTopK(emb(s, dir).filter(col("vec_id") < 50), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
@@ -1682,6 +1772,57 @@ object QueryCatalog {
          |  UNION ALL SELECT 5, 'split', (SELECT COUNT(*) FROM sp)
          |  UNION ALL SELECT 6, 'shuffle', (SELECT COUNT(*) FROM sh)
          |) ORDER BY step_idx""".stripMargin)),
+
+    // The LM-side curation pipeline: clean → benchmark decontamination
+    // (probe set = an auxiliary FRAME, as eval sets are in production) →
+    // CCNet-style perplexity filter (LM fit on the surviving corpus
+    // itself) → exact dedup — each step the already-proven oracle form,
+    // composed. Complements curation_pipeline (which covers the
+    // langid/quality/mix/split/shard half of the language).
+    Q("curation_pipeline_lm", (s, dir) => {
+      val d = docs(s, dir)
+      CurationPipeline.fromYaml(
+        d.filter(col("doc_id") >= 5),
+        """steps:
+          |  - clean: {}
+          |  - decontaminate: { probes: eval, ngram: 3 }
+          |  - perplexity: { max_ppl: 300, vocab: 20 }
+          |  - dedup_exact: {}
+          |""".stripMargin,
+        aux = Map("eval" -> d.filter(col("doc_id") < 5)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH c AS (SELECT doc_id, lang, source,
+        |    trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text
+        |  FROM documents WHERE doc_id >= 5),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM c),
+        |g0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, s FROM g0),
+        |pt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE doc_id < 5),
+        |pg AS (SELECT DISTINCT UNNEST(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM pt WHERE len(toks) >= 3),
+        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN pg ON g.s = pg.s),
+        |dec AS (SELECT * FROM c WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        |tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM dec),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+        |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        |vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM voc),
+        |lm AS (SELECT tok, LN((c + 1) / (t + v + 1)) AS logp
+        |  FROM voc CROSS JOIN tot CROSS JOIN vs),
+        |sc AS (SELECT doc_id, COALESCE(logp, LN(1 / (t + v + 1))) AS lp
+        |  FROM tok LEFT JOIN lm USING (tok) CROSS JOIN tot CROSS JOIN vs),
+        |agg AS (SELECT doc_id, -AVG(lp) AS nll FROM sc GROUP BY 1),
+        |pk AS (SELECT dec.* FROM dec JOIN agg USING (doc_id)
+        |  WHERE ROUND(EXP(nll), 4) <= 300),
+        |dd AS (SELECT * FROM pk WHERE doc_id IN
+        |  (SELECT MIN(doc_id) FROM pk GROUP BY text))
+        |SELECT doc_id, lang, source FROM dd ORDER BY 1""".stripMargin)),
 
     // Snapshot diff (dataset versioning): before = the documents table,
     // after = a deterministic mutation (every 17th doc dropped, every

@@ -23,15 +23,17 @@ import graft.functions.Texts
 object CurationPipeline {
 
   def fromYaml(docs: DataFrame, yamlText: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    apply(docs, CurationConfig.fromYaml(yamlText), idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): DataFrame =
+    apply(docs, CurationConfig.fromYaml(yamlText), idCol, textCol, aux)
 
   def apply(docs: DataFrame, pipeline: Pipeline,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): DataFrame = {
     pipeline.steps.dropRight(1).foreach(s =>
       require(!s.isInstanceOf[Chunk],
         "chunk changes the row grain and must be the final step"))
-    pipeline.steps.foldLeft(docs)((df, step) => applyStep(df, step, idCol, textCol))
+    pipeline.steps.foldLeft(docs)((df, step) => applyStep(df, step, idCol, textCol, aux))
   }
 
   /** Per-step survivor counts — the curation funnel report every
@@ -43,12 +45,13 @@ object CurationPipeline {
     * when the full one is expensive.
     */
   def funnel(docs: DataFrame, pipeline: Pipeline,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val names = pipeline.steps.map(stepName)
     val counts = pipeline.steps.scanLeft(docs)(
-      (df, step) => applyStep(df, step, idCol, textCol))
+      (df, step) => applyStep(df, step, idCol, textCol, aux))
       .map(_.count())
     (("input" +: names).zipWithIndex.map { case (nm, i) => (i - 1, nm, counts(i)) })
       .toDF("step_idx", "step", "rows_out")
@@ -64,9 +67,13 @@ object CurationPipeline {
     case Split(_) => "split"
     case Shuffle(_) => "shuffle"
     case Chunk(_, _) => "chunk"
+    case Decontam(_, _, _) => "decontaminate"
+    case PerplexityKeep(_, _) => "perplexity"
+    case DedupMinhash(_, _, _, _) => "dedup_minhash"
   }
 
-  private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String): DataFrame =
+  private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String,
+      aux: Map[String, DataFrame]): DataFrame =
     step match {
       case Clean =>
         df.withColumn(textCol, Texts.cleanText(col(textCol)))
@@ -97,5 +104,28 @@ object CurationPipeline {
         df.join(Sampling.shuffleShards(df, shards, idCol), Seq(idCol))
       case Chunk(chars, overlap) =>
         Chunking.chunk(df, chars, overlap, idCol, textCol)
+      case Decontam(probesTable, ngram, minMatches) =>
+        val probes = aux.getOrElse(probesTable, throw new IllegalArgumentException(
+          s"decontaminate step names auxiliary table '$probesTable' but the " +
+            s"compiler was given ${if (aux.isEmpty) "none" else aux.keys.mkString(", ")}"))
+        val hits = Decontaminate.matches(df, probes, ngram, textCol, idCol, textCol)
+          .filter(col("matched_ngrams") >= minMatches)
+          .select(col("doc_id").as(idCol))
+        df.join(hits, Seq(idCol), "left_anti")
+      case PerplexityKeep(maxPpl, vocabSize) =>
+        // Self-perplexity: the LM is fit on the frame AS CURATED SO FAR,
+        // so earlier filters shape the reference distribution (the CCNet
+        // ordering). ppl is the operator's 4-decimal-rounded value.
+        val keep = Vocabulary.perplexity(df, vocabSize, textCol, idCol)
+          .filter(col("ppl") <= maxPpl)
+          .select(col("doc_id").as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case DedupMinhash(threshold, numHashes, bands, shingleN) =>
+        val pairs = Dedup.minhashLsh(
+          df, threshold, numHashes, bands, shingleN, textCol = textCol, idCol = idCol)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
     }
 }

@@ -100,6 +100,50 @@ object StreamingPredicates {
           col("win.end").as("window_end") +: preds.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Streaming gap-sessionization — the incremental face of
+    * [[graft.operators.Sessionize]]: Spark's native `session_window`
+    * merges per-subject events into gap-delimited sessions, and each
+    * session row is emitted exactly once when the event-time watermark
+    * proves no further event can extend it. State per subject is the
+    * open session only (merged by the session-window operator itself —
+    * no custom state code), bounded by watermark × event rate.
+    *
+    * Semantics match the batch operator EXACTLY, boundary included:
+    * batch starts a new session when the gap is STRICTLY greater than
+    * `gapMicros`, while `session_window`'s half-open `[ts, ts+gap)`
+    * interval would split at an exact-`gapMicros` gap — so the window
+    * gap is `gapMicros + 1` µs. Output columns are the batch summary's
+    * (subject, session_start, session_end, duration_us, n_events);
+    * the batch 0-based per-subject `session_id` ordinal is inherently
+    * retrospective (it counts ALL earlier sessions) and is not emitted —
+    * StreamingSpec asserts parity on the summary key instead.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      gapMicros: Long,
+      watermark: String,
+      subjectCol: String = "subject_id",
+      tsCol: String = "timestamp"
+  ): DataFrame = {
+    require(gapMicros >= 0, s"gapMicros must be >= 0, got $gapMicros")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        col(subjectCol),
+        session_window(col(tsCol), s"${gapMicros + 1} microseconds").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .select(
+        col(subjectCol),
+        col("session_start"),
+        col("session_end"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("duration_us"),
+        col("n_events"))
+  }
+
   final case class SubjectEvent(subject_id: Long, tsMicros: Long, counts: Array[Long])
   final case class SubjectTotals(subject_id: Long, lastTsMicros: Long, totals: Array[Long])
 

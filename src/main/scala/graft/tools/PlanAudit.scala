@@ -500,6 +500,47 @@ object PlanAudit {
     audit("curation_pipeline", graft.operators.CurationPipeline.fromYaml(
       docsT, curationYaml), 5)
 
+    // As-of join: the union+window formulation must plan ONE key exchange
+    // and NO join operator — the whole point versus the quadratic
+    // range-join + argmax shape; nearest shares the single sort (both
+    // directional frames ride one window ordering).
+    val asofL = canonical.select(col("subject_id"), col("timestamp").as("lt"))
+    val asofR = canonical.select(col("subject_id"), col("timestamp").as("rt"),
+      col("is_click").as("r_clicks"))
+    val asofDf = graft.operators.AsOfJoin.backward(
+      asofL, asofR, Seq("subject_id"), "lt", "rt")
+    auditCached("join_asof", asofDf, 1)
+    val asofPlan = asofDf.queryExecution.executedPlan.toString
+    val asofJoinFree = !asofPlan.toLowerCase.contains("join")
+    println(s"${if (asofJoinFree) "OK " else "HOT"} as-of join-operator-free       joinFree=$asofJoinFree")
+    val nearestPlan = graft.operators.AsOfJoin.nearest(
+      asofL, asofR, Seq("subject_id"), "lt", "rt")
+      .queryExecution.executedPlan.toString.split("InMemoryRelation").head
+    val nearestSorts = "Sort ".r.findAllIn(nearestPlan).length
+    println(s"${if (nearestSorts <= 2) "OK " else "HOT"} as-of nearest sort reuse       sorts=$nearestSorts")
+
+    // PCA projection: map-side only against literal components — zero
+    // exchanges, zero joins (the fit's moment pass is its own one-scan
+    // job and is not part of the serving plan).
+    val pcaModel = graft.operators.EmbeddingProjection.fitPca(
+      Tables.table(spark, dir, "embeddings"), k = 4)
+    audit("embedding_pca(project)", graft.operators.EmbeddingProjection.projectPca(
+      Tables.table(spark, dir, "embeddings"), pcaModel), 0)
+
+    // LM-side curation pipeline: decontaminate (broadcast probe shingles)
+    // + self-perplexity (broadcast LM) + exact dedup compose within the
+    // sum of their individual budgets.
+    val lmYaml =
+      """steps:
+        |  - clean: {}
+        |  - decontaminate: { probes: eval }
+        |  - perplexity: { max_ppl: 300, vocab: 20 }
+        |  - dedup_exact: {}
+        |""".stripMargin
+    audit("curation_pipeline_lm", graft.operators.CurationPipeline.fromYaml(
+      docsT.filter(col("doc_id") >= 5), lmYaml,
+      aux = Map("eval" -> docsT.filter(col("doc_id") < 5))), 9)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

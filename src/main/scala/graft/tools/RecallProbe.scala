@@ -242,6 +242,35 @@ object RecallProbe {
       try recall(pairs(Similarity.ivfTopK(mog, k = 5), "query_id", "neighbor_id"), mogExact)
       finally spark.conf.unset("spark.graft.ivf.nprobeFraction")
 
+    // ── OPQ-lite: full-rank PCA rotation before PQ (EmbeddingProjection
+    // .rotateToBasis — dot/cosine preserved exactly, energy compacted
+    // into leading subspaces). Measured at a deliberately STARVED PQ
+    // budget (m=8, ks=16, rerank=2k) where ADC quality is the decider —
+    // at the default budget both forms saturate ≥0.94 and the rotation
+    // is invisible. The clustered MoG corpus is where real-embedding
+    // covariance structure lives; the near-uniform driver fixture is
+    // included as the honest no-structure-no-gain control.
+    val pqCfg = (8, 16, 2, 2) // m, ks, refineIters, rerankFactor
+    def starvedPq(v: DataFrame): Set[(Long, Long)] =
+      pairs(ProductQuant.pqTopK(v, 5, pqCfg._1, pqCfg._2, pqCfg._3, pqCfg._4,
+        "vec_id", "embedding"), "query_id", "neighbor_id")
+    val mogModel = graft.operators.EmbeddingProjection.fitPca(mog, k = 64)
+    val mogRot = graft.plans.Materialize(
+      graft.operators.EmbeddingProjection.rotateToBasis(mog, mogModel), eager = true)
+    // Rotation-correctness gate: exact top-k on the rotated corpus must
+    // BE the exact top-k (cosine preserved bit-for-bit at double-dot
+    // precision).
+    val mogRotExactRecall = recall(
+      pairs(Similarity.bruteForceTopK(mogRot, mogRot, k = 5), "query_id", "neighbor_id"),
+      mogExact)
+    val opqMogPlain = recall(starvedPq(mog), mogExact)
+    val opqMogRot = recall(starvedPq(mogRot), mogExact)
+    val emb1Model = graft.operators.EmbeddingProjection.fitPca(emb1, k = 64)
+    val emb1Rot = graft.plans.Materialize(
+      graft.operators.EmbeddingProjection.rotateToBasis(emb1, emb1Model), eager = true)
+    val opqEmb1Plain = recall(starvedPq(emb1), exact1)
+    val opqEmb1Rot = recall(starvedPq(emb1Rot), exact1)
+
     val json =
       f"""{
          |  "sf_dir": "$sfDir",
@@ -306,6 +335,13 @@ object RecallProbe {
          |    "mog_nprobe_sweep": [
          |      $mogSweepJson
          |    ]
+         |  },
+         |  "opq_lite": {
+         |    "note": "full-rank PCA rotation before PQ (rotateToBasis): cosine-preserving energy compaction, the first-order OPQ win; measured at a starved PQ budget where ADC quality decides",
+         |    "config": "m=8, ks=16, rerank=2k — vs the same PQ un-rotated",
+         |    "rotation_exact_topk_recall": $mogRotExactRecall%.4f,
+         |    "mog": {"pq_plain": $opqMogPlain%.4f, "pq_rotated": $opqMogRot%.4f},
+         |    "sf0.1_uniform": {"pq_plain": $opqEmb1Plain%.4f, "pq_rotated": $opqEmb1Rot%.4f}
          |  }
          |}""".stripMargin
     println(json)
@@ -316,7 +352,7 @@ object RecallProbe {
       pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 && pqKs256Recall >= 0.9 &&
       ivfPqRecall >= 0.9 && ivfPq1Recall >= 0.9 && ivfPqIdxRecall >= 0.9 &&
       lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9 &&
-      mogSqrtRecall >= 0.9 && mogFracRecall >= 0.9
+      mogSqrtRecall >= 0.9 && mogFracRecall >= 0.9 && mogRotExactRecall >= 0.9999
     println(s"[recall-probe] all above asserted minimums: $ok")
     spark.stop()
     if (!ok) sys.exit(1)

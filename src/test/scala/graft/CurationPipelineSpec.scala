@@ -97,6 +97,63 @@ class CurationPipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("final step"))
   }
 
+  test("decontaminate, perplexity, and dedup_minhash steps parse and compose") {
+    val p = CurationConfig.fromYaml(
+      """steps:
+        |  - decontaminate: { probes: eval, ngram: 3, min_matches: 2 }
+        |  - perplexity: { max_ppl: 500.0, vocab: 32 }
+        |  - dedup_minhash: { threshold: 0.8, num_hashes: 32, bands: 8 }
+        |""".stripMargin)
+    assert(p.steps == Seq(
+      CurationConfig.Decontam("eval", 3, 2L),
+      CurationConfig.PerplexityKeep(500.0, 32),
+      CurationConfig.DedupMinhash(0.8, 32, 8, 3)))
+    // Missing required params fail fast.
+    assert(intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - decontaminate: {}\n")).getMessage.contains("probes"))
+    assert(intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - perplexity: {}\n")).getMessage.contains("max_ppl"))
+    assert(intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - dedup_minhash: {}\n")).getMessage.contains("threshold"))
+  }
+
+  test("decontaminate step drops matching docs; missing aux frame is a clear error") {
+    val probes = docs.filter(col("doc_id") < 5)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val yaml = "steps:\n  - decontaminate: { probes: eval }\n"
+    val out = CurationPipeline.fromYaml(corpus, yaml, aux = Map("eval" -> probes))
+    val hitIds = graft.operators.Decontaminate.matches(corpus, probes, 3)
+      .select("doc_id").as[Long].collect().toSet
+    val outIds = out.select("doc_id").as[Long].collect().toSet
+    assert(hitIds.nonEmpty && outIds.intersect(hitIds).isEmpty)
+    assert(outIds.size == corpus.count() - hitIds.size)
+    val err = intercept[IllegalArgumentException](
+      CurationPipeline.fromYaml(corpus, yaml).count())
+    assert(err.getMessage.contains("eval"))
+  }
+
+  test("perplexity step keeps exactly the docs at or under the cut") {
+    val yaml = "steps:\n  - perplexity: { max_ppl: 300, vocab: 20 }\n"
+    val out = CurationPipeline.fromYaml(docs, yaml)
+    val want = graft.operators.Vocabulary.perplexity(docs, vocabSize = 20)
+      .filter(col("ppl") <= 300).select("doc_id").as[Long].collect().toSet
+    val got = out.select("doc_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty && got.size < docs.count())
+  }
+
+  test("dedup_minhash step equals operator composition and keeps cluster minima") {
+    val yaml = "steps:\n  - dedup_minhash: { threshold: 0.7 }\n"
+    val out = CurationPipeline.fromYaml(docs, yaml)
+    val pairs = graft.operators.Dedup.minhashLsh(docs, 0.7)
+    val drop = graft.operators.Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(drop.nonEmpty, "fixture must contain near-dups for this test to bite")
+    val got = out.select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(got == all.diff(drop))
+  }
+
   test("shuffle positions are dense per shard after the full pipeline") {
     val yaml =
       """steps:

@@ -394,6 +394,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeStream matches batch Sessionize.sessions, boundary gap included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Gap 1h. Subject 1: 10:00, 10:30, exactly-1h gap to 11:30 (batch
+    // keeps SAME session at gap == gapMicros), then 13:00:00.000001
+    // (1h + 1µs after 12:00? no — 13:00 is >1h after 11:30 → new
+    // session). Subject 2: single event. Out-of-order arrival within
+    // the watermark must land in the right session.
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")),
+      (1L, ts("2024-01-01 11:30:00")), // == gap exactly → same session
+      (1L, ts("2024-01-01 13:00:00")), // > gap → new session
+      (2L, ts("2024-01-01 10:15:00")))
+
+    val batch = graft.operators.Sessionize
+      .sessions(rows.toDF("subject_id", "timestamp"), gapMicros = 3600000000L)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long, Long)] =
+      df.select(col("subject_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("duration_us"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val want = key(batch)
+    assert(want.contains((1L, "2024-01-01 10:00:00", "2024-01-01 11:30:00", 5400000000L, 3L)),
+      s"batch must merge the exact-boundary gap; got $want")
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = StreamingPredicates.sessionizeStream(
+      input.toDF().toDF("subject_id", "timestamp"),
+      gapMicros = 3600000000L, watermark = "30 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("sessionize_stream").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:15:00")))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 11:30:00")), (1L, ts("2024-01-01 10:30:00"))) // out of order
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      // Push the watermark far past every session end + gap to close all.
+      input.addData((1L, ts("2024-01-02 09:00:00")))
+      query.processAllAvailable()
+
+      val got = key(spark.table("sessionize_stream"))
+      assert(want.subsetOf(got),
+        s"streamed sessions must match batch; want $want got $got")
+      // Nothing extra beyond the unclosed tail session (the 09:00 probe).
+      assert((got -- want).forall(_._2.startsWith("2024-01-02")),
+        s"unexpected extra sessions: ${got -- want}")
+    } finally query.stop()
+  }
+
   test("urlDedupStream keeps first arrival per canonical url key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
