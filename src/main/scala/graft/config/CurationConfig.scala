@@ -57,6 +57,19 @@ object CurationConfig {
   final case class DedupMinhash(
       threshold: Double, numHashes: Int, bands: Int, shingleN: Int) extends Step
 
+  /** Token-budget mixing: keep each group's deterministic hash-prefix of
+    * documents until its TOKEN budget is reached (the unit data mixes
+    * are specified in); groups without a budget are dropped.
+    */
+  final case class TokenBudget(budgets: Map[String, Long], group: String) extends Step
+
+  /** Rank-based LM quality cut: keep the best `keepTopFrac` of each
+    * group by self-perplexity (lower = better), LM fit on the frame as
+    * curated so far.
+    */
+  final case class PerplexityRank(
+      keepTopFrac: Double, group: String, vocabSize: Int) extends Step
+
   final case class Pipeline(steps: Seq[Step])
 
   def fromYaml(yamlText: String): Pipeline = {
@@ -141,11 +154,22 @@ object CurationConfig {
           longParam("num_hashes").getOrElse(64L).toInt,
           longParam("bands").getOrElse(16L).toInt,
           longParam("shingle_n").getOrElse(3L).toInt)
+      case "token_budget" =>
+        val budgets = need(params.get("budgets"), "'budgets' (map of group -> tokens)")
+          .asInstanceOf[java.util.Map[Object, Object]].asScala
+          .map { case (k, v) => k.toString -> v.asInstanceOf[Number].longValue }.toMap
+        TokenBudget(budgets, params.get("group").map(_.toString).getOrElse("lang"))
+      case "perplexity_rank" =>
+        PerplexityRank(
+          need(doubleParam("keep_top_frac"), "'keep_top_frac'"),
+          params.get("group").map(_.toString).getOrElse("lang"),
+          longParam("vocab").getOrElse(1L << 16).toInt)
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, redact, " +
             "dedup_exact, dedup_minhash, langid_keep, quality, quota, split, " +
-            "shuffle, chunk, decontaminate, perplexity)")
+            "shuffle, chunk, decontaminate, perplexity, perplexity_rank, " +
+            "token_budget)")
     }
   }
 }

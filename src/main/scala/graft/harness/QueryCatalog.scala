@@ -1107,6 +1107,27 @@ object QueryCatalog {
               |  AND (doc_a >= 400 OR doc_b >= 400)
               |ORDER BY 1, 2""".stripMargin)),
 
+    // Asymmetric containment |A∩B|/min(|A|,|B|) (Broder 1997): catches
+    // a short doc embedded in a longer one, which symmetric Jaccard's
+    // union denominator dilutes to invisibility (the structural miss is
+    // pinned in ExtensionsSpec). Same inverted-shingle-index plan.
+    Q("dedup_ngram_containment", (s, dir) =>
+      Dedup.ngramContainment(docs(s, dir), threshold = 0.9, shingleN = 1)
+        .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH sh AS (
+              |  SELECT doc_id, s FROM (
+              |    SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS s FROM documents)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / LEAST(na.n, nb.n), 4) AS containment
+              |FROM pairs JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+              |WHERE CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.9
+              |ORDER BY 1, 2""".stripMargin)),
+
     // Exact duplicate-SPAN detection (Lee et al. 2022, arXiv:2107.06499):
     // every 5-token window occurring >= 2 times anywhere in the corpus,
     // merged per doc into maximal spans (gaps-and-islands). String window
@@ -1628,6 +1649,16 @@ object QueryCatalog {
              |  CAST(bucket * 1099511627776 + FLOOR(start_tok / 512.0) AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // NO-SPLIT sample packing: whole docs into fixed-capacity packs by
+    // per-bucket first-fit-decreasing (Packing.packGreedyBins) — the
+    // padding-minimizing regime used when cross-document attention
+    // contamination matters. Procedural (FFD) → golden fixture;
+    // capacity/determinism/waste-bound invariants in ExtensionsSpec.
+    Q("text_packing_bins", (s, dir) =>
+      Packing.packGreedyBins(docs(s, dir), budgetTokens = 128, buckets = 8)
+        .orderBy("doc_id"),
+      None),
+
     Q("text_decontaminate", (s, dir) => {
       // Probe set = the first five documents standing in for an eval set;
       // corpus = the rest. 3-gram overlap counts per contaminated doc.
@@ -1738,6 +1769,59 @@ object QueryCatalog {
              |SELECT k.doc_id, k.lang, CAST(k.rk AS BIGINT) AS rk
              |FROM k JOIN q USING (lang) WHERE k.rk <= q.q
              |ORDER BY k.doc_id""".stripMargin)),
+
+    // Token-budget mixing sample: the training-mix quota in TOKENS (the
+    // unit mixes are actually specified in) — hash-prefix traversal per
+    // group, keep while the running token total is under budget (the
+    // crossing doc included), pre-filter below the cumulative window as
+    // in sample_quota.
+    Q("sample_token_budget", (s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(split(lower(col("text")), " ")).cast("long"))
+      Sampling.tokenBudgetSample(d, Map("en" -> 3000L, "es" -> 1000L, "fr" -> 800L))
+        .orderBy("doc_id")
+    }, Some("""WITH h AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM h)
+             |SELECT doc_id, lang, n_tokens, cum_before FROM c
+             |WHERE (lang = 'en' AND cum_before < 3000)
+             |   OR (lang = 'es' AND cum_before < 1000)
+             |   OR (lang = 'fr' AND cum_before < 800)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Rank-based quality cut: keep the best 80% of each language by LM
+    // perplexity (lower = better) — exact per-group fraction via
+    // row_number + same-partitioning group count; the skew-immune
+    // approximate-threshold form (scoreThresholdFilter) is
+    // property-tested in ExtensionsSpec.
+    Q("quality_rank_filter", (s, dir) => {
+      val d = docs(s, dir)
+      val ppl = Vocabulary.perplexity(d, vocabSize = 20).select(col("doc_id"), col("ppl"))
+      val scored = d.join(ppl, Seq("doc_id")).withColumn("score", -col("ppl"))
+      Sampling.topFractionByScore(scored, keepTopFrac = 0.8)
+        .select(col("doc_id"), col("lang"), col("ppl"), col("q_rank"))
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+             |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+             |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+             |vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM voc),
+             |lm AS (SELECT tok, LN((c + 1) / (t + v + 1)) AS logp
+             |       FROM voc CROSS JOIN tot CROSS JOIN vs),
+             |sc AS (SELECT doc_id, COALESCE(logp, LN(1 / (t + v + 1))) AS lp
+             |       FROM tok LEFT JOIN lm USING (tok) CROSS JOIN tot CROSS JOIN vs),
+             |agg AS (SELECT doc_id, -AVG(lp) AS nll FROM sc GROUP BY 1),
+             |p AS (SELECT d.doc_id, d.lang, ROUND(EXP(a.nll), 4) AS ppl
+             |      FROM documents d JOIN agg a USING (doc_id)),
+             |r AS (SELECT doc_id, lang, ppl,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS BIGINT) AS q_rank,
+             |    COUNT(*) OVER (PARTITION BY lang) AS n FROM p)
+             |SELECT doc_id, lang, ppl, q_rank FROM r
+             |WHERE q_rank <= CEIL(n * 0.8) ORDER BY doc_id""".stripMargin)),
 
     // The declarative curation pipeline end-to-end: clean → language
     // filter → quality filter → exact dedup → quota mix → split →

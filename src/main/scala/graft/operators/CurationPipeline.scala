@@ -70,6 +70,8 @@ object CurationPipeline {
     case Decontam(_, _, _) => "decontaminate"
     case PerplexityKeep(_, _) => "perplexity"
     case DedupMinhash(_, _, _, _) => "dedup_minhash"
+    case TokenBudget(_, _) => "token_budget"
+    case PerplexityRank(_, _, _) => "perplexity_rank"
   }
 
   private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String,
@@ -127,5 +129,19 @@ object CurationPipeline {
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
         df.join(drop, Seq(idCol), "left_anti")
+      case TokenBudget(budgets, group) =>
+        val sized = df.withColumn("__nt",
+          size(filter(split(lower(col(textCol)), " "), t => t =!= "")).cast("long"))
+        val keep = Sampling.tokenBudgetSample(sized, budgets, group, "__nt", idCol)
+          .select(col(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case PerplexityRank(frac, group, vocabSize) =>
+        val ppl = Vocabulary.perplexity(df, vocabSize, textCol, idCol)
+          .select(col("doc_id").as(idCol), col("ppl"))
+        val keep = Sampling.topFractionByScore(
+          df.join(ppl, Seq(idCol)).withColumn("score", -col("ppl")),
+          frac, "score", group, idCol)
+          .select(col(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
     }
 }

@@ -742,6 +742,43 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT near-dup pairs — the asymmetric overlap
+    * `|A∩B| / min(|A|, |B|)` (Broder's containment, "On the resemblance
+    * and containment of documents", SEQUENCES 1997): catches SUBSET
+    * duplication — a short document embedded verbatim in a longer one
+    * (boilerplate-wrapped articles, quoted reposts, page-in-site) —
+    * which symmetric Jaccard structurally misses because the big
+    * document's union denominator dilutes the overlap toward 0 however
+    * complete the containment is. Same inverted-shingle-index plan (and
+    * scale caveat) as [[ngramJaccard]]; thresholds are NOT comparable
+    * between the two metrics (containment ≥ jaccard always).
+    *
+    * @return (doc_a, doc_b, containment) with doc_a < doc_b; the
+    *         contained (smaller-set) side is whichever of the two has
+    *         min n — the pair orientation stays id-ordered.
+    */
+  def ngramContainment(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val inv = shingleRows(docs, shingleN, textCol, idCol)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("n"), col("s"))
+    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Persistable inverted shingle index for [[ngramJaccardIncremental]]:
     * the corpus's distinct `(doc_id, s)` shingle rows — exactly the
     * co-occurrence join's input. Write once per corpus (bucketed by `s`

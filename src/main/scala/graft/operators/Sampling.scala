@@ -25,6 +25,60 @@ object Sampling {
   private def pseudoShuffle(id: Column): Column =
     pmod(pmod(id, lit(1048576L)) * lit(2654435761L), lit(4294967296L))
 
+  /** Keep the top `keepTopFrac` of each group by score — the rank-based
+    * quality cut every curated corpus applies somewhere ("drop the worst
+    * 20% by LM score per language"): exact and deterministic (row_number
+    * over (score desc, id asc), keep rank ≤ ⌈frac·n⌉ with the group size
+    * from a count over the SAME window partitioning — no extra
+    * exchange), so any engine reproduces the identical kept set and the
+    * SQL oracle is a two-window QUALIFY.
+    *
+    * Scale caveat: the per-group rank sorts each group in one task — fine
+    * for per-language groups at normal cardinality, but a 100 TB corpus
+    * with one giant group should use [[scoreThresholdFilter]], which
+    * replaces the sort with an approximate per-group score quantile
+    * (one map-side-combined aggregate + broadcast join, no window) at
+    * the cost of an approximate boundary.
+    *
+    * @return input rows + `q_rank` (1-based within group, best first).
+    */
+  def topFractionByScore(
+      df: DataFrame,
+      keepTopFrac: Double,
+      scoreCol: String = "score",
+      groupCol: String = "lang",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(keepTopFrac > 0 && keepTopFrac <= 1, s"keepTopFrac must be in (0,1], got $keepTopFrac")
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("q_rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .filter(col("q_rank") <= ceil(col("__n") * lit(keepTopFrac)))
+      .drop("__n")
+  }
+
+  /** The corpus-scale form of [[topFractionByScore]]: per-group score
+    * threshold at the (1 − keepTopFrac) quantile via `percentile_approx`
+    * (map-side-combined sketch, broadcast back), then a stateless filter
+    * `score >= threshold` — no per-group sort, no window, skew-immune.
+    * The kept fraction is approximate at the quantile-sketch's accuracy;
+    * ties at the threshold are all kept.
+    */
+  def scoreThresholdFilter(
+      df: DataFrame,
+      keepTopFrac: Double,
+      scoreCol: String = "score",
+      groupCol: String = "lang",
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(keepTopFrac > 0 && keepTopFrac <= 1, s"keepTopFrac must be in (0,1], got $keepTopFrac")
+    val thr = df.groupBy(groupCol).agg(
+      percentile_approx(col(scoreCol), lit(1.0 - keepTopFrac), lit(accuracy)).as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic train/val/test split assignment: each row lands in the
     * split whose cumulative-fraction bucket its id-hash falls into — the
     * standard reproducible alternative to `randomSplit` (whose output
@@ -116,6 +170,63 @@ object Sampling {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= q)
       .select(col(idCol), col(groupCol), col("rk"))
+  }
+
+  /** Token-budget sampling — the training-mix quota expressed in TOKENS,
+    * not documents: real data mixes are specified as "N billion tokens of
+    * group g" (token-weighted mixture weights), and a doc-count quota
+    * over-samples groups with short documents. Traverses each group in
+    * the same deterministic [[quotaSample]] pseudo-shuffle order and
+    * keeps every document whose RUNNING token total BEFORE it is still
+    * under the group's budget — so the budget-crossing document is
+    * included (the sample always reaches the budget when the group can),
+    * and a group's sample is a hash-prefix, reproducible by any engine.
+    *
+    * Scale shape mirrors [[quotaSample]]: per-group token totals
+    * aggregate map-side and broadcast back; a hash-threshold pre-filter
+    * cuts each group to ~`slack × budget/total` of its docs BEFORE the
+    * per-group cumulative window, so a giant group never hits a
+    * single-task full sort. The cumulative sum is a growing frame —
+    * O(n) per group.
+    *
+    * @param budgets   group → token budget (groups absent are dropped).
+    * @param tokensCol a PRE-COMPUTED per-document token-count column.
+    * @return (idCol, groupCol, tokensCol, cum_before) for kept docs.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      budgets: Map[String, Long],
+      groupCol: String = "lang",
+      tokensCol: String = "n_tokens",
+      idCol: String = "doc_id",
+      preFilterSlack: Double = 8.0
+  ): DataFrame = {
+    val b = element_at(typedLit(budgets), col(groupCol))
+    val hashed = df
+      .select(col(idCol), col(groupCol), col(tokensCol),
+        pseudoShuffle(col(idCol)).as("__r"))
+      .filter(b.isNotNull && b > 0L)
+    val totals = hashed.groupBy(groupCol)
+      .agg(sum(col(tokensCol)).as("__t"), count(lit(1)).as("__n"))
+    // Pre-filter: expected docs in the budget prefix = n·B/T; keep
+    // slack× that fraction of the hash space (+64-doc cushion), so the
+    // window sorts ~slack·B/T of the group, not all of it.
+    val thr =
+      if (preFilterSlack == Double.MaxValue) lit(HashSpace)
+      else least(
+        lit(HashSpace),
+        ceil(lit(HashSpace.toDouble) *
+          (b.cast("double") * lit(preFilterSlack) / greatest(col("__t").cast("double"), lit(1.0d)) +
+            lit(64.0d) / col("__n").cast("double"))).cast("long"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hashed
+      .join(broadcast(totals), Seq(groupCol))
+      .withColumn("__thr", thr)
+      .filter(col("__r") < col("__thr"))
+      .withColumn("cum_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("cum_before") < b)
+      .select(col(idCol), col(groupCol), col(tokensCol), col("cum_before"))
   }
 
   /** Temperature (exponent-smoothed) mixing sample — the standard

@@ -1233,6 +1233,42 @@ object StreamingPredicates {
     * @return the input rows plus `quality` — unrounded; callers
     *         threshold, they don't hash-compare.
     */
+  /** Streaming benchmark decontamination — exact matched-n-gram counts
+    * for every arriving doc against a static probe frame (the eval set),
+    * the ingest-time face of [[graft.operators.Decontaminate.matches]]:
+    * in-row distinct shingles explode (codegen generator) → broadcast
+    * hash join against the probe shingle set (stream-static, stateless)
+    * → per-doc count keyed on (event-time, doc id), emitted exactly once
+    * when the watermark passes the doc's timestamp. A doc's shingles all
+    * arrive in its own micro-batch, so the aggregation state is only the
+    * in-flight docs inside the watermark window.
+    *
+    * `docs` must already carry `withWatermark(tsCol, …)` (the
+    * [[dedupExactStream]] contract). Only docs with ≥1 hit emit — batch
+    * parity on (doc_id, matched_ngrams) is asserted in StreamingSpec.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      probes: DataFrame,
+      shingleN: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tsCol: String = "timestamp",
+      probeTextCol: String = "text"
+  ): DataFrame = {
+    val probeShingles = probes
+      .select(explode(
+        graft.functions.Texts.distinctShingles(col(probeTextCol), shingleN)).as("s"))
+      .distinct()
+    docs
+      .select(col(idCol), col(tsCol),
+        explode(graft.functions.Texts.distinctShingles(col(textCol), shingleN)).as("s"))
+      .join(broadcast(probeShingles), Seq("s"))
+      .groupBy(col(tsCol), col(idCol))
+      .agg(count(lit(1)).as("matched_ngrams"))
+      .select(col(idCol), col(tsCol), col("matched_ngrams"))
+  }
+
   def qualityScoreStream(
       docs: DataFrame,
       model: DataFrame,

@@ -168,6 +168,24 @@ object PlanAudit {
       s"filterBelowRank=${quotaPreAt > quotaWinAt} countsBroadcast=$quotaBroadcast")
     if (!quotaOk) println(quotaPlan)
 
+    // Token-budget sample: same giant-group guard as quota, but the cut
+    // is a cumulative-token window — the pre-filter must still execute
+    // below it (so the window sums ~slack×budget/total of the group).
+    val tokFrame = docsT.withColumn("n_tokens",
+      size(split(lower(col("text")), " ")).cast("long"))
+    val tbDf = graft.operators.Sampling.tokenBudgetSample(
+      tokFrame, Map("en" -> 3000L, "es" -> 1000L))
+    audit("sample_token_budget", tbDf, 2)
+    val tbPlan = tbDf.queryExecution.executedPlan.toString
+    val tbWinAt = tbPlan.indexOf("Window")
+    val tbPreAt = "__r#\\d+L? < least\\(".r.findFirstMatchIn(tbPlan).map(_.start).getOrElse(-1)
+    println(s"${if (tbWinAt >= 0 && tbPreAt > tbWinAt) "OK " else "HOT"} token-budget pre-filter        filterBelowWindow=${tbPreAt > tbWinAt}")
+
+    // Rank-based quality cut: the rank and the group count share ONE
+    // window partitioning — a single exchange total.
+    audit("quality_rank_filter(op)", graft.operators.Sampling.topFractionByScore(
+      docsT.withColumn("score", col("doc_id").cast("double")), 0.8), 1)
+
     // Temperature mixing sample: quota arithmetic stays IN-PLAN (group
     // counts + the one-row Σ n^α both arrive by broadcast — no driver
     // collect of group statistics); exchanges = the count aggregate +

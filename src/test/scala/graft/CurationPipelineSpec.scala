@@ -141,6 +141,38 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == want && got.nonEmpty && got.size < docs.count())
   }
 
+  test("token_budget and perplexity_rank steps parse and equal operator composition") {
+    val p = CurationConfig.fromYaml(
+      """steps:
+        |  - token_budget: { group: lang, budgets: { en: 2000, es: 800 } }
+        |  - perplexity_rank: { keep_top_frac: 0.5, vocab: 20 }
+        |""".stripMargin)
+    assert(p.steps == Seq(
+      CurationConfig.TokenBudget(Map("en" -> 2000L, "es" -> 800L), "lang"),
+      CurationConfig.PerplexityRank(0.5, "lang", 20)))
+    assert(intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - token_budget: {}\n")).getMessage.contains("budgets"))
+    assert(intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - perplexity_rank: {}\n")).getMessage.contains("keep_top_frac"))
+
+    val out = CurationPipeline.fromYaml(docs,
+      "steps:\n  - token_budget: { budgets: { en: 2000, es: 800 } }\n")
+    val sized = docs.withColumn("__nt",
+      size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long"))
+    val want = graft.operators.Sampling
+      .tokenBudgetSample(sized, Map("en" -> 2000L, "es" -> 800L), "lang", "__nt")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == want && want.nonEmpty)
+    assert(out.columns.contains("text"), "step preserves input columns")
+
+    val ranked = CurationPipeline.fromYaml(docs,
+      "steps:\n  - perplexity_rank: { keep_top_frac: 0.5, vocab: 20 }\n")
+    val counts = ranked.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((g, n) <- sizes)
+      assert(counts(g) == math.ceil(n * 0.5).toLong, s"group $g kept ${counts.get(g)} of $n")
+  }
+
   test("dedup_minhash step equals operator composition and keeps cluster minima") {
     val yaml = "steps:\n  - dedup_minhash: { threshold: 0.7 }\n"
     val out = CurationPipeline.fromYaml(docs, yaml)

@@ -65,6 +65,87 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("ngramContainment matches local brute force and catches subset dups Jaccard misses") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = (for {
+      (a, ta) <- texts.toSeq
+      (b, tb) <- texts.toSeq if a < b
+      sa = localShingles(ta, 1); sb = localShingles(tb, 1)
+      if sa.nonEmpty && sb.nonEmpty
+      c = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.9
+    } yield (a, b)).toSet
+    val got = Dedup.ngramContainment(docs, threshold = 0.9, shingleN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+
+    // The structural point: a short doc embedded verbatim in a much
+    // longer one has containment 1.0 but Jaccard diluted below any
+    // usable threshold.
+    import spark.implicits._
+    val sub = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta " + (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cPairs = Dedup.ngramContainment(sub, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cPairs.toSeq == Seq((1L, 2L, 1.0)))
+    assert(Dedup.ngramJaccard(sub, threshold = 0.5).count() == 0,
+      "Jaccard must miss the subset pair (union dilution) — that's why containment exists")
+  }
+
+  test("tokenBudgetSample: prefix semantics, pre-filter parity, determinism") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // Skewed frame: 90% 'en', token counts varying 1..20.
+    val frame = (0L until 20000L)
+      .map(i => (i, if (i % 10 != 0) "en" else "fr", (i % 20 + 1)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val budgets = Map("en" -> 700L, "fr" -> 150L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val fast = rows(Sampling.tokenBudgetSample(frame, budgets))
+    val exact = rows(Sampling.tokenBudgetSample(frame, budgets, preFilterSlack = Double.MaxValue))
+    assert(fast == exact, "pre-filtered pick must equal the exact single-step pick")
+    // Budget semantics: every kept doc's cum_before < budget, and the
+    // sample reaches the budget (crossing doc included).
+    for ((g, b) <- budgets) {
+      val grp = exact.filter(_._2 == g)
+      assert(grp.forall(_._4 < b))
+      assert(grp.map(_._3).sum >= b, s"group $g sample must reach its token budget")
+    }
+    assert(rows(Sampling.tokenBudgetSample(frame, budgets)) == fast, "deterministic")
+  }
+
+  test("topFractionByScore: exact per-group fraction; threshold filter approximates it") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val frame = (0L until 3000L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", (i * 2654435761L % 1000L).toDouble))
+      .toDF("doc_id", "lang", "score")
+    val kept = Sampling.topFractionByScore(frame, 0.8, "score", "lang", "doc_id")
+    val byGroup = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = frame.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, n) <- sizes)
+      assert(byGroup(g) == math.ceil(n * 0.8).toLong, s"group $g kept ${byGroup(g)} of $n")
+    // Every kept score >= every dropped score within its group.
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = frame.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    for (g <- sizes.keys) {
+      val (in, out) = all.filter(_._2 == g).partition(t => keptIds(t._1))
+      if (out.nonEmpty) assert(in.map(_._3).min >= out.map(_._3).max)
+    }
+    // Approx threshold path: kept fraction lands near the target and the
+    // cut is a clean score threshold.
+    val approx = Sampling.scoreThresholdFilter(frame, 0.8, "score", "lang")
+    val frac = approx.count().toDouble / frame.count()
+    assert(math.abs(frac - 0.8) < 0.05, s"approx kept fraction $frac")
+  }
+
   test("incremental minhash dedup matches the full-corpus run on the union") {
     val corpus = docs.filter(col("doc_id") < 250)
     val fresh = docs.filter(col("doc_id") >= 250)
@@ -1276,6 +1357,51 @@ class ExtensionsSpec extends SparkSpec {
     val totalTokens = packed.map(_._2).sum
     val nPacks = packed.map(_._4).distinct.length
     assert(nPacks <= totalTokens / 100 + 4, s"$nPacks packs for $totalTokens tokens")
+  }
+
+  test("packGreedyBins: whole docs, capacity respected, FFD-tight, deterministic") {
+    val budget = 120L
+    val packed = Packing.packGreedyBins(docs, budgetTokens = budget, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.length == docs.count(), "every doc packed exactly once")
+    // Capacity: each pack's fill ≤ budget, and pack_fill is consistent
+    // with the members' token sum.
+    packed.groupBy(_._4).foreach { case (packId, members) =>
+      val fill = members.map(_._2).sum
+      assert(fill <= budget, s"pack $packId overfull: $fill")
+      assert(members.forall(_._5 == fill), s"pack $packId fill column inconsistent")
+    }
+    // FFD replication in miniature: per bucket, the local FFD produces
+    // the identical assignment.
+    packed.groupBy(_._3).foreach { case (bucket, rows) =>
+      val ordered = rows.sortBy(t => (-t._2, t._1))
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val want = ordered.map { case (id, tok, _, _, _) =>
+        var b = 0
+        while (b < fills.length && fills(b) + tok > budget) b += 1
+        if (b == fills.length) fills += 0L
+        fills(b) += tok
+        id -> ((bucket << 40) + b)
+      }.toMap
+      rows.foreach { case (id, _, _, packId, _) =>
+        assert(packId == want(id), s"doc $id pack mismatch in bucket $bucket")
+      }
+    }
+    // Waste bound: packs used stay within FFD's guarantee of the
+    // per-bucket lower bound (+1 open pack per bucket slack).
+    val totalTokens = packed.map(_._2).sum
+    val nPacks = packed.map(_._4).distinct.length
+    val lower = math.ceil(totalTokens.toDouble / budget)
+    assert(nPacks <= math.ceil(11.0 / 9 * lower).toLong + 4 * 2,
+      s"$nPacks packs vs lower bound $lower")
+    // Deterministic under repartitioning.
+    val again = Packing.packGreedyBins(docs.repartition(7), budgetTokens = budget, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(again == packed.map(t => (t._1, t._4)).sortBy(_._1).toSeq)
+    // Over-budget doc rejected with the chunking hint.
+    val ex = intercept[IllegalArgumentException](
+      Packing.packGreedyBins(docs, budgetTokens = 3))
+    assert(ex.getMessage.contains("chunk"))
   }
 
   test("winnowFingerprints matches local selection over Spark-computed hashes") {

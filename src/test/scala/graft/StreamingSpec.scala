@@ -394,6 +394,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontaminateStream matches batch Decontaminate.matches, emits once at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val sfDocs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val probes = sfDocs.filter(col("doc_id") < 5)
+    val corpus = sfDocs.filter(col("doc_id") >= 5).limit(60)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val want = graft.operators.Decontaminate
+      .matches(sfDocs.filter(col("doc_id") >= 5)
+        .join(corpus.map(_._1).toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"), probes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must contain contaminated docs")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docsStream = input.toDF().toDF("doc_id", "timestamp", "text")
+      .withWatermark("timestamp", "10 minutes")
+    val out = StreamingPredicates.decontaminateStream(docsStream, probes, 3)
+    val query = out.writeStream
+      .format("memory").queryName("decontam_stream").outputMode("append").start()
+    try {
+      val (half1, half2) = corpus.splitAt(30)
+      input.addData(half1.map { case (id, t) => (id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(half2.map { case (id, t) => (id, ts("2024-01-01 10:30:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      // advance the watermark past both batches to flush the counts
+      input.addData((999999L, ts("2024-01-01 12:00:00"), "flush probe"))
+      query.processAllAvailable()
+
+      val got = spark.table("decontam_stream")
+        .select("doc_id", "matched_ngrams").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.filterNot(_._1 == 999999L) == want,
+        s"streamed counts must equal batch matches; missing=${want -- got} extra=${got -- want}")
+    } finally query.stop()
+  }
+
   test("sessionizeStream matches batch Sessionize.sessions, boundary gap included") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
