@@ -1793,6 +1793,23 @@ object QueryCatalog {
              |   OR (lang = 'fr' AND cum_before < 800)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Fractional-epoch upsampling: repeat under-represented groups
+    // ("2.5 epochs of fr") — ⌊f⌋ copies each + a hash-picked extra for
+    // the fractional part, explicit copy indices, map-side explode.
+    Q("sample_upsample", (s, dir) =>
+      Sampling.upsampleRepeats(
+        docs(s, dir), Map("en" -> 1.0, "fr" -> 2.5, "es" -> 0.4))
+        .orderBy("doc_id", "copy"),
+      Some("""WITH f AS (SELECT doc_id, lang,
+             |    CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 2.5 WHEN 'es' THEN 0.4 END AS f,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM documents),
+             |c AS (SELECT doc_id, lang,
+             |    CAST(FLOOR(f) AS BIGINT) +
+             |      (CASE WHEN rnd < (f - FLOOR(f)) * 4294967296 THEN 1 ELSE 0 END) AS n_copies
+             |  FROM f WHERE f IS NOT NULL)
+             |SELECT doc_id, lang, n_copies, CAST(UNNEST(range(n_copies)) AS BIGINT) AS copy
+             |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin)),
+
     // Rank-based quality cut: keep the best 80% of each language by LM
     // perplexity (lower = better) — exact per-group fraction via
     // row_number + same-partitioning group count; the skew-immune

@@ -172,6 +172,43 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("rk"))
   }
 
+  /** Fractional-epoch upsampling — the other half of data mixing: where
+    * [[quotaSample]]/[[tokenBudgetSample]] DOWN-sample over-represented
+    * groups, real mixes also REPEAT under-represented ones ("2.5 epochs
+    * of books, 0.3 of crawl"). Each document emits `⌊f⌋` copies plus one
+    * more when its deterministic id-hash falls under the fractional part
+    * — so group g's expected volume is exactly `f_g · |g|`, the selection
+    * is reproducible by any engine (same multiplicative hash as
+    * [[splitAssign]]), and repeats are explicit `copy` indices the
+    * shuffle-shard step can key on (`(doc_id, copy)`) so copies land in
+    * different shards. Groups without a factor are dropped; `f < 1`
+    * up/down-samples in one rule (⌊f⌋ = 0 ⇒ hash-thinned to fraction f).
+    *
+    * Purely map-side: the factor map rides as a literal, the repeat is a
+    * generated `sequence` explode — zero exchanges (PlanAudit).
+    *
+    * @return (idCol, groupCol, n_copies, copy) — one row per copy,
+    *         `copy` in 0 until n_copies.
+    */
+  def upsampleRepeats(
+      df: DataFrame,
+      factors: Map[String, Double],
+      groupCol: String = "lang",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(factors.values.forall(f => f >= 0 && f <= 1000),
+      "epoch factors must be in [0, 1000]")
+    val f = element_at(typedLit(factors), col(groupCol))
+    val extra = (pseudoShuffle(col(idCol)) <
+      (f - floor(f)) * lit(HashSpace.toDouble)).cast("long")
+    val copies = floor(f).cast("long") + extra
+    df.select(col(idCol), col(groupCol))
+      .filter(f.isNotNull)
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
+
   /** Token-budget sampling — the training-mix quota expressed in TOKENS,
     * not documents: real data mixes are specified as "N billion tokens of
     * group g" (token-weighted mixture weights), and a doc-count quota

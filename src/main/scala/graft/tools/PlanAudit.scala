@@ -186,6 +186,16 @@ object PlanAudit {
     audit("quality_rank_filter(op)", graft.operators.Sampling.topFractionByScore(
       docsT.withColumn("score", col("doc_id").cast("double")), 0.8), 1)
 
+    // Fractional-epoch upsampling: literal factor map + generated
+    // sequence explode — purely map-side.
+    audit("sample_upsample", graft.operators.Sampling.upsampleRepeats(
+      docsT, Map("en" -> 1.0, "fr" -> 2.5)), 0)
+
+    // No-split FFD packing: one bucket-key exchange, FFD inside the
+    // partition.
+    audit("text_packing_bins", graft.operators.Packing.packGreedyBins(
+      docsT, budgetTokens = 128, buckets = 8), 1)
+
     // Temperature mixing sample: quota arithmetic stays IN-PLAN (group
     // counts + the one-row Σ n^α both arrive by broadcast — no driver
     // collect of group statistics); exchanges = the count aggregate +

@@ -119,6 +119,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(Sampling.tokenBudgetSample(frame, budgets)) == fast, "deterministic")
   }
 
+  test("upsampleRepeats: copy counts match local math; expected volume ≈ f·|g|") {
+    import graft.operators.Sampling
+    val factors = Map("en" -> 1.0, "fr" -> 2.5, "es" -> 0.4)
+    val out = Sampling.upsampleRepeats(docs, factors)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Local replica of the rule.
+    val base = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hash(id: Long): Long =
+      java.lang.Math.floorMod(java.lang.Math.floorMod(id, 1048576L) * 2654435761L, 4294967296L)
+    val wantCopies = base.flatMap { case (id, g) =>
+      factors.get(g).map { f =>
+        val n = f.toLong + (if (hash(id) < (f - math.floor(f)) * 4294967296.0d) 1 else 0)
+        (id, g, n)
+      }
+    }.filter(_._3 > 0).toSet
+    val gotByDoc = out.groupBy(_._1).map { case (id, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.head._3).toSeq,
+        s"doc $id copy indices must be dense 0..n-1")
+      (id, rows.head._2, rows.head._3)
+    }
+    assert(gotByDoc.toSet == wantCopies)
+    // Volume: per group, total copies within ±20% of f·|g| (hash noise).
+    val sizes = base.groupBy(_._2).view.mapValues(_.length).toMap
+    for ((g, f) <- factors) {
+      val got = out.count(_._2 == g).toDouble
+      val want = f * sizes(g)
+      assert(math.abs(got - want) <= math.max(4.0, 0.2 * want),
+        s"group $g volume $got vs expected $want")
+    }
+    // de/zh have no factor -> absent entirely.
+    assert(!out.exists(t => t._2 == "de" || t._2 == "zh"))
+  }
+
   test("topFractionByScore: exact per-group fraction; threshold filter approximates it") {
     import spark.implicits._
     import graft.operators.Sampling
