@@ -715,11 +715,54 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
-  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
-    * explode distinct shingles → co-occurrence join on the shingle →
-    * per-pair intersection counts → Jaccard from set sizes. Exact (no
-    * hashing), SQL-oracle-friendly, but the shingle join scales with
-    * shared-shingle frequency — use `minhashLsh` as the scale path.
+  /** Ranked inverted shingle index for the prefix-filtered exact joins:
+    * `(doc_id, n, s, rk)` where `n` is the doc's distinct-shingle count
+    * and `rk` ranks the doc's shingles by ascending corpus document
+    * frequency (ties by shingle value) — a GLOBAL order shared by every
+    * doc, so "the rk ≤ p rarest shingles of a doc" is a well-defined
+    * prefix in the AllPairs sense. Materialized once (the
+    * [[graft.plans.Materialize]] lineage cut): every caller feeds it to
+    * three consumers — two candidate-join sides and the verification
+    * arrays — and the df join + two windows are too expensive to
+    * recompute per consumer.
+    */
+  private def rankedShingleIndex(inv0: DataFrame): DataFrame = {
+    val inv = inv0
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    graft.plans.Materialize(
+      inv.join(dfreq, Seq("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .select(col("doc_id"), col("n"), col("s"), col("rk")))
+  }
+
+  /** Prefix-length bound `|x| − ⌈t·|x|⌉ + 1` (pigeonhole: a doc meeting
+    * overlap ⌈t·|x|⌉ with anything must put at least one SHARED shingle
+    * among its that-many rarest). The 1e-9 slack keeps `ceil` from
+    * rounding a float-noise hair above an exact integer — it can only
+    * lengthen the prefix, never break completeness.
+    */
+  private def prefixLen(n: org.apache.spark.sql.Column, t: Double) =
+    n - ceil(lit(t) * n - lit(1e-9)) + 1
+
+  /** Exact n-gram-Jaccard near-dup pairs, prefix-filtered (AllPairs /
+    * PPJoin family — Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW 2007): instead of the naive co-occurrence join on
+    * EVERY shared shingle (quadratic in document frequency — stopwords
+    * make it explode), candidates come from joining only each doc's
+    * `|x| − ⌈t·|x|⌉ + 1` RAREST shingles (global df order). The prefix
+    * lemma makes this exact: J(A,B) ≥ t forces an overlap ≥ ⌈t·|x|⌉ on
+    * both sides, so the two prefixes must share a shingle. A length
+    * filter (`min ≥ t·max`, also implied by J ≥ t) and the PPJoin
+    * positional filter prune further, then
+    * surviving pairs get their true intersection from a map-side
+    * `array_intersect` over per-doc shingle arrays (the [[minhashLsh]]
+    * verification shape — candidate-count rows shuffled once, no
+    * per-shingle row explosion). Same results as the naive co-occurrence
+    * plan with far less quadratic work; note the output itself can be
+    * Ω(pairs) on low-entropy corpora — no candidate scheme beats the
+    * size of the answer.
     */
   def ngramJaccard(
       docs: DataFrame,
@@ -728,15 +771,34 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val inv = shingleRows(docs, shingleN, textCol, idCol)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select(col("doc_id"), col("n"), col("s"))
-    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("s"))
+    val inv = rankedShingleIndex(shingleRows(docs, shingleN, textCol, idCol))
+    val prefix = inv.filter(col("rk") <= prefixLen(col("n"), threshold))
+    val pa = prefix.select(col("s"), col("doc_id").as("doc_a"),
+      col("n").as("n_a"), col("rk").as("rk_a"))
+    val pb = prefix.select(col("s"), col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("rk").as("rk_b"))
+    // Positional filter (PPJoin, Xiao et al. WWW'08): the globally first
+    // shared shingle of a qualifying pair generates a row whose ranks
+    // bound the overlap by 1 + min(remaining-suffix lengths); rows that
+    // can't reach the required overlap ⌈t/(1+t)·(n_a+n_b)⌉ die map-side
+    // BEFORE the pair-dedup shuffle (keep-if-any-row-passes is complete
+    // because that first shared shingle minimizes both ranks at once).
+    val cand = pa.join(pb, Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+      .filter(least(col("n_a"), col("n_b")) >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b")) - lit(1e-9)))
+      .select("doc_a", "doc_b", "n_a", "n_b")
+      .dropDuplicates("doc_a", "doc_b")
+    // Verify: per-doc shingle arrays (the rk window already clustered inv
+    // by doc_id, so the collect_set aggregate is shuffle-free), joined to
+    // the candidate pairs, intersected map-side.
+    val sets = inv.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -749,9 +811,15 @@ object Dedup {
     * (boilerplate-wrapped articles, quoted reposts, page-in-site) —
     * which symmetric Jaccard structurally misses because the big
     * document's union denominator dilutes the overlap toward 0 however
-    * complete the containment is. Same inverted-shingle-index plan (and
-    * scale caveat) as [[ngramJaccard]]; thresholds are NOT comparable
-    * between the two metrics (containment ≥ jaccard always).
+    * complete the containment is. Prefix-filtered like [[ngramJaccard]],
+    * with the asymmetric twist the min-denominator forces: containment
+    * only bounds the overlap against the SMALLER set (⌈t·min⌉), so the
+    * candidate join pairs each doc's rarest-shingle prefix against the
+    * FULL index (not prefix×prefix — the larger doc's matching shingle
+    * can sit anywhere in its frequency order), and there is no length
+    * filter (a 4-word doc can be fully contained in a 4000-word one —
+    * that asymmetry is the operator's entire point). Thresholds are NOT
+    * comparable between the two metrics (containment ≥ jaccard always).
     *
     * @return (doc_a, doc_b, containment) with doc_a < doc_b; the
     *         contained (smaller-set) side is whichever of the two has
@@ -764,15 +832,29 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val inv = shingleRows(docs, shingleN, textCol, idCol)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select(col("doc_id"), col("n"), col("s"))
-    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+    val inv = rankedShingleIndex(shingleRows(docs, shingleN, textCol, idCol))
+    val prefix = inv.filter(col("rk") <= prefixLen(col("n"), threshold))
+    val pa = prefix.select(col("s"), col("doc_id").as("doc_x"),
+      col("n").as("n_x"), col("rk").as("rk_x"))
+    val full = inv.select(col("s"), col("doc_id").as("doc_y"),
+      col("n").as("n_y"), col("rk").as("rk_y"))
+    val cand = pa.join(full, Seq("s"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      // Positional filter, min-denominator form: required overlap is
+      // ⌈t·min⌉; the first shared shingle bounds what's reachable.
+      .filter(lit(1) + least(col("n_x") - col("rk_x"), col("n_y") - col("rk_y")) >=
+        ceil(lit(threshold) * least(col("n_x"), col("n_y")) - lit(1e-9)))
+      .select(
+        least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"),
+        when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
+        when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = inv.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("containment",
         col("inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)
@@ -795,12 +877,14 @@ object Dedup {
 
   /** Incremental exact n-gram Jaccard: an incoming shard's shingles
     * joined against the persisted [[ngramIndex]] — the corpus is never
-    * re-shingled; set sizes recompute from the union's thin `(doc_id,
-    * s)` rows. One candidate-join side is restricted to shard docs
-    * (shard-internal pairs arrive from both sides, hence the
-    * distinct-shingle intersection count), so the output exactly equals
-    * [[ngramJaccard]] over (corpus ∪ shard) restricted to pairs
-    * touching ≥1 shard id (parity asserted; ids must be disjoint).
+    * re-shingled; set sizes and document frequencies recompute from the
+    * union's thin `(doc_id, s)` rows. Prefix-filtered like
+    * [[ngramJaccard]] with the probe side restricted to shard docs: any
+    * qualifying pair touching the shard has intersecting prefixes (the
+    * prefix lemma is pair-symmetric), so shard-prefix × union-prefix
+    * finds it. Output exactly equals [[ngramJaccard]] over
+    * (corpus ∪ shard) restricted to pairs touching ≥1 shard id (parity
+    * asserted; ids must be disjoint).
     */
   def ngramJaccardIncremental(
       newDocs: DataFrame,
@@ -815,21 +899,31 @@ object Dedup {
         "re-build it with Dedup.ngramIndex (same shingleN)")
     val all = index.select("doc_id", "s")
       .unionByName(ngramIndex(newDocs, shingleN, textCol, idCol))
-    val inv = all
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val inv = rankedShingleIndex(all)
+    val prefix = inv.filter(col("rk") <= prefixLen(col("n"), threshold))
     val sIds = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val aShard = inv.join(sIds, Seq("doc_id"), "leftsemi")
-      .select(col("s"), col("doc_id").as("doc_x"), col("n").as("n_x"))
-    val b = inv.select(col("s"), col("doc_id").as("doc_y"), col("n").as("n_y"))
-    aShard.join(b, Seq("s"))
+    val pShard = prefix.join(sIds, Seq("doc_id"), "leftsemi")
+      .select(col("s"), col("doc_id").as("doc_x"),
+        col("n").as("n_x"), col("rk").as("rk_x"))
+    val pAll = prefix.select(col("s"), col("doc_id").as("doc_y"),
+      col("n").as("n_y"), col("rk").as("rk_y"))
+    val cand = pShard.join(pAll, Seq("s"))
       .filter(col("doc_x") =!= col("doc_y"))
-      .select(col("s"),
+      .filter(least(col("n_x"), col("n_y")) >=
+        lit(threshold) * greatest(col("n_x"), col("n_y")) - lit(1e-9))
+      .filter(lit(1) + least(col("n_x") - col("rk_x"), col("n_y") - col("rk_y")) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("n_x") + col("n_y")) - lit(1e-9)))
+      .select(
         least(col("doc_x"), col("doc_y")).as("doc_a"),
         greatest(col("doc_x"), col("doc_y")).as("doc_b"),
         when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
         when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(countDistinct(col("s")).as("inter"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = inv.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
