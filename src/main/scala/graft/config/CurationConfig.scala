@@ -70,6 +70,14 @@ object CurationConfig {
   final case class PerplexityRank(
       keepTopFrac: Double, group: String, vocabSize: Int) extends Step
 
+  /** Fractional-epoch upsampling ("2.5 epochs of fr"): each group-g doc
+    * repeats ⌊f_g⌋ times plus one hash-picked extra for the fractional
+    * part, with explicit `copy` indices; groups without a factor drop.
+    * Changes the id key to `(id, copy)`, so only `shuffle` (which keys
+    * copies apart) may follow it.
+    */
+  final case class Upsample(factors: Map[String, Double], group: String) extends Step
+
   final case class Pipeline(steps: Seq[Step])
 
   def fromYaml(yamlText: String): Pipeline = {
@@ -164,12 +172,17 @@ object CurationConfig {
           need(doubleParam("keep_top_frac"), "'keep_top_frac'"),
           params.get("group").map(_.toString).getOrElse("lang"),
           longParam("vocab").getOrElse(1L << 16).toInt)
+      case "upsample" =>
+        val factors = need(params.get("factors"), "'factors' (map of group -> epochs)")
+          .asInstanceOf[java.util.Map[Object, Object]].asScala
+          .map { case (k, v) => k.toString -> v.asInstanceOf[Number].doubleValue }.toMap
+        Upsample(factors, params.get("group").map(_.toString).getOrElse("lang"))
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, redact, " +
             "dedup_exact, dedup_minhash, langid_keep, quality, quota, split, " +
             "shuffle, chunk, decontaminate, perplexity, perplexity_rank, " +
-            "token_budget)")
+            "token_budget, upsample)")
     }
   }
 }

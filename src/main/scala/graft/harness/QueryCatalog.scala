@@ -1925,6 +1925,41 @@ object QueryCatalog {
         |  (SELECT MIN(doc_id) FROM pk GROUP BY text))
         |SELECT doc_id, lang, source FROM dd ORDER BY 1""".stripMargin)),
 
+    // The mixing half of the pipeline language: quality gate → exact
+    // dedup → fractional-epoch upsample (row key becomes (id, copy)) →
+    // shuffle-shard keying copies apart (hash mixes the copy index, so
+    // a doc's repeats scatter across shards instead of stacking
+    // back-to-back in training order). Oracle composes the proven SQL
+    // forms; the (id·131+copy) shard key is closed-form.
+    Q("curation_pipeline_mix", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_exact: {}
+          |  - upsample: { group: lang, factors: { en: 1.0, fr: 2.5, es: 0.4 } }
+          |  - shuffle: { shards: 4 }
+          |""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("copy"), col("shard"), col("pos"))
+        .orderBy("doc_id", "copy"),
+      Some("""WITH q AS (SELECT doc_id, lang, text FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 10),
+             |d AS (SELECT * FROM q WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
+             |f AS (SELECT doc_id, lang,
+             |    CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 2.5 WHEN 'es' THEN 0.4 END AS f,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM d),
+             |c AS (SELECT doc_id, lang,
+             |    CAST(FLOOR(f) AS BIGINT) +
+             |      (CASE WHEN rnd < (f - FLOOR(f)) * 4294967296 THEN 1 ELSE 0 END) AS n_copies
+             |  FROM f WHERE f IS NOT NULL),
+             |u AS (SELECT doc_id, lang, CAST(UNNEST(range(n_copies)) AS BIGINT) AS copy
+             |  FROM c WHERE n_copies > 0),
+             |k AS (SELECT doc_id, lang, copy,
+             |    ((doc_id * 131 + copy) % 1048576) * 2654435761 % 4294967296 AS rnd2 FROM u),
+             |sh AS (SELECT *, rnd2 % 4 AS shard FROM k)
+             |SELECT doc_id, lang, copy, CAST(shard AS BIGINT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rnd2, doc_id, copy) AS BIGINT) AS pos
+             |FROM sh ORDER BY doc_id, copy""".stripMargin)),
+
     // Snapshot diff (dataset versioning): before = the documents table,
     // after = a deterministic mutation (every 17th doc dropped, every
     // 5th doc's text edited, 20 new docs) — classified added / removed /

@@ -33,6 +33,16 @@ object CurationPipeline {
     pipeline.steps.dropRight(1).foreach(s =>
       require(!s.isInstanceOf[Chunk],
         "chunk changes the row grain and must be the final step"))
+    // After upsample the row key is (id, copy) — every selection step
+    // would see duplicate ids and silently mis-count. Only shuffle
+    // (which keys copies apart) is legal after it.
+    pipeline.steps.zipWithIndex.collectFirst {
+      case (u: Upsample, i) => i
+    }.foreach { i =>
+      require(pipeline.steps.drop(i + 1).forall(_.isInstanceOf[Shuffle]),
+        "upsample duplicates ids (row key becomes (id, copy)); only " +
+          "'shuffle' may follow it")
+    }
     pipeline.steps.foldLeft(docs)((df, step) => applyStep(df, step, idCol, textCol, aux))
   }
 
@@ -72,6 +82,7 @@ object CurationPipeline {
     case DedupMinhash(_, _, _, _) => "dedup_minhash"
     case TokenBudget(_, _) => "token_budget"
     case PerplexityRank(_, _, _) => "perplexity_rank"
+    case Upsample(_, _) => "upsample"
   }
 
   private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String,
@@ -103,7 +114,12 @@ object CurationPipeline {
       case Split(fractions) =>
         Sampling.splitAssign(df, fractions, idCol)
       case Shuffle(shards) =>
-        df.join(Sampling.shuffleShards(df, shards, idCol), Seq(idCol))
+        // Post-upsample frames are keyed by (id, copy): the hash mixes
+        // the copy index in so repeats scatter across shards.
+        val copyCol = Option.when(df.columns.contains("copy"))("copy")
+        df.join(
+          Sampling.shuffleShards(df, shards, idCol, copyCol),
+          idCol +: copyCol.toSeq)
       case Chunk(chars, overlap) =>
         Chunking.chunk(df, chars, overlap, idCol, textCol)
       case Decontam(probesTable, ngram, minMatches) =>
@@ -135,6 +151,10 @@ object CurationPipeline {
         val keep = Sampling.tokenBudgetSample(sized, budgets, group, "__nt", idCol)
           .select(col(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case Upsample(factors, group) =>
+        // In-place (map-side) — the operator-then-join-back form would
+        // shuffle the corpus by id twice for nothing.
+        Sampling.upsampleWithCopies(df, factors, group, idCol).drop("n_copies")
       case PerplexityRank(frac, group, vocabSize) =>
         val ppl = Vocabulary.perplexity(df, vocabSize, textCol, idCol)
           .select(col("doc_id").as(idCol), col("ppl"))

@@ -195,6 +195,19 @@ object Sampling {
       factors: Map[String, Double],
       groupCol: String = "lang",
       idCol: String = "doc_id"
+  ): DataFrame =
+    upsampleWithCopies(df.select(col(idCol), col(groupCol)), factors, groupCol, idCol)
+
+  /** [[upsampleRepeats]] preserving EVERY input column — the curation
+    * pipeline's `upsample` step shape: appending `(n_copies, copy)` in
+    * place keeps the step map-side (the operator-then-join-back form
+    * would re-shuffle the corpus by id twice for no information).
+    */
+  private[graft] def upsampleWithCopies(
+      df: DataFrame,
+      factors: Map[String, Double],
+      groupCol: String = "lang",
+      idCol: String = "doc_id"
   ): DataFrame = {
     require(factors.values.forall(f => f >= 0 && f <= 1000),
       "epoch factors must be in [0, 1000]")
@@ -202,7 +215,7 @@ object Sampling {
     val extra = (pseudoShuffle(col(idCol)) <
       (f - floor(f)) * lit(HashSpace.toDouble)).cast("long")
     val copies = floor(f).cast("long") + extra
-    df.select(col(idCol), col(groupCol))
+    df
       .filter(f.isNotNull)
       .withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)
@@ -325,21 +338,34 @@ object Sampling {
     * multiplicative id-hash as [[splitAssign]], so the SQL oracle
     * reproduces the permutation row-for-row.
     *
-    * @return (idCol, shard, pos) — pos is the 1-based position within the
-    *         shard; reading shards in order of (shard, pos) yields the
-    *         full deterministic permutation.
+    * After an [[upsampleRepeats]] step rows are keyed by `(id, copy)`,
+    * not id alone — pass `copyCol` and the hash mixes the copy index in
+    * (`id·131 + copy`, still closed-form for the oracle), so a doc's
+    * copies land in DIFFERENT shards/positions instead of stacking
+    * back-to-back (repeats adjacent in training order defeat the point
+    * of repeating them).
+    *
+    * @return (idCol [, copyCol], shard, pos) — pos is the 1-based
+    *         position within the shard; reading shards in order of
+    *         (shard, pos) yields the full deterministic permutation.
     */
   def shuffleShards(
       df: DataFrame,
       numShards: Int,
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      copyCol: Option[String] = None
   ): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val hashed = df.select(col(idCol), pseudoShuffle(col(idCol)).as("__r"))
+    val key = copyCol match {
+      case Some(c) => col(idCol) * lit(131L) + col(c)
+      case None    => col(idCol)
+    }
+    val keyCols = col(idCol) +: copyCol.map(col).toSeq
+    val hashed = df.select(keyCols :+ pseudoShuffle(key).as("__r"): _*)
       .withColumn("shard", pmod(col("__r"), lit(numShards.toLong)))
-    val w = Window.partitionBy("shard").orderBy(col("__r"), col(idCol))
+    val w = Window.partitionBy("shard").orderBy(col("__r") +: keyCols: _*)
     hashed
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col(idCol), col("shard"), col("pos"))
+      .select(keyCols ++ Seq(col("shard"), col("pos")): _*)
   }
 }

@@ -412,8 +412,10 @@ object PlanAudit {
     // (doc_id, s) rows — corpus text never enters the plan.
     val ngIdx = graft.plans.Materialize(graft.operators.Dedup.ngramIndex(
       docsT.filter(col("doc_id") < 250)), eager = true)
+    // Budget is counted above the ranked-index Materialize cut: the
+    // prefix-filtered candidate join + pair dedup + two verify joins.
     audit("dedup_ngram_jaccard(incr)", graft.operators.Dedup.ngramJaccardIncremental(
-      docsT.filter(col("doc_id") >= 250), ngIdx, threshold = 0.8), 8)
+      docsT.filter(col("doc_id") >= 250), ngIdx, threshold = 0.8), 4)
 
     // Incremental winnow: shard fingerprints + union-level ubiquity
     // cap and inverted-index join over thin (doc_id, fp) rows — corpus
@@ -568,6 +570,19 @@ object PlanAudit {
     audit("curation_pipeline_lm", graft.operators.CurationPipeline.fromYaml(
       docsT.filter(col("doc_id") >= 5), lmYaml,
       aux = Map("eval" -> docsT.filter(col("doc_id") < 5))), 9)
+
+    // Mixing pipeline: quality (0) + exact dedup (agg + semi join) +
+    // upsample (map-side in place, 0) + keyed shuffle-shard (window
+    // exchange + join-back).
+    val mixYaml =
+      """steps:
+        |  - quality: { min_tokens: 10 }
+        |  - dedup_exact: {}
+        |  - upsample: { group: lang, factors: { en: 1.0, fr: 2.5 } }
+        |  - shuffle: { shards: 4 }
+        |""".stripMargin
+    audit("curation_pipeline_mix", graft.operators.CurationPipeline.fromYaml(
+      docsT, mixYaml), 4)
 
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame

@@ -153,6 +153,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(!out.exists(t => t._2 == "de" || t._2 == "zh"))
   }
 
+  test("curation upsample step: copies scatter across shards; misplaced step fails fast") {
+    import graft.operators.CurationPipeline
+    val out = CurationPipeline.fromYaml(docs,
+      """steps:
+        |  - upsample: { group: lang, factors: { en: 1.0, fr: 3.0 } }
+        |  - shuffle: { shards: 4 }
+        |""".stripMargin)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    // fr docs have exactly 3 copies; with the copy-mixing hash their
+    // shards must NOT all coincide for every doc (they would under a
+    // plain id hash).
+    val byDoc = out.groupBy(_._1).values.filter(_.length == 3)
+    assert(byDoc.nonEmpty, "fr docs must repeat 3x")
+    assert(byDoc.exists(_.map(_._3).distinct.length > 1),
+      "copies of at least some docs must land in different shards")
+    // (shard, pos) is a dense 1..n permutation per shard.
+    out.groupBy(_._3).foreach { case (sh, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $sh positions must be dense")
+    }
+    // Selection steps after upsample are corpus damage — refuse them.
+    val bad = intercept[IllegalArgumentException] {
+      CurationPipeline.fromYaml(docs,
+        """steps:
+          |  - upsample: { group: lang, factors: { en: 2.0 } }
+          |  - dedup_exact: {}
+          |""".stripMargin)
+    }
+    assert(bad.getMessage.contains("only 'shuffle' may follow"))
+  }
+
   test("topFractionByScore: exact per-group fraction; threshold filter approximates it") {
     import spark.implicits._
     import graft.operators.Sampling
