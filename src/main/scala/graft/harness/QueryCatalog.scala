@@ -2294,6 +2294,17 @@ object QueryCatalog {
              |SELECT doc_id, term, CAST(rank AS INT) AS rank, score
              |FROM rk WHERE rank <= 3 ORDER BY 1, 3""".stripMargin)),
 
+    // Whole-table sketch profile: one aggregate pass emitting per-column
+    // row/null counts, exact min/max, HLL++ distinct estimates, and
+    // approx quantiles (length-distribution for strings). Sketch
+    // estimates are engine-specific, so no cross-engine SQL oracle —
+    // ProfilingSpec asserts exact stats exactly and approx stats within
+    // error bounds vs brute force. The 100 TB ingest-QA scan: the only
+    // shuffle is per-partition sketch state.
+    Q("corpus_profile", (s, dir) =>
+      graft.operators.Profiling.corpusProfile(docs(s, dir)),
+      None),
+
     // Corpus profiling: per-(source, lang) exact counts + distribution
     // stats — one map-side-combined aggregate (the dataset-card numbers a
     // curation pipeline reports per snapshot). Median via exact linear-
