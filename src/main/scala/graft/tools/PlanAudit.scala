@@ -491,6 +491,11 @@ object PlanAudit {
     audit("corpus_diff", graft.operators.SnapshotDiff.diff(
       docsT, docsT.filter(col("doc_id") % 7 =!= 0)), 2)
 
+    // Whole-table sketch profile: ONE global aggregate (map-side sketch
+    // partials → single-partition combine) + the #columns-row output
+    // sort — only per-partition sketch state ever moves.
+    audit("corpus_profile", graft.operators.Profiling.corpusProfile(docsT), 2)
+
     // Shuffle-shard: one shard-keyed exchange + in-shard rank — no
     // global sort / range partitioning anywhere in the plan.
     val shuf = graft.operators.Sampling.shuffleShards(docsT, numShards = 8)
