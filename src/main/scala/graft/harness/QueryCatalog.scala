@@ -2305,6 +2305,21 @@ object QueryCatalog {
       graft.operators.Profiling.corpusProfile(docs(s, dir)),
       None),
 
+    // Snapshot-over-snapshot profile drift: new/old ratios per column
+    // (the promote/alert gate of an ingest pipeline). Here the "new"
+    // snapshot is a deterministic half-corpus with synthesized nulls, so
+    // rows_ratio ≈ 0.5 and lang's null_frac jumps — the drift the gate
+    // exists to catch. Inherits corpus_profile's sketch estimates → no
+    // cross-engine oracle; ProfilingSpec asserts the ratio algebra.
+    Q("corpus_profile_diff", (s, dir) => {
+      val d = docs(s, dir)
+      val drifted = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("lang", when(col("doc_id") % 4 =!= 0, col("lang")))
+      graft.operators.Profiling.profileDiff(
+        graft.operators.Profiling.corpusProfile(d),
+        graft.operators.Profiling.corpusProfile(drifted))
+    }, None),
+
     // Corpus profiling: per-(source, lang) exact counts + distribution
     // stats — one map-side-combined aggregate (the dataset-card numbers a
     // curation pipeline reports per snapshot). Median via exact linear-

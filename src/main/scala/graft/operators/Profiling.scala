@@ -113,4 +113,42 @@ object Profiling {
 
     one.select(rows.as("p")).select("p.*").orderBy("column")
   }
+
+  /** Drift between two [[corpusProfile]] outputs (e.g. this ingest batch
+    * vs the accepted snapshot) — the comparison a pipeline alerts on
+    * before promoting a batch. Joined on column name (full outer: a
+    * column present on one side only still surfaces, with nulls on the
+    * other), one row per column:
+    *
+    * {{{
+    * column | dtype_old | dtype_new | rows_ratio | null_frac_old
+    *   | null_frac_new | distinct_ratio | mean_old | mean_new | mean_ratio
+    * }}}
+    *
+    * Ratios are new/old (null when the old side is 0 or missing); a
+    * healthy re-ingest sits near 1.0 on every ratio, so thresholding
+    * `abs(ratio - 1)` is the alert rule. Profiles are #columns-row
+    * frames, so this is driver-trivial at any corpus scale — all the
+    * heavy lifting already happened inside the two profile passes.
+    */
+  def profileDiff(oldProfile: DataFrame, newProfile: DataFrame): DataFrame = {
+    def ratio(n: Column, o: Column): Column =
+      when(o.isNull || o === 0.0 || n.isNull, lit(null).cast(DoubleType))
+        .otherwise(round(n.cast(DoubleType) / o.cast(DoubleType), 6))
+    val o = oldProfile.select(col("column"), col("dtype").as("dtype_old"),
+      col("n_rows").as("rows_old"), col("null_frac").as("null_frac_old"),
+      col("distinct_est").as("distinct_old"), col("mean").as("mean_old"))
+    val n = newProfile.select(col("column"), col("dtype").as("dtype_new"),
+      col("n_rows").as("rows_new"), col("null_frac").as("null_frac_new"),
+      col("distinct_est").as("distinct_new"), col("mean").as("mean_new"))
+    o.join(n, Seq("column"), "full_outer")
+      .select(
+        col("column"), col("dtype_old"), col("dtype_new"),
+        ratio(col("rows_new"), col("rows_old")).as("rows_ratio"),
+        col("null_frac_old"), col("null_frac_new"),
+        ratio(col("distinct_new"), col("distinct_old")).as("distinct_ratio"),
+        col("mean_old"), col("mean_new"),
+        ratio(col("mean_new"), col("mean_old")).as("mean_ratio"))
+      .orderBy("column")
+  }
 }

@@ -79,6 +79,32 @@ class ProfilingSpec extends SparkSpec {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("profileDiff: ratios near 1.0 on identical snapshots, drift surfaces") {
+    val s = spark
+    import s.implicits._
+    val prof = Profiling.corpusProfile(docs)
+    val same = Profiling.profileDiff(prof, prof)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(same.keySet == docs.columns.toSet)
+    for ((_, r) <- same) {
+      assert(math.abs(r.getAs[Double]("rows_ratio") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("distinct_ratio") - 1.0) < 1e-9)
+    }
+
+    // Drop half the rows and null-out a column: the drift must show up.
+    val drifted = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("lang", when(col("doc_id") % 4 =!= 0, col("lang"))) // ~half of retained rows → null
+    val diff = Profiling.profileDiff(prof, Profiling.corpusProfile(drifted))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(diff("doc_id").getAs[Double]("rows_ratio") < 0.7)
+    assert(diff("lang").getAs[Double]("null_frac_new") > 0.3) // was 0.0 in the old snapshot
+    // A column on one side only still surfaces (full-outer).
+    val extra = Profiling.corpusProfile(docs.withColumn("extra", lit(1)))
+    val withExtra = Profiling.profileDiff(prof, extra)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(withExtra.contains("extra") && withExtra("extra").getAs[String]("dtype_old") == null)
+  }
+
   test("corpusProfile: single aggregate — no row-level shuffle in the plan") {
     val plan = Profiling.corpusProfile(docs).queryExecution.executedPlan.toString
     // One partial + one final aggregate pair; a single exchange moving
