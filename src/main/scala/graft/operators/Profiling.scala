@@ -46,7 +46,10 @@ object Profiling {
     * numeric columns only; string columns instead report the mean and
     * quantiles of their LENGTH (the distribution that matters for a
     * text corpus). Other types (arrays, structs, binary) get null
-    * mean/quantiles — counts, nulls, and distinct still apply.
+    * mean/quantiles — counts and nulls still apply, and min/max /
+    * distinct_est degrade to null where Spark cannot order (maps,
+    * variant) or hash (maps) the type, so profiling a table with such
+    * columns never throws.
     */
   def corpusProfile(
       df: DataFrame,
@@ -72,12 +75,39 @@ object Profiling {
       case _              => None
     }
 
+    // min/max need an ordering and approx_count_distinct (XxHash64)
+    // needs a hashable type; maps have neither in Spark. Gate rather
+    // than throw — the stat degrades to null, the scan still runs.
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case StringType | BinaryType | BooleanType | DateType | TimestampType |
+          TimestampNTZType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
+      case _ => false
+    }
+    def orderable(dt: DataType): Boolean = dt match {
+      case d if atomic(d)    => true
+      case NullType          => true
+      case ArrayType(e, _)   => orderable(e)
+      case StructType(fs)    => fs.forall(f => orderable(f.dataType))
+      case _                 => false // MapType, UDTs without ordering, variant
+    }
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType        => false
+      case ArrayType(e, _)   => hashable(e)
+      case StructType(fs)    => fs.forall(f => hashable(f.dataType))
+      case _                 => true
+    }
+
     val aggExprs: Seq[Column] = count(lit(1)).as("__n") +: targets.flatMap { c =>
+      val dt = schema(c).dataType
       val base = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls__$c"),
-        approx_count_distinct(col(c), rsd).as(s"__distinct__$c"),
-        min(col(c)).cast(StringType).as(s"__min__$c"),
-        max(col(c)).cast(StringType).as(s"__max__$c")
+        (if (hashable(dt)) approx_count_distinct(col(c), rsd)
+         else lit(null).cast(LongType)).as(s"__distinct__$c"),
+        (if (orderable(dt)) min(col(c)).cast(StringType)
+         else lit(null).cast(StringType)).as(s"__min__$c"),
+        (if (orderable(dt)) max(col(c)).cast(StringType)
+         else lit(null).cast(StringType)).as(s"__max__$c")
       )
       val num = numericView(c) match {
         case Some(v) =>
@@ -112,6 +142,31 @@ object Profiling {
     }: _*))
 
     one.select(rows.as("p")).select("p.*").orderBy("column")
+  }
+
+  /** Scalar-only view of a [[corpusProfile]] frame: the `quantiles`
+    * array becomes one double column per probability (`q25`, `q50`,
+    * `q75` for the defaults; `0.995` → `q99_5`). Same rows, same order —
+    * this is the shape for sinks that can only hash scalars (CSV
+    * reports, the driver's oracle comparator); the array form stays the
+    * API for programmatic consumers. `probs` must match the profile's
+    * `quantiles` argument (same order) — a #columns-row projection, free
+    * at any scale.
+    */
+  def flattenQuantiles(
+      profile: DataFrame,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)
+  ): DataFrame = {
+    require(probs.nonEmpty, "flattenQuantiles needs the profile's quantile probabilities")
+    def label(p: Double): String = {
+      val pct = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      "q" + pct.replace(".", "_").replace("-", "m")
+    }
+    val keep = profile.columns.filterNot(_ == "quantiles").map(col)
+    val qs = probs.zipWithIndex.map { case (p, i) =>
+      col("quantiles").getItem(i).as(label(p))
+    }
+    profile.select(keep.toSeq ++ qs: _*)
   }
 
   /** Drift between two [[corpusProfile]] outputs (e.g. this ingest batch

@@ -105,6 +105,39 @@ class ProfilingSpec extends SparkSpec {
     assert(withExtra.contains("extra") && withExtra("extra").getAs[String]("dtype_old") == null)
   }
 
+  test("flattenQuantiles: scalar q-columns equal the array entries, labels from probs") {
+    val prof = Profiling.corpusProfile(docs, quantiles = Seq(0.25, 0.5, 0.75))
+    val flat = Profiling.flattenQuantiles(prof)
+    assert(flat.columns.toSeq ==
+      prof.columns.filterNot(_ == "quantiles").toSeq ++ Seq("q25", "q50", "q75"))
+    val byCol = prof.collect().map(r => r.getString(0) -> r).toMap
+    flat.collect().foreach { r =>
+      val arr = Option(byCol(r.getString(0)).getAs[scala.collection.Seq[Double]]("quantiles"))
+      assert(r.getAs[Any]("q50") == arr.map(_(1)).orNull)
+    }
+    // Arbitrary probabilities label cleanly: 0.995 → q99_5.
+    val odd = Profiling.flattenQuantiles(
+      Profiling.corpusProfile(docs, quantiles = Seq(0.01, 0.995)), Seq(0.01, 0.995))
+    assert(odd.columns.takeRight(2).toSeq == Seq("q1", "q99_5"))
+  }
+
+  test("corpusProfile: unorderable/unhashable columns degrade, never throw") {
+    val s = spark
+    import s.implicits._
+    val withMap = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)), (3L, null))
+      .toDF("id", "m")
+    val prof = Profiling.corpusProfile(withMap)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = prof("m")
+    // Maps are neither orderable nor hashable in Spark: min/max and the
+    // HLL estimate degrade to null; counts and null accounting stay exact.
+    assert(m.getAs[Long]("n_rows") == 3L && m.getAs[Long]("n_nulls") == 1L)
+    assert(m.getAs[Any]("min_val") == null && m.getAs[Any]("max_val") == null)
+    assert(m.getAs[Any]("distinct_est") == null && m.getAs[Any]("mean") == null)
+    // id still profiles fully alongside.
+    assert(prof("id").getAs[String]("max_val") == "3")
+  }
+
   test("corpusProfile: single aggregate — no row-level shuffle in the plan") {
     val plan = Profiling.corpusProfile(docs).queryExecution.executedPlan.toString
     // One partial + one final aggregate pair; a single exchange moving
