@@ -1419,11 +1419,15 @@ object QueryCatalog {
     // projection against literal components. Deterministic (fixed-order
     // moment merge, canonical eigenvector signs) but not SQL-expressible
     // → golden fixture; orthonormality/variance/closed-form invariants
-    // are property-tested in EmbeddingProjectionSpec.
-    Q("embedding_pca", (s, dir) =>
-      EmbeddingProjection.pca(emb(s, dir), k = 8)
-        .orderBy("vec_id"),
-      None),
+    // are property-tested in EmbeddingProjectionSpec. The k=8 projection
+    // array is flattened to p0..p7 scalar columns (the array form stays
+    // the operator API) so scalar-only sinks can hash the rows.
+    Q("embedding_pca", (s, dir) => {
+      val p = EmbeddingProjection.pca(emb(s, dir), k = 8)
+      p.select(col("vec_id") +:
+          (0 until 8).map(i => col("proj").getItem(i).as(s"p$i")): _*)
+        .orderBy("vec_id")
+    }, None),
 
     Q("sim_ann_lsh", (s, dir) =>
       Similarity.lshTopK(emb(s, dir).filter(col("vec_id") < 50), k = 5)
@@ -2299,10 +2303,18 @@ object QueryCatalog {
     // approx quantiles (length-distribution for strings). Sketch
     // estimates are engine-specific, so no cross-engine SQL oracle —
     // ProfilingSpec asserts exact stats exactly and approx stats within
-    // error bounds vs brute force. The 100 TB ingest-QA scan: the only
-    // shuffle is per-partition sketch state.
+    // error bounds vs brute force; the sf0.01 golden pins the exact
+    // values (sketches are deterministic — no RNG). The 100 TB ingest-QA
+    // scan: the only shuffle is per-partition sketch state. Quantiles
+    // are flattened to scalar q25/q50/q75 columns here (the array form
+    // stays the Profiling API) so scalar-only sinks can hash the rows.
     Q("corpus_profile", (s, dir) =>
-      graft.operators.Profiling.corpusProfile(docs(s, dir)),
+      graft.operators.Profiling.flattenQuantiles(
+          graft.operators.Profiling.corpusProfile(docs(s, dir)))
+        // 4-dp mean: double partial-sum merge order is the one stat that
+        // is not bitwise partition-order-independent; everything else
+        // (counts, min/max, HLL registers, rank-based quantiles) is.
+        .withColumn("mean", round(col("mean"), 4)),
       None),
 
     // Snapshot-over-snapshot profile drift: new/old ratios per column
@@ -2316,8 +2328,10 @@ object QueryCatalog {
       val drifted = d.filter(col("doc_id") % 2 === 0)
         .withColumn("lang", when(col("doc_id") % 4 =!= 0, col("lang")))
       graft.operators.Profiling.profileDiff(
-        graft.operators.Profiling.corpusProfile(d),
-        graft.operators.Profiling.corpusProfile(drifted))
+          graft.operators.Profiling.corpusProfile(d),
+          graft.operators.Profiling.corpusProfile(drifted))
+        .withColumn("mean_old", round(col("mean_old"), 4))
+        .withColumn("mean_new", round(col("mean_new"), 4))
     }, None),
 
     // Corpus profiling: per-(source, lang) exact counts + distribution
