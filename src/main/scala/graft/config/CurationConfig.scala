@@ -78,6 +78,30 @@ object CurationConfig {
     */
   final case class Upsample(factors: Map[String, Double], group: String) extends Step
 
+  /** URL-level dedup (first crawl wins): keep the min-id document of
+    * each normalized-URL group. The byte-cost pre-pass of a web
+    * pipeline — it must precede every text-processing step (the
+    * compiler enforces it), because its whole point is to drop refetches
+    * before any per-token work is paid.
+    */
+  final case class UrlDedup(urlCol: String) extends Step
+
+  /** Excise duplicated ≥`k`-token spans from every document (drop-every-
+    * duplicated-token policy, original case preserved) — the Lee et al.
+    * 2022 exact-substring transform as a pipeline step; span counting
+    * runs on the corpus AS CURATED SO FAR.
+    */
+  final case class SubstringRemove(k: Int) extends Step
+
+  /** Model-based quality filter (the GPT-3 curation stage): score with a
+    * fitted [[graft.operators.QualityClassifier]] weight frame named
+    * `modelTable` (models are TABLES in production — fit once on a
+    * labeled sample, serve everywhere — so the step names an auxiliary
+    * frame like `decontaminate`'s probe set) and keep documents with
+    * quality ≥ `minScore`.
+    */
+  final case class QualityModel(modelTable: String, minScore: Double) extends Step
+
   final case class Pipeline(steps: Seq[Step])
 
   def fromYaml(yamlText: String): Pipeline = {
@@ -177,12 +201,20 @@ object CurationConfig {
           .asInstanceOf[java.util.Map[Object, Object]].asScala
           .map { case (k, v) => k.toString -> v.asInstanceOf[Number].doubleValue }.toMap
         Upsample(factors, params.get("group").map(_.toString).getOrElse("lang"))
+      case "url_dedup" =>
+        UrlDedup(params.get("url_col").map(_.toString).getOrElse("url"))
+      case "substring_remove" =>
+        SubstringRemove(need(longParam("k"), "'k' (minimum span length in tokens)").toInt)
+      case "quality_model" =>
+        QualityModel(
+          need(params.get("model").map(_.toString), "'model' (auxiliary weight-frame name)"),
+          need(doubleParam("min_score"), "'min_score'"))
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, redact, " +
-            "dedup_exact, dedup_minhash, langid_keep, quality, quota, split, " +
-            "shuffle, chunk, decontaminate, perplexity, perplexity_rank, " +
-            "token_budget, upsample)")
+            "dedup_exact, dedup_minhash, langid_keep, quality, quality_model, " +
+            "quota, split, shuffle, chunk, decontaminate, perplexity, " +
+            "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")
     }
   }
 }

@@ -1964,6 +1964,82 @@ object QueryCatalog {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rnd2, doc_id, copy) AS BIGINT) AS pos
              |FROM sh ORDER BY doc_id, copy""".stripMargin)),
 
+    // The web half of the pipeline language end-to-end (the C4/
+    // RefinedWeb topology): URL dedup FIRST (the byte-cost pre-pass —
+    // the compiler refuses it after any text step), then exact-substring
+    // span removal on the url-deduped corpus, then a token-count gate on
+    // the REWRITTEN text. Oracle composes the proven SQL forms of all
+    // three steps — whole-pipeline exact.
+    Q("curation_pipeline_web", (s, dir) =>
+      CurationPipeline.fromYaml(docsWithUrl(s, dir),
+        """steps:
+          |  - url_dedup: {}
+          |  - substring_remove: { k: 5 }
+          |  - quality: { min_tokens: 5 }
+          |""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .orderBy("doc_id"),
+      Some(urlCte +
+        """, keepu AS (SELECT MIN(doc_id) AS doc_id FROM urls GROUP BY url_norm),
+          |dsel AS (SELECT d.doc_id, d.lang, d.source, d.text
+          |  FROM documents d JOIN keepu USING (doc_id)),
+          |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM dsel),
+          |t2 AS (SELECT doc_id, toks, len(toks) AS nt FROM tok),
+          |win AS (
+          |  SELECT doc_id, UNNEST(range(0, nt - 5 + 1)) AS pos, toks FROM t2 WHERE nt >= 5),
+          |w2 AS (
+          |  SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 5], ' ') AS w FROM win),
+          |cnt AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS c FROM w2),
+          |hits AS (SELECT doc_id, pos FROM cnt WHERE c >= 2),
+          |brk AS (
+          |  SELECT doc_id, pos,
+          |         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+          |              OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 5
+          |              THEN 1 ELSE 0 END AS b
+          |  FROM hits),
+          |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+          |span AS (SELECT doc_id, g, MIN(pos) AS st, MAX(pos) AS e FROM isl GROUP BY 1, 2),
+          |drops AS (SELECT doc_id, UNNEST(range(st, e + 5)) AS pos FROM span),
+          |tokpos AS (
+          |  SELECT doc_id, UNNEST(range(0, len(toks0))) AS pos, toks0
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks0 FROM dsel)),
+          |toksC AS (SELECT doc_id, pos, toks0[pos + 1] AS tk FROM tokpos),
+          |keepT AS (
+          |  SELECT t.doc_id, t.pos, t.tk FROM toksC t
+          |  LEFT JOIN drops dr ON t.doc_id = dr.doc_id AND t.pos = dr.pos
+          |  WHERE dr.pos IS NULL),
+          |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text
+          |        FROM keepT GROUP BY 1),
+          |rew AS (SELECT t2.doc_id, COALESCE(agg.text, '') AS text
+          |        FROM t2 LEFT JOIN agg ON t2.doc_id = agg.doc_id)
+          |SELECT r.doc_id, d.lang, d.source, r.text
+          |FROM rew r JOIN dsel d USING (doc_id)
+          |WHERE len(list_filter(string_split(lower(r.text), ' '), x -> x <> '')) >= 5
+          |ORDER BY 1""".stripMargin)),
+
+    // The model-quality half: score against a FITTED weight frame passed
+    // to the compiler as a named auxiliary table (the serve topology —
+    // the fit happened once, elsewhere), gate on the learned score, then
+    // exact dedup. Iterative fit upstream → golden fixture, like
+    // text_quality_model.
+    Q("curation_pipeline_qmodel", (s, dir) => {
+      val d = docs(s, dir)
+      // 16 iterations separate en from non-en well enough that the 0.5
+      // gate really filters (~40% of docs dropped); 8 left every score
+      // above 0.5 — a vacuous gate tests nothing.
+      val model = QualityClassifier.train(
+        d.withColumn("is_en", (col("lang") === "en").cast("int")),
+        labelCol = "is_en", dim = 1024, iters = 16)
+      CurationPipeline.fromYaml(d,
+        """steps:
+          |  - quality_model: { model: qmodel, min_score: 0.5 }
+          |  - dedup_exact: {}
+          |""".stripMargin,
+        aux = Map("qmodel" -> model))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }, None),
+
     // Snapshot diff (dataset versioning): before = the documents table,
     // after = a deterministic mutation (every 17th doc dropped, every
     // 5th doc's text edited, 20 new docs) — classified added / removed /

@@ -43,6 +43,17 @@ object CurationPipeline {
         "upsample duplicates ids (row key becomes (id, copy)); only " +
           "'shuffle' may follow it")
     }
+    // url_dedup is the byte-cost pre-pass: its point is to drop URL
+    // refetches BEFORE any per-token work, so only other url steps may
+    // precede it — a url_dedup after a text step is config that silently
+    // paid tokenization on rows it was about to throw away.
+    pipeline.steps.zipWithIndex.collectFirst {
+      case (u: UrlDedup, i) if !pipeline.steps.take(i).forall(_.isInstanceOf[UrlDedup]) => i
+    }.foreach { i =>
+      throw new IllegalArgumentException(
+        s"url_dedup (step #$i) must precede every text-processing step " +
+          "(it exists to skip per-token work on dropped refetches)")
+    }
     pipeline.steps.foldLeft(docs)((df, step) => applyStep(df, step, idCol, textCol, aux))
   }
 
@@ -83,6 +94,9 @@ object CurationPipeline {
     case TokenBudget(_, _) => "token_budget"
     case PerplexityRank(_, _, _) => "perplexity_rank"
     case Upsample(_, _) => "upsample"
+    case UrlDedup(_) => "url_dedup"
+    case SubstringRemove(_) => "substring_remove"
+    case QualityModel(_, _) => "quality_model"
   }
 
   private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String,
@@ -155,6 +169,31 @@ object CurationPipeline {
         // In-place (map-side) — the operator-then-join-back form would
         // shuffle the corpus by id twice for nothing.
         Sampling.upsampleWithCopies(df, factors, group, idCol).drop("n_copies")
+      case UrlDedup(urlCol) =>
+        require(df.columns.contains(urlCol),
+          s"url_dedup: no '$urlCol' column on the input frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        // First-crawl-wins selection: the thin (url_norm, id) aggregate
+        // picks each group's keeper, then a semi-join keeps those rows.
+        val keep = UrlCuration.dedupByUrl(df, urlCol, idCol)
+          .select(col("keeper").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case SubstringRemove(k) =>
+        // The operator returns the rewritten (id, text) grain; join the
+        // surviving columns back on the id key (one id-keyed shuffle —
+        // the rewrite itself already clustered by id).
+        val rewritten = Dedup.removeDuplicateSpans(df, k, textCol, idCol)
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol),
+            col("text").as(textCol))
+        df.drop(textCol).join(rewritten, Seq(idCol))
+      case QualityModel(modelTable, minScore) =>
+        val model = aux.getOrElse(modelTable, throw new IllegalArgumentException(
+          s"quality_model step names auxiliary weight frame '$modelTable' but the " +
+            s"compiler was given ${if (aux.isEmpty) "none" else aux.keys.mkString(", ")}"))
+        val keep = QualityClassifier.score(df, model, idCol, textCol)
+          .filter(col("quality") >= minScore)
+          .select(col(idCol).cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
       case PerplexityRank(frac, group, vocabSize) =>
         val ppl = Vocabulary.perplexity(df, vocabSize, textCol, idCol)
           .select(col("doc_id").as(idCol), col("ppl"))

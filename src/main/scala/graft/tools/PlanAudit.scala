@@ -589,6 +589,19 @@ object PlanAudit {
     audit("curation_pipeline_mix", graft.operators.CurationPipeline.fromYaml(
       docsT, mixYaml), 4)
 
+    // Web pipeline: url_dedup (thin url_norm agg + id semi-join) FIRST —
+    // the compiler enforces the byte-cost-pre-pass order — then exact-
+    // substring span removal (window counts + id-clustered rebuild +
+    // join-back) and a map-side token gate on the rewritten text.
+    val webYaml =
+      """steps:
+        |  - url_dedup: {}
+        |  - substring_remove: { k: 5 }
+        |  - quality: { min_tokens: 5 }
+        |""".stripMargin
+    audit("curation_pipeline_web", graft.operators.CurationPipeline.fromYaml(
+      urlDocs, webYaml), 6)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

@@ -186,6 +186,56 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == all.diff(drop))
   }
 
+  test("url_dedup, substring_remove, and quality_model steps parse and equal operator composition") {
+    // Every 3rd doc shares a url with doc_id−1: url groups of 1–2 docs.
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://ex.com/p"), (col("doc_id") - col("doc_id") % 3).cast("string")))
+    val model = graft.operators.QualityClassifier.train(
+      docs.withColumn("is_en", (col("lang") === "en").cast("int")),
+      labelCol = "is_en", dim = 128, iters = 4)
+    val got = CurationPipeline.fromYaml(withUrl,
+      """steps:
+        |  - url_dedup: {}
+        |  - substring_remove: { k: 5 }
+        |  - quality_model: { model: m, min_score: 0.4 }
+        |""".stripMargin,
+      aux = Map("m" -> model))
+
+    // Manual equivalent, step by step.
+    val keepU = graft.operators.UrlCuration.dedupByUrl(withUrl)
+      .select(col("keeper").as("doc_id"))
+    val afterUrl = withUrl.join(keepU, Seq("doc_id"), "left_semi")
+    val rewritten = graft.operators.Dedup.removeDuplicateSpans(afterUrl, k = 5)
+    val afterSub = afterUrl.drop("text").join(rewritten, Seq("doc_id"))
+    val keepQ = graft.operators.QualityClassifier.score(afterSub, model)
+      .filter(col("quality") >= 0.4).select("doc_id")
+    val want = afterSub.join(keepQ, Seq("doc_id"), "left_semi")
+
+    assert(snap(got.select("doc_id", "text")) == snap(want.select("doc_id", "text")))
+    // Columns survive the chain; the URL stage really deduped.
+    assert(got.columns.toSet == withUrl.columns.toSet)
+    assert(afterUrl.count() < withUrl.count())
+    assert(got.count() == want.count())
+  }
+
+  test("url_dedup after a text step is refused; model/url preconditions are clear errors") {
+    val withUrl = docs.withColumn("url", concat(lit("https://ex.com/"), col("doc_id")))
+    val late = intercept[IllegalArgumentException] {
+      CurationPipeline.fromYaml(withUrl,
+        "steps:\n  - clean: {}\n  - url_dedup: {}\n")
+    }
+    assert(late.getMessage.contains("url_dedup") && late.getMessage.contains("precede"))
+    val noUrl = intercept[IllegalArgumentException] {
+      CurationPipeline.fromYaml(docs, "steps:\n  - url_dedup: {}\n")
+    }
+    assert(noUrl.getMessage.contains("url"))
+    val noModel = intercept[IllegalArgumentException] {
+      CurationPipeline.fromYaml(docs,
+        "steps:\n  - quality_model: { model: m, min_score: 0.5 }\n")
+    }
+    assert(noModel.getMessage.contains("'m'"))
+  }
+
   test("shuffle positions are dense per shard after the full pipeline") {
     val yaml =
       """steps:
