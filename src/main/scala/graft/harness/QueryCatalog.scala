@@ -29,7 +29,13 @@ object QueryCatalog {
       name: String,
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      bench: Boolean = false)
+      bench: Boolean = false,
+      // Fit-heavy bench entries (iterative Lloyd/Adagrad/merge fits, or
+      // serve-from-index entries whose first run builds the index): Bench
+      // gives these ONE untimed warm-up execution so JIT + fit-cache
+      // effects don't leak into the timed best-of-N (r8 recorded ivfpq
+      // raw runs of [52.7, 12.2, 6.1] s — the 52.7 is warm-up, not work).
+      warmup: Boolean = false)
 
   private val predTypes = Seq("click", "purchase", "error")
 
@@ -1448,7 +1454,7 @@ object QueryCatalog {
       graft.operators.ProductQuant.ivfPqTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None, bench = true),
+      None, bench = true, warmup = true),
 
     Q("sim_ann_ivfpq_idx", (s, dir) => {
       // Fit-once / serve-many IVF-PQ: the persisted index (coarse
@@ -1473,7 +1479,7 @@ object QueryCatalog {
         k = 5, nprobe = 12, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding")
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
-    }, None, bench = true),
+    }, None, bench = true, warmup = true),
 
     Q("sim_ann_pq", (s, dir) =>
       // Product quantization ANN: ADC scan over m-byte codes + exact
@@ -2445,7 +2451,26 @@ object QueryCatalog {
         d.withColumn("is_en", (col("lang") === "en").cast("int")),
         labelCol = "is_en", dim = 1024, iters = 32)
       QualityClassifier.score(d, model).orderBy("doc_id")
-    }, None, bench = true),
+    }, None, bench = true, warmup = true),
+
+    // Fit-once / serve-many quality model (the ivfpq_idx split applied
+    // to the classifier): the weight frame is fit and persisted on first
+    // use; every subsequent run LOADS it and pays only the broadcast-
+    // join scoring pass — the production serve path, benched separately
+    // so the 32-iteration fit's scheduler noise stays out of the serving
+    // regression signal. Output ≡ text_quality_model (save/load parity
+    // is asserted in QualityClassifierSpec) → same-valued golden.
+    Q("text_quality_model_idx", (s, dir) => {
+      val d = docs(s, dir)
+      val mDir = s"/tmp/graft_qmodel_d1024_i32_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(s"$mDir/_SUCCESS").exists())
+        QualityClassifier.train(
+            d.withColumn("is_en", (col("lang") === "en").cast("int")),
+            labelCol = "is_en", dim = 1024, iters = 32)
+          .write.mode("overwrite").parquet(mDir)
+      QualityClassifier.score(d, s.read.parquet(mDir)).orderBy("doc_id")
+    }, None, bench = true, warmup = true),
 
     // Real BPE (Sennrich 2016): merges learned from the corpus word-
     // frequency table (the bounded-dictionary learn), applied map-side
@@ -2456,7 +2481,7 @@ object QueryCatalog {
         docs(s, dir), numMerges = 64, vocabLimit = 4096)
       graft.functions.Bpe.tokenCounts(docs(s, dir), merges)
         .orderBy("doc_id")
-    }, None, bench = true)
+    }, None, bench = true, warmup = true)
   )
 
   /** The flagship cohort query (same shape as the reference's in-hospital
@@ -2606,4 +2631,9 @@ object QueryCatalog {
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+
+  /** Bench entries that get one untimed warm-up run (fit-heavy or
+    * index-building on first use — see [[Q.warmup]]).
+    */
+  def warmupNames: Seq[String] = all.filter(_.warmup).map(_.name)
 }
