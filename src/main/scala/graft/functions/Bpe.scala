@@ -42,6 +42,38 @@ object Bpe {
     */
   final case class Merge(rank: Int, left: String, right: String)
 
+  /** GPT-2-style printable byte alphabet (Radford et al. 2019, the
+    * byte-level BPE of the public gpt-2 `bytes_to_unicode`): every one of
+    * the 256 byte values maps to a distinct PRINTABLE BMP codepoint —
+    * visibly-printable bytes keep their own codepoint, the rest (controls,
+    * space, DEL, a few Latin-1 holes) shift to 256+k. This makes byte
+    * symbols safe to store as parquet strings (merge-table round-trip)
+    * and safe to join/debug, while keeping the alphabet total: ANY UTF-8
+    * input — CJK, emoji, mixed scripts, malformed bytes — tokenizes with
+    * zero out-of-vocabulary cases, which the raw char alphabet of the
+    * word-level mode cannot guarantee on open-vocabulary scripts.
+    */
+  private[graft] val byteToChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar
+      else { val c = (256 + n).toChar; n += 1; c }
+    }.toArray
+  }
+
+  /** Render a word as its byte-level symbol string: one mapped char per
+    * UTF-8 byte. `learnOnDict`/`encodeWord` split per Char, so the
+    * rendered string IS the byte symbol sequence.
+    */
+  private[graft] def toByteSymbols(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
   /** Learn `numMerges` BPE merges from the corpus's word-frequency table.
     *
     * Words are whitespace tokens, lowered; only the `vocabLimit` most
@@ -49,12 +81,22 @@ object Bpe {
     * standard bounded-dictionary learn. Returns the ranked merge table as
     * a DataFrame `(rank, left, right)` for persistence; pair it with
     * [[tokenize]].
+    *
+    * `byteLevel = true` switches the symbol alphabet from raw chars to
+    * the GPT-2 printable byte alphabet ([[byteToChar]]): words become
+    * UTF-8 byte-symbol sequences before the merge loop, so unsegmented
+    * scripts (CJK — whitespace splitting leaves whole phrases as one
+    * "word") and any multi-byte codepoint learn multi-byte merge units
+    * bottom-up with a total, 256-symbol base vocabulary. Both modes share
+    * the same dictionary learn and the same apply loop; a merge table
+    * learned in one mode must be applied in the same mode.
     */
   def learnMerges(
       docs: DataFrame,
       numMerges: Int,
       vocabLimit: Int = 10000,
-      textCol: String = "text"
+      textCol: String = "text",
+      byteLevel: Boolean = false
   ): DataFrame = {
     val spark = docs.sparkSession
     val wordCounts = docs
@@ -65,6 +107,7 @@ object Bpe {
       .limit(vocabLimit)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+      .map { case (w, c) => (if (byteLevel) toByteSymbols(w) else w, c) }
 
     val merges = learnOnDict(wordCounts.toIndexedSeq, numMerges)
     spark.createDataFrame(
@@ -159,12 +202,15 @@ object Bpe {
 
   /** Apply a learned merge table to every document: `(idCol, n_words,
     * n_bpe_tokens)` — map-side only, broadcast ranks, zero exchanges.
+    * `byteLevel` must match the mode the table was learned in (symbols
+    * are byte-alphabet strings there, raw chars here).
     */
   def tokenCounts(
       docs: DataFrame,
       merges: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      byteLevel: Boolean = false
   ): DataFrame = {
     val spark = docs.sparkSession
     val ranks: Map[(String, String), Int] = merges
@@ -179,7 +225,10 @@ object Bpe {
       it.map { case (id, t) =>
         val words = t.split(" ").filter(_.nonEmpty)
         var n = 0L
-        words.foreach(w => n += encodeWord(w, rk).length)
+        words.foreach { w =>
+          val sym = if (byteLevel) toByteSymbols(w) else w
+          n += encodeWord(sym, rk).length
+        }
         (id, words.length.toLong, n)
       }
     }.toDF("id", "n_words", "n_bpe_tokens")

@@ -2481,7 +2481,26 @@ object QueryCatalog {
         docs(s, dir), numMerges = 64, vocabLimit = 4096)
       graft.functions.Bpe.tokenCounts(docs(s, dir), merges)
         .orderBy("doc_id")
-    }, None, bench = true, warmup = true)
+    }, None, bench = true, warmup = true),
+
+    // Byte-level BPE (GPT-2 byte alphabet) on a mixed-script corpus: the
+    // zh-lang docs become UNSEGMENTED CJK via a deterministic letter →
+    // hanzi translation with spaces removed — exactly the input shape
+    // that breaks whitespace-word BPE (each doc is one giant "word") and
+    // that the byte alphabet absorbs: 3-byte codepoints enter as byte
+    // triplets and the frequent ones fuse bottom-up, with zero
+    // out-of-vocabulary outcomes possible. Iterative learn → golden.
+    Q("text_bpe_bytes", (s, dir) => {
+      val hanzi = "一二三四五六七八九十百千万上下左右中大小山水火木金土"
+      val mixed = docs(s, dir).withColumn("text",
+        when(col("lang") === "zh",
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz ", hanzi))
+          .otherwise(col("text")))
+      val merges = graft.functions.Bpe.learnMerges(
+        mixed, numMerges = 96, vocabLimit = 4096, byteLevel = true)
+      graft.functions.Bpe.tokenCounts(mixed, merges, byteLevel = true)
+        .orderBy("doc_id")
+    }, None)
   )
 
   /** The flagship cohort query (same shape as the reference's in-hospital

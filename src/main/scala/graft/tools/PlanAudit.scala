@@ -481,6 +481,11 @@ object PlanAudit {
     val tinyMerges = graft.functions.Bpe.learnMerges(
       docsT.limit(20), numMerges = 4, vocabLimit = 50)
     audit("text_bpe_apply", graft.functions.Bpe.tokenCounts(docsT, tinyMerges), 0)
+    // Byte-level mode shares the apply loop — same zero-exchange bar.
+    val tinyByteMerges = graft.functions.Bpe.learnMerges(
+      docsT.limit(20), numMerges = 4, vocabLimit = 50, byteLevel = true)
+    audit("text_bpe_apply(bytes)", graft.functions.Bpe.tokenCounts(
+      docsT, tinyByteMerges, byteLevel = true), 0)
 
     // Crawl-text cleaning: pure regexp projection — ZERO exchanges.
     audit("text_clean", docsT.select(col("doc_id"),

@@ -207,4 +207,50 @@ class RetrievalSpec extends SparkSpec {
     val reloaded = spark.read.parquet(dir)
     assert(snap(Bpe.tokenCounts(docs, reloaded)) == snap(Bpe.tokenCounts(docs, merges)))
   }
+
+  test("byte-level bpe: alphabet is a printable bijection over all 256 bytes") {
+    val m = Bpe.byteToChar
+    assert(m.length == 256 && m.toSet.size == 256) // injective
+    // Every mapped char is printable BMP (no controls, no space, no
+    // surrogates) — safe as a parquet string symbol.
+    assert(m.forall(c => !Character.isISOControl(c) && !Character.isWhitespace(c)
+      && !Character.isSurrogate(c)))
+    // Printable ASCII keeps its own codepoint (so ASCII corpora learn
+    // identical tables in both modes).
+    assert(('!' to '~').forall(c => m(c.toInt) == c))
+  }
+
+  test("byte-level bpe equals char-level on printable-ASCII corpora") {
+    val docs = Seq(
+      (1L, "lower lower lower newest"),
+      (2L, "lowest newest newest")).toDF("doc_id", "text")
+    val charM = Bpe.learnMerges(docs, numMerges = 10, vocabLimit = 100)
+    val byteM = Bpe.learnMerges(docs, numMerges = 10, vocabLimit = 100, byteLevel = true)
+    assert(snap(charM) == snap(byteM))
+    assert(snap(Bpe.tokenCounts(docs, charM)) ==
+      snap(Bpe.tokenCounts(docs, byteM, byteLevel = true)))
+  }
+
+  test("byte-level bpe: unsegmented CJK learns multi-byte units, zero OOV, round-trips") {
+    // Unsegmented text: each doc is ONE whitespace "word" of 3-byte
+    // hanzi (+ one emoji = 4 bytes, a surrogate pair in UTF-16).
+    val docs = Seq(
+      (1L, "数据表连接数据表"), (2L, "数据流连接数据流"),
+      (3L, "数据数据数据"), (4L, "🙂数据🙂")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 12, vocabLimit = 100, byteLevel = true)
+    val out = Bpe.tokenCounts(docs, merges, byteLevel = true)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 1L, 1L, 1L)) // one "word" each
+    // 数据 appears 7×: with 12 merges its 6 bytes fuse into few tokens —
+    // doc 3 (数据×3) must compress well below its 18 raw bytes.
+    assert(out(2)._3 <= 6L, s"expected multi-byte merges, got ${out(2)._3} tokens")
+    // The emoji doc tokenizes (no OOV): its 4 emoji bytes were never in
+    // the merge dictionary yet still emit base byte symbols.
+    assert(out(3)._3 >= 8L && out(3)._3 <= 14L)
+    // Byte-symbol merge table survives parquet.
+    val dir = java.nio.file.Files.createTempDirectory("bpeb").toString
+    merges.write.mode("overwrite").parquet(dir)
+    assert(snap(Bpe.tokenCounts(docs, spark.read.parquet(dir), byteLevel = true)) ==
+      snap(Bpe.tokenCounts(docs, merges, byteLevel = true)))
+  }
 }
