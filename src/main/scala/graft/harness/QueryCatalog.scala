@@ -2309,6 +2309,70 @@ object QueryCatalog {
     // score scales never meet; both input lists are oracle-proven exact
     // (search_bm25 / sim_bruteforce_cosine forms), and RRF summands are
     // 1/(60+integer-rank) — the same double on any engine.
+    // Index-health stats of the BM25 postings index (one row): the
+    // promote/alert signal set for append-only index accumulation —
+    // n_docs/avgdl enter every score, n_terms/postings density and the
+    // max-df term share catch vocabulary stagnation and boilerplate
+    // floods. Exact integer arithmetic, explicit divisions → SQL oracle.
+    Q("bm25_index_stats", (s, dir) =>
+      Retrieval.indexStats(Retrieval.postings(docs(s, dir))),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+             |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+             |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+             |dd AS (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1),
+             |da AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM dd),
+             |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, MAX(df) AS max_df
+             |  FROM (SELECT term, COUNT(*) AS df FROM post GROUP BY 1)),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_postings FROM post)
+             |SELECT n_docs, avgdl, n_terms, n_postings,
+             |  ROUND(CAST(n_postings AS DOUBLE) / n_docs, 6) AS postings_per_doc,
+             |  ROUND(CAST(max_df AS DOUBLE) / n_docs, 6) AS max_df_frac
+             |FROM da, ta, tot""".stripMargin)),
+
+    // The drift gate itself on a shard-append sequence: accepted index =
+    // docs < 250, accumulated index = the full corpus — long-format
+    // (stat, old, new, ratio) rows mirroring corpus_profile_diff's
+    // shape, ratio thresholds being the promote/alert rule.
+    Q("bm25_index_drift", (s, dir) => {
+      val d = docs(s, dir)
+      Retrieval.indexStatsDiff(
+        Retrieval.indexStats(Retrieval.postings(d.filter(col("doc_id") < 250))),
+        Retrieval.indexStats(Retrieval.postings(d)))
+    },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+             |tokp AS (SELECT part, doc_id, toks
+             |  FROM tok, (SELECT UNNEST([0, 1]) AS part)
+             |  WHERE (CASE WHEN doc_id < 250 THEN 0 ELSE 1 END) <= part),
+             |p AS (SELECT part, doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM tokp),
+             |post AS (SELECT part, term, doc_id, ANY_VALUE(dl) AS dl FROM p GROUP BY 1, 2, 3),
+             |dd AS (SELECT part, doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1, 2),
+             |da AS (SELECT part, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM dd GROUP BY 1),
+             |tdf AS (SELECT part, term, COUNT(*) AS df FROM post GROUP BY 1, 2),
+             |ta AS (SELECT part, CAST(COUNT(*) AS DOUBLE) AS n_terms,
+             |    MAX(df) AS max_df FROM tdf GROUP BY 1),
+             |tot AS (SELECT part, CAST(COUNT(*) AS DOUBLE) AS n_postings FROM post GROUP BY 1),
+             |stats AS (SELECT da.part, n_docs, avgdl, n_terms, n_postings,
+             |    ROUND(n_postings / n_docs, 6) AS postings_per_doc,
+             |    ROUND(CAST(max_df AS DOUBLE) / n_docs, 6) AS max_df_frac
+             |  FROM da JOIN ta ON da.part = ta.part JOIN tot ON da.part = tot.part),
+             |o AS (SELECT * FROM stats WHERE part = 0),
+             |n AS (SELECT * FROM stats WHERE part = 1),
+             |pairs AS (
+             |  SELECT 'avgdl' AS stat, o.avgdl AS old_val, n.avgdl AS new_val FROM o, n
+             |  UNION ALL SELECT 'max_df_frac', o.max_df_frac, n.max_df_frac FROM o, n
+             |  UNION ALL SELECT 'n_docs', o.n_docs, n.n_docs FROM o, n
+             |  UNION ALL SELECT 'n_postings', o.n_postings, n.n_postings FROM o, n
+             |  UNION ALL SELECT 'n_terms', o.n_terms, n.n_terms FROM o, n
+             |  UNION ALL SELECT 'postings_per_doc', o.postings_per_doc, n.postings_per_doc FROM o, n)
+             |SELECT stat, old_val, new_val,
+             |  CASE WHEN old_val IS NULL OR old_val = 0 OR new_val IS NULL THEN NULL
+             |       ELSE ROUND(new_val / old_val, 6) END AS ratio
+             |FROM pairs ORDER BY stat""".stripMargin)),
+
     Q("search_hybrid", (s, dir) => {
       val qs = s.createDataFrame(Seq(
         (0L, "spark join"), (1L, "window merge sort"), (2L, "vector hash batch")))

@@ -198,4 +198,56 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "rank", "rrf_score")
   }
+
+  /** One-row health statistics of a [[postings]] index — the sufficient
+    * signal set for deciding whether an accumulated append-only index
+    * still serves honestly: `n_docs`, `avgdl` (both enter every BM25
+    * score), `n_terms`, `n_postings`, `postings_per_doc` (vocabulary and
+    * density growth), and `max_df_frac` (the most ubiquitous term's
+    * document share — the stopword-saturation / boilerplate-flood
+    * signal). Three thin aggregates over the index itself (never the
+    * corpus); exact integer arithmetic with explicit divisions, so both
+    * engines produce the identical doubles.
+    */
+  def indexStats(post: DataFrame): DataFrame = {
+    val docAgg = post.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("dl").cast("double") / count(lit(1)), 6).as("avgdl"))
+    val termAgg = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_terms"), max("df").as("max_df"))
+    val tot = post.agg(count(lit(1)).as("n_postings"))
+    docAgg.crossJoin(termAgg).crossJoin(tot)
+      .select(
+        col("n_docs"), col("avgdl"), col("n_terms"), col("n_postings"),
+        round(col("n_postings").cast("double") / col("n_docs"), 6).as("postings_per_doc"),
+        round(col("max_df").cast("double") / col("n_docs"), 6).as("max_df_frac"))
+  }
+
+  /** Drift between two [[indexStats]] snapshots (the accepted index vs
+    * index-plus-new-shards) — the promote/alert gate for append-only
+    * postings accumulation, mirroring
+    * [[Profiling.profileDiff]]'s shape: long format, one row per
+    * statistic with `(old_val, new_val, ratio)`, ratio = new/old (null
+    * when the old side is 0). A healthy shard append moves `n_docs` /
+    * `n_postings` by the shard fraction while `avgdl`,
+    * `postings_per_doc`, and `max_df_frac` sit near ratio 1.0 —
+    * thresholding `abs(ratio − 1)` on those three is the alert rule
+    * (boilerplate floods hit `max_df_frac`, fragment shards hit
+    * `avgdl`). Driver-trivial: both inputs are one row.
+    */
+  def indexStatsDiff(oldStats: DataFrame, newStats: DataFrame): DataFrame = {
+    val names = Seq("n_docs", "avgdl", "n_terms", "n_postings",
+      "postings_per_doc", "max_df_frac")
+    val o = oldStats.select(names.map(c => col(c).cast("double").as(s"__o_$c")): _*)
+    val n = newStats.select(names.map(c => col(c).cast("double").as(s"__n_$c")): _*)
+    val stacked = names.map(c =>
+      s"'$c', `__o_$c`, `__n_$c`").mkString(s"stack(${names.length}, ", ", ", ")")
+    o.crossJoin(n)
+      .select(expr(s"$stacked as (stat, old_val, new_val)"))
+      .select(col("stat"), col("old_val"), col("new_val"),
+        when(col("old_val").isNull || col("old_val") === 0.0 || col("new_val").isNull,
+          lit(null).cast("double"))
+          .otherwise(round(col("new_val") / col("old_val"), 6)).as("ratio"))
+      .orderBy("stat")
+  }
 }

@@ -92,6 +92,52 @@ class RetrievalSpec extends SparkSpec {
       snap(Retrieval.bm25TopK(qs, rebuilt, 5, 1.2, 0.75)))
   }
 
+  test("index stats drift gates an append-only shard sequence (healthy vs boilerplate flood)") {
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 30)
+    val healthyShard = docs.filter(col("doc_id") >= 30)
+    // Boilerplate flood: many short docs dominated by ONE term — the
+    // failure mode the max_df_frac/avgdl signals exist to catch.
+    val spamShard = spark.range(1000, 1400)
+      .select(col("id").as("doc_id"), lit("click here now").as("text"))
+
+    val base = Retrieval.indexStats(Retrieval.postings(corpus))
+    val baseRow = base.head()
+    assert(baseRow.getAs[Long]("n_docs") == 30L)
+    // Exact cross-check of the one-row stats against direct aggregates.
+    val post = Retrieval.postings(corpus)
+    assert(baseRow.getAs[Long]("n_postings") == post.count())
+    assert(baseRow.getAs[Long]("n_terms") ==
+      post.select("term").distinct().count())
+
+    def diffMap(shard: org.apache.spark.sql.DataFrame) = {
+      val appended = Retrieval.postings(corpus).unionByName(Retrieval.postings(shard))
+      Retrieval.indexStatsDiff(base, Retrieval.indexStats(appended))
+        .collect().map(r => r.getString(0) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    }
+
+    // Healthy append: counts grow by the shard fraction, the per-doc
+    // shape statistics stay near 1.0.
+    val healthy = diffMap(healthyShard)
+    assert(healthy("n_docs").get > 1.0)
+    assert(math.abs(healthy("avgdl").get - 1.0) < 0.25)
+    assert(math.abs(healthy("postings_per_doc").get - 1.0) < 0.25)
+    assert(math.abs(healthy("max_df_frac").get - 1.0) < 0.35)
+
+    // Boilerplate flood: avgdl collapses (3-token docs flood in) and the
+    // vocabulary stagnates while the corpus balloons (n_terms flat at
+    // 13× the docs) — two alerts fire. (max_df_frac moves little HERE
+    // because this fixture corpus is already stopword-saturated at
+    // df=27/30; it is the signal for unsaturated corpora.)
+    val spam = diffMap(spamShard)
+    assert(spam("avgdl").get < 0.5, s"avgdl ratio ${spam("avgdl")}")
+    assert(spam("n_docs").get > 5.0)
+    assert(spam("n_terms").get < 1.2, s"n_terms ratio ${spam("n_terms")}")
+    assert(spam("postings_per_doc").get < 0.5)
+  }
+
   test("rrf fusion composes with the ANN ladder as the dense side") {
     val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
