@@ -21,6 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * For a full streaming cohort extractor, the watermark must cover the
   * task's maximum lookback/lookahead (max window span in the tree), after
   * which each arriving trigger can be evaluated against closed windows.
+  *
+  * State-size claims in this file quote the LOGICAL payload per key (the
+  * bytes the operator design puts in state). The default HDFS-backed
+  * state store carries an additional ~180 B/key of fixed object
+  * scaffolding (UnsafeRow headers + map entries + version maps) on top,
+  * independent of payload — measured, constant from 1× to 50× corpus
+  * growth, by `graft.tools.StreamStateProbe` (numbers in BENCH_NOTES §10,
+  * alongside the state-ROWS-equal-key-population check per operator).
   */
 object StreamingPredicates {
 
@@ -803,7 +811,9 @@ object StreamingPredicates {
     * state needs no cross-group lookups — the same trade as
     * [[minhashNearDupStream]]'s per-band shingle copies), so live state ≈
     * `bands · (4·dim + 8·bands + 16)` bytes per doc within the TTL window
-    * (~8 KB/doc at dim=64, bands=32). Size `ttlMicros` to the dedup
+    * (~17 KB/doc at dim=64, bands=32 — StreamStateProbe measures 17.2,
+    * within 2% of the formula, and shows the `maxBucketSize` latch
+    * capping growth once hot buckets saturate). Size `ttlMicros` to the dedup
     * horizon × ingest rate; the persisted-corpus batch pass
     * ([[graft.operators.Dedup.embeddingNearDupIncremental]]) catches
     * pairs beyond the horizon.
