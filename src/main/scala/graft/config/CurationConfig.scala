@@ -102,6 +102,30 @@ object CurationConfig {
     */
   final case class QualityModel(modelTable: String, minScore: Double) extends Step
 
+  /** Gopher-style repetition gate: drop documents whose duplicate-token /
+    * duplicate-bigram / most-frequent-bigram fractions exceed the given
+    * thresholds (each optional; at least one required). Documents too
+    * short to have a bigram metric (null) pass that threshold — no
+    * evidence is not evidence of spam — but documents with NO tokens at
+    * all have no metrics row and are dropped (run `quality` first if
+    * empty docs should fail loudly earlier).
+    */
+  final case class RepetitionFilter(
+      maxDupTokenFrac: Option[Double],
+      maxDupBigramFrac: Option[Double],
+      maxTopBigramFrac: Option[Double]) extends Step
+
+  /** Compressibility gate (deflate compressed/raw ratio): drop documents
+    * below `minRatio` (boilerplate/template spam — compresses too well)
+    * or above `maxRatio` (random/binary junk — does not compress).
+    */
+  final case class CompressFilter(minRatio: Option[Double], maxRatio: Option[Double]) extends Step
+
+  /** Trigram-profile language filter: keep documents whose
+    * [[graft.operators.LangIdTrigram]] prediction is in `langs` — the
+    * higher-precision sibling of `langid_keep` (script-heuristic). */
+  final case class LangIdTrigramKeep(langs: Seq[String]) extends Step
+
   final case class Pipeline(steps: Seq[Step])
 
   def fromYaml(yamlText: String): Pipeline = {
@@ -209,11 +233,32 @@ object CurationConfig {
         QualityModel(
           need(params.get("model").map(_.toString), "'model' (auxiliary weight-frame name)"),
           need(doubleParam("min_score"), "'min_score'"))
+      case "repetition" =>
+        val r = RepetitionFilter(
+          doubleParam("max_dup_token_frac"),
+          doubleParam("max_dup_bigram_frac"),
+          doubleParam("max_top_bigram_frac"))
+        require(r.maxDupTokenFrac.nonEmpty || r.maxDupBigramFrac.nonEmpty ||
+          r.maxTopBigramFrac.nonEmpty,
+          s"step #$idx: repetition needs at least one of max_dup_token_frac, " +
+            "max_dup_bigram_frac, max_top_bigram_frac")
+        r
+      case "compress" =>
+        val c = CompressFilter(doubleParam("min_ratio"), doubleParam("max_ratio"))
+        require(c.minRatio.nonEmpty || c.maxRatio.nonEmpty,
+          s"step #$idx: compress needs min_ratio and/or max_ratio")
+        c
+      case "langid_trigram_keep" =>
+        val langs = need(params.get("langs"), "'langs' (list)")
+          .asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
+        require(langs.nonEmpty, s"step #$idx: langid_trigram_keep needs a non-empty langs list")
+        LangIdTrigramKeep(langs)
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, redact, " +
-            "dedup_exact, dedup_minhash, langid_keep, quality, quality_model, " +
-            "quota, split, shuffle, chunk, decontaminate, perplexity, " +
+            "compress, dedup_exact, dedup_minhash, langid_keep, " +
+            "langid_trigram_keep, quality, quality_model, quota, repetition, " +
+            "split, shuffle, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")
     }
   }

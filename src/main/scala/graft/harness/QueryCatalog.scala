@@ -1488,7 +1488,7 @@ object QueryCatalog {
       graft.operators.ProductQuant.pqTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None, bench = true),
+      None, bench = true, warmup = true),
 
     Q("sim_ann_lsh_q", (s, dir) =>
       // Asymmetric retrieval shape: a small disjoint query frame against
@@ -1820,6 +1820,34 @@ object QueryCatalog {
              |SELECT doc_id, lang, n_copies, CAST(UNNEST(range(n_copies)) AS BIGINT) AS copy
              |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin)),
 
+    // Data-mix planning: the bridge from how mixes are SPECIFIED (token
+    // shares of a training budget — the LLaMA/Pile recipe shape) to how
+    // they are EXECUTED (per-group epoch factors for upsample). fr is
+    // deliberately unweighted (dropped from the mix — the absent-group
+    // path); the oracle embeds the normalized shares as shortest
+    // round-trip double literals, so every product/division is the
+    // identical double on both engines.
+    Q("sample_mix_plan", (s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long"))
+      Sampling.mixPlan(d,
+        Map("en" -> 0.5, "zh" -> 0.125, "es" -> 0.125, "de" -> 0.125),
+        totalTokens = 1000000L)
+    }, Some("""WITH t AS (SELECT lang,
+             |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents),
+             |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(nt) AS BIGINT) AS tokens FROM t GROUP BY 1),
+             |w AS (SELECT lang, n_docs, tokens,
+             |    CAST(CASE lang WHEN 'en' THEN '0.5714285714285714' WHEN 'zh' THEN '0.14285714285714285'
+             |         WHEN 'es' THEN '0.14285714285714285' WHEN 'de' THEN '0.14285714285714285' END
+             |      AS DOUBLE) AS wt
+             |  FROM g)
+             |SELECT lang, n_docs, tokens, ROUND(wt, 6) AS weight,
+             |  ROUND(wt * 1000000, 3) AS target_tokens,
+             |  ROUND(wt * 1000000 / tokens, 6) AS epochs
+             |FROM w WHERE wt IS NOT NULL ORDER BY lang""".stripMargin)),
+
     // Rank-based quality cut: keep the best 80% of each language by LM
     // perplexity (lower = better) — exact per-group fraction via
     // row_number + same-partitioning group count; the skew-immune
@@ -2022,6 +2050,43 @@ object QueryCatalog {
           |FROM rew r JOIN dsel d USING (doc_id)
           |WHERE len(list_filter(string_split(lower(r.text), ' '), x -> x <> '')) >= 5
           |ORDER BY 1""".stripMargin)),
+
+    // The Gopher-rule half of the language: repetition gate (duplicate-
+    // token fraction + most-frequent-bigram share, null bigram metrics
+    // passing — no evidence isn't spam evidence) → token-count gate →
+    // exact dedup, all against the composed SQL oracle. Thresholds sit
+    // inside the corpus's metric distribution (median dup_token_frac
+    // 0.54, p90 top_bigram_frac 0.069) so both gates really cut.
+    Q("curation_pipeline_gopher", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - repetition: { max_dup_token_frac: 0.6, max_top_bigram_frac: 0.05 }
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_exact: {}
+          |""".stripMargin)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS sl
+             |  FROM documents),
+             |toks AS (SELECT doc_id, UNNEST(sl) AS tok FROM base),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+             |ts AS (SELECT doc_id,
+             |    ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 4) AS dtf FROM tc GROUP BY 1),
+             |bgs AS (SELECT doc_id,
+             |    UNNEST(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i + 1])) AS bg
+             |  FROM base),
+             |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+             |bs AS (SELECT doc_id,
+             |    ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS tbf FROM bc GROUP BY 1),
+             |rep AS (SELECT ts.doc_id FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+             |  WHERE dtf <= 0.6 AND (tbf IS NULL OR tbf <= 0.05)),
+             |q AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
+             |  JOIN rep ON d.doc_id = rep.doc_id
+             |  WHERE len(string_split(lower(d.text), ' ')) >= 10),
+             |dd AS (SELECT * FROM q WHERE doc_id IN
+             |  (SELECT MIN(doc_id) FROM q GROUP BY text))
+             |SELECT doc_id, lang, source FROM dd ORDER BY 1""".stripMargin)),
 
     // The model-quality half: score against a FITTED weight frame passed
     // to the compiler as a named auxiliary table (the serve topology —

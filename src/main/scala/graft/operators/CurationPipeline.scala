@@ -97,6 +97,9 @@ object CurationPipeline {
     case UrlDedup(_) => "url_dedup"
     case SubstringRemove(_) => "substring_remove"
     case QualityModel(_, _) => "quality_model"
+    case RepetitionFilter(_, _, _) => "repetition"
+    case CompressFilter(_, _) => "compress"
+    case LangIdTrigramKeep(_) => "langid_trigram_keep"
   }
 
   private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String,
@@ -193,6 +196,32 @@ object CurationPipeline {
         val keep = QualityClassifier.score(df, model, idCol, textCol)
           .filter(col("quality") >= minScore)
           .select(col(idCol).cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case RepetitionFilter(maxDupTok, maxDupBg, maxTopBg) =>
+        // Null bigram metrics (single-token docs) pass their thresholds:
+        // absence of evidence, not spam evidence.
+        val m = Repetition.repetitionMetrics(df, textCol, idCol)
+        val conds =
+          maxDupTok.map(t => m("dup_token_frac") <= t).toSeq ++
+            maxDupBg.map(t => m("dup_bigram_frac").isNull || m("dup_bigram_frac") <= t) ++
+            maxTopBg.map(t => m("top_bigram_frac").isNull || m("top_bigram_frac") <= t)
+        val keep = m.filter(conds.reduce(_ && _))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case CompressFilter(minR, maxR) =>
+        // Empty docs have a null ratio: no compressibility evidence → kept
+        // (the quality/repetition gates are the right tool for them).
+        val r = Compressibility.compressionRatio(df, textCol, idCol)
+        val conds =
+          minR.map(t => col("compress_ratio").isNull || col("compress_ratio") >= t).toSeq ++
+            maxR.map(t => col("compress_ratio").isNull || col("compress_ratio") <= t)
+        val keep = r.filter(conds.reduce(_ && _))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case LangIdTrigramKeep(langs) =>
+        val keep = LangIdTrigram.classifyAll(df, textCol, idCol)
+          .filter(col("pred_lang").isin(langs: _*))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
         df.join(keep, Seq(idCol), "left_semi")
       case PerplexityRank(frac, group, vocabSize) =>
         val ppl = Vocabulary.perplexity(df, vocabSize, textCol, idCol)

@@ -325,6 +325,53 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("rk"))
   }
 
+  /** Data-mix planning: turn a target mixture specification ("50% en,
+    * 12.5% each of the rest", the LLaMA/Pile-style recipe) into the
+    * per-group EPOCH factors [[upsampleRepeats]] consumes —
+    * `epochs_g = (w_g / Σw) · totalTokens / tokens_g`. This is the
+    * bridge between how mixes are SPECIFIED (token shares of a training
+    * budget) and how they are EXECUTED (per-group repeat factors): plan
+    * once here, then `upsample` with the resulting factors.
+    *
+    * One map-side-combined aggregate over the thin `(group, tokens)`
+    * projection — group-cardinality output, free at any corpus scale.
+    * Groups without a weight are dropped from the mix (no row — compare
+    * the output row count to the weight map's to spot absent groups);
+    * weights are normalized over the FULL map, so an absent weighted
+    * group leaves the budget deliberately unfilled rather than silently
+    * inflating everyone else.
+    *
+    * @return one row per present weighted group, ordered:
+    *         `(groupCol, n_docs, tokens, weight, target_tokens, epochs)`
+    *         — weight normalized (6 dp), target_tokens = its share of
+    *         the budget (3 dp), epochs = target/actual tokens (6 dp;
+    *         &gt;1 ⇒ upsample, &lt;1 ⇒ downsample).
+    */
+  def mixPlan(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      totalTokens: Long,
+      groupCol: String = "lang",
+      tokenCol: String = "n_tokens"
+  ): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mix weights must be a non-empty map of positive shares")
+    val wSum = weights.values.sum
+    val norm = weights.map { case (k, v) => k -> v / wSum }
+    val w = element_at(typedLit(norm), col(groupCol))
+    docs
+      .select(col(groupCol), col(tokenCol).cast("long").as("__t"))
+      .filter(w.isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("tokens"))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        round(w, 6).as("weight"),
+        round(w * totalTokens, 3).as("target_tokens"),
+        round(w * totalTokens / col("tokens"), 6).as("epochs"))
+      .orderBy(groupCol)
+  }
+
   /** Deterministic global shuffle-shard: every row lands in shard
     * `hash(id) mod numShards` at position `rank of hash(id) within the
     * shard` — the training-order randomization step that closes the

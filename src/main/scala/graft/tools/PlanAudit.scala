@@ -607,6 +607,17 @@ object PlanAudit {
     audit("curation_pipeline_web", graft.operators.CurationPipeline.fromYaml(
       urlDocs, webYaml), 6)
 
+    // Gopher-rule pipeline: repetition gate (two thin doc-keyed
+    // aggregates + semi-join) + map-side quality gate + exact dedup.
+    val gopherYaml =
+      """steps:
+        |  - repetition: { max_dup_token_frac: 0.6, max_top_bigram_frac: 0.05 }
+        |  - quality: { min_tokens: 10 }
+        |  - dedup_exact: {}
+        |""".stripMargin
+    audit("curation_pipeline_gopher", graft.operators.CurationPipeline.fromYaml(
+      docsT, gopherYaml), 4)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

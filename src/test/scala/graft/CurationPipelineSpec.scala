@@ -218,6 +218,37 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got.count() == want.count())
   }
 
+  test("repetition, compress, and langid_trigram_keep steps parse and equal operator composition") {
+    val got = CurationPipeline.fromYaml(docs,
+      """steps:
+        |  - repetition: { max_dup_token_frac: 0.8, max_top_bigram_frac: 0.2 }
+        |  - compress: { min_ratio: 0.2, max_ratio: 0.95 }
+        |  - langid_trigram_keep: { langs: [en, es] }
+        |""".stripMargin)
+
+    val m = graft.operators.Repetition.repetitionMetrics(docs)
+    val keepR = m.filter(col("dup_token_frac") <= 0.8 &&
+        (col("top_bigram_frac").isNull || col("top_bigram_frac") <= 0.2))
+      .select("doc_id")
+    val afterR = docs.join(keepR, Seq("doc_id"), "left_semi")
+    val keepC = graft.operators.Compressibility.compressionRatio(afterR)
+      .filter(col("compress_ratio").isNull ||
+        (col("compress_ratio") >= 0.2 && col("compress_ratio") <= 0.95))
+      .select("doc_id")
+    val afterC = afterR.join(keepC, Seq("doc_id"), "left_semi")
+    val keepL = graft.operators.LangIdTrigram.classifyAll(afterC)
+      .filter(col("pred_lang").isin("en", "es")).select("doc_id")
+    val want = afterC.join(keepL, Seq("doc_id"), "left_semi")
+
+    assert(snap(got) == snap(want))
+    // Each gate is live on this corpus (drops something, keeps something).
+    assert(got.count() > 0 && got.count() < docs.count())
+    // The langid gate really ran: survivors are en/es-classified.
+    val langs = graft.operators.LangIdTrigram.classifyAll(got)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es")))
+  }
+
   test("url_dedup after a text step is refused; model/url preconditions are clear errors") {
     val withUrl = docs.withColumn("url", concat(lit("https://ex.com/"), col("doc_id")))
     val late = intercept[IllegalArgumentException] {

@@ -119,6 +119,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(Sampling.tokenBudgetSample(frame, budgets)) == fast, "deterministic")
   }
 
+  test("mixPlan: epochs match closed-form shares; absent groups drop; upsample closes the loop") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val frame = Seq(
+      (1L, "en", 100L), (2L, "en", 300L), (3L, "fr", 50L),
+      (4L, "fr", 150L), (5L, "de", 400L)).toDF("doc_id", "lang", "n_tokens")
+    // Weights skip 'de' (dropped from the mix) and don't sum to 1
+    // (normalized over the map: en 0.75, fr 0.25).
+    val plan = Sampling.mixPlan(frame, Map("en" -> 3.0, "fr" -> 1.0), totalTokens = 1600L)
+    val rows = plan.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set("en", "fr")) // de dropped, no silent inflation
+    assert(rows("en") == ((2L, 400L, 0.75, 1200.0, 3.0)))   // 1200 target / 400 actual
+    assert(rows("fr") == ((2L, 200L, 0.25, 400.0, 2.0)))
+    // The planned epochs ARE upsample factors: executing the plan lands
+    // the planned token volume per group (exact here — integral epochs,
+    // no fractional hash-pick).
+    val factors = plan.collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val executed = Sampling.upsampleRepeats(frame, factors)
+      .join(frame.select("doc_id", "n_tokens"), Seq("doc_id"))
+    val vol = executed.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vol("en") == 1200L && vol("fr") == 400L)
+    intercept[IllegalArgumentException](Sampling.mixPlan(frame, Map.empty, 100L))
+    intercept[IllegalArgumentException](Sampling.mixPlan(frame, Map("en" -> 1.0), 0L))
+  }
+
   test("upsampleRepeats: copy counts match local math; expected volume ≈ f·|g|") {
     import graft.operators.Sampling
     val factors = Map("en" -> 1.0, "fr" -> 2.5, "es" -> 0.4)
