@@ -2528,6 +2528,37 @@ object QueryCatalog {
         .withColumn("mean", round(col("mean"), 4)),
       None),
 
+    // Incremental profiling: each shard profiled INDEPENDENTLY (the
+    // ingest-time pass), then folded by pure sufficient-statistic
+    // algebra — counts/sums add, min/max compare by value, DataSketches
+    // HLL sketches union — without rescanning old shards. The 100 TB
+    // continuous-ingest QA shape (corpus_profile is the one-shot form).
+    // Sketch estimators are engine-specific → golden; fold-shape parity
+    // and error bounds are ProfilingSpec's.
+    Q("corpus_profile_incr", (s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Profiling.profileFromShards(
+        graft.operators.Profiling.mergeShardProfiles(
+          graft.operators.Profiling.shardProfile(d.filter(col("doc_id") < 250))
+            .unionByName(
+              graft.operators.Profiling.shardProfile(d.filter(col("doc_id") >= 250)))))
+    }, None),
+
+    // Mergeable quantiles (DDSketch log buckets): per-shard sketches
+    // merged by adding bucket counts (exact, associative — the thing
+    // percentile_approx outputs cannot do), quantiles read off the
+    // merged sketch within relative error α. Closed-form bucket math →
+    // deterministic → golden; the α-bound and merge-exactness are
+    // ProfilingSpec's.
+    Q("corpus_quantiles_incr", (s, dir) => {
+      val d = docs(s, dir)
+      val sk = graft.operators.Profiling.mergeLogSketches(
+        graft.operators.Profiling.logQuantileSketch(d.filter(col("doc_id") < 250))
+          .unionByName(
+            graft.operators.Profiling.logQuantileSketch(d.filter(col("doc_id") >= 250))))
+      graft.operators.Profiling.quantilesFromLogSketch(sk)
+    }, None),
+
     // Snapshot-over-snapshot profile drift: new/old ratios per column
     // (the promote/alert gate of an ingest pipeline). Here the "new"
     // snapshot is a deterministic half-corpus with synthesized nulls, so

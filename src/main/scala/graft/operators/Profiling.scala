@@ -169,6 +169,258 @@ object Profiling {
     profile.select(keep.toSeq ++ qs: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental (mergeable) profiling — the shard-at-a-time form.
+  // ------------------------------------------------------------------
+
+  private def numericDtype(dtype: Column): Column =
+    dtype.rlike("^(tiny|small|big)?int$|^(double|float)$|^decimal")
+
+  /** Mergeable per-shard profile — the incremental face of
+    * [[corpusProfile]]: profile every ingest shard INDEPENDENTLY (one
+    * aggregate pass each, at ingest time), then fold the per-shard rows
+    * with [[mergeShardProfiles]] without ever rescanning old data. Every
+    * statistic carried here is a sufficient statistic under union:
+    * counts and the numeric (sum, count) pair add; min/max compare;
+    * distinct carries an Apache DataSketches HLL sketch over
+    * `xxhash64(value)` (register-max merge — associative, commutative,
+    * order-independent REGISTERS; the estimate read off a merged sketch
+    * uses the composite estimator where an un-merged sketch keeps its
+    * slightly-sharper HIP estimate, so fold shapes agree within the
+    * sketch's error bound rather than bit-for-bit — ProfilingSpec pins
+    * the tolerance; nulls are excluded before hashing to match
+    * `approx_count_distinct`). Quantiles are deliberately absent —
+    * they have no such finite-row sufficient statistic; pair with
+    * [[logQuantileSketch]] (mergeable, bounded relative error) when the
+    * ingest gate needs distribution shape.
+    *
+    * Output: one row per column,
+    * `(column, dtype, n_rows, n_nulls, num_sum, num_cnt, min_val,
+    * max_val, distinct_sketch)` — persist as parquet next to the shard.
+    */
+  def shardProfile(
+      df: DataFrame,
+      cols: Seq[String] = Nil,
+      lgK: Int = 12
+  ): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+    val missing = targets.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"shardProfile: no such column(s): ${missing.mkString(", ")}")
+    val schema = df.schema
+
+    def numericView(name: String): Option[Column] = schema(name).dataType match {
+      case _: NumericType => Some(col(name).cast(DoubleType))
+      case StringType     => Some(length(col(name)).cast(DoubleType))
+      case _              => None
+    }
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case StringType | BinaryType | BooleanType | DateType | TimestampType |
+          TimestampNTZType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
+      case _ => false
+    }
+    def orderable(dt: DataType): Boolean = dt match {
+      case d if atomic(d)  => true
+      case NullType        => true
+      case ArrayType(e, _) => orderable(e)
+      case StructType(fs)  => fs.forall(f => orderable(f.dataType))
+      case _               => false
+    }
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType      => false
+      case ArrayType(e, _) => hashable(e)
+      case StructType(fs)  => fs.forall(f => hashable(f.dataType))
+      case _               => true
+    }
+
+    val aggExprs: Seq[Column] = count(lit(1)).as("__n") +: targets.flatMap { c =>
+      val dt = schema(c).dataType
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls__$c"),
+        (numericView(c) match {
+          case Some(v) => sum(v)
+          case None    => lit(null).cast(DoubleType)
+        }).as(s"__sum__$c"),
+        (numericView(c) match {
+          case Some(v) => count(v)
+          case None    => lit(null).cast(LongType)
+        }).as(s"__cnt__$c"),
+        (if (orderable(dt)) min(col(c)).cast(StringType)
+         else lit(null).cast(StringType)).as(s"__min__$c"),
+        (if (orderable(dt)) max(col(c)).cast(StringType)
+         else lit(null).cast(StringType)).as(s"__max__$c"),
+        (if (hashable(dt))
+           hll_sketch_agg(when(col(c).isNotNull, xxhash64(col(c))), lit(lgK))
+         else lit(null).cast(BinaryType)).as(s"__hll__$c")
+      )
+    }
+
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = explode(array(targets.map { c =>
+      struct(
+        lit(c).as("column"),
+        lit(schema(c).dataType.simpleString).as("dtype"),
+        col("__n").as("n_rows"),
+        col(s"__nulls__$c").as("n_nulls"),
+        col(s"__sum__$c").as("num_sum"),
+        col(s"__cnt__$c").as("num_cnt"),
+        col(s"__min__$c").as("min_val"),
+        col(s"__max__$c").as("max_val"),
+        col(s"__hll__$c").as("distinct_sketch")
+      )
+    }: _*))
+    one.select(rows.as("p")).select("p.*").orderBy("column")
+  }
+
+  /** Fold any number of [[shardProfile]] frames (union them first) into
+    * one profile of the combined corpus — pure sufficient-statistic
+    * algebra, no data rescan: counts/sums add, min/max compare (NUMERIC
+    * columns compare by value via `min_by`/`max_by` on the double cast,
+    * so "9" < "10"; other types lexicographic, which IS their rendered
+    * ordering), HLL sketches union. Associative: fold shard-by-shard,
+    * day-by-day, or all at once — identical result.
+    */
+  def mergeShardProfiles(shards: DataFrame): DataFrame = {
+    val isNum = numericDtype(col("dtype"))
+    shards
+      .groupBy("column")
+      .agg(
+        first("dtype").as("dtype"),
+        sum("n_rows").as("n_rows"),
+        sum("n_nulls").as("n_nulls"),
+        sum("num_sum").as("num_sum"),
+        sum("num_cnt").as("num_cnt"),
+        // try_cast: non-numeric columns' rendered min/max would throw
+        // under ANSI casting; they take the lexicographic branch anyway.
+        min_by(col("min_val"), expr("try_cast(min_val AS double)")).as("__min_n"),
+        max_by(col("max_val"), expr("try_cast(max_val AS double)")).as("__max_n"),
+        min("min_val").as("__min_s"),
+        max("max_val").as("__max_s"),
+        hll_union_agg(col("distinct_sketch"), lit(true)).as("distinct_sketch"))
+      .select(col("column"), col("dtype"), col("n_rows"), col("n_nulls"),
+        col("num_sum"), col("num_cnt"),
+        when(isNum, col("__min_n")).otherwise(col("__min_s")).as("min_val"),
+        when(isNum, col("__max_n")).otherwise(col("__max_s")).as("max_val"),
+        col("distinct_sketch"))
+      .orderBy("column")
+  }
+
+  /** Human/driver-facing scalar view of a (merged) [[shardProfile]]
+    * frame — the [[corpusProfile]] shape minus quantiles: null_frac,
+    * HLL distinct estimate, 4-dp mean from the (sum, count) pair.
+    */
+  def profileFromShards(merged: DataFrame): DataFrame =
+    merged.select(
+      col("column"), col("dtype"), col("n_rows"), col("n_nulls"),
+      round(col("n_nulls").cast(DoubleType) / greatest(col("n_rows"), lit(1L)), 6)
+        .as("null_frac"),
+      when(col("distinct_sketch").isNotNull,
+        hll_sketch_estimate(col("distinct_sketch")).cast(LongType))
+        .as("distinct_est"),
+      col("min_val"), col("max_val"),
+      round(col("num_sum") / col("num_cnt"), 4).as("mean"))
+      .orderBy("column")
+
+  /** Mergeable quantile sketch over log-scaled buckets (the DDSketch
+    * scheme — Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
+    * quantile sketch with relative-error guarantees", VLDB 2019): value
+    * v maps to `(sign(v), ⌈ln|v| / ln γ⌉)` with `γ = (1+α)/(1−α)` (sign
+    * kept apart from the index — sub-1 magnitudes have negative
+    * indices), zero to (0, 0) — so each bucket spans a relative-error-α
+    * slice of the axis and a (column, sign, bucket, cnt) frame IS the
+    * sketch: shard sketches merge by adding counts
+    * (associative, exact), unlike `percentile_approx` summaries which
+    * cannot merge from their outputs. Numeric columns sketch their
+    * value; string columns their LENGTH (the [[corpusProfile]]
+    * convention); other types are skipped.
+    *
+    * One scan: explode to (column, value) pairs, bucket map-side, one
+    * thin aggregate — output cardinality is #columns × #occupied
+    * buckets (≈ ln(range)/α), corpus-size-free.
+    */
+  def logQuantileSketch(
+      df: DataFrame,
+      cols: Seq[String] = Nil,
+      alpha: Double = 0.01
+  ): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val schema = df.schema
+    val targets0 = if (cols.nonEmpty) cols else df.columns.toSeq
+    val missing = targets0.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"logQuantileSketch: no such column(s): ${missing.mkString(", ")}")
+    val targets = targets0.filter(c => schema(c).dataType match {
+      case _: NumericType | StringType => true
+      case _                           => false
+    })
+    require(targets.nonEmpty, "logQuantileSketch: no numeric or string columns to sketch")
+    val gamma = (1 + alpha) / (1 - alpha)
+    def view(c: String): Column = schema(c).dataType match {
+      case StringType => length(col(c)).cast(DoubleType)
+      case _          => col(c).cast(DoubleType)
+    }
+    val pairs = explode(array(targets.map(c =>
+      struct(lit(c).as("column"), view(c).as("v"))): _*))
+    val v = col("v")
+    // Sign rides separately from the log index: values in (0, 1) get
+    // NEGATIVE indices (ln < 0), which a single signed bucket int would
+    // conflate with negative values.
+    val sign =
+      when(v === 0.0, lit(0)).otherwise(signum(v).cast(IntegerType))
+    val bucket =
+      when(v === 0.0, lit(0))
+        .otherwise(ceil(log(abs(v)) / math.log(gamma)).cast(IntegerType))
+    df.select(pairs.as("p")).select("p.*")
+      .filter(v.isNotNull)
+      .select(col("column"), sign.as("sign"), bucket.as("bucket"))
+      .groupBy("column", "sign", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge any number of [[logQuantileSketch]] frames (same α): counts
+    * add per (column, sign, bucket) — exact, associative.
+    */
+  def mergeLogSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy("column", "sign", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a (merged) [[logQuantileSketch]]: for each
+    * probability q, the value `sign · 2γ^b/(γ+1)` of the first bucket
+    * whose cumulative count exceeds q·(n−1) — within relative error α
+    * of the exact quantile for positive values (the DDSketch
+    * guarantee). Output `(column, q, est)`, 4-dp, ordered. Bucket-
+    * cardinality windows — driver-trivial at any corpus scale.
+    */
+  def quantilesFromLogSketch(
+      sketch: DataFrame,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      alpha: Double = 0.01
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probabilities must be in [0,1], got $probs")
+    val gamma = (1 + alpha) / (1 - alpha)
+    // Value order over (sign, bucket): negatives before zero before
+    // positives; within sign=−1 a LARGER index is a more negative value,
+    // so `sign · bucket` ascends with the value on both sides.
+    val ord = col("sign") * col("bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy(col("sign"), ord)
+    val cum = sketch
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("column")))
+    val est =
+      when(col("sign") === 0, lit(0.0))
+        .otherwise(col("sign") *
+          lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1))
+    val qs = probs.map { p =>
+      val rank = lit(p) * (col("n") - 1)
+      cum.filter(col("cum") > rank)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("column"), lit(p).as("q"), round(est, 4).as("est"))
+    }
+    qs.reduce(_ unionByName _).orderBy("column", "q")
+  }
+
   /** Drift between two [[corpusProfile]] outputs (e.g. this ingest batch
     * vs the accepted snapshot) — the comparison a pipeline alerts on
     * before promoting a batch. Joined on column name (full outer: a

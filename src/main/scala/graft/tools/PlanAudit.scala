@@ -500,6 +500,21 @@ object PlanAudit {
     // partials → single-partition combine) + the #columns-row output
     // sort — only per-partition sketch state ever moves.
     audit("corpus_profile", graft.operators.Profiling.corpusProfile(docsT), 2)
+    // Incremental profile: each shard pays ONE sketch-state aggregate;
+    // the fold moves only #columns-row profile frames (sketch blobs).
+    audit("corpus_profile(incr)", graft.operators.Profiling.profileFromShards(
+      graft.operators.Profiling.mergeShardProfiles(
+        graft.operators.Profiling.shardProfile(docsT.filter(col("doc_id") < 250))
+          .unionByName(graft.operators.Profiling.shardProfile(
+            docsT.filter(col("doc_id") >= 250))))), 1)
+    // Log-bucket quantile sketch: one explode pass + one thin
+    // (column, sign, bucket) aggregate per shard; quantile read-off
+    // windows run on bucket-cardinality frames.
+    audit("corpus_quantiles(incr)", graft.operators.Profiling.quantilesFromLogSketch(
+      graft.operators.Profiling.mergeLogSketches(
+        graft.operators.Profiling.logQuantileSketch(docsT.filter(col("doc_id") < 250))
+          .unionByName(graft.operators.Profiling.logQuantileSketch(
+            docsT.filter(col("doc_id") >= 250))))), 7)
 
     // Shuffle-shard: one shard-keyed exchange + in-shard rank — no
     // global sort / range partitioning anywhere in the plan.

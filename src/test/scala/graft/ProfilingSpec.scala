@@ -138,6 +138,101 @@ class ProfilingSpec extends SparkSpec {
     assert(prof("id").getAs[String]("max_val") == "3")
   }
 
+  test("shardProfile merge: shard-fold equals one-shot on every statistic") {
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    val folded = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(a)
+        .unionByName(Profiling.shardProfile(b))
+        .unionByName(Profiling.shardProfile(c))))
+    val oneShot = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(docs)))
+    // Exact statistics must be identical regardless of fold shape; the
+    // HLL estimate may differ slightly (HIP estimator on an un-merged
+    // sketch vs composite after union) — within the sketch's bound.
+    assert(snap(folded.drop("distinct_est")) == snap(oneShot.drop("distinct_est")),
+      "sufficient-statistic algebra must be fold-order-free")
+    val dFold = folded.collect().map(r => r.getString(0) -> r.getAs[Long]("distinct_est")).toMap
+    val dOne = oneShot.collect().map(r => r.getString(0) -> r.getAs[Long]("distinct_est")).toMap
+    for ((c, e) <- dOne)
+      assert(math.abs(dFold(c) - e).toDouble / math.max(e, 1L) <= 0.05, s"$c: ${dFold(c)} vs $e")
+    // Associativity of the union itself: ((a+b)+c) equals (a+b+c) —
+    // merged registers are merge-shape-free, estimates included.
+    val left = Profiling.mergeShardProfiles(
+      Profiling.mergeShardProfiles(
+        Profiling.shardProfile(a).unionByName(Profiling.shardProfile(b)))
+        .unionByName(Profiling.shardProfile(c)))
+    assert(snap(Profiling.profileFromShards(left)) == snap(folded))
+  }
+
+  test("shardProfile estimates agree with corpusProfile exact stats; HLL within bound") {
+    val view = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(docs)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exactP = Profiling.flattenQuantiles(Profiling.corpusProfile(docs))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- docs.columns) {
+      val (s, e) = (view(c), exactP(c))
+      assert(s.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"))
+      assert(s.getAs[Long]("n_nulls") == e.getAs[Long]("n_nulls"))
+      assert(s.getAs[String]("min_val") == e.getAs[String]("min_val"))
+      assert(s.getAs[String]("max_val") == e.getAs[String]("max_val"))
+      if (e.getAs[Any]("mean") != null)
+        assert(math.abs(s.getAs[Double]("mean") - e.getAs[Double]("mean")) <= 1e-4)
+      // Different sketch families (DataSketches HLL vs HLL++): agree
+      // within a generous-but-real bound of the exact count.
+      val exact = docs.agg(count_distinct(col(c))).head.getLong(0)
+      val est = s.getAs[Long]("distinct_est")
+      assert(math.abs(est - exact).toDouble / exact <= 0.1, s"$c: est=$est exact=$exact")
+    }
+    // Numeric min/max merged by VALUE, not lexicographically: a corpus
+    // spanning 9..10 must not report min "10".
+    val s = spark
+    import s.implicits._
+    val toy = Seq(9L, 10L, 1000L).toDF("x")
+    val m = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(toy.filter(col("x") === 9L))
+        .unionByName(Profiling.shardProfile(toy.filter(col("x") =!= 9L)))))
+      .head()
+    assert(m.getAs[String]("min_val") == "9" && m.getAs[String]("max_val") == "1000")
+  }
+
+  test("logQuantileSketch: merge-exact, estimates within relative error alpha") {
+    val alpha = 0.01
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Profiling.mergeLogSketches(
+      Profiling.logQuantileSketch(a, alpha = alpha)
+        .unionByName(Profiling.logQuantileSketch(b, alpha = alpha)))
+    val oneShot = Profiling.logQuantileSketch(docs, alpha = alpha)
+    assert(snap(merged) == snap(oneShot), "bucket-count merge must be exact")
+
+    val probs = Seq(0.1, 0.5, 0.9)
+    val ests = Profiling.quantilesFromLogSketch(oneShot, probs, alpha)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val xs = docs.select("n_chars").collect().map(_.getLong(0).toDouble).sorted
+    for (p <- probs) {
+      // Exact order statistic at the SAME rank rule the sketch uses
+      // (first index whose 1-based rank exceeds p·(n−1)).
+      val exact = xs(xs.indices.find(i => (i + 1) > p * (xs.length - 1)).get)
+      val est = ests(("n_chars", p))
+      assert(math.abs(est - exact) / exact <= alpha + 1e-6,
+        s"q$p: est=$est exact=$exact exceeds relative error $alpha")
+    }
+    // Signed + sub-1 magnitudes route through (sign, index) correctly.
+    val s = spark
+    import s.implicits._
+    val signed = (Seq.fill(100)(-50.0) ++ Seq.fill(100)(0.04) ++ Seq.fill(100)(2000.0))
+      .toDF("x")
+    val sk = Profiling.logQuantileSketch(signed, alpha = alpha)
+    val q = Profiling.quantilesFromLogSketch(sk, Seq(0.1, 0.5, 0.9), alpha)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(math.abs(q(0.1) - (-50.0)) / 50.0 <= alpha)
+    assert(math.abs(q(0.5) - 0.04) / 0.04 <= alpha)
+    assert(math.abs(q(0.9) - 2000.0) / 2000.0 <= alpha)
+  }
+
   test("corpusProfile: single aggregate — no row-level shuffle in the plan") {
     val plan = Profiling.corpusProfile(docs).queryExecution.executedPlan.toString
     // One partial + one final aggregate pair; a single exchange moving
