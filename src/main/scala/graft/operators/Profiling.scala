@@ -321,6 +321,38 @@ object Profiling {
       round(col("num_sum") / col("num_cnt"), 4).as("mean"))
       .orderBy("column")
 
+  /** `foreachBatch` sink maintaining a STANDING merged profile on disk —
+    * the streaming face of incremental profiling: each micro-batch pays
+    * one [[shardProfile]] aggregate over its own rows, folds into the
+    * persisted profile with [[mergeShardProfiles]], and overwrites it
+    * (safe: the merged frame is #columns rows, materialized driver-side
+    * before the overwrite touches the directory). Wire as
+    * `stream.writeStream.foreachBatch(Profiling.profileSink(dir))` —
+    * after any batch, `profileFromShards(spark.read.parquet(dir))` is
+    * the profile of everything ingested so far, and
+    * [[profileDiff]]-style gates can run on it between batches.
+    */
+  def profileSink(
+      standingDir: String,
+      cols: Seq[String] = Nil,
+      lgK: Int = 12
+  ): (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val shard = shardProfile(batch, cols, lgK)
+    val prior =
+      if (new java.io.File(s"$standingDir/_SUCCESS").exists())
+        Some(spark.read.parquet(standingDir))
+      else None
+    val merged = mergeShardProfiles(prior.fold(shard)(shard.unionByName(_)))
+    val rows = merged.collect().toSeq // #columns rows — bounded
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        merged.schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(standingDir)
+  }
+
   /** Mergeable quantile sketch over log-scaled buckets (the DDSketch
     * scheme — Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
     * quantile sketch with relative-error guarantees", VLDB 2019): value

@@ -995,4 +995,41 @@ class StreamingSpec extends SparkSpec {
       assert(latest(2L)._3 == List(7L, 0L))
     } finally query.stop()
   }
+
+  test("profileSink maintains a standing merged profile equal to a one-shot batch profile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Profiling
+
+    val dir = java.nio.file.Files.createTempDirectory("profsink").toString + "/standing"
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "lang", "n_chars")
+
+    val query = docs.writeStream
+      .foreachBatch(Profiling.profileSink(dir))
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "en", 100L), (2L, "fr", 50L), (3L, "en", 200L))
+      query.processAllAvailable()
+      input.addData((4L, "de", 400L), (5L, "en", 100L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val standing = Profiling.profileFromShards(spark.read.parquet(dir))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(standing("doc_id").getAs[Long]("n_rows") == 5L)
+    assert(standing("n_chars").getAs[String]("min_val") == "50")
+    assert(standing("n_chars").getAs[String]("max_val") == "400")
+    assert(math.abs(standing("n_chars").getAs[Double]("mean") - 170.0) < 1e-9)
+    assert(standing("lang").getAs[Long]("distinct_est") == 3L)
+    // Exactly what a one-shot batch profile of the union reports (the
+    // HLL estimate may differ by the HIP/composite nuance — compare the
+    // scalar stats, which must be identical).
+    val oneShot = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(Seq(
+        (1L, "en", 100L), (2L, "fr", 50L), (3L, "en", 200L),
+        (4L, "de", 400L), (5L, "en", 100L)).toDF("doc_id", "lang", "n_chars"))))
+    assert(snap(Profiling.profileFromShards(spark.read.parquet(dir)).drop("distinct_est")) ==
+      snap(oneShot.drop("distinct_est")))
+  }
 }
