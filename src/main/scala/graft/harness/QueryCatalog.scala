@@ -2013,7 +2013,7 @@ object QueryCatalog {
           |""".stripMargin)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .orderBy("doc_id"),
-      Some(urlCte +
+      oracle = Some(urlCte +
         """, keepu AS (SELECT MIN(doc_id) AS doc_id FROM urls GROUP BY url_norm),
           |dsel AS (SELECT d.doc_id, d.lang, d.source, d.text
           |  FROM documents d JOIN keepu USING (doc_id)),
@@ -2049,7 +2049,7 @@ object QueryCatalog {
           |SELECT r.doc_id, d.lang, d.source, r.text
           |FROM rew r JOIN dsel d USING (doc_id)
           |WHERE len(list_filter(string_split(lower(r.text), ' '), x -> x <> '')) >= 5
-          |ORDER BY 1""".stripMargin)),
+          |ORDER BY 1""".stripMargin), bench = true),
 
     // The Gopher-rule half of the language: repetition gate (duplicate-
     // token fraction + most-frequent-bigram share, null bigram metrics

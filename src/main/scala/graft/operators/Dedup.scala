@@ -54,6 +54,75 @@ object Dedup {
     }: _*)
   }
 
+  /** Per-document minhash banding computed in COMPILED Scala —
+    * bit-identical to the expression forms ([[minhashSignature]] for the
+    * signature, `concat_ws` of `Texts.distinctShingles` for the packed
+    * shingles, `xxhash64(band, sig…)` for the band buckets; parity
+    * asserted in ExtensionsSpec against the expressions themselves and
+    * in StreamingSpec end-to-end vs batch). The streaming ingest path
+    * uses this instead of the expressions because Catalyst evaluates
+    * higher-order array lambdas INTERPRETED, per element: 64 hash
+    * lambdas × shingles × re-derived shingle arrays measured ~400×
+    * slower than this single-pass loop (the batch path keeps its own
+    * codegen explode+aggregate shape and doesn't need this).
+    *
+    * Faithfulness notes: `lower` is `UTF8String.toLowerCase` (Spark's
+    * `lower()`, not java.lang.String's), the token split keeps trailing
+    * empties (Spark `split(_, "\\s+")` = limit −1), shingle joining and
+    * first-occurrence dedup match `concat_ws`/`array_distinct`, and the
+    * hashes chain exactly like the `XxHash64` expression
+    * (`hashInt(seed_child, 42)` then per-child continuation).
+    *
+    * @return None when the doc has no shingles (< `shingleN` tokens) —
+    *         the expression path's `size(__sh) > 0` filter; otherwise
+    *         (packed shingles joined by `sep`, band bucket hashes).
+    */
+  private[graft] def minhashBandRow(
+      text: String,
+      numHashes: Int,
+      bands: Int,
+      shingleN: Int,
+      sep: String): Option[(String, Array[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val rowsPerBand = numHashes / bands
+    val toks = UTF8String.fromString(text).toLowerCase.toString.split("\\s+", -1)
+    if (toks.length < shingleN) return None
+    val distinct = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + shingleN <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < shingleN) { sb.append(' ').append(toks(i + j)); j += 1 }
+      distinct.add(sb.toString)
+      i += 1
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = distinct.iterator()
+    val packed = new java.lang.StringBuilder()
+    var firstSh = true
+    while (it.hasNext) {
+      val s = it.next()
+      if (!firstSh) packed.append(sep)
+      packed.append(s)
+      firstSh = false
+      val u = UTF8String.fromString(s)
+      var seed = 0
+      while (seed < numHashes) {
+        val h = XXH64.hashUTF8String(u, XXH64.hashInt(seed, 42L))
+        if (h < sig(seed)) sig(seed) = h
+        seed += 1
+      }
+    }
+    val buckets = Array.tabulate(bands) { b =>
+      var h = XXH64.hashInt(b, 42L)
+      var r = 0
+      while (r < rowsPerBand) { h = XXH64.hashLong(sig(b * rowsPerBand + r), h); r += 1 }
+      h
+    }
+    Some((packed.toString, buckets))
+  }
+
   /** Distinct word n-gram shingles as rows `(doc_id, s)` — the corpus-scale
     * shingle path: posexplode tokens, assemble n-grams with `lead` over a
     * per-doc window, dedupe. Fully codegen-friendly; the array-expression

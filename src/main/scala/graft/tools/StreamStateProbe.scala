@@ -52,21 +52,35 @@ object StreamStateProbe {
       .getOrElse(sys.error("no streaming progress recorded"))
     val ops = progress.stateOperators
     val ser = ops.map { so =>
-      Option(so.customMetrics).map(_.getOrDefault("stateOnCurrentVersionSizeBytes", 0L))
-        .map(Long2long).getOrElse(0L)
+      Option(so.customMetrics).map { m =>
+        // HDFS-backed store: serialized current-version size. RocksDB:
+        // the SST file footprint (its on-disk equivalent).
+        math.max(
+          Long2long(m.getOrDefault("stateOnCurrentVersionSizeBytes", 0L)),
+          Long2long(m.getOrDefault("rocksdbSstFileSize", 0L)))
+      }.getOrElse(0L)
     }.sum
     (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum, ser)
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
+    // --rocksdb: measure under the RocksDB state store — the provider a
+    // production cluster runs when state outgrows executor heaps (same
+    // rows/key-population checks; the size metric becomes SST bytes).
+    val rocksdb = args.contains("--rocksdb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val b0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
     val spark = Tables
       .configure(
-        SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.ui.enabled", "false"))
+        if (rocksdb)
+          b0.config("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -94,7 +108,8 @@ object StreamStateProbe {
 
     def loadavg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"[state-probe] sfDir=$sfDir docs=${docRows.length} loadavg=${loadavg()}%.1f")
+    println(f"[state-probe] sfDir=$sfDir docs=${docRows.length} " +
+      f"store=${if (rocksdb) "rocksdb" else "hdfs"} loadavg=${loadavg()}%.1f")
 
     val chunkSize = 10000
     val readings = scala.collection.mutable.ArrayBuffer.empty[StateReading]
