@@ -350,9 +350,45 @@ object Similarity {
         .reduce(_ + _)
     }: _*)
 
+  /** [[bandBucketArray]] computed in COMPILED Scala — bit-identical to
+    * the expression form (parity asserted in ExtensionsSpec): same
+    * xxhash64-folded plane components (`hashInt(plane,42)` →
+    * `hashInt(dim,·)`, pmod 20001 − 10000, /1e4), same index-order
+    * double accumulation, same sign rule. The expression form's
+    * `aggregate(zip_with(...))` lambdas are evaluated INTERPRETED per
+    * element by Catalyst — bands × bits × dim boxed evals per row — so
+    * the streaming ingest path (and any per-row hot loop) uses this
+    * single-pass version instead.
+    */
+  private[graft] def hplaneBandRow(
+      vec: Array[Float], bands: Int, bitsPerBand: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Array.tabulate(bands) { band =>
+      var bucket = 0L
+      var bit = 0
+      while (bit < bitsPerBand) {
+        val plane = band * bitsPerBand + bit
+        val hp = XXH64.hashInt(plane, 42L)
+        var dot = 0.0
+        var i = 0
+        while (i < vec.length) {
+          val comp = (Math.floorMod(XXH64.hashInt(i, hp), 20001L) - 10000L).toDouble / 10000.0
+          dot += vec(i) * comp
+          i += 1
+        }
+        if (dot >= 0) bucket += (1L << bit)
+        bit += 1
+      }
+      bucket
+    }
+  }
+
   /** (id, band, bucket) rows from banded random-hyperplane signatures —
     * the shared LSH bucketing for ANN top-k and embedding near-dup.
-    * Carries ids only; vectors are dropped before any shuffle.
+    * Carries ids only; vectors are dropped before any shuffle. Buckets
+    * come from the compiled [[hplaneBandRow]] (bit-identical to the
+    * expression form, which Catalyst would evaluate interpreted per
+    * element — bands × bits × dim boxed lambda evals per row).
     */
   def hyperplaneBuckets(
       vectors: DataFrame,
@@ -360,10 +396,12 @@ object Similarity {
       bitsPerBand: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame =
+  ): DataFrame = {
+    val bandUdf = udf((v: Array[Float]) => hplaneBandRow(v, bands, bitsPerBand))
     vectors.select(
       col(idCol).as("id"),
-      posexplode(bandBucketArray(col(vecCol), bands, bitsPerBand)).as(Seq("band", "bucket")))
+      posexplode(bandUdf(col(vecCol).cast("array<float>"))).as(Seq("band", "bucket")))
+  }
       .select(col("id"), col("band"), col("bucket"))
 
   /** LSH-bucketed approximate nearest neighbors: `bands` signatures of

@@ -657,23 +657,27 @@ object StreamingPredicates {
   ): Dataset[NearDupPair] = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     requireIntegralId(docs, idCol, "minhashNearDupStream")
-    val rowsPerBand = numHashes / bands
     val sep = "\u0000"
 
-    val bucketCols = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand)
-        .map(i => element_at(col("__sig"), b * rowsPerBand + i + 1)): _*)
-    }
+    // Banding runs as ONE compiled-Scala UDF call per doc (shingles +
+    // numHashes minhashes + band buckets in a single pass) instead of
+    // the batch path's expression forms: Catalyst evaluates higher-order
+    // array lambdas interpreted per element, which a thread-dump showed
+    // dominating ingest at ~400× this loop's cost. Bit-parity with the
+    // expressions is asserted in ExtensionsSpec (minhashBandRow) and
+    // end-to-end vs batch in StreamingSpec; a UDF projection (unlike a
+    // typed flatMap) PRESERVES the caller's event-time watermark.
+    val bandRow = udf((text: String) =>
+      graft.operators.Dedup.minhashBandRow(text, numHashes, bands, shingleN, sep))
     implicit val bandedEnc = Encoders.product[BandedDoc]
     val banded = docs
-      .withColumn("__sh", graft.functions.Texts.distinctShingles(col(textCol), shingleN))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", graft.operators.Dedup.minhashSignature(col(textCol), numHashes, shingleN))
+      .withColumn("__b", bandRow(col(textCol)))
+      .filter(col("__b").isNotNull)
       .select(
         col(idCol).cast("long").as("doc_id"),
         col("timestamp"),
-        concat_ws(sep, col("__sh")).as("packed"),
-        array(bucketCols: _*).as("buckets"))
+        col("__b._1").as("packed"),
+        col("__b._2").as("buckets"))
       .select(
         col("doc_id"), col("timestamp"), col("packed"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
@@ -835,13 +839,18 @@ object StreamingPredicates {
   ): Dataset[EmbNearDupPair] = {
     requireIntegralId(vectors, idCol, "embeddingNearDupStream")
     implicit val hplaneEnc = Encoders.product[HplaneDoc]
+    // Compiled banding (Similarity.hplaneBandRow) for the same reason as
+    // minhashNearDupStream's UDF: the expression form's hyperplane dots
+    // are interpreted per element; a UDF projection keeps the caller's
+    // watermark.
+    val bandUdf = udf((v: Array[Float]) =>
+      graft.operators.Similarity.hplaneBandRow(v, bands, bitsPerBand))
     val banded = vectors
       .select(
         col(idCol).cast("long").as("doc_id"),
         col("timestamp"),
         col(vecCol).cast("array<float>").as("vec"),
-        graft.operators.Similarity
-          .bandBucketArray(col(vecCol), bands, bitsPerBand).as("buckets"))
+        bandUdf(col(vecCol).cast("array<float>")).as("buckets"))
       .select(
         col("doc_id"), col("timestamp"), col("vec"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
