@@ -2088,6 +2088,64 @@ object QueryCatalog {
              |  (SELECT MIN(doc_id) FROM q GROUP BY text))
              |SELECT doc_id, lang, source FROM dd ORDER BY 1""".stripMargin)),
 
+    // The capstone: a 9-step CORPUS-RELEASE run covering the whole
+    // declarative language in one pipeline — URL dedup (byte-cost
+    // pre-pass, compiler-ordered first) → clean → language filter →
+    // token gate → repetition gate → exact dedup → per-language quota →
+    // train/val/test split → shuffle-shard. Every step is the proven
+    // oracle form, composed; the result is exact end to end.
+    Q("curation_release", (s, dir) =>
+      CurationPipeline.fromYaml(docsWithUrl(s, dir),
+        """steps:
+          |  - url_dedup: {}
+          |  - clean: {}
+          |  - langid_keep: { langs: [en, es, fr] }
+          |  - quality: { min_tokens: 10 }
+          |  - repetition: { max_dup_token_frac: 0.6 }
+          |  - dedup_exact: {}
+          |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
+          |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+          |  - shuffle: { shards: 4 }
+          |""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("split"), col("shard"), col("pos"))
+        .orderBy("doc_id"),
+      Some {
+        val hits = graft.functions.Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+          s"len(list_intersect(string_split(lower(text), ' '), [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
+        }.mkString(", ")
+        urlCte +
+          s""", keepu AS (SELECT MIN(doc_id) AS doc_id FROM urls GROUP BY url_norm),
+             |dsel AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keepu USING (doc_id)),
+             |c AS (SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text
+             |  FROM dsel),
+             |h AS (SELECT doc_id, lang, text, $hits FROM c),
+             |g AS (SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS g FROM h),
+             |lid AS (SELECT doc_id, lang, text, CASE WHEN g = 0 THEN 'und'
+             |  WHEN h_zh = g THEN 'zh' WHEN h_fr = g THEN 'fr' WHEN h_es = g THEN 'es'
+             |  WHEN h_en = g THEN 'en' ELSE 'de' END AS pred FROM g),
+             |lk AS (SELECT * FROM lid WHERE pred IN ('en', 'es', 'fr')),
+             |q AS (SELECT * FROM lk WHERE len(string_split(lower(text), ' ')) >= 10),
+             |sl0 AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS sl FROM q),
+             |tks AS (SELECT doc_id, UNNEST(sl) AS tok FROM sl0),
+             |tcnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tks GROUP BY 1, 2),
+             |rp AS (SELECT doc_id FROM tcnt GROUP BY doc_id
+             |  HAVING ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 4) <= 0.6),
+             |rep AS (SELECT q.* FROM q JOIN rp USING (doc_id)),
+             |dd AS (SELECT * FROM rep WHERE doc_id IN (SELECT MIN(doc_id) FROM rep GROUP BY text)),
+             |r AS (SELECT doc_id, lang, (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM dd),
+             |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk FROM r),
+             |kept AS (SELECT * FROM k WHERE (lang = 'en' AND rk <= 60)
+             |   OR (lang = 'es' AND rk <= 25) OR (lang = 'fr' AND rk <= 15)),
+             |sp AS (SELECT *, CASE WHEN rnd < 429496729 THEN 'test'
+             |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split FROM kept),
+             |sh AS (SELECT *, rnd % 4 AS shard FROM sp)
+             |SELECT doc_id, lang, split, CAST(shard AS BIGINT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rnd, doc_id) AS BIGINT) AS pos
+             |FROM sh ORDER BY 1""".stripMargin
+      }),
+
     // The model-quality half: score against a FITTED weight frame passed
     // to the compiler as a named auxiliary table (the serve topology —
     // the fit happened once, elsewhere), gate on the learned score, then

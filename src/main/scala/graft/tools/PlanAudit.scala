@@ -633,6 +633,23 @@ object PlanAudit {
     audit("curation_pipeline_gopher", graft.operators.CurationPipeline.fromYaml(
       docsT, gopherYaml), 4)
 
+    // Release capstone: all nine steps composed. Selection stages are
+    // thin (url_norm agg, metric aggs, hash picks) + the shard window.
+    val releaseYaml =
+      """steps:
+        |  - url_dedup: {}
+        |  - clean: {}
+        |  - langid_keep: { langs: [en, es, fr] }
+        |  - quality: { min_tokens: 10 }
+        |  - repetition: { max_dup_token_frac: 0.6 }
+        |  - dedup_exact: {}
+        |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
+        |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+        |  - shuffle: { shards: 4 }
+        |""".stripMargin
+    audit("curation_release", graft.operators.CurationPipeline.fromYaml(
+      urlDocs, releaseYaml), 7)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy

@@ -233,6 +233,29 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(q(0.9) - 2000.0) / 2000.0 <= alpha)
   }
 
+  test("empty inputs: profiles and sketches return sane zero-state, never throw") {
+    val empty = docs.filter(col("doc_id") < 0)
+    val p = Profiling.corpusProfile(empty).collect().map(r => r.getString(0) -> r).toMap
+    assert(p.size == docs.columns.length)
+    assert(p("doc_id").getAs[Long]("n_rows") == 0L)
+    assert(p("doc_id").getAs[Any]("min_val") == null)
+    val sp = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(empty))).collect().map(r => r.getString(0) -> r).toMap
+    assert(sp("doc_id").getAs[Long]("n_rows") == 0L)
+    assert(sp("doc_id").getAs[Long]("distinct_est") == 0L)
+    // Empty shard merged into a real one is a no-op.
+    val withEmpty = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(docs).unionByName(Profiling.shardProfile(empty))))
+    val alone = Profiling.profileFromShards(Profiling.mergeShardProfiles(
+      Profiling.shardProfile(docs)))
+    assert(snap(withEmpty) == snap(alone))
+    // Quantile sketch of nothing: zero rows, and the estimator returns
+    // zero rows rather than dividing by an absent n.
+    val sk = Profiling.logQuantileSketch(empty)
+    assert(sk.count() == 0)
+    assert(Profiling.quantilesFromLogSketch(sk).count() == 0)
+  }
+
   test("corpusProfile: single aggregate — no row-level shuffle in the plan") {
     val plan = Profiling.corpusProfile(docs).queryExecution.executedPlan.toString
     // One partial + one final aggregate pair; a single exchange moving
