@@ -1848,6 +1848,38 @@ object QueryCatalog {
              |  ROUND(wt * 1000000 / tokens, 6) AS epochs
              |FROM w WHERE wt IS NOT NULL ORDER BY lang""".stripMargin)),
 
+    // Deterministic per-group head — the uniform-representation sampler
+    // (same hash order as split/shuffle, so the pick is engine-
+    // reproducible and corpus-order-free); full SQL oracle.
+    Q("sample_group_head", (s, dir) =>
+      Sampling.perGroupHead(docs(s, dir), 20, "lang")
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, lang,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM documents),
+             |k AS (SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk FROM r)
+             |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+             |FROM k WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),
+
+    // Corpus clustering as a first-class op: the IVF coarse quantizer IS
+    // the k-means clusterer (hash seeding + Lloyd, broadcast-array
+    // zero-exchange assignment). Iterative fit → golden.
+    Q("embedding_clusters", (s, dir) =>
+      Similarity.clusterAssign(emb(s, dir), nlist = 16).orderBy("vec_id"),
+      None),
+
+    // Diversity sampling: uniform per-CLUSTER heads instead of
+    // frequency-weighted picks — head-heavy topics stop drowning the
+    // tail of the mix. Cluster fit upstream → golden.
+    Q("sample_diverse", (s, dir) =>
+      Sampling.perGroupHead(
+          Similarity.clusterAssign(emb(s, dir), nlist = 16),
+          n = 10, groupCol = "cluster", idCol = "vec_id")
+        .select(col("vec_id"), col("cluster"), col("rk"))
+        .orderBy("vec_id"),
+      None),
+
     // Rank-based quality cut: keep the best 80% of each language by LM
     // perplexity (lower = better) — exact per-group fraction via
     // row_number + same-partitioning group count; the skew-immune

@@ -325,6 +325,29 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("rk"))
   }
 
+  /** Deterministic per-group head: keep up to `n` rows of every group,
+    * picked by the hash order ([[splitAssign]]'s multiplicative id hash —
+    * engine-reproducible, corpus-order-free). The DIVERSITY sampler when
+    * `groupCol` is a cluster assignment ([[Similarity.clusterAssign]]):
+    * uniform per-cluster representation instead of frequency-weighted —
+    * head-heavy topics stop drowning the tail. One window over the
+    * group-keyed exchange; no global sort.
+    *
+    * @return input rows of the kept sample plus their in-group `rk`.
+    */
+  def perGroupHead(
+      df: DataFrame,
+      n: Long,
+      groupCol: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(n > 0, s"per-group head size must be positive, got $n")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(pseudoShuffle(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+  }
+
   /** Data-mix planning: turn a target mixture specification ("50% en,
     * 12.5% each of the rest", the LLaMA/Pile-style recipe) into the
     * per-group EPOCH factors [[upsampleRepeats]] consumes —

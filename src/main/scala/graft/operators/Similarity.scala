@@ -295,6 +295,34 @@ object Similarity {
     centroids
   }
 
+  /** Corpus clustering as a first-class operator — the ANN coarse
+    * quantizer IS the k-means clusterer, so topic bucketing /
+    * diversity-aware sampling / SemDeDup-style grouping reuse the exact
+    * fit machinery ([[ivfCentroids]]: deterministic hash seeding + Lloyd
+    * refinement, optionally on a hash sample) and the zero-exchange
+    * map-side assignment (broadcast centroid array, no N×k explode).
+    * Pass `centroids` to assign against a PERSISTED fit (fit-once /
+    * assign-many, like the other `_idx` surfaces).
+    *
+    * @return `(idCol, cluster, csim)` — the max-cosine centroid id and
+    *         its 6-dp cosine (the confidence/radius signal a diversity
+    *         sampler or drift monitor reads).
+    */
+  def clusterAssign(
+      corpus: DataFrame,
+      nlist: Int = 0,
+      refineIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None
+  ): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nlist, refineIters, idCol, vecCol))
+    scoredCentroids(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), cents)
+      .select(col("id").as(idCol),
+        element_at(col("ranked"), 1).getField("cid").as("cluster"),
+        round(element_at(col("ranked"), 1).getField("csim"), 6).as("csim"))
+  }
+
   /** Query a fitted centroid table ([[ivfCentroids]], fresh or read back
     * from storage): corpus assignment and query probes are both map-side
     * against the broadcast centroid array; the only shuffle is the
