@@ -582,6 +582,13 @@ object PlanAudit {
     audit("embedding_pca(project)", graft.operators.EmbeddingProjection.projectPca(
       Tables.table(spark, dir, "embeddings"), pcaModel), 0)
 
+    // Cluster assignment against persisted centroids (the assign-many
+    // serve path): broadcast centroid array only — ZERO corpus exchanges.
+    val clusterCents = graft.plans.Materialize(
+      graft.operators.Similarity.ivfCentroids(embT, nlist = 8), eager = true)
+    audit("cluster_assign(serve)", graft.operators.Similarity.clusterAssign(
+      embT, centroids = Some(clusterCents)), 0)
+
     // LM-side curation pipeline: decontaminate (broadcast probe shingles)
     // + self-perplexity (broadcast LM) + exact dedup compose within the
     // sum of their individual budgets.
