@@ -20,8 +20,8 @@ object GoldenFormat {
       "dedup_winnow", "dedup_winnow_incr", "text_bpe_tokens", "text_quality_model",
       "embedding_pca", "text_packing_bins", "corpus_profile", "corpus_profile_diff",
       "curation_pipeline_qmodel", "text_quality_model_idx", "text_bpe_bytes",
-      "corpus_profile_incr", "corpus_quantiles_incr", "embedding_clusters",
-      "sample_diverse")
+      "corpus_profile_incr", "corpus_quantiles_incr", "corpus_profile_incr_diff",
+      "embedding_clusters", "sample_diverse")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

@@ -2634,6 +2634,27 @@ object QueryCatalog {
               graft.operators.Profiling.shardProfile(d.filter(col("doc_id") >= 250)))))
     }, None),
 
+    // The incremental QA loop closed: drift between the ACCEPTED
+    // standing profile (first shard) and the profile after a second
+    // shard folds in — the exact promote/alert comparison a continuous
+    // ingest runs between batches, computed entirely from persisted
+    // shard profiles (no corpus rescan). Sketch estimates inside →
+    // golden.
+    Q("corpus_profile_incr_diff", (s, dir) => {
+      val d = docs(s, dir)
+      def prof(f: DataFrame) = graft.operators.Profiling.profileFromShards(
+        graft.operators.Profiling.mergeShardProfiles(
+          graft.operators.Profiling.shardProfile(f)))
+      val accepted = prof(d.filter(col("doc_id") < 250))
+      val folded = graft.operators.Profiling.profileFromShards(
+        graft.operators.Profiling.mergeShardProfiles(
+          graft.operators.Profiling.shardProfile(d.filter(col("doc_id") < 250)).unionByName(
+            graft.operators.Profiling.shardProfile(d.filter(col("doc_id") >= 250)))))
+      graft.operators.Profiling.profileDiff(accepted, folded)
+        .withColumn("mean_old", round(col("mean_old"), 4))
+        .withColumn("mean_new", round(col("mean_new"), 4))
+    }, None),
+
     // Mergeable quantiles (DDSketch log buckets): per-shard sketches
     // merged by adding bucket counts (exact, associative — the thing
     // percentile_approx outputs cannot do), quantiles read off the

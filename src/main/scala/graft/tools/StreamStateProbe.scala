@@ -116,15 +116,18 @@ object StreamStateProbe {
 
     def run(name: String, scale: Int, inputRows: Long)(
         start: => StreamingQuery): Unit = {
+      val t0 = System.nanoTime()
       val q = start
       try {
         q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
         val (rows, mem, ser) = readState(q)
         val r = StateReading(name, scale, inputRows, rows, mem, ser)
         readings += r
         println(f"[state-probe] ${r.op}%-12s x${r.scale}%-3d in=${r.inputRows}%8d " +
           f"stateRows=${r.stateRows}%8d ser=${r.serBytes / 1024}%8d KiB " +
-          f"(${r.serPerRow}%6.1f B/row) mem=${r.memBytes / 1024}%8d KiB (${r.memPerRow}%6.1f B/row)")
+          f"(${r.serPerRow}%6.1f B/row) mem=${r.memBytes / 1024}%8d KiB " +
+          f"(${r.memPerRow}%6.1f B/row) ingest=${inputRows / secs}%8.0f docs/s")
       } finally q.stop()
     }
 
