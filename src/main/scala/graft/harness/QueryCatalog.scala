@@ -2733,7 +2733,10 @@ object QueryCatalog {
     // is asserted in QualityClassifierSpec) → same-valued golden.
     Q("text_quality_model_idx", (s, dir) => {
       val d = docs(s, dir)
-      val mDir = s"/tmp/graft_qmodel_d1024_i32_" +
+      // Cache keyed on the fit-recipe version (QualityClassifier
+      // .modelFormatVersion): a /tmp model fit by OLDER code must refit,
+      // not silently serve stale scores into goldens/bench.
+      val mDir = s"/tmp/graft_qmodel_v${QualityClassifier.modelFormatVersion}_d1024_i32_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       if (!new java.io.File(s"$mDir/_SUCCESS").exists())
         QualityClassifier.train(

@@ -85,6 +85,9 @@ object Dedup {
       sep: String): Option[(String, Array[Long])] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
+    // Null text banded to nothing, like the expression path (null
+    // shingle array → filtered) — a bad row must not kill the stream.
+    if (text == null) return None
     val rowsPerBand = numHashes / bands
     val toks = UTF8String.fromString(text).toLowerCase.toString.split("\\s+", -1)
     if (toks.length < shingleN) return None

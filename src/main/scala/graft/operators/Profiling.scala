@@ -30,6 +30,47 @@ import org.apache.spark.sql.types._
   */
 object Profiling {
 
+  // ---- shared column-capability gates (one definition: one-shot and
+  // incremental profiling must never diverge on which statistics a
+  // dtype supports) -------------------------------------------------
+
+  /** The numeric view of a column for mean/quantiles: numerics cast to
+    * double, strings profiled by LENGTH, everything else opted out.
+    */
+  private def numericView(schema: StructType, name: String): Option[Column] =
+    schema(name).dataType match {
+      case _: NumericType => Some(col(name).cast(DoubleType))
+      case StringType     => Some(length(col(name)).cast(DoubleType))
+      case _              => None
+    }
+
+  private def atomic(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | BinaryType | BooleanType | DateType | TimestampType |
+        TimestampNTZType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case _ => false
+  }
+
+  /** min/max need an ordering; maps (and variant) have none in Spark.
+    * Gate rather than throw — the stat degrades to null, the scan runs.
+    */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case d if atomic(d)  => true
+    case NullType        => true
+    case ArrayType(e, _) => orderable(e)
+    case StructType(fs)  => fs.forall(f => orderable(f.dataType))
+    case _               => false // MapType, UDTs without ordering, variant
+  }
+
+  /** approx_count_distinct / xxhash64 need a hashable type; maps are not. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType      => false
+    case ArrayType(e, _) => hashable(e)
+    case StructType(fs)  => fs.forall(f => hashable(f.dataType))
+    case _               => true
+  }
+
+
   /** Profile `cols` (default: every column) of `df` in one aggregate
     * pass. Output is long-format, one row per profiled column, ordered
     * by column name:
@@ -67,37 +108,6 @@ object Profiling {
     val schema = df.schema
     val qArr = array(quantiles.map(lit): _*)
 
-    // The numeric view of a column for mean/quantiles: numerics cast to
-    // double, strings profiled by length, everything else opted out.
-    def numericView(name: String): Option[Column] = schema(name).dataType match {
-      case _: NumericType => Some(col(name).cast(DoubleType))
-      case StringType     => Some(length(col(name)).cast(DoubleType))
-      case _              => None
-    }
-
-    // min/max need an ordering and approx_count_distinct (XxHash64)
-    // needs a hashable type; maps have neither in Spark. Gate rather
-    // than throw — the stat degrades to null, the scan still runs.
-    def atomic(dt: DataType): Boolean = dt match {
-      case _: NumericType => true
-      case StringType | BinaryType | BooleanType | DateType | TimestampType |
-          TimestampNTZType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
-      case _ => false
-    }
-    def orderable(dt: DataType): Boolean = dt match {
-      case d if atomic(d)    => true
-      case NullType          => true
-      case ArrayType(e, _)   => orderable(e)
-      case StructType(fs)    => fs.forall(f => orderable(f.dataType))
-      case _                 => false // MapType, UDTs without ordering, variant
-    }
-    def hashable(dt: DataType): Boolean = dt match {
-      case _: MapType        => false
-      case ArrayType(e, _)   => hashable(e)
-      case StructType(fs)    => fs.forall(f => hashable(f.dataType))
-      case _                 => true
-    }
-
     val aggExprs: Seq[Column] = count(lit(1)).as("__n") +: targets.flatMap { c =>
       val dt = schema(c).dataType
       val base = Seq(
@@ -109,7 +119,7 @@ object Profiling {
         (if (orderable(dt)) max(col(c)).cast(StringType)
          else lit(null).cast(StringType)).as(s"__max__$c")
       )
-      val num = numericView(c) match {
+      val num = numericView(schema, c) match {
         case Some(v) =>
           Seq(
             avg(v).as(s"__mean__$c"),
@@ -159,7 +169,10 @@ object Profiling {
   ): DataFrame = {
     require(probs.nonEmpty, "flattenQuantiles needs the profile's quantile probabilities")
     def label(p: Double): String = {
-      val pct = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      // Scale via the DECIMAL value of p's shortest representation —
+      // BigDecimal(p * 100) would inherit the double artifact (0.57*100
+      // = 56.99999999999999...) and emit a 50-digit column name.
+      val pct = (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros.toPlainString
       "q" + pct.replace(".", "_").replace("-", "m")
     }
     val keep = profile.columns.filterNot(_ == "quantiles").map(col)
@@ -208,40 +221,15 @@ object Profiling {
     require(missing.isEmpty, s"shardProfile: no such column(s): ${missing.mkString(", ")}")
     val schema = df.schema
 
-    def numericView(name: String): Option[Column] = schema(name).dataType match {
-      case _: NumericType => Some(col(name).cast(DoubleType))
-      case StringType     => Some(length(col(name)).cast(DoubleType))
-      case _              => None
-    }
-    def atomic(dt: DataType): Boolean = dt match {
-      case _: NumericType => true
-      case StringType | BinaryType | BooleanType | DateType | TimestampType |
-          TimestampNTZType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
-      case _ => false
-    }
-    def orderable(dt: DataType): Boolean = dt match {
-      case d if atomic(d)  => true
-      case NullType        => true
-      case ArrayType(e, _) => orderable(e)
-      case StructType(fs)  => fs.forall(f => orderable(f.dataType))
-      case _               => false
-    }
-    def hashable(dt: DataType): Boolean = dt match {
-      case _: MapType      => false
-      case ArrayType(e, _) => hashable(e)
-      case StructType(fs)  => fs.forall(f => hashable(f.dataType))
-      case _               => true
-    }
-
     val aggExprs: Seq[Column] = count(lit(1)).as("__n") +: targets.flatMap { c =>
       val dt = schema(c).dataType
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls__$c"),
-        (numericView(c) match {
+        (numericView(schema, c) match {
           case Some(v) => sum(v)
           case None    => lit(null).cast(DoubleType)
         }).as(s"__sum__$c"),
-        (numericView(c) match {
+        (numericView(schema, c) match {
           case Some(v) => count(v)
           case None    => lit(null).cast(LongType)
         }).as(s"__cnt__$c"),
@@ -339,9 +327,13 @@ object Profiling {
   ): (DataFrame, Long) => Unit = { (batch, _) =>
     val spark = batch.sparkSession
     val shard = shardProfile(batch, cols, lgK)
+    // Hadoop FS, not java.io.File: the standing dir is durable storage
+    // (hdfs://, s3a://) in production — a local-only existence check
+    // would silently reset the standing profile to the last batch there.
+    val path = new org.apache.hadoop.fs.Path(s"$standingDir/_SUCCESS")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior =
-      if (new java.io.File(s"$standingDir/_SUCCESS").exists())
-        Some(spark.read.parquet(standingDir))
+      if (fs.exists(path)) Some(spark.read.parquet(standingDir))
       else None
     val merged = mergeShardProfiles(prior.fold(shard)(shard.unionByName(_)))
     val rows = merged.collect().toSeq // #columns rows — bounded

@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
+  /** Version stamp of the fit/feature recipe (hashing scheme, Adagrad
+    * schedule, normalization). BUMP whenever a change alters the learned
+    * weights — cache directories key on it (the ivfpq
+    * `indexFormatVersion` pattern), so a persisted model fit by OLDER
+    * code refits instead of silently serving stale scores.
+    */
+  val modelFormatVersion = 1
+
   /** Distinct hashed features of each document: unigrams and bigrams of
     * the whitespace tokens, `xxhash64(gram, "qc") mod dim`, each carrying
     * the per-document normalized value `x = 1/√n_d` (n_d = the document's

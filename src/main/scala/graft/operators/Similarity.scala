@@ -382,15 +382,20 @@ object Similarity {
     * the expression form (parity asserted in ExtensionsSpec): same
     * xxhash64-folded plane components (`hashInt(plane,42)` →
     * `hashInt(dim,·)`, pmod 20001 − 10000, /1e4), same index-order
-    * double accumulation, same sign rule. The expression form's
-    * `aggregate(zip_with(...))` lambdas are evaluated INTERPRETED per
-    * element by Catalyst — bands × bits × dim boxed evals per row — so
-    * the streaming ingest path (and any per-row hot loop) uses this
-    * single-pass version instead.
+    * double accumulation, same sign rule. Takes doubles so BOTH vector
+    * dtypes keep their old semantics (float widens exactly; double was
+    * never truncated by the expression path). Null vectors return null —
+    * the expression form's behavior (`posexplode`/state routing then
+    * drops the row instead of a one-bad-row NPE killing the job). The
+    * expression form's `aggregate(zip_with(...))` lambdas are evaluated
+    * INTERPRETED per element by Catalyst — bands × bits × dim boxed
+    * evals per row — so the streaming ingest path (and any per-row hot
+    * loop) uses this single-pass version instead.
     */
   private[graft] def hplaneBandRow(
-      vec: Array[Float], bands: Int, bitsPerBand: Int): Array[Long] = {
+      vec: Array[Double], bands: Int, bitsPerBand: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
+    if (vec == null) return null
     Array.tabulate(bands) { band =>
       var bucket = 0L
       var bit = 0
@@ -425,12 +430,15 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val bandUdf = udf((v: Array[Float]) => hplaneBandRow(v, bands, bitsPerBand))
+    val bandUdf = udf((v: Array[Double]) => hplaneBandRow(v, bands, bitsPerBand))
+    // array<double>: exact for float input (widening), unchanged for
+    // double input — the dtypes the expression form handled. Null
+    // vectors produce a null bucket array → posexplode drops the row,
+    // as before.
     vectors.select(
       col(idCol).as("id"),
-      posexplode(bandUdf(col(vecCol).cast("array<float>"))).as(Seq("band", "bucket")))
+      posexplode(bandUdf(col(vecCol).cast("array<double>"))).as(Seq("band", "bucket")))
   }
-      .select(col("id"), col("band"), col("bucket"))
 
   /** LSH-bucketed approximate nearest neighbors: `bands` signatures of
     * `bitsPerBand` hyperplane bits each; vectors sharing any band bucket

@@ -843,14 +843,18 @@ object StreamingPredicates {
     // minhashNearDupStream's UDF: the expression form's hyperplane dots
     // are interpreted per element; a UDF projection keeps the caller's
     // watermark.
-    val bandUdf = udf((v: Array[Float]) =>
+    val bandUdf = udf((v: Array[Double]) =>
       graft.operators.Similarity.hplaneBandRow(v, bands, bitsPerBand))
     val banded = vectors
       .select(
         col(idCol).cast("long").as("doc_id"),
         col("timestamp"),
         col(vecCol).cast("array<float>").as("vec"),
-        bandUdf(col(vecCol).cast("array<float>")).as("buckets"))
+        // Buckets from the ORIGINAL dtype (double-widened — the
+        // expression form's arithmetic); null vectors → null buckets →
+        // the posexplode drops the row instead of an NPE killing the
+        // stream.
+        bandUdf(col(vecCol).cast("array<double>")).as("buckets"))
       .select(
         col("doc_id"), col("timestamp"), col("vec"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
