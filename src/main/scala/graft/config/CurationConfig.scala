@@ -29,6 +29,10 @@ object CurationConfig {
 
   sealed trait Step
   case object Clean extends Step
+  /** Unicode NFC normalization ([[graft.functions.Texts.normalizeNfc]]) —
+    * unify composed/decomposed codepoint variants BEFORE any content
+    * keying (dedup, decontamination, tokenization). */
+  case object NormalizeNfc extends Step
   final case class LangIdKeep(langs: Seq[String]) extends Step
   final case class Quality(minTokens: Option[Long], maxPunctRatio: Option[Double]) extends Step
   case object Redact extends Step
@@ -168,6 +172,7 @@ object CurationConfig {
 
     name match {
       case "clean"  => Clean
+      case "normalize" => NormalizeNfc
       case "redact" => Redact
       case "dedup_exact" => DedupExact
       case "langid_keep" =>
@@ -255,7 +260,7 @@ object CurationConfig {
         LangIdTrigramKeep(langs)
       case other =>
         throw new IllegalArgumentException(
-          s"step #$idx: unknown curation step '$other' (known: clean, redact, " +
+          s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
             "compress, dedup_exact, dedup_minhash, langid_keep, " +
             "langid_trigram_keep, quality, quality_model, quota, repetition, " +
             "split, shuffle, chunk, decontaminate, perplexity, " +

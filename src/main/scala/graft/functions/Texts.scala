@@ -120,6 +120,25 @@ object Texts {
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), " {2,}", " "))
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * codepoint-level twin of [[cleanText]]: web crawls mix composed and
+    * decomposed forms of the same visible text ("café" as 4 or 5
+    * codepoints), which silently defeats exact dedup, tokenizer vocab
+    * lookups, and decontamination string matches. Spark has no native
+    * normalizer, so this is a compiled UDF over `java.text.Normalizer`
+    * (null-preserving); both Java and DuckDB (`nfc_normalize`) implement
+    * the same UAX #15 algorithm, so the catalog oracle is exact. NFC is
+    * the conservative form — visible text is untouched, only equivalent
+    * codepoint sequences unify (NFKC's compatibility folding changes
+    * content — e.g. ﬁ → fi — and is a modeling decision, not cleaning).
+    */
+  def normalizeNfc(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(text)
+  }
+
   /** Deterministic 64-bit document fingerprint: order-sensitive polynomial
     * rolling hash over tokens (Rabin–Karp style), built from `xxhash64`
     * token hashes folded with `aggregate` — codegen-friendly, no UDF.

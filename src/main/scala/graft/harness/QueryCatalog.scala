@@ -1070,6 +1070,47 @@ object QueryCatalog {
           |  AND domain NOT IN ('src2.com', 'src3.de', 'src4.co.uk')
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Unicode NFC normalization: crawls mix composed and decomposed
+    // forms of the same visible text, silently defeating exact dedup and
+    // string matching. Both engines implement UAX #15 → exact oracle.
+    Q("text_normalize", (s, dir) => {
+      val mixed = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" caf\u00e9")))
+          .otherwise(concat(col("text"), lit(" cafe\u0301"))))
+      mixed.select(col("doc_id"),
+          length(col("text")).as("len_raw"),
+          length(Texts.normalizeNfc(col("text"))).as("len_norm"),
+          (Texts.normalizeNfc(col("text")) =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    }, Some("""WITH m AS (SELECT doc_id,
+             |    text || (CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+             |             ELSE ' cafe' || chr(769) END) AS t FROM documents)
+             |SELECT doc_id, CAST(length(t) AS INT) AS len_raw,
+             |  CAST(length(nfc_normalize(t)) AS INT) AS len_norm,
+             |  nfc_normalize(t) <> t AS changed
+             |FROM m ORDER BY 1""".stripMargin)),
+
+    // NFC-exact dedup — the C4-style trick: normalize BEFORE the content
+    // key, so codepoint-variant refetches of the same page collapse.
+    // Fixture: every even doc appears twice, once composed and once
+    // decomposed — raw-exact dedup misses all of those pairs.
+    Q("dedup_exact_normalized", (s, dir) => {
+      val d0 = docs(s, dir)
+      val all = d0.select(col("doc_id"), concat(col("text"), lit(" caf\u00e9")).as("text"))
+        .unionByName(d0.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text")))
+      all.groupBy(md5(Texts.normalizeNfc(col("text")).cast("binary")).as("key"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+        .orderBy("key")
+    }, Some("""WITH d AS (SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text || ' cafe' || chr(769)
+             |  FROM documents WHERE doc_id % 2 = 0)
+             |SELECT md5(nfc_normalize(text)) AS key,
+             |  CAST(MIN(doc_id) AS BIGINT) AS keeper,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("dedup_ngram_jaccard", (s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), threshold = 0.8, shingleN = 1)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

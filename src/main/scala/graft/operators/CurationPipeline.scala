@@ -80,6 +80,7 @@ object CurationPipeline {
 
   private def stepName(s: Step): String = s match {
     case Clean => "clean"
+    case NormalizeNfc => "normalize"
     case Redact => "redact"
     case LangIdKeep(_) => "langid_keep"
     case Quality(_, _) => "quality"
@@ -107,6 +108,8 @@ object CurationPipeline {
     step match {
       case Clean =>
         df.withColumn(textCol, Texts.cleanText(col(textCol)))
+      case NormalizeNfc =>
+        df.withColumn(textCol, Texts.normalizeNfc(col(textCol)))
       case Redact =>
         df.withColumn(textCol, Texts.redactPii(col(textCol)))
       case LangIdKeep(langs) =>

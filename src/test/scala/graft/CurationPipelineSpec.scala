@@ -218,6 +218,24 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got.count() == want.count())
   }
 
+  test("normalize step unifies composed/decomposed variants before dedup") {
+    val mixed = Seq(
+      (1L, "café latte"), (2L, "café latte"), // NFC-equal pair
+      (3L, "plain text")).toDF("doc_id", "text")
+    // Raw exact dedup misses the pair; normalize-then-dedup collapses it.
+    val raw = CurationPipeline.fromYaml(mixed, "steps:\n  - dedup_exact: {}\n")
+    assert(raw.count() == 3)
+    val normed = CurationPipeline.fromYaml(mixed,
+      "steps:\n  - normalize: {}\n  - dedup_exact: {}\n")
+    assert(normed.count() == 2)
+    assert(normed.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // The surviving text is the composed form; nulls pass through.
+    assert(normed.filter(col("doc_id") === 1L).head.getString(1) == "caf\u00e9 latte")
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(graft.functions.Texts.normalizeNfc(col("text")) != null &&
+      withNull.select(graft.functions.Texts.normalizeNfc(col("text"))).head.isNullAt(0))
+  }
+
   test("repetition, compress, and langid_trigram_keep steps parse and equal operator composition") {
     val got = CurationPipeline.fromYaml(docs,
       """steps:
