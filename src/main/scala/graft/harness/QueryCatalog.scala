@@ -73,10 +73,17 @@ object QueryCatalog {
     * oracle form of its operator): `c` clean → `lk` langid keep → `q`
     * quality → `d` exact dedup → `kept` quota → `sp` split → `sh` shard.
     */
-  private lazy val curationCtes: String = {
-    val hits = graft.functions.Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+  /** The stopword-hit columns of the langid SQL form — ONE builder
+    * shared by every composed oracle that embeds the langid step, so a
+    * list change cannot silently diverge between them.
+    */
+  private lazy val stopwordHitsSql: String =
+    graft.functions.Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
       s"len(list_intersect(string_split(lower(text), ' '), [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
     }.mkString(", ")
+
+  private lazy val curationCtes: String = {
+    val hits = stopwordHitsSql
     s"""WITH c AS (SELECT doc_id, lang,
        |    trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text
        |  FROM documents),
@@ -1555,9 +1562,7 @@ object QueryCatalog {
         .select(col("doc_id"), Texts.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id"),
       Some {
-        val hits = Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-          s"len(list_intersect(string_split(lower(text), ' '), [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
-        }.mkString(", ")
+        val hits = stopwordHitsSql
         s"""WITH h AS (SELECT doc_id, $hits FROM documents),
            |g AS (SELECT doc_id, h_de, h_en, h_es, h_fr, h_zh,
            |  GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS g FROM h)
@@ -2183,9 +2188,7 @@ object QueryCatalog {
         .select(col("doc_id"), col("lang"), col("split"), col("shard"), col("pos"))
         .orderBy("doc_id"),
       Some {
-        val hits = graft.functions.Texts.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-          s"len(list_intersect(string_split(lower(text), ' '), [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
-        }.mkString(", ")
+        val hits = stopwordHitsSql
         urlCte +
           s""", keepu AS (SELECT MIN(doc_id) AS doc_id FROM urls GROUP BY url_norm),
              |dsel AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keepu USING (doc_id)),
@@ -2683,15 +2686,15 @@ object QueryCatalog {
     // golden.
     Q("corpus_profile_incr_diff", (s, dir) => {
       val d = docs(s, dir)
-      def prof(f: DataFrame) = graft.operators.Profiling.profileFromShards(
-        graft.operators.Profiling.mergeShardProfiles(
-          graft.operators.Profiling.shardProfile(f)))
-      val accepted = prof(d.filter(col("doc_id") < 250))
-      val folded = graft.operators.Profiling.profileFromShards(
-        graft.operators.Profiling.mergeShardProfiles(
-          graft.operators.Profiling.shardProfile(d.filter(col("doc_id") < 250)).unionByName(
-            graft.operators.Profiling.shardProfile(d.filter(col("doc_id") >= 250)))))
-      graft.operators.Profiling.profileDiff(accepted, folded)
+      // The first shard's profile serves BOTH sides (accepted snapshot,
+      // and one input of the fold) — computed once, like production
+      // where shard profiles are persisted artifacts.
+      def prof(shards: DataFrame) = graft.operators.Profiling.profileFromShards(
+        graft.operators.Profiling.mergeShardProfiles(shards))
+      val shardA = graft.plans.Materialize(
+        graft.operators.Profiling.shardProfile(d.filter(col("doc_id") < 250)))
+      val shardB = graft.operators.Profiling.shardProfile(d.filter(col("doc_id") >= 250))
+      graft.operators.Profiling.profileDiff(prof(shardA), prof(shardA.unionByName(shardB)))
         .withColumn("mean_old", round(col("mean_old"), 4))
         .withColumn("mean_new", round(col("mean_new"), 4))
     }, None),

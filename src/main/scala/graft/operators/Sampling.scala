@@ -339,13 +339,30 @@ object Sampling {
       df: DataFrame,
       n: Long,
       groupCol: String,
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      preFilterSlack: Double = 8.0
   ): DataFrame = {
     require(n > 0, s"per-group head size must be positive, got $n")
-    val w = Window.partitionBy(groupCol)
-      .orderBy(pseudoShuffle(col(idCol)), col(idCol))
-    df.withColumn("rk", row_number().over(w).cast("long"))
+    // Giant-group guard — the [[quotaSample]] pre-filter with a constant
+    // quota: without it one head-heavy group (exactly the distribution
+    // the diversity sampler exists for) sorts its WHOLE population on a
+    // single window task. The hash threshold keeps ~n·slack+64 expected
+    // rows per group before the window, provably covering the head.
+    val hashed = df.withColumn("__r", pseudoShuffle(col(idCol)))
+    val counts = hashed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val thr =
+      if (preFilterSlack == Double.MaxValue) lit(HashSpace)
+      else least(
+        lit(HashSpace),
+        ceil(lit(HashSpace.toDouble) * (lit(n.toDouble) * lit(preFilterSlack) + lit(64.0d)) /
+          col("__n").cast("double")).cast("long"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
+    hashed
+      .join(broadcast(counts), Seq(groupCol))
+      .filter(col("__r") < thr)
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= n)
+      .drop("__r", "__n")
   }
 
   /** Data-mix planning: turn a target mixture specification ("50% en,

@@ -423,6 +423,20 @@ object Similarity {
     * expression form, which Catalyst would evaluate interpreted per
     * element — bands × bits × dim boxed lambda evals per row).
     */
+  /** Boxed entry point for the UDF boundary: tolerates null ELEMENTS the
+    * way the expression form did — a null component nulls every plane
+    * dot, each bit takes the `otherwise(0)` branch, and the vector lands
+    * in bucket 0 of every band (its candidate pairs are then discarded
+    * by the null cosine at verification, exactly as before) — instead of
+    * the primitive-array deserializer throwing and killing the job on
+    * one bad row. Null vectors still yield null (row dropped).
+    */
+  private[graft] def hplaneBandRowBoxed(
+      vec: Seq[java.lang.Double], bands: Int, bitsPerBand: Int): Array[Long] =
+    if (vec == null) null
+    else if (vec.exists(_ == null)) Array.fill(bands)(0L)
+    else hplaneBandRow(vec.map(_.doubleValue).toArray, bands, bitsPerBand)
+
   def hyperplaneBuckets(
       vectors: DataFrame,
       bands: Int,
@@ -430,7 +444,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val bandUdf = udf((v: Array[Double]) => hplaneBandRow(v, bands, bitsPerBand))
+    val bandUdf = udf((v: Seq[java.lang.Double]) => hplaneBandRowBoxed(v, bands, bitsPerBand))
     // array<double>: exact for float input (widening), unchanged for
     // double input — the dtypes the expression form handled. Null
     // vectors produce a null bucket array → posexplode drops the row,

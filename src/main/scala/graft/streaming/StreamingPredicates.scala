@@ -670,9 +670,12 @@ object StreamingPredicates {
     val bandRow = udf((text: String) =>
       graft.operators.Dedup.minhashBandRow(text, numHashes, bands, shingleN, sep))
     implicit val bandedEnc = Encoders.product[BandedDoc]
+    // No isNotNull filter on __b: predicate pushdown would rewrite it to
+    // udf(text) IS NOT NULL BELOW the projection and evaluate the whole
+    // banding twice per doc. A null struct yields null buckets and the
+    // posexplode below drops the row — same outcome, one evaluation.
     val banded = docs
       .withColumn("__b", bandRow(col(textCol)))
-      .filter(col("__b").isNotNull)
       .select(
         col(idCol).cast("long").as("doc_id"),
         col("timestamp"),
@@ -843,8 +846,8 @@ object StreamingPredicates {
     // minhashNearDupStream's UDF: the expression form's hyperplane dots
     // are interpreted per element; a UDF projection keeps the caller's
     // watermark.
-    val bandUdf = udf((v: Array[Double]) =>
-      graft.operators.Similarity.hplaneBandRow(v, bands, bitsPerBand))
+    val bandUdf = udf((v: Seq[java.lang.Double]) =>
+      graft.operators.Similarity.hplaneBandRowBoxed(v, bands, bitsPerBand))
     val banded = vectors
       .select(
         col(idCol).cast("long").as("doc_id"),

@@ -232,8 +232,7 @@ class CurationPipelineSpec extends SparkSpec {
     // The surviving text is the composed form; nulls pass through.
     assert(normed.filter(col("doc_id") === 1L).head.getString(1) == "caf\u00e9 latte")
     val withNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    assert(graft.functions.Texts.normalizeNfc(col("text")) != null &&
-      withNull.select(graft.functions.Texts.normalizeNfc(col("text"))).head.isNullAt(0))
+    assert(withNull.select(graft.functions.Texts.normalizeNfc(col("text"))).head.isNullAt(0))
   }
 
   test("repetition, compress, and langid_trigram_keep steps parse and equal operator composition") {
