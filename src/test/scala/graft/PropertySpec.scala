@@ -317,4 +317,97 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
     assert(out.size == texts.size)
   }
+
+  test("logQuantileSketch holds its relative-error bound on random distributions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // Ten columns, each a different shape: uniform, heavy-tail
+    // (lognormal-ish), small-integer, sub-1 magnitudes, mixed-sign.
+    val n = 2000
+    val cols = (0 until 10).map { c =>
+      val xs = (0 until n).map { _ =>
+        c % 5 match {
+          case 0 => rnd.nextDouble() * 1000 + 1
+          case 1 => math.exp(rnd.nextGaussian() * 2 + 3)
+          case 2 => (rnd.nextInt(50) + 1).toDouble
+          case 3 => rnd.nextDouble() * 0.01 + 1e-4
+          case 4 => (rnd.nextDouble() - 0.5) * 200
+        }
+      }
+      s"c$c" -> xs
+    }
+    val df = (0 until n).map(i => (i.toLong +: cols.map(_._2(i))).toList match {
+      case id :: vs => (id.asInstanceOf[Long], vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+        vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double],
+        vs(5).asInstanceOf[Double], vs(6).asInstanceOf[Double], vs(7).asInstanceOf[Double],
+        vs(8).asInstanceOf[Double], vs(9).asInstanceOf[Double])
+    }).toDF("id" +: cols.map(_._1): _*)
+    for (alpha <- Seq(0.01, 0.05)) {
+      val sk = graft.operators.Profiling.logQuantileSketch(
+        df, cols.map(_._1), alpha = alpha)
+      val probs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+      val ests = graft.operators.Profiling.quantilesFromLogSketch(sk, probs, alpha)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      for ((name, xs) <- cols; p <- probs) {
+        val sorted = xs.sorted
+        val exact = sorted(sorted.indices.find(i => (i + 1) > p * (n - 1)).get)
+        val est = ests((name, p))
+        // DDSketch guarantee is for |v| > 0; the mixed-sign column can
+        // straddle the zero bucket at a quantile — allow its bound on
+        // magnitude with the bucket-0 epsilon.
+        assert(math.abs(est - exact) <= alpha * math.abs(exact) + 1e-3,
+          s"$name q$p alpha=$alpha: est=$est exact=$exact")
+      }
+    }
+  }
+
+  test("perGroupHead equals the brute-force n-smallest-hash pick on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Skewed groups: g0 holds ~70% of rows (the head-heavy shape the
+    // pre-filter guard exists for).
+    val rows = (0L until 3000L).map { id =>
+      val g = if (rnd.nextDouble() < 0.7) "g0" else s"g${rnd.nextInt(9) + 1}"
+      (id, g)
+    }
+    val nHead = 7L
+    val got = graft.operators.Sampling.perGroupHead(rows.toDF("doc_id", "grp"), nHead, "grp")
+      .select("doc_id", "grp", "rk").as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    def hash(id: Long): Long = (id % 1048576L) * 2654435761L % 4294967296L
+    val want = rows.groupBy(_._2).view.mapValues(
+      _.map(_._1).sortBy(id => (hash(id), id)).take(nHead.toInt).toSeq).toMap
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet)
+      assert(got(g) == want(g), s"group $g: ${got(g)} != ${want(g)}")
+  }
+
+  test("mixPlan algebra matches driver math on random weighted frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val groups = ('a' to 'f').map(_.toString)
+      val rows = (0L until 500L).map(id =>
+        (id, groups(rnd.nextInt(groups.length)), (rnd.nextInt(200) + 1).toLong))
+      val weighted = groups.take(4).map(g => g -> (rnd.nextDouble() * 5 + 0.1)).toMap
+      val total = 1000000L
+      val plan = graft.operators.Sampling
+        .mixPlan(rows.toDF("doc_id", "grp", "n_tokens"), weighted, total, "grp")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5))).toMap
+      val wSum = weighted.values.sum
+      val present = rows.groupBy(_._2).view
+        .mapValues(rs => (rs.size.toLong, rs.map(_._3).sum)).toMap
+      val expectedKeys = weighted.keySet.filter(present.contains)
+      assert(plan.keySet == expectedKeys)
+      for (g <- expectedKeys) {
+        val (nDocs, toks) = present(g)
+        val w = weighted(g) / wSum
+        val (gotN, gotT, gotW, gotE) = plan(g)
+        assert(gotN == nDocs && gotT == toks)
+        assert(math.abs(gotW - w) <= 5e-7)
+        assert(math.abs(gotE - w * total / toks) <= 5e-7 * (1 + w * total / toks))
+      }
+    }
+  }
 }
