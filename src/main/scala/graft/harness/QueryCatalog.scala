@@ -2431,6 +2431,36 @@ object QueryCatalog {
     }, Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
               |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The release WRITE path: split + shuffle-shard, then a Hive-
+    // partitioned parquet layout (`split=…/shard=…/` directories — how
+    // corpora actually ship: training ingest reads one shard directory
+    // per worker, eval jobs read only their split via partition
+    // pruning). Round-trips through the partitioned files; per-partition
+    // counts and byte totals verified against the closed-form oracle.
+    Q("sink_partitioned", (s, dir) => {
+      val out = s"/tmp/graft_partsink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+          |  - shuffle: { shards: 4 }
+          |""".stripMargin)
+        .write.mode("overwrite").partitionBy("split", "shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(col("split"), col("shard").cast("long").as("shard"),
+          col("n_docs"), col("sum_chars"))
+        .orderBy("split", "shard")
+    }, Some("""WITH r AS (SELECT doc_id, n_chars,
+             |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM documents),
+             |sp AS (SELECT *, CASE WHEN rnd < 429496729 THEN 'test'
+             |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split FROM r),
+             |sh AS (SELECT *, rnd % 4 AS shard FROM sp)
+             |SELECT split, CAST(shard AS BIGINT) AS shard,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM sh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // BM25 top-10 over the corpus for a fixed probe set — the inverted-
     // index retrieval plan (postings build is the only corpus-sized
     // shuffle; probes broadcast). Scores rounded to 4 decimals BEFORE
