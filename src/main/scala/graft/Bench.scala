@@ -48,18 +48,24 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg()
 
-    // Best of 2 runs per query, ESCALATING to best of 3 under contention:
+    // Best of 2 runs per query, ESCALATING to best of 5 under contention:
     // the minimum is the standard noise-robust estimator and every run is
     // a full end-to-end execution (no cross-run caches — Query releases
-    // its own), but two contended runs can both be slow (BENCH_r07
-    // recorded 6-12x phantom regressions at loadavg 10+). So when this
-    // query STARTED on a loaded box (loadavg > cores/4) or its two runs
-    // disagree badly (spread > 1.0), take a third sample — one more
-    // chance for a quiet window the minimum can latch onto. All raw runs
-    // are emitted (`raw_runs`) so any reader can re-adjudicate. A query
-    // that failed ANY run reports -1: a flaky query must not produce a
-    // clean-looking timing.
+    // its own), but contended runs can all be slow (BENCH_r07 recorded
+    // 6-12x phantom regressions at loadavg 10+, and BENCH_r09 shipped a
+    // 66.9 s ivfpq outlier next to a 10.5 s minimum). So sampling
+    // continues — up to best of 5 — while the samples still contain an
+    // unexplained >3x outlier relative to the current minimum, or while
+    // the first pass started contended (loadavg > cores/4 or spread >
+    // 1.0): each extra sample is one more chance for a quiet window the
+    // minimum can latch onto. Every raw run is emitted (`raw_runs`)
+    // TOGETHER with the loadavg observed at that run's start
+    // (`run_loadavg`), so a surviving outlier is self-explaining from the
+    // artifact alone — a 3x raw spike next to a loadavg spike is box
+    // contention, not a regression. A query that failed ANY run reports
+    // -1: a flaky query must not produce a clean-looking timing.
     val escalateLoad = cpus.toDouble / 4
+    val maxRuns = 5
     val warmupSet = QueryCatalog.warmupNames.toSet
     val results = names.map { name =>
       def once(): Double =
@@ -73,26 +79,32 @@ object Bench {
       // serving entries) otherwise leaks into the timed best-of-N — r8's
       // ivfpq raw runs [52.7, 12.2, 6.1] are warm-up decay, not work.
       if (warmupSet(name)) once()
-      val loadAtStart = loadavg()
-      val two = Seq(once(), once())
-      val spread2 =
-        if (two.exists(_ < 0)) 0.0 else (two.max - two.min) / math.max(two.min, 1e-9)
-      val contended = loadAtStart > escalateLoad || spread2 > 1.0
-      val runs = if (contended && two.forall(_ >= 0)) two :+ once() else two
-      if (contended)
+      def sample(): (Double, Double) = { val l = loadavg(); (once(), l) }
+      var runs = Vector(sample(), sample())
+      def vals = runs.map(_._1)
+      def outlier = vals.max > 3 * math.max(vals.min, 1e-9)
+      val firstContended = {
+        val spread2 = (vals.max - vals.min) / math.max(vals.min, 1e-9)
+        runs.head._2 > escalateLoad || spread2 > 1.0
+      }
+      while (runs.length < maxRuns && vals.forall(_ >= 0) &&
+        (outlier || (runs.length == 2 && firstContended)))
+        runs = runs :+ sample()
+      if (runs.length > 2)
         System.err.println(
-          f"[bench] $name: contention escalation (loadavg $loadAtStart%.1f, spread $spread2%.2f) -> best of ${runs.length}")
-      (name, if (runs.exists(_ < 0)) -1.0 else runs.min, runs)
+          f"[bench] $name: contention escalation -> best of ${runs.length} " +
+            f"(outlier=$outlier, first-pass loadavg ${runs.head._2}%.1f)")
+      (name, if (vals.exists(_ < 0)) -1.0 else vals.min, vals, runs.map(_._2))
     }
     val loadEnd = loadavg()
-    val failed = results.collect { case (k, v, _) if v < 0 => k }
+    val failed = results.collect { case (k, v, _, _) if v < 0 => k }
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Per-query spread of the N runs around the reported minimum,
     // (max-min)/min — the per-query noise the minimum filtered out.
     val spreads = results
-      .map { case (k, v, runs) =>
+      .map { case (k, v, runs, _) =>
         val s = if (v <= 0) -1.0 else (runs.max - runs.min) / runs.min
         "\"" + k + "\":" + f"$s%.3f"
       }
@@ -100,8 +112,16 @@ object Bench {
     // Every raw sample, so a suspicious minimum can be re-adjudicated
     // from the artifact alone (no re-run needed).
     val rawRuns = results
-      .map { case (k, _, runs) =>
+      .map { case (k, _, runs, _) =>
         "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    // The 1-minute loadavg at the START of each raw run (parallel to
+    // raw_runs): a raw outlier whose loadavg entry spikes is box
+    // contention, adjudicated from the artifact alone.
+    val runLoads = results
+      .map { case (k, _, _, loads) =>
+        "\"" + k + "\":" + loads.map(l => f"$l%.2f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -109,7 +129,8 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,""" +
         f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"run_spread":$spreads,"raw_runs":$rawRuns,""" +
-        f""""noise_note":"shared box; best-of-2, escalated to best-of-3 when loadavg > cores/4 or spread > 1.0; distrust totals when loadavg >> ${cpus} cores or spreads exceed ~0.3"}"""
+        f""""run_loadavg":$runLoads,""" +
+        f""""noise_note":"shared box; best-of-2, escalated up to best-of-5 while a >3x raw outlier persists (or first pass contended: loadavg > cores/4 or spread > 1.0); run_loadavg[i] is the 1-min loadavg at raw_runs[i]'s start — outliers coexisting with loadavg spikes are contention, not regressions"}"""
     // The driver scrapes the sbt log tail (r01–r03 artifacts all recorded
     // "parsed": null). Maximize its odds: quiesce the logger first, emit
     // the line on BOTH streams (sbt tags forked stdout [info] and stderr

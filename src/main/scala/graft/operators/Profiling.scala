@@ -176,8 +176,19 @@ object Profiling {
       "q" + pct.replace(".", "_").replace("-", "m")
     }
     val keep = profile.columns.filterNot(_ == "quantiles").map(col)
+    // Guard the probs/array contract: getItem past the end returns null,
+    // so a mismatched probs list would silently emit all-null (or
+    // mislabeled) q-columns — fail loudly instead. Null arrays (non-
+    // numeric columns) legitimately flatten to null scalars.
+    val checked = when(
+      col("quantiles").isNotNull && size(col("quantiles")) =!= lit(probs.length),
+      raise_error(concat(
+        lit("flattenQuantiles: profile carries "),
+        size(col("quantiles")).cast(StringType),
+        lit(s" quantiles but ${probs.length} probabilities were given")))
+    ).otherwise(col("quantiles"))
     val qs = probs.zipWithIndex.map { case (p, i) =>
-      col("quantiles").getItem(i).as(label(p))
+      checked.getItem(i).as(label(p))
     }
     profile.select(keep.toSeq ++ qs: _*)
   }
@@ -273,7 +284,15 @@ object Profiling {
     shards
       .groupBy("column")
       .agg(
-        first("dtype").as("dtype"),
+        // Schema drift across shards (int → bigint, a column retyped to
+        // string) would silently mix by-value and lexicographic min/max
+        // semantics under one arbitrary winning dtype — fail loudly.
+        when(min("dtype") === max("dtype"), min("dtype"))
+          .otherwise(raise_error(concat(
+            lit("mergeShardProfiles: column '"), col("column"),
+            lit("' profiled under mixed dtypes ("), min("dtype"),
+            lit(" vs "), max("dtype"), lit(")"))))
+          .as("dtype"),
         sum("n_rows").as("n_rows"),
         sum("n_nulls").as("n_nulls"),
         sum("num_sum").as("num_sum"),
@@ -309,40 +328,33 @@ object Profiling {
       round(col("num_sum") / col("num_cnt"), 4).as("mean"))
       .orderBy("column")
 
-  /** `foreachBatch` sink maintaining a STANDING merged profile on disk —
-    * the streaming face of incremental profiling: each micro-batch pays
-    * one [[shardProfile]] aggregate over its own rows, folds into the
-    * persisted profile with [[mergeShardProfiles]], and overwrites it
-    * (safe: the merged frame is #columns rows, materialized driver-side
-    * before the overwrite touches the directory). Wire as
+  /** `foreachBatch` sink maintaining a standing profile on disk — the
+    * streaming face of incremental profiling: each micro-batch pays one
+    * [[shardProfile]] aggregate over its own rows and writes the
+    * #columns-row result to `standingDir/batch=<batchId>` (mode
+    * overwrite). Keying the write on the batchId makes the sink
+    * IDEMPOTENT under foreachBatch's at-least-once contract: a retried
+    * batch overwrites its own directory with identical rows instead of
+    * re-merging into a standing copy (which would permanently inflate
+    * n_rows/n_nulls/num_sum), and a crash mid-write corrupts only that
+    * batch's directory, which the retry then rewrites — prior batches
+    * are never touched. Wire as
     * `stream.writeStream.foreachBatch(Profiling.profileSink(dir))` —
-    * after any batch, `profileFromShards(spark.read.parquet(dir))` is
-    * the profile of everything ingested so far, and
-    * [[profileDiff]]-style gates can run on it between batches.
+    * after any batch,
+    * `profileFromShards(mergeShardProfiles(spark.read.parquet(dir)))`
+    * is the profile of everything ingested so far (the fold costs
+    * #batches × #columns rows; compact long-lived streams offline by
+    * replacing old batch dirs with one [[mergeShardProfiles]] output —
+    * the merge is associative, so the fold result is unchanged).
     */
   def profileSink(
       standingDir: String,
       cols: Seq[String] = Nil,
       lgK: Int = 12
-  ): (DataFrame, Long) => Unit = { (batch, _) =>
-    val spark = batch.sparkSession
-    val shard = shardProfile(batch, cols, lgK)
-    // Hadoop FS, not java.io.File: the standing dir is durable storage
-    // (hdfs://, s3a://) in production — a local-only existence check
-    // would silently reset the standing profile to the last batch there.
-    val path = new org.apache.hadoop.fs.Path(s"$standingDir/_SUCCESS")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(path)) Some(spark.read.parquet(standingDir))
-      else None
-    val merged = mergeShardProfiles(prior.fold(shard)(shard.unionByName(_)))
-    val rows = merged.collect().toSeq // #columns rows — bounded
-    spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        merged.schema)
+  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    shardProfile(batch, cols, lgK)
       .coalesce(1)
-      .write.mode("overwrite").parquet(standingDir)
+      .write.mode("overwrite").parquet(s"$standingDir/batch=$batchId")
   }
 
   /** Mergeable quantile sketch over log-scaled buckets (the DDSketch

@@ -343,26 +343,46 @@ object Sampling {
       preFilterSlack: Double = 8.0
   ): DataFrame = {
     require(n > 0, s"per-group head size must be positive, got $n")
-    // Giant-group guard — the [[quotaSample]] pre-filter with a constant
-    // quota: without it one head-heavy group (exactly the distribution
-    // the diversity sampler exists for) sorts its WHOLE population on a
-    // single window task. The hash threshold keeps ~n·slack+64 expected
-    // rows per group before the window, provably covering the head.
     val hashed = df.withColumn("__r", pseudoShuffle(col(idCol)))
-    val counts = hashed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    val thr =
-      if (preFilterSlack == Double.MaxValue) lit(HashSpace)
-      else least(
-        lit(HashSpace),
-        ceil(lit(HashSpace.toDouble) * (lit(n.toDouble) * lit(preFilterSlack) + lit(64.0d)) /
-          col("__n").cast("double")).cast("long"))
     val w = Window.partitionBy(groupCol).orderBy(col("__r"), col(idCol))
-    hashed
-      .join(broadcast(counts), Seq(groupCol))
-      .filter(col("__r") < thr)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= n)
-      .drop("__r", "__n")
+    if (preFilterSlack == Double.MaxValue) {
+      hashed
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= n)
+        .drop("__r")
+    } else {
+      // Giant-group guard — the [[quotaSample]] pre-filter with a
+      // constant quota: without it one head-heavy group (exactly the
+      // distribution the diversity sampler exists for) sorts its WHOLE
+      // population on a single window task. The hash threshold keeps
+      // ~n·slack+64 expected rows per group before the window — but the
+      // hash keys on id mod 2²⁰, so a pathological group whose ids share
+      // a residue collapses to few hash values and can undershoot. The
+      // filter is therefore AUDITED before use: a per-group survivor
+      // count (one more map-side-combined pass over the thin (id, group)
+      // projection) disables the threshold for any group it would starve
+      // (survivors < min(n, |g|)), so the guard can only cost time,
+      // never rows — the pick is always the exact (__r, id)-order head.
+      val counts = hashed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+        .withColumn("__thr", least(
+          lit(HashSpace),
+          ceil(lit(HashSpace.toDouble) * (lit(n.toDouble) * lit(preFilterSlack) + lit(64.0d)) /
+            col("__n").cast("double")).cast("long")))
+      val kept = hashed
+        .join(broadcast(counts), Seq(groupCol))
+        .filter(col("__r") < col("__thr"))
+        .groupBy(groupCol).agg(count(lit(1)).as("__kept"))
+      val safeThr = counts.join(kept, Seq(groupCol), "left")
+        .select(col(groupCol),
+          when(coalesce(col("__kept"), lit(0L)) >= least(lit(n), col("__n")),
+            col("__thr")).otherwise(lit(HashSpace)).as("__thr"))
+      hashed
+        .join(broadcast(safeThr), Seq(groupCol))
+        .filter(col("__r") < col("__thr"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= n)
+        .drop("__r", "__thr")
+    }
   }
 
   /** Data-mix planning: turn a target mixture specification ("50% en,
@@ -385,7 +405,8 @@ object Sampling {
     *         `(groupCol, n_docs, tokens, weight, target_tokens, epochs)`
     *         — weight normalized (6 dp), target_tokens = its share of
     *         the budget (3 dp), epochs = target/actual tokens (6 dp;
-    *         &gt;1 ⇒ upsample, &lt;1 ⇒ downsample).
+    *         &gt;1 ⇒ upsample, &lt;1 ⇒ downsample; null when the group
+    *         has no positive token mass — no repeat factor exists).
     */
   def mixPlan(
       docs: DataFrame,
@@ -408,7 +429,12 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("tokens"),
         round(w, 6).as("weight"),
         round(w * totalTokens, 3).as("target_tokens"),
-        round(w * totalTokens / col("tokens"), 6).as("epochs"))
+        // Guarded division: a weighted group whose docs are all empty
+        // (token sum 0) or all-null has NO meaningful repeat factor —
+        // emit null epochs (callers must resolve before upsampling)
+        // rather than Infinity/null-by-arithmetic-accident.
+        when(col("tokens") > 0, round(w * totalTokens / col("tokens"), 6))
+          .otherwise(lit(null).cast("double")).as("epochs"))
       .orderBy(groupCol)
   }
 

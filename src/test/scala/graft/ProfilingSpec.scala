@@ -119,6 +119,32 @@ class ProfilingSpec extends SparkSpec {
     val odd = Profiling.flattenQuantiles(
       Profiling.corpusProfile(docs, quantiles = Seq(0.01, 0.995)), Seq(0.01, 0.995))
     assert(odd.columns.takeRight(2).toSeq == Seq("q1", "q99_5"))
+    // Mismatched probs fail loudly instead of emitting null/mislabeled
+    // scalar columns (getItem past the end would silently return null).
+    val ex = intercept[Exception] {
+      Profiling.flattenQuantiles(prof, Seq(0.25, 0.5, 0.75, 0.99)).collect()
+    }
+    assert(ex.getMessage.contains("flattenQuantiles") ||
+      Option(ex.getCause).exists(_.getMessage.contains("flattenQuantiles")))
+  }
+
+  test("mergeShardProfiles rejects shards profiled under drifted dtypes") {
+    val s = spark
+    import s.implicits._
+    val a = Profiling.shardProfile(Seq((1, "x")).toDF("n", "t"))
+    val b = Profiling.shardProfile(Seq((2L, "y")).toDF("n", "t")) // n: int → bigint
+    val ex = intercept[Exception] {
+      Profiling.mergeShardProfiles(a.unionByName(b)).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(ex).contains("mixed dtypes"))
+    // Same dtype on both sides still merges fine.
+    val c = Profiling.shardProfile(Seq((3, "z")).toDF("n", "t"))
+    val ok = Profiling.profileFromShards(Profiling.mergeShardProfiles(a.unionByName(c)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ok("n").getAs[Long]("n_rows") == 2L)
   }
 
   test("corpusProfile: unorderable/unhashable columns degrade, never throw") {

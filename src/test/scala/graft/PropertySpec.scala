@@ -382,6 +382,40 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(got(g) == want(g), s"group $g: ${got(g)} != ${want(g)}")
   }
 
+  test("perGroupHead survives a group whose ids collapse to one hash residue") {
+    import spark.implicits._
+    // Every id in g0 shares the residue mod 2^20, so the whole group maps
+    // to ONE pseudo-shuffle value — if it lands above the pre-filter
+    // threshold a naive guard starves the group. The coverage audit must
+    // disable the filter for g0 and still return its exact head.
+    val base = 3L // hash(3) is large: 3·2654435761 mod 2^32 ≈ 3.67e9 — above any thin threshold
+    val g0 = (0L until 2000L).map(k => (base + k * 1048576L, "g0"))
+    val g1 = (1L to 40L).map(id => (id * 7L + 1L, "g1"))
+    val rows = g0 ++ g1
+    val nHead = 5L
+    def hash(id: Long): Long = (id % 1048576L) * 2654435761L % 4294967296L
+    val got = graft.operators.Sampling.perGroupHead(rows.toDF("doc_id", "grp"), nHead, "grp")
+      .select("doc_id", "grp", "rk").as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    val want = rows.groupBy(_._2).view.mapValues(
+      _.map(_._1).sortBy(id => (hash(id), id)).take(nHead.toInt).toSeq).toMap
+    assert(got("g0").size == nHead && got("g0") == want("g0"))
+    assert(got("g1") == want("g1"))
+  }
+
+  test("mixPlan emits null epochs (not Infinity) for zero-token weighted groups") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", 100L), (2L, "en", 50L),
+      (3L, "zz", 0L), (4L, "zz", 0L)) // weighted but token-empty
+    val plan = graft.operators.Sampling
+      .mixPlan(rows.toDF("doc_id", "grp", "n_tokens"),
+        Map("en" -> 1.0, "zz" -> 1.0), 1000L, "grp")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan("zz").getAs[Any]("epochs") == null)
+    assert(plan("en").getAs[Double]("epochs") > 0)
+  }
+
   test("mixPlan algebra matches driver math on random weighted frames") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1015,8 +1015,11 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
 
-    val standing = Profiling.profileFromShards(spark.read.parquet(dir))
-      .collect().map(r => r.getString(0) -> r).toMap
+    // Per-batch layout: fold at read time (idempotent under foreachBatch
+    // retries — each batch owns batch=<id> and overwrites only itself).
+    def fold() = Profiling.profileFromShards(
+      Profiling.mergeShardProfiles(spark.read.parquet(dir)))
+    val standing = fold().collect().map(r => r.getString(0) -> r).toMap
     assert(standing("doc_id").getAs[Long]("n_rows") == 5L)
     assert(standing("n_chars").getAs[String]("min_val") == "50")
     assert(standing("n_chars").getAs[String]("max_val") == "400")
@@ -1029,7 +1032,11 @@ class StreamingSpec extends SparkSpec {
       Profiling.shardProfile(Seq(
         (1L, "en", 100L), (2L, "fr", 50L), (3L, "en", 200L),
         (4L, "de", 400L), (5L, "en", 100L)).toDF("doc_id", "lang", "n_chars"))))
-    assert(snap(Profiling.profileFromShards(spark.read.parquet(dir)).drop("distinct_est")) ==
-      snap(oneShot.drop("distinct_est")))
+    assert(snap(fold().drop("distinct_est")) == snap(oneShot.drop("distinct_est")))
+    // Idempotency: re-running a batch's write (the at-least-once retry
+    // shape) leaves the folded profile unchanged.
+    Profiling.profileSink(dir)(Seq((4L, "de", 400L), (5L, "en", 100L))
+      .toDF("doc_id", "lang", "n_chars"), 1L)
+    assert(fold().collect().map(_.getAs[Long]("n_rows")).forall(_ == 5L))
   }
 }
