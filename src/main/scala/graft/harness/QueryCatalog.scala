@@ -2929,8 +2929,110 @@ object QueryCatalog {
     graft.Query(cfg, frame)
   }
 
+  /** Driver-gate surface for the streaming family: each entry replays a
+    * bounded, DETERMINISTIC shard sequence from the sf-dir tables
+    * through a streaming operator ([[StreamReplay]] — MemoryStream
+    * micro-batches, fully processed in order) and returns the final
+    * emitted frame, checked against the BATCH form's SQL oracle. Parity
+    * between the streaming and batch operators is asserted per-operator
+    * in StreamingSpec; these entries put that parity in front of the
+    * cross-engine DuckDB gate, closing the one operator group with no
+    * CORRECTNESS row. Determinism notes per entry:
+    *   - event-time-ordered feeding (no late data) + a sentinel flush
+    *     row far past the horizon, so watermark-held state fully emits;
+    *   - the exact-dedup replay pre-collapses each shard to its
+    *     min-doc_id representative (within-batch "first arrival" is
+    *     otherwise partition-order-dependent), so cross-batch state
+    *     keeps exactly the global min-doc_id winner the batch oracle
+    *     picks.
+    */
+  private val streamingReplays = Seq(
+    Q("streaming_sessionize_replay", (s, dir) => {
+      import s.implicits._
+      val rows = preds(s, dir).select("subject_id", "timestamp")
+        .as[(Long, java.sql.Timestamp)].collect()
+        .sortBy(r => (r._2.getTime, r._1)).toSeq
+      val flushTs = new java.sql.Timestamp(rows.map(_._2.getTime).max + 30L * 86400000L)
+      val batches = StreamReplay.timeOrderedBatches(rows, 4) :+ Seq((-1L, flushTs))
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.sessionizeStream(
+          df.toDF("subject_id", "timestamp"),
+          gapMicros = 3600000000L, watermark = "0 seconds"))
+        .filter(col("subject_id") >= 0)
+        .orderBy("subject_id", "session_start")
+    }, Some(predsCte +
+      """, g AS (SELECT subject_id, timestamp,
+        |  CASE WHEN LAG(timestamp) OVER w IS NULL
+        |    OR epoch_us(timestamp) - epoch_us(LAG(timestamp) OVER w) > 3600000000
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM p WINDOW w AS (PARTITION BY subject_id ORDER BY timestamp)),
+        |s AS (SELECT subject_id, timestamp,
+        |  SUM(st) OVER (PARTITION BY subject_id ORDER BY timestamp
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT subject_id, MIN(timestamp) AS session_start,
+        |  MAX(timestamp) AS session_end,
+        |  CAST(epoch_us(MAX(timestamp)) - epoch_us(MIN(timestamp)) AS BIGINT) AS duration_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY subject_id, sid ORDER BY 1, 2""".stripMargin)),
+
+    Q("streaming_window_counts_replay", (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect()
+        .sortBy(r => (r._2.getTime, r._1)).toSeq
+      val flushTs = new java.sql.Timestamp(rows.map(_._2.getTime).max + 30L * 86400000L)
+      val batches = StreamReplay.timeOrderedBatches(rows, 4) :+ Seq((-1L, flushTs, "flush"))
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.windowedCounts(
+          df.toDF("subject_id", "timestamp", "event_type"),
+          predTypes.map(t => s"is_$t" -> (col("event_type") === t)),
+          window = "6 hours", watermark = "0 seconds"))
+        .filter(col("subject_id") >= 0)
+        .orderBy("subject_id", "window_start")
+    }, Some(
+      """WITH e AS (SELECT user_id AS subject_id, CAST(ts AS TIMESTAMP) AS timestamp,
+        |  event_type FROM events)
+        |SELECT subject_id,
+        |  time_bucket(INTERVAL '6 hours', timestamp) AS window_start,
+        |  time_bucket(INTERVAL '6 hours', timestamp) + INTERVAL '6 hours' AS window_end,
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS is_click,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS is_purchase,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS is_error
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("streaming_dedup_exact_replay", (s, dir) => {
+      import s.implicits._
+      // The sf-dir documents have (at small SF) few or no exact-text
+      // duplicates — re-emit every 7th doc under doc_id+10000 so the
+      // replay's LATER batches deliver true cross-batch duplicates the
+      // streaming state must recognize and drop (the oracle applies the
+      // identical closed-form augmentation).
+      val base = docs(s, dir).select("doc_id", "lang", "text")
+      val rows = base.unionByName(
+          base.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + 10000L))
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+        .map(_.groupBy(_._3).values.map(_.minBy(_._1)).toSeq.sortBy(_._1))
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.dedupExactStream(
+          df.toDF("doc_id", "lang", "text")
+            .withColumn("timestamp", to_timestamp(lit("2026-01-01 00:00:00")))
+            .withWatermark("timestamp", "1 hour"))
+          .select("doc_id", "lang"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH u AS (SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000 AS doc_id, lang, text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, lang FROM u
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM u GROUP BY text)
+        |ORDER BY doc_id""".stripMargin)))
+
   val all: Seq[Q] =
-    scans ++ predicates ++ joins ++ aggsAndWindows ++ sortsAndStructs ++ extensions ++ Seq(
+    scans ++ predicates ++ joins ++ aggsAndWindows ++ sortsAndStructs ++ extensions ++
+      streamingReplays ++ Seq(
       Q("aces_flagship", (s, dir) =>
         flagship(s, dir).select("subject_id", "index_timestamp", "label", "trigger")
           .orderBy("subject_id", "trigger"),
