@@ -1826,6 +1826,46 @@ object QueryCatalog {
              |FROM k JOIN q USING (lang) WHERE k.rk <= q.q
              |ORDER BY k.doc_id""".stripMargin)),
 
+    // DSIR importance resampling (Xie et al. 2023): select the raw docs
+    // whose unigram distribution matches the English subset (the target
+    // sample), k picked by the deterministic Gumbel top-k over the
+    // two-LM log likelihood ratio — the full fit+score+pick pipeline in
+    // one SQL-checkable entry (vocab-bounded features, the
+    // text_perplexity oracle convention; the hashed production form is
+    // parity-tested in ExtensionsSpec).
+    Q("sample_importance", (s, dir) =>
+      ImportanceSampling.importanceResample(
+        docs(s, dir), docs(s, dir).filter(col("lang") === "en"),
+        k = 100, vocabSize = 50),
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+             |tt AS (SELECT t.doc_id, UNNEST(string_split(lower(t.text), ' ')) AS tok
+             |       FROM documents t WHERE t.lang = 'en'),
+             |cr AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+             |ctg AS (SELECT tok, COUNT(*) AS c FROM tt GROUP BY 1),
+             |trt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cr),
+             |ttt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ctg),
+             |vr AS (SELECT tok, c FROM cr ORDER BY c DESC, tok LIMIT 50),
+             |vt AS (SELECT tok, c FROM ctg ORDER BY c DESC, tok LIMIT 50),
+             |vrs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vr),
+             |vts AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vt),
+             |lmr AS (SELECT vr.tok, LN((vr.c + 1) / (trt.t + vrs.v + 1)) AS lr
+             |        FROM vr CROSS JOIN trt CROSS JOIN vrs),
+             |lmt AS (SELECT vt.tok, LN((vt.c + 1) / (ttt.t + vts.v + 1)) AS lt
+             |        FROM vt CROSS JOIN ttt CROSS JOIN vts),
+             |sc AS (SELECT tok.doc_id,
+             |    COALESCE(lmt.lt, LN(1 / (ttt.t + vts.v + 1)))
+             |      - COALESCE(lmr.lr, LN(1 / (trt.t + vrs.v + 1))) AS d
+             |  FROM tok LEFT JOIN lmt USING (tok) LEFT JOIN lmr USING (tok)
+             |  CROSS JOIN ttt CROSS JOIN vts CROSS JOIN trt CROSS JOIN vrs),
+             |w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |      SUM(d) AS logw FROM sc GROUP BY 1),
+             |g AS (SELECT doc_id, n_tokens, ROUND(logw, 4) AS logw,
+             |    ROUND(logw - LN(-LN(((doc_id % 1048576) * 2654435761 % 4294967296 + 0.5)
+             |      / 4294967296.0)), 6) AS gumbel_key FROM w),
+             |pick AS (SELECT * FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+             |SELECT doc_id, n_tokens, logw, gumbel_key FROM pick
+             |ORDER BY doc_id""".stripMargin), bench = true),
+
     // Token-budget mixing sample: the training-mix quota in TOKENS (the
     // unit mixes are actually specified in) — hash-prefix traversal per
     // group, keep while the running token total is under budget (the

@@ -22,7 +22,7 @@ object Sampling {
     * overflow (DuckDB BIGINT multiplication is checked, so the oracle
     * must compute the identical expression without wrapping).
     */
-  private def pseudoShuffle(id: Column): Column =
+  private[graft] def pseudoShuffle(id: Column): Column =
     pmod(pmod(id, lit(1048576L)) * lit(2654435761L), lit(4294967296L))
 
   /** Keep the top `keepTopFrac` of each group by score — the rank-based

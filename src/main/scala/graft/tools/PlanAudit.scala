@@ -370,6 +370,21 @@ object PlanAudit {
     println(s"${if (lmBc == 1) "OK " else "HOT"} perplexity LM broadcast        lmBroadcasts=$lmBc")
     audit("text_perplexity", ppl, 3)
 
+    // DSIR importance resampling: BOTH feature LMs (target + raw) must
+    // arrive at the scoring pass by BROADCAST — the corpus token rows
+    // never token-exchange for scoring; the corpus-sized exchanges are
+    // the two bounded count fits and the per-doc weight aggregate. The
+    // Gumbel top-k must run as TakeOrdered (per-partition k-heap) — the
+    // only range exchange allowed is the k-row output re-order.
+    val dsir = graft.operators.ImportanceSampling.importanceResample(
+      docsT, docsT.filter(col("lang") === "en"), k = 20, vocabSize = 50)
+    val dsirLmBc = dsir.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeExec
+        if b.output.exists(o => o.name == "__tl" || o.name == "__rl") => b
+    }.length
+    println(s"${if (dsirLmBc == 2) "OK " else "HOT"} dsir two-LM broadcast          lmBroadcasts=$dsirLmBc")
+    audit("sample_importance", dsir, 6)
+
     // Bloom decontamination: the probe side must reach the corpus as the
     // broadcast (word, bits) BITMAP — never as broadcast probe strings on
     // the pre-pass path; the exact verify join sees only bloom survivors.
