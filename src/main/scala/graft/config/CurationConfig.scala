@@ -130,6 +130,48 @@ object CurationConfig {
     * higher-precision sibling of `langid_keep` (script-heuristic). */
   final case class LangIdTrigramKeep(langs: Seq[String]) extends Step
 
+  /** SimHash near-duplicate removal: 64-bit signatures over word
+    * unigrams, banded Hamming pairs at ≤ `maxHamming`, connected
+    * components, keep each cluster's min-id member — the
+    * cheaper/denser-text sibling of `dedup_minhash`.
+    */
+  final case class DedupSimhash(maxHamming: Int, maxBucketSize: Int) extends Step
+
+  /** SemDeDup semantic near-dup removal (Abbas et al. 2023): embeddings
+    * are a TABLE in production (computed by a separate model pass), so
+    * the step names an auxiliary `(vec_id, embedding)` frame; documents
+    * whose SemDeDup `keep` flag is false drop. The embedding frame is
+    * restricted to the ids still alive, so the IVF fit reflects the
+    * corpus AS CURATED SO FAR.
+    */
+  final case class DedupSemantic(
+      embTable: String, threshold: Double, nlist: Int, nprobe: Int) extends Step
+
+  /** Cluster-uniform diversity sample: k-means-assign each surviving doc
+    * (auxiliary embedding table, same convention as `dedup_semantic`),
+    * keep up to `perCluster` hash-picked members per cluster — uniform
+    * topic representation instead of frequency-weighted.
+    */
+  final case class SampleDiverse(embTable: String, clusters: Int, perCluster: Long) extends Step
+
+  /** DSIR importance resampling toward the distribution of an auxiliary
+    * TARGET sample table: two unigram feature LMs (target vs the corpus
+    * as curated so far), Gumbel top-k over the log likelihood ratio —
+    * the "match a target distribution" selector between quality gates
+    * and quota mixing. `hashBuckets > 0` switches to the hashed feature
+    * space (bounded LM at any corpus size).
+    */
+  final case class ImportanceSample(
+      targetTable: String, k: Int, vocabSize: Int, hashBuckets: Int) extends Step
+
+  /** Terminal release write: persist the curated frame to `path`
+    * (parquet, Hive-partitioned by `partitionBy` — e.g. [split, shard]
+    * after `split`/`shuffle` steps) and hand back the read-back frame,
+    * so the pipeline's output IS the release as persisted. Must be the
+    * final step.
+    */
+  final case class Sink(path: String, partitionBy: Seq[String]) extends Step
+
   final case class Pipeline(steps: Seq[Step])
 
   def fromYaml(yamlText: String): Pipeline = {
@@ -258,12 +300,43 @@ object CurationConfig {
           .asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
         require(langs.nonEmpty, s"step #$idx: langid_trigram_keep needs a non-empty langs list")
         LangIdTrigramKeep(langs)
+      case "dedup_simhash" =>
+        DedupSimhash(
+          need(longParam("max_hamming"), "'max_hamming'").toInt,
+          longParam("max_bucket").getOrElse(256L).toInt)
+      case "dedup_semantic" =>
+        DedupSemantic(
+          need(params.get("embeddings").map(_.toString),
+            "'embeddings' (auxiliary (vec_id, embedding) table name)"),
+          need(doubleParam("threshold"), "'threshold'"),
+          longParam("nlist").getOrElse(0L).toInt,
+          longParam("nprobe").getOrElse(1L).toInt)
+      case "sample_diverse" =>
+        SampleDiverse(
+          need(params.get("embeddings").map(_.toString),
+            "'embeddings' (auxiliary (vec_id, embedding) table name)"),
+          longParam("clusters").getOrElse(0L).toInt,
+          need(longParam("per_cluster"), "'per_cluster'"))
+      case "importance_sample" =>
+        ImportanceSample(
+          need(params.get("target").map(_.toString),
+            "'target' (auxiliary target-sample table name)"),
+          need(longParam("k"), "'k'").toInt,
+          longParam("vocab").getOrElse(1L << 16).toInt,
+          longParam("hash_buckets").getOrElse(0L).toInt)
+      case "sink" =>
+        Sink(
+          need(params.get("path").map(_.toString), "'path'"),
+          params.get("partition_by").map(
+            _.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
+            .getOrElse(Seq.empty))
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
-            "compress, dedup_exact, dedup_minhash, langid_keep, " +
+            "compress, dedup_exact, dedup_minhash, dedup_semantic, dedup_simhash, " +
+            "importance_sample, langid_keep, " +
             "langid_trigram_keep, quality, quality_model, quota, repetition, " +
-            "split, shuffle, chunk, decontaminate, perplexity, " +
+            "sample_diverse, sink, split, shuffle, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")
     }
   }

@@ -2213,19 +2213,27 @@ object QueryCatalog {
     // train/val/test split → shuffle-shard. Every step is the proven
     // oracle form, composed; the result is exact end to end.
     Q("curation_release", (s, dir) =>
+      // The 10-step capstone now ENDS inside the language: the terminal
+      // `sink` step writes the Hive split/shard release layout and hands
+      // back the read-back frame, so what this entry verifies is the
+      // release AS PERSISTED (partition-pruned split/shard reads and
+      // all — the former compose-by-hand sink_partitioned shape).
       CurationPipeline.fromYaml(docsWithUrl(s, dir),
-        """steps:
-          |  - url_dedup: {}
-          |  - clean: {}
-          |  - langid_keep: { langs: [en, es, fr] }
-          |  - quality: { min_tokens: 10 }
-          |  - repetition: { max_dup_token_frac: 0.6 }
-          |  - dedup_exact: {}
-          |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
-          |  - split: { train: 0.8, val: 0.1, test: 0.1 }
-          |  - shuffle: { shards: 4 }
-          |""".stripMargin)
-        .select(col("doc_id"), col("lang"), col("split"), col("shard"), col("pos"))
+        s"""steps:
+           |  - url_dedup: {}
+           |  - clean: {}
+           |  - langid_keep: { langs: [en, es, fr] }
+           |  - quality: { min_tokens: 10 }
+           |  - repetition: { max_dup_token_frac: 0.6 }
+           |  - dedup_exact: {}
+           |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
+           |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+           |  - shuffle: { shards: 4 }
+           |  - sink: { path: /tmp/graft_release_${dir.replaceAll("[^a-zA-Z0-9]", "_")},
+           |            partition_by: [split, shard] }
+           |""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("split"),
+          col("shard").cast("long").as("shard"), col("pos"))
         .orderBy("doc_id"),
       Some {
         val hits = stopwordHitsSql
@@ -2261,6 +2269,68 @@ object QueryCatalog {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rnd, doc_id) AS BIGINT) AS pos
              |FROM sh ORDER BY 1""".stripMargin
       }),
+
+    // DSIR as a pipeline STEP: resample the corpus toward the English
+    // subset's distribution (target = named auxiliary table, the serve
+    // topology), then split — the selector wired into the language, with
+    // the full composed SQL oracle (sample_importance's CTEs + the split
+    // rule on the picked ids).
+    Q("curation_pipeline_dsir", (s, dir) => {
+      val d = docs(s, dir)
+      CurationPipeline.fromYaml(d,
+        """steps:
+          |  - importance_sample: { target: tgt, k: 80, vocab: 50 }
+          |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+          |""".stripMargin,
+        aux = Map("tgt" -> d.filter(col("lang") === "en")))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+             |tt AS (SELECT t.doc_id, UNNEST(string_split(lower(t.text), ' ')) AS tok
+             |       FROM documents t WHERE t.lang = 'en'),
+             |cr AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+             |ctg AS (SELECT tok, COUNT(*) AS c FROM tt GROUP BY 1),
+             |trt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cr),
+             |ttt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ctg),
+             |vr AS (SELECT tok, c FROM cr ORDER BY c DESC, tok LIMIT 50),
+             |vt AS (SELECT tok, c FROM ctg ORDER BY c DESC, tok LIMIT 50),
+             |vrs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vr),
+             |vts AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vt),
+             |lmr AS (SELECT vr.tok, LN((vr.c + 1) / (trt.t + vrs.v + 1)) AS lr
+             |        FROM vr CROSS JOIN trt CROSS JOIN vrs),
+             |lmt AS (SELECT vt.tok, LN((vt.c + 1) / (ttt.t + vts.v + 1)) AS lt
+             |        FROM vt CROSS JOIN ttt CROSS JOIN vts),
+             |sc AS (SELECT tok.doc_id,
+             |    COALESCE(lmt.lt, LN(1 / (ttt.t + vts.v + 1)))
+             |      - COALESCE(lmr.lr, LN(1 / (trt.t + vrs.v + 1))) AS d
+             |  FROM tok LEFT JOIN lmt USING (tok) LEFT JOIN lmr USING (tok)
+             |  CROSS JOIN ttt CROSS JOIN vts CROSS JOIN trt CROSS JOIN vrs),
+             |w AS (SELECT doc_id, SUM(d) AS logw FROM sc GROUP BY 1),
+             |g AS (SELECT doc_id,
+             |    ROUND(logw - LN(-LN(((doc_id % 1048576) * 2654435761 % 4294967296 + 0.5)
+             |      / 4294967296.0)), 6) AS gumbel_key FROM w),
+             |pick AS (SELECT doc_id FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 80),
+             |sel AS (SELECT d.doc_id, d.lang,
+             |    (d.doc_id % 1048576) * 2654435761 % 4294967296 AS rnd
+             |  FROM documents d JOIN pick USING (doc_id))
+             |SELECT doc_id, lang, CASE WHEN rnd < 429496729 THEN 'test'
+             |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split
+             |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    // A non-minhash near-dup step in the language: SimHash banded
+    // Hamming dedup between a quality gate and the split — signatures
+    // are xxhash64-seeded (no SQL form) → golden fixture, like the
+    // standalone dedup_simhash entry.
+    Q("curation_pipeline_simdedup", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - quality: { min_tokens: 5 }
+          |  - dedup_simhash: { max_hamming: 10 }
+          |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+          |""".stripMargin)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id"),
+      None),
 
     // The model-quality half: score against a FITTED weight frame passed
     // to the compiler as a named auxiliary table (the serve topology —

@@ -30,18 +30,22 @@ object CurationPipeline {
   def apply(docs: DataFrame, pipeline: Pipeline,
       idCol: String = "doc_id", textCol: String = "text",
       aux: Map[String, DataFrame] = Map.empty): DataFrame = {
-    pipeline.steps.dropRight(1).foreach(s =>
+    pipeline.steps.dropRight(1).foreach { s =>
       require(!s.isInstanceOf[Chunk],
-        "chunk changes the row grain and must be the final step"))
+        "chunk changes the row grain and must be the final step")
+      require(!s.isInstanceOf[Sink],
+        "sink writes the release and must be the final step")
+    }
     // After upsample the row key is (id, copy) — every selection step
     // would see duplicate ids and silently mis-count. Only shuffle
-    // (which keys copies apart) is legal after it.
+    // (which keys copies apart) and the terminal sink are legal after it.
     pipeline.steps.zipWithIndex.collectFirst {
       case (u: Upsample, i) => i
     }.foreach { i =>
-      require(pipeline.steps.drop(i + 1).forall(_.isInstanceOf[Shuffle]),
+      require(pipeline.steps.drop(i + 1)
+        .forall(s => s.isInstanceOf[Shuffle] || s.isInstanceOf[Sink]),
         "upsample duplicates ids (row key becomes (id, copy)); only " +
-          "'shuffle' may follow it")
+          "'shuffle' (and a final 'sink') may follow it")
     }
     // url_dedup is the byte-cost pre-pass: its point is to drop URL
     // refetches BEFORE any per-token work, so only other url steps may
@@ -101,6 +105,26 @@ object CurationPipeline {
     case RepetitionFilter(_, _, _) => "repetition"
     case CompressFilter(_, _) => "compress"
     case LangIdTrigramKeep(_) => "langid_trigram_keep"
+    case DedupSimhash(_, _) => "dedup_simhash"
+    case DedupSemantic(_, _, _, _) => "dedup_semantic"
+    case SampleDiverse(_, _, _) => "sample_diverse"
+    case ImportanceSample(_, _, _, _) => "importance_sample"
+    case Sink(_, _) => "sink"
+  }
+
+  /** Resolve an auxiliary embedding frame and restrict it to the ids
+    * still alive in `df` — `dedup_semantic`/`sample_diverse` must fit on
+    * the corpus AS CURATED SO FAR, not on embeddings of dropped docs.
+    */
+  private def liveEmbeddings(df: DataFrame, idCol: String, embTable: String,
+      aux: Map[String, DataFrame], stepName: String): DataFrame = {
+    val embAll = aux.getOrElse(embTable, throw new IllegalArgumentException(
+      s"$stepName step names auxiliary embedding table '$embTable' but the " +
+        s"compiler was given ${if (aux.isEmpty) "none" else aux.keys.mkString(", ")}"))
+    require(embAll.columns.contains("vec_id") && embAll.columns.contains("embedding"),
+      s"$stepName: auxiliary table '$embTable' must carry (vec_id, embedding), " +
+        s"got ${embAll.columns.mkString(", ")}")
+    embAll.join(df.select(col(idCol).cast("long").as("vec_id")), Seq("vec_id"), "left_semi")
   }
 
   private def applyStep(df: DataFrame, step: Step, idCol: String, textCol: String,
@@ -234,5 +258,38 @@ object CurationPipeline {
           frac, "score", group, idCol)
           .select(col(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case DedupSimhash(maxHamming, maxBucket) =>
+        val pairs = Dedup.simhash(df, maxHamming, maxBucket, textCol, idCol)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
+      case DedupSemantic(embTable, threshold, nlist, nprobe) =>
+        val emb = liveEmbeddings(df, idCol, embTable, aux, "dedup_semantic")
+        val drop = Dedup.semDeDup(emb, threshold, nlist, nprobe)
+          .filter(!col("keep"))
+          .select(col("vec_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
+      case SampleDiverse(embTable, clusters, perCluster) =>
+        val emb = liveEmbeddings(df, idCol, embTable, aux, "sample_diverse")
+        val keep = Sampling.perGroupHead(
+          Similarity.clusterAssign(emb, nlist = clusters), perCluster, "cluster", "vec_id")
+          .select(col("vec_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case ImportanceSample(targetTable, k, vocabSize, hashBuckets) =>
+        val target = aux.getOrElse(targetTable, throw new IllegalArgumentException(
+          s"importance_sample step names auxiliary target table '$targetTable' but the " +
+            s"compiler was given ${if (aux.isEmpty) "none" else aux.keys.mkString(", ")}"))
+        val keep = ImportanceSampling.importanceResample(
+          df, target, k, vocabSize, hashBuckets, textCol, idCol)
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      case Sink(path, partitionBy) =>
+        partitionBy.foreach(p => require(df.columns.contains(p),
+          s"sink: partition column '$p' absent from the curated frame " +
+            s"(have: ${df.columns.mkString(", ")})"))
+        val w = df.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+        df.sparkSession.read.parquet(path)
     }
 }

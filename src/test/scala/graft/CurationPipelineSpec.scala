@@ -296,4 +296,99 @@ class CurationPipelineSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
     }
   }
+
+  test("sink step writes the partitioned release and must be terminal") {
+    val dir = java.nio.file.Files.createTempDirectory("cursink").toString + "/rel"
+    val yaml =
+      s"""steps:
+         |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+         |  - shuffle: { shards: 2 }
+         |  - sink: { path: $dir, partition_by: [split, shard] }
+         |""".stripMargin
+    val out = CurationPipeline.fromYaml(docs, yaml)
+    // The returned frame IS the read-back release: same rows as the
+    // pre-sink chain, served from the Hive split/shard layout.
+    val pre = CurationPipeline.fromYaml(docs,
+      "steps:\n  - split: { train: 0.8, val: 0.1, test: 0.1 }\n  - shuffle: { shards: 2 }\n")
+    assert(out.count() == pre.count())
+    assert(snap(out.select(col("doc_id"), col("split"), col("shard").cast("long"))) ==
+      snap(pre.select(col("doc_id"), col("split"), col("shard"))))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("split="))
+    assert(dirs.toSet == Set("split=train", "split=val", "split=test"))
+    // Terminal rule: anything after sink is refused.
+    val late = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      s"steps:\n  - sink: {{ path: $dir }}\n  - clean\n"
+        .replace("{{", "{").replace("}}", "}")))
+    assert(late.getMessage.contains("final step"))
+    // Missing partition column is a clear error.
+    val noCol = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      s"steps:\n  - sink: {{ path: $dir, partition_by: [nope] }}\n"
+        .replace("{{", "{").replace("}}", "}")))
+    assert(noCol.getMessage.contains("nope"))
+    // upsample → sink is legal (only selection steps are refused after
+    // upsample); upsample → quota stays refused.
+    CurationPipeline.fromYaml(docs,
+      s"""steps:
+         |  - upsample: { factors: { en: 2.0 } }
+         |  - shuffle: { shards: 2 }
+         |  - sink: { path: $dir-up, partition_by: [shard] }
+         |""".stripMargin).count()
+    val bad = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - upsample: { factors: { en: 2.0 } }\n  - quota: { quotas: { en: 5 } }\n"))
+    assert(bad.getMessage.contains("upsample"))
+  }
+
+  test("dedup_simhash, dedup_semantic, sample_diverse, importance_sample steps equal operator composition") {
+    import graft.operators.{Dedup, ImportanceSampling, Sampling, Similarity}
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    // dedup_simhash: survivors = all docs minus non-representative
+    // cluster members, exactly the operator chain.
+    val sim = CurationPipeline.fromYaml(docs,
+      "steps:\n  - dedup_simhash: { max_hamming: 10 }\n")
+    val simDrop = Dedup.duplicateClusters(Dedup.simhash(docs, 10))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+    val wantSim = docs.join(simDrop.select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(snap(sim) == snap(wantSim))
+
+    // dedup_semantic: drops exactly the keep=false ids of semDeDup run
+    // on the live embeddings.
+    val sem = CurationPipeline.fromYaml(docs,
+      "steps:\n  - dedup_semantic: { embeddings: emb, threshold: 0.4, nlist: 8, nprobe: 2 }\n",
+      aux = Map("emb" -> emb))
+    val semDrop = Dedup.semDeDup(
+      emb.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      0.4, nlist = 8, nprobe = 2).filter(!col("keep"))
+    val wantSem = docs.join(semDrop.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assert(snap(sem) == snap(wantSem))
+
+    // sample_diverse: cluster-assign + per-cluster head, semi-joined.
+    val div = CurationPipeline.fromYaml(docs,
+      "steps:\n  - sample_diverse: { embeddings: emb, clusters: 8, per_cluster: 3 }\n",
+      aux = Map("emb" -> emb))
+    val keepDiv = Sampling.perGroupHead(
+      Similarity.clusterAssign(
+        emb.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        nlist = 8), 3, "cluster", "vec_id")
+    val wantDiv = docs.join(keepDiv.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    assert(snap(div) == snap(wantDiv))
+    assert(div.count() <= 8 * 3)
+
+    // importance_sample: the DSIR pick, semi-joined.
+    val imp = CurationPipeline.fromYaml(docs,
+      "steps:\n  - importance_sample: { target: tgt, k: 12, vocab: 20 }\n",
+      aux = Map("tgt" -> docs.filter(col("lang") === "en")))
+    val keepImp = ImportanceSampling.importanceResample(
+      docs, docs.filter(col("lang") === "en"), 12, 20)
+    assert(snap(imp) ==
+      snap(docs.join(keepImp.select("doc_id"), Seq("doc_id"), "left_semi")))
+    // Missing aux tables are clear errors naming the table.
+    val noEmb = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - sample_diverse: { embeddings: nope, per_cluster: 3 }\n"))
+    assert(noEmb.getMessage.contains("'nope'"))
+    val noTgt = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - importance_sample: { target: nope, k: 5 }\n"))
+    assert(noTgt.getMessage.contains("'nope'"))
+  }
 }
