@@ -21,7 +21,8 @@ object GoldenFormat {
       "embedding_pca", "text_packing_bins", "corpus_profile", "corpus_profile_diff",
       "curation_pipeline_qmodel", "text_quality_model_idx", "text_bpe_bytes",
       "corpus_profile_incr", "corpus_quantiles_incr", "corpus_profile_incr_diff",
-      "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup")
+      "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup",
+      "streaming_minhash_replay", "text_unigram_tokens")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

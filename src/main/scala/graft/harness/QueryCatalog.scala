@@ -1860,7 +1860,8 @@ object QueryCatalog {
              |w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |      SUM(d) AS logw FROM sc GROUP BY 1),
              |g AS (SELECT doc_id, n_tokens, ROUND(logw, 4) AS logw,
-             |    ROUND(logw - LN(-LN(((doc_id % 1048576) * 2654435761 % 4294967296 + 0.5)
+             |    ROUND(logw - LN(-LN((((doc_id % 1048576) * 2654435761
+             |        + ((doc_id >> 20) % 1048576) * 2246822519) % 4294967296 + 0.5)
              |      / 4294967296.0)), 6) AS gumbel_key FROM w),
              |pick AS (SELECT * FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100)
              |SELECT doc_id, n_tokens, logw, gumbel_key FROM pick
@@ -2217,7 +2218,11 @@ object QueryCatalog {
       // `sink` step writes the Hive split/shard release layout and hands
       // back the read-back frame, so what this entry verifies is the
       // release AS PERSISTED (partition-pruned split/shard reads and
-      // all — the former compose-by-hand sink_partitioned shape).
+      // all — the former compose-by-hand sink_partitioned shape). The
+      // sink path is unique PER RUN (sink writes eagerly at compile —
+      // see CurationPipeline's execution-semantics note), so concurrent
+      // invocations on the same sf dir can't clobber each other's
+      // release mid-read.
       CurationPipeline.fromYaml(docsWithUrl(s, dir),
         s"""steps:
            |  - url_dedup: {}
@@ -2229,7 +2234,7 @@ object QueryCatalog {
            |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
            |  - split: { train: 0.8, val: 0.1, test: 0.1 }
            |  - shuffle: { shards: 4 }
-           |  - sink: { path: /tmp/graft_release_${dir.replaceAll("[^a-zA-Z0-9]", "_")},
+           |  - sink: { path: /tmp/graft_release_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)},
            |            partition_by: [split, shard] }
            |""".stripMargin)
         .select(col("doc_id"), col("lang"), col("split"),
@@ -2307,7 +2312,8 @@ object QueryCatalog {
              |  CROSS JOIN ttt CROSS JOIN vts CROSS JOIN trt CROSS JOIN vrs),
              |w AS (SELECT doc_id, SUM(d) AS logw FROM sc GROUP BY 1),
              |g AS (SELECT doc_id,
-             |    ROUND(logw - LN(-LN(((doc_id % 1048576) * 2654435761 % 4294967296 + 0.5)
+             |    ROUND(logw - LN(-LN((((doc_id % 1048576) * 2654435761
+             |        + ((doc_id >> 20) % 1048576) * 2246822519) % 4294967296 + 0.5)
              |      / 4294967296.0)), 6) AS gumbel_key FROM w),
              |pick AS (SELECT doc_id FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 80),
              |sel AS (SELECT d.doc_id, d.lang,
@@ -2958,7 +2964,24 @@ object QueryCatalog {
         mixed, numMerges = 96, vocabLimit = 4096, byteLevel = true)
       graft.functions.Bpe.tokenCounts(mixed, merges, byteLevel = true)
         .orderBy("doc_id")
-    }, None)
+    }, None),
+
+    // Unigram-LM (SentencePiece-style) tokenization on the same
+    // mixed-script corpus as text_bpe_bytes: the zh docs are unsegmented
+    // CJK, the shape the unigram model exists for — multi-char pieces
+    // form directly under the EM prune instead of via pairwise merges.
+    // Iterative EM learn → golden fixture, like the BPE entries.
+    Q("text_unigram_tokens", (s, dir) => {
+      val hanzi = "一二三四五六七八九十百千万上下左右中大小山水火木金土"
+      val mixed = docs(s, dir).withColumn("text",
+        when(col("lang") === "zh",
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz ", hanzi))
+          .otherwise(col("text")))
+      val pieces = graft.functions.Unigram.learnPieces(
+        mixed, vocabSize = 512, maxPieceLen = 6, emIters = 2, vocabLimit = 4096)
+      graft.functions.Unigram.tokenCounts(mixed, pieces, maxPieceLen = 6)
+        .orderBy("doc_id")
+    }, None, bench = true, warmup = true)
   )
 
   /** The flagship cohort query (same shape as the reference's in-hospital
@@ -3138,7 +3161,94 @@ object QueryCatalog {
         |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT doc_id, lang FROM u
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM u GROUP BY text)
-        |ORDER BY doc_id""".stripMargin)))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Streaming URL dedup replayed over the decorated-url fixture: each
+    // batch pre-collapses to its min-doc_id representative per CANONICAL
+    // url (within-batch "first arrival" is partition-order-dependent,
+    // the dedup_exact_replay convention), and doc_id-ordered batches
+    // make the cross-batch state keep exactly the global min-id winner —
+    // the batch dedupByUrl keeper the oracle computes.
+    Q("streaming_url_dedup_replay", (s, dir) => {
+      import s.implicits._
+      val decorated = docsWithUrl(s, dir)
+        .withColumn("__unorm", UrlCuration.normalizeUrl(col("url")))
+        .select("doc_id", "lang", "url", "__unorm")
+        .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+      val batches = StreamReplay.timeOrderedBatches(decorated, 4)
+        .map(_.groupBy(_._4).values.map(_.minBy(_._1)).toSeq.sortBy(_._1)
+          .map(r => (r._1, r._2, r._3)))
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.urlDedupStream(
+          df.toDF("doc_id", "lang", "url")
+            .withColumn("timestamp", to_timestamp(lit("2026-01-01 00:00:00")))
+            .withWatermark("timestamp", "1 hour"))
+          .select("doc_id", "lang"))
+        .orderBy("doc_id")
+    }, Some(urlCte +
+      """SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id IN (SELECT MIN(doc_id) FROM urls GROUP BY url_norm)
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Streaming duplicate-window detection replayed in doc_id order: an
+    // occurrence emits iff the cumulative count of its k-token window
+    // over batches up to and including its own reaches 2 — a batch-split
+    // function the oracle reproduces exactly (batch = ⌊(rank−1)/⌈n/4⌉⌋,
+    // the timeOrderedBatches split). No pre-collapse needed: when a
+    // batch takes a window's total to ≥ 2, ALL of that batch's fresh
+    // occurrences emit regardless of intra-batch order.
+    Q("streaming_substring_replay", (s, dir) => {
+      import s.implicits._
+      val rows = docs(s, dir).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.substringDupStream(
+          df.toDF("doc_id", "text")
+            .withColumn("timestamp", to_timestamp(lit("2026-01-01 00:00:00")))
+            .withWatermark("timestamp", "1 hour"),
+          k = 5).toDF())
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy("doc_id", "pos")
+    }, Some(
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        |b AS (SELECT doc_id, t,
+        |    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // ((n + 3) // 4) AS batch
+        |  FROM d CROSS JOIN nn),
+        |tk AS (SELECT doc_id, batch, string_split(t, ' ') AS sl FROM b),
+        |win AS (SELECT doc_id, batch, UNNEST(range(0, len(sl) - 5 + 1)) AS pos, sl
+        |  FROM tk WHERE len(sl) >= 5),
+        |w2 AS (SELECT doc_id, batch, pos,
+        |    array_to_string(sl[pos + 1 : pos + 5], ' ') AS w FROM win),
+        |cb AS (SELECT w, batch, COUNT(*) AS c FROM w2 GROUP BY 1, 2),
+        |cum AS (SELECT w, batch,
+        |    SUM(c) OVER (PARTITION BY w ORDER BY batch) AS cumc FROM cb)
+        |SELECT w2.doc_id, CAST(w2.pos AS BIGINT) AS pos
+        |FROM w2 JOIN cum ON w2.w = cum.w AND w2.batch = cum.batch
+        |WHERE cum.cumc >= 2
+        |ORDER BY doc_id, pos""".stripMargin)),
+
+    // Streaming MinHash near-dup replayed with the batch entry's exact
+    // parameters: signatures are xxhash64-seeded (no SQL form) → golden
+    // fixture, like dedup_minhash itself. The emitted pair SET is
+    // replay-order-independent (each pair fires when its later member
+    // arrives, on the lowest shared band), so the doc_id-ordered batches
+    // give a deterministic frame.
+    Q("streaming_minhash_replay", (s, dir) => {
+      import s.implicits._
+      val rows = docs(s, dir).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.minhashNearDupStream(
+          df.toDF("doc_id", "text")
+            .withColumn("timestamp", to_timestamp(lit("2026-01-01 00:00:00")))
+            .withWatermark("timestamp", "1 hour"),
+          threshold = 0.5, numHashes = 64, bands = 16, shingleN = 3).toDF())
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }, None))
 
   val all: Seq[Q] =
     scans ++ predicates ++ joins ++ aggsAndWindows ++ sortsAndStructs ++ extensions ++

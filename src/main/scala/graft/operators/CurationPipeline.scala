@@ -19,6 +19,16 @@ import graft.functions.Texts
   * evidence transiently and drop it; `split`/`shuffle` append their
   * assignment columns; `chunk` changes the row grain (doc → chunk) and is
   * therefore only legal as a final step.
+  *
+  * Execution semantics: compiling is NOT always lazy. Steps with an
+  * internal fit (`dedup_semantic`, `sample_diverse`, `importance_sample`,
+  * `quality_model` scoring against an eager-fit aux frame) run actions at
+  * compile time, and a terminal `sink` EAGERLY writes its release path
+  * (mode overwrite) inside `apply`/`fromYaml` and returns the read-back
+  * frame — so merely constructing a sink-terminated pipeline performs the
+  * write. Callers that build the frame repeatedly (benchmarks, plan
+  * audits) should point each run's sink at its own path: concurrent
+  * writers on a shared path can clobber each other mid-read.
   */
 object CurationPipeline {
 
@@ -115,6 +125,20 @@ object CurationPipeline {
   /** Resolve an auxiliary embedding frame and restrict it to the ids
     * still alive in `df` — `dedup_semantic`/`sample_diverse` must fit on
     * the corpus AS CURATED SO FAR, not on embeddings of dropped docs.
+    *
+    * Coverage policy (explicit, checked): the embedding-driven steps
+    * require EVERY live id to (a) cast losslessly to the long `vec_id`
+    * key and (b) appear in the embedding table. Without the check,
+    * failures are silent and the two steps disagree — a non-castable id
+    * nulls out of the semi-join, so `dedup_semantic` degrades to a no-op
+    * while `sample_diverse` drops every row; a merely-unembedded doc is
+    * invisibly kept by the former (never marked `keep=false`) and
+    * invisibly dropped by the latter (never clustered). Incomplete
+    * coverage therefore fails loudly here, naming the table and counts;
+    * pre-filter the corpus to the embedded subset if partial coverage is
+    * intended. The guard costs one thin ids⟕vec_ids aggregate at
+    * compile time — these steps already run eager centroid fits, so the
+    * compile stage is an action boundary regardless.
     */
   private def liveEmbeddings(df: DataFrame, idCol: String, embTable: String,
       aux: Map[String, DataFrame], stepName: String): DataFrame = {
@@ -124,6 +148,24 @@ object CurationPipeline {
     require(embAll.columns.contains("vec_id") && embAll.columns.contains("embedding"),
       s"$stepName: auxiliary table '$embTable' must carry (vec_id, embedding), " +
         s"got ${embAll.columns.mkString(", ")}")
+    // try_cast: under ANSI semantics a plain cast THROWS on the first
+    // non-numeric id instead of reaching this guard's counted verdict.
+    val probe = df.select(col(idCol).as("__raw"), col(idCol).try_cast("long").as("vec_id"))
+      .join(embAll.select(col("vec_id"), lit(1).as("__has")), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("vec_id").isNull && col("__raw").isNotNull, 1)).as("bad_cast"),
+        count(when(col("vec_id").isNotNull && col("__has").isNull, 1)).as("uncovered"))
+      .head()
+    val (n, badCast, uncovered) = (probe.getLong(0), probe.getLong(1), probe.getLong(2))
+    require(badCast == 0L,
+      s"$stepName: $badCast of $n live '$idCol' values do not cast to the long " +
+        s"vec_id key of '$embTable' — non-numeric ids would silently null out of " +
+        "the embedding join. Map ids to a numeric key before this step.")
+    require(uncovered == 0L,
+      s"$stepName: $uncovered of $n live ids have no embedding in '$embTable' — " +
+        "unembedded docs would be silently kept by dedup_semantic but dropped by " +
+        "sample_diverse. Provide full-coverage embeddings or pre-filter the corpus " +
+        "to the embedded subset.")
     embAll.join(df.select(col(idCol).cast("long").as("vec_id")), Seq("vec_id"), "left_semi")
   }
 

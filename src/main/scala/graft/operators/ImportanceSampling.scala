@@ -117,6 +117,13 @@ object ImportanceSampling {
     * reproducibly on any engine. Keys round to 6 dp (ties → doc_id) so
     * the cross-engine boundary is exact; `logw` reports at 4 dp.
     *
+    * The noise hash is [[Sampling.pseudoShuffleWide]] (40 folded id
+    * bits), not the 20-bit [[Sampling.pseudoShuffle]] the order-only
+    * samplers use: the without-replacement-∝-exp λ claim needs noise
+    * that is independent across ids, and the 20-bit hash hands every id
+    * pair equal mod 2²⁰ the SAME u. Residues still collide at mod 2⁴⁰
+    * (~10¹² ids) — beyond that corpus size, widen the fold again.
+    *
     * @return (doc_id, n_tokens, logw, gumbel_key) for the k selected
     *         docs, ordered by doc_id.
     */
@@ -133,7 +140,7 @@ object ImportanceSampling {
     val tgtLm = fitFeatureLm(target, vocabSize, hashBuckets, textCol, idCol)
     val rawLm = fitFeatureLm(corpus, vocabSize, hashBuckets, textCol, idCol)
     val u: Column =
-      (Sampling.pseudoShuffle(col("doc_id")).cast("double") + lit(0.5)) /
+      (Sampling.pseudoShuffleWide(col("doc_id")).cast("double") + lit(0.5)) /
         lit(4294967296.0)
     importanceWeights(corpus, tgtLm, rawLm, hashBuckets, textCol, idCol)
       .select(col("doc_id"), col("n_tokens"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -351,10 +351,70 @@ object Profiling {
       standingDir: String,
       cols: Seq[String] = Nil,
       lgK: Int = 12
-  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    shardProfile(batch, cols, lgK)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$standingDir/batch=$batchId")
+  ): (DataFrame, Long) => Unit = {
+    // Checked once per sink instance: a standing dir written by the
+    // PRE-batch layout (merged profile files at the root) must not be
+    // mixed with batch=<id> subdirs — spark.read.parquet over the blend
+    // fails or silently double-counts the legacy rows. Fail loudly with
+    // the migration step instead.
+    val legacyChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (batch, batchId) => {
+      if (legacyChecked.compareAndSet(false, true)) {
+        val path = new org.apache.hadoop.fs.Path(standingDir)
+        val fs = path.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (fs.exists(path)) {
+          val rootFiles = fs.listStatus(path).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+          require(rootFiles.isEmpty,
+            s"profileSink: standing dir $standingDir holds root-level data files " +
+              s"(e.g. ${rootFiles.head.getPath.getName}) from the pre-batch merged " +
+              "layout; mixing them with batch=<id> subdirs corrupts the fold. " +
+              "Migrate first: move the legacy profile into its own batch=legacy " +
+              "subdirectory (it is a valid shardProfile frame) or start a fresh dir.")
+        }
+      }
+      shardProfile(batch, cols, lgK)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$standingDir/batch=$batchId")
+    }
+  }
+
+  /** Offline compaction for a [[profileSink]] standing dir: replace its
+    * accumulated `batch=<id>` subdirectories with ONE merged
+    * [[mergeShardProfiles]] output (a #columns-row frame), so the
+    * per-read fold cost stops growing with stream lifetime. The merge is
+    * associative, so the folded profile over the compacted dir is
+    * row-identical to the fold over the original batch dirs — asserted
+    * in ProfilingSpec.
+    *
+    * MUST run offline: only invoke while no stream is writing the dir,
+    * and only after a CLEAN stop (all delivered batches committed). A
+    * re-delivered uncommitted batch would rewrite `batch=<id>` after
+    * compaction already folded those rows into the compacted dir, and
+    * its rows would then double-count. The compacted dir is named
+    * `batch=c<maxId>` — the `c` prefix keeps it disjoint from every
+    * numeric batchId a resumed stream can produce.
+    */
+  def compactProfileDir(spark: SparkSession, standingDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(standingDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"compactProfileDir: no such dir $standingDir")
+    val batchDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    require(batchDirs.nonEmpty,
+      s"compactProfileDir: $standingDir holds no batch=<id> subdirectories")
+    if (batchDirs.length < 2) return // nothing to fold
+    val merged = mergeShardProfiles(spark.read.parquet(standingDir).drop("batch"))
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // Tag = numeric max over ids and prior compact tags, so repeated
+    // compactions stay unique and never collide with future batchIds.
+    val maxId = batchDirs.map(_.getPath.getName.stripPrefix("batch=")
+      .dropWhile(_ == 'c').toLong).max
+    batchDirs.foreach(st => fs.delete(st.getPath, true))
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=c$maxId")),
+      s"compactProfileDir: rename of compacted output failed in $standingDir")
   }
 
   /** Mergeable quantile sketch over log-scaled buckets (the DDSketch

@@ -25,6 +25,24 @@ object Sampling {
   private[graft] def pseudoShuffle(id: Column): Column =
     pmod(pmod(id, lit(1048576L)) * lit(2654435761L), lit(4294967296L))
 
+  /** [[pseudoShuffle]] folding 40 id bits instead of 20 — two Knuth-style
+    * multiplicative rounds over the low and next-20 bit slices, summed
+    * mod 2³². Each product stays under 2⁵² and their sum under 2⁵³, so
+    * the identical expression evaluates unwrapped in any engine with
+    * checked BIGINT arithmetic. Samplers whose STATISTICAL claim depends
+    * on per-id-independent noise (the Gumbel top-k in
+    * [[ImportanceSampling.importanceResample]]) use this form: with the
+    * 20-bit hash, ids sharing a residue mod 2²⁰ would receive identical
+    * noise (~1M distinct values corpus-wide); here collisions need ids
+    * equal mod 2⁴⁰ (~10¹² ids before any repeat). Assumes non-negative
+    * ids (shiftright is arithmetic).
+    */
+  private[graft] def pseudoShuffleWide(id: Column): Column =
+    pmod(
+      pmod(id, lit(1048576L)) * lit(2654435761L) +
+        pmod(shiftright(id, 20), lit(1048576L)) * lit(2246822519L),
+      lit(4294967296L))
+
   /** Keep the top `keepTopFrac` of each group by score — the rank-based
     * quality cut every curated corpus applies somewhere ("drop the worst
     * 20% by LM score per language"): exact and deterministic (row_number

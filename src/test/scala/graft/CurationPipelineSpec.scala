@@ -391,4 +391,28 @@ class CurationPipelineSpec extends SparkSpec {
       "steps:\n  - importance_sample: { target: nope, k: 5 }\n"))
     assert(noTgt.getMessage.contains("'nope'"))
   }
+
+  test("embedding steps fail loudly on non-castable ids and on unembedded live docs") {
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // Non-numeric string ids: the long cast nulls them, which would
+    // silently empty the live embedding frame (dedup_semantic no-op,
+    // sample_diverse drops everything) — the compiler names the problem.
+    val strDocs = docs.withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    val badCast = intercept[IllegalArgumentException](CurationPipeline.fromYaml(strDocs,
+      "steps:\n  - dedup_semantic: { embeddings: emb, threshold: 0.4 }\n",
+      aux = Map("emb" -> emb)))
+    assert(badCast.getMessage.contains("cast"), badCast.getMessage)
+    // Partial coverage: live ids missing from the embedding table would
+    // be kept by dedup_semantic but dropped by sample_diverse — the
+    // compiler refuses instead of letting the two steps disagree.
+    val partial = emb.filter(col("vec_id") % 2 === 0)
+    val uncov = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - sample_diverse: { embeddings: emb, clusters: 4, per_cluster: 2 }\n",
+      aux = Map("emb" -> partial)))
+    assert(uncov.getMessage.contains("no embedding"), uncov.getMessage)
+    // Full coverage passes (the existing parity test's path).
+    CurationPipeline.fromYaml(docs,
+      "steps:\n  - sample_diverse: { embeddings: emb, clusters: 4, per_cluster: 2 }\n",
+      aux = Map("emb" -> emb)).count()
+  }
 }

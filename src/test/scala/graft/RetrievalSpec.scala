@@ -299,4 +299,67 @@ class RetrievalSpec extends SparkSpec {
     assert(snap(Bpe.tokenCounts(docs, spark.read.parquet(dir), byteLevel = true)) ==
       snap(Bpe.tokenCounts(docs, merges, byteLevel = true)))
   }
+
+  // ---------------------------------------------------------------- Unigram
+
+  test("unigram learn: chars always kept, vocab bounded, probs normalize, frequent word fuses") {
+    import graft.functions.Unigram
+    val docs = Seq(
+      (1L, "hello hello hello hello world"),
+      (2L, "hello hello world trees"),
+      (3L, "hello seas trees")).toDF("doc_id", "text")
+    val pieces = Unigram.learnPieces(docs, vocabSize = 24, maxPieceLen = 6, emIters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val chars = docs.collect().flatMap(_.getString(1).split("\\s+"))
+      .flatMap(_.toCharArray).map(_.toString).toSet
+    assert(chars.subsetOf(pieces.keySet), "single chars must never be pruned")
+    assert(pieces.size <= 24)
+    assert(math.abs(pieces.values.map(math.exp).sum - 1.0) < 1e-9)
+    // "hello" dominates the corpus: the EM must give it (or a long
+    // prefix) piece status, so Viterbi fuses it into ≤ 2 tokens.
+    assert(Unigram.viterbiCount("hello", pieces, 6, -1e9) <= 2)
+  }
+
+  test("unigram viterbi: matches brute-force best segmentation; tie prefers longer piece; OOV floors") {
+    import graft.functions.Unigram
+    val lp = Map("ab" -> math.log(0.5), "a" -> math.log(0.25),
+      "b" -> math.log(0.2), "c" -> math.log(0.05))
+    // Brute force over all 2^(n-1) segmentations of "abcab".
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to w.length).flatMap(i =>
+        lp.get(w.take(i)).toSeq.flatMap(_ =>
+          allSegs(w.drop(i)).map(w.take(i) +: _)))
+    val best = allSegs("abcab").map(s => (s.map(lp).sum, s.length)).maxBy(_._1)
+    assert(Unigram.viterbiCount("abcab", lp, 6, -1e9) == best._2)
+    // Exact tie between [ab] and [a, b] if p(ab) = p(a)p(b): longer wins.
+    val tie = Map("ab" -> math.log(0.25), "a" -> math.log(0.5), "b" -> math.log(0.5))
+    assert(Unigram.viterbiCount("ab", tie, 6, -1e9) == 1)
+    // OOV chars floor-segment one per char — totality on any input.
+    assert(Unigram.viterbiCount("xy", lp, 6, -100.0) == 2)
+    assert(Unigram.viterbiCount("axb", lp, 6, -100.0) == 3)
+  }
+
+  test("unigram on unsegmented CJK: multi-char pieces form; table round-trips; deterministic") {
+    import graft.functions.Unigram
+    val docs = Seq(
+      (1L, "数据表连接数据表"), (2L, "数据流连接数据流"),
+      (3L, "数据数据数据"), (4L, "数据连接")).toDF("doc_id", "text")
+    val pieces = Unigram.learnPieces(docs, vocabSize = 16, maxPieceLen = 4, emIters = 3)
+    val tab = pieces.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tab.keys.exists(_.length > 1), "CJK corpus must learn multi-char pieces")
+    val out = Unigram.tokenCounts(docs, pieces, maxPieceLen = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 1L, 1L, 1L)) // one "word" each
+    // 数据 repeats 7×: doc 3 (数据×3) must fuse below its 6 raw chars.
+    assert(out(2)._3 <= 3L, s"expected multi-char pieces, got ${out(2)._3} tokens")
+    // Piece table survives parquet byte-for-byte in effect.
+    val dir = java.nio.file.Files.createTempDirectory("unig").toString
+    pieces.write.mode("overwrite").parquet(dir)
+    assert(snap(Unigram.tokenCounts(docs, spark.read.parquet(dir), maxPieceLen = 4)) ==
+      snap(Unigram.tokenCounts(docs, pieces, maxPieceLen = 4)))
+    // Pure function of the corpus (golden-fixture precondition).
+    assert(snap(Unigram.learnPieces(docs, vocabSize = 16, maxPieceLen = 4, emIters = 3))
+      == snap(pieces))
+  }
 }

@@ -1039,4 +1039,45 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "lang", "n_chars"), 1L)
     assert(fold().collect().map(_.getAs[Long]("n_rows")).forall(_ == 5L))
   }
+
+  test("compactProfileDir: fold unchanged, one dir remains, resumed stream appends; legacy layout fails loudly") {
+    import spark.implicits._
+    import graft.operators.Profiling
+
+    val dir = java.nio.file.Files.createTempDirectory("profcompact").toString + "/standing"
+    val sink = Profiling.profileSink(dir)
+    sink(Seq((1L, "en", 100L), (2L, "fr", 50L)).toDF("doc_id", "lang", "n_chars"), 0L)
+    sink(Seq((3L, "en", 200L)).toDF("doc_id", "lang", "n_chars"), 1L)
+    sink(Seq((4L, "de", 400L), (5L, "en", 100L)).toDF("doc_id", "lang", "n_chars"), 2L)
+
+    def fold() = Profiling.profileFromShards(
+      Profiling.mergeShardProfiles(spark.read.parquet(dir).drop("batch")))
+    val before = snap(fold())
+    Profiling.compactProfileDir(spark, dir)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.toSeq == Seq("batch=c2"), s"got ${subdirs.mkString(",")}")
+    assert(snap(fold()) == before, "compaction changed the folded profile")
+    // Single-dir compaction is a no-op (nothing to fold).
+    Profiling.compactProfileDir(spark, dir)
+    assert(snap(fold()) == before)
+    // A resumed stream keeps writing numeric batch ids beside the
+    // compacted dir; the fold keeps absorbing them.
+    Profiling.profileSink(dir)(
+      Seq((6L, "es", 300L)).toDF("doc_id", "lang", "n_chars"), 3L)
+    assert(fold().collect().map(_.getAs[Long]("n_rows")).forall(_ == 6L))
+    // Re-compaction folds the mix of compacted + fresh dirs too.
+    Profiling.compactProfileDir(spark, dir)
+    assert(fold().collect().map(_.getAs[Long]("n_rows")).forall(_ == 6L))
+
+    // Legacy layout: a standing dir with root-level data files (the
+    // pre-batch merged-profile layout) must be refused, not blended.
+    val legacy = java.nio.file.Files.createTempDirectory("proflegacy").toString + "/standing"
+    Profiling.shardProfile(Seq((1L, "en", 100L)).toDF("doc_id", "lang", "n_chars"))
+      .coalesce(1).write.parquet(legacy)
+    val bad = intercept[IllegalArgumentException] {
+      Profiling.profileSink(legacy)(
+        Seq((2L, "fr", 50L)).toDF("doc_id", "lang", "n_chars"), 0L)
+    }
+    assert(bad.getMessage.contains("pre-batch"))
+  }
 }
