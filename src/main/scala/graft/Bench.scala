@@ -67,6 +67,34 @@ object Bench {
     val escalateLoad = cpus.toDouble / 4
     val maxRuns = 5
     val warmupSet = QueryCatalog.warmupNames.toSet
+
+    // Cross-round check: the within-round outlier rule can't catch "both
+    // runs slow" (r10's text_langid_trigram read 16.8/18.4 s at low
+    // internal spread; a quiet-box re-probe matched the prior round's
+    // 4.9 s). So ALSO escalate while this round's minimum exceeds 2.5x
+    // the same entry's minimum in the previous round's committed
+    // artifact (the highest-numbered BENCH_r*.json in cwd, or
+    // SPARK_GRAFT_PREV_BENCH). New entries have no prior — never
+    // escalated by this rule; a real regression keeps its slow reading
+    // after 5 quiet samples and stays visible.
+    val prevMins: Map[String, Double] = {
+      val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+        .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+      val latest = explicit.orElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val dir = new java.io.File(".").listFiles()
+        Option(dir).toSeq.flatten
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+          .sortBy(-_._1).headOption.map(_._2.toPath)
+      }
+      latest.map { p =>
+        val txt = java.nio.file.Files.readString(p)
+        val qsec = "\"queries\":\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
     val results = names.map { name =>
       def once(): Double =
         try {
@@ -87,13 +115,16 @@ object Bench {
         val spread2 = (vals.max - vals.min) / math.max(vals.min, 1e-9)
         runs.head._2 > escalateLoad || spread2 > 1.0
       }
+      def crossRoundSlow = prevMins.get(name)
+        .exists(p => p > 0 && vals.min > 2.5 * p)
       while (runs.length < maxRuns && vals.forall(_ >= 0) &&
-        (outlier || (runs.length == 2 && firstContended)))
+        (outlier || crossRoundSlow || (runs.length == 2 && firstContended)))
         runs = runs :+ sample()
       if (runs.length > 2)
         System.err.println(
           f"[bench] $name: contention escalation -> best of ${runs.length} " +
-            f"(outlier=$outlier, first-pass loadavg ${runs.head._2}%.1f)")
+            f"(outlier=$outlier, crossRoundSlow=$crossRoundSlow, " +
+            f"first-pass loadavg ${runs.head._2}%.1f)")
       (name, if (vals.exists(_ < 0)) -1.0 else vals.min, vals, runs.map(_._2))
     }
     val loadEnd = loadavg()
@@ -130,7 +161,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,""" +
         f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"run_spread":$spreads,"raw_runs":$rawRuns,""" +
         f""""run_loadavg":$runLoads,""" +
-        f""""noise_note":"shared box; best-of-2, escalated up to best-of-5 while a >3x raw outlier persists (or first pass contended: loadavg > cores/4 or spread > 1.0); run_loadavg[i] is the 1-min loadavg at raw_runs[i]'s start — outliers coexisting with loadavg spikes are contention, not regressions"}"""
+        f""""noise_note":"shared box; best-of-2, escalated up to best-of-5 while a >3x raw outlier persists, or the minimum exceeds 2.5x the entry's previous-round artifact minimum (cross-round check), or first pass contended (loadavg > cores/4 or spread > 1.0); run_loadavg[i] is the 1-min loadavg at raw_runs[i]'s start — outliers coexisting with loadavg spikes are contention, not regressions"}"""
     // The driver scrapes the sbt log tail (r01–r03 artifacts all recorded
     // "parsed": null). Maximize its odds: quiesce the logger first, emit
     // the line on BOTH streams (sbt tags forked stdout [info] and stderr

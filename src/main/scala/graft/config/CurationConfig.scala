@@ -164,6 +164,15 @@ object CurationConfig {
   final case class ImportanceSample(
       targetTable: String, k: Int, vocabSize: Int, hashBuckets: Int) extends Step
 
+  /** Embedding-space decontamination: drop documents whose embedding
+    * (auxiliary `embeddings` table, the `dedup_semantic` convention) is
+    * a cosine near-duplicate of any eval-probe embedding (auxiliary
+    * `probes` table, `(vec_id, embedding)`) — the semantic complement
+    * of n-gram `decontaminate`, for paraphrased eval passages.
+    */
+  final case class DecontamEmbedding(
+      probesTable: String, embTable: String, threshold: Double) extends Step
+
   /** Terminal release write: persist the curated frame to `path`
     * (parquet, Hive-partitioned by `partitionBy` — e.g. [split, shard]
     * after `split`/`shuffle` steps) and hand back the read-back frame,
@@ -324,6 +333,13 @@ object CurationConfig {
           need(longParam("k"), "'k'").toInt,
           longParam("vocab").getOrElse(1L << 16).toInt,
           longParam("hash_buckets").getOrElse(0L).toInt)
+      case "decontaminate_embedding" =>
+        DecontamEmbedding(
+          need(params.get("probes").map(_.toString),
+            "'probes' (auxiliary (vec_id, embedding) probe table name)"),
+          need(params.get("embeddings").map(_.toString),
+            "'embeddings' (auxiliary (vec_id, embedding) table name)"),
+          need(doubleParam("threshold"), "'threshold'"))
       case "sink" =>
         Sink(
           need(params.get("path").map(_.toString), "'path'"),
@@ -334,7 +350,7 @@ object CurationConfig {
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
             "compress, dedup_exact, dedup_minhash, dedup_semantic, dedup_simhash, " +
-            "importance_sample, langid_keep, " +
+            "decontaminate_embedding, importance_sample, langid_keep, " +
             "langid_trigram_keep, quality, quality_model, quota, repetition, " +
             "sample_diverse, sink, split, shuffle, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")

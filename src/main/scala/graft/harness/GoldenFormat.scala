@@ -22,7 +22,8 @@ object GoldenFormat {
       "curation_pipeline_qmodel", "text_quality_model_idx", "text_bpe_bytes",
       "corpus_profile_incr", "corpus_quantiles_incr", "corpus_profile_incr_diff",
       "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup",
-      "streaming_minhash_replay", "text_unigram_tokens")
+      "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
+      "decontaminate_embedding")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

@@ -105,6 +105,31 @@ object QueryCatalog {
   }
   private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
 
+  /** The MediaFixtures container-metadata expectation as closed-form SQL
+    * in doc_id — shared by the direct parse entry
+    * (`multimodal_container_meta`) and the WebDataset round-trip
+    * (`scan_tar_media`), which must agree byte-for-byte.
+    */
+  private val containerMetaSql =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 6 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' WHEN 2 THEN 'webm'
+      |       WHEN 3 THEN 'flac' WHEN 4 THEN 'ogg' ELSE 'aac' END AS container,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 64
+      |       WHEN 2 THEN 32 + doc_id % 128 END AS INT) AS width,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 16 + (7 * doc_id) % 64
+      |       WHEN 2 THEN 32 + (3 * doc_id) % 128 END AS INT) AS height,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 500 + doc_id % 1000
+      |       WHEN 1 THEN ((5 + doc_id % 20) * 1152 * 1000) // 44100
+      |       WHEN 2 THEN 250 + doc_id % 500
+      |       WHEN 3 THEN (10 + doc_id % 50) * 100
+      |       WHEN 4 THEN (20 + doc_id % 100) * 10
+      |       ELSE ((3 + doc_id % 15) * 1024 * 1000) // 44100 END AS BIGINT) AS duration_ms,
+      |  CAST(CASE doc_id % 6 WHEN 1 THEN 128 WHEN 4 THEN 112
+      |       WHEN 5 THEN ((3 + doc_id % 15) * 200 * 8)
+      |            // (((3 + doc_id % 15) * 1024 * 1000) // 44100) END AS INT) AS bitrate_kbps,
+      |  CAST(CASE WHEN doc_id % 6 IN (1, 3, 4, 5) THEN 44100 END AS INT) AS sample_rate
+      |FROM documents ORDER BY 1""".stripMargin
+
   /** documents + a deterministic synthetic `url` column — closed-form in
     * (doc_id, lang, source), reproduced verbatim in [[urlCte]], the same
     * fixture pattern the multimodal oracles use. The decorations exercise
@@ -1529,6 +1554,29 @@ object QueryCatalog {
         .orderBy("query_id", "rnk")
     }, None, bench = true, warmup = true),
 
+    Q("sim_ann_ivfpq_filtered", (s, dir) => {
+      // Filtered ANN: a metadata predicate over an attribute STORED IN
+      // THE INDEX (cat = vec_id % 5, 20% selectivity) prunes the codes
+      // frame map-side BELOW the probe join — non-matching rows are
+      // never ADC-scored. Per-query top-k among passing rows only.
+      // Hash-seeded fits → golden fixture; recall vs the filtered brute
+      // force measured in RECALL.json (ivfpq_filtered).
+      val e = emb(s, dir).withColumn("cat", (col("vec_id") % 5).cast("int"))
+      // Persisted, fit-format-versioned index (the ivfpq_idx convention):
+      // attrs are stored parquet columns, so the serve-time predicate is
+      // a Filter pushed into the codes scan.
+      val idxDir = s"/tmp/graft_ivfpqf_idx_v${ProductQuant.indexFormatVersion}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
+        graft.operators.ProductQuant.ivfPqIndex(
+          e, nlist = 16, m = 16, ks = 32, attrCols = Seq("cat")).save(idxDir)
+      graft.operators.ProductQuant.ivfPqTopKFiltered(
+        e.filter(col("vec_id") < 100), e, IvfPqIndex.load(s, idxDir),
+        col("cat") === 0, k = 5, nprobe = 12)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }, None, bench = true, warmup = true),
+
     Q("sim_ann_pq", (s, dir) =>
       // Product quantization ANN: ADC scan over m-byte codes + exact
       // cosine re-rank (ProductQuant). Hash-seeded → golden fixture;
@@ -1614,7 +1662,10 @@ object QueryCatalog {
            |SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
            |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
            |ORDER BY 1""".stripMargin
-      }, bench = true),
+        // warmup: first execution decays >2x (profile-table broadcast +
+        // JIT of the rank-distance loop) — r10's artifact recorded a 3.9x
+        // phantom next to a 4.9 s quiet-box re-probe.
+      }, bench = true, warmup = true),
 
     Q("text_compress", (s, dir) =>
       // Deflate compression-ratio quality signal (entropy proxy; the
@@ -1712,6 +1763,19 @@ object QueryCatalog {
     // capacity/determinism/waste-bound invariants in ExtensionsSpec.
     Q("text_packing_bins", (s, dir) =>
       Packing.packGreedyBins(docs(s, dir), budgetTokens = 128, buckets = 8)
+        .orderBy("doc_id"),
+      None),
+
+    // Embedding-space decontamination: corpus docs whose embedding is a
+    // cosine near-dup (≥ 0.4, the threshold the exact-pair oracles use)
+    // of any probe embedding — probes = the first 20 vectors standing in
+    // for an eval set, so each probe's corpus twin contaminates at
+    // cos 1.0 and real near-dups surface besides. Hyperplane-seeded
+    // banding → golden fixture; parity vs composing
+    // embeddingNearDupIncremental asserted in ExtensionsSpec.
+    Q("decontaminate_embedding", (s, dir) =>
+      Decontaminate.matchesEmbedding(
+        emb(s, dir), emb(s, dir).filter(col("vec_id") < 20), threshold = 0.4)
         .orderBy("doc_id"),
       None),
 
@@ -2426,24 +2490,7 @@ object QueryCatalog {
       val ids = docs(s, dir).select(col("doc_id"))
       Multimodal.containerMeta(MediaFixtures.syntheticContainers(ids))
         .orderBy("media_id")
-    }, Some("""SELECT doc_id AS media_id,
-              |  CASE doc_id % 6 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' WHEN 2 THEN 'webm'
-              |       WHEN 3 THEN 'flac' WHEN 4 THEN 'ogg' ELSE 'aac' END AS container,
-              |  CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 64
-              |       WHEN 2 THEN 32 + doc_id % 128 END AS INT) AS width,
-              |  CAST(CASE doc_id % 6 WHEN 0 THEN 16 + (7 * doc_id) % 64
-              |       WHEN 2 THEN 32 + (3 * doc_id) % 128 END AS INT) AS height,
-              |  CAST(CASE doc_id % 6 WHEN 0 THEN 500 + doc_id % 1000
-              |       WHEN 1 THEN ((5 + doc_id % 20) * 1152 * 1000) // 44100
-              |       WHEN 2 THEN 250 + doc_id % 500
-              |       WHEN 3 THEN (10 + doc_id % 50) * 100
-              |       WHEN 4 THEN (20 + doc_id % 100) * 10
-              |       ELSE ((3 + doc_id % 15) * 1024 * 1000) // 44100 END AS BIGINT) AS duration_ms,
-              |  CAST(CASE doc_id % 6 WHEN 1 THEN 128 WHEN 4 THEN 112
-              |       WHEN 5 THEN ((3 + doc_id % 15) * 200 * 8)
-              |            // (((3 + doc_id % 15) * 1024 * 1000) // 44100) END AS INT) AS bitrate_kbps,
-              |  CAST(CASE WHEN doc_id % 6 IN (1, 3, 4, 5) THEN 44100 END AS INT) AS sample_rate
-              |FROM documents ORDER BY 1""".stripMargin), bench = true),
+    }, Some(containerMetaSql), bench = true),
 
     Q("multimodal_framesample", (s, dir) => {
       // Real binary slicing on the Spark side (sequence→explode→substring,
@@ -2536,6 +2583,48 @@ object QueryCatalog {
     }, Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
               |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars
               |FROM documents WHERE n_chars >= 100 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // WebDataset tar shards round trip: docs → shard-N.tar members
+    // (<doc_id>.txt text bytes, <doc_id>.cls lang bytes) → binaryFile
+    // scan + tar walk → sample pivot → decoded aggregate. Shard
+    // assignment is the closed form doc_id % 4, reproduced by the
+    // oracle, so the per-(shard, lang) rollup verifies member naming,
+    // payload integrity, sharding, and the pivot in one pass.
+    Q("scan_tar", (s, dir) => {
+      val out = s"/tmp/graft_wds_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.WebDataset.writeTar(
+        docs(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("t"), col("lang").cast("binary").as("l")),
+        out, shards = 4, keyCol = "doc_id", members = Seq("txt" -> "t", "cls" -> "l"))
+      val m = graft.sources.WebDataset.scanTar(s, out)
+      graft.sources.WebDataset.samples(m, Seq("txt", "cls"))
+        .select(
+          regexp_extract(col("shard"), "(\\d+)$", 1).cast("long").as("shard"),
+          decode(col("cls"), "UTF-8").as("lang"),
+          length(decode(col("txt"), "UTF-8")).cast("long").as("n_text_chars"))
+        .groupBy("shard", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_text_chars").as("sum_chars"))
+        .orderBy("shard", "lang")
+    }, Some("""SELECT doc_id % 4 AS shard, lang, CAST(COUNT(*) AS BIGINT) AS n,
+              |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Binary-payload WebDataset: the MediaFixtures container payloads
+    // (valid MP4/MP3/WebM/FLAC/Ogg/AAC byte streams) shipped through tar
+    // shards and re-parsed by containerMeta on the far side — the same
+    // closed-form oracle as multimodal_container_meta, so a single
+    // flipped byte anywhere in the write→tar→scan path fails the gate.
+    Q("scan_tar_media", (s, dir) => {
+      val out = s"/tmp/graft_wds_media_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val payloads = MediaFixtures.syntheticContainers(docs(s, dir).select(col("doc_id")))
+        .select(col("media_id"), col("payload"))
+      graft.sources.WebDataset.writeTar(
+        payloads, out, shards = 4, keyCol = "media_id", members = Seq("bin" -> "payload"))
+      val m = graft.sources.WebDataset.scanTar(s, out)
+      Multimodal.containerMeta(
+        m.select(col("key").cast("long").as("media_id"), col("payload")))
+        .orderBy("media_id")
+    }, Some(containerMetaSql)),
 
     Q("sink_jsonl", (s, dir) => {
       val out = s"/tmp/graft_jsonl_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"

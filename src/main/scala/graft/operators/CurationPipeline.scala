@@ -119,6 +119,7 @@ object CurationPipeline {
     case DedupSemantic(_, _, _, _) => "dedup_semantic"
     case SampleDiverse(_, _, _) => "sample_diverse"
     case ImportanceSample(_, _, _, _) => "importance_sample"
+    case DecontamEmbedding(_, _, _) => "decontaminate_embedding"
     case Sink(_, _) => "sink"
   }
 
@@ -326,6 +327,17 @@ object CurationPipeline {
           df, target, k, vocabSize, hashBuckets, textCol, idCol)
           .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case DecontamEmbedding(probesTable, embTable, threshold) =>
+        val probes = aux.getOrElse(probesTable, throw new IllegalArgumentException(
+          s"decontaminate_embedding step names auxiliary probe table '$probesTable' " +
+            s"but the compiler was given ${if (aux.isEmpty) "none" else aux.keys.mkString(", ")}"))
+        require(probes.columns.contains("vec_id") && probes.columns.contains("embedding"),
+          s"decontaminate_embedding: probe table '$probesTable' must carry " +
+            s"(vec_id, embedding), got ${probes.columns.mkString(", ")}")
+        val emb = liveEmbeddings(df, idCol, embTable, aux, "decontaminate_embedding")
+        val hits = Decontaminate.matchesEmbedding(emb, probes, threshold)
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(hits, Seq(idCol), "left_anti")
       case Sink(path, partitionBy) =>
         partitionBy.foreach(p => require(df.columns.contains(p),
           s"sink: partition column '$p' absent from the curated frame " +

@@ -90,4 +90,51 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count_distinct(col("s")).as("matched_ngrams"))
   }
+
+  /** Embedding-space decontamination: corpus documents whose embedding is
+    * a COSINE near-duplicate (≥ `threshold`) of any eval-probe embedding
+    * — the semantic complement of the n-gram check above, which
+    * paraphrased or reformatted eval passages slip past. One row per
+    * contaminated corpus doc with the evidence; clean docs are absent
+    * (drop via left_anti, the [[matches]] convention).
+    *
+    * Scale shape: built on [[Dedup.embeddingNearDupIncremental]] with
+    * the probe frame as the "shard" side — banded random-hyperplane LSH
+    * buckets generate candidates (signatures are deterministic functions
+    * of the vector, no fitted state), exact cosine verifies, the
+    * candidate join's left side is restricted to probes. The corpus is
+    * never compared against itself: corpus–corpus pairs cannot form
+    * (left side is probes only) and probe–probe pairs are dropped by id
+    * sign. Probe ids are remapped to a disjoint negative range
+    * internally, so probe and corpus id spaces may overlap freely;
+    * corpus ids must be non-negative.
+    *
+    * @return (doc_id, n_probes, max_cos) — contaminated corpus docs,
+    *         how many probes they duplicate, and the strongest cosine
+    *         (4 dp).
+    */
+  def matchesEmbedding(
+      vectors: DataFrame,
+      probes: DataFrame,
+      threshold: Double,
+      bands: Int = 32,
+      bitsPerBand: Int = 4,
+      maxBucketSize: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      probeIdCol: String = "vec_id",
+      probeVecCol: String = "embedding"
+  ): DataFrame = {
+    val corpus = vectors.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val probeRemapped = probes.select(
+      (-col(probeIdCol).cast("long") - 1).as(idCol), col(probeVecCol).as(vecCol))
+    Dedup.embeddingNearDupIncremental(
+      probeRemapped, corpus, threshold, bands, bitsPerBand, maxBucketSize, idCol, vecCol)
+      .select(
+        when(col("doc_a") >= 0, col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        col("cos"))
+      .filter(col("doc_id") >= 0) // probe–probe pairs are both negative
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_probes"), round(max("cos"), 4).as("max_cos"))
+  }
 }

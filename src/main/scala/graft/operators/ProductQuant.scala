@@ -411,6 +411,14 @@ object ProductQuant {
     * beyond the fits is the thin (id, cid) ⋈ (id, codes) join on id
     * (m+12 bytes per row flat).
     */
+  /** @param attrCols metadata columns of `corpus` to STORE IN THE INDEX
+    *                  alongside each row's codes (serving attributes for
+    *                  [[ivfPqTopKFiltered]] — category, language, date
+    *                  bucket). They ride the thin codes rows, so a
+    *                  filtered serve prunes map-side with no extra join;
+    *                  keep them small (the codes frame is the index's
+    *                  memory footprint).
+    */
   def ivfPqIndex(
       corpus: DataFrame,
       nlist: Int = 0,
@@ -418,7 +426,8 @@ object ProductQuant {
       ks: Int = 32,
       refineIters: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil
   ): IvfPqIndex = {
     val resolvedNlist = Similarity.resolveNlist(corpus, nlist, idCol)
     val Seq(cents, codebooks) = ConcurrentFits.run(Seq(
@@ -430,8 +439,21 @@ object ProductQuant {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val codesWithCid = Similarity.assignToCentroids(base, cents).select("id", "cid")
       .join(pqEncodePacked(corpus, codebooks, idCol, vecCol), Seq("id"))
-    IvfPqIndex(cents, codebooks, codesWithCid)
+    IvfPqIndex(cents, codebooks, withAttrs(codesWithCid, corpus, attrCols, idCol))
   }
+
+  /** Join the requested attribute columns onto the codes rows (thin
+    * id-keyed join at BUILD time, so serves filter map-side).
+    */
+  private def withAttrs(
+      codes: DataFrame, corpus: DataFrame, attrCols: Seq[String], idCol: String): DataFrame =
+    if (attrCols.isEmpty) codes
+    else {
+      attrCols.foreach(a => require(corpus.columns.contains(a),
+        s"attrCols: corpus has no column '$a' (have ${corpus.columns.mkString(", ")})"))
+      codes.join(
+        corpus.select(col(idCol).as("id") +: attrCols.map(col): _*), Seq("id"))
+    }
 
   /** Append a new shard to a fitted IVF-PQ index WITHOUT refitting — the
     * ingest half of the serving loop: the shard is assigned to the
@@ -454,8 +476,13 @@ object ProductQuant {
       vecCol: String = "embedding"
   ): IvfPqIndex = {
     val base = newVectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val shardCodes = Similarity.assignToCentroids(base, index.centroids).select("id", "cid")
-      .join(pqEncodePacked(newVectors, index.codebooks, idCol, vecCol), Seq("id"))
+    // An index built with attrCols must receive them from the shard too
+    // — unionByName fails loudly on the column-set mismatch otherwise.
+    val attrCols = index.codes.columns.filterNot(Seq("id", "cid", "codes").contains).toSeq
+    val shardCodes = withAttrs(
+      Similarity.assignToCentroids(base, index.centroids).select("id", "cid")
+        .join(pqEncodePacked(newVectors, index.codebooks, idCol, vecCol), Seq("id")),
+      newVectors, attrCols, idCol)
     index.copy(codes = index.codes.unionByName(shardCodes))
   }
 
@@ -510,6 +537,57 @@ object ProductQuant {
       rerankFactor: Int,
       idCol: String,
       vecCol: String
+  ): DataFrame =
+    serveIvfPq(queries, corpus, index, None, k, nprobe, rerankFactor, idCol, vecCol)
+
+  /** Filtered ANN serve: [[ivfPqTopK]] restricted to corpus rows passing
+    * `pred`, a predicate over ATTRIBUTE COLUMNS STORED IN THE INDEX
+    * (`attrCols` at [[ivfPqIndex]] build time) — the FAISS-IDSelector /
+    * filtered-HNSW serving shape. The filter applies to the codes frame
+    * BELOW the probe join, as a map-side Filter on the codes scan: rows
+    * failing it are never ADC-scored, never join a probe, and add ZERO
+    * exchanges (no id-keyed semi-join — the attributes travel with the
+    * codes). Per-query results are the top-k among PASSING rows only,
+    * with the rerank budget auto-derived from the FILTERED corpus size
+    * so low-selectivity predicates keep their candidate depth.
+    *
+    * Recall note (measured in RECALL.json, `ivfpq_filtered`): a
+    * selective filter makes the TRUE top-k farther away (the k-th
+    * PASSING neighbor is weaker than the k-th overall), so at fixed
+    * nprobe more of the answer set lives in unprobed clusters — recall
+    * DEGRADES with selectivity on unclustered corpora. Standard
+    * practice, followed by the catalog configuration: scale the probe
+    * budget with 1/selectivity (≈ nprobe/selectivity capped at nlist,
+    * FAISS's `IndexIVF` filtered-search guidance) and let the rerank
+    * budget auto-derive from the filtered count. An ad-hoc predicate on
+    * columns NOT in the index requires a rebuild with the column added
+    * (or a pre-filtered id semi-join, which pays an id-keyed exchange of
+    * the thin codes — deliberately not offered here; store serving
+    * attributes in the index).
+    */
+  def ivfPqTopKFiltered(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: IvfPqIndex,
+      pred: Column,
+      k: Int,
+      nprobe: Int = 0,
+      rerankFactor: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    serveIvfPq(queries, corpus, index, Some(pred), k, nprobe, rerankFactor, idCol, vecCol)
+
+  private def serveIvfPq(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: IvfPqIndex,
+      pred: Option[Column],
+      k: Int,
+      nprobe: Int,
+      rerankFactor: Int,
+      idCol: String,
+      vecCol: String
   ): DataFrame = {
     val cents = index.centroids
     val codebooks = index.codebooks
@@ -518,12 +596,13 @@ object ProductQuant {
       else Similarity.resolveNprobe(nprobe, cents.select("cid").count().toInt)
     val (mCount, _, offsets, sub) = layoutOf(codebooks)
 
+    val codesWithCid = pred.map(index.codes.filter(_)).getOrElse(index.codes)
+
     val rerankCands =
       if (rerankFactor > 0) rerankFactor * k
-      else math.max(8 * k,
-        math.ceil(2 * math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
-
-    val codesWithCid = index.codes
+      else math.max(8 * k, math.ceil(2 * math.sqrt(
+        (if (pred.isDefined) codesWithCid.select("id") else corpus.select(idCol))
+          .count().toDouble)).toInt)
 
     // Query side: top-nprobe clusters AND the ADC table, one row per
     // (query, probed cluster). Candidate rows stay vector-free — the

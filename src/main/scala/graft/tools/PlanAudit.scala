@@ -414,6 +414,35 @@ object PlanAudit {
     // the two re-rank vector joins — the serving floor.
     audit("ivfpq_serving", served, 4)
 
+    // Filtered serve: the metadata predicate (attr stored in the index)
+    // must sit BELOW the cid probe join — a map-side Filter on the codes
+    // side, so non-matching rows are never ADC-scored — and must add no
+    // id-keyed semi-join (and therefore no exchange) over the unfiltered
+    // serving floor.
+    // Persisted index (the serving shape): attrs are stored parquet
+    // columns, so the predicate audits as a Filter above the codes scan.
+    val fDir = java.nio.file.Files.createTempDirectory("audit-ivfpq-f").toString
+    graft.operators.ProductQuant.ivfPqIndex(
+      embT.withColumn("cat", (col("vec_id") % 5).cast("int")),
+      nlist = 4, m = 8, ks = 8, refineIters = 1, attrCols = Seq("cat")).save(fDir)
+    val fIdx = graft.operators.IvfPqIndex.load(spark, fDir)
+    val servedF = graft.operators.ProductQuant.ivfPqTopKFiltered(
+      embT.filter(col("vec_id") < 20), embT, fIdx, col("cat") === 0,
+      k = 5, nprobe = 2, rerankFactor = 8)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val fPlan = servedF.queryExecution.optimizedPlan
+    val fBelow = fPlan.collectFirst {
+      case j: LJoin if j.condition.exists(_.references.exists(_.name == "cid")) => j
+    }.exists(j => (j.left.collectFirst {
+      case f: LFilter if f.condition.references.exists(_.name == "cat") => f
+    } orElse j.right.collectFirst {
+      case f: LFilter if f.condition.references.exists(_.name == "cat") => f
+    }).isDefined)
+    val fNoSemi = !fPlan.toString.contains("LeftSemi")
+    println(s"${if (fBelow && fNoSemi) "OK " else "HOT"} ivfpq filtered: pred below probe " +
+      s"filterBelowProbe=$fBelow noIdSemiJoin=$fNoSemi")
+    audit("ivfpq_serving(filtered)", servedF, 4)
+
     // Incremental simhash: shard tokenize+sign + the union-level exact
     // clustering and banding over thin (id, ehash, elen, sig) rows —
     // corpus text never enters the plan.

@@ -106,6 +106,23 @@ object RecallProbe {
         "query_id", "neighbor_id"),
       asymExact)
 
+    // sim_ann_ivfpq_filtered — filtered serve: a 20%-selectivity
+    // metadata predicate (cat = vec_id % 5 = 0) STORED IN THE INDEX and
+    // applied below the probe join (map-side on the codes scan), at the
+    // UNFILTERED setting's nprobe=12 — unchanged scan fraction. Ground
+    // truth = exact brute force over the FILTERED corpus.
+    val cat0 = emb.withColumn("cat", (col("vec_id") % 5).cast("int"))
+    val fIdx = ProductQuant.ivfPqIndex(cat0, nlist = 16, m = 16, ks = 32,
+      attrCols = Seq("cat"))
+    val fQueries = cat0.filter(col("vec_id") < 100)
+    val fExact = pairs(
+      Similarity.bruteForceTopK(fQueries, cat0.filter(col("cat") === 0), k = 5),
+      "query_id", "neighbor_id")
+    val ivfPqFilteredRecall = recall(
+      pairs(ProductQuant.ivfPqTopKFiltered(fQueries, cat0, fIdx, col("cat") === 0,
+        k = 5, nprobe = 12), "query_id", "neighbor_id"),
+      fExact)
+
     // dedup_embedding_lsh — the catalog configuration (full table,
     // threshold 0.4, bands=32 × 2 bits) vs the exact all-pairs oracle.
     val dupExact = pairs(Dedup.embeddingNearDupExact(emb, threshold = 0.4), "doc_a", "doc_b")
@@ -295,6 +312,9 @@ object RecallProbe {
          |  "sim_ann_ivfpq_idx": {"recall_at_k": $ivfPqIdxRecall%.4f, "k": 5, "queries": 20,
          |    "exact_pairs": ${asymExact.size},
          |    "config": "persisted index (save/load round trip), nlist=16, nprobe=12, m=16, ks=32, rerank=auto"},
+         |  "ivfpq_filtered": {"recall_at_k": $ivfPqFilteredRecall%.4f, "k": 5,
+         |    "queries": ${fQueries.count()}, "exact_pairs": ${fExact.size},
+         |    "selectivity": 0.2, "config": "pred cat=vec_id%%5=0 stored in index (attrCols), nlist=16, nprobe=12 (unchanged scan fraction), m=16, ks=32, rerank=auto over filtered count"},
          |  "dedup_embedding_lsh": {"pair_recall": $dupRecall%.4f, "threshold": 0.4,
          |    "exact_pairs": ${dupExact.size}, "config": "bands=32, bitsPerBand=2", "precision": 1.0},
          |  "dedup_semantic": {"pair_recall": $semRecall%.4f, "threshold": 0.4,
@@ -351,6 +371,7 @@ object RecallProbe {
       ivfAutoRecall >= 0.9 && ivfSampledRecall >= 0.85 && dupRecall >= 0.9 &&
       pqRecall >= 0.9 && pqQRecall >= 0.9 && pq1Recall >= 0.9 && pqKs256Recall >= 0.9 &&
       ivfPqRecall >= 0.9 && ivfPq1Recall >= 0.9 && ivfPqIdxRecall >= 0.9 &&
+      ivfPqFilteredRecall >= 0.9 &&
       lsh1Recall >= 0.9 && ivf1Recall >= 0.9 && lshQ1Recall >= 0.9 && ivfQ1Recall >= 0.9 &&
       mogSqrtRecall >= 0.9 && mogFracRecall >= 0.9 && mogRotExactRecall >= 0.9999
     println(s"[recall-probe] all above asserted minimums: $ok")

@@ -392,6 +392,26 @@ class CurationPipelineSpec extends SparkSpec {
     assert(noTgt.getMessage.contains("'nope'"))
   }
 
+  test("decontaminate_embedding step drops exactly the ANN-flagged docs") {
+    import graft.operators.Decontaminate
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val out = CurationPipeline.fromYaml(docs,
+      "steps:\n  - decontaminate_embedding: { probes: p, embeddings: emb, threshold: 0.4 }\n",
+      aux = Map("p" -> probes, "emb" -> emb))
+    val live = emb.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val hits = Decontaminate.matchesEmbedding(live, probes, threshold = 0.4)
+      .select(col("doc_id"))
+    val want = docs.join(hits, Seq("doc_id"), "left_anti")
+    assert(snap(out) == snap(want))
+    assert(out.count() < docs.count(), "self-probes must drop their corpus twins")
+    // Missing aux tables fail with the table named.
+    val noP = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - decontaminate_embedding: { probes: nope, embeddings: emb, threshold: 0.4 }\n",
+      aux = Map("emb" -> emb)))
+    assert(noP.getMessage.contains("'nope'"))
+  }
+
   test("embedding steps fail loudly on non-castable ids and on unembedded live docs") {
     val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     // Non-numeric string ids: the long cast nulls them, which would

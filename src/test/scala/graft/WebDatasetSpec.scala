@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.WebDataset
+
+class WebDatasetSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fixture = (0L until 10L)
+    .map(i => (i, s"text-$i-${"x" * i.toInt}", if (i % 2 == 0) "en" else "fr"))
+    .toDF("doc_id", "text", "lang")
+    .select(col("doc_id"),
+      col("text").cast("binary").as("t"), col("lang").cast("binary").as("l"))
+
+  test("writeTar/scanTar round trip: naming, sharding, payload bytes exact") {
+    val dir = java.nio.file.Files.createTempDirectory("wds").toString + "/corpus"
+    WebDataset.writeTar(fixture, dir, shards = 3, keyCol = "doc_id",
+      members = Seq("txt" -> "t", "cls" -> "l"))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(f => f.endsWith(".tar") && !f.startsWith(".")).sorted.toSeq
+    assert(files == Seq("shard-00000.tar", "shard-00001.tar", "shard-00002.tar"))
+    val m = WebDataset.scanTar(spark, dir)
+    val rows = m.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      new String(r.getAs[Array[Byte]](3), "UTF-8"), r.getLong(4)))
+    assert(rows.length == 20, s"expected 2 members x 10 docs, got ${rows.length}")
+    rows.foreach { case (shard, key, ext, payload, n) =>
+      val id = key.toLong
+      assert(shard == f"shard-${id % 3}%05d", s"doc $id landed in $shard")
+      assert(Seq("txt", "cls").contains(ext))
+      val want = if (ext == "txt") s"text-$id-${"x" * id.toInt}"
+        else (if (id % 2 == 0) "en" else "fr")
+      assert(payload == want, s"$key.$ext payload drifted")
+      assert(n == payload.getBytes("UTF-8").length.toLong)
+    }
+  }
+
+  test("samples pivot: one row per sample, missing modality null, binary integrity") {
+    val dir = java.nio.file.Files.createTempDirectory("wds2").toString + "/corpus"
+    // Give doc 0 no cls member by nulling its lang payload upstream —
+    // writeTar writes a zero-byte member for null; drop the member
+    // instead by writing two frames is overkill, so check null-payload
+    // semantics: empty bytes, not a crash.
+    WebDataset.writeTar(
+      fixture.withColumn("l", when(col("doc_id") === 0, lit(null)).otherwise(col("l"))),
+      dir, shards = 2, keyCol = "doc_id", members = Seq("txt" -> "t", "cls" -> "l"))
+    val s = WebDataset.samples(WebDataset.scanTar(spark, dir), Seq("txt", "cls"))
+    assert(s.count() == 10)
+    val r0 = s.filter(col("key") === "0").head()
+    assert(r0.getAs[Array[Byte]]("cls").isEmpty, "null payload must write as empty bytes")
+    val r3 = s.filter(col("key") === "3").head()
+    assert(new String(r3.getAs[Array[Byte]]("txt"), "UTF-8") == "text-3-xxx")
+    assert(new String(r3.getAs[Array[Byte]]("cls"), "UTF-8") == "fr")
+    // Unknown extension pivots to all-null column, not an error.
+    val s2 = WebDataset.samples(WebDataset.scanTar(spark, dir), Seq("txt", "nope"))
+    assert(s2.filter(col("nope").isNotNull).count() == 0)
+  }
+
+  test("rewrite with fewer shards clears stale shard files") {
+    val dir = java.nio.file.Files.createTempDirectory("wds3").toString + "/corpus"
+    WebDataset.writeTar(fixture, dir, shards = 4, keyCol = "doc_id",
+      members = Seq("txt" -> "t"))
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 4)
+    WebDataset.writeTar(fixture, dir, shards = 2, keyCol = "doc_id",
+      members = Seq("txt" -> "t"))
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".tar"))
+    assert(files.sorted.toSeq == Seq("shard-00000.tar", "shard-00001.tar"),
+      s"stale shards survived: ${files.mkString(",")}")
+    assert(WebDataset.scanTar(spark, dir).count() == 10)
+  }
+
+  test("binary payloads round trip bit-exactly (media fixture bytes)") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val payloads = graft.harness.MediaFixtures.syntheticContainers(ids)
+    val dir = java.nio.file.Files.createTempDirectory("wds4").toString + "/media"
+    WebDataset.writeTar(payloads, dir, shards = 3, keyCol = "media_id",
+      members = Seq("bin" -> "payload"))
+    val back = WebDataset.scanTar(spark, dir)
+      .select(col("key").cast("long").as("media_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val want = payloads.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(back == want, "payload bytes drifted through the tar round trip")
+  }
+}
