@@ -1999,6 +1999,39 @@ object QueryCatalog {
              |  ROUND(wt * 1000000 / tokens, 6) AS epochs
              |FROM w WHERE wt IS NOT NULL ORDER BY lang""".stripMargin)),
 
+    // UniMax budget allocation (Chung et al. 2023): uniform share per
+    // language capped at maxEpochs repetitions, overflow waterfalls to
+    // the groups that can absorb it. The prefix-capped closed form
+    // (Sampling.unimaxPlan) makes the oracle an exact window-CTE replay
+    // of Algorithm 1 — B/maxEpochs chosen so the sf corpus splits into
+    // BOTH capped and uncapped groups.
+    Q("sample_mix_unimax", (s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long"))
+      Sampling.unimaxPlan(d, totalTokens = 36000L, maxEpochs = 2.0)
+    }, Some("""WITH t AS (SELECT lang,
+             |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents),
+             |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(nt) AS BIGINT) AS tokens FROM t GROUP BY 1 HAVING SUM(nt) > 0),
+             |r AS (SELECT lang, n_docs, tokens, tokens * CAST(2.0 AS DOUBLE) AS cap,
+             |    ROW_NUMBER() OVER (ORDER BY tokens, lang) AS i,
+             |    COUNT(*) OVER () AS n,
+             |    COALESCE(SUM(tokens * CAST(2.0 AS DOUBLE)) OVER (ORDER BY tokens, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+             |  FROM g),
+             |c AS (SELECT *, cap * (n - i + 1) + cprev < 36000.0 AS capped FROM r),
+             |s AS (SELECT COALESCE(MAX(CASE WHEN capped THEN i END), 0) AS t_idx,
+             |    COALESCE(MAX(CASE WHEN capped THEN cprev + cap END), 0) AS ct,
+             |    MAX(n) AS n FROM c),
+             |a AS (SELECT c.lang, c.n_docs, c.tokens, c.cap,
+             |    CASE WHEN c.capped THEN c.cap
+             |         ELSE (36000.0 - s.ct) / (s.n - s.t_idx) END AS alloc
+             |  FROM c, s)
+             |SELECT lang, n_docs, tokens, ROUND(cap, 3) AS cap_tokens,
+             |  ROUND(alloc, 3) AS alloc_tokens, ROUND(alloc / tokens, 6) AS epochs
+             |FROM a ORDER BY lang""".stripMargin)),
+
     // Deterministic per-group head — the uniform-representation sampler
     // (same hash order as split/shuffle, so the pick is engine-
     // reproducible and corpus-order-free); full SQL oracle.
@@ -2625,6 +2658,31 @@ object QueryCatalog {
         m.select(col("key").cast("long").as("media_id"), col("payload")))
         .orderBy("media_id")
     }, Some(containerMetaSql)),
+
+    // Byte-budget tar release: the shard count is DERIVED from the
+    // corpus's payload mass (ceil(total_bytes / 64 KiB) here — the
+    // WebDataset "few hundred MB per shard" rule at sf scale), then the
+    // same closed-form key%shards assignment. The oracle recomputes the
+    // shard count as a scalar aggregate (strlen = UTF-8 bytes, matching
+    // the binary cast), so a drift in sizing, assignment, or payload
+    // bytes all fail the same gate.
+    Q("sink_tar_sized", (s, dir) => {
+      val out = s"/tmp/graft_wds_sized_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val nShards = graft.sources.WebDataset.writeTarAuto(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("t")),
+        out, targetShardBytes = 64 * 1024, keyCol = "doc_id", members = Seq("txt" -> "t"))
+      graft.sources.WebDataset.scanTar(s, out)
+        .groupBy(regexp_extract(col("shard"), "(\\d+)$", 1).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("sum_bytes"))
+        .withColumn("n_shards", lit(nShards.toLong))
+        .orderBy("shard")
+    }, Some("""WITH s AS (SELECT CAST(CEIL(SUM(strlen(text)) / 65536.0) AS BIGINT) AS n_shards
+              |    FROM documents),
+              |g AS (SELECT doc_id % (SELECT n_shards FROM s) AS shard,
+              |    CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
+              |  FROM documents GROUP BY 1)
+              |SELECT g.shard, g.n, g.sum_bytes, s.n_shards FROM g, s ORDER BY 1""".stripMargin)),
 
     Q("sink_jsonl", (s, dir) => {
       val out = s"/tmp/graft_jsonl_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"

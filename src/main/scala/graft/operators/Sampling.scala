@@ -456,6 +456,77 @@ object Sampling {
       .orderBy(groupCol)
   }
 
+  /** UniMax mixture allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023, Algorithm 1): instead of hand-picked
+    * weights ([[mixPlan]]) or temperature smoothing, spread the token
+    * budget UNIFORMLY over groups subject to a per-group epoch cap —
+    * low-resource groups contribute everything they have up to
+    * `maxEpochs` repetitions, and the budget they can't absorb flows to
+    * the groups that can. The paper's sequential greedy (ascending
+    * token mass, give each group `min(cap, remaining/left)`) is exactly
+    * prefix-capped waterfilling: once one group is uncapped the uniform
+    * share stays constant — `(B_i − B_i/(n−i+1))/(n−i) = B_i/(n−i+1)` —
+    * and caps ascend, so every later group is uncapped at the SAME
+    * share. The capped set is therefore the prefix where
+    * `cap_i·(n−i+1) + Σ_{j&lt;i} cap_j &lt; B` (that expression is
+    * nondecreasing in i), and the whole algorithm collapses to window
+    * cumsums — no iteration, and an exact SQL oracle replays it.
+    *
+    * Scale shape: one map-side-combined aggregate over the thin
+    * `(group, tokens)` projection, then windows over the GROUP-
+    * cardinality frame (languages/sources — thousands at most at
+    * 100 TB), the same post-aggregate single-partition shape as
+    * [[mixPlan]]'s output. Zero-token groups are dropped (no cap, no
+    * epochs — nothing to allocate against).
+    *
+    * @param totalTokens the training budget B
+    * @param maxEpochs   cap on repetitions of any group's token mass
+    * @return one row per group with positive token mass, ordered:
+    *         `(groupCol, n_docs, tokens, cap_tokens, alloc_tokens,
+    *         epochs)` — cap = tokens·maxEpochs (3 dp), alloc the
+    *         waterfilled budget share (3 dp; Σ = min(B, Σcap)), epochs
+    *         = alloc/tokens (6 dp, ≤ maxEpochs by construction).
+    */
+  def unimaxPlan(
+      docs: DataFrame,
+      totalTokens: Long,
+      maxEpochs: Double,
+      groupCol: String = "lang",
+      tokenCol: String = "n_tokens"
+  ): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val b = lit(totalTokens.toDouble)
+    val byCap = Window.orderBy(col("__cap"), col(groupCol))
+    val all = Window.partitionBy()
+    docs
+      .select(col(groupCol), col(tokenCol).cast("long").as("__t"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("tokens"))
+      .filter(col("tokens") > 0)
+      .withColumn("__cap", col("tokens") * lit(maxEpochs))
+      .withColumn("__i", row_number().over(byCap))
+      .withColumn("__cprev", coalesce(
+        sum("__cap").over(byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__capped",
+        col("__cap") * (col("__n") - col("__i") + 1) + col("__cprev") < b)
+      // t = |capped prefix|, Ct = its cap mass; share = (B − Ct)/(n − t)
+      // for the uncapped suffix (guarded: all-capped ⇒ suffix empty).
+      .withColumn("__t_idx", coalesce(
+        max(when(col("__capped"), col("__i"))).over(all), lit(0)))
+      .withColumn("__ct", coalesce(
+        max(when(col("__capped"), col("__cprev") + col("__cap"))).over(all), lit(0.0)))
+      .withColumn("__alloc", when(col("__capped"), col("__cap"))
+        .otherwise((b - col("__ct")) / (col("__n") - col("__t_idx"))))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        round(col("__cap"), 3).as("cap_tokens"),
+        round(col("__alloc"), 3).as("alloc_tokens"),
+        round(col("__alloc") / col("tokens"), 6).as("epochs"))
+      .orderBy(groupCol)
+  }
+
   /** Deterministic global shuffle-shard: every row lands in shard
     * `hash(id) mod numShards` at position `rank of hash(id) within the
     * shard` — the training-order randomization step that closes the

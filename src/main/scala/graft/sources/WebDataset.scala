@@ -116,6 +116,39 @@ object WebDataset {
       }
   }
 
+  /** [[writeTar]] with the shard COUNT derived from a payload-byte
+    * budget instead of fixed up front — the production release shape
+    * (WebDataset prescribes shards of a few hundred MB; a corpus's byte
+    * mass, not a constant, decides how many that is). One map-side-
+    * combined aggregate sums the member payload bytes, then
+    * `shards = ceil(total / targetShardBytes)` feeds the same
+    * closed-form `key % shards` assignment — still oracle-replayable,
+    * because the shard count itself is a scalar SQL aggregate. Hash
+    * assignment balances EXPECTED bytes per shard (keys are
+    * independent of payload size); tar framing (512 B header + padding
+    * per member) is deliberately excluded from the budget — at the
+    * prescribed shard sizes it is sub-percent noise.
+    *
+    * @return the derived shard count
+    */
+  def writeTarAuto(
+      df: DataFrame,
+      outDir: String,
+      targetShardBytes: Long,
+      keyCol: String = "doc_id",
+      members: Seq[(String, String)] = Seq("txt" -> "text")
+  ): Int = {
+    require(targetShardBytes > 0,
+      s"targetShardBytes must be positive, got $targetShardBytes")
+    val byteCols = members.map { case (_, c) =>
+      coalesce(octet_length(col(c).cast("binary")), lit(0)).cast("long") }
+    val total = df.select(sum(byteCols.reduce(_ + _)).as("b"))
+      .head().getAs[Any]("b") match { case null => 0L; case b: Long => b }
+    val shards = math.max(1L, (total + targetShardBytes - 1) / targetShardBytes).toInt
+    writeTar(df, outDir, shards, keyCol, members)
+    shards
+  }
+
   /** Read every `*.tar` under `path` as member rows
     * `(shard, key, ext, payload, n_bytes)` — one binaryFile task per
     * shard, the tar walked streamingly inside it.

@@ -203,6 +203,16 @@ object PlanAudit {
     audit("sample_temperature",
       graft.operators.Sampling.temperatureSample(docsT, totalN = 100, alpha = 0.5), 3)
 
+    // UniMax waterfilling: corpus-sized data crosses ONE exchange (the
+    // map-side-combined (group, tokens) aggregate); everything after —
+    // the cap cumsum, prefix test, and threshold windows — runs on the
+    // group-cardinality frame (single-partition window exchanges over
+    // ≤ thousands of rows at any corpus scale).
+    audit("sample_mix_unimax", graft.operators.Sampling.unimaxPlan(
+      docsT.withColumn("n_tokens",
+        org.apache.spark.sql.functions.length(col("text")).cast("long")),
+      totalTokens = 36000L, maxEpochs = 2.0), 2) // measured 1: all windows reuse one single-partition exchange
+
     // Trigram language ID: the doc_id repartition is the ONE exchange of
     // corpus-sized data — n-gram explode, (doc, tg) count, per-doc rank
     // window, per-(doc, lang) distance aggregate and argmin window all

@@ -444,4 +444,50 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("unimaxPlan matches the paper's sequential greedy on random frames") {
+    import spark.implicits._
+    // Literal Algorithm 1 (Chung et al. 2023): ascend by token mass,
+    // give each group min(cap, remaining budget / groups left).
+    def greedy(tokens: Map[String, Long], b: Double, n: Double): Map[String, Double] = {
+      var remaining = b
+      var left = tokens.size
+      val out = scala.collection.mutable.Map[String, Double]()
+      for ((g, t) <- tokens.toSeq.sortBy { case (g, t) => (t * n, g) }) {
+        val alloc = math.min(t * n, remaining / left)
+        out(g) = alloc; remaining -= alloc; left -= 1
+      }
+      out.toMap
+    }
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 6) {
+      val groups = ('a' to 'g').map(_.toString)
+      val rows = (0L until 400L).map(id =>
+        (id, groups(rnd.nextInt(groups.length)), (rnd.nextInt(500) + 1).toLong))
+      // Budgets spanning all-capped (tiny N), mixed, and all-uncapped.
+      val budget = Seq(20000L, 120000L, 900000L)(trial % 3)
+      val n = Seq(0.5, 2.0, 4.0)(trial % 3)
+      val got = graft.operators.Sampling
+        .unimaxPlan(rows.toDF("doc_id", "grp", "n_tokens"), budget, n, "grp")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      val present = rows.groupBy(_._2).view
+        .mapValues(rs => (rs.size.toLong, rs.map(_._3).sum)).toMap
+      val want = greedy(present.view.mapValues(_._2).toMap, budget.toDouble, n)
+      assert(got.keySet == present.keySet)
+      for (g <- got.keySet) {
+        val (nDocs, toks) = present(g)
+        val (gotN, gotT, gotCap, gotA, gotE) = got(g)
+        assert(gotN == nDocs && gotT == toks)
+        assert(math.abs(gotCap - toks * n) <= 1e-3)
+        assert(math.abs(gotA - want(g)) <= 1e-3 + 1e-9 * want(g),
+          s"trial $trial group $g: alloc $gotA vs greedy ${want(g)}")
+        assert(gotE <= n + 1e-6, s"epochs $gotE exceeds cap $n")
+      }
+      // Budget conservation: sum alloc = min(B, sum caps).
+      val totAlloc = got.values.map(_._4).sum
+      val totCap = present.values.map(_._2 * n).sum
+      assert(math.abs(totAlloc - math.min(budget.toDouble, totCap)) <= 1e-2)
+    }
+  }
 }

@@ -82,4 +82,27 @@ class WebDatasetSpec extends SparkSpec {
     val want = payloads.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(back == want, "payload bytes drifted through the tar round trip")
   }
+
+  test("writeTarAuto derives shard count from payload bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("wds5").toString + "/corpus"
+    // fixture txt payloads total sum(len("text-i-" + "x"*i)) = 10*7 + 45
+    // = 115 bytes; cls adds 10*2 = 20 → 135. target 50 → ceil(135/50)=3.
+    val n = WebDataset.writeTarAuto(fixture, dir, targetShardBytes = 50,
+      keyCol = "doc_id", members = Seq("txt" -> "t", "cls" -> "l"))
+    assert(n == 3, s"expected 3 shards for 135 payload bytes at target 50, got $n")
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".tar"))
+    assert(files.length == 3)
+    // Assignment is the same closed form as writeTar at the derived count.
+    WebDataset.scanTar(spark, dir).select("shard", "key").collect().foreach { r =>
+      assert(r.getString(0) == f"shard-${r.getString(1).toLong % 3}%05d")
+    }
+    // Giant target → everything in one shard; null payloads count zero.
+    val dir1 = java.nio.file.Files.createTempDirectory("wds6").toString + "/one"
+    val n1 = WebDataset.writeTarAuto(
+      fixture.withColumn("t", when(col("doc_id") < 5, col("t"))),
+      dir1, targetShardBytes = 1L << 30, keyCol = "doc_id",
+      members = Seq("txt" -> "t", "cls" -> "l"))
+    assert(n1 == 1)
+    assert(WebDataset.scanTar(spark, dir1).count() == 20)
+  }
 }
