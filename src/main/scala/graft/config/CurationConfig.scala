@@ -82,6 +82,17 @@ object CurationConfig {
     */
   final case class Upsample(factors: Map[String, Double], group: String) extends Step
 
+  /** UniMax mixing ("uniform over groups, capped at `maxEpochs`
+    * repetitions", Chung et al. 2023): plan the allocation with
+    * [[graft.operators.Sampling.unimaxPlan]] on the frame as curated so
+    * far, then materialize it as `(id, copy)` repeats — the
+    * budget-driven alternative to hand-specified [[Upsample]] factors.
+    * Duplicates ids like `upsample` does, so only `shuffle` (and a
+    * final `sink`) may follow.
+    */
+  final case class MixUnimax(
+      totalTokens: Long, maxEpochs: Double, group: String) extends Step
+
   /** URL-level dedup (first crawl wins): keep the min-id document of
     * each normalized-URL group. The byte-cost pre-pass of a web
     * pipeline — it must precede every text-processing step (the
@@ -180,6 +191,17 @@ object CurationConfig {
     * final step.
     */
   final case class Sink(path: String, partitionBy: Seq[String]) extends Step
+
+  /** Terminal WebDataset release: persist the curated corpus as
+    * byte-budget-sized tar shards (`<id>.txt` text members, plus
+    * `<id>.cls` with the `lang` column when present — the training-
+    * loader convention) and hand back the DECODED read-back frame, so
+    * the gate verifies the release as a loader would actually read it.
+    * Must be the final step; refuses `(id, copy)`-keyed frames (tar
+    * member names are id-keyed — release repeated corpora via the
+    * parquet `sink`).
+    */
+  final case class SinkTar(path: String, targetShardBytes: Long) extends Step
 
   final case class Pipeline(steps: Seq[Step])
 
@@ -281,6 +303,11 @@ object CurationConfig {
           .asInstanceOf[java.util.Map[Object, Object]].asScala
           .map { case (k, v) => k.toString -> v.asInstanceOf[Number].doubleValue }.toMap
         Upsample(factors, params.get("group").map(_.toString).getOrElse("lang"))
+      case "mix_unimax" =>
+        MixUnimax(
+          need(longParam("total_tokens"), "'total_tokens' (training budget B)"),
+          need(doubleParam("max_epochs"), "'max_epochs' (per-group repetition cap)"),
+          params.get("group").map(_.toString).getOrElse("lang"))
       case "url_dedup" =>
         UrlDedup(params.get("url_col").map(_.toString).getOrElse("url"))
       case "substring_remove" =>
@@ -346,13 +373,17 @@ object CurationConfig {
           params.get("partition_by").map(
             _.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
             .getOrElse(Seq.empty))
+      case "sink_tar" =>
+        SinkTar(
+          need(params.get("path").map(_.toString), "'path'"),
+          longParam("target_bytes").getOrElse(256L << 20))
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
             "compress, dedup_exact, dedup_minhash, dedup_semantic, dedup_simhash, " +
             "decontaminate_embedding, importance_sample, langid_keep, " +
-            "langid_trigram_keep, quality, quality_model, quota, repetition, " +
-            "sample_diverse, sink, split, shuffle, chunk, decontaminate, perplexity, " +
+            "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
+            "sample_diverse, sink, sink_tar, split, shuffle, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")
     }
   }

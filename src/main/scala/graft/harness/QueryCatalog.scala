@@ -2032,6 +2032,46 @@ object QueryCatalog {
              |  ROUND(alloc, 3) AS alloc_tokens, ROUND(alloc / tokens, 6) AS epochs
              |FROM a ORDER BY lang""".stripMargin)),
 
+    // UniMax EXECUTED: the waterfilled plan materialized as (id, copy)
+    // repeats — full epochs copy every doc, the fractional remainder is
+    // the per-doc hash pick at probability e−⌊e⌋ (the upsample rule,
+    // token-accurate in expectation; exact-prefix would single-task-sort
+    // the dominant group). Oracle composes the unimax CTE with the
+    // proven upsample CTE over the plan's 6-dp epochs.
+    Q("sample_unimax", (s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long"))
+      Sampling.unimaxSample(d, totalTokens = 36000L, maxEpochs = 2.0)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }, Some("""WITH t AS (SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents),
+             |g AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS tokens FROM t
+             |  GROUP BY 1 HAVING SUM(nt) > 0),
+             |r AS (SELECT lang, tokens, tokens * CAST(2.0 AS DOUBLE) AS cap,
+             |    ROW_NUMBER() OVER (ORDER BY tokens, lang) AS i,
+             |    COUNT(*) OVER () AS n,
+             |    COALESCE(SUM(tokens * CAST(2.0 AS DOUBLE)) OVER (ORDER BY tokens, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+             |  FROM g),
+             |c AS (SELECT *, cap * (n - i + 1) + cprev < 36000.0 AS capped FROM r),
+             |s AS (SELECT COALESCE(MAX(CASE WHEN capped THEN i END), 0) AS t_idx,
+             |    COALESCE(MAX(CASE WHEN capped THEN cprev + cap END), 0) AS ct,
+             |    MAX(n) AS n FROM c),
+             |a AS (SELECT c.lang, ROUND((CASE WHEN c.capped THEN c.cap
+             |    ELSE (36000.0 - s.ct) / (s.n - s.t_idx) END) / c.tokens, 6) AS e
+             |  FROM c, s),
+             |f AS (SELECT t.doc_id, t.lang, a.e,
+             |    (t.doc_id % 1048576) * 2654435761 % 4294967296 AS rnd
+             |  FROM t JOIN a USING (lang)),
+             |cnt AS (SELECT doc_id, lang, CAST(FLOOR(e) AS BIGINT) +
+             |    (CASE WHEN rnd < (e - FLOOR(e)) * 4294967296 THEN 1 ELSE 0 END) AS n_copies
+             |  FROM f),
+             |u AS (SELECT doc_id, lang, CAST(UNNEST(range(n_copies)) AS BIGINT) AS copy
+             |  FROM cnt WHERE n_copies > 0)
+             |SELECT doc_id, lang, copy FROM u ORDER BY doc_id, copy""".stripMargin)),
+
     // Deterministic per-group head — the uniform-representation sampler
     // (same hash order as split/shuffle, so the pick is engine-
     // reproducible and corpus-order-free); full SQL oracle.
@@ -2310,6 +2350,33 @@ object QueryCatalog {
     // token gate → repetition gate → exact dedup → per-language quota →
     // train/val/test split → shuffle-shard. Every step is the proven
     // oracle form, composed; the result is exact end to end.
+    // Training-ready tar release INSIDE the language: the terminal
+    // sink_tar step writes byte-budget WebDataset shards and hands back
+    // the DECODED read-back frame — what this entry verifies is the
+    // release exactly as a training loader would read it (member
+    // naming, shard sizing, payload text, lang sidecar). Oracle
+    // composes the proven quality + dedup_exact forms with the
+    // sink_tar_sized shard arithmetic (strlen(text) + strlen(lang)
+    // member bytes). Per-run unique path, same as curation_release.
+    Q("curation_release_tar", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink_tar: { path: /tmp/graft_release_tar_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)},
+           |                target_bytes: 65536 }
+           |""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("shard").cast("long").as("shard"))
+        .orderBy("doc_id"),
+      Some("""WITH q AS (SELECT doc_id, lang, text FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 10),
+             |d AS (SELECT * FROM q WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
+             |s AS (SELECT CAST(CEIL(SUM(strlen(text) + strlen(lang)) / 65536.0) AS BIGINT) AS n
+             |  FROM d)
+             |SELECT d.doc_id, d.lang, d.text, d.doc_id % s.n AS shard
+             |FROM d, s ORDER BY doc_id""".stripMargin)),
+
     Q("curation_release", (s, dir) =>
       // The 10-step capstone now ENDS inside the language: the terminal
       // `sink` step writes the Hive split/shard release layout and hands

@@ -45,16 +45,20 @@ object CurationPipeline {
         "chunk changes the row grain and must be the final step")
       require(!s.isInstanceOf[Sink],
         "sink writes the release and must be the final step")
+      require(!s.isInstanceOf[SinkTar],
+        "sink_tar writes the release and must be the final step")
     }
-    // After upsample the row key is (id, copy) — every selection step
-    // would see duplicate ids and silently mis-count. Only shuffle
-    // (which keys copies apart) and the terminal sink are legal after it.
+    // After upsample/mix_unimax the row key is (id, copy) — every
+    // selection step would see duplicate ids and silently mis-count.
+    // Only shuffle (which keys copies apart) and the terminal sink are
+    // legal after either.
     pipeline.steps.zipWithIndex.collectFirst {
-      case (u: Upsample, i) => i
-    }.foreach { i =>
+      case (u: Upsample, i) => (stepName(u), i)
+      case (u: MixUnimax, i) => (stepName(u), i)
+    }.foreach { case (nm, i) =>
       require(pipeline.steps.drop(i + 1)
         .forall(s => s.isInstanceOf[Shuffle] || s.isInstanceOf[Sink]),
-        "upsample duplicates ids (row key becomes (id, copy)); only " +
+        s"$nm duplicates ids (row key becomes (id, copy)); only " +
           "'shuffle' (and a final 'sink') may follow it")
     }
     // url_dedup is the byte-cost pre-pass: its point is to drop URL
@@ -109,6 +113,7 @@ object CurationPipeline {
     case TokenBudget(_, _) => "token_budget"
     case PerplexityRank(_, _, _) => "perplexity_rank"
     case Upsample(_, _) => "upsample"
+    case MixUnimax(_, _, _) => "mix_unimax"
     case UrlDedup(_) => "url_dedup"
     case SubstringRemove(_) => "substring_remove"
     case QualityModel(_, _) => "quality_model"
@@ -121,6 +126,7 @@ object CurationPipeline {
     case ImportanceSample(_, _, _, _) => "importance_sample"
     case DecontamEmbedding(_, _, _) => "decontaminate_embedding"
     case Sink(_, _) => "sink"
+    case SinkTar(_, _) => "sink_tar"
   }
 
   /** Resolve an auxiliary embedding frame and restrict it to the ids
@@ -242,6 +248,14 @@ object CurationPipeline {
         // In-place (map-side) — the operator-then-join-back form would
         // shuffle the corpus by id twice for nothing.
         Sampling.upsampleWithCopies(df, factors, group, idCol).drop("n_copies")
+      case MixUnimax(totalTokens, maxEpochs, group) =>
+        // Token counts feed the PLAN only; the copies apply in place
+        // (broadcast plan join + explode — same shape as upsample).
+        Sampling.unimaxSample(
+          df.withColumn("__nt",
+            size(filter(split(lower(col(textCol)), " "), t => t =!= "")).cast("long")),
+          totalTokens, maxEpochs, group, "__nt", idCol)
+          .drop("__nt")
       case UrlDedup(urlCol) =>
         require(df.columns.contains(urlCol),
           s"url_dedup: no '$urlCol' column on the input frame " +
@@ -345,5 +359,29 @@ object CurationPipeline {
         val w = df.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
         df.sparkSession.read.parquet(path)
+      case SinkTar(path, targetShardBytes) =>
+        // Tar members are id-keyed — a (id, copy)-keyed frame would
+        // collide member names and silently drop repeats.
+        require(!df.columns.contains("copy"),
+          "sink_tar: frame is keyed (id, copy) after upsample/mix_unimax; " +
+            "tar member names are id-keyed — release repeated corpora via the parquet 'sink'")
+        require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(df.schema(idCol).dataType),
+          s"sink_tar: id column '$idCol' must be integral (member names are " +
+            s"<id>.<ext>), got ${df.schema(idCol).dataType.simpleString}")
+        val hasLang = df.columns.contains("lang")
+        val members = Seq("txt" -> textCol) ++ (if (hasLang) Seq("cls" -> "lang") else Nil)
+        graft.sources.WebDataset.writeTarAuto(
+          df, path, targetShardBytes, idCol, members)
+        // Read-back verification frame: the release as a training loader
+        // would decode it (same eager-at-compile semantics as Sink).
+        val m = graft.sources.WebDataset.samples(
+          graft.sources.WebDataset.scanTar(df.sparkSession, path), members.map(_._1))
+        val base = Seq(
+          col("key").cast(df.schema(idCol).dataType).as(idCol),
+          regexp_extract(col("shard"), "(\\d+)$", 1).cast("int").as("shard"),
+          decode(col("txt"), "UTF-8").as(textCol))
+        m.select(base ++ (if (hasLang) Seq(decode(col("cls"), "UTF-8").as("lang")) else Nil): _*)
     }
 }

@@ -527,6 +527,47 @@ object Sampling {
       .orderBy(groupCol)
   }
 
+  /** Execute a [[unimaxPlan]]: materialize each group's allocated
+    * epochs as explicit `(id, copy)` repeats — full epochs copy every
+    * document, and the fractional remainder is [[upsampleRepeats]]'s
+    * per-document hash pick at probability `e − ⌊e⌋` (token mass
+    * matches the allocation in EXPECTATION; the token-exact
+    * hash-prefix alternative needs a per-group sorted cumsum whose
+    * dominant group becomes one giant sort task at corpus scale —
+    * epoch factors here can approach 1 full epoch, so no
+    * [[tokenBudgetSample]]-style lossless pre-filter exists). The plan
+    * is group-cardinality and arrives by broadcast, so beyond
+    * [[unimaxPlan]]'s one aggregate the step is map-side: no exchange
+    * of corpus-sized data, same shape as the `upsample` pipeline step.
+    *
+    * Uses the plan's 6-dp-rounded `epochs` (not the raw quotient), so
+    * any engine replaying the rounded plan reproduces the pick
+    * bit-exactly. Output rows are keyed `(id, copy)` — shuffle-shard
+    * (with `copyCol`) before training ingestion.
+    *
+    * @return every input column plus `copy` (0-based repeat index);
+    *         groups with zero token mass drop with the plan.
+    */
+  def unimaxSample(
+      df: DataFrame,
+      totalTokens: Long,
+      maxEpochs: Double,
+      groupCol: String = "lang",
+      tokensCol: String = "n_tokens",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val plan = unimaxPlan(df, totalTokens, maxEpochs, groupCol, tokensCol)
+      .select(col(groupCol), col("epochs").as("__e"))
+    val extra = (pseudoShuffle(col(idCol)) <
+      (col("__e") - floor(col("__e"))) * lit(HashSpace.toDouble)).cast("long")
+    df
+      .join(broadcast(plan), Seq(groupCol))
+      .withColumn("__copies", floor(col("__e")).cast("long") + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__e", "__copies")
+  }
+
   /** Deterministic global shuffle-shard: every row lands in shard
     * `hash(id) mod numShards` at position `rank of hash(id) within the
     * shard` — the training-order randomization step that closes the

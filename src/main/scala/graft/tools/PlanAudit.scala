@@ -213,6 +213,14 @@ object PlanAudit {
         org.apache.spark.sql.functions.length(col("text")).cast("long")),
       totalTokens = 36000L, maxEpochs = 2.0), 2) // measured 1: all windows reuse one single-partition exchange
 
+    // UniMax EXECUTED: corpus-sized data never shuffles — the plan's
+    // aggregate is the only exchange and its group-cardinality result
+    // arrives back by broadcast; the copies explode map-side.
+    audit("sample_unimax", graft.operators.Sampling.unimaxSample(
+      docsT.withColumn("n_tokens",
+        org.apache.spark.sql.functions.length(col("text")).cast("long")),
+      totalTokens = 36000L, maxEpochs = 2.0), 2) // measured 1: the plan aggregate
+
     // Trigram language ID: the doc_id repartition is the ONE exchange of
     // corpus-sized data — n-gram explode, (doc, tg) count, per-doc rank
     // window, per-(doc, lang) distance aggregate and argmin window all

@@ -392,6 +392,57 @@ class CurationPipelineSpec extends SparkSpec {
     assert(noTgt.getMessage.contains("'nope'"))
   }
 
+  test("sink_tar releases decoded tar shards; misplaced or copy-keyed use is refused") {
+    val path = java.nio.file.Files.createTempDirectory("ctar").toString + "/rel"
+    val out = CurationPipeline.fromYaml(docs,
+      s"steps:\n  - quality: { min_tokens: 5 }\n" +
+        s"  - sink_tar: { path: $path, target_bytes: 4096 }\n")
+    // The read-back frame IS the release as decoded: text and lang
+    // round-trip byte-exactly for every surviving doc.
+    val want = docs.filter(
+      size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 5)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val got = out.select(col("doc_id"), col("text"), col("lang"))
+    assert(snap(got) == snap(want), "decoded release drifted from the curated frame")
+    // Shards exist on disk with the derived byte-budget count.
+    val tars = new java.io.File(path).listFiles().map(_.getName).filter(_.endsWith(".tar"))
+    assert(tars.length > 1, s"expected multiple 4 KiB-budget shards, got ${tars.length}")
+    assert(out.select("shard").distinct().count() == tars.length)
+    // Not final → refused; after mix_unimax (copy-keyed) → refused.
+    val mid = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      s"steps:\n  - sink_tar: { path: $path }\n  - quality: { min_tokens: 5 }\n"))
+    assert(mid.getMessage.contains("final step"))
+    val copies = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      s"steps:\n  - mix_unimax: { total_tokens: 9000, max_epochs: 2.0 }\n" +
+        s"  - sink_tar: { path: $path }\n"))
+    assert(copies.getMessage.contains("only 'shuffle'"))
+  }
+
+  test("mix_unimax step applies the waterfilled plan as (id, copy) repeats") {
+    import graft.operators.Sampling
+    val out = CurationPipeline.fromYaml(docs,
+      "steps:\n  - mix_unimax: { total_tokens: 9000, max_epochs: 2.0 }\n")
+    val sized = docs.withColumn("__nt",
+      size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long"))
+    val want = Sampling.unimaxSample(sized, 9000L, 2.0, "lang", "__nt").drop("__nt")
+    assert(snap(out) == snap(want), "mix_unimax drifted from the operator composition")
+    // No document repeats past the epoch cap.
+    val maxCopies = out.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    assert(maxCopies <= 2, s"doc repeated $maxCopies times past the 2-epoch cap")
+    // Selection steps after mix_unimax are refused with the step named.
+    val bad = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - mix_unimax: { total_tokens: 9000, max_epochs: 2.0 }\n" +
+        "  - quality: { min_tokens: 5 }\n"))
+    assert(bad.getMessage.contains("mix_unimax") &&
+      bad.getMessage.contains("only 'shuffle'"))
+    // shuffle after it keys copies apart (the legal continuation).
+    val sh = CurationPipeline.fromYaml(docs,
+      "steps:\n  - mix_unimax: { total_tokens: 9000, max_epochs: 2.0 }\n" +
+        "  - shuffle: { shards: 2 }\n")
+    assert(sh.columns.contains("copy") && sh.columns.contains("shard"))
+    assert(sh.count() == out.count())
+  }
+
   test("decontaminate_embedding step drops exactly the ANN-flagged docs") {
     import graft.operators.Decontaminate
     val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
