@@ -77,23 +77,30 @@ object Bench {
     // SPARK_GRAFT_PREV_BENCH). New entries have no prior — never
     // escalated by this rule; a real regression keeps its slow reading
     // after 5 quiet samples and stays visible.
+    // Resolution order: explicit override → the committed BENCH_LOCAL
+    // .json (this Bench's OWN full output line from the previous round —
+    // always carries the "queries" map) → the newest driver-side
+    // BENCH_r*.json (a wrapper whose `tail` is the LAST N chars of the
+    // sbt log: the queries map is usually truncated away and `parsed`
+    // has been null since r01, so this is a best-effort fallback only).
     val prevMins: Map[String, Double] = {
-      val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH")
-        .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
-      val latest = explicit.orElse {
-        val rx = "BENCH_r(\\d+)\\.json".r
-        val dir = new java.io.File(".").listFiles()
-        Option(dir).toSeq.flatten
-          .flatMap(f => rx.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
-          .sortBy(-_._1).headOption.map(_._2.toPath)
-      }
-      latest.map { p =>
+      def minsIn(p: java.nio.file.Path): Map[String, Double] = {
         val txt = java.nio.file.Files.readString(p)
         val qsec = "\"queries\":\\{([^}]*)\\}".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(qsec)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      }
+      val candidates =
+        sys.env.get("SPARK_GRAFT_PREV_BENCH").map(java.nio.file.Paths.get(_)).toSeq ++
+          Seq(java.nio.file.Paths.get("BENCH_LOCAL.json")) ++ {
+            val rx = "BENCH_r(\\d+)\\.json".r
+            Option(new java.io.File(".").listFiles()).toSeq.flatten
+              .flatMap(f => rx.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+              .sortBy(-_._1).map(_._2.toPath)
+          }
+      candidates.filter(java.nio.file.Files.exists(_)).map(minsIn)
+        .find(_.nonEmpty).getOrElse(Map.empty)
     }
     val results = names.map { name =>
       def once(): Double =

@@ -130,6 +130,15 @@ object QueryCatalog {
       |  CAST(CASE WHEN doc_id % 6 IN (1, 3, 4, 5) THEN 44100 END AS INT) AS sample_rate
       |FROM documents ORDER BY 1""".stripMargin
 
+  /** Per-(shard, lang) rollup of the WebDataset round trip — shared by
+    * the batch `scan_tar` entry and `streaming_scan_tar_replay`, whose
+    * outputs must agree byte-for-byte.
+    */
+  private val tarRollupSql =
+    """SELECT doc_id % 4 AS shard, lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** documents + a deterministic synthetic `url` column — closed-form in
     * (doc_id, lang, source), reproduced verbatim in [[urlCte]], the same
     * fixture pattern the multimodal oracles use. The decorations exercise
@@ -2705,9 +2714,36 @@ object QueryCatalog {
         .groupBy("shard", "lang")
         .agg(count(lit(1)).as("n"), sum("n_text_chars").as("sum_chars"))
         .orderBy("shard", "lang")
-    }, Some("""SELECT doc_id % 4 AS shard, lang, CAST(COUNT(*) AS BIGINT) AS n,
-              |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
-              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    }, Some(tarRollupSql)),
+
+    // STREAMING ingest of the same shard directory: streamTar tails the
+    // tars one file per micro-batch through the exactly-once parquet
+    // file sink (fresh checkpoint per run), and the decoded rollup of
+    // the sink equals the batch scan_tar oracle — the continuous-crawl
+    // ingest path gated by the same DuckDB truth as its batch twin.
+    Q("streaming_scan_tar_replay", (s, dir) => {
+      val out = s"/tmp/graft_wds_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.WebDataset.writeTar(
+        docs(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("t"), col("lang").cast("binary").as("l")),
+        out, shards = 4, keyCol = "doc_id", members = Seq("txt" -> "t", "cls" -> "l"))
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val sink = s"/tmp/graft_wds_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$run"
+      val q = graft.sources.WebDataset.streamTar(s, out, maxFilesPerTrigger = 1)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", s"${sink}_ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.sources.WebDataset.samples(s.read.parquet(sink), Seq("txt", "cls"))
+        .select(
+          regexp_extract(col("shard"), "(\\d+)$", 1).cast("long").as("shard"),
+          decode(col("cls"), "UTF-8").as("lang"),
+          length(decode(col("txt"), "UTF-8")).cast("long").as("n_text_chars"))
+        .groupBy("shard", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_text_chars").as("sum_chars"))
+        .orderBy("shard", "lang")
+    }, Some(tarRollupSql)),
 
     // Binary-payload WebDataset: the MediaFixtures container payloads
     // (valid MP4/MP3/WebM/FLAC/Ogg/AAC byte streams) shipped through tar

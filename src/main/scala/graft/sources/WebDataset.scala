@@ -149,6 +149,25 @@ object WebDataset {
     shards
   }
 
+  /** Walk one shard file's tar bytes into member rows (shared by the
+    * batch and streaming scans — identical decode either way).
+    */
+  private def walkMembers(p: String, bytes: Array[Byte]): Iterator[Member] = {
+    val shard = p.substring(p.lastIndexOf('/') + 1).stripSuffix(".tar")
+    val tin = new TarArchiveInputStream(
+      new BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+    Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+      .filter(e => !e.isDirectory)
+      .map { e =>
+        val payload = tin.readNBytes(e.getSize.toInt)
+        val name = e.getName
+        val dot = name.lastIndexOf('.')
+        val (key, ext) =
+          if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+        Member(shard, key, ext, payload, payload.length.toLong)
+      }.toVector.iterator
+  }
+
   /** Read every `*.tar` under `path` as member rows
     * `(shard, key, ext, payload, n_bytes)` — one binaryFile task per
     * shard, the tar walked streamingly inside it.
@@ -160,21 +179,39 @@ object WebDataset {
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .flatMap { case (p, bytes) =>
-        val shard = p.substring(p.lastIndexOf('/') + 1).stripSuffix(".tar")
-        val tin = new TarArchiveInputStream(
-          new BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
-        Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
-          .filter(e => !e.isDirectory)
-          .map { e =>
-            val payload = tin.readNBytes(e.getSize.toInt)
-            val name = e.getName
-            val dot = name.lastIndexOf('.')
-            val (key, ext) =
-              if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
-            Member(shard, key, ext, payload, payload.length.toLong)
-          }.toVector.iterator
-      }
+      .flatMap { case (p, bytes) => walkMembers(p, bytes) }
+      .toDF()
+  }
+
+  /** STREAMING ingest of a shard directory: tail `path` for newly
+    * arriving `*.tar` files and emit their member rows in the
+    * micro-batch each shard lands in — the continuous-crawl shape
+    * (shards appear on object storage as crawlers finish them; the
+    * curation pipeline consumes the directory as an unbounded source).
+    * Structured Streaming's file source tracks seen files in the
+    * checkpoint, so every shard is processed exactly once across
+    * restarts; `maxFilesPerTrigger` bounds per-batch bytes (one shard
+    * is one `binaryFile` row, so batch memory ≈ files × shard size —
+    * size shards as [[writeTar]] prescribes). Decode is [[scanTar]]'s
+    * tar walk, shared code path.
+    */
+  def streamTar(
+      spark: SparkSession, path: String, maxFilesPerTrigger: Int = 16): DataFrame = {
+    implicit val enc = Encoders.product[Member]
+    import org.apache.spark.sql.types._
+    // binaryFile's fixed schema — the streaming source requires it
+    // explicitly (no inference pass over an unbounded directory).
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.tar")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) => walkMembers(p, bytes) }
       .toDF()
   }
 

@@ -83,6 +83,48 @@ class WebDatasetSpec extends SparkSpec {
     assert(back == want, "payload bytes drifted through the tar round trip")
   }
 
+  test("streamTar tails the shard directory: batch parity, exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("wds7").toString + "/corpus"
+    WebDataset.writeTar(fixture, dir, shards = 2, keyCol = "doc_id",
+      members = Seq("txt" -> "t"))
+    val ckpt = java.nio.file.Files.createTempDirectory("wds7ck").toString
+    // foreachBatch (the only sink shape that RECOVERS from a checkpoint
+    // — memory sink refuses) collecting each drain's rows driver-side.
+    def drain(): Seq[(String, String, String, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+      val q = WebDataset.streamTar(spark, dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= b.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            new String(r.getAs[Array[Byte]](3), "UTF-8")))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    val first = drain()
+    // Batch parity: the streamed members equal scanTar's, row for row.
+    val batch = WebDataset.scanTar(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8")))
+    assert(first.sorted == batch.toSeq.sorted)
+    // A new shard lands (crawler finished another chunk): only IT is
+    // processed on the next drain — the checkpoint remembers seen files.
+    val scratch = java.nio.file.Files.createTempDirectory("wds7s").toString + "/late"
+    WebDataset.writeTar(fixture.filter(col("doc_id") < 3), scratch, shards = 1,
+      keyCol = "doc_id", members = Seq("txt" -> "t"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(scratch, "shard-00000.tar"),
+      java.nio.file.Paths.get(dir, "shard-00099.tar"))
+    val second = drain()
+    assert(second.nonEmpty && second.forall(_._1 == "shard-00099"),
+      s"restart re-processed old shards: ${second.map(_._1).distinct.mkString(",")}")
+    assert(second.length == 3)
+  }
+
   test("writeTarAuto derives shard count from payload bytes") {
     val dir = java.nio.file.Files.createTempDirectory("wds5").toString + "/corpus"
     // fixture txt payloads total sum(len("text-i-" + "x"*i)) = 10*7 + 45
