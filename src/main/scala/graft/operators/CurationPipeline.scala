@@ -372,6 +372,16 @@ object CurationPipeline {
             s"<id>.<ext>), got ${df.schema(idCol).dataType.simpleString}")
         val hasLang = df.columns.contains("lang")
         val members = Seq("txt" -> textCol) ++ (if (hasLang) Seq("cls" -> "lang") else Nil)
+        // Null member payloads write as EMPTY tar members and decode
+        // back as "" — a silent corpus rewrite. Refuse with the count
+        // (parquet `sink` round-trips nulls; this release format can't).
+        val nNull = df.filter(members.map { case (_, c) => col(c).isNull }
+          .reduce(_ || _)).count()
+        require(nNull == 0,
+          s"sink_tar: $nNull rows carry null ${members.map(_._2).mkString("/")} — " +
+            "tar members would decode as empty strings, silently rewriting the " +
+            "corpus; drop or fill nulls upstream (e.g. a 'quality' step), or " +
+            "release via the parquet 'sink'")
         graft.sources.WebDataset.writeTarAuto(
           df, path, targetShardBytes, idCol, members)
         // Read-back verification frame: the release as a training loader

@@ -416,6 +416,12 @@ class CurationPipelineSpec extends SparkSpec {
       s"steps:\n  - mix_unimax: { total_tokens: 9000, max_epochs: 2.0 }\n" +
         s"  - sink_tar: { path: $path }\n"))
     assert(copies.getMessage.contains("only 'shuffle'"))
+    // Null payloads would decode as "" — refused loudly, not rewritten.
+    val path2 = java.nio.file.Files.createTempDirectory("ctar2").toString + "/rel"
+    val nulls = intercept[IllegalArgumentException](CurationPipeline.fromYaml(
+      docs.withColumn("text", when(col("doc_id") % 7 === 0, col("text"))),
+      s"steps:\n  - sink_tar: { path: $path2 }\n"))
+    assert(nulls.getMessage.contains("null") && nulls.getMessage.contains("empty strings"))
   }
 
   test("mix_unimax step applies the waterfilled plan as (id, copy) repeats") {
