@@ -2762,6 +2762,49 @@ object QueryCatalog {
         .orderBy("media_id")
     }, Some(containerMetaSql)),
 
+    // STREAMING release: two deterministic halves of the corpus arrive
+    // as micro-batches; tarSink lands each as its own batch=<id> shard
+    // directory (byte-budget sizing PER BATCH), and the recursive scan
+    // reads the accumulated layout back as one corpus. The oracle
+    // replays the half split, the per-batch shard arithmetic, and the
+    // decoded rollup — the continuous-release twin of sink_tar_sized.
+    Q("streaming_sink_tar_replay", (s, dir) => {
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val rows = docs(s, dir).select("doc_id", "lang", "text")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      val halves = rows.partition(_._1 < 250)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = s"/tmp/graft_tar_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$run"
+      val q = graft.sources.WebDataset.tarSink(
+        input.toDF().toDF("doc_id", "lang", "text"), out, targetShardBytes = 16384,
+        members = Seq("txt" -> "text", "cls" -> "lang"))
+        .option("checkpointLocation", s"${out}_ckpt").start()
+      try Seq(halves._1, halves._2).foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.WebDataset.samples(
+          graft.sources.WebDataset.scanTar(s, out), Seq("txt", "cls"))
+        .select(
+          regexp_extract(col("shard"), "batch=(\\d+)", 1).cast("long").as("batch"),
+          regexp_extract(col("shard"), "shard-(\\d+)", 1).cast("long").as("shard"),
+          decode(col("cls"), "UTF-8").as("lang"),
+          length(decode(col("txt"), "UTF-8")).cast("long").as("nc"))
+        .groupBy("batch", "shard", "lang")
+        .agg(count(lit(1)).as("n"), sum("nc").as("sum_chars"))
+        .orderBy("batch", "shard", "lang")
+    }, Some("""WITH h AS (SELECT doc_id, lang, text,
+              |    CAST(CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS BIGINT) AS batch
+              |  FROM documents),
+              |s AS (SELECT batch, CAST(CEIL(SUM(strlen(text) + strlen(lang)) / 16384.0) AS BIGINT) AS ns
+              |  FROM h GROUP BY 1)
+              |SELECT h.batch, h.doc_id % s.ns AS shard, h.lang,
+              |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(LENGTH(h.text)) AS BIGINT) AS sum_chars
+              |FROM h JOIN s USING (batch) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // Byte-budget tar release: the shard count is DERIVED from the
     // corpus's payload mass (ceil(total_bytes / 64 KiB) here — the
     // WebDataset "few hundred MB per shard" rule at sf scale), then the

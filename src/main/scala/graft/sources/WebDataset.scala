@@ -149,11 +149,44 @@ object WebDataset {
     shards
   }
 
+  /** STREAMING release sink: append each micro-batch of a curation
+    * stream as its own `batch=<id>/shard-*.tar` WebDataset subdirectory
+    * — the continuous-release shape (curated docs flow in, training-
+    * ready shards accumulate). Idempotent under foreachBatch's
+    * at-least-once contract: a re-delivered batch overwrites ITS OWN
+    * `batch=<id>` directory byte-identically (the
+    * [[graft.operators.Profiling.profileSink]] convention —
+    * [[writeTar]] output is a pure function of the batch rows), and
+    * [[scanTar]]'s recursive lookup reads the accumulated layout as one
+    * corpus with batch-qualified shard labels. Start with
+    * `.option("checkpointLocation", …).start()` on the returned writer.
+    */
+  def tarSink(
+      stream: DataFrame,
+      outDir: String,
+      targetShardBytes: Long = 256L << 20,
+      keyCol: String = "doc_id",
+      members: Seq[(String, String)] = Seq("txt" -> "text")
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeTarAuto(batch, s"$outDir/batch=$batchId", targetShardBytes, keyCol, members)
+        ()
+    }
+
   /** Walk one shard file's tar bytes into member rows (shared by the
     * batch and streaming scans — identical decode either way).
     */
   private def walkMembers(p: String, bytes: Array[Byte]): Iterator[Member] = {
-    val shard = p.substring(p.lastIndexOf('/') + 1).stripSuffix(".tar")
+    val segs = p.split('/')
+    val base = segs.last.stripSuffix(".tar")
+    // Shards written by [[tarSink]] live in batch=<id> subdirectories and
+    // reuse shard-00000.tar names per batch — carry the batch dir into
+    // the label so shards stay distinct corpus-wide.
+    val shard =
+      if (segs.length >= 2 && segs(segs.length - 2).startsWith("batch="))
+        segs(segs.length - 2) + "/" + base
+      else base
     val tin = new TarArchiveInputStream(
       new BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
     Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
@@ -176,6 +209,7 @@ object WebDataset {
     implicit val enc = Encoders.product[Member]
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar")
+      .option("recursiveFileLookup", "true")
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
@@ -207,6 +241,7 @@ object WebDataset {
     spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.tar")
+      .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(path)
       .select(col("path"), col("content"))

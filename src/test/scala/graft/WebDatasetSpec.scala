@@ -125,6 +125,41 @@ class WebDatasetSpec extends SparkSpec {
     assert(second.length == 3)
   }
 
+  test("tarSink appends idempotent batch=<id> shard dirs; scanTar reads the layout as one corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("wds8").toString + "/release"
+    val ckpt = java.nio.file.Files.createTempDirectory("wds8ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = WebDataset.tarSink(
+      input.toDF().toDF("doc_id", "text"), out, targetShardBytes = 64)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      q.processAllAvailable()
+      input.addData((3L, "delta"), (4L, "epsilon"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = WebDataset.scanTar(spark, out)
+    val rows = m.collect().map(r => r.getString(1).toLong ->
+      (r.getString(0), new String(r.getAs[Array[Byte]](3), "UTF-8"))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(rows(0L)._2 == "alpha" && rows(4L)._2 == "epsilon")
+    // Batch-qualified shard labels keep per-batch shard files distinct.
+    assert(rows.values.forall(_._1.matches("batch=\\d+/shard-\\d{5}")),
+      s"unqualified shard labels: ${rows.values.map(_._1).toSet}")
+    assert(rows.values.map(_._1.split('/').head).toSet.size == 2, "expected two batch dirs")
+    // Re-delivery of a batch (at-least-once) rewrites its own dir
+    // byte-identically: same member set, same payloads, no duplicates.
+    import spark.implicits._
+    val redelivered = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    WebDataset.writeTarAuto(redelivered, s"$out/batch=0", 64,
+      keyCol = "doc_id", members = Seq("txt" -> "text"))
+    assert(snap(WebDataset.scanTar(spark, out).drop("payload")) ==
+      snap(m.drop("payload")), "re-delivered batch changed the corpus")
+  }
+
   test("writeTarAuto derives shard count from payload bytes") {
     val dir = java.nio.file.Files.createTempDirectory("wds5").toString + "/corpus"
     // fixture txt payloads total sum(len("text-i-" + "x"*i)) = 10*7 + 45
