@@ -202,6 +202,16 @@ object Similarity {
     * `nlist = 0` (the default) auto-derives `max(16, ⌈√N⌉)` via
     * [[resolveNlist]] and `nprobe = 0` keeps the recall-calibrated
     * 0.625·nlist probing fraction via [[resolveNprobe]].
+    *
+    * Filtered serving: plain IVF fits at serve time from the corpus
+    * frame, so a metadata predicate composes directly —
+    * `ivfTopK(queries, corpus.filter(pred), …)` IS the filtered serve
+    * (the filter sits below the fit and the probe join by
+    * construction; scale nprobe by ~1/selectivity, the same guidance
+    * [[ProductQuant.ivfPqTopKFiltered]] documents). A dedicated
+    * operator exists only for the PERSISTED-index path, where the
+    * predicate must ride the stored codes (attrCols) instead of a
+    * corpus frame that is no longer scanned.
     */
   def ivfTopK(
       vectors: DataFrame,

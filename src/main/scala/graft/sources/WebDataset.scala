@@ -174,6 +174,40 @@ object WebDataset {
         ()
     }
 
+  /** Offline compaction for a [[tarSink]] release dir: a long-lived
+    * stream accumulates one `batch=<id>` subdirectory per micro-batch —
+    * many small shards, each its own ingest task. Repack reads the
+    * accumulated layout back ([[scanTar]] recursive + [[samples]]
+    * pivot) and rewrites it as ONE flat byte-budget layout in `outDir`
+    * ([[writeTarAuto]] — the [[graft.operators.Profiling.compactProfileDir]]
+    * maintenance convention, tar edition). Writes to a SEPARATE
+    * directory: compacting in place while the stream appends would race
+    * the sink; stop-the-stream → repack → point ingestion at `outDir`.
+    *
+    * Sample keys must be distinct corpus-wide (tarSink batches of one
+    * stream are — re-keyed repeats never reach sink_tar); duplicate keys
+    * fail loudly rather than silently resolving to one member.
+    *
+    * @return the flat layout's shard count
+    */
+  def repackTar(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetShardBytes: Long,
+      exts: Seq[String] = Seq("txt")
+  ): Int = {
+    require(new Path(inDir).toString != new Path(outDir).toString,
+      "repackTar: outDir must differ from inDir (in-place repack would race the sink)")
+    val pivoted = samples(scanTar(spark, inDir), exts)
+    val dups = pivoted.groupBy("key").count().filter(col("count") > 1).count()
+    require(dups == 0,
+      s"repackTar: $dups sample keys appear in multiple shards — repack would " +
+        "silently collapse them to one member; resolve duplicates first")
+    writeTarAuto(pivoted.withColumn("__k", col("key").cast("long")),
+      outDir, targetShardBytes, "__k", exts.map(e => e -> e))
+  }
+
   /** Walk one shard file's tar bytes into member rows (shared by the
     * batch and streaming scans — identical decode either way).
     */

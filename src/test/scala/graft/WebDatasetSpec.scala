@@ -160,6 +160,38 @@ class WebDatasetSpec extends SparkSpec {
       snap(m.drop("payload")), "re-delivered batch changed the corpus")
   }
 
+  test("repackTar compacts accumulated batch dirs into one flat layout, members intact") {
+    val in = java.nio.file.Files.createTempDirectory("wds9").toString + "/release"
+    // Simulate three sink batches directly (writeTarAuto per batch dir).
+    import spark.implicits._
+    (0 until 3).foreach { b =>
+      val batch = (0L until 4L).map(i => (b * 10L + i, s"doc-$b-$i"))
+        .toDF("doc_id", "text")
+      WebDataset.writeTarAuto(batch, s"$in/batch=$b", 16,
+        keyCol = "doc_id", members = Seq("txt" -> "text"))
+    }
+    val before = WebDataset.scanTar(spark, in)
+    assert(before.select("shard").distinct().count() > 3, "want many small shards")
+    val out = java.nio.file.Files.createTempDirectory("wds9o").toString + "/flat"
+    val n = WebDataset.repackTar(spark, in, out, targetShardBytes = 1 << 20)
+    assert(n == 1, s"12 tiny docs fit one 1 MiB shard, got $n")
+    val after = WebDataset.scanTar(spark, out)
+    def members(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
+    assert(members(after) == members(before), "repack changed the member set")
+    assert(after.select("shard").distinct().count() == 1)
+    // In-place repack and duplicate keys are refused loudly.
+    val inPlace = intercept[IllegalArgumentException](
+      WebDataset.repackTar(spark, in, in, 1 << 20))
+    assert(inPlace.getMessage.contains("in-place"))
+    WebDataset.writeTarAuto(Seq((1L, "dup")).toDF("doc_id", "text"),
+      s"$in/batch=9", 16, keyCol = "doc_id", members = Seq("txt" -> "text"))
+    val dup = intercept[IllegalArgumentException](
+      WebDataset.repackTar(spark, in, out + "2", 1 << 20))
+    assert(dup.getMessage.contains("multiple shards"))
+  }
+
   test("writeTarAuto derives shard count from payload bytes") {
     val dir = java.nio.file.Files.createTempDirectory("wds5").toString + "/corpus"
     // fixture txt payloads total sum(len("text-i-" + "x"*i)) = 10*7 + 45
