@@ -39,7 +39,10 @@ object CurationConfig {
   case object DedupExact extends Step
   final case class Quota(group: String, quotas: Map[String, Long]) extends Step
   final case class Split(fractions: Seq[(String, Double)]) extends Step
-  final case class Shuffle(shards: Int) extends Step
+  /** `seed` varies the permutation per training epoch (closed-form
+    * hash offset — see [[graft.operators.Sampling.shuffleShards]]);
+    * 0 (the default) is the legacy order. */
+  final case class Shuffle(shards: Int, seed: Long) extends Step
   final case class Chunk(chars: Int, overlap: Int) extends Step
 
   /** Drop documents sharing ≥ `minMatches` word n-grams with the probe
@@ -269,7 +272,8 @@ object CurationConfig {
         Split(params.toSeq.map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue }
           .sortBy(_._1))
       case "shuffle" =>
-        Shuffle(need(longParam("shards"), "'shards'").toInt)
+        Shuffle(need(longParam("shards"), "'shards'").toInt,
+          longParam("seed").getOrElse(0L))
       case "chunk" =>
         Chunk(need(longParam("chars"), "'chars'").toInt,
           longParam("overlap").getOrElse(0L).toInt)

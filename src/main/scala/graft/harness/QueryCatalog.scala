@@ -2578,6 +2578,19 @@ object QueryCatalog {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY r % 8 ORDER BY r, doc_id) AS BIGINT) AS pos
              |FROM h ORDER BY 2, 3""".stripMargin)),
 
+    // Epoch-seeded variant: seed 5 offsets the hash key by 5·7919, so a
+    // multi-epoch training run draws a DIFFERENT deterministic global
+    // order per epoch (same corpus, same engine-reproducibility — the
+    // oracle replays the offset closed-form).
+    Q("shuffle_shard_epoch", (s, dir) =>
+      Sampling.shuffleShards(docs(s, dir), numShards = 8, epochSeed = 5L)
+        .orderBy("shard", "pos"),
+      Some("""WITH h AS (SELECT doc_id,
+             |    ((doc_id + 39595) % 1048576) * 2654435761 % 4294967296 AS r FROM documents)
+             |SELECT doc_id, r % 8 AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY r % 8 ORDER BY r, doc_id) AS BIGINT) AS pos
+             |FROM h ORDER BY 2, 3""".stripMargin)),
+
     Q("multimodal_features", (s, dir) => {
       // Codec-free metrics are pure expressions (codegen'd scan→project);
       // Multimodal.extractFeatures remains the partition-wise decode hook

@@ -105,7 +105,7 @@ object CurationPipeline {
     case DedupExact => "dedup_exact"
     case Quota(_, _) => "quota"
     case Split(_) => "split"
-    case Shuffle(_) => "shuffle"
+    case Shuffle(_, _) => "shuffle"
     case Chunk(_, _) => "chunk"
     case Decontam(_, _, _) => "decontaminate"
     case PerplexityKeep(_, _) => "perplexity"
@@ -206,12 +206,12 @@ object CurationPipeline {
         df.join(keep, Seq(idCol), "left_semi")
       case Split(fractions) =>
         Sampling.splitAssign(df, fractions, idCol)
-      case Shuffle(shards) =>
+      case Shuffle(shards, seed) =>
         // Post-upsample frames are keyed by (id, copy): the hash mixes
         // the copy index in so repeats scatter across shards.
         val copyCol = Option.when(df.columns.contains("copy"))("copy")
         df.join(
-          Sampling.shuffleShards(df, shards, idCol, copyCol),
+          Sampling.shuffleShards(df, shards, idCol, copyCol, seed),
           idCol +: copyCol.toSeq)
       case Chunk(chars, overlap) =>
         Chunking.chunk(df, chars, overlap, idCol, textCol)

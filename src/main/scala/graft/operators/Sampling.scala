@@ -592,17 +592,27 @@ object Sampling {
     *         position within the shard; reading shards in order of
     *         (shard, pos) yields the full deterministic permutation.
     */
+  /** @param epochSeed varies the permutation per training EPOCH while
+    *                   staying closed-form (`hash(key + seed·7919)`):
+    *                   multi-epoch runs should not replay the identical
+    *                   global order (batch composition repeats defeat
+    *                   shuffling's decorrelation), and `rand()` is
+    *                   irreproducible. Seed 0 is the legacy permutation
+    *                   — existing oracles and goldens are unchanged.
+    */
   def shuffleShards(
       df: DataFrame,
       numShards: Int,
       idCol: String = "doc_id",
-      copyCol: Option[String] = None
+      copyCol: Option[String] = None,
+      epochSeed: Long = 0L
   ): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val key = copyCol match {
+    val baseKey = copyCol match {
       case Some(c) => col(idCol) * lit(131L) + col(c)
       case None    => col(idCol)
     }
+    val key = if (epochSeed == 0L) baseKey else baseKey + lit(epochSeed * 7919L)
     val keyCols = col(idCol) +: copyCol.map(col).toSeq
     val hashed = df.select(keyCols :+ pseudoShuffle(key).as("__r"): _*)
       .withColumn("shard", pmod(col("__r"), lit(numShards.toLong)))

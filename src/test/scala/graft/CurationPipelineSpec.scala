@@ -392,6 +392,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(noTgt.getMessage.contains("'nope'"))
   }
 
+  test("epoch-seeded shuffle varies the permutation, preserves the corpus, seed 0 is legacy") {
+    import graft.operators.Sampling
+    val s0 = Sampling.shuffleShards(docs, 4)
+    val s0e = Sampling.shuffleShards(docs, 4, epochSeed = 0L)
+    assert(snap(s0) == snap(s0e), "seed 0 must be the legacy permutation")
+    val s1 = Sampling.shuffleShards(docs, 4, epochSeed = 1L)
+    // Same corpus either epoch...
+    assert(s1.select("doc_id").orderBy("doc_id").collect().toSeq ==
+      s0.select("doc_id").orderBy("doc_id").collect().toSeq)
+    // ...different global order (some doc changed shard or position).
+    assert(snap(s1) != snap(s0), "epoch 1 replayed epoch 0's order")
+    // YAML surface: parity with the operator at the same seed.
+    val out = CurationPipeline.fromYaml(docs,
+      "steps:\n  - shuffle: { shards: 4, seed: 7 }\n")
+      .select("doc_id", "shard", "pos")
+    val want = docs.join(
+      Sampling.shuffleShards(docs, 4, epochSeed = 7L), Seq("doc_id"))
+      .select("doc_id", "shard", "pos")
+    assert(snap(out) == snap(want))
+  }
+
   test("sink_tar releases decoded tar shards; misplaced or copy-keyed use is refused") {
     val path = java.nio.file.Files.createTempDirectory("ctar").toString + "/rel"
     val out = CurationPipeline.fromYaml(docs,
