@@ -139,6 +139,30 @@ object QueryCatalog {
       |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Full SQL replay of the tokenize → rank-vocab → per-bucket ordinal
+    * chunking chain (Packing.rankVocab + packTokenIds at vocab=1000,
+    * budget=128, buckets=8) — shared by `text_pack_ids` (in-memory) and
+    * `release_tokens_tar` (decoded from the binary shards), which must
+    * agree with it AND each other.
+    */
+  private val packIdsOracleSql =
+    """WITH t0 AS (SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+      |tp AS (SELECT doc_id, UNNEST(range(0, len(toks))) AS pos, toks FROM t0),
+      |t AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tp),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+      |voc AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS INT) AS tok_id
+      |  FROM (SELECT * FROM cnt ORDER BY c DESC, tok LIMIT 1000)),
+      |m AS (SELECT t.doc_id, t.pos, COALESCE(v.tok_id, 0) AS tok_id, t.doc_id % 8 AS bucket
+      |  FROM t LEFT JOIN voc v USING (tok)),
+      |g AS (SELECT bucket, tok_id,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id, pos) - 1 AS gp FROM m),
+      |q AS (SELECT bucket, tok_id, gp // 128 AS seq, gp % 128 AS idx FROM g)
+      |SELECT CAST(bucket AS INT) AS bucket, CAST(seq AS BIGINT) AS seq,
+      |  CAST(COUNT(*) AS INT) AS n, CAST(SUM(tok_id) AS BIGINT) AS sum_ids,
+      |  CAST(MAX(CASE WHEN idx = 0 THEN tok_id END) AS INT) AS first_id
+      |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** documents + a deterministic synthetic `url` column — closed-form in
     * (doc_id, lang, source), reproduced verbatim in [[urlCte]], the same
     * fixture pattern the multimodal oracles use. The decorations exercise
@@ -1764,6 +1788,55 @@ object QueryCatalog {
              |SELECT doc_id, n_tokens, bucket,
              |  CAST(bucket * 1099511627776 + FLOOR(start_tok / 512.0) AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Tokenize → rank-vocab id-map → fixed-length id sequences: the
+    // training-loader release grain. The rollup (count, id-sum, first
+    // id per sequence) pins the vocab cut, OOV mapping, concatenation
+    // order, and chunk boundaries; the oracle replays the entire chain
+    // in SQL (vocab top-k + per-bucket ordinal chunking).
+    Q("text_pack_ids", (s, dir) => {
+      val d = docs(s, dir)
+      Packing.packTokenIds(d, Packing.rankVocab(d, vocabSize = 1000),
+          budgetTokens = 128, buckets = 8)
+        .select(col("bucket"), col("seq"), col("n"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          element_at(col("ids"), 1).as("first_id"))
+        .orderBy("bucket", "seq")
+    }, Some(packIdsOracleSql)),
+
+    // The same chain released as raw little-endian int32 tar shards
+    // (tokenTar) and READ BACK: payload bytes decode to the identical
+    // rollup, so the binary serialization, member keying, and tar round
+    // trip all sit under the same DuckDB oracle as the in-memory pack.
+    Q("release_tokens_tar", (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val out = s"/tmp/graft_tokens_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Packing.tokenTar(
+        Packing.packTokenIds(d, Packing.rankVocab(d, vocabSize = 1000),
+          budgetTokens = 128, buckets = 8),
+        out, targetShardBytes = 16384)
+      graft.sources.WebDataset.scanTar(s, out)
+        .select(col("key"), col("payload")).as[(String, Array[Byte])]
+        .map { case (key, bytes) =>
+          val k = key.toLong
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 4
+          var sum = 0L
+          var first = 0
+          var i = 0
+          while (i < n) {
+            val v = bb.getInt()
+            if (i == 0) first = v
+            sum += v
+            i += 1
+          }
+          ((k >> 32).toInt, k & 0xffffffffL, n, sum, first)
+        }
+        .toDF("bucket", "seq", "n", "sum_ids", "first_id")
+        .orderBy("bucket", "seq")
+    }, Some(packIdsOracleSql)),
 
     // NO-SPLIT sample packing: whole docs into fixed-capacity packs by
     // per-bucket first-fit-decreasing (Packing.packGreedyBins) — the

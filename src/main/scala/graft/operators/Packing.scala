@@ -115,4 +115,139 @@ object Packing {
       }
       .toDF("doc_id", "n_tokens", "bucket", "pack_id", "pack_fill")
   }
+
+  /** Frequency-ranked vocabulary `(tok, tok_id)` — `tok_id` is the
+    * 1-based rank by `(count DESC, token ASC)`, the deterministic
+    * cross-engine cut [[Vocabulary.unigramLm]] uses; id 0 is reserved
+    * for out-of-vocab. The top-k is a `TakeOrdered` (distributed heap,
+    * never a global sort); the rank window then runs over the ≤
+    * `vocabSize`-row result, not the corpus vocabulary.
+    */
+  def rankVocab(
+      docs: DataFrame,
+      vocabSize: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val counts = docs
+      .select(explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
+    counts
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("__c").desc, col("tok"))).cast("int"))
+      .select("tok", "tok_id")
+  }
+
+  /** Tokenize, id-map, and pack the corpus into FIXED-LENGTH token-id
+    * sequences — the shape a training loader actually consumes (packed
+    * context windows of ids, not documents). Documents concatenate in
+    * `(bucket, doc_id, pos)` order within `buckets` independent streams
+    * (the [[packSequences]] scale discipline: no total order, one
+    * exchange on the bucket key) and chunk every `budgetTokens` ids;
+    * each bucket's final partial sequence ships with its true length
+    * `n < budgetTokens`. The chunker is a compiled streaming row loop
+    * over the sorted partition (never a per-element HOF), emitting one
+    * row per sequence.
+    *
+    * Deterministic end to end: the vocab rank, bucket assignment, and
+    * concatenation order are all closed-form, so an exact SQL oracle
+    * replays the whole tokenize→map→pack chain (the catalog's
+    * `text_pack_ids` gate). OOV tokens map to id 0, [[rankVocab]]'s
+    * reserved value — present in sequences (the loader's UNK), never
+    * silently dropped.
+    *
+    * @return (bucket, seq, ids, n) — `seq` is the 0-based sequence
+    *         index within its bucket; `(bucket, seq)` is the global key.
+    */
+  def packTokenIds(
+      docs: DataFrame,
+      vocab: DataFrame,
+      budgetTokens: Int,
+      buckets: Int = 1024,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(
+        pmod(col("doc_id"), lit(buckets.toLong)).cast("int").as("bucket"),
+        col("doc_id"), col("pos"),
+        coalesce(col("tok_id"), lit(0)).cast("int").as("tok_id"))
+    toks
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id", "pos")
+      .as[(Int, Long, Int, Int)]
+      .mapPartitions { rows =>
+        // Streaming chunker: one budget-sized buffer, rows in (bucket,
+        // doc_id, pos) order; a bucket switch flushes the previous
+        // bucket's partial tail. Nothing partition-sized is buffered.
+        var curBucket = Int.MinValue
+        var seqIdx = 0L
+        val buf = new Array[Int](budgetTokens)
+        var n = 0
+        def emit(bucket: Int): (Int, Long, Array[Int], Int) = {
+          val r = (bucket, seqIdx, java.util.Arrays.copyOf(buf, n), n)
+          seqIdx += 1; n = 0
+          r
+        }
+        new Iterator[(Int, Long, Array[Int], Int)] {
+          private var ready: List[(Int, Long, Array[Int], Int)] = Nil
+          private def fill(): Unit = {
+            while (ready.isEmpty && rows.hasNext) {
+              val (b, _, _, id) = rows.next()
+              if (b != curBucket) {
+                if (n > 0) ready ::= emit(curBucket)
+                curBucket = b; seqIdx = 0L
+              }
+              buf(n) = id; n += 1
+              if (n == budgetTokens) ready ::= emit(curBucket)
+            }
+            if (ready.isEmpty && !rows.hasNext && n > 0) ready ::= emit(curBucket)
+          }
+          def hasNext: Boolean = { fill(); ready.nonEmpty }
+          def next(): (Int, Long, Array[Int], Int) = {
+            fill(); val h = ready.head; ready = ready.tail; h
+          }
+        }
+      }
+      .toDF("bucket", "seq", "ids", "n")
+  }
+
+  /** Release [[packTokenIds]] sequences as WebDataset tar shards of raw
+    * little-endian int32 payloads (`<key>.bin`, 4·n bytes — the
+    * GPT-style pre-tokenized binary format training loaders mmap). The
+    * member key packs `(bucket, seq)` into one long (`bucket·2³² + seq`
+    * — up to 4.3e9 sequences per bucket before collision); shard count
+    * derives from the byte budget ([[graft.sources.WebDataset.writeTarAuto]]).
+    *
+    * @return the shard count
+    */
+  def tokenTar(
+      packed: DataFrame,
+      outDir: String,
+      targetShardBytes: Long
+  ): Int = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val bin = packed.select(col("bucket"), col("seq"), col("ids"))
+      .as[(Int, Long, Seq[Int])]
+      .map { case (b, s, ids) =>
+        val bb = java.nio.ByteBuffer.allocate(4 * ids.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ids.foreach(bb.putInt)
+        ((b.toLong << 32) | s, bb.array())
+      }
+      .toDF("key", "bin")
+    graft.sources.WebDataset.writeTarAuto(
+      bin, outDir, targetShardBytes, "key", Seq("bin" -> "bin"))
+  }
 }

@@ -221,6 +221,14 @@ object PlanAudit {
         org.apache.spark.sql.functions.length(col("text")).cast("long")),
       totalTokens = 36000L, maxEpochs = 2.0), 2) // measured 1: the plan aggregate
 
+    // Token-id packing: corpus-sized data crosses the vocab count
+    // aggregate and ONE bucket repartition; the vocab itself is a
+    // TakeOrdered (no global sort) arriving back by broadcast, and the
+    // chunker is a compiled row loop over the sorted partition.
+    audit("text_pack_ids", graft.operators.Packing.packTokenIds(
+      docsT, graft.operators.Packing.rankVocab(docsT, 200),
+      budgetTokens = 64, buckets = 8), 3) // measured 2: vocab count agg + bucket repartition
+
     // Trigram language ID: the doc_id repartition is the ONE exchange of
     // corpus-sized data — n-gram explode, (doc, tg) count, per-doc rank
     // window, per-(doc, lang) distance aggregate and argmin window all

@@ -445,6 +445,41 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("packTokenIds equals a driver-side reference packer; tokenTar round-trips bit-exactly") {
+    import graft.operators.Packing
+    val d = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val vocab = Packing.rankVocab(d, 200)
+    val packed = Packing.packTokenIds(d, vocab, budgetTokens = 64, buckets = 4)
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(vmap.values.min == 1 && vmap.values.max == math.min(200, vmap.size),
+      "tok_id must be the 1-based rank (0 reserved for OOV)")
+    val docsL = d.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = docsL.groupBy(_._1 % 4).flatMap { case (b, ds) =>
+      val ids = ds.sortBy(_._1).flatMap(
+        _._2.toLowerCase.split(" ").filter(_.nonEmpty).map(t => vmap.getOrElse(t, 0)))
+      ids.grouped(64).zipWithIndex.map { case (chunk, i) =>
+        ((b.toInt, i.toLong), chunk.toSeq) }
+    }
+    val got = packed.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Int](2))).toMap
+    assert(got.keySet == want.keySet, "sequence key sets differ")
+    want.foreach { case (k, ids) =>
+      assert(got(k) == ids, s"sequence $k drifted from the reference packer") }
+    // Binary release: little-endian int32 payloads decode to the same ids.
+    val out = java.nio.file.Files.createTempDirectory("toktar").toString + "/tokens"
+    Packing.tokenTar(packed, out, targetShardBytes = 4096)
+    val back = graft.sources.WebDataset.scanTar(spark, out).collect().map { r =>
+      val k = r.getString(1).toLong
+      val bb = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](3))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ((k >> 32).toInt, k & 0xffffffffL) ->
+        Seq.fill(r.getAs[Array[Byte]](3).length / 4)(bb.getInt())
+    }.toMap
+    assert(back == got.map { case (k, v) => (k._1, k._2) -> v },
+      "binary shards decoded to different sequences")
+  }
+
   test("unimaxPlan matches the paper's sequential greedy on random frames") {
     import spark.implicits._
     // Literal Algorithm 1 (Chung et al. 2023): ascend by token mass,
