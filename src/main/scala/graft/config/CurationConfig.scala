@@ -206,6 +206,17 @@ object CurationConfig {
     */
   final case class SinkTar(path: String, targetShardBytes: Long) extends Step
 
+  /** Terminal PRE-TOKENIZED release: fit a frequency-ranked vocabulary
+    * on the curated corpus, pack it into fixed-length token-id
+    * sequences, and release int32 binary tar shards to `path/shards`
+    * with the vocab table beside them at `path/vocab` (parquet) — the
+    * mmap-ready training format, produced inside the language. Hands
+    * back the DECODED read-back sequences. Must be the final step.
+    */
+  final case class SinkTokens(
+      path: String, budgetTokens: Int, vocabSize: Int,
+      buckets: Int, targetShardBytes: Long) extends Step
+
   final case class Pipeline(steps: Seq[Step])
 
   def fromYaml(yamlText: String): Pipeline = {
@@ -381,13 +392,20 @@ object CurationConfig {
         SinkTar(
           need(params.get("path").map(_.toString), "'path'"),
           longParam("target_bytes").getOrElse(256L << 20))
+      case "sink_tokens" =>
+        SinkTokens(
+          need(params.get("path").map(_.toString), "'path'"),
+          need(longParam("budget"), "'budget' (tokens per sequence)").toInt,
+          longParam("vocab").getOrElse(1L << 16).toInt,
+          longParam("buckets").getOrElse(1024L).toInt,
+          longParam("target_bytes").getOrElse(256L << 20))
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
             "compress, dedup_exact, dedup_minhash, dedup_semantic, dedup_simhash, " +
             "decontaminate_embedding, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
-            "sample_diverse, sink, sink_tar, split, shuffle, chunk, decontaminate, perplexity, " +
+            "sample_diverse, sink, sink_tar, sink_tokens, split, shuffle, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")
     }
   }

@@ -163,6 +163,17 @@ object QueryCatalog {
       |  CAST(MAX(CASE WHEN idx = 0 THEN tok_id END) AS INT) AS first_id
       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** [[packIdsOracleSql]] with the corpus replaced by the
+    * quality(10)+dedup_exact curated selection — the
+    * `curation_release_tokens` gate (same vocab/budget/buckets).
+    */
+  private val packIdsCuratedOracleSql =
+    """WITH q0 AS (SELECT doc_id, text FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 10),
+      |dsel AS (SELECT * FROM q0 WHERE doc_id IN (SELECT MIN(doc_id) FROM q0 GROUP BY text)),
+      |""".stripMargin +
+      packIdsOracleSql.replace("WITH t0", "t0").replace("FROM documents)", "FROM dsel)")
+
   /** documents + a deterministic synthetic `url` column — closed-form in
     * (doc_id, lang, source), reproduced verbatim in [[urlCte]], the same
     * fixture pattern the multimodal oracles use. The decorations exercise
@@ -1837,6 +1848,26 @@ object QueryCatalog {
         .toDF("bucket", "seq", "n", "sum_ids", "first_id")
         .orderBy("bucket", "seq")
     }, Some(packIdsOracleSql)),
+
+    // The full loop closed INSIDE the language: curate → fit vocab on
+    // the survivors → pack → int32 binary shards + persisted vocab
+    // table, all from the terminal sink_tokens step; the decoded
+    // read-back rollup must match the SQL replay of the curated chain.
+    Q("curation_release_tokens", (s, dir) => {
+      val path = s"/tmp/graft_release_tokens_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      CurationPipeline.fromYaml(docs(s, dir),
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink_tokens: { path: $path, budget: 128, vocab: 1000,
+           |                   buckets: 8, target_bytes: 16384 }
+           |""".stripMargin)
+        .select(col("bucket"), col("seq"), col("n"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          element_at(col("ids"), 1).as("first_id"))
+        .orderBy("bucket", "seq")
+    }, Some(packIdsCuratedOracleSql)),
 
     // NO-SPLIT sample packing: whole docs into fixed-capacity packs by
     // per-bucket first-fit-decreasing (Packing.packGreedyBins) — the

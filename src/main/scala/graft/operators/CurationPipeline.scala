@@ -47,6 +47,8 @@ object CurationPipeline {
         "sink writes the release and must be the final step")
       require(!s.isInstanceOf[SinkTar],
         "sink_tar writes the release and must be the final step")
+      require(!s.isInstanceOf[SinkTokens],
+        "sink_tokens writes the release and must be the final step")
     }
     // After upsample/mix_unimax the row key is (id, copy) — every
     // selection step would see duplicate ids and silently mis-count.
@@ -127,6 +129,7 @@ object CurationPipeline {
     case DecontamEmbedding(_, _, _) => "decontaminate_embedding"
     case Sink(_, _) => "sink"
     case SinkTar(_, _) => "sink_tar"
+    case SinkTokens(_, _, _, _, _) => "sink_tokens"
   }
 
   /** Resolve an auxiliary embedding frame and restrict it to the ids
@@ -393,5 +396,26 @@ object CurationPipeline {
           regexp_extract(col("shard"), "(\\d+)$", 1).cast("int").as("shard"),
           decode(col("txt"), "UTF-8").as(textCol))
         m.select(base ++ (if (hasLang) Seq(decode(col("cls"), "UTF-8").as("lang")) else Nil): _*)
+      case SinkTokens(path, budgetTokens, vocabSize, buckets, targetShardBytes) =>
+        // Vocab fits on the corpus AS CURATED, persists beside the
+        // shards, and the pack runs against the READ-BACK table — the
+        // release verifies the vocab a loader would actually load.
+        val spark = df.sparkSession
+        Packing.rankVocab(df, vocabSize, textCol, idCol)
+          .write.mode("overwrite").parquet(s"$path/vocab")
+        val vocabBack = spark.read.parquet(s"$path/vocab")
+        Packing.tokenTar(
+          Packing.packTokenIds(df, vocabBack, budgetTokens, buckets, textCol, idCol),
+          s"$path/shards", targetShardBytes)
+        import spark.implicits._
+        graft.sources.WebDataset.scanTar(spark, s"$path/shards")
+          .select(col("key"), col("payload")).as[(String, Array[Byte])]
+          .map { case (key, bytes) =>
+            val k = key.toLong
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val ids = Array.fill(bytes.length / 4)(bb.getInt())
+            ((k >> 32).toInt, k & 0xffffffffL, ids, ids.length)
+          }.toDF("bucket", "seq", "ids", "n")
     }
 }

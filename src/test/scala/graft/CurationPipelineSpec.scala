@@ -445,6 +445,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(nulls.getMessage.contains("null") && nulls.getMessage.contains("empty strings"))
   }
 
+  test("sink_tokens releases pre-tokenized shards; read-back equals a pack against the persisted vocab") {
+    import graft.operators.Packing
+    val path = java.nio.file.Files.createTempDirectory("ctok").toString + "/rel"
+    val out = CurationPipeline.fromYaml(docs,
+      s"steps:\n  - quality: { min_tokens: 5 }\n" +
+        s"  - sink_tokens: { path: $path, budget: 32, vocab: 100, buckets: 2, target_bytes: 2048 }\n")
+    val vocab = spark.read.parquet(s"$path/vocab")
+    assert(vocab.columns.toSeq == Seq("tok", "tok_id") && vocab.count() <= 100)
+    val curated = docs.filter(
+      size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 5)
+    val want = Packing.packTokenIds(curated, vocab, budgetTokens = 32, buckets = 2)
+    assert(snap(out) == snap(want),
+      "decoded token release drifted from packing against the persisted vocab")
+    assert(new java.io.File(s"$path/shards").listFiles()
+      .count(_.getName.endsWith(".tar")) > 1, "expected multiple 2 KiB-budget shards")
+    val mid = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      s"steps:\n  - sink_tokens: { path: $path, budget: 32 }\n" +
+        "  - quality: { min_tokens: 5 }\n"))
+    assert(mid.getMessage.contains("final step"))
+  }
+
   test("mix_unimax step applies the waterfilled plan as (id, copy) repeats") {
     import graft.operators.Sampling
     val out = CurationPipeline.fromYaml(docs,
