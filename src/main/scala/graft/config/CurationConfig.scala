@@ -206,16 +206,24 @@ object CurationConfig {
     */
   final case class SinkTar(path: String, targetShardBytes: Long) extends Step
 
-  /** Terminal PRE-TOKENIZED release: fit a frequency-ranked vocabulary
-    * on the curated corpus, pack it into fixed-length token-id
-    * sequences, and release int32 binary tar shards to `path/shards`
-    * with the vocab table beside them at `path/vocab` (parquet) — the
-    * mmap-ready training format, produced inside the language. Hands
-    * back the DECODED read-back sequences. Must be the final step.
+  /** Terminal PRE-TOKENIZED release: tokenize the curated corpus, fit a
+    * frequency-ranked id vocabulary over the emitted tokens, pack into
+    * fixed-length token-id sequences, and release int32 binary tar
+    * shards to `path/shards` with the vocab table beside them at
+    * `path/vocab` (parquet) — the mmap-ready training format, produced
+    * inside the language. `tokenizer` picks the stream: `rank`
+    * (whitespace words — closed-form, SQL-replayable), `bpe` (merge
+    * table learned on the curated corpus, `merges` pairs), or `unigram`
+    * (SentencePiece-style piece table, ≤ `vocab` pieces of up to
+    * `piece_len` chars); subword models persist at `path/tokenizer`
+    * beside the release. Hands back the DECODED read-back sequences.
+    * Must be the final step.
     */
   final case class SinkTokens(
       path: String, budgetTokens: Int, vocabSize: Int,
-      buckets: Int, targetShardBytes: Long) extends Step
+      buckets: Int, targetShardBytes: Long,
+      tokenizer: String = "rank", numMerges: Int = 256,
+      maxPieceLen: Int = 6) extends Step
 
   final case class Pipeline(steps: Seq[Step])
 
@@ -393,12 +401,19 @@ object CurationConfig {
           need(params.get("path").map(_.toString), "'path'"),
           longParam("target_bytes").getOrElse(256L << 20))
       case "sink_tokens" =>
+        val tok = params.get("tokenizer").map(_.toString).getOrElse("rank")
+        if (!Set("rank", "bpe", "unigram")(tok))
+          throw new IllegalArgumentException(
+            s"step #$idx: sink_tokens tokenizer must be rank|bpe|unigram, got '$tok'")
         SinkTokens(
           need(params.get("path").map(_.toString), "'path'"),
           need(longParam("budget"), "'budget' (tokens per sequence)").toInt,
           longParam("vocab").getOrElse(1L << 16).toInt,
           longParam("buckets").getOrElse(1024L).toInt,
-          longParam("target_bytes").getOrElse(256L << 20))
+          longParam("target_bytes").getOrElse(256L << 20),
+          tok,
+          longParam("merges").getOrElse(256L).toInt,
+          longParam("piece_len").getOrElse(6L).toInt)
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +

@@ -44,7 +44,7 @@ object Unigram {
     * strictly below every learned piece so an OOV char can never beat a
     * real piece, but finite so ANY text segments (totality).
     */
-  private def oovFloor(minLogp: Double): Double = minLogp - math.log(1e6)
+  private[graft] def oovFloor(minLogp: Double): Double = minLogp - math.log(1e6)
 
   /** Learn a piece table `(piece, logp)` of at most `vocabSize` pieces
     * from the corpus's word-frequency table. Words are whitespace
@@ -245,6 +245,44 @@ object Unigram {
       i += 1
     }
     cnt(n)
+  }
+
+  /** Viterbi segmentation returning the PIECES themselves (the decode,
+    * not just the count): identical DP and tie rules to [[viterbiCount]]
+    * — maximize summed piece log-prob, strict `>` keeps the smallest
+    * back-index so ties prefer the LONGER final piece — with
+    * backpointers reconstructing the path. `viterbiPieces(w, …).length
+    * == viterbiCount(w, …)` for every input (property-tested).
+    */
+  private[graft] def viterbiPieces(
+      word: String,
+      logp: Map[String, Double],
+      maxPieceLen: Int,
+      floor: Double): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val lp =
+          if (i - j == 1) logp.getOrElse(word.substring(j, i), floor)
+          else logp.getOrElse(word.substring(j, i), Double.NegativeInfinity)
+        if (lp > Double.NegativeInfinity && best(j) > Double.NegativeInfinity) {
+          val sc = best(j) + lp
+          if (sc > best(i)) { best(i) = sc; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) { val j = back(k); out += word.substring(j, k); k = j }
+    out.reverse.toArray
   }
 
   /** Apply a learned piece table to every document: `(idCol, n_words,

@@ -23,7 +23,8 @@ object GoldenFormat {
       "corpus_profile_incr", "corpus_quantiles_incr", "corpus_profile_incr_diff",
       "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup",
       "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
-      "decontaminate_embedding")
+      "decontaminate_embedding", "curation_release_tokens_bpe",
+      "curation_release_tokens_unigram")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

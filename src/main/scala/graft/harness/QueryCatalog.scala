@@ -1869,6 +1869,43 @@ object QueryCatalog {
         .orderBy("bucket", "seq")
     }, Some(packIdsCuratedOracleSql)),
 
+    // The same curated release through the two LEARNED tokenizer
+    // regimes — BPE merges and unigram-LM pieces fit on the curated
+    // survivors, ids ranked over the emitted subwords. Iterative
+    // driver-side fits → golden fixtures, like text_bpe_tokens /
+    // text_unigram_tokens; same rollup shape as the rank entry.
+    Q("curation_release_tokens_bpe", (s, dir) => {
+      val path = s"/tmp/graft_release_tokbpe_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      CurationPipeline.fromYaml(docs(s, dir),
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink_tokens: { path: $path, budget: 128, vocab: 1000, buckets: 8,
+           |                   target_bytes: 16384, tokenizer: bpe, merges: 96 }
+           |""".stripMargin)
+        .select(col("bucket"), col("seq"), col("n"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          element_at(col("ids"), 1).as("first_id"))
+        .orderBy("bucket", "seq")
+    }, None),
+
+    Q("curation_release_tokens_unigram", (s, dir) => {
+      val path = s"/tmp/graft_release_tokuni_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      CurationPipeline.fromYaml(docs(s, dir),
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink_tokens: { path: $path, budget: 128, vocab: 500, buckets: 8,
+           |                   target_bytes: 16384, tokenizer: unigram, piece_len: 6 }
+           |""".stripMargin)
+        .select(col("bucket"), col("seq"), col("n"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          element_at(col("ids"), 1).as("first_id"))
+        .orderBy("bucket", "seq")
+    }, None),
+
     // NO-SPLIT sample packing: whole docs into fixed-capacity packs by
     // per-bucket first-fit-decreasing (Packing.packGreedyBins) — the
     // padding-minimizing regime used when cross-document attention

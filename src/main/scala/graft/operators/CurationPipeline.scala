@@ -129,7 +129,7 @@ object CurationPipeline {
     case DecontamEmbedding(_, _, _) => "decontaminate_embedding"
     case Sink(_, _) => "sink"
     case SinkTar(_, _) => "sink_tar"
-    case SinkTokens(_, _, _, _, _) => "sink_tokens"
+    case SinkTokens(_, _, _, _, _, _, _, _) => "sink_tokens"
   }
 
   /** Resolve an auxiliary embedding frame and restrict it to the ids
@@ -396,26 +396,34 @@ object CurationPipeline {
           regexp_extract(col("shard"), "(\\d+)$", 1).cast("int").as("shard"),
           decode(col("txt"), "UTF-8").as(textCol))
         m.select(base ++ (if (hasLang) Seq(decode(col("cls"), "UTF-8").as("lang")) else Nil): _*)
-      case SinkTokens(path, budgetTokens, vocabSize, buckets, targetShardBytes) =>
-        // Vocab fits on the corpus AS CURATED, persists beside the
-        // shards, and the pack runs against the READ-BACK table — the
-        // release verifies the vocab a loader would actually load.
+      case SinkTokens(path, budgetTokens, vocabSize, buckets, targetShardBytes,
+          tokenizer, numMerges, maxPieceLen) =>
+        // Tokenizer model AND vocab fit on the corpus AS CURATED and
+        // persist beside the shards; both are read BACK before use so
+        // the release verifies the artifacts a loader would load.
         val spark = df.sparkSession
-        Packing.rankVocab(df, vocabSize, textCol, idCol)
+        val stream = tokenizer match {
+          case "rank" => Packing.tokenStream(df, Packing.WordTokenizer, textCol, idCol)
+          case "bpe" =>
+            graft.functions.Bpe.learnMerges(df, numMerges = numMerges, textCol = textCol)
+              .write.mode("overwrite").parquet(s"$path/tokenizer")
+            Packing.tokenStream(df,
+              Packing.BpeTokenizer(spark.read.parquet(s"$path/tokenizer")),
+              textCol, idCol)
+          case "unigram" =>
+            graft.functions.Unigram.learnPieces(
+              df, vocabSize = vocabSize, maxPieceLen = maxPieceLen, textCol = textCol)
+              .write.mode("overwrite").parquet(s"$path/tokenizer")
+            Packing.tokenStream(df,
+              Packing.UnigramTokenizer(spark.read.parquet(s"$path/tokenizer"), maxPieceLen),
+              textCol, idCol)
+        }
+        Packing.rankVocabFromTokens(stream, vocabSize)
           .write.mode("overwrite").parquet(s"$path/vocab")
         val vocabBack = spark.read.parquet(s"$path/vocab")
         Packing.tokenTar(
-          Packing.packTokenIds(df, vocabBack, budgetTokens, buckets, textCol, idCol),
+          Packing.packTokenIdsFrom(stream, vocabBack, budgetTokens, buckets),
           s"$path/shards", targetShardBytes)
-        import spark.implicits._
-        graft.sources.WebDataset.scanTar(spark, s"$path/shards")
-          .select(col("key"), col("payload")).as[(String, Array[Byte])]
-          .map { case (key, bytes) =>
-            val k = key.toLong
-            val bb = java.nio.ByteBuffer.wrap(bytes)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val ids = Array.fill(bytes.length / 4)(bb.getInt())
-            ((k >> 32).toInt, k & 0xffffffffL, ids, ids.length)
-          }.toDF("bucket", "seq", "ids", "n")
+        graft.sources.TokenShards.scanTokens(spark, s"$path/shards")
     }
 }

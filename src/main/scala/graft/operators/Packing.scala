@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Texts
+import graft.functions.{Bpe, Texts, Unigram}
 
 /** Sequence packing for training-data assembly: assign every document the
   * pack (fixed token budget) in which its text STARTS when documents are
@@ -116,6 +116,79 @@ object Packing {
       .toDF("doc_id", "n_tokens", "bucket", "pack_id", "pack_fill")
   }
 
+  /** How documents become the ordered token stream the id-packing path
+    * consumes — whitespace words (the closed-form, SQL-replayable
+    * regime) or a learned subword model applied from a broadcast table
+    * (BPE merges / unigram-LM pieces), the tokenizer families modern LM
+    * releases actually ship.
+    */
+  sealed trait Tokenizer
+  /** Whitespace word tokens — [[rankVocab]]'s closed-form regime. */
+  case object WordTokenizer extends Tokenizer
+  /** BPE subwords under a learned `(rank, left, right)` merge table
+    * ([[Bpe.learnMerges]]); `byteLevel` must match the learn mode.
+    */
+  final case class BpeTokenizer(merges: DataFrame, byteLevel: Boolean = false)
+      extends Tokenizer
+  /** Unigram-LM pieces under a learned `(piece, logp)` table
+    * ([[Unigram.learnPieces]]); `maxPieceLen` ≥ the learn-time value.
+    */
+  final case class UnigramTokenizer(pieces: DataFrame, maxPieceLen: Int = 8)
+      extends Tokenizer
+
+  /** The corpus as an ordered token stream `(doc_id, pos, tok)` — `pos`
+    * is the 0-based token position within its document under the given
+    * tokenizer. The word path is pure codegen (posexplode over split);
+    * the subword paths broadcast their learned table and segment
+    * map-side in one `mapPartitions` pass (the [[Bpe.tokenCounts]] /
+    * [[Unigram.tokenCounts]] apply shape) — zero exchanges either way.
+    * Word boundaries are single-space splits of the lowered text in all
+    * three regimes, so switching tokenizers never reorders documents.
+    */
+  def tokenStream(
+      docs: DataFrame,
+      tokenizer: Tokenizer,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The subword paths share one shape: lowered text in, a per-word
+    // segmenter (closed over its broadcast table) flat-mapped across the
+    // single-space word split, positions assigned by emission order.
+    def subword(segmentWord: String => Array[String]): DataFrame =
+      docs.select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          t.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => segmentWord(w).iterator)
+            .zipWithIndex.map { case (p, i) => (id, i, p) }
+        })
+        .toDF("doc_id", "pos", "tok")
+    tokenizer match {
+      case WordTokenizer =>
+        docs.select(
+          col(idCol).cast("long").as("doc_id"),
+          posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+            .as(Seq("pos", "tok")))
+      case BpeTokenizer(merges, byteLevel) =>
+        val ranks: Map[(String, String), Int] = merges
+          .select("rank", "left", "right").collect()
+          .map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+        val bc = spark.sparkContext.broadcast(ranks)
+        subword(w =>
+          Bpe.encodeWord(if (byteLevel) Bpe.toByteSymbols(w) else w, bc.value))
+      case UnigramTokenizer(pieces, maxPieceLen) =>
+        val table: Map[String, Double] = pieces
+          .select("piece", "logp").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        require(table.nonEmpty, "tokenStream: empty piece table")
+        val floor = Unigram.oovFloor(table.valuesIterator.min)
+        val bc = spark.sparkContext.broadcast(table)
+        subword(w => Unigram.viterbiPieces(w, bc.value, maxPieceLen, floor))
+    }
+  }
+
   /** Frequency-ranked vocabulary `(tok, tok_id)` — `tok_id` is the
     * 1-based rank by `(count DESC, token ASC)`, the deterministic
     * cross-engine cut [[Vocabulary.unigramLm]] uses; id 0 is reserved
@@ -128,10 +201,16 @@ object Packing {
       vocabSize: Int,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): DataFrame = {
+  ): DataFrame =
+    rankVocabFromTokens(tokenStream(docs, WordTokenizer, textCol, idCol), vocabSize)
+
+  /** [[rankVocab]] over a prepared [[tokenStream]] — the entry the
+    * subword release path uses so ids rank the tokens the tokenizer
+    * ACTUALLY emits (BPE/unigram pieces), not raw words.
+    */
+  def rankVocabFromTokens(toks: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    val counts = docs
-      .select(explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("tok"))
+    val counts = toks
       .groupBy("tok").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
     counts
@@ -168,15 +247,25 @@ object Packing {
       buckets: Int = 1024,
       textCol: String = "text",
       idCol: String = "doc_id"
+  ): DataFrame =
+    packTokenIdsFrom(
+      tokenStream(docs, WordTokenizer, textCol, idCol), vocab, budgetTokens, buckets)
+
+  /** [[packTokenIds]] over a prepared [[tokenStream]] `(doc_id, pos,
+    * tok)` — the entry the subword release path uses (tokenize once,
+    * fit the id vocab and pack from the same stream).
+    */
+  def packTokenIdsFrom(
+      stream: DataFrame,
+      vocab: DataFrame,
+      budgetTokens: Int,
+      buckets: Int = 1024
   ): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val spark = docs.sparkSession
+    val spark = stream.sparkSession
     import spark.implicits._
-    val toks = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-          .as(Seq("pos", "tok")))
+    val toks = stream
       .join(broadcast(vocab), Seq("tok"), "left")
       .select(
         pmod(col("doc_id"), lit(buckets.toLong)).cast("int").as("bucket"),

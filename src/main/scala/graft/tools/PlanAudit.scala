@@ -229,6 +229,19 @@ object PlanAudit {
       docsT, graft.operators.Packing.rankVocab(docsT, 200),
       budgetTokens = 64, buckets = 8), 3) // measured 2: vocab count agg + bucket repartition
 
+    // Subword token-id packing (the sink_tokens bpe/unigram path): the
+    // tokenize is map-side (broadcast merge table inside ONE
+    // mapPartitions), so the pack keeps the word path's exchange budget
+    // — piece-vocab count aggregate + bucket repartition, nothing more.
+    audit("text_pack_ids(bpe)", {
+      val stream = graft.operators.Packing.tokenStream(docsT,
+        graft.operators.Packing.BpeTokenizer(
+          graft.functions.Bpe.learnMerges(docsT, numMerges = 16)))
+      graft.operators.Packing.packTokenIdsFrom(stream,
+        graft.operators.Packing.rankVocabFromTokens(stream, 200),
+        budgetTokens = 64, buckets = 8)
+    }, 3) // measured 2: vocab count agg + bucket repartition
+
     // Trigram language ID: the doc_id repartition is the ONE exchange of
     // corpus-sized data — n-gram explode, (doc, tg) count, per-doc rank
     // window, per-(doc, lang) distance aggregate and argmin window all

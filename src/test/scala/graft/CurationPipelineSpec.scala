@@ -460,10 +460,50 @@ class CurationPipelineSpec extends SparkSpec {
       "decoded token release drifted from packing against the persisted vocab")
     assert(new java.io.File(s"$path/shards").listFiles()
       .count(_.getName.endsWith(".tar")) > 1, "expected multiple 2 KiB-budget shards")
+    // The loader-facing decode: every in-vocab id maps back to a token,
+    // and the exploded length equals the released sequence lengths.
+    val dec = graft.sources.TokenShards.decodeTokens(spark, path)
+    assert(dec.filter(col("tok_id") =!= 0 && col("tok").isNull).count() == 0)
+    assert(dec.count() == out.agg(sum(col("n"))).head().getLong(0))
     val mid = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
       s"steps:\n  - sink_tokens: { path: $path, budget: 32 }\n" +
         "  - quality: { min_tokens: 5 }\n"))
     assert(mid.getMessage.contains("final step"))
+  }
+
+  test("sink_tokens tokenizer bpe/unigram: read-back equals a pack from the persisted model + vocab") {
+    import graft.operators.Packing
+    val curated = docs.filter(
+      size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 5)
+    Seq("bpe" -> "tokenizer: bpe, merges: 24",
+        "unigram" -> "tokenizer: unigram, piece_len: 4").foreach { case (mode, yamlTok) =>
+      val path = java.nio.file.Files.createTempDirectory(s"ctok_$mode").toString + "/rel"
+      val out = CurationPipeline.fromYaml(docs,
+        s"steps:\n  - quality: { min_tokens: 5 }\n" +
+          s"  - sink_tokens: { path: $path, budget: 32, vocab: 60, buckets: 2,\n" +
+          s"                   target_bytes: 2048, $yamlTok }\n")
+      val model = spark.read.parquet(s"$path/tokenizer")
+      val tok = mode match {
+        case "bpe" =>
+          assert(model.columns.toSeq == Seq("rank", "left", "right"))
+          Packing.BpeTokenizer(model)
+        case _ =>
+          assert(model.columns.toSeq == Seq("piece", "logp"))
+          Packing.UnigramTokenizer(model, maxPieceLen = 4)
+      }
+      val stream = Packing.tokenStream(curated, tok)
+      val want = Packing.packTokenIdsFrom(
+        stream, spark.read.parquet(s"$path/vocab"), budgetTokens = 32, buckets = 2)
+      assert(snap(out) == snap(want),
+        s"$mode token release drifted from packing against the persisted model")
+      // Subword ids rank the EMITTED pieces: every vocab entry is a
+      // token the tokenizer produced, not a raw word.
+      val vocabToks = spark.read.parquet(s"$path/vocab").select("tok")
+      assert(vocabToks.except(stream.select("tok").distinct()).count() == 0)
+    }
+    val bad = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - sink_tokens: { path: /tmp/x, budget: 32, tokenizer: sentencepiece }\n"))
+    assert(bad.getMessage.contains("rank|bpe|unigram"))
   }
 
   test("mix_unimax step applies the waterfilled plan as (id, copy) repeats") {

@@ -340,6 +340,22 @@ class RetrievalSpec extends SparkSpec {
     assert(Unigram.viterbiCount("axb", lp, 6, -100.0) == 3)
   }
 
+  test("unigram viterbiPieces: concatenation restores the word; count parity; same tie rule") {
+    import graft.functions.Unigram
+    val lp = Map("ab" -> math.log(0.5), "a" -> math.log(0.25),
+      "b" -> math.log(0.2), "c" -> math.log(0.05))
+    val words = Seq("abcab", "ab", "a", "ccc", "xy", "axb", "")
+    words.foreach { w =>
+      val ps = Unigram.viterbiPieces(w, lp, 6, -100.0)
+      assert(ps.mkString == w, s"pieces of '$w' must concatenate back")
+      assert(ps.length == Unigram.viterbiCount(w, lp, 6, -100.0),
+        s"piece decode of '$w' disagrees with the count DP")
+    }
+    // The exact-tie case: [ab] beats [a, b] (longer final piece).
+    val tie = Map("ab" -> math.log(0.25), "a" -> math.log(0.5), "b" -> math.log(0.5))
+    assert(Unigram.viterbiPieces("ab", tie, 6, -1e9).toSeq == Seq("ab"))
+  }
+
   test("unigram on unsegmented CJK: multi-char pieces form; table round-trips; deterministic") {
     import graft.functions.Unigram
     val docs = Seq(
