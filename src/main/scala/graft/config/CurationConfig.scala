@@ -111,6 +111,15 @@ object CurationConfig {
     */
   final case class SubstringRemove(k: Int) extends Step
 
+  /** Corpus-wide line dedup (the C4 repeated-line discard / CCNet
+    * paragraph dedup): keep each duplicated line's first corpus
+    * occurrence, drop the rest, reassemble documents; lines with fewer
+    * than `minChars` non-space chars are exempt. Duplicate counting
+    * runs on the corpus AS CURATED SO FAR. Docs reduced to zero kept
+    * lines are dropped.
+    */
+  final case class DedupLines(minChars: Int, sep: String) extends Step
+
   /** Model-based quality filter (the GPT-3 curation stage): score with a
     * fitted [[graft.operators.QualityClassifier]] weight frame named
     * `modelTable` (models are TABLES in production — fit once on a
@@ -335,6 +344,10 @@ object CurationConfig {
         UrlDedup(params.get("url_col").map(_.toString).getOrElse("url"))
       case "substring_remove" =>
         SubstringRemove(need(longParam("k"), "'k' (minimum span length in tokens)").toInt)
+      case "dedup_lines" =>
+        DedupLines(
+          longParam("min_chars").getOrElse(10L).toInt,
+          params.get("sep").map(_.toString).getOrElse("\n"))
       case "quality_model" =>
         QualityModel(
           need(params.get("model").map(_.toString), "'model' (auxiliary weight-frame name)"),
@@ -417,7 +430,7 @@ object CurationConfig {
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
-            "compress, dedup_exact, dedup_minhash, dedup_semantic, dedup_simhash, " +
+            "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
             "decontaminate_embedding, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
             "sample_diverse, sink, sink_tar, sink_tokens, split, shuffle, chunk, decontaminate, perplexity, " +

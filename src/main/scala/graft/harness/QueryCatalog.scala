@@ -920,6 +920,56 @@ object QueryCatalog {
       Some("""SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
              |FROM documents GROUP BY text ORDER BY 1""".stripMargin), bench = true),
 
+    // C4 repeated-line discard: documents get a deterministic 4-line
+    // decoration (doc-specific substrings + one corpus-wide boilerplate
+    // header + a footer shared by every third doc — reproduced verbatim
+    // in the oracle's `lined` CTE, the multimodal/url fixture pattern);
+    // the operator must keep exactly the first corpus occurrence of
+    // every ≥10-char line and reassemble docs in line order.
+    Q("dedup_lines", (s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))).as("text"))
+      Dedup.dedupLines(lined, minLineChars = 10)
+        .orderBy("doc_id")
+    },
+      Some("""WITH lined AS (
+             |  SELECT doc_id,
+             |    concat_ws(chr(10),
+             |      substring(text, 1, 40),
+             |      'shared boilerplate header line',
+             |      substring(text, 41, 40),
+             |      CASE WHEN doc_id % 3 = 0 THEN 'promo footer visit example dot com'
+             |           ELSE substring(text, 81, 40) END) AS text
+             |  FROM documents),
+             |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+             |lp AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS line_no, ls FROM l0),
+             |l AS (SELECT doc_id, line_no, ls[line_no + 1] AS line FROM lp),
+             |f AS (
+             |  SELECT line, doc_id AS fdoc, line_no AS fno FROM (
+             |    SELECT line, doc_id, line_no,
+             |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+             |    FROM l
+             |    WHERE len(regexp_replace(line, '\s', '', 'g')) >= 10) WHERE rn = 1),
+             |kept AS (
+             |  SELECT l.doc_id, l.line_no, l.line
+             |  FROM l LEFT JOIN f ON l.line = f.line
+             |  WHERE f.fdoc IS NULL OR (l.doc_id = f.fdoc AND l.line_no = f.fno)),
+             |reb AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+             |    COUNT(*) AS n_kept
+             |  FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+             |  COALESCE(r.n_kept, 0) AS n_kept,
+             |  len(string_split(d.text, chr(10))) - COALESCE(r.n_kept, 0) AS n_dropped
+             |FROM lined d LEFT JOIN reb r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     Q("dedup_minhash", (s, dir) =>
       Dedup.minhashLsh(docs(s, dir), threshold = 0.5, numHashes = 64, bands = 16, shingleN = 3)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

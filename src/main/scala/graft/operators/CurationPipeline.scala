@@ -118,6 +118,7 @@ object CurationPipeline {
     case MixUnimax(_, _, _) => "mix_unimax"
     case UrlDedup(_) => "url_dedup"
     case SubstringRemove(_) => "substring_remove"
+    case DedupLines(_, _) => "dedup_lines"
     case QualityModel(_, _) => "quality_model"
     case RepetitionFilter(_, _, _) => "repetition"
     case CompressFilter(_, _) => "compress"
@@ -275,6 +276,15 @@ object CurationPipeline {
         val rewritten = Dedup.removeDuplicateSpans(df, k, textCol, idCol)
           .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol),
             col("text").as(textCol))
+        df.drop(textCol).join(rewritten, Seq(idCol))
+      case DedupLines(minChars, sep) =>
+        // Same rewritten-grain join-back as substring_remove; husks
+        // (zero kept lines) leave the corpus here — a selection step,
+        // like the quality gates, not a silent empty-text carrier.
+        val rewritten = Dedup.dedupLines(df, minChars, sep, textCol, idCol)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol),
+            col(textCol))
         df.drop(textCol).join(rewritten, Seq(idCol))
       case QualityModel(modelTable, minScore) =>
         val model = aux.getOrElse(modelTable, throw new IllegalArgumentException(

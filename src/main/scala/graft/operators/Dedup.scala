@@ -1401,6 +1401,68 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Corpus-wide LINE-level dedup — C4's "discard any repeated line"
+    * stage (Raffel et al., "Exploring the Limits of Transfer Learning
+    * with a Unified Text-to-Text Transformer", JMLR 2020 §2.2) / the
+    * CCNet paragraph dedup: split every document into `sep`-delimited
+    * lines, keep each duplicated line's FIRST corpus occurrence
+    * (minimum `(doc_id, line_no)`), drop every other occurrence, and
+    * reassemble documents from their surviving lines. Lines with fewer
+    * than `minLineChars` non-whitespace characters are EXEMPT (always
+    * kept): deduping "", "-", or bullet markers would destroy document
+    * structure, and exempting them also removes the hottest keys
+    * (blank lines) from the shuffle.
+    *
+    * Scale shape: line occurrences explode map-side; the first-
+    * occurrence table is ONE partial-aggregatable `groupBy(line)`
+    * (`count` + `min(struct(doc_id, line_no))` — map-side combine
+    * collapses hot boilerplate keys before the exchange, where a
+    * window over a line partition would funnel a 10⁹-repeat footer
+    * through one task); occurrences re-join that table on the line key
+    * (a join, so AQE can skew-split it) and documents reassemble with
+    * one doc-key aggregate. Deterministic, hash-free — an exact SQL
+    * oracle replays it (the catalog's `dedup_lines` gate).
+    *
+    * @return (doc_id, text, n_kept, n_dropped) — every input doc
+    *         survives; one whose every line was a later duplicate
+    *         comes back empty (filter `n_kept > 0` to drop husks).
+    */
+  def dedupLines(
+      docs: DataFrame,
+      minLineChars: Int = 10,
+      sep: String = "\n",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val lines = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("line_no", "line")))
+    val firsts = lines
+      .filter(length(regexp_replace(col("line"), "\\s", "")) >= minLineChars)
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("__first"))
+    val kept = lines
+      .join(firsts, Seq("line"), "left")
+      .filter(col("__first").isNull ||
+        struct(col("doc_id"), col("line_no")) === col("__first"))
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), sep).as(textCol),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      (size(split(col(textCol), java.util.regex.Pattern.quote(sep)))).as("__n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     * 2003): hash every k-token window, slide a w-wide window over the

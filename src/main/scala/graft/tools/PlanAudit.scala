@@ -362,6 +362,13 @@ object PlanAudit {
     audit("dedup_substring(remove)",
       graft.operators.Dedup.removeDuplicateSpans(docsT, k = 5, hashWindows = true), 7)
 
+    // Line dedup (C4 repeated-line discard): first-occurrence table is a
+    // partial-aggregatable line-key groupBy (map-side combine collapses
+    // hot boilerplate keys — deliberately NOT a window, so AQE can also
+    // skew-split the join back); budget = line agg + occurrence-side
+    // join shuffle + doc reassembly agg + restore join.
+    audit("dedup_lines", graft.operators.Dedup.dedupLines(docsT), 5)
+
     // LM SERVING: scoring a shard against a fitted LM frame must never
     // re-aggregate corpus counts — no token-keyed hash exchange at all;
     // just the broadcast LM join, the per-doc aggregate, and the ordered

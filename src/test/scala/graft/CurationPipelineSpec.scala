@@ -186,6 +186,30 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == all.diff(drop))
   }
 
+  test("dedup_lines step equals operator composition and drops zero-line husks") {
+    // A boilerplate header shared by every doc plus a doc whose whole
+    // text is that header: the step must rewrite texts AND drop the husk.
+    val lined = docs.withColumn("text",
+      when(col("doc_id") === 7, lit("every doc carries this header"))
+        .otherwise(concat(lit("every doc carries this header\n"), col("text"))))
+    val got = CurationPipeline.fromYaml(lined,
+      "steps:\n  - dedup_lines: { min_chars: 10 }\n")
+    val want = {
+      val rw = graft.operators.Dedup.dedupLines(lined, minLineChars = 10)
+        .filter(col("n_kept") > 0).select("doc_id", "text")
+      lined.drop("text").join(rw, Seq("doc_id"))
+    }
+    assert(snap(got) == snap(want))
+    assert(got.columns.toSet == lined.columns.toSet)
+    // The first doc by id keeps the header; everyone else lost it.
+    val minId = lined.agg(min("doc_id")).head().getLong(0)
+    assert(got.filter(col("doc_id") === minId).head().getAs[String]("text")
+      .startsWith("every doc carries this header"))
+    assert(got.filter(col("doc_id") =!= minId &&
+      col("text").contains("every doc carries this header")).count() == 0)
+    assert(got.filter(col("doc_id") === 7).count() == 0, "husk must be dropped")
+  }
+
   test("url_dedup, substring_remove, and quality_model steps parse and equal operator composition") {
     // Every 3rd doc shares a url with doc_id−1: url groups of 1–2 docs.
     val withUrl = docs.withColumn("url",
