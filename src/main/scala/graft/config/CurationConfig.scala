@@ -35,6 +35,13 @@ object CurationConfig {
   case object NormalizeNfc extends Step
   final case class LangIdKeep(langs: Seq[String]) extends Step
   final case class Quality(minTokens: Option[Long], maxPunctRatio: Option[Double]) extends Step
+
+  /** Keep documents passing the composed Gopher §A1.1 shape filters
+    * ([[graft.functions.Texts.gopherKeep]] — word count, mean word
+    * length, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    * share, stopword presence) at the published thresholds.
+    */
+  case object GopherQuality extends Step
   case object Redact extends Step
   case object DedupExact extends Step
   final case class Quota(group: String, quotas: Map[String, Long]) extends Step
@@ -289,6 +296,7 @@ object CurationConfig {
         require(q.minTokens.nonEmpty || q.maxPunctRatio.nonEmpty,
           s"step #$idx: quality needs min_tokens and/or max_punct_ratio")
         q
+      case "gopher" => GopherQuality
       case "quota" =>
         val group = params.get("group").map(_.toString).getOrElse("lang")
         val quotas = need(params.get("quotas"), "'quotas' (map of group -> n)")
@@ -431,7 +439,7 @@ object CurationConfig {
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
             "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
-            "decontaminate_embedding, importance_sample, langid_keep, " +
+            "decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
             "sample_diverse, sink, sink_tar, sink_tokens, split, shuffle, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")

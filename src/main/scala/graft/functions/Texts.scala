@@ -81,6 +81,55 @@ object Texts {
     )
   }
 
+  /** Gopher/MassiveText line- and word-SHAPE quality rules (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", 2021, §A1.1) — the document filters that
+    * complement [[qualityMetrics]]'s counts and the
+    * [[graft.operators.Repetition]] family: what fraction of lines are
+    * bullet-led or ellipsis-terminated, how symbol-heavy the text is,
+    * and what share of words contain an alphabetic character. Pure
+    * codegen'd `regexp_count` chain, zero exchanges; patterns use only
+    * constructs with identical semantics in Java regex and RE2
+    * (`(?m)`, classes, bounded repetition — no lookaround), so the
+    * catalog oracle is exact.
+    */
+  def gopherMetrics(text: Column): Seq[(String, Column)] = {
+    val nWords = size(tokens(text))
+    val nLines = size(split(text, "\n"))
+    val bulletLines = regexp_count(text, lit("(?m)^ *[-*•]"))
+    val ellipsisLines = regexp_count(text, lit("(?m)(\\.\\.\\.|…) *$"))
+    val symbols = regexp_count(text, lit("#|\\.\\.\\.|…"))
+    // A word containing a letter matches the greedy \S*[A-Za-z]\S*
+    // exactly once (leftmost-first and leftmost-longest agree: the
+    // whole word); letterless words never match.
+    val alphaWords = regexp_count(text, lit("\\S*[A-Za-z]\\S*"))
+    Seq(
+      "n_lines" -> nLines.cast("long"),
+      "frac_bullet_lines" -> round(bulletLines.cast("double") / greatest(nLines, lit(1)), 4),
+      "frac_ellipsis_lines" -> round(ellipsisLines.cast("double") / greatest(nLines, lit(1)), 4),
+      "symbol_word_ratio" -> round(symbols.cast("double") / greatest(nWords, lit(1)), 4),
+      "frac_alpha_words" -> round(alphaWords.cast("double") / greatest(nWords, lit(1)), 4))
+  }
+
+  /** The Gopher keep decision at the published §A1.1 thresholds, over
+    * [[qualityMetrics]] + [[gopherMetrics]]: 50 ≤ words ≤ 100 000, mean
+    * word length in [3, 10], symbol-to-word ratio < 0.1, < 90% of lines
+    * bullet-led, < 30% ellipsis-terminated, > 80% of words alphabetic.
+    * (The stopword-presence rule is [[qualityMetrics]]'s
+    * `stopword_ratio` > 0, its cross-lingual analogue here.)
+    */
+  def gopherKeep(text: Column): Column = {
+    val q = qualityMetrics(text).toMap
+    val g = gopherMetrics(text).toMap
+    q("n_tokens").between(50L, 100000L) &&
+      q("mean_token_len").between(3.0, 10.0) &&
+      g("symbol_word_ratio") < 0.1 &&
+      g("frac_bullet_lines") < 0.9 &&
+      g("frac_ellipsis_lines") < 0.3 &&
+      g("frac_alpha_words") > 0.8 &&
+      q("stopword_ratio") > 0.0
+  }
+
   /** PII patterns for [[redactPii]] — deliberately restricted to regex
     * constructs with identical semantics in Java regex (Spark) and RE2
     * (the DuckDB oracle): character classes, bounded repetition, \b.

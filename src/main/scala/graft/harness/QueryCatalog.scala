@@ -1820,6 +1820,67 @@ object QueryCatalog {
          |FROM documents ORDER BY 1""".stripMargin
     }, bench = true),
 
+    // Gopher §A1.1 line/word-shape filters on a deterministic 4-line
+    // decoration (doubled text + bullet / ellipsis / symbol-flood lines
+    // on doc_id residues — reproduced verbatim in the oracle's `lined`
+    // CTE): fractions of bullet-led and ellipsis-ended lines,
+    // symbol-to-word ratio, alphabetic-word share, and the composed
+    // keep decision at the published thresholds.
+    Q("text_gopher_quality", (s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat_ws(" ", col("text"), col("text")),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("- bullet item one"))
+            .otherwise(lit("plain middle line")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("trailing thought ..."))
+            .otherwise(substring(col("text"), 61, 60)),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("# # # # # # # # # #"))
+            .otherwise(substring(col("text"), 121, 60))).as("text"))
+      lined.select(col("doc_id") +:
+        Texts.gopherMetrics(col("text")).map { case (n, c) => c.as(n) } :+
+        Texts.gopherKeep(col("text")).as("gopher_keep"): _*)
+        .orderBy("doc_id")
+    }, Some {
+      val allStops = Texts.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |    concat_ws(chr(10),
+         |      concat_ws(' ', text, text),
+         |      CASE WHEN doc_id % 4 = 0 THEN '- bullet item one'
+         |           ELSE 'plain middle line' END,
+         |      CASE WHEN doc_id % 5 = 0 THEN 'trailing thought ...'
+         |           ELSE substring(text, 61, 60) END,
+         |      CASE WHEN doc_id % 7 = 0 THEN '# # # # # # # # # #'
+         |           ELSE substring(text, 121, 60) END) AS text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         |    LENGTH(text) AS n_chars,
+         |    len(regexp_extract_all(text, '(?m)^ *[-*•]')) AS n_bullet,
+         |    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…) *' || chr(36))) AS n_ellipsis,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbol,
+         |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+         |    len(list_intersect(string_split_regex(lower(text), '\\s+'), [$allStops])) AS n_stop
+         |  FROM lined)
+         |SELECT doc_id, n_lines,
+         |  ROUND(CAST(n_bullet AS DOUBLE) / GREATEST(n_lines, 1), 4) AS frac_bullet_lines,
+         |  ROUND(CAST(n_ellipsis AS DOUBLE) / GREATEST(n_lines, 1), 4) AS frac_ellipsis_lines,
+         |  ROUND(CAST(n_symbol AS DOUBLE) / GREATEST(n_words, 1), 4) AS symbol_word_ratio,
+         |  ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 4) AS frac_alpha_words,
+         |  (n_words BETWEEN 50 AND 100000)
+         |    AND (ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 3) BETWEEN 3.0 AND 10.0)
+         |    AND ROUND(CAST(n_symbol AS DOUBLE) / GREATEST(n_words, 1), 4) < 0.1
+         |    AND ROUND(CAST(n_bullet AS DOUBLE) / GREATEST(n_lines, 1), 4) < 0.9
+         |    AND ROUND(CAST(n_ellipsis AS DOUBLE) / GREATEST(n_lines, 1), 4) < 0.3
+         |    AND ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 4) > 0.8
+         |    AND ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1), 4) > 0.0
+         |    AS gopher_keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }),
+
     Q("text_tokens", (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),

@@ -104,6 +104,7 @@ object CurationPipeline {
     case Redact => "redact"
     case LangIdKeep(_) => "langid_keep"
     case Quality(_, _) => "quality"
+    case GopherQuality => "gopher"
     case DedupExact => "dedup_exact"
     case Quota(_, _) => "quota"
     case Split(_) => "split"
@@ -197,6 +198,8 @@ object CurationPipeline {
           minTokens.map(n => metrics("n_tokens") >= n).toSeq ++
             maxPunct.map(r => metrics("punct_ratio") <= r).toSeq
         df.filter(conds.reduce(_ && _))
+      case GopherQuality =>
+        df.filter(Texts.gopherKeep(col(textCol)))
       case DedupExact =>
         // Keep the lowest id of each exact-text group: thin (hash, id)
         // aggregate + semi-join, the dedup_exact shape.

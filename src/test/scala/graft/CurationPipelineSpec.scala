@@ -186,6 +186,18 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == all.diff(drop))
   }
 
+  test("gopher step keeps exactly the gopherKeep survivors") {
+    // Even ids double their text past the 50-word floor; odd ids stay
+    // under it — the composed filter must discriminate, not pass-all.
+    val varied = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 0, concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text")))
+    val got = CurationPipeline.fromYaml(varied, "steps:\n  - gopher\n")
+    val want = varied.filter(graft.functions.Texts.gopherKeep(col("text")))
+    assert(snap(got) == snap(want))
+    assert(got.count() > 0 && got.count() < varied.count())
+  }
+
   test("dedup_lines step equals operator composition and drops zero-line husks") {
     // A boilerplate header shared by every doc plus a doc whose whole
     // text is that header: the step must rewrite texts AND drop the husk.
