@@ -1881,6 +1881,85 @@ object QueryCatalog {
          |FROM m ORDER BY doc_id""".stripMargin
     }),
 
+    // The C4 curation chain (Raffel et al. 2020 §2.2) composed INSIDE
+    // the YAML language: corpus-wide line dedup → exact dedup → Gopher
+    // shape filters, one fully composed SQL oracle. The fixture makes
+    // each stage's work visible in the final rows: every-13th doc is 60
+    // identical EXEMPT-length lines (survives line dedup intact, so
+    // exact dedup must collapse the group), the shared header/bullet
+    // lines exercise first-occurrence line dedup, and the symbol flood
+    // exercises the Gopher gate.
+    Q("curation_pipeline_c4", (s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          array_join(array_repeat(lit("the cat sat"), 60), "\n"))
+          .otherwise(concat_ws("\n",
+            concat_ws(" ", col("text"), col("text")),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit("- bullet item one"))
+              .otherwise(lit("shared boilerplate header line")),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("# # # # # # # # # #"))
+              .otherwise(substring(col("text"), 61, 60)))).as("text"))
+      CurationPipeline.fromYaml(lined,
+        """steps:
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - gopher
+          |""".stripMargin)
+        .select("doc_id", "text").orderBy("doc_id")
+    }, Some {
+      val allStops = Texts.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN rtrim(repeat('the cat sat' || chr(10), 60), chr(10))
+         |      ELSE concat_ws(chr(10),
+         |        concat_ws(' ', text, text),
+         |        CASE WHEN doc_id % 4 = 0 THEN '- bullet item one'
+         |             ELSE 'shared boilerplate header line' END,
+         |        CASE WHEN doc_id % 7 = 0 THEN '# # # # # # # # # #'
+         |             ELSE substring(text, 61, 60) END) END AS text
+         |  FROM documents),
+         |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+         |lp AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS line_no, ls FROM l0),
+         |l AS (SELECT doc_id, line_no, ls[line_no + 1] AS line FROM lp),
+         |fo AS (
+         |  SELECT line, doc_id AS fdoc, line_no AS fno FROM (
+         |    SELECT line, doc_id, line_no,
+         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+         |    FROM l
+         |    WHERE len(regexp_replace(line, '\\s', '', 'g')) >= 10) WHERE rn = 1),
+         |keptl AS (
+         |  SELECT l.doc_id, l.line_no, l.line
+         |  FROM l LEFT JOIN fo ON l.line = fo.line
+         |  WHERE fo.fdoc IS NULL OR (l.doc_id = fo.fdoc AND l.line_no = fo.fno)),
+         |reb AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+         |  FROM keptl GROUP BY doc_id),
+         |de AS (SELECT * FROM reb
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM reb GROUP BY text)),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         |    LENGTH(text) AS n_chars,
+         |    len(regexp_extract_all(text, '(?m)^ *[-*•]')) AS n_bullet,
+         |    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…) *' || chr(36))) AS n_ellipsis,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbol,
+         |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+         |    len(list_intersect(string_split_regex(lower(text), '\\s+'), [$allStops])) AS n_stop
+         |  FROM de)
+         |SELECT doc_id, text FROM m
+         |WHERE (n_words BETWEEN 50 AND 100000)
+         |  AND (ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 3) BETWEEN 3.0 AND 10.0)
+         |  AND ROUND(CAST(n_symbol AS DOUBLE) / GREATEST(n_words, 1), 4) < 0.1
+         |  AND ROUND(CAST(n_bullet AS DOUBLE) / GREATEST(n_lines, 1), 4) < 0.9
+         |  AND ROUND(CAST(n_ellipsis AS DOUBLE) / GREATEST(n_lines, 1), 4) < 0.3
+         |  AND ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 4) > 0.8
+         |  AND ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1), 4) > 0.0
+         |ORDER BY doc_id""".stripMargin
+    }),
+
     Q("text_tokens", (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
