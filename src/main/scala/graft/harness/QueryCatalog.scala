@@ -3771,6 +3771,60 @@ object QueryCatalog {
         |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS is_error
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming pre-tokenized release replayed as two doc_id-split
+    // micro-batches through tokenSink (fit-once vocab on the full
+    // bounded corpus, batch-offset buckets), then decoded back off the
+    // standing tar layout — the oracle replays each batch's pack into
+    // its own bucket range and unions.
+    Q("streaming_tokens_replay", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val vocab = Packing.rankVocab(corpus, 1000)
+      val rows = corpus.as[(Long, String)].collect().sortBy(_._1).toSeq
+      val batches = Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
+        .filter(_.nonEmpty)
+      val out = s"/tmp/graft_stream_tokens_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val input = MemoryStream[(Long, String)]
+      val q = Packing.tokenSink(input.toDF().toDF("doc_id", "text"), vocab,
+        budgetTokens = 128, outDir = out, buckets = 8, targetShardBytes = 16384)
+        .option("checkpointLocation", out + "_ckpt").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      graft.sources.TokenShards.scanTokens(s, out)
+        .select(col("bucket"), col("seq"), col("n"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          element_at(col("ids"), 1).as("first_id"))
+        .orderBy("bucket", "seq")
+    }, Some {
+      def half(sfx: String, pred: String, off: Int) =
+        s"""t0$sfx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |  FROM documents WHERE $pred),
+           |tp$sfx AS (SELECT doc_id, UNNEST(range(0, len(toks))) AS pos, toks FROM t0$sfx),
+           |tt$sfx AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tp$sfx),
+           |m$sfx AS (SELECT tt$sfx.doc_id, tt$sfx.pos, COALESCE(v.tok_id, 0) AS tok_id,
+           |    tt$sfx.doc_id % 8 + $off AS bucket
+           |  FROM tt$sfx LEFT JOIN voc v USING (tok)),
+           |g$sfx AS (SELECT bucket, tok_id,
+           |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id, pos) - 1 AS gp FROM m$sfx),
+           |q$sfx AS (SELECT bucket, tok_id, gp // 128 AS seq, gp % 128 AS idx FROM g$sfx)"""
+      s"""WITH tv AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+         |tvp AS (SELECT UNNEST(range(0, len(toks))) AS pos, toks FROM tv),
+         |tvt AS (SELECT toks[pos + 1] AS tok FROM tvp),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM tvt GROUP BY 1),
+         |voc AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS INT) AS tok_id
+         |  FROM (SELECT * FROM cnt ORDER BY c DESC, tok LIMIT 1000)),
+         |${half("a", "doc_id < 250", 0)},
+         |${half("b", "doc_id >= 250", 8)},
+         |qq AS (SELECT * FROM qa UNION ALL SELECT * FROM qb)
+         |SELECT CAST(bucket AS INT) AS bucket, CAST(seq AS BIGINT) AS seq,
+         |  CAST(COUNT(*) AS INT) AS n, CAST(SUM(tok_id) AS BIGINT) AS sum_ids,
+         |  CAST(MAX(CASE WHEN idx = 0 THEN tok_id END) AS INT) AS first_id
+         |FROM qq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }),
+
     Q("streaming_dedup_exact_replay", (s, dir) => {
       import s.implicits._
       // The sf-dir documents have (at small SF) few or no exact-text

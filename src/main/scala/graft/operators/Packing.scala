@@ -320,6 +320,43 @@ object Packing {
     *
     * @return the shard count
     */
+  /** STREAMING pre-tokenized release: pack each micro-batch of curated
+    * documents against a PRE-FIT id vocabulary and append the int32
+    * shards as the batch's own `batch=<id>` subdirectory
+    * ([[graft.sources.WebDataset.tarSink]]'s idempotent convention — a
+    * re-delivered batch rewrites its own dir byte-identically, since
+    * the pack is a pure function of the batch rows). The vocab is fit
+    * ONCE on a bounded corpus/sample ([[rankVocab]] /
+    * [[rankVocabFromTokens]], persisted) — a frequency-ranked vocab
+    * cannot be fit on an unbounded stream, the same fit-once/serve-many
+    * split as the quality classifier. Sequence keys stay collision-free
+    * as the layout accumulates: each batch's buckets shift to their own
+    * range (`bucket + batchId·buckets`), so the `(bucket, seq)` scheme
+    * survives and [[graft.sources.TokenShards.scanTokens]] reads the
+    * whole standing directory directly. `batchId` must stay below
+    * 2³¹ ∕ `buckets` (loud guard). Start with
+    * `.option("checkpointLocation", …).start()`.
+    */
+  def tokenSink(
+      stream: DataFrame,
+      vocab: DataFrame,
+      budgetTokens: Int,
+      outDir: String,
+      buckets: Int = 1024,
+      targetShardBytes: Long = 256L << 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        require(batchId < Int.MaxValue.toLong / buckets,
+          s"tokenSink: batchId $batchId overflows the bucket id range (buckets=$buckets)")
+        val packed = packTokenIds(batch, vocab, budgetTokens, buckets, textCol, idCol)
+          .withColumn("bucket", (col("bucket") + lit(batchId * buckets)).cast("int"))
+        tokenTar(packed, s"$outDir/batch=$batchId", targetShardBytes)
+        ()
+    }
+
   def tokenTar(
       packed: DataFrame,
       outDir: String,

@@ -160,6 +160,46 @@ class WebDatasetSpec extends SparkSpec {
       snap(m.drop("payload")), "re-delivered batch changed the corpus")
   }
 
+  test("tokenSink streams batch-keyed int32 shards; scanTokens reads the standing layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Packing
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("wdst").toString + "/tokens"
+    val ckpt = java.nio.file.Files.createTempDirectory("wdstck").toString
+    // Fit-once vocab on a bounded sample, served to every batch.
+    val sample = Seq((0L, "alpha beta gamma"), (1L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val vocab = Packing.rankVocab(sample, vocabSize = 10)
+    val input = MemoryStream[(Long, String)]
+    val q = Packing.tokenSink(input.toDF().toDF("doc_id", "text"), vocab,
+      budgetTokens = 4, outDir = out, buckets = 2, targetShardBytes = 1 << 20)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((0L, "alpha beta gamma alpha"), (1L, "beta beta"))
+      q.processAllAvailable()
+      input.addData((2L, "gamma delta unseen alpha beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.sources.TokenShards.scanTokens(spark, out)
+    // Batch 0 occupies buckets [0, 2), batch 1 buckets [2, 4); each
+    // batch's sequences equal a batch-local pack shifted into its range.
+    val b0 = Packing.packTokenIds(
+      Seq((0L, "alpha beta gamma alpha"), (1L, "beta beta")).toDF("doc_id", "text"),
+      vocab, budgetTokens = 4, buckets = 2)
+    val b1 = Packing.packTokenIds(
+      Seq((2L, "gamma delta unseen alpha beta")).toDF("doc_id", "text"),
+      vocab, budgetTokens = 4, buckets = 2)
+      .withColumn("bucket", (col("bucket") + lit(2)).cast("int"))
+    assert(snap(got) == snap(b0.unionByName(b1)),
+      "standing token layout drifted from per-batch packing")
+    // Re-delivery of batch 0 (at-least-once) rewrites its dir
+    // byte-identically — the member set is unchanged.
+    val before = snap(got)
+    Packing.tokenTar(b0, s"$out/batch=0", 1 << 20)
+    assert(snap(graft.sources.TokenShards.scanTokens(spark, out)) == before)
+  }
+
   test("repackTar compacts accumulated batch dirs into one flat layout, members intact") {
     val in = java.nio.file.Files.createTempDirectory("wds9").toString + "/release"
     // Simulate three sink batches directly (writeTarAuto per batch dir).
