@@ -55,6 +55,59 @@ object QueryCatalog {
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
+  /** documents with a deterministic 4-line decoration (doc-specific
+    * substrings + a corpus-wide boilerplate header + a footer shared by
+    * every third doc) — the line-dedup fixture, reproduced verbatim in
+    * [[dedupLinesOracle]]'s `lined` CTE.
+    */
+  private def linedDocs(s: SparkSession, dir: String) =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        substring(col("text"), 1, 40),
+        lit("shared boilerplate header line"),
+        substring(col("text"), 41, 40),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("promo footer visit example dot com"))
+          .otherwise(substring(col("text"), 81, 40))).as("text"))
+
+  /** The composed [[linedDocs]] line-dedup replay; `finalPred` restricts
+    * the output docs (TRUE = full corpus; the `_incr` entry filters to
+    * the shard — first-occurrence precedence is doc_id order either way).
+    */
+  private def dedupLinesOracle(finalPred: String): String =
+    s"""WITH lined AS (
+       |  SELECT doc_id,
+       |    concat_ws(chr(10),
+       |      substring(text, 1, 40),
+       |      'shared boilerplate header line',
+       |      substring(text, 41, 40),
+       |      CASE WHEN doc_id % 3 = 0 THEN 'promo footer visit example dot com'
+       |           ELSE substring(text, 81, 40) END) AS text
+       |  FROM documents),
+       |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       |lp AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS line_no, ls FROM l0),
+       |l AS (SELECT doc_id, line_no, ls[line_no + 1] AS line FROM lp),
+       |f AS (
+       |  SELECT line, doc_id AS fdoc, line_no AS fno FROM (
+       |    SELECT line, doc_id, line_no,
+       |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+       |    FROM l
+       |    WHERE len(regexp_replace(line, '\\s', '', 'g')) >= 10) WHERE rn = 1),
+       |kept AS (
+       |  SELECT l.doc_id, l.line_no, l.line
+       |  FROM l LEFT JOIN f ON l.line = f.line
+       |  WHERE f.fdoc IS NULL OR (l.doc_id = f.fdoc AND l.line_no = f.fno)),
+       |reb AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+       |    COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+       |  COALESCE(r.n_kept, 0) AS n_kept,
+       |  len(string_split(d.text, chr(10))) - COALESCE(r.n_kept, 0) AS n_dropped
+       |FROM lined d LEFT JOIN reb r USING (doc_id)
+       |WHERE $finalPred
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The 7-step declarative curation pipeline both `curation_pipeline`
     * and `curation_funnel` run.
     */
@@ -926,49 +979,23 @@ object QueryCatalog {
     // in the oracle's `lined` CTE, the multimodal/url fixture pattern);
     // the operator must keep exactly the first corpus occurrence of
     // every ≥10-char line and reassemble docs in line order.
-    Q("dedup_lines", (s, dir) => {
-      val lined = docs(s, dir).select(col("doc_id"),
-        concat_ws("\n",
-          substring(col("text"), 1, 40),
-          lit("shared boilerplate header line"),
-          substring(col("text"), 41, 40),
-          when(pmod(col("doc_id"), lit(3)) === 0,
-            lit("promo footer visit example dot com"))
-            .otherwise(substring(col("text"), 81, 40))).as("text"))
-      Dedup.dedupLines(lined, minLineChars = 10)
+    Q("dedup_lines", (s, dir) =>
+      Dedup.dedupLines(linedDocs(s, dir), minLineChars = 10).orderBy("doc_id"),
+      Some(dedupLinesOracle("TRUE"))),
+
+    // Incremental ingest: docs >= 250 arrive as a shard and are
+    // line-deduped against the persisted lineIndex of the first 250 —
+    // the corpus is never re-exploded. Shard ids follow corpus ids, so
+    // the result is exactly the full rebuild restricted to shard docs:
+    // the oracle IS the dedup_lines oracle with a doc_id filter.
+    Q("dedup_lines_incr", (s, dir) => {
+      val lined = linedDocs(s, dir)
+      Dedup.dedupLinesIncremental(
+        lined.filter(col("doc_id") >= 250),
+        Dedup.lineIndex(lined.filter(col("doc_id") < 250), minLineChars = 10),
+        minLineChars = 10)
         .orderBy("doc_id")
-    },
-      Some("""WITH lined AS (
-             |  SELECT doc_id,
-             |    concat_ws(chr(10),
-             |      substring(text, 1, 40),
-             |      'shared boilerplate header line',
-             |      substring(text, 41, 40),
-             |      CASE WHEN doc_id % 3 = 0 THEN 'promo footer visit example dot com'
-             |           ELSE substring(text, 81, 40) END) AS text
-             |  FROM documents),
-             |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
-             |lp AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS line_no, ls FROM l0),
-             |l AS (SELECT doc_id, line_no, ls[line_no + 1] AS line FROM lp),
-             |f AS (
-             |  SELECT line, doc_id AS fdoc, line_no AS fno FROM (
-             |    SELECT line, doc_id, line_no,
-             |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
-             |    FROM l
-             |    WHERE len(regexp_replace(line, '\s', '', 'g')) >= 10) WHERE rn = 1),
-             |kept AS (
-             |  SELECT l.doc_id, l.line_no, l.line
-             |  FROM l LEFT JOIN f ON l.line = f.line
-             |  WHERE f.fdoc IS NULL OR (l.doc_id = f.fdoc AND l.line_no = f.fno)),
-             |reb AS (
-             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
-             |    COUNT(*) AS n_kept
-             |  FROM kept GROUP BY doc_id)
-             |SELECT d.doc_id, COALESCE(r.text, '') AS text,
-             |  COALESCE(r.n_kept, 0) AS n_kept,
-             |  len(string_split(d.text, chr(10))) - COALESCE(r.n_kept, 0) AS n_dropped
-             |FROM lined d LEFT JOIN reb r USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin)),
+    }, Some(dedupLinesOracle("d.doc_id >= 250"))),
 
     Q("dedup_minhash", (s, dir) =>
       Dedup.minhashLsh(docs(s, dir), threshold = 0.5, numHashes = 64, bands = 16, shingleN = 3)

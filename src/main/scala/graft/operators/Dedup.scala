@@ -1435,18 +1435,37 @@ object Dedup {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
-    val lines = docs.select(
+    val lines = lineRows(docs, sep, textCol, idCol)
+    val firsts = lines
+      .filter(lineEligible(minLineChars))
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("__first"))
+      .select(col("line"), col("__first.doc_id").as("first_doc"),
+        col("__first.line_no").as("first_line"))
+    rebuildLines(docs, keepAgainstFirsts(lines, firsts), sep, textCol, idCol)
+  }
+
+  private def lineRows(
+      docs: DataFrame, sep: String, textCol: String, idCol: String): DataFrame =
+    docs.select(
       col(idCol).cast("long").as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("line_no", "line")))
-    val firsts = lines
-      .filter(length(regexp_replace(col("line"), "\\s", "")) >= minLineChars)
-      .groupBy("line")
-      .agg(min(struct(col("doc_id"), col("line_no"))).as("__first"))
-    val kept = lines
-      .join(firsts, Seq("line"), "left")
-      .filter(col("__first").isNull ||
-        struct(col("doc_id"), col("line_no")) === col("__first"))
+
+  private def lineEligible(minLineChars: Int) =
+    length(regexp_replace(col("line"), "\\s", "")) >= minLineChars
+
+  /** Keep a line occurrence iff it is unindexed (exempt or unseen) or IS
+    * its line's recorded first occurrence.
+    */
+  private def keepAgainstFirsts(lines: DataFrame, firsts: DataFrame): DataFrame =
+    lines.join(firsts, Seq("line"), "left")
+      .filter(col("first_doc").isNull ||
+        (col("doc_id") === col("first_doc") && col("line_no") === col("first_line")))
+
+  private def rebuildLines(
+      docs: DataFrame, kept: DataFrame,
+      sep: String, textCol: String, idCol: String): DataFrame = {
     val rebuilt = kept
       .groupBy("doc_id")
       .agg(
@@ -1461,6 +1480,80 @@ object Dedup {
         coalesce(col(textCol), lit("")).as(textCol),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Persistable first-occurrence line index for incremental ingest:
+    * `(line, first_doc, first_line)`, one row per distinct ELIGIBLE
+    * (≥ `minLineChars` non-space chars) line — the arrival history
+    * [[dedupLinesIncremental]] rewrites new shards against. Stores the
+    * line text (exactness, SQL-replayable); a deployment trading 2⁻⁶⁴
+    * collisions for index bytes can key on `(xxhash64(line),
+    * length(line))` instead, the [[exactByHash]] stance.
+    */
+  def lineIndex(
+      docs: DataFrame,
+      minLineChars: Int = 10,
+      sep: String = "\n",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    lineRows(docs, sep, textCol, idCol)
+      .filter(lineEligible(minLineChars))
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("__first"))
+      .select(col("line"), col("__first.doc_id").as("first_doc"),
+        col("__first.line_no").as("first_line"))
+
+  /** The rows an incoming shard ADDS to a standing [[lineIndex]]: its
+    * within-shard first occurrences of lines the index has never seen.
+    * Persist by appending (the append-only accumulation convention —
+    * the index is the arrival history, so precedence is ingest order).
+    */
+  def lineIndexIncrement(
+      newDocs: DataFrame,
+      index: DataFrame,
+      minLineChars: Int = 10,
+      sep: String = "\n",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("first_doc", "first_line", "line")),
+      s"not a lineIndex frame (columns ${index.columns.mkString(",")}); " +
+        "build it with Dedup.lineIndex (same minLineChars and sep)")
+    lineRows(newDocs, sep, textCol, idCol)
+      .filter(lineEligible(minLineChars))
+      .join(index.select("line"), Seq("line"), "left_anti")
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("__first"))
+      .select(col("line"), col("__first.doc_id").as("first_doc"),
+        col("__first.line_no").as("first_line"))
+  }
+
+  /** Incremental [[dedupLines]]: rewrite an incoming shard against the
+    * standing [[lineIndex]] — the corpus is never re-exploded. A shard
+    * line already in the index drops every shard occurrence (the index
+    * holds its first arrival); an unindexed eligible line keeps exactly
+    * its within-shard first occurrence; exempt short lines always
+    * survive. When shard ids follow corpus ids (the ingest-order
+    * invariant the `_incr` family assumes), results exactly equal
+    * [[dedupLines]] over (corpus ∪ shard) restricted to shard docs
+    * (parity asserted in ExtensionsSpec); update the standing index by
+    * appending [[lineIndexIncrement]]'s rows.
+    */
+  def dedupLinesIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      minLineChars: Int = 10,
+      sep: String = "\n",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val increment =
+      lineIndexIncrement(newDocs, index, minLineChars, sep, textCol, idCol)
+    val lines = lineRows(newDocs, sep, textCol, idCol)
+    rebuildLines(newDocs,
+      keepAgainstFirsts(lines, index.unionByName(increment)), sep, textCol, idCol)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
