@@ -36,6 +36,13 @@ object CurationConfig {
   final case class LangIdKeep(langs: Seq[String]) extends Step
   final case class Quality(minTokens: Option[Long], maxPunctRatio: Option[Double]) extends Step
 
+  /** Extract text from crawl HTML payloads (drop script/style blocks,
+    * strip tags, decode the common entities, collapse whitespace) — the
+    * stage BEFORE `clean` in a web pipeline
+    * ([[graft.functions.Texts.stripHtml]]).
+    */
+  case object StripHtml extends Step
+
   /** Keep documents passing the composed Gopher §A1.1 shape filters
     * ([[graft.functions.Texts.gopherKeep]] — word count, mean word
     * length, symbol ratio, bullet/ellipsis line fractions, alphabetic
@@ -297,6 +304,7 @@ object CurationConfig {
           s"step #$idx: quality needs min_tokens and/or max_punct_ratio")
         q
       case "gopher" => GopherQuality
+      case "strip_html" => StripHtml
       case "quota" =>
         val group = params.get("group").map(_.toString).getOrElse("lang")
         val quotas = need(params.get("quotas"), "'quotas' (map of group -> n)")
@@ -441,7 +449,7 @@ object CurationConfig {
             "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
             "decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
-            "sample_diverse, sink, sink_tar, sink_tokens, split, shuffle, chunk, decontaminate, perplexity, " +
+            "sample_diverse, sink, sink_tar, sink_tokens, split, strip_html, shuffle, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")
     }
   }

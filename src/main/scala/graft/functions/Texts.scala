@@ -81,6 +81,31 @@ object Texts {
     )
   }
 
+  /** Crawl HTML → text extraction — the stage BEFORE [[cleanText]] in a
+    * web pipeline (raw crawl payloads are markup, not text): drop
+    * `<script>`/`<style>` blocks wholesale (their content is code, not
+    * prose), strip every remaining tag, decode the six ubiquitous
+    * entities, collapse whitespace runs, trim. Regex-only BY DESIGN —
+    * not a conformant HTML5 parser (no DOM libs in a codegen'd column
+    * chain, and crawl curation wants throughput over edge-case
+    * fidelity; malformed markup degrades to extra stripped text, never
+    * an error). Patterns use only Java-regex/RE2-identical constructs
+    * (`(?is)` inline flags, lazy block quantifier, classes — no
+    * lookaround), so the catalog oracle is exact; entity decode is
+    * literal `replace` with `&amp;` LAST (decoding it first would
+    * double-decode `&amp;lt;`).
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Gopher/MassiveText line- and word-SHAPE quality rules (Rae et al.,
     * "Scaling Language Models: Methods, Analysis & Insights from
     * Training Gopher", 2021, §A1.1) — the document filters that

@@ -2994,6 +2994,38 @@ object QueryCatalog {
     // ragged-space noise (closed-form, reproduced by the oracle with
     // chr() arithmetic — the multimodal/url fixture pattern), so the
     // transform is exercised for real.
+    // HTML → text extraction on a deterministic markup decoration (tags
+    // wrapping doc substrings, a script block whose BODY contains a tag
+    // — wholesale block removal must eat it — and the six common
+    // entities); both engines replay the identical regex/replace chain.
+    Q("text_strip_html", (s, dir) => {
+      val html = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><style>p {color: red}</style><title>T</title></head><body><h1>"),
+          substring(col("text"), 1, 30),
+          lit("</h1><script type=\"text/javascript\">var x = \"<p>\";</script><p class=\"a\">"),
+          substring(col("text"), 31, 60),
+          lit(" &amp;&nbsp;more &lt;tags&gt; &quot;q&#39;</p></body></html>")).as("text"))
+      html.select(col("doc_id"), Texts.stripHtml(col("text")).as("text"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><style>p {color: red}</style><title>T</title></head><body><h1>' ||
+             |  substring(text, 1, 30) ||
+             |  '</h1><script type="text/javascript">var x = "<p>";</script><p class="a">' ||
+             |  substring(text, 31, 60) ||
+             |  ' &amp;&nbsp;more &lt;tags&gt; &quot;q&#39;</p></body></html>' AS text
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(text,
+             |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+             |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+             |s3 AS (SELECT doc_id,
+             |  replace(replace(replace(replace(replace(replace(t,
+             |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2)
+             |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
+             |FROM s3 ORDER BY doc_id""".stripMargin)),
+
     Q("text_clean", (s, dir) =>
       docs(s, dir)
         .withColumn("noisy",

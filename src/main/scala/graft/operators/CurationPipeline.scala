@@ -105,6 +105,7 @@ object CurationPipeline {
     case LangIdKeep(_) => "langid_keep"
     case Quality(_, _) => "quality"
     case GopherQuality => "gopher"
+    case StripHtml => "strip_html"
     case DedupExact => "dedup_exact"
     case Quota(_, _) => "quota"
     case Split(_) => "split"
@@ -200,6 +201,8 @@ object CurationPipeline {
         df.filter(conds.reduce(_ && _))
       case GopherQuality =>
         df.filter(Texts.gopherKeep(col(textCol)))
+      case StripHtml =>
+        df.withColumn(textCol, Texts.stripHtml(col(textCol)))
       case DedupExact =>
         // Keep the lowest id of each exact-text group: thin (hash, id)
         // aggregate + semi-join, the dedup_exact shape.

@@ -147,8 +147,22 @@ object TextScaleProbe {
         graft.operators.QualityClassifier.score(corpus, qcModel)
           .write.format("noop").mode("overwrite").save()
       }
+      // Corpus-wide line dedup: the lined decoration gives every doc a
+      // shared header (ONE corpus-wide hot line — the case the map-side-
+      // combined first-occurrence aggregate exists for) plus salted
+      // doc-specific lines; cost is the line explode + line-key
+      // aggregate + occurrence join + doc-key rebuild.
+      val lined = corpus.select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 60),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 61, 60)).as("text"))
+      val tLines = time {
+        Dedup.dedupLines(lined, minLineChars = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
       corpus.unpersist()
-      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f, "url_dedup_secs": $tUrl%.2f, "bm25_index_secs": $tBm25Index%.2f, "bm25_serve_secs": $tBm25Serve%.2f, "bpe_learn_secs": $tBpeLearn%.2f, "bpe_apply_secs": $tBpeApply%.2f, "qc_train8_secs": $tQcTrain%.2f, "qc_score_secs": $tQcScore%.2f}"""
+      f"""{"corpus": "$label", "docs": $n, "substring_secs": $tSpans%.2f, "topk_secs": $tTopk%.2f, "ppl_oneshot_secs": $tPplOneShot%.2f, "ppl_serve_secs": $tPplServe%.2f, "serve_fraction": ${tPplServe / math.max(tPplOneShot, 1e-9)}%.2f, "url_dedup_secs": $tUrl%.2f, "bm25_index_secs": $tBm25Index%.2f, "bm25_serve_secs": $tBm25Serve%.2f, "bpe_learn_secs": $tBpeLearn%.2f, "bpe_apply_secs": $tBpeApply%.2f, "qc_train8_secs": $tQcTrain%.2f, "qc_score_secs": $tQcScore%.2f, "dedup_lines_secs": $tLines%.2f}"""
     }
 
     val loadStart = loadavg()

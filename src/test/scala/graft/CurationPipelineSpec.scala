@@ -186,6 +186,20 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == all.diff(drop))
   }
 
+  test("strip_html step extracts text: blocks dropped wholesale, tags stripped, entities decoded") {
+    val html = Seq((1L,
+      "<div>Hello <b>world</b><script>var x = \"<p>ignored</p>\";</script> &amp; &lt;ok&gt;&nbsp;done</div>"))
+      .toDF("doc_id", "text")
+    val got = CurationPipeline.fromYaml(html, "steps:\n  - strip_html\n")
+      .head().getAs[String]("text")
+    assert(got == "Hello world & <ok> done", s"got '$got'")
+    // &amp; decodes LAST: double-encoded entities become their literal
+    // entity text, never a second decode.
+    val dbl = Seq((1L, "<p>&amp;lt;kept&amp;gt;</p>")).toDF("doc_id", "text")
+    assert(CurationPipeline.fromYaml(dbl, "steps:\n  - strip_html\n")
+      .head().getAs[String]("text") == "&lt;kept&gt;")
+  }
+
   test("gopher step keeps exactly the gopherKeep survivors") {
     // Even ids double their text past the 50-word floor; odd ids stay
     // under it — the composed filter must discriminate, not pass-all.
