@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.CurationConfig
@@ -377,7 +377,15 @@ object CurationPipeline {
             s"(have: ${df.columns.mkString(", ")})"))
         val w = df.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-        df.sparkSession.read.parquet(path)
+        val back = df.sparkSession.read.parquet(path)
+        // Dataset-card manifest, computed from the READ-BACK release (the
+        // numbers a consumer can re-derive, not the writer's intent).
+        // Lives BESIDE the parquet dir — a subdir would pollute
+        // spark.read.parquet(path)'s file discovery.
+        writeManifest(s"${path}_manifest", df.sparkSession, Seq(
+          "kind" -> "sink", "n_docs" -> back.count().toString,
+          "partition_by" -> partitionBy.mkString(",")))
+        back
       case SinkTar(path, targetShardBytes) =>
         // Tar members are id-keyed — a (id, copy)-keyed frame would
         // collide member names and silently drop repeats.
@@ -407,6 +415,13 @@ object CurationPipeline {
         // would decode it (same eager-at-compile semantics as Sink).
         val m = graft.sources.WebDataset.samples(
           graft.sources.WebDataset.scanTar(df.sparkSession, path), members.map(_._1))
+        val stats = m.agg(count(lit(1)).as("n"),
+          countDistinct(col("shard")).as("s"),
+          sum(octet_length(col("txt"))).as("b")).head()
+        writeManifest(s"$path/manifest", df.sparkSession, Seq(
+          "kind" -> "sink_tar", "n_docs" -> stats.getLong(0).toString,
+          "n_shards" -> stats.getLong(1).toString,
+          "n_text_bytes" -> stats.getLong(2).toString))
         val base = Seq(
           col("key").cast(df.schema(idCol).dataType).as(idCol),
           regexp_extract(col("shard"), "(\\d+)$", 1).cast("int").as("shard"),
@@ -440,6 +455,25 @@ object CurationPipeline {
         Packing.tokenTar(
           Packing.packTokenIdsFrom(stream, vocabBack, budgetTokens, buckets),
           s"$path/shards", targetShardBytes)
-        graft.sources.TokenShards.scanTokens(spark, s"$path/shards")
+        val back = graft.sources.TokenShards.scanTokens(spark, s"$path/shards")
+        val stats = back.agg(count(lit(1)).as("s"), sum(col("n")).as("t")).head()
+        writeManifest(s"$path/manifest", spark, Seq(
+          "kind" -> "sink_tokens", "n_seqs" -> stats.getLong(0).toString,
+          "n_tokens" -> stats.getLong(1).toString,
+          "vocab_rows" -> vocabBack.count().toString,
+          "budget" -> budgetTokens.toString, "buckets" -> buckets.toString,
+          "tokenizer" -> tokenizer))
+        back
     }
+
+  /** One-row dataset-card manifest beside a release: `(key, value)`
+    * string pairs (kind-specific keys, documented per sink), every
+    * value re-derived from the release AS READ BACK — the manifest
+    * states what a consumer can verify, not what the writer intended.
+    */
+  private def writeManifest(
+      path: String, spark: SparkSession, kv: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    kv.toDF("key", "value").coalesce(1).write.mode("overwrite").parquet(path)
+  }
 }

@@ -365,6 +365,12 @@ class CurationPipelineSpec extends SparkSpec {
       snap(pre.select(col("doc_id"), col("split"), col("shard"))))
     val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("split="))
     assert(dirs.toSet == Set("split=train", "split=val", "split=test"))
+    // Manifest beside the release (a subdir would pollute parquet
+    // discovery): read-back-derived doc count + the partition spec.
+    val mani = spark.read.parquet(s"${dir}_manifest").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mani("kind") == "sink" && mani("n_docs") == out.count().toString &&
+      mani("partition_by") == "split,shard")
     // Terminal rule: anything after sink is refused.
     val late = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
       s"steps:\n  - sink: {{ path: $dir }}\n  - clean\n"
@@ -479,6 +485,10 @@ class CurationPipelineSpec extends SparkSpec {
     val tars = new java.io.File(path).listFiles().map(_.getName).filter(_.endsWith(".tar"))
     assert(tars.length > 1, s"expected multiple 4 KiB-budget shards, got ${tars.length}")
     assert(out.select("shard").distinct().count() == tars.length)
+    val mani = spark.read.parquet(s"$path/manifest").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mani("kind") == "sink_tar" && mani("n_docs") == want.count().toString &&
+      mani("n_shards") == tars.length.toString)
     // Not final → refused; after mix_unimax (copy-keyed) → refused.
     val mid = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
       s"steps:\n  - sink_tar: { path: $path }\n  - quality: { min_tokens: 5 }\n"))
@@ -515,6 +525,12 @@ class CurationPipelineSpec extends SparkSpec {
     val dec = graft.sources.TokenShards.decodeTokens(spark, path)
     assert(dec.filter(col("tok_id") =!= 0 && col("tok").isNull).count() == 0)
     assert(dec.count() == out.agg(sum(col("n"))).head().getLong(0))
+    val mani = spark.read.parquet(s"$path/manifest").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mani("kind") == "sink_tokens" &&
+      mani("n_seqs") == out.count().toString &&
+      mani("n_tokens") == out.agg(sum(col("n"))).head().getLong(0).toString &&
+      mani("tokenizer") == "rank")
     val mid = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
       s"steps:\n  - sink_tokens: { path: $path, budget: 32 }\n" +
         "  - quality: { min_tokens: 5 }\n"))
