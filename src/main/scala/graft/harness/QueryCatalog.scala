@@ -981,7 +981,7 @@ object QueryCatalog {
     // every ≥10-char line and reassemble docs in line order.
     Q("dedup_lines", (s, dir) =>
       Dedup.dedupLines(linedDocs(s, dir), minLineChars = 10).orderBy("doc_id"),
-      Some(dedupLinesOracle("TRUE"))),
+      Some(dedupLinesOracle("TRUE")), bench = true),
 
     // Incremental ingest: docs >= 250 arrive as a shard and are
     // line-deduped against the persisted lineIndex of the first 250 —

@@ -1529,6 +1529,60 @@ object Dedup {
         col("__first.line_no").as("first_line"))
   }
 
+  /** `foreachBatch` ingest sink for STREAMING line dedup — the
+    * continuous-crawl face of [[dedupLinesIncremental]]: each
+    * micro-batch rewrites its docs against the line index of every
+    * PRIOR batch, writes the survivors (`n_kept > 0`) to
+    * `standingDir/docs/batch=<id>` and its own [[lineIndexIncrement]]
+    * rows to `standingDir/index/batch=<id>` (both mode overwrite, the
+    * [[graft.operators.Profiling.profileSink]] convention). Keying both
+    * writes on the batchId AND reading the index EXCLUDING the batch's
+    * own dir makes the sink idempotent under foreachBatch's
+    * at-least-once contract: a re-delivered batch recomputes against
+    * the identical prior-index view and overwrites its own two dirs
+    * byte-identically — the self-exclusion matters, because reading its
+    * own stale increment back would anti-join the recomputation to
+    * empty and silently ERASE index rows. After any batch,
+    * `spark.read.parquet(standingDir + "/docs")` is the line-deduped
+    * corpus ingested so far; precedence is arrival order (batch id,
+    * then (doc_id, line_no) within a batch).
+    */
+  def lineDedupSink(
+      standingDir: String,
+      minLineChars: Int = 10,
+      sep: String = "\n",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val idxRoot = new org.apache.hadoop.fs.Path(s"$standingDir/index")
+    val fs = idxRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val priorDirs =
+      if (!fs.exists(idxRoot)) Array.empty[String]
+      else fs.listStatus(idxRoot).filter(_.isDirectory)
+        .map(_.getPath.toString)
+        .filterNot(_.endsWith(s"batch=$batchId"))
+    val prior =
+      if (priorDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("line",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("first_doc",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("first_line",
+              org.apache.spark.sql.types.IntegerType))))
+      else spark.read.parquet(priorDirs.toIndexedSeq: _*)
+        .select("line", "first_doc", "first_line")
+    dedupLinesIncremental(batch, prior, minLineChars, sep, textCol, idCol)
+      .filter(col("n_kept") > 0)
+      .write.mode("overwrite").parquet(s"$standingDir/docs/batch=$batchId")
+    lineIndexIncrement(batch, prior, minLineChars, sep, textCol, idCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$standingDir/index/batch=$batchId")
+  }
+
   /** Incremental [[dedupLines]]: rewrite an incoming shard against the
     * standing [[lineIndex]] — the corpus is never re-exploded. A shard
     * line already in the index drops every shard occurrence (the index

@@ -747,6 +747,14 @@ object PlanAudit {
     audit("curation_release", graft.operators.CurationPipeline.fromYaml(
       urlDocs, releaseYaml), 7)
 
+    // The C4 chain: line dedup (line agg + occurrence join + doc
+    // rebuild/restore), exact dedup (thin hash agg + semi-join), gopher
+    // (pure map-side regexp filter — free). Budget = line dedup's 5 +
+    // dedup_exact's 2.
+    audit("curation_pipeline_c4", graft.operators.CurationPipeline.fromYaml(
+      docsT,
+      "steps:\n  - dedup_lines: { min_chars: 10 }\n  - dedup_exact: {}\n  - gopher\n"), 7)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
