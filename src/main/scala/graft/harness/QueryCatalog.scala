@@ -3830,6 +3830,33 @@ object QueryCatalog {
         |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS is_error
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming line dedup replayed as two doc_id-split micro-batches
+    // through the lineDedupSink standing layout: batch order = doc_id
+    // order, so the accumulated docs dirs equal the BATCH dedup_lines
+    // run minus its zero-line husks — the oracle is the dedup_lines
+    // replay with the husk filter.
+    Q("streaming_lines_replay", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = linedDocs(s, dir)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val batches = Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
+        .filter(_.nonEmpty)
+      val out = s"/tmp/graft_stream_lines_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch(Dedup.lineDedupSink(out, minLineChars = 10))
+        .option("checkpointLocation", out + "_ckpt").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      s.read.parquet(s"$out/docs")
+        .select("doc_id", "text", "n_kept", "n_dropped")
+        .orderBy("doc_id")
+    }, Some(dedupLinesOracle("COALESCE(r.n_kept, 0) > 0"))),
+
     // Streaming pre-tokenized release replayed as two doc_id-split
     // micro-batches through tokenSink (fit-once vocab on the full
     // bounded corpus, batch-offset buckets), then decoded back off the
