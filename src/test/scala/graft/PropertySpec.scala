@@ -480,6 +480,51 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       "binary shards decoded to different sequences")
   }
 
+  test("dedupLines equals a driver-side reference on random corpora; second pass drops nothing") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // A small line pool forces real cross-doc duplicates; %d lines stay
+    // doc-unique. Pool mixes exempt-length (< 10 non-space chars) and
+    // eligible lines so the exemption path is always exercised.
+    val linePool = Gen.oneOf(
+      "", "-", "x y", "the cat", "shared boilerplate header line",
+      "another long duplicated line", "third repeated eligible line",
+      "unique filler line for doc %d")
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(n, Gen.choose(1, 5).flatMap(m => Gen.listOfN(m, linePool)))
+    } yield docs.zipWithIndex.map { case (ls, i) =>
+      (i.toLong, ls.map(l => if (l.contains("%d")) l.format(i) else l).mkString("\n"))
+    }
+    val eligible = (l: String) => l.replaceAll("\\s", "").length >= 10
+    val prop = Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val got = Dedup.dedupLines(df, minLineChars = 10).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toList
+      val exploded = rows.sortBy(_._1).flatMap { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, i) => (id, i, l) } }
+      val firsts = exploded.filter(t => eligible(t._3))
+        .groupBy(_._3).map { case (l, occ) => l -> occ.minBy(o => (o._1, o._2)) }
+      val kept = exploded.filter { case (id, i, l) =>
+        !eligible(l) || firsts(l) == ((id, i, l)) }
+      val want = rows.sortBy(_._1).map { case (id, t) =>
+        val mine = kept.filter(_._1 == id).sortBy(_._2).map(_._3)
+        val total = t.split("\n", -1).length
+        (id, mine.mkString("\n"), mine.length.toLong, (total - mine.length).toLong)
+      }
+      val stable = got == want
+      // Idempotence: after one pass every eligible line is globally
+      // unique, so a second pass must drop nothing.
+      val again = Dedup.dedupLines(
+        Dedup.dedupLines(df, minLineChars = 10).select("doc_id", "text"),
+        minLineChars = 10)
+        .agg(org.apache.spark.sql.functions.sum("n_dropped")).head().getLong(0)
+      stable && again == 0L
+    }
+    check(prop, 12)
+  }
+
   test("unimaxPlan matches the paper's sequential greedy on random frames") {
     import spark.implicits._
     // Literal Algorithm 1 (Chung et al. 2023): ascend by token mass,
