@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1581,6 +1581,40 @@ object Dedup {
     lineIndexIncrement(batch, prior, minLineChars, sep, textCol, idCol)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$standingDir/index/batch=$batchId")
+  }
+
+  /** Offline compaction for a [[lineDedupSink]] standing INDEX dir
+    * (`<standingDir>/index`): replace the accumulated `batch=<id>`
+    * subdirectories with ONE plain-union rewrite. Index rows are
+    * DISJOINT across batches by construction (each increment anti-joins
+    * every prior batch), so the union IS the standing index and
+    * compaction preserves arrival precedence exactly — no merge
+    * algebra needed, unlike the profile fold. Same offline contract as
+    * [[graft.operators.Profiling.compactProfileDir]]: stop the stream
+    * CLEANLY first (a re-delivered uncommitted batch would rewrite its
+    * own dir after its rows were folded into the compacted one, and the
+    * sink's self-excluding prior read would then see those lines
+    * twice). The compacted dir is `batch=c<maxId>` — the `c` prefix
+    * stays disjoint from every numeric batchId a resumed stream writes.
+    */
+  def compactLineIndexDir(spark: SparkSession, indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"compactLineIndexDir: no such dir $indexDir")
+    val batchDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    require(batchDirs.nonEmpty,
+      s"compactLineIndexDir: $indexDir holds no batch=<id> subdirectories")
+    if (batchDirs.length < 2) return // nothing to fold
+    val merged = spark.read.parquet(indexDir)
+      .select("line", "first_doc", "first_line")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val maxId = batchDirs.map(_.getPath.getName.stripPrefix("batch=")
+      .dropWhile(_ == 'c').toLong).max
+    batchDirs.foreach(st => fs.delete(st.getPath, true))
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=c$maxId")),
+      s"compactLineIndexDir: rename of compacted output failed in $indexDir")
   }
 
   /** Incremental [[dedupLines]]: rewrite an incoming shard against the
