@@ -238,15 +238,18 @@ object CurationConfig {
     * (whitespace words — closed-form, SQL-replayable), `bpe` (merge
     * table learned on the curated corpus, `merges` pairs), or `unigram`
     * (SentencePiece-style piece table, ≤ `vocab` pieces of up to
-    * `piece_len` chars); subword models persist at `path/tokenizer`
-    * beside the release. Hands back the DECODED read-back sequences.
-    * Must be the final step.
+    * `piece_len` chars); `byte_level: true` switches the BPE alphabet
+    * to the GPT-2 byte symbols (unsegmented scripts, zero OOV — the
+    * mode rides in the manifest because apply must match learn).
+    * Subword models persist at `path/tokenizer` beside the release.
+    * Hands back the DECODED read-back sequences. Must be the final
+    * step.
     */
   final case class SinkTokens(
       path: String, budgetTokens: Int, vocabSize: Int,
       buckets: Int, targetShardBytes: Long,
       tokenizer: String = "rank", numMerges: Int = 256,
-      maxPieceLen: Int = 6) extends Step
+      maxPieceLen: Int = 6, byteLevel: Boolean = false) extends Step
 
   final case class Pipeline(steps: Seq[Step])
 
@@ -434,6 +437,15 @@ object CurationConfig {
         if (!Set("rank", "bpe", "unigram")(tok))
           throw new IllegalArgumentException(
             s"step #$idx: sink_tokens tokenizer must be rank|bpe|unigram, got '$tok'")
+        val byteLevel = params.get("byte_level") match {
+          case None => false
+          case Some(b: java.lang.Boolean) => b.booleanValue
+          case Some(other) => throw new IllegalArgumentException(
+            s"step #$idx: sink_tokens byte_level must be a boolean, got '$other'")
+        }
+        if (byteLevel && tok != "bpe")
+          throw new IllegalArgumentException(
+            s"step #$idx: sink_tokens byte_level applies only to tokenizer: bpe (got '$tok')")
         SinkTokens(
           need(params.get("path").map(_.toString), "'path'"),
           need(longParam("budget"), "'budget' (tokens per sequence)").toInt,
@@ -442,7 +454,8 @@ object CurationConfig {
           longParam("target_bytes").getOrElse(256L << 20),
           tok,
           longParam("merges").getOrElse(256L).toInt,
-          longParam("piece_len").getOrElse(6L).toInt)
+          longParam("piece_len").getOrElse(6L).toInt,
+          byteLevel)
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +

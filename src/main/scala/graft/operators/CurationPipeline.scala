@@ -132,7 +132,7 @@ object CurationPipeline {
     case DecontamEmbedding(_, _, _) => "decontaminate_embedding"
     case Sink(_, _) => "sink"
     case SinkTar(_, _) => "sink_tar"
-    case SinkTokens(_, _, _, _, _, _, _, _) => "sink_tokens"
+    case SinkTokens(_, _, _, _, _, _, _, _, _) => "sink_tokens"
   }
 
   /** Resolve an auxiliary embedding frame and restrict it to the ids
@@ -428,7 +428,7 @@ object CurationPipeline {
           decode(col("txt"), "UTF-8").as(textCol))
         m.select(base ++ (if (hasLang) Seq(decode(col("cls"), "UTF-8").as("lang")) else Nil): _*)
       case SinkTokens(path, budgetTokens, vocabSize, buckets, targetShardBytes,
-          tokenizer, numMerges, maxPieceLen) =>
+          tokenizer, numMerges, maxPieceLen, byteLevel) =>
         // Tokenizer model AND vocab fit on the corpus AS CURATED and
         // persist beside the shards; both are read BACK before use so
         // the release verifies the artifacts a loader would load.
@@ -436,10 +436,11 @@ object CurationPipeline {
         val stream = tokenizer match {
           case "rank" => Packing.tokenStream(df, Packing.WordTokenizer, textCol, idCol)
           case "bpe" =>
-            graft.functions.Bpe.learnMerges(df, numMerges = numMerges, textCol = textCol)
+            graft.functions.Bpe.learnMerges(df, numMerges = numMerges,
+              textCol = textCol, byteLevel = byteLevel)
               .write.mode("overwrite").parquet(s"$path/tokenizer")
             Packing.tokenStream(df,
-              Packing.BpeTokenizer(spark.read.parquet(s"$path/tokenizer")),
+              Packing.BpeTokenizer(spark.read.parquet(s"$path/tokenizer"), byteLevel),
               textCol, idCol)
           case "unigram" =>
             graft.functions.Unigram.learnPieces(
@@ -462,7 +463,9 @@ object CurationPipeline {
           "n_tokens" -> stats.getLong(1).toString,
           "vocab_rows" -> vocabBack.count().toString,
           "budget" -> budgetTokens.toString, "buckets" -> buckets.toString,
-          "tokenizer" -> tokenizer))
+          // byte_level rides in the manifest because a merge table
+          // learned in one mode MUST be applied in the same mode.
+          "tokenizer" -> tokenizer, "byte_level" -> byteLevel.toString))
         back
     }
 

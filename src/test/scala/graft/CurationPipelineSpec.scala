@@ -542,6 +542,7 @@ class CurationPipelineSpec extends SparkSpec {
     val curated = docs.filter(
       size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 5)
     Seq("bpe" -> "tokenizer: bpe, merges: 24",
+        "bpe_bytes" -> "tokenizer: bpe, merges: 24, byte_level: true",
         "unigram" -> "tokenizer: unigram, piece_len: 4").foreach { case (mode, yamlTok) =>
       val path = java.nio.file.Files.createTempDirectory(s"ctok_$mode").toString + "/rel"
       val out = CurationPipeline.fromYaml(docs,
@@ -553,6 +554,12 @@ class CurationPipelineSpec extends SparkSpec {
         case "bpe" =>
           assert(model.columns.toSeq == Seq("rank", "left", "right"))
           Packing.BpeTokenizer(model)
+        case "bpe_bytes" =>
+          // apply mode must match the learn mode the manifest records
+          val mani = spark.read.parquet(s"$path/manifest").collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          assert(mani("byte_level") == "true")
+          Packing.BpeTokenizer(model, byteLevel = true)
         case _ =>
           assert(model.columns.toSeq == Seq("piece", "logp"))
           Packing.UnigramTokenizer(model, maxPieceLen = 4)
@@ -570,6 +577,9 @@ class CurationPipelineSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
       "steps:\n  - sink_tokens: { path: /tmp/x, budget: 32, tokenizer: sentencepiece }\n"))
     assert(bad.getMessage.contains("rank|bpe|unigram"))
+    val badByte = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - sink_tokens: { path: /tmp/x, budget: 32, tokenizer: unigram, byte_level: true }\n"))
+    assert(badByte.getMessage.contains("byte_level"))
   }
 
   test("mix_unimax step applies the waterfilled plan as (id, copy) repeats") {
