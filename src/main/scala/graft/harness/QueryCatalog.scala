@@ -983,6 +983,16 @@ object QueryCatalog {
       Dedup.dedupLines(linedDocs(s, dir), minLineChars = 10).orderBy("doc_id"),
       Some(dedupLinesOracle("TRUE")), bench = true),
 
+    // Soft dedup: every duplicate kept, weighted 1/group-size — one row
+    // per input doc, total mass 1 per distinct text.
+    Q("dedup_soft", (s, dir) =>
+      Dedup.softDedupWeights(docs(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+             |  ROUND(CAST(1.0 AS DOUBLE) / n_copies, 6) AS weight
+             |FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS n_copies
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Incremental ingest: docs >= 250 arrive as a shard and are
     // line-deduped against the persisted lineIndex of the first 250 —
     // the corpus is never re-exploded. Shard ids follow corpus ids, so

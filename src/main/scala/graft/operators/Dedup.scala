@@ -41,6 +41,39 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
       .select(col("keep_id"), col("n_docs"))
 
+  /** SOFT dedup — reweight instead of remove: every copy of a
+    * duplicated text is KEPT and assigned weight `1 / group size`, so a
+    * weighted sampler or loss sees each distinct text with total mass 1
+    * (the downweighting alternative to removal when hard dedup would
+    * bias the mix — the repeat-discounting regime data-constrained
+    * scaling work studies, e.g. Muennighoff et al., "Scaling
+    * Data-Constrained Language Models", NeurIPS 2023).
+    *
+    * Scale shape: the [[exactByHash]] discipline — group sizes
+    * aggregate on the 16-byte `(xxhash64, length)` key (map-side
+    * combine; the text never shuffles) and join back on the same thin
+    * key. Weights are deterministic, so the catalog oracle replays
+    * exactly (grouped on the text itself — the 2⁻⁶⁴-collision
+    * [[exactByHash]] caveat applies here identically).
+    *
+    * @return (doc_id, n_copies, weight) — one row per INPUT doc.
+    */
+  def softDedupWeights(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val sizes = docs
+      .groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__l"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__l"))
+      .join(sizes, Seq("__h", "__l"))
+      .select(col("doc_id"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+  }
+
   /** MinHash signature as a column expression: for each of `numHashes`
     * seeded hash functions, the min `xxhash64` over the document's distinct
     * word `shingleN`-gram shingles. NOTE: `transform` is an interpreted
