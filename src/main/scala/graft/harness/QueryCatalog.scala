@@ -2452,6 +2452,23 @@ object QueryCatalog {
     // Deterministic per-group head — the uniform-representation sampler
     // (same hash order as split/shuffle, so the pick is engine-
     // reproducible and corpus-order-free); full SQL oracle.
+    // Weighted k-draw over soft-dedup weights: the Gumbel-max pick
+    // (prob ∝ weight, without replacement) composed with the
+    // 1/group-size reweighting, replayed exactly by the wide-hash SQL.
+    Q("sample_weighted", (s, dir) =>
+      Sampling.weightedSample(Dedup.softDedupWeights(docs(s, dir)), k = 100),
+      Some("""WITH w AS (SELECT doc_id,
+             |    ROUND(CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY text), 6) AS weight
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    ROUND(ln(weight) - ln(-ln((((doc_id % 1048576) * 2654435761
+             |        + ((doc_id >> 20) % 1048576) * 2246822519) % 4294967296 + 0.5)
+             |      / 4294967296.0)), 6) AS sample_key
+             |  FROM w WHERE weight > 0)
+             |SELECT doc_id, sample_key
+             |FROM (SELECT * FROM g ORDER BY sample_key DESC, doc_id LIMIT 100)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_group_head", (s, dir) =>
       Sampling.perGroupHead(docs(s, dir), 20, "lang")
         .select(col("doc_id"), col("lang"), col("rk"))

@@ -353,6 +353,48 @@ object Sampling {
     *
     * @return input rows of the kept sample plus their in-group `rk`.
     */
+  /** Deterministic weighted k-sample WITHOUT replacement, probability
+    * ∝ `weightCol` — the Gumbel-max pick
+    * ([[graft.operators.ImportanceSampling.importanceResample]]'s
+    * engine) over user-supplied weights instead of LM log-ratios:
+    * `key = ln w − ln(−ln u(id))` with the deterministic wide-hash
+    * uniform `u(id) = (pseudoShuffleWide(id) + 0.5) / 2³²`, keys
+    * rounded to 6 dp (ties → id) so any engine reproduces the pick.
+    * Composes with [[Dedup.softDedupWeights]]: soft dedup then a
+    * weighted budget draw samples distinct texts uniformly however many
+    * copies the crawl carried. Zero-weight rows can never win (ln 0 →
+    * −∞) and are dropped up front; a NEGATIVE weight raises in-plan —
+    * silent |w| or NaN keys would corrupt the draw.
+    *
+    * Scale shape: map-side key computation + `TakeOrdered` top-k (a
+    * distributed heap, never a global sort); the same residue-collision
+    * caveat as the DSIR sampler (independent noise up to ~2⁴⁰ ids).
+    *
+    * @return (idCol, sample_key) for the k winners, ordered by id.
+    */
+  def weightedSample(
+      docs: DataFrame,
+      k: Int,
+      weightCol: String = "weight",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val w = when(col(weightCol) < 0,
+      raise_error(concat(lit(s"weightedSample: negative $weightCol for id "),
+        col(idCol).cast("string"))))
+      .otherwise(col(weightCol).cast("double"))
+    val u = (pseudoShuffleWide(col(idCol).cast("long")).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    docs
+      .select(col(idCol).cast("long").as(idCol), w.as("__w"),
+        round(log(w) - log(-log(u)), 6).as("sample_key"))
+      .filter(col("__w") > 0)
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sample_key"))
+      .orderBy(idCol)
+  }
+
   def perGroupHead(
       df: DataFrame,
       n: Long,
