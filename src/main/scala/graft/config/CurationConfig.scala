@@ -36,6 +36,20 @@ object CurationConfig {
   final case class LangIdKeep(langs: Seq[String]) extends Step
   final case class Quality(minTokens: Option[Long], maxPunctRatio: Option[Double]) extends Step
 
+  /** SOFT dedup as a step: keep every duplicate, APPEND `(n_copies,
+    * weight)` columns (weight = 1/exact-group size —
+    * [[graft.operators.Dedup.softDedupWeights]]); pair with
+    * [[WeightedSample]] to draw a budget ∝ weight.
+    */
+  case object DedupSoft extends Step
+
+  /** Deterministic weighted k-draw without replacement (probability ∝
+    * `weightCol` — [[graft.operators.Sampling.weightedSample]]'s
+    * Gumbel-max pick); requires the weight column (e.g. from a
+    * preceding `dedup_soft`).
+    */
+  final case class WeightedSample(k: Int, weightCol: String) extends Step
+
   /** Extract text from crawl HTML payloads (drop script/style blocks,
     * strip tags, decode the common entities, collapse whitespace) — the
     * stage BEFORE `clean` in a web pipeline
@@ -308,6 +322,11 @@ object CurationConfig {
         q
       case "gopher" => GopherQuality
       case "strip_html" => StripHtml
+      case "dedup_soft" => DedupSoft
+      case "weighted_sample" =>
+        WeightedSample(
+          need(longParam("k"), "'k' (sample size)").toInt,
+          params.get("weight_col").map(_.toString).getOrElse("weight"))
       case "quota" =>
         val group = params.get("group").map(_.toString).getOrElse("lang")
         val quotas = need(params.get("quotas"), "'quotas' (map of group -> n)")
@@ -460,10 +479,10 @@ object CurationConfig {
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
             "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
-            "decontaminate_embedding, gopher, importance_sample, langid_keep, " +
+            "dedup_soft, decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
             "sample_diverse, sink, sink_tar, sink_tokens, split, strip_html, shuffle, chunk, decontaminate, perplexity, " +
-            "perplexity_rank, substring_remove, token_budget, upsample, url_dedup)")
+            "perplexity_rank, substring_remove, token_budget, upsample, url_dedup, weighted_sample)")
     }
   }
 }

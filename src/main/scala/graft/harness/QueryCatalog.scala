@@ -2469,6 +2469,32 @@ object QueryCatalog {
              |FROM (SELECT * FROM g ORDER BY sample_key DESC, doc_id LIMIT 100)
              |ORDER BY doc_id""".stripMargin)),
 
+    // The soft-dedup → weighted-draw loop closed INSIDE the language:
+    // dedup_soft appends (n_copies, weight), weighted_sample draws the
+    // budget ∝ weight — composed oracle over the same wide-hash pick.
+    Q("curation_pipeline_soft", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - dedup_soft
+          |  - weighted_sample: { k: 100 }
+          |""".stripMargin)
+        .select("doc_id", "n_copies", "weight")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |    CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+             |    ROUND(CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY text), 6) AS weight
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    ROUND(ln(weight) - ln(-ln((((doc_id % 1048576) * 2654435761
+             |        + ((doc_id >> 20) % 1048576) * 2246822519) % 4294967296 + 0.5)
+             |      / 4294967296.0)), 6) AS sample_key
+             |  FROM w WHERE weight > 0),
+             |pick AS (SELECT doc_id FROM
+             |  (SELECT * FROM g ORDER BY sample_key DESC, doc_id LIMIT 100))
+             |SELECT doc_id, n_copies, weight FROM w
+             |WHERE doc_id IN (SELECT doc_id FROM pick)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_group_head", (s, dir) =>
       Sampling.perGroupHead(docs(s, dir), 20, "lang")
         .select(col("doc_id"), col("lang"), col("rk"))

@@ -106,6 +106,8 @@ object CurationPipeline {
     case Quality(_, _) => "quality"
     case GopherQuality => "gopher"
     case StripHtml => "strip_html"
+    case DedupSoft => "dedup_soft"
+    case WeightedSample(_, _) => "weighted_sample"
     case DedupExact => "dedup_exact"
     case Quota(_, _) => "quota"
     case Split(_) => "split"
@@ -203,6 +205,21 @@ object CurationPipeline {
         df.filter(Texts.gopherKeep(col(textCol)))
       case StripHtml =>
         df.withColumn(textCol, Texts.stripHtml(col(textCol)))
+      case DedupSoft =>
+        // Appends (n_copies, weight); the thin-key join back keeps rows.
+        val wts = Dedup.softDedupWeights(df, textCol, idCol)
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol),
+            col("n_copies"), col("weight"))
+        df.join(wts, Seq(idCol))
+      case WeightedSample(k, wcol) =>
+        require(df.columns.contains(wcol),
+          s"weighted_sample: no '$wcol' column in the curated frame " +
+            s"(have: ${df.columns.mkString(", ")}) — add a dedup_soft step " +
+            "first or name an existing weight column via weight_col")
+        val keep = Sampling.weightedSample(
+          df.select(col(idCol), col(wcol)), k, wcol, idCol)
+          .select(col(idCol).cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
       case DedupExact =>
         // Keep the lowest id of each exact-text group: thin (hash, id)
         // aggregate + semi-join, the dedup_exact shape.

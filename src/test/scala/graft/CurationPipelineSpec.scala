@@ -200,6 +200,20 @@ class CurationPipelineSpec extends SparkSpec {
       .head().getAs[String]("text") == "&lt;kept&gt;")
   }
 
+  test("dedup_soft + weighted_sample steps equal operator composition; missing weight is a clear error") {
+    val got = CurationPipeline.fromYaml(docs,
+      "steps:\n  - dedup_soft\n  - weighted_sample: { k: 25 }\n")
+    val wts = graft.operators.Dedup.softDedupWeights(docs)
+    val keep = graft.operators.Sampling.weightedSample(wts, k = 25).select("doc_id")
+    val want = docs.join(wts, Seq("doc_id")).join(keep, Seq("doc_id"), "left_semi")
+    assert(snap(got) == snap(want))
+    assert(got.count() == 25)
+    assert(got.columns.toSet == (docs.columns.toSet ++ Set("n_copies", "weight")))
+    val noW = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
+      "steps:\n  - weighted_sample: { k: 5 }\n"))
+    assert(noW.getMessage.contains("dedup_soft"))
+  }
+
   test("gopher step keeps exactly the gopherKeep survivors") {
     // Even ids double their text past the 50-word floor; odd ids stay
     // under it — the composed filter must discriminate, not pass-all.
