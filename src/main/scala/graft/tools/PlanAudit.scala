@@ -755,6 +755,12 @@ object PlanAudit {
       docsT,
       "steps:\n  - dedup_lines: { min_chars: 10 }\n  - dedup_exact: {}\n  - gopher\n"), 7)
 
+    // Soft dedup + weighted draw: group sizes on the thin 16-byte key,
+    // join back, Gumbel keys map-side, TakeOrdered pick, semi-join —
+    // the text shuffles only for the final row carry.
+    audit("curation_pipeline_soft", graft.operators.CurationPipeline.fromYaml(
+      docsT, "steps:\n  - dedup_soft\n  - weighted_sample: { k: 50 }\n"), 5)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
