@@ -36,6 +36,14 @@ object CurationConfig {
   final case class LangIdKeep(langs: Seq[String]) extends Step
   final case class Quality(minTokens: Option[Long], maxPunctRatio: Option[Double]) extends Step
 
+  /** C4's LINE-level heuristics (Raffel et al. 2020 §2.2 — the rules
+    * applied BEFORE the corpus-wide line dedup): keep only lines ending
+    * in terminal punctuation with at least `minWords` words; pages
+    * whose kept text carries fewer than `minSentences` sentences
+    * (terminal-punct count — the closed-form proxy) drop entirely.
+    */
+  final case class C4LineFilter(minWords: Int, minSentences: Int) extends Step
+
   /** SOFT dedup as a step: keep every duplicate, APPEND `(n_copies,
     * weight)` columns (weight = 1/exact-group size —
     * [[graft.operators.Dedup.softDedupWeights]]); pair with
@@ -323,6 +331,10 @@ object CurationConfig {
       case "gopher" => GopherQuality
       case "strip_html" => StripHtml
       case "dedup_soft" => DedupSoft
+      case "c4_filter" =>
+        C4LineFilter(
+          longParam("min_words").getOrElse(5L).toInt,
+          longParam("min_sentences").getOrElse(3L).toInt)
       case "weighted_sample" =>
         WeightedSample(
           need(longParam("k"), "'k' (sample size)").toInt,
@@ -477,7 +489,7 @@ object CurationConfig {
           byteLevel)
       case other =>
         throw new IllegalArgumentException(
-          s"step #$idx: unknown curation step '$other' (known: clean, normalize, redact, " +
+          s"step #$idx: unknown curation step '$other' (known: c4_filter, clean, normalize, redact, " +
             "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
             "dedup_soft, decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +

@@ -1918,6 +1918,44 @@ object QueryCatalog {
          |FROM m ORDER BY doc_id""".stripMargin
     }),
 
+    // C4's line-level heuristics on a punctuation-decorated fixture:
+    // terminal-punct lines with enough words survive, bare/short lines
+    // drop, and pages keeping < 3 sentences (every 5th doc loses its
+    // '?' line) drop entirely — replayed verbatim by the oracle.
+    Q("c4_line_filter", (s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 40), lit(".")),
+          lit("Too short."),
+          substring(col("text"), 41, 40),
+          concat(substring(col("text"), 81, 40), lit("!")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("Menu Home About Contact Privacy Careers"))
+            .otherwise(concat(substring(col("text"), 121, 40), lit("?")))).as("text"))
+      CurationPipeline.fromYaml(lined,
+        "steps:\n  - c4_filter: { min_words: 5, min_sentences: 3 }\n")
+        .select("doc_id", "text").orderBy("doc_id")
+    },
+      Some("""WITH lined AS (
+             |  SELECT doc_id,
+             |    concat_ws(chr(10),
+             |      substring(text, 1, 40) || '.',
+             |      'Too short.',
+             |      substring(text, 41, 40),
+             |      substring(text, 81, 40) || '!',
+             |      CASE WHEN doc_id % 5 = 0 THEN 'Menu Home About Contact Privacy Careers'
+             |           ELSE substring(text, 121, 40) || '?' END) AS text
+             |  FROM documents),
+             |k AS (SELECT doc_id,
+             |    array_to_string(list_filter(string_split(text, chr(10)), l ->
+             |      regexp_matches(rtrim(l), '[.!?"]$')
+             |        AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5),
+             |      chr(10)) AS text
+             |  FROM lined)
+             |SELECT doc_id, text FROM k
+             |WHERE len(regexp_extract_all(text, '[.!?]')) >= 3
+             |ORDER BY doc_id""".stripMargin)),
+
     // The C4 curation chain (Raffel et al. 2020 §2.2) composed INSIDE
     // the YAML language: corpus-wide line dedup → exact dedup → Gopher
     // shape filters, one fully composed SQL oracle. The fixture makes

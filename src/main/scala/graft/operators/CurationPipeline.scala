@@ -107,6 +107,7 @@ object CurationPipeline {
     case GopherQuality => "gopher"
     case StripHtml => "strip_html"
     case DedupSoft => "dedup_soft"
+    case C4LineFilter(_, _) => "c4_filter"
     case WeightedSample(_, _) => "weighted_sample"
     case DedupExact => "dedup_exact"
     case Quota(_, _) => "quota"
@@ -205,6 +206,17 @@ object CurationPipeline {
         df.filter(Texts.gopherKeep(col(textCol)))
       case StripHtml =>
         df.withColumn(textCol, Texts.stripHtml(col(textCol)))
+      case C4LineFilter(minWords, minSentences) =>
+        // Pure map-side: per-doc line filter (lines are few — the
+        // per-element HOF is per-document scalar work, the Texts.scala
+        // caveat's acceptable case) then the sentence-count gate on the
+        // REWRITTEN text. Zero exchanges.
+        val kept = array_join(
+          filter(split(col(textCol), "\n"), l =>
+            rtrim(l).rlike("[.!?\"]$") &&
+              size(filter(split(l, " "), t => t =!= "")) >= minWords), "\n")
+        df.withColumn(textCol, kept)
+          .filter(regexp_count(col(textCol), lit("[.!?]")) >= minSentences)
       case DedupSoft =>
         // Appends (n_copies, weight); the thin-key join back keeps rows.
         val wts = Dedup.softDedupWeights(df, textCol, idCol)

@@ -200,6 +200,19 @@ class CurationPipelineSpec extends SparkSpec {
       .head().getAs[String]("text") == "&lt;kept&gt;")
   }
 
+  test("c4_filter keeps terminal-punct lines with enough words; short pages drop") {
+    val fixture = Seq(
+      (1L, "one two three four five six.\nno punct line here at all\nSeven eight nine ten eleven!\nIs this a question or what?"),
+      (2L, "one two three four five six.\nShort.\nSeven eight nine ten eleven!")) // 2 sentences -> page drops
+      .toDF("doc_id", "text")
+    val got = CurationPipeline.fromYaml(fixture,
+      "steps:\n  - c4_filter: { min_words: 5, min_sentences: 3 }\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L ->
+      "one two three four five six.\nSeven eight nine ten eleven!\nIs this a question or what?"),
+      s"got $got")
+  }
+
   test("dedup_soft + weighted_sample steps equal operator composition; missing weight is a clear error") {
     val got = CurationPipeline.fromYaml(docs,
       "steps:\n  - dedup_soft\n  - weighted_sample: { k: 25 }\n")
