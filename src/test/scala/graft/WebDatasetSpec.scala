@@ -200,6 +200,27 @@ class WebDatasetSpec extends SparkSpec {
     assert(snap(graft.sources.TokenShards.scanTokens(spark, out)) == before)
   }
 
+  test("tokenSink standing layouts repack losslessly (repackTar over bin members)") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("tokrepack").toString + "/tokens"
+    val vocab = Packing.rankVocab(
+      Seq((0L, "alpha beta gamma")).toDF("doc_id", "text"), 10)
+    val b0 = Packing.packTokenIds(
+      Seq((0L, "alpha beta gamma alpha beta")).toDF("doc_id", "text"), vocab, 4, 2)
+    val b1 = Packing.packTokenIds(
+      Seq((1L, "beta gamma unseen")).toDF("doc_id", "text"), vocab, 4, 2)
+      .withColumn("bucket", (col("bucket") + lit(2)).cast("int")) // tokenSink's offset
+    Packing.tokenTar(b0, s"$in/batch=0", 1 << 20)
+    Packing.tokenTar(b1, s"$in/batch=1", 1 << 20)
+    val out = java.nio.file.Files.createTempDirectory("tokrepacko").toString + "/flat"
+    val n = WebDataset.repackTar(spark, in, out, 1 << 20, exts = Seq("bin"))
+    assert(n == 1, s"tiny corpus should compact to one shard, got $n")
+    assert(snap(graft.sources.TokenShards.scanTokens(spark, out)) ==
+      snap(graft.sources.TokenShards.scanTokens(spark, in)),
+      "repacked token layout decoded differently")
+  }
+
   test("repackTar compacts accumulated batch dirs into one flat layout, members intact") {
     val in = java.nio.file.Files.createTempDirectory("wds9").toString + "/release"
     // Simulate three sink batches directly (writeTarAuto per batch dir).
