@@ -656,10 +656,17 @@ class StreamingSpec extends SparkSpec {
       // Synthetic url exercises the (equally stateless) URL parse family.
       val url = concat(lit("HTTPS://WWW.s"), col("doc_id") % 7,
         lit(".co.uk/P"), col("doc_id"), lit("?b=2&a=1&utm_x=1"))
+      // The round-11 stateless additions ride the same contract: HTML
+      // extraction, the Gopher shape gate, and its metric columns.
+      val gopher = Texts.gopherMetrics(col("text")).map { case (n, c) => c.as(n) }
       df.select(Seq(col("doc_id"), Texts.langId(col("text")).as("lid"),
         Texts.redactPii(col("text")).as("red"),
+        Texts.stripHtml(concat(lit("<p>"), col("text"), lit(" &amp; tail</p>")))
+          .as("stripped"),
+        Texts.gopherKeep(col("text")).as("gkeep"),
         UrlCuration.normalizeUrl(url).as("unorm"),
-        UrlCuration.registeredDomain(UrlCuration.host(url)).as("udom")) ++ metrics: _*)
+        UrlCuration.registeredDomain(UrlCuration.host(url)).as("udom"))
+        ++ metrics ++ gopher: _*)
     }
     val want = snap(enrich(docsD.select("doc_id", "text")))
 
