@@ -84,8 +84,10 @@ object Texts {
   /** Crawl HTML → text extraction — the stage BEFORE [[cleanText]] in a
     * web pipeline (raw crawl payloads are markup, not text): drop
     * `<script>`/`<style>` blocks wholesale (their content is code, not
-    * prose), strip every remaining tag, decode the six ubiquitous
-    * entities, collapse whitespace runs, trim. Regex-only BY DESIGN —
+    * prose), turn BLOCK-level tag boundaries into newlines (line
+    * structure survives for the line-granular operators downstream),
+    * strip every remaining tag, decode the six ubiquitous entities,
+    * collapse whitespace runs, trim. Regex-only BY DESIGN —
     * not a conformant HTML5 parser (no DOM libs in a codegen'd column
     * chain, and crawl curation wants throughput over edge-case
     * fidelity; malformed markup degrades to extra stripped text, never
@@ -98,12 +100,23 @@ object Texts {
   def stripHtml(text: Column): Column = {
     val noBlocks = regexp_replace(text,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // BLOCK-level boundaries become newlines so the extracted text keeps
+    // its line structure — the downstream line operators (dedup_lines,
+    // c4_filter) are line-granular, and flattening here would collapse
+    // every page to one line.
+    val withBreaks = regexp_replace(noBlocks,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table)[^>]*>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // Collapse non-newline whitespace, tighten spaces around breaks,
+    // collapse break runs, trim the ends.
+    val oneSpace = regexp_replace(decoded, "[^\\S\\n]+", " ")
+    val tight = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val oneNl = regexp_replace(tight, "\\n{2,}", "\n")
+    regexp_replace(oneNl, "^\\s+|\\s+$", "")
   }
 
   /** Gopher/MassiveText line- and word-SHAPE quality rules (Rae et al.,

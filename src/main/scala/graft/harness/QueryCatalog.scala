@@ -3109,13 +3109,18 @@ object QueryCatalog {
              |  FROM documents),
              |s1 AS (SELECT doc_id, regexp_replace(text,
              |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
-             |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+             |s1b AS (SELECT doc_id, regexp_replace(t,
+             |  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table)[^>]*>', chr(10), 'g') AS t FROM s1),
+             |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1b),
              |s3 AS (SELECT doc_id,
              |  replace(replace(replace(replace(replace(replace(t,
              |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-             |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2)
-             |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
-             |FROM s3 ORDER BY doc_id""".stripMargin)),
+             |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2),
+             |s4 AS (SELECT doc_id, regexp_replace(t, '[^\S\n]+', ' ', 'g') AS t FROM s3),
+             |s5 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s4),
+             |s6 AS (SELECT doc_id, regexp_replace(t, '\n{2,}', chr(10), 'g') AS t FROM s5)
+             |SELECT doc_id, regexp_replace(t, '^\s+|\s+' || chr(36), '', 'g') AS text
+             |FROM s6 ORDER BY doc_id""".stripMargin)),
 
     Q("text_clean", (s, dir) =>
       docs(s, dir)
