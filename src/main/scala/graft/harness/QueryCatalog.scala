@@ -1956,6 +1956,104 @@ object QueryCatalog {
              |WHERE len(regexp_extract_all(text, '[.!?]')) >= 3
              |ORDER BY doc_id""".stripMargin)),
 
+    // The definitive crawl-to-corpus capstone: RAW HTML in, C4 recipe
+    // through five language steps — strip_html (block-break-preserving
+    // extraction), c4_filter (line heuristics; every 5th doc's
+    // punctuation-free menu line costs it the sentence gate),
+    // dedup_lines (the shared nav/footer line survives once;
+    // duplicate-text docs lose every line and drop), dedup_exact
+    // (recipe fidelity), gopher (shape gate) — ONE fully composed
+    // DuckDB oracle replaying all five.
+    Q("curation_pipeline_c4_web", (s, dir) => {
+      val html = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><body><p>"), col("text"), lit(" plus "), col("text"), lit(".</p>"),
+          lit("<p>shared boilerplate navigation and footer line.</p>"),
+          lit("<script>var nav = \"<div>menu</div>\";</script><p>"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("Menu Home About Contact"))
+            .otherwise(concat(substring(col("text"), 61, 60), lit("!"))),
+          lit("</p></body></html>")).as("text"))
+      CurationPipeline.fromYaml(html,
+        """steps:
+          |  - strip_html
+          |  - c4_filter: { min_words: 5, min_sentences: 3 }
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - gopher
+          |""".stripMargin)
+        .select("doc_id", "text").orderBy("doc_id")
+    }, Some {
+      val allStops = Texts.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><body><p>' || text || ' plus ' || text || '.</p>' ||
+         |    '<p>shared boilerplate navigation and footer line.</p>' ||
+         |    '<script>var nav = "<div>menu</div>";</script><p>' ||
+         |    CASE WHEN doc_id % 5 = 0 THEN 'Menu Home About Contact'
+         |         ELSE substring(text, 61, 60) || '!' END ||
+         |    '</p></body></html>' AS text
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(text,
+         |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+         |s1b AS (SELECT doc_id, regexp_replace(t,
+         |  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table)[^>]*>', chr(10), 'g') AS t FROM s1),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1b),
+         |s3 AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(t,
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(t, '[^\\S\\n]+', ' ', 'g') AS t FROM s3),
+         |s5 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s4),
+         |s6 AS (SELECT doc_id, regexp_replace(t, '\\n{2,}', chr(10), 'g') AS t FROM s5),
+         |st AS (SELECT doc_id,
+         |  regexp_replace(t, '^\\s+|\\s+' || chr(36), '', 'g') AS text FROM s6),
+         |cf AS (SELECT doc_id,
+         |    array_to_string(list_filter(string_split(text, chr(10)), l ->
+         |      regexp_matches(rtrim(l), '[.!?"]' || chr(36))
+         |        AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5),
+         |      chr(10)) AS text
+         |  FROM st),
+         |cg AS (SELECT * FROM cf WHERE len(regexp_extract_all(text, '[.!?]')) >= 3),
+         |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM cg),
+         |lp AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS line_no, ls FROM l0),
+         |l AS (SELECT doc_id, line_no, ls[line_no + 1] AS line FROM lp),
+         |fo AS (
+         |  SELECT line, doc_id AS fdoc, line_no AS fno FROM (
+         |    SELECT line, doc_id, line_no,
+         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+         |    FROM l
+         |    WHERE len(regexp_replace(line, '\\s', '', 'g')) >= 10) WHERE rn = 1),
+         |keptl AS (
+         |  SELECT l.doc_id, l.line_no, l.line
+         |  FROM l LEFT JOIN fo ON l.line = fo.line
+         |  WHERE fo.fdoc IS NULL OR (l.doc_id = fo.fdoc AND l.line_no = fo.fno)),
+         |reb AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+         |  FROM keptl GROUP BY doc_id),
+         |de AS (SELECT * FROM reb
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM reb GROUP BY text)),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         |    LENGTH(text) AS n_chars,
+         |    len(regexp_extract_all(text, '(?m)^ *[-*•]')) AS n_bullet,
+         |    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…) *' || chr(36))) AS n_ellipsis,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbol,
+         |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+         |    len(list_intersect(string_split_regex(lower(text), '\\s+'), [$allStops])) AS n_stop
+         |  FROM de)
+         |SELECT doc_id, text FROM m
+         |WHERE (n_words BETWEEN 50 AND 100000)
+         |  AND (ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 3) BETWEEN 3.0 AND 10.0)
+         |  AND ROUND(CAST(n_symbol AS DOUBLE) / GREATEST(n_words, 1), 4) < 0.1
+         |  AND ROUND(CAST(n_bullet AS DOUBLE) / GREATEST(n_lines, 1), 4) < 0.9
+         |  AND ROUND(CAST(n_ellipsis AS DOUBLE) / GREATEST(n_lines, 1), 4) < 0.3
+         |  AND ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 4) > 0.8
+         |  AND ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1), 4) > 0.0
+         |ORDER BY doc_id""".stripMargin
+    }),
+
     // The C4 curation chain (Raffel et al. 2020 §2.2) composed INSIDE
     // the YAML language: corpus-wide line dedup → exact dedup → Gopher
     // shape filters, one fully composed SQL oracle. The fixture makes

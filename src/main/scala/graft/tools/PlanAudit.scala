@@ -755,6 +755,15 @@ object PlanAudit {
       docsT,
       "steps:\n  - dedup_lines: { min_chars: 10 }\n  - dedup_exact: {}\n  - gopher\n"), 7)
 
+    // The crawl-to-corpus C4 capstone: strip_html + c4_filter + gopher
+    // are pure map-side (regexp/HOF columns — zero exchanges of their
+    // own); the budget is line dedup's 5 + dedup_exact's 2.
+    audit("curation_pipeline_c4_web", graft.operators.CurationPipeline.fromYaml(
+      docsT.withColumn("text",
+        concat(lit("<p>"), col("text"), lit(".</p><p>shared nav line etc.</p>"))),
+      "steps:\n  - strip_html\n  - c4_filter: { min_words: 3, min_sentences: 1 }\n" +
+        "  - dedup_lines: { min_chars: 10 }\n  - dedup_exact: {}\n  - gopher\n"), 8)
+
     // Soft dedup + weighted draw: group sizes on the thin 16-byte key,
     // join back, Gumbel keys map-side, TakeOrdered pick, semi-join —
     // the text shuffles only for the final row carry.
