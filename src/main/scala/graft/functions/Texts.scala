@@ -149,6 +149,33 @@ object Texts {
       "frac_alpha_words" -> round(alphaWords.cast("double") / greatest(nWords, lit(1)), 4))
   }
 
+  /** Gopher's duplicate-LINE repetition metrics (Rae et al. 2021 Table
+    * A1 — the two rows that complete [[graft.operators.Repetition]]'s
+    * token/bigram/top-n-gram family): the fraction of a document's
+    * lines that repeat an earlier line of the SAME document, and the
+    * fraction of its line characters carried by those repeats.
+    * Everything is closed-form over the line array (total line chars =
+    * text length − separators; distinct-line chars via one per-doc
+    * `aggregate` fold — interpreted per element, but per-document line
+    * arrays are tens of entries, the acceptable scalar-feature case),
+    * so the oracle replays exactly.
+    */
+  def dupLineMetrics(text: Column, sep: String = "\n"): Seq[(String, Column)] = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    val distinct = array_distinct(lines)
+    val n = size(lines)
+    val nd = size(distinct)
+    val totalChars = length(text) - (n - lit(1)) * lit(sep.length)
+    val distinctChars =
+      aggregate(distinct, lit(0), (acc, l) => acc + length(l))
+    Seq(
+      "frac_dup_lines" ->
+        round((n - nd).cast("double") / greatest(n, lit(1)), 4),
+      "frac_dup_line_chars" ->
+        round((totalChars - distinctChars).cast("double") /
+          greatest(totalChars, lit(1)), 4))
+  }
+
   /** The Gopher keep decision at the published §A1.1 thresholds, over
     * [[qualityMetrics]] + [[gopherMetrics]]: 50 ≤ words ≤ 100 000, mean
     * word length in [3, 10], symbol-to-word ratio < 0.1, < 90% of lines

@@ -1918,6 +1918,45 @@ object QueryCatalog {
          |FROM m ORDER BY doc_id""".stripMargin
     }),
 
+    // Gopher Table A1 duplicate-LINE repetition on a fixture whose
+    // within-doc repeats vary by residue (every 3rd doc carries the
+    // repeated line three times, the rest twice).
+    Q("text_dup_lines", (s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("repeated line here today"),
+          substring(col("text"), 41, 40),
+          lit("repeated line here today"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("repeated line here today"))
+            .otherwise(substring(col("text"), 81, 40))).as("text"))
+      lined.select(col("doc_id") +:
+        Texts.dupLineMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    },
+      Some("""WITH lined AS (
+             |  SELECT doc_id,
+             |    concat_ws(chr(10),
+             |      substring(text, 1, 40),
+             |      'repeated line here today',
+             |      substring(text, 41, 40),
+             |      'repeated line here today',
+             |      CASE WHEN doc_id % 3 = 0 THEN 'repeated line here today'
+             |           ELSE substring(text, 81, 40) END) AS text
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    string_split(text, chr(10)) AS ls,
+             |    LENGTH(text) - (len(string_split(text, chr(10))) - 1) AS total_chars
+             |  FROM lined)
+             |SELECT doc_id,
+             |  ROUND(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+             |    / GREATEST(len(ls), 1), 4) AS frac_dup_lines,
+             |  ROUND(CAST(total_chars -
+             |      list_sum(list_transform(list_distinct(ls), x -> LENGTH(x))) AS DOUBLE)
+             |    / GREATEST(total_chars, 1), 4) AS frac_dup_line_chars
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // C4's line-level heuristics on a punctuation-decorated fixture:
     // terminal-punct lines with enough words survive, bare/short lines
     // drop, and pages keeping < 3 sentences (every 5th doc loses its
