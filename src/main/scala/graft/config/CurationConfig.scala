@@ -176,7 +176,9 @@ object CurationConfig {
   final case class RepetitionFilter(
       maxDupTokenFrac: Option[Double],
       maxDupBigramFrac: Option[Double],
-      maxTopBigramFrac: Option[Double]) extends Step
+      maxTopBigramFrac: Option[Double],
+      maxDupLineFrac: Option[Double] = None,
+      maxDupLineCharFrac: Option[Double] = None) extends Step
 
   /** Compressibility gate (deflate compressed/raw ratio): drop documents
     * below `minRatio` (boilerplate/template spam — compresses too well)
@@ -406,11 +408,15 @@ object CurationConfig {
         val r = RepetitionFilter(
           doubleParam("max_dup_token_frac"),
           doubleParam("max_dup_bigram_frac"),
-          doubleParam("max_top_bigram_frac"))
+          doubleParam("max_top_bigram_frac"),
+          doubleParam("max_dup_line_frac"),
+          doubleParam("max_dup_line_char_frac"))
         require(r.maxDupTokenFrac.nonEmpty || r.maxDupBigramFrac.nonEmpty ||
-          r.maxTopBigramFrac.nonEmpty,
+          r.maxTopBigramFrac.nonEmpty || r.maxDupLineFrac.nonEmpty ||
+          r.maxDupLineCharFrac.nonEmpty,
           s"step #$idx: repetition needs at least one of max_dup_token_frac, " +
-            "max_dup_bigram_frac, max_top_bigram_frac")
+            "max_dup_bigram_frac, max_top_bigram_frac, max_dup_line_frac, " +
+            "max_dup_line_char_frac")
         r
       case "compress" =>
         val c = CompressFilter(doubleParam("min_ratio"), doubleParam("max_ratio"))

@@ -125,7 +125,7 @@ object CurationPipeline {
     case SubstringRemove(_) => "substring_remove"
     case DedupLines(_, _) => "dedup_lines"
     case QualityModel(_, _) => "quality_model"
-    case RepetitionFilter(_, _, _) => "repetition"
+    case RepetitionFilter(_, _, _, _, _) => "repetition"
     case CompressFilter(_, _) => "compress"
     case LangIdTrigramKeep(_) => "langid_trigram_keep"
     case DedupSimhash(_, _) => "dedup_simhash"
@@ -329,17 +329,29 @@ object CurationPipeline {
           .filter(col("quality") >= minScore)
           .select(col(idCol).cast(df.schema(idCol).dataType).as(idCol))
         df.join(keep, Seq(idCol), "left_semi")
-      case RepetitionFilter(maxDupTok, maxDupBg, maxTopBg) =>
+      case RepetitionFilter(maxDupTok, maxDupBg, maxTopBg, maxDupLn, maxDupLnCh) =>
+        // The Gopher Table A1 LINE thresholds are pure map-side column
+        // predicates — applied directly, no metrics join needed.
+        val lineM = Texts.dupLineMetrics(col(textCol)).toMap
+        val lineConds =
+          maxDupLn.map(t => lineM("frac_dup_lines") <= t).toSeq ++
+            maxDupLnCh.map(t => lineM("frac_dup_line_chars") <= t)
+        val afterLines =
+          if (lineConds.isEmpty) df else df.filter(lineConds.reduce(_ && _))
         // Null bigram metrics (single-token docs) pass their thresholds:
         // absence of evidence, not spam evidence.
-        val m = Repetition.repetitionMetrics(df, textCol, idCol)
-        val conds =
-          maxDupTok.map(t => m("dup_token_frac") <= t).toSeq ++
-            maxDupBg.map(t => m("dup_bigram_frac").isNull || m("dup_bigram_frac") <= t) ++
-            maxTopBg.map(t => m("top_bigram_frac").isNull || m("top_bigram_frac") <= t)
-        val keep = m.filter(conds.reduce(_ && _))
-          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
-        df.join(keep, Seq(idCol), "left_semi")
+        val tokConds0 = maxDupTok.toSeq ++ maxDupBg ++ maxTopBg
+        if (tokConds0.isEmpty) afterLines
+        else {
+          val m = Repetition.repetitionMetrics(afterLines, textCol, idCol)
+          val conds =
+            maxDupTok.map(t => m("dup_token_frac") <= t).toSeq ++
+              maxDupBg.map(t => m("dup_bigram_frac").isNull || m("dup_bigram_frac") <= t) ++
+              maxTopBg.map(t => m("top_bigram_frac").isNull || m("top_bigram_frac") <= t)
+          val keep = m.filter(conds.reduce(_ && _))
+            .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+          afterLines.join(keep, Seq(idCol), "left_semi")
+        }
       case CompressFilter(minR, maxR) =>
         // Empty docs have a null ratio: no compressibility evidence → kept
         // (the quality/repetition gates are the right tool for them).

@@ -200,6 +200,20 @@ class CurationPipelineSpec extends SparkSpec {
       .head().getAs[String]("text") == "&lt;kept&gt;")
   }
 
+  test("repetition step gates on the Gopher duplicate-line thresholds") {
+    // Even docs repeat a line (dup frac 1/3 > 0.2); odd docs don't.
+    val varied = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat_ws("\n", col("text"), lit("dup line dup line"), lit("dup line dup line")))
+        .otherwise(concat_ws("\n", col("text"), lit("unique closing line"))))
+    val got = CurationPipeline.fromYaml(varied,
+      "steps:\n  - repetition: { max_dup_line_frac: 0.2 }\n")
+    val want = varied.filter(graft.functions.Texts
+      .dupLineMetrics(col("text")).toMap.apply("frac_dup_lines") <= 0.2)
+    assert(snap(got) == snap(want))
+    assert(got.count() > 0 && got.count() < varied.count())
+  }
+
   test("c4_filter keeps terminal-punct lines with enough words; short pages drop") {
     val fixture = Seq(
       (1L, "one two three four five six.\nno punct line here at all\nSeven eight nine ten eleven!\nIs this a question or what?"),
