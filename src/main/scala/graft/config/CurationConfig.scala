@@ -44,6 +44,13 @@ object CurationConfig {
     */
   final case class C4LineFilter(minWords: Int, minSentences: Int) extends Step
 
+  /** C4's content blocklist (Raffel et al. 2020 §2.2: pages containing
+    * "lorem ipsum", "javascript", a curly brace, or a bad-word list
+    * entry drop entirely): case-insensitive substring match over the
+    * caller's phrase list — policy lives in config, not code.
+    */
+  final case class PhraseBlocklist(phrases: Seq[String]) extends Step
+
   /** SOFT dedup as a step: keep every duplicate, APPEND `(n_copies,
     * weight)` columns (weight = 1/exact-group size —
     * [[graft.operators.Dedup.softDedupWeights]]); pair with
@@ -333,6 +340,12 @@ object CurationConfig {
       case "gopher" => GopherQuality
       case "strip_html" => StripHtml
       case "dedup_soft" => DedupSoft
+      case "blocklist" =>
+        val phrases = need(params.get("phrases"), "'phrases' (list)")
+          .asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
+        require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+          s"step #$idx: blocklist needs a non-empty list of non-empty phrases")
+        PhraseBlocklist(phrases)
       case "c4_filter" =>
         C4LineFilter(
           longParam("min_words").getOrElse(5L).toInt,
@@ -495,7 +508,7 @@ object CurationConfig {
           byteLevel)
       case other =>
         throw new IllegalArgumentException(
-          s"step #$idx: unknown curation step '$other' (known: c4_filter, clean, normalize, redact, " +
+          s"step #$idx: unknown curation step '$other' (known: blocklist, c4_filter, clean, normalize, redact, " +
             "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
             "dedup_soft, decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +

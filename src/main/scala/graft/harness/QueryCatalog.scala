@@ -1918,6 +1918,29 @@ object QueryCatalog {
          |FROM m ORDER BY doc_id""".stripMargin
     }),
 
+    // C4's content blocklist: pages decorated with "Lorem Ipsum" /
+    // curly-brace code snippets on doc_id residues drop entirely
+    // (case-insensitive literal contains, policy in config).
+    Q("text_blocklist", (s, dir) => {
+      val decorated = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" Lorem Ipsum dolor sit amet")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" function() { return 1; }")).otherwise(lit(""))))
+      CurationPipeline.fromYaml(decorated,
+        "steps:\n  - blocklist: { phrases: [\"lorem ipsum\", \"{\"] }\n")
+        .select("doc_id").orderBy("doc_id")
+    },
+      Some("""WITH d AS (SELECT doc_id,
+             |  text || CASE WHEN doc_id % 7 = 0 THEN ' Lorem Ipsum dolor sit amet' ELSE '' END
+             |       || CASE WHEN doc_id % 11 = 0 THEN ' function() { return 1; }' ELSE '' END AS text
+             |  FROM documents)
+             |SELECT doc_id FROM d
+             |WHERE NOT contains(lower(text), 'lorem ipsum')
+             |  AND NOT contains(lower(text), '{')
+             |ORDER BY doc_id""".stripMargin)),
+
     // Gopher Table A1 duplicate-LINE repetition on a fixture whose
     // within-doc repeats vary by residue (every 3rd doc carries the
     // repeated line three times, the rest twice).

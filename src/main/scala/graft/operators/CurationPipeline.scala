@@ -108,6 +108,7 @@ object CurationPipeline {
     case StripHtml => "strip_html"
     case DedupSoft => "dedup_soft"
     case C4LineFilter(_, _) => "c4_filter"
+    case PhraseBlocklist(_) => "blocklist"
     case WeightedSample(_, _) => "weighted_sample"
     case DedupExact => "dedup_exact"
     case Quota(_, _) => "quota"
@@ -217,6 +218,12 @@ object CurationPipeline {
               size(filter(split(l, " "), t => t =!= "")) >= minWords), "\n")
         df.withColumn(textCol, kept)
           .filter(regexp_count(col(textCol), lit("[.!?]")) >= minSentences)
+      case PhraseBlocklist(phrases) =>
+        // Case-insensitive literal contains, pure codegen map-side —
+        // C4 drops the whole page on any hit.
+        df.filter(phrases.map(p =>
+          col(textCol).isNull ||
+            !contains(lower(col(textCol)), lit(p.toLowerCase))).reduce(_ && _))
       case DedupSoft =>
         // Appends (n_copies, weight); the thin-key join back keeps rows.
         val wts = Dedup.softDedupWeights(df, textCol, idCol)

@@ -214,6 +214,19 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got.count() > 0 && got.count() < varied.count())
   }
 
+  test("blocklist step drops pages containing any phrase, case-insensitive") {
+    val fixture = Seq(
+      (1L, "clean page about spark joins"),
+      (2L, "LOREM IPSUM placeholder page"),
+      (3L, "code page function() { return }")).toDF("doc_id", "text")
+    val got = CurationPipeline.fromYaml(fixture,
+      "steps:\n  - blocklist: { phrases: [\"lorem ipsum\", \"{\"] }\n")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val empty = intercept[IllegalArgumentException](CurationPipeline.fromYaml(fixture,
+      "steps:\n  - blocklist: { phrases: [] }\n"))
+    assert(empty.getMessage.contains("non-empty"))
+  }
+
   test("c4_filter keeps terminal-punct lines with enough words; short pages drop") {
     val fixture = Seq(
       (1L, "one two three four five six.\nno punct line here at all\nSeven eight nine ten eleven!\nIs this a question or what?"),
