@@ -33,6 +33,30 @@ object TokenShards {
       }.toDF("bucket", "seq", "ids", "n")
   }
 
+  /** STREAMING consumption of a GROWING token release — the loader tail
+    * for corpora released continuously ([[graft.operators.Packing.tokenSink]]
+    * appends `batch=<id>` shard dirs as curation batches land): tail the
+    * shards directory via [[WebDataset.streamTar]] (checkpointed
+    * exactly-once file tracking, `maxFilesPerTrigger` bounds per-batch
+    * bytes) and decode members with the identical byte flip as
+    * [[scanTokens]] — a training feed sees each packed sequence exactly
+    * once, in shard-arrival order.
+    */
+  def streamTokens(
+      spark: SparkSession, shardsDir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    WebDataset.streamTar(spark, shardsDir, maxFilesPerTrigger)
+      .select(col("key"), col("payload")).as[(String, Array[Byte])]
+      .map { case (key, bytes) =>
+        val k = key.toLong
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val ids = Array.fill(bytes.length / 4)(bb.getInt())
+        ((k >> 32).toInt, k & 0xffffffffL, ids, ids.length)
+      }.toDF("bucket", "seq", "ids", "n")
+  }
+
   /** [[scanTokens]] joined with the released vocab (`path/vocab`) back
     * to token strings — the debugging/inspection decode: `(bucket, seq,
     * pos, tok_id, tok)`, OOV id 0 decodes to null. Vocab broadcasts;

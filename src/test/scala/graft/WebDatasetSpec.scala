@@ -200,6 +200,36 @@ class WebDatasetSpec extends SparkSpec {
     assert(snap(graft.sources.TokenShards.scanTokens(spark, out)) == before)
   }
 
+  test("streamTokens tails a growing token release exactly once") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("toksrc").toString + "/shards"
+    val ckpt = java.nio.file.Files.createTempDirectory("toksrcck").toString
+    val vocab = Packing.rankVocab(
+      Seq((0L, "alpha beta gamma")).toDF("doc_id", "text"), 10)
+    Packing.tokenTar(Packing.packTokenIds(
+      Seq((0L, "alpha beta gamma alpha")).toDF("doc_id", "text"), vocab, 4, 2),
+      s"$dir/batch=0", 1 << 20)
+    val q = graft.sources.TokenShards.streamTokens(spark, dir)
+      .writeStream.format("memory").queryName("tok_stream").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(snap(spark.table("tok_stream")) ==
+        snap(graft.sources.TokenShards.scanTokens(spark, dir)))
+      // A new release batch lands: only IT is processed on the next
+      // drain (checkpointed file tracking), and the feed equals the
+      // batch scan of the whole standing layout.
+      Packing.tokenTar(Packing.packTokenIds(
+        Seq((1L, "beta gamma unseen")).toDF("doc_id", "text"), vocab, 4, 2)
+        .withColumn("bucket", (col("bucket") + lit(2)).cast("int")),
+        s"$dir/batch=1", 1 << 20)
+      q.processAllAvailable()
+      assert(snap(spark.table("tok_stream")) ==
+        snap(graft.sources.TokenShards.scanTokens(spark, dir)))
+    } finally q.stop()
+  }
+
   test("tokenSink standing layouts repack losslessly (repackTar over bin members)") {
     import graft.operators.Packing
     import spark.implicits._
