@@ -107,6 +107,14 @@ object CurationConfig {
   final case class DedupMinhash(
       threshold: Double, numHashes: Int, bands: Int, shingleN: Int) extends Step
 
+  /** Temperature-smoothed mixing sample (quotas ∝ n_g^alpha over a
+    * total doc budget — the exponent smoothing multilingual mixes use,
+    * α=1 proportional, α→0 uniform); deterministic hash pick per group
+    * ([[graft.operators.Sampling.temperatureSample]]).
+    */
+  final case class TemperatureSample(
+      totalN: Long, alpha: Double, group: String) extends Step
+
   /** Token-budget mixing: keep each group's deterministic hash-prefix of
     * documents until its TOKEN budget is reached (the unit data mixes
     * are specified in); groups without a budget are dropped.
@@ -340,6 +348,11 @@ object CurationConfig {
       case "gopher" => GopherQuality
       case "strip_html" => StripHtml
       case "dedup_soft" => DedupSoft
+      case "temperature" =>
+        TemperatureSample(
+          need(longParam("total"), "'total' (doc budget)"),
+          doubleParam("alpha").getOrElse(0.5),
+          params.get("group").map(_.toString).getOrElse("lang"))
       case "blocklist" =>
         val phrases = need(params.get("phrases"), "'phrases' (list)")
           .asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq
@@ -512,7 +525,7 @@ object CurationConfig {
             "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
             "dedup_soft, decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
-            "sample_diverse, sink, sink_tar, sink_tokens, split, strip_html, shuffle, chunk, decontaminate, perplexity, " +
+            "sample_diverse, sink, sink_tar, sink_tokens, split, strip_html, shuffle, temperature, chunk, decontaminate, perplexity, " +
             "perplexity_rank, substring_remove, token_budget, upsample, url_dedup, weighted_sample)")
     }
   }

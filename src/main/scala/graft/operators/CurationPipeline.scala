@@ -109,6 +109,7 @@ object CurationPipeline {
     case DedupSoft => "dedup_soft"
     case C4LineFilter(_, _) => "c4_filter"
     case PhraseBlocklist(_) => "blocklist"
+    case TemperatureSample(_, _, _) => "temperature"
     case WeightedSample(_, _) => "weighted_sample"
     case DedupExact => "dedup_exact"
     case Quota(_, _) => "quota"
@@ -218,6 +219,13 @@ object CurationPipeline {
               size(filter(split(l, " "), t => t =!= "")) >= minWords), "\n")
         df.withColumn(textCol, kept)
           .filter(regexp_count(col(textCol), lit("[.!?]")) >= minSentences)
+      case TemperatureSample(totalN, alpha, group) =>
+        require(df.columns.contains(group),
+          s"temperature: group column '$group' absent from the curated frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val keep = Sampling.temperatureSample(df, totalN, alpha, group, idCol)
+          .select(col(idCol).cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
       case PhraseBlocklist(phrases) =>
         // Case-insensitive literal contains, pure codegen map-side —
         // C4 drops the whole page on any hit.

@@ -214,6 +214,17 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got.count() > 0 && got.count() < varied.count())
   }
 
+  test("temperature step equals operator composition") {
+    val got = CurationPipeline.fromYaml(docs,
+      "steps:\n  - temperature: { total: 40, alpha: 0.5 }\n")
+    val keep = graft.operators.Sampling.temperatureSample(docs, totalN = 40, alpha = 0.5)
+      .select("doc_id")
+    val want = docs.join(keep, Seq("doc_id"), "left_semi")
+    assert(snap(got) == snap(want))
+    assert(got.count() > 0 && got.count() < docs.count())
+    assert(got.columns.toSet == docs.columns.toSet)
+  }
+
   test("blocklist step drops pages containing any phrase, case-insensitive") {
     val fixture = Seq(
       (1L, "clean page about spark joins"),
