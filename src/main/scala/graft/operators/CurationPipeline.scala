@@ -505,6 +505,11 @@ object CurationPipeline {
             Packing.tokenStream(df,
               Packing.UnigramTokenizer(spark.read.parquet(s"$path/tokenizer"), maxPieceLen),
               textCol, idCol)
+          // The YAML parser validates this field, but SinkTokens is also
+          // constructible programmatically — fail with the config path's
+          // message instead of an anonymous MatchError.
+          case other => throw new IllegalArgumentException(
+            s"sink_tokens: unknown tokenizer '$other' (expected rank, bpe, or unigram)")
         }
         Packing.rankVocabFromTokens(stream, vocabSize)
           .write.mode("overwrite").parquet(s"$path/vocab")

@@ -125,9 +125,21 @@ object Decontaminate {
       probeIdCol: String = "vec_id",
       probeVecCol: String = "embedding"
   ): DataFrame = {
-    val corpus = vectors.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    // Loud in-plan guards on the id-sign contract (no extra corpus pass
+    // at scale — the check rides the id projection itself): a negative
+    // corpus id would silently be treated as a probe and its
+    // contamination hits dropped; a negative probe id would remap INTO
+    // the corpus range and could collide with a real corpus doc.
+    def nonNegative(c: org.apache.spark.sql.Column, what: String) =
+      when(c >= 0, c).otherwise(raise_error(concat(
+        lit(s"matchesEmbedding: negative $what id "), c.cast("string"),
+        lit(" — ids must be non-negative (the probe remap reserves the negative range)")))
+        .cast("long"))
+    val corpus = vectors.select(
+      nonNegative(col(idCol).cast("long"), "corpus").as(idCol), col(vecCol))
     val probeRemapped = probes.select(
-      (-col(probeIdCol).cast("long") - 1).as(idCol), col(probeVecCol).as(vecCol))
+      (-nonNegative(col(probeIdCol).cast("long"), "probe") - 1).as(idCol),
+      col(probeVecCol).as(vecCol))
     Dedup.embeddingNearDupIncremental(
       probeRemapped, corpus, threshold, bands, bitsPerBand, maxBucketSize, idCol, vecCol)
       .select(

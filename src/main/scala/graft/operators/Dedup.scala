@@ -1590,9 +1590,14 @@ object Dedup {
     val spark = batch.sparkSession
     val idxRoot = new org.apache.hadoop.fs.Path(s"$standingDir/index")
     val fs = idxRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    // Only batch=<id> dirs are index increments: a crashed compaction
+    // can leave a stale _compact_tmp beside them, and reading it WITH
+    // the batch dirs it was folded from would duplicate every index row
+    // (the line join then fans out occurrences downstream).
     val priorDirs =
       if (!fs.exists(idxRoot)) Array.empty[String]
-      else fs.listStatus(idxRoot).filter(_.isDirectory)
+      else fs.listStatus(idxRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
         .map(_.getPath.toString)
         .filterNot(_.endsWith(s"batch=$batchId"))
     val prior =
@@ -1634,6 +1639,11 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"compactLineIndexDir: no such dir $indexDir")
+    // A previous compaction that crashed between writing _compact_tmp and
+    // renaming it left a stale tmp dir; its rows are still present in the
+    // batch= dirs it was folded from, so it is safe (and required) to drop.
+    val staleTmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    if (fs.exists(staleTmp)) fs.delete(staleTmp, true)
     val batchDirs = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
     require(batchDirs.nonEmpty,

@@ -41,6 +41,43 @@ object WebDataset {
   final case class Member(shard: String, key: String, ext: String,
       payload: Array[Byte], n_bytes: Long)
 
+  /** Java-serializable carrier for the SESSION Hadoop configuration
+    * (`Configuration` itself is Writable, not Serializable — the same
+    * wrapper shape Spark uses internally for its own task-side writers).
+    * Tar tasks must see `spark.hadoop.*` session settings (object-store
+    * credentials, endpoints); a bare `new Configuration()` task-side
+    * silently drops them and only works for file:// and cluster-default
+    * HDFS.
+    */
+  private[graft] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Task-side shard commit: rename an attempt-unique temp tar to its
+    * final name, first committer wins. Shard bytes are a pure function
+    * of the shard's rows (sorted keys, epoch mod-times), so when a
+    * speculative or retried attempt loses the rename race, the
+    * already-published bytes are identical to what it would have
+    * written — dropping the loser's temp file is lossless.
+    */
+  private[graft] def commitShard(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path): Unit = {
+    if (!fs.rename(tmp, dest)) {
+      if (fs.exists(dest)) fs.delete(tmp, false) // an earlier attempt won
+      else throw new java.io.IOException(
+        s"writeTar: failed to commit shard $tmp -> $dest")
+    }
+  }
+
   /** Write `df` as `outDir/shard-<s>.tar` WebDataset shards.
     *
     * Each row becomes one member per `(ext, column)` in `members`
@@ -50,7 +87,11 @@ object WebDataset {
     * member mod-times pin to epoch 0, so a shard's bytes are a pure
     * function of its rows. Each shard is written by exactly one task
     * (rows repartition on the shard id) through the Hadoop filesystem —
-    * works for file:// and hdfs:// alike, no driver data path.
+    * works for file:// and hdfs:// alike, no driver data path. Tasks
+    * follow a commit protocol (attempt-unique temp under `_temporary/`,
+    * rename on close — [[commitShard]]) and the job stamps `_SUCCESS`
+    * after all tasks finish, so retried/speculative attempts and mid-job
+    * failures can never publish a truncated or interleaved shard.
     */
   def writeTar(
       df: DataFrame,
@@ -74,25 +115,42 @@ object WebDataset {
     // Clear stale shards first: a re-run with fewer shards must not
     // leave orphans for scanTar to blend in.
     val rootPath = new Path(out)
-    val fs0 = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs0 = rootPath.getFileSystem(hadoopConf)
     if (fs0.exists(rootPath)) fs0.delete(rootPath, true)
     fs0.mkdirs(rootPath)
+    // Session Hadoop conf (spark.hadoop.* credentials, endpoints) must
+    // reach the tasks — a bare task-side `new Configuration()` only
+    // resolves file:// and cluster-default HDFS.
+    val serConf = new SerializableHadoopConf(hadoopConf)
     sel
       .repartition(shards, col("__shard"))
       .sortWithinPartitions("__shard", "__key")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        // Task-side Hadoop conf: default resolution is correct for
-        // file:// and picks up cluster core-site for hdfs://.
-        val fs = new Path(out).getFileSystem(new org.apache.hadoop.conf.Configuration())
-        var current: Option[(Int, TarArchiveOutputStream)] = None
+        val fs = new Path(out).getFileSystem(serConf.value)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        // Task-commit protocol: write each shard to an attempt-unique
+        // temp path under _temporary/ (invisible to scanTar's *.tar
+        // glob AND Spark's hidden-path filter) and rename into place on
+        // close — a zombie, retried, or speculative duplicate attempt
+        // can never interleave bytes into a published shard.
+        var current: Option[(Int, Path, Path, TarArchiveOutputStream)] = None
+        def closeCurrent(): Unit = current.foreach { case (_, tmp, dest, t) =>
+          t.finish(); t.close()
+          commitShard(fs, tmp, dest)
+          current = None
+        }
         def tarFor(shard: Int): TarArchiveOutputStream = current match {
-          case Some((s, t)) if s == shard => t
-          case other =>
-            other.foreach { case (_, t) => t.finish(); t.close() }
-            val t = new TarArchiveOutputStream(
-              fs.create(new Path(out, f"shard-$shard%05d.tar"), true))
+          case Some((s, _, _, t)) if s == shard => t
+          case _ =>
+            closeCurrent()
+            val tmp = new Path(out,
+              f"_temporary/shard-$shard%05d.tar.attempt-$attempt")
+            val dest = new Path(out, f"shard-$shard%05d.tar")
+            val t = new TarArchiveOutputStream(fs.create(tmp, true))
             t.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-            current = Some((shard, t))
+            current = Some((shard, tmp, dest, t))
             t
         }
         it.foreach { row =>
@@ -112,8 +170,19 @@ object WebDataset {
             i += 1
           }
         }
-        current.foreach { case (_, t) => t.finish(); t.close() }
+        closeCurrent()
       }
+    // Job-level commit marker: written only after every task succeeded,
+    // so readers can distinguish a complete release from a partial one.
+    fs0.delete(new Path(rootPath, "_temporary"), true)
+    fs0.create(new Path(rootPath, "_SUCCESS"), true).close()
+  }
+
+  /** True when `dir` carries [[writeTar]]'s job-completion marker. */
+  def isComplete(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new Path(p, "_SUCCESS"))
   }
 
   /** [[writeTar]] with the shard COUNT derived from a payload-byte
@@ -238,8 +307,37 @@ object WebDataset {
   /** Read every `*.tar` under `path` as member rows
     * `(shard, key, ext, payload, n_bytes)` — one binaryFile task per
     * shard, the tar walked streamingly inside it.
+    *
+    * `requireSuccess = true` refuses to read a layout without
+    * [[writeTar]]'s job-completion marker — either `path/_SUCCESS`
+    * (flat release) or `_SUCCESS` in every `batch=<id>` subdirectory
+    * ([[tarSink]] layout) — so a partially-written release fails loudly
+    * instead of silently training on a truncated corpus. Off by
+    * default: [[tarSink]]'s CURRENT batch is legitimately unmarked
+    * while the stream runs.
     */
-  def scanTar(spark: SparkSession, path: String): DataFrame = {
+  def scanTar(
+      spark: SparkSession, path: String, requireSuccess: Boolean = false): DataFrame = {
+    if (requireSuccess) {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new Path(root, "_SUCCESS"))) {
+        val batchDirs =
+          if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(root).filter(st =>
+            st.isDirectory && st.getPath.getName.startsWith("batch="))
+        require(batchDirs.nonEmpty,
+          s"scanTar: $path carries no _SUCCESS marker and no batch=<id> " +
+            "subdirectories — refusing to read a possibly-partial release " +
+            "(pass requireSuccess = false to read anyway)")
+        val missing = batchDirs.filterNot(st =>
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
+        require(missing.isEmpty,
+          s"scanTar: ${missing.length} of ${batchDirs.length} batch dirs under " +
+            s"$path lack a _SUCCESS marker (${missing.take(3).map(_.getPath.getName).mkString(", ")}…) " +
+            "— the release is incomplete (pass requireSuccess = false to read anyway)")
+      }
+    }
     implicit val enc = Encoders.product[Member]
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar")

@@ -600,6 +600,13 @@ class CurationPipelineSpec extends SparkSpec {
       s"steps:\n  - sink_tokens: { path: $path, budget: 32 }\n" +
         "  - quality: { min_tokens: 5 }\n"))
     assert(mid.getMessage.contains("final step"))
+    // Programmatic construction bypasses the YAML parser's validation:
+    // an unknown tokenizer must fail with the config path's named error,
+    // not an anonymous MatchError.
+    val unk = intercept[IllegalArgumentException](CurationPipeline.apply(docs,
+      CurationConfig.Pipeline(Seq(CurationConfig.SinkTokens(
+        path + "2", 32, 100, 2, 2048L, tokenizer = "sentencepiece")))))
+    assert(unk.getMessage.contains("unknown tokenizer"))
   }
 
   test("sink_tokens tokenizer bpe/unigram: read-back equals a pack from the persisted model + vocab") {

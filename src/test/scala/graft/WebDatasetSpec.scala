@@ -283,6 +283,92 @@ class WebDatasetSpec extends SparkSpec {
     assert(dup.getMessage.contains("multiple shards"))
   }
 
+  test("writeTar job commit: _SUCCESS stamped, _temporary cleaned, requireSuccess gates reads") {
+    val dir = java.nio.file.Files.createTempDirectory("wdsc").toString + "/corpus"
+    WebDataset.writeTar(fixture, dir, shards = 2, keyCol = "doc_id",
+      members = Seq("txt" -> "t"))
+    assert(WebDataset.isComplete(spark, dir), "_SUCCESS missing after writeTar")
+    assert(!new java.io.File(dir, "_temporary").exists(),
+      "_temporary survived job commit")
+    // A verified read of the complete release succeeds…
+    assert(WebDataset.scanTar(spark, dir, requireSuccess = true).count() == 10)
+    // …and refuses once the marker is gone (simulated partial release).
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](
+      WebDataset.scanTar(spark, dir, requireSuccess = true))
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
+  test("commitShard: duplicate/speculative attempt loses the race losslessly") {
+    val root = java.nio.file.Files.createTempDirectory("wdsd")
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def put(name: String, bytes: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(root.toString, name)
+      val o = fs.create(p, true); o.write(bytes.getBytes("UTF-8")); o.close(); p
+    }
+    val dest = new org.apache.hadoop.fs.Path(root.toString, "shard-00000.tar")
+    // First attempt commits.
+    WebDataset.commitShard(fs, put("_temporary/shard-00000.tar.attempt-1", "payload"), dest)
+    assert(fs.exists(dest))
+    // A zombie second attempt of the same task commits the same bytes:
+    // the published shard stays intact and the loser's temp is dropped.
+    val tmp2 = put("_temporary/shard-00000.tar.attempt-2", "payload")
+    WebDataset.commitShard(fs, tmp2, dest)
+    assert(!fs.exists(tmp2), "losing attempt's temp file survived")
+    val in = fs.open(dest)
+    val got = new String(in.readAllBytes(), "UTF-8"); in.close()
+    assert(got == "payload", "published shard corrupted by duplicate attempt")
+  }
+
+  test("tarSink batch dirs each carry _SUCCESS; verified scan accepts the layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("wdse").toString + "/release"
+    val ckpt = java.nio.file.Files.createTempDirectory("wdseck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = WebDataset.tarSink(
+      input.toDF().toDF("doc_id", "text"), out, targetShardBytes = 64)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((0L, "alpha"), (1L, "beta"))
+      q.processAllAvailable()
+      input.addData((2L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Each committed batch is marked; the verified scan reads the layout.
+    assert(WebDataset.scanTar(spark, out, requireSuccess = true).count() == 3)
+    // An unmarked batch dir (mid-write crash) fails the verified read.
+    assert(new java.io.File(s"$out/batch=1", "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](
+      WebDataset.scanTar(spark, out, requireSuccess = true))
+    assert(e.getMessage.contains("batch"))
+  }
+
+  test("session Hadoop conf (spark.hadoop.* at launch) reaches tar-writer tasks") {
+    // spark.hadoop.* launch settings (object-store credentials,
+    // endpoints) land prefix-stripped in sc.hadoopConfiguration, which
+    // sessionState.newHadoopConf() clones — simulate one directly.
+    val key = "graft.test.webdataset.marker"
+    spark.sparkContext.hadoopConfiguration.set(key, "it-made-it")
+    try {
+      // The exact mechanism writeTar uses: wrap the session conf and read
+      // it back inside a task (closure-serialized through Spark proper).
+      val serConf = new WebDataset.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      assert(serConf.value.get(key) == "it-made-it",
+        "session conf missing the setting driver-side")
+      val seen = spark.range(4).rdd
+        .mapPartitions(_ => Iterator.single(Option(serConf.value.get(key)).getOrElse("")))
+        .distinct().collect().toSet
+      assert(seen == Set("it-made-it"),
+        s"task-side Hadoop conf dropped the session setting: $seen")
+      // The pre-fix shape (a bare task-side `new Configuration()`) would
+      // NOT see it — the wrapper is what carries session state across.
+      assert(new org.apache.hadoop.conf.Configuration().get(key) == null)
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+
   test("writeTarAuto derives shard count from payload bytes") {
     val dir = java.nio.file.Files.createTempDirectory("wds5").toString + "/corpus"
     // fixture txt payloads total sum(len("text-i-" + "x"*i)) = 10*7 + 45
