@@ -24,7 +24,8 @@ object GoldenFormat {
       "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup",
       "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
       "decontaminate_embedding", "curation_release_tokens_bpe",
-      "curation_release_tokens_unigram")
+      "curation_release_tokens_unigram",
+      "streaming_embedding_replay", "streaming_quality_replay")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

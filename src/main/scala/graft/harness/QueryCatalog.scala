@@ -4281,7 +4281,145 @@ object QueryCatalog {
           threshold = 0.5, numHashes = 64, bands = 16, shingleN = 3).toDF())
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
-    }, None))
+    }, None),
+
+    // Streaming embedding near-dup replayed over the sf embeddings in
+    // vec_id order: hyperplane-LSH buckets are xxhash64-seeded (no SQL
+    // form) → golden fixture, like dedup_embedding_lsh itself. The pair
+    // SET is replay-order-independent (a pair fires when its later
+    // member arrives, on the lowest shared band), so id-ordered batches
+    // give a deterministic frame.
+    Q("streaming_embedding_replay", (s, dir) => {
+      import s.implicits._
+      val rows = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+        .map { case (id, v) =>
+          (id, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), v) }
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.embeddingNearDupStream(
+          df.toDF("vec_id", "timestamp", "embedding")
+            .withWatermark("timestamp", "1 hour"),
+          threshold = 0.4, bands = 32, bitsPerBand = 2).toDF())
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("doc_a", "doc_b")
+    }, None),
+
+    // Streaming perceptual-hash near-dup replayed over the synthetic BMP
+    // corpus: the closed-form dHash family fixture (see dedup_phash)
+    // makes the full pair set plain SQL — within-family pairs at Hamming
+    // 1 (vs the v=0 base) or 2 (between flipped variants) — and the
+    // stream must converge to exactly it regardless of which batch each
+    // family member arrives in.
+    Q("streaming_phash_replay", (s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select("doc_id").as[Long].collect().sorted.toSeq
+      val rows = ids.map(id => (id,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        MediaFixtures.bmpPayload(id)))
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.phashNearDupStream(
+          df.toDF("media_id", "timestamp", "payload"), maxHamming = 2).toDF())
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END AS INT) AS hamming
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming quality-model scoring replayed against the SAME cached
+    // model frame text_quality_model_idx serves (fit-once / score-many):
+    // scoring is stateless, so the replay simply re-derives every batch
+    // score through the streaming path. Adagrad weights have no SQL
+    // form → golden, like the batch entries.
+    Q("streaming_quality_replay", (s, dir) => {
+      val d = docs(s, dir)
+      val mDir = s"/tmp/graft_qmodel_v${QualityClassifier.modelFormatVersion}_d1024_i32_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(s"$mDir/_SUCCESS").exists())
+        QualityClassifier.train(
+            d.withColumn("is_en", (col("lang") === "en").cast("int")),
+            labelCol = "is_en", dim = 1024, iters = 32)
+          .write.mode("overwrite").parquet(mDir)
+      val model = s.read.parquet(mDir)
+      import s.implicits._
+      val rows = d.select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.qualityScoreStream(
+          df.toDF("doc_id", "text"), model))
+        .select(col("doc_id"), round(col("quality"), 4).as("quality"))
+        .orderBy("doc_id")
+    }, None),
+
+    // Streaming CCNet perplexity scoring replayed with the LM fit
+    // batch-side on the same corpus (fit-once / score-many): stateless
+    // scoring, so the streamed scores must equal text_perplexity's —
+    // same DuckDB oracle, same rounding.
+    Q("streaming_perplexity_replay", (s, dir) => {
+      val d = docs(s, dir)
+      val lm = Vocabulary.unigramLm(d, vocabSize = 20)
+      import s.implicits._
+      val rows = d.select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.perplexityStream(
+          df.toDF("doc_id", "text"), lm))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 4).as("avg_nll"), round(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+              |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+              |voc AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+              |vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM voc),
+              |lm AS (SELECT tok, LN((c + 1) / (t + v + 1)) AS logp
+              |       FROM voc CROSS JOIN tot CROSS JOIN vs),
+              |sc AS (SELECT doc_id, COALESCE(logp, LN(1 / (t + v + 1))) AS lp
+              |       FROM tok LEFT JOIN lm USING (tok) CROSS JOIN tot CROSS JOIN vs),
+              |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, -AVG(lp) AS nll
+              |        FROM sc GROUP BY 1)
+              |SELECT doc_id, n_tokens, ROUND(nll, 4) AS avg_nll, ROUND(EXP(nll), 4) AS ppl
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Streaming eval-set decontamination replayed with the probe set
+    // (doc_id < 5) as the batch side: per-doc matched-shingle counts
+    // flush once the watermark passes the corpus batches — a late
+    // sentinel row advances it, then drops out of the frame. Same
+    // DuckDB oracle as text_decontaminate.
+    Q("streaming_decontaminate_replay", (s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") < 5)
+      import s.implicits._
+      val rows = d.filter(col("doc_id") >= 5).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+        .map { case (id, t) =>
+          (id, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), t) }
+      val batches = StreamReplay.timeOrderedBatches(rows, 4) :+
+        Seq((999999L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), "flush probe"))
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.decontaminateStream(
+          df.toDF("doc_id", "timestamp", "text")
+            .withWatermark("timestamp", "10 minutes"),
+          probes, shingleN = 3))
+        .filter(col("doc_id") =!= 999999L)
+        .select("doc_id", "matched_ngrams")
+        .orderBy("doc_id")
+    }, Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+              |g0 AS (SELECT doc_id,
+              |    UNNEST(list_transform(range(1, len(toks) - 1),
+              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+              |  FROM t WHERE len(toks) >= 3),
+              |g AS (SELECT DISTINCT doc_id, s FROM g0),
+              |probe AS (SELECT DISTINCT s FROM g WHERE doc_id < 5),
+              |corpus AS (SELECT doc_id, s FROM g WHERE doc_id >= 5)
+              |SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS matched_ngrams
+              |FROM corpus c JOIN probe p ON c.s = p.s
+              |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   val all: Seq[Q] =
     scans ++ predicates ++ joins ++ aggsAndWindows ++ sortsAndStructs ++ extensions ++
