@@ -25,7 +25,8 @@ object GoldenFormat {
       "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
       "decontaminate_embedding", "curation_release_tokens_bpe",
       "curation_release_tokens_unigram",
-      "streaming_embedding_replay", "streaming_quality_replay")
+      "streaming_embedding_replay", "streaming_quality_replay",
+      "tokenizer_stats_bpe", "tokenizer_stats_unigram")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

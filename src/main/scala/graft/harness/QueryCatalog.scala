@@ -2274,6 +2274,65 @@ object QueryCatalog {
         .orderBy("bucket", "seq")
     }, Some(packIdsOracleSql)),
 
+    // Tokenizer release QA (the go/no-go numbers before a corpus-scale
+    // tokenization run): per-language fertility (tokens/word, tokens
+    // per KiB of UTF-8 text) and OOV rate against the released vocab.
+    // The rank/word tokenizer is closed-form — vocab 20 keeps the OOV
+    // rate discriminating — so the whole rollup has an exact SQL oracle.
+    Q("tokenizer_stats", (s, dir) => {
+      val d = docs(s, dir)
+      Packing.tokenizerStats(d, Packing.WordTokenizer,
+          Packing.rankVocab(d, vocabSize = 20))
+        .orderBy("lang")
+    }, Some("""WITH tok AS (SELECT doc_id,
+              |    UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+              |  FROM documents),
+              |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+              |voc AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 20),
+              |pd AS (SELECT doc_id, COUNT(*) AS toks,
+              |    SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov
+              |  FROM tok LEFT JOIN voc v USING (tok) GROUP BY 1),
+              |base AS (SELECT doc_id, lang, octet_length(encode(text)) AS bytes,
+              |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS words
+              |  FROM documents)
+              |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(words) AS BIGINT) AS n_words,
+              |  CAST(SUM(bytes) AS BIGINT) AS n_text_bytes,
+              |  CAST(SUM(COALESCE(toks, 0)) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(COALESCE(oov, 0)) AS BIGINT) AS n_oov,
+              |  ROUND(SUM(COALESCE(toks, 0)) / CAST(SUM(words) AS DOUBLE), 4) AS tokens_per_word,
+              |  ROUND(SUM(COALESCE(toks, 0)) * 1024.0 / SUM(bytes), 4) AS tokens_per_kb,
+              |  ROUND(SUM(COALESCE(oov, 0)) / CAST(SUM(COALESCE(toks, 0)) AS DOUBLE), 4) AS oov_rate
+              |FROM base LEFT JOIN pd USING (doc_id)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The same QA rollup for the two subword fits (iterative learns →
+    // goldens): fertility now varies by language for real — subword
+    // pieces per word — and the 25-id released vocab is deliberately
+    // SMALLER than either fit's emitted piece inventory (44 BPE / 32
+    // unigram distinct pieces at sf0.01) so the OOV/UNK share is a
+    // real, non-zero reading (vocab ≥ inventory would pin it to 0 and
+    // gate nothing).
+    Q("tokenizer_stats_bpe", (s, dir) => {
+      val d = docs(s, dir)
+      val tok = Packing.BpeTokenizer(
+        graft.functions.Bpe.learnMerges(d, numMerges = 64, vocabLimit = 4096))
+      Packing.tokenizerStats(d, tok,
+          Packing.rankVocabFromTokens(Packing.tokenStream(d, tok), 25))
+        .orderBy("lang")
+    }, None),
+
+    Q("tokenizer_stats_unigram", (s, dir) => {
+      val d = docs(s, dir)
+      val tok = Packing.UnigramTokenizer(
+        graft.functions.Unigram.learnPieces(
+          d, vocabSize = 512, maxPieceLen = 6, emIters = 2, vocabLimit = 4096),
+        maxPieceLen = 6)
+      Packing.tokenizerStats(d, tok,
+          Packing.rankVocabFromTokens(Packing.tokenStream(d, tok), 25))
+        .orderBy("lang")
+    }, None),
+
     // The full loop closed INSIDE the language: curate → fit vocab on
     // the survivors → pack → int32 binary shards + persisted vocab
     // table, all from the terminal sink_tokens step; the decoded

@@ -519,6 +519,12 @@ object CurationPipeline {
           s"$path/shards", targetShardBytes)
         val back = graft.sources.TokenShards.scanTokens(spark, s"$path/shards")
         val stats = back.agg(count(lit(1)).as("s"), sum(col("n")).as("t")).head()
+        // Release-QA numbers (Packing.tokenizerStats, corpus-total):
+        // fertility + the OOV/UNK share of the released vocab — the
+        // go/no-go readings a consumer checks before scaling the run.
+        val qa = Packing.tokenizerStatsFromStream(
+          df.withColumn("__all", lit("*")), stream, vocabBack,
+          textCol, idCol, "__all").head()
         writeManifest(s"$path/manifest", spark, Seq(
           "kind" -> "sink_tokens", "n_seqs" -> stats.getLong(0).toString,
           "n_tokens" -> stats.getLong(1).toString,
@@ -526,7 +532,10 @@ object CurationPipeline {
           "budget" -> budgetTokens.toString, "buckets" -> buckets.toString,
           // byte_level rides in the manifest because a merge table
           // learned in one mode MUST be applied in the same mode.
-          "tokenizer" -> tokenizer, "byte_level" -> byteLevel.toString))
+          "tokenizer" -> tokenizer, "byte_level" -> byteLevel.toString,
+          "tokens_per_word" -> qa.getAs[Double]("tokens_per_word").toString,
+          "tokens_per_kb" -> qa.getAs[Double]("tokens_per_kb").toString,
+          "oov_rate" -> qa.getAs[Double]("oov_rate").toString))
         back
     }
 

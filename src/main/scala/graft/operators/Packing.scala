@@ -219,6 +219,78 @@ object Packing {
       .select("tok", "tok_id")
   }
 
+  /** Release-QA statistics for a fitted tokenizer + released vocab —
+    * the numbers that decide whether a vocab is acceptable BEFORE a
+    * corpus-scale tokenization run. Per `langCol` group: document and
+    * whitespace-word counts, UTF-8 text bytes, emitted tokens, the two
+    * fertility readings (`tokens_per_word`, `tokens_per_kb` of text),
+    * and `oov_rate` — the fraction of emitted tokens outside the
+    * released vocab, i.e. exactly the mass [[packTokenIds]] would pack
+    * as the reserved UNK id 0 (for byte-level BPE this doubles as the
+    * byte-fallback residue: pieces too rare to earn a vocab id).
+    *
+    * Scale shape: one pass over the token stream collapsed per doc
+    * (map-side combinable, vocab broadcast), one thin doc-level join
+    * against the per-doc text metrics, then a tiny per-language rollup
+    * — no corpus-sized exchange beyond the per-doc aggregate. Run it on
+    * a corpus sample for quick vocab iteration; the result frame is
+    * languages-sized either way.
+    */
+  def tokenizerStats(
+      docs: DataFrame,
+      tokenizer: Tokenizer,
+      vocab: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang"
+  ): DataFrame =
+    tokenizerStatsFromStream(
+      docs, tokenStream(docs, tokenizer, textCol, idCol), vocab,
+      textCol, idCol, langCol)
+
+  /** [[tokenizerStats]] over a prepared [[tokenStream]] — the entry the
+    * release path uses (tokenize once, pack AND QA from the same
+    * stream).
+    */
+  def tokenizerStatsFromStream(
+      docs: DataFrame,
+      stream: DataFrame,
+      vocab: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang"
+  ): DataFrame = {
+    require(docs.columns.contains(langCol),
+      s"tokenizerStats: no language column '$langCol' (have ${docs.columns.mkString(", ")}) — " +
+        "pass langCol, or add a constant column for a corpus-total rollup")
+    val perDoc = stream
+      .join(broadcast(vocab.select("tok", "tok_id")), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__toks"),
+        count(when(col("tok_id").isNull, 1)).as("__oov"))
+    docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang"),
+        octet_length(col(textCol)).cast("long").as("__bytes"),
+        size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .cast("long").as("__words"))
+      // left join: a doc whose text tokenizes to nothing still counts
+      // its bytes (zero tokens, zero OOV).
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__words").as("n_words"),
+        sum("__bytes").as("n_text_bytes"),
+        sum(coalesce(col("__toks"), lit(0L))).as("n_tokens"),
+        sum(coalesce(col("__oov"), lit(0L))).as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_text_bytes"),
+        col("n_tokens"), col("n_oov"),
+        round(col("n_tokens") / col("n_words"), 4).as("tokens_per_word"),
+        round(col("n_tokens") * lit(1024.0) / col("n_text_bytes"), 4).as("tokens_per_kb"),
+        round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+  }
+
   /** Tokenize, id-map, and pack the corpus into FIXED-LENGTH token-id
     * sequences — the shape a training loader actually consumes (packed
     * context windows of ids, not documents). Documents concatenate in

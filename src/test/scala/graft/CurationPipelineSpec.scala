@@ -596,6 +596,17 @@ class CurationPipelineSpec extends SparkSpec {
       mani("n_seqs") == out.count().toString &&
       mani("n_tokens") == out.agg(sum(col("n"))).head().getLong(0).toString &&
       mani("tokenizer") == "rank")
+    // Release-QA fields: rank tokens ARE words (fertility exactly 1);
+    // oov_rate must equal the recomputed share of curated tokens
+    // outside the persisted vocab.
+    assert(mani("tokens_per_word").toDouble == 1.0, mani("tokens_per_word"))
+    assert(mani("tokens_per_kb").toDouble > 0.0)
+    val curatedToks = curated.select(
+      explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+    val nTok = curatedToks.count().toDouble
+    val nOov = curatedToks.join(vocab, Seq("tok"), "left_anti").count().toDouble
+    assert(mani("oov_rate").toDouble == math.rint(nOov / nTok * 1e4) / 1e4,
+      s"oov_rate ${mani("oov_rate")} != recomputed ${nOov / nTok}")
     val mid = intercept[IllegalArgumentException](CurationPipeline.fromYaml(docs,
       s"steps:\n  - sink_tokens: { path: $path, budget: 32 }\n" +
         "  - quality: { min_tokens: 5 }\n"))
