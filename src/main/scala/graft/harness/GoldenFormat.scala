@@ -26,7 +26,8 @@ object GoldenFormat {
       "decontaminate_embedding", "curation_release_tokens_bpe",
       "curation_release_tokens_unigram",
       "streaming_embedding_replay", "streaming_quality_replay",
-      "tokenizer_stats_bpe", "tokenizer_stats_unigram")
+      "tokenizer_stats_bpe", "tokenizer_stats_unigram",
+      "curation_release_incr_near")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

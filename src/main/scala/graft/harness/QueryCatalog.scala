@@ -323,6 +323,66 @@ object QueryCatalog {
       |  FROM normed)
       |""".stripMargin
 
+  /** Composed oracle for the SHARD-INGEST release: the full-corpus
+    * replay of url_dedup → dedup_lines → dedup_exact → perplexity over
+    * the lined [[docsWithUrl]] fixture, with the LM fit restricted to
+    * shard 0's survivors (doc_id < 250 — the fit-once/serve-many scope
+    * the incremental run actually has). First-wins dedups are
+    * prefix-closed, so shard 0's curated frame IS the full chain
+    * restricted to doc_id < 250.
+    */
+  private val incrReleaseOracle: String = urlCte +
+    s""", lined AS (
+       |  SELECT doc_id, lang,
+       |    concat_ws(chr(10),
+       |      substring(text, 1, 40),
+       |      'shared boilerplate header line',
+       |      substring(text, 41, 40),
+       |      CASE WHEN doc_id % 3 = 0 THEN 'promo footer visit example dot com'
+       |           ELSE substring(text, 81, 40) END) AS text
+       |  FROM documents),
+       |ukeep AS (SELECT MIN(doc_id) AS doc_id FROM urls GROUP BY url_norm),
+       |d1 AS (SELECT l.doc_id, l.lang, l.text FROM lined l JOIN ukeep USING (doc_id)),
+       |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d1),
+       |lp AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS line_no, ls FROM l0),
+       |l AS (SELECT doc_id, line_no, ls[line_no + 1] AS line FROM lp),
+       |f AS (
+       |  SELECT line, doc_id AS fdoc, line_no AS fno FROM (
+       |    SELECT line, doc_id, line_no,
+       |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+       |    FROM l
+       |    WHERE len(regexp_replace(line, '\\s', '', 'g')) >= 10) WHERE rn = 1),
+       |kept AS (
+       |  SELECT l.doc_id, l.line_no, l.line
+       |  FROM l LEFT JOIN f ON l.line = f.line
+       |  WHERE f.fdoc IS NULL OR (l.doc_id = f.fdoc AND l.line_no = f.fno)),
+       |reb AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+       |  FROM kept GROUP BY doc_id),
+       |ekeep AS (SELECT MIN(doc_id) AS doc_id FROM reb GROUP BY text),
+       |d3 AS (SELECT r.doc_id, d1.lang, r.text
+       |       FROM reb r JOIN ekeep USING (doc_id) JOIN d1 USING (doc_id)),
+       |-- Tokenization must match Vocabulary.tokenRows on MULTI-LINE text:
+       |-- Spark SQL's split is limit -1 over whitespace RUNS, so a
+       |-- trailing newline yields a trailing EMPTY token (scored OOV) —
+       |-- regexp_split_to_array has the same keep-empties semantics.
+       |ftok AS (SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |         FROM d3 WHERE doc_id < 250),
+       |fcnt AS (SELECT tok, COUNT(*) AS c FROM ftok GROUP BY 1),
+       |ftot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM fcnt),
+       |fvoc AS (SELECT tok, c FROM fcnt ORDER BY c DESC, tok LIMIT 20),
+       |fvs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM fvoc),
+       |flm AS (SELECT tok, LN((c + 1) / (t + v + 1)) AS logp
+       |        FROM fvoc CROSS JOIN ftot CROSS JOIN fvs),
+       |stok AS (SELECT doc_id,
+       |           UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM d3),
+       |ssc AS (SELECT doc_id, COALESCE(logp, LN(1 / (t + v + 1))) AS lp
+       |        FROM stok LEFT JOIN flm USING (tok) CROSS JOIN ftot CROSS JOIN fvs),
+       |sagg AS (SELECT doc_id, -AVG(lp) AS nll FROM ssc GROUP BY 1),
+       |pkeep AS (SELECT doc_id FROM sagg WHERE ROUND(EXP(nll), 4) <= 150)
+       |SELECT d3.doc_id, d3.lang, d3.text FROM d3 JOIN pkeep USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ==========================================================================
   // §2.1 scans / sources / sinks
   // ==========================================================================
@@ -3053,6 +3113,68 @@ object QueryCatalog {
              |  FROM d)
              |SELECT d.doc_id, d.lang, d.text, d.doc_id % s.n AS shard
              |FROM d, s ORDER BY doc_id""".stripMargin)),
+
+    // SHARD-INGEST release (the production topology): shard 0 bootstraps
+    // the standing state — url index, line index, exact-hash index, and
+    // the served LM — and shard 1 joins the release against it; the
+    // corpus is never recurated. Ingest-ordered shards make the union of
+    // shard outputs equal the batch pipeline over the whole corpus, with
+    // ONE documented exception the oracle reproduces: the LM fits ONCE
+    // on shard 0 as curated (CCNet's fit/serve split) and is SERVED to
+    // shard 1, so the oracle's fit CTE restricts to doc_id < 250.
+    Q("curation_release_incr", (s, dir) => {
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val state = s"/tmp/graft_incr_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - perplexity: { max_ppl: 150, vocab: 20 }
+          |""".stripMargin)
+      // applyShard writes its state increments EAGERLY, so shard 0's
+      // indexes are fully persisted before shard 1 ingests against them.
+      val s0 = CurationPipeline.applyShard(
+          lined.filter(col("doc_id") < 250), p, state, "0")
+        .select("doc_id", "lang", "text")
+      val s1 = CurationPipeline.applyShard(
+          lined.filter(col("doc_id") >= 250), p, state, "1")
+        .select("doc_id", "lang", "text")
+      s0.unionByName(s1).orderBy("doc_id")
+    }, Some(incrReleaseOracle)),
+
+    // The near-dup face of the shard-ingest release: minhash joins the
+    // composed chain through the persisted signature index (corpus text
+    // never re-shingled). xxhash-seeded banding has no SQL form →
+    // golden, like dedup_minhash itself; batch-parity of the whole
+    // composition is asserted in CurationPipelineSpec.
+    Q("curation_release_incr_near", (s, dir) => {
+      val withUrl = docsWithUrl(s, dir)
+      val state = s"/tmp/graft_incr_near_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_exact: {}
+          |  - dedup_minhash: { threshold: 0.5 }
+          |  - perplexity: { max_ppl: 150, vocab: 20 }
+          |""".stripMargin)
+      val s0 = CurationPipeline.applyShard(
+          withUrl.filter(col("doc_id") < 250), p, state, "0")
+        .select("doc_id", "lang")
+      val s1 = CurationPipeline.applyShard(
+          withUrl.filter(col("doc_id") >= 250), p, state, "1")
+        .select("doc_id", "lang")
+      s0.unionByName(s1).orderBy("doc_id")
+    }, None),
 
     Q("curation_release", (s, dir) =>
       // The 10-step capstone now ENDS inside the language: the terminal

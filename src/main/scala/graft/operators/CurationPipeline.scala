@@ -77,6 +77,236 @@ object CurationPipeline {
     pipeline.steps.foldLeft(docs)((df, step) => applyStep(df, step, idCol, textCol, aux))
   }
 
+  /** [[fromYaml]] in SHARD-INGEST mode — see [[applyShard]]. */
+  def fromYamlShard(shard: DataFrame, yamlText: String,
+      stateDir: String, shardLabel: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): DataFrame =
+    applyShard(shard, CurationConfig.fromYaml(yamlText), stateDir, shardLabel,
+      idCol, textCol, aux)
+
+  /** SHARD-INGEST (incremental) compile: curate ONE new crawl shard
+    * against the standing state of a release under `stateDir`, never
+    * re-processing the corpus — the production topology where shards
+    * arrive continuously and the release grows. Each stateful step owns
+    * a state subdirectory (`stateDir/step<i>=<kind>`) holding the
+    * persisted index the operator families already ship:
+    *
+    *   - `url_dedup`  → accumulated [[UrlCuration.urlIndex]] rows; a
+    *     shard keeps only first-crawl docs of urls NEW to the index.
+    *   - `dedup_lines` → the standing [[Dedup.lineIndex]]
+    *     ([[Dedup.dedupLinesIncremental]] rewrite, husks dropped).
+    *   - `dedup_exact` → accumulated `(hash, len, id)` first-arrival
+    *     keys.
+    *   - `dedup_minhash` → accumulated [[Dedup.minhashIndex]]
+    *     signatures; shard pairs via [[Dedup.minhashLshIncremental]]
+    *     (corpus text never re-shingled), components over the emitted
+    *     pairs, non-representatives drop. Under the ingest-order
+    *     invariant (shard ids follow corpus ids) the keep decisions
+    *     equal the full-corpus step restricted to shard docs: any shard
+    *     doc near a corpus doc sees that corpus doc in its incremental
+    *     component (every edge on a shard→corpus path touches a shard
+    *     doc, so the path survives the pair restriction), and
+    *     all-shard components carry every edge.
+    *   - `perplexity` → the LM fits ONCE, on the first shard's frame as
+    *     curated (CCNet's fit/serve split), persists at the step's
+    *     state dir, and scores every later shard as served — the
+    *     corpus-fit drifts only when the operator is re-bootstrapped
+    *     deliberately (delete the dir).
+    *
+    * Stateless steps (clean/quality/gopher/c4/blocklist/redact/langid/
+    * repetition/compress, probe- and model-table steps, split/shuffle/
+    * chunk) apply exactly as in [[apply]]. Corpus-level mixing and
+    * sampling steps (quota/temperature/token_budget/upsample/unimax/
+    * dsir/weighted/diverse/rank) and the remaining near-dup families
+    * (simhash/semantic/substring) are REFUSED: their semantics are
+    * corpus-global and belong to a release compaction run over the
+    * standing corpus, not a shard ingest. A terminal `sink` writes the
+    * shard's release slice to `path/shard=<label>` (the tarSink
+    * batch-dir convention).
+    *
+    * Idempotent under re-delivery: every state write is keyed
+    * `batch=<shardLabel>` (mode overwrite) and every prior-state read
+    * EXCLUDES the shard's own label (the
+    * [[graft.operators.Profiling.profileSink]] convention), so
+    * re-running a shard rewrites its own increments byte-identically.
+    * With ingest-ordered shard labels, the union of shard outputs
+    * equals the batch [[apply]] over the whole ingested corpus
+    * (parity asserted in CurationPipelineSpec; the LM step's fit-once
+    * scope is the documented exception).
+    */
+  def applyShard(
+      shard: DataFrame, pipeline: Pipeline,
+      stateDir: String, shardLabel: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): DataFrame = {
+    require(shardLabel.nonEmpty && shardLabel.matches("[A-Za-z0-9_.-]+"),
+      s"applyShard: shardLabel '$shardLabel' must be a plain token (it names batch= dirs)")
+    pipeline.steps.dropRight(1).foreach { s =>
+      require(!s.isInstanceOf[Chunk],
+        "chunk changes the row grain and must be the final step")
+      require(!s.isInstanceOf[Sink],
+        "sink writes the release and must be the final step")
+    }
+    pipeline.steps.zipWithIndex.foldLeft(shard) { case (df, (step, i)) =>
+      applyStepShard(df, step, i, stateDir, shardLabel, idCol, textCol, aux)
+    }
+  }
+
+  private def applyStepShard(
+      df: DataFrame, step: Step, stepIdx: Int,
+      stateDir: String, shardLabel: String,
+      idCol: String, textCol: String,
+      aux: Map[String, DataFrame]): DataFrame = {
+    val spark = df.sparkSession
+    def stateSub(kind: String) = s"$stateDir/step$stepIdx=$kind"
+    // Prior-state view: batch=<id> dirs only (the lineDedupSink listing
+    // discipline), EXCLUDING this shard's own label so re-delivery
+    // recomputes against the identical prior and overwrites itself.
+    def priorBatches(dir: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
+        .filterNot(_.endsWith(s"batch=$shardLabel"))
+        .toSeq
+    }
+    def writeIncrement(dir: String, inc: DataFrame): Unit = {
+      inc.write.mode("overwrite").parquet(s"$dir/batch=$shardLabel")
+      // A re-delivered shard overwrites a path this session has already
+      // read — drop the cached file listing or later reads in the same
+      // session die on the vanished old part files.
+      spark.catalog.refreshByPath(s"$dir/batch=$shardLabel")
+    }
+    def readOwn(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/batch=$shardLabel")
+    def asIdType(c: org.apache.spark.sql.Column) =
+      c.cast(df.schema(idCol).dataType).as(idCol)
+
+    step match {
+      case UrlDedup(urlCol) =>
+        require(df.columns.contains(urlCol),
+          s"url_dedup: no '$urlCol' column on the shard frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val dir = stateSub("url_index")
+        val prior = priorBatches(dir)
+        val shardGroups = UrlCuration.dedupByUrl(df, urlCol, idCol)
+        // Increment = groups whose url is NEW to the index (touched
+        // urls keep their standing keeper — membership alone decides
+        // future drops), so batch dirs stay disjoint and the union IS
+        // the index.
+        val fresh =
+          if (prior.isEmpty) shardGroups
+          else shardGroups.join(
+            spark.read.parquet(prior: _*).select("url_norm"),
+            Seq("url_norm"), "left_anti")
+        writeIncrement(dir, fresh)
+        df.join(readOwn(dir).select(asIdType(col("keeper"))), Seq(idCol), "left_semi")
+
+      case DedupExact =>
+        val dir = stateSub("exact_index")
+        val prior = priorBatches(dir)
+        val keepers = df
+          .groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__len"))
+          .agg(min(col(idCol).cast("long")).as("__id"))
+        val fresh =
+          if (prior.isEmpty) keepers
+          else keepers.join(
+            spark.read.parquet(prior: _*).select("__h", "__len"),
+            Seq("__h", "__len"), "left_anti")
+        writeIncrement(dir, fresh)
+        df.join(readOwn(dir).select(asIdType(col("__id"))), Seq(idCol), "left_semi")
+
+      case DedupLines(minChars, sep) =>
+        val dir = stateSub("line_index")
+        val prior = priorBatches(dir) match {
+          case Seq() =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("line",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("first_doc",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("first_line",
+                  org.apache.spark.sql.types.IntegerType))))
+          case ds => spark.read.parquet(ds: _*)
+            .select("line", "first_doc", "first_line")
+        }
+        writeIncrement(dir,
+          Dedup.lineIndexIncrement(df, prior, minChars, sep, textCol, idCol).coalesce(1))
+        val rewritten = Dedup
+          .dedupLinesIncremental(df, prior, minChars, sep, textCol, idCol)
+          .filter(col("n_kept") > 0)
+          .select(asIdType(col("doc_id")), col(textCol))
+        df.drop(textCol).join(rewritten, Seq(idCol))
+
+      case DedupMinhash(threshold, numHashes, bands, shingleN) =>
+        val dir = stateSub("minhash_index")
+        val prior = priorBatches(dir)
+        // The index holds EVERY doc reaching this step (kept or dropped)
+        // — dropped near-dups still contribute edges in the full-run
+        // union graph, so they must keep dropping future arrivals.
+        writeIncrement(dir, Dedup.minhashIndex(df, numHashes, shingleN, textCol, idCol))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0) // bootstrap: empty standing corpus
+          else spark.read.parquet(prior: _*)
+        val pairs = Dedup.minhashLshIncremental(
+          df, index, threshold, numHashes, bands, shingleN,
+          textCol = textCol, idCol = idCol)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
+      case PerplexityKeep(maxPpl, vocabSize) =>
+        // Fit-once / serve-many (the CCNet split): the first shard's
+        // frame AS CURATED fits the LM; every later shard is scored as
+        // served. Delete the state dir to re-bootstrap deliberately.
+        val dir = stateSub("lm")
+        val root = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(root))
+          Vocabulary.unigramLm(df, vocabSize, textCol, idCol)
+            .write.mode("overwrite").parquet(dir)
+        val keep = Vocabulary
+          .perplexity(df, spark.read.parquet(dir), textCol, idCol)
+          .filter(col("ppl") <= maxPpl)
+          .select(asIdType(col("doc_id")))
+        df.join(keep, Seq(idCol), "left_semi")
+
+      case Sink(path, partitionBy) =>
+        // The shard's release slice: its own shard= dir (the tarSink
+        // batch-dir convention) — re-delivery overwrites itself, and
+        // the accumulated layout reads as one corpus.
+        val dest = s"$path/shard=$shardLabel"
+        val w = df.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dest)
+        spark.catalog.refreshByPath(dest)
+        spark.read.parquet(dest)
+
+      case s @ (Clean | NormalizeNfc | Redact | GopherQuality | StripHtml |
+          DedupSoft |
+          _: LangIdKeep | _: Quality | _: C4LineFilter | _: PhraseBlocklist |
+          _: RepetitionFilter | _: CompressFilter | _: LangIdTrigramKeep |
+          _: Decontam | _: DecontamEmbedding | _: QualityModel |
+          _: Split | _: Shuffle | _: Chunk) =>
+        // Stateless per-document steps (and probe/model-table steps,
+        // whose state is the aux frame): identical in both regimes.
+        applyStep(df, s, idCol, textCol, aux)
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"shard-ingest mode does not support step '${stepName(other)}': " +
+            "corpus-level mixing/sampling and the simhash/semantic/substring " +
+            "near-dup families are corpus-global — run them at release " +
+            "compaction over the standing corpus (tar/token releases stream " +
+            "via WebDataset.tarSink / Packing.tokenSink)")
+    }
+  }
+
   /** Per-step survivor counts — the curation funnel report every
     * large-scale pipeline publishes ("which step dropped 90% of the
     * corpus?"): one row per step `(step_idx, step, rows_out)` plus the

@@ -733,4 +733,111 @@ class CurationPipelineSpec extends SparkSpec {
       "steps:\n  - sample_diverse: { embeddings: emb, clusters: 4, per_cluster: 2 }\n",
       aux = Map("emb" -> emb)).count()
   }
+
+  // Shard-ingest fixture: urls with cross-shard refetches, a corpus-wide
+  // shared boilerplate line, exact duplicates (ids 2000+) and near
+  // duplicates (ids 1000+, one extra trailing token) of shard-0 docs —
+  // every stateful step must do real cross-shard work.
+  private def ingestCorpus = {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val near = base.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000L)
+      .withColumn("text", concat(col("text"), lit(" extra trailing token")))
+    // Exact duplicates must SURVIVE line dedup to reach dedup_exact:
+    // short lines (< 10 non-space chars) are line-dedup-exempt, so a
+    // shared short-line body duplicates at the whole-doc grain only.
+    val exact = base.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000L)
+      .withColumn("text", lit("tiny a\ntiny b"))
+    base.unionByName(near).unionByName(exact)
+      .withColumn("url",
+        when(pmod(col("doc_id"), lit(10L)) === 5, lit("https://ex.com/refetch"))
+          .otherwise(concat(lit("https://ex.com/p"), col("doc_id").cast("string"))))
+      .withColumn("text",
+        concat_ws("\n", lit("shared boilerplate header line padded"), col("text")))
+  }
+
+  private val ingestYaml =
+    """steps:
+      |  - url_dedup: {}
+      |  - dedup_lines: { min_chars: 10 }
+      |  - dedup_exact
+      |  - dedup_minhash: { threshold: 0.5 }
+      |""".stripMargin
+
+  test("applyShard: two-shard ingest equals the batch pipeline over the union") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val state = java.nio.file.Files.createTempDirectory("cpincr").toString + "/state"
+    val p = CurationConfig.fromYaml(ingestYaml)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      snap(df.select("doc_id", "lang", "text", "url"))
+    val s0 = CurationPipeline.applyShard(
+      corpus.filter(col("doc_id") < 30), p, state, "0")
+    val got0 = key(s0) // materialize shard 0 (state writes already ran eagerly)
+    val s1 = CurationPipeline.applyShard(
+      corpus.filter(col("doc_id") >= 30), p, state, "1")
+    val got1 = key(s1) // materialize before any re-delivery overwrites state
+    val batch = CurationPipeline.apply(corpus, p)
+    assert((got0 ++ got1).sorted == key(batch).sorted,
+      "shard-ingest union diverged from the batch pipeline")
+    // Every stateful step discriminated on this fixture.
+    def after(i: Int) =
+      CurationPipeline.apply(corpus, CurationConfig.Pipeline(p.steps.take(i + 1)))
+    val (n0, n1, n2, n3, n4) = (corpus.count(), after(0).count(),
+      after(1).count(), after(2).count(), after(3).count())
+    assert(n1 < n0, s"url_dedup dropped nothing ($n0 -> $n1)")
+    assert(after(1).filter(col("text").contains("shared boilerplate header")).count() == 1,
+      "line dedup left the shared header in more than one doc")
+    assert(n2 <= n1 && n3 < n2, s"dedup_exact dropped nothing ($n2 -> $n3)")
+    assert(n4 < n3, s"dedup_minhash dropped nothing ($n3 -> $n4)")
+    // Re-delivery of shard 1 (at-least-once) recomputes against the
+    // identical prior view and leaves output AND state unchanged.
+    val idxBefore = snap(spark.read.parquet(s"$state/step3=minhash_index"))
+    val again = CurationPipeline.applyShard(
+      corpus.filter(col("doc_id") >= 30), p, state, "1")
+    assert(key(again) == got1, "re-delivered shard changed its output")
+    assert(snap(spark.read.parquet(s"$state/step3=minhash_index")) == idxBefore)
+  }
+
+  test("applyShard: LM fits once and serves later shards; sink writes shard= dirs; corpus-global steps refused") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val state = java.nio.file.Files.createTempDirectory("cpincr2").toString + "/state"
+    val rel = java.nio.file.Files.createTempDirectory("cpincr2r").toString + "/release"
+    val yaml =
+      s"""steps:
+         |  - dedup_exact
+         |  - perplexity: { max_ppl: 40, vocab: 20 }
+         |  - sink: { path: $rel }
+         |""".stripMargin
+    val shard0 = corpus.filter(col("doc_id") < 30)
+    val shard1 = corpus.filter(col("doc_id") >= 30)
+    CurationPipeline.fromYamlShard(shard0, yaml, state, "0").count()
+    // The LM persisted at the perplexity step's state dir equals a fit
+    // on shard 0 AS CURATED (post dedup_exact) — the CCNet fit scope.
+    val curated0 = CurationPipeline.apply(shard0,
+      CurationConfig.fromYaml("steps:\n  - dedup_exact\n"))
+    assert(snap(spark.read.parquet(s"$state/step1=lm")) ==
+      snap(graft.operators.Vocabulary.unigramLm(curated0, vocabSize = 20)),
+      "persisted LM drifted from the first shard's curated fit")
+    val out1 = CurationPipeline.fromYamlShard(shard1, yaml, state, "1")
+    // Shard 1 is scored as SERVED (LM unchanged), not refit: its keeps
+    // equal serving the shard-0 LM over shard 1 as curated.
+    val curated1 = CurationPipeline.apply(shard1,
+      CurationConfig.fromYaml("steps:\n  - dedup_exact\n"))
+    val servedKeep = graft.operators.Vocabulary
+      .perplexity(curated1, spark.read.parquet(s"$state/step1=lm"), "text", "doc_id")
+      .filter(col("ppl") <= 40).select("doc_id")
+    assert(snap(out1.select("doc_id")) == snap(servedKeep),
+      "shard 1 was not scored against the served LM")
+    // The release accumulates shard= dirs and reads as one corpus.
+    assert(new java.io.File(rel).listFiles().map(_.getName).count(_.startsWith("shard=")) == 2)
+    assert(spark.read.parquet(rel).count() ==
+      CurationPipeline.fromYamlShard(shard1, yaml, state, "1").count() +
+        spark.read.parquet(s"$rel/shard=0").count())
+    // Corpus-global steps are refused loudly in shard mode.
+    val refused = intercept[IllegalArgumentException](
+      CurationPipeline.fromYamlShard(shard0,
+        "steps:\n  - quota: { quotas: { en: 10 } }\n", state, "9"))
+    assert(refused.getMessage.contains("shard-ingest"), refused.getMessage)
+  }
 }
