@@ -213,6 +213,26 @@ object CurationConfig {
     */
   final case class DedupSimhash(maxHamming: Int, maxBucketSize: Int) extends Step
 
+  /** Image near-dup removal over a binary payload column: dHash
+    * perceptual signatures, Hamming-banded pairs at ≤ `maxHamming`,
+    * connected components, keep each cluster's min-id member —
+    * `dedup_minhash`'s image face
+    * ([[graft.operators.PerceptualHash.dedup]]). The MULTIMODAL row
+    * convention: the frame carries the media bytes as an opaque binary
+    * `payloadCol` beside the id.
+    */
+  final case class DedupPhash(maxHamming: Int, payloadCol: String) extends Step
+
+  /** Container-envelope gate (no codec, magic-byte dispatch —
+    * [[graft.operators.Multimodal.containerMeta]]): keep documents
+    * whose payload parses to a container in `formats` (unparseable
+    * payloads are container "opaque", so listing real formats drops
+    * corrupt/alien blobs) and, when bounded, whose declared duration is
+    * ≤ `maxDurationMs` — the ingest QA gate before any decode cost.
+    */
+  final case class ContainerMetaFilter(
+      formats: Seq[String], maxDurationMs: Option[Long], payloadCol: String) extends Step
+
   /** SemDeDup semantic near-dup removal (Abbas et al. 2023): embeddings
     * are a TABLE in production (computed by a separate model pass), so
     * the step names an auxiliary `(vec_id, embedding)` frame; documents
@@ -458,6 +478,19 @@ object CurationConfig {
         DedupSimhash(
           need(longParam("max_hamming"), "'max_hamming'").toInt,
           longParam("max_bucket").getOrElse(256L).toInt)
+      case "dedup_phash" =>
+        DedupPhash(
+          longParam("max_hamming").getOrElse(2L).toInt,
+          params.get("payload_col").map(_.toString).getOrElse("payload"))
+      case "container_meta" =>
+        val fmts = params.get("formats")
+          .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
+          .getOrElse(Seq.empty)
+        val c = ContainerMetaFilter(fmts, longParam("max_duration_ms"),
+          params.get("payload_col").map(_.toString).getOrElse("payload"))
+        require(c.formats.nonEmpty || c.maxDurationMs.nonEmpty,
+          s"step #$idx: container_meta needs formats and/or max_duration_ms")
+        c
       case "dedup_semantic" =>
         DedupSemantic(
           need(params.get("embeddings").map(_.toString),

@@ -3114,6 +3114,50 @@ object QueryCatalog {
              |SELECT d.doc_id, d.lang, d.text, d.doc_id % s.n AS shard
              |FROM d, s ORDER BY doc_id""".stripMargin)),
 
+    // The IMAGE half of the release topology inside the language: a
+    // multimodal sample row carries a container payload (video/audio
+    // envelope) AND a thumbnail image as opaque binary columns; the
+    // container_meta gate drops alien formats and over-long media
+    // WITHOUT a codec (magic-byte envelope walk), then dedup_phash
+    // collapses near-duplicate thumbnails (dHash families). Both
+    // fixtures are closed-form in doc_id (MediaFixtures — independent
+    // writer code paths), so the composed chain has a full SQL oracle:
+    // keep container ∈ {mp4, webm, mp3} with duration ≤ 900 ms (the
+    // bound bites exactly the mp4s with id > 400), then the min
+    // surviving member of each dHash family of 5.
+    Q("curation_pipeline_media", (s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id"), col("lang"))
+      val media = MediaFixtures.syntheticContainers(ids.select("doc_id"))
+        .select(col("media_id").as("doc_id"), col("payload").as("media"))
+      val thumbs = MediaFixtures.syntheticBitmaps(ids.select("doc_id"))
+        .select(col("media_id").as("doc_id"), col("payload").as("thumb"))
+      val frame = ids.join(media, "doc_id").join(thumbs, "doc_id")
+      CurationPipeline.fromYaml(frame,
+        """steps:
+          |  - container_meta: { formats: [mp4, webm, mp3], max_duration_ms: 900,
+          |                      payload_col: media }
+          |  - dedup_phash: { max_hamming: 2, payload_col: thumb }
+          |""".stripMargin)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some("""WITH m AS (
+              |  SELECT doc_id, lang,
+              |    CASE doc_id % 6 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' WHEN 2 THEN 'webm'
+              |         WHEN 3 THEN 'flac' WHEN 4 THEN 'ogg' ELSE 'aac' END AS container,
+              |    CAST(CASE doc_id % 6 WHEN 0 THEN 500 + doc_id % 1000
+              |         WHEN 1 THEN ((5 + doc_id % 20) * 1152 * 1000) // 44100
+              |         WHEN 2 THEN 250 + doc_id % 500
+              |         WHEN 3 THEN (10 + doc_id % 50) * 100
+              |         WHEN 4 THEN (20 + doc_id % 100) * 10
+              |         ELSE ((3 + doc_id % 15) * 1024 * 1000) // 44100 END AS BIGINT) AS duration_ms
+              |  FROM documents),
+              |kept AS (SELECT doc_id, lang FROM m
+              |  WHERE container IN ('mp4', 'webm', 'mp3') AND duration_ms <= 900),
+              |fam AS (SELECT doc_id, lang, doc_id // 5 AS f FROM kept)
+              |SELECT doc_id, lang FROM fam
+              |WHERE doc_id IN (SELECT MIN(doc_id) FROM fam GROUP BY f)
+              |ORDER BY doc_id""".stripMargin)),
+
     // SHARD-INGEST release (the production topology): shard 0 bootstraps
     // the standing state — url index, line index, exact-hash index, and
     // the served LM — and shard 1 joins the release against it; the
@@ -4640,7 +4684,12 @@ object QueryCatalog {
                 |-- engine's re-anchor equi-join (null keys never match),
                 |-- matching the reference's join semantics
                 |WHERE c.n_any >= 2 AND c.n_err = 0 AND c.conv_ts IS NOT NULL
-                |ORDER BY 1, 4""".stripMargin), bench = true),
+                |ORDER BY 1, 4""".stripMargin), bench = true,
+        // warmup: the cohort path's first run decays ~2x (canonical-frame
+        // checkpoint + JIT) — r11 saw a 2.10 s contended artifact minimum
+        // vs 0.91 s real; an untimed first pass keeps the bench minima off
+        // that noise (round-11 verdict ask #6).
+        warmup = true),
 
       Q("aces_readmission", (s, dir) =>
         readmission(s, dir).select("subject_id", "index_timestamp", "label", "trigger")
@@ -4661,7 +4710,9 @@ object QueryCatalog {
                 |SELECT subject_id, last_click_ts AS index_timestamp,
                 |  CAST(n_click AS BIGINT) AS label, trig AS "trigger"
                 |FROM c WHERE last_click_ts IS NOT NULL
-                |ORDER BY 1, 4""".stripMargin), bench = true))
+                |ORDER BY 1, 4""".stripMargin), bench = true,
+        // warmup: same first-run decay as aces_flagship (see above).
+        warmup = true))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { q =>

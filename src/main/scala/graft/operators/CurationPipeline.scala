@@ -108,6 +108,9 @@ object CurationPipeline {
     *     component (every edge on a shard→corpus path touches a shard
     *     doc, so the path survives the pair restriction), and
     *     all-shard components carry every edge.
+    *   - `dedup_phash` → accumulated [[PerceptualHash.signatures]]
+    *     (only the shard is ever decoded; the corpus contributes its
+    *     8-byte signatures).
     *   - `perplexity` → the LM fits ONCE, on the first shard's frame as
     *     curated (CCNet's fit/serve split), persists at the step's
     *     state dir, and scores every later shard as served — the
@@ -261,6 +264,27 @@ object CurationPipeline {
           .select(asIdType(col("doc_id")))
         df.join(drop, Seq(idCol), "left_anti")
 
+      case DedupPhash(maxHamming, payloadCol) =>
+        require(df.columns.contains(payloadCol),
+          s"dedup_phash: no binary payload column '$payloadCol' on the shard frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val dir = stateSub("phash_index")
+        val prior = priorBatches(dir)
+        val media = df.select(col(idCol).cast("long").as("media_id"),
+          col(payloadCol).cast("binary").as("payload"))
+        // Only the shard is ever DECODED; the corpus contributes its
+        // persisted 8-byte signatures (the dedup_phash_incr shape). The
+        // index holds every doc reaching the step, kept or dropped.
+        writeIncrement(dir, PerceptualHash.signatures(media))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*)
+        val pairs = PerceptualHash.dedupIncremental(media, index, maxHamming)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
       case PerplexityKeep(maxPpl, vocabSize) =>
         // Fit-once / serve-many (the CCNet split): the first shard's
         // frame AS CURATED fits the LM; every later shard is scored as
@@ -292,6 +316,7 @@ object CurationPipeline {
           _: LangIdKeep | _: Quality | _: C4LineFilter | _: PhraseBlocklist |
           _: RepetitionFilter | _: CompressFilter | _: LangIdTrigramKeep |
           _: Decontam | _: DecontamEmbedding | _: QualityModel |
+          _: ContainerMetaFilter |
           _: Split | _: Shuffle | _: Chunk) =>
         // Stateless per-document steps (and probe/model-table steps,
         // whose state is the aux frame): identical in both regimes.
@@ -361,6 +386,8 @@ object CurationPipeline {
     case CompressFilter(_, _) => "compress"
     case LangIdTrigramKeep(_) => "langid_trigram_keep"
     case DedupSimhash(_, _) => "dedup_simhash"
+    case DedupPhash(_, _) => "dedup_phash"
+    case ContainerMetaFilter(_, _, _) => "container_meta"
     case DedupSemantic(_, _, _, _) => "dedup_semantic"
     case SampleDiverse(_, _, _) => "sample_diverse"
     case ImportanceSample(_, _, _, _) => "importance_sample"
@@ -626,6 +653,31 @@ object CurationPipeline {
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
         df.join(drop, Seq(idCol), "left_anti")
+      case DedupPhash(maxHamming, payloadCol) =>
+        require(df.columns.contains(payloadCol),
+          s"dedup_phash: no binary payload column '$payloadCol' on the frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val pairs = PerceptualHash.dedup(
+          df.select(col(idCol).cast("long").as("media_id"),
+            col(payloadCol).cast("binary").as("payload")),
+          maxHamming)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
+      case ContainerMetaFilter(formats, maxDurMs, payloadCol) =>
+        require(df.columns.contains(payloadCol),
+          s"container_meta: no binary payload column '$payloadCol' on the frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val meta = Multimodal.containerMeta(
+          df.select(col(idCol).cast("long").as("media_id"),
+            col(payloadCol).cast("binary").as("payload")))
+        val conds =
+          (if (formats.nonEmpty) Seq(col("container").isin(formats: _*)) else Nil) ++
+            maxDurMs.map(m => col("duration_ms").isNotNull && col("duration_ms") <= m)
+        val keep = meta.filter(conds.reduce(_ && _))
+          .select(col("media_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
       case DedupSemantic(embTable, threshold, nlist, nprobe) =>
         val emb = liveEmbeddings(df, idCol, embTable, aux, "dedup_semantic")
         val drop = Dedup.semDeDup(emb, threshold, nlist, nprobe)

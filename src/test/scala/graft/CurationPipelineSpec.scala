@@ -840,4 +840,27 @@ class CurationPipelineSpec extends SparkSpec {
         "steps:\n  - quota: { quotas: { en: 10 } }\n", state, "9"))
     assert(refused.getMessage.contains("shard-ingest"), refused.getMessage)
   }
+
+  test("applyShard: dedup_phash ingests against the persisted signature index") {
+    import spark.implicits._
+    // dHash family fixture (families of 5 single-bit-flip variants);
+    // the shard split at 22 cuts family 4 across shards, so its later
+    // members must drop via the persisted index, never a re-decode.
+    val frame = graft.harness.MediaFixtures.syntheticBitmaps(
+        (0L until 40L).toDF("doc_id"))
+      .select(col("media_id").as("doc_id"), col("payload"))
+    val p = CurationConfig.fromYaml(
+      "steps:\n  - dedup_phash: { max_hamming: 2 }\n")
+    val state = java.nio.file.Files.createTempDirectory("cpph").toString + "/state"
+    val a = snap(CurationPipeline.applyShard(
+      frame.filter(col("doc_id") < 22), p, state, "0").select("doc_id"))
+    val b = snap(CurationPipeline.applyShard(
+      frame.filter(col("doc_id") >= 22), p, state, "1").select("doc_id"))
+    assert((a ++ b).sorted ==
+      snap(CurationPipeline.apply(frame, p).select("doc_id")).sorted,
+      "shard-ingest phash dedup diverged from the batch step")
+    // Keep set = each family's min id: 0, 5, …, 35.
+    assert((a ++ b).sorted == (0L until 40L by 5).map(_.toString).sorted,
+      s"unexpected keeps: ${(a ++ b).sorted}")
+  }
 }
