@@ -770,6 +770,31 @@ object PlanAudit {
     audit("curation_pipeline_soft", graft.operators.CurationPipeline.fromYaml(
       docsT, "steps:\n  - dedup_soft\n  - weighted_sample: { k: 50 }\n"), 5)
 
+    // Tokenizer release QA: the token stream collapses per doc (one
+    // map-side-combinable exchange), joins the thin per-doc text
+    // metrics on the id key, and rolls up per language — the vocab is
+    // a broadcast (no exchange of its own).
+    audit("tokenizer_stats", graft.operators.Packing.tokenizerStats(
+      docsT, graft.operators.Packing.WordTokenizer,
+      graft.operators.Packing.rankVocab(docsT, vocabSize = 20)), 4)
+
+    // The composed media chain: container_meta's envelope walk is a
+    // partition-wise map (no exchange of its own), its keep a thin
+    // id semi-join; dedup_phash adds the signature banding + component
+    // fold over thin (id, hash) rows — payload bytes shuffle only for
+    // the final row carry.
+    audit("curation_pipeline_media", {
+      val ids = docsT.select(col("doc_id"), col("lang"))
+      val media = graft.harness.MediaFixtures.syntheticContainers(ids.select("doc_id"))
+        .select(col("media_id").as("doc_id"), col("payload").as("media"))
+      val thumbs = graft.harness.MediaFixtures.syntheticBitmaps(ids.select("doc_id"))
+        .select(col("media_id").as("doc_id"), col("payload").as("thumb"))
+      graft.operators.CurationPipeline.fromYaml(
+        ids.join(media, "doc_id").join(thumbs, "doc_id"),
+        "steps:\n  - container_meta: { formats: [mp4, webm, mp3], max_duration_ms: 900, payload_col: media }\n" +
+          "  - dedup_phash: { max_hamming: 2, payload_col: thumb }\n")
+    }, 5)
+
     // O(n) window frames: bounded rolling sums must compile to GROWING
     // (unboundedpreceding → bound) frames only — a sliding frame
     // re-aggregates its buffer per row, O(n·k), quadratic on heavy
