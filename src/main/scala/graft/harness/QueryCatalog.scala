@@ -3158,6 +3158,49 @@ object QueryCatalog {
               |WHERE doc_id IN (SELECT MIN(doc_id) FROM fam GROUP BY f)
               |ORDER BY doc_id""".stripMargin)),
 
+    // The STREAMING face of the shard-ingest release: the SAME YAML
+    // runs as a foreachBatch sink (CurationPipeline.curationSink), each
+    // micro-batch curated against the standing state and appended as
+    // its own release slice — the continuous-crawl topology end to end
+    // inside the language. Identical composed oracle as
+    // curation_release_incr: batch splits are the shard splits.
+    Q("streaming_curation_replay", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val rows = lined.select("doc_id", "lang", "text", "url")
+        .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+      val base = s"/tmp/graft_stream_cur_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - perplexity: { max_ppl: 150, vocab: 20 }
+          |""".stripMargin)
+      val input = MemoryStream[(Long, String, String, String)]
+      val q = input.toDF().toDF("doc_id", "lang", "text", "url")
+        .writeStream.outputMode("append")
+        .foreachBatch(CurationPipeline.curationSink(p, s"$base/state", s"$base/release"))
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
+        .filter(_.nonEmpty)
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      s.read.parquet(s"$base/release")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }, Some(incrReleaseOracle)),
+
     // SHARD-INGEST release (the production topology): shard 0 bootstraps
     // the standing state — url index, line index, exact-hash index, and
     // the served LM — and shard 1 joins the release against it; the

@@ -156,6 +156,39 @@ object CurationPipeline {
     }
   }
 
+  /** STREAMING ingest for the whole curation language — the
+    * foreachBatch sink: each micro-batch is one crawl shard curated by
+    * [[applyShard]] against the standing state (shard label = the
+    * batchId), its surviving rows appended as
+    * `releaseDir/shard=<batchId>`. After any batch,
+    * `spark.read.parquet(releaseDir)` is the curated release ingested
+    * so far. Idempotent under foreachBatch's at-least-once contract:
+    * applyShard's state increments and the release slice are all
+    * batch-keyed (mode overwrite) with self-excluding prior reads, so a
+    * re-delivered batch recomputes against the identical prior view and
+    * overwrites itself. The pipeline must not carry a terminal sink
+    * step — this sink IS the release write. Start with
+    * `.writeStream.foreachBatch(curationSink(...))`.
+    */
+  def curationSink(
+      pipeline: Pipeline, stateDir: String, releaseDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): (DataFrame, Long) => Unit = {
+    pipeline.steps.foreach { s =>
+      require(!s.isInstanceOf[Sink] && !s.isInstanceOf[SinkTar] &&
+        !s.isInstanceOf[SinkTokens],
+        s"curationSink IS the terminal release write — drop the '${stepName(s)}' " +
+          "step (point the sink at releaseDir instead)")
+    }
+    (batch, batchId) => {
+      val curated = applyShard(
+        batch, pipeline, stateDir, batchId.toString, idCol, textCol, aux)
+      val dest = s"$releaseDir/shard=$batchId"
+      curated.write.mode("overwrite").parquet(dest)
+      batch.sparkSession.catalog.refreshByPath(dest)
+    }
+  }
+
   private def applyStepShard(
       df: DataFrame, step: Step, stepIdx: Int,
       stateDir: String, shardLabel: String,

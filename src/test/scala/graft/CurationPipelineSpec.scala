@@ -841,6 +841,34 @@ class CurationPipelineSpec extends SparkSpec {
     assert(refused.getMessage.contains("shard-ingest"), refused.getMessage)
   }
 
+  test("curationSink: batch-keyed release slices, re-delivery idempotent, sink steps refused") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val base = java.nio.file.Files.createTempDirectory("cpsink").toString
+    val p = CurationConfig.fromYaml(ingestYaml)
+    val sink = CurationPipeline.curationSink(p, s"$base/state", s"$base/release")
+    val b0 = corpus.filter(col("doc_id") < 30)
+    val b1 = corpus.filter(col("doc_id") >= 30)
+    sink(b0, 0L); sink(b1, 1L)
+    val standing = snap(spark.read.parquet(s"$base/release")
+      .select("doc_id", "lang", "text", "url"))
+    // The standing release equals the batch pipeline over everything
+    // ingested (the applyShard parity, through the streaming sink).
+    assert(standing.sorted ==
+      snap(CurationPipeline.apply(corpus, p)
+        .select("doc_id", "lang", "text", "url")).sorted)
+    // Re-delivered batch (at-least-once) rewrites its own slice only.
+    sink(b1, 1L)
+    assert(snap(spark.read.parquet(s"$base/release")
+      .select("doc_id", "lang", "text", "url")).sorted == standing.sorted)
+    // A pipeline carrying its own sink step is refused up front.
+    val refused = intercept[IllegalArgumentException](
+      CurationPipeline.curationSink(
+        CurationConfig.fromYaml(
+          s"steps:\n  - dedup_exact\n  - sink: { path: $base/other }\n"),
+        s"$base/state2", s"$base/release2"))
+    assert(refused.getMessage.contains("terminal release write"), refused.getMessage)
+  }
+
   test("applyShard: dedup_phash ingests against the persisted signature index") {
     import spark.implicits._
     // dHash family fixture (families of 5 single-bit-flip variants);
