@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.CurationConfig
+import graft.operators.CurationPipeline
+import graft.sources.Tables
+
+/** Shard-ingest scaling probe: the cost of curating ONE fixed-size crawl
+  * shard ([[CurationPipeline.applyShard]] — url_dedup → dedup_lines →
+  * dedup_exact against the persisted indexes) as the STANDING CORPUS
+  * behind the state grows 1×/k×/K×, versus full batch recuration of
+  * (corpus ∪ shard) — the measurement behind the "corpus never
+  * recurated" claim. Ingest should scale with the shard plus thin index
+  * joins (index rows are ~tens of bytes per line/url/hash, never
+  * re-tokenized corpus text); recuration re-pays the whole corpus.
+  *
+  * Corpus replicas are SALTED per copy (the TextScaleProbe discipline)
+  * so dup fractions stay constant as the corpus grows; the probe shard
+  * is half exact re-crawls of copy-0 docs (must be dropped via the
+  * standing indexes alone) and half fresh docs (must survive).
+  *
+  * Run: `sbt "runMain graft.tools.IncrScaleProbe [sfDir] [k] [K]"`;
+  * results are committed to BENCH_NOTES.md.
+  */
+object IncrScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val midCopies = args.lift(1).map(_.toInt).getOrElse(8)
+    val bigCopies = args.lift(2).map(_.toInt).getOrElse(32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables
+      .configure(
+        SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val idStride = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+
+    // Lined + url-decorated corpus: the shared header exercises the
+    // corpus-wide hot line, per-copy salting keeps dup fractions
+    // constant, urls collide only within a copy (~1/60 of rows).
+    def decorate(df: DataFrame, copyTag: Column): DataFrame = df
+      .withColumn("text", concat_ws("\n",
+        lit("shared boilerplate header line padded"),
+        col("text"),
+        substring(col("text"), 41, 40)))
+      .withColumn("url", concat(
+        lit("HTTPS://WWW.c"), copyTag,
+        lit("-s"), col("doc_id") % 97, lit(".co.uk/Page"), col("doc_id") % 23,
+        lit("?b=2&a=1")))
+    def corpus(k: Int): DataFrame = decorate(
+      (0 until k).map { i =>
+        val salted =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "\\S+", "$0_" + i)
+        base.select((col("doc_id") + lit(i * idStride)).as("doc_id"), salted.as("text"))
+      }.reduce(_ unionByName _),
+      (col("doc_id") / idStride).cast("long")).cache()
+
+    val pipeline = CurationConfig.fromYaml(
+      """steps:
+        |  - url_dedup: {}
+        |  - dedup_lines: { min_chars: 10 }
+        |  - dedup_exact: {}
+        |""".stripMargin)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    Seq(1 -> "x1", midCopies -> s"x$midCopies", bigCopies -> s"x$bigCopies")
+      .foreach { case (k, label) =>
+        val c = corpus(k)
+        val n = c.count()
+        val state = java.nio.file.Files.createTempDirectory(s"incrprobe_$label").toString
+        // Bootstrap: the whole standing corpus ingested once as shard 0
+        // (this IS a full curation — the one-time cost).
+        val tBoot = time {
+          CurationPipeline.applyShard(c, pipeline, state, "0")
+            .write.format("noop").mode("overwrite").save()
+        }
+        // The probe shard: half exact re-crawls of copy-0 docs (same
+        // text AND url — every standing index must fire), half fresh.
+        val shardBase = base.limit(5000)
+        val recrawl = shardBase.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + lit(bigCopies * 2L * idStride)).as("doc_id"),
+            col("text"))
+        val fresh = shardBase.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + lit((bigCopies * 2L + 1L) * idStride)).as("doc_id"),
+            regexp_replace(col("text"), "\\S+", "$0_sh").as("text"))
+        // Re-crawls reuse copy 0's url tag so the url index fires too.
+        val shard = decorate(recrawl, lit(0L))
+          .unionByName(decorate(fresh, lit(bigCopies * 2L + 1L))).cache()
+        val sn = shard.count()
+        val la0 = loadavg()
+        val tIngest = time {
+          CurationPipeline.applyShard(shard, pipeline, state, "1")
+            .write.format("noop").mode("overwrite").save()
+        }
+        val tRecurate = time {
+          CurationPipeline.apply(c.unionByName(shard), pipeline)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[incr-scale] $label%-4s corpus=$n%8d shard=$sn%6d " +
+          f"bootstrap=$tBoot%7.2fs ingest=$tIngest%6.2fs recurate=$tRecurate%7.2fs " +
+          f"loadavg=$la0%.2f")
+        c.unpersist(); shard.unpersist()
+      }
+    spark.stop()
+  }
+}
