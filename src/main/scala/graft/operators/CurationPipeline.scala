@@ -102,12 +102,16 @@ object CurationPipeline {
     *     signatures; shard pairs via [[Dedup.minhashLshIncremental]]
     *     (corpus text never re-shingled), components over the emitted
     *     pairs, non-representatives drop. Under the ingest-order
-    *     invariant (shard ids follow corpus ids) the keep decisions
-    *     equal the full-corpus step restricted to shard docs: any shard
-    *     doc near a corpus doc sees that corpus doc in its incremental
-    *     component (every edge on a shard→corpus path touches a shard
-    *     doc, so the path survives the pair restriction), and
-    *     all-shard components carry every edge.
+    *     invariant (shard ids follow state ids) each shard's keep
+    *     decisions equal the BATCH step over (state ∪ shard) restricted
+    *     to shard docs: every edge incident to a shard doc survives the
+    *     pair restriction, so if a shard doc's full component holds any
+    *     smaller id, a smaller id is reachable through shard-doc edges
+    *     alone. Note the one first-wins asymmetry of ANY streaming
+    *     near-dup ingest: an already-released doc is never retroactively
+    *     dropped when a LATER arrival bridges two of its clusters — the
+    *     union of shard outputs can keep a doc the one-shot batch run
+    *     over everything would collapse.
     *   - `dedup_phash` → accumulated [[PerceptualHash.signatures]]
     *     (only the shard is ever decoded; the corpus contributes its
     *     8-byte signatures).
@@ -129,14 +133,22 @@ object CurationPipeline {
     * batch-dir convention).
     *
     * Idempotent under re-delivery: every state write is keyed
-    * `batch=<shardLabel>` (mode overwrite) and every prior-state read
-    * EXCLUDES the shard's own label (the
-    * [[graft.operators.Profiling.profileSink]] convention), so
-    * re-running a shard rewrites its own increments byte-identically.
-    * With ingest-ordered shard labels, the union of shard outputs
-    * equals the batch [[apply]] over the whole ingested corpus
-    * (parity asserted in CurationPipelineSpec; the LM step's fit-once
-    * scope is the documented exception).
+    * `batch=<shardLabel>` (mode overwrite) and every prior-state read is
+    * restricted to STRICTLY-EARLIER labels (the
+    * [[graft.operators.Profiling.profileSink]] convention, hardened for
+    * the signature indexes), so re-running a shard recomputes against
+    * the identical prior view and rewrites its own increments
+    * byte-identically. Parity contract (asserted in
+    * CurationPipelineSpec): each shard's output equals the batch
+    * [[apply]] over everything ingested up to and including that shard,
+    * restricted to the shard's docs. For the first-wins families
+    * (url/lines/exact) the union of shard outputs therefore equals the
+    * batch run over the whole corpus exactly; the near-dup families add
+    * the no-retroactive-drop asymmetry documented above, and the LM
+    * step's fit-once scope is the other documented divergence.
+    * Pipelines are fingerprinted into `stateDir/_pipeline` — editing
+    * the YAML against existing state fails loudly instead of silently
+    * re-bootstrapping position-keyed indexes.
     */
   def applyShard(
       shard: DataFrame, pipeline: Pipeline,
@@ -150,6 +162,30 @@ object CurationPipeline {
         "chunk changes the row grain and must be the final step")
       require(!s.isInstanceOf[Sink],
         "sink writes the release and must be the final step")
+    }
+    // State subdirectories are keyed by STEP POSITION: an edited pipeline
+    // (a step inserted, reordered, or re-parameterized) against existing
+    // state would silently re-bootstrap or misread standing indexes. The
+    // fingerprint makes that a loud error; change the pipeline by
+    // re-ingesting into a fresh stateDir.
+    val fingerprint = pipeline.steps.map(_.toString).mkString("\n")
+    val fpPath = new org.apache.hadoop.fs.Path(s"$stateDir/_pipeline")
+    val fpFs = fpPath.getFileSystem(shard.sparkSession.sessionState.newHadoopConf())
+    if (fpFs.exists(fpPath)) {
+      val in = fpFs.open(fpPath)
+      val existing = new String(in.readAllBytes(), "UTF-8")
+      in.close()
+      require(existing == fingerprint,
+        s"applyShard: pipeline differs from the one this state dir was built " +
+          s"with — state subdirectories are keyed by step position, so the " +
+          s"standing indexes no longer line up. Re-ingest into a fresh " +
+          s"stateDir to change the pipeline.\n  state dir: " +
+          s"${existing.linesIterator.mkString(" | ")}\n  this run:  " +
+          s"${fingerprint.linesIterator.mkString(" | ")}")
+    } else {
+      val out = fpFs.create(fpPath, true)
+      out.write(fingerprint.getBytes("UTF-8"))
+      out.close()
     }
     pipeline.steps.zipWithIndex.foldLeft(shard) { case (df, (step, i)) =>
       applyStepShard(df, step, i, stateDir, shardLabel, idCol, textCol, aux)
@@ -196,17 +232,27 @@ object CurationPipeline {
       aux: Map[String, DataFrame]): DataFrame = {
     val spark = df.sparkSession
     def stateSub(kind: String) = s"$stateDir/step$stepIdx=$kind"
-    // Prior-state view: batch=<id> dirs only (the lineDedupSink listing
-    // discipline), EXCLUDING this shard's own label so re-delivery
-    // recomputes against the identical prior and overwrites itself.
+    // Prior-state view: batch=<id> dirs with labels STRICTLY BEFORE this
+    // shard's (numeric compare when both labels are numeric). Excluding
+    // only the shard's own label would be enough for the first-wins
+    // families (their increments are key-disjoint across batches), but
+    // the signature indexes (minhash/phash) hold EVERY doc: a
+    // re-delivered batch that saw LATER batches' signatures would pair
+    // against the future and emit different output. Strictly-earlier
+    // labels give every delivery of a shard the identical prior view.
+    def labelBefore(a: String): Boolean =
+      (a.toLongOption, shardLabel.toLongOption) match {
+        case (Some(x), Some(y)) => x < y
+        case _ => a < shardLabel
+      }
     def priorBatches(dir: String): Seq[String] = {
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filter(st => labelBefore(st.getPath.getName.stripPrefix("batch=")))
         .map(_.getPath.toString)
-        .filterNot(_.endsWith(s"batch=$shardLabel"))
         .toSeq
     }
     def writeIncrement(dir: String, inc: DataFrame): Unit = {
@@ -702,6 +748,11 @@ object CurationPipeline {
         require(df.columns.contains(payloadCol),
           s"container_meta: no binary payload column '$payloadCol' on the frame " +
             s"(have: ${df.columns.mkString(", ")})")
+        // The YAML parser guards this too, but programmatic construction
+        // must fail with the same named error, not an empty.reduce crash.
+        require(formats.nonEmpty || maxDurMs.nonEmpty,
+          "container_meta needs formats and/or max_duration_ms — an " +
+            "unconstrained gate would keep everything")
         val meta = Multimodal.containerMeta(
           df.select(col(idCol).cast("long").as("media_id"),
             col(payloadCol).cast("binary").as("payload")))
@@ -833,24 +884,36 @@ object CurationPipeline {
           Packing.packTokenIdsFrom(stream, vocabBack, budgetTokens, buckets),
           s"$path/shards", targetShardBytes)
         val back = graft.sources.TokenShards.scanTokens(spark, s"$path/shards")
-        val stats = back.agg(count(lit(1)).as("s"), sum(col("n")).as("t")).head()
-        // Release-QA numbers (Packing.tokenizerStats, corpus-total):
-        // fertility + the OOV/UNK share of the released vocab — the
-        // go/no-go readings a consumer checks before scaling the run.
-        val qa = Packing.tokenizerStatsFromStream(
-          df.withColumn("__all", lit("*")), stream, vocabBack,
-          textCol, idCol, "__all").head()
+        // Release-QA numbers derived from the release AS READ BACK (the
+        // writeManifest contract), costing NO extra tokenization pass:
+        // n_tokens is the packed sequence mass and the OOV mass is
+        // exactly the reserved-id-0 tokens in the packed ids; words and
+        // bytes are one thin scan of the curated text (no subword
+        // segmentation). Ratios with a zero denominator publish as
+        // "undefined", never a silent 0.0.
+        val stats = back.agg(count(lit(1)).as("s"),
+          coalesce(sum(col("n")), lit(0L)).as("t"),
+          coalesce(sum(size(col("ids")) - size(array_remove(col("ids"), 0))), lit(0L))
+            .as("oov")).head()
+        val (nSeqs, nTokens, nOov) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        val textStats = df.agg(
+          coalesce(sum(size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+            .cast("long")), lit(0L)).as("w"),
+          coalesce(sum(octet_length(col(textCol)).cast("long")), lit(0L)).as("b")).head()
+        val (nWords, nBytes) = (textStats.getLong(0), textStats.getLong(1))
+        def ratio(num: Double, den: Double): String =
+          if (den == 0d) "undefined" else (math.rint(num / den * 1e4) / 1e4).toString
         writeManifest(s"$path/manifest", spark, Seq(
-          "kind" -> "sink_tokens", "n_seqs" -> stats.getLong(0).toString,
-          "n_tokens" -> stats.getLong(1).toString,
+          "kind" -> "sink_tokens", "n_seqs" -> nSeqs.toString,
+          "n_tokens" -> nTokens.toString,
           "vocab_rows" -> vocabBack.count().toString,
           "budget" -> budgetTokens.toString, "buckets" -> buckets.toString,
           // byte_level rides in the manifest because a merge table
           // learned in one mode MUST be applied in the same mode.
           "tokenizer" -> tokenizer, "byte_level" -> byteLevel.toString,
-          "tokens_per_word" -> qa.getAs[Double]("tokens_per_word").toString,
-          "tokens_per_kb" -> qa.getAs[Double]("tokens_per_kb").toString,
-          "oov_rate" -> qa.getAs[Double]("oov_rate").toString))
+          "tokens_per_word" -> ratio(nTokens.toDouble, nWords.toDouble),
+          "tokens_per_kb" -> ratio(nTokens * 1024.0, nBytes.toDouble),
+          "oov_rate" -> ratio(nOov.toDouble, nTokens.toDouble)))
         back
     }
 

@@ -130,9 +130,13 @@ object Decontaminate {
     // corpus id would silently be treated as a probe and its
     // contamination hits dropped; a negative probe id would remap INTO
     // the corpus range and could collide with a real corpus doc.
+    // coalesce in the message: a NULL id (e.g. a non-castable string id)
+    // must raise the SAME named error, not a message-less exception
+    // (concat with a null id would null the whole message).
     def nonNegative(c: org.apache.spark.sql.Column, what: String) =
       when(c >= 0, c).otherwise(raise_error(concat(
-        lit(s"matchesEmbedding: negative $what id "), c.cast("string"),
+        lit(s"matchesEmbedding: negative or null $what id "),
+        coalesce(c.cast("string"), lit("NULL")),
         lit(" — ids must be non-negative (the probe remap reserves the negative range)")))
         .cast("long"))
     val corpus = vectors.select(

@@ -45,14 +45,17 @@ object IncrScaleProbe {
     // Lined + url-decorated corpus: the shared header exercises the
     // corpus-wide hot line, per-copy salting keeps dup fractions
     // constant, urls collide only within a copy (~1/60 of rows).
-    def decorate(df: DataFrame, copyTag: Column): DataFrame = df
+    // `urlId` derives the url residues: for re-crawls it is the ORIGINAL
+    // doc id, so the url matches copy 0's byte-for-byte and the standing
+    // url index fires.
+    def decorate(df: DataFrame, copyTag: Column, urlId: Column): DataFrame = df
       .withColumn("text", concat_ws("\n",
         lit("shared boilerplate header line padded"),
         col("text"),
         substring(col("text"), 41, 40)))
       .withColumn("url", concat(
         lit("HTTPS://WWW.c"), copyTag,
-        lit("-s"), col("doc_id") % 97, lit(".co.uk/Page"), col("doc_id") % 23,
+        lit("-s"), urlId % 97, lit(".co.uk/Page"), urlId % 23,
         lit("?b=2&a=1")))
     def corpus(k: Int): DataFrame = decorate(
       (0 until k).map { i =>
@@ -61,7 +64,7 @@ object IncrScaleProbe {
           else regexp_replace(col("text"), "\\S+", "$0_" + i)
         base.select((col("doc_id") + lit(i * idStride)).as("doc_id"), salted.as("text"))
       }.reduce(_ unionByName _),
-      (col("doc_id") / idStride).cast("long")).cache()
+      (col("doc_id") / idStride).cast("long"), col("doc_id")).cache()
 
     val pipeline = CurationConfig.fromYaml(
       """steps:
@@ -88,17 +91,22 @@ object IncrScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         // The probe shard: half exact re-crawls of copy-0 docs (same
-        // text AND url — every standing index must fire), half fresh.
-        val shardBase = base.limit(5000)
-        val recrawl = shardBase.filter(col("doc_id") % 2 === 0)
-          .select((col("doc_id") + lit(bigCopies * 2L * idStride)).as("doc_id"),
-            col("text"))
-        val fresh = shardBase.filter(col("doc_id") % 2 === 1)
-          .select((col("doc_id") + lit((bigCopies * 2L + 1L) * idStride)).as("doc_id"),
+        // text AND url — every standing index must fire), half fresh
+        // (unique urls, salted text — must survive every index).
+        val shift = bigCopies * 2L * idStride
+        val recrawl = base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + lit(shift)).as("doc_id"), col("text"))
+        val fresh = base.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + lit(shift + idStride)).as("doc_id"),
             regexp_replace(col("text"), "\\S+", "$0_sh").as("text"))
-        // Re-crawls reuse copy 0's url tag so the url index fires too.
-        val shard = decorate(recrawl, lit(0L))
-          .unionByName(decorate(fresh, lit(bigCopies * 2L + 1L))).cache()
+        val shard = decorate(recrawl, lit(0L), col("doc_id") - lit(shift))
+          .unionByName(
+            decorate(fresh, lit(bigCopies * 2L + 1L), col("doc_id"))
+              // fully-unique fresh urls: the 'must survive' half must not
+              // self-collide on (mod 97, mod 23) residue pairs.
+              .withColumn("url",
+                concat(lit("https://fresh.example/p"), col("doc_id"))))
+          .cache()
         val sn = shard.count()
         val la0 = loadavg()
         val tIngest = time {
@@ -109,7 +117,11 @@ object IncrScaleProbe {
           CurationPipeline.apply(c.unionByName(shard), pipeline)
             .write.format("noop").mode("overwrite").save()
         }
-        println(f"[incr-scale] $label%-4s corpus=$n%8d shard=$sn%6d " +
+        // Workload sanity: the re-crawled half must drop via the standing
+        // indexes alone, the fresh half must survive (idempotent re-run
+        // of the same shard label — state unchanged).
+        val kept = CurationPipeline.applyShard(shard, pipeline, state, "1").count()
+        println(f"[incr-scale] $label%-4s corpus=$n%8d shard=$sn%6d kept=$kept%5d " +
           f"bootstrap=$tBoot%7.2fs ingest=$tIngest%6.2fs recurate=$tRecurate%7.2fs " +
           f"loadavg=$la0%.2f")
         c.unpersist(); shard.unpersist()

@@ -778,8 +778,26 @@ class CurationPipelineSpec extends SparkSpec {
       corpus.filter(col("doc_id") >= 30), p, state, "1")
     val got1 = key(s1) // materialize before any re-delivery overwrites state
     val batch = CurationPipeline.apply(corpus, p)
-    assert((got0 ++ got1).sorted == key(batch).sorted,
-      "shard-ingest union diverged from the batch pipeline")
+    // The parity CONTRACT: each shard's output equals the batch pipeline
+    // over everything ingested up to and including it, restricted to the
+    // shard's docs (near-dup steps never drop retroactively, so union
+    // parity is not promised in general — for first-wins-only pipelines
+    // it is, asserted below).
+    assert(got0.sorted ==
+      key(CurationPipeline.apply(corpus.filter(col("doc_id") < 30), p)).sorted,
+      "shard 0 diverged from the batch prefix")
+    assert(got1.sorted == key(batch.filter(col("doc_id") >= 30)).sorted,
+      "shard 1 diverged from the batch run restricted to its docs")
+    // For the first-wins families alone (url/lines/exact) the union of
+    // shard outputs IS the batch run over the whole corpus.
+    val p3 = CurationConfig.Pipeline(p.steps.take(3))
+    val state3 = java.nio.file.Files.createTempDirectory("cpincr3").toString + "/s"
+    val u0 = key(CurationPipeline.applyShard(
+      corpus.filter(col("doc_id") < 30), p3, state3, "0"))
+    val u1 = key(CurationPipeline.applyShard(
+      corpus.filter(col("doc_id") >= 30), p3, state3, "1"))
+    assert((u0 ++ u1).sorted == key(CurationPipeline.apply(corpus, p3)).sorted,
+      "first-wins shard-ingest union diverged from the batch pipeline")
     // Every stateful step discriminated on this fixture.
     def after(i: Int) =
       CurationPipeline.apply(corpus, CurationConfig.Pipeline(p.steps.take(i + 1)))
@@ -797,6 +815,22 @@ class CurationPipelineSpec extends SparkSpec {
       corpus.filter(col("doc_id") >= 30), p, state, "1")
     assert(key(again) == got1, "re-delivered shard changed its output")
     assert(snap(spark.read.parquet(s"$state/step3=minhash_index")) == idxBefore)
+    // Re-delivery of an EARLIER shard after later ones have ingested:
+    // the prior view is restricted to strictly-earlier labels, so shard
+    // 0 must NOT see shard 1's signatures and must reproduce its
+    // original output exactly.
+    val again0 = CurationPipeline.applyShard(
+      corpus.filter(col("doc_id") < 30), p, state, "0")
+    assert(key(again0) == got0,
+      "re-delivered first shard saw later batches' state")
+    // An edited pipeline against existing state fails loudly (state
+    // subdirs are keyed by step position).
+    val edited = CurationConfig.Pipeline(
+      CurationConfig.Clean +: p.steps)
+    val drift = intercept[IllegalArgumentException](
+      CurationPipeline.applyShard(
+        corpus.filter(col("doc_id") < 30), edited, state, "2"))
+    assert(drift.getMessage.contains("pipeline differs"), drift.getMessage)
   }
 
   test("applyShard: LM fits once and serves later shards; sink writes shard= dirs; corpus-global steps refused") {
@@ -834,10 +868,12 @@ class CurationPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(rel).count() ==
       CurationPipeline.fromYamlShard(shard1, yaml, state, "1").count() +
         spark.read.parquet(s"$rel/shard=0").count())
-    // Corpus-global steps are refused loudly in shard mode.
+    // Corpus-global steps are refused loudly in shard mode (fresh state
+    // dir — the pipeline fingerprint would otherwise fire first).
     val refused = intercept[IllegalArgumentException](
       CurationPipeline.fromYamlShard(shard0,
-        "steps:\n  - quota: { quotas: { en: 10 } }\n", state, "9"))
+        "steps:\n  - quota: { quotas: { en: 10 } }\n",
+        java.nio.file.Files.createTempDirectory("cpref").toString + "/s", "9"))
     assert(refused.getMessage.contains("shard-ingest"), refused.getMessage)
   }
 
