@@ -192,6 +192,34 @@ object CurationPipeline {
     }
   }
 
+  /** Offline compaction for an [[applyShard]] state directory: fold each
+    * stateful step's accumulated `batch=<id>` increments into ONE
+    * `batch=c<maxId>` dir — the small-files maintenance a long-lived
+    * ingest needs (one tiny parquet dir per shard per step, times
+    * thousands of shards, means thousands of listings on every
+    * prior-state read). Every step family's increments union cleanly:
+    * the first-wins indexes (url/lines/exact) are key-disjoint across
+    * batches by construction and the signature indexes (minhash/phash)
+    * are per-doc unions. The LM dir is a single fit (nothing to fold)
+    * and the `_pipeline` fingerprint stays in place. Same offline
+    * contract and crash-safe commit protocol as
+    * [[StateCompaction.compactBatchDir]] — stop the ingest cleanly
+    * first. Prior-state reads order the compacted dir as `maxId`, so a
+    * resumed ingest keeps deduping against it.
+    */
+  def compactShardState(spark: SparkSession, stateDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"compactShardState: no such dir $stateDir")
+    val stepDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("step\\d+=.*"))
+    require(stepDirs.nonEmpty,
+      s"compactShardState: $stateDir holds no step<i>=<kind> state subdirectories")
+    stepDirs
+      .filterNot(_.getPath.getName.endsWith("=lm")) // fit-once: no batches
+      .foreach(st => StateCompaction.compactBatchDir(spark, st.getPath.toString))
+  }
+
   /** STREAMING ingest for the whole curation language — the
     * foreachBatch sink: each micro-batch is one crawl shard curated by
     * [[applyShard]] against the standing state (shard label = the
@@ -240,8 +268,13 @@ object CurationPipeline {
     // re-delivered batch that saw LATER batches' signatures would pair
     // against the future and emit different output. Strictly-earlier
     // labels give every delivery of a shard the identical prior view.
+    // A compacted dir is `batch=c<maxId>` (the compactLineIndexDir
+    // convention): it folds batches 0..maxId, so it compares as maxId —
+    // any live shard label must be strictly greater.
+    def labelOrd(l: String): Option[Long] =
+      (if (l.startsWith("c")) l.drop(1) else l).toLongOption
     def labelBefore(a: String): Boolean =
-      (a.toLongOption, shardLabel.toLongOption) match {
+      (labelOrd(a), labelOrd(shardLabel)) match {
         case (Some(x), Some(y)) => x < y
         case _ => a < shardLabel
       }

@@ -1635,63 +1635,14 @@ object Dedup {
     * twice). The compacted dir is `batch=c<maxId>` — the `c` prefix
     * stays disjoint from every numeric batchId a resumed stream writes.
     *
-    * Crash-safe via a commit marker: (A) write the union to
-    * `_compact_tmp`; (B) write `_compact_commit` naming the target dir
-    * and the folded batch dirs — the point of no return; (C) delete the
-    * folded dirs, rename the tmp into place, drop the marker. A crash
-    * before (B) leaves a tmp whose rows all still live in the batch
-    * dirs (safe to discard); a crash during (C) leaves the marker, and
-    * the next run RESUMES (C) — without the marker, a rerun's
-    * discard-the-tmp recovery would destroy the only complete copy of
-    * any batch dirs already deleted.
+    * Crash-safe via [[StateCompaction.compactBatchDir]]'s commit-marker
+    * protocol — a crash at any point (including mid-delete, when the
+    * tmp is the only complete copy of already-deleted batch dirs)
+    * resumes losslessly on the next run.
     */
-  def compactLineIndexDir(spark: SparkSession, indexDir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(root), s"compactLineIndexDir: no such dir $indexDir")
-    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
-    val marker = new org.apache.hadoop.fs.Path(root, "_compact_commit")
-    if (fs.exists(marker)) {
-      // Resume a compaction that crashed after its commit point: finish
-      // deleting the folded dirs and publish the (complete) tmp.
-      val in = fs.open(marker)
-      val lines = new String(in.readAllBytes(), "UTF-8").split("\n")
-      in.close()
-      val target = new org.apache.hadoop.fs.Path(root, lines.head)
-      lines.tail.foreach { name =>
-        val p = new org.apache.hadoop.fs.Path(root, name)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      if (fs.exists(tmp))
-        require(fs.rename(tmp, target),
-          s"compactLineIndexDir: resume-rename of compacted output failed in $indexDir")
-      fs.delete(marker, false)
-    } else if (fs.exists(tmp)) {
-      // Pre-commit crash: the tmp's rows all still live in the batch
-      // dirs — discard and recompact from scratch.
-      fs.delete(tmp, true)
-    }
-    val batchDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    require(batchDirs.nonEmpty,
-      s"compactLineIndexDir: $indexDir holds no batch=<id> subdirectories")
-    if (batchDirs.length < 2) return // nothing to fold
-    val merged = spark.read
-      .parquet(batchDirs.map(_.getPath.toString).toIndexedSeq: _*)
-      .select("line", "first_doc", "first_line")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val maxId = batchDirs.map(_.getPath.getName.stripPrefix("batch=")
-      .dropWhile(_ == 'c').toLong).max
-    val target = s"batch=c$maxId"
-    val out = fs.create(marker, true)
-    out.write((target +: batchDirs.map(_.getPath.getName).toSeq)
-      .mkString("\n").getBytes("UTF-8"))
-    out.close()
-    batchDirs.foreach(st => fs.delete(st.getPath, true))
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, target)),
-      s"compactLineIndexDir: rename of compacted output failed in $indexDir")
-    fs.delete(marker, false)
-  }
+  def compactLineIndexDir(spark: SparkSession, indexDir: String): Unit =
+    StateCompaction.compactBatchDir(
+      spark, indexDir, select = Seq("line", "first_doc", "first_line"))
 
   /** Incremental [[dedupLines]]: rewrite an incoming shard against the
     * standing [[lineIndex]] — the corpus is never re-exploded. A shard

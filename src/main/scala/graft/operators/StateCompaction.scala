@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Crash-safe folding of accumulated `batch=<id>` parquet increments
+  * into ONE `batch=c<maxId>` dir — the small-files maintenance every
+  * batch-keyed standing layout needs (a long-lived ingest writes one
+  * tiny parquet dir per shard per stateful step; thousands of shards
+  * mean thousands of listings on every prior-state read). Plain UNION
+  * fold: callers guarantee union semantics (the first-wins indexes are
+  * key-disjoint across batches by construction; the signature indexes
+  * are per-doc unions). The `c` prefix keeps the compacted dir's label
+  * ordered as `maxId`, so strictly-earlier prior reads and resumed
+  * numeric batch ids stay correct.
+  *
+  * Offline contract: stop the writing stream/ingest CLEANLY first — a
+  * re-delivered uncommitted batch would rewrite its own dir after its
+  * rows were folded, and self-excluding readers would then see those
+  * rows twice.
+  *
+  * Commit protocol (crash-safe at every point): (A) write the union to
+  * `_compact_tmp`; (B) write `_compact_commit` naming the target dir
+  * and the folded batch dirs — the point of no return; (C) delete the
+  * folded dirs, rename the tmp into place, drop the marker. A crash
+  * before (B) leaves a tmp whose rows all still live in the batch dirs
+  * (discarded on the next run); a crash during (C) leaves the marker
+  * and the next run RESUMES (C) — the tmp is the complete fold.
+  */
+object StateCompaction {
+
+  /** Fold `dir`'s `batch=<id>` subdirectories into `batch=c<maxId>`.
+    * `select` optionally projects the folded columns (Nil = full
+    * schema); `numFiles` sizes the rewrite (1 suits thin index rows).
+    */
+  def compactBatchDir(
+      spark: SparkSession,
+      dir: String,
+      select: Seq[String] = Nil,
+      numFiles: Int = 1
+  ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"compactBatchDir: no such dir $dir")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    val marker = new org.apache.hadoop.fs.Path(root, "_compact_commit")
+    if (fs.exists(marker)) {
+      // Resume a compaction that crashed after its commit point.
+      val in = fs.open(marker)
+      val lines = new String(in.readAllBytes(), "UTF-8").split("\n")
+      in.close()
+      val target = new org.apache.hadoop.fs.Path(root, lines.head)
+      lines.tail.foreach { name =>
+        val p = new org.apache.hadoop.fs.Path(root, name)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      if (fs.exists(tmp))
+        require(fs.rename(tmp, target),
+          s"compactBatchDir: resume-rename of compacted output failed in $dir")
+      fs.delete(marker, false)
+    } else if (fs.exists(tmp)) {
+      // Pre-commit crash: the tmp's rows all still live in the batch
+      // dirs — discard and recompact from scratch.
+      fs.delete(tmp, true)
+    }
+    val batchDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    require(batchDirs.nonEmpty,
+      s"compactBatchDir: $dir holds no batch=<id> subdirectories")
+    if (batchDirs.length < 2) return // nothing to fold
+    val all = spark.read
+      .parquet(batchDirs.map(_.getPath.toString).toIndexedSeq: _*)
+    val merged = if (select.isEmpty) all else all.select(select.head, select.tail: _*)
+    merged.coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
+    val maxId = batchDirs.map(_.getPath.getName.stripPrefix("batch=")
+      .dropWhile(_ == 'c').toLong).max
+    val target = s"batch=c$maxId"
+    val out = fs.create(marker, true)
+    out.write((target +: batchDirs.map(_.getPath.getName).toSeq)
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    batchDirs.foreach(st => fs.delete(st.getPath, true))
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, target)),
+      s"compactBatchDir: rename of compacted output failed in $dir")
+    fs.delete(marker, false)
+  }
+}

@@ -905,6 +905,58 @@ class CurationPipelineSpec extends SparkSpec {
     assert(refused.getMessage.contains("terminal release write"), refused.getMessage)
   }
 
+  test("compactShardState folds state increments; ingest continues against the compacted dirs") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val p = CurationConfig.fromYaml(ingestYaml)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      snap(df.select("doc_id", "lang", "text", "url"))
+    val s1 = java.nio.file.Files.createTempDirectory("cpcomp1").toString + "/s"
+    val s2 = java.nio.file.Files.createTempDirectory("cpcomp2").toString + "/s"
+    val b0 = corpus.filter(col("doc_id") < 20)
+    val b1 = corpus.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+    val b2 = corpus.filter(col("doc_id") >= 40)
+    // Uncompacted reference run.
+    Seq(b0 -> "0", b1 -> "1").foreach { case (b, l) =>
+      CurationPipeline.applyShard(b, p, s1, l).count() }
+    val want = key(CurationPipeline.applyShard(b2, p, s1, "2"))
+    // Compacted run: fold after two shards, then ingest the third.
+    Seq(b0 -> "0", b1 -> "1").foreach { case (b, l) =>
+      CurationPipeline.applyShard(b, p, s2, l).count() }
+    CurationPipeline.compactShardState(spark, s2)
+    // Each stateful step's batches folded to one batch=c1 dir.
+    val urlDirs = new java.io.File(s"$s2/step0=url_index").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(urlDirs == Seq("batch=c1"), s"unexpected layout: $urlDirs")
+    assert(key(CurationPipeline.applyShard(b2, p, s2, "2")) == want,
+      "ingest against compacted state diverged from the uncompacted run")
+  }
+
+  test("compactBatchDir resumes a compaction that crashed mid-commit without data loss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cpresume").toString + "/idx"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/batch=0")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/batch=1")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/batch=2")
+    val all = snap(spark.read.parquet(dir).select("id", "v"))
+    // Simulate the crash window: the tmp and commit marker are written,
+    // batch=0 is already deleted — the tmp is the ONLY complete copy.
+    spark.read.parquet(dir).write.parquet(s"$dir/_compact_tmp")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_compact_commit"),
+      "batch=c2\nbatch=0\nbatch=1\nbatch=2".getBytes("UTF-8"))
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/batch=0"))
+    graft.operators.StateCompaction.compactBatchDir(spark, dir)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq("batch=c2"), s"unexpected layout after resume: $dirs")
+    assert(snap(spark.read.parquet(dir).select("id", "v")).sorted == all.sorted,
+      "resumed compaction lost rows")
+    assert(!new java.io.File(s"$dir/_compact_commit").exists())
+    assert(!new java.io.File(s"$dir/_compact_tmp").exists())
+  }
+
   test("applyShard: dedup_phash ingests against the persisted signature index") {
     import spark.implicits._
     // dHash family fixture (families of 5 single-bit-flip variants);
