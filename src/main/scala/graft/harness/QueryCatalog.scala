@@ -3158,6 +3158,47 @@ object QueryCatalog {
               |WHERE doc_id IN (SELECT MIN(doc_id) FROM fam GROUP BY f)
               |ORDER BY doc_id""".stripMargin)),
 
+    // The shard-ingest release with MID-INGEST STATE COMPACTION: three
+    // ingest-ordered shards, the accumulated state folded to one
+    // batch=c<id> dir per step between shards 2 and 3
+    // (CurationPipeline.compactShardState — the small-files maintenance
+    // a long-lived ingest runs) — and the result must still equal the
+    // SAME composed oracle: compaction is pure layout, never semantics.
+    // LM fit scope stays shard 0 (doc_id < 250), matching the oracle.
+    Q("curation_release_incr_compact", (s, dir) => {
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val state = s"/tmp/graft_incr_comp_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - perplexity: { max_ppl: 150, vocab: 20 }
+          |""".stripMargin)
+      val s0 = CurationPipeline.applyShard(
+          lined.filter(col("doc_id") < 250), p, state, "0")
+        .select("doc_id", "lang", "text")
+      val s1 = CurationPipeline.applyShard(
+          lined.filter(col("doc_id") >= 250 && col("doc_id") < 375), p, state, "1")
+        .select("doc_id", "lang", "text")
+      // Force the shard frames before compaction rewrites the state
+      // layout their lazy plans list files from.
+      val got01 = graft.plans.Materialize(s0.unionByName(s1))
+      CurationPipeline.compactShardState(s, state)
+      val s2 = CurationPipeline.applyShard(
+          lined.filter(col("doc_id") >= 375), p, state, "2")
+        .select("doc_id", "lang", "text")
+      got01.unionByName(s2).orderBy("doc_id")
+    }, Some(incrReleaseOracle)),
+
     // The STREAMING face of the shard-ingest release: the SAME YAML
     // runs as a foreachBatch sink (CurationPipeline.curationSink), each
     // micro-batch curated against the standing state and appended as
