@@ -3189,9 +3189,12 @@ object QueryCatalog {
       val s1 = CurationPipeline.applyShard(
           lined.filter(col("doc_id") >= 250 && col("doc_id") < 375), p, state, "1")
         .select("doc_id", "lang", "text")
-      // Force the shard frames before compaction rewrites the state
-      // layout their lazy plans list files from.
-      val got01 = graft.plans.Materialize(s0.unionByName(s1))
+      // TRULY force the shard frames before compaction rewrites the
+      // state layout their lazy plans list files from: a parquet
+      // round-trip, not a Materialize (localCheckpoint is lazy by
+      // default and a no-op under spark.graft.checkpoint=off).
+      s0.unionByName(s1).write.mode("overwrite").parquet(s"$state/_gate_release")
+      val got01 = s.read.parquet(s"$state/_gate_release")
       CurationPipeline.compactShardState(s, state)
       val s2 = CurationPipeline.applyShard(
           lined.filter(col("doc_id") >= 375), p, state, "2")

@@ -155,8 +155,10 @@ object CurationPipeline {
       stateDir: String, shardLabel: String,
       idCol: String = "doc_id", textCol: String = "text",
       aux: Map[String, DataFrame] = Map.empty): DataFrame = {
-    require(shardLabel.nonEmpty && shardLabel.matches("[A-Za-z0-9_.-]+"),
-      s"applyShard: shardLabel '$shardLabel' must be a plain token (it names batch= dirs)")
+    require(shardLabel.matches("[0-9]+"),
+      s"applyShard: shardLabel '$shardLabel' must be numeric — labels ORDER " +
+        "the prior-state view (strictly-earlier batches), and compacted " +
+        "dirs reserve the c prefix; use the ingest sequence number")
     pipeline.steps.dropRight(1).foreach { s =>
       require(!s.isInstanceOf[Chunk],
         "chunk changes the row grain and must be the final step")
@@ -268,25 +270,31 @@ object CurationPipeline {
     // re-delivered batch that saw LATER batches' signatures would pair
     // against the future and emit different output. Strictly-earlier
     // labels give every delivery of a shard the identical prior view.
-    // A compacted dir is `batch=c<maxId>` (the compactLineIndexDir
-    // convention): it folds batches 0..maxId, so it compares as maxId —
-    // any live shard label must be strictly greater.
-    def labelOrd(l: String): Option[Long] =
-      (if (l.startsWith("c")) l.drop(1) else l).toLongOption
+    // A compacted dir is `batch=c<maxId>` (the StateCompaction
+    // convention): it folds batches up to maxId, so it compares as
+    // maxId — any live shard label must be strictly greater. Labels are
+    // numeric (enforced at applyShard entry); a foreign dir fails loud.
     def labelBefore(a: String): Boolean =
-      (labelOrd(a), labelOrd(shardLabel)) match {
-        case (Some(x), Some(y)) => x < y
-        case _ => a < shardLabel
-      }
+      StateCompaction.labelOrd(a, "applyShard") < shardLabel.toLong
     def priorBatches(dir: String): Seq[String] = {
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .filter(st => labelBefore(st.getPath.getName.stripPrefix("batch=")))
-        .map(_.getPath.toString)
-        .toSeq
+      else {
+        // A half-finished compaction (commit marker present) means some
+        // batch dirs are already deleted and the only complete fold sits
+        // in _compact_tmp: reading the survivors would silently drop
+        // standing keys. Refuse; resuming the compaction repairs it.
+        require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")),
+          s"applyShard: $dir holds an unfinished compaction " +
+            "(_compact_commit present) — re-run compactShardState to resume " +
+            "it before ingesting")
+        fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .filter(st => labelBefore(st.getPath.getName.stripPrefix("batch=")))
+          .map(_.getPath.toString)
+          .toSeq
+      }
     }
     def writeIncrement(dir: String, inc: DataFrame): Unit = {
       inc.write.mode("overwrite").parquet(s"$dir/batch=$shardLabel")

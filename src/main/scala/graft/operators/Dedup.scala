@@ -1590,16 +1590,25 @@ object Dedup {
     val spark = batch.sparkSession
     val idxRoot = new org.apache.hadoop.fs.Path(s"$standingDir/index")
     val fs = idxRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    // Only batch=<id> dirs are index increments: a crashed compaction
-    // can leave a stale _compact_tmp beside them, and reading it WITH
-    // the batch dirs it was folded from would duplicate every index row
-    // (the line join then fans out occurrences downstream).
+    // Only batch=<id> dirs are index increments: a PRE-commit crashed
+    // compaction can leave a stale _compact_tmp beside them, and reading
+    // it WITH the batch dirs it was folded from would duplicate every
+    // index row (the line join then fans out occurrences downstream). A
+    // POST-commit crash (_compact_commit present) is worse — some batch
+    // dirs are already deleted and only the tmp is complete — so refuse
+    // until the compaction is resumed.
     val priorDirs =
       if (!fs.exists(idxRoot)) Array.empty[String]
-      else fs.listStatus(idxRoot)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(_.getPath.toString)
-        .filterNot(_.endsWith(s"batch=$batchId"))
+      else {
+        require(!fs.exists(new org.apache.hadoop.fs.Path(idxRoot, "_compact_commit")),
+          s"lineDedupSink: $idxRoot holds an unfinished compaction " +
+            "(_compact_commit present) — re-run compactLineIndexDir to resume " +
+            "it before ingesting")
+        fs.listStatus(idxRoot)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .map(_.getPath.toString)
+          .filterNot(_.endsWith(s"batch=$batchId"))
+      }
     val prior =
       if (priorDirs.isEmpty)
         spark.createDataFrame(

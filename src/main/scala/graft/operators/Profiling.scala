@@ -372,6 +372,13 @@ object Profiling {
               "layout; mixing them with batch=<id> subdirs corrupts the fold. " +
               "Migrate first: move the legacy profile into its own batch=legacy " +
               "subdirectory (it is a valid shardProfile frame) or start a fresh dir.")
+          // A post-commit crashed compaction leaves the only complete
+          // fold in _compact_tmp with some batch dirs deleted — readers
+          // of the standing dir would silently lose profile mass.
+          require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_compact_commit")),
+            s"profileSink: $standingDir holds an unfinished compaction " +
+              "(_compact_commit present) — re-run compactProfileDir to resume " +
+              "it before appending batches.")
         }
       }
       shardProfile(batch, cols, lgK)
@@ -396,26 +403,14 @@ object Profiling {
     * `batch=c<maxId>` — the `c` prefix keeps it disjoint from every
     * numeric batchId a resumed stream can produce.
     */
-  def compactProfileDir(spark: SparkSession, standingDir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(standingDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(root), s"compactProfileDir: no such dir $standingDir")
-    val batchDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    require(batchDirs.nonEmpty,
-      s"compactProfileDir: $standingDir holds no batch=<id> subdirectories")
-    if (batchDirs.length < 2) return // nothing to fold
-    val merged = mergeShardProfiles(spark.read.parquet(standingDir).drop("batch"))
-    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    // Tag = numeric max over ids and prior compact tags, so repeated
-    // compactions stay unique and never collide with future batchIds.
-    val maxId = batchDirs.map(_.getPath.getName.stripPrefix("batch=")
-      .dropWhile(_ == 'c').toLong).max
-    batchDirs.foreach(st => fs.delete(st.getPath, true))
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=c$maxId")),
-      s"compactProfileDir: rename of compacted output failed in $standingDir")
-  }
+  def compactProfileDir(spark: SparkSession, standingDir: String): Unit =
+    // Crash-safe via StateCompaction's commit-marker protocol (the fold
+    // here is the profile MERGE algebra, not a plain union — shard
+    // sketches combine by adding counts). Explicit leaf-dir reads carry
+    // no inferred batch partition column; the defensive drop keeps the
+    // fold correct either way.
+    StateCompaction.compactBatchDir(spark, standingDir,
+      rewrite = df => mergeShardProfiles(df.drop("batch")))
 
   /** Mergeable quantile sketch over log-scaled buckets (the DDSketch
     * scheme — Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable

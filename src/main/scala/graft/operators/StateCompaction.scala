@@ -28,14 +28,28 @@ import org.apache.spark.sql.SparkSession
   */
 object StateCompaction {
 
+  /** Ordinal of a batch label: numeric, with compacted dirs (`c<id>`)
+    * ordered as the id they folded up to. Anything else is a foreign
+    * dir — fail loudly rather than mis-order the standing state.
+    */
+  def labelOrd(label: String, where: String): Long =
+    (if (label.startsWith("c")) label.drop(1) else label).toLongOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$where: unrecognized batch dir 'batch=$label' — batch labels must " +
+          "be numeric (compacted dirs carry a single c prefix)"))
+
   /** Fold `dir`'s `batch=<id>` subdirectories into `batch=c<maxId>`.
     * `select` optionally projects the folded columns (Nil = full
-    * schema); `numFiles` sizes the rewrite (1 suits thin index rows).
+    * schema); `rewrite` post-processes the union (identity for the
+    * disjoint index layouts; an algebra fold for mergeable sketches);
+    * `numFiles` sizes the rewrite (1 suits thin index rows).
     */
   def compactBatchDir(
       spark: SparkSession,
       dir: String,
       select: Seq[String] = Nil,
+      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity,
       numFiles: Int = 1
   ): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -44,18 +58,25 @@ object StateCompaction {
     val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
     val marker = new org.apache.hadoop.fs.Path(root, "_compact_commit")
     if (fs.exists(marker)) {
-      // Resume a compaction that crashed after its commit point.
+      // Resume a compaction that crashed after its commit point. The
+      // target name can ITSELF be in the folded list (re-compacting
+      // {batch=c5, batch=3} targets batch=c5 again): never delete the
+      // target here — if the tmp is still present, a same-name survivor
+      // is the STALE pre-fold dir and is replaced just before the
+      // rename; if the tmp is gone, the target is already published.
       val in = fs.open(marker)
       val lines = new String(in.readAllBytes(), "UTF-8").split("\n")
       in.close()
       val target = new org.apache.hadoop.fs.Path(root, lines.head)
-      lines.tail.foreach { name =>
+      lines.tail.filterNot(_ == lines.head).foreach { name =>
         val p = new org.apache.hadoop.fs.Path(root, name)
         if (fs.exists(p)) fs.delete(p, true)
       }
-      if (fs.exists(tmp))
+      if (fs.exists(tmp)) {
+        if (fs.exists(target)) fs.delete(target, true) // stale pre-fold dir
         require(fs.rename(tmp, target),
           s"compactBatchDir: resume-rename of compacted output failed in $dir")
+      }
       fs.delete(marker, false)
     } else if (fs.exists(tmp)) {
       // Pre-commit crash: the tmp's rows all still live in the batch
@@ -67,12 +88,14 @@ object StateCompaction {
     require(batchDirs.nonEmpty,
       s"compactBatchDir: $dir holds no batch=<id> subdirectories")
     if (batchDirs.length < 2) return // nothing to fold
+    // Validate every label BEFORE any work — a foreign dir must refuse
+    // the whole fold, not die mid-protocol.
+    val maxId = batchDirs.map(st => labelOrd(
+      st.getPath.getName.stripPrefix("batch="), "compactBatchDir")).max
     val all = spark.read
       .parquet(batchDirs.map(_.getPath.toString).toIndexedSeq: _*)
-    val merged = if (select.isEmpty) all else all.select(select.head, select.tail: _*)
-    merged.coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
-    val maxId = batchDirs.map(_.getPath.getName.stripPrefix("batch=")
-      .dropWhile(_ == 'c').toLong).max
+    val projected = if (select.isEmpty) all else all.select(select.head, select.tail: _*)
+    rewrite(projected).coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
     val target = s"batch=c$maxId"
     val out = fs.create(marker, true)
     out.write((target +: batchDirs.map(_.getPath.getName).toSeq)

@@ -929,6 +929,22 @@ class CurationPipelineSpec extends SparkSpec {
     assert(urlDirs == Seq("batch=c1"), s"unexpected layout: $urlDirs")
     assert(key(CurationPipeline.applyShard(b2, p, s2, "2")) == want,
       "ingest against compacted state diverged from the uncompacted run")
+    // A half-finished compaction (commit marker present) must refuse
+    // ingest loudly — surviving batch dirs alone are NOT the state.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$s2/step0=url_index", "_compact_commit"),
+      "batch=c2\nbatch=c1\nbatch=2".getBytes("UTF-8"))
+    val blocked = intercept[IllegalArgumentException](
+      CurationPipeline.applyShard(corpus.filter(col("doc_id") >= 60), p, s2, "3")
+        .count())
+    assert(blocked.getMessage.contains("unfinished compaction"), blocked.getMessage)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$s2/step0=url_index", "_compact_commit"))
+    // Non-numeric shard labels are refused (they cannot order the
+    // prior-state view and would collide with the c prefix).
+    val badLabel = intercept[IllegalArgumentException](
+      CurationPipeline.applyShard(b0, p, s2, "crawlA"))
+    assert(badLabel.getMessage.contains("numeric"), badLabel.getMessage)
   }
 
   test("compactBatchDir resumes a compaction that crashed mid-commit without data loss") {
@@ -955,6 +971,24 @@ class CurationPipelineSpec extends SparkSpec {
       "resumed compaction lost rows")
     assert(!new java.io.File(s"$dir/_compact_commit").exists())
     assert(!new java.io.File(s"$dir/_compact_tmp").exists())
+    // Re-compaction where the TARGET name is itself a folded dir
+    // ({batch=c2, batch=1} → target batch=c2 again): a crash after the
+    // commit point must not let the resume destroy the published fold —
+    // the stale same-name pre-fold dir is replaced, never the tmp's
+    // contents lost.
+    val dir2 = java.nio.file.Files.createTempDirectory("cpresume2").toString + "/idx"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir2/batch=c2")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir2/batch=1")
+    val all2 = snap(spark.read.parquet(dir2).select("id", "v"))
+    spark.read.parquet(dir2).select("id", "v").write.parquet(s"$dir2/_compact_tmp")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "_compact_commit"),
+      "batch=c2\nbatch=c2\nbatch=1".getBytes("UTF-8"))
+    rmrf(new java.io.File(s"$dir2/batch=1")) // crash mid-delete, stale c2 remains
+    graft.operators.StateCompaction.compactBatchDir(spark, dir2)
+    assert(new java.io.File(dir2).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=c2"))
+    assert(snap(spark.read.parquet(dir2).select("id", "v")).sorted == all2.sorted,
+      "same-name resume lost rows")
   }
 
   test("applyShard: dedup_phash ingests against the persisted signature index") {
