@@ -3676,7 +3676,9 @@ object QueryCatalog {
         docs(s, dir).select(col("doc_id"),
           col("text").cast("binary").as("t"), col("lang").cast("binary").as("l")),
         out, shards = 4, keyCol = "doc_id", members = Seq("txt" -> "t", "cls" -> "l"))
-      val m = graft.sources.WebDataset.scanTar(s, out)
+      // Verified read: the gate exercises the _SUCCESS job-commit marker
+      // path a training loader should use (refuses partial releases).
+      val m = graft.sources.WebDataset.scanTar(s, out, requireSuccess = true)
       graft.sources.WebDataset.samples(m, Seq("txt", "cls"))
         .select(
           regexp_extract(col("shard"), "(\\d+)$", 1).cast("long").as("shard"),
