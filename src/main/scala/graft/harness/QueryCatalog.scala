@@ -3158,6 +3158,33 @@ object QueryCatalog {
               |WHERE doc_id IN (SELECT MIN(doc_id) FROM fam GROUP BY f)
               |ORDER BY doc_id""".stripMargin)),
 
+    // The remaining shard-ingest dedup families composed end-to-end:
+    // url_dedup → substring_remove (standing window-count index, shard
+    // docs REWRITTEN, corpus never re-tokenized) → dedup_simhash
+    // (persisted signature index) → dedup_exact (first-arrival hash
+    // keys). xxhash-seeded signatures have no SQL form → golden;
+    // per-shard restricted parity is spec-asserted in
+    // CurationPipelineSpec.
+    Q("curation_release_incr_more", (s, dir) => {
+      val withUrl = docsWithUrl(s, dir)
+      val state = s"/tmp/graft_incr_more_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - substring_remove: { k: 5 }
+          |  - dedup_simhash: { max_hamming: 3 }
+          |  - dedup_exact: {}
+          |""".stripMargin)
+      val s0 = CurationPipeline.applyShard(
+          withUrl.filter(col("doc_id") < 250), p, state, "0")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars_kept"))
+      val s1 = CurationPipeline.applyShard(
+          withUrl.filter(col("doc_id") >= 250), p, state, "1")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars_kept"))
+      s0.unionByName(s1).orderBy("doc_id")
+    }, None),
+
     // The shard-ingest release with MID-INGEST STATE COMPACTION: three
     // ingest-ordered shards, the accumulated state folded to one
     // batch=c<id> dir per step between shards 2 and 3

@@ -112,6 +112,14 @@ object CurationPipeline {
     *     dropped when a LATER arrival bridges two of its clusters — the
     *     union of shard outputs can keep a doc the one-shot batch run
     *     over everything would collapse.
+    *   - `dedup_simhash` → accumulated [[Dedup.simhashIndex]]
+    *     signatures, same component semantics (and the same
+    *     no-retroactive-drop asymmetry) as minhash.
+    *   - `substring_remove` → the standing [[Dedup.substringIndex]]
+    *     window counts (additive across batches); shard docs are
+    *     rewritten by [[Dedup.removeDuplicateSpansIncremental]], the
+    *     corpus never re-tokenized — an already-released doc is not
+    *     re-cut when the shard supplies a window's second occurrence.
     *   - `dedup_phash` → accumulated [[PerceptualHash.signatures]]
     *     (only the shard is ever decoded; the corpus contributes its
     *     8-byte signatures).
@@ -125,10 +133,11 @@ object CurationPipeline {
     * repetition/compress, probe- and model-table steps, split/shuffle/
     * chunk) apply exactly as in [[apply]]. Corpus-level mixing and
     * sampling steps (quota/temperature/token_budget/upsample/unimax/
-    * dsir/weighted/diverse/rank) and the remaining near-dup families
-    * (simhash/semantic/substring) are REFUSED: their semantics are
-    * corpus-global and belong to a release compaction run over the
-    * standing corpus, not a shard ingest. A terminal `sink` writes the
+    * dsir/weighted/diverse/rank) and the embedding-table near-dup
+    * family (dedup_semantic — its IVF fit is over the LIVE corpus) are
+    * REFUSED: their semantics are corpus-global and belong to a release
+    * compaction run over the standing corpus, not a shard ingest. A
+    * terminal `sink` writes the
     * shard's release slice to `path/shard=<label>` (the tarSink
     * batch-dir convention).
     *
@@ -384,6 +393,38 @@ object CurationPipeline {
           .select(asIdType(col("doc_id")))
         df.join(drop, Seq(idCol), "left_anti")
 
+      case DedupSimhash(maxHamming, maxBucket) =>
+        val dir = stateSub("simhash_index")
+        val prior = priorBatches(dir)
+        // Same index discipline as minhash: every doc reaching the step
+        // contributes its signature (kept or dropped — it still carries
+        // edges in the union graph).
+        writeIncrement(dir, Dedup.simhashIndex(df, textCol, idCol))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*)
+        val pairs = Dedup.simhashIncremental(
+          df, index, maxHamming, maxBucket, textCol, idCol)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
+      case SubstringRemove(k) =>
+        val dir = stateSub("substring_index")
+        val prior = priorBatches(dir)
+        // Window COUNTS are additive across batches, and the incremental
+        // span test fires on (shard occurrences + any index occurrence),
+        // so the plain batch-dir union IS the standing count index.
+        writeIncrement(dir, Dedup.substringIndex(df, k, textCol, idCol))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*)
+        val rewritten = Dedup
+          .removeDuplicateSpansIncremental(df, index, k, textCol, idCol)
+          .select(asIdType(col("doc_id")), col("text").as(textCol))
+        df.drop(textCol).join(rewritten, Seq(idCol))
+
       case DedupPhash(maxHamming, payloadCol) =>
         require(df.columns.contains(payloadCol),
           s"dedup_phash: no binary payload column '$payloadCol' on the shard frame " +
@@ -445,10 +486,11 @@ object CurationPipeline {
       case other =>
         throw new IllegalArgumentException(
           s"shard-ingest mode does not support step '${stepName(other)}': " +
-            "corpus-level mixing/sampling and the simhash/semantic/substring " +
-            "near-dup families are corpus-global — run them at release " +
-            "compaction over the standing corpus (tar/token releases stream " +
-            "via WebDataset.tarSink / Packing.tokenSink)")
+            "corpus-level mixing/sampling and the embedding-table near-dup " +
+            "family (dedup_semantic/sample_diverse fit on the live corpus) " +
+            "are corpus-global — run them at release compaction over the " +
+            "standing corpus (tar/token releases stream via " +
+            "WebDataset.tarSink / Packing.tokenSink)")
     }
   }
 

@@ -1411,8 +1411,43 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       hashWindows: Boolean = false
+  ): DataFrame =
+    removeSpans(docs, duplicateSpans(docs, k, textCol, idCol, hashWindows),
+      textCol, idCol)
+
+  /** Incremental [[removeDuplicateSpans]]: excise from an incoming shard
+    * every ≥`k`-token span whose windows are duplicated within
+    * (standing corpus ∪ shard) — window counts come from the persisted
+    * [[substringIndex]] ([[duplicateSpansIncremental]]); the corpus is
+    * never re-tokenized. The shard's rewrites equal the full transform
+    * over the union restricted to shard docs; already-released corpus
+    * docs are not retroactively re-cut when the shard supplies a
+    * window's second occurrence (the first-wins ingest asymmetry).
+    */
+  def removeDuplicateSpansIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashWindows: Boolean = false
+  ): DataFrame =
+    removeSpans(newDocs,
+      duplicateSpansIncremental(newDocs, index, k, textCol, idCol, hashWindows),
+      textCol, idCol)
+
+  /** Excise the given span frame `(doc_id, span_start, span_len, …)`
+    * from `docs` — the rebuild shared by the one-shot and incremental
+    * transforms (policy and scale shape documented on
+    * [[removeDuplicateSpans]]).
+    */
+  private def removeSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      textCol: String,
+      idCol: String
   ): DataFrame = {
-    val dropPos = duplicateSpans(docs, k, textCol, idCol, hashWindows)
+    val dropPos = spans
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_start") + col("span_len") - 1)).as("__pos"))
     // Original-case tokens: positions align with the lowercased windows

@@ -905,6 +905,43 @@ class CurationPipelineSpec extends SparkSpec {
     assert(refused.getMessage.contains("terminal release write"), refused.getMessage)
   }
 
+  test("applyShard: simhash and substring_remove ingest against persisted state") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    def key(df: org.apache.spark.sql.DataFrame) = snap(df.select("doc_id", "text"))
+    val shard0 = corpus.filter(col("doc_id") < 30)
+    val shard1 = corpus.filter(col("doc_id") >= 30)
+    // Simhash: per-shard restricted parity, cross-shard near-dups
+    // (the +1000 one-extra-token copies of shard-0 docs) must drop via
+    // the persisted signature index alone.
+    val pSim = CurationConfig.fromYaml(
+      "steps:\n  - dedup_simhash: { max_hamming: 3 }\n")
+    val st1 = java.nio.file.Files.createTempDirectory("cpsim").toString + "/s"
+    val a = key(CurationPipeline.applyShard(shard0, pSim, st1, "0"))
+    val b = key(CurationPipeline.applyShard(shard1, pSim, st1, "1"))
+    assert(a.sorted == key(CurationPipeline.apply(shard0, pSim)).sorted)
+    assert(b.sorted ==
+      key(CurationPipeline.apply(corpus, pSim).filter(col("doc_id") >= 30)).sorted,
+      "simhash shard ingest diverged from the batch run restricted to the shard")
+    assert(b.size < shard1.count(), "simhash dropped nothing cross-shard")
+    // substring_remove: shard docs are REWRITTEN against the standing
+    // window counts — near-dup copies share >= 5-token windows with
+    // shard-0 originals, so their spans must be excised cross-shard.
+    val pSub = CurationConfig.fromYaml(
+      "steps:\n  - substring_remove: { k: 5 }\n")
+    val st2 = java.nio.file.Files.createTempDirectory("cpsub").toString + "/s"
+    val c = key(CurationPipeline.applyShard(shard0, pSub, st2, "0"))
+    val d = key(CurationPipeline.applyShard(shard1, pSub, st2, "1"))
+    assert(c.sorted == key(CurationPipeline.apply(shard0, pSub)).sorted)
+    assert(d.sorted ==
+      key(CurationPipeline.apply(corpus, pSub).filter(col("doc_id") >= 30)).sorted,
+      "substring shard rewrite diverged from the batch transform restricted to the shard")
+    val untouched = snap(shard1
+      .withColumn("text", array_join(split(col("text"), "\\s+"), " "))
+      .select("doc_id", "text"))
+    assert(d.sorted != untouched.sorted,
+      "no cross-shard span was excised — the fixture should force some")
+  }
+
   test("compactShardState folds state increments; ingest continues against the compacted dirs") {
     val corpus = graft.plans.Materialize(ingestCorpus)
     val p = CurationConfig.fromYaml(ingestYaml)
