@@ -210,8 +210,13 @@ object CurationPipeline {
     * thousands of shards, means thousands of listings on every
     * prior-state read). Every step family's increments union cleanly:
     * the first-wins indexes (url/lines/exact) are key-disjoint across
-    * batches by construction and the signature indexes (minhash/phash)
-    * are per-doc unions. The LM dir is a single fit (nothing to fold)
+    * batches by construction, the signature indexes
+    * (minhash/simhash/phash) are per-doc unions, and the substring
+    * window-count index tolerates split counts because
+    * [[Dedup.duplicateSpansIncremental]] fires on (shard occurrence +
+    * ANY index row) — it never needs the per-key sum, so a plain union
+    * is equivalent to the aggregated fold. The LM dir is a single fit
+    * (nothing to fold)
     * and the `_pipeline` fingerprint stays in place. Same offline
     * contract and crash-safe commit protocol as
     * [[StateCompaction.compactBatchDir]] — stop the ingest cleanly

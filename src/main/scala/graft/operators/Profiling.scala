@@ -370,8 +370,10 @@ object Profiling {
             s"profileSink: standing dir $standingDir holds root-level data files " +
               s"(e.g. ${rootFiles.head.getPath.getName}) from the pre-batch merged " +
               "layout; mixing them with batch=<id> subdirs corrupts the fold. " +
-              "Migrate first: move the legacy profile into its own batch=legacy " +
-              "subdirectory (it is a valid shardProfile frame) or start a fresh dir.")
+              "Migrate first: move the legacy profile into its own NUMERIC " +
+              "batch dir no resuming stream will reuse (e.g. batch=999999999 — " +
+              "compaction validates labels as numeric; it is a valid " +
+              "shardProfile frame) or start a fresh dir.")
           // A post-commit crashed compaction leaves the only complete
           // fold in _compact_tmp with some batch dirs deleted — readers
           // of the standing dir would silently lose profile mass.

@@ -67,6 +67,12 @@ object StateCompaction {
       val in = fs.open(marker)
       val lines = new String(in.readAllBytes(), "UTF-8").split("\n")
       in.close()
+      // The marker is published by atomic rename, so a readable marker
+      // is a complete one — an empty/garbled body means someone wrote
+      // it by hand; refuse rather than resume against garbage.
+      require(lines.length >= 2 && lines.forall(_.startsWith("batch=")),
+        s"compactBatchDir: malformed _compact_commit marker in $dir " +
+          s"(${lines.length} lines) — not written by this protocol; resolve by hand")
       val target = new org.apache.hadoop.fs.Path(root, lines.head)
       lines.tail.filterNot(_ == lines.head).foreach { name =>
         val p = new org.apache.hadoop.fs.Path(root, name)
@@ -97,10 +103,18 @@ object StateCompaction {
     val projected = if (select.isEmpty) all else all.select(select.head, select.tail: _*)
     rewrite(projected).coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
     val target = s"batch=c$maxId"
-    val out = fs.create(marker, true)
+    // The marker IS the commit point, so its own write must be atomic:
+    // a crash mid-write would otherwise leave a truncated marker whose
+    // resume deletes fewer dirs than the tmp folded (silent
+    // double-count) or cannot parse at all (wedged dir). Write-then-
+    // rename gives all-or-nothing.
+    val markerTmp = new org.apache.hadoop.fs.Path(root, "_compact_commit.tmp")
+    val out = fs.create(markerTmp, true)
     out.write((target +: batchDirs.map(_.getPath.getName).toSeq)
       .mkString("\n").getBytes("UTF-8"))
     out.close()
+    require(fs.rename(markerTmp, marker),
+      s"compactBatchDir: failed to publish the commit marker in $dir")
     batchDirs.foreach(st => fs.delete(st.getPath, true))
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, target)),
       s"compactBatchDir: rename of compacted output failed in $dir")

@@ -919,10 +919,13 @@ class CurationPipelineSpec extends SparkSpec {
     val a = key(CurationPipeline.applyShard(shard0, pSim, st1, "0"))
     val b = key(CurationPipeline.applyShard(shard1, pSim, st1, "1"))
     assert(a.sorted == key(CurationPipeline.apply(shard0, pSim)).sorted)
+    // Restricted parity IS the cross-shard assertion (copies 1000..1025
+    // of shard-0 docs live in shard 1); the count check below only
+    // confirms the step did real work on this fixture.
     assert(b.sorted ==
       key(CurationPipeline.apply(corpus, pSim).filter(col("doc_id") >= 30)).sorted,
       "simhash shard ingest diverged from the batch run restricted to the shard")
-    assert(b.size < shard1.count(), "simhash dropped nothing cross-shard")
+    assert(b.size < shard1.count(), "simhash dropped nothing on this fixture")
     // substring_remove: shard docs are REWRITTEN against the standing
     // window counts — near-dup copies share >= 5-token windows with
     // shard-0 originals, so their spans must be excised cross-shard.
@@ -935,11 +938,13 @@ class CurationPipelineSpec extends SparkSpec {
     assert(d.sorted ==
       key(CurationPipeline.apply(corpus, pSub).filter(col("doc_id") >= 30)).sorted,
       "substring shard rewrite diverged from the batch transform restricted to the shard")
+    // (Cross-shard behavior is covered by the restricted-parity assert
+    // above; this only confirms the transform rewrote something.)
     val untouched = snap(shard1
       .withColumn("text", array_join(split(col("text"), "\\s+"), " "))
       .select("doc_id", "text"))
     assert(d.sorted != untouched.sorted,
-      "no cross-shard span was excised — the fixture should force some")
+      "no span was excised — the fixture should force some")
   }
 
   test("compactShardState folds state increments; ingest continues against the compacted dirs") {
