@@ -71,7 +71,7 @@ object Bench {
     // Cross-round check: the within-round outlier rule can't catch "both
     // runs slow" (r10's text_langid_trigram read 16.8/18.4 s at low
     // internal spread; a quiet-box re-probe matched the prior round's
-    // 4.9 s). So ALSO escalate while this round's minimum exceeds 2.5x
+    // 4.9 s). So ALSO escalate while this round's minimum exceeds 1.5x
     // the same entry's minimum in the previous round's committed
     // artifact (the highest-numbered BENCH_r*.json in cwd, or
     // SPARK_GRAFT_PREV_BENCH). New entries have no prior — never
@@ -123,7 +123,7 @@ object Bench {
         runs.head._2 > escalateLoad || spread2 > 1.0
       }
       def crossRoundSlow = prevMins.get(name)
-        .exists(p => p > 0 && vals.min > 2.5 * p)
+        .exists(p => p > 0 && vals.min > 1.5 * p)
       while (runs.length < maxRuns && vals.forall(_ >= 0) &&
         (outlier || crossRoundSlow || (runs.length == 2 && firstContended)))
         runs = runs :+ sample()
@@ -168,7 +168,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,""" +
         f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"run_spread":$spreads,"raw_runs":$rawRuns,""" +
         f""""run_loadavg":$runLoads,""" +
-        f""""noise_note":"shared box; best-of-2, escalated up to best-of-5 while a >3x raw outlier persists, or the minimum exceeds 2.5x the entry's previous-round artifact minimum (cross-round check), or first pass contended (loadavg > cores/4 or spread > 1.0); run_loadavg[i] is the 1-min loadavg at raw_runs[i]'s start — outliers coexisting with loadavg spikes are contention, not regressions"}"""
+        f""""noise_note":"shared box; best-of-2, escalated up to best-of-5 while a >3x raw outlier persists, or the minimum exceeds 1.5x the entry's previous-round artifact minimum (cross-round check; tightened from 2.5x in r13 — warmups killed the JIT excuse, so 1.6-1.9x contended minima were sailing through), or first pass contended (loadavg > cores/4 or spread > 1.0); run_loadavg[i] is the 1-min loadavg at raw_runs[i]'s start — outliers coexisting with loadavg spikes are contention, not regressions"}"""
     // The driver scrapes the sbt log tail (r01–r03 artifacts all recorded
     // "parsed": null). Maximize its odds: quiesce the logger first, emit
     // the line on BOTH streams (sbt tags forked stdout [info] and stderr

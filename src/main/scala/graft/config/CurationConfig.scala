@@ -213,6 +213,28 @@ object CurationConfig {
     */
   final case class DedupSimhash(maxHamming: Int, maxBucketSize: Int) extends Step
 
+  /** Exact n-gram near-duplicate removal over distinct word shingles:
+    * prefix-filtered pair generation ([[graft.operators.Dedup]]'s
+    * PPJoin plan), connected components, keep each cluster's min-id
+    * member. `metric` picks the overlap measure — `jaccard`
+    * (symmetric |A∩B|/|A∪B|) or `containment` (asymmetric
+    * |A∩B|/min(|A|,|B|), Broder 1997 — the one that catches a short
+    * document embedded verbatim in a long one, which Jaccard's union
+    * denominator structurally dilutes). Thresholds are NOT comparable
+    * between the two metrics (containment ≥ jaccard always).
+    */
+  final case class DedupNgram(
+      threshold: Double, metric: String, shingleN: Int) extends Step
+
+  /** Winnowing near-duplicate removal (Schleimer et al. 2003): per-doc
+    * selected k-gram fingerprints (window w), doc pairs sharing ≥
+    * `minShared` fingerprints cluster, keep each cluster's min-id
+    * member. Fingerprints shared by more than `maxBucketSize` docs are
+    * boilerplate, not evidence — dropped before the pair join.
+    */
+  final case class DedupWinnow(
+      minShared: Long, k: Int, w: Int, maxBucketSize: Int) extends Step
+
   /** Image near-dup removal over a binary payload column: dHash
     * perceptual signatures, Hamming-banded pairs at ≤ `maxHamming`,
     * connected components, keep each cluster's min-id member —
@@ -478,6 +500,21 @@ object CurationConfig {
         DedupSimhash(
           need(longParam("max_hamming"), "'max_hamming'").toInt,
           longParam("max_bucket").getOrElse(256L).toInt)
+      case "dedup_ngram" =>
+        val metric = params.get("metric").map(_.toString).getOrElse("jaccard")
+        if (!Set("jaccard", "containment")(metric))
+          throw new IllegalArgumentException(
+            s"step #$idx: dedup_ngram metric must be jaccard|containment, got '$metric'")
+        DedupNgram(
+          need(doubleParam("threshold"), "'threshold'"),
+          metric,
+          longParam("shingle_n").getOrElse(1L).toInt)
+      case "dedup_winnow" =>
+        DedupWinnow(
+          longParam("min_shared").getOrElse(2L),
+          longParam("k").getOrElse(5L).toInt,
+          longParam("w").getOrElse(4L).toInt,
+          longParam("max_bucket").getOrElse(256L).toInt)
       case "dedup_phash" =>
         DedupPhash(
           longParam("max_hamming").getOrElse(2L).toInt,
@@ -555,7 +592,7 @@ object CurationConfig {
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: blocklist, c4_filter, clean, normalize, redact, " +
-            "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_semantic, dedup_simhash, " +
+            "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_ngram, dedup_semantic, dedup_simhash, dedup_winnow, " +
             "dedup_soft, decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
             "sample_diverse, sink, sink_tar, sink_tokens, split, strip_html, shuffle, temperature, chunk, decontaminate, perplexity, " +

@@ -27,7 +27,8 @@ object GoldenFormat {
       "curation_release_tokens_unigram",
       "streaming_embedding_replay", "streaming_quality_replay",
       "tokenizer_stats_bpe", "tokenizer_stats_unigram",
-      "curation_release_incr_near", "curation_release_incr_more")
+      "curation_release_incr_near", "curation_release_incr_more",
+      "curation_pipeline_winnow")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

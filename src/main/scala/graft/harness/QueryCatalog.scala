@@ -55,6 +55,48 @@ object QueryCatalog {
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
+  /** Session-scratch directory under /tmp, deleted at JVM exit: the
+    * release/state/checkpoint entries need a fresh path per invocation
+    * (their sinks write eagerly at compile — concurrent runs on a shared
+    * path would clobber each other mid-read), but UUID-fresh paths that
+    * are never reclaimed accumulate unboundedly across harness/bench
+    * runs. One shutdown hook reaps everything registered; the returned
+    * frames stay readable for the whole session (deletion is at exit,
+    * never eager — many entries hand back LAZY frames over these paths).
+    */
+  private val scratchPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val scratchHook: Unit = {
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(delete))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchPaths.forEach(p => delete(new java.io.File(p)))
+    }))
+  }
+  private def cleanupAtExit(path: String): String = {
+    scratchHook; scratchPaths.add(path); path
+  }
+  private def scratchDir(prefix: String, sfDir: String): String =
+    cleanupAtExit(s"/tmp/${prefix}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+      java.util.UUID.randomUUID().toString.take(8))
+
+  /** The fit-once / serve-many quality-model cache path shared by
+    * text_quality_model_idx and streaming_quality_replay. Keyed by the
+    * fit-recipe version AND a cheap corpus fingerprint (row count + max
+    * doc_id + total text bytes): a /tmp model fit by older code OR
+    * against since-regenerated fixture data must refit, not silently
+    * serve stale scores into goldens/bench.
+    */
+  private def qualityModelDir(s: SparkSession, dir: String): String = {
+    val fp = docs(s, dir).agg(
+      count(lit(1)), max(col("doc_id")),
+      coalesce(sum(octet_length(col("text")).cast("long")), lit(0L))).head()
+    s"/tmp/graft_qmodel_v${QualityClassifier.modelFormatVersion}_d1024_i32_" +
+      s"n${fp.getLong(0)}_m${fp.getLong(1)}_b${fp.getLong(2)}_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+  }
+
   /** documents with a deterministic 4-line decoration (doc-specific
     * substrings + a corpus-wide boilerplate header + a footer shared by
     * every third doc) — the line-dedup fixture, reproduced verbatim in
@@ -226,6 +268,37 @@ object QueryCatalog {
       |dsel AS (SELECT * FROM q0 WHERE doc_id IN (SELECT MIN(doc_id) FROM q0 GROUP BY text)),
       |""".stripMargin +
       packIdsOracleSql.replace("WITH t0", "t0").replace("FROM documents)", "FROM dsel)")
+
+  /** The SHARD-INGEST replay of [[packIdsCuratedOracleSql]]: the same
+    * quality+exact curated selection over two ingest-ordered shards
+    * (first-wins, so the union equals the batch selection), but the
+    * frequency-ranked vocab fits on SHARD 0's curated tokens ONLY (the
+    * fit-once/serve-many contract of the terminal `sink_tokens` step in
+    * shard mode) and each shard packs independently with its buckets
+    * shifted to `doc_id % 8 + label*8` — the (bucket, seq) keyspace of
+    * the accumulated release.
+    */
+  private val incrTokensOracleSql =
+    """WITH q0 AS (SELECT doc_id, text FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 10),
+      |dsel AS (SELECT *, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS lab FROM q0
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM q0 GROUP BY text)),
+      |t0 AS (SELECT doc_id, lab,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM dsel),
+      |tp AS (SELECT doc_id, lab, UNNEST(range(0, len(toks))) AS pos, toks FROM t0),
+      |t AS (SELECT doc_id, lab, pos, toks[pos + 1] AS tok FROM tp),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM t WHERE lab = 0 GROUP BY 1),
+      |voc AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS INT) AS tok_id
+      |  FROM (SELECT * FROM cnt ORDER BY c DESC, tok LIMIT 1000)),
+      |m AS (SELECT t.doc_id, t.lab, t.pos, COALESCE(v.tok_id, 0) AS tok_id,
+      |    t.doc_id % 8 AS bucket FROM t LEFT JOIN voc v USING (tok)),
+      |g AS (SELECT lab, bucket, tok_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lab, bucket ORDER BY doc_id, pos) - 1 AS gp FROM m),
+      |q AS (SELECT lab * 8 + bucket AS bucket, tok_id, gp // 128 AS seq, gp % 128 AS idx FROM g)
+      |SELECT CAST(bucket AS INT) AS bucket, CAST(seq AS BIGINT) AS seq,
+      |  CAST(COUNT(*) AS INT) AS n, CAST(SUM(tok_id) AS BIGINT) AS sum_ids,
+      |  CAST(MAX(CASE WHEN idx = 0 THEN tok_id END) AS INT) AS first_id
+      |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** documents + a deterministic synthetic `url` column — closed-form in
     * (doc_id, lang, source), reproduced verbatim in [[urlCte]], the same
@@ -2398,8 +2471,7 @@ object QueryCatalog {
     // table, all from the terminal sink_tokens step; the decoded
     // read-back rollup must match the SQL replay of the curated chain.
     Q("curation_release_tokens", (s, dir) => {
-      val path = s"/tmp/graft_release_tokens_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val path = scratchDir("graft_release_tokens", dir)
       CurationPipeline.fromYaml(docs(s, dir),
         s"""steps:
            |  - quality: { min_tokens: 10 }
@@ -2419,8 +2491,7 @@ object QueryCatalog {
     // driver-side fits → golden fixtures, like text_bpe_tokens /
     // text_unigram_tokens; same rollup shape as the rank entry.
     Q("curation_release_tokens_bpe", (s, dir) => {
-      val path = s"/tmp/graft_release_tokbpe_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val path = scratchDir("graft_release_tokbpe", dir)
       CurationPipeline.fromYaml(docs(s, dir),
         s"""steps:
            |  - quality: { min_tokens: 10 }
@@ -2435,8 +2506,7 @@ object QueryCatalog {
     }, None),
 
     Q("curation_release_tokens_unigram", (s, dir) => {
-      val path = s"/tmp/graft_release_tokuni_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val path = scratchDir("graft_release_tokuni", dir)
       CurationPipeline.fromYaml(docs(s, dir),
         s"""steps:
            |  - quality: { min_tokens: 10 }
@@ -3100,7 +3170,7 @@ object QueryCatalog {
         s"""steps:
            |  - quality: { min_tokens: 10 }
            |  - dedup_exact: {}
-           |  - sink_tar: { path: /tmp/graft_release_tar_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)},
+           |  - sink_tar: { path: ${scratchDir("graft_release_tar", dir)},
            |                target_bytes: 65536 }
            |""".stripMargin)
         .select(col("doc_id"), col("lang"), col("text"),
@@ -3158,6 +3228,155 @@ object QueryCatalog {
               |WHERE doc_id IN (SELECT MIN(doc_id) FROM fam GROUP BY f)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Exact n-gram Jaccard dedup as a language STEP: quality gate, then
+    // prefix-filtered pair generation + connected components + min-id
+    // keep — the full selection semantics (not just the pair list the
+    // standalone dedup_ngram_jaccard entry verifies). The oracle replays
+    // the clustering with a recursive transitive closure over the
+    // qualifying pairs.
+    Q("curation_pipeline_ngram", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_ngram: { threshold: 0.8, shingle_n: 3 }
+          |""".stripMargin)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE q AS (SELECT doc_id, lang, text FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 10),
+             |sl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM q),
+             |sh0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
+             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+             |  FROM sl WHERE len(t) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jp AS (SELECT doc_a, doc_b FROM pairs
+             |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8),
+             |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+             |      UNION ALL SELECT doc_b, doc_a FROM jp),
+             |reach AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+             |  UNION SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.u),
+             |dr AS (SELECT u FROM reach GROUP BY u HAVING MIN(m) < u)
+             |SELECT doc_id, lang FROM q WHERE doc_id NOT IN (SELECT u FROM dr)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Asymmetric CONTAINMENT dedup as a language step, on the fixture
+    // that motivates it: synthetic short docs (the first 6 words of
+    // every 4th document, id + 100000) are embedded verbatim in their
+    // parents — symmetric Jaccard structurally misses them (union
+    // denominator), containment 0.9 collapses each onto its parent
+    // (min-id keep). Full SQL oracle, recursive-closure clustering.
+    Q("curation_pipeline_containment", (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val shorts = d.filter(col("doc_id") % 4 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"), col("lang"),
+        array_join(slice(split(lower(col("text")), " "), 1, 6), " ").as("text"))
+      CurationPipeline.fromYaml(d.unionByName(shorts),
+        """steps:
+          |  - dedup_ngram: { threshold: 0.9, metric: containment, shingle_n: 3 }
+          |""".stripMargin)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, lang, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, lang,
+             |    array_to_string((string_split(lower(text), ' '))[1:6], ' ')
+             |  FROM documents WHERE doc_id % 4 = 0),
+             |sl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM d),
+             |sh0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
+             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+             |  FROM sl WHERE len(t) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jp AS (SELECT doc_a, doc_b FROM pairs
+             |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.9),
+             |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+             |      UNION ALL SELECT doc_b, doc_a FROM jp),
+             |reach AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+             |  UNION SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.u),
+             |dr AS (SELECT u FROM reach GROUP BY u HAVING MIN(m) < u)
+             |SELECT doc_id, lang FROM d WHERE doc_id NOT IN (SELECT u FROM dr)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing dedup as a language step (Schleimer 2003 fingerprint
+    // selection + shared-fp pairs + min-id clusters). xxhash-seeded
+    // fingerprints have no SQL form -> golden, like dedup_winnow itself;
+    // step-vs-operator parity is asserted in CurationPipelineSpec.
+    Q("curation_pipeline_winnow", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_winnow: { min_shared: 2, k: 5, w: 4 }
+          |""".stripMargin)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      None),
+
+    // SHARD-INGEST ngram dedup: two ingest-ordered shards through the
+    // persisted (doc_id, shingle) index — corpus never re-shingled. The
+    // oracle replays the SEQUENTIAL semantics exactly: shard 0 clusters
+    // over its own pairs; shard 1 clusters over pairs touching shard 1
+    // in the union graph (its drop verdict equals the full-union one
+    // because every path to a smaller id either stays in shard 1 —
+    // those edges all touch shard 1 — or first touches a shard-0 doc,
+    // which is already smaller than every shard-1 id). The documented
+    // no-retroactive-drop asymmetry is exactly the d0-vs-d1 split.
+    Q("curation_release_incr_ngram", (s, dir) => {
+      val d = docs(s, dir)
+      val state = scratchDir("graft_incr_ngram_state", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_ngram: { threshold: 0.8, shingle_n: 3 }
+          |""".stripMargin)
+      val s0 = CurationPipeline.applyShard(
+          d.filter(col("doc_id") < 250), p, state, "0")
+        .select("doc_id", "lang")
+      val s1 = CurationPipeline.applyShard(
+          d.filter(col("doc_id") >= 250), p, state, "1")
+        .select("doc_id", "lang")
+      s0.unionByName(s1).orderBy("doc_id")
+    }, Some("""WITH RECURSIVE q AS (SELECT doc_id, lang, text FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 10),
+             |sl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM q),
+             |sh0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
+             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+             |  FROM sl WHERE len(t) >= 3),
+             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jp AS (SELECT doc_a, doc_b FROM pairs
+             |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+             |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8),
+             |e0 AS (SELECT doc_a AS u, doc_b AS v FROM jp WHERE doc_b < 250
+             |       UNION ALL SELECT doc_b, doc_a FROM jp WHERE doc_b < 250),
+             |r0 AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e0)
+             |       UNION SELECT e0.u, r.m FROM e0 JOIN r0 r ON e0.v = r.u),
+             |d0 AS (SELECT u FROM r0 GROUP BY u HAVING MIN(m) < u),
+             |e1 AS (SELECT doc_a AS u, doc_b AS v FROM jp
+             |       UNION ALL SELECT doc_b, doc_a FROM jp),
+             |r1 AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e1)
+             |       UNION SELECT e1.u, r.m FROM e1 JOIN r1 r ON e1.v = r.u),
+             |d1 AS (SELECT u FROM r1 GROUP BY u HAVING MIN(m) < u)
+             |SELECT doc_id, lang FROM q
+             |WHERE (doc_id < 250 AND doc_id NOT IN (SELECT u FROM d0))
+             |   OR (doc_id >= 250 AND doc_id NOT IN (SELECT u FROM d1))
+             |ORDER BY doc_id""".stripMargin)),
+
     // The remaining shard-ingest dedup families composed end-to-end:
     // url_dedup → substring_remove (standing window-count index, shard
     // docs REWRITTEN, corpus never re-tokenized) → dedup_simhash
@@ -3167,8 +3386,7 @@ object QueryCatalog {
     // CurationPipelineSpec.
     Q("curation_release_incr_more", (s, dir) => {
       val withUrl = docsWithUrl(s, dir)
-      val state = s"/tmp/graft_incr_more_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val state = scratchDir("graft_incr_more_state", dir)
       val p = graft.config.CurationConfig.fromYaml(
         """steps:
           |  - url_dedup: {}
@@ -3201,8 +3419,7 @@ object QueryCatalog {
           when(pmod(col("doc_id"), lit(3)) === 0,
             lit("promo footer visit example dot com"))
             .otherwise(substring(col("text"), 81, 40))))
-      val state = s"/tmp/graft_incr_comp_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val state = scratchDir("graft_incr_comp_state", dir)
       val p = graft.config.CurationConfig.fromYaml(
         """steps:
           |  - url_dedup: {}
@@ -3249,8 +3466,7 @@ object QueryCatalog {
             .otherwise(substring(col("text"), 81, 40))))
       val rows = lined.select("doc_id", "lang", "text", "url")
         .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
-      val base = s"/tmp/graft_stream_cur_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val base = scratchDir("graft_stream_cur", dir)
       val p = graft.config.CurationConfig.fromYaml(
         """steps:
           |  - url_dedup: {}
@@ -3272,6 +3488,54 @@ object QueryCatalog {
         .orderBy("doc_id")
     }, Some(incrReleaseOracle)),
 
+    // The streaming face of the tar release: the SAME YAML as
+    // curation_release_incr_tar (terminal sink_tar step) run as a
+    // foreachBatch curationSink — a continuous crawl whose output IS a
+    // growing WebDataset release, each micro-batch its own
+    // `batch=<id>/shard-*.tar` slice. Gated on the same composed oracle
+    // through the scanTar read-back.
+    Q("streaming_curation_tar_replay", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val rows = lined.select("doc_id", "lang", "text", "url")
+        .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+      val base = scratchDir("graft_stream_cur_tar", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - url_dedup: {}
+           |  - dedup_lines: { min_chars: 10 }
+           |  - dedup_exact: {}
+           |  - perplexity: { max_ppl: 150, vocab: 20 }
+           |  - sink_tar: { path: $base/release, target_bytes: 65536 }
+           |""".stripMargin)
+      val input = MemoryStream[(Long, String, String, String)]
+      val q = input.toDF().toDF("doc_id", "lang", "text", "url")
+        .writeStream.outputMode("append")
+        .foreachBatch(CurationPipeline.curationSink(p, s"$base/state", s"$base/release"))
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
+        .filter(_.nonEmpty)
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val m = graft.sources.WebDataset.samples(
+        graft.sources.WebDataset.scanTar(
+          s, s"$base/release", requireSuccess = true),
+        Seq("txt", "cls"))
+      m.select(col("key").cast("long").as("doc_id"),
+          decode(col("cls"), "UTF-8").as("lang"),
+          decode(col("txt"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }, Some(incrReleaseOracle)),
+
     // SHARD-INGEST release (the production topology): shard 0 bootstraps
     // the standing state — url index, line index, exact-hash index, and
     // the served LM — and shard 1 joins the release against it; the
@@ -3289,8 +3553,7 @@ object QueryCatalog {
           when(pmod(col("doc_id"), lit(3)) === 0,
             lit("promo footer visit example dot com"))
             .otherwise(substring(col("text"), 81, 40))))
-      val state = s"/tmp/graft_incr_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val state = scratchDir("graft_incr_state", dir)
       val p = graft.config.CurationConfig.fromYaml(
         """steps:
           |  - url_dedup: {}
@@ -3309,6 +3572,70 @@ object QueryCatalog {
       s0.unionByName(s1).orderBy("doc_id")
     }, Some(incrReleaseOracle)),
 
+    // The shard-ingest release ending in the WEBDATASET face of the
+    // language: the same composed url→lines→exact→served-LM chain, but
+    // the terminal step is `sink_tar` — each shard's survivors land as
+    // their own `batch=<label>/shard-*.tar` slice with a per-slice
+    // _SUCCESS (the tarSink layout), and the standing release reads
+    // back as ONE corpus through scanTar(requireSuccess = true). Gated
+    // on the SAME composed DuckDB oracle as curation_release_incr: the
+    // tar round-trip must be byte-faithful to the curated text.
+    Q("curation_release_incr_tar", (s, dir) => {
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val state = scratchDir("graft_incr_tar_state", dir)
+      val rel = scratchDir("graft_incr_tar_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - url_dedup: {}
+           |  - dedup_lines: { min_chars: 10 }
+           |  - dedup_exact: {}
+           |  - perplexity: { max_ppl: 150, vocab: 20 }
+           |  - sink_tar: { path: $rel, target_bytes: 65536 }
+           |""".stripMargin)
+      CurationPipeline.applyShard(lined.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(lined.filter(col("doc_id") >= 250), p, state, "1")
+      val m = graft.sources.WebDataset.samples(
+        graft.sources.WebDataset.scanTar(s, rel, requireSuccess = true),
+        Seq("txt", "cls"))
+      m.select(col("key").cast("long").as("doc_id"),
+          decode(col("cls"), "UTF-8").as("lang"),
+          decode(col("txt"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }, Some(incrReleaseOracle)),
+
+    // …and the PRE-TOKENIZED face: quality → exact → terminal
+    // `sink_tokens`, the vocab fit ONCE on shard 0's curated tokens and
+    // SERVED to shard 1 (the CCNet fit/serve split), each shard's packed
+    // buckets shifted into its own `label*buckets` range so the standing
+    // `shards/` layout is one collision-free (bucket, seq) keyspace.
+    // Full SQL oracle: vocab-from-shard-0 + per-shard greedy pack replay.
+    Q("curation_release_incr_tokens", (s, dir) => {
+      val state = scratchDir("graft_incr_tok_state", dir)
+      val rel = scratchDir("graft_incr_tok_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink_tokens: { path: $rel, budget: 128, vocab: 1000,
+           |                   buckets: 8, target_bytes: 16384 }
+           |""".stripMargin)
+      val d = docs(s, dir)
+      CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(d.filter(col("doc_id") >= 250), p, state, "1")
+      graft.sources.TokenShards.scanTokens(s, s"$rel/shards")
+        .select(col("bucket"), col("seq"), col("n"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          element_at(col("ids"), 1).as("first_id"))
+        .orderBy("bucket", "seq")
+    }, Some(incrTokensOracleSql)),
+
     // The near-dup face of the shard-ingest release: minhash joins the
     // composed chain through the persisted signature index (corpus text
     // never re-shingled). xxhash-seeded banding has no SQL form →
@@ -3316,8 +3643,7 @@ object QueryCatalog {
     // composition is asserted in CurationPipelineSpec.
     Q("curation_release_incr_near", (s, dir) => {
       val withUrl = docsWithUrl(s, dir)
-      val state = s"/tmp/graft_incr_near_state_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val state = scratchDir("graft_incr_near_state", dir)
       val p = graft.config.CurationConfig.fromYaml(
         """steps:
           |  - url_dedup: {}
@@ -3355,7 +3681,7 @@ object QueryCatalog {
            |  - quota: { group: lang, quotas: { en: 60, es: 25, fr: 15 } }
            |  - split: { train: 0.8, val: 0.1, test: 0.1 }
            |  - shuffle: { shards: 4 }
-           |  - sink: { path: /tmp/graft_release_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)},
+           |  - sink: { path: ${ val rp = scratchDir("graft_release", dir); cleanupAtExit(rp + "_manifest"); rp },
            |            partition_by: [split, shard] }
            |""".stripMargin)
         .select(col("doc_id"), col("lang"), col("split"),
@@ -3727,8 +4053,8 @@ object QueryCatalog {
         docs(s, dir).select(col("doc_id"),
           col("text").cast("binary").as("t"), col("lang").cast("binary").as("l")),
         out, shards = 4, keyCol = "doc_id", members = Seq("txt" -> "t", "cls" -> "l"))
-      val run = java.util.UUID.randomUUID().toString.take(8)
-      val sink = s"/tmp/graft_wds_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$run"
+      val sink = scratchDir("graft_wds_stream", dir)
+      cleanupAtExit(sink + "_ckpt")
       val q = graft.sources.WebDataset.streamTar(s, out, maxFilesPerTrigger = 1)
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", s"${sink}_ckpt")
@@ -3776,8 +4102,8 @@ object QueryCatalog {
       val halves = rows.partition(_._1 < 250)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, String)]
-      val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = s"/tmp/graft_tar_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$run"
+      val out = scratchDir("graft_tar_sink", dir)
+      cleanupAtExit(out + "_ckpt")
       val q = graft.sources.WebDataset.tarSink(
         input.toDF().toDF("doc_id", "lang", "text"), out, targetShardBytes = 16384,
         members = Seq("txt" -> "text", "cls" -> "lang"))
@@ -4216,11 +4542,9 @@ object QueryCatalog {
     // is asserted in QualityClassifierSpec) → same-valued golden.
     Q("text_quality_model_idx", (s, dir) => {
       val d = docs(s, dir)
-      // Cache keyed on the fit-recipe version (QualityClassifier
-      // .modelFormatVersion): a /tmp model fit by OLDER code must refit,
-      // not silently serve stale scores into goldens/bench.
-      val mDir = s"/tmp/graft_qmodel_v${QualityClassifier.modelFormatVersion}_d1024_i32_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // Cache keyed on fit-recipe version + corpus fingerprint (see
+      // qualityModelDir): stale code or regenerated fixtures refit.
+      val mDir = qualityModelDir(s, dir)
       if (!new java.io.File(s"$mDir/_SUCCESS").exists())
         QualityClassifier.train(
             d.withColumn("is_en", (col("lang") === "en").cast("int")),
@@ -4440,8 +4764,8 @@ object QueryCatalog {
         .as[(Long, String)].collect().sortBy(_._1).toSeq
       val batches = Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
         .filter(_.nonEmpty)
-      val out = s"/tmp/graft_stream_lines_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val out = scratchDir("graft_stream_lines", dir)
+      cleanupAtExit(out + "_ckpt")
       val input = MemoryStream[(Long, String)]
       val q = input.toDF().toDF("doc_id", "text")
         .writeStream.outputMode("append")
@@ -4468,8 +4792,8 @@ object QueryCatalog {
       val rows = corpus.as[(Long, String)].collect().sortBy(_._1).toSeq
       val batches = Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
         .filter(_.nonEmpty)
-      val out = s"/tmp/graft_stream_tokens_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      val out = scratchDir("graft_stream_tokens", dir)
+      cleanupAtExit(out + "_ckpt")
       val input = MemoryStream[(Long, String)]
       val q = Packing.tokenSink(input.toDF().toDF("doc_id", "text"), vocab,
         budgetTokens = 128, outDir = out, buckets = 8, targetShardBytes = 16384)
@@ -4677,8 +5001,7 @@ object QueryCatalog {
     // form → golden, like the batch entries.
     Q("streaming_quality_replay", (s, dir) => {
       val d = docs(s, dir)
-      val mDir = s"/tmp/graft_qmodel_v${QualityClassifier.modelFormatVersion}_d1024_i32_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val mDir = qualityModelDir(s, dir)
       if (!new java.io.File(s"$mDir/_SUCCESS").exists())
         QualityClassifier.train(
             d.withColumn("is_en", (col("lang") === "en").cast("int")),

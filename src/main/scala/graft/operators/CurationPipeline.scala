@@ -137,9 +137,13 @@ object CurationPipeline {
     * family (dedup_semantic — its IVF fit is over the LIVE corpus) are
     * REFUSED: their semantics are corpus-global and belong to a release
     * compaction run over the standing corpus, not a shard ingest. A
-    * terminal `sink` writes the
-    * shard's release slice to `path/shard=<label>` (the tarSink
-    * batch-dir convention).
+    * terminal `sink` writes the shard's release slice to
+    * `path/shard=<label>`; a terminal `sink_tar` / `sink_tokens` writes
+    * the slice as `path/batch=<label>` WebDataset tar shards /
+    * `path/shards/batch=<label>` int32 token shards (the tarSink /
+    * tokenSink batch-dir conventions — the accumulated layout reads as
+    * one release), with the tokenizer/vocab fit ONCE on the first
+    * shard's curated frame and served to every later shard.
     *
     * Idempotent under re-delivery: every state write is keyed
     * `batch=<shardLabel>` (mode overwrite) and every prior-state read is
@@ -173,6 +177,10 @@ object CurationPipeline {
         "chunk changes the row grain and must be the final step")
       require(!s.isInstanceOf[Sink],
         "sink writes the release and must be the final step")
+      require(!s.isInstanceOf[SinkTar],
+        "sink_tar writes the release and must be the final step")
+      require(!s.isInstanceOf[SinkTokens],
+        "sink_tokens writes the release and must be the final step")
     }
     // State subdirectories are keyed by STEP POSITION: an edited pipeline
     // (a step inserted, reordered, or re-parameterized) against existing
@@ -254,18 +262,39 @@ object CurationPipeline {
       pipeline: Pipeline, stateDir: String, releaseDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       aux: Map[String, DataFrame] = Map.empty): (DataFrame, Long) => Unit = {
-    pipeline.steps.foreach { s =>
+    // A terminal sink_tar / sink_tokens step IS a release write this
+    // sink can delegate to applyShard (batch-keyed tar/token slices,
+    // idempotent under re-delivery) — the continuous-crawl topology
+    // ending in a WebDataset or int32-token release inside the
+    // language. It must point at THIS sink's releaseDir: a second
+    // release path in the YAML would silently split the corpus.
+    val terminalRelease = pipeline.steps.lastOption.collect {
+      case SinkTar(p, _) => p
+      case SinkTokens(p, _, _, _, _, _, _, _, _) => p
+    }
+    terminalRelease.foreach { p =>
+      require(p == releaseDir,
+        s"curationSink: the terminal ${stepName(pipeline.steps.last)} step " +
+          s"writes to '$p' but this sink's release dir is '$releaseDir' — " +
+          "point the step at releaseDir (one release path, not two)")
+    }
+    pipeline.steps.dropRight(if (terminalRelease.isDefined) 1 else 0).foreach { s =>
       require(!s.isInstanceOf[Sink] && !s.isInstanceOf[SinkTar] &&
         !s.isInstanceOf[SinkTokens],
         s"curationSink IS the terminal release write — drop the '${stepName(s)}' " +
-          "step (point the sink at releaseDir instead)")
+          "step (point the sink at releaseDir instead, or end the pipeline " +
+          "in a terminal sink_tar/sink_tokens release step)")
     }
     (batch, batchId) => {
       val curated = applyShard(
         batch, pipeline, stateDir, batchId.toString, idCol, textCol, aux)
-      val dest = s"$releaseDir/shard=$batchId"
-      curated.write.mode("overwrite").parquet(dest)
-      batch.sparkSession.catalog.refreshByPath(dest)
+      if (terminalRelease.isEmpty) {
+        val dest = s"$releaseDir/shard=$batchId"
+        curated.write.mode("overwrite").parquet(dest)
+        batch.sparkSession.catalog.refreshByPath(dest)
+      }
+      // else: the terminal step already wrote its batch-keyed slice
+      // eagerly inside applyShard; `curated` is the decoded read-back.
     }
   }
 
@@ -415,6 +444,44 @@ object CurationPipeline {
           .select(asIdType(col("doc_id")))
         df.join(drop, Seq(idCol), "left_anti")
 
+      case DedupNgram(threshold, metric, shingleN) =>
+        val dir = stateSub("ngram_index")
+        val prior = priorBatches(dir)
+        // The index holds EVERY doc reaching the step (kept or dropped)
+        // — same union-graph discipline as minhash/simhash, and the same
+        // documented no-retroactive-drop asymmetry.
+        writeIncrement(dir, Dedup.ngramIndex(df, shingleN, textCol, idCol))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*).select("doc_id", "s")
+        val pairs = metric match {
+          case "jaccard" => Dedup.ngramJaccardIncremental(
+            df, index, threshold, shingleN, textCol, idCol)
+          case _ => Dedup.ngramContainmentIncremental(
+            df, index, threshold, shingleN, textCol, idCol)
+        }
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
+      case DedupWinnow(minShared, k, w, maxBucket) =>
+        val dir = stateSub("winnow_index")
+        val prior = priorBatches(dir)
+        // Selected fingerprints are doc-local, so the batch-dir union IS
+        // the standing winnowIndex; the ubiquity cap re-evaluates over
+        // the union inside winnowIncremental.
+        writeIncrement(dir, Dedup.winnowIndex(df, k, w, textCol, idCol))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*).select("doc_id", "fp")
+        val pairs = Dedup.winnowIncremental(
+          df, index, minShared, k, w, maxBucket, textCol, idCol)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
       case SubstringRemove(k) =>
         val dir = stateSub("substring_index")
         val prior = priorBatches(dir)
@@ -477,6 +544,119 @@ object CurationPipeline {
         spark.catalog.refreshByPath(dest)
         spark.read.parquet(dest)
 
+      case SinkTar(path, targetShardBytes) =>
+        // Terminal WebDataset release in SHARD-INGEST mode: the shard's
+        // curated docs become their own `batch=<label>/shard-*.tar`
+        // slice (the tarSink layout, so scanTar reads the accumulated
+        // release as one corpus with batch-qualified shard labels and
+        // per-slice _SUCCESS markers). Re-delivery overwrites its own
+        // batch dir byte-identically (writeTar is a pure function of
+        // the slice rows); the returned frame is the OWN slice decoded
+        // as a loader would read it — the batch SinkTar contract,
+        // restricted to this shard.
+        require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(df.schema(idCol).dataType),
+          s"sink_tar: id column '$idCol' must be integral (member names are " +
+            s"<id>.<ext>), got ${df.schema(idCol).dataType.simpleString}")
+        val hasLang = df.columns.contains("lang")
+        val members = Seq("txt" -> textCol) ++ (if (hasLang) Seq("cls" -> "lang") else Nil)
+        val nNull = df.filter(members.map { case (_, c) => col(c).isNull }
+          .reduce(_ || _)).count()
+        require(nNull == 0,
+          s"sink_tar: $nNull rows carry null ${members.map(_._2).mkString("/")} — " +
+            "tar members would decode as empty strings, silently rewriting the " +
+            "corpus; drop or fill nulls upstream, or release via the parquet 'sink'")
+        val dest = s"$path/batch=$shardLabel"
+        graft.sources.WebDataset.writeTarAuto(df, dest, targetShardBytes, idCol, members)
+        val m = graft.sources.WebDataset.samples(
+          graft.sources.WebDataset.scanTar(spark, dest), members.map(_._1))
+        val stats = m.agg(count(lit(1)).as("n"),
+          countDistinct(col("shard")).as("s"),
+          sum(octet_length(col("txt"))).as("b")).head()
+        // Slice manifest, batch-keyed beside the shards: reading
+        // `$path/manifest` yields every slice's rows with a `batch`
+        // partition column (scanTar's *.tar glob never sees parquet).
+        writeManifest(s"$path/manifest/batch=$shardLabel", spark, Seq(
+          "kind" -> "sink_tar", "n_docs" -> stats.getLong(0).toString,
+          "n_shards" -> stats.getLong(1).toString,
+          "n_text_bytes" -> stats.getLong(2).toString))
+        val base = Seq(
+          col("key").cast(df.schema(idCol).dataType).as(idCol),
+          regexp_extract(col("shard"), "(\\d+)$", 1).cast("int").as("shard"),
+          decode(col("txt"), "UTF-8").as(textCol))
+        m.select(base ++
+          (if (hasLang) Seq(decode(col("cls"), "UTF-8").as("lang")) else Nil): _*)
+
+      case SinkTokens(path, budgetTokens, vocabSize, buckets, targetShardBytes,
+          tokenizer, numMerges, maxPieceLen, byteLevel) =>
+        // Terminal PRE-TOKENIZED release in SHARD-INGEST mode. The
+        // tokenizer model and the frequency-ranked vocab are corpus
+        // fits — on an unbounded ingest they follow the CCNet fit/serve
+        // split exactly like the `perplexity` step's LM: fit ONCE on
+        // the FIRST shard's frame as curated, persist beside the
+        // release (`$path/tokenizer`, `$path/vocab`), and serve every
+        // later shard. The vocab dir's _SUCCESS is the fit-once marker
+        // (written LAST, after any tokenizer model — a crash between
+        // refits both). Packed buckets shift to the shard's own range
+        // (`bucket + label*buckets`, the tokenSink convention) so the
+        // `(bucket, seq)` keys stay collision-free corpus-wide and
+        // TokenShards.scanTokens reads the whole standing `$path/shards`
+        // layout directly. Re-delivery overwrites its own batch dir
+        // identically (same prior state -> same curated frame -> same
+        // persisted vocab -> same pack).
+        val label = shardLabel.toLong
+        require(label < Int.MaxValue.toLong / buckets,
+          s"sink_tokens: shard label $label overflows the bucket id range " +
+            s"(buckets=$buckets)")
+        val vocabDir = s"$path/vocab"
+        val fitMarker = new org.apache.hadoop.fs.Path(s"$vocabDir/_SUCCESS")
+        val mfs = fitMarker.getFileSystem(spark.sessionState.newHadoopConf())
+        def mkStream(d: DataFrame): DataFrame = tokenizer match {
+          case "rank" => Packing.tokenStream(d, Packing.WordTokenizer, textCol, idCol)
+          case "bpe" => Packing.tokenStream(d,
+            Packing.BpeTokenizer(spark.read.parquet(s"$path/tokenizer"), byteLevel),
+            textCol, idCol)
+          case "unigram" => Packing.tokenStream(d,
+            Packing.UnigramTokenizer(spark.read.parquet(s"$path/tokenizer"), maxPieceLen),
+            textCol, idCol)
+          case other => throw new IllegalArgumentException(
+            s"sink_tokens: unknown tokenizer '$other' (expected rank, bpe, or unigram)")
+        }
+        if (!mfs.exists(fitMarker)) {
+          tokenizer match {
+            case "bpe" =>
+              graft.functions.Bpe.learnMerges(df, numMerges = numMerges,
+                textCol = textCol, byteLevel = byteLevel)
+                .write.mode("overwrite").parquet(s"$path/tokenizer")
+            case "unigram" =>
+              graft.functions.Unigram.learnPieces(
+                df, vocabSize = vocabSize, maxPieceLen = maxPieceLen, textCol = textCol)
+                .write.mode("overwrite").parquet(s"$path/tokenizer")
+            case _ => ()
+          }
+          Packing.rankVocabFromTokens(mkStream(df), vocabSize)
+            .write.mode("overwrite").parquet(vocabDir)
+        }
+        val vocabBack = spark.read.parquet(vocabDir)
+        val packed = Packing
+          .packTokenIdsFrom(mkStream(df), vocabBack, budgetTokens, buckets)
+          .withColumn("bucket", (col("bucket") + lit(label * buckets)).cast("int"))
+        Packing.tokenTar(packed, s"$path/shards/batch=$shardLabel", targetShardBytes)
+        val back = graft.sources.TokenShards.scanTokens(
+          spark, s"$path/shards/batch=$shardLabel")
+        val stats = back.agg(count(lit(1)).as("s"),
+          coalesce(sum(col("n")), lit(0L)).as("t"),
+          coalesce(sum(size(col("ids")) - size(array_remove(col("ids"), 0))), lit(0L))
+            .as("oov")).head()
+        writeManifest(s"$path/manifest/batch=$shardLabel", spark, Seq(
+          "kind" -> "sink_tokens", "n_seqs" -> stats.getLong(0).toString,
+          "n_tokens" -> stats.getLong(1).toString,
+          "oov_tokens" -> stats.getLong(2).toString,
+          "budget" -> budgetTokens.toString, "buckets" -> buckets.toString,
+          "tokenizer" -> tokenizer, "byte_level" -> byteLevel.toString))
+        back
+
       case s @ (Clean | NormalizeNfc | Redact | GopherQuality | StripHtml |
           DedupSoft |
           _: LangIdKeep | _: Quality | _: C4LineFilter | _: PhraseBlocklist |
@@ -491,11 +671,9 @@ object CurationPipeline {
       case other =>
         throw new IllegalArgumentException(
           s"shard-ingest mode does not support step '${stepName(other)}': " +
-            "corpus-level mixing/sampling and the embedding-table near-dup " +
-            "family (dedup_semantic/sample_diverse fit on the live corpus) " +
-            "are corpus-global — run them at release compaction over the " +
-            "standing corpus (tar/token releases stream via " +
-            "WebDataset.tarSink / Packing.tokenSink)")
+            "corpus-level mixing/sampling and the live-corpus embedding " +
+            "fits (dedup_semantic/sample_diverse) are corpus-global — run " +
+            "them at release compaction over the standing corpus")
     }
   }
 
@@ -553,6 +731,8 @@ object CurationPipeline {
     case CompressFilter(_, _) => "compress"
     case LangIdTrigramKeep(_) => "langid_trigram_keep"
     case DedupSimhash(_, _) => "dedup_simhash"
+    case DedupNgram(_, _, _) => "dedup_ngram"
+    case DedupWinnow(_, _, _, _) => "dedup_winnow"
     case DedupPhash(_, _) => "dedup_phash"
     case ContainerMetaFilter(_, _, _) => "container_meta"
     case DedupSemantic(_, _, _, _) => "dedup_semantic"
@@ -816,6 +996,21 @@ object CurationPipeline {
         df.join(keep, Seq(idCol), "left_semi")
       case DedupSimhash(maxHamming, maxBucket) =>
         val pairs = Dedup.simhash(df, maxHamming, maxBucket, textCol, idCol)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
+      case DedupNgram(threshold, metric, shingleN) =>
+        val pairs = metric match {
+          case "jaccard" => Dedup.ngramJaccard(df, threshold, shingleN, textCol, idCol)
+          case _ => Dedup.ngramContainment(df, threshold, shingleN, textCol, idCol)
+        }
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
+      case DedupWinnow(minShared, k, w, maxBucket) =>
+        val pairs = Dedup.winnow(df, minShared, k, w, maxBucket, textCol, idCol)
         val drop = Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))

@@ -1035,6 +1035,68 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental exact n-gram CONTAINMENT: an incoming shard's shingles
+    * joined against the persisted [[ngramIndex]] — the corpus is never
+    * re-shingled ([[ngramJaccardIncremental]]'s shape, containment
+    * edition). Containment's candidate join is ASYMMETRIC (prefix ×
+    * full index — see [[ngramContainment]]), so restricting one side to
+    * shard docs needs BOTH orientations: shard-prefix × union-full
+    * catches pairs the shard doc's rare shingles witness, union-prefix ×
+    * shard-full catches pairs witnessed only by the OTHER doc's prefix
+    * (a corpus doc's rare shingle sitting anywhere in the shard doc).
+    * Output exactly equals [[ngramContainment]] over (corpus ∪ shard)
+    * restricted to pairs touching ≥1 shard id (parity asserted in
+    * ExtensionsSpec; ids must be disjoint).
+    */
+  def ngramContainmentIncremental(
+      newDocs: DataFrame,
+      index: DataFrame,
+      threshold: Double,
+      shingleN: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "s")),
+      s"not an ngramIndex frame (columns ${index.columns.mkString(",")}); " +
+        "re-build it with Dedup.ngramIndex (same shingleN)")
+    val all = index.select("doc_id", "s")
+      .unionByName(ngramIndex(newDocs, shingleN, textCol, idCol))
+    val inv = rankedShingleIndex(all)
+    val prefix = inv.filter(col("rk") <= prefixLen(col("n"), threshold))
+    val sIds = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val pShard = prefix.join(sIds, Seq("doc_id"), "leftsemi")
+      .select(col("s"), col("doc_id").as("doc_x"),
+        col("n").as("n_x"), col("rk").as("rk_x"))
+    val fullAll = inv.select(col("s"), col("doc_id").as("doc_y"),
+      col("n").as("n_y"), col("rk").as("rk_y"))
+    val pAll = prefix.select(col("s"), col("doc_id").as("doc_x"),
+      col("n").as("n_x"), col("rk").as("rk_x"))
+    val fullShard = inv.join(sIds, Seq("doc_id"), "leftsemi")
+      .select(col("s"), col("doc_id").as("doc_y"),
+        col("n").as("n_y"), col("rk").as("rk_y"))
+    val cand = pShard.join(fullAll, Seq("s"))
+      .unionByName(pAll.join(fullShard, Seq("s")))
+      .filter(col("doc_x") =!= col("doc_y"))
+      // Positional filter, min-denominator form (same as the batch op).
+      .filter(lit(1) + least(col("n_x") - col("rk_x"), col("n_y") - col("rk_y")) >=
+        ceil(lit(threshold) * least(col("n_x"), col("n_y")) - lit(1e-9)))
+      .select(
+        least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"),
+        when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
+        when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = inv.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, banded into 4×16-bit
     * chunks for candidate generation (Hamming distance ≤ k implies some
     * chunk matches for k < 4), verified by exact Hamming distance.

@@ -374,14 +374,23 @@ object Profiling {
               "batch dir no resuming stream will reuse (e.g. batch=999999999 — " +
               "compaction validates labels as numeric; it is a valid " +
               "shardProfile frame) or start a fresh dir.")
-          // A post-commit crashed compaction leaves the only complete
-          // fold in _compact_tmp with some batch dirs deleted — readers
-          // of the standing dir would silently lose profile mass.
-          require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_compact_commit")),
-            s"profileSink: $standingDir holds an unfinished compaction " +
-              "(_compact_commit present) — re-run compactProfileDir to resume " +
-              "it before appending batches.")
         }
+      }
+      // A post-commit crashed compaction leaves the only complete fold
+      // in _compact_tmp with some batch dirs deleted — readers of the
+      // standing dir would silently lose profile mass. Checked on EVERY
+      // batch (not just the instance's first — lineDedupSink/applyShard
+      // discipline): the operational mistake this catches is a
+      // compaction crashing WHILE a long-lived profile stream runs, and
+      // a batch-0-only guard goes blind right after startup.
+      {
+        val path = new org.apache.hadoop.fs.Path(standingDir)
+        val fs = path.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_compact_commit")),
+          s"profileSink: $standingDir holds an unfinished compaction " +
+            "(_compact_commit present) — re-run compactProfileDir to resume " +
+            "it before appending batches.")
       }
       shardProfile(batch, cols, lgK)
         .coalesce(1)

@@ -1055,4 +1055,75 @@ class CurationPipelineSpec extends SparkSpec {
     assert((a ++ b).sorted == (0L until 40L by 5).map(_.toString).sorted,
       s"unexpected keeps: ${(a ++ b).sorted}")
   }
+
+  test("dedup_ngram and dedup_winnow steps equal operator composition") {
+    import graft.operators.Dedup
+    val d = graft.plans.Materialize(docs.select("doc_id", "lang", "text"))
+    def ids(df: org.apache.spark.sql.DataFrame) = snap(df.select("doc_id"))
+
+    // jaccard
+    val gotJ = CurationPipeline.fromYaml(d,
+      "steps:\n  - dedup_ngram: { threshold: 0.8 }\n")
+    val dropJ = Dedup.duplicateClusters(Dedup.ngramJaccard(d, 0.8, 1))
+      .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    assert(ids(gotJ).sorted ==
+      ids(d.join(dropJ, Seq("doc_id"), "left_anti")).sorted)
+
+    // containment on the embedded-short-doc fixture the metric exists for
+    val shorts = d.filter(col("doc_id") % 4 === 0).select(
+      (col("doc_id") + 100000).as("doc_id"), col("lang"),
+      array_join(slice(split(lower(col("text")), " "), 1, 6), " ").as("text"))
+    val withShorts = graft.plans.Materialize(d.unionByName(shorts))
+    val gotC = CurationPipeline.fromYaml(withShorts,
+      "steps:\n  - dedup_ngram: { threshold: 0.9, metric: containment }\n")
+    // every synthetic short doc is contained in its parent -> dropped
+    assert(gotC.filter(col("doc_id") >= 100000).count() == 0,
+      "containment step kept embedded short docs")
+    val dropC = Dedup.duplicateClusters(Dedup.ngramContainment(withShorts, 0.9, 1))
+      .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    assert(ids(gotC).sorted ==
+      ids(withShorts.join(dropC, Seq("doc_id"), "left_anti")).sorted)
+    // and symmetric jaccard at the same threshold misses them (the
+    // structural gap the metric closes)
+    val gotJOnShorts = CurationPipeline.fromYaml(withShorts,
+      "steps:\n  - dedup_ngram: { threshold: 0.9 }\n")
+    assert(gotJOnShorts.filter(col("doc_id") >= 100000).count() > 0,
+      "fixture no longer demonstrates the jaccard miss")
+
+    // winnow
+    val gotW = CurationPipeline.fromYaml(d,
+      "steps:\n  - dedup_winnow: { min_shared: 2, k: 5, w: 4 }\n")
+    val dropW = Dedup.duplicateClusters(Dedup.winnow(d, 2L, 5, 4, 256))
+      .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    assert(ids(gotW).sorted ==
+      ids(d.join(dropW, Seq("doc_id"), "left_anti")).sorted)
+
+    // metric validation is loud
+    val bad = intercept[IllegalArgumentException](CurationConfig.fromYaml(
+      "steps:\n  - dedup_ngram: { threshold: 0.8, metric: cosine }\n"))
+    assert(bad.getMessage.contains("jaccard|containment"))
+  }
+
+  test("applyShard: ngram and winnow ingest against persisted shingle/fp indexes") {
+    val corpus = graft.plans.Materialize(ingestCorpus.drop("url"))
+    def key(df: org.apache.spark.sql.DataFrame) = snap(df.select("doc_id"))
+    val shard0 = corpus.filter(col("doc_id") < 30)
+    val shard1 = corpus.filter(col("doc_id") >= 30)
+    for ((yaml, label) <- Seq(
+        ("steps:\n  - dedup_ngram: { threshold: 0.5 }\n", "ngram-jaccard"),
+        ("steps:\n  - dedup_ngram: { threshold: 0.9, metric: containment }\n",
+          "ngram-containment"),
+        ("steps:\n  - dedup_winnow: { min_shared: 2, k: 3, w: 2 }\n", "winnow"))) {
+      val p = CurationConfig.fromYaml(yaml)
+      val st = java.nio.file.Files.createTempDirectory("cpng").toString + "/s"
+      val a = key(CurationPipeline.applyShard(shard0, p, st, "0"))
+      val b = key(CurationPipeline.applyShard(shard1, p, st, "1"))
+      assert(a.sorted == key(CurationPipeline.apply(shard0, p)).sorted,
+        s"$label: bootstrap shard diverged from the batch step over itself")
+      assert(b.sorted ==
+        key(CurationPipeline.apply(corpus, p).filter(col("doc_id") >= 30)).sorted,
+        s"$label: shard ingest diverged from the batch run restricted to the shard")
+      assert(b.size < shard1.count(), s"$label dropped nothing on this fixture")
+    }
+  }
 }
