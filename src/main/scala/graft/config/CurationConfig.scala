@@ -235,6 +235,19 @@ object CurationConfig {
   final case class DedupWinnow(
       minShared: Long, k: Int, w: Int, maxBucketSize: Int) extends Step
 
+  /** LSH-hyperplane embedding near-duplicate removal through an
+    * auxiliary `(vec_id, embedding)` table (the `dedup_semantic`
+    * convention): banded signed-projection signatures bucket candidate
+    * pairs, exact cosine ≥ `threshold` verifies, connected components
+    * keep each cluster's min-id member. UNLIKE `dedup_semantic`, the
+    * hyperplanes are deterministic hash-seeded functions of the vector
+    * (no fitted state), so this step also runs in SHARD-INGEST mode
+    * against the persisted vector index.
+    */
+  final case class DedupEmbedding(
+      embTable: String, threshold: Double, bands: Int, bitsPerBand: Int,
+      maxBucketSize: Int) extends Step
+
   /** Image near-dup removal over a binary payload column: dHash
     * perceptual signatures, Hamming-banded pairs at ≤ `maxHamming`,
     * connected components, keep each cluster's min-id member —
@@ -244,6 +257,15 @@ object CurationConfig {
     * `payloadCol` beside the id.
     */
   final case class DedupPhash(maxHamming: Int, payloadCol: String) extends Step
+
+  /** Audio near-dup removal over a binary PCM-WAV payload column:
+    * Haitsma–Kalker spectral fingerprints
+    * ([[graft.operators.AudioFingerprint]]), Hamming-banded pairs at ≤
+    * `maxHamming`, connected components, keep each cluster's min-id
+    * member — the audio half of the multimodal family (dedup_phash is
+    * the image half). Signature-index shard mode like dedup_phash.
+    */
+  final case class DedupAfp(maxHamming: Int, payloadCol: String) extends Step
 
   /** Container-envelope gate (no codec, magic-byte dispatch —
     * [[graft.operators.Multimodal.containerMeta]]): keep documents
@@ -519,6 +541,10 @@ object CurationConfig {
         DedupPhash(
           longParam("max_hamming").getOrElse(2L).toInt,
           params.get("payload_col").map(_.toString).getOrElse("payload"))
+      case "dedup_afp" =>
+        DedupAfp(
+          longParam("max_hamming").getOrElse(2L).toInt,
+          params.get("payload_col").map(_.toString).getOrElse("payload"))
       case "container_meta" =>
         val fmts = params.get("formats")
           .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
@@ -528,6 +554,14 @@ object CurationConfig {
         require(c.formats.nonEmpty || c.maxDurationMs.nonEmpty,
           s"step #$idx: container_meta needs formats and/or max_duration_ms")
         c
+      case "dedup_embedding" =>
+        DedupEmbedding(
+          need(params.get("embeddings").map(_.toString),
+            "'embeddings' (auxiliary (vec_id, embedding) table name)"),
+          need(doubleParam("threshold"), "'threshold'"),
+          longParam("bands").getOrElse(32L).toInt,
+          longParam("bits").getOrElse(4L).toInt,
+          longParam("max_bucket").getOrElse(256L).toInt)
       case "dedup_semantic" =>
         DedupSemantic(
           need(params.get("embeddings").map(_.toString),
@@ -592,7 +626,7 @@ object CurationConfig {
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: blocklist, c4_filter, clean, normalize, redact, " +
-            "compress, dedup_exact, dedup_lines, dedup_minhash, dedup_ngram, dedup_semantic, dedup_simhash, dedup_winnow, " +
+            "compress, dedup_afp, dedup_embedding, dedup_exact, dedup_lines, dedup_minhash, dedup_ngram, dedup_semantic, dedup_simhash, dedup_winnow, " +
             "dedup_soft, decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
             "sample_diverse, sink, sink_tar, sink_tokens, split, strip_html, shuffle, temperature, chunk, decontaminate, perplexity, " +

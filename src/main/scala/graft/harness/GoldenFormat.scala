@@ -28,7 +28,8 @@ object GoldenFormat {
       "streaming_embedding_replay", "streaming_quality_replay",
       "tokenizer_stats_bpe", "tokenizer_stats_unigram",
       "curation_release_incr_near", "curation_release_incr_more",
-      "curation_pipeline_winnow")
+      "curation_pipeline_winnow", "curation_pipeline_embdedup",
+      "curation_release_incr_emb")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

@@ -288,6 +288,108 @@ object MediaFixtures {
     spark.createDataFrame(rdd, mediaIdPayloadSchema)
   }
 
+  /** The audio fingerprint [[wavPayload]]'s clip realizes, closed-form
+    * in id — the [[dhashTarget]] family scheme (families of 5, variant
+    * v flips bit v−1) with an independent seed stream, so the SQL
+    * oracle is the same within-family pair set.
+    */
+  def afpTarget(id: Long): Long = {
+    val base = splitmix64(id / 5 + 0xa0d10aL)
+    val v = id % 5
+    base ^ (if (v == 0) 0L else 1L << (v - 1))
+  }
+
+  /** A canonical PCM-16 mono WAV (8 kHz, 3 × 4096 samples) whose
+    * Haitsma–Kalker fingerprint is exactly [[afpTarget]](id): one pure
+    * tone per log band, each tone pinned to an exact DFT bin of the
+    * 4096-sample frame (rectangular window + integer bin = zero
+    * leakage), amplitudes realizing a band-energy staircase whose
+    * difference-of-differences signs ARE the target bits (frame 0 flat;
+    * frame n adds ±δ per band pair per target bit, telescoped from the
+    * top band so all energies stay positive). Builder (synthesizes
+    * samples) and hasher (FFT + band sums + sign comparisons) are
+    * independent code paths over the same closed-form expectation.
+    */
+  def wavPayload(id: Long): Array[Byte] = {
+    import graft.operators.AudioFingerprint.{bandEdges, FrameLen, NumBands, NumFrames, FreqLo, FreqHi}
+    val target = afpTarget(id)
+    val sr = 8000
+    val bins = Array.tabulate(NumBands) { m =>
+      val k = math.round(math.sqrt(bandEdges(m) * bandEdges(m + 1)) * FrameLen / sr).toInt
+      val fk = k.toDouble * sr / FrameLen
+      val mBack = math.min(NumBands - 1,
+        (NumBands * math.log(fk / FreqLo) / math.log(FreqHi / FreqLo)).toInt)
+      require(fk >= FreqLo && fk < FreqHi && mBack == m,
+        s"wavPayload: tone bin $k leaks out of band $m")
+      k
+    }
+    val C = 5.0; val dlt = 0.05
+    val e = Array.ofDim[Double](NumFrames, NumBands)
+    var n = 0
+    while (n < NumFrames) {
+      e(n)(NumBands - 1) = C
+      var m = NumBands - 2
+      while (m >= 0) {
+        val d =
+          if (n == 0) 0.0
+          else {
+            val d1 = if (((target >>> m) & 1L) == 1L) dlt else -dlt
+            if (n == 1) d1
+            else d1 + (if (((target >>> (32 + m)) & 1L) == 1L) dlt else -dlt)
+          }
+        e(n)(m) = e(n)(m + 1) + d
+        m -= 1
+      }
+      n += 1
+    }
+    val gain = 300.0
+    val x = new Array[Double](NumFrames * FrameLen)
+    n = 0
+    while (n < NumFrames) {
+      var m = 0
+      while (m < NumBands) {
+        val a = math.sqrt(e(n)(m)) * gain
+        val w = 2.0 * math.Pi * bins(m) / FrameLen
+        var t = 0
+        while (t < FrameLen) {
+          x(n * FrameLen + t) += a * math.sin(w * t)
+          t += 1
+        }
+        m += 1
+      }
+      n += 1
+    }
+    val dataLen = x.length * 2
+    val o = new ByteArrayOutputStream()
+    def le16o(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff) }
+    def le32o(v: Int): Unit = { le16o(v & 0xffff); le16o((v >>> 16) & 0xffff) }
+    o.write("RIFF".getBytes("US-ASCII")); le32o(36 + dataLen)
+    o.write("WAVE".getBytes("US-ASCII"))
+    o.write("fmt ".getBytes("US-ASCII")); le32o(16)
+    le16o(1); le16o(1)       // PCM, mono
+    le32o(sr); le32o(sr * 2) // sample rate, byte rate
+    le16o(2); le16o(16)      // block align, bits per sample
+    o.write("data".getBytes("US-ASCII")); le32o(dataLen)
+    var i = 0
+    while (i < x.length) {
+      le16o(math.round(x(i)).toInt & 0xffff)
+      i += 1
+    }
+    o.toByteArray
+  }
+
+  /** (media_id, payload) frame of synthetic fingerprint-oracle WAV
+    * clips, one per input id — generated partition-wise.
+    */
+  def syntheticWavs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      Row(id, wavPayload(id))
+    })
+    spark.createDataFrame(rdd, mediaIdPayloadSchema)
+  }
+
   def payloadFor(id: Long): Array[Byte] = (id % 6) match {
     case 0 => mp4Payload(id)
     case 1 => mp3Payload(id)

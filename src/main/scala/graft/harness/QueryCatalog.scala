@@ -1706,6 +1706,67 @@ object QueryCatalog {
               |WHERE a.doc_id >= 250 OR b.doc_id >= 250
               |ORDER BY 1, 2""".stripMargin)),
 
+    // Audio perceptual-fingerprint dedup: Haitsma–Kalker spectral
+    // fingerprints over decoded PCM-WAV, Hamming-banded candidates,
+    // exact bit_count verify — the audio half of the multimodal family.
+    // The synthetic WAV corpus (MediaFixtures.syntheticWavs — an
+    // independent synthesis code path: tones on exact DFT bins whose
+    // band-energy staircase realizes a CLOSED-FORM fingerprint) uses
+    // the same family scheme as dedup_phash (families of 5, variant v
+    // flips bit v−1; cross-family base fingerprints ≥ 13 bits apart,
+    // asserted in ExtensionsSpec), so the expected pair set is exactly
+    // the within-family pairs, in plain SQL.
+    Q("dedup_afp", (s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id"))
+      AudioFingerprint.dedup(MediaFixtures.syntheticWavs(ids), maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END AS INT) AS hamming
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |ORDER BY 1, 2""".stripMargin), bench = true),
+
+    Q("dedup_afp_incr", (s, dir) => {
+      // Incremental audio near-dup: shard (doc_id >= 250) decoded
+      // against the PERSISTED fingerprint index of the corpus
+      // (doc_id < 250) — the dedup_phash_incr shape, audio edition,
+      // with the same mid-family split guaranteeing corpus↔shard pairs.
+      val ids = docs(s, dir).select(col("doc_id"))
+      val all = MediaFixtures.syntheticWavs(ids)
+      val idxDir = s"/tmp/graft_afpidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      AudioFingerprint.signatures(all.filter(col("media_id") < 250))
+        .write.mode("overwrite").parquet(idxDir)
+      AudioFingerprint.dedupIncremental(
+          all.filter(col("media_id") >= 250), s.read.parquet(idxDir),
+          maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END AS INT) AS hamming
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |WHERE a.doc_id >= 250 OR b.doc_id >= 250
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // dedup_afp as a language STEP over a multimodal corpus (payload =
+    // synthetic WAV beside doc metadata), min-id keep per family
+    // cluster — full SQL oracle like curation_pipeline_media.
+    Q("curation_pipeline_audio", (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+        .join(MediaFixtures.syntheticWavs(docs(s, dir).select(col("doc_id")))
+          .withColumnRenamed("media_id", "doc_id"), Seq("doc_id"))
+      CurationPipeline.fromYaml(d,
+        """steps:
+          |  - dedup_afp: { max_hamming: 2 }
+          |""".stripMargin)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some("""WITH m AS (SELECT doc_id, lang, doc_id // 5 AS fam FROM documents)
+              |SELECT doc_id, lang FROM m
+              |WHERE doc_id IN (SELECT MIN(doc_id) FROM m GROUP BY fam)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("text_repetition", (s, dir) =>
       // Gopher-style repetition quality filters: duplicate-token /
       // duplicate-bigram fractions, most-frequent-n-gram share.
@@ -3263,7 +3324,7 @@ object QueryCatalog {
              |  UNION SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.u),
              |dr AS (SELECT u FROM reach GROUP BY u HAVING MIN(m) < u)
              |SELECT doc_id, lang FROM q WHERE doc_id NOT IN (SELECT u FROM dr)
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin), bench = true),
 
     // Asymmetric CONTAINMENT dedup as a language step, on the fixture
     // that motivates it: synthetic short docs (the first 6 words of
@@ -3322,6 +3383,46 @@ object QueryCatalog {
         .select("doc_id", "lang")
         .orderBy("doc_id"),
       None),
+
+    // LSH-hyperplane embedding near-dup as a language STEP through the
+    // auxiliary embeddings table (the dedup_semantic aux convention).
+    // Unlike dedup_semantic's live-corpus IVF fit, the hyperplanes are
+    // deterministic functions of the vector — hash-seeded → golden,
+    // like dedup_embedding_lsh; step-vs-operator parity in
+    // CurationPipelineSpec.
+    Q("curation_pipeline_embdedup", (s, dir) =>
+      CurationPipeline.fromYaml(docs(s, dir),
+        """steps:
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_embedding: { embeddings: emb, threshold: 0.4, bits: 2 }
+          |""".stripMargin,
+        aux = Map("emb" -> Tables.table(s, dir, "embeddings")))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      None),
+
+    // …and the same step ingesting by SHARD through the persisted
+    // (vec_id, embedding) index — deterministic hyperplanes mean no
+    // fitted state, so the shard-mode refusal now holds ONLY the
+    // live-corpus fits (dedup_semantic / sample_diverse). Golden;
+    // shard-vs-batch parity in CurationPipelineSpec.
+    Q("curation_release_incr_emb", (s, dir) => {
+      val state = scratchDir("graft_incr_emb_state", dir)
+      val auxEmb = Map("emb" -> Tables.table(s, dir, "embeddings"))
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_embedding: { embeddings: emb, threshold: 0.4, bits: 2 }
+          |""".stripMargin)
+      val d = docs(s, dir)
+      val s0 = CurationPipeline.applyShard(
+          d.filter(col("doc_id") < 250), p, state, "0", aux = auxEmb)
+        .select("doc_id", "lang")
+      val s1 = CurationPipeline.applyShard(
+          d.filter(col("doc_id") >= 250), p, state, "1", aux = auxEmb)
+        .select("doc_id", "lang")
+      s0.unionByName(s1).orderBy("doc_id")
+    }, None),
 
     // SHARD-INGEST ngram dedup: two ingest-ordered shards through the
     // persisted (doc_id, shingle) index — corpus never re-shingled. The
@@ -3536,6 +3637,50 @@ object QueryCatalog {
         .orderBy("doc_id")
     }, Some(incrReleaseOracle)),
 
+    // RELEASE-DIR compaction, parquet face: the streaming curation
+    // release's accumulated shard=<batchId> slices folded IN PLACE into
+    // one shard=c<maxId> dir after the stream stops (the offline
+    // contract), the read-back unchanged under the same composed oracle
+    // — the curationSink twin of curation_release_incr_compact's STATE
+    // fold, closing the "thousands of micro-batches = thousands of
+    // dirs" gap on the release side.
+    Q("streaming_curation_replay_compact", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val rows = lined.select("doc_id", "lang", "text", "url")
+        .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+      val base = scratchDir("graft_stream_curc", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - perplexity: { max_ppl: 150, vocab: 20 }
+          |""".stripMargin)
+      val input = MemoryStream[(Long, String, String, String)]
+      val q = input.toDF().toDF("doc_id", "lang", "text", "url")
+        .writeStream.outputMode("append")
+        .foreachBatch(CurationPipeline.curationSink(p, s"$base/state", s"$base/release"))
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
+        .filter(_.nonEmpty)
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      CurationPipeline.compactRelease(s, s"$base/release")
+      s.read.parquet(s"$base/release")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }, Some(incrReleaseOracle)),
+
     // SHARD-INGEST release (the production topology): shard 0 bootstraps
     // the standing state — url index, line index, exact-hash index, and
     // the served LM — and shard 1 joins the release against it; the
@@ -3629,6 +3774,75 @@ object QueryCatalog {
       val d = docs(s, dir)
       CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
       CurationPipeline.applyShard(d.filter(col("doc_id") >= 250), p, state, "1")
+      graft.sources.TokenShards.scanTokens(s, s"$rel/shards")
+        .select(col("bucket"), col("seq"), col("n"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          element_at(col("ids"), 1).as("first_id"))
+        .orderBy("bucket", "seq")
+    }, Some(incrTokensOracleSql)),
+
+    // RELEASE-DIR compaction, tar face: three ingest-ordered shards,
+    // the accumulated batch=0/batch=1 tar slices folded IN PLACE into
+    // one batch=c1 dir (StateCompaction protocol, _SUCCESS preserved)
+    // between shard 1 and shard 2 — thousands of micro-batches must not
+    // mean thousands of dirs per read. Shard 2 then appends beside the
+    // folded dir and the standing release still reads as ONE corpus
+    // through scanTar(requireSuccess = true), gated on the same
+    // composed oracle (compaction is layout, never semantics; the LM
+    // still fits on shard 0 = doc_id < 250, so the 3-way split replays
+    // under the unchanged 2-way oracle).
+    Q("curation_release_incr_tar_compact", (s, dir) => {
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val state = scratchDir("graft_incr_tarc_state", dir)
+      val rel = scratchDir("graft_incr_tarc_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - url_dedup: {}
+           |  - dedup_lines: { min_chars: 10 }
+           |  - dedup_exact: {}
+           |  - perplexity: { max_ppl: 150, vocab: 20 }
+           |  - sink_tar: { path: $rel, target_bytes: 65536 }
+           |""".stripMargin)
+      CurationPipeline.applyShard(lined.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(
+        lined.filter(col("doc_id") >= 250 && col("doc_id") < 375), p, state, "1")
+      graft.sources.WebDataset.compactTarRelease(s, rel, targetShardBytes = 65536)
+      CurationPipeline.applyShard(lined.filter(col("doc_id") >= 375), p, state, "2")
+      val m = graft.sources.WebDataset.samples(
+        graft.sources.WebDataset.scanTar(s, rel, requireSuccess = true),
+        Seq("txt", "cls"))
+      m.select(col("key").cast("long").as("doc_id"),
+          decode(col("cls"), "UTF-8").as("lang"),
+          decode(col("txt"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }, Some(incrReleaseOracle)),
+
+    // …token face: the standing shards/ layout folded in place after
+    // both shards, scanTokens read-back unchanged under the same pack
+    // replay oracle — the (bucket, seq) keyspace survives the repack
+    // byte-identically.
+    Q("curation_release_incr_tokens_compact", (s, dir) => {
+      val state = scratchDir("graft_incr_tokc_state", dir)
+      val rel = scratchDir("graft_incr_tokc_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink_tokens: { path: $rel, budget: 128, vocab: 1000,
+           |                   buckets: 8, target_bytes: 16384 }
+           |""".stripMargin)
+      val d = docs(s, dir)
+      CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(d.filter(col("doc_id") >= 250), p, state, "1")
+      graft.sources.WebDataset.compactTarRelease(
+        s, s"$rel/shards", targetShardBytes = 16384)
       graft.sources.TokenShards.scanTokens(s, s"$rel/shards")
         .select(col("bucket"), col("seq"), col("n"),
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),

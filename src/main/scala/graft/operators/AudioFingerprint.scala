@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Audio perceptual-fingerprint dedup: Haitsma–Kalker-shaped spectral
+  * fingerprints (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting
+  * System", ISMIR 2002) over decoded PCM-WAV payloads, Hamming-banded
+  * candidate generation, exact-Hamming verification — the audio half of
+  * the multimodal near-dup family ([[PerceptualHash]] is the image
+  * half; byte-identical copies are caught by payload hashing, the
+  * fingerprint additionally catches re-encodes, level changes and
+  * slight edits, which dominate real audio duplication).
+  *
+  * Fingerprint convention (FIXED — committed fixtures depend on it):
+  * the decoded mono signal's first 3 × 4096 samples form three
+  * non-overlapping frames; each frame's rectangular-window DFT energies
+  * sum into 33 log-spaced frequency bands between 300 Hz and 2000 Hz
+  * (edges `e_j = 300·(2000/300)^(j/33)`, the published band layout);
+  * bit `(n−1)·32 + m` of the 64-bit fingerprint (frame n ∈ {1, 2},
+  * band-pair m ∈ {0..31}) is set iff the energy-difference-of-
+  * differences `(E(n,m) − E(n,m+1)) − (E(n−1,m) − E(n−1,m+1))` is
+  * strictly positive — the sign of the time-and-frequency derivative,
+  * which survives volume, EQ tilt and re-encoding, is what makes this a
+  * perceptual (not cryptographic) hash. Payloads that are not PCM-WAV,
+  * are shorter than 3 frames, or whose sample rate cannot carry the
+  * 2 kHz band (sr < 4000) produce no signature.
+  *
+  * Decode coverage: canonical RIFF/WAVE PCM (format 1), 16-bit, any
+  * channel count (channels average to mono) — the uncompressed
+  * interchange format, parsed by byte arithmetic like [[Multimodal]]'s
+  * BMP walk. Compressed codecs stay out of scope (the public-knowledge
+  * container boundary [[Multimodal.containerMeta]] documents).
+  *
+  * Scale shape: fingerprinting is one partition-wise decode pass (the
+  * payload never shuffles — 8 bytes of signature per clip leave the
+  * scan); pairing reuses [[Dedup.hammingBandPairs]] — 4×16-bit chunk
+  * banding with the bucket-size skew cap, exact `bit_count` verify, and
+  * an identical-hash pre-pass so mass-duplicate clips surface as
+  * O(cluster) star pairs instead of blowing a bucket.
+  */
+object AudioFingerprint {
+
+  private[graft] val FrameLen = 4096
+  private[graft] val NumFrames = 3
+  private[graft] val NumBands = 33
+  private[graft] val FreqLo = 300.0
+  private[graft] val FreqHi = 2000.0
+
+  /** Band edges `e_0 .. e_33` (log-spaced, the HK layout). */
+  private[graft] val bandEdges: Array[Double] =
+    Array.tabulate(NumBands + 1)(j =>
+      FreqLo * math.pow(FreqHi / FreqLo, j.toDouble / NumBands))
+
+  /** Canonical RIFF/WAVE PCM-16 parse → (sampleRate, mono samples).
+    * Chunk-walks fmt/data (extra chunks tolerated); anything not
+    * format-1 16-bit is None — loud refusal belongs to container
+    * gates, a fingerprint pass just skips what it cannot hash.
+    */
+  private[graft] def wavPcm(p: Array[Byte]): Option[(Int, Array[Double])] = {
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (le16(o).toLong & 0xffffL) | ((le16(o + 2).toLong & 0xffffL) << 16)
+    if (p.length < 44) return None
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (format, channels, sampleRate)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val name = new String(p, off, 4, "US-ASCII")
+      val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > p.length) return None
+      if (name == "fmt " && size >= 16)
+        fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12).toInt))
+      if (name == "data") data = Some((off + 8, size.toInt))
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    val (format, channels, sr) = fmt.getOrElse(return None)
+    val (dOff, dLen) = data.getOrElse(return None)
+    if (format != 1 || channels < 1 || sr <= 0) return None
+    // bits-per-sample lives at fmt offset +14; re-walk to find fmt off.
+    var fOff = 12
+    var bitsPerSample = -1
+    while (fOff + 8 <= p.length && bitsPerSample < 0) {
+      val name = new String(p, fOff, 4, "US-ASCII")
+      val size = le32(fOff + 4).toInt
+      if (name == "fmt " && size >= 16) bitsPerSample = le16(fOff + 8 + 14)
+      fOff += 8 + size + (size & 1)
+    }
+    if (bitsPerSample != 16) return None
+    val bytesPerFrame = 2 * channels
+    val n = dLen / bytesPerFrame
+    val mono = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = dOff + i * bytesPerFrame + 2 * c
+        s += ((p(o) & 0xff) | (p(o + 1).toInt << 8)).toShort.toDouble
+        c += 1
+      }
+      mono(i) = s / channels
+      i += 1
+    }
+    Some((sr, mono))
+  }
+
+  /** In-place iterative radix-2 complex FFT (Cooley–Tukey), length a
+    * power of two — textbook form, enough for the fixed 4096 frame.
+    */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** The 64-bit HK fingerprint of a PCM-WAV payload, or None when the
+    * payload cannot carry it (wrong container/codec, too short, sample
+    * rate below 2·FreqHi, or an empty band at this sample rate).
+    */
+  def fingerprint(payload: Array[Byte]): Option[Long] = {
+    val (sr, mono) = wavPcm(payload).getOrElse(return None)
+    if (sr < 2 * FreqHi.toInt) return None
+    if (mono.length < NumFrames * FrameLen) return None
+    val energies = Array.ofDim[Double](NumFrames, NumBands)
+    var n = 0
+    while (n < NumFrames) {
+      val re = new Array[Double](FrameLen)
+      val im = new Array[Double](FrameLen)
+      System.arraycopy(mono, n * FrameLen, re, 0, FrameLen)
+      fft(re, im)
+      var k = 1
+      while (k < FrameLen / 2) {
+        val f = k.toDouble * sr / FrameLen
+        if (f >= FreqLo && f < FreqHi) {
+          // log-index of f inside the band layout
+          val m = math.min(NumBands - 1,
+            (NumBands * math.log(f / FreqLo) / math.log(FreqHi / FreqLo)).toInt)
+          energies(n)(m) += re(k) * re(k) + im(k) * im(k)
+        }
+        k += 1
+      }
+      n += 1
+    }
+    // Bin coverage needs no runtime check: at sr ≥ 4000 (enforced above)
+    // and FrameLen 4096 the bin spacing is ≤ 0.98 Hz while the narrowest
+    // log band (300–317 Hz) spans ~17 Hz — every band sees ≥ 17 bins.
+    var hash = 0L
+    var fn = 1
+    while (fn < NumFrames) {
+      var b = 0
+      while (b < NumBands - 1) {
+        val dd = (energies(fn)(b) - energies(fn)(b + 1)) -
+          (energies(fn - 1)(b) - energies(fn - 1)(b + 1))
+        if (dd > 0) hash |= 1L << ((fn - 1) * 32 + b)
+        b += 1
+      }
+      fn += 1
+    }
+    Some(hash)
+  }
+
+  private val sigSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /** (media_id, afp) signatures — one partition-wise decode pass, no
+    * payload shuffle; undecodable payloads drop (they cannot near-dup).
+    */
+  def signatures(
+      media: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"
+  ): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .rdd.mapPartitions(_.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else fingerprint(r.getAs[Array[Byte]](1))
+          .map(h => Row(r.getLong(0), h)).iterator
+      })
+    spark.createDataFrame(rdd, sigSchema)
+  }
+
+  /** Near-dup pairs `(doc_a, doc_b, hamming)` at Hamming ≤ `maxHamming`
+    * over the corpus' fingerprints — identical-hash star pre-pass +
+    * [[Dedup.hammingBandPairs]], the [[PerceptualHash.dedup]] shape.
+    */
+  def dedup(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      maxBucketSize: Int = 256,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"
+  ): DataFrame =
+    dedupFromSignatures(signatures(media, idCol, payloadCol), maxHamming, maxBucketSize)
+
+  /** Incremental audio near-dup: a shard of clips against the PERSISTED
+    * fingerprint index of the corpus ([[signatures]] output) — only the
+    * shard is DECODED; the corpus contributes its 8-byte fingerprints.
+    * Output exactly equals [[dedup]] over (corpus ∪ shard) restricted
+    * to pairs touching ≥ 1 shard id (ids must be disjoint) — the
+    * [[PerceptualHash.dedupIncremental]] contract, audio edition.
+    */
+  def dedupIncremental(
+      shard: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 2,
+      maxBucketSize: Int = 256,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"
+  ): DataFrame = {
+    require(corpusSigs.columns.sorted.sameElements(Array("afp", "media_id")),
+      s"not an audio signatures frame (columns ${corpusSigs.columns.mkString(",")}); " +
+        "build it with AudioFingerprint.signatures")
+    val shardSigs = signatures(shard, idCol, payloadCol)
+    val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
+    dedupFromSignatures(
+      corpusSigs.select(col("media_id").cast("long"), col("afp").cast("long"))
+        .unionByName(shardSigs),
+      maxHamming, maxBucketSize)
+      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
+        Seq("doc_a"), "left")
+      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
+        Seq("doc_b"), "left")
+      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  private def dedupFromSignatures(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
+    val wHash = Window.partitionBy("afp")
+    val withRep = sigs.withColumn("__rep", min(col("media_id")).over(wHash))
+    val reps = withRep.filter(col("media_id") === col("__rep"))
+      .select(col("media_id").as("doc_id"), col("afp").as("sig"))
+    val starPairs = withRep.filter(col("media_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("media_id").as("doc_b"))
+      .withColumn("hamming", lit(0))
+    Dedup.hammingBandPairs(reps, maxHamming, maxBucketSize)
+      .unionByName(starPairs)
+  }
+}

@@ -244,6 +244,23 @@ object CurationPipeline {
       .foreach(st => StateCompaction.compactBatchDir(spark, st.getPath.toString))
   }
 
+  /** IN-PLACE crash-safe compaction of a [[curationSink]] PARQUET
+    * release dir: folds the accumulated `shard=<batchId>` slices into
+    * ONE `shard=c<maxId>` dir under the same root (the
+    * [[StateCompaction]] protocol with the release's slice prefix), so
+    * thousands of micro-batches stop meaning thousands of dirs on every
+    * `spark.read.parquet(releaseDir)` while readers keep reading the
+    * same standing path. Offline contract as always: stop the stream
+    * first; a resumed stream appends fresh numeric `shard=<id>` dirs
+    * beside the folded one (`c<maxId>` orders as `maxId`). Releases
+    * whose terminal step is sink_tar / sink_tokens compact via
+    * [[graft.sources.WebDataset.compactTarRelease]] instead.
+    */
+  def compactRelease(
+      spark: SparkSession, releaseDir: String, numFiles: Int = 8): Unit =
+    StateCompaction.compactBatchDir(
+      spark, releaseDir, numFiles = numFiles, prefix = "shard=")
+
   /** STREAMING ingest for the whole curation language — the
     * foreachBatch sink: each micro-batch is one crawl shard curated by
     * [[applyShard]] against the standing state (shard label = the
@@ -444,6 +461,27 @@ object CurationPipeline {
           .select(asIdType(col("doc_id")))
         df.join(drop, Seq(idCol), "left_anti")
 
+      case DedupEmbedding(embTable, threshold, bands, bits, maxBucket) =>
+        // The hyperplanes are DETERMINISTIC hash-seeded functions of the
+        // vector — no fitted state — so shard ingest needs only the
+        // persisted (vec_id, embedding) rows of every doc that reached
+        // this step (kept or dropped: union-graph discipline, like
+        // minhash/simhash). Only dedup_semantic/sample_diverse, whose
+        // fits are over the LIVE corpus, stay corpus-global.
+        val dir = stateSub("embedding_index")
+        val prior = priorBatches(dir)
+        val emb = liveEmbeddings(df, idCol, embTable, aux, "dedup_embedding")
+        writeIncrement(dir, emb.select("vec_id", "embedding"))
+        val corpus =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*).select("vec_id", "embedding")
+        val pairs = Dedup.embeddingNearDupIncremental(
+          emb, corpus, threshold, bands, bits, maxBucket)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
       case DedupNgram(threshold, metric, shingleN) =>
         val dir = stateSub("ngram_index")
         val prior = priorBatches(dir)
@@ -513,6 +551,27 @@ object CurationPipeline {
           if (prior.isEmpty) readOwn(dir).limit(0)
           else spark.read.parquet(prior: _*)
         val pairs = PerceptualHash.dedupIncremental(media, index, maxHamming)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
+      case DedupAfp(maxHamming, payloadCol) =>
+        require(df.columns.contains(payloadCol),
+          s"dedup_afp: no binary payload column '$payloadCol' on the shard frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val dir = stateSub("afp_index")
+        val prior = priorBatches(dir)
+        val media = df.select(col(idCol).cast("long").as("media_id"),
+          col(payloadCol).cast("binary").as("payload"))
+        // Only the shard is ever DECODED; the corpus contributes its
+        // persisted 8-byte fingerprints (the dedup_phash shard shape,
+        // audio edition). The index holds every clip reaching the step.
+        writeIncrement(dir, AudioFingerprint.signatures(media))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*)
+        val pairs = AudioFingerprint.dedupIncremental(media, index, maxHamming)
         val drop = Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(asIdType(col("doc_id")))
@@ -734,7 +793,9 @@ object CurationPipeline {
     case DedupNgram(_, _, _) => "dedup_ngram"
     case DedupWinnow(_, _, _, _) => "dedup_winnow"
     case DedupPhash(_, _) => "dedup_phash"
+    case DedupAfp(_, _) => "dedup_afp"
     case ContainerMetaFilter(_, _, _) => "container_meta"
+    case DedupEmbedding(_, _, _, _, _) => "dedup_embedding"
     case DedupSemantic(_, _, _, _) => "dedup_semantic"
     case SampleDiverse(_, _, _) => "sample_diverse"
     case ImportanceSample(_, _, _, _) => "importance_sample"
@@ -1027,6 +1088,18 @@ object CurationPipeline {
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
         df.join(drop, Seq(idCol), "left_anti")
+      case DedupAfp(maxHamming, payloadCol) =>
+        require(df.columns.contains(payloadCol),
+          s"dedup_afp: no binary payload column '$payloadCol' on the frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val pairs = AudioFingerprint.dedup(
+          df.select(col(idCol).cast("long").as("media_id"),
+            col(payloadCol).cast("binary").as("payload")),
+          maxHamming)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
       case ContainerMetaFilter(formats, maxDurMs, payloadCol) =>
         require(df.columns.contains(payloadCol),
           s"container_meta: no binary payload column '$payloadCol' on the frame " +
@@ -1045,6 +1118,13 @@ object CurationPipeline {
         val keep = meta.filter(conds.reduce(_ && _))
           .select(col("media_id").cast(df.schema(idCol).dataType).as(idCol))
         df.join(keep, Seq(idCol), "left_semi")
+      case DedupEmbedding(embTable, threshold, bands, bits, maxBucket) =>
+        val emb = liveEmbeddings(df, idCol, embTable, aux, "dedup_embedding")
+        val pairs = Dedup.embeddingNearDup(emb, threshold, bands, bits, maxBucket)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
       case DedupSemantic(embTable, threshold, nlist, nprobe) =>
         val emb = liveEmbeddings(df, idCol, embTable, aux, "dedup_semantic")
         val drop = Dedup.semDeDup(emb, threshold, nlist, nprobe)

@@ -13,12 +13,18 @@ import org.apache.spark.sql.SparkSession
   * ordered as `maxId`, so strictly-earlier prior reads and resumed
   * numeric batch ids stay correct.
   *
+  * The same protocol also compacts RELEASE layouts: the parquet
+  * `shard=<id>` slices a [[CurationPipeline.curationSink]] accumulates
+  * (pass `prefix = "shard="`), and — through
+  * [[graft.sources.WebDataset.compactTarRelease]]'s fold — the
+  * `batch=<id>` tar slice dirs of sink_tar / sink_tokens releases.
+  *
   * Offline contract: stop the writing stream/ingest CLEANLY first — a
   * re-delivered uncommitted batch would rewrite its own dir after its
   * rows were folded, and self-excluding readers would then see those
   * rows twice.
   *
-  * Commit protocol (crash-safe at every point): (A) write the union to
+  * Commit protocol (crash-safe at every point): (A) write the fold to
   * `_compact_tmp`; (B) write `_compact_commit` naming the target dir
   * and the folded batch dirs — the point of no return; (C) delete the
   * folded dirs, rename the tmp into place, drop the marker. A crash
@@ -35,14 +41,16 @@ object StateCompaction {
   def labelOrd(label: String, where: String): Long =
     (if (label.startsWith("c")) label.drop(1) else label).toLongOption
       .getOrElse(throw new IllegalArgumentException(
-        s"$where: unrecognized batch dir 'batch=$label' — batch labels must " +
+        s"$where: unrecognized batch dir label '$label' — labels must " +
           "be numeric (compacted dirs carry a single c prefix)"))
 
   /** Fold `dir`'s `batch=<id>` subdirectories into `batch=c<maxId>`.
     * `select` optionally projects the folded columns (Nil = full
     * schema); `rewrite` post-processes the union (identity for the
     * disjoint index layouts; an algebra fold for mergeable sketches);
-    * `numFiles` sizes the rewrite (1 suits thin index rows).
+    * `numFiles` sizes the rewrite (1 suits thin index rows); `prefix`
+    * names the slice-dir convention (`batch=` for ingest state,
+    * `shard=` for curationSink's parquet release slices).
     */
   def compactBatchDir(
       spark: SparkSession,
@@ -50,11 +58,29 @@ object StateCompaction {
       select: Seq[String] = Nil,
       rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
         identity,
-      numFiles: Int = 1
-  ): Unit = {
+      numFiles: Int = 1,
+      prefix: String = "batch="
+  ): Unit =
+    runProtocol(spark, dir, prefix, "compactBatchDir") { (inputs, tmp) =>
+      val all = spark.read.parquet(inputs: _*)
+      val projected =
+        if (select.isEmpty) all else all.select(select.head, select.tail: _*)
+      rewrite(projected).coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The shared crash-safe commit protocol: resume/clean any prior
+    * attempt, list and validate the `prefix`-keyed slice dirs, run
+    * `fold(inputPaths, tmpPath)` to write the folded artifact to the
+    * tmp, then commit (marker → delete inputs → rename tmp → drop
+    * marker). The fold callback owns the artifact format (parquet
+    * union, tar repack); everything crash-safety-critical lives here.
+    */
+  private[graft] def runProtocol(
+      spark: SparkSession, dir: String, prefix: String, where: String)(
+      fold: (Seq[String], String) => Unit): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(root), s"compactBatchDir: no such dir $dir")
+    require(fs.exists(root), s"$where: no such dir $dir")
     val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
     val marker = new org.apache.hadoop.fs.Path(root, "_compact_commit")
     if (fs.exists(marker)) {
@@ -70,8 +96,8 @@ object StateCompaction {
       // The marker is published by atomic rename, so a readable marker
       // is a complete one — an empty/garbled body means someone wrote
       // it by hand; refuse rather than resume against garbage.
-      require(lines.length >= 2 && lines.forall(_.startsWith("batch=")),
-        s"compactBatchDir: malformed _compact_commit marker in $dir " +
+      require(lines.length >= 2 && lines.forall(_.startsWith(prefix)),
+        s"$where: malformed _compact_commit marker in $dir " +
           s"(${lines.length} lines) — not written by this protocol; resolve by hand")
       val target = new org.apache.hadoop.fs.Path(root, lines.head)
       lines.tail.filterNot(_ == lines.head).foreach { name =>
@@ -81,7 +107,7 @@ object StateCompaction {
       if (fs.exists(tmp)) {
         if (fs.exists(target)) fs.delete(target, true) // stale pre-fold dir
         require(fs.rename(tmp, target),
-          s"compactBatchDir: resume-rename of compacted output failed in $dir")
+          s"$where: resume-rename of compacted output failed in $dir")
       }
       fs.delete(marker, false)
     } else if (fs.exists(tmp)) {
@@ -90,19 +116,16 @@ object StateCompaction {
       fs.delete(tmp, true)
     }
     val batchDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
     require(batchDirs.nonEmpty,
-      s"compactBatchDir: $dir holds no batch=<id> subdirectories")
+      s"$where: $dir holds no $prefix<id> subdirectories")
     if (batchDirs.length < 2) return // nothing to fold
     // Validate every label BEFORE any work — a foreign dir must refuse
     // the whole fold, not die mid-protocol.
     val maxId = batchDirs.map(st => labelOrd(
-      st.getPath.getName.stripPrefix("batch="), "compactBatchDir")).max
-    val all = spark.read
-      .parquet(batchDirs.map(_.getPath.toString).toIndexedSeq: _*)
-    val projected = if (select.isEmpty) all else all.select(select.head, select.tail: _*)
-    rewrite(projected).coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
-    val target = s"batch=c$maxId"
+      st.getPath.getName.stripPrefix(prefix), where)).max
+    fold(batchDirs.map(_.getPath.toString).toIndexedSeq, tmp.toString)
+    val target = s"${prefix}c$maxId"
     // The marker IS the commit point, so its own write must be atomic:
     // a crash mid-write would otherwise leave a truncated marker whose
     // resume deletes fewer dirs than the tmp folded (silent
@@ -114,10 +137,10 @@ object StateCompaction {
       .mkString("\n").getBytes("UTF-8"))
     out.close()
     require(fs.rename(markerTmp, marker),
-      s"compactBatchDir: failed to publish the commit marker in $dir")
+      s"$where: failed to publish the commit marker in $dir")
     batchDirs.foreach(st => fs.delete(st.getPath, true))
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, target)),
-      s"compactBatchDir: rename of compacted output failed in $dir")
+      s"$where: rename of compacted output failed in $dir")
     fs.delete(marker, false)
   }
 }

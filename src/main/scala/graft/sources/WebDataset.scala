@@ -338,16 +338,70 @@ object WebDataset {
             "— the release is incomplete (pass requireSuccess = false to read anyway)")
       }
     }
+    scanTarPaths(spark, Seq(path))
+  }
+
+  /** [[scanTar]] over an explicit set of directories — one scan plan,
+    * not a union per dir (a compaction folding thousands of slice dirs
+    * must not build a thousand-way union). No `_SUCCESS` gating: the
+    * callers (maintenance folds) have already listed and validated the
+    * exact dirs they intend to consume.
+    */
+  private[graft] def scanTarPaths(
+      spark: SparkSession, paths: Seq[String]): DataFrame = {
     implicit val enc = Encoders.product[Member]
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar")
       .option("recursiveFileLookup", "true")
-      .load(path)
+      .load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .flatMap { case (p, bytes) => walkMembers(p, bytes) }
       .toDF()
   }
+
+  /** IN-PLACE crash-safe compaction of an accumulated `batch=<id>` tar
+    * release ([[tarSink]], and the terminal sink_tar / sink_tokens
+    * steps in shard-ingest mode — point it at the release root, or at
+    * `<path>/shards` for a token release): folds every slice dir into
+    * ONE `batch=c<maxId>` dir under the same root, so thousands of
+    * micro-batches stop meaning thousands of dirs per read while
+    * readers keep reading the SAME standing path (unlike [[repackTar]],
+    * which rewrites to a separate flat dir). Runs
+    * [[graft.operators.StateCompaction]]'s commit protocol — tmp fold,
+    * atomic marker, delete + rename, resume after any crash point — so
+    * the release is never left partial; the folded dir carries its own
+    * `_SUCCESS` ([[writeTarAuto]] stamps it), preserving
+    * [[scanTar]]`(requireSuccess = true)`'s contract, and a resumed
+    * ingest keeps appending `batch=<id>` dirs beside it (`c<maxId>`
+    * orders as `maxId`, so fresh numeric labels stay strictly later).
+    *
+    * Offline contract, like every compaction here: stop the
+    * stream/ingest first. Sample keys must be distinct corpus-wide
+    * (sink_tar doc ids and sink_tokens' shifted (bucket, seq) keys
+    * are); duplicates fail loudly rather than silently collapsing to
+    * one member.
+    */
+  def compactTarRelease(
+      spark: SparkSession,
+      dir: String,
+      targetShardBytes: Long = 256L << 20
+  ): Unit =
+    graft.operators.StateCompaction.runProtocol(
+      spark, dir, "batch=", "compactTarRelease") { (inputs, tmp) =>
+      val m = scanTarPaths(spark, inputs)
+      val exts = m.select("ext").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(exts.nonEmpty, s"compactTarRelease: no tar members under $dir")
+      val pivoted = samples(m, exts)
+      val dups = pivoted.groupBy("key").count().filter(col("count") > 1).count()
+      require(dups == 0,
+        s"compactTarRelease: $dups sample keys appear in multiple slices — " +
+          "folding would silently collapse them to one member; resolve first")
+      writeTarAuto(pivoted.withColumn("__k", col("key").cast("long")),
+        tmp, targetShardBytes, "__k", exts.map(e => e -> e))
+      ()
+    }
 
   /** STREAMING ingest of a shard directory: tail `path` for newly
     * arriving `*.tar` files and emit their member rows in the

@@ -331,6 +331,19 @@ object PlanAudit {
     audit("phash_dedup(incr)", graft.operators.PerceptualHash.dedupIncremental(
       bitmaps.filter(col("media_id") >= 250), phashIdx), 9)
 
+    // Audio-fingerprint dedup mirrors the phash shapes exactly: the FFT
+    // decode is one partition-wise pass (ZERO exchanges on the signature
+    // frame — 8 bytes per clip leave the scan), and everything shuffled
+    // downstream is signature-sized.
+    val wavs = graft.harness.MediaFixtures.syntheticWavs(
+      docsT.select(col("doc_id")))
+    audit("afp_signatures", graft.operators.AudioFingerprint.signatures(wavs), 0)
+    audit("afp_dedup", graft.operators.AudioFingerprint.dedup(wavs), 6)
+    val afpIdx = graft.plans.Materialize(graft.operators.AudioFingerprint.signatures(
+      wavs.filter(col("media_id") < 250)), eager = true)
+    audit("afp_dedup(incr)", graft.operators.AudioFingerprint.dedupIncremental(
+      wavs.filter(col("media_id") >= 250), afpIdx), 9)
+
     // Exact duplicate-span detection: duplicated keys come from a
     // MAP-SIDE-COMBINED count + semi-join (a hot boilerplate window
     // leaves each mapper as one partial row; no single-task analytic

@@ -1056,6 +1056,53 @@ class CurationPipelineSpec extends SparkSpec {
       s"unexpected keeps: ${(a ++ b).sorted}")
   }
 
+  test("release-dir compaction folds tar and parquet slices without changing the read") {
+    import graft.sources.WebDataset
+    val base = java.nio.file.Files.createTempDirectory("relcomp").toString
+    def dirNames(p: String) =
+      Option(new java.io.File(p).listFiles).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+
+    // tar face: two accumulated batch slices -> one batch=c1 dir,
+    // member-identical read-back, _SUCCESS contract preserved.
+    val tarDir = s"$base/tar"
+    val bin = docs.select(col("doc_id"), col("text").cast("binary").as("t"),
+      col("lang").cast("binary").as("l"))
+    WebDataset.writeTarAuto(bin.filter(col("doc_id") < 25),
+      s"$tarDir/batch=0", 16384, "doc_id", Seq("txt" -> "t", "cls" -> "l"))
+    WebDataset.writeTarAuto(bin.filter(col("doc_id") >= 25),
+      s"$tarDir/batch=1", 16384, "doc_id", Seq("txt" -> "t", "cls" -> "l"))
+    def members() = snap(
+      WebDataset.scanTar(spark, tarDir, requireSuccess = true)
+        .select(col("key"), col("ext"), xxhash64(col("payload")).as("h")))
+    val before = members().sorted
+    WebDataset.compactTarRelease(spark, tarDir, targetShardBytes = 16384)
+    assert(dirNames(tarDir) == Seq("batch=c1"), dirNames(tarDir).toString)
+    assert(members().sorted == before, "tar fold changed the member read")
+    // a resumed ingest appends beside the folded dir; re-compaction
+    // folds {c1, 2} into c2
+    WebDataset.writeTarAuto(
+      bin.filter(col("doc_id") < 5).withColumn("doc_id", col("doc_id") + 1000),
+      s"$tarDir/batch=2", 16384, "doc_id", Seq("txt" -> "t", "cls" -> "l"))
+    val grown = members().sorted
+    WebDataset.compactTarRelease(spark, tarDir, targetShardBytes = 16384)
+    assert(dirNames(tarDir) == Seq("batch=c2"), dirNames(tarDir).toString)
+    assert(members().sorted == grown, "re-fold changed the member read")
+
+    // parquet face: curationSink's shard=<id> slices -> one shard=c1.
+    val pqDir = s"$base/pq"
+    val rows = docs.select("doc_id", "lang", "text")
+    rows.filter(col("doc_id") < 25).write.parquet(s"$pqDir/shard=0")
+    rows.filter(col("doc_id") >= 25).write.parquet(s"$pqDir/shard=1")
+    val pqBefore = snap(spark.read.parquet(pqDir)
+      .select("doc_id", "lang", "text")).sorted
+    CurationPipeline.compactRelease(spark, pqDir)
+    assert(dirNames(pqDir) == Seq("shard=c1"), dirNames(pqDir).toString)
+    val pqAfter = snap(spark.read.parquet(pqDir)
+      .select("doc_id", "lang", "text")).sorted
+    assert(pqAfter == pqBefore, "parquet fold changed the release read")
+  }
+
   test("dedup_ngram and dedup_winnow steps equal operator composition") {
     import graft.operators.Dedup
     val d = graft.plans.Materialize(docs.select("doc_id", "lang", "text"))
@@ -1102,6 +1149,81 @@ class CurationPipelineSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](CurationConfig.fromYaml(
       "steps:\n  - dedup_ngram: { threshold: 0.8, metric: cosine }\n"))
     assert(bad.getMessage.contains("jaccard|containment"))
+  }
+
+  test("dedup_embedding step equals operator composition and ingests by shard") {
+    import graft.operators.Dedup
+    val d = graft.plans.Materialize(docs.select("doc_id", "lang", "text"))
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    def ids(df: org.apache.spark.sql.DataFrame) = snap(df.select("doc_id"))
+    val yaml =
+      "steps:\n  - dedup_embedding: { embeddings: emb, threshold: 0.4, bits: 2 }\n"
+
+    // batch step == operator composition over the LIVE embeddings
+    val got = CurationPipeline.fromYaml(d, yaml, aux = Map("emb" -> emb))
+    val live = emb.join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val drop = Dedup.duplicateClusters(
+        Dedup.embeddingNearDup(live, 0.4, bands = 32, bitsPerBand = 2))
+      .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    assert(ids(got).sorted == ids(d.join(drop, Seq("doc_id"), "left_anti")).sorted)
+    assert(got.count() < d.count(), "dedup_embedding dropped nothing on this fixture")
+
+    // shard ingest through the persisted vector index == the batch step
+    // restricted to the shard (the near-dup shard contract)
+    val p = CurationConfig.fromYaml(yaml)
+    val st = java.nio.file.Files.createTempDirectory("cpemb").toString + "/s"
+    val a = CurationPipeline.applyShard(
+      d.filter(col("doc_id") < 25), p, st, "0", aux = Map("emb" -> emb))
+    val b = CurationPipeline.applyShard(
+      d.filter(col("doc_id") >= 25), p, st, "1", aux = Map("emb" -> emb))
+    assert(ids(a).sorted ==
+      ids(CurationPipeline.apply(d.filter(col("doc_id") < 25), p,
+        aux = Map("emb" -> emb))).sorted,
+      "bootstrap shard diverged from the batch step over itself")
+    assert(ids(b).sorted ==
+      ids(CurationPipeline.apply(d, p, aux = Map("emb" -> emb))
+        .filter(col("doc_id") >= 25)).sorted,
+      "shard ingest diverged from the batch run restricted to the shard")
+
+    // the genuinely corpus-global embedding fits still refuse shard mode
+    val bad = intercept[IllegalArgumentException](CurationPipeline.applyShard(
+      d, CurationConfig.fromYaml(
+        "steps:\n  - dedup_semantic: { embeddings: emb, threshold: 0.4 }\n"),
+      java.nio.file.Files.createTempDirectory("cpsem").toString + "/s", "0",
+      aux = Map("emb" -> emb)))
+    assert(bad.getMessage.contains("corpus-global"))
+  }
+
+  test("dedup_afp step equals operator composition and ingests by shard") {
+    import graft.harness.MediaFixtures
+    import graft.operators.{AudioFingerprint, Dedup}
+    val d = graft.plans.Materialize(docs.select("doc_id", "lang", "text")
+      .join(MediaFixtures.syntheticWavs(docs.select(col("doc_id")))
+        .withColumnRenamed("media_id", "doc_id"), Seq("doc_id")))
+    def ids(df: org.apache.spark.sql.DataFrame) = snap(df.select("doc_id"))
+    val yaml = "steps:\n  - dedup_afp: { max_hamming: 2 }\n"
+
+    val got = CurationPipeline.fromYaml(d, yaml)
+    val drop = Dedup.duplicateClusters(
+        AudioFingerprint.dedup(d.select(col("doc_id").as("media_id"),
+          col("payload")), maxHamming = 2))
+      .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    assert(ids(got).sorted == ids(d.join(drop, Seq("doc_id"), "left_anti")).sorted)
+    assert(got.count() < d.count(), "dedup_afp dropped nothing on this fixture")
+
+    // shard ingest through the persisted fingerprint index == the batch
+    // step restricted to the shard (mid-family split at 25 guarantees
+    // corpus-to-shard pairs)
+    val p = CurationConfig.fromYaml(yaml)
+    val st = java.nio.file.Files.createTempDirectory("cpafp").toString + "/s"
+    val a = CurationPipeline.applyShard(d.filter(col("doc_id") < 25), p, st, "0")
+    val b = CurationPipeline.applyShard(d.filter(col("doc_id") >= 25), p, st, "1")
+    assert(ids(a).sorted ==
+      ids(CurationPipeline.apply(d.filter(col("doc_id") < 25), p)).sorted,
+      "bootstrap shard diverged from the batch step over itself")
+    assert(ids(b).sorted ==
+      ids(CurationPipeline.apply(d, p).filter(col("doc_id") >= 25)).sorted,
+      "shard ingest diverged from the batch run restricted to the shard")
   }
 
   test("applyShard: ngram and winnow ingest against persisted shingle/fp indexes") {
