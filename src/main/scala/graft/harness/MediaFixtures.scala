@@ -350,9 +350,19 @@ object MediaFixtures {
       while (m < NumBands) {
         val a = math.sqrt(e(n)(m)) * gain
         val w = 2.0 * math.Pi * bins(m) / FrameLen
+        // Rotating-phasor recurrence: sin(w·t) = Im(e^{iwt}) — two
+        // multiplies per sample instead of a Math.sin call (this
+        // synthesis runs per bench pass over the whole fixture corpus;
+        // drift over 4096 steps is ~1e-13, far below the ±0.5
+        // quantization the fingerprint margins already absorb).
+        val cw = math.cos(w); val sw = math.sin(w)
+        var cr = 1.0; var ci = 0.0
         var t = 0
         while (t < FrameLen) {
-          x(n * FrameLen + t) += a * math.sin(w * t)
+          x(n * FrameLen + t) += a * ci
+          val ncr = cr * cw - ci * sw
+          ci = cr * sw + ci * cw
+          cr = ncr
           t += 1
         }
         m += 1

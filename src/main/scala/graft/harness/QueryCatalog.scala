@@ -1717,7 +1717,10 @@ object QueryCatalog {
     // asserted in ExtensionsSpec), so the expected pair set is exactly
     // the within-family pairs, in plain SQL.
     Q("dedup_afp", (s, dir) => {
-      val ids = docs(s, dir).select(col("doc_id"))
+      // The parquet ids arrive in ~1 scan partition; the synthesis+FFT
+      // decode is the cost, so spread the THIN id rows first (payloads
+      // are generated, never shuffled).
+      val ids = docs(s, dir).select(col("doc_id")).repartition(32, col("doc_id"))
       AudioFingerprint.dedup(MediaFixtures.syntheticWavs(ids), maxHamming = 2)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("doc_a", "doc_b")
@@ -1732,7 +1735,7 @@ object QueryCatalog {
       // against the PERSISTED fingerprint index of the corpus
       // (doc_id < 250) — the dedup_phash_incr shape, audio edition,
       // with the same mid-family split guaranteeing corpus↔shard pairs.
-      val ids = docs(s, dir).select(col("doc_id"))
+      val ids = docs(s, dir).select(col("doc_id")).repartition(32, col("doc_id"))
       val all = MediaFixtures.syntheticWavs(ids)
       val idxDir = s"/tmp/graft_afpidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       AudioFingerprint.signatures(all.filter(col("media_id") < 250))
@@ -1754,7 +1757,8 @@ object QueryCatalog {
     // cluster — full SQL oracle like curation_pipeline_media.
     Q("curation_pipeline_audio", (s, dir) => {
       val d = docs(s, dir).select("doc_id", "lang", "text")
-        .join(MediaFixtures.syntheticWavs(docs(s, dir).select(col("doc_id")))
+        .join(MediaFixtures.syntheticWavs(
+            docs(s, dir).select(col("doc_id")).repartition(32, col("doc_id")))
           .withColumnRenamed("media_id", "doc_id"), Seq("doc_id"))
       CurationPipeline.fromYaml(d,
         """steps:

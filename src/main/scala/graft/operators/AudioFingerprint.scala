@@ -230,7 +230,12 @@ object AudioFingerprint {
       idCol: String = "media_id",
       payloadCol: String = "payload"
   ): DataFrame =
-    dedupFromSignatures(signatures(media, idCol, payloadCol), maxHamming, maxBucketSize)
+    // The lineage cut is load-bearing: the signature frame feeds three
+    // consumers (identical-hash window, banding join sides) and without
+    // it every consumer re-DECODES the corpus — FFT work × 3.
+    dedupFromSignatures(
+      graft.plans.Materialize(signatures(media, idCol, payloadCol)),
+      maxHamming, maxBucketSize)
 
   /** Incremental audio near-dup: a shard of clips against the PERSISTED
     * fingerprint index of the corpus ([[signatures]] output) — only the
@@ -250,7 +255,8 @@ object AudioFingerprint {
     require(corpusSigs.columns.sorted.sameElements(Array("afp", "media_id")),
       s"not an audio signatures frame (columns ${corpusSigs.columns.mkString(",")}); " +
         "build it with AudioFingerprint.signatures")
-    val shardSigs = signatures(shard, idCol, payloadCol)
+    // Same load-bearing cut as [[dedup]]: the shard decodes ONCE.
+    val shardSigs = graft.plans.Materialize(signatures(shard, idCol, payloadCol))
     val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
     dedupFromSignatures(
       corpusSigs.select(col("media_id").cast("long"), col("afp").cast("long"))

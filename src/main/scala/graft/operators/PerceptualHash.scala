@@ -176,7 +176,12 @@ object PerceptualHash {
       idCol: String = "media_id",
       payloadCol: String = "payload"
   ): DataFrame =
-    dedupFromSignatures(signatures(media, idCol, payloadCol), maxHamming, maxBucketSize)
+    // Lineage cut: the signature frame feeds three consumers (identical-
+    // hash window, banding join sides) — without it every consumer
+    // re-DECODES the corpus, and decode dominates this operator's cost.
+    dedupFromSignatures(
+      graft.plans.Materialize(signatures(media, idCol, payloadCol)),
+      maxHamming, maxBucketSize)
 
   /** Incremental image near-dup: a shard of media against the PERSISTED
     * signature index of the corpus ([[signatures]] output, written once
@@ -205,7 +210,7 @@ object PerceptualHash {
     require(corpusSigs.columns.sorted.sameElements(Array("media_id", "phash")),
       s"not a signatures frame (columns ${corpusSigs.columns.mkString(",")}); " +
         "build it with PerceptualHash.signatures")
-    val shardSigs = signatures(shard, idCol, payloadCol)
+    val shardSigs = graft.plans.Materialize(signatures(shard, idCol, payloadCol))
     val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
     dedupFromSignatures(
       corpusSigs.select(col("media_id").cast("long"), col("phash").cast("long"))
