@@ -5212,6 +5212,30 @@ object QueryCatalog {
               |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
               |ORDER BY 1, 2""".stripMargin)),
 
+    // The audio face of the same shared signature-stream core: HK
+    // fingerprints decoded per arriving WAV, banded bucket state,
+    // replayed over 4 time-ordered batches — keeps the streaming
+    // surface symmetric with the batch dedup families (every batch
+    // dedup with an ingest story has a replay gate). Same closed-form
+    // family oracle as dedup_afp.
+    Q("streaming_afp_replay", (s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select("doc_id").as[Long].collect().sorted.toSeq
+      val rows = ids.map(id => (id,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        MediaFixtures.wavPayload(id)))
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.afpNearDupStream(
+          df.toDF("media_id", "timestamp", "payload"), maxHamming = 2).toDF())
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END AS INT) AS hamming
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |ORDER BY 1, 2""".stripMargin)),
+
     // Streaming quality-model scoring replayed against the SAME cached
     // model frame text_quality_model_idx serves (fit-once / score-many):
     // scoring is stateless, so the replay simply re-derives every batch

@@ -1028,6 +1028,47 @@ object StreamingPredicates {
       payloadCol: String = "payload"
   ): Dataset[ImageNearDupPair] = {
     requireIntegralId(media, idCol, "phashNearDupStream")
+    sigNearDupStream(media, graft.operators.PerceptualHash.dhash(_),
+      maxHamming, maxBucketSize, ttlMicros, watermarkDelay, idCol, payloadCol)
+  }
+
+  /** Streaming AUDIO near-dup — [[phashNearDupStream]] with the decode
+    * step swapped for [[graft.operators.AudioFingerprint.fingerprint]]
+    * (Haitsma–Kalker spectral fingerprints over PCM-WAV): the banding,
+    * bucket state, TTL and saturation semantics are the SAME shared
+    * 64-bit signature core, so every contract documented there holds
+    * here verbatim.
+    */
+  def afpNearDupStream(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      maxBucketSize: Int = 256,
+      ttlMicros: Long = Long.MaxValue,
+      watermarkDelay: String = "1 hour",
+      idCol: String = "media_id",
+      payloadCol: String = "payload"
+  ): Dataset[ImageNearDupPair] = {
+    requireIntegralId(media, idCol, "afpNearDupStream")
+    sigNearDupStream(media, graft.operators.AudioFingerprint.fingerprint(_),
+      maxHamming, maxBucketSize, ttlMicros, watermarkDelay, idCol, payloadCol)
+  }
+
+  /** The shared 64-bit-signature streaming near-dup core: decode each
+    * arriving payload to a signature (`decode` — dHash for images, HK
+    * fingerprint for audio; None = never paired), band into 4×16-bit
+    * chunk buckets, and pair inside `flatMapGroupsWithState` bucket
+    * state with the lowest-shared-chunk dedup rule.
+    */
+  private def sigNearDupStream(
+      media: DataFrame,
+      decode: Array[Byte] => Option[Long],
+      maxHamming: Int,
+      maxBucketSize: Int,
+      ttlMicros: Long,
+      watermarkDelay: String,
+      idCol: String,
+      payloadCol: String
+  ): Dataset[ImageNearDupPair] = {
     implicit val rowEnc =
       Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.BINARY)
     implicit val phashEnc = Encoders.product[PhashDoc]
@@ -1035,7 +1076,7 @@ object StreamingPredicates {
       .select(col(idCol).cast("long"), col("timestamp"), col(payloadCol))
       .as[(Long, java.sql.Timestamp, Array[Byte])]
       .flatMap { case (id, ts, payload) =>
-        graft.operators.PerceptualHash.dhash(payload).toSeq.flatMap { sig =>
+        decode(payload).toSeq.flatMap { sig =>
           (0 until 4).map(c => PhashDoc(c, (sig >>> (c * 16)) & 0xffffL, id, ts, sig))
         }
       }
