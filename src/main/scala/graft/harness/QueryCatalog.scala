@@ -300,6 +300,38 @@ object QueryCatalog {
       |  CAST(MAX(CASE WHEN idx = 0 THEN tok_id END) AS INT) AS first_id
       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Shared CTE chain for the dedup_ngram step oracles: trigram word
+    * shingles of source CTE `src` (doc_id, lang, text) through the
+    * qualifying-pair set `jp` under `jpPredicate` (which may reference
+    * `inter`, `na.n`, `nb.n`). Spliced into the WITH RECURSIVE blocks
+    * below — one copy of the shingle/pair replay, three consumers.
+    */
+  private def ngramPairCtes(src: String, jpPredicate: String): String =
+    raw"""sl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM $src),
+         |sh0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+         |  FROM sl WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+         |  WHERE $jpPredicate)""".stripMargin
+
+  /** The min-id connected-components drop set over `jp` (recursive
+    * transitive closure): `dr.u` holds every doc reachable from a
+    * smaller id — the docs a min-id-keep clustering drops.
+    */
+  private val ngramClosureCtes: String =
+    """e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+      |      UNION ALL SELECT doc_b, doc_a FROM jp),
+      |reach AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
+      |  UNION SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.u),
+      |dr AS (SELECT u FROM reach GROUP BY u HAVING MIN(m) < u)""".stripMargin
+
   /** documents + a deterministic synthetic `url` column — closed-form in
     * (doc_id, lang, source), reproduced verbatim in [[urlCte]], the same
     * fixture pattern the multimodal oracles use. The decorations exercise
@@ -3309,26 +3341,11 @@ object QueryCatalog {
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE q AS (SELECT doc_id, lang, text FROM documents
              |  WHERE len(string_split(lower(text), ' ')) >= 10),
-             |sl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM q),
-             |sh0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
-             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
-             |  FROM sl WHERE len(t) >= 3),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-             |pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |jp AS (SELECT doc_a, doc_b FROM pairs
-             |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-             |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8),
-             |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
-             |      UNION ALL SELECT doc_b, doc_a FROM jp),
-             |reach AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
-             |  UNION SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.u),
-             |dr AS (SELECT u FROM reach GROUP BY u HAVING MIN(m) < u)
-             |SELECT doc_id, lang FROM q WHERE doc_id NOT IN (SELECT u FROM dr)
-             |ORDER BY doc_id""".stripMargin), bench = true),
+             |""".stripMargin +
+        ngramPairCtes("q", "CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8") + ",\n" +
+        ngramClosureCtes + "\n" +
+        """SELECT doc_id, lang FROM q WHERE doc_id NOT IN (SELECT u FROM dr)
+          |ORDER BY doc_id""".stripMargin), bench = true),
 
     // Asymmetric CONTAINMENT dedup as a language step, on the fixture
     // that motivates it: synthetic short docs (the first 6 words of
@@ -3353,26 +3370,11 @@ object QueryCatalog {
              |  SELECT doc_id + 100000, lang,
              |    array_to_string((string_split(lower(text), ' '))[1:6], ' ')
              |  FROM documents WHERE doc_id % 4 = 0),
-             |sl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM d),
-             |sh0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
-             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
-             |  FROM sl WHERE len(t) >= 3),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-             |pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |jp AS (SELECT doc_a, doc_b FROM pairs
-             |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-             |  WHERE CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.9),
-             |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
-             |      UNION ALL SELECT doc_b, doc_a FROM jp),
-             |reach AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e)
-             |  UNION SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.u),
-             |dr AS (SELECT u FROM reach GROUP BY u HAVING MIN(m) < u)
-             |SELECT doc_id, lang FROM d WHERE doc_id NOT IN (SELECT u FROM dr)
-             |ORDER BY doc_id""".stripMargin)),
+             |""".stripMargin +
+        ngramPairCtes("d", "CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.9") + ",\n" +
+        ngramClosureCtes + "\n" +
+        """SELECT doc_id, lang FROM d WHERE doc_id NOT IN (SELECT u FROM dr)
+          |ORDER BY doc_id""".stripMargin)),
 
     // Winnowing dedup as a language step (Schleimer 2003 fingerprint
     // selection + shared-fp pairs + min-id clusters). xxhash-seeded
@@ -3454,20 +3456,9 @@ object QueryCatalog {
       s0.unionByName(s1).orderBy("doc_id")
     }, Some("""WITH RECURSIVE q AS (SELECT doc_id, lang, text FROM documents
              |  WHERE len(string_split(lower(text), ' ')) >= 10),
-             |sl AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM q),
-             |sh0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
-             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
-             |  FROM sl WHERE len(t) >= 3),
-             |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-             |pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |jp AS (SELECT doc_a, doc_b FROM pairs
-             |  JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-             |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8),
-             |e0 AS (SELECT doc_a AS u, doc_b AS v FROM jp WHERE doc_b < 250
+             |""".stripMargin +
+        ngramPairCtes("q", "CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8") + ",\n" +
+        """e0 AS (SELECT doc_a AS u, doc_b AS v FROM jp WHERE doc_b < 250
              |       UNION ALL SELECT doc_b, doc_a FROM jp WHERE doc_b < 250),
              |r0 AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM e0)
              |       UNION SELECT e0.u, r.m FROM e0 JOIN r0 r ON e0.v = r.u),

@@ -158,6 +158,25 @@ object AudioFingerprint {
     val (sr, mono) = wavPcm(payload).getOrElse(return None)
     if (sr < 2 * FreqHi.toInt) return None
     if (mono.length < NumFrames * FrameLen) return None
+    // Empty-band refusal: bin spacing sr/FrameLen GROWS with the sample
+    // rate, so at hi-res rates the narrow low log-bands can contain ZERO
+    // DFT bins (e.g. 96 kHz → 23.4 Hz spacing vs band 0's ~17 Hz width)
+    // — their energies would be identically 0 and up to half the sign
+    // bits would degenerate to a fixed function of their neighbors,
+    // colliding distinct clips. Band membership is a function of sr
+    // alone, so check coverage before any FFT work.
+    val binCount = new Array[Int](NumBands)
+    var kc = 1
+    while (kc < FrameLen / 2) {
+      val f = kc.toDouble * sr / FrameLen
+      if (f >= FreqLo && f < FreqHi) {
+        val m = math.min(NumBands - 1,
+          (NumBands * math.log(f / FreqLo) / math.log(FreqHi / FreqLo)).toInt)
+        binCount(m) += 1
+      }
+      kc += 1
+    }
+    if (binCount.exists(_ == 0)) return None
     val energies = Array.ofDim[Double](NumFrames, NumBands)
     var n = 0
     while (n < NumFrames) {
@@ -178,9 +197,6 @@ object AudioFingerprint {
       }
       n += 1
     }
-    // Bin coverage needs no runtime check: at sr ≥ 4000 (enforced above)
-    // and FrameLen 4096 the bin spacing is ≤ 0.98 Hz while the narrowest
-    // log band (300–317 Hz) spans ~17 Hz — every band sees ≥ 17 bins.
     var hash = 0L
     var fn = 1
     while (fn < NumFrames) {
@@ -252,37 +268,44 @@ object AudioFingerprint {
       idCol: String = "media_id",
       payloadCol: String = "payload"
   ): DataFrame = {
+    // Same load-bearing cut as [[dedup]]: the shard decodes ONCE.
+    dedupIncrementalSigs(
+      graft.plans.Materialize(signatures(shard, idCol, payloadCol)),
+      corpusSigs, maxHamming, maxBucketSize)
+  }
+
+  /** [[dedupIncremental]] when the SHARD's fingerprints are already in
+    * hand (the shard-ingest step just persisted them as its state
+    * increment) — skips the second WAV-parse + FFT pass over the shard
+    * payloads, which dominates this operator's cost. Both frames are
+    * [[signatures]] output; shard ids must be disjoint from corpus ids.
+    */
+  def dedupIncrementalSigs(
+      shardSigs: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 2,
+      maxBucketSize: Int = 256
+  ): DataFrame = {
     require(corpusSigs.columns.sorted.sameElements(Array("afp", "media_id")),
       s"not an audio signatures frame (columns ${corpusSigs.columns.mkString(",")}); " +
         "build it with AudioFingerprint.signatures")
-    // Same load-bearing cut as [[dedup]]: the shard decodes ONCE.
-    val shardSigs = graft.plans.Materialize(signatures(shard, idCol, payloadCol))
-    val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
-    dedupFromSignatures(
-      corpusSigs.select(col("media_id").cast("long"), col("afp").cast("long"))
-        .unionByName(shardSigs),
+    require(shardSigs.columns.sorted.sameElements(Array("afp", "media_id")),
+      s"not an audio signatures frame (columns ${shardSigs.columns.mkString(",")}); " +
+        "build it with AudioFingerprint.signatures")
+    Dedup.sigDedupIncremental(
+      shardSigs.select(col("media_id").cast("long"), col("afp").cast("long").as("sig")),
+      corpusSigs.select(col("media_id").cast("long"), col("afp").cast("long").as("sig")),
       maxHamming, maxBucketSize)
-      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
-        Seq("doc_a"), "left")
-      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
-        Seq("doc_b"), "left")
-      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
-      .select("doc_a", "doc_b", "hamming")
   }
 
   private def dedupFromSignatures(
       sigs: DataFrame,
       maxHamming: Int,
       maxBucketSize: Int
-  ): DataFrame = {
-    val wHash = Window.partitionBy("afp")
-    val withRep = sigs.withColumn("__rep", min(col("media_id")).over(wHash))
-    val reps = withRep.filter(col("media_id") === col("__rep"))
-      .select(col("media_id").as("doc_id"), col("afp").as("sig"))
-    val starPairs = withRep.filter(col("media_id") =!= col("__rep"))
-      .select(col("__rep").as("doc_a"), col("media_id").as("doc_b"))
-      .withColumn("hamming", lit(0))
-    Dedup.hammingBandPairs(reps, maxHamming, maxBucketSize)
-      .unionByName(starPairs)
-  }
+  ): DataFrame =
+    // The shared 64-bit-signature core (Dedup.sigDedupPairs) — one
+    // implementation for the image and audio families.
+    Dedup.sigDedupPairs(
+      sigs.select(col("media_id"), col("afp").as("sig")),
+      maxHamming, maxBucketSize)
 }

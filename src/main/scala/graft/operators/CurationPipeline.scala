@@ -303,6 +303,21 @@ object CurationPipeline {
           "in a terminal sink_tar/sink_tokens release step)")
     }
     (batch, batchId) => {
+      // A post-commit release-compaction crash leaves the only complete
+      // fold in _compact_tmp with some slice dirs deleted — appending
+      // fresh slices beside the wedge buries the loss. Checked on EVERY
+      // batch (the profileSink/applyShard discipline): resume the
+      // compaction, then restart the stream.
+      {
+        val root = new org.apache.hadoop.fs.Path(releaseDir)
+        val fs = root.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")),
+          s"curationSink: $releaseDir holds an unfinished compaction " +
+            "(_compact_commit present) — re-run compactRelease (parquet) or " +
+            "WebDataset.compactTarRelease (tar/token) to resume it before " +
+            "appending slices")
+      }
       val curated = applyShard(
         batch, pipeline, stateDir, batchId.toString, idCol, textCol, aux)
       if (terminalRelease.isEmpty) {
@@ -543,14 +558,15 @@ object CurationPipeline {
         val prior = priorBatches(dir)
         val media = df.select(col(idCol).cast("long").as("media_id"),
           col(payloadCol).cast("binary").as("payload"))
-        // Only the shard is ever DECODED; the corpus contributes its
-        // persisted 8-byte signatures (the dedup_phash_incr shape). The
+        // Only the shard is ever DECODED, and only ONCE: the persisted
+        // state increment IS the shard's signature frame, so the pair
+        // step reads it back instead of re-decoding the payloads. The
         // index holds every doc reaching the step, kept or dropped.
         writeIncrement(dir, PerceptualHash.signatures(media))
         val index =
           if (prior.isEmpty) readOwn(dir).limit(0)
           else spark.read.parquet(prior: _*)
-        val pairs = PerceptualHash.dedupIncremental(media, index, maxHamming)
+        val pairs = PerceptualHash.dedupIncrementalSigs(readOwn(dir), index, maxHamming)
         val drop = Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(asIdType(col("doc_id")))
@@ -564,14 +580,15 @@ object CurationPipeline {
         val prior = priorBatches(dir)
         val media = df.select(col(idCol).cast("long").as("media_id"),
           col(payloadCol).cast("binary").as("payload"))
-        // Only the shard is ever DECODED; the corpus contributes its
-        // persisted 8-byte fingerprints (the dedup_phash shard shape,
-        // audio edition). The index holds every clip reaching the step.
+        // Only the shard is ever DECODED, and only ONCE: the persisted
+        // state increment IS the shard's fingerprint frame, so the pair
+        // step reads it back instead of re-running the WAV-parse + FFT
+        // pass. The index holds every clip reaching the step.
         writeIncrement(dir, AudioFingerprint.signatures(media))
         val index =
           if (prior.isEmpty) readOwn(dir).limit(0)
           else spark.read.parquet(prior: _*)
-        val pairs = AudioFingerprint.dedupIncremental(media, index, maxHamming)
+        val pairs = AudioFingerprint.dedupIncrementalSigs(readOwn(dir), index, maxHamming)
         val drop = Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(asIdType(col("doc_id")))
@@ -618,16 +635,21 @@ object CurationPipeline {
           org.apache.spark.sql.types.LongType).contains(df.schema(idCol).dataType),
           s"sink_tar: id column '$idCol' must be integral (member names are " +
             s"<id>.<ext>), got ${df.schema(idCol).dataType.simpleString}")
-        val hasLang = df.columns.contains("lang")
+        // Lineage cut before the triple consumption (null-count guard,
+        // writeTarAuto's byte-sum aggregate, the tar write): without it
+        // each pass re-executes the whole curated chain — every dedup
+        // join upstream — three times per shard.
+        val cut = graft.plans.Materialize(df)
+        val hasLang = cut.columns.contains("lang")
         val members = Seq("txt" -> textCol) ++ (if (hasLang) Seq("cls" -> "lang") else Nil)
-        val nNull = df.filter(members.map { case (_, c) => col(c).isNull }
+        val nNull = cut.filter(members.map { case (_, c) => col(c).isNull }
           .reduce(_ || _)).count()
         require(nNull == 0,
           s"sink_tar: $nNull rows carry null ${members.map(_._2).mkString("/")} — " +
             "tar members would decode as empty strings, silently rewriting the " +
             "corpus; drop or fill nulls upstream, or release via the parquet 'sink'")
         val dest = s"$path/batch=$shardLabel"
-        graft.sources.WebDataset.writeTarAuto(df, dest, targetShardBytes, idCol, members)
+        graft.sources.WebDataset.writeTarAuto(cut, dest, targetShardBytes, idCol, members)
         val m = graft.sources.WebDataset.samples(
           graft.sources.WebDataset.scanTar(spark, dest), members.map(_._1))
         val stats = m.agg(count(lit(1)).as("n"),
@@ -671,6 +693,10 @@ object CurationPipeline {
         val vocabDir = s"$path/vocab"
         val fitMarker = new org.apache.hadoop.fs.Path(s"$vocabDir/_SUCCESS")
         val mfs = fitMarker.getFileSystem(spark.sessionState.newHadoopConf())
+        // Lineage cut: the curated frame feeds the tokenizer fit, the
+        // vocab fit and the pack (up to three full evaluations of the
+        // upstream dedup chain on the fitting shard without it).
+        val cut = graft.plans.Materialize(df)
         def mkStream(d: DataFrame): DataFrame = tokenizer match {
           case "rank" => Packing.tokenStream(d, Packing.WordTokenizer, textCol, idCol)
           case "bpe" => Packing.tokenStream(d,
@@ -685,21 +711,21 @@ object CurationPipeline {
         if (!mfs.exists(fitMarker)) {
           tokenizer match {
             case "bpe" =>
-              graft.functions.Bpe.learnMerges(df, numMerges = numMerges,
+              graft.functions.Bpe.learnMerges(cut, numMerges = numMerges,
                 textCol = textCol, byteLevel = byteLevel)
                 .write.mode("overwrite").parquet(s"$path/tokenizer")
             case "unigram" =>
               graft.functions.Unigram.learnPieces(
-                df, vocabSize = vocabSize, maxPieceLen = maxPieceLen, textCol = textCol)
+                cut, vocabSize = vocabSize, maxPieceLen = maxPieceLen, textCol = textCol)
                 .write.mode("overwrite").parquet(s"$path/tokenizer")
             case _ => ()
           }
-          Packing.rankVocabFromTokens(mkStream(df), vocabSize)
+          Packing.rankVocabFromTokens(mkStream(cut), vocabSize)
             .write.mode("overwrite").parquet(vocabDir)
         }
         val vocabBack = spark.read.parquet(vocabDir)
         val packed = Packing
-          .packTokenIdsFrom(mkStream(df), vocabBack, budgetTokens, buckets)
+          .packTokenIdsFrom(mkStream(cut), vocabBack, budgetTokens, buckets)
           .withColumn("bucket", (col("bucket") + lit(label * buckets)).cast("int"))
         Packing.tokenTar(packed, s"$path/shards/batch=$shardLabel", targetShardBytes)
         val back = graft.sources.TokenShards.scanTokens(
@@ -1184,10 +1210,13 @@ object CurationPipeline {
             s"<id>.<ext>), got ${df.schema(idCol).dataType.simpleString}")
         val hasLang = df.columns.contains("lang")
         val members = Seq("txt" -> textCol) ++ (if (hasLang) Seq("cls" -> "lang") else Nil)
+        // Lineage cut: null guard + byte-sum aggregate + tar write are
+        // three consumers of the curated chain.
+        val cut = graft.plans.Materialize(df)
         // Null member payloads write as EMPTY tar members and decode
         // back as "" — a silent corpus rewrite. Refuse with the count
         // (parquet `sink` round-trips nulls; this release format can't).
-        val nNull = df.filter(members.map { case (_, c) => col(c).isNull }
+        val nNull = cut.filter(members.map { case (_, c) => col(c).isNull }
           .reduce(_ || _)).count()
         require(nNull == 0,
           s"sink_tar: $nNull rows carry null ${members.map(_._2).mkString("/")} — " +
@@ -1195,7 +1224,7 @@ object CurationPipeline {
             "corpus; drop or fill nulls upstream (e.g. a 'quality' step), or " +
             "release via the parquet 'sink'")
         graft.sources.WebDataset.writeTarAuto(
-          df, path, targetShardBytes, idCol, members)
+          cut, path, targetShardBytes, idCol, members)
         // Read-back verification frame: the release as a training loader
         // would decode it (same eager-at-compile semantics as Sink).
         val m = graft.sources.WebDataset.samples(
@@ -1218,20 +1247,24 @@ object CurationPipeline {
         // persist beside the shards; both are read BACK before use so
         // the release verifies the artifacts a loader would load.
         val spark = df.sparkSession
+        // Lineage cut: the curated frame feeds the tokenizer fit, the
+        // vocab fit and the pack — without it each consumer re-executes
+        // the whole upstream curation chain.
+        val cut = graft.plans.Materialize(df)
         val stream = tokenizer match {
-          case "rank" => Packing.tokenStream(df, Packing.WordTokenizer, textCol, idCol)
+          case "rank" => Packing.tokenStream(cut, Packing.WordTokenizer, textCol, idCol)
           case "bpe" =>
-            graft.functions.Bpe.learnMerges(df, numMerges = numMerges,
+            graft.functions.Bpe.learnMerges(cut, numMerges = numMerges,
               textCol = textCol, byteLevel = byteLevel)
               .write.mode("overwrite").parquet(s"$path/tokenizer")
-            Packing.tokenStream(df,
+            Packing.tokenStream(cut,
               Packing.BpeTokenizer(spark.read.parquet(s"$path/tokenizer"), byteLevel),
               textCol, idCol)
           case "unigram" =>
             graft.functions.Unigram.learnPieces(
-              df, vocabSize = vocabSize, maxPieceLen = maxPieceLen, textCol = textCol)
+              cut, vocabSize = vocabSize, maxPieceLen = maxPieceLen, textCol = textCol)
               .write.mode("overwrite").parquet(s"$path/tokenizer")
-            Packing.tokenStream(df,
+            Packing.tokenStream(cut,
               Packing.UnigramTokenizer(spark.read.parquet(s"$path/tokenizer"), maxPieceLen),
               textCol, idCol)
           // The YAML parser validates this field, but SinkTokens is also
@@ -1259,7 +1292,7 @@ object CurationPipeline {
           coalesce(sum(size(col("ids")) - size(array_remove(col("ids"), 0))), lit(0L))
             .as("oov")).head()
         val (nSeqs, nTokens, nOov) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-        val textStats = df.agg(
+        val textStats = cut.agg(
           coalesce(sum(size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
             .cast("long")), lit(0L)).as("w"),
           coalesce(sum(octet_length(col(textCol)).cast("long")), lit(0L)).as("b")).head()

@@ -1237,6 +1237,50 @@ object Dedup {
     * quadratic in one bucket. The window partitions by (chunk, key),
     * which the join reuses.
     */
+  /** Shared 64-bit-signature batch dedup core (image dHash / audio HK
+    * fingerprints — anything with one long signature per item):
+    * identical-signature star pre-pass (mass duplicates surface as
+    * O(cluster) pairs around the min-id rep, never a quadratic bucket)
+    * + [[hammingBandPairs]] over the distinct-signature reps. Input
+    * `(media_id, sig)`; output `(doc_a, doc_b, hamming)`.
+    */
+  private[operators] def sigDedupPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
+    val wHash = Window.partitionBy("sig")
+    val withRep = sigs.withColumn("__rep", min(col("media_id")).over(wHash))
+    val reps = withRep.filter(col("media_id") === col("__rep"))
+      .select(col("media_id").as("doc_id"), col("sig"))
+    val starPairs = withRep.filter(col("media_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("media_id").as("doc_b"))
+      .withColumn("hamming", lit(0))
+    hammingBandPairs(reps, maxHamming, maxBucketSize)
+      .unionByName(starPairs)
+  }
+
+  /** [[sigDedupPairs]] over (corpus ∪ shard) restricted to pairs
+    * touching ≥ 1 shard id — the incremental contract both perceptual
+    * families share. Both inputs `(media_id, sig)`; shard ids must be
+    * disjoint from corpus ids.
+    */
+  private[operators] def sigDedupIncremental(
+      shardSigs: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
+    val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
+    sigDedupPairs(corpusSigs.unionByName(shardSigs), maxHamming, maxBucketSize)
+      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
+        Seq("doc_a"), "left")
+      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
+        Seq("doc_b"), "left")
+      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   private[graft] def hammingBandPairs(
       sigs: DataFrame,
       maxHamming: Int,

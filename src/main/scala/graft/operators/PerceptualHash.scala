@@ -207,36 +207,43 @@ object PerceptualHash {
       idCol: String = "media_id",
       payloadCol: String = "payload"
   ): DataFrame = {
+    dedupIncrementalSigs(
+      graft.plans.Materialize(signatures(shard, idCol, payloadCol)),
+      corpusSigs, maxHamming, maxBucketSize)
+  }
+
+  /** [[dedupIncremental]] when the SHARD's signatures are already in
+    * hand (e.g. the shard-ingest step just persisted them as its state
+    * increment) — skips the second decode of the shard payloads, which
+    * dominates this operator's cost. Both frames are [[signatures]]
+    * output; shard ids must be disjoint from corpus ids.
+    */
+  def dedupIncrementalSigs(
+      shardSigs: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 2,
+      maxBucketSize: Int = 256
+  ): DataFrame = {
     require(corpusSigs.columns.sorted.sameElements(Array("media_id", "phash")),
       s"not a signatures frame (columns ${corpusSigs.columns.mkString(",")}); " +
         "build it with PerceptualHash.signatures")
-    val shardSigs = graft.plans.Materialize(signatures(shard, idCol, payloadCol))
-    val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
-    dedupFromSignatures(
-      corpusSigs.select(col("media_id").cast("long"), col("phash").cast("long"))
-        .unionByName(shardSigs),
+    require(shardSigs.columns.sorted.sameElements(Array("media_id", "phash")),
+      s"not a signatures frame (columns ${shardSigs.columns.mkString(",")}); " +
+        "build it with PerceptualHash.signatures")
+    Dedup.sigDedupIncremental(
+      shardSigs.select(col("media_id").cast("long"), col("phash").cast("long").as("sig")),
+      corpusSigs.select(col("media_id").cast("long"), col("phash").cast("long").as("sig")),
       maxHamming, maxBucketSize)
-      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
-        Seq("doc_a"), "left")
-      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
-        Seq("doc_b"), "left")
-      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
-      .select("doc_a", "doc_b", "hamming")
   }
 
   private def dedupFromSignatures(
       sigs: DataFrame,
       maxHamming: Int,
       maxBucketSize: Int
-  ): DataFrame = {
-    val wHash = Window.partitionBy("phash")
-    val withRep = sigs.withColumn("__rep", min(col("media_id")).over(wHash))
-    val reps = withRep.filter(col("media_id") === col("__rep"))
-      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
-    val starPairs = withRep.filter(col("media_id") =!= col("__rep"))
-      .select(col("__rep").as("doc_a"), col("media_id").as("doc_b"))
-      .withColumn("hamming", lit(0))
-    Dedup.hammingBandPairs(reps, maxHamming, maxBucketSize)
-      .unionByName(starPairs)
-  }
+  ): DataFrame =
+    // The shared 64-bit-signature core (Dedup.sigDedupPairs) — one
+    // implementation for the image and audio families.
+    Dedup.sigDedupPairs(
+      sigs.select(col("media_id"), col("phash").as("sig")),
+      maxHamming, maxBucketSize)
 }

@@ -268,11 +268,37 @@ object WebDataset {
   ): Int = {
     require(new Path(inDir).toString != new Path(outDir).toString,
       "repackTar: outDir must differ from inDir (in-place repack would race the sink)")
-    val pivoted = samples(scanTar(spark, inDir), exts)
+    repackMembers(scanTar(spark, inDir), exts, outDir, targetShardBytes, "repackTar")
+  }
+
+  /** The shared pivot-and-rewrite half of [[repackTar]] and
+    * [[compactTarRelease]]: member rows → one flat byte-budget tar
+    * layout at `outDir`. Refuses duplicate sample keys (the rewrite
+    * would silently collapse them to one member) AND keys missing one
+    * of the requested modalities (`samples` pivots a missing (key, ext)
+    * to null, which [[writeTar]] would then publish as a
+    * present-but-EMPTY member — a repack must move bytes, never
+    * fabricate them; a release whose slices carry differing member sets
+    * must be resolved before repacking).
+    */
+  private def repackMembers(
+      members: DataFrame,
+      exts: Seq[String],
+      outDir: String,
+      targetShardBytes: Long,
+      where: String
+  ): Int = {
+    val pivoted = samples(members, exts)
     val dups = pivoted.groupBy("key").count().filter(col("count") > 1).count()
     require(dups == 0,
-      s"repackTar: $dups sample keys appear in multiple shards — repack would " +
+      s"$where: $dups sample keys appear in multiple shards — the rewrite would " +
         "silently collapse them to one member; resolve duplicates first")
+    val partial = pivoted
+      .filter(exts.map(e => col(s"`$e`").isNull).reduce(_ || _)).count()
+    require(partial == 0,
+      s"$where: $partial sample keys are missing one of the ${exts.mkString("/")} " +
+        "members — the rewrite would fabricate empty members for them, changing " +
+        "what a loader decodes; resolve the differing member sets first")
     writeTarAuto(pivoted.withColumn("__k", col("key").cast("long")),
       outDir, targetShardBytes, "__k", exts.map(e => e -> e))
   }
@@ -321,6 +347,17 @@ object WebDataset {
     if (requireSuccess) {
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // A post-commit compactTarRelease crash leaves the only complete
+      // fold in _compact_tmp with some batch dirs already deleted — the
+      // survivors all carry valid _SUCCESS markers, so without this
+      // check a loader would silently train on a corpus missing the
+      // folded slices. Same refusal discipline as applyShard /
+      // profileSink / lineDedupSink on their standing state dirs.
+      require(!fs.exists(new Path(root, "_compact_commit")),
+        s"scanTar: $path holds an unfinished compaction (_compact_commit " +
+          "present — some slice dirs are already deleted and the only " +
+          "complete fold sits in _compact_tmp); re-run compactTarRelease " +
+          "to resume it before reading")
       if (!fs.exists(new Path(root, "_SUCCESS"))) {
         val batchDirs =
           if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -393,13 +430,7 @@ object WebDataset {
       val exts = m.select("ext").distinct()
         .collect().map(_.getString(0)).sorted.toSeq
       require(exts.nonEmpty, s"compactTarRelease: no tar members under $dir")
-      val pivoted = samples(m, exts)
-      val dups = pivoted.groupBy("key").count().filter(col("count") > 1).count()
-      require(dups == 0,
-        s"compactTarRelease: $dups sample keys appear in multiple slices — " +
-          "folding would silently collapse them to one member; resolve first")
-      writeTarAuto(pivoted.withColumn("__k", col("key").cast("long")),
-        tmp, targetShardBytes, "__k", exts.map(e => e -> e))
+      repackMembers(m, exts, tmp, targetShardBytes, "compactTarRelease")
       ()
     }
 

@@ -1089,6 +1089,26 @@ class CurationPipelineSpec extends SparkSpec {
     assert(dirNames(tarDir) == Seq("batch=c2"), dirNames(tarDir).toString)
     assert(members().sorted == grown, "re-fold changed the member read")
 
+    // an unfinished compaction (marker present) is refused by gated
+    // readers — the survivors would silently miss the folded slices
+    val marker = java.nio.file.Paths.get(tarDir, "_compact_commit")
+    java.nio.file.Files.writeString(marker, "batch=c9\nbatch=c2")
+    val blockedRead = intercept[IllegalArgumentException](
+      WebDataset.scanTar(spark, tarDir, requireSuccess = true))
+    assert(blockedRead.getMessage.contains("unfinished compaction"),
+      blockedRead.getMessage)
+    java.nio.file.Files.delete(marker)
+
+    // slices with DIFFERING member sets refuse the fold — the pivot
+    // would fabricate empty members, changing what a loader decodes
+    WebDataset.writeTarAuto(
+      bin.filter(col("doc_id") < 3).withColumn("doc_id", col("doc_id") + 2000)
+        .select("doc_id", "t"),
+      s"$tarDir/batch=3", 16384, "doc_id", Seq("txt" -> "t")) // no cls member
+    val blockedFold = intercept[IllegalArgumentException](
+      WebDataset.compactTarRelease(spark, tarDir, targetShardBytes = 16384))
+    assert(blockedFold.getMessage.contains("missing one of"), blockedFold.getMessage)
+
     // parquet face: curationSink's shard=<id> slices -> one shard=c1.
     val pqDir = s"$base/pq"
     val rows = docs.select("doc_id", "lang", "text")
