@@ -635,6 +635,16 @@ object CurationPipeline {
           org.apache.spark.sql.types.LongType).contains(df.schema(idCol).dataType),
           s"sink_tar: id column '$idCol' must be integral (member names are " +
             s"<id>.<ext>), got ${df.schema(idCol).dataType.simpleString}")
+        // Appending a slice beside an unfinished release compaction
+        // buries the folded slices' loss — same refusal as curationSink.
+        locally {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val rfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          require(!rfs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")),
+            s"sink_tar: $path holds an unfinished compaction (_compact_commit " +
+              "present) — re-run WebDataset.compactTarRelease to resume it " +
+              "before appending slices")
+        }
         // Lineage cut before the triple consumption (null-count guard,
         // writeTarAuto's byte-sum aggregate, the tar write): without it
         // each pass re-executes the whole curated chain — every dedup
@@ -693,6 +703,13 @@ object CurationPipeline {
         val vocabDir = s"$path/vocab"
         val fitMarker = new org.apache.hadoop.fs.Path(s"$vocabDir/_SUCCESS")
         val mfs = fitMarker.getFileSystem(spark.sessionState.newHadoopConf())
+        // Appending a slice beside an unfinished release compaction
+        // buries the folded slices' loss — same refusal as curationSink.
+        require(!mfs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/shards/_compact_commit")),
+          s"sink_tokens: $path/shards holds an unfinished compaction " +
+            "(_compact_commit present) — re-run WebDataset.compactTarRelease " +
+            "to resume it before appending slices")
         // Lineage cut: the curated frame feeds the tokenizer fit, the
         // vocab fit and the pack (up to three full evaluations of the
         // upstream dedup chain on the fitting shard without it).

@@ -66,12 +66,25 @@ object IncrScaleProbe {
       }.reduce(_ unionByName _),
       (col("doc_id") / idStride).cast("long"), col("doc_id")).cache()
 
-    val pipeline = CurationConfig.fromYaml(
-      """steps:
-        |  - url_dedup: {}
-        |  - dedup_lines: { min_chars: 10 }
-        |  - dedup_exact: {}
-        |""".stripMargin)
+    // Optional 4th arg picks the pipeline: `firstwins` (default — the
+    // §17 measurement) or `ngram` (url_dedup → trigram-Jaccard PPJoin
+    // through the persisted shingle index — the near-dup ingest path,
+    // whose corpus-sized input is thin (doc_id, shingle) index rows
+    // with union-level df/size recompute, never re-shingled text).
+    val pipeName = args.lift(3).getOrElse("firstwins")
+    val pipeline = CurationConfig.fromYaml(pipeName match {
+      case "ngram" =>
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_ngram: { threshold: 0.8, shingle_n: 3 }
+          |""".stripMargin
+      case _ =>
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |""".stripMargin
+    })
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -121,7 +134,7 @@ object IncrScaleProbe {
         // indexes alone, the fresh half must survive (idempotent re-run
         // of the same shard label — state unchanged).
         val kept = CurationPipeline.applyShard(shard, pipeline, state, "1").count()
-        println(f"[incr-scale] $label%-4s corpus=$n%8d shard=$sn%6d kept=$kept%5d " +
+        println(f"[incr-scale] $pipeName%-9s $label%-4s corpus=$n%8d shard=$sn%6d kept=$kept%5d " +
           f"bootstrap=$tBoot%7.2fs ingest=$tIngest%6.2fs recurate=$tRecurate%7.2fs " +
           f"loadavg=$la0%.2f")
         c.unpersist(); shard.unpersist()

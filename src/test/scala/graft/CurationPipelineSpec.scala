@@ -1123,6 +1123,59 @@ class CurationPipelineSpec extends SparkSpec {
     assert(pqAfter == pqBefore, "parquet fold changed the release read")
   }
 
+  test("terminal sink_tar/sink_tokens shard mode: fit-once, accumulated read, idempotent re-delivery") {
+    import graft.sources.{TokenShards, WebDataset}
+    val d = graft.plans.Materialize(docs.select("doc_id", "lang", "text"))
+    val base = java.nio.file.Files.createTempDirectory("shardsink").toString
+
+    // sink_tar: two shards accumulate batch=0/batch=1 slices; the
+    // standing release reads as one corpus whose keys equal the batch
+    // pipeline's keep set (first-wins parity), and re-delivering a
+    // shard leaves the read byte-identical.
+    val tarRel = s"$base/tar"
+    val pTar = CurationConfig.fromYaml(
+      s"steps:\n  - dedup_exact: {}\n  - sink_tar: { path: $tarRel, target_bytes: 16384 }\n")
+    CurationPipeline.applyShard(d.filter(col("doc_id") < 25), pTar, s"$base/st1", "0")
+    CurationPipeline.applyShard(d.filter(col("doc_id") >= 25), pTar, s"$base/st1", "1")
+    def tarRead() = snap(WebDataset.samples(
+      WebDataset.scanTar(spark, tarRel, requireSuccess = true), Seq("txt", "cls"))
+      .select(col("key"), xxhash64(col("txt")).as("h"), xxhash64(col("cls")).as("c")))
+    val t1 = tarRead()
+    val keepBatch = snap(CurationPipeline.apply(d,
+      CurationConfig.fromYaml("steps:\n  - dedup_exact: {}\n")).select("doc_id"))
+    assert(t1.map(_.split("\\|")(0)).sorted == keepBatch.sorted,
+      "accumulated tar keys diverged from the batch keep set")
+    CurationPipeline.applyShard(d.filter(col("doc_id") >= 25), pTar, s"$base/st1", "1")
+    assert(tarRead() == t1, "re-delivered shard changed the tar read")
+
+    // sink_tokens (bpe): the tokenizer model AND vocab fit ONCE on
+    // shard 0's curated frame (the vocab _SUCCESS is the marker) and
+    // serve shard 1 unchanged; the accumulated shards/ layout decodes,
+    // and re-delivery leaves it identical.
+    val tokRel = s"$base/tok"
+    val pTok = CurationConfig.fromYaml(
+      s"""steps:
+         |  - dedup_exact: {}
+         |  - sink_tokens: { path: $tokRel, budget: 64, vocab: 200, buckets: 4,
+         |                   target_bytes: 16384, tokenizer: bpe, merges: 30 }
+         |""".stripMargin)
+    CurationPipeline.applyShard(d.filter(col("doc_id") < 25), pTok, s"$base/st2", "0")
+    def fp(p: String) = snap(spark.read.parquet(p))
+    val vocab0 = fp(s"$tokRel/vocab"); val model0 = fp(s"$tokRel/tokenizer")
+    CurationPipeline.applyShard(d.filter(col("doc_id") >= 25), pTok, s"$base/st2", "1")
+    assert(fp(s"$tokRel/vocab") == vocab0 && fp(s"$tokRel/tokenizer") == model0,
+      "later shard refit the fit-once tokenizer/vocab")
+    def tokRead() = snap(TokenShards.scanTokens(spark, s"$tokRel/shards")
+      .select(col("bucket"), col("seq"), col("n"), xxhash64(col("ids")).as("h")))
+    val k1 = tokRead()
+    assert(k1.nonEmpty, "token release decoded empty")
+    // shard-1 buckets live in their own label*buckets range
+    assert(k1.map(_.split("\\|")(0).toInt).exists(_ >= 4),
+      "shard 1's packed buckets were not shifted into its own range")
+    CurationPipeline.applyShard(d.filter(col("doc_id") >= 25), pTok, s"$base/st2", "1")
+    assert(tokRead() == k1, "re-delivered shard changed the token read")
+  }
+
   test("dedup_ngram and dedup_winnow steps equal operator composition") {
     import graft.operators.Dedup
     val d = graft.plans.Materialize(docs.select("doc_id", "lang", "text"))
