@@ -317,9 +317,10 @@ object MediaFixtures {
     val bins = Array.tabulate(NumBands) { m =>
       val k = math.round(math.sqrt(bandEdges(m) * bandEdges(m + 1)) * FrameLen / sr).toInt
       val fk = k.toDouble * sr / FrameLen
-      val mBack = math.min(NumBands - 1,
-        (NumBands * math.log(fk / FreqLo) / math.log(FreqHi / FreqLo)).toInt)
-      require(fk >= FreqLo && fk < FreqHi && mBack == m,
+      // The hasher's own bin→band mapping must route this tone back to
+      // band m — shared function, no hand-copied formula to drift.
+      require(fk >= FreqLo && fk < FreqHi &&
+        graft.operators.AudioFingerprint.bandIndex(fk) == m,
         s"wavPayload: tone bin $k leaks out of band $m")
       k
     }

@@ -54,6 +54,34 @@ object AudioFingerprint {
     Array.tabulate(NumBands + 1)(j =>
       FreqLo * math.pow(FreqHi / FreqLo, j.toDouble / NumBands))
 
+  /** Log-band index of frequency `f` — THE bin→band mapping, shared by
+    * the coverage check, the energy loop and the fixture builder so the
+    * three can never drift. Caller guarantees FreqLo ≤ f < FreqHi.
+    */
+  private[graft] def bandIndex(f: Double): Int =
+    math.min(NumBands - 1,
+      (NumBands * math.log(f / FreqLo) / math.log(FreqHi / FreqLo)).toInt)
+
+  /** Band coverage is a function of the sample rate ALONE (bin spacing
+    * sr/FrameLen grows with sr, so hi-res rates can leave the narrow
+    * low bands with zero DFT bins — their sign bits would degenerate):
+    * memoize the verdict per distinct sr instead of re-scanning 2048
+    * bins per clip. Per-JVM map — executors each build their own.
+    */
+  private val coverageBySr =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+  private def allBandsCovered(sr: Int): Boolean =
+    coverageBySr.computeIfAbsent(sr, _ => {
+      val counts = new Array[Int](NumBands)
+      var k = 1
+      while (k < FrameLen / 2) {
+        val f = k.toDouble * sr / FrameLen
+        if (f >= FreqLo && f < FreqHi) counts(bandIndex(f)) += 1
+        k += 1
+      }
+      java.lang.Boolean.valueOf(!counts.contains(0))
+    })
+
   /** Canonical RIFF/WAVE PCM-16 parse → (sampleRate, mono samples).
     * Chunk-walks fmt/data (extra chunks tolerated); anything not
     * format-1 16-bit is None — loud refusal belongs to container
@@ -158,25 +186,9 @@ object AudioFingerprint {
     val (sr, mono) = wavPcm(payload).getOrElse(return None)
     if (sr < 2 * FreqHi.toInt) return None
     if (mono.length < NumFrames * FrameLen) return None
-    // Empty-band refusal: bin spacing sr/FrameLen GROWS with the sample
-    // rate, so at hi-res rates the narrow low log-bands can contain ZERO
-    // DFT bins (e.g. 96 kHz → 23.4 Hz spacing vs band 0's ~17 Hz width)
-    // — their energies would be identically 0 and up to half the sign
-    // bits would degenerate to a fixed function of their neighbors,
-    // colliding distinct clips. Band membership is a function of sr
-    // alone, so check coverage before any FFT work.
-    val binCount = new Array[Int](NumBands)
-    var kc = 1
-    while (kc < FrameLen / 2) {
-      val f = kc.toDouble * sr / FrameLen
-      if (f >= FreqLo && f < FreqHi) {
-        val m = math.min(NumBands - 1,
-          (NumBands * math.log(f / FreqLo) / math.log(FreqHi / FreqLo)).toInt)
-        binCount(m) += 1
-      }
-      kc += 1
-    }
-    if (binCount.exists(_ == 0)) return None
+    // Empty-band refusal (e.g. 96 kHz → 23.4 Hz bin spacing vs band 0's
+    // ~17 Hz width — see [[allBandsCovered]]) before any FFT work.
+    if (!allBandsCovered(sr)) return None
     val energies = Array.ofDim[Double](NumFrames, NumBands)
     var n = 0
     while (n < NumFrames) {
@@ -187,12 +199,8 @@ object AudioFingerprint {
       var k = 1
       while (k < FrameLen / 2) {
         val f = k.toDouble * sr / FrameLen
-        if (f >= FreqLo && f < FreqHi) {
-          // log-index of f inside the band layout
-          val m = math.min(NumBands - 1,
-            (NumBands * math.log(f / FreqLo) / math.log(FreqHi / FreqLo)).toInt)
-          energies(n)(m) += re(k) * re(k) + im(k) * im(k)
-        }
+        if (f >= FreqLo && f < FreqHi)
+          energies(n)(bandIndex(f)) += re(k) * re(k) + im(k) * im(k)
         k += 1
       }
       n += 1

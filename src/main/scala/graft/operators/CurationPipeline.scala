@@ -312,11 +312,14 @@ object CurationPipeline {
         val root = new org.apache.hadoop.fs.Path(releaseDir)
         val fs = root.getFileSystem(
           batch.sparkSession.sessionState.newHadoopConf())
-        require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")),
-          s"curationSink: $releaseDir holds an unfinished compaction " +
-            "(_compact_commit present) — re-run compactRelease (parquet) or " +
-            "WebDataset.compactTarRelease (tar/token) to resume it before " +
-            "appending slices")
+        val hint = "re-run compactRelease (parquet) or " +
+          "WebDataset.compactTarRelease (tar/token) to resume it before " +
+          "appending slices"
+        StateCompaction.requireNoWedge(fs, root, "curationSink", hint)
+        // A sink_tokens release compacts under releaseDir/shards — the
+        // top-level marker probe alone would never fire for it.
+        StateCompaction.requireNoWedge(fs,
+          new org.apache.hadoop.fs.Path(root, "shards"), "curationSink", hint)
       }
       val curated = applyShard(
         batch, pipeline, stateDir, batchId.toString, idCol, textCol, aux)
@@ -360,10 +363,8 @@ object CurationPipeline {
         // batch dirs are already deleted and the only complete fold sits
         // in _compact_tmp: reading the survivors would silently drop
         // standing keys. Refuse; resuming the compaction repairs it.
-        require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")),
-          s"applyShard: $dir holds an unfinished compaction " +
-            "(_compact_commit present) — re-run compactShardState to resume " +
-            "it before ingesting")
+        StateCompaction.requireNoWedge(fs, root, "applyShard",
+          "re-run compactShardState to resume it before ingesting")
         fs.listStatus(root)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .filter(st => labelBefore(st.getPath.getName.stripPrefix("batch=")))
@@ -640,10 +641,8 @@ object CurationPipeline {
         locally {
           val root = new org.apache.hadoop.fs.Path(path)
           val rfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-          require(!rfs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")),
-            s"sink_tar: $path holds an unfinished compaction (_compact_commit " +
-              "present) — re-run WebDataset.compactTarRelease to resume it " +
-              "before appending slices")
+          StateCompaction.requireNoWedge(rfs, root, "sink_tar",
+            "re-run WebDataset.compactTarRelease to resume it before appending slices")
         }
         // Lineage cut before the triple consumption (null-count guard,
         // writeTarAuto's byte-sum aggregate, the tar write): without it
@@ -705,11 +704,9 @@ object CurationPipeline {
         val mfs = fitMarker.getFileSystem(spark.sessionState.newHadoopConf())
         // Appending a slice beside an unfinished release compaction
         // buries the folded slices' loss — same refusal as curationSink.
-        require(!mfs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/shards/_compact_commit")),
-          s"sink_tokens: $path/shards holds an unfinished compaction " +
-            "(_compact_commit present) — re-run WebDataset.compactTarRelease " +
-            "to resume it before appending slices")
+        StateCompaction.requireNoWedge(mfs,
+          new org.apache.hadoop.fs.Path(s"$path/shards"), "sink_tokens",
+          "re-run WebDataset.compactTarRelease to resume it before appending slices")
         // Lineage cut: the curated frame feeds the tokenizer fit, the
         // vocab fit and the pack (up to three full evaluations of the
         // upstream dedup chain on the fitting shard without it).

@@ -1220,23 +1220,6 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Banded Hamming near-dup pairs over 64-bit signatures — the shared
-    * core of [[simhash]] and [[graft.operators.PerceptualHash.dedup]]:
-    * signatures band into 4×16-bit chunks (Hamming ≤ k implies some
-    * chunk matches for k < 4 — guaranteed recall at the small distances
-    * these operators run at), candidates verify with exact
-    * `bit_count(xor)`. Input: one `(doc_id, sig)` row per DISTINCT
-    * signature-bearing doc (callers run their exact pre-pass first, so a
-    * mass-duplicate cluster reports as O(cluster) star pairs instead of
-    * hitting the cap).
-    *
-    * Scale shape: the chunk join shuffles (chunk, key, id, sig) rows only
-    * — ~28 bytes flat; the bucket-size cap (same skew guard as
-    * [[minhashLsh]]) stops a degenerate corpus — millions of DISTINCT
-    * docs colliding on one 16-bit chunk key — from making the self-join
-    * quadratic in one bucket. The window partitions by (chunk, key),
-    * which the join reuses.
-    */
   /** Shared 64-bit-signature batch dedup core (image dHash / audio HK
     * fingerprints — anything with one long signature per item):
     * identical-signature star pre-pass (mass duplicates surface as
@@ -1281,6 +1264,23 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Banded Hamming near-dup pairs over 64-bit signatures — the shared
+    * core of [[simhash]] and [[graft.operators.PerceptualHash.dedup]]:
+    * signatures band into 4×16-bit chunks (Hamming ≤ k implies some
+    * chunk matches for k < 4 — guaranteed recall at the small distances
+    * these operators run at), candidates verify with exact
+    * `bit_count(xor)`. Input: one `(doc_id, sig)` row per DISTINCT
+    * signature-bearing doc (callers run their exact pre-pass first, so a
+    * mass-duplicate cluster reports as O(cluster) star pairs instead of
+    * hitting the cap).
+    *
+    * Scale shape: the chunk join shuffles (chunk, key, id, sig) rows only
+    * — ~28 bytes flat; the bucket-size cap (same skew guard as
+    * [[minhashLsh]]) stops a degenerate corpus — millions of DISTINCT
+    * docs colliding on one 16-bit chunk key — from making the self-join
+    * quadratic in one bucket. The window partitions by (chunk, key),
+    * which the join reuses.
+    */
   private[graft] def hammingBandPairs(
       sigs: DataFrame,
       maxHamming: Int,
@@ -1741,10 +1741,8 @@ object Dedup {
     val priorDirs =
       if (!fs.exists(idxRoot)) Array.empty[String]
       else {
-        require(!fs.exists(new org.apache.hadoop.fs.Path(idxRoot, "_compact_commit")),
-          s"lineDedupSink: $idxRoot holds an unfinished compaction " +
-            "(_compact_commit present) — re-run compactLineIndexDir to resume " +
-            "it before ingesting")
+        StateCompaction.requireNoWedge(fs, idxRoot, "lineDedupSink",
+          "re-run compactLineIndexDir to resume it before ingesting")
         fs.listStatus(idxRoot)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .map(_.getPath.toString)

@@ -387,10 +387,8 @@ object Profiling {
         val path = new org.apache.hadoop.fs.Path(standingDir)
         val fs = path.getFileSystem(
           batch.sparkSession.sessionState.newHadoopConf())
-        require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_compact_commit")),
-          s"profileSink: $standingDir holds an unfinished compaction " +
-            "(_compact_commit present) — re-run compactProfileDir to resume " +
-            "it before appending batches.")
+        StateCompaction.requireNoWedge(fs, path, "profileSink",
+          "re-run compactProfileDir to resume it before appending batches")
       }
       shardProfile(batch, cols, lgK)
         .coalesce(1)

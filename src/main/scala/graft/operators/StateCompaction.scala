@@ -44,6 +44,23 @@ object StateCompaction {
         s"$where: unrecognized batch dir label '$label' — labels must " +
           "be numeric (compacted dirs carry a single c prefix)"))
 
+  /** Shared wedged-compaction refusal: every reader and writer of a
+    * batch-keyed standing layout must refuse a dir holding an
+    * unfinished compaction — a post-commit crash leaves the only
+    * complete fold in `_compact_tmp` with some slice dirs already
+    * deleted, so consuming (or appending beside) the survivors silently
+    * loses the folded rows. One helper owns the marker name; the
+    * protocol can never change it under only SOME of the guards.
+    */
+  def requireNoWedge(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      where: String,
+      resumeHint: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")),
+      s"$where: $root holds an unfinished compaction (_compact_commit " +
+        s"present) — $resumeHint")
+
   /** Fold `dir`'s `batch=<id>` subdirectories into `batch=c<maxId>`.
     * `select` optionally projects the folded columns (Nil = full
     * schema); `rewrite` post-processes the union (identity for the

@@ -288,7 +288,10 @@ object WebDataset {
       targetShardBytes: Long,
       where: String
   ): Int = {
-    val pivoted = samples(members, exts)
+    // Lineage cut: the pivot feeds three guard/write consumers (dup-key
+    // count, missing-member count, writeTarAuto's byte-sum + write) —
+    // each would otherwise re-read and re-walk every tar in the release.
+    val pivoted = graft.plans.Materialize(samples(members, exts))
     val dups = pivoted.groupBy("key").count().filter(col("count") > 1).count()
     require(dups == 0,
       s"$where: $dups sample keys appear in multiple shards — the rewrite would " +
@@ -353,11 +356,8 @@ object WebDataset {
       // check a loader would silently train on a corpus missing the
       // folded slices. Same refusal discipline as applyShard /
       // profileSink / lineDedupSink on their standing state dirs.
-      require(!fs.exists(new Path(root, "_compact_commit")),
-        s"scanTar: $path holds an unfinished compaction (_compact_commit " +
-          "present — some slice dirs are already deleted and the only " +
-          "complete fold sits in _compact_tmp); re-run compactTarRelease " +
-          "to resume it before reading")
+      graft.operators.StateCompaction.requireNoWedge(fs, root, "scanTar",
+        "re-run compactTarRelease to resume it before reading")
       if (!fs.exists(new Path(root, "_SUCCESS"))) {
         val batchDirs =
           if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]

@@ -21,8 +21,8 @@ import graft.sources.Tables
   * is half exact re-crawls of copy-0 docs (must be dropped via the
   * standing indexes alone) and half fresh docs (must survive).
   *
-  * Run: `sbt "runMain graft.tools.IncrScaleProbe [sfDir] [k] [K]"`;
-  * results are committed to BENCH_NOTES.md.
+  * Run: `sbt "runMain graft.tools.IncrScaleProbe [sfDir] [k] [K]
+  * [firstwins|ngram]"`; results are committed to BENCH_NOTES.md.
   */
 object IncrScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -78,12 +78,16 @@ object IncrScaleProbe {
           |  - url_dedup: {}
           |  - dedup_ngram: { threshold: 0.8, shingle_n: 3 }
           |""".stripMargin
-      case _ =>
+      case "firstwins" =>
         """steps:
           |  - url_dedup: {}
           |  - dedup_lines: { min_chars: 10 }
           |  - dedup_exact: {}
           |""".stripMargin
+      // A silent fallback would label first-wins timings with the typo'd
+      // name — mislabeled benchmark evidence is worse than a crash.
+      case other => sys.error(
+        s"unknown pipeline '$other' (expected firstwins or ngram)")
     })
 
     def time(f: => Unit): Double = {
