@@ -102,13 +102,14 @@ object Bench {
       candidates.filter(java.nio.file.Files.exists(_)).map(minsIn)
         .find(_.nonEmpty).getOrElse(Map.empty)
     }
+    def onceFor(name: String): Double =
+      try {
+        val t0 = System.nanoTime()
+        fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
     val results = names.map { name =>
-      def once(): Double =
-        try {
-          val t0 = System.nanoTime()
-          fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
+      def once(): Double = onceFor(name)
       // Fit-heavy entries get ONE untimed warm-up: first-execution JIT of
       // the iterative fit loop (and index/model persistence for the _idx
       // serving entries) otherwise leaks into the timed best-of-N — r8's
@@ -134,14 +135,45 @@ object Bench {
             f"first-pass loadavg ${runs.head._2}%.1f)")
       (name, if (vals.exists(_ < 0)) -1.0 else vals.min, vals, runs.map(_._2))
     }
+    // DEFERRED RETRY: a FULLY-contended window defeats within-sweep
+    // escalation — all 5 samples slow with loadavg just under the
+    // escalation cutoff (r13's aces_readmission shipped 2.18 s vs a
+    // 0.88 s quiet floor that way). After the sweep, any entry whose
+    // BEST run started above cores/8 gets re-queued: by then the rest
+    // of the sweep has run and the box has had minutes to quiet. Each
+    // retry waits up to 60 s for loadavg to fall under cores/8, then
+    // takes two more timed samples; the overall minimum wins, and the
+    // artifact lists the retried names so cross-round readers know
+    // which minima were re-adjudicated.
+    val retryLoad = cpus.toDouble / 8
+    val retriedNames = scala.collection.mutable.ArrayBuffer[String]()
+    val finalResults = results.map { case r @ (name, v, vals, loads) =>
+      val bestIdx = vals.indexOf(vals.min)
+      if (v < 0 || loads.isEmpty || loads(bestIdx) <= retryLoad) r
+      else {
+        var waitedMs = 0
+        while (loadavg() > retryLoad && waitedMs < 60000) {
+          Thread.sleep(5000); waitedMs += 5000
+        }
+        retriedNames += name
+        val extra = Vector.fill(2) { val l = loadavg(); (onceFor(name), l) }
+        val allVals = vals ++ extra.map(_._1)
+        val allLoads = loads ++ extra.map(_._2)
+        System.err.println(
+          f"[bench] $name: deferred retry (best-run loadavg ${loads(bestIdx)}%.1f > " +
+            f"$retryLoad%.1f) -> ${extra.map(e => f"${e._1}%.3f").mkString(", ")} " +
+            f"at loadavg ${extra.map(e => f"${e._2}%.1f").mkString(", ")}")
+        (name, if (allVals.exists(_ < 0)) -1.0 else allVals.min, allVals, allLoads)
+      }
+    }
     val loadEnd = loadavg()
-    val failed = results.collect { case (k, v, _, _) if v < 0 => k }
-    val qs = results
+    val failed = finalResults.collect { case (k, v, _, _) if v < 0 => k }
+    val qs = finalResults
       .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Per-query spread of the N runs around the reported minimum,
     // (max-min)/min — the per-query noise the minimum filtered out.
-    val spreads = results
+    val spreads = finalResults
       .map { case (k, v, runs, _) =>
         val s = if (v <= 0) -1.0 else (runs.max - runs.min) / runs.min
         "\"" + k + "\":" + f"$s%.3f"
@@ -149,7 +181,7 @@ object Bench {
       .mkString("{", ",", "}")
     // Every raw sample, so a suspicious minimum can be re-adjudicated
     // from the artifact alone (no re-run needed).
-    val rawRuns = results
+    val rawRuns = finalResults
       .map { case (k, _, runs, _) =>
         "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
       }
@@ -157,18 +189,18 @@ object Bench {
     // The 1-minute loadavg at the START of each raw run (parallel to
     // raw_runs): a raw outlier whose loadavg entry spikes is box
     // contention, adjudicated from the artifact alone.
-    val runLoads = results
+    val runLoads = finalResults
       .map { case (k, _, _, loads) =>
         "\"" + k + "\":" + loads.map(l => f"$l%.2f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,""" +
         f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"run_spread":$spreads,"raw_runs":$rawRuns,""" +
-        f""""run_loadavg":$runLoads,""" +
-        f""""noise_note":"shared box; best-of-2, escalated up to best-of-5 while a >3x raw outlier persists, or the minimum exceeds 1.5x the entry's previous-round artifact minimum (cross-round check; tightened from 2.5x in r13 — warmups killed the JIT excuse, so 1.6-1.9x contended minima were sailing through), or first pass contended (loadavg > cores/4 or spread > 1.0); run_loadavg[i] is the 1-min loadavg at raw_runs[i]'s start — outliers coexisting with loadavg spikes are contention, not regressions"}"""
+        f""""run_loadavg":$runLoads,"retried":${retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        f""""noise_note":"shared box; best-of-2, escalated up to best-of-5 while a >3x raw outlier persists, or the minimum exceeds 1.5x the entry's previous-round artifact minimum (cross-round check; tightened from 2.5x in r13 — warmups killed the JIT excuse, so 1.6-1.9x contended minima were sailing through), or first pass contended (loadavg > cores/4 or spread > 1.0); run_loadavg[i] is the 1-min loadavg at raw_runs[i]'s start — outliers coexisting with loadavg spikes are contention, not regressions; entries in `retried` had their best run start above cores/8 and were re-timed after the sweep once the box quieted (deferred retry, up to 60s wait + best-of-2 more)"}"""
     // The driver scrapes the sbt log tail (r01–r03 artifacts all recorded
     // "parsed": null). Maximize its odds: quiesce the logger first, emit
     // the line on BOTH streams (sbt tags forked stdout [info] and stderr

@@ -267,6 +267,16 @@ object CurationConfig {
     */
   final case class DedupAfp(maxHamming: Int, payloadCol: String) extends Step
 
+  /** Video near-dup removal over a binary stored-raw-frame payload
+    * column ([[graft.operators.VideoFingerprint]]): per-frame dHashes
+    * at the `frameBytes` lattice, clip pairs by ≥ `minShared` shared
+    * distinct frame signatures, connected components, keep each
+    * cluster's min-id member — the third multimodal leg (dedup_phash
+    * image, dedup_afp audio). Signature-index shard mode like both.
+    */
+  final case class DedupVideo(
+      minShared: Long, frameBytes: Int, stride: Int, payloadCol: String) extends Step
+
   /** Container-envelope gate (no codec, magic-byte dispatch —
     * [[graft.operators.Multimodal.containerMeta]]): keep documents
     * whose payload parses to a container in `formats` (unparseable
@@ -545,6 +555,12 @@ object CurationConfig {
         DedupAfp(
           longParam("max_hamming").getOrElse(2L).toInt,
           params.get("payload_col").map(_.toString).getOrElse("payload"))
+      case "dedup_video" =>
+        DedupVideo(
+          longParam("min_shared").getOrElse(2L),
+          need(longParam("frame_bytes"), "'frame_bytes' (stored raw frame size)").toInt,
+          longParam("stride").getOrElse(1L).toInt,
+          params.get("payload_col").map(_.toString).getOrElse("payload"))
       case "container_meta" =>
         val fmts = params.get("formats")
           .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
@@ -626,7 +642,7 @@ object CurationConfig {
       case other =>
         throw new IllegalArgumentException(
           s"step #$idx: unknown curation step '$other' (known: blocklist, c4_filter, clean, normalize, redact, " +
-            "compress, dedup_afp, dedup_embedding, dedup_exact, dedup_lines, dedup_minhash, dedup_ngram, dedup_semantic, dedup_simhash, dedup_winnow, " +
+            "compress, dedup_afp, dedup_embedding, dedup_exact, dedup_lines, dedup_minhash, dedup_ngram, dedup_phash, dedup_semantic, dedup_simhash, dedup_video, dedup_winnow, " +
             "dedup_soft, decontaminate_embedding, gopher, importance_sample, langid_keep, " +
             "langid_trigram_keep, mix_unimax, quality, quality_model, quota, repetition, " +
             "sample_diverse, sink, sink_tar, sink_tokens, split, strip_html, shuffle, temperature, chunk, decontaminate, perplexity, " +

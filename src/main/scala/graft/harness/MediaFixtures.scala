@@ -230,8 +230,12 @@ object MediaFixtures {
     * (pools + compares) are independent code paths over the same
     * closed-form expectation.
     */
-  def bmpPayload(id: Long): Array[Byte] = {
-    val h = dhashTarget(id)
+  def bmpPayload(id: Long): Array[Byte] = bmpForHash(dhashTarget(id))
+
+  /** The 9×8 grayscale BMP realizing an ARBITRARY 64-bit dHash — the
+    * builder half shared by [[bmpPayload]] and the video frame fixture.
+    */
+  def bmpForHash(h: Long): Array[Byte] = {
     val g = Array.ofDim[Int](8, 9)
     var r = 0
     while (r < 8) {
@@ -276,6 +280,57 @@ object MediaFixtures {
     o.toByteArray
   }
 
+  /** BMP frame byte size at the fixed 9×8 fixture geometry: 54-byte
+    * headers + 8 rows × 28 bytes (27 pixel bytes word-padded to 28) —
+    * the `frameBytes` every video fixture entry passes.
+    */
+  val BmpFrameBytes: Int = 54 + 8 * 28
+
+  /** Frames per fixture video clip. */
+  val VideoFrames: Int = 6
+
+  /** The dHash of frame `j` of fixture video `id`, closed-form: the
+    * [[dhashTarget]] family scheme lifted to frame SETS — families of 5
+    * (`fam = id / 5`), variant `v = id % 5` shares its first
+    * `VideoFrames − v` frames with the family (seeded by `(fam, j)`)
+    * and fills the rest with clip-unique frames (seeded by `(id, j)`),
+    * so `shared_frames(a, b) = VideoFrames − max(v_a, v_b)` within a
+    * family and ~0 across families — a plain-SQL pair oracle.
+    */
+  def videoFrameTarget(id: Long, j: Int): Long = {
+    val fam = id / 5
+    val v = id % 5
+    if (j < VideoFrames - v) splitmix64(fam * 131 + j + 0x51dE0FaaL)
+    else splitmix64(id * 131 + j + 0x0cafef00dL)
+  }
+
+  /** A fixture video clip: [[VideoFrames]] stored raw 9×8 BMP frames
+    * concatenated ([[Multimodal.sampleFrames]]' fixed-size lattice at
+    * `frameBytes = BmpFrameBytes`), frame `j` realizing
+    * [[videoFrameTarget]](id, j).
+    */
+  def videoPayload(id: Long): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    var j = 0
+    while (j < VideoFrames) {
+      o.write(bmpForHash(videoFrameTarget(id, j)))
+      j += 1
+    }
+    o.toByteArray
+  }
+
+  /** (media_id, payload) frame of fixture video clips, one per input
+    * id — generated partition-wise.
+    */
+  def syntheticVideos(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      Row(id, videoPayload(id))
+    })
+    spark.createDataFrame(rdd, mediaIdPayloadSchema)
+  }
+
   /** (media_id, payload) frame of synthetic dHash-oracle bitmaps, one per
     * input id — generated partition-wise like [[syntheticContainers]].
     */
@@ -310,7 +365,25 @@ object MediaFixtures {
     * samples) and hasher (FFT + band sums + sign comparisons) are
     * independent code paths over the same closed-form expectation.
     */
-  def wavPayload(id: Long): Array[Byte] = {
+  def wavPayload(id: Long): Array[Byte] =
+    wavBytes(8000, wavSamples(id))
+
+  /** [[wavPayload]] with `shiftSamples` leading silence — the OFFSET
+    * re-encode fixture for the multi-anchor shift tolerance: anchor
+    * `shiftSamples / AnchorHop` of the padded clip sees the original
+    * signal exactly, so original and copy share an identical anchor
+    * fingerprint and pair at Hamming 0 (shiftSamples must be a multiple
+    * of [[graft.operators.AudioFingerprint.AnchorHop]] and small enough
+    * that the aligned anchor is within MaxAnchors).
+    */
+  def wavPayloadShifted(id: Long, shiftSamples: Int): Array[Byte] = {
+    require(shiftSamples > 0 &&
+      shiftSamples % graft.operators.AudioFingerprint.AnchorHop == 0,
+      s"shift must be a positive AnchorHop multiple, got $shiftSamples")
+    wavBytes(8000, new Array[Double](shiftSamples) ++ wavSamples(id))
+  }
+
+  private def wavSamples(id: Long): Array[Double] = {
     import graft.operators.AudioFingerprint.{bandEdges, FrameLen, NumBands, NumFrames, FreqLo, FreqHi}
     val target = afpTarget(id)
     val sr = 8000
@@ -370,6 +443,11 @@ object MediaFixtures {
       }
       n += 1
     }
+    x
+  }
+
+  /** Canonical RIFF/WAVE PCM-16 mono container around `x`. */
+  private def wavBytes(sr: Int, x: Array[Double]): Array[Byte] = {
     val dataLen = x.length * 2
     val o = new ByteArrayOutputStream()
     def le16o(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff) }
@@ -397,6 +475,39 @@ object MediaFixtures {
     val rdd = ids.rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       Row(id, wavPayload(id))
+    })
+    spark.createDataFrame(rdd, mediaIdPayloadSchema)
+  }
+
+  /** (media_id, payload) frame of OFFSET-re-encode pairs: ids pair up
+    * by `fam = id / 2` — the even member is a clean clip (one base
+    * signal per family), the odd member the SAME signal padded with
+    * `(1 + fam % 3) · AnchorHop` samples of leading silence. Each pair
+    * shares exactly one aligned anchor fingerprint, so the within-pair
+    * Hamming-0 match is the closed-form oracle for the multi-anchor
+    * shift tolerance.
+    *
+    * Shifts stop at 3 hops: every clip's frame 0 is spectrally FLAT by
+    * construction ([[wavSamples]] — the difference-of-differences bits
+    * live in frames 1–2), so a misaligned window whose signal part lies
+    * entirely inside frame 0 is identical ACROSS families (silence +
+    * flat staircase), and at shift ≥ 2 frames those degenerate windows
+    * would cross-pair unrelated clips — a real perceptual-hash property
+    * (silence matches silence), not a fixture artifact, kept out of the
+    * oracle by capping the shift so every anchor window reaches the
+    * family-specific frame 1.
+    */
+  def syntheticWavsShifted(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val fam = id / 2
+      val base = fam * 5 // one afpTarget family seed per shift family
+      val payload =
+        if (id % 2 == 0) wavPayload(base)
+        else wavPayloadShifted(base,
+          (1 + (fam % 3).toInt) * graft.operators.AudioFingerprint.AnchorHop)
+      Row(id, payload)
     })
     spark.createDataFrame(rdd, mediaIdPayloadSchema)
   }

@@ -86,16 +86,24 @@ object QueryCatalog {
     * fit-recipe version AND a cheap corpus fingerprint (row count + max
     * doc_id + total text bytes): a /tmp model fit by older code OR
     * against since-regenerated fixture data must refit, not silently
-    * serve stale scores into goldens/bench.
+    * serve stale scores into goldens/bench. The fingerprint aggregate
+    * itself is memoized per sf dir for the session — serving entries
+    * must not pay a corpus scan per invocation (the general serve-path
+    * rule: fingerprint once at fit/ingest time, never per query); a
+    * mid-SESSION testdata regeneration is not a supported shape (the
+    * driver regenerates between rounds, i.e. between JVMs).
     */
-  private def qualityModelDir(s: SparkSession, dir: String): String = {
-    val fp = docs(s, dir).agg(
-      count(lit(1)), max(col("doc_id")),
-      coalesce(sum(octet_length(col("text")).cast("long")), lit(0L))).head()
-    s"/tmp/graft_qmodel_v${QualityClassifier.modelFormatVersion}_d1024_i32_" +
-      s"n${fp.getLong(0)}_m${fp.getLong(1)}_b${fp.getLong(2)}_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
-  }
+  private val qmodelDirBySf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def qualityModelDir(s: SparkSession, dir: String): String =
+    qmodelDirBySf.computeIfAbsent(dir, _ => {
+      val fp = docs(s, dir).agg(
+        count(lit(1)), max(col("doc_id")),
+        coalesce(sum(octet_length(col("text")).cast("long")), lit(0L))).head()
+      s"/tmp/graft_qmodel_v${QualityClassifier.modelFormatVersion}_d1024_i32_" +
+        s"n${fp.getLong(0)}_m${fp.getLong(1)}_b${fp.getLong(2)}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+    })
 
   /** documents with a deterministic 4-line decoration (doc-specific
     * substrings + a corpus-wide boilerplate header + a footer shared by
@@ -1784,6 +1792,24 @@ object QueryCatalog {
               |WHERE a.doc_id >= 250 OR b.doc_id >= 250
               |ORDER BY 1, 2""".stripMargin)),
 
+    // AFP SHIFT TOLERANCE: offset re-encodes (leading silence in
+    // AnchorHop multiples — the dominant real-world audio edit the old
+    // fixed-anchor fingerprint missed) pair at Hamming 0 through the
+    // multi-anchor signatures: the padded copy's aligned anchor carries
+    // the clean clip's exact fingerprint, surfacing as an
+    // identical-signature star pair. Families of 2 (clean, padded) with
+    // per-family shifts of 1–4 hops → the closed-form within-pair
+    // oracle.
+    Q("dedup_afp_shift", (s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id")).repartition(32, col("doc_id"))
+      AudioFingerprint.dedup(MediaFixtures.syntheticWavsShifted(ids), maxHamming = 0)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 2 AS fam FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |ORDER BY 1, 2""".stripMargin)),
+
     // dedup_afp as a language STEP over a multimodal corpus (payload =
     // synthetic WAV beside doc metadata), min-id keep per family
     // cluster — full SQL oracle like curation_pipeline_media.
@@ -1802,6 +1828,70 @@ object QueryCatalog {
               |SELECT doc_id, lang FROM m
               |WHERE doc_id IN (SELECT MIN(doc_id) FROM m GROUP BY fam)
               |ORDER BY doc_id""".stripMargin)),
+
+    // dedup_video as a language STEP over a multimodal corpus (payload
+    // = stored-raw-frame clip beside doc metadata): at min_shared = 3
+    // the family members v ∈ {0..3} form a clique (any two share
+    // 6 − max(v_a, v_b) ≥ 3 frames) and v = 4 stays a singleton, so the
+    // min-id-per-cluster keep is closed-form.
+    Q("curation_pipeline_video", (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+        .join(MediaFixtures.syntheticVideos(
+            docs(s, dir).select(col("doc_id")).repartition(32, col("doc_id")))
+          .withColumnRenamed("media_id", "doc_id"), Seq("doc_id"))
+      CurationPipeline.fromYaml(d,
+        s"""steps:
+           |  - dedup_video: { min_shared: 3, frame_bytes: ${MediaFixtures.BmpFrameBytes} }
+           |""".stripMargin)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some("""WITH m AS (SELECT doc_id, lang, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents),
+              |keep AS (SELECT doc_id FROM m WHERE v = 4
+              |  UNION ALL SELECT MIN(doc_id) FROM m WHERE v <= 3 GROUP BY fam)
+              |SELECT m.doc_id, m.lang FROM m JOIN keep USING (doc_id)
+              |ORDER BY 1""".stripMargin)),
+
+    // VIDEO near-dup — the third multimodal leg: clips of stored raw
+    // BMP frames (compressed codecs are the documented public-knowledge
+    // boundary), per-frame dHashes rolled up to clip pairs by SHARED
+    // distinct frame-signature count (the winnowing join shape,
+    // ubiquity-capped so black frames / title cards can't go
+    // quadratic). Fixture families of 5 share their first 6−v frames →
+    // the closed-form shared_frames = 6 − max(v_a, v_b) oracle.
+    Q("dedup_video", (s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id")).repartition(32, col("doc_id"))
+      VideoFingerprint.dedup(MediaFixtures.syntheticVideos(ids),
+          frameBytes = MediaFixtures.BmpFrameBytes, minShared = 3L)
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(6 - GREATEST(a.v, b.v) AS BIGINT) AS shared_frames
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |WHERE 6 - GREATEST(a.v, b.v) >= 3
+              |ORDER BY 1, 2""".stripMargin), bench = true),
+
+    Q("dedup_video_incr", (s, dir) => {
+      // Incremental video near-dup: shard (doc_id >= 250) sliced+hashed
+      // against the PERSISTED frame-signature index of the corpus
+      // (doc_id < 250) — the dedup_afp_incr shape, video edition, with
+      // the same mid-family split guaranteeing corpus↔shard pairs.
+      val ids = docs(s, dir).select(col("doc_id")).repartition(32, col("doc_id"))
+      val all = MediaFixtures.syntheticVideos(ids)
+      val idxDir = s"/tmp/graft_vidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      VideoFingerprint.signatures(all.filter(col("media_id") < 250),
+          frameBytes = MediaFixtures.BmpFrameBytes)
+        .write.mode("overwrite").parquet(idxDir)
+      VideoFingerprint.dedupIncremental(
+          all.filter(col("media_id") >= 250), s.read.parquet(idxDir),
+          frameBytes = MediaFixtures.BmpFrameBytes, minShared = 3L)
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(6 - GREATEST(a.v, b.v) AS BIGINT) AS shared_frames
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |WHERE 6 - GREATEST(a.v, b.v) >= 3
+              |  AND (a.doc_id >= 250 OR b.doc_id >= 250)
+              |ORDER BY 1, 2""".stripMargin)),
 
     Q("text_repetition", (s, dir) =>
       // Gopher-style repetition quality filters: duplicate-token /
@@ -3844,6 +3934,51 @@ object QueryCatalog {
           element_at(col("ids"), 1).as("first_id"))
         .orderBy("bucket", "seq")
     }, Some(incrTokensOracleSql)),
+
+    // RELEASE FINALIZATION — the stage that closes the production loop
+    // crawl → ingest → finalize-into-a-training-mix: the corpus-global
+    // mixing steps shard mode REFUSES (quota/split here — the
+    // SQL-exact forms) run ONCE over the STANDING release via
+    // CurationPipeline.finalizeRelease, which rewrites the accumulated
+    // shard=0/shard=1 slices into one finalized shard=c1 dir under the
+    // StateCompaction crash-safe protocol. Oracle: sequential replay of
+    // the 2-shard quality→exact ingest (first-wins, so the union equals
+    // the batch run) then the quota pick + split assignment over the
+    // surviving corpus — the sample_quota / split_assign SQL forms
+    // composed.
+    Q("curation_release_finalize", (s, dir) => {
+      val state = scratchDir("graft_fin_state", dir)
+      val rel = scratchDir("graft_fin_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink: { path: $rel }
+           |""".stripMargin)
+      val d = docs(s, dir)
+      CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(d.filter(col("doc_id") >= 250), p, state, "1")
+      CurationPipeline.finalizeReleaseYaml(s, rel,
+        """steps:
+          |  - quota: { group: lang, quotas: { en: 40, es: 15, fr: 8 } }
+          |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+          |""".stripMargin)
+      s.read.parquet(rel).select("doc_id", "lang", "split").orderBy("doc_id")
+    }, Some(
+      """WITH q0 AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 10),
+        |dd AS (SELECT * FROM q0
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM q0 GROUP BY text)),
+        |r AS (SELECT doc_id, lang,
+        |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM dd),
+        |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk
+        |  FROM r),
+        |pick AS (SELECT doc_id, lang, rnd FROM k
+        |  WHERE (lang = 'en' AND rk <= 40) OR (lang = 'es' AND rk <= 15)
+        |     OR (lang = 'fr' AND rk <= 8))
+        |SELECT doc_id, lang, CASE WHEN rnd < 429496729 THEN 'test'
+        |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split
+        |FROM pick ORDER BY doc_id""".stripMargin)),
 
     // The near-dup face of the shard-ingest release: minhash joins the
     // composed chain through the persisted signature index (corpus text

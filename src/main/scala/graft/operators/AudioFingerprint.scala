@@ -15,8 +15,13 @@ import org.apache.spark.sql.types._
   * slight edits, which dominate real audio duplication).
   *
   * Fingerprint convention (FIXED — committed fixtures depend on it):
-  * the decoded mono signal's first 3 × 4096 samples form three
-  * non-overlapping frames; each frame's rectangular-window DFT energies
+  * an ANCHOR at sample offset `a` hashes the 3 × 4096 samples starting
+  * there as three non-overlapping frames; anchors stride by
+  * [[AnchorHop]] (half a frame, ≤ [[MaxAnchors]] per clip — the
+  * published HK overlapping-frame remedy for offset/trimmed re-encodes,
+  * which share an aligned anchor with their original and therefore an
+  * identical anchor fingerprint). Per anchor, each frame's
+  * rectangular-window DFT energies
   * sum into 33 log-spaced frequency bands between 300 Hz and 2000 Hz
   * (edges `e_j = 300·(2000/300)^(j/33)`, the published band layout);
   * bit `(n−1)·32 + m` of the 64-bit fingerprint (frame n ∈ {1, 2},
@@ -95,29 +100,24 @@ object AudioFingerprint {
     if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
     var off = 12
-    var fmt: Option[(Int, Int, Int)] = None // (format, channels, sampleRate)
-    var data: Option[(Int, Int)] = None     // (offset, length)
+    // (format, channels, sampleRate, bitsPerSample) — all four fields
+    // read from the SAME fmt chunk in one walk, so a malformed WAV with
+    // two fmt chunks can't mix fields across them.
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None // (offset, length)
     while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
       val name = new String(p, off, 4, "US-ASCII")
       val size = le32(off + 4)
       if (size < 0 || off + 8 + size > p.length) return None
-      if (name == "fmt " && size >= 16)
-        fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12).toInt))
+      if (name == "fmt " && size >= 16 && fmt.isEmpty)
+        fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12).toInt,
+          le16(off + 8 + 14)))
       if (name == "data") data = Some((off + 8, size.toInt))
       off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    val (format, channels, sr) = fmt.getOrElse(return None)
+    val (format, channels, sr, bitsPerSample) = fmt.getOrElse(return None)
     val (dOff, dLen) = data.getOrElse(return None)
     if (format != 1 || channels < 1 || sr <= 0) return None
-    // bits-per-sample lives at fmt offset +14; re-walk to find fmt off.
-    var fOff = 12
-    var bitsPerSample = -1
-    while (fOff + 8 <= p.length && bitsPerSample < 0) {
-      val name = new String(p, fOff, 4, "US-ASCII")
-      val size = le32(fOff + 4).toInt
-      if (name == "fmt " && size >= 16) bitsPerSample = le16(fOff + 8 + 14)
-      fOff += 8 + size + (size & 1)
-    }
     if (bitsPerSample != 16) return None
     val bytesPerFrame = 2 * channels
     val n = dLen / bytesPerFrame
@@ -178,23 +178,43 @@ object AudioFingerprint {
     }
   }
 
-  /** The 64-bit HK fingerprint of a PCM-WAV payload, or None when the
-    * payload cannot carry it (wrong container/codec, too short, sample
-    * rate below 2·FreqHi, or an empty band at this sample rate).
+  /** Anchor stride for the multi-anchor (shift-tolerant) fingerprints:
+    * half a frame, the published HK remedy for the fixed-window blind
+    * spot — a copy offset/trimmed by any multiple of the hop shares an
+    * aligned anchor with its original, so the two clips carry an
+    * IDENTICAL anchor signature and pair at Hamming 0. [[MaxAnchors]]
+    * bounds per-clip decode work (FFTs = 3 × anchors): tolerance is
+    * shifts up to `(MaxAnchors − 1) · AnchorHop` samples (≈1.8 s at
+    * 8 kHz), provided ≥ 3 frames of audio remain shared.
     */
-  def fingerprint(payload: Array[Byte]): Option[Long] = {
+  private[graft] val AnchorHop = FrameLen / 2
+  private[graft] val MaxAnchors = 8
+
+  /** Validated decode shared by the fingerprint entry points: None when
+    * the payload cannot carry a fingerprint (wrong container/codec, too
+    * short, sample rate below 2·FreqHi, or an empty band at this sample
+    * rate — e.g. 96 kHz → 23.4 Hz bin spacing vs band 0's ~17 Hz width,
+    * see [[allBandsCovered]]).
+    */
+  private def decoded(payload: Array[Byte]): Option[(Int, Array[Double])] = {
     val (sr, mono) = wavPcm(payload).getOrElse(return None)
     if (sr < 2 * FreqHi.toInt) return None
     if (mono.length < NumFrames * FrameLen) return None
-    // Empty-band refusal (e.g. 96 kHz → 23.4 Hz bin spacing vs band 0's
-    // ~17 Hz width — see [[allBandsCovered]]) before any FFT work.
     if (!allBandsCovered(sr)) return None
+    Some((sr, mono))
+  }
+
+  /** The 64-bit HK hash of the 3 frames starting at sample `off` —
+    * caller guarantees `off + NumFrames·FrameLen ≤ mono.length` and
+    * band coverage.
+    */
+  private def hashAt(mono: Array[Double], sr: Int, off: Int): Long = {
     val energies = Array.ofDim[Double](NumFrames, NumBands)
     var n = 0
     while (n < NumFrames) {
       val re = new Array[Double](FrameLen)
       val im = new Array[Double](FrameLen)
-      System.arraycopy(mono, n * FrameLen, re, 0, FrameLen)
+      System.arraycopy(mono, off + n * FrameLen, re, 0, FrameLen)
       fft(re, im)
       var k = 1
       while (k < FrameLen / 2) {
@@ -217,8 +237,33 @@ object AudioFingerprint {
       }
       fn += 1
     }
-    Some(hash)
+    hash
   }
+
+  /** The ANCHOR-0 64-bit HK fingerprint of a PCM-WAV payload, or None
+    * when the payload cannot carry it — the single-signature face the
+    * streaming twin keys its per-event state on (bounded decode cost
+    * per arrival). Batch/ingest paths use [[fingerprints]], which adds
+    * the shifted anchors.
+    */
+  def fingerprint(payload: Array[Byte]): Option[Long] =
+    decoded(payload).map { case (sr, mono) => hashAt(mono, sr, 0) }
+
+  /** ALL anchor fingerprints of a PCM-WAV payload: one 64-bit HK hash
+    * per [[AnchorHop]]-strided window that fully fits (≤ [[MaxAnchors]],
+    * duplicates collapsed). A clip of exactly 3 frames carries one
+    * anchor (identical to [[fingerprint]]); longer clips additionally
+    * carry the shifted views that make offset/trimmed re-encodes pair —
+    * see [[AnchorHop]] for the tolerance contract.
+    */
+  def fingerprints(payload: Array[Byte]): Seq[Long] =
+    decoded(payload) match {
+      case None => Nil
+      case Some((sr, mono)) =>
+        val fit = (mono.length - NumFrames * FrameLen) / AnchorHop + 1
+        val nAnchors = math.min(MaxAnchors, fit)
+        (0 until nAnchors).map(a => hashAt(mono, sr, a * AnchorHop)).distinct
+    }
 
   private val sigSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -226,6 +271,10 @@ object AudioFingerprint {
 
   /** (media_id, afp) signatures — one partition-wise decode pass, no
     * payload shuffle; undecodable payloads drop (they cannot near-dup).
+    * One row per DISTINCT anchor fingerprint ([[fingerprints]]): a
+    * 3-frame clip carries exactly one, longer clips up to [[MaxAnchors]]
+    * — the shift-tolerant multi-anchor shape every batch/ingest pairing
+    * path consumes (pairs report the MIN Hamming over anchor combos).
     */
   def signatures(
       media: DataFrame,
@@ -237,7 +286,7 @@ object AudioFingerprint {
       .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .rdd.mapPartitions(_.flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
-        else fingerprint(r.getAs[Array[Byte]](1))
+        else fingerprints(r.getAs[Array[Byte]](1))
           .map(h => Row(r.getLong(0), h)).iterator
       })
     spark.createDataFrame(rdd, sigSchema)

@@ -261,6 +261,58 @@ object CurationPipeline {
     StateCompaction.compactBatchDir(
       spark, releaseDir, numFiles = numFiles, prefix = "shard=")
 
+  /** Release FINALIZATION — the corpus-global mixing pass over the
+    * STANDING release that shard-ingest mode refuses step-by-step
+    * (quota/temperature/token_budget/upsample/unimax/dsir/weighted/
+    * diverse/rank, dedup_semantic, sample_diverse — anything whose
+    * semantics need the whole corpus at once), closing the production
+    * loop crawl → ingest → finalize-into-a-training-mix. Folds every
+    * accumulated `shard=<id>` parquet slice of a [[curationSink]] /
+    * terminal-`sink` release into ONE `shard=c<maxId>` dir whose rows
+    * are `pipeline` applied (the batch [[apply]], so every step keeps
+    * its audited plan shape) to the whole standing corpus — under the
+    * [[StateCompaction]] crash-safe commit protocol, so a crash at any
+    * point either preserves the raw slices or resumes publishing the
+    * complete finalized fold, and the folded dir keeps its `_SUCCESS`.
+    *
+    * Contract: OFFLINE and ONCE — stop the ingest cleanly first (the
+    * compaction offline contract), and finalize when the corpus is
+    * complete: the pass REWRITES the release in place, so a later
+    * ingest would append raw slices beside the finalized fold, and a
+    * second finalize would mix the already-mixed corpus (quota twice ≠
+    * quota once). Keep the raw release (cheap: parquet slices) and
+    * finalize a COPY when the mix must be re-cut with different knobs.
+    * Terminal sink steps are refused — this pass IS the release write.
+    */
+  def finalizeRelease(
+      spark: SparkSession, releaseDir: String, pipeline: Pipeline,
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty,
+      numFiles: Int = 8): Unit = {
+    pipeline.steps.foreach { s =>
+      require(!s.isInstanceOf[Sink] && !s.isInstanceOf[SinkTar] &&
+          !s.isInstanceOf[SinkTokens],
+        s"finalizeRelease: step '${stepName(s)}' writes a release, but this " +
+          "pass rewrites the standing release IN PLACE — drop the sink step " +
+          "(read the finalized dir directly, or copy it afterwards)")
+    }
+    StateCompaction.compactBatchDir(
+      spark, releaseDir,
+      rewrite = df => apply(df, pipeline, idCol, textCol, aux),
+      numFiles = numFiles, prefix = "shard=", minInputs = 1)
+  }
+
+  /** [[finalizeRelease]] from YAML — the same declarative surface the
+    * ingest takes.
+    */
+  def finalizeReleaseYaml(
+      spark: SparkSession, releaseDir: String, yamlText: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty,
+      numFiles: Int = 8): Unit =
+    finalizeRelease(spark, releaseDir, CurationConfig.fromYaml(yamlText),
+      idCol, textCol, aux, numFiles)
+
   /** STREAMING ingest for the whole curation language — the
     * foreachBatch sink: each micro-batch is one crawl shard curated by
     * [[applyShard]] against the standing state (shard label = the
@@ -504,10 +556,14 @@ object CurationPipeline {
         // The index holds EVERY doc reaching the step (kept or dropped)
         // — same union-graph discipline as minhash/simhash, and the same
         // documented no-retroactive-drop asymmetry.
+        // The (doc_id, s, n, rk) index is ADDITIVE (per-doc set sizes
+        // and write-time batch-local ranks — see Dedup.ngramIndex), so
+        // the batch-dir union IS the standing index: no union-level df
+        // or rank ever recomputes at ingest.
         writeIncrement(dir, Dedup.ngramIndex(df, shingleN, textCol, idCol))
         val index =
           if (prior.isEmpty) readOwn(dir).limit(0)
-          else spark.read.parquet(prior: _*).select("doc_id", "s")
+          else spark.read.parquet(prior: _*).select("doc_id", "s", "n", "rk")
         val pairs = metric match {
           case "jaccard" => Dedup.ngramJaccardIncremental(
             df, index, threshold, shingleN, textCol, idCol)
@@ -590,6 +646,30 @@ object CurationPipeline {
           if (prior.isEmpty) readOwn(dir).limit(0)
           else spark.read.parquet(prior: _*)
         val pairs = AudioFingerprint.dedupIncrementalSigs(readOwn(dir), index, maxHamming)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(asIdType(col("doc_id")))
+        df.join(drop, Seq(idCol), "left_anti")
+
+      case DedupVideo(minShared, frameBytes, stride, payloadCol) =>
+        require(df.columns.contains(payloadCol),
+          s"dedup_video: no binary payload column '$payloadCol' on the shard frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val dir = stateSub("video_index")
+        val prior = priorBatches(dir)
+        val media = df.select(col(idCol).cast("long").as("media_id"),
+          col(payloadCol).cast("binary").as("payload"))
+        // Only the shard is ever sliced+hashed, and only ONCE: the
+        // persisted state increment IS the shard's frame-signature
+        // frame, read back for the pair step. The index holds every
+        // clip reaching the step (kept or dropped).
+        writeIncrement(dir,
+          VideoFingerprint.signatures(media, frameBytes, stride))
+        val index =
+          if (prior.isEmpty) readOwn(dir).limit(0)
+          else spark.read.parquet(prior: _*)
+        val pairs = VideoFingerprint.dedupIncrementalSigs(
+          readOwn(dir), index, minShared)
         val drop = Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(asIdType(col("doc_id")))
@@ -695,7 +775,12 @@ object CurationPipeline {
         // layout directly. Re-delivery overwrites its own batch dir
         // identically (same prior state -> same curated frame -> same
         // persisted vocab -> same pack).
-        val label = shardLabel.toLong
+        val label = shardLabel.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"sink_tokens: shard label '$shardLabel' is not numeric — terminal " +
+              "token releases key packed buckets by label*buckets, so shard-ingest " +
+              "labels must be integers (every other step accepts free-form labels; " +
+              "relabel the ingest, e.g. 0,1,2,... in delivery order)"))
         require(label < Int.MaxValue.toLong / buckets,
           s"sink_tokens: shard label $label overflows the bucket id range " +
             s"(buckets=$buckets)")
@@ -772,7 +857,8 @@ object CurationPipeline {
           s"shard-ingest mode does not support step '${stepName(other)}': " +
             "corpus-level mixing/sampling and the live-corpus embedding " +
             "fits (dedup_semantic/sample_diverse) are corpus-global — run " +
-            "them at release compaction over the standing corpus")
+            "them over the standing release with " +
+            "CurationPipeline.finalizeRelease once the ingest is complete")
     }
   }
 
@@ -834,6 +920,7 @@ object CurationPipeline {
     case DedupWinnow(_, _, _, _) => "dedup_winnow"
     case DedupPhash(_, _) => "dedup_phash"
     case DedupAfp(_, _) => "dedup_afp"
+    case DedupVideo(_, _, _, _) => "dedup_video"
     case ContainerMetaFilter(_, _, _) => "container_meta"
     case DedupEmbedding(_, _, _, _, _) => "dedup_embedding"
     case DedupSemantic(_, _, _, _) => "dedup_semantic"
@@ -1136,6 +1223,18 @@ object CurationPipeline {
           df.select(col(idCol).cast("long").as("media_id"),
             col(payloadCol).cast("binary").as("payload")),
           maxHamming)
+        val drop = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        df.join(drop, Seq(idCol), "left_anti")
+      case DedupVideo(minShared, frameBytes, stride, payloadCol) =>
+        require(df.columns.contains(payloadCol),
+          s"dedup_video: no binary payload column '$payloadCol' on the frame " +
+            s"(have: ${df.columns.mkString(", ")})")
+        val pairs = VideoFingerprint.dedup(
+          df.select(col(idCol).cast("long").as("media_id"),
+            col(payloadCol).cast("binary").as("payload")),
+          frameBytes, minShared, stride)
         val drop = Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))

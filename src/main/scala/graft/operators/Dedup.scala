@@ -831,15 +831,21 @@ object Dedup {
     * arrays — and the df join + two windows are too expensive to
     * recompute per consumer.
     */
-  private def rankedShingleIndex(inv0: DataFrame): DataFrame = {
+  private def rankedShingleIndex(inv0: DataFrame): DataFrame =
+    graft.plans.Materialize(rankedShingleRows(inv0))
+
+  /** The un-materialized [[rankedShingleIndex]] — used directly by
+    * [[ngramIndex]], whose single consumer is a parquet write (a
+    * lineage cut there would double the I/O for nothing).
+    */
+  private def rankedShingleRows(inv0: DataFrame): DataFrame = {
     val inv = inv0
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    graft.plans.Materialize(
-      inv.join(dfreq, Seq("s"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-        .select(col("doc_id"), col("n"), col("s"), col("rk")))
+    inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .select(col("doc_id"), col("n"), col("s"), col("rk"))
   }
 
   /** Prefix-length bound `|x| − ⌈t·|x|⌉ + 1` (pigeonhole: a doc meeting
@@ -966,30 +972,107 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
-  /** Persistable inverted shingle index for [[ngramJaccardIncremental]]:
-    * the corpus's distinct `(doc_id, s)` shingle rows — exactly the
-    * co-occurrence join's input. Write once per corpus (bucketed by `s`
-    * in production so shard joins co-locate); build with the SAME
-    * shingleN.
+  /** Persistable inverted shingle index for the incremental ngram ops:
+    * `(doc_id, s, n, rk)` — the corpus's distinct doc-shingle rows with
+    * each doc's set size `n` and a per-doc shingle permutation `rk`
+    * (1..n, ranked by ascending df within THIS build, ties by shingle).
+    * All four columns are pure functions of the indexed docs, so the
+    * index is ADDITIVE: batches written independently union into the
+    * standing corpus index with zero recompute — `n` because docs never
+    * span batches, `rk` because the incremental probes only use a
+    * prefix's SIZE (per-doc pigeonhole: ANY `n − ⌈t·n⌉ + 1` of a doc's
+    * shingles must contain an element of every qualifying overlap),
+    * never a cross-doc rank order, so a batch-local ranking stays valid
+    * forever. Ascending-df-at-build-time simply picks the statistically
+    * rarest shingles for the stored prefixes — better candidate
+    * selectivity, not a correctness requirement.
+    *
+    * Write once per batch (bucketed by `s` in production so shard joins
+    * co-locate); build with the SAME shingleN — it rides on the `n`
+    * column's schema metadata and survives a parquet round-trip, so a
+    * config-mismatched index fails fast instead of silently producing
+    * wrong pairs.
     */
   def ngramIndex(
       docs: DataFrame,
       shingleN: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): DataFrame =
-    shingleRows(docs, shingleN, textCol, idCol).select("doc_id", "s")
+  ): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("shingle_n", shingleN.toLong).build()
+    rankedShingleRows(shingleRows(docs, shingleN, textCol, idCol))
+      .select(col("doc_id"), col("s"), col("n").as("n", meta), col("rk"))
+  }
+
+  /** Shared entry validation for the incremental ngram ops: column
+    * shape, then the shingleN the index was built with (metadata-borne —
+    * see [[ngramIndex]]).
+    */
+  private def requireNgramIndex(
+      index: DataFrame, shingleN: Int, where: String): Unit = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "n", "rk", "s")),
+      s"not an ngramIndex frame (columns ${index.columns.mkString(",")}); " +
+        "re-build it with Dedup.ngramIndex (same shingleN)")
+    val meta = index.schema("n").metadata
+    require(meta.contains("shingle_n"),
+      s"$where: index carries no shingle_n metadata — " +
+        "re-build it with Dedup.ngramIndex")
+    require(meta.getLong("shingle_n") == shingleN.toLong,
+      s"$where: index was built with shingle_n=${meta.getLong("shingle_n")} " +
+        s"but the query uses shingle_n=$shingleN — re-index with Dedup.ngramIndex")
+  }
+
+  /** Shard shingle rows with the per-doc set size `n` — the probe-side
+    * frame every incremental ngram op starts from, materialized because
+    * each op consumes it 3–4 times (df delta, probe ranking, build
+    * side, verification sets). O(shard) work only.
+    */
+  private def shardShingleFrame(
+      newDocs: DataFrame, shingleN: Int, textCol: String, idCol: String): DataFrame =
+    graft.plans.Materialize(
+      shingleRows(newDocs, shingleN, textCol, idCol)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id"))))
+
+  /** Union-level document frequencies restricted to SHARD-PRESENT
+    * shingles — the only shingles a shard doc's probe prefix can rank
+    * by. The corpus contribution is a semi-restricted aggregate over the
+    * persisted index: a columnar SCAN (linear I/O, the same cost class
+    * as the substring family's count-index read), but only rows whose
+    * shingle the shard contains enter the shuffle — per-shard shuffle
+    * work is O(shard-related rows), never O(corpus).
+    */
+  private def shardRestrictedDf(shard: DataFrame, index: DataFrame): DataFrame = {
+    val shardDf = shard.groupBy("s").agg(count(lit(1)).as("df_s"))
+    val corpusDf = index.join(shardDf.select("s"), Seq("s"), "leftsemi")
+      .groupBy("s").agg(count(lit(1)).as("df_c"))
+    shardDf.join(corpusDf, Seq("s"), "left")
+      .select(col("s"), (col("df_s") + coalesce(col("df_c"), lit(0L))).as("df"))
+  }
 
   /** Incremental exact n-gram Jaccard: an incoming shard's shingles
-    * joined against the persisted [[ngramIndex]] — the corpus is never
-    * re-shingled; set sizes and document frequencies recompute from the
-    * union's thin `(doc_id, s)` rows. Prefix-filtered like
-    * [[ngramJaccard]] with the probe side restricted to shard docs: any
-    * qualifying pair touching the shard has intersecting prefixes (the
-    * prefix lemma is pair-symmetric), so shard-prefix × union-prefix
-    * finds it. Output exactly equals [[ngramJaccard]] over
-    * (corpus ∪ shard) restricted to pairs touching ≥1 shard id (parity
-    * asserted; ids must be disjoint).
+    * probed against the persisted [[ngramIndex]] — the corpus is never
+    * re-shingled, re-ranked or re-counted. Output exactly equals
+    * [[ngramJaccard]] over (corpus ∪ shard) restricted to pairs touching
+    * ≥1 shard id (parity asserted; ids must be disjoint).
+    *
+    * Scale shape — per-shard work is O(shard + candidates), never
+    * O(union): the only corpus-wide step left is the columnar SCAN of
+    * the index (same cost class as the substring family's count-index
+    * read — I/O, no shuffle of non-matching rows). Candidate generation
+    * is shard-PREFIX × union-FULL: the per-doc pigeonhole makes it
+    * complete without any shared global order — J(x,y) ≥ t forces
+    * overlap ≥ ⌈t·n_x⌉, so any `n_x − ⌈t·n_x⌉ + 1` of x's shingles
+    * contain an overlap element — which is what lets corpus docs
+    * participate WITHOUT recomputing their ranks under the union's
+    * document frequencies (the old shape re-derived union df + per-doc
+    * rank windows over ALL persisted rows each shard, making ingest ≈
+    * recuration). The shard's probe prefixes still rank by TRUE union df
+    * (shard counts + a shard-semi-restricted corpus aggregate) for
+    * selectivity; the length filter and a one-sided positional filter
+    * (valid per-doc: the first shared shingle in x's own order bounds
+    * the overlap by `1 + n_x − rk_x`) prune map-side; verification
+    * aggregates shingle sets only for candidate docs.
     */
   def ngramJaccardIncremental(
       newDocs: DataFrame,
@@ -999,32 +1082,35 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    require(index.columns.sorted.sameElements(Array("doc_id", "s")),
-      s"not an ngramIndex frame (columns ${index.columns.mkString(",")}); " +
-        "re-build it with Dedup.ngramIndex (same shingleN)")
-    val all = index.select("doc_id", "s")
-      .unionByName(ngramIndex(newDocs, shingleN, textCol, idCol))
-    val inv = rankedShingleIndex(all)
-    val prefix = inv.filter(col("rk") <= prefixLen(col("n"), threshold))
-    val sIds = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val pShard = prefix.join(sIds, Seq("doc_id"), "leftsemi")
+    requireNgramIndex(index, shingleN, "ngramJaccardIncremental")
+    val shard = shardShingleFrame(newDocs, shingleN, textCol, idCol)
+    val probe = shard.join(shardRestrictedDf(shard, index), Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= prefixLen(col("n"), threshold))
       .select(col("s"), col("doc_id").as("doc_x"),
         col("n").as("n_x"), col("rk").as("rk_x"))
-    val pAll = prefix.select(col("s"), col("doc_id").as("doc_y"),
-      col("n").as("n_y"), col("rk").as("rk_y"))
-    val cand = pShard.join(pAll, Seq("s"))
-      .filter(col("doc_x") =!= col("doc_y"))
-      .filter(least(col("n_x"), col("n_y")) >=
-        lit(threshold) * greatest(col("n_x"), col("n_y")) - lit(1e-9))
-      .filter(lit(1) + least(col("n_x") - col("rk_x"), col("n_y") - col("rk_y")) >=
-        ceil(lit(threshold / (1 + threshold)) * (col("n_x") + col("n_y")) - lit(1e-9)))
-      .select(
-        least(col("doc_x"), col("doc_y")).as("doc_a"),
-        greatest(col("doc_x"), col("doc_y")).as("doc_b"),
-        when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
-        when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val sets = inv.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    val build = index.select(col("s"), col("doc_id").as("doc_y"), col("n").as("n_y"))
+      .unionByName(shard.select(col("s"), col("doc_id").as("doc_y"), col("n").as("n_y")))
+    val cand = graft.plans.Materialize(
+      probe.join(build, Seq("s"))
+        .filter(col("doc_x") =!= col("doc_y"))
+        .filter(least(col("n_x"), col("n_y")) >=
+          lit(threshold) * greatest(col("n_x"), col("n_y")) - lit(1e-9))
+        .filter(lit(1) + col("n_x") - col("rk_x") >=
+          ceil(lit(threshold / (1 + threshold)) * (col("n_x") + col("n_y")) - lit(1e-9)))
+        .select(
+          least(col("doc_x"), col("doc_y")).as("doc_a"),
+          greatest(col("doc_x"), col("doc_y")).as("doc_b"),
+          when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
+          when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
+        .dropDuplicates("doc_a", "doc_b"))
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = index.select("doc_id", "s")
+      .unionByName(shard.select("doc_id", "s"))
+      .join(candIds, Seq("doc_id"), "leftsemi")
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -1036,14 +1122,23 @@ object Dedup {
   }
 
   /** Incremental exact n-gram CONTAINMENT: an incoming shard's shingles
-    * joined against the persisted [[ngramIndex]] — the corpus is never
-    * re-shingled ([[ngramJaccardIncremental]]'s shape, containment
-    * edition). Containment's candidate join is ASYMMETRIC (prefix ×
-    * full index — see [[ngramContainment]]), so restricting one side to
-    * shard docs needs BOTH orientations: shard-prefix × union-full
-    * catches pairs the shard doc's rare shingles witness, union-prefix ×
-    * shard-full catches pairs witnessed only by the OTHER doc's prefix
-    * (a corpus doc's rare shingle sitting anywhere in the shard doc).
+    * probed against the persisted [[ngramIndex]] — the corpus is never
+    * re-shingled, re-ranked or re-counted ([[ngramJaccardIncremental]]'s
+    * shape, containment edition). Containment's required overlap is
+    * `⌈t·min(n_x, n_y)⌉` — only the SMALLER doc's prefix is guaranteed
+    * to witness a qualifying pair — so candidates need BOTH
+    * orientations: (1) shard-PREFIX × union-FULL (the shard doc is the
+    * smaller side), with the probe prefixes union-df-ranked exactly like
+    * the Jaccard op; (2) the index's STORED per-doc prefixes × the
+    * shard's full rows (a small corpus doc embedded in a big shard doc).
+    * Orientation 2 is what the stored `rk` permutation exists for: the
+    * per-doc pigeonhole needs only the prefix's SIZE (`n − ⌈t·n⌉ + 1` of
+    * the doc's shingles, ANY of them), so the write-time batch-local
+    * ranking stays complete forever and corpus prefixes never recompute
+    * — the filter is a map-side scan predicate over index rows. The
+    * shard side of that join broadcasts (an ingest shard is bounded;
+    * the corpus side must stream past it, not shuffle).
+    *
     * Output exactly equals [[ngramContainment]] over (corpus ∪ shard)
     * restricted to pairs touching ≥1 shard id (parity asserted in
     * ExtensionsSpec; ids must be disjoint).
@@ -1056,37 +1151,42 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    require(index.columns.sorted.sameElements(Array("doc_id", "s")),
-      s"not an ngramIndex frame (columns ${index.columns.mkString(",")}); " +
-        "re-build it with Dedup.ngramIndex (same shingleN)")
-    val all = index.select("doc_id", "s")
-      .unionByName(ngramIndex(newDocs, shingleN, textCol, idCol))
-    val inv = rankedShingleIndex(all)
-    val prefix = inv.filter(col("rk") <= prefixLen(col("n"), threshold))
-    val sIds = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val pShard = prefix.join(sIds, Seq("doc_id"), "leftsemi")
+    requireNgramIndex(index, shingleN, "ngramContainmentIncremental")
+    val shard = shardShingleFrame(newDocs, shingleN, textCol, idCol)
+    val pShard = shard.join(shardRestrictedDf(shard, index), Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= prefixLen(col("n"), threshold))
       .select(col("s"), col("doc_id").as("doc_x"),
         col("n").as("n_x"), col("rk").as("rk_x"))
-    val fullAll = inv.select(col("s"), col("doc_id").as("doc_y"),
-      col("n").as("n_y"), col("rk").as("rk_y"))
-    val pAll = prefix.select(col("s"), col("doc_id").as("doc_x"),
-      col("n").as("n_x"), col("rk").as("rk_x"))
-    val fullShard = inv.join(sIds, Seq("doc_id"), "leftsemi")
-      .select(col("s"), col("doc_id").as("doc_y"),
-        col("n").as("n_y"), col("rk").as("rk_y"))
-    val cand = pShard.join(fullAll, Seq("s"))
-      .unionByName(pAll.join(fullShard, Seq("s")))
-      .filter(col("doc_x") =!= col("doc_y"))
-      // Positional filter, min-denominator form (same as the batch op).
-      .filter(lit(1) + least(col("n_x") - col("rk_x"), col("n_y") - col("rk_y")) >=
-        ceil(lit(threshold) * least(col("n_x"), col("n_y")) - lit(1e-9)))
-      .select(
-        least(col("doc_x"), col("doc_y")).as("doc_a"),
-        greatest(col("doc_x"), col("doc_y")).as("doc_b"),
-        when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
-        when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val sets = inv.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    val fullAll = index.select(col("s"), col("doc_id").as("doc_y"), col("n").as("n_y"))
+      .unionByName(shard.select(col("s"), col("doc_id").as("doc_y"), col("n").as("n_y")))
+    val pIdx = index.filter(col("rk") <= prefixLen(col("n"), threshold))
+      .select(col("s"), col("doc_id").as("doc_x"),
+        col("n").as("n_x"), col("rk").as("rk_x"))
+    val fullShard = broadcast(
+      shard.select(col("s"), col("doc_id").as("doc_y"), col("n").as("n_y")))
+    val cand = graft.plans.Materialize(
+      pShard.join(fullAll, Seq("s"))
+        .unionByName(pIdx.join(fullShard, Seq("s")))
+        .filter(col("doc_x") =!= col("doc_y"))
+        // One-sided positional filter (valid per-doc: the first shared
+        // shingle in x's OWN order bounds the overlap by 1 + n_x − rk_x
+        // — no cross-doc rank comparison, so batch-local ranks qualify).
+        .filter(lit(1) + col("n_x") - col("rk_x") >=
+          ceil(lit(threshold) * least(col("n_x"), col("n_y")) - lit(1e-9)))
+        .select(
+          least(col("doc_x"), col("doc_y")).as("doc_a"),
+          greatest(col("doc_x"), col("doc_y")).as("doc_b"),
+          when(col("doc_x") < col("doc_y"), col("n_x")).otherwise(col("n_y")).as("n_a"),
+          when(col("doc_x") < col("doc_y"), col("n_y")).otherwise(col("n_x")).as("n_b"))
+        .dropDuplicates("doc_a", "doc_b"))
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = index.select("doc_id", "s")
+      .unionByName(shard.select("doc_id", "s"))
+      .join(candIds, Seq("doc_id"), "leftsemi")
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -1221,11 +1321,15 @@ object Dedup {
   }
 
   /** Shared 64-bit-signature batch dedup core (image dHash / audio HK
-    * fingerprints — anything with one long signature per item):
-    * identical-signature star pre-pass (mass duplicates surface as
-    * O(cluster) pairs around the min-id rep, never a quadratic bucket)
-    * + [[hammingBandPairs]] over the distinct-signature reps. Input
-    * `(media_id, sig)`; output `(doc_a, doc_b, hamming)`.
+    * fingerprints — one OR MORE long signatures per item; the audio
+    * family emits one per shift anchor): identical-signature star
+    * pre-pass (mass duplicates surface as O(cluster) pairs around the
+    * min-id rep, never a quadratic bucket) + [[hammingBandPairs]] over
+    * the per-signature reps. Multi-signature items can surface a pair
+    * through several anchor combos (star AND band); the final per-pair
+    * MIN collapses them — with one sig per item it is a no-op on an
+    * already-unique pair set. Input `(media_id, sig)`; output
+    * `(doc_a, doc_b, hamming)`.
     */
   private[operators] def sigDedupPairs(
       sigs: DataFrame,
@@ -1241,12 +1345,26 @@ object Dedup {
       .withColumn("hamming", lit(0))
     hammingBandPairs(reps, maxHamming, maxBucketSize)
       .unionByName(starPairs)
+      .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))
   }
 
   /** [[sigDedupPairs]] over (corpus ∪ shard) restricted to pairs
     * touching ≥ 1 shard id — the incremental contract both perceptual
     * families share. Both inputs `(media_id, sig)`; shard ids must be
     * disjoint from corpus ids.
+    *
+    * Scale shape (asymmetric, like the ngram incremental joins): the
+    * union is touched only by LINEAR passes — the identical-signature
+    * star window (one exchange on `sig`) and the per-bucket size count
+    * that feeds the skew cap (the cap must see the UNION bucket, or a
+    * shard ingest would band into a bucket the batch run refused).
+    * Candidate GENERATION then joins only the shard-side rep chunks
+    * against the capped union buckets, so per-shard pair work is
+    * O(shard-rows × bucket), not O(union-bucket²) per shard. Output is
+    * provably identical to filtering the symmetric self-join: every
+    * surviving pair touches a shard rep, and pairs between two shard
+    * reps simply arrive from both probe directions before the
+    * `dropDuplicates`.
     */
   private[operators] def sigDedupIncremental(
       shardSigs: DataFrame,
@@ -1254,13 +1372,50 @@ object Dedup {
       maxHamming: Int,
       maxBucketSize: Int
   ): DataFrame = {
-    val sIds = shardSigs.select(col("media_id").as("__sid")).distinct()
-    sigDedupPairs(corpusSigs.unionByName(shardSigs), maxHamming, maxBucketSize)
-      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
-        Seq("doc_a"), "left")
-      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
-        Seq("doc_b"), "left")
-      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+    val union = corpusSigs.select(col("media_id"), col("sig"), lit(false).as("__shard"))
+      .unionByName(shardSigs.select(col("media_id"), col("sig"), lit(true).as("__shard")))
+    // Star pre-pass over the union — a shard clip with a smaller id can
+    // take over an existing cluster's representative (same contract as
+    // simhashIncremental), so the rep election must see both sides.
+    val wHash = Window.partitionBy("sig")
+    val withRep = union
+      .withColumn("__rep", min(col("media_id")).over(wHash))
+      .withColumn("__repShard", max(when(col("media_id") === col("__rep"), col("__shard"))).over(wHash))
+    val starPairs = withRep.filter(col("media_id") =!= col("__rep"))
+      .filter(col("__shard") || col("__repShard"))
+      .select(col("__rep").as("doc_a"), col("media_id").as("doc_b"))
+      .withColumn("hamming", lit(0))
+    val reps = withRep.filter(col("media_id") === col("__rep"))
+      .select(col("media_id").as("doc_id"), col("sig"), col("__shard"))
+
+    val chunks = reps.select(
+      col("doc_id"), col("sig"), col("__shard"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), shiftright(col("sig"), c * 16).bitwiseAND(0xffffL).as("key"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("__shard"), col("ck.chunk"), col("ck.key"))
+    val wChunk = Window.partitionBy("chunk", "key")
+    val capped = chunks
+      .withColumn("bsize", count(lit(1)).over(wChunk))
+      .filter(col("bsize") <= maxBucketSize)
+      .select(col("chunk"), col("key"), col("doc_id"), col("sig"), col("__shard"))
+    val probe = capped.filter(col("__shard"))
+      .select(col("chunk"), col("key"), col("doc_id").as("doc_p"), col("sig").as("sig_p"))
+    val build = capped
+      .select(col("chunk"), col("key"), col("doc_id").as("doc_q"), col("sig").as("sig_q"))
+    // Verify-then-min, as in [[hammingBandPairs]] (required for the
+    // multi-anchor audio shape; a no-op for single-sig items).
+    val bandPairs = probe.join(build, Seq("chunk", "key"))
+      .filter(col("doc_p") =!= col("doc_q"))
+      .withColumn("hamming", bit_count(col("sig_p").bitwiseXOR(col("sig_q"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        least(col("doc_p"), col("doc_q")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_q")).as("doc_b"),
+        col("hamming"))
+
+    bandPairs.unionByName(starPairs)
+      .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))
       .select("doc_a", "doc_b", "hamming")
   }
 
@@ -1302,11 +1457,18 @@ object Dedup {
 
     val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // Verify map-side BEFORE the pair shuffle, then take the per-pair
+    // MIN: with one sig per doc this is exactly the old
+    // dedup-then-verify (all rows of a pair carry the same sigs); with
+    // MULTI-sig docs (the audio multi-anchor shape) it is the only
+    // correct order — an arbitrary row kept before verification could
+    // carry a far anchor combo and drop a pair whose nearest combo
+    // qualifies.
     a.join(b, Seq("chunk", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))
       .select("doc_a", "doc_b", "hamming")
   }
 
@@ -1902,19 +2064,76 @@ object Dedup {
       maxBucketSize: Int = 256,
       textCol: String = "text",
       idCol: String = "doc_id"
+  ): DataFrame =
+    fpSharedPairs(
+      winnowSelections(docs, k, w, textCol, idCol)
+        .select(col("doc_id"), col("fp")).distinct(),
+      minShared, maxBucketSize)
+
+  /** Shared exact-fingerprint co-occurrence core (winnowing over text,
+    * per-frame dHashes over raw-frame video — any family whose item is
+    * a SET of 64-bit fingerprints and whose pair metric is the shared
+    * count): ubiquity cap (a fingerprint in more than `maxBucketSize`
+    * items — boilerplate k-grams, black frames, title cards — is
+    * dropped before it can go quadratic), inverted-index self-join,
+    * per-pair count ≥ `minShared`. Input `(doc_id, fp)` DISTINCT rows;
+    * output `(doc_a, doc_b, shared_fps)`.
+    */
+  private[operators] def fpSharedPairs(
+      fps: DataFrame,
+      minShared: Long,
+      maxBucketSize: Int
   ): DataFrame = {
-    val fps = winnowSelections(docs, k, w, textCol, idCol)
-      .select(col("doc_id"), col("fp")).distinct()
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__b"))
+    // Window-based ubiquity cap (the [[hammingBandPairs]] shape): ONE
+    // fp-keyed exchange that the self-join below then REUSES — the
+    // groupBy+semi-join alternative pays the aggregate exchange plus a
+    // join that re-shuffles both sides.
+    val kept = fps
+      .withColumn("__b", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("__b") <= maxBucketSize)
-      .select("fp")
-    val kept = fps.join(rare, Seq("fp"), "leftsemi")
+      .select("doc_id", "fp")
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
     val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** [[fpSharedPairs]] over (corpus ∪ shard) restricted to pairs
+    * touching ≥ 1 shard id — the winnow/video incremental contract:
+    * the ubiquity cap re-evaluates over the UNION (a fingerprint the
+    * shard pushes past the cap stops pairing, exactly as in batch), the
+    * candidate join's probe side restricts to shard docs. Shard-internal
+    * pairs reach the join from both sides, hence the distinct-fp count.
+    * Both inputs `(doc_id, fp)` distinct rows; ids must be disjoint.
+    */
+  private[operators] def fpSharedPairsIncremental(
+      shardFps: DataFrame,
+      corpusFps: DataFrame,
+      minShared: Long,
+      maxBucketSize: Int
+  ): DataFrame = {
+    // Window-based ubiquity cap over the union (one fp exchange, reused
+    // by the join below) with the shard flag carried through, so the
+    // probe restriction is a map-side filter — no id semi-join.
+    val all = corpusFps.select(col("doc_id"), col("fp"), lit(false).as("__shard"))
+      .unionByName(shardFps.select(col("doc_id"), col("fp"), lit(true).as("__shard")))
+    val kept = all
+      .withColumn("__b", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__b") <= maxBucketSize)
+      .select("doc_id", "fp", "__shard")
+    val aShard = kept.filter(col("__shard"))
+      .select(col("fp"), col("doc_id").as("doc_x"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_y"))
+    aShard.join(b, Seq("fp"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      .select(col("fp"),
+        least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fp")).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
 
@@ -1959,24 +2178,9 @@ object Dedup {
     require(index.columns.sorted.sameElements(Array("doc_id", "fp")),
       s"not a winnowIndex frame (columns ${index.columns.mkString(",")}); " +
         "re-build it with Dedup.winnowIndex (same k and w)")
-    val shardFps = winnowIndex(newDocs, k, w, textCol, idCol)
-    val all = index.select("doc_id", "fp").unionByName(shardFps)
-    val rare = all.groupBy("fp").agg(count(lit(1)).as("__b"))
-      .filter(col("__b") <= maxBucketSize)
-      .select("fp")
-    val kept = all.join(rare, Seq("fp"), "leftsemi")
-    val aShard = kept
-      .join(shardFps.select(col("doc_id")).distinct(), Seq("doc_id"), "leftsemi")
-      .select(col("fp"), col("doc_id").as("doc_x"))
-    val b = kept.select(col("fp"), col("doc_id").as("doc_y"))
-    aShard.join(b, Seq("fp"))
-      .filter(col("doc_x") =!= col("doc_y"))
-      .select(col("fp"),
-        least(col("doc_x"), col("doc_y")).as("doc_a"),
-        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(countDistinct(col("fp")).as("shared_fps"))
-      .filter(col("shared_fps") >= minShared)
+    fpSharedPairsIncremental(
+      winnowIndex(newDocs, k, w, textCol, idCol), index.select("doc_id", "fp"),
+      minShared, maxBucketSize)
   }
 
   /** Incremental duplicate-span detection: span output for an incoming

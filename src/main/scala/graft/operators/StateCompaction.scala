@@ -67,7 +67,11 @@ object StateCompaction {
     * disjoint index layouts; an algebra fold for mergeable sketches);
     * `numFiles` sizes the rewrite (1 suits thin index rows); `prefix`
     * names the slice-dir convention (`batch=` for ingest state,
-    * `shard=` for curationSink's parquet release slices).
+    * `shard=` for curationSink's parquet release slices); `minInputs`
+    * is the fold floor — 2 for pure compaction (one dir needs no fold),
+    * 1 when the rewrite itself is the point
+    * ([[CurationPipeline.finalizeRelease]] must transform even a
+    * single-slice release).
     */
   def compactBatchDir(
       spark: SparkSession,
@@ -76,9 +80,10 @@ object StateCompaction {
       rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
         identity,
       numFiles: Int = 1,
-      prefix: String = "batch="
+      prefix: String = "batch=",
+      minInputs: Int = 2
   ): Unit =
-    runProtocol(spark, dir, prefix, "compactBatchDir") { (inputs, tmp) =>
+    runProtocol(spark, dir, prefix, "compactBatchDir", minInputs) { (inputs, tmp) =>
       val all = spark.read.parquet(inputs: _*)
       val projected =
         if (select.isEmpty) all else all.select(select.head, select.tail: _*)
@@ -93,8 +98,10 @@ object StateCompaction {
     * union, tar repack); everything crash-safety-critical lives here.
     */
   private[graft] def runProtocol(
-      spark: SparkSession, dir: String, prefix: String, where: String)(
+      spark: SparkSession, dir: String, prefix: String, where: String,
+      minInputs: Int = 2)(
       fold: (Seq[String], String) => Unit): Unit = {
+    require(minInputs >= 1, s"$where: minInputs must be >= 1, got $minInputs")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"$where: no such dir $dir")
@@ -136,7 +143,7 @@ object StateCompaction {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
     require(batchDirs.nonEmpty,
       s"$where: $dir holds no $prefix<id> subdirectories")
-    if (batchDirs.length < 2) return // nothing to fold
+    if (batchDirs.length < minInputs) return // nothing to fold
     // Validate every label BEFORE any work — a foreign dir must refuse
     // the whole fold, not die mid-protocol.
     val maxId = batchDirs.map(st => labelOrd(

@@ -510,15 +510,44 @@ object PlanAudit {
     audit("dedup_simhash(incr)", graft.operators.Dedup.simhashIncremental(
       docsT.filter(col("doc_id") >= 250), shIdx), 9)
 
-    // Incremental exact jaccard: shard shingles + union-level set sizes
-    // and the one-side-restricted co-occurrence join over thin
-    // (doc_id, s) rows — corpus text never enters the plan.
+    // Incremental exact jaccard against the ADDITIVE (doc_id, s, n, rk)
+    // index: the union is touched only by the shard-semi-restricted df
+    // aggregate and the candidate/verify joins — no union-level rank
+    // windows or df groupBys remain (the r13 scale fix). Budget counts
+    // above the shard/candidate Materialize cuts: shard df delta +
+    // semi-restricted corpus df + probe ranking window + candidate join
+    // + candidate-id semi + sets aggregate + two verify joins.
     val ngIdx = graft.plans.Materialize(graft.operators.Dedup.ngramIndex(
       docsT.filter(col("doc_id") < 250)), eager = true)
-    // Budget is counted above the ranked-index Materialize cut: the
-    // prefix-filtered candidate join + pair dedup + two verify joins.
     audit("dedup_ngram_jaccard(incr)", graft.operators.Dedup.ngramJaccardIncremental(
-      docsT.filter(col("doc_id") >= 250), ngIdx, threshold = 0.8), 4)
+      docsT.filter(col("doc_id") >= 250), ngIdx, threshold = 0.8), 9)
+    // The plan must NOT re-derive union-level ranks: no window function
+    // may consume the union (index ∪ shard) — the shard-side ranking
+    // window is the only one allowed, and it sits over shard rows.
+    locally {
+      val plan = graft.operators.Dedup.ngramJaccardIncremental(
+        docsT.filter(col("doc_id") >= 250), ngIdx, threshold = 0.8)
+        .queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val windows = plan.collect { case w: LWindow => w }
+      println(s"${if (windows.length <= 1) "OK " else "HOT"} ngram_incr: " +
+        s"window count ${windows.length} (shard ranking only; union must stay window-free)")
+    }
+
+    // Incremental video near-dup: shard slice+hash is one partition-wise
+    // pass; the union sees only the thin (media_id, vfp) ubiquity cap +
+    // inverted-index join — corpus payloads never enter the plan.
+    val vids = graft.harness.MediaFixtures.syntheticVideos(
+      docsT.select(col("doc_id")))
+    val vFrameBytes = graft.harness.MediaFixtures.BmpFrameBytes
+    audit("video_signatures", graft.operators.VideoFingerprint.signatures(
+      vids, vFrameBytes), 1)
+    audit("video_dedup", graft.operators.VideoFingerprint.dedup(
+      vids, vFrameBytes, minShared = 3L), 4)
+    val vIdx = graft.plans.Materialize(graft.operators.VideoFingerprint.signatures(
+      vids.filter(col("media_id") < 250), vFrameBytes), eager = true)
+    audit("video_dedup(incr)", graft.operators.VideoFingerprint.dedupIncremental(
+      vids.filter(col("media_id") >= 250), vIdx, vFrameBytes, minShared = 3L), 4)
 
     // Incremental winnow: shard fingerprints + union-level ubiquity
     // cap and inverted-index join over thin (doc_id, fp) rows — corpus
@@ -526,7 +555,7 @@ object PlanAudit {
     val wnIdx = graft.plans.Materialize(graft.operators.Dedup.winnowIndex(
       docsT.filter(col("doc_id") < 250)), eager = true)
     audit("dedup_winnow(incr)", graft.operators.Dedup.winnowIncremental(
-      docsT.filter(col("doc_id") >= 250), wnIdx), 8)
+      docsT.filter(col("doc_id") >= 250), wnIdx), 6)
 
     // URL curation: parse/normalize is a pure map (ZERO exchanges); the
     // url-level dedup pays exactly its one thin (url_norm, id) aggregate

@@ -905,6 +905,53 @@ class CurationPipelineSpec extends SparkSpec {
     assert(refused.getMessage.contains("terminal release write"), refused.getMessage)
   }
 
+  test("finalizeRelease rewrites the standing release with the corpus-global mix") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val base = java.nio.file.Files.createTempDirectory("cpfin").toString
+    val rel = s"$base/release"
+    val yaml = s"steps:\n  - dedup_exact\n  - sink: { path: $rel }\n"
+    CurationPipeline.fromYamlShard(
+      corpus.filter(col("doc_id") < 30), yaml, s"$base/state", "0").count()
+    CurationPipeline.fromYamlShard(
+      corpus.filter(col("doc_id") >= 30), yaml, s"$base/state", "1").count()
+    val finYaml =
+      """steps:
+        |  - quota: { group: lang, quotas: { en: 8, es: 6, fr: 4 } }
+        |  - split: { train: 0.8, val: 0.1, test: 0.1 }
+        |""".stripMargin
+    CurationPipeline.finalizeReleaseYaml(spark, rel, finYaml)
+    // The slices folded into ONE finalized dir, _SUCCESS preserved.
+    val names = new java.io.File(rel).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).toSeq
+    assert(names == Seq("shard=c1"), s"unexpected release layout: $names")
+    assert(new java.io.File(s"$rel/shard=c1/_SUCCESS").exists(),
+      "finalized dir lost its _SUCCESS marker")
+    // The finalized release equals the batch mixing pipeline over the
+    // union of the raw slices (dedup_exact is first-wins, so the slice
+    // union equals the batch run over the whole corpus).
+    val expected = CurationPipeline.apply(
+      CurationPipeline.apply(corpus,
+        CurationConfig.fromYaml("steps:\n  - dedup_exact\n")),
+      CurationConfig.fromYaml(finYaml))
+    assert(snap(spark.read.parquet(rel).select("doc_id", "lang", "split")).sorted ==
+      snap(expected.select("doc_id", "lang", "split")).sorted,
+      "finalized release diverged from the batch mixing pipeline")
+    // A SINGLE already-folded slice still finalizes (the rewrite is the
+    // point, not the fold): re-cutting the finalized corpus to a
+    // tighter quota shrinks it in place.
+    CurationPipeline.finalizeReleaseYaml(spark, rel,
+      "steps:\n  - quota: { group: lang, quotas: { en: 2 } }\n")
+    val recut = spark.read.parquet(rel)
+    assert(recut.count() == 2 &&
+      recut.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"),
+      "single-slice finalize did not rewrite the standing release")
+    // Sink steps are refused — the finalize pass IS the release write.
+    val refused = intercept[IllegalArgumentException](
+      CurationPipeline.finalizeReleaseYaml(spark, rel,
+        s"steps:\n  - sink: { path: $base/other }\n"))
+    assert(refused.getMessage.contains("finalizeRelease"), refused.getMessage)
+  }
+
   test("applyShard: simhash and substring_remove ingest against persisted state") {
     val corpus = graft.plans.Materialize(ingestCorpus)
     def key(df: org.apache.spark.sql.DataFrame) = snap(df.select("doc_id", "text"))
