@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * parallelism.
   *
   * Spark mapping:
-  *   - [[scanTar]] reads shards via the built-in `binaryFile` source
+  *   - [[scanTar]] lists shards driver-side and streams members
+  *     through task-side filesystem handles
   *     (one task per shard file — the WebDataset parallelism contract)
   *     and walks tar entries with commons-compress per partition,
   *     emitting one row per member. Binary payloads stay opaque bytes
@@ -28,10 +29,13 @@ import org.apache.spark.sql.functions._
   *     filesystem (no driver involvement, any number of shards).
   *   - [[samples]] pivots member rows back to one row per sample.
   *
-  * Scale note: `binaryFile` materializes a whole shard per row, so size
-  * shards the way WebDataset prescribes anyway (hundreds of MB, not
-  * tens of GB) and executors hold one shard per core. Member rows
-  * stream out of the tar walk without re-buffering the archive.
+  * Scale note: the BATCH scan streams each tar through a buffered
+  * filesystem handle one member at a time, so peak task memory is the
+  * largest MEMBER, not the shard — mixed-size releases read without
+  * executor sizing games. Only the STREAMING source still rides
+  * `binaryFile` (Structured Streaming file sources hand whole files to
+  * the batch), so size shards the way WebDataset prescribes anyway
+  * (hundreds of MB, not tens of GB) where a stream will read them.
   */
 object WebDataset {
 
@@ -309,7 +313,11 @@ object WebDataset {
   /** Walk one shard file's tar bytes into member rows (shared by the
     * batch and streaming scans — identical decode either way).
     */
-  private def walkMembers(p: String, bytes: Array[Byte]): Iterator[Member] = {
+  /** One-member-at-a-time walk of an open tar stream — the shared core
+    * of the batch scan (filesystem handle) and the streaming scan
+    * (binaryFile bytes). Does NOT close the stream; callers own it.
+    */
+  private def memberIterator(p: String, tin: TarArchiveInputStream): Iterator[Member] = {
     val segs = p.split('/')
     val base = segs.last.stripSuffix(".tar")
     // Shards written by [[tarSink]] live in batch=<id> subdirectories and
@@ -319,18 +327,30 @@ object WebDataset {
       if (segs.length >= 2 && segs(segs.length - 2).startsWith("batch="))
         segs(segs.length - 2) + "/" + base
       else base
-    val tin = new TarArchiveInputStream(
-      new BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
     Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
       .filter(e => !e.isDirectory)
       .map { e =>
+        require(e.getSize <= Int.MaxValue,
+          s"scanTar: member ${e.getName} in $p is ${e.getSize} bytes — " +
+            "members above 2 GiB cannot be carried as one binary cell; " +
+            "chunk the sample at write time")
         val payload = tin.readNBytes(e.getSize.toInt)
         val name = e.getName
         val dot = name.lastIndexOf('.')
         val (key, ext) =
           if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
         Member(shard, key, ext, payload, payload.length.toLong)
-      }.toVector.iterator
+      }
+  }
+
+  private def walkMembers(p: String, bytes: Array[Byte]): Iterator[Member] = {
+    val tin = new TarArchiveInputStream(
+      new BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+    // Materialized (the byte array is already in memory — this is the
+    // STREAMING source's decode path, where binaryFile hands us whole
+    // shard bytes per micro-batch row); the batch scan streams through
+    // [[memberIterator]] over a filesystem handle instead.
+    memberIterator(p, tin).toVector.iterator
   }
 
   /** Read every `*.tar` under `path` as member rows
@@ -383,18 +403,59 @@ object WebDataset {
     * must not build a thousand-way union). No `_SUCCESS` gating: the
     * callers (maintenance folds) have already listed and validated the
     * exact dirs they intend to consume.
+    *
+    * BOUNDED member walk: shard files are listed driver-side (metadata
+    * only) and each task streams its tar through a buffered filesystem
+    * handle, emitting one member at a time — peak task memory is the
+    * LARGEST MEMBER, not the shard, so mixed-size releases (a 10 GB
+    * shard beside 100 MB ones) read without executor sizing games.
+    * Hidden files/dirs (`_`/`.` prefixes — `_temporary`, `_compact_tmp`)
+    * are skipped, matching the FileIndex convention the previous
+    * `binaryFile` path inherited.
     */
   private[graft] def scanTarPaths(
       spark: SparkSession, paths: Seq[String]): DataFrame = {
     implicit val enc = Encoders.product[Member]
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
-      .option("recursiveFileLookup", "true")
-      .load(paths: _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .flatMap { case (p, bytes) => walkMembers(p, bytes) }
-      .toDF()
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    def hidden(p: Path): Boolean = {
+      var cur = p
+      var h = false
+      while (cur != null && !h) {
+        val n = cur.getName
+        h = n.startsWith("_") || n.startsWith(".")
+        cur = cur.getParent
+      }
+      h
+    }
+    val files = paths.flatMap { dir =>
+      val root = new Path(dir)
+      val fs = root.getFileSystem(hconf.value)
+      if (!fs.exists(root)) Seq.empty[String]
+      else {
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".tar") &&
+              !hidden(st.getPath)) buf += st.getPath.toString
+        }
+        buf.sorted // deterministic partition assignment across runs
+      }
+    }
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val rows = spark.sparkContext.parallelize(files, slices).flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(hconf.value)
+      val tin = new TarArchiveInputStream(
+        new BufferedInputStream(fs.open(path), 1 << 16))
+      // Safety net for partial consumption (limit/take): the stream
+      // closes at task end even when the iterator is abandoned.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => tin.close()))
+      memberIterator(p, tin)
+    }
+    spark.createDataset(rows).toDF()
   }
 
   /** IN-PLACE crash-safe compaction of an accumulated `batch=<id>` tar

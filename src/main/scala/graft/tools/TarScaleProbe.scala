@@ -7,8 +7,8 @@ import graft.sources.{Tables, WebDataset}
 
 /** WebDataset tar I/O scaling probe: writeTarAuto / scanTar / samples
   * throughput at 1×/k×/K× the sf0.1 documents corpus — the measurement
-  * behind the "one binaryFile task per shard, member rows stream out of
-  * the walk" claim. The shard count derives from a FIXED byte budget,
+  * behind the "one task per shard file, members stream through a bounded
+  * filesystem handle" claim. The shard count derives from a FIXED byte budget,
   * so a bigger corpus gets MORE shards at constant shard size — the
   * production shape (more parallel tasks, same per-task memory), which
   * is exactly what the probe verifies: per-MB cost must stay flat or
