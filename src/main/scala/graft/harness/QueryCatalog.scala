@@ -3980,6 +3980,88 @@ object QueryCatalog {
         |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split
         |FROM pick ORDER BY doc_id""".stripMargin)),
 
+    // DELETION PROPAGATION — the takedown / right-to-erasure cycle over
+    // a standing shard-ingest release, end to end: two shards ingest
+    // (exact dedup → sink), every 50th doc is purged from BOTH the
+    // release (purgeRelease: slices folded minus the purged rows, the
+    // StateCompaction protocol) and the standing indexes
+    // (purgeShardState: the purged docs' text-hash rows erased), then a
+    // third shard re-crawls every 25th doc's content under fresh ids —
+    // and the erasure semantics must hold exactly: re-crawls of PURGED
+    // content are admitted fresh (their suppressing index rows are
+    // gone), re-crawls of retained content still drop, and docs dropped
+    // earlier as duplicates of a purged doc do NOT resurrect. Fully
+    // closed-form → composed SQL oracle.
+    Q("curation_release_purge", (s, dir) => {
+      val state = scratchDir("graft_purge_state", dir)
+      val rel = scratchDir("graft_purge_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - dedup_exact: {}
+           |  - sink: { path: $rel }
+           |""".stripMargin)
+      val d = docs(s, dir)
+      CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(d.filter(col("doc_id") >= 250), p, state, "1")
+      val purge = d.filter(pmod(col("doc_id"), lit(50)) === 0).select("doc_id")
+      CurationPipeline.purgeRelease(s, rel, purge)
+      CurationPipeline.purgeShardState(s, state, purge)
+      val recrawl = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000)
+      CurationPipeline.applyShard(recrawl, p, state, "2")
+      s.read.parquet(rel).select("doc_id", "lang").orderBy("doc_id")
+    }, Some(
+      """WITH k AS (SELECT text, MIN(doc_id) AS keeper FROM documents GROUP BY text),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang FROM documents d JOIN k ON d.doc_id = k.keeper
+        |  WHERE d.doc_id % 50 <> 0),
+        |rec AS (SELECT MIN(doc_id) AS base, text FROM documents
+        |  WHERE doc_id % 25 = 0 GROUP BY text),
+        |adm AS (
+        |  SELECT r.base + 1000 AS doc_id, d.lang
+        |  FROM rec r JOIN k USING (text) JOIN documents d ON d.doc_id = r.base
+        |  WHERE k.keeper % 50 = 0)
+        |SELECT doc_id, lang FROM kept
+        |UNION ALL SELECT doc_id, lang FROM adm
+        |ORDER BY doc_id""".stripMargin)),
+
+    // …and the WEBDATASET face: a quality → exact → terminal sink_tar
+    // release purged member-wise (purgeTarRelease: the batch= tar slices
+    // repacked into one batch=c1 fold WITHOUT the purged samples'
+    // members, _SUCCESS preserved) — the takedown shape where the
+    // standing indexes deliberately KEEP the purged docs' rows so
+    // mirrors of the content stay suppressed; only the release stops
+    // serving it. Oracle: the quality→exact replay minus the purged ids.
+    Q("curation_release_purge_tar", (s, dir) => {
+      val state = scratchDir("graft_purge_tar_state", dir)
+      val rel = scratchDir("graft_purge_tar_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - quality: { min_tokens: 10 }
+           |  - dedup_exact: {}
+           |  - sink_tar: { path: $rel, target_bytes: 65536 }
+           |""".stripMargin)
+      val d = docs(s, dir)
+      CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(d.filter(col("doc_id") >= 250), p, state, "1")
+      graft.sources.WebDataset.purgeTarRelease(s, rel,
+        d.filter(pmod(col("doc_id"), lit(50)) === 0).select("doc_id"),
+        targetShardBytes = 65536)
+      val m = graft.sources.WebDataset.samples(
+        graft.sources.WebDataset.scanTar(s, rel, requireSuccess = true),
+        Seq("txt", "cls"))
+      m.select(col("key").cast("long").as("doc_id"),
+          decode(col("cls"), "UTF-8").as("lang"),
+          decode(col("txt"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH q0 AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 10),
+        |dd AS (SELECT * FROM q0
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM q0 GROUP BY text))
+        |SELECT doc_id, lang, text FROM dd WHERE doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin)),
+
     // The near-dup face of the shard-ingest release: minhash joins the
     // composed chain through the persisted signature index (corpus text
     // never re-shingled). xxhash-seeded banding has no SQL form →
@@ -5360,6 +5442,35 @@ object QueryCatalog {
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |  CAST(CASE WHEN a.v = 0 OR b.v = 0 THEN 1 ELSE 2 END AS INT) AS hamming
               |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // …and the VIDEO face, completing the multimodal streaming triad:
+    // each arriving clip slices + dHashes map-side (the batch lattice,
+    // signature-for-signature), routes one copy per distinct frame
+    // signature, and pairs by exact shared-signature count with the
+    // lowest-shared-signature exactly-once rule. Same closed-form
+    // fixture as dedup_video: family members v ∈ {0..4} share their
+    // first 6−v frames, so pairs at min_shared = 3 are the v ≤ 3
+    // cliques with shared_frames = 6 − max(v_a, v_b), regardless of
+    // which batch each clip arrives in.
+    Q("streaming_video_replay", (s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select("doc_id").as[Long].collect().sorted.toSeq
+      val rows = ids.map(id => (id,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        MediaFixtures.videoPayload(id)))
+      val batches = StreamReplay.timeOrderedBatches(rows, 4)
+      StreamReplay.replay(s, batches, df =>
+        graft.streaming.StreamingPredicates.videoNearDupStream(
+          df.toDF("media_id", "timestamp", "payload"),
+          frameBytes = MediaFixtures.BmpFrameBytes, minShared = 3L).toDF())
+        .select(col("doc_a"), col("doc_b"), col("shared_frames"))
+        .orderBy("doc_a", "doc_b")
+    }, Some("""WITH m AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS v FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(6 - GREATEST(a.v, b.v) AS BIGINT) AS shared_frames
+              |FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id
+              |WHERE 6 - GREATEST(a.v, b.v) >= 3
               |ORDER BY 1, 2""".stripMargin)),
 
     // Streaming quality-model scoring replayed against the SAME cached

@@ -313,6 +313,134 @@ object CurationPipeline {
     finalizeRelease(spark, releaseDir, CurationConfig.fromYaml(yamlText),
       idCol, textCol, aux, numFiles)
 
+  /** The one-column long key frame every purge entry point shares:
+    * takedown / erasure lists are id sets, full stop — a multi-column
+    * frame is a caller bug, refused loudly.
+    */
+  private def purgeKeyFrame(purgeIds: DataFrame, where: String): DataFrame = {
+    require(purgeIds.columns.length == 1,
+      s"$where: purgeIds must be a single-column id frame, got " +
+        s"(${purgeIds.columns.mkString(", ")})")
+    purgeIds
+      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
+      .na.drop().distinct()
+  }
+
+  /** DELETION PROPAGATION over a standing parquet release — the
+    * takedown / right-to-erasure pass a production corpus needs: rewrite
+    * the accumulated `shard=<id>` slices of a [[curationSink]] /
+    * terminal-`sink` release into ONE `shard=c<maxId>` dir WITHOUT the
+    * purged docs' rows, under the [[StateCompaction]] crash-safe commit
+    * protocol (a crash at any point either preserves the raw slices or
+    * resumes publishing the complete purged fold). Idempotent: purging
+    * ids already absent is a no-op rewrite.
+    *
+    * This erases the RELEASE only. The standing ingest indexes still
+    * carry the purged docs' derived rows (url keys, text hashes,
+    * signatures), which keeps SUPPRESSING re-crawls of the same content
+    * — the right call for a takedown (the content must not come back
+    * through a mirror). For erasure (GDPR-style: derived data goes too,
+    * and identical content re-submitted later is admitted fresh), also
+    * run [[purgeShardState]]. Token releases (`sink_tokens`) cannot be
+    * purged row-wise — packing is corpus-shaped, so removing a doc means
+    * re-cutting the release from the purged parquet corpus; tar releases
+    * purge via [[graft.sources.WebDataset.purgeTarRelease]].
+    *
+    * Offline contract as every release rewrite here: stop the ingest
+    * first. Scale shape: one scan + broadcast anti-join + write — the
+    * purge list is takedown-sized by nature (broadcast is the honest
+    * plan; a corpus-sized "purge list" is a re-curation, not a purge).
+    */
+  def purgeRelease(
+      spark: SparkSession, releaseDir: String, purgeIds: DataFrame,
+      idCol: String = "doc_id", numFiles: Int = 8): Unit = {
+    val keys = purgeKeyFrame(purgeIds, "purgeRelease")
+    StateCompaction.compactBatchDir(
+      spark, releaseDir,
+      rewrite = df => df.join(
+        broadcast(keys), df(idCol).cast("long") === keys("__purge_id"), "left_anti"),
+      numFiles = numFiles, prefix = "shard=", minInputs = 1)
+  }
+
+  /** Which column carries the purgeable doc attribution in each standing
+    * index layout — the derived-data inventory behind [[purgeShardState]].
+    * Layouts NOT here hold only non-invertible aggregates:
+    * `substring_index` stores hashed-window occurrence counts (no doc
+    * attribution to erase) and `lm` is a corpus-level token-frequency
+    * fit; both are retained and reported, the standard aggregate
+    * boundary of erasure.
+    */
+  private val purgeIdColByKind: Map[String, String] = Map(
+    "url_index" -> "keeper",
+    "exact_index" -> "__id",
+    "line_index" -> "first_doc",
+    "minhash_index" -> "doc_id",
+    "simhash_index" -> "doc_id",
+    "ngram_index" -> "doc_id",
+    "winnow_index" -> "doc_id",
+    "embedding_index" -> "vec_id",
+    "phash_index" -> "media_id",
+    "afp_index" -> "media_id",
+    "video_index" -> "media_id")
+
+  private val purgeRetainedKinds: Set[String] = Set("substring_index", "lm")
+
+  /** ERASURE of purged docs' DERIVED rows from an [[applyShard]] state
+    * directory: for every step index that attributes rows to a doc
+    * (url keys, text hashes, line first-occurrences, minhash/simhash/
+    * ngram/winnow/embedding signatures, perceptual media signatures),
+    * fold the accumulated `batch=<id>` increments into one purged
+    * `batch=c<maxId>` dir without those rows — the [[StateCompaction]]
+    * protocol per step dir, crash-safe and idempotent. Aggregate-only
+    * layouts (`substring_index` window counts, the `lm` fit) hold no
+    * per-doc attribution and are RETAINED; an unrecognized step dir
+    * fails loudly rather than silently retaining personal data.
+    *
+    * Semantics flip vs release-only purge: with its index rows erased, a
+    * purged doc stops suppressing future arrivals — identical content
+    * re-ingested later is admitted FRESH (asserted end-to-end by the
+    * curation_release_purge oracle). Prior dedup decisions already in
+    * the release stand (docs dropped as duplicates of a purged doc do
+    * not resurrect — erasure removes data, it never refills the corpus).
+    *
+    * Offline contract: stop the ingest first (the fold collapses batch
+    * labels, so a re-delivered pre-purge shard would recompute against a
+    * different prior view — the same rule as [[compactShardState]]).
+    *
+    * @return one (stepDir, action) row per step state dir: `purged on
+    *         <col>` or `retained-aggregate`.
+    */
+  def purgeShardState(
+      spark: SparkSession, stateDir: String, purgeIds: DataFrame): Seq[(String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"purgeShardState: no such dir $stateDir")
+    val keys = purgeKeyFrame(purgeIds, "purgeShardState")
+    val stepDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("step\\d+=.*"))
+      .sortBy(_.getPath.getName)
+    require(stepDirs.nonEmpty,
+      s"purgeShardState: $stateDir holds no step<i>=<kind> state subdirectories")
+    stepDirs.toSeq.map { st =>
+      val name = st.getPath.getName
+      val kind = name.split("=", 2)(1)
+      if (purgeRetainedKinds(kind)) name -> "retained-aggregate"
+      else {
+        val idc = purgeIdColByKind.getOrElse(kind, throw new IllegalArgumentException(
+          s"purgeShardState: step dir '$name' has no registered purge column — " +
+            "refusing to silently retain a doc-attributing index; add the " +
+            "layout to purgeIdColByKind (or to the retained-aggregate set if " +
+            "it provably holds no per-doc rows)"))
+        StateCompaction.compactBatchDir(
+          spark, st.getPath.toString,
+          rewrite = df => df.join(
+            broadcast(keys), df(idc).cast("long") === keys("__purge_id"), "left_anti"),
+          minInputs = 1)
+        name -> s"purged on $idc"
+      }
+    }
+  }
+
   /** STREAMING ingest for the whole curation language — the
     * foreachBatch sink: each micro-batch is one crawl shard curated by
     * [[applyShard]] against the standing state (shard label = the

@@ -62,6 +62,31 @@ object VideoFingerprint {
     spark.createDataFrame(rdd, sigSchema).dropDuplicates("media_id", "vfp")
   }
 
+  /** The DISTINCT sorted per-frame signature set of ONE clip payload —
+    * the single-row form of [[signatures]], byte-identical to the
+    * DataFrame lattice (same `ceil(len / frameBytes)` frame count, same
+    * stride walk, same dropped-empty-slice rule; parity asserted in
+    * ExtensionsSpec) so the streaming twin
+    * ([[graft.streaming.StreamingPredicates.videoNearDupStream]]) and
+    * the batch operator agree signature-for-signature.
+    */
+  def clipSignatures(
+      payload: Array[Byte], frameBytes: Int, stride: Int = 1): Array[Long] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
+    if (payload == null || payload.isEmpty) return Array.empty[Long]
+    val nFrames = (payload.length + frameBytes - 1) / frameBytes
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    var i = 0
+    while (i < nFrames) {
+      val slice = java.util.Arrays.copyOfRange(
+        payload, i * frameBytes, math.min((i + 1) * frameBytes, payload.length))
+      if (slice.nonEmpty) PerceptualHash.dhash(slice).foreach(out += _)
+      i += stride
+    }
+    out.toArray
+  }
+
   /** Near-dup clip pairs `(doc_a, doc_b, shared_frames)` with
     * `shared_frames ≥ minShared` distinct frame signatures in common —
     * [[Dedup.fpSharedPairs]] over the clip corpus' frame signatures.

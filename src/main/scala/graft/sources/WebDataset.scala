@@ -495,6 +495,48 @@ object WebDataset {
       ()
     }
 
+  /** DELETION PROPAGATION over an accumulated `batch=<id>` TAR release —
+    * the takedown / erasure pass for the WebDataset face
+    * ([[graft.operators.CurationPipeline.purgeRelease]] is the parquet
+    * face): fold every slice dir into ONE repacked `batch=c<maxId>` dir
+    * WITHOUT the purged samples' members, under the same
+    * [[graft.operators.StateCompaction]] commit protocol as
+    * [[compactTarRelease]] (crash at any point preserves the raw slices
+    * or resumes publishing the complete purged fold; the folded dir
+    * keeps its `_SUCCESS`). `purgeKeys` is a one-column frame of sample
+    * KEYS (the tar member basename — doc ids for sink_tar releases),
+    * compared as strings; purging keys already absent is a no-op
+    * rewrite. Purging EVERY member is refused — delete the release dir
+    * instead of publishing an empty one. Token releases (`sink_tokens`)
+    * do not purge row-wise: packing is corpus-shaped, re-cut them from
+    * the purged parquet corpus. Offline contract: stop the ingest first.
+    */
+  def purgeTarRelease(
+      spark: SparkSession,
+      dir: String,
+      purgeKeys: DataFrame,
+      targetShardBytes: Long = 256L << 20
+  ): Unit = {
+    require(purgeKeys.columns.length == 1,
+      s"purgeTarRelease: purgeKeys must be a single-column key frame, got " +
+        s"(${purgeKeys.columns.mkString(", ")})")
+    val keys = purgeKeys
+      .select(col(purgeKeys.columns.head).cast("string").as("__purge_key"))
+      .na.drop().distinct()
+    graft.operators.StateCompaction.runProtocol(
+      spark, dir, "batch=", "purgeTarRelease", minInputs = 1) { (inputs, tmp) =>
+      val m = scanTarPaths(spark, inputs)
+        .join(broadcast(keys), col("key") === col("__purge_key"), "left_anti")
+      val exts = m.select("ext").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(exts.nonEmpty,
+        s"purgeTarRelease: purge would empty the release under $dir — " +
+          "delete the release dir instead of publishing an empty fold")
+      repackMembers(m, exts, tmp, targetShardBytes, "purgeTarRelease")
+      ()
+    }
+  }
+
   /** STREAMING ingest of a shard directory: tail `path` for newly
     * arriving `*.tar` files and emit their member rows in the
     * micro-batch each shard lands in — the continuous-crawl shape

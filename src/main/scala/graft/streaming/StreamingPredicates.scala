@@ -1145,6 +1145,154 @@ object StreamingPredicates {
       }
   }
 
+  /** One (frame-signature)-routed copy of an arriving clip for
+    * [[videoNearDupStream]]: the clip's FULL sorted distinct signature
+    * set rides along (one copy per distinct frame signature), so both
+    * sides of a bucket collision can compute the exact shared count and
+    * the lowest shared signature from the two sets alone — the
+    * [[PhashDoc]] recompute-from-payload discipline, set-valued.
+    */
+  final case class VfpDoc(
+      fp: Long,
+      doc_id: Long,
+      timestamp: java.sql.Timestamp,
+      fps: Array[Long]) {
+    def tsMicros: Long = (timestamp.getTime / 1000L) * 1000000L + timestamp.getNanos / 1000L
+  }
+
+  /** Per-frame-signature bucket state for [[videoNearDupStream]]: the
+    * live clips holding this signature, each with its full sorted
+    * signature set (8 bytes × frames-per-clip per entry — bounded by the
+    * saturation latch exactly like the scalar-signature buckets).
+    */
+  final case class VfpBucketState(
+      ids: Array[Long],
+      ts: Array[Long],
+      fps: Array[Array[Long]],
+      saturated: Boolean)
+
+  /** One clip near-dup pair (doc_a < doc_b) with its exact distinct
+    * shared-frame-signature count. */
+  final case class ClipNearDupPair(doc_a: Long, doc_b: Long, shared_frames: Long)
+
+  /** Streaming VIDEO near-dup — the clip face of the perceptual family,
+    * completing the multimodal streaming triad (image
+    * [[phashNearDupStream]] / audio [[afpNearDupStream]] / video). Each
+    * arriving clip slices + dHashes map-side via
+    * [[graft.operators.VideoFingerprint.clipSignatures]] (the SAME
+    * lattice and hash as batch, so stream and batch agree
+    * signature-for-signature), routes one copy per DISTINCT frame
+    * signature to that signature's state group, and pairs against the
+    * group's live clips by exact distinct-shared-signature count — a
+    * pair emits iff `shared ≥ minShared`, from the LOWEST shared
+    * signature's group only (both full sets are in hand, so the
+    * exactly-once rule is recomputable on both sides, the
+    * lowest-shared-chunk discipline generalized to sets).
+    *
+    * Divergence from batch [[graft.operators.VideoFingerprint.dedup]]:
+    * batch drops signatures held by more than `maxBucketSize` clips
+    * BEFORE counting (the ubiquity cap — mass-shared frames carry no
+    * dedup signal), while the stream's saturation latch stops a
+    * saturated group from PAIRING but each live pair's `shared_frames`
+    * still counts its full set intersection. On a corpus with no
+    * capped signatures (the fixture, and any corpus where title cards /
+    * black frames stay under the cap) the two agree exactly; parity is
+    * asserted in StreamingSpec. TTL eviction, the saturation latch, and
+    * the decode-drops-watermark caveat are [[phashNearDupStream]]'s,
+    * verbatim.
+    *
+    * @return one row per near-dup pair: (doc_a, doc_b, shared_frames).
+    */
+  def videoNearDupStream(
+      media: DataFrame,
+      frameBytes: Int,
+      minShared: Long = 2L,
+      stride: Int = 1,
+      maxBucketSize: Int = 256,
+      ttlMicros: Long = Long.MaxValue,
+      watermarkDelay: String = "1 hour",
+      idCol: String = "media_id",
+      payloadCol: String = "payload"
+  ): Dataset[ClipNearDupPair] = {
+    requireIntegralId(media, idCol, "videoNearDupStream")
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    implicit val rowEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.BINARY)
+    implicit val vfpEnc = Encoders.product[VfpDoc]
+    val routed = media
+      .select(col(idCol).cast("long"), col("timestamp"), col(payloadCol))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (id, ts, payload) =>
+        val fps = graft.operators.VideoFingerprint
+          .clipSignatures(payload, frameBytes, stride)
+        fps.toSeq.map(f => VfpDoc(f, id, ts, fps))
+      }
+      .withWatermark("timestamp", watermarkDelay)
+      .as[VfpDoc]
+
+    // (count, lowest) of the intersection of two sorted distinct sets.
+    def shared(a: Array[Long], b: Array[Long]): (Long, Long) = {
+      var i = 0; var j = 0; var n = 0L; var lowest = Long.MinValue
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { if (n == 0L) lowest = a(i); n += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      (n, lowest)
+    }
+
+    implicit val pairEnc = Encoders.product[ClipNearDupPair]
+    implicit val stateEnc = Encoders.product[VfpBucketState]
+    routed
+      .groupByKey(_.fp)(Encoders.scalaLong)
+      .flatMapGroupsWithState[VfpBucketState, ClipNearDupPair](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (fp: Long, rows: Iterator[VfpDoc], state: GroupState[VfpBucketState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(
+            VfpBucketState(Array.empty, Array.empty, Array.empty, saturated = false))
+
+          val (saturated0, liveIdx) =
+            ttlSurvivors(prev.ts, prev.saturated, prev.ids.length, ttlMicros, wmMicros)
+          var saturated = saturated0
+          val ids = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.ids): _*)
+          val ts = scala.collection.mutable.ArrayBuffer(
+            (if (saturated) prev.ts.toSeq else liveIdx.map(prev.ts)): _*)
+          val sets = scala.collection.mutable.ArrayBuffer(liveIdx.map(prev.fps): _*)
+
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClipNearDupPair]
+          rows.toSeq.sortBy(d => (d.tsMicros, d.doc_id)).foreach { d =>
+            if (d.tsMicros > wmMicros) {
+              if (saturated) {
+                ts(0) = math.max(ts(0), d.tsMicros)
+              } else if (ids.length + 1 > maxBucketSize) {
+                saturated = true
+                ids.clear(); sets.clear()
+                ts.clear(); ts += d.tsMicros
+              } else {
+                var j = 0
+                while (j < ids.length) {
+                  if (ids(j) != d.doc_id) {
+                    val (n, lowest) = shared(sets(j), d.fps)
+                    if (n >= minShared && lowest == fp)
+                      out += ClipNearDupPair(
+                        math.min(ids(j), d.doc_id), math.max(ids(j), d.doc_id), n)
+                  }
+                  j += 1
+                }
+                ids += d.doc_id; ts += d.tsMicros; sets += d.fps
+              }
+            }
+          }
+
+          finishTtlState(state, ids.isEmpty, saturated, ts, ttlMicros, wmMicros)(
+            VfpBucketState(ids.toArray, ts.toArray, sets.toArray, saturated))
+          out.iterator
+      }
+  }
+
   /** One occurrence of a k-token window on the stream: routed to its
     * `(wk, wl)` compound-key state group ([[graft.operators.Dedup]]'s
     * hashed-window collision contract), carrying the doc position for hit

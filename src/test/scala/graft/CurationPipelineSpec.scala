@@ -1368,4 +1368,118 @@ class CurationPipelineSpec extends SparkSpec {
       assert(b.size < shard1.count(), s"$label dropped nothing on this fixture")
     }
   }
+
+  test("purgeRelease erases docs from the standing release; purgeShardState re-admits their content") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val base = java.nio.file.Files.createTempDirectory("cppurge").toString
+    val rel = s"$base/release"
+    val state = s"$base/state"
+    val yaml = s"steps:\n  - url_dedup: {}\n  - dedup_exact\n  - sink: { path: $rel }\n"
+    CurationPipeline.fromYamlShard(
+      corpus.filter(col("doc_id") < 30), yaml, state, "0").count()
+    CurationPipeline.fromYamlShard(
+      corpus.filter(col("doc_id") >= 30), yaml, state, "1").count()
+    val before = spark.read.parquet(rel).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val purgeIds = Seq(before.min, before.max)
+    assert(purgeIds.toSet.subsetOf(before))
+
+    CurationPipeline.purgeRelease(spark, rel, purgeIds.toDF("doc_id"))
+    // Slices folded into one purged dir, purged rows gone, others intact.
+    val names = new java.io.File(rel).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).toSeq
+    assert(names == Seq("shard=c1"), s"unexpected release layout: $names")
+    val after = spark.read.parquet(rel).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == before -- purgeIds,
+      s"release purge mismatch: missing=${(before -- purgeIds) -- after} " +
+        s"still-present=${after.intersect(purgeIds.toSet)}")
+    // Idempotent: purging already-absent ids is a no-op rewrite.
+    CurationPipeline.purgeRelease(spark, rel, purgeIds.toDF("doc_id"))
+    assert(spark.read.parquet(rel).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == after)
+
+    // Release-only purge keeps the indexes: a re-crawl of purged
+    // content under a fresh id still drops (takedown suppression).
+    val purgedRows = graft.plans.Materialize(
+      corpus.filter(col("doc_id").isin(purgeIds: _*))
+        .withColumn("doc_id", col("doc_id") + 5000L))
+    val suppressed = CurationPipeline.fromYamlShard(purgedRows, yaml, state, "2")
+    assert(suppressed.count() == 0,
+      "re-crawl of purged content was admitted before the state purge")
+
+    // State purge erases the derived rows: the SAME re-crawl is now
+    // admitted fresh (erasure semantics), and the report names every
+    // step dir with its action.
+    val report = CurationPipeline.purgeShardState(
+      spark, state, (purgeIds ++ purgeIds.map(_ + 5000L)).toDF("doc_id"))
+    assert(report.toMap == Map(
+      "step0=url_index" -> "purged on keeper",
+      "step1=exact_index" -> "purged on __id"), s"unexpected report: $report")
+    val urlIdx = spark.read.parquet(s"$state/step0=url_index")
+    assert(urlIdx.filter(col("keeper").isin((purgeIds ++ purgeIds.map(_ + 5000L)): _*))
+      .count() == 0, "purged keepers survive in the url index")
+    val readmitted = CurationPipeline.fromYamlShard(
+      purgedRows.withColumn("doc_id", col("doc_id") + 1000L), yaml, state, "3")
+    assert(readmitted.count() == purgedRows.count(),
+      "re-crawl of erased content was not admitted fresh")
+    // …and the admitted re-crawls landed in the standing release.
+    val relIds = spark.read.parquet(rel).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(relIds == after ++ purgeIds.map(_ + 6000L),
+      s"release after re-admission diverged: $relIds")
+  }
+
+  test("purgeShardState retains aggregate-only layouts and refuses unregistered step dirs") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val state = java.nio.file.Files.createTempDirectory("cppurga").toString + "/s"
+    val yaml = "steps:\n  - dedup_exact\n  - substring_remove: { k: 8 }\n" +
+      "  - perplexity: { max_ppl: 1000, vocab: 20 }\n"
+    val p = CurationConfig.fromYaml(yaml)
+    CurationPipeline.applyShard(corpus.filter(col("doc_id") < 30), p, state, "0").count()
+    val report = CurationPipeline.purgeShardState(spark, state, Seq(0L).toDF("doc_id"))
+    assert(report.toMap == Map(
+      "step0=exact_index" -> "purged on __id",
+      "step1=substring_index" -> "retained-aggregate",
+      "step2=lm" -> "retained-aggregate"), s"unexpected report: $report")
+    // The retained window-count index is untouched (no fold, no rewrite).
+    assert(new java.io.File(s"$state/step1=substring_index/batch=0").exists(),
+      "retained aggregate index was rewritten")
+    // An unregistered layout refuses loudly instead of silently retaining.
+    val foreign = new java.io.File(s"$state/step7=mystery_index/batch=0")
+    foreign.mkdirs()
+    spark.range(3).write.mode("overwrite").parquet(foreign.toString)
+    val err = intercept[IllegalArgumentException](
+      CurationPipeline.purgeShardState(spark, state, Seq(0L).toDF("doc_id")))
+    assert(err.getMessage.contains("step7=mystery_index"), err.getMessage)
+  }
+
+  test("purgeTarRelease removes purged members; emptying the release is refused") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val base = java.nio.file.Files.createTempDirectory("cppurgt").toString
+    val rel = s"$base/release"
+    val yaml = "steps:\n  - dedup_exact\n" +
+      s"  - sink_tar: { path: $rel, target_bytes: 65536 }\n"
+    CurationPipeline.fromYamlShard(
+      corpus.filter(col("doc_id") < 30), yaml, s"$base/state", "0")
+    CurationPipeline.fromYamlShard(
+      corpus.filter(col("doc_id") >= 30), yaml, s"$base/state", "1")
+    def keys() = graft.sources.WebDataset
+      .scanTar(spark, rel, requireSuccess = true)
+      .select("key").distinct().collect().map(_.getString(0)).toSet
+    val before = keys()
+    val purge = Seq(before.min, before.max)
+    graft.sources.WebDataset.purgeTarRelease(
+      spark, rel, purge.toDF("key"), targetShardBytes = 65536)
+    assert(keys() == before -- purge,
+      "tar release purge did not remove exactly the purged members")
+    assert(new java.io.File(rel).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=c1"))
+    val err = intercept[IllegalArgumentException](
+      graft.sources.WebDataset.purgeTarRelease(
+        spark, rel, keys().toSeq.toDF("key"), targetShardBytes = 65536))
+    assert(err.getMessage.contains("empty the release"), err.getMessage)
+    // The refused purge left the release intact and unwedged.
+    assert(keys() == before -- purge, "refused purge mutated the release")
+  }
 }

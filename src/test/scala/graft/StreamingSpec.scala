@@ -906,6 +906,55 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("videoNearDupStream matches batch clip dedup across arrival splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.harness.MediaFixtures
+    import graft.operators.VideoFingerprint
+
+    val allIds = (0L until 50L)
+    val batchPairs = VideoFingerprint
+      .dedup(MediaFixtures.syntheticVideos(allIds.toDF("doc_id")),
+        frameBytes = MediaFixtures.BmpFrameBytes, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs.nonEmpty, "fixture must actually contain near-dup clips")
+
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "timestamp", "payload")
+    val out = StreamingPredicates.videoNearDupStream(
+      media, frameBytes = MediaFixtures.BmpFrameBytes, minShared = 3L)
+    val query = out.writeStream
+      .format("memory").queryName("video_stream").outputMode("append").start()
+    try {
+      // Split mid-family so corpus↔shard pairs must come from state.
+      val (shard1, shard2) = allIds.partition(_ < 23)
+      input.addData(shard1.map(id =>
+        (id, ts("2024-01-01 10:00:00"), MediaFixtures.videoPayload(id))): _*)
+      query.processAllAvailable()
+      input.addData(shard2.map(id =>
+        (id, ts("2024-01-01 10:30:00"), MediaFixtures.videoPayload(id))): _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("video_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batchPairs,
+        s"stream/batch divergence: stream-only=${streamed.diff(batchPairs).take(5)} " +
+          s"batch-only=${batchPairs.diff(streamed).take(5)} " +
+          s"(${streamed.size} streamed vs ${batchPairs.size} batch)")
+      // Exactly-once: no pair may have been emitted from two signature
+      // groups (the lowest-shared-signature rule) — set vs bag equality.
+      val bag = spark.table("video_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(bag.distinct.size == bag.size,
+        s"duplicate pair emissions: ${bag.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
+      // Undecodable payloads pass through silently (no signature, no pair).
+      input.addData((999L, ts("2024-01-01 10:45:00"), "not a clip".getBytes("UTF-8")))
+      query.processAllAvailable()
+      assert(spark.table("video_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == streamed)
+    } finally query.stop()
+  }
+
   test("phashNearDupStream evicts bucket state after the TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

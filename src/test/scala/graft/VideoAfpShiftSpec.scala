@@ -42,6 +42,27 @@ class VideoAfpShiftSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("clipSignatures matches the DataFrame signature lattice clip-for-clip") {
+    import spark.implicits._
+    val clips = MediaFixtures.syntheticVideos(ids)
+    val fromDf = VideoFingerprint
+      .signatures(clips, frameBytes = MediaFixtures.BmpFrameBytes, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val fromSingle = clips.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, p) =>
+        id -> VideoFingerprint
+          .clipSignatures(p, MediaFixtures.BmpFrameBytes, stride = 2).toSeq
+      }.toMap
+    assert(fromSingle == fromDf)
+    // Degenerate payloads: empty and sub-frame slices behave like the lattice.
+    assert(VideoFingerprint.clipSignatures(
+      Array.empty[Byte], MediaFixtures.BmpFrameBytes).isEmpty)
+    assert(VideoFingerprint.clipSignatures(
+      "short".getBytes("UTF-8"), MediaFixtures.BmpFrameBytes).isEmpty)
+  }
+
   test("incremental video dedup matches the full run restricted to shard pairs") {
     val clips = MediaFixtures.syntheticVideos(ids)
     val dir = java.nio.file.Files.createTempDirectory("graft_vfp_idx_").toString
