@@ -356,6 +356,15 @@ object Dedup {
     * evaluated over the COMBINED band rows, so results match the full run
     * (DedupIncrementalSpec asserts parity, jaccard values included).
     *
+    * Scale shape: the index is touched only by COLUMNAR SCANS — a
+    * shard-restriction pre-pass (broadcast semi-joins on the shard's
+    * exact-cluster keys and 64-bit band buckets) cuts the union to the
+    * corpus rows that can reach a shard-touching pair BEFORE any
+    * exchange, exactly (identical text implies identical cluster key
+    * and band rows, so clusters and probed buckets are retrieved whole;
+    * everything outside the cut lands only in buckets whose candidate
+    * join has an empty new-doc side).
+    *
     * New doc ids must be disjoint from the index's ids.
     *
     * @param index the persisted [[minhashIndex]] of the existing corpus,
@@ -387,6 +396,33 @@ object Dedup {
     val newPerDoc = graft.plans.Materialize(
       minhashIndex(newDocs, numHashes, shingleN, textCol, idCol))
 
+    // SHARD-RESTRICTION pre-pass (the chunkKeys discipline, minhash
+    // face): identical text implies identical (ehash, elen) AND
+    // identical band rows, so an exact cluster — and every member of
+    // every shard-probed band bucket — is retrieved whole or not at
+    // all: union-level rep election, star pairs, and bucket caps are
+    // unchanged on the cut, and corpus rows outside it land only in
+    // non-probed buckets, whose candidate joins have an empty new-doc
+    // side. The index is touched only by COLUMNAR SCANS (a map-side
+    // band explode + broadcast semi-joins) — never a corpus-sized
+    // exchange. Broadcasts are shard-bounded: cluster keys and band
+    // keys come from the shard (ingest batches are sized), and the
+    // touched-id set is the shard's 64-bit-bucket collision set —
+    // near-dup candidates, not the corpus.
+    val shardClusterKeys = newPerDoc.select("ehash", "elen").distinct()
+    val shardBandKeys = bandRowsOf(
+        newPerDoc.filter(col("h0").isNotNull), numHashes, bands)
+      .select("band", "bucket").distinct()
+    val touchedBandIds = bandRowsOf(
+        index.filter(col("h0").isNotNull), numHashes, bands)
+      .join(broadcast(shardBandKeys), Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+    val restrictedIndex = graft.plans.Materialize(
+      index.join(broadcast(shardClusterKeys), Seq("ehash", "elen"), "left_semi")
+        .unionByName(
+          index.join(broadcast(touchedBandIds), Seq("doc_id"), "left_semi"))
+        .dropDuplicates("doc_id"))
+
     // Union-level exact clusters from the `(ehash, elen)` columns — the
     // incremental face of [[minhashLsh]]'s pre-pass, WITHOUT re-hashing
     // any corpus text: rep = min doc_id across corpus + shard (the
@@ -397,7 +433,7 @@ object Dedup {
     val unionIds = newPerDoc
       .select(col("doc_id"), col("ehash"), col("elen"), lit(true).as("__new"))
       .unionByName(
-        index.select(col("doc_id"), col("ehash"), col("elen"), lit(false).as("__new")))
+        restrictedIndex.select(col("doc_id"), col("ehash"), col("elen"), lit(false).as("__new")))
     val wEhash = Window.partitionBy("ehash", "elen")
     val repStruct = min(struct(col("doc_id"), col("__new"))).over(wEhash)
     val withRep = unionIds
@@ -415,7 +451,7 @@ object Dedup {
     // reps (null signatures) are exact-dedupable only.
     val newReps = newPerDoc
       .join(repIds.filter(col("__new")).select("doc_id"), Seq("doc_id"), "left_semi")
-    val corpusReps = index
+    val corpusReps = restrictedIndex
       .join(repIds.filter(!col("__new")).select("doc_id"), Seq("doc_id"), "left_semi")
     val allBands = bandRowsOf(newReps.filter(col("h0").isNotNull), numHashes, bands)
       .withColumn("__new", lit(true))
@@ -440,7 +476,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
 
     val shingled = newPerDoc.select(col("doc_id"), col("sh"))
-      .unionByName(index.select(col("doc_id"), col("sh")))
+      .unionByName(restrictedIndex.select(col("doc_id"), col("sh")))
 
     candidates
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -772,7 +808,12 @@ object Dedup {
     * bucket rows and the candidate join's left side is restricted to new
     * ids, so results equal [[embeddingNearDup]] on the union restricted
     * to pairs touching ≥1 new vector (parity asserted in tests). New ids
-    * must be disjoint from corpus ids.
+    * must be disjoint from corpus ids. Scale shape: the corpus is
+    * touched only by COLUMNAR SCANS — bucket signatures project
+    * map-side during the scan, the cap is an aggregate bounded by the
+    * bands × 2^bitsPerBand keyspace (broadcast back as a filter), and
+    * the shard side broadcasts into the candidate join, so no
+    * corpus-sized row set is ever shuffled.
     *
     * @return (doc_a, doc_b, cos) with doc_a < doc_b, cos ≥ threshold,
     *         each pair touching ≥1 new vector.
@@ -787,25 +828,40 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val newBase = newVectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val newBase = graft.plans.Materialize(
+      newVectors.select(col(idCol).as("id"), col(vecCol).as("v")))
     val corpusBase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    val allBuckets = Similarity.hyperplaneBuckets(newBase, bands, bitsPerBand, "id", "v")
-      .withColumn("__new", lit(true))
-      .unionByName(
-        Similarity.hyperplaneBuckets(corpusBase, bands, bitsPerBand, "id", "v")
-          .withColumn("__new", lit(false)))
-    val wBucket = Window.partitionBy("band", "bucket")
-    val capped = allBuckets
-      .withColumn("bsize", count(lit(1)).over(wBucket))
+    // ZERO-corpus-exchange shape: signatures are deterministic per
+    // vector, so the corpus' bucket rows compute MAP-SIDE (projection
+    // during the scan). The bucket keyspace is bands × 2^bitsPerBand —
+    // small by construction — so the cap is an AGGREGATE whose exchange
+    // carries at most that many rows (map-side combine), broadcast back
+    // as a semi-join filter; the probe side (shard rows in surviving
+    // buckets, shard-bounded) broadcasts against the corpus bucket
+    // stream, so candidate generation never shuffles a corpus row
+    // either. The only shuffles left are the shard-side cut, the pair
+    // dedup (output-sized), and the verify join — where the candidate
+    // side is the small one.
+    val shardBuckets = graft.plans.Materialize(
+      Similarity.hyperplaneBuckets(newBase, bands, bitsPerBand, "id", "v"))
+    val corpusBuckets = Similarity
+      .hyperplaneBuckets(corpusBase, bands, bitsPerBand, "id", "v")
+    val allBuckets = shardBuckets.withColumn("__new", lit(true))
+      .unionByName(corpusBuckets.withColumn("__new", lit(false)))
+    val okBuckets = allBuckets
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucketSize)
-      .select(col("band"), col("bucket"), col("id"), col("__new"))
+      .select("band", "bucket")
 
-    val a = capped.filter(col("__new"))
+    val a = shardBuckets
+      .join(broadcast(okBuckets), Seq("band", "bucket"), "left_semi")
       .select(col("band"), col("bucket"), col("id").as("ida"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idb"))
-    val pairs = a
-      .join(b, Seq("band", "bucket"))
+    val b = allBuckets
+      .join(broadcast(okBuckets), Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("idb"))
+    val pairs = b
+      .join(broadcast(a), Seq("band", "bucket"))
       .filter(col("ida") =!= col("idb"))
       .select(
         least(col("ida"), col("idb")).as("doc_a"),
@@ -1284,6 +1340,21 @@ object Dedup {
     * contract as the other `*Incremental` families), banding runs over
     * the union's distinct-text representatives' signatures.
     *
+    * Scale shape (the [[sigDedupIncremental]] discipline, cluster
+    * edition): the corpus index is touched only by COLUMNAR SCANS. The
+    * star pass cuts the union to exact-(ehash, elen) matches of the
+    * shard (broadcast semi-join — tiny). The band pass pays exactly ONE
+    * thin exchange: a map-side chunk explode + broadcast semi-join on
+    * the shard's probed buckets (bounded by 4 × 2^16) feeds a
+    * (chunk, key, ehash, elen) aggregate electing each cluster's union
+    * rep bucket-locally — exact because identical text implies an
+    * identical signature, so a cluster's members share its buckets —
+    * with the cap window and probe-broadcast candidate join reusing
+    * that partitioning. Pairs between two corpus reps are never
+    * generated; a non-probed bucket holds no shard rep, so its pairs
+    * were corpus-internal and discarded in the old symmetric join
+    * anyway.
+    *
     * @return (doc_a, doc_b, hamming) — exactly [[simhash]] over
     *         (corpus ∪ shard) restricted to pairs touching ≥1 shard id
     *         (parity asserted in DedupIncrementalSpec). Shard ids must
@@ -1300,23 +1371,89 @@ object Dedup {
     require(index.columns.sorted.sameElements(Array("doc_id", "ehash", "elen", "sig")),
       s"not a simhashIndex frame (columns ${index.columns.mkString(",")}); " +
         "re-build it with Dedup.simhashIndex")
-    val all = index.select("doc_id", "ehash", "elen", "sig")
-      .unionByName(simhashIndex(newDocs, textCol, idCol))
+    // Materialized: the shard index feeds the star pass, the band pass,
+    // and the key broadcasts — without the cut, tokenize+sign would
+    // re-run per consumer.
+    val shardIdx = graft.plans.Materialize(simhashIndex(newDocs, textCol, idCol))
+
+    // STAR pass — exact-text clusters keyed (ehash, elen). Only
+    // clusters holding >= 1 shard doc can emit a shard-touching star
+    // pair, so the union the rep-election window sees is cut to corpus
+    // rows whose compound key the shard holds (broadcast semi-join —
+    // exact equality, tiny cut; a touched cluster is retrieved whole).
+    val clusterKeys = shardIdx.select("ehash", "elen").distinct()
+    val starUnion = index
+      .join(broadcast(clusterKeys), Seq("ehash", "elen"), "left_semi")
+      .select(col("doc_id"), col("ehash"), col("elen"), lit(false).as("__shard"))
+      .unionByName(shardIdx
+        .select(col("doc_id"), col("ehash"), col("elen"), lit(true).as("__shard")))
     val wKey = Window.partitionBy("ehash", "elen")
-    val withRep = all.withColumn("__rep", min(col("doc_id")).over(wKey))
+    val withRep = starUnion
+      .withColumn("__rep", min(col("doc_id")).over(wKey))
+      .withColumn("__repShard",
+        max(when(col("doc_id") === col("__rep"), col("__shard"))).over(wKey))
     val starPairs = withRep.filter(col("doc_id") =!= col("__rep"))
+      .filter(col("__shard") || col("__repShard"))
       .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
       .withColumn("hamming", lit(0))
-    val repSigs = withRep.filter(col("doc_id") === col("__rep") && col("sig").isNotNull)
-      .select(col("doc_id"), col("sig"))
-    val sIds = newDocs.select(col(idCol).cast("long").as("__sid")).distinct()
-    hammingBandPairs(repSigs, maxHamming, maxBucketSize)
-      .unionByName(starPairs)
-      .join(sIds.select(col("__sid").as("doc_a"), lit(true).as("__na")),
-        Seq("doc_a"), "left")
-      .join(sIds.select(col("__sid").as("doc_b"), lit(true).as("__nb")),
-        Seq("doc_b"), "left")
-      .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+
+    // BAND pass — the sigDedupIncremental single-thin-exchange shape,
+    // cluster edition: the union's chunk rows (null sigs excluded, as
+    // in batch) cut map-side to the shard's probed buckets, then ONE
+    // aggregate keyed (chunk, key, ehash, elen) elects each cluster's
+    // union representative bucket-locally — exact because identical
+    // text implies an identical signature, so a cluster's members share
+    // its buckets. Hash-collision clusters (same compound key,
+    // different text) band on the REP's signature in batch; the
+    // post-aggregate key filter reproduces that exactly. The cap window
+    // and the probe-broadcast candidate join reuse the aggregate's
+    // partitioning; pairs between two corpus reps are never generated
+    // (the old symmetric join built and then discarded them).
+    val probedKeys = shardIdx.filter(col("sig").isNotNull)
+      .select(chunkKeys(col("sig")).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .distinct()
+    val unionChunks = index
+      .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), lit(false).as("__shard"))
+      .unionByName(shardIdx
+        .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), lit(true).as("__shard")))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), col("__shard"),
+        chunkKeys(col("sig")).as("ck"))
+      .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), col("__shard"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
+    val bucketReps = unionChunks
+      .groupBy("chunk", "key", "ehash", "elen")
+      .agg(min(struct(col("doc_id"), col("__shard"), col("sig"))).as("__r"))
+      .select(col("chunk"), col("key"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("__shard").as("__repShard"),
+        col("__r").getField("sig").as("sig"))
+      // Batch bands each cluster on its REP's signature only: keep the
+      // bucket row iff this bucket key is one of the rep-sig's chunks
+      // (a no-op unless two texts collide on (xxhash64, length)).
+      .filter(expr("(shiftright(sig, chunk * 16) & 65535) = key"))
+    val wChunk = Window.partitionBy("chunk", "key")
+    val capped = bucketReps
+      .withColumn("bsize", count(lit(1)).over(wChunk))
+      .filter(col("bsize") <= maxBucketSize)
+      .select(col("chunk"), col("key"), col("doc_id"), col("sig"), col("__repShard"))
+    val probe = capped.filter(col("__repShard"))
+      .select(col("chunk"), col("key"), col("doc_id").as("doc_p"), col("sig").as("sig_p"))
+    val build = capped
+      .select(col("chunk"), col("key"), col("doc_id").as("doc_q"), col("sig").as("sig_q"))
+    val bandPairs = build.join(broadcast(probe), Seq("chunk", "key"))
+      .filter(col("doc_p") =!= col("doc_q"))
+      .withColumn("hamming", bit_count(col("sig_p").bitwiseXOR(col("sig_q"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        least(col("doc_p"), col("doc_q")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_q")).as("doc_b"),
+        col("hamming"))
+      .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))
+
+    bandPairs.unionByName(starPairs)
       .select("doc_a", "doc_b", "hamming")
   }
 
@@ -1348,23 +1485,41 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Exploded (chunk, key) rows of a 64-bit signature's four 16-bit
+    * bands — the shard-restriction key the incremental signature
+    * families share. A NULL signature maps to the sentinel key −1
+    * (outside the 0..65535 band range), so exact-duplicate clusters of
+    * signature-less docs still reach their shard twins through the
+    * restriction semi-join (they never reach banding — callers filter
+    * null sigs before [[hammingBandPairs]], as in batch).
+    */
+  private def chunkKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    explode(array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        coalesce(shiftright(sig, c * 16).bitwiseAND(0xffffL), lit(-1L)).as("key"))
+    }: _*))
+
   /** [[sigDedupPairs]] over (corpus ∪ shard) restricted to pairs
     * touching ≥ 1 shard id — the incremental contract both perceptual
     * families share. Both inputs `(media_id, sig)`; shard ids must be
     * disjoint from corpus ids.
     *
     * Scale shape (asymmetric, like the ngram incremental joins): the
-    * union is touched only by LINEAR passes — the identical-signature
-    * star window (one exchange on `sig`) and the per-bucket size count
-    * that feeds the skew cap (the cap must see the UNION bucket, or a
-    * shard ingest would band into a bucket the batch run refused).
-    * Candidate GENERATION then joins only the shard-side rep chunks
-    * against the capped union buckets, so per-shard pair work is
-    * O(shard-rows × bucket), not O(union-bucket²) per shard. Output is
-    * provably identical to filtering the symmetric self-join: every
-    * surviving pair touches a shard rep, and pairs between two shard
-    * reps simply arrive from both probe directions before the
-    * `dropDuplicates`.
+    * corpus index is touched only by COLUMNAR SCANS. The star pass cuts
+    * the union to exact-sig matches of the shard (broadcast semi-join —
+    * tiny). The band pass pays exactly ONE exchange, and a THIN one: a
+    * map-side chunk explode + broadcast semi-join on the shard's
+    * probed-bucket keys (bounded by 4 × 2^16 whatever the shard size)
+    * feeds a (chunk, key, sig) aggregate that elects each signature's
+    * union rep bucket-locally — exact because a signature's whole
+    * cluster shares its buckets — with the cap window and the
+    * probe-broadcast candidate join both reusing that partitioning.
+    * Per-shard pair work is O(shard-rows × bucket), never
+    * O(union-bucket²), and no corpus-sized row set is ever shuffled.
+    * Output is provably identical to filtering the symmetric self-join:
+    * every surviving pair touches a shard rep, and pairs between two
+    * shard reps simply arrive from both probe directions before the
+    * final per-pair MIN.
     */
   private[operators] def sigDedupIncremental(
       shardSigs: DataFrame,
@@ -1372,40 +1527,72 @@ object Dedup {
       maxHamming: Int,
       maxBucketSize: Int
   ): DataFrame = {
-    val union = corpusSigs.select(col("media_id"), col("sig"), lit(false).as("__shard"))
-      .unionByName(shardSigs.select(col("media_id"), col("sig"), lit(true).as("__shard")))
-    // Star pre-pass over the union — a shard clip with a smaller id can
-    // take over an existing cluster's representative (same contract as
-    // simhashIncremental), so the rep election must see both sides.
+    val shard = graft.plans.Materialize(shardSigs.select(col("media_id"), col("sig")))
+
+    // STAR pass — exact-signature clusters. Only clusters holding >= 1
+    // shard signature can emit a shard-touching star pair, so the union
+    // the rep-election window sees is cut to corpus rows whose sig the
+    // shard holds (broadcast semi-join on the shard's distinct sigs —
+    // exact equality, so the cut stays tiny whatever the corpus). A
+    // shard clip with a smaller id can take over an existing cluster's
+    // representative (same contract as simhashIncremental), so the
+    // election must see both sides of every touched cluster — and a
+    // touched cluster is retrieved whole (sig equality).
+    val sigKeys = shard.select("sig").distinct()
+    val starUnion = corpusSigs.select(col("media_id"), col("sig"))
+      .join(broadcast(sigKeys), Seq("sig"), "left_semi")
+      .select(col("media_id"), col("sig"), lit(false).as("__shard"))
+      .unionByName(shard.select(col("media_id"), col("sig"), lit(true).as("__shard")))
     val wHash = Window.partitionBy("sig")
-    val withRep = union
+    val withRep = starUnion
       .withColumn("__rep", min(col("media_id")).over(wHash))
       .withColumn("__repShard", max(when(col("media_id") === col("__rep"), col("__shard"))).over(wHash))
     val starPairs = withRep.filter(col("media_id") =!= col("__rep"))
       .filter(col("__shard") || col("__repShard"))
       .select(col("__rep").as("doc_a"), col("media_id").as("doc_b"))
       .withColumn("hamming", lit(0))
-    val reps = withRep.filter(col("media_id") === col("__rep"))
-      .select(col("media_id").as("doc_id"), col("sig"), col("__shard"))
 
-    val chunks = reps.select(
-      col("doc_id"), col("sig"), col("__shard"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"), shiftright(col("sig"), c * 16).bitwiseAND(0xffffL).as("key"))
-      }: _*)).as("ck"))
-      .select(col("doc_id"), col("sig"), col("__shard"), col("ck.chunk"), col("ck.key"))
+    // BAND pass — ONE thin exchange, never a corpus-row shuffle. The
+    // union's chunk rows are cut map-side to the buckets the shard
+    // probes (the broadcast key set is bounded by 4 x 2^16 whatever the
+    // shard size), then ONE aggregate keyed (chunk, key, sig) elects
+    // each signature's union representative bucket-locally — exact,
+    // because every doc holding sig s lands in s's bucket, so the
+    // bucket-local min IS the global min — and the bucket-size cap
+    // counts the aggregate's rows (one per sig = the batch rep count)
+    // through a window that REUSES the aggregate's partitioning. The
+    // probe side (shard-rep rows, shard-bounded) broadcasts back
+    // against the capped frame, so candidate generation adds no
+    // exchange either. Batch parity: pairs between two corpus reps are
+    // never generated (probe is shard-rep-only) and were discarded by
+    // the old symmetric-join filter anyway; everything else is the
+    // sigDedupPairs pipeline verbatim (verify-then-min, required for
+    // the multi-anchor audio shape).
+    val probedKeys = shard.select(chunkKeys(col("sig")).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .distinct()
+    val unionChunks = corpusSigs.select(col("media_id"), col("sig"), lit(false).as("__shard"))
+      .unionByName(shard.select(col("media_id"), col("sig"), lit(true).as("__shard")))
+      .select(col("media_id"), col("sig"), col("__shard"), chunkKeys(col("sig")).as("ck"))
+      .select(col("media_id"), col("sig"), col("__shard"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
+    val bucketReps = unionChunks
+      .groupBy("chunk", "key", "sig")
+      .agg(min(struct(col("media_id"), col("__shard"))).as("__r"))
+      .select(col("chunk"), col("key"), col("sig"),
+        col("__r").getField("media_id").as("doc_id"),
+        col("__r").getField("__shard").as("__repShard"))
     val wChunk = Window.partitionBy("chunk", "key")
-    val capped = chunks
+    val capped = bucketReps
       .withColumn("bsize", count(lit(1)).over(wChunk))
       .filter(col("bsize") <= maxBucketSize)
-      .select(col("chunk"), col("key"), col("doc_id"), col("sig"), col("__shard"))
-    val probe = capped.filter(col("__shard"))
+      .select(col("chunk"), col("key"), col("doc_id"), col("sig"), col("__repShard"))
+    val probe = capped.filter(col("__repShard"))
       .select(col("chunk"), col("key"), col("doc_id").as("doc_p"), col("sig").as("sig_p"))
     val build = capped
       .select(col("chunk"), col("key"), col("doc_id").as("doc_q"), col("sig").as("sig_q"))
-    // Verify-then-min, as in [[hammingBandPairs]] (required for the
-    // multi-anchor audio shape; a no-op for single-sig items).
-    val bandPairs = probe.join(build, Seq("chunk", "key"))
+    val bandPairs = build.join(broadcast(probe), Seq("chunk", "key"))
       .filter(col("doc_p") =!= col("doc_q"))
       .withColumn("hamming", bit_count(col("sig_p").bitwiseXOR(col("sig_q"))))
       .filter(col("hamming") <= maxHamming)
@@ -2115,10 +2302,23 @@ object Dedup {
       minShared: Long,
       maxBucketSize: Int
   ): DataFrame = {
-    // Window-based ubiquity cap over the union (one fp exchange, reused
-    // by the join below) with the shard flag carried through, so the
-    // probe restriction is a map-side filter — no id semi-join.
-    val all = corpusFps.select(col("doc_id"), col("fp"), lit(false).as("__shard"))
+    // SHARD-RESTRICTION pre-pass (the additive-ngram discipline): every
+    // emitted pair shares a fingerprint with a shard doc, so the union
+    // the cap window and join below see can be cut to corpus rows whose
+    // fp the shard holds — a broadcast semi-join on the shard's
+    // DISTINCT fp set (bounded by the ingest batch size: fingerprint
+    // sets are per-doc-bounded — winnowing density / sampled frames);
+    // the corpus index is touched only by a columnar scan. Exactness:
+    // the ubiquity count of a shard-held fp sees all its union rows,
+    // and a corpus-only fp produced no pairs before (probe side is
+    // shard-only) — its cap decision is irrelevant.
+    val touched = corpusFps.join(
+      broadcast(shardFps.select("fp")), Seq("fp"), "left_semi")
+    // Window-based ubiquity cap over the restricted union (one fp
+    // exchange, reused by the join below) with the shard flag carried
+    // through, so the probe restriction is a map-side filter — no id
+    // semi-join.
+    val all = touched.select(col("doc_id"), col("fp"), lit(false).as("__shard"))
       .unionByName(shardFps.select(col("doc_id"), col("fp"), lit(true).as("__shard")))
     val kept = all
       .withColumn("__b", count(lit(1)).over(Window.partitionBy("fp")))
