@@ -22,7 +22,7 @@ import graft.sources.Tables
   * standing indexes alone) and half fresh docs (must survive).
   *
   * Run: `sbt "runMain graft.tools.IncrScaleProbe [sfDir] [k] [K]
-  * [firstwins|ngram]"`; results are committed to BENCH_NOTES.md.
+  * [firstwins|ngram|near]"`; results are committed to BENCH_NOTES.md.
   */
 object IncrScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -67,16 +67,23 @@ object IncrScaleProbe {
       (col("doc_id") / idStride).cast("long"), col("doc_id")).cache()
 
     // Optional 4th arg picks the pipeline: `firstwins` (default — the
-    // §17 measurement) or `ngram` (url_dedup → trigram-Jaccard PPJoin
+    // §17 measurement), `ngram` (url_dedup → trigram-Jaccard PPJoin
     // through the persisted shingle index — the near-dup ingest path,
     // whose corpus-sized input is thin (doc_id, shingle) index rows
-    // with union-level df/size recompute, never re-shingled text).
+    // with union-level df/size recompute, never re-shingled text), or
+    // `near` (url_dedup → MinHash LSH through the persisted signature
+    // index — the §22 measurement behind the shard-restricted banding).
     val pipeName = args.lift(3).getOrElse("firstwins")
     val pipeline = CurationConfig.fromYaml(pipeName match {
       case "ngram" =>
         """steps:
           |  - url_dedup: {}
           |  - dedup_ngram: { threshold: 0.8, shingle_n: 3 }
+          |""".stripMargin
+      case "near" =>
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_minhash: { threshold: 0.5 }
           |""".stripMargin
       case "firstwins" =>
         """steps:
@@ -87,7 +94,7 @@ object IncrScaleProbe {
       // A silent fallback would label first-wins timings with the typo'd
       // name — mislabeled benchmark evidence is worse than a crash.
       case other => sys.error(
-        s"unknown pipeline '$other' (expected firstwins or ngram)")
+        s"unknown pipeline '$other' (expected firstwins, ngram, or near)")
     })
 
     def time(f: => Unit): Double = {
