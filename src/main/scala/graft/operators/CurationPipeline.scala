@@ -354,12 +354,14 @@ object CurationPipeline {
   def purgeRelease(
       spark: SparkSession, releaseDir: String, purgeIds: DataFrame,
       idCol: String = "doc_id", numFiles: Int = 8): Unit = {
-    val keys = purgeKeyFrame(purgeIds, "purgeRelease")
+    val keys = graft.plans.Materialize(purgeKeyFrame(purgeIds, "purgeRelease"))
     StateCompaction.compactBatchDir(
       spark, releaseDir,
       rewrite = df => df.join(
         broadcast(keys), df(idCol).cast("long") === keys("__purge_id"), "left_anti"),
       numFiles = numFiles, prefix = "shard=", minInputs = 1)
+    StateCompaction.writePurgeReceipt(spark, releaseDir, "purgeRelease",
+      keys.count(), s"idCol=$idCol")
   }
 
   /** Which column carries the purgeable doc attribution in each standing
@@ -415,13 +417,13 @@ object CurationPipeline {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"purgeShardState: no such dir $stateDir")
-    val keys = purgeKeyFrame(purgeIds, "purgeShardState")
+    val keys = graft.plans.Materialize(purgeKeyFrame(purgeIds, "purgeShardState"))
     val stepDirs = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.matches("step\\d+=.*"))
       .sortBy(_.getPath.getName)
     require(stepDirs.nonEmpty,
       s"purgeShardState: $stateDir holds no step<i>=<kind> state subdirectories")
-    stepDirs.toSeq.map { st =>
+    val report = stepDirs.toSeq.map { st =>
       val name = st.getPath.getName
       val kind = name.split("=", 2)(1)
       if (purgeRetainedKinds(kind)) name -> "retained-aggregate"
@@ -439,6 +441,9 @@ object CurationPipeline {
         name -> s"purged on $idc"
       }
     }
+    StateCompaction.writePurgeReceipt(spark, stateDir, "purgeShardState",
+      keys.count(), report.map { case (d, a) => s"$d: $a" }.mkString("; "))
+    report
   }
 
   /** STREAMING ingest for the whole curation language — the

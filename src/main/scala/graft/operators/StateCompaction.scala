@@ -61,6 +61,36 @@ object StateCompaction {
       s"$where: $root holds an unfinished compaction (_compact_commit " +
         s"present) — $resumeHint")
 
+  /** Append-style purge receipt: takedown/erasure runs need EVIDENCE —
+    * who was purged, where, when — that survives beside the data it
+    * acted on. One JSON line per pass, written as its own file under
+    * `<dir>/_purge/receipt-<millis>` (underscore-hidden, so parquet
+    * partition discovery, the tar member walk, and the slice-prefix
+    * protocol listings all ignore it; a same-millisecond second pass
+    * gets a `-1` suffix rather than clobbering). Best-effort BY DESIGN:
+    * the receipt follows the crash-safe fold it documents — a crash
+    * between the two loses the receipt, never the purge.
+    */
+  private[graft] def writePurgeReceipt(
+      spark: SparkSession, dir: String, where: String,
+      nKeys: Long, detail: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir, "_purge")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    var p = new org.apache.hadoop.fs.Path(root, s"receipt-${System.currentTimeMillis()}")
+    var n = 0
+    while (fs.exists(p)) {
+      n += 1
+      p = new org.apache.hadoop.fs.Path(root, s"${p.getName.split("-").take(2).mkString("-")}-$n")
+    }
+    val out = fs.create(p, false)
+    out.write(
+      (s"""{"ts":${System.currentTimeMillis()},"op":"$where","keys":$nKeys,""" +
+        s""""detail":"${detail.replace("\\", "\\\\").replace("\"", "\\\"")}"}""" + "\n")
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
   /** Fold `dir`'s `batch=<id>` subdirectories into `batch=c<maxId>`.
     * `select` optionally projects the folded columns (Nil = full
     * schema); `rewrite` post-processes the union (identity for the

@@ -520,9 +520,9 @@ object WebDataset {
     require(purgeKeys.columns.length == 1,
       s"purgeTarRelease: purgeKeys must be a single-column key frame, got " +
         s"(${purgeKeys.columns.mkString(", ")})")
-    val keys = purgeKeys
+    val keys = graft.plans.Materialize(purgeKeys
       .select(col(purgeKeys.columns.head).cast("string").as("__purge_key"))
-      .na.drop().distinct()
+      .na.drop().distinct())
     graft.operators.StateCompaction.runProtocol(
       spark, dir, "batch=", "purgeTarRelease", minInputs = 1) { (inputs, tmp) =>
       val m = scanTarPaths(spark, inputs)
@@ -535,6 +535,8 @@ object WebDataset {
       repackMembers(m, exts, tmp, targetShardBytes, "purgeTarRelease")
       ()
     }
+    graft.operators.StateCompaction.writePurgeReceipt(
+      spark, dir, "purgeTarRelease", keys.count(), s"targetShardBytes=$targetShardBytes")
   }
 
   /** STREAMING ingest of a shard directory: tail `path` for newly

@@ -1398,6 +1398,14 @@ class CurationPipelineSpec extends SparkSpec {
     CurationPipeline.purgeRelease(spark, rel, purgeIds.toDF("doc_id"))
     assert(spark.read.parquet(rel).select("doc_id")
       .collect().map(_.getLong(0)).toSet == after)
+    // Each pass left an audit receipt (underscore-hidden: the parquet
+    // read above did not trip over it).
+    val receipts = new java.io.File(s"$rel/_purge").listFiles()
+      .filter(!_.getName.startsWith("."))
+    assert(receipts.length == 2,
+      s"expected one receipt per purge pass, got ${receipts.toSeq}")
+    val line = scala.io.Source.fromFile(receipts.head).mkString
+    assert(line.contains("\"op\":\"purgeRelease\"") && line.contains("\"keys\":2"), line)
 
     // Release-only purge keeps the indexes: a re-crawl of purged
     // content under a fresh id still drops (takedown suppression).
@@ -1479,7 +1487,14 @@ class CurationPipelineSpec extends SparkSpec {
       graft.sources.WebDataset.purgeTarRelease(
         spark, rel, keys().toSeq.toDF("key"), targetShardBytes = 65536))
     assert(err.getMessage.contains("empty the release"), err.getMessage)
-    // The refused purge left the release intact and unwedged.
+    // The refused purge left the release intact and unwedged, and did
+    // NOT write a receipt (no erasure happened); the successful pass did.
     assert(keys() == before -- purge, "refused purge mutated the release")
+    val receipts = new java.io.File(s"$rel/_purge").listFiles()
+      .filter(!_.getName.startsWith("."))
+    assert(receipts.length == 1,
+      s"expected exactly the successful pass's receipt, got ${receipts.toSeq}")
+    assert(scala.io.Source.fromFile(receipts.head).mkString
+      .contains("\"op\":\"purgeTarRelease\""))
   }
 }
