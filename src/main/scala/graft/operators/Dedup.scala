@@ -1381,9 +1381,10 @@ object Dedup {
     // pair, so the union the rep-election window sees is cut to corpus
     // rows whose compound key the shard holds (broadcast semi-join —
     // exact equality, tiny cut; a touched cluster is retrieved whole).
-    val clusterKeys = shardIdx.select("ehash", "elen").distinct()
+    // No distinct on the broadcast side: the broadcast hash table
+    // dedups keys itself, and the relation is shard-bounded either way.
     val starUnion = index
-      .join(broadcast(clusterKeys), Seq("ehash", "elen"), "left_semi")
+      .join(broadcast(shardIdx.select("ehash", "elen")), Seq("ehash", "elen"), "left_semi")
       .select(col("doc_id"), col("ehash"), col("elen"), lit(false).as("__shard"))
       .unionByName(shardIdx
         .select(col("doc_id"), col("ehash"), col("elen"), lit(true).as("__shard")))
@@ -1423,7 +1424,11 @@ object Dedup {
       .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), col("__shard"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
       .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
+    // ONE exchange for the whole band pass (see sigDedupIncremental):
+    // the up-front (chunk, key) partitioning satisfies the aggregate's
+    // superset clustering and the cap window both.
     val bucketReps = unionChunks
+      .repartition(col("chunk"), col("key"))
       .groupBy("chunk", "key", "ehash", "elen")
       .agg(min(struct(col("doc_id"), col("__shard"), col("sig"))).as("__r"))
       .select(col("chunk"), col("key"),
@@ -1538,9 +1543,10 @@ object Dedup {
     // representative (same contract as simhashIncremental), so the
     // election must see both sides of every touched cluster — and a
     // touched cluster is retrieved whole (sig equality).
-    val sigKeys = shard.select("sig").distinct()
+    // No distinct on the broadcast side: the broadcast hash table
+    // dedups keys itself, and the relation is shard-bounded either way.
     val starUnion = corpusSigs.select(col("media_id"), col("sig"))
-      .join(broadcast(sigKeys), Seq("sig"), "left_semi")
+      .join(broadcast(shard.select("sig")), Seq("sig"), "left_semi")
       .select(col("media_id"), col("sig"), lit(false).as("__shard"))
       .unionByName(shard.select(col("media_id"), col("sig"), lit(true).as("__shard")))
     val wHash = Window.partitionBy("sig")
@@ -1577,7 +1583,12 @@ object Dedup {
       .select(col("media_id"), col("sig"), col("__shard"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
       .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
+    // ONE exchange for the whole band pass: partitioning by (chunk,
+    // key) up front satisfies both the aggregate's clustering (its
+    // grouping keys are a superset) and the cap window's — neither
+    // re-shuffles.
     val bucketReps = unionChunks
+      .repartition(col("chunk"), col("key"))
       .groupBy("chunk", "key", "sig")
       .agg(min(struct(col("media_id"), col("__shard"))).as("__r"))
       .select(col("chunk"), col("key"), col("sig"),

@@ -329,7 +329,7 @@ object PlanAudit {
     val phashIdx = graft.plans.Materialize(graft.operators.PerceptualHash.signatures(
       bitmaps.filter(col("media_id") < 250)), eager = true)
     audit("phash_dedup(incr)", graft.operators.PerceptualHash.dedupIncremental(
-      bitmaps.filter(col("media_id") >= 250), phashIdx), 9)
+      bitmaps.filter(col("media_id") >= 250), phashIdx), 6)
 
     // Audio-fingerprint dedup mirrors the phash shapes exactly: the FFT
     // decode is one partition-wise pass (ZERO exchanges on the signature
@@ -342,7 +342,7 @@ object PlanAudit {
     val afpIdx = graft.plans.Materialize(graft.operators.AudioFingerprint.signatures(
       wavs.filter(col("media_id") < 250)), eager = true)
     audit("afp_dedup(incr)", graft.operators.AudioFingerprint.dedupIncremental(
-      wavs.filter(col("media_id") >= 250), afpIdx), 9)
+      wavs.filter(col("media_id") >= 250), afpIdx), 6)
 
     // Exact duplicate-span detection: duplicated keys come from a
     // MAP-SIDE-COMBINED count + semi-join (a hot boilerplate window
@@ -508,7 +508,7 @@ object PlanAudit {
     val shIdx = graft.plans.Materialize(graft.operators.Dedup.simhashIndex(
       docsT.filter(col("doc_id") < 250)), eager = true)
     audit("dedup_simhash(incr)", graft.operators.Dedup.simhashIncremental(
-      docsT.filter(col("doc_id") >= 250), shIdx), 9)
+      docsT.filter(col("doc_id") >= 250), shIdx), 6)
 
     // Incremental exact jaccard against the ADDITIVE (doc_id, s, n, rk)
     // index: the union is touched only by the shard-semi-restricted df
