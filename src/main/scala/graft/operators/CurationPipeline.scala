@@ -321,6 +321,17 @@ object CurationPipeline {
     require(purgeIds.columns.length == 1,
       s"$where: purgeIds must be a single-column id frame, got " +
         s"(${purgeIds.columns.mkString(", ")})")
+    // Integral only, loudly: casting a string/float column would turn
+    // unparsable values into nulls and silently purge NOTHING — the
+    // worst failure mode a takedown pass can have.
+    val dt = purgeIds.schema.head.dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+    }
+    require(integral,
+      s"$where: purgeIds column '${purgeIds.columns.head}' is $dt — ids must " +
+        "be an integral type (a lossy cast would silently purge nothing)")
     purgeIds
       .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
       .na.drop().distinct()

@@ -1460,6 +1460,11 @@ class CurationPipelineSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       CurationPipeline.purgeShardState(spark, state, Seq(0L).toDF("doc_id")))
     assert(err.getMessage.contains("step7=mystery_index"), err.getMessage)
+    // A non-integral id frame refuses loudly — a lossy cast would
+    // silently purge nothing.
+    val typeErr = intercept[IllegalArgumentException](
+      CurationPipeline.purgeShardState(spark, state, Seq("0").toDF("doc_id")))
+    assert(typeErr.getMessage.contains("integral"), typeErr.getMessage)
   }
 
   test("purgeTarRelease removes purged members; emptying the release is refused") {
