@@ -325,16 +325,28 @@ object CurationPipeline {
     // unparsable values into nulls and silently purge NOTHING — the
     // worst failure mode a takedown pass can have.
     val dt = purgeIds.schema.head.dataType
+    requireIntegralPurgeCol(dt, purgeIds.columns.head, where,
+      "a lossy cast would silently purge nothing")
+    purgeIds
+      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
+      .na.drop().distinct()
+  }
+
+  /** Both sides of a purge anti-join must be integral: a lossy cast on
+    * EITHER side turns values into nulls that never match — and a
+    * takedown that silently retains rows is the worst failure mode the
+    * pass can have.
+    */
+  private def requireIntegralPurgeCol(
+      dt: org.apache.spark.sql.types.DataType,
+      colName: String, where: String, consequence: String): Unit = {
     val integral = {
       import org.apache.spark.sql.types._
       dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
     }
     require(integral,
-      s"$where: purgeIds column '${purgeIds.columns.head}' is $dt — ids must " +
-        "be an integral type (a lossy cast would silently purge nothing)")
-    purgeIds
-      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
-      .na.drop().distinct()
+      s"$where: column '$colName' is $dt — ids must be an integral type " +
+        s"($consequence)")
   }
 
   /** DELETION PROPAGATION over a standing parquet release — the
@@ -368,8 +380,12 @@ object CurationPipeline {
     val keys = graft.plans.Materialize(purgeKeyFrame(purgeIds, "purgeRelease"))
     StateCompaction.compactBatchDir(
       spark, releaseDir,
-      rewrite = df => df.join(
-        broadcast(keys), df(idCol).cast("long") === keys("__purge_id"), "left_anti"),
+      rewrite = df => {
+        requireIntegralPurgeCol(df.schema(idCol).dataType, idCol, "purgeRelease",
+          "a lossy cast on the release side would silently retain the purged rows")
+        df.join(
+          broadcast(keys), df(idCol).cast("long") === keys("__purge_id"), "left_anti")
+      },
       numFiles = numFiles, prefix = "shard=", minInputs = 1)
     StateCompaction.writePurgeReceipt(spark, releaseDir, "purgeRelease",
       keys.count(), s"idCol=$idCol")
@@ -446,8 +462,13 @@ object CurationPipeline {
             "it provably holds no per-doc rows)"))
         StateCompaction.compactBatchDir(
           spark, st.getPath.toString,
-          rewrite = df => df.join(
-            broadcast(keys), df(idc).cast("long") === keys("__purge_id"), "left_anti"),
+          rewrite = df => {
+            requireIntegralPurgeCol(df.schema(idc).dataType, idc,
+              s"purgeShardState($name)",
+              "a lossy cast on the index side would silently retain the purged rows")
+            df.join(
+              broadcast(keys), df(idc).cast("long") === keys("__purge_id"), "left_anti")
+          },
           minInputs = 1)
         name -> s"purged on $idc"
       }

@@ -1201,6 +1201,13 @@ object StreamingPredicates {
     * the decode-drops-watermark caveat are [[phashNearDupStream]]'s,
     * verbatim.
     *
+    * Cost bound to size for: each routed copy carries the clip's FULL
+    * set, so per-clip shuffle volume is ~8·F² bytes for F distinct
+    * sampled frames (the fixture's F = 6 is trivial; ~8 MB at
+    * F = 1000) — use `stride` to bound F at ingest rate. The batch
+    * operator stays 8 bytes per frame and is the corpus-scale re-run
+    * path.
+    *
     * @return one row per near-dup pair: (doc_a, doc_b, shared_frames).
     */
   def videoNearDupStream(
