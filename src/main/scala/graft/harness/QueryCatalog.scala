@@ -4062,6 +4062,40 @@ object QueryCatalog {
         |SELECT doc_id, lang, text FROM dd WHERE doc_id % 50 <> 0
         |ORDER BY doc_id""".stripMargin)),
 
+    // RELEASE FSCK — the ops health check that rounds out the lifecycle
+    // (ingest → compact → finalize → purge → fsck): a healthy standing
+    // release reports ZERO findings, and a deliberately-damaged layout
+    // (a wedged compaction marker, a foreign label dir, a slice missing
+    // its _SUCCESS) reports exactly its three defects by name. Output
+    // is relative names only → literal-VALUES DuckDB oracle.
+    Q("release_fsck", (s, dir) => {
+      val state = scratchDir("graft_fsck_state", dir)
+      val rel = scratchDir("graft_fsck_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"steps:\n  - dedup_exact: {}\n  - sink: { path: $rel }\n")
+      val d = docs(s, dir)
+      CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(d.filter(col("doc_id") >= 250), p, state, "1")
+      val healthy = graft.operators.StateCompaction.fsck(s, rel, "shard=")
+      val broken = scratchDir("graft_fsck_broken", dir)
+      val b0 = new java.io.File(s"$broken/batch=0")
+      b0.mkdirs()
+      s.range(3).write.mode("overwrite").parquet(b0.toString)
+      new java.io.File(s"$broken/batch=1").mkdirs() // no _SUCCESS
+      new java.io.File(s"$broken/batch=oops").mkdirs() // foreign label
+      new java.io.File(s"$broken/_compact_commit").createNewFile() // wedge
+      val findings = graft.operators.StateCompaction.fsck(s, broken)
+      healthy.withColumn("layout", lit("release"))
+        .unionByName(findings.withColumn("layout", lit("broken")))
+        .select("layout", "chk", "item")
+        .orderBy("layout", "chk", "item")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('broken', 'foreign_label', 'batch=oops'),
+        |  ('broken', 'missing_success', 'batch=1'),
+        |  ('broken', 'wedge', '_compact_commit'))
+        |AS t(layout, chk, item) ORDER BY 1, 2, 3""".stripMargin)),
+
     // The near-dup face of the shard-ingest release: minhash joins the
     // composed chain through the persisted signature index (corpus text
     // never re-shingled). xxhash-seeded banding has no SQL form →

@@ -61,6 +61,68 @@ object StateCompaction {
       s"$where: $root holds an unfinished compaction (_compact_commit " +
         s"present) — $resumeHint")
 
+  /** Filesystem HEALTH CHECK for one batch-keyed standing layout (a
+    * parquet/tar release root, an [[CurationPipeline.applyShard]] step
+    * state dir, a profile dir): one row PER FINDING, empty frame =
+    * healthy. Driver-side listings only — this is an ops check on dir
+    * metadata, never a data scan — so it is safe to run against a live
+    * layout (findings about in-flight writes are the point).
+    *
+    * Checks, in the order the protocol cares about them:
+    *   - `wedge` — `_compact_commit` present: a compaction crashed
+    *     after its commit point; some slice dirs are already deleted
+    *     and the only complete fold sits in `_compact_tmp`. Every
+    *     library reader refuses this dir ([[requireNoWedge]]); repair
+    *     by re-running the owning compaction (it resumes).
+    *   - `orphan_tmp` — `_compact_tmp` without a marker: a pre-commit
+    *     crash leftover. The slices are intact; the next compaction
+    *     discards it. Reclaimable space, not a correctness risk.
+    *   - `foreign_label` — a `<prefix><label>` dir whose label is not
+    *     numeric / `c`-prefixed-numeric, or a non-hidden directory that
+    *     does not carry the prefix at all: the protocol would refuse
+    *     the whole fold ([[labelOrd]]); name it before it wedges a
+    *     maintenance window.
+    *   - `missing_success` — a slice dir without a `_SUCCESS`
+    *     job-completion marker: possibly a partial write
+    *     (`scanTar(requireSuccess = true)` refuses tar slices in this
+    *     state; parquet readers would silently read the partial part
+    *     files).
+    *
+    * @return DataFrame (chk, item, detail), ordered by (chk, item).
+    */
+  def fsck(spark: SparkSession, dir: String, prefix: String = "batch="): org.apache.spark.sql.DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"fsck: no such dir $dir")
+    val findings = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val hasMarker = fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit"))
+    if (hasMarker)
+      findings += (("wedge", "_compact_commit",
+        "compaction crashed after its commit point — readers refuse this " +
+          "dir; re-run the owning compaction to resume and repair"))
+    if (!hasMarker && fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_tmp")))
+      findings += (("orphan_tmp", "_compact_tmp",
+        "pre-commit crash leftover; slices intact, next compaction discards it"))
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix)) {
+        val label = name.stripPrefix(prefix)
+        val ord = (if (label.startsWith("c")) label.drop(1) else label).toLongOption
+        if (ord.isEmpty)
+          findings += (("foreign_label", name,
+            s"label '$label' is not numeric (compacted dirs carry a single " +
+              "c prefix) — the compaction protocol refuses the whole fold"))
+        else if (!fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          findings += (("missing_success", name,
+            "slice has no job-completion marker — possibly a partial write"))
+      } else if (!name.startsWith("_") && !name.startsWith(".") && name != "_purge")
+        findings += (("foreign_label", name,
+          s"directory does not carry the $prefix slice prefix"))
+    }
+    import spark.implicits._
+    findings.sortBy(f => (f._1, f._2)).toSeq.toDF("chk", "item", "detail")
+  }
+
   /** Append-style purge receipt: takedown/erasure runs need EVIDENCE —
     * who was purged, where, when — that survives beside the data it
     * acted on. One JSON line per pass, written as its own file under

@@ -1467,6 +1467,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(typeErr.getMessage.contains("integral"), typeErr.getMessage)
   }
 
+  test("fsck: healthy layouts report nothing; orphan tmps and wedges are distinguished") {
+    import graft.operators.StateCompaction
+    val base = java.nio.file.Files.createTempDirectory("cpfsck").toString
+    val d = new java.io.File(s"$base/batch=0"); d.mkdirs()
+    spark.range(2).write.mode("overwrite").parquet(d.toString)
+    assert(StateCompaction.fsck(spark, base).count() == 0)
+    // Pre-commit crash leftover: tmp without marker = orphan, not wedge.
+    new java.io.File(s"$base/_compact_tmp").mkdirs()
+    val orphan = StateCompaction.fsck(spark, base).collect()
+    assert(orphan.map(_.getString(0)).toSeq == Seq("orphan_tmp"), orphan.toSeq)
+    // Post-commit crash: the marker wins (the tmp is the complete fold,
+    // not an orphan — reporting both would tell the operator to delete
+    // the only copy of the folded rows).
+    new java.io.File(s"$base/_compact_commit").createNewFile()
+    val wedged = StateCompaction.fsck(spark, base).collect()
+    assert(wedged.map(_.getString(0)).toSeq == Seq("wedge"), wedged.toSeq)
+    // Missing dir refuses by name.
+    val err = intercept[IllegalArgumentException](
+      StateCompaction.fsck(spark, s"$base/nope"))
+    assert(err.getMessage.contains("fsck"), err.getMessage)
+  }
+
   test("purgeTarRelease removes purged members; emptying the release is refused") {
     val corpus = graft.plans.Materialize(ingestCorpus)
     val base = java.nio.file.Files.createTempDirectory("cppurgt").toString
