@@ -577,6 +577,16 @@ object PlanAudit {
       urlDocs.filter(col("doc_id") < 250)), eager = true)
     audit("dedup_url(incr)", graft.operators.UrlCuration.dedupByUrlIncremental(
       urlDocs.filter(col("doc_id") >= 250), urlIdx), 3)
+
+    // Deletion propagation: the purge rewrite is a broadcast anti-join —
+    // the release/index side must stream through the scan with ZERO
+    // shuffle exchanges (a takedown pass over a 100 TB release is one
+    // read + one write, never a shuffle). Audited on the frame shape the
+    // purge folds run (purgeRelease/purgeShardState build exactly this).
+    val purgeKeys = spark.range(16).select(col("id").as("__purge_id"))
+    audit("release_purge(rewrite)",
+      docsT.join(broadcast(purgeKeys),
+        col("doc_id").cast("long") === col("__purge_id"), "left_anti"), 0)
     // With fallback disabled a codegen compile failure THROWS instead of
     // silently degrading to interpreted execution.
     spark.conf.set("spark.sql.codegen.fallback", "false")
