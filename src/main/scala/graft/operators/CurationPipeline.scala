@@ -478,6 +478,40 @@ object CurationPipeline {
     report
   }
 
+  /** [[StateCompaction.fsck]] over a whole [[applyShard]] state
+    * directory: every `step<i>=<kind>` subdirectory checked with the
+    * `batch=` slice convention (findings prefixed with the step dir),
+    * plus the state-level contracts — a missing `_pipeline` fingerprint
+    * means position-keyed indexes can silently mis-bind to an edited
+    * YAML. The `lm` dir is a single fit (no batch slices) and is only
+    * checked for a `_SUCCESS`. Empty frame = healthy.
+    */
+  def fsckShardState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"fsckShardState: no such dir $stateDir")
+    val top =
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, "_pipeline"))) Seq.empty
+      else Seq(("missing_pipeline", "_pipeline",
+        "state dir carries no pipeline fingerprint — position-keyed " +
+          "indexes cannot be checked against the YAML they were built with"))
+    val stepDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("step\\d+=.*"))
+      .sortBy(_.getPath.getName)
+    val perStep = stepDirs.toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.endsWith("=lm")) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))) Seq.empty
+        else Seq(("missing_success", name,
+          "LM fit dir has no job-completion marker — possibly a partial fit"))
+      } else StateCompaction.fsck(spark, st.getPath.toString)
+        .collect().toSeq
+        .map(r => (r.getString(0), s"$name/${r.getString(1)}", r.getString(2)))
+    }
+    (top ++ perStep).toDF("chk", "item", "detail").orderBy("chk", "item")
+  }
+
   /** STREAMING ingest for the whole curation language — the
     * foreachBatch sink: each micro-batch is one crawl shard curated by
     * [[applyShard]] against the standing state (shard label = the

@@ -1489,6 +1489,25 @@ class CurationPipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("fsck"), err.getMessage)
   }
 
+  test("fsckShardState: healthy ingest state reports nothing; defects name their step dir") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val state = java.nio.file.Files.createTempDirectory("cpfsck2").toString + "/s"
+    val yaml = "steps:\n  - url_dedup: {}\n  - dedup_exact\n" +
+      "  - perplexity: { max_ppl: 1000, vocab: 20 }\n"
+    CurationPipeline.fromYamlShard(
+      corpus.filter(col("doc_id") < 30), yaml, state, "0").count()
+    assert(CurationPipeline.fsckShardState(spark, state).count() == 0)
+    // A wedged step compaction and a missing fingerprint both surface,
+    // findings keyed by where they live.
+    new java.io.File(s"$state/step0=url_index/_compact_commit").createNewFile()
+    new java.io.File(s"$state/_pipeline").delete()
+    val f = CurationPipeline.fsckShardState(spark, state).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(f == Seq(
+      ("missing_pipeline", "_pipeline"),
+      ("wedge", "step0=url_index/_compact_commit")), f)
+  }
+
   test("purgeTarRelease removes purged members; emptying the release is refused") {
     val corpus = graft.plans.Materialize(ingestCorpus)
     val base = java.nio.file.Files.createTempDirectory("cppurgt").toString
