@@ -22,7 +22,7 @@ import graft.sources.Tables
   * standing indexes alone) and half fresh docs (must survive).
   *
   * Run: `sbt "runMain graft.tools.IncrScaleProbe [sfDir] [k] [K]
-  * [firstwins|ngram|near]"`; results are committed to BENCH_NOTES.md.
+  * [firstwins|ngram|near|media]"`; results are committed to BENCH_NOTES.md.
   */
 object IncrScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -85,6 +85,8 @@ object IncrScaleProbe {
           |  - url_dedup: {}
           |  - dedup_minhash: { threshold: 0.5 }
           |""".stripMargin
+      case "media" => // handled by the media branch below; parse-valid placeholder
+        "steps:\n  - dedup_phash: { max_hamming: 2 }\n"
       case "firstwins" =>
         """steps:
           |  - url_dedup: {}
@@ -94,7 +96,7 @@ object IncrScaleProbe {
       // A silent fallback would label first-wins timings with the typo'd
       // name — mislabeled benchmark evidence is worse than a crash.
       case other => sys.error(
-        s"unknown pipeline '$other' (expected firstwins, ngram, or near)")
+        s"unknown pipeline '$other' (expected firstwins, ngram, near, or media)")
     })
 
     def time(f: => Unit): Double = {
@@ -102,6 +104,63 @@ object IncrScaleProbe {
     }
     def loadavg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    // `media` mode swaps the text corpus for synthetic BMP clips and the
+    // pipeline for the perceptual step — the applyShard-level face of
+    // the SigScaleProbe core measurement (state persist + prior-index
+    // read included). Re-crawls repeat copy-0 PAYLOADS under fresh ids
+    // (the signature index alone must drop them); fresh docs get their
+    // own ids' bitmaps (family structure makes some of them near-dups of
+    // each other — fine, `kept` is printed, not asserted).
+    if (pipeName == "media") {
+      val mediaPipeline = CurationConfig.fromYaml(
+        "steps:\n  - dedup_phash: { max_hamming: 2 }\n")
+      def mediaCorpus(k: Int): DataFrame = graft.plans.Materialize(
+        graft.harness.MediaFixtures.syntheticBitmaps(
+          (0 until k).map(i => base.select((col("doc_id") + lit(i * idStride)).as("doc_id")))
+            .reduce(_ unionByName _).repartition(32, col("doc_id")))
+          .withColumnRenamed("media_id", "doc_id")
+          .withColumn("text", lit(""))) // the step never reads it
+      Seq(1 -> "x1", midCopies -> s"x$midCopies", bigCopies -> s"x$bigCopies")
+        .foreach { case (k, label) =>
+          val c = mediaCorpus(k).cache()
+          val n = c.count()
+          val state = java.nio.file.Files.createTempDirectory(s"incrprobe_m_$label").toString
+          val tBoot = time {
+            CurationPipeline.applyShard(c, mediaPipeline, state, "0")
+              .write.format("noop").mode("overwrite").save()
+          }
+          val shift = bigCopies * 2L * idStride
+          val recrawl = graft.harness.MediaFixtures.syntheticBitmaps(
+              base.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+                .repartition(32, col("doc_id")))
+            .select((col("media_id") + lit(shift)).as("doc_id"), col("payload"))
+          val fresh = graft.harness.MediaFixtures.syntheticBitmaps(
+              base.filter(col("doc_id") % 2 === 1)
+                .select((col("doc_id") + lit(shift + idStride)).as("doc_id"))
+                .repartition(32, col("doc_id")))
+            .withColumnRenamed("media_id", "doc_id")
+          val shard = graft.plans.Materialize(
+            recrawl.unionByName(fresh).withColumn("text", lit("")))
+          val sn = shard.count()
+          val la0 = loadavg()
+          val tIngest = time {
+            CurationPipeline.applyShard(shard, mediaPipeline, state, "1")
+              .write.format("noop").mode("overwrite").save()
+          }
+          val tRecurate = time {
+            CurationPipeline.apply(c.unionByName(shard), mediaPipeline)
+              .write.format("noop").mode("overwrite").save()
+          }
+          val kept = CurationPipeline.applyShard(shard, mediaPipeline, state, "1").count()
+          println(f"[incr-scale] $pipeName%-9s $label%-4s corpus=$n%8d shard=$sn%6d kept=$kept%5d " +
+            f"bootstrap=$tBoot%7.2fs ingest=$tIngest%6.2fs recurate=$tRecurate%7.2fs " +
+            f"loadavg=$la0%.2f")
+          c.unpersist()
+        }
+      spark.stop()
+      return
+    }
 
     Seq(1 -> "x1", midCopies -> s"x$midCopies", bigCopies -> s"x$bigCopies")
       .foreach { case (k, label) =>
