@@ -642,15 +642,22 @@ object CurationPipeline {
             s"(have: ${df.columns.mkString(", ")})")
         val dir = stateSub("url_index")
         val prior = priorBatches(dir)
-        val shardGroups = UrlCuration.dedupByUrl(df, urlCol, idCol)
+        val shardGroups = graft.plans.Materialize(
+          UrlCuration.dedupByUrl(df, urlCol, idCol))
         // Increment = groups whose url is NEW to the index (touched
         // urls keep their standing keeper — membership alone decides
         // future drops), so batch dirs stay disjoint and the union IS
-        // the index.
+        // the index. Shard-restriction: the anti-join only needs index
+        // urls the shard holds, so the index side cuts to an
+        // 8-byte-hash broadcast semi-join match (false positives fail
+        // the exact equality) — a columnar scan, never a per-shard
+        // shuffle of the standing index.
         val fresh =
           if (prior.isEmpty) shardGroups
           else shardGroups.join(
-            spark.read.parquet(prior: _*).select("url_norm"),
+            spark.read.parquet(prior: _*).select("url_norm")
+              .join(broadcast(shardGroups.select(xxhash64(col("url_norm")).as("__uh"))),
+                xxhash64(col("url_norm")) === col("__uh"), "left_semi"),
             Seq("url_norm"), "left_anti")
         writeIncrement(dir, fresh)
         df.join(readOwn(dir).select(asIdType(col("keeper"))), Seq(idCol), "left_semi")
@@ -658,13 +665,18 @@ object CurationPipeline {
       case DedupExact =>
         val dir = stateSub("exact_index")
         val prior = priorBatches(dir)
-        val keepers = df
+        val keepers = graft.plans.Materialize(df
           .groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__len"))
-          .agg(min(col(idCol).cast("long")).as("__id"))
+          .agg(min(col(idCol).cast("long")).as("__id")))
+        // Shard-restriction: the key IS already a hash — broadcast the
+        // shard's key set into a semi-join so the standing index
+        // contributes a columnar scan, never a per-shard shuffle.
         val fresh =
           if (prior.isEmpty) keepers
           else keepers.join(
-            spark.read.parquet(prior: _*).select("__h", "__len"),
+            spark.read.parquet(prior: _*).select("__h", "__len")
+              .join(broadcast(keepers.select("__h", "__len")),
+                Seq("__h", "__len"), "left_semi"),
             Seq("__h", "__len"), "left_anti")
         writeIncrement(dir, fresh)
         df.join(readOwn(dir).select(asIdType(col("__id"))), Seq(idCol), "left_semi")

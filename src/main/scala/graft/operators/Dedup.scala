@@ -2054,9 +2054,19 @@ object Dedup {
     require(index.columns.sorted.sameElements(Array("first_doc", "first_line", "line")),
       s"not a lineIndex frame (columns ${index.columns.mkString(",")}); " +
         "build it with Dedup.lineIndex (same minLineChars and sep)")
-    lineRows(newDocs, sep, textCol, idCol)
-      .filter(lineEligible(minLineChars))
-      .join(index.select("line"), Seq("line"), "left_anti")
+    // Shard-restriction (the exact-key discipline): only index lines the
+    // SHARD also holds can decide the anti-join, so the index side cuts
+    // to an 8-byte-hash broadcast semi-join match BEFORE any exchange —
+    // hash false positives merely survive into the exact `line` equality
+    // below. Materialized: the line rows feed the broadcast and the
+    // anti-join both.
+    val rows = graft.plans.Materialize(
+      lineRows(newDocs, sep, textCol, idCol).filter(lineEligible(minLineChars)))
+    val touched = index.select("line").join(
+      broadcast(rows.select(xxhash64(col("line")).as("__lh"))),
+      xxhash64(col("line")) === col("__lh"), "left_semi")
+    rows
+      .join(touched, Seq("line"), "left_anti")
       .groupBy("line")
       .agg(min(struct(col("doc_id"), col("line_no"))).as("__first"))
       .select(col("line"), col("__first.doc_id").as("first_doc"),
@@ -2174,9 +2184,15 @@ object Dedup {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val increment =
       lineIndexIncrement(newDocs, index, minLineChars, sep, textCol, idCol)
-    val lines = lineRows(newDocs, sep, textCol, idCol)
+    val lines = graft.plans.Materialize(lineRows(newDocs, sep, textCol, idCol))
+    // Shard-restriction: the firsts join can only match lines the shard
+    // holds — cut the index side via the 8-byte-hash broadcast before
+    // the exact-equality join (false positives just fail to match).
+    val touchedIdx = index.join(
+      broadcast(lines.select(xxhash64(col("line")).as("__lh"))),
+      xxhash64(col("line")) === col("__lh"), "left_semi")
     rebuildLines(newDocs,
-      keepAgainstFirsts(lines, index.unionByName(increment)), sep, textCol, idCol)
+      keepAgainstFirsts(lines, touchedIdx.unionByName(increment)), sep, textCol, idCol)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -2426,9 +2442,17 @@ object Dedup {
         s"but this query asks k=$k hashed=$hashWindows — re-index or match the config")
 
     val keyed = keyedWindows(newDocs, k, textCol, idCol, hashWindows)
-    val shardCnt = keyed.groupBy("__wk", "__wl").agg(count(lit(1)).as("__cs"))
+    val shardCnt = graft.plans.Materialize(
+      keyed.groupBy("__wk", "__wl").agg(count(lit(1)).as("__cs")))
+    // Shard-restriction: index counts matter only for window keys the
+    // shard holds — a broadcast semi-join on the shard's (already
+    // hashed) key set cuts the index to a columnar scan, never a
+    // per-shard shuffle of corpus-wide window counts.
+    val idxTouched = index.join(
+      broadcast(shardCnt.select(col("__wk").as("wk"), col("__wl").as("wl"))),
+      Seq("wk", "wl"), "left_semi")
     val dupKeys = shardCnt
-      .join(index.select(col("wk").as("__wk"), col("wl").as("__wl"), col("n")),
+      .join(idxTouched.select(col("wk").as("__wk"), col("wl").as("__wl"), col("n")),
         Seq("__wk", "__wl"), "left")
       .filter(col("__cs") + coalesce(col("n"), lit(0L)) >= 2)
       .select("__wk", "__wl")

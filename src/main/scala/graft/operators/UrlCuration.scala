@@ -220,9 +220,17 @@ object UrlCuration {
     require(index.columns.sorted.sameElements(Array("keeper", "n_docs", "url_norm")),
       s"not a urlIndex frame (columns ${index.columns.mkString(",")}); " +
         "re-build it with UrlCuration.urlIndex")
-    val s = dedupByUrl(shard, urlCol, idCol)
-      .select(col("url_norm"), col("keeper").as("__sk"), col("n_docs").as("__sn"))
-    s.join(index.select(col("url_norm"), col("keeper").as("__ck"),
+    val s = graft.plans.Materialize(dedupByUrl(shard, urlCol, idCol)
+      .select(col("url_norm"), col("keeper").as("__sk"), col("n_docs").as("__sn")))
+    // Shard-restriction (the exact-key discipline): only index rows
+    // whose url the shard touches can match the left join — an
+    // 8-byte-hash broadcast semi-join cuts the index to a columnar scan
+    // (hash false positives just fail the exact url_norm equality), so
+    // no per-shard shuffle of the standing url index.
+    val touched = index.join(
+      broadcast(s.select(xxhash64(col("url_norm")).as("__uh"))),
+      xxhash64(col("url_norm")) === col("__uh"), "left_semi")
+    s.join(touched.select(col("url_norm"), col("keeper").as("__ck"),
           col("n_docs").as("__cn")),
         Seq("url_norm"), "left")
       .select(col("url_norm"),
