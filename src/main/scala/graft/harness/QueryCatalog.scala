@@ -4062,6 +4062,44 @@ object QueryCatalog {
         |SELECT doc_id, lang, text FROM dd WHERE doc_id % 50 <> 0
         |ORDER BY doc_id""".stripMargin)),
 
+    // DROP PROVENANCE — the ops question "why did doc X disappear?":
+    // one pipeline replay names the step that dropped each probe id
+    // (or `kept` / `absent`). Every fate is closed-form under
+    // quality → exact → quota, so the whole report has a composed SQL
+    // oracle (the finalize entry's CTE pieces, re-pointed at fates).
+    Q("curation_explain", (s, dir) => {
+      import s.implicits._
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - quality: { min_tokens: 10 }
+          |  - dedup_exact: {}
+          |  - quota: { group: lang, quotas: { en: 40, es: 15, fr: 8 } }
+          |""".stripMargin)
+      CurationPipeline.explain(docs(s, dir), p,
+        docs(s, dir).filter(col("doc_id") < 40).select("doc_id")
+          .unionByName(Seq(9999L).toDF("doc_id")))
+    }, Some(
+      """WITH probes AS (SELECT doc_id FROM documents WHERE doc_id < 40
+        |  UNION ALL SELECT 9999),
+        |q0 AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 10),
+        |dd AS (SELECT * FROM q0
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM q0 GROUP BY text)),
+        |r AS (SELECT doc_id, lang,
+        |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM dd),
+        |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rnd, doc_id) AS rk
+        |  FROM r),
+        |pick AS (SELECT doc_id FROM k
+        |  WHERE (lang = 'en' AND rk <= 40) OR (lang = 'es' AND rk <= 15)
+        |     OR (lang = 'fr' AND rk <= 8))
+        |SELECT p.doc_id,
+        |  CASE WHEN p.doc_id NOT IN (SELECT doc_id FROM documents) THEN 'absent'
+        |       WHEN p.doc_id NOT IN (SELECT doc_id FROM q0) THEN 'quality'
+        |       WHEN p.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'dedup_exact'
+        |       WHEN p.doc_id NOT IN (SELECT doc_id FROM pick) THEN 'quota'
+        |       ELSE 'kept' END AS fate
+        |FROM probes p ORDER BY 1""".stripMargin)),
+
     // RELEASE FSCK — the ops health check that rounds out the lifecycle
     // (ingest → compact → finalize → purge → fsck): a healthy standing
     // release reports ZERO findings, and a deliberately-damaged layout

@@ -1094,6 +1094,65 @@ object CurationPipeline {
       .toDF("step_idx", "step", "rows_out")
   }
 
+  /** Per-document drop PROVENANCE — the ops question "why did doc X
+    * disappear from the release?": replay the pipeline ONCE, check the
+    * probe ids' survival at every step boundary, and report each
+    * probe's fate — the name of the step that dropped it, or `kept`.
+    * Probe sets are ops-sized by contract (a takedown ticket, a user
+    * complaint — never a corpus): bounded at 10k ids loudly, and
+    * membership checks are broadcast semi-joins against each boundary
+    * (one `Materialize` lineage cut per step, so boundary i+1 reuses
+    * boundary i's frame instead of recomputing the prefix — total cost
+    * ≈ one pipeline run plus N probe-sized collects). Terminal sink
+    * steps are refused — an explain must never write a release.
+    * Steps that duplicate ids (upsample/mix) count a probe as
+    * surviving while ANY copy lives; `chunk` keeps the doc grain's id
+    * column on its output, so provenance flows through it unchanged.
+    *
+    * @return one row per probe id: (doc_id, fate) with fate = the
+    *         dropping step's name or `kept`, ordered by doc_id.
+    */
+  def explain(docs: DataFrame, pipeline: Pipeline, probeIds: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    pipeline.steps.foreach { s =>
+      require(!s.isInstanceOf[Sink] && !s.isInstanceOf[SinkTar] &&
+          !s.isInstanceOf[SinkTokens],
+        s"explain: step '${stepName(s)}' writes a release — provenance " +
+          "replay must never publish; drop the sink step")
+    }
+    require(probeIds.columns.length == 1,
+      s"explain: probeIds must be a single-column id frame, got " +
+        s"(${probeIds.columns.mkString(", ")})")
+    val probes = probeIds
+      .select(col(probeIds.columns.head).cast("long").as("__pid"))
+      .na.drop().distinct().limit(10001)
+      .as[Long].collect().sorted
+    require(probes.length <= 10000,
+      "explain: more than 10k probe ids — provenance is an ops query " +
+        "over a ticket-sized id set, not a corpus pass (run the pipeline " +
+        "and diff outputs instead)")
+    val probeDf = probes.toSeq.toDF("__pid")
+    val frames = pipeline.steps.scanLeft(docs)((df, step) =>
+      graft.plans.Materialize(applyStep(df, step, idCol, textCol, aux)))
+    val names = pipeline.steps.map(stepName)
+    val aliveAt = frames.map { f =>
+      f.join(broadcast(probeDf), f(idCol).cast("long") === col("__pid"), "left_semi")
+        .select(col(idCol).cast("long")).distinct()
+        .as[Long].collect().toSet
+    }
+    val fates = probes.map { id =>
+      if (!aliveAt.head.contains(id)) (id, "absent")
+      else {
+        val firstGone = aliveAt.indexWhere(!_.contains(id))
+        (id, if (firstGone < 0) "kept" else names(firstGone - 1))
+      }
+    }
+    fates.toSeq.toDF("doc_id", "fate").orderBy("doc_id")
+  }
+
   private def stepName(s: Step): String = s match {
     case Clean => "clean"
     case NormalizeNfc => "normalize"

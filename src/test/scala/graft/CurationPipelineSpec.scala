@@ -1467,6 +1467,45 @@ class CurationPipelineSpec extends SparkSpec {
     assert(typeErr.getMessage.contains("integral"), typeErr.getMessage)
   }
 
+  test("explain names each probe's dropping step; sinks and corpus-sized probes refused") {
+    import spark.implicits._
+    val d = docs.select("doc_id", "lang", "text").limit(60)
+    val p = CurationConfig.fromYaml(
+      "steps:\n  - quality: { min_tokens: 10 }\n  - dedup_exact\n")
+    val probes = d.select("doc_id").limit(10)
+      .unionByName(Seq(424242L).toDF("doc_id"))
+    val got = CurationPipeline.explain(d, p, probes)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(424242L) == "absent")
+    // Every reported fate replays: quality drops = under 10 tokens,
+    // exact drops = not the min id for their text, rest kept.
+    val qualIds = CurationPipeline.apply(d,
+      CurationConfig.fromYaml("steps:\n  - quality: { min_tokens: 10 }\n"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptIds = CurationPipeline.apply(d, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, fate) =>
+      if (id == 424242L) ()
+      else if (keptIds.contains(id)) assert(fate == "kept", s"$id: $fate")
+      else if (!qualIds.contains(id)) assert(fate == "quality", s"$id: $fate")
+      else assert(fate == "dedup_exact", s"$id: $fate")
+    }
+    // A duplicating step (upsample) keeps a probe alive through any copy.
+    val pUp = CurationConfig.fromYaml(
+      "steps:\n  - upsample: { group: lang, factors: { en: 2.0, es: 2.0, fr: 2.0, de: 2.0, zh: 2.0 } }\n")
+    val upFates = CurationPipeline.explain(d, pUp, d.select("doc_id").limit(5))
+      .collect().map(_.getString(1)).toSet
+    assert(upFates == Set("kept"), upFates.toString)
+    // Refusals: terminal sinks and corpus-sized probe sets.
+    val sinkErr = intercept[IllegalArgumentException](CurationPipeline.explain(
+      d, CurationConfig.fromYaml("steps:\n  - sink: { path: /tmp/never }\n"),
+      probes))
+    assert(sinkErr.getMessage.contains("explain"), sinkErr.getMessage)
+    val bigErr = intercept[IllegalArgumentException](CurationPipeline.explain(
+      d, p, spark.range(20000).select(col("id").as("doc_id"))))
+    assert(bigErr.getMessage.contains("10k"), bigErr.getMessage)
+  }
+
   test("fsck: healthy layouts report nothing; orphan tmps and wedges are distinguished") {
     import graft.operators.StateCompaction
     val base = java.nio.file.Files.createTempDirectory("cpfsck").toString
