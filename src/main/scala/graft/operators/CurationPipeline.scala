@@ -774,7 +774,21 @@ object CurationPipeline {
         writeIncrement(dir, Dedup.ngramIndex(df, shingleN, textCol, idCol))
         val index =
           if (prior.isEmpty) readOwn(dir).limit(0)
-          else spark.read.parquet(prior: _*).select("doc_id", "s", "n", "rk")
+          else {
+            val raw = spark.read.parquet(prior: _*)
+            // Migration gate: a standing dir persisted by the
+            // pre-additive (doc_id, s) format would otherwise die on an
+            // opaque unresolved-column error at the select below — the
+            // additive columns (n, rk) cannot be derived from old rows,
+            // so the remedy is a re-index, said loudly.
+            require(Seq("n", "rk").forall(raw.columns.contains),
+              s"ngram_index under $dir was persisted with the " +
+                "pre-additive (doc_id, s) format — delete the state " +
+                "subdir and re-ingest (the additive index carries " +
+                "per-doc set sizes and write-time ranks that old rows " +
+                "do not hold)")
+            raw.select("doc_id", "s", "n", "rk")
+          }
         val pairs = metric match {
           case "jaccard" => Dedup.ngramJaccardIncremental(
             df, index, threshold, shingleN, textCol, idCol)

@@ -403,7 +403,11 @@ object Dedup {
     // all: union-level rep election, star pairs, and bucket caps are
     // unchanged on the cut, and corpus rows outside it land only in
     // non-probed buckets, whose candidate joins have an empty new-doc
-    // side. The index is touched only by COLUMNAR SCANS (a map-side
+    // side. (The one theoretical exception: a 2^-64 xxhash64+length
+    // collision — same (ehash, elen), different text — makes a
+    // "cluster" whose members' band rows differ, so the band-bucket
+    // path can retrieve it partially; the shard-key path still
+    // retrieves any cluster the shard itself touches whole.) The index is touched only by COLUMNAR SCANS (a map-side
     // band explode + broadcast semi-joins) — never a corpus-sized
     // exchange. Broadcasts are shard-bounded: cluster keys and band
     // keys come from the shard (ingest batches are sized), and the
@@ -1405,8 +1409,13 @@ object Dedup {
     // union representative bucket-locally — exact because identical
     // text implies an identical signature, so a cluster's members share
     // its buckets. Hash-collision clusters (same compound key,
-    // different text) band on the REP's signature in batch; the
-    // post-aggregate key filter reproduces that exactly. The cap window
+    // DIFFERENT text — a 2^-64 xxhash64+length collision) band on the
+    // REP's signature in batch; here the post-aggregate key filter
+    // keeps a bucket row only when the elected member's own signature
+    // occupies that bucket, which matches batch except that a collision
+    // cluster split across buckets can additionally band on a
+    // non-rep member's signature — extra verified-Hamming candidates
+    // (an output superset), never a missed batch pair. The cap window
     // and the probe-broadcast candidate join reuse the aggregate's
     // partitioning; pairs between two corpus reps are never generated
     // (the old symmetric join built and then discarded them).
@@ -1493,10 +1502,11 @@ object Dedup {
   /** Exploded (chunk, key) rows of a 64-bit signature's four 16-bit
     * bands — the shard-restriction key the incremental signature
     * families share. A NULL signature maps to the sentinel key −1
-    * (outside the 0..65535 band range), so exact-duplicate clusters of
-    * signature-less docs still reach their shard twins through the
-    * restriction semi-join (they never reach banding — callers filter
-    * null sigs before [[hammingBandPairs]], as in batch).
+    * (outside the 0..65535 band range) so null rows never land in — or
+    * inflate the cap counts of — a real bucket; null-sig clusters pair
+    * through the STAR pass instead (its semi-join is null-safe), never
+    * through banding, matching batch where the null XOR in the verify
+    * filter drops any null band candidate.
     */
   private def chunkKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     explode(array((0 until 4).map { c =>
@@ -1545,8 +1555,13 @@ object Dedup {
     // touched cluster is retrieved whole (sig equality).
     // No distinct on the broadcast side: the broadcast hash table
     // dedups keys itself, and the relation is shard-bounded either way.
+    // NULL-SAFE key (<=>): batch's Window.partitionBy("sig") groups
+    // null signatures into one cluster and star-pairs them, so a
+    // null-sig shard item must retrieve its null-sig corpus twins here
+    // too — a plain equi-join would silently drop them.
     val starUnion = corpusSigs.select(col("media_id"), col("sig"))
-      .join(broadcast(shard.select("sig")), Seq("sig"), "left_semi")
+      .join(broadcast(shard.select(col("sig").as("__ssig"))),
+        col("sig") <=> col("__ssig"), "left_semi")
       .select(col("media_id"), col("sig"), lit(false).as("__shard"))
       .unionByName(shard.select(col("media_id"), col("sig"), lit(true).as("__shard")))
     val wHash = Window.partitionBy("sig")

@@ -317,7 +317,9 @@ object WebDataset {
     * of the batch scan (filesystem handle) and the streaming scan
     * (binaryFile bytes). Does NOT close the stream; callers own it.
     */
-  private def memberIterator(p: String, tin: TarArchiveInputStream): Iterator[Member] = {
+  private def memberIterator(
+      p: String, tin: TarArchiveInputStream,
+      readPayload: Boolean = true): Iterator[Member] = {
     val segs = p.split('/')
     val base = segs.last.stripSuffix(".tar")
     // Shards written by [[tarSink]] live in batch=<id> subdirectories and
@@ -334,12 +336,19 @@ object WebDataset {
           s"scanTar: member ${e.getName} in $p is ${e.getSize} bytes — " +
             "members above 2 GiB cannot be carried as one binary cell; " +
             "chunk the sample at write time")
-        val payload = tin.readNBytes(e.getSize.toInt)
+        // readPayload = false is the metadata-only walk (ext/key/size
+        // discovery): getNextEntry SEEKS past the unread payload, so a
+        // names pass costs header blocks, not release bytes. n_bytes
+        // still reports the true member size either way.
+        val payload =
+          if (readPayload) tin.readNBytes(e.getSize.toInt)
+          else Array.emptyByteArray
         val name = e.getName
         val dot = name.lastIndexOf('.')
         val (key, ext) =
           if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
-        Member(shard, key, ext, payload, payload.length.toLong)
+        Member(shard, key, ext, payload,
+          if (readPayload) payload.length.toLong else e.getSize)
       }
   }
 
@@ -414,33 +423,39 @@ object WebDataset {
     * `binaryFile` path inherited.
     */
   private[graft] def scanTarPaths(
-      spark: SparkSession, paths: Seq[String]): DataFrame = {
+      spark: SparkSession, paths: Seq[String],
+      readPayload: Boolean = true): DataFrame = {
     implicit val enc = Encoders.product[Member]
     val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    def hidden(p: Path): Boolean = {
+    // Hidden-file convention (`_temporary`, `_compact_tmp`, dotfiles):
+    // only segments BELOW the listed root count — a release that happens
+    // to live under `.corpora/` or `_work/` must still scan, so the
+    // ancestor walk stops at the root itself.
+    def hiddenBelow(p: Path, qualifiedRoot: Path): Boolean = {
       var cur = p
-      var h = false
-      while (cur != null && !h) {
+      while (cur != null && cur != qualifiedRoot) {
         val n = cur.getName
-        h = n.startsWith("_") || n.startsWith(".")
+        if (n.startsWith("_") || n.startsWith(".")) return true
         cur = cur.getParent
       }
-      h
+      false
     }
     val files = paths.flatMap { dir =>
       val root = new Path(dir)
       val fs = root.getFileSystem(hconf.value)
-      if (!fs.exists(root)) Seq.empty[String]
-      else {
-        val it = fs.listFiles(root, true)
-        val buf = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".tar") &&
-              !hidden(st.getPath)) buf += st.getPath.toString
-        }
-        buf.sorted // deterministic partition assignment across runs
+      // A missing dir is a misconfiguration, not an empty release —
+      // the pre-streaming binaryFile reader raised here too; silently
+      // returning zero members would train on nothing.
+      require(fs.exists(root), s"scanTar: path does not exist: $dir")
+      val qRoot = fs.makeQualified(root)
+      val it = fs.listFiles(qRoot, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".tar") &&
+            !hiddenBelow(st.getPath, qRoot)) buf += st.getPath.toString
       }
+      buf.sorted // deterministic partition assignment across runs
     }
     val slices = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism * 2))
@@ -453,7 +468,20 @@ object WebDataset {
       // closes at task end even when the iterator is abandoned.
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => tin.close()))
-      memberIterator(p, tin)
+      // One task iterates MANY tars (slices = min(files, 2×parallelism)),
+      // so each handle also closes as soon as its walk drains — the
+      // task-end listener alone would hold every exhausted tar's stream
+      // open simultaneously (fd exhaustion on thousand-slice folds).
+      val inner = memberIterator(p, tin, readPayload)
+      new Iterator[Member] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = inner.hasNext
+          if (!h && !closed) { closed = true; tin.close() }
+          h
+        }
+        def next(): Member = inner.next()
+      }
     }
     spark.createDataset(rows).toDF()
   }
@@ -487,11 +515,15 @@ object WebDataset {
   ): Unit =
     graft.operators.StateCompaction.runProtocol(
       spark, dir, "batch=", "compactTarRelease") { (inputs, tmp) =>
-      val m = scanTarPaths(spark, inputs)
-      val exts = m.select("ext").distinct()
+      // Ext discovery walks tar HEADERS only (readPayload = false seeks
+      // past member bytes) — the release's payload is read once, inside
+      // the repack pass, not twice.
+      val exts = scanTarPaths(spark, inputs, readPayload = false)
+        .select("ext").distinct()
         .collect().map(_.getString(0)).sorted.toSeq
       require(exts.nonEmpty, s"compactTarRelease: no tar members under $dir")
-      repackMembers(m, exts, tmp, targetShardBytes, "compactTarRelease")
+      repackMembers(scanTarPaths(spark, inputs), exts, tmp,
+        targetShardBytes, "compactTarRelease")
       ()
     }
 
@@ -525,13 +557,18 @@ object WebDataset {
       .na.drop().distinct())
     graft.operators.StateCompaction.runProtocol(
       spark, dir, "batch=", "purgeTarRelease", minInputs = 1) { (inputs, tmp) =>
-      val m = scanTarPaths(spark, inputs)
+      // Survivor-ext discovery (the purge-would-empty guard) anti-joins
+      // the HEADER-only walk — keys and exts live in tar headers, so the
+      // payload is read once, in the repack pass below.
+      val exts = scanTarPaths(spark, inputs, readPayload = false)
         .join(broadcast(keys), col("key") === col("__purge_key"), "left_anti")
-      val exts = m.select("ext").distinct()
+        .select("ext").distinct()
         .collect().map(_.getString(0)).sorted.toSeq
       require(exts.nonEmpty,
         s"purgeTarRelease: purge would empty the release under $dir — " +
           "delete the release dir instead of publishing an empty fold")
+      val m = scanTarPaths(spark, inputs)
+        .join(broadcast(keys), col("key") === col("__purge_key"), "left_anti")
       repackMembers(m, exts, tmp, targetShardBytes, "purgeTarRelease")
       ()
     }

@@ -1036,6 +1036,30 @@ class CurationPipelineSpec extends SparkSpec {
     assert(badLabel.getMessage.contains("numeric"), badLabel.getMessage)
   }
 
+  test("a pre-additive ngram_index state dir refuses ingest with a re-index message") {
+    val corpus = graft.plans.Materialize(ingestCorpus)
+    val p = CurationConfig.fromYaml(
+      "steps:\n  - dedup_ngram: { threshold: 0.5 }\n")
+    val st = java.nio.file.Files.createTempDirectory("cpngmig").toString + "/s"
+    CurationPipeline.applyShard(
+      corpus.filter(col("doc_id") < 30), p, st, "0").count()
+    // Downgrade the persisted batch to the pre-additive (doc_id, s)
+    // shape — the upgrade-in-place scenario the gate exists for.
+    val idx = s"$st/step0=ngram_index"
+    spark.read.parquet(s"$idx/batch=0").select("doc_id", "s")
+      .write.parquet(s"$idx/_oldfmt_tmp")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$idx/batch=0"))
+    assert(new java.io.File(s"$idx/_oldfmt_tmp")
+      .renameTo(new java.io.File(s"$idx/batch=0")))
+    val e = intercept[IllegalArgumentException](
+      CurationPipeline.applyShard(
+        corpus.filter(col("doc_id") >= 30), p, st, "1").count())
+    assert(e.getMessage.contains("pre-additive"), e.getMessage)
+  }
+
   test("compactBatchDir resumes a compaction that crashed mid-commit without data loss") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cpresume").toString + "/idx"

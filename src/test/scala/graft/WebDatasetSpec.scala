@@ -391,4 +391,46 @@ class WebDatasetSpec extends SparkSpec {
     assert(n1 == 1)
     assert(WebDataset.scanTar(spark, dir1).count() == 20)
   }
+
+  test("a release under a dot/underscore-prefixed ANCESTOR dir still scans") {
+    // The hidden-file convention applies below the scan root only: a
+    // corpus that happens to live under `.corpora/` or `_work/` must
+    // scan, while `_temporary`/`.hidden` INSIDE the root stay skipped.
+    val base = java.nio.file.Files.createTempDirectory("wdsh").toString
+    val dir = base + "/.corpora/_work/release"
+    WebDataset.writeTar(fixture, dir, shards = 2, keyCol = "doc_id",
+      members = Seq("txt" -> "t"))
+    assert(WebDataset.scanTar(spark, dir).count() == 10,
+      "release under hidden ancestors scanned as empty")
+    // …and a hidden subdir below the root is still excluded.
+    val sub = new java.io.File(dir, "_stale")
+    assert(sub.mkdir())
+    java.nio.file.Files.copy(
+      new java.io.File(dir, "shard-00000.tar").toPath,
+      new java.io.File(sub, "shard-00000.tar").toPath)
+    assert(WebDataset.scanTar(spark, dir).count() == 10,
+      "members under a hidden subdir leaked into the scan")
+  }
+
+  test("scanTar of a nonexistent path fails loudly, not empty") {
+    val e = intercept[IllegalArgumentException](
+      WebDataset.scanTar(spark, "/definitely/not/a/release",
+        requireSuccess = false).count())
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("header-only walk (readPayload = false) reports keys/exts/true sizes") {
+    val dir = java.nio.file.Files.createTempDirectory("wdsm").toString + "/corpus"
+    WebDataset.writeTar(fixture, dir, shards = 2, keyCol = "doc_id",
+      members = Seq("txt" -> "t", "cls" -> "l"))
+    val meta = WebDataset.scanTarPaths(spark, Seq(dir), readPayload = false)
+    val full = WebDataset.scanTar(spark, dir)
+    val m = meta.select("shard", "key", "ext", "n_bytes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val f = full.select("shard", "key", "ext", "n_bytes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(m == f, "metadata walk disagrees with the payload walk")
+    assert(meta.select(max(length(col("payload")))).head.get(0) == 0,
+      "metadata walk materialized payload bytes")
+  }
 }
