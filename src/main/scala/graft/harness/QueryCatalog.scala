@@ -4766,6 +4766,49 @@ object QueryCatalog {
               |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
               |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
 
+    // The STANDING-index serve path: two shard appends into the
+    // term-bucketed batch=/tb= layout (tb a partition column), one
+    // crash-safe compaction fold, then a serve whose corpus stats come
+    // from the additive _stats manifest and whose postings scan prunes
+    // to the probed term buckets — nothing corpus-sized at query time.
+    // Row-equal to the one-shot run over the union corpus, so it shares
+    // search_bm25's oracle verbatim.
+    Q("search_bm25_serve", (s, dir) => {
+      val out = scratchDir("graft_bm25_srv", dir)
+      val d = docs(s, dir)
+      Retrieval.appendIndex(d.filter(col("doc_id") < 250), out, "0", buckets = 16)
+      Retrieval.appendIndex(d.filter(col("doc_id") >= 250), out, "1", buckets = 16)
+      Retrieval.compactIndex(s, out)
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join"), (2L, "window merge sort"), (3L, "vector hash batch")))
+        .toDF("query_id", "query_text")
+      Retrieval.bm25TopKIndexed(s, qs, out, k = 10)
+        .orderBy("query_id", "rank")
+    }, Some("""WITH d AS (SELECT doc_id,
+              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
+              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
+              |    (3, 'vector hash batch')) v(query_id, qt)),
+              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
+              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
+              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
+              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
+              |sc AS (SELECT q.query_id, r.doc_id,
+              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
+              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
+              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+
     // Hybrid retrieval: BM25 top-20 + exact dense cosine top-20 fused by
     // reciprocal rank (RRF, rrfK=60) — rank-based, so the incomparable
     // score scales never meet; both input lists are oracle-proven exact

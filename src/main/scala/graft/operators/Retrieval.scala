@@ -104,14 +104,26 @@ object Retrieval {
     val stats = post.groupBy("doc_id").agg(first("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-
-    val qTerms = queries
-      .select(col("query_id"), explode(toks(col("query_text"))).as("term"))
-      .distinct()
-
+    val qTerms = queryTerms(queries)
     // Prune the index to query-term postings FIRST; everything downstream
     // (df, scoring, ranking) runs on this thin slice.
     val rel = post.join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+    scoreAndRank(rel, qTerms, stats, k, k1, b)
+  }
+
+  private def queryTerms(queries: DataFrame): DataFrame =
+    queries
+      .select(col("query_id"), explode(toks(col("query_text"))).as("term"))
+      .distinct()
+
+  /** The shared BM25 scoring tail: `rel` is the query-term posting slice
+    * (term, doc_id, tf, dl), `stats` one (n_docs, avgdl) row — whether
+    * computed from the index frame (the in-memory overloads) or read
+    * from the additive stats manifest (the persisted-layout serve path).
+    */
+  private def scoreAndRank(
+      rel: DataFrame, qTerms: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val dfPerTerm = rel.groupBy("term").agg(count(lit(1)).as("df"))
 
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
@@ -129,6 +141,165 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "rank", "score")
+  }
+
+  // ----- Persisted term-bucketed index layout -------------------------
+  //
+  // The SERVE-MANY shape for a standing corpus: `batch=<label>/tb=<b>/`
+  // postings slices (tb = xxhash64(term) mod buckets, a PARTITION column,
+  // so a probe's file listing prunes to its query-term buckets) plus an
+  // additive `_stats/batch=<label>` manifest carrying each batch's
+  // (n_docs, Σdl). Serving then touches NOTHING corpus-sized: corpus
+  // stats come from the manifest (rows = batches, not docs), per-term df
+  // from the pruned bucket slice (a term's every posting lives in its
+  // bucket), and the scoring tail is the batch pipeline verbatim — so
+  // results are row-equal to bm25TopK over the concatenated corpus.
+  // Appends are per-batch-independent (postings rows depend on their own
+  // doc alone; the manifest is additive), the same discipline as the
+  // ngram/substring dedup indexes.
+
+  /** Append one batch of documents to the standing index at `dir`
+    * (creating it on first use). Batch labels are numeric and order the
+    * layout (the shard-ingest convention); re-appending a label
+    * overwrites both its postings and its stats slice, so a crashed or
+    * re-delivered append repairs by re-running. Doc ids must be disjoint
+    * from already-indexed ids — duplicate ids would double-count df and
+    * corpus stats (same contract as [[postings]] union ingest).
+    */
+  def appendIndex(
+      docs: DataFrame,
+      dir: String,
+      label: String,
+      buckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    val spark = docs.sparkSession
+    require(label.toLongOption.nonEmpty,
+      s"appendIndex: batch label '$label' is not numeric — labels order " +
+        "the standing layout (and 'c' is reserved for compacted folds)")
+    require(buckets >= 1 && buckets <= 65536,
+      s"appendIndex: buckets must be in 1..65536, got $buckets")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      StateCompaction.requireNoWedge(fs, root, "appendIndex",
+        "re-run compactIndex to resume it before appending")
+    val bFile = new org.apache.hadoop.fs.Path(root, "_buckets")
+    if (fs.exists(bFile)) {
+      val in = fs.open(bFile)
+      val prior = new String(in.readAllBytes(), "UTF-8").trim
+      in.close()
+      require(prior.toIntOption.contains(buckets),
+        s"appendIndex: index at $dir is laid out with $prior term buckets " +
+          s"but this append asked for $buckets — bucket routing must match " +
+          "or probes would miss postings; pass the original bucket count")
+    }
+    // Postings first, stats second: a crash between the two leaves the
+    // label sets divergent, which the serve path refuses loudly (the
+    // repair is re-appending this label — both writes are overwrites).
+    val post = graft.plans.Materialize(postings(docs, idCol, textCol))
+    post
+      .withColumn("tb",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/batch=$label")
+    post.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats/batch=$label")
+    if (!fs.exists(bFile)) {
+      val out = fs.create(bFile, false)
+      out.write(buckets.toString.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** [[bm25TopK]] served from the standing [[appendIndex]] layout at
+    * `dir` — row-equal to the in-memory run over the concatenated
+    * corpus, touching nothing corpus-sized: (N, avgdl) fold from the
+    * additive stats manifest, and the postings scan PRUNES to the
+    * query's term buckets (tb is a partition column and the probed
+    * bucket set is collected from the QUERY frame — bounded by its
+    * term count, never by the corpus).
+    */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      dir: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"bm25TopKIndexed: no index at $dir")
+    StateCompaction.requireNoWedge(fs, root, "bm25TopKIndexed",
+      "re-run compactIndex to resume it before serving")
+    val bFile = new org.apache.hadoop.fs.Path(root, "_buckets")
+    require(fs.exists(bFile),
+      s"bm25TopKIndexed: $dir carries no _buckets manifest — not an " +
+        "appendIndex layout; build it with Retrieval.appendIndex")
+    val in = fs.open(bFile)
+    val buckets = new String(in.readAllBytes(), "UTF-8").trim.toInt
+    in.close()
+    def labels(p: org.apache.hadoop.fs.Path): Seq[String] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).sorted.toSeq
+    val postBatches = labels(root)
+    val statsBatches = labels(new org.apache.hadoop.fs.Path(root, "_stats"))
+    require(postBatches.nonEmpty, s"bm25TopKIndexed: $dir holds no batch= slices")
+    require(postBatches == statsBatches,
+      s"bm25TopKIndexed: postings batches (${postBatches.mkString(",")}) and " +
+        s"stats batches (${statsBatches.mkString(",")}) diverge — a crashed " +
+        "append or half-finished compaction; re-append the missing label " +
+        "(appendIndex overwrites are idempotent) or re-run compactIndex")
+    // Explicit batch-dir paths: handing Spark the `_stats` ROOT would
+    // trip the hidden-path filter (a "[all] paths were ignored" warning
+    // and version-dependent behavior); a hidden segment mid-path is fine.
+    val stats = spark.read
+      .parquet(statsBatches.map(l => s"$dir/_stats/$l"): _*)
+      .agg(sum("n_docs").as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_docs")).as("avgdl"))
+
+    val qTerms = queryTerms(queries)
+    // Driver-side probed-bucket literals (this is the QUERY frame — a
+    // bounded probe batch, not the corpus) so partition pruning reaches
+    // the file listing: only the probed tb= directories are ever read.
+    val tbs = qTerms
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val rel = spark.read.option("basePath", dir)
+      .parquet(postBatches.map(l => s"$dir/$l"): _*)
+      .filter(col("tb").isin(tbs: _*))
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .select("term", "doc_id", "tf", "dl")
+    scoreAndRank(rel, qTerms, stats, k, k1, b)
+  }
+
+  /** IN-PLACE crash-safe compaction of an [[appendIndex]] layout: folds
+    * the accumulated postings slices into ONE `batch=c<maxId>` dir
+    * (keeping the tb= partition layout — the fold is the one pass that
+    * re-clusters each term's postings into contiguous files) and the
+    * stats manifest into one row-set. [[StateCompaction]]'s commit
+    * protocol on both; a crash between the two passes leaves the label
+    * sets divergent, which [[bm25TopKIndexed]] refuses loudly and a
+    * re-run here repairs (totals are unchanged by compaction). Offline
+    * contract: stop appends first.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      numFiles: Int = 8): Unit = {
+    StateCompaction.runProtocol(spark, dir, "batch=", "compactIndex") {
+      (inputs, tmp) =>
+        spark.read.option("basePath", dir).parquet(inputs: _*)
+          .select("term", "doc_id", "tf", "dl", "tb")
+          .repartition(numFiles, col("tb"))
+          .write.partitionBy("tb").mode("overwrite").parquet(tmp)
+    }
+    val statsDir = new org.apache.hadoop.fs.Path(dir, "_stats")
+    val fs = statsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(statsDir))
+      StateCompaction.compactBatchDir(spark, statsDir.toString, numFiles = 1)
   }
 
   /** Per-document keyword extraction: the `k` highest-TF-IDF terms of each

@@ -617,6 +617,32 @@ object PlanAudit {
     val bmBroadcasts = "BroadcastExchange".r.findAllIn(bmPlan).length
     println(s"${if (bmBroadcasts >= 3) "OK " else "HOT"} bm25 probe-side broadcasts     n=$bmBroadcasts (qTerms, df, stats)")
 
+    // Standing-index serve: corpus stats fold from the additive manifest
+    // (rows = batches, never docs) and the postings scan must PRUNE to
+    // the probed term buckets — the tb partition filter has to reach the
+    // FileSourceScan, or a 100 TB index would be read wholesale per probe.
+    val bmDocs = docsT.withColumn(
+      "text", concat_ws(" ", col("source"), col("lang")))
+    val bmIdxDir = java.nio.file.Files.createTempDirectory("pa_bm25").toString + "/idx"
+    graft.operators.Retrieval.appendIndex(
+      bmDocs.filter(col("doc_id") % 2 === 0), bmIdxDir, "0", buckets = 16)
+    graft.operators.Retrieval.appendIndex(
+      bmDocs.filter(col("doc_id") % 2 =!= 0), bmIdxDir, "1", buckets = 16)
+    val bmServe = graft.operators.Retrieval.bm25TopKIndexed(
+      spark, probes, bmIdxDir, k = 5)
+    // 5 = qTerms distinct ×2 (probe-sized), df aggregate + score groupBy
+    // + rank window (all over the PRUNED bucket slice — query-term-bounded,
+    // never corpus-sized; the manifest stats agg is a SinglePartition fold).
+    audit("search_bm25_serve", bmServe, 5)
+    val bmScans = bmServe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val bmPruned = bmScans.exists(f =>
+      f.requiredSchema.fieldNames.contains("term") &&
+        f.partitionFilters.exists(_.toString.contains("tb")))
+    println(s"${if (bmPruned) "OK " else "HOT"} bm25 serve bucket pruning      " +
+      s"partitionFilters-on-tb=$bmPruned (scans=${bmScans.length})")
+
     // BPE apply: broadcast ranks + mapPartitions — ZERO exchanges (the
     // learn phase's word-count aggregate is the only corpus-sized step,
     // and it runs once per corpus snapshot, not per tokenize).

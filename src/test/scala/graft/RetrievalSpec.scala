@@ -92,6 +92,63 @@ class RetrievalSpec extends SparkSpec {
       snap(Retrieval.bm25TopK(qs, rebuilt, 5, 1.2, 0.75)))
   }
 
+  test("standing term-bucketed index: append/serve/compact equal the one-shot run") {
+    val b0 = Seq((1L, "spark join window"), (2L, "merge sort join")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "hash batch spark"), (4L, "")).toDF("doc_id", "text")
+    val union = b0.unionByName(b1)
+    val qs = Seq((1L, "spark join"), (2L, "sort"), (3L, "absentterm"))
+      .toDF("query_id", "query_text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25srv").toString + "/idx"
+    Retrieval.appendIndex(b0, dir, "0", buckets = 8)
+    Retrieval.appendIndex(b1, dir, "1", buckets = 8)
+    val want = snap(Retrieval.bm25TopK(qs, union, k = 3))
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) == want,
+      "indexed serve diverged from the one-shot run pre-compaction")
+    Retrieval.compactIndex(spark, dir)
+    val batches = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(batches == Seq("batch=c1"), s"unexpected layout after fold: $batches")
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) == want,
+      "indexed serve diverged from the one-shot run post-compaction")
+    // A third append lands beside the fold and serves seamlessly.
+    Retrieval.appendIndex(Seq((5L, "window spark")).toDF("doc_id", "text"),
+      dir, "2", buckets = 8)
+    val union2 = union.unionByName(Seq((5L, "window spark")).toDF("doc_id", "text"))
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) ==
+      snap(Retrieval.bm25TopK(qs, union2, k = 3)),
+      "post-fold append diverged from the one-shot run")
+  }
+
+  test("standing index refusals: bucket mismatch, bad label, crashed append") {
+    val b0 = Seq((1L, "spark join")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25ref").toString + "/idx"
+    Retrieval.appendIndex(b0, dir, "0", buckets = 8)
+    val qs = Seq((1L, "spark")).toDF("query_id", "query_text")
+    // Bucket-count drift would mis-route probes — refused by the manifest.
+    val eB = intercept[IllegalArgumentException](
+      Retrieval.appendIndex(b0.withColumn("doc_id", col("doc_id") + 10),
+        dir, "1", buckets = 16))
+    assert(eB.getMessage.contains("bucket"), eB.getMessage)
+    // Labels must be numeric (they order the layout).
+    val eL = intercept[IllegalArgumentException](
+      Retrieval.appendIndex(b0, dir, "crawlA", buckets = 8))
+    assert(eL.getMessage.contains("numeric"), eL.getMessage)
+    // A postings slice without its stats twin (crash window) refuses
+    // the serve with the repair named.
+    val p = java.nio.file.Paths.get(s"$dir/_stats/batch=0")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(p.toFile)
+    val eS = intercept[IllegalArgumentException](
+      Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3))
+    assert(eS.getMessage.contains("diverge"), eS.getMessage)
+    // Re-appending the label repairs (writes are overwrites).
+    Retrieval.appendIndex(b0, dir, "0", buckets = 8)
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) ==
+      snap(Retrieval.bm25TopK(qs, b0, k = 3)))
+  }
+
   test("index stats drift gates an append-only shard sequence (healthy vs boilerplate flood)") {
     val docs = graft.sources.Tables
       .table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
