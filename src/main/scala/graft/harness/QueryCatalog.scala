@@ -4809,6 +4809,99 @@ object QueryCatalog {
               |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
               |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
 
+    // The continuous-crawl face of the standing index: each micro-batch
+    // appends its own batch=<id> postings + stats slice via the
+    // foreachBatch indexSink, and the corpus is searchable between
+    // appends — same oracle as the batch runs over the full corpus.
+    Q("streaming_bm25_replay", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs(s, dir).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val base = scratchDir("graft_stream_bm25", dir)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch(Retrieval.indexSink(s"$base/idx", buckets = 16))
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try Seq(rows.filter(_._1 < 250), rows.filter(_._1 >= 250))
+        .filter(_.nonEmpty)
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join"), (2L, "window merge sort"), (3L, "vector hash batch")))
+        .toDF("query_id", "query_text")
+      Retrieval.bm25TopKIndexed(s, qs, s"$base/idx", k = 10)
+        .orderBy("query_id", "rank")
+    }, Some("""WITH d AS (SELECT doc_id,
+              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
+              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
+              |    (3, 'vector hash batch')) v(query_id, qt)),
+              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
+              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
+              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
+              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
+              |sc AS (SELECT q.query_id, r.doc_id,
+              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
+              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
+              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+
+    // Deletion propagation over the standing index: purge doc_id % 7 = 0
+    // after two appends, then serve — the oracle runs BM25 over the
+    // documents table WITHOUT those docs, so it proves their postings
+    // left AND that N/avgdl/df re-derive from the corrected manifest
+    // (retained-doc scores shift, not just rows disappear).
+    Q("search_bm25_purge", (s, dir) => {
+      val out = scratchDir("graft_bm25_pg", dir)
+      val d = docs(s, dir)
+      Retrieval.appendIndex(d.filter(col("doc_id") < 250), out, "0", buckets = 16)
+      Retrieval.appendIndex(d.filter(col("doc_id") >= 250), out, "1", buckets = 16)
+      Retrieval.purgeIndex(s, out,
+        d.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join"), (2L, "window merge sort"), (3L, "vector hash batch")))
+        .toDF("query_id", "query_text")
+      Retrieval.bm25TopKIndexed(s, qs, out, k = 10)
+        .orderBy("query_id", "rank")
+    }, Some("""WITH d AS (SELECT doc_id,
+              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              |  FROM documents WHERE doc_id % 7 <> 0),
+              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
+              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
+              |    (3, 'vector hash batch')) v(query_id, qt)),
+              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
+              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
+              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
+              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
+              |sc AS (SELECT q.query_id, r.doc_id,
+              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
+              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
+              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+
     // Hybrid retrieval: BM25 top-20 + exact dense cosine top-20 fused by
     // reciprocal rank (RRF, rrfK=60) — rank-based, so the incomparable
     // score scales never meet; both input lists are oracle-proven exact

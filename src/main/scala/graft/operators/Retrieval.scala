@@ -277,6 +277,118 @@ object Retrieval {
     scoreAndRank(rel, qTerms, stats, k, k1, b)
   }
 
+  /** [[appendIndex]] as a foreachBatch sink — the continuous-crawl face
+    * of the standing index: each micro-batch of documents appends its
+    * own `batch=<batchId>` postings + stats slice, so the corpus becomes
+    * searchable as it arrives. Re-delivered batches (checkpoint replay)
+    * overwrite their own slice — idempotent, the sink convention every
+    * batch-keyed layout here shares. Serve with [[bm25TopKIndexed]]
+    * between (not during) appends.
+    */
+  def indexSink(
+      dir: String,
+      buckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      appendIndex(batch, dir, batchId.toString, buckets, idCol, textCol)
+
+  /** DELETION PROPAGATION over the standing index — the takedown /
+    * right-to-erasure pass: fold the postings slices into ONE
+    * `batch=c<maxId>` dir WITHOUT the purged docs' rows (their terms,
+    * tf and dl leave the index entirely) and rewrite the stats manifest
+    * from the purged postings, so every later probe scores against the
+    * corrected (N, avgdl, df). Both folds run [[StateCompaction]]'s
+    * crash-safe protocol; a crash between them leaves the label sets
+    * divergent, which [[bm25TopKIndexed]] refuses and a RE-RUN of the
+    * same purge repairs (the anti-join is idempotent). Purging every
+    * document is refused — delete the index dir instead of publishing
+    * an empty one. Offline contract: stop appends first.
+    */
+  def purgeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      purgeIds: DataFrame,
+      numFiles: Int = 8
+  ): Unit = {
+    require(purgeIds.columns.length == 1,
+      s"purgeIndex: purgeIds must be a single-column id frame, got " +
+        s"(${purgeIds.columns.mkString(", ")})")
+    // Integral ids on BOTH sides, loudly: a lossy cast turns values into
+    // nulls that never match, and a takedown that silently retains rows
+    // is the worst failure mode the pass can have.
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+    }
+    require(integral(purgeIds.schema.head.dataType),
+      s"purgeIndex: column '${purgeIds.columns.head}' is " +
+        s"${purgeIds.schema.head.dataType} — ids must be an integral type " +
+        "(a lossy cast would silently purge nothing)")
+    val keys = graft.plans.Materialize(purgeIds
+      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
+      .na.drop().distinct())
+
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"purgeIndex: no index at $dir")
+    def ords(p: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(st => StateCompaction.labelOrd(
+          st.getPath.getName.stripPrefix("batch="), "purgeIndex"))
+        .sorted.toSeq
+    val pOrds = ords(root)
+    val sOrds = ords(new org.apache.hadoop.fs.Path(root, "_stats"))
+    require(pOrds.nonEmpty && sOrds.nonEmpty,
+      s"purgeIndex: $dir holds no batch= slices (postings ${pOrds.length}, " +
+        s"stats ${sOrds.length}) — not an appendIndex layout")
+    // Equal sets = healthy; postings already folded to c<max(stats)> =
+    // this purge's own crash window, resumable. Anything else is a
+    // crashed APPEND — repair that first (re-append the label).
+    require(pOrds == sOrds || pOrds == Seq(sOrds.max),
+      s"purgeIndex: postings batches (${pOrds.mkString(",")}) and stats " +
+        s"batches (${sOrds.mkString(",")}) diverge from a crashed append — " +
+        "re-append the missing label before purging")
+    StateCompaction.runProtocol(spark, dir, "batch=", "purgeIndex",
+      minInputs = 1) { (inputs, tmp) =>
+      val kept = spark.read.option("basePath", dir).parquet(inputs: _*)
+        .select("term", "doc_id", "tf", "dl", "tb")
+      require(integral(kept.schema("doc_id").dataType),
+        s"purgeIndex: index doc_id is ${kept.schema("doc_id").dataType} — " +
+          "ids must be an integral type (a lossy cast would silently " +
+          "purge nothing)")
+      val survivors = kept.join(broadcast(keys),
+        col("doc_id").cast("long") === col("__purge_id"), "left_anti")
+      // Refuse BEFORE the fold commits: throwing here aborts with the
+      // tmp unpublished (no marker), so the raw slices survive intact.
+      require(survivors.limit(1).count() > 0,
+        s"purgeIndex: purge would empty the index under $dir — delete " +
+          "the index dir instead of publishing an empty one")
+      survivors
+        .repartition(numFiles, col("tb"))
+        .write.partitionBy("tb").mode("overwrite").parquet(tmp)
+    }
+    // Stats rewrite from the PURGED postings — its own protocol run, so
+    // a crash here resumes; the fold ignores its stats inputs by design.
+    val foldedPaths = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString).toIndexedSeq
+    val perDoc = graft.plans.Materialize(
+      spark.read.option("basePath", dir).parquet(foldedPaths: _*)
+        .groupBy("doc_id").agg(first("dl").as("dl")))
+    StateCompaction.runProtocol(spark, s"$dir/_stats", "batch=", "purgeIndex",
+      minInputs = 1) { (_, tmp) =>
+      perDoc
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    StateCompaction.writePurgeReceipt(
+      spark, dir, "purgeIndex", keys.count(), s"numFiles=$numFiles")
+  }
+
   /** IN-PLACE crash-safe compaction of an [[appendIndex]] layout: folds
     * the accumulated postings slices into ONE `batch=c<maxId>` dir
     * (keeping the tb= partition layout — the fold is the one pass that

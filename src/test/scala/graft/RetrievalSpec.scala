@@ -149,6 +149,37 @@ class RetrievalSpec extends SparkSpec {
       snap(Retrieval.bm25TopK(qs, b0, k = 3)))
   }
 
+  test("standing index purge: postings leave, stats correct, scores re-rank") {
+    val b0 = Seq((1L, "spark join window"), (2L, "merge sort join")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "hash batch spark"), (4L, "spark spark spark")).toDF("doc_id", "text")
+    val qs = Seq((1L, "spark join"), (2L, "sort")).toDF("query_id", "query_text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25pg").toString + "/idx"
+    // indexSink IS appendIndex keyed by batch id — drive it directly.
+    val sink = Retrieval.indexSink(dir, buckets = 8)
+    sink(b0, 0L); sink(b1, 1L)
+    Retrieval.purgeIndex(spark, dir, Seq(2L, 4L).toDF("id"))
+    // Serve equals a one-shot run over the KEPT docs — N/avgdl/df all
+    // corrected, not just rows dropped.
+    val kept = Seq((1L, "spark join window"), (3L, "hash batch spark"))
+      .toDF("doc_id", "text")
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) ==
+      snap(Retrieval.bm25TopK(qs, kept, k = 3)),
+      "purged serve diverged from the one-shot run over the kept corpus")
+    // A receipt landed; a purge-to-empty is refused; ids must be integral.
+    assert(new java.io.File(s"$dir/_purge").listFiles().nonEmpty,
+      "no purge receipt written")
+    val eAll = intercept[IllegalArgumentException](
+      Retrieval.purgeIndex(spark, dir, Seq(1L, 3L).toDF("id")))
+    assert(eAll.getMessage.contains("empty"), eAll.getMessage)
+    val eStr = intercept[IllegalArgumentException](
+      Retrieval.purgeIndex(spark, dir, Seq("1").toDF("id")))
+    assert(eStr.getMessage.contains("integral"), eStr.getMessage)
+    // Idempotent: re-running the same purge is a no-op rewrite.
+    Retrieval.purgeIndex(spark, dir, Seq(2L, 4L).toDF("id"))
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) ==
+      snap(Retrieval.bm25TopK(qs, kept, k = 3)))
+  }
+
   test("index stats drift gates an append-only shard sequence (healthy vs boilerplate flood)") {
     val docs = graft.sources.Tables
       .table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
