@@ -2028,6 +2028,33 @@ object QueryCatalog {
         .orderBy("query_id", "rnk")
     }, None, bench = true, warmup = true),
 
+    // Deletion propagation over the fitted ANN index: purge vec_id % 5
+    // = 0 from the persisted index's codes (the fits stay — serving
+    // correctness is top-k over the remaining codes; refit cadence is
+    // the servingRecall monitor's call, exactly as for appends), then
+    // serve the held-out queries. No purged id may appear as a
+    // neighbor, and ranks re-close over the survivors. Hash-seeded →
+    // golden fixture.
+    Q("sim_ann_ivfpq_purge", (s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 20)
+      // Same fit-format-versioned cache as sim_ann_ivfpq_idx — the fit
+      // is deterministic, so purge output is identical fresh or cached.
+      val idxDir = s"/tmp/graft_ivfpq_idx_v${ProductQuant.indexFormatVersion}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
+        ProductQuant.ivfPqIndex(corpus, nlist = 16, m = 16, ks = 32).save(idxDir)
+      val purged = ProductQuant.ivfPqIndexPurge(
+        IvfPqIndex.load(s, idxDir),
+        corpus.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id"))
+      ProductQuant.ivfPqTopK(
+        e.filter(col("vec_id") < 20),
+        corpus.filter(pmod(col("vec_id"), lit(5)) =!= 0), purged,
+        k = 5, nprobe = 12, rerankFactor = 0, idCol = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }, None),
+
     Q("sim_ann_pq", (s, dir) =>
       // Product quantization ANN: ADC scan over m-byte codes + exact
       // cosine re-rank (ProductQuant). Hash-seeded → golden fixture;

@@ -486,6 +486,44 @@ object ProductQuant {
     index.copy(codes = index.codes.unionByName(shardCodes))
   }
 
+  /** DELETION PROPAGATION over a fitted IVF-PQ index — the takedown /
+    * erasure pass, completing the append-without-refit serving loop's
+    * symmetric half: the purged vectors' `(id, cid, codes)` rows leave
+    * the index (anti-join — codes rows are per-vector independent, like
+    * [[ivfPqIndexAppend]]'s are), so no probe can ever return them,
+    * while the coarse centroids and codebooks STAY — they are fit
+    * artifacts, and serving correctness is top-k over the remaining
+    * codes against whatever fits the index carries. A heavily-purged
+    * index drifts exactly like a heavily-appended one (the fits no
+    * longer reflect the corpus); the same [[servingRecall]] monitor
+    * decides when to refit. Ids must be integral on both sides — a
+    * lossy cast would silently purge nothing, the worst failure mode a
+    * takedown can have. Purging ids already absent is a no-op; an
+    * all-purged index serves empty results (delete it instead).
+    */
+  def ivfPqIndexPurge(index: IvfPqIndex, purgeIds: DataFrame): IvfPqIndex = {
+    require(purgeIds.columns.length == 1,
+      s"ivfPqIndexPurge: purgeIds must be a single-column id frame, got " +
+        s"(${purgeIds.columns.mkString(", ")})")
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+    }
+    require(integral(purgeIds.schema.head.dataType),
+      s"ivfPqIndexPurge: column '${purgeIds.columns.head}' is " +
+        s"${purgeIds.schema.head.dataType} — ids must be an integral type " +
+        "(a lossy cast would silently purge nothing)")
+    require(integral(index.codes.schema("id").dataType),
+      s"ivfPqIndexPurge: index id column is " +
+        s"${index.codes.schema("id").dataType} — ids must be an integral " +
+        "type (a lossy cast would silently purge nothing)")
+    val keys = purgeIds
+      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
+      .na.drop().distinct()
+    index.copy(codes = index.codes.join(broadcast(keys),
+      col("id").cast("long") === col("__purge_id"), "left_anti"))
+  }
+
   /** Measured recall@k of a fitted index on a held-out query frame — the
     * drift monitor for the append-without-refit loop ([[ivfPqIndexAppend]]):
     * as appended shards move the embedding distribution away from the
