@@ -317,37 +317,13 @@ object CurationPipeline {
     * takedown / erasure lists are id sets, full stop — a multi-column
     * frame is a caller bug, refused loudly.
     */
-  private def purgeKeyFrame(purgeIds: DataFrame, where: String): DataFrame = {
-    require(purgeIds.columns.length == 1,
-      s"$where: purgeIds must be a single-column id frame, got " +
-        s"(${purgeIds.columns.mkString(", ")})")
-    // Integral only, loudly: casting a string/float column would turn
-    // unparsable values into nulls and silently purge NOTHING — the
-    // worst failure mode a takedown pass can have.
-    val dt = purgeIds.schema.head.dataType
-    requireIntegralPurgeCol(dt, purgeIds.columns.head, where,
-      "a lossy cast would silently purge nothing")
-    purgeIds
-      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
-      .na.drop().distinct()
-  }
+  private def purgeKeyFrame(purgeIds: DataFrame, where: String): DataFrame =
+    StateCompaction.purgeKeyFrame(purgeIds, where)
 
-  /** Both sides of a purge anti-join must be integral: a lossy cast on
-    * EITHER side turns values into nulls that never match — and a
-    * takedown that silently retains rows is the worst failure mode the
-    * pass can have.
-    */
   private def requireIntegralPurgeCol(
       dt: org.apache.spark.sql.types.DataType,
-      colName: String, where: String, consequence: String): Unit = {
-    val integral = {
-      import org.apache.spark.sql.types._
-      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
-    }
-    require(integral,
-      s"$where: column '$colName' is $dt — ids must be an integral type " +
-        s"($consequence)")
-  }
+      colName: String, where: String, consequence: String): Unit =
+    StateCompaction.requireIntegralPurgeCol(dt, colName, where, consequence)
 
   /** DELETION PROPAGATION over a standing parquet release — the
     * takedown / right-to-erasure pass a production corpus needs: rewrite

@@ -502,24 +502,13 @@ object ProductQuant {
     * all-purged index serves empty results (delete it instead).
     */
   def ivfPqIndexPurge(index: IvfPqIndex, purgeIds: DataFrame): IvfPqIndex = {
-    require(purgeIds.columns.length == 1,
-      s"ivfPqIndexPurge: purgeIds must be a single-column id frame, got " +
-        s"(${purgeIds.columns.mkString(", ")})")
-    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
-      import org.apache.spark.sql.types._
-      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
-    }
-    require(integral(purgeIds.schema.head.dataType),
-      s"ivfPqIndexPurge: column '${purgeIds.columns.head}' is " +
-        s"${purgeIds.schema.head.dataType} — ids must be an integral type " +
-        "(a lossy cast would silently purge nothing)")
-    require(integral(index.codes.schema("id").dataType),
-      s"ivfPqIndexPurge: index id column is " +
-        s"${index.codes.schema("id").dataType} — ids must be an integral " +
-        "type (a lossy cast would silently purge nothing)")
-    val keys = purgeIds
-      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
-      .na.drop().distinct()
+    // Shared takedown guards (single column, integral both sides,
+    // cast-long/distinct key frame) — one implementation for every
+    // purge entry point, so the guards cannot drift.
+    val keys = StateCompaction.purgeKeyFrame(purgeIds, "ivfPqIndexPurge")
+    StateCompaction.requireIntegralPurgeCol(
+      index.codes.schema("id").dataType, "id", "ivfPqIndexPurge",
+      "a lossy cast would silently purge nothing")
     index.copy(codes = index.codes.join(broadcast(keys),
       col("id").cast("long") === col("__purge_id"), "left_anti"))
   }

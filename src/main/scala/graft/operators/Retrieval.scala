@@ -194,10 +194,36 @@ object Retrieval {
         s"appendIndex: index at $dir is laid out with $prior term buckets " +
           s"but this append asked for $buckets — bucket routing must match " +
           "or probes would miss postings; pass the original bucket count")
+    } else {
+      // The bucket manifest goes down FIRST: if it were stamped after
+      // the first slice, a crash in between would let a later append
+      // install a different count and silently mis-route probes away
+      // from the first batch's tb assignments.
+      fs.mkdirs(root)
+      val out = fs.create(bFile, false)
+      out.write(buckets.toString.getBytes("UTF-8"))
+      out.close()
     }
+    // A label at or below an existing compacted fold's ordinal is a
+    // batch that was ALREADY ingested and folded (a checkpoint-replayed
+    // micro-batch arriving after an offline compactIndex): letting it
+    // land beside the fold would silently double-count its docs' tf, df
+    // and corpus stats. Re-delivery of a LIVE label overwrites in place
+    // (idempotent) and stays allowed.
+    val cMax = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=c"))
+      .map(st => StateCompaction.labelOrd(
+        st.getPath.getName.stripPrefix("batch="), "appendIndex"))
+      .sorted.lastOption
+    cMax.foreach(c => require(label.toLong > c,
+      s"appendIndex: batch '$label' was already folded into batch=c$c — " +
+        "re-ingesting it would double-count its documents; compact only " +
+        "after a CLEAN stream stop (all delivered batches committed to " +
+        "the checkpoint), and resume with labels above the fold"))
     // Postings first, stats second: a crash between the two leaves the
     // label sets divergent, which the serve path refuses loudly (the
-    // repair is re-appending this label — both writes are overwrites).
+    // repair is re-appending this label — both writes are overwrites —
+    // or compactIndex, which rebuilds the manifest from the postings).
     val post = graft.plans.Materialize(postings(docs, idCol, textCol))
     post
       .withColumn("tb",
@@ -206,11 +232,6 @@ object Retrieval {
     post.groupBy("doc_id").agg(first("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats/batch=$label")
-    if (!fs.exists(bFile)) {
-      val out = fs.create(bFile, false)
-      out.write(buckets.toString.getBytes("UTF-8"))
-      out.close()
-    }
   }
 
   /** [[bm25TopK]] served from the standing [[appendIndex]] layout at
@@ -249,11 +270,18 @@ object Retrieval {
     val postBatches = labels(root)
     val statsBatches = labels(new org.apache.hadoop.fs.Path(root, "_stats"))
     require(postBatches.nonEmpty, s"bm25TopKIndexed: $dir holds no batch= slices")
-    require(postBatches == statsBatches,
+    // Compare label ORDINALS, not strings: a maintenance pass rebuilds
+    // the manifest as batch=c<maxOrd>, so postings {batch=0} beside
+    // stats {batch=c0} is the same coverage (c<i> orders as i).
+    def ordsOf(names: Seq[String]): Seq[Long] = names.map(n =>
+      StateCompaction.labelOrd(n.stripPrefix("batch="), "bm25TopKIndexed")).sorted
+    require(ordsOf(postBatches) == ordsOf(statsBatches),
       s"bm25TopKIndexed: postings batches (${postBatches.mkString(",")}) and " +
         s"stats batches (${statsBatches.mkString(",")}) diverge — a crashed " +
-        "append or half-finished compaction; re-append the missing label " +
-        "(appendIndex overwrites are idempotent) or re-run compactIndex")
+        "append, purge, or compaction; re-append the missing label " +
+        "(appendIndex overwrites are idempotent) if the last append " +
+        "crashed, or re-run compactIndex — it rebuilds the stats manifest " +
+        "from the postings, the ground truth")
     // Explicit batch-dir paths: handing Spark the `_stats` ROOT would
     // trip the hidden-path filter (a "[all] paths were ignored" warning
     // and version-dependent behavior); a hidden segment mid-path is fine.
@@ -281,9 +309,13 @@ object Retrieval {
     * of the standing index: each micro-batch of documents appends its
     * own `batch=<batchId>` postings + stats slice, so the corpus becomes
     * searchable as it arrives. Re-delivered batches (checkpoint replay)
-    * overwrite their own slice — idempotent, the sink convention every
-    * batch-keyed layout here shares. Serve with [[bm25TopKIndexed]]
-    * between (not during) appends.
+    * overwrite their own LIVE slice — idempotent, the sink convention
+    * every batch-keyed layout here shares — but a batch replayed from
+    * BEFORE an offline [[compactIndex]] is refused by the fold-ordinal
+    * guard (its rows already live in the c-fold; landing beside it
+    * would double-count), so compact only after a CLEAN stream stop
+    * with all delivered batches committed to the checkpoint. Serve with
+    * [[bm25TopKIndexed]] between (not during) appends.
     */
   def indexSink(
       dir: String,
@@ -294,17 +326,67 @@ object Retrieval {
     (batch: DataFrame, batchId: Long) =>
       appendIndex(batch, dir, batchId.toString, buckets, idCol, textCol)
 
+  /** Every postings slice must carry its `_SUCCESS` job marker before a
+    * maintenance fold may trust its rows: a batch dir without one is a
+    * mid-write crash whose part files are PARTIAL — folding them (or
+    * recomputing stats from them) would bake truncated postings into
+    * the standing index. The repair is re-appending that label.
+    */
+  private def requireCompleteSlices(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, where: String): Unit = {
+    val partial = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filterNot(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
+    require(partial.isEmpty,
+      s"$where: postings slices ${partial.mkString(", ")} under $root lack " +
+        "a _SUCCESS marker (a mid-write crash left partial rows) — " +
+        "re-append those labels before folding")
+  }
+
+  /** Rebuild the `_stats` manifest FROM the postings — the postings are
+    * ground truth and the manifest is a derived cache, so this pass is
+    * the universal repair for any append/purge/compaction crash window.
+    * Folds to the POSTINGS' max label (targetOrd), keeping the two
+    * layouts label-equal whatever state the manifest was left in.
+    */
+  private def rewriteStatsFromPostings(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      where: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val postDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    require(postDirs.nonEmpty, s"$where: $dir holds no batch= slices")
+    val targetOrd = postDirs.map(st => StateCompaction.labelOrd(
+      st.getPath.getName.stripPrefix("batch="), where)).max
+    val perDoc = graft.plans.Materialize(
+      spark.read.option("basePath", dir)
+        .parquet(postDirs.map(_.getPath.toString).toIndexedSeq: _*)
+        .groupBy("doc_id").agg(first("dl").as("dl")))
+    StateCompaction.runProtocol(spark, s"$dir/_stats", "batch=", where,
+      minInputs = 1, targetOrd = Some(targetOrd)) { (_, tmp) =>
+      perDoc
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** DELETION PROPAGATION over the standing index — the takedown /
     * right-to-erasure pass: fold the postings slices into ONE
     * `batch=c<maxId>` dir WITHOUT the purged docs' rows (their terms,
-    * tf and dl leave the index entirely) and rewrite the stats manifest
-    * from the purged postings, so every later probe scores against the
-    * corrected (N, avgdl, df). Both folds run [[StateCompaction]]'s
-    * crash-safe protocol; a crash between them leaves the label sets
-    * divergent, which [[bm25TopKIndexed]] refuses and a RE-RUN of the
-    * same purge repairs (the anti-join is idempotent). Purging every
-    * document is refused — delete the index dir instead of publishing
-    * an empty one. Offline contract: stop appends first.
+    * tf and dl leave the index entirely), then rebuild the stats
+    * manifest from the purged postings, so every later probe scores
+    * against the corrected (N, avgdl, df). Both folds run
+    * [[StateCompaction]]'s crash-safe protocol; a crash anywhere is
+    * repaired by RE-RUNNING the same purge (the anti-join is
+    * idempotent, and a pending commit marker resumes before the checks
+    * run) — or by [[compactIndex]], which also rebuilds the manifest
+    * from the postings. Purging every document is refused — delete the
+    * index dir instead of publishing an empty one. Offline contract:
+    * stop appends first.
     */
   def purgeIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -312,54 +394,23 @@ object Retrieval {
       purgeIds: DataFrame,
       numFiles: Int = 8
   ): Unit = {
-    require(purgeIds.columns.length == 1,
-      s"purgeIndex: purgeIds must be a single-column id frame, got " +
-        s"(${purgeIds.columns.mkString(", ")})")
-    // Integral ids on BOTH sides, loudly: a lossy cast turns values into
-    // nulls that never match, and a takedown that silently retains rows
-    // is the worst failure mode the pass can have.
-    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
-      import org.apache.spark.sql.types._
-      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
-    }
-    require(integral(purgeIds.schema.head.dataType),
-      s"purgeIndex: column '${purgeIds.columns.head}' is " +
-        s"${purgeIds.schema.head.dataType} — ids must be an integral type " +
-        "(a lossy cast would silently purge nothing)")
-    val keys = graft.plans.Materialize(purgeIds
-      .select(col(purgeIds.columns.head).cast("long").as("__purge_id"))
-      .na.drop().distinct())
-
+    val keys = graft.plans.Materialize(
+      StateCompaction.purgeKeyFrame(purgeIds, "purgeIndex"))
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"purgeIndex: no index at $dir")
-    def ords(p: org.apache.hadoop.fs.Path): Seq[Long] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(st => StateCompaction.labelOrd(
-          st.getPath.getName.stripPrefix("batch="), "purgeIndex"))
-        .sorted.toSeq
-    val pOrds = ords(root)
-    val sOrds = ords(new org.apache.hadoop.fs.Path(root, "_stats"))
-    require(pOrds.nonEmpty && sOrds.nonEmpty,
-      s"purgeIndex: $dir holds no batch= slices (postings ${pOrds.length}, " +
-        s"stats ${sOrds.length}) — not an appendIndex layout")
-    // Equal sets = healthy; postings already folded to c<max(stats)> =
-    // this purge's own crash window, resumable. Anything else is a
-    // crashed APPEND — repair that first (re-append the label).
-    require(pOrds == sOrds || pOrds == Seq(sOrds.max),
-      s"purgeIndex: postings batches (${pOrds.mkString(",")}) and stats " +
-        s"batches (${sOrds.mkString(",")}) diverge from a crashed append — " +
-        "re-append the missing label before purging")
+    // The slice-completeness gate is skipped when THIS pass's own commit
+    // marker is pending — the fold already ran over complete slices and
+    // runProtocol resumes it first (the pre-fold dirs are partly gone).
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")))
+      requireCompleteSlices(fs, root, "purgeIndex")
     StateCompaction.runProtocol(spark, dir, "batch=", "purgeIndex",
       minInputs = 1) { (inputs, tmp) =>
       val kept = spark.read.option("basePath", dir).parquet(inputs: _*)
         .select("term", "doc_id", "tf", "dl", "tb")
-      require(integral(kept.schema("doc_id").dataType),
-        s"purgeIndex: index doc_id is ${kept.schema("doc_id").dataType} — " +
-          "ids must be an integral type (a lossy cast would silently " +
-          "purge nothing)")
+      StateCompaction.requireIntegralPurgeCol(
+        kept.schema("doc_id").dataType, "doc_id", "purgeIndex",
+        "a lossy cast would silently purge nothing")
       val survivors = kept.join(broadcast(keys),
         col("doc_id").cast("long") === col("__purge_id"), "left_anti")
       // Refuse BEFORE the fold commits: throwing here aborts with the
@@ -371,20 +422,7 @@ object Retrieval {
         .repartition(numFiles, col("tb"))
         .write.partitionBy("tb").mode("overwrite").parquet(tmp)
     }
-    // Stats rewrite from the PURGED postings — its own protocol run, so
-    // a crash here resumes; the fold ignores its stats inputs by design.
-    val foldedPaths = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.toString).toIndexedSeq
-    val perDoc = graft.plans.Materialize(
-      spark.read.option("basePath", dir).parquet(foldedPaths: _*)
-        .groupBy("doc_id").agg(first("dl").as("dl")))
-    StateCompaction.runProtocol(spark, s"$dir/_stats", "batch=", "purgeIndex",
-      minInputs = 1) { (_, tmp) =>
-      perDoc
-        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
+    rewriteStatsFromPostings(spark, dir, "purgeIndex")
     StateCompaction.writePurgeReceipt(
       spark, dir, "purgeIndex", keys.count(), s"numFiles=$numFiles")
   }
@@ -392,15 +430,25 @@ object Retrieval {
   /** IN-PLACE crash-safe compaction of an [[appendIndex]] layout: folds
     * the accumulated postings slices into ONE `batch=c<maxId>` dir
     * (keeping the tb= partition layout — the fold is the one pass that
-    * re-clusters each term's postings into contiguous files) and the
-    * stats manifest into one row-set. [[StateCompaction]]'s commit
-    * protocol on both; a crash between the two passes leaves the label
-    * sets divergent, which [[bm25TopKIndexed]] refuses loudly and a
-    * re-run here repairs (totals are unchanged by compaction). Offline
-    * contract: stop appends first.
+    * re-clusters each term's postings into contiguous files), then
+    * REBUILDS the stats manifest from the folded postings — the
+    * postings are ground truth and the manifest a derived cache, so
+    * this pass is also the universal repair for a purge or compaction
+    * crash window (the manifest can never be healed into stale
+    * pre-purge totals: it is recomputed, never folded). A slice without
+    * its `_SUCCESS` marker (a crashed APPEND's partial write) refuses
+    * the fold — re-append that label first. Offline contract: stop the
+    * stream CLEANLY first (all delivered batches committed to the
+    * checkpoint), or a replayed batch would be refused by appendIndex's
+    * fold-ordinal guard after the compaction.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       numFiles: Int = 8): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"compactIndex: no index at $dir")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_commit")))
+      requireCompleteSlices(fs, root, "compactIndex")
     StateCompaction.runProtocol(spark, dir, "batch=", "compactIndex") {
       (inputs, tmp) =>
         spark.read.option("basePath", dir).parquet(inputs: _*)
@@ -408,10 +456,7 @@ object Retrieval {
           .repartition(numFiles, col("tb"))
           .write.partitionBy("tb").mode("overwrite").parquet(tmp)
     }
-    val statsDir = new org.apache.hadoop.fs.Path(dir, "_stats")
-    val fs = statsDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(statsDir))
-      StateCompaction.compactBatchDir(spark, statsDir.toString, numFiles = 1)
+    rewriteStatsFromPostings(spark, dir, "compactIndex")
   }
 
   /** Per-document keyword extraction: the `k` highest-TF-IDF terms of each

@@ -153,6 +153,44 @@ object StateCompaction {
     out.close()
   }
 
+  /** The one-column long key frame every purge entry point shares
+    * (takedown / erasure lists are id sets, full stop): single column,
+    * INTEGRAL type, cast long, nulls dropped, distinct. Shared by the
+    * release, shard-state, BM25-index and ANN-index purge passes so the
+    * takedown-critical guards cannot drift apart.
+    */
+  private[graft] def purgeKeyFrame(
+      purgeIds: org.apache.spark.sql.DataFrame,
+      where: String): org.apache.spark.sql.DataFrame = {
+    require(purgeIds.columns.length == 1,
+      s"$where: purgeIds must be a single-column id frame, got " +
+        s"(${purgeIds.columns.mkString(", ")})")
+    requireIntegralPurgeCol(purgeIds.schema.head.dataType,
+      purgeIds.columns.head, where,
+      "a lossy cast would silently purge nothing")
+    purgeIds
+      .select(org.apache.spark.sql.functions
+        .col(purgeIds.columns.head).cast("long").as("__purge_id"))
+      .na.drop().distinct()
+  }
+
+  /** Both sides of a purge anti-join must be integral: a lossy cast on
+    * EITHER side turns values into nulls that never match — and a
+    * takedown that silently retains rows is the worst failure mode the
+    * pass can have.
+    */
+  private[graft] def requireIntegralPurgeCol(
+      dt: org.apache.spark.sql.types.DataType,
+      colName: String, where: String, consequence: String): Unit = {
+    val integral = {
+      import org.apache.spark.sql.types._
+      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+    }
+    require(integral,
+      s"$where: column '$colName' is $dt — ids must be an integral type " +
+        s"($consequence)")
+  }
+
   /** Fold `dir`'s `batch=<id>` subdirectories into `batch=c<maxId>`.
     * `select` optionally projects the folded columns (Nil = full
     * schema); `rewrite` post-processes the union (identity for the
@@ -191,7 +229,7 @@ object StateCompaction {
     */
   private[graft] def runProtocol(
       spark: SparkSession, dir: String, prefix: String, where: String,
-      minInputs: Int = 2)(
+      minInputs: Int = 2, targetOrd: Option[Long] = None)(
       fold: (Seq[String], String) => Unit): Unit = {
     require(minInputs >= 1, s"$where: minInputs must be >= 1, got $minInputs")
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -238,8 +276,15 @@ object StateCompaction {
     if (batchDirs.length < minInputs) return // nothing to fold
     // Validate every label BEFORE any work — a foreign dir must refuse
     // the whole fold, not die mid-protocol.
-    val maxId = batchDirs.map(st => labelOrd(
+    val dirMax = batchDirs.map(st => labelOrd(
       st.getPath.getName.stripPrefix(prefix), where)).max
+    // An explicit targetOrd lets a DERIVED layout fold to its source's
+    // label (the BM25 stats manifest folds to the POSTINGS' max, so the
+    // two stay label-equal even when one side is mid-repair); it may
+    // only ever run ahead of the dir's own labels, never behind.
+    targetOrd.foreach(t => require(t >= dirMax,
+      s"$where: targetOrd c$t is behind this dir's own max label c$dirMax"))
+    val maxId = targetOrd.getOrElse(dirMax)
     fold(batchDirs.map(_.getPath.toString).toIndexedSeq, tmp.toString)
     val target = s"${prefix}c$maxId"
     // The marker IS the commit point, so its own write must be atomic:

@@ -149,6 +149,43 @@ class RetrievalSpec extends SparkSpec {
       snap(Retrieval.bm25TopK(qs, b0, k = 3)))
   }
 
+  test("compactIndex rebuilds the stats manifest from postings (the universal repair)") {
+    val b0 = Seq((1L, "spark join window"), (2L, "merge sort join")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "hash batch spark")).toDF("doc_id", "text")
+    val union = b0.unionByName(b1)
+    val qs = Seq((1L, "spark join"), (2L, "sort")).toDF("query_id", "query_text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25fix").toString + "/idx"
+    Retrieval.appendIndex(b0, dir, "0", buckets = 8)
+    Retrieval.appendIndex(b1, dir, "1", buckets = 8)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    // Crashed append: postings for batch 1 are complete, its stats row
+    // never landed. Serving refuses; compactIndex rebuilds the manifest
+    // FROM the postings, so totals come out correct, never stale.
+    rmrf(new java.io.File(s"$dir/_stats/batch=1"))
+    val e = intercept[IllegalArgumentException](
+      Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3))
+    assert(e.getMessage.contains("diverge"), e.getMessage)
+    Retrieval.compactIndex(spark, dir)
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) ==
+      snap(Retrieval.bm25TopK(qs, union, k = 3)),
+      "rebuilt manifest diverged from ground truth")
+    // A batch replayed from BEFORE the fold is refused — its rows are in
+    // the c-fold already; landing beside it would double-count.
+    val eReplay = intercept[IllegalArgumentException](
+      Retrieval.appendIndex(b1, dir, "1", buckets = 8))
+    assert(eReplay.getMessage.contains("folded"), eReplay.getMessage)
+    // A slice whose write crashed mid-flight (no _SUCCESS) refuses
+    // maintenance folds with the re-append remedy.
+    Retrieval.appendIndex(
+      Seq((9L, "window spark")).toDF("doc_id", "text"), dir, "2", buckets = 8)
+    assert(new java.io.File(s"$dir/batch=2/_SUCCESS").delete())
+    val ePartial = intercept[IllegalArgumentException](
+      Retrieval.compactIndex(spark, dir))
+    assert(ePartial.getMessage.contains("re-append"), ePartial.getMessage)
+  }
+
   test("standing index purge: postings leave, stats correct, scores re-rank") {
     val b0 = Seq((1L, "spark join window"), (2L, "merge sort join")).toDF("doc_id", "text")
     val b1 = Seq((3L, "hash batch spark"), (4L, "spark spark spark")).toDF("doc_id", "text")
