@@ -4929,6 +4929,37 @@ object QueryCatalog {
               |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
               |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
 
+    // Health check for the standing-index layout: a healthy two-append
+    // index reports NOTHING; a staged broken one reports exactly its
+    // three defects (missing routing manifest, a slice without its job
+    // marker, postings/stats label divergence) — one row each, the
+    // alert surface an ops scanner consumes.
+    Q("bm25_index_fsck", (s, dir) => {
+      val d = docs(s, dir)
+      val healthyDir = scratchDir("graft_bm25_fsck_ok", dir)
+      Retrieval.appendIndex(d.filter(col("doc_id") < 250), healthyDir, "0", buckets = 16)
+      Retrieval.appendIndex(d.filter(col("doc_id") >= 250), healthyDir, "1", buckets = 16)
+      val healthy = Retrieval.fsckIndex(s, healthyDir)
+      val broken = scratchDir("graft_bm25_fsck_bad", dir)
+      Retrieval.appendIndex(d.filter(col("doc_id") < 250), broken, "0", buckets = 16)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(new java.io.File(s"$broken/_stats/batch=0")) // crashed append
+      rmrf(new java.io.File(s"$broken/_buckets"))       // no routing manifest
+      new java.io.File(s"$broken/batch=1").mkdirs()     // slice without _SUCCESS
+      healthy.withColumn("layout", lit("healthy"))
+        .unionByName(Retrieval.fsckIndex(s, broken)
+          .withColumn("layout", lit("broken")))
+        .select("layout", "chk", "item")
+        .orderBy("layout", "chk", "item")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('broken', 'missing_buckets', '_buckets'),
+        |  ('broken', 'missing_success', 'batch=1'),
+        |  ('broken', 'stats_divergence', '_stats'))
+        |AS t(layout, chk, item) ORDER BY 1, 2, 3""".stripMargin)),
+
     // Hybrid retrieval: BM25 top-20 + exact dense cosine top-20 fused by
     // reciprocal rank (RRF, rrfK=60) — rank-based, so the incomparable
     // score scales never meet; both input lists are oracle-proven exact

@@ -459,6 +459,53 @@ object Retrieval {
     rewriteStatsFromPostings(spark, dir, "compactIndex")
   }
 
+  /** Health check for an [[appendIndex]] layout — the generic batch-dir
+    * fsck (wedge / orphan tmp / foreign label / missing `_SUCCESS`) over
+    * BOTH the postings root and the `_stats` manifest (stats findings
+    * prefixed `_stats/`), plus the two index-specific invariants:
+    * `missing_buckets` (no `_buckets` routing manifest — probes cannot
+    * be bucket-hashed) and `stats_divergence` (postings and stats label
+    * ordinals differ — a crashed append/purge/compaction; the detail
+    * names the repair). One row per finding; empty = healthy.
+    */
+  def fsckIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"fsckIndex: no such dir $dir")
+    val statsPath = new org.apache.hadoop.fs.Path(root, "_stats")
+    val base = StateCompaction.fsck(spark, dir)
+    val statsFindings =
+      if (!fs.exists(statsPath)) base.limit(0)
+      else StateCompaction.fsck(spark, statsPath.toString)
+        .withColumn("item", concat(lit("_stats/"), col("item")))
+    val extra = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_buckets")))
+      extra += (("missing_buckets", "_buckets",
+        "no term-bucket routing manifest — not a (complete) appendIndex " +
+          "layout; probes cannot be bucket-hashed"))
+    def ords(p: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .flatMap(st => (if (st.getPath.getName.stripPrefix("batch=").startsWith("c"))
+          st.getPath.getName.stripPrefix("batch=c") else
+          st.getPath.getName.stripPrefix("batch=")).toLongOption)
+        .sorted.toSeq
+    val pOrds = ords(root)
+    val sOrds = ords(statsPath)
+    if (pOrds != sOrds)
+      extra += (("stats_divergence", "_stats",
+        s"postings batches (${pOrds.mkString(",")}) vs stats " +
+          s"(${sOrds.mkString(",")}) — a crashed append (re-append the " +
+          "missing label) or purge/compaction (re-run compactIndex, " +
+          "which rebuilds the manifest from the postings)"))
+    import spark.implicits._
+    base.unionByName(statsFindings)
+      .unionByName(extra.sortBy(f => (f._1, f._2)).toSeq
+        .toDF("chk", "item", "detail"))
+  }
+
   /** Per-document keyword extraction: the `k` highest-TF-IDF terms of each
     * document (smoothed idf `ln((1+N)/(1+df))`, the sklearn convention) —
     * the corpus-tagging primitive (topic bucketing, facet indexes, doc
