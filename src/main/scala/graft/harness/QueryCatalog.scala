@@ -5029,6 +5029,35 @@ object QueryCatalog {
              |       ELSE ROUND(new_val / old_val, 6) END AS ratio
              |FROM pairs ORDER BY stat""".stripMargin)),
 
+    // Hybrid retrieval served ENTIRELY from standing layouts: the lexical
+    // list from the term-bucketed BM25 index (manifest stats + pruned
+    // scan), the dense list from the persisted IVF-PQ index (probe + ADC
+    // scan, no query-time fit), fused by RRF — the production serve
+    // topology where no retriever touches raw text or vectors at query
+    // time. IVF-PQ fits are hash-seeded → golden fixture (the in-memory
+    // hybrid twin search_hybrid carries the full SQL oracle).
+    Q("search_hybrid_idx", (s, dir) => {
+      val qs = s.createDataFrame(Seq(
+        (0L, "spark join"), (1L, "window merge sort"), (2L, "vector hash batch")))
+        .toDF("query_id", "query_text")
+      val bmDir = scratchDir("graft_hyb_bm25", dir)
+      val d = docs(s, dir)
+      Retrieval.appendIndex(d.filter(col("doc_id") < 250), bmDir, "0", buckets = 16)
+      Retrieval.appendIndex(d.filter(col("doc_id") >= 250), bmDir, "1", buckets = 16)
+      val lex = Retrieval.bm25TopKIndexed(s, qs, bmDir, k = 20)
+      val e = emb(s, dir)
+      val annDir = s"/tmp/graft_hyb_ivfpq_idx_v${ProductQuant.indexFormatVersion}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(s"$annDir/codes/_SUCCESS").exists())
+        ProductQuant.ivfPqIndex(e, nlist = 16, m = 16, ks = 32).save(annDir)
+      val dense = ProductQuant.ivfPqTopK(
+        e.filter(col("vec_id") < 3), e, IvfPqIndex.load(s, annDir),
+        20, 12, 0, "vec_id", "embedding")
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, k = 10)
+        .orderBy("query_id", "rank")
+    }, None),
+
     Q("search_hybrid", (s, dir) => {
       val qs = s.createDataFrame(Seq(
         (0L, "spark join"), (1L, "window merge sort"), (2L, "vector hash batch")))
