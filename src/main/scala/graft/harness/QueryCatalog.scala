@@ -4161,6 +4161,50 @@ object QueryCatalog {
         |  ('broken', 'wedge', '_compact_commit'))
         |AS t(layout, chk, item) ORDER BY 1, 2, 3""".stripMargin)),
 
+    // Content-integrity verification — the check _SUCCESS markers and
+    // fsck cannot make: a stamped per-slice (row count, order-invariant
+    // content fingerprint) manifest re-verified by one columnar scan,
+    // classifying every drift kind. A healthy release reports all-ok; a
+    // staged damaged copy reports exactly its four defects.
+    Q("release_verify", (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val ok = scratchDir("graft_integ_ok", dir)
+      d.filter(col("doc_id") < 250).write.parquet(s"$ok/shard=0")
+      d.filter(col("doc_id") >= 250).write.parquet(s"$ok/shard=1")
+      graft.operators.Integrity.stamp(s, ok)
+      val healthy = graft.operators.Integrity.verify(s, ok)
+      val bad = scratchDir("graft_integ_bad", dir)
+      d.filter(col("doc_id") < 250).write.parquet(s"$bad/shard=0")
+      d.filter(col("doc_id") >= 250).write.parquet(s"$bad/shard=1")
+      d.filter(col("doc_id") < 10).write.parquet(s"$bad/shard=2")
+      graft.operators.Integrity.stamp(s, bad)
+      // One defect of each kind: a flipped cell (same rows), a lost
+      // slice, a truncated slice, a slice written after the stamp.
+      d.filter(col("doc_id") < 250)
+        .withColumn("text", concat(col("text"), lit("!")))
+        .write.mode("overwrite").parquet(s"$bad/shard=0")
+      d.filter(col("doc_id") < 5)
+        .write.mode("overwrite").parquet(s"$bad/shard=2")
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(new java.io.File(s"$bad/shard=1"))
+      d.filter(col("doc_id") < 3).write.parquet(s"$bad/shard=3")
+      healthy.withColumn("layout", lit("healthy"))
+        .unionByName(graft.operators.Integrity.verify(s, bad)
+          .withColumn("layout", lit("damaged")))
+        .select("layout", "slice", "status")
+        .orderBy("layout", "slice")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('damaged', 'shard=0', 'content_drift'),
+        |  ('damaged', 'shard=1', 'missing_slice'),
+        |  ('damaged', 'shard=2', 'row_count_drift'),
+        |  ('damaged', 'shard=3', 'unstamped_slice'),
+        |  ('healthy', 'shard=0', 'ok'),
+        |  ('healthy', 'shard=1', 'ok'))
+        |AS t(layout, slice, status) ORDER BY 1, 2""".stripMargin)),
+
     // The near-dup face of the shard-ingest release: minhash joins the
     // composed chain through the persisted signature index (corpus text
     // never re-shingled). xxhash-seeded banding has no SQL form →

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-integrity manifests for standing parquet layouts — the check
+  * `_SUCCESS` markers and [[StateCompaction.fsck]] cannot make: markers
+  * prove a WRITE completed, not that today's bytes are yesterday's. At
+  * 100 TB a release is copied between stores, retained for years, and
+  * served by many readers; silent corruption (bit-rot, a partial copy,
+  * a stray rewrite) must be detectable without comparing against a
+  * second full copy. The manifest is a per-slice row-count + an
+  * order-independent content fingerprint — verification is one columnar
+  * scan, no reference copy needed.
+  *
+  * Fingerprint: per row, `xxhash64` over every column (column order
+  * fixed by sorting names, so projection order at write time is
+  * immaterial); per slice, the SUM of row hashes wrapped in Long — a
+  * commutative fold, so row order, partition count and file layout are
+  * all immaterial too (exactly the properties a rewrite/compaction is
+  * allowed to change). Collisions are 2^-64-unlikely and an attacker is
+  * out of scope (this is a SAFETY check, not an authenticity seal).
+  */
+object Integrity {
+
+  /** Per-slice `(slice, n_rows, fp)` of every `<prefix><label>` subdir
+    * under `dir` — the recompute half shared by [[stamp]] and
+    * [[verify]]. One scan per slice, thin aggregate out.
+    */
+  def fingerprint(
+      spark: SparkSession, dir: String, prefix: String = "shard="): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"fingerprint: no such dir $dir")
+    val slices = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath).sortBy(_.getName)
+    require(slices.nonEmpty,
+      s"fingerprint: $dir holds no $prefix<label> slices")
+    slices.map { p =>
+      val df = spark.read.parquet(p.toString)
+      val cols = df.columns.sorted.map(c => col(s"`$c`"))
+      // Decimal(38) fold: a sum of 64-bit hashes overflows Long after a
+      // handful of rows under ANSI arithmetic; 38 digits carries ~1e19
+      // worst-case rows per slice without loss.
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("fp"))
+        .select(lit(p.getName).as("slice"), col("n_rows"), col("fp"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Write the integrity manifest beside the data (`<dir>/_integrity`,
+    * overwrite — hidden, so partition discovery and the slice-prefix
+    * protocols all ignore it). Stamp AFTER the release is complete and
+    * after any compaction (a fold rewrites slice names); re-stamping is
+    * idempotent.
+    */
+  def stamp(
+      spark: SparkSession, dir: String, prefix: String = "shard="): Unit =
+    fingerprint(spark, dir, prefix)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_integrity")
+
+  /** Recompute and diff against the stamped manifest — one row per
+    * slice, `status` ∈ `ok` | `content_drift` (fingerprint differs at
+    * equal rows) | `row_count_drift` | `missing_slice` (stamped but
+    * gone — a lost dir or partial copy) | `unstamped_slice` (present
+    * but not in the manifest — written after the stamp). Sorted by
+    * (status, slice) so the non-`ok` rows surface first in an alert
+    * scan; an empty non-ok set IS the integrity proof.
+    */
+  def verify(
+      spark: SparkSession, dir: String, prefix: String = "shard="): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_integrity")),
+      s"verify: $dir carries no _integrity manifest — stamp it first " +
+        "(Integrity.stamp after the release completes)")
+    val stamped = spark.read.parquet(s"$dir/_integrity")
+      .select(col("slice"), col("n_rows").as("n0"), col("fp").as("fp0"))
+    val now = fingerprint(spark, dir, prefix)
+    stamped.join(now, Seq("slice"), "full_outer")
+      .select(col("slice"),
+        when(col("n0").isNull, lit("unstamped_slice"))
+          .when(col("n_rows").isNull, lit("missing_slice"))
+          .when(col("n0") =!= col("n_rows"), lit("row_count_drift"))
+          .when(col("fp0") =!= col("fp"), lit("content_drift"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy(col("status") === "ok", col("status"), col("slice"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Integrity
+
+/** The content fingerprint must be invariant to everything a legitimate
+  * rewrite is allowed to change — row order, partition count, file
+  * layout, column order at write time — and sensitive to everything it
+  * is not: any cell, any row.
+  */
+class IntegritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rel(rows: Seq[(Long, String)], dir: String, parts: Int,
+      swapCols: Boolean = false): Unit = {
+    val df = rows.toDF("id", "v").repartition(parts)
+    val out = if (swapCols) df.select("v", "id") else df
+    out.write.mode("overwrite").parquet(s"$dir/shard=0")
+  }
+
+  test("fingerprint is layout-invariant and content-sensitive") {
+    val rows = (0L until 100L).map(i => (i, s"text-$i"))
+    val a = java.nio.file.Files.createTempDirectory("integ_a").toString
+    val b = java.nio.file.Files.createTempDirectory("integ_b").toString
+    rel(rows, a, parts = 1)
+    rel(scala.util.Random.shuffle(rows), b, parts = 7, swapCols = true)
+    def fp(d: String) = Integrity.fingerprint(spark, d)
+      .select("n_rows", "fp").head()
+    assert(fp(a) == fp(b),
+      "row order / partitioning / column order changed the fingerprint")
+    // One changed cell must change it.
+    val c = java.nio.file.Files.createTempDirectory("integ_c").toString
+    rel(rows.updated(50, (50L, "text-50x")), c, parts = 1)
+    assert(fp(a) != fp(c), "a changed cell left the fingerprint unchanged")
+    // One dropped row must change both count and fingerprint.
+    val d = java.nio.file.Files.createTempDirectory("integ_d").toString
+    rel(rows.filterNot(_._1 == 99L), d, parts = 1)
+    assert(fp(a) != fp(d))
+  }
+
+  test("stamp/verify classifies every drift kind; re-stamp is idempotent") {
+    val d = (0L until 40L).map(i => (i, s"t-$i")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("integ_v").toString + "/rel"
+    d.filter(col("id") < 20).write.parquet(s"$dir/shard=0")
+    d.filter(col("id") >= 20).write.parquet(s"$dir/shard=1")
+    Integrity.stamp(spark, dir)
+    assert(Integrity.verify(spark, dir).collect()
+      .forall(_.getString(1) == "ok"))
+    // Stage one of each drift.
+    d.filter(col("id") < 20).withColumn("v", concat(col("v"), lit("!")))
+      .write.mode("overwrite").parquet(s"$dir/shard=0")     // content
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/shard=1"))                 // missing
+    d.filter(col("id") < 3).write.parquet(s"$dir/shard=2")  // unstamped
+    val got = Integrity.verify(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("shard=0", "content_drift"),
+      ("shard=1", "missing_slice"),
+      ("shard=2", "unstamped_slice")), got.toString)
+    // Re-stamping accepts the current state as the new baseline.
+    Integrity.stamp(spark, dir)
+    assert(Integrity.verify(spark, dir).collect()
+      .forall(_.getString(1) == "ok"))
+    // An unstamped dir refuses verification with the remedy named.
+    val fresh = java.nio.file.Files.createTempDirectory("integ_f").toString + "/r"
+    d.write.parquet(s"$fresh/shard=0")
+    val e = intercept[IllegalArgumentException](
+      Integrity.verify(spark, fresh))
+    assert(e.getMessage.contains("stamp"), e.getMessage)
+  }
+}
