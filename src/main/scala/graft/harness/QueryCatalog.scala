@@ -4205,6 +4205,54 @@ object QueryCatalog {
         |  ('healthy', 'shard=1', 'ok'))
         |AS t(layout, slice, status) ORDER BY 1, 2""".stripMargin)),
 
+    // The WebDataset face of content-integrity: per-SHARD-FILE stamps
+    // with payload bytes in the hash — the bit-rot check for the binary
+    // members a loader actually decodes. Same staged-defect oracle shape
+    // as release_verify.
+    Q("release_verify_tar", (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("t"))
+      val ok = scratchDir("graft_integ_tok", dir)
+      graft.sources.WebDataset.writeTar(d, ok, shards = 2,
+        keyCol = "doc_id", members = Seq("txt" -> "t"))
+      graft.operators.Integrity.stampTar(s, ok)
+      val healthy = graft.operators.Integrity.verifyTar(s, ok)
+      val bad = scratchDir("graft_integ_tbad", dir)
+      graft.sources.WebDataset.writeTar(d, bad, shards = 3,
+        keyCol = "doc_id", members = Seq("txt" -> "t"))
+      graft.operators.Integrity.stampTar(s, bad)
+      // Tamper shard 0 (same members, one payload flipped), lose shard
+      // 1, add an unstamped shard after the stamp.
+      val alt = scratchDir("graft_integ_talt", dir)
+      graft.sources.WebDataset.writeTar(
+        d.withColumn("t", when(col("doc_id") === 0,
+          lit("tampered").cast("binary")).otherwise(col("t"))),
+        alt, shards = 3, keyCol = "doc_id", members = Seq("txt" -> "t"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$alt/shard-00000.tar"),
+        java.nio.file.Paths.get(s"$bad/shard-00000.tar"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(s"$bad/.shard-00000.tar.crc").delete()
+      new java.io.File(s"$bad/shard-00001.tar").delete()
+      new java.io.File(s"$bad/.shard-00001.tar.crc").delete()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$alt/shard-00002.tar"),
+        java.nio.file.Paths.get(s"$bad/shard-extra.tar"))
+      healthy.withColumn("layout", lit("healthy"))
+        .unionByName(graft.operators.Integrity.verifyTar(s, bad)
+          .withColumn("layout", lit("damaged")))
+        .select("layout", "slice", "status")
+        .orderBy("layout", "slice")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('damaged', 'shard-00000', 'content_drift'),
+        |  ('damaged', 'shard-00001', 'missing_slice'),
+        |  ('damaged', 'shard-00002', 'ok'),
+        |  ('damaged', 'shard-extra', 'unstamped_slice'),
+        |  ('healthy', 'shard-00000', 'ok'),
+        |  ('healthy', 'shard-00001', 'ok'))
+        |AS t(layout, slice, status) ORDER BY 1, 2""".stripMargin)),
+
     // The near-dup face of the shard-ingest release: minhash joins the
     // composed chain through the persisted signature index (corpus text
     // never re-shingled). xxhash-seeded banding has no SQL form →

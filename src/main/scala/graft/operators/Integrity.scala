@@ -89,4 +89,48 @@ object Integrity {
           .otherwise(lit("ok")).as("status"))
       .orderBy(col("status") === "ok", col("status"), col("slice"))
   }
+
+  // ----- WebDataset (tar) releases ------------------------------------
+
+  /** Per-SHARD-FILE `(slice, n_rows, fp)` of a tar release — the member
+    * walk is [[graft.sources.WebDataset.scanTar]]'s, the fold the same
+    * commutative decimal sum, keyed here by the shard label (which
+    * carries the `batch=<id>/` prefix in sink layouts, so every tar
+    * file is its own verifiable unit). Payload bytes participate in the
+    * hash: THIS is the bit-rot check the parquet face makes for column
+    * data, made for the binary members a loader actually decodes.
+    */
+  def fingerprintTar(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.sources.WebDataset.scanTar(spark, dir,
+      requireSuccess = false)
+    m.groupBy(col("shard").as("slice"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(xxhash64(col("key"), col("ext"), col("payload"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
+  }
+
+  /** [[stamp]] for a tar release: manifest under `<dir>/_integrity`. */
+  def stampTar(spark: SparkSession, dir: String): Unit =
+    fingerprintTar(spark, dir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_integrity")
+
+  /** [[verify]] for a tar release — same statuses, per shard file. */
+  def verifyTar(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_integrity")),
+      s"verifyTar: $dir carries no _integrity manifest — stamp it first " +
+        "(Integrity.stampTar after the release completes)")
+    val stamped = spark.read.parquet(s"$dir/_integrity")
+      .select(col("slice"), col("n_rows").as("n0"), col("fp").as("fp0"))
+    stamped.join(fingerprintTar(spark, dir), Seq("slice"), "full_outer")
+      .select(col("slice"),
+        when(col("n0").isNull, lit("unstamped_slice"))
+          .when(col("n_rows").isNull, lit("missing_slice"))
+          .when(col("n0") =!= col("n_rows"), lit("row_count_drift"))
+          .when(col("fp0") =!= col("fp"), lit("content_drift"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy(col("status") === "ok", col("status"), col("slice"))
+  }
 }

@@ -40,6 +40,50 @@ class IntegritySpec extends SparkSpec {
     assert(fp(a) != fp(d))
   }
 
+  test("tar releases stamp/verify per shard file, payload bytes included") {
+    import graft.sources.WebDataset
+    val fixture = (0L until 12L)
+      .map(i => (i, s"payload-$i-${"y" * i.toInt}"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("integ_t").toString + "/rel"
+    WebDataset.writeTar(fixture, dir, shards = 3, keyCol = "doc_id",
+      members = Seq("txt" -> "t"))
+    Integrity.stampTar(spark, dir)
+    assert(Integrity.verifyTar(spark, dir).collect()
+      .forall(_.getString(1) == "ok"))
+    // Content drift: regenerate shard-00000.tar with one flipped payload
+    // (same member count), splice it over the original.
+    val alt = java.nio.file.Files.createTempDirectory("integ_t2").toString + "/rel"
+    WebDataset.writeTar(
+      fixture.withColumn("t",
+        when(col("doc_id") === 0, lit("tampered").cast("binary"))
+          .otherwise(col("t"))),
+      alt, shards = 3, keyCol = "doc_id", members = Seq("txt" -> "t"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$alt/shard-00000.tar"),
+      java.nio.file.Paths.get(s"$dir/shard-00000.tar"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Hadoop's LocalFileSystem keeps .crc sidecars; splicing the tar
+    // behind its back must also drop the stale checksum (a REAL
+    // bit-rot event flips bytes in place and the crc layer may not be
+    // present at all on object stores).
+    new java.io.File(s"$dir/.shard-00000.tar.crc").delete()
+    // Missing + unstamped slices.
+    assert(new java.io.File(s"$dir/shard-00001.tar").delete())
+    new java.io.File(s"$dir/.shard-00001.tar.crc").delete()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$alt/shard-00002.tar"),
+      java.nio.file.Paths.get(s"$dir/shard-extra.tar"))
+    val got = Integrity.verifyTar(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("shard-00000", "content_drift"),
+      ("shard-00001", "missing_slice"),
+      ("shard-00002", "ok"),
+      ("shard-extra", "unstamped_slice")), got.toString)
+  }
+
   test("stamp/verify classifies every drift kind; re-stamp is idempotent") {
     val d = (0L until 40L).map(i => (i, s"t-$i")).toDF("id", "v")
     val dir = java.nio.file.Files.createTempDirectory("integ_v").toString + "/rel"
