@@ -23,32 +23,68 @@ import org.apache.spark.sql.functions._
   */
 object Integrity {
 
+  private def listSlices(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      prefix: String): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath).sortBy(_.getName).toSeq
+
+  /** The per-row content hash: xxhash64 over every DATA column, column
+    * order fixed by sorting names (projection order at write time is
+    * immaterial). Decimal(38) fold: a sum of 64-bit hashes overflows
+    * Long after a handful of rows under ANSI arithmetic; 38 digits
+    * carries ~1e19 worst-case rows per slice without loss.
+    */
+  private def sliceAgg(df: DataFrame, dataCols: Seq[String]) =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(xxhash64(dataCols.sorted.map(c => col(s"`$c`")): _*)
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
+
   /** Per-slice `(slice, n_rows, fp)` of every `<prefix><label>` subdir
-    * under `dir` — the recompute half shared by [[stamp]] and
-    * [[verify]]. One scan per slice, thin aggregate out.
+    * under `dir` — the recompute half of [[stamp]]. ONE scan + one thin
+    * groupBy on the slice partition column (not a scan per slice — a
+    * 100 TB release has thousands of slices, and an N-deep union of
+    * per-slice aggregates is both a planner and a scheduler problem),
+    * left-joined against the filesystem listing so a legitimately-EMPTY
+    * slice still records (0, 0) instead of vanishing from the manifest.
     */
   def fingerprint(
       spark: SparkSession, dir: String, prefix: String = "shard="): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"fingerprint: no such dir $dir")
-    val slices = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(_.getPath).sortBy(_.getName)
+    val slices = listSlices(fs, root, prefix)
     require(slices.nonEmpty,
       s"fingerprint: $dir holds no $prefix<label> slices")
-    slices.map { p =>
-      val df = spark.read.parquet(p.toString)
-      val cols = df.columns.sorted.map(c => col(s"`$c`"))
-      // Decimal(38) fold: a sum of 64-bit hashes overflows Long after a
-      // handful of rows under ANSI arithmetic; 38 digits carries ~1e19
-      // worst-case rows per slice without loss.
-      df.agg(
+    val partCol = prefix.stripSuffix("=")
+    // Partition-type inference OFF for the window this relation resolves
+    // in: labels must round-trip as raw strings ("00" is not "0", "c5"
+    // must not poison a numeric column) so the grouped key rebuilds the
+    // exact dir name the filesystem listing carries.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prior = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false")
+    val all =
+      try spark.read.option("basePath", dir)
+        .parquet(slices.map(_.toString): _*)
+      finally spark.conf.set(inferKey, prior)
+    val dataCols = all.columns.filterNot(_ == partCol).toSeq
+    val agg = all
+      .groupBy(concat(lit(prefix), col(s"`$partCol`")).as("slice"))
+      .agg(
         count(lit(1)).as("n_rows"),
-        coalesce(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("fp"))
-        .select(lit(p.getName).as("slice"), col("n_rows"), col("fp"))
-    }.reduce(_ unionByName _)
+        coalesce(sum(xxhash64(dataCols.sorted.map(c => col(s"`$c`")): _*)
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
+    import spark.implicits._
+    slices.map(_.getName).toDF("slice")
+      .join(agg, Seq("slice"), "left")
+      .select(col("slice"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("fp"), lit(0).cast("decimal(38,0)")).as("fp"))
   }
 
   /** Write the integrity manifest beside the data (`<dir>/_integrity`,
@@ -66,9 +102,16 @@ object Integrity {
     * slice, `status` ∈ `ok` | `content_drift` (fingerprint differs at
     * equal rows) | `row_count_drift` | `missing_slice` (stamped but
     * gone — a lost dir or partial copy) | `unstamped_slice` (present
-    * but not in the manifest — written after the stamp). Sorted by
-    * (status, slice) so the non-`ok` rows surface first in an alert
-    * scan; an empty non-ok set IS the integrity proof.
+    * but not in the manifest — written after the stamp) |
+    * `unreadable_slice` (present but its parquet no longer reads — lost
+    * part files behind a surviving `_SUCCESS`). Sorted non-`ok` first;
+    * an empty non-ok set IS the integrity proof.
+    *
+    * FAULT-ISOLATED per slice (one small job each, driver-sequenced):
+    * the classifier exists precisely for the most-damaged releases, so
+    * one unreadable slice must become a row, not an exception that
+    * hides every other finding — the opposite trade from [[stamp]],
+    * which assumes healthy data and pays one scan total.
     */
   def verify(
       spark: SparkSession, dir: String, prefix: String = "shard="): DataFrame = {
@@ -78,16 +121,31 @@ object Integrity {
       s"verify: $dir carries no _integrity manifest — stamp it first " +
         "(Integrity.stamp after the release completes)")
     val stamped = spark.read.parquet(s"$dir/_integrity")
-      .select(col("slice"), col("n_rows").as("n0"), col("fp").as("fp0"))
-    val now = fingerprint(spark, dir, prefix)
-    stamped.join(now, Seq("slice"), "full_outer")
-      .select(col("slice"),
-        when(col("n0").isNull, lit("unstamped_slice"))
-          .when(col("n_rows").isNull, lit("missing_slice"))
-          .when(col("n0") =!= col("n_rows"), lit("row_count_drift"))
-          .when(col("fp0") =!= col("fp"), lit("content_drift"))
-          .otherwise(lit("ok")).as("status"))
-      .orderBy(col("status") === "ok", col("status"), col("slice"))
+      .select("slice", "n_rows", "fp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val present = listSlices(fs, root, prefix).map(_.getName)
+    val statuses = (stamped.keySet ++ present).toSeq.sorted.map { slice =>
+      val now =
+        if (!present.contains(slice)) None
+        else try {
+          val df = spark.read.parquet(s"$dir/$slice")
+          val r = sliceAgg(df, df.columns.toSeq).head()
+          Some(Right((r.getLong(0), r.getDecimal(1))))
+        } catch { case scala.util.control.NonFatal(_) => Some(Left(())) }
+      val status = (stamped.get(slice), now) match {
+        case (None, _)                 => "unstamped_slice"
+        case (Some(_), None)           => "missing_slice"
+        case (Some(_), Some(Left(_)))  => "unreadable_slice"
+        case (Some((n0, fp0)), Some(Right((n1, fp1)))) =>
+          if (n0 != n1) "row_count_drift"
+          else if (fp0.compareTo(fp1) != 0) "content_drift"
+          else "ok"
+      }
+      (slice, status)
+    }
+    import spark.implicits._
+    statuses.sortBy { case (s, st) => (st == "ok", st, s) }
+      .toDF("slice", "status")
   }
 
   // ----- WebDataset (tar) releases ------------------------------------

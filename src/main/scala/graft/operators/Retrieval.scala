@@ -187,22 +187,26 @@ object Retrieval {
         "re-run compactIndex to resume it before appending")
     val bFile = new org.apache.hadoop.fs.Path(root, "_buckets")
     if (fs.exists(bFile)) {
-      val in = fs.open(bFile)
-      val prior = new String(in.readAllBytes(), "UTF-8").trim
-      in.close()
-      require(prior.toIntOption.contains(buckets),
+      val prior = readBuckets(fs, root, "appendIndex")
+      require(prior == buckets,
         s"appendIndex: index at $dir is laid out with $prior term buckets " +
           s"but this append asked for $buckets — bucket routing must match " +
           "or probes would miss postings; pass the original bucket count")
     } else {
-      // The bucket manifest goes down FIRST: if it were stamped after
+      // The bucket manifest goes down FIRST (if it were stamped after
       // the first slice, a crash in between would let a later append
       // install a different count and silently mis-route probes away
-      // from the first batch's tb assignments.
+      // from the first batch's tb assignments) and ATOMICALLY (write a
+      // tmp, rename — a torn half-written manifest would wedge every
+      // later reader, the same failure mode runProtocol's commit marker
+      // guards against with the same move).
       fs.mkdirs(root)
-      val out = fs.create(bFile, false)
+      val bTmp = new org.apache.hadoop.fs.Path(root, "_buckets.tmp")
+      val out = fs.create(bTmp, true)
       out.write(buckets.toString.getBytes("UTF-8"))
       out.close()
+      require(fs.rename(bTmp, bFile),
+        s"appendIndex: failed to publish the _buckets manifest in $dir")
     }
     // A label at or below an existing compacted fold's ordinal is a
     // batch that was ALREADY ingested and folded (a checkpoint-replayed
@@ -234,6 +238,23 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats/batch=$label")
   }
 
+  /** Read + validate the `_buckets` routing manifest — a damaged one
+    * (torn by pre-atomic-write code or by hand) must name its remedy,
+    * not surface as a raw NumberFormatException.
+    */
+  private def readBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, where: String): Int = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, "_buckets"))
+    val raw = new String(in.readAllBytes(), "UTF-8").trim
+    in.close()
+    raw.toIntOption.filter(b => b >= 1 && b <= 65536).getOrElse(
+      throw new IllegalArgumentException(
+        s"$where: the _buckets manifest at $root is unreadable " +
+          s"('$raw') — recreate it with the index's original bucket " +
+          "count, or re-build the index with appendIndex"))
+  }
+
   /** [[bm25TopK]] served from the standing [[appendIndex]] layout at
     * `dir` — row-equal to the in-memory run over the concatenated
     * corpus, touching nothing corpus-sized: (N, avgdl) fold from the
@@ -259,9 +280,7 @@ object Retrieval {
     require(fs.exists(bFile),
       s"bm25TopKIndexed: $dir carries no _buckets manifest — not an " +
         "appendIndex layout; build it with Retrieval.appendIndex")
-    val in = fs.open(bFile)
-    val buckets = new String(in.readAllBytes(), "UTF-8").trim.toInt
-    in.close()
+    val buckets = readBuckets(fs, root, "bm25TopKIndexed")
     def labels(p: org.apache.hadoop.fs.Path): Seq[String] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p)
@@ -366,12 +385,34 @@ object Retrieval {
       spark.read.option("basePath", dir)
         .parquet(postDirs.map(_.getPath.toString).toIndexedSeq: _*)
         .groupBy("doc_id").agg(first("dl").as("dl")))
-    StateCompaction.runProtocol(spark, s"$dir/_stats", "batch=", where,
-      minInputs = 1, targetOrd = Some(targetOrd)) { (_, tmp) =>
+    def writeStats(tmp: String): Unit =
       perDoc
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
+    val statsRoot = new org.apache.hadoop.fs.Path(root, "_stats")
+    val statsSlices =
+      if (!fs.exists(statsRoot)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(statsRoot).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (statsSlices.isEmpty) {
+      // BOOTSTRAP: the manifest is missing entirely (the very first
+      // append crashed between its postings and stats writes, or the
+      // dir never existed). runProtocol cannot fold zero inputs, and
+      // refusing here would leave an index no documented repair can
+      // heal — so write the recomputed manifest directly, tmp-then-
+      // rename for atomicity.
+      val tmp = new org.apache.hadoop.fs.Path(statsRoot, "_bootstrap_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      writeStats(tmp.toString)
+      val target = new org.apache.hadoop.fs.Path(statsRoot, s"batch=c$targetOrd")
+      if (fs.exists(target)) fs.delete(target, true)
+      require(fs.rename(tmp, target),
+        s"$where: failed to publish the bootstrapped stats manifest in $dir")
+    } else
+      StateCompaction.runProtocol(spark, statsRoot.toString, "batch=", where,
+        minInputs = 1, targetOrd = Some(targetOrd)) { (_, tmp) =>
+        writeStats(tmp)
+      }
   }
 
   /** DELETION PROPAGATION over the standing index — the takedown /
@@ -484,13 +525,17 @@ object Retrieval {
       extra += (("missing_buckets", "_buckets",
         "no term-bucket routing manifest — not a (complete) appendIndex " +
           "layout; probes cannot be bucket-hashed"))
+    else
+      try readBuckets(fs, root, "fsckIndex")
+      catch { case e: IllegalArgumentException =>
+        extra += (("bad_buckets", "_buckets", e.getMessage))
+      }
     def ords(p: org.apache.hadoop.fs.Path): Seq[Long] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .flatMap(st => (if (st.getPath.getName.stripPrefix("batch=").startsWith("c"))
-          st.getPath.getName.stripPrefix("batch=c") else
-          st.getPath.getName.stripPrefix("batch=")).toLongOption)
+        .flatMap(st => StateCompaction.labelOrdOption(
+          st.getPath.getName.stripPrefix("batch=")))
         .sorted.toSeq
     val pOrds = ords(root)
     val sOrds = ords(statsPath)

@@ -38,8 +38,16 @@ object StateCompaction {
     * ordered as the id they folded up to. Anything else is a foreign
     * dir — fail loudly rather than mis-order the standing state.
     */
-  def labelOrd(label: String, where: String): Long =
+  /** The non-throwing twin of [[labelOrd]] — the ONE place the label
+    * grammar (numeric, optional single `c` compaction prefix) lives, so
+    * tolerant scanners (fsck faces) and strict protocol entries cannot
+    * drift apart.
+    */
+  private[graft] def labelOrdOption(label: String): Option[Long] =
     (if (label.startsWith("c")) label.drop(1) else label).toLongOption
+
+  def labelOrd(label: String, where: String): Long =
+    labelOrdOption(label)
       .getOrElse(throw new IllegalArgumentException(
         s"$where: unrecognized batch dir label '$label' — labels must " +
           "be numeric (compacted dirs carry a single c prefix)"))

@@ -40,6 +40,45 @@ class IntegritySpec extends SparkSpec {
     assert(fp(a) != fp(d))
   }
 
+  test("verify survives the worst damage: unreadable and fully-lost slices") {
+    val d = (0L until 30L).map(i => (i, s"w-$i")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("integ_u").toString + "/rel"
+    d.filter(col("id") < 15).write.parquet(s"$dir/shard=0")
+    d.filter(col("id") >= 15).write.parquet(s"$dir/shard=1")
+    Integrity.stamp(spark, dir)
+    // Lost part files behind a surviving _SUCCESS → a row, not a crash.
+    new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.startsWith("part-")).foreach(f => assert(f.delete()))
+    val got = Integrity.verify(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("shard=0", "unreadable_slice"), ("shard=1", "ok")),
+      got.toString)
+    // Every slice gone (a copy that died after the manifest transferred):
+    // one missing_slice row each, still no exception.
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/shard=0"))
+    rmrf(new java.io.File(s"$dir/shard=1"))
+    val gone = Integrity.verify(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gone == Set(("shard=0", "missing_slice"), ("shard=1", "missing_slice")),
+      gone.toString)
+  }
+
+  test("an empty slice records (0, 0) in the manifest and verifies ok") {
+    val d = (0L until 10L).map(i => (i, s"e-$i")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("integ_e").toString + "/rel"
+    d.write.parquet(s"$dir/shard=0")
+    d.limit(0).write.parquet(s"$dir/shard=1")
+    Integrity.stamp(spark, dir)
+    val m = spark.read.parquet(s"$dir/_integrity").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("shard=0" -> 10L, "shard=1" -> 0L), m.toString)
+    assert(Integrity.verify(spark, dir).collect()
+      .forall(_.getString(1) == "ok"))
+  }
+
   test("tar releases stamp/verify per shard file, payload bytes included") {
     import graft.sources.WebDataset
     val fixture = (0L until 12L)

@@ -186,6 +186,46 @@ class RetrievalSpec extends SparkSpec {
     assert(ePartial.getMessage.contains("re-append"), ePartial.getMessage)
   }
 
+  test("a crashed FIRST append (no stats manifest at all) is healable") {
+    val b0 = Seq((1L, "spark join window"), (2L, "merge sort join")).toDF("doc_id", "text")
+    val qs = Seq((1L, "spark join")).toDF("query_id", "query_text")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    // compactIndex must BOOTSTRAP the manifest, not throw on zero inputs.
+    val dir = java.nio.file.Files.createTempDirectory("bm25boot").toString + "/idx"
+    Retrieval.appendIndex(b0, dir, "0", buckets = 8)
+    rmrf(new java.io.File(s"$dir/_stats"))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3))
+    Retrieval.compactIndex(spark, dir)
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3)) ==
+      snap(Retrieval.bm25TopK(qs, b0, k = 3)))
+    // purgeIndex on the same crash state must heal too, never wedge
+    // (its postings fold commits first; the stats rebuild bootstraps).
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25boot2").toString + "/idx"
+    Retrieval.appendIndex(b0, dir2, "0", buckets = 8)
+    rmrf(new java.io.File(s"$dir2/_stats"))
+    Retrieval.purgeIndex(spark, dir2, Seq(2L).toDF("id"))
+    assert(snap(Retrieval.bm25TopKIndexed(spark, qs, dir2, k = 3)) ==
+      snap(Retrieval.bm25TopK(qs, b0.filter(col("doc_id") =!= 2), k = 3)))
+  }
+
+  test("a torn _buckets manifest fails loudly and fsck reports it") {
+    val b0 = Seq((1L, "spark join")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25torn").toString + "/idx"
+    Retrieval.appendIndex(b0, dir, "0", buckets = 8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_buckets"), Array.emptyByteArray)
+    val qs = Seq((1L, "spark")).toDF("query_id", "query_text")
+    val e = intercept[IllegalArgumentException](
+      Retrieval.bm25TopKIndexed(spark, qs, dir, k = 3))
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+    val findings = Retrieval.fsckIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(findings.contains(("bad_buckets", "_buckets")), findings.toString)
+  }
+
   test("standing index purge: postings leave, stats correct, scores re-rank") {
     val b0 = Seq((1L, "spark join window"), (2L, "merge sort join")).toDF("doc_id", "text")
     val b1 = Seq((3L, "hash batch spark"), (4L, "spark spark spark")).toDF("doc_id", "text")
