@@ -163,7 +163,12 @@ object Bench {
           f"[bench] $name: deferred retry (best-run loadavg ${loads(bestIdx)}%.1f > " +
             f"$retryLoad%.1f) -> ${extra.map(e => f"${e._1}%.3f").mkString(", ")} " +
             f"at loadavg ${extra.map(e => f"${e._2}%.1f").mkString(", ")}")
-        (name, if (allVals.exists(_ < 0)) -1.0 else allVals.min, allVals, allLoads)
+        // The retry is ADDITIVE: the sweep already produced valid minima
+        // (v >= 0 or we wouldn't be here), so a retry sample that itself
+        // fails — on the very contention that triggered the retry — must
+        // not convert a measured entry into a failure; it just
+        // contributes nothing.
+        (name, allVals.filter(_ >= 0).min, allVals, allLoads)
       }
     }
     val loadEnd = loadavg()

@@ -286,6 +286,38 @@ object QueryCatalog {
     * shifted to `doc_id % 8 + label*8` — the (bucket, seq) keyspace of
     * the accumulated release.
     */
+  /** The proven BM25 oracle (fixed 3-query probe set, k = 10) — ONE
+    * definition shared by search_bm25 / search_bm25_idx /
+    * search_bm25_serve / streaming_bm25_replay and, with a corpus
+    * filter, search_bm25_purge: an oracle fix must not have to land in
+    * five places. `where` is appended to the documents CTE.
+    */
+  private def bm25OracleSql(where: String = ""): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents$where),
+       |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+       |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
+       |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
+       |    (3, 'vector hash batch')) v(query_id, qt)),
+       |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+       |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
+       |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
+       |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
+       |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
+       |sc AS (SELECT q.query_id, r.doc_id,
+       |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+       |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
+       |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+       |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin
+
   private val incrTokensOracleSql =
     """WITH q0 AS (SELECT doc_id, text FROM documents
       |  WHERE len(string_split(lower(text), ' ')) >= 10),
@@ -4823,30 +4855,7 @@ object QueryCatalog {
         .toDF("query_id", "query_text")
       Retrieval.bm25TopK(qs, docs(s, dir), k = 10)
         .orderBy("query_id", "rank")
-    }, Some("""WITH d AS (SELECT doc_id,
-              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
-              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
-              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
-              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
-              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
-              |    (3, 'vector hash batch')) v(query_id, qt)),
-              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
-              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
-              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
-              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
-              |sc AS (SELECT q.query_id, r.doc_id,
-              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
-              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
-              |  GROUP BY 1, 2),
-              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
-              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin), bench = true),
+    }, Some(bm25OracleSql()), bench = true),
 
     // The serve-many BM25 shape the driver gate also checks: postings
     // built once, parquet round-tripped, queried via the index overload —
@@ -4860,30 +4869,7 @@ object QueryCatalog {
         .toDF("query_id", "query_text")
       Retrieval.bm25TopK(qs, s.read.parquet(out), k = 10, k1 = 1.2, b = 0.75)
         .orderBy("query_id", "rank")
-    }, Some("""WITH d AS (SELECT doc_id,
-              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
-              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
-              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
-              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
-              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
-              |    (3, 'vector hash batch')) v(query_id, qt)),
-              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
-              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
-              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
-              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
-              |sc AS (SELECT q.query_id, r.doc_id,
-              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
-              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
-              |  GROUP BY 1, 2),
-              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
-              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+    }, Some(bm25OracleSql())),
 
     // The STANDING-index serve path: two shard appends into the
     // term-bucketed batch=/tb= layout (tb a partition column), one
@@ -4903,30 +4889,7 @@ object QueryCatalog {
         .toDF("query_id", "query_text")
       Retrieval.bm25TopKIndexed(s, qs, out, k = 10)
         .orderBy("query_id", "rank")
-    }, Some("""WITH d AS (SELECT doc_id,
-              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
-              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
-              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
-              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
-              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
-              |    (3, 'vector hash batch')) v(query_id, qt)),
-              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
-              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
-              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
-              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
-              |sc AS (SELECT q.query_id, r.doc_id,
-              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
-              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
-              |  GROUP BY 1, 2),
-              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
-              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+    }, Some(bm25OracleSql())),
 
     // The continuous-crawl face of the standing index: each micro-batch
     // appends its own batch=<id> postings + stats slice via the
@@ -4953,30 +4916,7 @@ object QueryCatalog {
         .toDF("query_id", "query_text")
       Retrieval.bm25TopKIndexed(s, qs, s"$base/idx", k = 10)
         .orderBy("query_id", "rank")
-    }, Some("""WITH d AS (SELECT doc_id,
-              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
-              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
-              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
-              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
-              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
-              |    (3, 'vector hash batch')) v(query_id, qt)),
-              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
-              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
-              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
-              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
-              |sc AS (SELECT q.query_id, r.doc_id,
-              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
-              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
-              |  GROUP BY 1, 2),
-              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
-              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+    }, Some(bm25OracleSql())),
 
     // Deletion propagation over the standing index: purge doc_id % 7 = 0
     // after two appends, then serve — the oracle runs BM25 over the
@@ -4995,31 +4935,7 @@ object QueryCatalog {
         .toDF("query_id", "query_text")
       Retrieval.bm25TopKIndexed(s, qs, out, k = 10)
         .orderBy("query_id", "rank")
-    }, Some("""WITH d AS (SELECT doc_id,
-              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-              |  FROM documents WHERE doc_id % 7 <> 0),
-              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
-              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
-              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
-              |q0 AS (SELECT * FROM (VALUES (1, 'spark join'), (2, 'window merge sort'),
-              |    (3, 'vector hash batch')) v(query_id, qt)),
-              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
-              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
-              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
-              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
-              |sc AS (SELECT q.query_id, r.doc_id,
-              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
-              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
-              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
-              |  GROUP BY 1, 2),
-              |rk AS (SELECT query_id, doc_id, ROUND(raw, 4) AS score,
-              |    ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rank FROM sc)
-              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-              |FROM rk WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
+    }, Some(bm25OracleSql(" WHERE doc_id % 7 <> 0"))),
 
     // Health check for the standing-index layout: a healthy two-append
     // index reports NOTHING; a staged broken one reports exactly its

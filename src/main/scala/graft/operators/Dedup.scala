@@ -1402,69 +1402,23 @@ object Dedup {
       .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
       .withColumn("hamming", lit(0))
 
-    // BAND pass — the sigDedupIncremental single-thin-exchange shape,
-    // cluster edition: the union's chunk rows (null sigs excluded, as
-    // in batch) cut map-side to the shard's probed buckets, then ONE
-    // aggregate keyed (chunk, key, ehash, elen) elects each cluster's
-    // union representative bucket-locally — exact because identical
-    // text implies an identical signature, so a cluster's members share
-    // its buckets. Hash-collision clusters (same compound key,
-    // DIFFERENT text — a 2^-64 xxhash64+length collision) band on the
-    // REP's signature in batch; here the post-aggregate key filter
-    // keeps a bucket row only when the elected member's own signature
-    // occupies that bucket, which matches batch except that a collision
-    // cluster split across buckets can additionally band on a
-    // non-rep member's signature — extra verified-Hamming candidates
-    // (an output superset), never a missed batch pair. The cap window
-    // and the probe-broadcast candidate join reuse the aggregate's
-    // partitioning; pairs between two corpus reps are never generated
-    // (the old symmetric join built and then discarded them).
-    val probedKeys = shardIdx.filter(col("sig").isNotNull)
-      .select(chunkKeys(col("sig")).as("ck"))
-      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-      .distinct()
-    val unionChunks = index
-      .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), lit(false).as("__shard"))
-      .unionByName(shardIdx
-        .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), lit(true).as("__shard")))
-      .filter(col("sig").isNotNull)
-      .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), col("__shard"),
-        chunkKeys(col("sig")).as("ck"))
-      .select(col("doc_id"), col("ehash"), col("elen"), col("sig"), col("__shard"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-      .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
-    // ONE exchange for the whole band pass (see sigDedupIncremental):
-    // the up-front (chunk, key) partitioning satisfies the aggregate's
-    // superset clustering and the cap window both.
-    val bucketReps = unionChunks
-      .repartition(col("chunk"), col("key"))
-      .groupBy("chunk", "key", "ehash", "elen")
-      .agg(min(struct(col("doc_id"), col("__shard"), col("sig"))).as("__r"))
-      .select(col("chunk"), col("key"),
-        col("__r").getField("doc_id").as("doc_id"),
-        col("__r").getField("__shard").as("__repShard"),
-        col("__r").getField("sig").as("sig"))
-      // Batch bands each cluster on its REP's signature only: keep the
-      // bucket row iff this bucket key is one of the rep-sig's chunks
-      // (a no-op unless two texts collide on (xxhash64, length)).
-      .filter(expr("(shiftright(sig, chunk * 16) & 65535) = key"))
-    val wChunk = Window.partitionBy("chunk", "key")
-    val capped = bucketReps
-      .withColumn("bsize", count(lit(1)).over(wChunk))
-      .filter(col("bsize") <= maxBucketSize)
-      .select(col("chunk"), col("key"), col("doc_id"), col("sig"), col("__repShard"))
-    val probe = capped.filter(col("__repShard"))
-      .select(col("chunk"), col("key"), col("doc_id").as("doc_p"), col("sig").as("sig_p"))
-    val build = capped
-      .select(col("chunk"), col("key"), col("doc_id").as("doc_q"), col("sig").as("sig_q"))
-    val bandPairs = build.join(broadcast(probe), Seq("chunk", "key"))
-      .filter(col("doc_p") =!= col("doc_q"))
-      .withColumn("hamming", bit_count(col("sig_p").bitwiseXOR(col("sig_q"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(
-        least(col("doc_p"), col("doc_q")).as("doc_a"),
-        greatest(col("doc_p"), col("doc_q")).as("doc_b"),
-        col("hamming"))
+    // BAND pass — the shared single-thin-exchange core, cluster edition
+    // (key = (ehash, elen)). Hash-collision clusters (same compound
+    // key, DIFFERENT text — a 2^-64 xxhash64+length collision) band on
+    // the REP's signature in batch; the core's rep-sig filter keeps a
+    // bucket row only when the elected member's own signature occupies
+    // that bucket, which matches batch except that a collision cluster
+    // split across buckets can additionally band on a non-rep member's
+    // signature — extra verified-Hamming candidates (an output
+    // superset), never a missed batch pair.
+    val bandPairs = incrementalBandPairs(
+      index
+        .select(col("doc_id"), col("ehash"), col("elen"), col("sig"),
+          lit(false).as("__shard"))
+        .unionByName(shardIdx.select(col("doc_id"), col("ehash"),
+          col("elen"), col("sig"), lit(true).as("__shard"))),
+      shardIdx, Seq("ehash", "elen"), repSigFilter = true,
+      maxHamming, maxBucketSize)
       .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))
 
     bandPairs.unionByName(starPairs)
@@ -1500,19 +1454,85 @@ object Dedup {
   }
 
   /** Exploded (chunk, key) rows of a 64-bit signature's four 16-bit
-    * bands — the shard-restriction key the incremental signature
-    * families share. A NULL signature maps to the sentinel key −1
-    * (outside the 0..65535 band range) so null rows never land in — or
-    * inflate the cap counts of — a real bucket; null-sig clusters pair
-    * through the STAR pass instead (its semi-join is null-safe), never
-    * through banding, matching batch where the null XOR in the verify
-    * filter drops any null band candidate.
+    * bands — the shard-restriction key of [[incrementalBandPairs]],
+    * which feeds it NON-NULL signatures only (null-sig clusters pair
+    * through the callers' null-safe STAR passes, never through banding
+    * — matching batch, where the null XOR in the verify filter drops
+    * any null band candidate).
     */
   private def chunkKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     explode(array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
-        coalesce(shiftright(sig, c * 16).bitwiseAND(0xffffL), lit(-1L)).as("key"))
+        shiftright(sig, c * 16).bitwiseAND(0xffffL).as("key"))
     }: _*))
+
+  /** The shared ONE-thin-exchange incremental BAND pass (simhash's
+    * (ehash, elen) cluster edition and the raw-signature families):
+    * the union's chunk rows (null sigs excluded) cut map-side to the
+    * shard's probed buckets (broadcast key set bounded by 4 × 2^16
+    * whatever the shard size), then ONE (chunk, key)-partitioned
+    * aggregate elects each cluster's union representative
+    * bucket-locally — exact because a cluster's members share its
+    * buckets — with the bucket-size cap window and the probe-broadcast
+    * candidate join both REUSING that partitioning; candidates verify
+    * with exact `bit_count(xor)`. `union` carries
+    * (doc_id, sig, __shard) + `clusterCols`; `repSigFilter` keeps a
+    * bucket row only when the elected member's own signature occupies
+    * the bucket — required when the cluster key is NOT the signature
+    * itself. Returns RAW verified (doc_a, doc_b, hamming) pairs;
+    * callers union their star passes and apply the per-pair MIN.
+    */
+  private def incrementalBandPairs(
+      union: DataFrame,
+      shardSigs: DataFrame,
+      clusterCols: Seq[String],
+      repSigFilter: Boolean,
+      maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
+    val probedKeys = shardSigs.filter(col("sig").isNotNull)
+      .select(chunkKeys(col("sig")).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .distinct()
+    val carried =
+      (Seq("doc_id", "sig", "__shard") ++ clusterCols).distinct.map(c => col(c))
+    val unionChunks = union
+      .filter(col("sig").isNotNull)
+      .select(carried :+ chunkKeys(col("sig")).as("ck"): _*)
+      .select(carried :+ col("ck.chunk").as("chunk") :+ col("ck.key").as("key"): _*)
+      .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
+    // ONE exchange for the whole band pass: the up-front (chunk, key)
+    // partitioning satisfies the aggregate's superset clustering and
+    // the cap window both — neither re-shuffles.
+    val bucketReps0 = unionChunks
+      .repartition(col("chunk"), col("key"))
+      .groupBy("chunk", ("key" +: clusterCols): _*)
+      .agg(min(struct(col("doc_id"), col("__shard"), col("sig"))).as("__r"))
+      .select(col("chunk"), col("key"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("__shard").as("__repShard"),
+        col("__r").getField("sig").as("sig"))
+    val bucketReps =
+      if (repSigFilter)
+        bucketReps0.filter(expr("(shiftright(sig, chunk * 16) & 65535) = key"))
+      else bucketReps0
+    val wChunk = Window.partitionBy("chunk", "key")
+    val capped = bucketReps
+      .withColumn("bsize", count(lit(1)).over(wChunk))
+      .filter(col("bsize") <= maxBucketSize)
+      .select(col("chunk"), col("key"), col("doc_id"), col("sig"), col("__repShard"))
+    val probe = capped.filter(col("__repShard"))
+      .select(col("chunk"), col("key"), col("doc_id").as("doc_p"), col("sig").as("sig_p"))
+    val build = capped
+      .select(col("chunk"), col("key"), col("doc_id").as("doc_q"), col("sig").as("sig_q"))
+    build.join(broadcast(probe), Seq("chunk", "key"))
+      .filter(col("doc_p") =!= col("doc_q"))
+      .withColumn("hamming", bit_count(col("sig_p").bitwiseXOR(col("sig_q"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        least(col("doc_p"), col("doc_q")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_q")).as("doc_b"),
+        col("hamming"))
+  }
 
   /** [[sigDedupPairs]] over (corpus ∪ shard) restricted to pairs
     * touching ≥ 1 shard id — the incremental contract both perceptual
@@ -1573,59 +1593,19 @@ object Dedup {
       .select(col("__rep").as("doc_a"), col("media_id").as("doc_b"))
       .withColumn("hamming", lit(0))
 
-    // BAND pass — ONE thin exchange, never a corpus-row shuffle. The
-    // union's chunk rows are cut map-side to the buckets the shard
-    // probes (the broadcast key set is bounded by 4 x 2^16 whatever the
-    // shard size), then ONE aggregate keyed (chunk, key, sig) elects
-    // each signature's union representative bucket-locally — exact,
-    // because every doc holding sig s lands in s's bucket, so the
-    // bucket-local min IS the global min — and the bucket-size cap
-    // counts the aggregate's rows (one per sig = the batch rep count)
-    // through a window that REUSES the aggregate's partitioning. The
-    // probe side (shard-rep rows, shard-bounded) broadcasts back
-    // against the capped frame, so candidate generation adds no
-    // exchange either. Batch parity: pairs between two corpus reps are
-    // never generated (probe is shard-rep-only) and were discarded by
-    // the old symmetric-join filter anyway; everything else is the
-    // sigDedupPairs pipeline verbatim (verify-then-min, required for
-    // the multi-anchor audio shape).
-    val probedKeys = shard.select(chunkKeys(col("sig")).as("ck"))
-      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-      .distinct()
-    val unionChunks = corpusSigs.select(col("media_id"), col("sig"), lit(false).as("__shard"))
-      .unionByName(shard.select(col("media_id"), col("sig"), lit(true).as("__shard")))
-      .select(col("media_id"), col("sig"), col("__shard"), chunkKeys(col("sig")).as("ck"))
-      .select(col("media_id"), col("sig"), col("__shard"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-      .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
-    // ONE exchange for the whole band pass: partitioning by (chunk,
-    // key) up front satisfies both the aggregate's clustering (its
-    // grouping keys are a superset) and the cap window's — neither
-    // re-shuffles.
-    val bucketReps = unionChunks
-      .repartition(col("chunk"), col("key"))
-      .groupBy("chunk", "key", "sig")
-      .agg(min(struct(col("media_id"), col("__shard"))).as("__r"))
-      .select(col("chunk"), col("key"), col("sig"),
-        col("__r").getField("media_id").as("doc_id"),
-        col("__r").getField("__shard").as("__repShard"))
-    val wChunk = Window.partitionBy("chunk", "key")
-    val capped = bucketReps
-      .withColumn("bsize", count(lit(1)).over(wChunk))
-      .filter(col("bsize") <= maxBucketSize)
-      .select(col("chunk"), col("key"), col("doc_id"), col("sig"), col("__repShard"))
-    val probe = capped.filter(col("__repShard"))
-      .select(col("chunk"), col("key"), col("doc_id").as("doc_p"), col("sig").as("sig_p"))
-    val build = capped
-      .select(col("chunk"), col("key"), col("doc_id").as("doc_q"), col("sig").as("sig_q"))
-    val bandPairs = build.join(broadcast(probe), Seq("chunk", "key"))
-      .filter(col("doc_p") =!= col("doc_q"))
-      .withColumn("hamming", bit_count(col("sig_p").bitwiseXOR(col("sig_q"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(
-        least(col("doc_p"), col("doc_q")).as("doc_a"),
-        greatest(col("doc_p"), col("doc_q")).as("doc_b"),
-        col("hamming"))
+    // BAND pass — the shared single-thin-exchange core, raw-signature
+    // edition (cluster key = the signature itself, so every bucket row
+    // trivially carries its own sig and no rep-sig filter is needed).
+    // Batch parity: pairs between two corpus reps are never generated
+    // (probe is shard-rep-only) and were discarded by the old
+    // symmetric-join filter anyway; the final per-pair MIN is required
+    // for the multi-anchor audio shape.
+    val bandPairs = incrementalBandPairs(
+      corpusSigs.select(col("media_id").as("doc_id"), col("sig"),
+          lit(false).as("__shard"))
+        .unionByName(shard.select(col("media_id").as("doc_id"),
+          col("sig"), lit(true).as("__shard"))),
+      shard, Seq("sig"), repSigFilter = false, maxHamming, maxBucketSize)
 
     bandPairs.unionByName(starPairs)
       .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))

@@ -32,17 +32,24 @@ object Integrity {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .map(_.getPath).sortBy(_.getName).toSeq
 
-  /** The per-row content hash: xxhash64 over every DATA column, column
+  /** The per-row content hash and its fold, in ONE place — stamp and
+    * verify must agree on the recipe or every healthy release would
+    * report content_drift: xxhash64 over every DATA column, column
     * order fixed by sorting names (projection order at write time is
     * immaterial). Decimal(38) fold: a sum of 64-bit hashes overflows
     * Long after a handful of rows under ANSI arithmetic; 38 digits
     * carries ~1e19 worst-case rows per slice without loss.
     */
-  private def sliceAgg(df: DataFrame, dataCols: Seq[String]) =
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      coalesce(sum(xxhash64(dataCols.sorted.map(c => col(s"`$c`")): _*)
-        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
+  private def fpAggCols(
+      dataCols: Seq[String]): Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    coalesce(sum(xxhash64(dataCols.sorted.map(c => col(s"`$c`")): _*)
+      .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
+
+  private def sliceAgg(df: DataFrame, dataCols: Seq[String]) = {
+    val aggs = fpAggCols(dataCols)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Per-slice `(slice, n_rows, fp)` of every `<prefix><label>` subdir
     * under `dir` — the recompute half of [[stamp]]. ONE scan + one thin
@@ -73,12 +80,10 @@ object Integrity {
         .parquet(slices.map(_.toString): _*)
       finally spark.conf.set(inferKey, prior)
     val dataCols = all.columns.filterNot(_ == partCol).toSeq
+    val aggs = fpAggCols(dataCols)
     val agg = all
       .groupBy(concat(lit(prefix), col(s"`$partCol`")).as("slice"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        coalesce(sum(xxhash64(dataCols.sorted.map(c => col(s"`$c`")): _*)
-          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
+      .agg(aggs.head, aggs.tail: _*)
     import spark.implicits._
     slices.map(_.getName).toDF("slice")
       .join(agg, Seq("slice"), "left")
@@ -159,36 +164,76 @@ object Integrity {
     * data, made for the binary members a loader actually decodes.
     */
   def fingerprintTar(spark: SparkSession, dir: String): DataFrame = {
-    val m = graft.sources.WebDataset.scanTar(spark, dir,
-      requireSuccess = false)
-    m.groupBy(col("shard").as("slice"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        coalesce(sum(xxhash64(col("key"), col("ext"), col("payload"))
-          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
+    import graft.sources.WebDataset
+    import spark.implicits._
+    val files = WebDataset.listTarFiles(spark, Seq(dir))
+    require(files.nonEmpty, s"fingerprintTar: $dir holds no .tar shards")
+    val agg = WebDataset.scanTarPaths(spark, Seq(dir))
+      .groupBy(col("shard").as("slice"))
+      .agg(tarAggCols.head, tarAggCols.tail: _*)
+    // Filesystem listing joined back so a legitimately-EMPTY shard file
+    // still records (0, 0) instead of vanishing from the manifest.
+    files.map(WebDataset.shardLabelOf).toDF("slice")
+      .join(agg, Seq("slice"), "left")
+      .select(col("slice"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("fp"), lit(0).cast("decimal(38,0)")).as("fp"))
   }
+
+  /** Member-row hash + fold for the tar face — one definition shared by
+    * stamp and the per-file verify jobs (they must agree or every
+    * healthy release would report content_drift).
+    */
+  private def tarAggCols: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    coalesce(sum(xxhash64(col("key"), col("ext"), col("payload"))
+      .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
 
   /** [[stamp]] for a tar release: manifest under `<dir>/_integrity`. */
   def stampTar(spark: SparkSession, dir: String): Unit =
     fingerprintTar(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_integrity")
 
-  /** [[verify]] for a tar release — same statuses, per shard file. */
+  /** [[verify]] for a tar release — same statuses, per shard file, and
+    * FAULT-ISOLATED the same way: a structurally-corrupt tar (a
+    * truncated copy, the canonical event this manifest exists to catch)
+    * fails ITS OWN per-file job and becomes an `unreadable_slice` row
+    * instead of aborting the sweep and hiding every other finding.
+    */
   def verifyTar(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.WebDataset
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(new org.apache.hadoop.fs.Path(root, "_integrity")),
       s"verifyTar: $dir carries no _integrity manifest — stamp it first " +
         "(Integrity.stampTar after the release completes)")
     val stamped = spark.read.parquet(s"$dir/_integrity")
-      .select(col("slice"), col("n_rows").as("n0"), col("fp").as("fp0"))
-    stamped.join(fingerprintTar(spark, dir), Seq("slice"), "full_outer")
-      .select(col("slice"),
-        when(col("n0").isNull, lit("unstamped_slice"))
-          .when(col("n_rows").isNull, lit("missing_slice"))
-          .when(col("n0") =!= col("n_rows"), lit("row_count_drift"))
-          .when(col("fp0") =!= col("fp"), lit("content_drift"))
-          .otherwise(lit("ok")).as("status"))
-      .orderBy(col("status") === "ok", col("status"), col("slice"))
+      .select("slice", "n_rows", "fp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val presentFiles = WebDataset.listTarFiles(spark, Seq(dir))
+      .map(f => WebDataset.shardLabelOf(f) -> f).toMap
+    val statuses =
+      (stamped.keySet ++ presentFiles.keySet).toSeq.sorted.map { slice =>
+        val now = presentFiles.get(slice).map { f =>
+          try {
+            val r = WebDataset.scanTarFiles(spark, Seq(f))
+              .agg(tarAggCols.head, tarAggCols.tail: _*).head()
+            Right((r.getLong(0), r.getDecimal(1)))
+          } catch { case scala.util.control.NonFatal(_) => Left(()) }
+        }
+        val status = (stamped.get(slice), now) match {
+          case (None, _)                => "unstamped_slice"
+          case (Some(_), None)          => "missing_slice"
+          case (Some(_), Some(Left(_))) => "unreadable_slice"
+          case (Some((n0, fp0)), Some(Right((n1, fp1)))) =>
+            if (n0 != n1) "row_count_drift"
+            else if (fp0.compareTo(fp1) != 0) "content_drift"
+            else "ok"
+        }
+        (slice, status)
+      }
+    import spark.implicits._
+    statuses.sortBy { case (s, st) => (st == "ok", st, s) }
+      .toDF("slice", "status")
   }
 }

@@ -123,7 +123,7 @@ object StateCompaction {
         else if (!fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
           findings += (("missing_success", name,
             "slice has no job-completion marker — possibly a partial write"))
-      } else if (!name.startsWith("_") && !name.startsWith(".") && name != "_purge")
+      } else if (!name.startsWith("_") && !name.startsWith("."))
         findings += (("foreign_label", name,
           s"directory does not carry the $prefix slice prefix"))
     }

@@ -317,18 +317,23 @@ object WebDataset {
     * of the batch scan (filesystem handle) and the streaming scan
     * (binaryFile bytes). Does NOT close the stream; callers own it.
     */
+  /** A shard file's corpus-wide label. Shards written by [[tarSink]]
+    * live in batch=<id> subdirectories and reuse shard-00000.tar names
+    * per batch — the batch dir rides in the label so shards stay
+    * distinct corpus-wide.
+    */
+  private[graft] def shardLabelOf(p: String): String = {
+    val segs = p.split('/')
+    val base = segs.last.stripSuffix(".tar")
+    if (segs.length >= 2 && segs(segs.length - 2).startsWith("batch="))
+      segs(segs.length - 2) + "/" + base
+    else base
+  }
+
   private def memberIterator(
       p: String, tin: TarArchiveInputStream,
       readPayload: Boolean = true): Iterator[Member] = {
-    val segs = p.split('/')
-    val base = segs.last.stripSuffix(".tar")
-    // Shards written by [[tarSink]] live in batch=<id> subdirectories and
-    // reuse shard-00000.tar names per batch — carry the batch dir into
-    // the label so shards stay distinct corpus-wide.
-    val shard =
-      if (segs.length >= 2 && segs(segs.length - 2).startsWith("batch="))
-        segs(segs.length - 2) + "/" + base
-      else base
+    val shard = shardLabelOf(p)
     Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
       .filter(e => !e.isDirectory)
       .map { e =>
@@ -422,15 +427,17 @@ object WebDataset {
     * are skipped, matching the FileIndex convention the previous
     * `binaryFile` path inherited.
     */
-  private[graft] def scanTarPaths(
-      spark: SparkSession, paths: Seq[String],
-      readPayload: Boolean = true): DataFrame = {
-    implicit val enc = Encoders.product[Member]
+  /** Every `*.tar` under the given dirs, sorted — the listing half of
+    * [[scanTarPaths]], exposed so maintenance passes (integrity verify)
+    * can drive per-FILE jobs for fault isolation. Hidden-file
+    * convention (`_temporary`, `_compact_tmp`, dotfiles): only segments
+    * BELOW each listed root count — a release that happens to live
+    * under `.corpora/` or `_work/` must still scan, so the ancestor
+    * walk stops at the root itself.
+    */
+  private[graft] def listTarFiles(
+      spark: SparkSession, paths: Seq[String]): Seq[String] = {
     val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    // Hidden-file convention (`_temporary`, `_compact_tmp`, dotfiles):
-    // only segments BELOW the listed root count — a release that happens
-    // to live under `.corpora/` or `_work/` must still scan, so the
-    // ancestor walk stops at the root itself.
     def hiddenBelow(p: Path, qualifiedRoot: Path): Boolean = {
       var cur = p
       while (cur != null && cur != qualifiedRoot) {
@@ -440,7 +447,7 @@ object WebDataset {
       }
       false
     }
-    val files = paths.flatMap { dir =>
+    paths.flatMap { dir =>
       val root = new Path(dir)
       val fs = root.getFileSystem(hconf.value)
       // A missing dir is a misconfiguration, not an empty release —
@@ -457,6 +464,23 @@ object WebDataset {
       }
       buf.sorted // deterministic partition assignment across runs
     }
+  }
+
+  private[graft] def scanTarPaths(
+      spark: SparkSession, paths: Seq[String],
+      readPayload: Boolean = true): DataFrame =
+    scanTarFiles(spark, listTarFiles(spark, paths), readPayload)
+
+  /** [[scanTarPaths]] over an explicit FILE list — one task set, the
+    * member walk per file; maintenance callers pass a single file to
+    * isolate faults (a truncated tar must fail ITS job, not the whole
+    * sweep's).
+    */
+  private[graft] def scanTarFiles(
+      spark: SparkSession, files: Seq[String],
+      readPayload: Boolean = true): DataFrame = {
+    implicit val enc = Encoders.product[Member]
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val slices = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism * 2))
     val rows = spark.sparkContext.parallelize(files, slices).flatMap { p =>
