@@ -4978,6 +4978,32 @@ object QueryCatalog {
     // n_docs/avgdl enter every score, n_terms/postings density and the
     // max-df term share catch vocabulary stagnation and boilerplate
     // floods. Exact integer arithmetic, explicit divisions → SQL oracle.
+    // Index health served FROM the standing layout: the same stats row
+    // as bm25_index_stats, but computed off readIndexPostings over a
+    // two-append batch=/tb= index — no document is ever re-tokenized to
+    // health-check a standing index. Same exact oracle as the in-memory
+    // twin (two appends over a split corpus = postings of the union).
+    Q("bm25_index_stats_idx", (s, dir) => {
+      val out = scratchDir("graft_bm25_sts", dir)
+      val d = docs(s, dir)
+      Retrieval.appendIndex(d.filter(col("doc_id") < 250), out, "0", buckets = 16)
+      Retrieval.appendIndex(d.filter(col("doc_id") >= 250), out, "1", buckets = 16)
+      Retrieval.indexStats(Retrieval.readIndexPostings(s, out))
+    }, Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+             |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+             |post AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p GROUP BY 1, 2, 3),
+             |dd AS (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1),
+             |da AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM dd),
+             |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, MAX(df) AS max_df
+             |  FROM (SELECT term, COUNT(*) AS df FROM post GROUP BY 1)),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_postings FROM post)
+             |SELECT n_docs, avgdl, n_terms, n_postings,
+             |  ROUND(CAST(n_postings AS DOUBLE) / n_docs, 6) AS postings_per_doc,
+             |  ROUND(CAST(max_df AS DOUBLE) / n_docs, 6) AS max_df_frac
+             |FROM da, ta, tot""".stripMargin)),
+
     Q("bm25_index_stats", (s, dir) =>
       Retrieval.indexStats(Retrieval.postings(docs(s, dir))),
       Some("""WITH d AS (SELECT doc_id,

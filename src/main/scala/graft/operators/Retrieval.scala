@@ -324,6 +324,27 @@ object Retrieval {
     scoreAndRank(rel, qTerms, stats, k, k1, b)
   }
 
+  /** The standing layout's postings as ONE thin frame
+    * (term, doc_id, tf, dl) — the unpruned maintenance read
+    * ([[indexStats]] health gates, exports, audits). SERVING never
+    * takes this path: [[bm25TopKIndexed]] partition-prunes to the
+    * probe's term buckets instead.
+    */
+  def readIndexPostings(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"readIndexPostings: no index at $dir")
+    StateCompaction.requireNoWedge(fs, root, "readIndexPostings",
+      "re-run compactIndex to resume it before reading")
+    val batches = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString).sorted.toIndexedSeq
+    require(batches.nonEmpty, s"readIndexPostings: $dir holds no batch= slices")
+    spark.read.option("basePath", dir).parquet(batches: _*)
+      .select("term", "doc_id", "tf", "dl")
+  }
+
   /** [[appendIndex]] as a foreachBatch sink — the continuous-crawl face
     * of the standing index: each micro-batch of documents appends its
     * own `batch=<batchId>` postings + stats slice, so the corpus becomes
