@@ -1349,7 +1349,9 @@ object Dedup {
     * star pass cuts the union to exact-(ehash, elen) matches of the
     * shard (broadcast semi-join — tiny). The band pass pays exactly ONE
     * thin exchange: a map-side chunk explode + broadcast semi-join on
-    * the shard's probed buckets (bounded by 4 × 2^16) feeds a
+    * the shard's probed buckets (narrow 4×16-bit bands, adaptively
+    * widened to 56×24-bit triples for shards big enough to saturate
+    * them — [[WideBandThreshold]]) feeds a
     * (chunk, key, ehash, elen) aggregate electing each cluster's union
     * rep bucket-locally — exact because identical text implies an
     * identical signature, so a cluster's members share its buckets —
@@ -1370,7 +1372,8 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 256,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      wideThreshold: Int = WideBandThreshold
   ): DataFrame = {
     require(index.columns.sorted.sameElements(Array("doc_id", "ehash", "elen", "sig")),
       s"not a simhashIndex frame (columns ${index.columns.mkString(",")}); " +
@@ -1418,7 +1421,7 @@ object Dedup {
         .unionByName(shardIdx.select(col("doc_id"), col("ehash"),
           col("elen"), col("sig"), lit(true).as("__shard"))),
       shardIdx, Seq("ehash", "elen"), repSigFilter = true,
-      maxHamming, maxBucketSize)
+      maxHamming, maxBucketSize, wideThreshold)
       .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))
 
     bandPairs.unionByName(starPairs)
@@ -1466,11 +1469,58 @@ object Dedup {
         shiftright(sig, c * 16).bitwiseAND(0xffffL).as("key"))
     }: _*))
 
+  /** Distinct-shard-signature count at which [[incrementalBandPairs]]
+    * widens its restriction banding: below it, the 4×16-bit chunk keys
+    * filter the corpus sharply (a 32k-sig shard probes ≤39% of each
+    * chunk's 2^16 key space); at and above it the narrow keyspace
+    * saturates — a ≥65k-sig shard probes ~63% of every chunk, the
+    * broadcast semi-join stops cutting, and the thin aggregate's input
+    * approaches 4× the corpus's chunk rows (the BENCH_NOTES §21 bound
+    * this widening lifts).
+    */
+  private[graft] val WideBandThreshold: Int = 32768
+
+  /** The widened banding: 8-bit chunk TRIPLES — 56 bands of 24-bit keys
+    * (keyspace 56 × 2^24 ≈ 939M vs the narrow 4 × 2^16 = 262k). Recall
+    * guarantee is unchanged for the Hamming ≤ 3 regime these families
+    * run at: ≤3 differing bits touch ≤3 of the eight 8-bit chunks, so
+    * ≥5 chunks agree exactly and at least C(5,3) = 10 of the 56 triples
+    * are fully shared by any true pair. A 100k-sig shard probes ≤0.6%
+    * of each band's 2^24 key space, restoring the semi-join's cut; the
+    * practical new bound is the probed-key BROADCAST (≤56 rows/sig —
+    * ~70 MB at 100k distinct sigs), which caps single ingest batches at
+    * ~1-2M distinct signatures before they should split.
+    */
+  private val WideTriples: Seq[Seq[Int]] =
+    (0 until 8).combinations(3).map(_.toSeq).toSeq
+
+  private def wideKeyOf(
+      sig: org.apache.spark.sql.Column, t: Seq[Int]): org.apache.spark.sql.Column =
+    t.zipWithIndex.map { case (c, pos) =>
+      shiftleft(shiftright(sig, c * 8).bitwiseAND(0xffL), (2 - pos) * 8)
+    }.reduce(_ bitwiseOR _)
+
+  private def wideChunkKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    explode(array(WideTriples.zipWithIndex.map { case (t, b) =>
+      struct(lit(b).as("chunk"), wideKeyOf(sig, t).as("key"))
+    }: _*))
+
+  /** The key signature `sig` takes in wide band `band` — the widened
+    * [[incrementalBandPairs]] rep-sig filter. A 56-branch CASE, but it
+    * runs on the post-aggregate bucket reps (bucket-count-sized), never
+    * on exploded corpus rows.
+    */
+  private def wideKeyAt(
+      sig: org.apache.spark.sql.Column,
+      band: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    WideTriples.zipWithIndex.foldLeft(lit(-1L): org.apache.spark.sql.Column) {
+      case (acc, (t, b)) => when(band === b, wideKeyOf(sig, t)).otherwise(acc)
+    }
+
   /** The shared ONE-thin-exchange incremental BAND pass (simhash's
     * (ehash, elen) cluster edition and the raw-signature families):
     * the union's chunk rows (null sigs excluded) cut map-side to the
-    * shard's probed buckets (broadcast key set bounded by 4 × 2^16
-    * whatever the shard size), then ONE (chunk, key)-partitioned
+    * shard's probed buckets, then ONE (chunk, key)-partitioned
     * aggregate elects each cluster's union representative
     * bucket-locally — exact because a cluster's members share its
     * buckets — with the bucket-size cap window and the probe-broadcast
@@ -1481,6 +1531,19 @@ object Dedup {
     * the bucket — required when the cluster key is NOT the signature
     * itself. Returns RAW verified (doc_a, doc_b, hamming) pairs;
     * callers union their star passes and apply the per-pair MIN.
+    *
+    * ADAPTIVE band width: small shards band on the narrow 4×16-bit
+    * chunks (4 exploded rows/sig, probed set ≤ 4 × 2^16); a shard with
+    * ≥ `wideThreshold` DISTINCT signatures would saturate that keyspace
+    * (the restriction stops cutting and the aggregate's input
+    * approaches 4× the corpus's chunk rows), so it switches to
+    * [[WideTriples]] — 56 bands of 24-bit keys with the identical
+    * Hamming ≤ 3 recall guarantee. The candidate SET is banding-
+    * invariant (both schemes guarantee a shared band for every true
+    * pair; verification is exact), so batch parity holds in both
+    * regimes whenever the bucket cap doesn't shed — and the cap sheds
+    * strictly more rarely in 24-bit buckets than in batch's 16-bit
+    * ones, so the widened regime never misses a pair batch kept.
     */
   private def incrementalBandPairs(
       union: DataFrame,
@@ -1488,16 +1551,25 @@ object Dedup {
       clusterCols: Seq[String],
       repSigFilter: Boolean,
       maxHamming: Int,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      wideThreshold: Int = WideBandThreshold): DataFrame = {
+    // One shard-sized job to pick the scheme: the decision needs the
+    // DISTINCT sig count (ids don't matter — re-encounters band on the
+    // same keys), and every caller hands a materialized shard frame.
+    val nDistinct = shardSigs.filter(col("sig").isNotNull)
+      .select("sig").distinct().count()
+    val useWide = nDistinct >= wideThreshold
+    val bandKeys: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (useWide) wideChunkKeys else chunkKeys
     val probedKeys = shardSigs.filter(col("sig").isNotNull)
-      .select(chunkKeys(col("sig")).as("ck"))
+      .select(bandKeys(col("sig")).as("ck"))
       .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
       .distinct()
     val carried =
       (Seq("doc_id", "sig", "__shard") ++ clusterCols).distinct.map(c => col(c))
     val unionChunks = union
       .filter(col("sig").isNotNull)
-      .select(carried :+ chunkKeys(col("sig")).as("ck"): _*)
+      .select(carried :+ bandKeys(col("sig")).as("ck"): _*)
       .select(carried :+ col("ck.chunk").as("chunk") :+ col("ck.key").as("key"): _*)
       .join(broadcast(probedKeys), Seq("chunk", "key"), "left_semi")
     // ONE exchange for the whole band pass: the up-front (chunk, key)
@@ -1512,9 +1584,11 @@ object Dedup {
         col("__r").getField("__shard").as("__repShard"),
         col("__r").getField("sig").as("sig"))
     val bucketReps =
-      if (repSigFilter)
+      if (!repSigFilter) bucketReps0
+      else if (useWide)
+        bucketReps0.filter(wideKeyAt(col("sig"), col("chunk")) === col("key"))
+      else
         bucketReps0.filter(expr("(shiftright(sig, chunk * 16) & 65535) = key"))
-      else bucketReps0
     val wChunk = Window.partitionBy("chunk", "key")
     val capped = bucketReps
       .withColumn("bsize", count(lit(1)).over(wChunk))
@@ -1544,7 +1618,9 @@ object Dedup {
     * the union to exact-sig matches of the shard (broadcast semi-join —
     * tiny). The band pass pays exactly ONE exchange, and a THIN one: a
     * map-side chunk explode + broadcast semi-join on the shard's
-    * probed-bucket keys (bounded by 4 × 2^16 whatever the shard size)
+    * probed-bucket keys (narrow 4×16-bit bands, adaptively widened to
+    * 56×24-bit triples for shards big enough to saturate them —
+    * [[WideBandThreshold]])
     * feeds a (chunk, key, sig) aggregate that elects each signature's
     * union rep bucket-locally — exact because a signature's whole
     * cluster shares its buckets — with the cap window and the
@@ -1556,11 +1632,12 @@ object Dedup {
     * shard reps simply arrive from both probe directions before the
     * final per-pair MIN.
     */
-  private[operators] def sigDedupIncremental(
+  private[graft] def sigDedupIncremental(
       shardSigs: DataFrame,
       corpusSigs: DataFrame,
       maxHamming: Int,
-      maxBucketSize: Int
+      maxBucketSize: Int,
+      wideThreshold: Int = WideBandThreshold
   ): DataFrame = {
     val shard = graft.plans.Materialize(shardSigs.select(col("media_id"), col("sig")))
 
@@ -1605,7 +1682,8 @@ object Dedup {
           lit(false).as("__shard"))
         .unionByName(shard.select(col("media_id").as("doc_id"),
           col("sig"), lit(true).as("__shard"))),
-      shard, Seq("sig"), repSigFilter = false, maxHamming, maxBucketSize)
+      shard, Seq("sig"), repSigFilter = false, maxHamming, maxBucketSize,
+      wideThreshold)
 
     bandPairs.unionByName(starPairs)
       .groupBy("doc_a", "doc_b").agg(min(col("hamming")).as("hamming"))

@@ -36,14 +36,20 @@ object Integrity {
     * verify must agree on the recipe or every healthy release would
     * report content_drift: xxhash64 over every DATA column, column
     * order fixed by sorting names (projection order at write time is
-    * immaterial). Decimal(38) fold: a sum of 64-bit hashes overflows
-    * Long after a handful of rows under ANSI arithmetic; 38 digits
-    * carries ~1e19 worst-case rows per slice without loss.
+    * immaterial). Each column is INTERLEAVED with its `isnull` flag:
+    * Spark's xxhash64 skips null inputs entirely, so without the flags
+    * a value migrating between two columns past a null — row `(x, null)`
+    * becoming `(null, x)` — would hash identically; the never-null
+    * boolean keeps the hash stream positional. Decimal(38) fold: a sum
+    * of 64-bit hashes overflows Long after a handful of rows under ANSI
+    * arithmetic; 38 digits carries ~1e19 worst-case rows per slice
+    * without loss.
     */
   private def fpAggCols(
       dataCols: Seq[String]): Seq[org.apache.spark.sql.Column] = Seq(
     count(lit(1)).as("n_rows"),
-    coalesce(sum(xxhash64(dataCols.sorted.map(c => col(s"`$c`")): _*)
+    coalesce(sum(xxhash64(dataCols.sorted.flatMap(c =>
+      Seq(col(s"`$c`"), isnull(col(s"`$c`")))): _*)
       .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
 
   private def sliceAgg(df: DataFrame, dataCols: Seq[String]) = {
@@ -129,7 +135,15 @@ object Integrity {
       .select("slice", "n_rows", "fp").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
     val present = listSlices(fs, root, prefix).map(_.getName)
-    val statuses = (stamped.keySet ++ present).toSeq.sorted.map { slice =>
+    // Same inference-off window as [[fingerprint]]: a slice holding
+    // NESTED partition subdirs (e.g. a stamped batch=/tb= index layout)
+    // hashed those partition values as raw strings at stamp time; an
+    // inferred-int read here would flip every healthy slice to
+    // content_drift. Stamp and verify must read with identical types.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prior = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false")
+    val statuses = try (stamped.keySet ++ present).toSeq.sorted.map { slice =>
       val now =
         if (!present.contains(slice)) None
         else try {
@@ -147,7 +161,7 @@ object Integrity {
           else "ok"
       }
       (slice, status)
-    }
+    } finally spark.conf.set(inferKey, prior)
     import spark.implicits._
     statuses.sortBy { case (s, st) => (st == "ok", st, s) }
       .toDF("slice", "status")
@@ -186,7 +200,10 @@ object Integrity {
     */
   private def tarAggCols: Seq[org.apache.spark.sql.Column] = Seq(
     count(lit(1)).as("n_rows"),
-    coalesce(sum(xxhash64(col("key"), col("ext"), col("payload"))
+    coalesce(sum(xxhash64(
+      col("key"), isnull(col("key")),
+      col("ext"), isnull(col("ext")),
+      col("payload"), isnull(col("payload")))
       .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("fp"))
 
   /** [[stamp]] for a tar release: manifest under `<dir>/_integrity`. */

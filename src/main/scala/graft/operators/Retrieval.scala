@@ -246,8 +246,9 @@ object Retrieval {
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, where: String): Int = {
     val in = fs.open(new org.apache.hadoop.fs.Path(root, "_buckets"))
-    val raw = new String(in.readAllBytes(), "UTF-8").trim
-    in.close()
+    val raw =
+      try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
     raw.toIntOption.filter(b => b >= 1 && b <= 65536).getOrElse(
       throw new IllegalArgumentException(
         s"$where: the _buckets manifest at $root is unreadable " +
@@ -301,6 +302,18 @@ object Retrieval {
         "(appendIndex overwrites are idempotent) if the last append " +
         "crashed, or re-run compactIndex — it rebuilds the stats manifest " +
         "from the postings, the ground truth")
+    // Label equality alone misses a stats write that crashed after its
+    // dir was created but before job commit: the slice EXISTS but its
+    // part files are partial. Require each _stats slice's _SUCCESS so
+    // that window gets the same repair-naming refusal every other crash
+    // gets, not a raw schema-inference error.
+    val partialStats = statsBatches.filterNot(l => fs.exists(
+      new org.apache.hadoop.fs.Path(root, s"_stats/$l/_SUCCESS")))
+    require(partialStats.isEmpty,
+      s"bm25TopKIndexed: stats slices ${partialStats.mkString(", ")} under " +
+        s"$dir/_stats lack a _SUCCESS marker (a mid-write crash left " +
+        "partial rows) — re-append those labels (idempotent) or run " +
+        "compactIndex, which rebuilds the stats manifest from the postings")
     // Explicit batch-dir paths: handing Spark the `_stats` ROOT would
     // trip the hidden-path filter (a "[all] paths were ignored" warning
     // and version-dependent behavior); a hidden segment mid-path is fine.

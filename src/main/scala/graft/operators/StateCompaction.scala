@@ -34,10 +34,6 @@ import org.apache.spark.sql.SparkSession
   */
 object StateCompaction {
 
-  /** Ordinal of a batch label: numeric, with compacted dirs (`c<id>`)
-    * ordered as the id they folded up to. Anything else is a foreign
-    * dir — fail loudly rather than mis-order the standing state.
-    */
   /** The non-throwing twin of [[labelOrd]] — the ONE place the label
     * grammar (numeric, optional single `c` compaction prefix) lives, so
     * tolerant scanners (fsck faces) and strict protocol entries cannot
@@ -46,6 +42,9 @@ object StateCompaction {
   private[graft] def labelOrdOption(label: String): Option[Long] =
     (if (label.startsWith("c")) label.drop(1) else label).toLongOption
 
+  /** Strict ordinal of a batch label — anything outside the grammar is
+    * a foreign dir: fail loudly rather than mis-order standing state.
+    */
   def labelOrd(label: String, where: String): Long =
     labelOrdOption(label)
       .getOrElse(throw new IllegalArgumentException(

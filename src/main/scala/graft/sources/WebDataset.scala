@@ -412,21 +412,6 @@ object WebDataset {
     scanTarPaths(spark, Seq(path))
   }
 
-  /** [[scanTar]] over an explicit set of directories — one scan plan,
-    * not a union per dir (a compaction folding thousands of slice dirs
-    * must not build a thousand-way union). No `_SUCCESS` gating: the
-    * callers (maintenance folds) have already listed and validated the
-    * exact dirs they intend to consume.
-    *
-    * BOUNDED member walk: shard files are listed driver-side (metadata
-    * only) and each task streams its tar through a buffered filesystem
-    * handle, emitting one member at a time — peak task memory is the
-    * LARGEST MEMBER, not the shard, so mixed-size releases (a 10 GB
-    * shard beside 100 MB ones) read without executor sizing games.
-    * Hidden files/dirs (`_`/`.` prefixes — `_temporary`, `_compact_tmp`)
-    * are skipped, matching the FileIndex convention the previous
-    * `binaryFile` path inherited.
-    */
   /** Every `*.tar` under the given dirs, sorted — the listing half of
     * [[scanTarPaths]], exposed so maintenance passes (integrity verify)
     * can drive per-FILE jobs for fault isolation. Hidden-file

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The adaptive band-key widening in the incremental signature core
+  * (Dedup.incrementalBandPairs): shards big enough to saturate the
+  * narrow 4×16-bit chunk keyspace switch to 56 triples of 8-bit chunks
+  * (24-bit keys). Correctness contract: the widened scheme finds the
+  * SAME verified pair set for the Hamming ≤ 3 regime — ≤3 differing
+  * bits leave ≥5 of the eight 8-bit chunks untouched, so some triple is
+  * fully shared by every true pair, and exact bit_count verification
+  * makes the banding invisible in the output. These specs force the
+  * wide path with wideThreshold = 1 on small data and assert set
+  * equality against the narrow path and against the batch restriction.
+  */
+class WideBandSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].intValue)).toSet
+
+  /** Randomized corpus/shard of 64-bit signatures: seeded bases, 0-3 bit
+    * flips, exact-dup clusters, and null signatures (decode failures).
+    */
+  private def scalarFixture(): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(1542)
+    val bases = Seq.fill(40)(rnd.nextLong())
+    def flip(s: Long, n: Int): Long =
+      (0 until n).foldLeft(s)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+    val corpus = bases.zipWithIndex.flatMap { case (b, i) =>
+      val id = i * 10L
+      Seq((id, Option(b))) ++
+        (if (i % 3 == 0) Seq((id + 1, Option(flip(b, 1 + i % 3)))) else Nil) ++
+        (if (i % 5 == 0) Seq((id + 2, Option(b))) else Nil) // exact dup
+    } ++ Seq((9000L, None), (9001L, None))
+    // Shard: re-encounters (near and exact variants of corpus bases),
+    // fresh singletons, and a null-sig item.
+    val shift = 100000L
+    val shard = bases.zipWithIndex.flatMap { case (b, i) =>
+      if (i % 4 == 0) Seq((shift + i, Option(flip(b, i % 4))))
+      else if (i % 7 == 1) Seq((shift + i, Option(b)))
+      else Nil
+    } ++ Seq.tabulate(10)(j => (shift + 500L + j, Option(rnd.nextLong()))) ++
+      Seq((shift + 600L, None: Option[Long]))
+    (corpus.toDF("media_id", "sig"), shard.toDF("media_id", "sig"))
+  }
+
+  test("wide banding matches narrow banding and the batch restriction (scalar)") {
+    val (corpus, shard) = scalarFixture()
+    for (k <- Seq(0, 1, 2, 3)) {
+      val narrow = pairSet(Dedup.sigDedupIncremental(
+        shard, corpus, k, 256, wideThreshold = Int.MaxValue))
+      val wide = pairSet(Dedup.sigDedupIncremental(
+        shard, corpus, k, 256, wideThreshold = 1))
+      assert(wide === narrow, s"wide vs narrow diverged at maxHamming=$k")
+      // Batch restriction: an empty corpus makes the incremental a plain
+      // batch pass over the union; keep only shard-touching pairs.
+      val shardIds = shard.select("media_id").as[Long].collect().toSet
+      val batch = pairSet(Dedup.sigDedupIncremental(
+        corpus.unionByName(shard), corpus.limit(0), k, 256,
+        wideThreshold = Int.MaxValue))
+        .filter(p => shardIds(p._1) || shardIds(p._2))
+      assert(wide === batch, s"wide vs batch restriction diverged at maxHamming=$k")
+    }
+  }
+
+  test("wide banding matches narrow on the simhash cluster edition (repSigFilter)") {
+    // Text docs: near-dup families (small edits), exact-dup clusters,
+    // and empty docs (null signatures banding nowhere).
+    val mk = (i: Int) => s"the quick brown fox $i jumps over the lazy dog " +
+      ("lorem ipsum dolor sit amet " * 3)
+    val corpusDocs = (0 until 25).flatMap { i =>
+      Seq((i * 10L, mk(i))) ++
+        (if (i % 4 == 0) Seq((i * 10L + 1, mk(i) + " extra")) else Nil) ++
+        (if (i % 6 == 0) Seq((i * 10L + 2, mk(i))) else Nil)
+    }.toDF("doc_id", "text")
+    val shardDocs = ((0 until 25 by 3).map(i => (5000L + i, mk(i) + " tweak")) ++
+      Seq((5600L, mk(2)), (5601L, "fresh completely different content here")))
+      .toDF("doc_id", "text")
+    val index = Dedup.simhashIndex(corpusDocs)
+    val narrow = pairSet(Dedup.simhashIncremental(
+      shardDocs, index, wideThreshold = Int.MaxValue))
+    val wide = pairSet(Dedup.simhashIncremental(
+      shardDocs, index, wideThreshold = 1))
+    assert(wide === narrow)
+    assert(wide.nonEmpty, "fixture produced no pairs — not exercising the band pass")
+  }
+
+  test("the automatic trigger stays narrow below the threshold") {
+    // Equivalence of the two schemes is the contract above; here just
+    // pin the default threshold so a refactor can't silently widen every
+    // small-shard ingest (4 -> 56 exploded rows/sig).
+    assert(Dedup.WideBandThreshold === 32768)
+  }
+}
