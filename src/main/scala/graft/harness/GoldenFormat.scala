@@ -29,7 +29,7 @@ object GoldenFormat {
       "tokenizer_stats_bpe", "tokenizer_stats_unigram",
       "curation_release_incr_near", "curation_release_incr_more",
       "curation_pipeline_winnow", "curation_pipeline_embdedup",
-      "curation_release_incr_emb", "sim_ann_ivfpq_purge", "search_hybrid_idx")
+      "curation_release_incr_emb", "sim_ann_ivfpq_purge")
 
   def render(df: DataFrame): String = {
     val cols = df.schema.fields.map { f =>

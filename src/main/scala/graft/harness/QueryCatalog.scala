@@ -476,7 +476,7 @@ object QueryCatalog {
     * prefix-closed, so shard 0's curated frame IS the full chain
     * restricted to doc_id < 250.
     */
-  private val incrReleaseOracle: String = urlCte +
+  private val incrReleaseCtes: String = urlCte +
     s""", lined AS (
        |  SELECT doc_id, lang,
        |    concat_ws(chr(10),
@@ -525,8 +525,40 @@ object QueryCatalog {
        |        FROM stok LEFT JOIN flm USING (tok) CROSS JOIN ftot CROSS JOIN fvs),
        |sagg AS (SELECT doc_id, -AVG(lp) AS nll FROM ssc GROUP BY 1),
        |pkeep AS (SELECT doc_id FROM sagg WHERE ROUND(EXP(nll), 4) <= 150)
-       |SELECT d3.doc_id, d3.lang, d3.text FROM d3 JOIN pkeep USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |""".stripMargin
+
+  private val incrReleaseOracle: String = incrReleaseCtes +
+    """SELECT d3.doc_id, d3.lang, d3.text FROM d3 JOIN pkeep USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-probe fate + winner over the same composed shard-ingest chain:
+    * shard splits are id-ordered (shard 0 = doc_id < 250), so the
+    * standing first-wins keepers equal each key group's global MIN id —
+    * which is exactly what ukeep/ekeep already compute.
+    */
+  private val explainShardOracle: String = incrReleaseCtes +
+    """, probes AS (SELECT UNNEST(range(250, 350)) AS doc_id
+      |    UNION ALL SELECT 10 UNION ALL SELECT 9999),
+      |uwin AS (SELECT u.doc_id, m.win FROM urls u JOIN
+      |  (SELECT url_norm, MIN(doc_id) AS win FROM urls GROUP BY 1) m
+      |  USING (url_norm)),
+      |ewin AS (SELECT r.doc_id, m.win FROM reb r JOIN
+      |  (SELECT text, MIN(doc_id) AS win FROM reb GROUP BY 1) m
+      |  USING (text)),
+      |fates AS (SELECT p.doc_id,
+      |  CASE WHEN p.doc_id NOT IN (SELECT doc_id FROM lined WHERE doc_id >= 250)
+      |         THEN 'absent'
+      |       WHEN p.doc_id NOT IN (SELECT doc_id FROM ukeep) THEN 'url_dedup'
+      |       WHEN p.doc_id NOT IN (SELECT doc_id FROM reb) THEN 'dedup_lines'
+      |       WHEN p.doc_id NOT IN (SELECT doc_id FROM d3) THEN 'dedup_exact'
+      |       WHEN p.doc_id NOT IN (SELECT doc_id FROM pkeep) THEN 'perplexity'
+      |       ELSE 'kept' END AS fate
+      |  FROM probes p)
+      |SELECT f.doc_id, f.fate,
+      |  CASE WHEN f.fate = 'url_dedup' THEN (SELECT win FROM uwin WHERE uwin.doc_id = f.doc_id)
+      |       WHEN f.fate = 'dedup_exact' THEN (SELECT win FROM ewin WHERE ewin.doc_id = f.doc_id)
+      |       ELSE NULL END AS winner
+      |FROM fates f ORDER BY 1""".stripMargin
 
   // ==========================================================================
   // §2.1 scans / sources / sinks
@@ -2086,6 +2118,40 @@ object QueryCatalog {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }, None),
+
+    // ANN-index health check — the fsck face the persisted IVF-PQ
+    // layout was missing (BM25 got one in Retrieval.fsckIndex): a
+    // healthy save reports ZERO findings; a deliberately-damaged copy
+    // reports exactly its four defects by name (lost component dir,
+    // component without _SUCCESS, orphan _temporary scratch, foreign
+    // entry). Dir metadata only → relative names → literal-VALUES
+    // DuckDB oracle, the release_fsck convention.
+    Q("ann_index_fsck", (s, dir) => {
+      val corpus = emb(s, dir).filter(col("vec_id") < 80)
+      val ok = scratchDir("graft_annfsck_ok", dir)
+      ProductQuant.ivfPqIndex(corpus, nlist = 4, m = 16, ks = 16).save(ok)
+      val healthy = ProductQuant.ivfPqIndexFsck(s, ok)
+      val bad = scratchDir("graft_annfsck_bad", dir)
+      ProductQuant.ivfPqIndex(corpus, nlist = 4, m = 16, ks = 16).save(bad)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      new java.io.File(s"$bad/codes/_SUCCESS").delete()
+      rmrf(new java.io.File(s"$bad/codebooks"))
+      new java.io.File(s"$bad/centroids/_temporary").mkdirs()
+      new java.io.File(s"$bad/extra").mkdirs()
+      healthy.withColumn("layout", lit("healthy"))
+        .unionByName(ProductQuant.ivfPqIndexFsck(s, bad)
+          .withColumn("layout", lit("damaged")))
+        .select("layout", "chk", "item")
+        .orderBy("layout", "chk", "item")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('damaged', 'foreign_entry', 'extra'),
+        |  ('damaged', 'missing_component', 'codebooks'),
+        |  ('damaged', 'orphan_tmp', 'centroids/_temporary'),
+        |  ('damaged', 'partial_write', 'codes'))
+        |AS t(layout, chk, item) ORDER BY 1, 2, 3""".stripMargin)),
 
     Q("sim_ann_pq", (s, dir) =>
       // Product quantization ANN: ADC scan over m-byte codes + exact
@@ -4159,6 +4225,41 @@ object QueryCatalog {
         |       ELSE 'kept' END AS fate
         |FROM probes p ORDER BY 1""".stripMargin)),
 
+    // Drop provenance, SHARD-INGEST face — "why did doc X vanish from
+    // shard 1's slice?": shard 0 bootstraps the standing indexes, shard
+    // 1 ingests against them, and explainShard replays shard 1 to name
+    // each probe's dropping step INCLUDING standing-index-driven drops,
+    // with the winning keeper id for the exact-key first-wins families
+    // (url_dedup names the url's standing keeper, dedup_exact the text
+    // key's). Gated on the same composed DuckDB chain as
+    // curation_release_incr — id-ordered shards make every standing
+    // keeper the key group's global MIN id.
+    Q("explain_shard", (s, dir) => {
+      import s.implicits._
+      val lined = docsWithUrl(s, dir).withColumn("text",
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("shared boilerplate header line"),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("promo footer visit example dot com"))
+            .otherwise(substring(col("text"), 81, 40))))
+      val state = scratchDir("graft_explain_shard_state", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - perplexity: { max_ppl: 150, vocab: 20 }
+          |""".stripMargin)
+      val shard1 = lined.filter(col("doc_id") >= 250)
+      CurationPipeline.applyShard(lined.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(shard1, p, state, "1")
+      val probes = s.range(250, 350).select(col("id").as("doc_id"))
+        .unionByName(Seq(10L, 9999L).toDF("doc_id"))
+      CurationPipeline.explainShard(shard1, p, state, "1", probes)
+    }, Some(explainShardOracle)),
+
     // RELEASE FSCK — the ops health check that rounds out the lifecycle
     // (ingest → compact → finalize → purge → fsck): a healthy standing
     // release reports ZERO findings, and a deliberately-damaged layout
@@ -5063,13 +5164,77 @@ object QueryCatalog {
              |       ELSE ROUND(new_val / old_val, 6) END AS ratio
              |FROM pairs ORDER BY stat""".stripMargin)),
 
+    // Vocab/tokenizer drift gate for a standing token release — the
+    // bm25_index_drift / servingRecall analogue for tokenization: the
+    // sink_tokens vocab fits ONCE (shard 0) and is served to every
+    // later shard, so a drifting corpus tokenizes progressively worse
+    // with no error anywhere. Shard 1 arrives accent-shifted (every
+    // 'e' → 'é' — unseen byte sequences), and the gate reads the two
+    // shards' manifest rows: token mass, UNK/byte-fallback share
+    // (oov_rate), and the fertility pair. Full SQL oracle replaying
+    // the vocab fit + rates from documents.
+    Q("tokenizer_drift", (s, dir) => {
+      val state = scratchDir("graft_tokdrift_state", dir)
+      val rel = scratchDir("graft_tokdrift_rel", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        s"""steps:
+           |  - dedup_exact: {}
+           |  - sink_tokens: { path: $rel, budget: 128, vocab: 1000,
+           |                   buckets: 8, target_bytes: 16384 }
+           |""".stripMargin)
+      val d = docs(s, dir)
+      CurationPipeline.applyShard(d.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(
+        d.filter(col("doc_id") >= 250)
+          .withColumn("text", regexp_replace(col("text"), "e", "é")),
+        p, state, "1")
+      CurationPipeline.tokenizerDrift(s, rel)
+    }, Some(
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |d1 AS (SELECT doc_id, replace(text, 'e', 'é') AS text
+        |  FROM documents WHERE doc_id >= 250),
+        |allx AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+        |kept AS (SELECT * FROM allx
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM allx GROUP BY text)),
+        |lab AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS part FROM kept),
+        |tk AS (SELECT part, doc_id,
+        |  UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |  FROM lab),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tk WHERE part = 0 GROUP BY 1),
+        |voc AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000),
+        |st AS (SELECT part, CAST(COUNT(*) AS DOUBLE) AS t,
+        |  CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM voc)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) AS ov
+        |  FROM tk GROUP BY 1),
+        |tx AS (SELECT part,
+        |  CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> ''))) AS DOUBLE) AS w,
+        |  CAST(SUM(strlen(text)) AS DOUBLE) AS b FROM lab GROUP BY 1),
+        |m AS (SELECT st.part, t, ov, w, b FROM st JOIN tx USING (part)),
+        |o AS (SELECT * FROM m WHERE part = 0),
+        |n AS (SELECT * FROM m WHERE part = 1),
+        |pairs AS (
+        |  SELECT 'n_tokens' AS stat, o.t AS old_val, n.t AS new_val FROM o, n
+        |  UNION ALL SELECT 'oov_rate', ROUND(o.ov / o.t, 6), ROUND(n.ov / n.t, 6) FROM o, n
+        |  UNION ALL SELECT 'tokens_per_kb', ROUND(o.t * 1024 / o.b, 6),
+        |    ROUND(n.t * 1024 / n.b, 6) FROM o, n
+        |  UNION ALL SELECT 'tokens_per_word', ROUND(o.t / o.w, 6),
+        |    ROUND(n.t / n.w, 6) FROM o, n)
+        |SELECT stat, old_val, new_val, ROUND(new_val / old_val, 6) AS ratio
+        |FROM pairs ORDER BY stat""".stripMargin)),
+
     // Hybrid retrieval served ENTIRELY from standing layouts: the lexical
     // list from the term-bucketed BM25 index (manifest stats + pruned
     // scan), the dense list from the persisted IVF-PQ index (probe + ADC
     // scan, no query-time fit), fused by RRF — the production serve
     // topology where no retriever touches raw text or vectors at query
-    // time. IVF-PQ fits are hash-seeded → golden fixture (the in-memory
-    // hybrid twin search_hybrid carries the full SQL oracle).
+    // time. COMPOSED oracle: the BM25 half and the RRF arithmetic are
+    // exact SQL (the search_bm25_serve form proves indexed == flat);
+    // the dense half is the hash-seeded IVF-PQ serve — deterministic
+    // but with no SQL form — pinned as a literal VALUES table
+    // (regenerate with graft.tools.HybridOracleGen if the sf0.01
+    // embeddings fixture is regenerated, the GoldenGen flow).
     Q("search_hybrid_idx", (s, dir) => {
       val qs = s.createDataFrame(Seq(
         (0L, "spark join"), (1L, "window merge sort"), (2L, "vector hash batch")))
@@ -5090,7 +5255,55 @@ object QueryCatalog {
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(lex, dense, k = 10)
         .orderBy("query_id", "rank")
-    }, None),
+    }, Some("""WITH d AS (SELECT doc_id,
+              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+              |p AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM d),
+              |post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              |  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM post GROUP BY 1)),
+              |q0 AS (SELECT * FROM (VALUES (0, 'spark join'), (1, 'window merge sort'),
+              |    (2, 'vector hash batch')) v(query_id, qt)),
+              |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+              |    UNNEST(list_filter(string_split(lower(qt), ' '), x -> x <> '')) AS term FROM q0),
+              |rel AS (SELECT p.term, p.doc_id, p.tf, p.dl FROM post p
+              |  WHERE p.term IN (SELECT DISTINCT term FROM q)),
+              |dfT AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY 1),
+              |sc AS (SELECT q.query_id, r.doc_id,
+              |    SUM(LN(1.0 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) *
+              |        (r.tf * 2.2 / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / g.avgdl)))) AS raw
+              |  FROM rel r JOIN q ON q.term = r.term JOIN dfT t ON t.term = r.term CROSS JOIN g
+              |  GROUP BY 1, 2),
+              |lex AS (SELECT query_id, doc_id, rk AS lex_rank FROM (
+              |  SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY ROUND(raw, 4) DESC, doc_id) AS rk FROM sc) WHERE rk <= 20),
+              |dense AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+              |    CAST(doc_id AS BIGINT) AS doc_id, dr AS dense_rank
+              |  FROM (VALUES
+              |    (0, 365, 1), (0, 334, 2), (0, 387, 3), (0, 423, 4), (0, 73, 5),
+              |    (0, 7, 6), (0, 190, 7), (0, 464, 8), (0, 388, 9), (0, 483, 10),
+              |    (0, 323, 11), (0, 257, 12), (0, 165, 13), (0, 131, 14), (0, 36, 15),
+              |    (0, 478, 16), (0, 85, 17), (0, 229, 18), (0, 270, 19), (0, 261, 20),
+              |    (1, 386, 1), (1, 27, 2), (1, 407, 3), (1, 195, 4), (1, 64, 5),
+              |    (1, 124, 6), (1, 402, 7), (1, 472, 8), (1, 220, 9), (1, 203, 10),
+              |    (1, 363, 11), (1, 312, 12), (1, 353, 13), (1, 268, 14), (1, 300, 15),
+              |    (1, 467, 16), (1, 285, 17), (1, 222, 18), (1, 233, 19), (1, 213, 20),
+              |    (2, 117, 1), (2, 450, 2), (2, 145, 3), (2, 188, 4), (2, 320, 5),
+              |    (2, 418, 6), (2, 471, 7), (2, 112, 8), (2, 350, 9), (2, 172, 10),
+              |    (2, 197, 11), (2, 440, 12), (2, 109, 13), (2, 198, 14), (2, 97, 15),
+              |    (2, 239, 16), (2, 459, 17), (2, 128, 18), (2, 202, 19), (2, 407, 20)
+              |  ) dv(query_id, doc_id, dr)),
+              |fused AS (SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+              |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
+              |    ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0) +
+              |          COALESCE(1.0 / (60 + de.dense_rank), 0), 6) AS rrf_score
+              |  FROM lex l FULL OUTER JOIN dense de
+              |    ON l.query_id = de.query_id AND l.doc_id = de.doc_id),
+              |out AS (SELECT query_id, doc_id, rrf_score,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+              |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, rrf_score
+              |FROM out WHERE rank <= 10 ORDER BY 1, 3""".stripMargin)),
 
     Q("search_hybrid", (s, dir) => {
       val qs = s.createDataFrame(Seq(

@@ -1034,10 +1034,19 @@ object CurationPipeline {
           coalesce(sum(col("n")), lit(0L)).as("t"),
           coalesce(sum(size(col("ids")) - size(array_remove(col("ids"), 0))), lit(0L))
             .as("oov")).head()
+        // Words/bytes of the CURATED text ride in each shard's manifest
+        // so the fertility/OOV drift gate (tokenizerDrift) reads rates
+        // from manifest rows alone — never a release-sized re-scan.
+        val textStats = cut.agg(
+          coalesce(sum(size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+            .cast("long")), lit(0L)).as("w"),
+          coalesce(sum(octet_length(col(textCol)).cast("long")), lit(0L)).as("b")).head()
         writeManifest(s"$path/manifest/batch=$shardLabel", spark, Seq(
           "kind" -> "sink_tokens", "n_seqs" -> stats.getLong(0).toString,
           "n_tokens" -> stats.getLong(1).toString,
           "oov_tokens" -> stats.getLong(2).toString,
+          "n_words" -> textStats.getLong(0).toString,
+          "n_text_bytes" -> textStats.getLong(1).toString,
           "budget" -> budgetTokens.toString, "buckets" -> buckets.toString,
           "tokenizer" -> tokenizer, "byte_level" -> byteLevel.toString))
         back
@@ -1141,6 +1150,221 @@ object CurationPipeline {
       }
     }
     fates.toSeq.toDF("doc_id", "fate").orderBy("doc_id")
+  }
+
+  /** [[explain]] for the SHARD-INGEST face — "why did doc X vanish from
+    * shard 7's slice?": replay shard `shardLabel`'s [[applyShard]] pass
+    * step by step against the standing state and report each probe's
+    * fate, INCLUDING drops the standing indexes caused (batch-mode
+    * [[explain]] cannot see those — they come from prior shards'
+    * state, not from the replayed frame).
+    *
+    * Replay safety: stateful steps re-run with the SAME label — by the
+    * [[applyShard]] idempotence contract each increment recomputes
+    * against the identical strictly-earlier prior view and rewrites
+    * byte-identically, so the replay leaves standing state exactly as
+    * the original ingest did. Terminal sink steps are SKIPPED (they
+    * drop nothing, and an explain must never write a release slice);
+    * the `_pipeline` fingerprint is still checked against the FULL
+    * pipeline, sink included, because that is what the state dir was
+    * built with. The state dir must already carry an ingest
+    * (`_pipeline` present) — provenance is an ops query over state
+    * that exists, not a dry run (use batch [[explain]] for that).
+    *
+    * WINNER attribution: for the exact-key first-wins index families
+    * the dropping row is a direct index lookup, so the report names
+    * the prior doc that won — `url_dedup` (the standing keeper of the
+    * probe's normalized url) and `dedup_exact` (the standing keeper of
+    * its (hash, length) text key). Both read the key-disjoint index
+    * slices up to and including this shard, so an intra-shard loss
+    * names the shard's own keeper. Other dropping steps report a null
+    * winner: the signature families drop through transitive cluster
+    * election and line dedup drops a doc line-by-line to many prior
+    * docs — no single index row "wins", and naming one would be false
+    * precision (the fate still names the index family).
+    *
+    * @return one row per probe id: (doc_id, fate, winner) with fate =
+    *         the dropping step's name, `kept`, or `absent`, and winner
+    *         = the standing keeper's id for url/exact drops (else
+    *         null), ordered by doc_id.
+    */
+  def explainShard(shard: DataFrame, pipeline: Pipeline,
+      stateDir: String, shardLabel: String, probeIds: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      aux: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val spark = shard.sparkSession
+    import spark.implicits._
+    require(shardLabel.matches("[0-9]+"),
+      s"explainShard: shardLabel '$shardLabel' must be numeric (the " +
+        "applyShard label grammar)")
+    val fpPath = new org.apache.hadoop.fs.Path(s"$stateDir/_pipeline")
+    val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(fpPath),
+      s"explainShard: $stateDir carries no _pipeline fingerprint — it was " +
+        "never ingested into; shard provenance replays an existing ingest " +
+        "(for a dry run, use CurationPipeline.explain)")
+    val in = fs.open(fpPath)
+    val existing = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    require(existing == pipeline.steps.map(_.toString).mkString("\n"),
+      "explainShard: pipeline differs from the one this state dir was " +
+        "built with — the replay would misread position-keyed indexes")
+    require(probeIds.columns.length == 1,
+      s"explainShard: probeIds must be a single-column id frame, got " +
+        s"(${probeIds.columns.mkString(", ")})")
+    val probes = probeIds
+      .select(col(probeIds.columns.head).cast("long").as("__pid"))
+      .na.drop().distinct().limit(10001)
+      .as[Long].collect().sorted
+    require(probes.length <= 10000,
+      "explainShard: more than 10k probe ids — provenance is an ops query " +
+        "over a ticket-sized id set, not a corpus pass")
+    val probeDf = probes.toSeq.toDF("__pid")
+
+    // Replay with ORIGINAL step positions (state subdirs are keyed by
+    // position), sinks skipped.
+    val replay = pipeline.steps.zipWithIndex.filterNot { case (s, _) =>
+      s.isInstanceOf[Sink] || s.isInstanceOf[SinkTar] || s.isInstanceOf[SinkTokens]
+    }
+    val frames = replay.scanLeft(shard) { case (df, (step, i)) =>
+      graft.plans.Materialize(
+        applyStepShard(df, step, i, stateDir, shardLabel, idCol, textCol, aux))
+    }
+    val aliveAt = frames.map { f =>
+      f.join(broadcast(probeDf), f(idCol).cast("long") === col("__pid"), "left_semi")
+        .select(col(idCol).cast("long")).distinct()
+        .as[Long].collect().toSet
+    }
+    // fate + the index of the dropping replay step (-1 = none).
+    val fates: Seq[(Long, String, Int)] = probes.toSeq.map { id =>
+      if (!aliveAt.head.contains(id)) (id, "absent", -1)
+      else {
+        val g = aliveAt.indexWhere(!_.contains(id))
+        if (g < 0) (id, "kept", -1)
+        else (id, stepName(replay(g - 1)._1), g - 1)
+      }
+    }
+
+    // Winner lookups — one small job per (first-wins step with drops):
+    // the probe's key from the step's INPUT frame (earlier steps may
+    // have rewritten text/urls) joined against the index slices with
+    // label <= this shard's (key-disjoint, so exactly one keeper row
+    // per key; the replay just rewrote the own-label slice).
+    def indexSlices(stepIdx: Int, kind: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/step$stepIdx=$kind")
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filter(st => StateCompaction.labelOrd(
+          st.getPath.getName.stripPrefix("batch="), "explainShard") <= shardLabel.toLong)
+        .map(_.getPath.toString).toSeq
+    }
+    val winners: Map[Long, Long] = fates.filter(_._3 >= 0).groupBy(_._3)
+      .flatMap { case (replayIdx, dropped) =>
+        val (step, stepIdx) = replay(replayIdx)
+        val droppedDf = dropped.map(_._1).toDF("__pid")
+        val inputF = frames(replayIdx)
+        def collectWinners(keyed: DataFrame, idx: DataFrame,
+            keyCols: Seq[String], winCol: String): Seq[(Long, Long)] =
+          keyed.join(broadcast(droppedDf),
+              col(idCol).cast("long") === col("__pid"), "left_semi")
+            .join(idx, keyCols)
+            .select(col(idCol).cast("long"), col(winCol).cast("long"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+        step match {
+          case UrlDedup(urlCol) =>
+            val slices = indexSlices(stepIdx, "url_index")
+            if (slices.isEmpty) Seq.empty
+            else collectWinners(
+              inputF.select(col(idCol),
+                UrlCuration.normalizeUrl(col(urlCol)).as("url_norm")),
+              spark.read.parquet(slices: _*).select("url_norm", "keeper"),
+              Seq("url_norm"), "keeper")
+          case DedupExact =>
+            val slices = indexSlices(stepIdx, "exact_index")
+            if (slices.isEmpty) Seq.empty
+            else collectWinners(
+              inputF.select(col(idCol), xxhash64(col(textCol)).as("__h"),
+                length(col(textCol)).as("__len")),
+              spark.read.parquet(slices: _*).select("__h", "__len", "__id"),
+              Seq("__h", "__len"), "__id")
+          case _ => Seq.empty
+        }
+      }
+    fates.map { case (id, fate, _) =>
+      (id, fate, winners.get(id))
+    }.toDF("doc_id", "fate", "winner").orderBy("doc_id")
+  }
+
+  /** Fertility/OOV drift gate for a STANDING `sink_tokens` release —
+    * the [[graft.operators.ProductQuant.servingRecall]] /
+    * `bm25_index_drift` analogue for tokenization: the shard-ingest
+    * token sink fits its vocab ONCE (on the first shard) and serves it
+    * to every later shard, so a corpus whose language/domain mix drifts
+    * tokenizes progressively worse — fertility climbs and the
+    * byte-fallback/UNK mass (reserved id 0) grows — with no error
+    * anywhere. This gate compares the NEWEST shard's manifest numbers
+    * against the ACCEPTED baseline (all strictly-earlier shards,
+    * volume-weighted by summing their raw counts), reading ONLY the
+    * per-shard manifest rows the sink already wrote — never a
+    * release-sized re-scan. Alert/refit on a ratio far from 1 (the
+    * caller's bar), exactly how servingRecall decides an ANN refit.
+    *
+    * Config divergence (tokenizer kind, byte mode, budget) is an ERROR,
+    * not a stat: shards packed under different configs are not
+    * comparable — that release needs re-ingesting, not monitoring.
+    *
+    * @return one row per stat — `n_tokens`, `oov_rate`,
+    *         `tokens_per_kb`, `tokens_per_word` — as (stat, old_val,
+    *         new_val, ratio), the indexStatsDiff shape; ratio/derived
+    *         rates are null when a denominator is zero (or when old
+    *         manifests predate the fertility fields).
+    */
+  def tokenizerDrift(spark: SparkSession, releaseDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(s"$releaseDir/manifest")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root),
+      s"tokenizerDrift: $releaseDir carries no manifest/ batch slices — " +
+        "not a shard-mode sink_tokens release")
+    val labeled = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => StateCompaction.labelOrd(
+        st.getPath.getName.stripPrefix("batch="), "tokenizerDrift") ->
+        st.getPath.toString)
+      .sortBy(_._1).toSeq
+    require(labeled.length >= 2,
+      "tokenizerDrift: needs >= 2 shard manifests — the newest shard is " +
+        "judged against the accepted prior shards")
+    // Manifests are one tiny (key, value) frame per shard — driver-side
+    // folds are exactly right here.
+    def kv(paths: Seq[String]): Map[String, Seq[String]] =
+      spark.read.parquet(paths: _*).select("key", "value").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) =>
+          k -> rs.map(_.getString(1)).toSeq
+        }
+    val prior = kv(labeled.dropRight(1).map(_._2))
+    val newest = kv(Seq(labeled.last._2))
+    Seq("tokenizer", "byte_level", "budget").foreach { k =>
+      val all = (prior.getOrElse(k, Nil) ++ newest.getOrElse(k, Nil)).distinct
+      require(all.size <= 1,
+        s"tokenizerDrift: shard manifests disagree on '$k' " +
+          s"(${all.mkString(" vs ")}) — the release was packed under " +
+          "different configs; re-ingest into a fresh release")
+    }
+    def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    def rates(m: Map[String, Seq[String]]): Map[String, Option[Double]] = {
+      def sumOf(k: String): Double = m.getOrElse(k, Nil).flatMap(_.toLongOption).sum.toDouble
+      val (t, o) = (sumOf("n_tokens"), sumOf("oov_tokens"))
+      val (w, b) = (sumOf("n_words"), sumOf("n_text_bytes"))
+      def r(num: Double, den: Double) = if (den == 0d) None else Some(round6(num / den))
+      Map("n_tokens" -> Some(t), "oov_rate" -> r(o, t),
+        "tokens_per_word" -> r(t, w), "tokens_per_kb" -> r(t * 1024.0, b))
+    }
+    val (o, n) = (rates(prior), rates(newest))
+    Seq("n_tokens", "oov_rate", "tokens_per_kb", "tokens_per_word").map { st =>
+      val ratio = for { a <- o(st); b <- n(st) if a != 0d } yield round6(b / a)
+      (st, o(st), n(st), ratio)
+    }.toDF("stat", "old_val", "new_val", "ratio").orderBy("stat")
   }
 
   private def stepName(s: Step): String = s match {

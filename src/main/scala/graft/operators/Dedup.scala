@@ -1349,9 +1349,9 @@ object Dedup {
     * star pass cuts the union to exact-(ehash, elen) matches of the
     * shard (broadcast semi-join — tiny). The band pass pays exactly ONE
     * thin exchange: a map-side chunk explode + broadcast semi-join on
-    * the shard's probed buckets (narrow 4×16-bit bands, adaptively
-    * widened to 56×24-bit triples for shards big enough to saturate
-    * them — [[WideBandThreshold]]) feeds a
+    * the shard's probed buckets (narrow 4×16-bit bands; an opt-in
+    * 56×24-bit triple widening exists for exchange-bound deployments —
+    * [[WideBandThreshold]]) feeds a
     * (chunk, key, ehash, elen) aggregate electing each cluster's union
     * rep bucket-locally — exact because identical text implies an
     * identical signature, so a cluster's members share its buckets —
@@ -1470,15 +1470,22 @@ object Dedup {
     }: _*))
 
   /** Distinct-shard-signature count at which [[incrementalBandPairs]]
-    * widens its restriction banding: below it, the 4×16-bit chunk keys
-    * filter the corpus sharply (a 32k-sig shard probes ≤39% of each
-    * chunk's 2^16 key space); at and above it the narrow keyspace
-    * saturates — a ≥65k-sig shard probes ~63% of every chunk, the
-    * broadcast semi-join stops cutting, and the thin aggregate's input
-    * approaches 4× the corpus's chunk rows (the BENCH_NOTES §21 bound
-    * this widening lifts).
+    * widens its restriction banding — DISABLED by default, on measured
+    * evidence (BENCH_NOTES §28): a ≥65k-sig shard does saturate the
+    * narrow 4×16-bit keyspace (probes ~63% of every chunk, so the
+    * broadcast semi-join stops cutting and the thin aggregate's input
+    * approaches 4× the corpus's chunk rows — the §21 bound), but the
+    * measured penalty is MILD because those rows are 28-byte thin: a
+    * 100k-distinct-sig shard against a 12.8M-sig corpus ingests in
+    * 0.17× the recuration wall. The widened scheme (56 triple bands)
+    * restores semi-join selectivity yet pays 14× the map-side explode
+    * and random probes into a multi-MB broadcast hash — measured 5-15×
+    * SLOWER end-to-end on local[32] at every corpus ratio tried. Keep
+    * narrow unless the deployment is genuinely exchange-bound (network
+    * shuffle at cluster scale); then opt in per call via
+    * `wideThreshold`.
     */
-  private[graft] val WideBandThreshold: Int = 32768
+  private[graft] val WideBandThreshold: Int = Int.MaxValue
 
   /** The widened banding: 8-bit chunk TRIPLES — 56 bands of 24-bit keys
     * (keyspace 56 × 2^24 ≈ 939M vs the narrow 4 × 2^16 = 262k). Recall
@@ -1532,18 +1539,25 @@ object Dedup {
     * itself. Returns RAW verified (doc_a, doc_b, hamming) pairs;
     * callers union their star passes and apply the per-pair MIN.
     *
-    * ADAPTIVE band width: small shards band on the narrow 4×16-bit
-    * chunks (4 exploded rows/sig, probed set ≤ 4 × 2^16); a shard with
-    * ≥ `wideThreshold` DISTINCT signatures would saturate that keyspace
-    * (the restriction stops cutting and the aggregate's input
-    * approaches 4× the corpus's chunk rows), so it switches to
-    * [[WideTriples]] — 56 bands of 24-bit keys with the identical
-    * Hamming ≤ 3 recall guarantee. The candidate SET is banding-
-    * invariant (both schemes guarantee a shared band for every true
-    * pair; verification is exact), so batch parity holds in both
+    * OPTIONAL band widening (`wideThreshold`, off by default — see
+    * [[WideBandThreshold]] for the measured reasoning): a shard with
+    * ≥ `wideThreshold` DISTINCT signatures switches to [[WideTriples]]
+    * — 56 bands of 24-bit keys with the identical Hamming ≤ 3 recall
+    * guarantee (≤3 differing bits leave ≥5 of the eight 8-bit chunks
+    * untouched, so some triple is fully shared). The candidate SET is
+    * banding-invariant (both schemes guarantee a shared band for every
+    * true pair; verification is exact), so batch parity holds in both
     * regimes whenever the bucket cap doesn't shed — and the cap sheds
     * strictly more rarely in 24-bit buckets than in batch's 16-bit
-    * ones, so the widened regime never misses a pair batch kept.
+    * ones, so the widened regime never misses a pair batch kept
+    * (parity asserted in WideBandSpec).
+    *
+    * When opted in, widening ALSO requires the corpus to dwarf the
+    * shard (> 16× non-null rows): the shard's own chunk rows always
+    * survive the restriction, so wide banding shuffles ≥ 56 rows per
+    * shard sig where narrow pays 4, and below that ratio (a bootstrap
+    * or recuration, where the "shard" IS the union) the wider explode
+    * is pure overhead with nothing left to restrict.
     */
   private def incrementalBandPairs(
       union: DataFrame,
@@ -1553,12 +1567,23 @@ object Dedup {
       maxHamming: Int,
       maxBucketSize: Int,
       wideThreshold: Int = WideBandThreshold): DataFrame = {
-    // One shard-sized job to pick the scheme: the decision needs the
-    // DISTINCT sig count (ids don't matter — re-encounters band on the
-    // same keys), and every caller hands a materialized shard frame.
-    val nDistinct = shardSigs.filter(col("sig").isNotNull)
-      .select("sig").distinct().count()
-    val useWide = nDistinct >= wideThreshold
+    // Scheme pick: at the disabled default the decision is free (no
+    // jobs). An opted-in threshold pays one shard-sized count job —
+    // the decision needs the DISTINCT sig count (ids don't matter —
+    // re-encounters band on the same keys) — and the union count
+    // (corpus ≫ shard gate) runs only past that. wideThreshold <= 1 is
+    // the explicit force-wide hook (parity specs, A/B probes) and
+    // skips the corpus-ratio gate.
+    val useWide = wideThreshold != Int.MaxValue && {
+      val shardStats = shardSigs.filter(col("sig").isNotNull)
+        .agg(count(lit(1)), count_distinct(col("sig"))).head()
+      val (nShard, nDistinct) = (shardStats.getLong(0), shardStats.getLong(1))
+      nDistinct >= wideThreshold &&
+        (wideThreshold <= 1 || {
+          val nUnion = union.filter(col("sig").isNotNull).count()
+          nUnion - nShard > 16L * nShard
+        })
+    }
     val bandKeys: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (useWide) wideChunkKeys else chunkKeys
     val probedKeys = shardSigs.filter(col("sig").isNotNull)
@@ -1618,8 +1643,8 @@ object Dedup {
     * the union to exact-sig matches of the shard (broadcast semi-join —
     * tiny). The band pass pays exactly ONE exchange, and a THIN one: a
     * map-side chunk explode + broadcast semi-join on the shard's
-    * probed-bucket keys (narrow 4×16-bit bands, adaptively widened to
-    * 56×24-bit triples for shards big enough to saturate them —
+    * probed-bucket keys (narrow 4×16-bit bands; an opt-in 56×24-bit
+    * triple widening exists for exchange-bound deployments —
     * [[WideBandThreshold]])
     * feeds a (chunk, key, sig) aggregate that elects each signature's
     * union rep bucket-locally — exact because a signature's whole

@@ -513,6 +513,75 @@ object ProductQuant {
       col("id").cast("long") === col("__purge_id"), "left_anti"))
   }
 
+  /** The three parquet dirs a persisted [[IvfPqIndex]] comprises — the
+    * single source of truth for [[IvfPqIndex.save]]/load and
+    * [[ivfPqIndexFsck]], so the health check cannot drift from the
+    * layout it checks.
+    */
+  private[graft] val IndexComponents = Seq("centroids", "codebooks", "codes")
+
+  /** Health check for a persisted IVF-PQ index layout — the
+    * [[graft.operators.StateCompaction.fsck]] /
+    * [[graft.operators.Retrieval.fsckIndex]] analogue for the ANN
+    * serving state: the promote/alert gate runs it before pointing
+    * serving at a copied or long-retained index. Driver-side dir
+    * METADATA only (no data read — the content-integrity manifest is
+    * [[Integrity.stamp]]'s job):
+    *
+    *   - `missing_component`: one of centroids/codebooks/codes is gone —
+    *     a partial copy or a manual deletion; the index cannot load.
+    *   - `partial_write`: a component dir exists but carries no
+    *     `_SUCCESS` job marker — [[IvfPqIndex.save]]'s overwrite crashed
+    *     mid-write and the part files are not trustworthy; re-save from
+    *     the source index.
+    *   - `orphan_tmp`: a `_temporary` dir inside a component — a
+    *     crashed write's scratch; rows are whatever the last COMPLETE
+    *     job committed, the scratch just wastes space.
+    *   - `foreign_entry`: a non-hidden name under the root that is not
+    *     a component dir — not this layout's; a wrong-path write or a
+    *     second index nested where serving expects one.
+    *
+    * A healthy index reports ZERO rows — the empty result IS the
+    * health proof, matching the other fsck faces.
+    *
+    * @return DataFrame (chk, item, detail), ordered by (chk, item).
+    */
+  def ivfPqIndexFsck(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"ivfPqIndexFsck: no such dir $dir")
+    val findings = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    IndexComponents.foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(root, c)
+      if (!fs.exists(p))
+        findings += (("missing_component", c,
+          "component dir is gone (partial copy or manual deletion) — " +
+            "the index cannot load; re-save it from the source index"))
+      else {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          findings += (("partial_write", c,
+            "no _SUCCESS job marker — the overwrite crashed mid-write " +
+              "and the part files are partial; re-save the index"))
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_temporary")))
+          findings += (("orphan_tmp", s"$c/_temporary",
+            "crashed write scratch; committed rows are intact, the " +
+              "scratch just wastes space — safe to delete"))
+      }
+    }
+    fs.listStatus(root)
+      .filter(st => !IndexComponents.contains(st.getPath.getName))
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .foreach { n =>
+        findings += (("foreign_entry", n,
+          "not part of the centroids/codebooks/codes layout — a " +
+            "wrong-path write or a nested second index"))
+      }
+    import spark.implicits._
+    findings.sortBy(f => (f._1, f._2)).toSeq.toDF("chk", "item", "detail")
+  }
+
   /** Measured recall@k of a fitted index on a held-out query frame — the
     * drift monitor for the append-without-refit loop ([[ivfPqIndexAppend]]):
     * as appended shards move the embedding distribution away from the

@@ -70,6 +70,15 @@ object SigScaleProbe {
     val baseRows = args.headOption.map(_.toLong).getOrElse(100000L)
     val midMul = args.lift(1).map(_.toInt).getOrElse(8)
     val bigMul = args.lift(2).map(_.toInt).getOrElse(32)
+    // Saturation probe (BENCH_NOTES §21/§28): arg 4 sizes the shard —
+    // a ~100k-distinct-sig shard saturates the narrow 4×16-bit band
+    // keyspace. Env SPARK_GRAFT_WIDE_THRESHOLD opts into the triple
+    // widening for A/B runs (default = disabled/narrow; 1 forces wide
+    // — measured 5-15x slower on local[32], §28, which is why narrow
+    // is the default).
+    val shardN = args.lift(3).map(_.toLong).getOrElse(20000L)
+    val wideThreshold = sys.env.get("SPARK_GRAFT_WIDE_THRESHOLD")
+      .map(_.toInt).getOrElse(graft.operators.Dedup.WideBandThreshold)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables
       .configure(
@@ -80,7 +89,6 @@ object SigScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val shardN = 20000L
     val shift = baseRows * (bigMul + 2L)
     // Re-encounter sources: distinct standing ids present in EVERY
     // corpus size (7i+1 < baseRows), so the shard is identical across
@@ -108,13 +116,15 @@ object SigScaleProbe {
         var pairsIncr = 0L
         val tIngest = time {
           pairsIncr = PerceptualHash
-            .dedupIncrementalSigs(shard, corpus, maxHamming = 2).count()
+            .dedupIncrementalSigs(shard, corpus, maxHamming = 2,
+              wideThreshold = wideThreshold).count()
         }
         var pairsFull = 0L
         val tFull = time {
           pairsFull = PerceptualHash
             .dedupIncrementalSigs(corpus.unionByName(shard),
-              corpus.limit(0), maxHamming = 2).count()
+              corpus.limit(0), maxHamming = 2,
+              wideThreshold = wideThreshold).count()
         }
         println(f"[sig-scale] scalar $label%-4s corpus=$n%9d shard=$shardN%6d " +
           f"ingest=$tIngest%6.2fs (pairs=$pairsIncr) full=$tFull%7.2fs " +
@@ -122,6 +132,9 @@ object SigScaleProbe {
         corpus.unpersist()
 
         // ---- set-valued core (video shared-frame rollup) ----
+        // SPARK_GRAFT_SCALAR_ONLY skips it: the band-width A/B probes
+        // only exercise the scalar (Hamming-banded) core.
+        if (!sys.env.contains("SPARK_GRAFT_SCALAR_ONLY")) {
         val vCorpus = spark.range(n)
           .select(col("id").as("media_id"), explode(sequence(lit(0), lit(5))).as("j"))
           .select(col("media_id"), videoFpExpr(col("media_id"), col("j")).as("vfp"))
@@ -153,6 +166,7 @@ object SigScaleProbe {
           f"ingest=$vIngest%6.2fs (pairs=$vPairsIncr) full=$vFull%7.2fs " +
           f"(pairs=$vPairsFull) loadavg=$vla%.2f")
         vCorpus.unpersist()
+        }
     }
     spark.stop()
   }

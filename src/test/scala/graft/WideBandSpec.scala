@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
-/** The adaptive band-key widening in the incremental signature core
-  * (Dedup.incrementalBandPairs): shards big enough to saturate the
-  * narrow 4×16-bit chunk keyspace switch to 56 triples of 8-bit chunks
-  * (24-bit keys). Correctness contract: the widened scheme finds the
+/** The opt-in band-key widening in the incremental signature core
+  * (Dedup.incrementalBandPairs): 56 triples of 8-bit chunks (24-bit
+  * keys) replacing the narrow 4×16-bit chunks for exchange-bound
+  * deployments. Correctness contract: the widened scheme finds the
   * SAME verified pair set for the Hamming ≤ 3 regime — ≤3 differing
   * bits leave ≥5 of the eight 8-bit chunks untouched, so some triple is
   * fully shared by every true pair, and exact bit_count verification
@@ -92,10 +92,13 @@ class WideBandSpec extends SparkSpec {
     assert(wide.nonEmpty, "fixture produced no pairs — not exercising the band pass")
   }
 
-  test("the automatic trigger stays narrow below the threshold") {
-    // Equivalence of the two schemes is the contract above; here just
-    // pin the default threshold so a refactor can't silently widen every
-    // small-shard ingest (4 -> 56 exploded rows/sig).
-    assert(Dedup.WideBandThreshold === 32768)
+  test("widening is opt-in only — the default threshold is disabled") {
+    // The A/B measurement (BENCH_NOTES §28) showed the widened scheme
+    // losing 5-15x on local[32] (map-side explode + broadcast-hash
+    // probes dominate; the exchange it saves is thin rows), while
+    // saturated NARROW ingest still measures 0.17x recuration — so the
+    // default must stay narrow. Pin it so a refactor can't silently
+    // flip every big-shard ingest to the 56-band explode.
+    assert(Dedup.WideBandThreshold === Int.MaxValue)
   }
 }
