@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through RAW instead of logging
+// each line with an "[info] "/"[error] " prefix: the bench/verify
+// harness scrapes the LAST ~2000 chars of this log and json-parses the
+// final line — a logger prefix on the machine-readable line breaks
+// that parse (every BENCH_r*.json through r14 recorded parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4294,6 +4294,50 @@ object QueryCatalog {
         |  ('broken', 'wedge', '_compact_commit'))
         |AS t(layout, chk, item) ORDER BY 1, 2, 3""".stripMargin)),
 
+    // STATE-DIR fsck — the applyShard state root was the last standing
+    // layout without a health check: two ingests build a healthy
+    // 4-step state (url index, line index, exact index, served LM),
+    // which reports ZERO findings; a staged damaged copy reports its
+    // five defects by name (a wedged step compaction, a batch slice
+    // missing _SUCCESS, a foreign batch label, a single-fit LM without
+    // _SUCCESS, a foreign top-level dir). Dir metadata only → relative
+    // names → literal-VALUES DuckDB oracle.
+    Q("shard_state_fsck", (s, dir) => {
+      val lined = docsWithUrl(s, dir)
+      val state = scratchDir("graft_sfsck_state", dir)
+      val p = graft.config.CurationConfig.fromYaml(
+        """steps:
+          |  - url_dedup: {}
+          |  - dedup_lines: { min_chars: 10 }
+          |  - dedup_exact: {}
+          |  - perplexity: { max_ppl: 150, vocab: 20 }
+          |""".stripMargin)
+      CurationPipeline.applyShard(lined.filter(col("doc_id") < 250), p, state, "0")
+      CurationPipeline.applyShard(lined.filter(col("doc_id") >= 250), p, state, "1")
+      val healthy = CurationPipeline.fsckState(s, state)
+      // Stage one defect of each kind in the same layout.
+      new java.io.File(s"$state/step0=url_index/_compact_commit").createNewFile()
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      new java.io.File(s"$state/step2=exact_index/batch=1/_SUCCESS").delete()
+      new java.io.File(s"$state/step1=line_index/batch=oops").mkdirs()
+      new java.io.File(s"$state/step3=lm/_SUCCESS").delete()
+      new java.io.File(s"$state/extra").mkdirs()
+      healthy.withColumn("layout", lit("healthy"))
+        .unionByName(CurationPipeline.fsckState(s, state)
+          .withColumn("layout", lit("damaged")))
+        .select("layout", "chk", "item")
+        .orderBy("layout", "chk", "item")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('damaged', 'foreign_entry', 'extra'),
+        |  ('damaged', 'foreign_label', 'step1=line_index/batch=oops'),
+        |  ('damaged', 'missing_success', 'step2=exact_index/batch=1'),
+        |  ('damaged', 'partial_write', 'step3=lm'),
+        |  ('damaged', 'wedge', 'step0=url_index/_compact_commit'))
+        |AS t(layout, chk, item) ORDER BY 1, 2, 3""".stripMargin)),
+
     // Content-integrity verification — the check _SUCCESS markers and
     // fsck cannot make: a stamped per-slice (row count, order-invariant
     // content fingerprint) manifest re-verified by one columnar scan,
