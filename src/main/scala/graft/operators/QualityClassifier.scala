@@ -111,15 +111,11 @@ object QualityClassifier {
     // cached frame already hash(doc_id)-partitioned, the margin
     // aggregate (subset clustering) and the residual join are both
     // exchange-free, leaving the tiny ≤dim+1-row feat aggregate as the
-    // ONLY per-iteration shuffle. One up-front exchange buys `iters`×2
-    // fewer stages — at bench scale the fit is scheduler-bound, and at
-    // corpus scale it is exactly the shuffle volume this removes.
-    val feats = graft.plans.Materialize(
-      hashedFeatures(docs, dim, idCol, textCol).join(labeled, Seq("doc_id"))
-        .unionByName(labeled.select(
-          col("doc_id"), lit(-1).as("feat"), lit(1.0).as("x"), col("y")))
-        .repartition(col("doc_id")),
-      eager = true)
+    // ONLY per-iteration shuffle (PlanAudit asserts it). One up-front
+    // exchange buys `iters`×2 fewer stages — at bench scale the fit is
+    // scheduler-bound, and at corpus scale it is exactly the shuffle
+    // volume this removes.
+    val feats = trainingFeatures(docs, labelCol, dim, idCol, textCol)
     val n = labeled.count().toDouble
     require(n > 0, "cannot train on an empty corpus")
 
@@ -128,17 +124,7 @@ object QualityClassifier {
     var bias = 0.0
     var accBias = 1e-8
     for (_ <- 1 to iters) {
-      val wDf = weightsDf(spark, w, bias)
-      // margin_d = Σ_f w_f·x_df (bias included); p = σ(margin); r = p − y;
-      // grad_f = Σ_d∋f r_d·x_df — one collected frame, ≤ dim+1 rows.
-      val residuals = feats
-        .join(broadcast(wDf), Seq("feat"), "left")
-        .groupBy("doc_id", "y")
-        .agg(coalesce(sum(col("w") * col("x")), lit(0.0)).as("margin"))
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("margin"))) - col("y")).as("r"))
-      val g = feats.join(residuals, Seq("doc_id"))
-        .groupBy("feat").agg(sum(col("r") * col("x")).as("g"))
+      val g = gradientFrame(feats, weightsDf(spark, w, bias))
         .collect().map(row => (row.getInt(0), row.getDouble(1))).toMap
       var f = 0
       while (f < dim) {
@@ -152,6 +138,41 @@ object QualityClassifier {
       bias -= lr * gBias / math.sqrt(accBias)
     }
     weightsDf(spark, w, bias)
+  }
+
+  /** ONE Adagrad iteration's gradient frame — margin_d = Σ_f w_f·x_df
+    * (bias included as pseudo-feature −1); p = σ(margin); r = p − y;
+    * grad_f = Σ_d∋f r_d·x_df — ≤ dim+1 rows out. Factored out so
+    * PlanAudit can assert the iteration's plan shape: with `feats`
+    * cached hash(doc_id)-partitioned (see [[train]]), the margin
+    * aggregate (subset clustering) and the residual join reuse that
+    * partitioning and the ONLY exchange is the tiny per-feature
+    * aggregate.
+    */
+  private[graft] def gradientFrame(feats: DataFrame, wDf: DataFrame): DataFrame = {
+    val residuals = feats
+      .join(broadcast(wDf), Seq("feat"), "left")
+      .groupBy("doc_id", "y")
+      .agg(coalesce(sum(col("w") * col("x")), lit(0.0)).as("margin"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("margin"))) - col("y")).as("r"))
+    feats.join(residuals, Seq("doc_id"))
+      .groupBy("feat").agg(sum(col("r") * col("x")).as("g"))
+  }
+
+  /** The materialized, hash(doc_id)-partitioned per-document feature
+    * frame [[train]] iterates over — exposed for the plan audit.
+    */
+  private[graft] def trainingFeatures(
+      docs: DataFrame, labelCol: String, dim: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val labeled = docs.select(col(idCol).as("doc_id"), col(labelCol).cast("double").as("y"))
+    graft.plans.Materialize(
+      hashedFeatures(docs, dim, idCol, textCol).join(labeled, Seq("doc_id"))
+        .unionByName(labeled.select(
+          col("doc_id"), lit(-1).as("feat"), lit(1.0).as("x"), col("y")))
+        .repartition(col("doc_id")),
+      eager = true)
   }
 
   /** The `(feat, w)` weight frame, bias at `feat = −1`; zero weights are

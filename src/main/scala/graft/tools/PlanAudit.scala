@@ -705,6 +705,17 @@ object PlanAudit {
       .findAllIn(qcScore.queryExecution.executedPlan.toString).length
     println(s"${if (qcBroadcasts >= 1) "OK " else "HOT"} quality model broadcast        n=$qcBroadcasts")
 
+    // Quality-classifier FIT iteration: the feature frame materializes
+    // hash(doc_id)-partitioned, so one Adagrad step's gradient plan —
+    // margin aggregate (subset clustering), residual join, per-feature
+    // aggregate — carries exactly ONE exchange: the ≤dim+1-row feature
+    // rollup. The fit runs `iters` of these; an exchange regression
+    // here multiplies by the iteration count.
+    val qcFeats = graft.operators.QualityClassifier.trainingFeatures(
+      docsT.limit(40).withColumn("y", (col("lang") === "en").cast("int")), "y", 64)
+    audit("quality_model_fit_iter",
+      graft.operators.QualityClassifier.gradientFrame(qcFeats, qcModel), 1)
+
     // The declarative 7-step curation pipeline composed: its exchange
     // count is the SUM of its steps' audited budgets (clean/langid/
     // quality/split map-side; dedup_exact one agg + semi-join; quota
