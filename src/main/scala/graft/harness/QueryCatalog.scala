@@ -4314,7 +4314,7 @@ object QueryCatalog {
           |""".stripMargin)
       CurationPipeline.applyShard(lined.filter(col("doc_id") < 250), p, state, "0")
       CurationPipeline.applyShard(lined.filter(col("doc_id") >= 250), p, state, "1")
-      val healthy = CurationPipeline.fsckState(s, state)
+      val healthy = CurationPipeline.fsckShardState(s, state)
       // Stage one defect of each kind in the same layout.
       new java.io.File(s"$state/step0=url_index/_compact_commit").createNewFile()
       def rmrf(f: java.io.File): Unit = {
@@ -4325,7 +4325,7 @@ object QueryCatalog {
       new java.io.File(s"$state/step3=lm/_SUCCESS").delete()
       new java.io.File(s"$state/extra").mkdirs()
       healthy.withColumn("layout", lit("healthy"))
-        .unionByName(CurationPipeline.fsckState(s, state)
+        .unionByName(CurationPipeline.fsckShardState(s, state)
           .withColumn("layout", lit("damaged")))
         .select("layout", "chk", "item")
         .orderBy("layout", "chk", "item")
@@ -4334,7 +4334,7 @@ object QueryCatalog {
         |  ('damaged', 'foreign_entry', 'extra'),
         |  ('damaged', 'foreign_label', 'step1=line_index/batch=oops'),
         |  ('damaged', 'missing_success', 'step2=exact_index/batch=1'),
-        |  ('damaged', 'partial_write', 'step3=lm'),
+        |  ('damaged', 'missing_success', 'step3=lm'),
         |  ('damaged', 'wedge', 'step0=url_index/_compact_commit'))
         |AS t(layout, chk, item) ORDER BY 1, 2, 3""".stripMargin)),
 

@@ -459,8 +459,12 @@ object CurationPipeline {
     * `batch=` slice convention (findings prefixed with the step dir),
     * plus the state-level contracts — a missing `_pipeline` fingerprint
     * means position-keyed indexes can silently mis-bind to an edited
-    * YAML. The `lm` dir is a single fit (no batch slices) and is only
-    * checked for a `_SUCCESS`. Empty frame = healthy.
+    * YAML. Batch-keyed vs single-fit is detected STRUCTURALLY (batch=
+    * slices or compaction artifacts present), not by kind name, so any
+    * fit-once dir — the served LM today, future single fits tomorrow —
+    * gets its `_SUCCESS` checked instead of silently passing an empty
+    * batch sweep. Non-`step<N>=<kind>` dirs in the state root are
+    * flagged foreign (a wrong-path write). Empty frame = healthy.
     */
   def fsckShardState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
@@ -472,20 +476,32 @@ object CurationPipeline {
       else Seq(("missing_pipeline", "_pipeline",
         "state dir carries no pipeline fingerprint — position-keyed " +
           "indexes cannot be checked against the YAML they were built with"))
-    val stepDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.matches("step\\d+=.*"))
-      .sortBy(_.getPath.getName)
-    val perStep = stepDirs.toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (name.endsWith("=lm")) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))) Seq.empty
-        else Seq(("missing_success", name,
-          "LM fit dir has no job-completion marker — possibly a partial fit"))
-      } else StateCompaction.fsck(spark, st.getPath.toString)
-        .collect().toSeq
-        .map(r => (r.getString(0), s"$name/${r.getString(1)}", r.getString(2)))
-    }
-    (top ++ perStep).toDF("chk", "item", "detail").orderBy("chk", "item")
+    val stepRe = "^step([0-9]+)=(.+)$".r
+    val perDir = fs.listStatus(root).filter(_.isDirectory).toSeq
+      .sortBy(_.getPath.getName).flatMap { st =>
+        val name = st.getPath.getName
+        name match {
+          case stepRe(_, _) =>
+            val batchKeyed = fs.listStatus(st.getPath).exists(c =>
+              c.isDirectory && c.getPath.getName.startsWith("batch=")) ||
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_compact_commit")) ||
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_compact_tmp"))
+            if (batchKeyed)
+              StateCompaction.fsck(spark, st.getPath.toString)
+                .collect().toSeq
+                .map(r => (r.getString(0), s"$name/${r.getString(1)}", r.getString(2)))
+            else if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+              Seq.empty
+            else Seq(("missing_success", name,
+              "single-fit step dir has no job-completion marker — the fit " +
+                "crashed mid-write; delete the dir to re-bootstrap it"))
+          case _ if !name.startsWith("_") && !name.startsWith(".") =>
+            Seq(("foreign_entry", name,
+              "not a step<N>=<kind> dir — a wrong-path write into the state root"))
+          case _ => Seq.empty
+        }
+      }
+    (top ++ perDir).toDF("chk", "item", "detail").orderBy("chk", "item")
   }
 
   /** STREAMING ingest for the whole curation language — the
@@ -1293,71 +1309,6 @@ object CurationPipeline {
     fates.map { case (id, fate, _) =>
       (id, fate, winners.get(id))
     }.toDF("doc_id", "fate", "winner").orderBy("doc_id")
-  }
-
-  /** Health check for an [[applyShard]] STATE directory — the last
-    * standing layout without an fsck face (releases have
-    * [[StateCompaction.fsck]], the BM25 index
-    * [[Retrieval.fsckIndex]], the ANN index
-    * [[ProductQuant.ivfPqIndexFsck]]): a long-lived ingest accumulates
-    * one `step<N>=<kind>` subdir per stateful step, each either
-    * batch-keyed (the first-wins / signature indexes — `batch=<id>`
-    * slices under the compaction protocol) or a single fit (the served
-    * LM, one parquet dir). Driver-side dir metadata only. Findings:
-    *
-    *   - `missing_pipeline`: no `_pipeline` fingerprint — not an
-    *     applyShard layout (or the bootstrap crashed before the first
-    *     write); ingest refuses it anyway, this names it for ops.
-    *   - batch-keyed dirs inherit [[StateCompaction.fsck]]'s findings
-    *     verbatim (`wedge` / `orphan_tmp` / `foreign_label` /
-    *     `missing_success`), item-prefixed with the step dir.
-    *   - `partial_write`: a single-fit step dir without `_SUCCESS` —
-    *     the fit crashed mid-write; delete it to re-bootstrap
-    *     deliberately (the fit-once contract).
-    *   - `foreign_entry`: a non-hidden dir that is not `step<N>=<kind>`
-    *     — a wrong-path write into the state root.
-    *
-    * Zero rows = health proof, matching every other fsck face.
-    *
-    * @return DataFrame (chk, item, detail), ordered by (chk, item).
-    */
-  def fsckState(spark: SparkSession, stateDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(root), s"fsckState: no such dir $stateDir")
-    val findings = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_pipeline")))
-      findings += (("missing_pipeline", "_pipeline",
-        "no pipeline fingerprint — not an applyShard state dir, or the " +
-          "bootstrap crashed before the first write; re-ingest from shard 0"))
-    val stepRe = "^step([0-9]+)=(.+)$".r
-    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
-      val name = st.getPath.getName
-      name match {
-        case stepRe(_, _) =>
-          // Batch-keyed vs single-fit: the presence of batch= slices or
-          // compaction artifacts marks the protocol; a plain parquet fit
-          // has neither.
-          val batchKeyed = fs.listStatus(st.getPath).exists(c =>
-            c.isDirectory && c.getPath.getName.startsWith("batch=")) ||
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_compact_commit")) ||
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_compact_tmp"))
-          if (batchKeyed)
-            StateCompaction.fsck(spark, st.getPath.toString).collect().foreach { r =>
-              findings += ((r.getString(0), s"$name/${r.getString(1)}", r.getString(2)))
-            }
-          else if (!fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-            findings += (("partial_write", name,
-              "single-fit step dir has no _SUCCESS job marker — the fit " +
-                "crashed mid-write; delete the dir to re-bootstrap the fit"))
-        case _ if !name.startsWith("_") && !name.startsWith(".") =>
-          findings += (("foreign_entry", name,
-            "not a step<N>=<kind> dir — a wrong-path write into the state root"))
-        case _ => ()
-      }
-    }
-    import spark.implicits._
-    findings.sortBy(f => (f._1, f._2)).toSeq.toDF("chk", "item", "detail")
   }
 
   /** Fertility/OOV drift gate for a STANDING `sink_tokens` release —
