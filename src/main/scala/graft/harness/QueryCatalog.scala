@@ -5259,7 +5259,7 @@ object QueryCatalog {
         |o AS (SELECT * FROM m WHERE part = 0),
         |n AS (SELECT * FROM m WHERE part = 1),
         |pairs AS (
-        |  SELECT 'n_tokens' AS stat, o.t AS old_val, n.t AS new_val FROM o, n
+        |  SELECT 'n_tokens_per_shard' AS stat, o.t AS old_val, n.t AS new_val FROM o, n
         |  UNION ALL SELECT 'oov_rate', ROUND(o.ov / o.t, 6), ROUND(n.ov / n.t, 6) FROM o, n
         |  UNION ALL SELECT 'tokens_per_kb', ROUND(o.t * 1024 / o.b, 6),
         |    ROUND(n.t * 1024 / n.b, 6) FROM o, n

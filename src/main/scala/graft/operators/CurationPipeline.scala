@@ -1224,6 +1224,30 @@ object CurationPipeline {
     require(existing == pipeline.steps.map(_.toString).mkString("\n"),
       "explainShard: pipeline differs from the one this state dir was " +
         "built with — the replay would misread position-keyed indexes")
+    // The replay's safety rests on reconstructing the ORIGINAL prior
+    // view (strictly-earlier labels) and overwriting the shard's own
+    // batch slices byte-identically. A compaction or purge that folded
+    // labels >= this shard's into a batch=c<k> dir destroyed both: the
+    // prior slices are gone (the replay would bootstrap and write
+    // key-duplicating fresh slices beside the fold — and after an
+    // erasure purge, even resurrect purged keys). Refuse loudly.
+    fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("step[0-9]+=.*"))
+      .foreach { st =>
+        fs.listStatus(st.getPath)
+          .filter(c => c.isDirectory && c.getPath.getName.startsWith("batch=c"))
+          .foreach { c =>
+            val ord = StateCompaction.labelOrd(
+              c.getPath.getName.stripPrefix("batch="), "explainShard")
+            require(ord < shardLabel.toLong,
+              s"explainShard: ${st.getPath.getName}/${c.getPath.getName} folds " +
+                s"batches up to $ord — shard $shardLabel's strictly-earlier " +
+                "prior view is no longer reconstructible and a replay would " +
+                "write key-duplicating slices beside the fold (or resurrect " +
+                "purged keys); explain is only valid for shards newer than " +
+                "the last compaction/purge fold")
+          }
+      }
     require(probeIds.columns.length == 1,
       s"explainShard: probeIds must be a single-column id frame, got " +
         s"(${probeIds.columns.mkString(", ")})")
@@ -1329,11 +1353,14 @@ object CurationPipeline {
     * not a stat: shards packed under different configs are not
     * comparable — that release needs re-ingesting, not monitoring.
     *
-    * @return one row per stat — `n_tokens`, `oov_rate`,
-    *         `tokens_per_kb`, `tokens_per_word` — as (stat, old_val,
-    *         new_val, ratio), the indexStatsDiff shape; ratio/derived
-    *         rates are null when a denominator is zero (or when old
-    *         manifests predate the fertility fields).
+    * @return one row per stat — `n_tokens_per_shard` (the accepted side
+    *         averaged over its shards, so a healthy mature release reads
+    *         ≈1 like every other stat), `oov_rate`, `tokens_per_kb`,
+    *         `tokens_per_word` — as (stat, old_val, new_val, ratio),
+    *         the indexStatsDiff shape; a stat is null when a
+    *         denominator is zero or when ANY contributing shard's
+    *         manifest predates its input fields (mixed-era sets must
+    *         not produce a silently skewed number).
     */
   def tokenizerDrift(spark: SparkSession, releaseDir: String): DataFrame = {
     import spark.implicits._
@@ -1352,32 +1379,46 @@ object CurationPipeline {
       "tokenizerDrift: needs >= 2 shard manifests — the newest shard is " +
         "judged against the accepted prior shards")
     // Manifests are one tiny (key, value) frame per shard — driver-side
-    // folds are exactly right here.
-    def kv(paths: Seq[String]): Map[String, Seq[String]] =
-      spark.read.parquet(paths: _*).select("key", "value").collect()
-        .groupBy(_.getString(0)).map { case (k, rs) =>
-          k -> rs.map(_.getString(1)).toSeq
-        }
-    val prior = kv(labeled.dropRight(1).map(_._2))
-    val newest = kv(Seq(labeled.last._2))
+    // folds are exactly right here. PER-BATCH maps, not one pooled
+    // multimap: a fertility rate summed over only the shards that carry
+    // the field against a token mass summed over ALL shards would be a
+    // silently wrong number — a stat goes null unless EVERY contributing
+    // shard carries its inputs (mixed-era manifests stay honest).
+    def kv(path: String): Map[String, String] =
+      spark.read.parquet(path).select("key", "value").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val prior = labeled.dropRight(1).map(m => kv(m._2))
+    val newest = kv(labeled.last._2)
     Seq("tokenizer", "byte_level", "budget").foreach { k =>
-      val all = (prior.getOrElse(k, Nil) ++ newest.getOrElse(k, Nil)).distinct
+      val all = (prior.flatMap(_.get(k)) ++ newest.get(k)).distinct
       require(all.size <= 1,
         s"tokenizerDrift: shard manifests disagree on '$k' " +
           s"(${all.mkString(" vs ")}) — the release was packed under " +
           "different configs; re-ingest into a fresh release")
     }
     def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
-    def rates(m: Map[String, Seq[String]]): Map[String, Option[Double]] = {
-      def sumOf(k: String): Double = m.getOrElse(k, Nil).flatMap(_.toLongOption).sum.toDouble
+    def rates(ms: Seq[Map[String, String]]): Map[String, Option[Double]] = {
+      def sumOf(k: String): Option[Double] = {
+        val vs = ms.map(_.get(k).flatMap(_.toLongOption))
+        if (vs.exists(_.isEmpty)) None else Some(vs.flatten.sum.toDouble)
+      }
       val (t, o) = (sumOf("n_tokens"), sumOf("oov_tokens"))
       val (w, b) = (sumOf("n_words"), sumOf("n_text_bytes"))
-      def r(num: Double, den: Double) = if (den == 0d) None else Some(round6(num / den))
-      Map("n_tokens" -> Some(t), "oov_rate" -> r(o, t),
-        "tokens_per_word" -> r(t, w), "tokens_per_kb" -> r(t * 1024.0, b))
+      def r(num: Option[Double], den: Option[Double]) =
+        for { nn <- num; d <- den if d != 0d } yield round6(nn / d)
+      Map(
+        // Volume is reported PER SHARD (the accepted side averages over
+        // its shards): a newest-vs-cumulative-total ratio would drift
+        // mechanically toward 0 as a healthy release matures, breaking
+        // the "alert on ratio far from 1" contract every other stat
+        // follows.
+        "n_tokens_per_shard" -> t.map(x => round6(x / ms.length)),
+        "oov_rate" -> r(o, t),
+        "tokens_per_word" -> r(t, w),
+        "tokens_per_kb" -> r(t.map(_ * 1024.0), b))
     }
-    val (o, n) = (rates(prior), rates(newest))
-    Seq("n_tokens", "oov_rate", "tokens_per_kb", "tokens_per_word").map { st =>
+    val (o, n) = (rates(prior), rates(Seq(newest)))
+    Seq("n_tokens_per_shard", "oov_rate", "tokens_per_kb", "tokens_per_word").map { st =>
       val ratio = for { a <- o(st); b <- n(st) if a != 0d } yield round6(b / a)
       (st, o(st), n(st), ratio)
     }.toDF("stat", "old_val", "new_val", "ratio").orderBy("stat")

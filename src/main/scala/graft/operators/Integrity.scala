@@ -23,6 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Integrity {
 
+  /** Version of the fingerprint recipe (hash inputs, fold). BUMP on any
+    * change that alters fingerprints of unchanged data — [[verify]]
+    * refuses a manifest stamped under a different recipe with a
+    * "re-stamp" message instead of reporting every healthy slice as
+    * content_drift (the false corruption alarm this module exists to
+    * prevent; the modelFormatVersion / indexFormatVersion convention).
+    * v2: null-discriminating isnull interleave (round 15).
+    */
+  val recipeVersion = 2
+
+  /** Gate a stamped manifest's recipe against the running code's —
+    * shared by both verify faces. A manifest with no `recipe` column
+    * predates versioning (the v1 era) and is equally stale.
+    */
+  private def requireRecipe(manifest: DataFrame, where: String): Unit = {
+    val stamped =
+      if (!manifest.columns.contains("recipe")) 1
+      else manifest.select("recipe").head().getInt(0)
+    require(stamped == recipeVersion,
+      s"$where: the _integrity manifest was stamped under fingerprint " +
+        s"recipe v$stamped but this build computes v$recipeVersion — " +
+        "verifying would report every healthy slice as content_drift. " +
+        "Re-stamp the release (Integrity.stamp/stampTar) after confirming " +
+        "its integrity by other means (e.g. against a replica's manifest " +
+        "from the same recipe era)")
+  }
+
   private def listSlices(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
@@ -107,6 +134,7 @@ object Integrity {
   def stamp(
       spark: SparkSession, dir: String, prefix: String = "shard="): Unit =
     fingerprint(spark, dir, prefix)
+      .withColumn("recipe", lit(recipeVersion))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_integrity")
 
   /** Recompute and diff against the stamped manifest — one row per
@@ -131,7 +159,9 @@ object Integrity {
     require(fs.exists(new org.apache.hadoop.fs.Path(root, "_integrity")),
       s"verify: $dir carries no _integrity manifest — stamp it first " +
         "(Integrity.stamp after the release completes)")
-    val stamped = spark.read.parquet(s"$dir/_integrity")
+    val manifest = spark.read.parquet(s"$dir/_integrity")
+    requireRecipe(manifest, "verify")
+    val stamped = manifest
       .select("slice", "n_rows", "fp").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
     val present = listSlices(fs, root, prefix).map(_.getName)
@@ -209,6 +239,7 @@ object Integrity {
   /** [[stamp]] for a tar release: manifest under `<dir>/_integrity`. */
   def stampTar(spark: SparkSession, dir: String): Unit =
     fingerprintTar(spark, dir)
+      .withColumn("recipe", lit(recipeVersion))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_integrity")
 
   /** [[verify]] for a tar release — same statuses, per shard file, and
@@ -224,7 +255,9 @@ object Integrity {
     require(fs.exists(new org.apache.hadoop.fs.Path(root, "_integrity")),
       s"verifyTar: $dir carries no _integrity manifest — stamp it first " +
         "(Integrity.stampTar after the release completes)")
-    val stamped = spark.read.parquet(s"$dir/_integrity")
+    val manifest = spark.read.parquet(s"$dir/_integrity")
+    requireRecipe(manifest, "verifyTar")
+    val stamped = manifest
       .select("slice", "n_rows", "fp").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
     val presentFiles = WebDataset.listTarFiles(spark, Seq(dir))

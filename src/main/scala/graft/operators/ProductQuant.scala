@@ -108,12 +108,15 @@ final case class IvfPqIndex(
     codebooks: DataFrame,
     codes: DataFrame) {
 
-  /** Persist all three frames under `dir` (parquet, overwrite). */
-  def save(dir: String): Unit = {
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
-  }
+  /** Persist all three frames under `dir` (parquet, overwrite) — dir
+    * names from [[ProductQuant.IndexComponents]], the shared layout
+    * contract the fsck checks against.
+    */
+  def save(dir: String): Unit =
+    ProductQuant.IndexComponents.zip(Seq(centroids, codebooks, codes))
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+      }
 }
 
 object IvfPqIndex {
@@ -122,11 +125,11 @@ object IvfPqIndex {
     * immaterial: every consumer either sorts (codebook layout, centroid
     * ranking) or is order-independent (the ADC join).
     */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
-    IvfPqIndex(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"))
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
+    val Seq(cents, books, codes) = ProductQuant.IndexComponents
+      .map(name => spark.read.parquet(s"$dir/$name"))
+    IvfPqIndex(cents, books, codes)
+  }
 }
 
 object ProductQuant {

@@ -76,6 +76,36 @@ class ExplainShardSpec extends SparkSpec {
       "an explain replay between ingests changed the standing state")
   }
 
+  test("a compaction past the shard's label refuses the replay") {
+    // After compactShardState folds batch=0/batch=1 into batch=c1, the
+    // strictly-earlier prior view of shard 1 is gone — a replay would
+    // bootstrap and write key-duplicating slices beside the fold (and
+    // after a purge, resurrect purged keys). Must refuse, not corrupt.
+    val p = graft.config.CurationConfig.fromYaml(pipelineYaml)
+    val state = java.nio.file.Files.createTempDirectory("expl_compact").toString
+    val shard0 = (0 until 10).map(i => (i.toLong, mk(i))).toDF("doc_id", "text")
+    val shard1 = Seq((100L, mk(3))).toDF("doc_id", "text")
+    CurationPipeline.applyShard(shard0, p, state, "0")
+    CurationPipeline.applyShard(shard1, p, state, "1")
+    CurationPipeline.compactShardState(spark, state)
+    val err = intercept[IllegalArgumentException] {
+      CurationPipeline.explainShard(
+        shard1, p, state, "1", Seq(100L).toDF("doc_id"))
+    }
+    assert(err.getMessage.contains("folds batches"), err.getMessage)
+    // A LATER shard against the compacted state still explains fine.
+    val shard2 = Seq(
+      (200L, mk(4)),
+      (201L, "totally unrelated content " + ("unique standalone words " * 10)))
+      .toDF("doc_id", "text")
+    CurationPipeline.applyShard(shard2, p, state, "2")
+    val got = CurationPipeline.explainShard(
+      shard2, p, state, "2", Seq(200L, 201L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(200L) === "dedup_exact")
+    assert(got(201L) === "kept")
+  }
+
   test("refusals: unknown state dir and drifted pipeline") {
     val p = graft.config.CurationConfig.fromYaml(pipelineYaml)
     val docs = Seq((1L, mk(1))).toDF("doc_id", "text")

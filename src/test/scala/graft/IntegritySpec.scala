@@ -40,6 +40,39 @@ class IntegritySpec extends SparkSpec {
     assert(fp(a) != fp(d))
   }
 
+  test("a manifest from another recipe era refuses with a re-stamp hint") {
+    val d = (0L until 20L).map(i => (i, s"r-$i")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("integ_rv").toString + "/rel"
+    d.write.parquet(s"$dir/shard=0")
+    Integrity.stamp(spark, dir)
+    // Rewrite the manifest claiming an older recipe: every healthy slice
+    // would hash differently, so verify must refuse, not cry corruption.
+    val mani = spark.read.parquet(s"$dir/_integrity")
+      .withColumn("recipe", lit(1)).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(mani.toSeq),
+        spark.read.parquet(s"$dir/_integrity").schema)
+      .write.mode("overwrite").parquet(s"$dir/_integrity")
+    spark.catalog.refreshByPath(s"$dir/_integrity")
+    val err = intercept[IllegalArgumentException](Integrity.verify(spark, dir))
+    assert(err.getMessage.contains("Re-stamp"), err.getMessage)
+    // A pre-versioning manifest (no recipe column) is equally stale.
+    spark.read.parquet(s"$dir/_integrity").drop("recipe")
+      .write.mode("overwrite").parquet(s"$dir/_integrity2")
+    // (moved aside first: overwrite reads its own input otherwise)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_integrity"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/_integrity2"),
+      new org.apache.hadoop.fs.Path(s"$dir/_integrity"))
+    spark.catalog.refreshByPath(s"$dir/_integrity")
+    val err2 = intercept[IllegalArgumentException](Integrity.verify(spark, dir))
+    assert(err2.getMessage.contains("recipe v1"), err2.getMessage)
+    // Re-stamping under the current recipe heals it.
+    Integrity.stamp(spark, dir)
+    assert(Integrity.verify(spark, dir).filter(col("status") =!= "ok").count() == 0)
+  }
+
   test("verify survives the worst damage: unreadable and fully-lost slices") {
     val d = (0L until 30L).map(i => (i, s"w-$i")).toDF("id", "v")
     val dir = java.nio.file.Files.createTempDirectory("integ_u").toString + "/rel"
