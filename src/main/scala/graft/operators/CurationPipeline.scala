@@ -477,11 +477,17 @@ object CurationPipeline {
         "state dir carries no pipeline fingerprint — position-keyed " +
           "indexes cannot be checked against the YAML they were built with"))
     val stepRe = "^step([0-9]+)=(.+)$".r
-    val perDir = fs.listStatus(root).filter(_.isDirectory).toSeq
+    // The foreign-entry sweep runs over ALL non-hidden listings (files
+    // AND dirs, the ivfPqIndexFsck discipline): a stray top-level FILE —
+    // a misplaced marker, a wrong-path parquet part — is just as much a
+    // wrong-path write as a stray dir, and a step-NAMED file is foreign
+    // too (step state is always a directory). The step-dir branches stay
+    // directory-only.
+    val perDir = fs.listStatus(root).toSeq
       .sortBy(_.getPath.getName).flatMap { st =>
         val name = st.getPath.getName
         name match {
-          case stepRe(_, _) =>
+          case stepRe(_, _) if st.isDirectory =>
             val batchKeyed = fs.listStatus(st.getPath).exists(c =>
               c.isDirectory && c.getPath.getName.startsWith("batch=")) ||
               fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_compact_commit")) ||
@@ -495,10 +501,10 @@ object CurationPipeline {
             else Seq(("missing_success", name,
               "single-fit step dir has no job-completion marker — the fit " +
                 "crashed mid-write; delete the dir to re-bootstrap it"))
-          case _ if !name.startsWith("_") && !name.startsWith(".") =>
+          case _ if name.startsWith("_") || name.startsWith(".") => Seq.empty
+          case _ =>
             Seq(("foreign_entry", name,
               "not a step<N>=<kind> dir — a wrong-path write into the state root"))
-          case _ => Seq.empty
         }
       }
     (top ++ perDir).toDF("chk", "item", "detail").orderBy("chk", "item")
@@ -576,11 +582,30 @@ object CurationPipeline {
     }
   }
 
+  /** Order/layout-independent content fingerprint of a state increment
+    * — the [[Integrity]] recipe (xxhash64 over name-sorted columns
+    * interleaved with isnull flags, commutative decimal fold) applied
+    * to the frame in memory: [[explainShard]]'s read-only replay
+    * compares a recomputed increment against the persisted own-label
+    * slice with it, so column order, row order and file layout never
+    * produce a false mismatch.
+    */
+  private def incrementFp(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val cols = df.columns.sorted.toSeq
+    val r = df.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(cols.flatMap(c =>
+        Seq(col(s"`$c`"), isnull(col(s"`$c`")))): _*)
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).head()
+    (r.getLong(0), r.getDecimal(1))
+  }
+
   private def applyStepShard(
       df: DataFrame, step: Step, stepIdx: Int,
       stateDir: String, shardLabel: String,
       idCol: String, textCol: String,
-      aux: Map[String, DataFrame]): DataFrame = {
+      aux: Map[String, DataFrame],
+      replayVerify: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     def stateSub(kind: String) = s"$stateDir/step$stepIdx=$kind"
     // Prior-state view: batch=<id> dirs with labels STRICTLY BEFORE this
@@ -616,16 +641,57 @@ object CurationPipeline {
       }
     }
     def writeIncrement(dir: String, inc: DataFrame): Unit = {
-      inc.write.mode("overwrite").parquet(s"$dir/batch=$shardLabel")
-      // A re-delivered shard overwrites a path this session has already
-      // read — drop the cached file listing or later reads in the same
-      // session die on the vanished old part files.
-      spark.catalog.refreshByPath(s"$dir/batch=$shardLabel")
+      val dest = s"$dir/batch=$shardLabel"
+      if (replayVerify) {
+        // explainShard's READ-ONLY replay: the ingest contract says the
+        // recomputed increment is byte-equivalent to the persisted
+        // own-label slice — but the contract must be a CHECK, not a doc
+        // line, because the caller supplies the shard frame and a
+        // trimmed/edited frame would otherwise silently rewrite the
+        // standing url/exact/signature indexes from wrong data and
+        // corrupt every future ingest. Recompute, compare (count +
+        // order-independent content fingerprint, the Integrity recipe),
+        // and refuse on mismatch — nothing is ever written.
+        val p = new org.apache.hadoop.fs.Path(dest)
+        val dfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        require(dfs.exists(p),
+          s"explainShard: $dest does not exist — shard $shardLabel was " +
+            "never ingested into this state dir (replay explains an " +
+            "existing ingest; for a dry run use CurationPipeline.explain)")
+        val existing = spark.read.parquet(dest)
+        require(existing.columns.sorted.sameElements(inc.columns.sorted),
+          s"explainShard: recomputed increment for $dest carries columns " +
+            s"(${inc.columns.sorted.mkString(", ")}) but the persisted slice " +
+            s"holds (${existing.columns.sorted.mkString(", ")}) — the state " +
+            "was written by a different build; re-ingest before explaining")
+        val (nNew, fpNew) = incrementFp(inc)
+        val (nOld, fpOld) = incrementFp(existing)
+        require(nNew == nOld && fpNew.compareTo(fpOld) == 0,
+          s"explainShard: the recomputed increment for $dest does not match " +
+            s"the persisted slice (rows $nNew vs $nOld) — the passed shard " +
+            "frame is not the one originally ingested under label " +
+            s"$shardLabel (trimmed/edited rows, or a different aux table). " +
+            "Refusing: a replay from wrong data would attribute fates to " +
+            "indexes the real ingest never built. Pass the original shard " +
+            "frame byte-for-byte.")
+      } else {
+        inc.write.mode("overwrite").parquet(dest)
+        // A re-delivered shard overwrites a path this session has already
+        // read — drop the cached file listing or later reads in the same
+        // session die on the vanished old part files.
+        spark.catalog.refreshByPath(dest)
+      }
     }
     def readOwn(dir: String): DataFrame =
       spark.read.parquet(s"$dir/batch=$shardLabel")
     def asIdType(c: org.apache.spark.sql.Column) =
       c.cast(df.schema(idCol).dataType).as(idCol)
+
+    // explainShard filters sinks out before replaying; this backstop
+    // keeps any future replay caller from publishing a release slice.
+    require(!replayVerify || (!step.isInstanceOf[Sink] &&
+      !step.isInstanceOf[SinkTar] && !step.isInstanceOf[SinkTokens]),
+      "read-only replay must never reach a terminal sink step")
 
     step match {
       case UrlDedup(urlCol) =>
@@ -899,9 +965,15 @@ object CurationPipeline {
         val dir = stateSub("lm")
         val root = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(root))
+        if (!fs.exists(root)) {
+          require(!replayVerify,
+            s"explainShard: the fit-once LM dir $dir is missing its " +
+              "completion marker — the state was never ingested with this " +
+              "pipeline (or the fit crashed); a read-only replay refuses " +
+              "to fit state")
           Vocabulary.unigramLm(df, vocabSize, textCol, idCol)
             .write.mode("overwrite").parquet(dir)
+        }
         val keep = Vocabulary
           .perplexity(df, spark.read.parquet(dir), textCol, idCol)
           .filter(col("ppl") <= maxPpl)
@@ -1175,11 +1247,15 @@ object CurationPipeline {
     * [[explain]] cannot see those — they come from prior shards'
     * state, not from the replayed frame).
     *
-    * Replay safety: stateful steps re-run with the SAME label — by the
-    * [[applyShard]] idempotence contract each increment recomputes
-    * against the identical strictly-earlier prior view and rewrites
-    * byte-identically, so the replay leaves standing state exactly as
-    * the original ingest did. Terminal sink steps are SKIPPED (they
+    * Replay safety: the replay is READ-ONLY. Stateful steps re-run with
+    * the SAME label, and by the [[applyShard]] idempotence contract each
+    * recomputed increment equals the persisted own-label slice — but
+    * that contract is ENFORCED, not assumed: each increment is
+    * recomputed, compared against the existing `batch=<label>` slice
+    * (row count + the order/layout-independent Integrity content
+    * fingerprint), and a mismatch refuses loudly having written nothing
+    * — so a caller passing a trimmed or edited shard frame cannot
+    * corrupt the standing indexes. Terminal sink steps are SKIPPED (they
     * drop nothing, and an explain must never write a release slice);
     * the `_pipeline` fingerprint is still checked against the FULL
     * pipeline, sink included, because that is what the state dir was
@@ -1224,13 +1300,14 @@ object CurationPipeline {
     require(existing == pipeline.steps.map(_.toString).mkString("\n"),
       "explainShard: pipeline differs from the one this state dir was " +
         "built with — the replay would misread position-keyed indexes")
-    // The replay's safety rests on reconstructing the ORIGINAL prior
-    // view (strictly-earlier labels) and overwriting the shard's own
-    // batch slices byte-identically. A compaction or purge that folded
-    // labels >= this shard's into a batch=c<k> dir destroyed both: the
-    // prior slices are gone (the replay would bootstrap and write
-    // key-duplicating fresh slices beside the fold — and after an
-    // erasure purge, even resurrect purged keys). Refuse loudly.
+    // The replay's meaning rests on reconstructing the ORIGINAL prior
+    // view (strictly-earlier labels). A compaction or purge that folded
+    // labels >= this shard's into a batch=c<k> dir destroyed it: the
+    // prior slices (and the shard's own slice) are gone, so the
+    // recomputed increments could never verify against the fold — and
+    // after an erasure purge the original view is unreconstructible by
+    // design. Refuse up front with the fold named, rather than letting
+    // the per-step verify fail on a missing slice.
     fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
       .filter(st => st.isDirectory && st.getPath.getName.matches("step[0-9]+=.*"))
       .foreach { st =>
@@ -1242,10 +1319,9 @@ object CurationPipeline {
             require(ord < shardLabel.toLong,
               s"explainShard: ${st.getPath.getName}/${c.getPath.getName} folds " +
                 s"batches up to $ord — shard $shardLabel's strictly-earlier " +
-                "prior view is no longer reconstructible and a replay would " +
-                "write key-duplicating slices beside the fold (or resurrect " +
-                "purged keys); explain is only valid for shards newer than " +
-                "the last compaction/purge fold")
+                "prior view is no longer reconstructible (after an erasure " +
+                "purge, deliberately so); explain is only valid for shards " +
+                "newer than the last compaction/purge fold")
           }
       }
     require(probeIds.columns.length == 1,
@@ -1267,7 +1343,8 @@ object CurationPipeline {
     }
     val frames = replay.scanLeft(shard) { case (df, (step, i)) =>
       graft.plans.Materialize(
-        applyStepShard(df, step, i, stateDir, shardLabel, idCol, textCol, aux))
+        applyStepShard(df, step, i, stateDir, shardLabel, idCol, textCol, aux,
+          replayVerify = true))
     }
     val aliveAt = frames.map { f =>
       f.join(broadcast(probeDf), f(idCol).cast("long") === col("__pid"), "left_semi")
@@ -1288,7 +1365,7 @@ object CurationPipeline {
     // the probe's key from the step's INPUT frame (earlier steps may
     // have rewritten text/urls) joined against the index slices with
     // label <= this shard's (key-disjoint, so exactly one keeper row
-    // per key; the replay just rewrote the own-label slice).
+    // per key; the replay verified the own-label slice untouched).
     def indexSlices(stepIdx: Int, kind: String): Seq[String] = {
       val root = new org.apache.hadoop.fs.Path(s"$stateDir/step$stepIdx=$kind")
       if (!fs.exists(root)) Seq.empty

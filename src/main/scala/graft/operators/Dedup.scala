@@ -1483,9 +1483,22 @@ object Dedup {
     * SLOWER end-to-end on local[32] at every corpus ratio tried. Keep
     * narrow unless the deployment is genuinely exchange-bound (network
     * shuffle at cluster scale); then opt in per call via
-    * `wideThreshold`.
+    * `wideThreshold`, or fleet-wide via the session conf
+    * `spark.graft.wideband.threshold` (an explicit argument wins).
     */
   private[graft] val WideBandThreshold: Int = Int.MaxValue
+
+  /** Broadcast budget for the opted-in widened banding, in DISTINCT
+    * shard signatures: the probe set broadcast to every executor is
+    * ~56 thin rows per distinct sig (~70 MB at 100k — the measured
+    * figure the widening's own doc carries), so past ~2M sigs the
+    * broadcast itself becomes the bottleneck the widening was meant to
+    * remove. Enforced with a loud split-hint `require` (an over-bound
+    * batch should split, not silently stall the fleet); override via
+    * `spark.graft.wideband.maxDistinctSigs` on deployments with bigger
+    * broadcast headroom.
+    */
+  private[graft] val WideBandMaxDistinctSigs: Long = 2000000L
 
   /** The widened banding: 8-bit chunk TRIPLES — 56 bands of 24-bit keys
     * (keyspace 56 × 2^24 ≈ 939M vs the narrow 4 × 2^16 = 262k). Recall
@@ -1568,21 +1581,54 @@ object Dedup {
       maxBucketSize: Int,
       wideThreshold: Int = WideBandThreshold): DataFrame = {
     // Scheme pick: at the disabled default the decision is free (no
-    // jobs). An opted-in threshold pays one shard-sized count job —
-    // the decision needs the DISTINCT sig count (ids don't matter —
-    // re-encounters band on the same keys) — and the union count
-    // (corpus ≫ shard gate) runs only past that. wideThreshold <= 1 is
-    // the explicit force-wide hook (parity specs, A/B probes) and
-    // skips the corpus-ratio gate.
-    val useWide = wideThreshold != Int.MaxValue && {
-      val shardStats = shardSigs.filter(col("sig").isNotNull)
-        .agg(count(lit(1)), count_distinct(col("sig"))).head()
-      val (nShard, nDistinct) = (shardStats.getLong(0), shardStats.getLong(1))
-      nDistinct >= wideThreshold &&
-        (wideThreshold <= 1 || {
-          val nUnion = union.filter(col("sig").isNotNull).count()
-          nUnion - nShard > 16L * nShard
-        })
+    // jobs). Conf opt-in (`spark.graft.wideband.threshold`) lets a
+    // network-bound cluster widen fleet-wide without touching call
+    // sites; an explicit wideThreshold argument (parity specs, A/B
+    // probes) wins over the conf.
+    val effThreshold =
+      if (wideThreshold != WideBandThreshold) wideThreshold
+      else union.sparkSession.conf
+        .getOption("spark.graft.wideband.threshold").map(_.toInt)
+        .getOrElse(WideBandThreshold)
+    // An opted-in threshold first pays one PLAIN count job — a cheap
+    // upper bound on the distinct-sig count, so normal-size shards
+    // under a standing opt-in short-circuit to narrow without ever
+    // running the distinct aggregate. Only shards at or past the
+    // threshold pay the distinct count (ids don't matter —
+    // re-encounters band on the same keys) and, past that, the union
+    // count (corpus ≫ shard gate). effThreshold <= 1 is the explicit
+    // force-wide hook (parity specs, A/B probes) and skips the
+    // corpus-ratio gate.
+    val useWide = effThreshold != Int.MaxValue && {
+      val shardNN = shardSigs.filter(col("sig").isNotNull)
+      val nShard = shardNN.count()
+      nShard >= effThreshold && {
+        val nDistinct = shardNN.agg(count_distinct(col("sig"))).head().getLong(0)
+        val wide = nDistinct >= effThreshold &&
+          (effThreshold <= 1 || {
+            val nUnion = union.filter(col("sig").isNotNull).count()
+            nUnion - nShard > 16L * nShard
+          })
+        // The widened scheme's own bound, enforced loudly: probed keys
+        // broadcast ~56 thin rows per DISTINCT shard signature (~70 MB
+        // at 100k sigs), so an over-bound shard pays a multi-GB
+        // broadcast that stalls every executor. Cap configurable for
+        // deployments with bigger driver/executor headroom.
+        if (wide) {
+          val maxSigs = union.sparkSession.conf
+            .getOption("spark.graft.wideband.maxDistinctSigs").map(_.toLong)
+            .getOrElse(WideBandMaxDistinctSigs)
+          require(nDistinct <= maxSigs,
+            s"wide banding: this shard carries $nDistinct distinct " +
+              s"signatures — the 56-triple widening broadcasts ~56 probe " +
+              s"rows per distinct sig (~${56L * nDistinct / 1000000}M rows " +
+              s"here), past the broadcast budget of $maxSigs sigs " +
+              "(spark.graft.wideband.maxDistinctSigs). Split the ingest " +
+              "batch, or stay on the narrow scheme (its saturated regime " +
+              "is measured mild — BENCH_NOTES §28)")
+        }
+        wide
+      }
     }
     val bandKeys: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (useWide) wideChunkKeys else chunkKeys

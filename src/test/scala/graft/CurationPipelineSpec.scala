@@ -1569,6 +1569,18 @@ class CurationPipelineSpec extends SparkSpec {
     assert(f == Seq(
       ("missing_pipeline", "_pipeline"),
       ("wedge", "step0=url_index/_compact_commit")), f)
+    // Foreign entries are flagged whether they are dirs, plain FILES
+    // (a wrong-path write of a marker or a stray parquet part), or
+    // step-NAMED files (step state is always a directory); hidden
+    // entries stay exempt.
+    new java.io.File(s"$state/notes.txt").createNewFile()
+    new java.io.File(s"$state/step9=ghost_index").createNewFile()
+    new java.io.File(s"$state/.hidden").createNewFile()
+    val f2 = CurationPipeline.fsckShardState(spark, state).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(f2.contains(("foreign_entry", "notes.txt")), f2)
+    assert(f2.contains(("foreign_entry", "step9=ghost_index")), f2)
+    assert(!f2.exists(_._2 == ".hidden"), f2)
   }
 
   test("purgeTarRelease removes purged members; emptying the release is refused") {

@@ -76,6 +76,60 @@ class ExplainShardSpec extends SparkSpec {
       "an explain replay between ingests changed the standing state")
   }
 
+  test("a tampered shard frame refuses loudly and writes nothing") {
+    // The replay contract — "pass the originally ingested frame" — is a
+    // CHECK, not a doc line: a trimmed/edited frame would recompute
+    // different increments, and before round 16 those would have been
+    // silently written through the standing indexes. Now the verify
+    // refuses on the first mismatching step, and the state dir is
+    // byte-identical afterwards (proved by ingesting shard 2 and
+    // getting the same survivors as an untampered control run).
+    val p = graft.config.CurationConfig.fromYaml(pipelineYaml)
+    val state = java.nio.file.Files.createTempDirectory("expl_tamper").toString
+    val shard0 = (0 until 10).map(i => (i.toLong, mk(i))).toDF("doc_id", "text")
+    val shard1 = Seq((100L, mk(3)), (101L, "fresh " + mk(20)))
+      .toDF("doc_id", "text")
+    CurationPipeline.applyShard(shard0, p, state, "0")
+    CurationPipeline.applyShard(shard1, p, state, "1")
+    // Edit a SURVIVING doc's text: doc 101 is a fresh exact-index keeper,
+    // so the recomputed exact increment carries a different (hash, len)
+    // key than the persisted slice. (Merely trimming doc 100 would NOT
+    // trip the verify — and correctly so: 100 was dropped as an exact
+    // twin of standing doc 3, so no increment ever carried it.)
+    val tampered = shard1.withColumn("text",
+      when(col("doc_id") === 101L, lit("maliciously edited content"))
+        .otherwise(col("text")))
+    val e = intercept[IllegalArgumentException](
+      CurationPipeline.explainShard(
+        tampered, p, state, "1", Seq(101L).toDF("doc_id")).collect())
+    assert(e.getMessage.contains("does not match the persisted slice"),
+      s"wrong refusal: ${e.getMessage}")
+    // State survived untouched: shard 2's twin of the shard-1 survivor
+    // still drops (it would be ADMITTED had the tampered "maliciously
+    // edited" increment replaced the standing exact key), and a fresh
+    // doc is still admitted.
+    val shard2 = Seq((200L, "fresh " + mk(20)),
+      (201L, "totally novel content " + ("unique snowflake words here " * 8)))
+      .toDF("doc_id", "text")
+    val kept = CurationPipeline.applyShard(shard2, p, state, "2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(201L),
+      "the refused replay must leave standing state exactly as ingested")
+  }
+
+  test("a never-ingested shard label refuses the replay (read-only)") {
+    val p = graft.config.CurationConfig.fromYaml(pipelineYaml)
+    val state = java.nio.file.Files.createTempDirectory("expl_noing").toString
+    val shard0 = (0 until 5).map(i => (i.toLong, mk(i))).toDF("doc_id", "text")
+    CurationPipeline.applyShard(shard0, p, state, "0")
+    val ghost = Seq((300L, mk(30))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      CurationPipeline.explainShard(
+        ghost, p, state, "7", Seq(300L).toDF("doc_id")).collect())
+    assert(e.getMessage.contains("never ingested"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
   test("a compaction past the shard's label refuses the replay") {
     // After compactShardState folds batch=0/batch=1 into batch=c1, the
     // strictly-earlier prior view of shard 1 is gone — a replay would

@@ -92,6 +92,42 @@ class WideBandSpec extends SparkSpec {
     assert(wide.nonEmpty, "fixture produced no pairs — not exercising the band pass")
   }
 
+  test("the broadcast budget refuses an over-bound opted-in shard loudly") {
+    // The widened scheme broadcasts ~56 probe rows per distinct shard
+    // signature; past the budget the require must name the bound and
+    // the split remedy instead of silently stalling on a multi-GB
+    // broadcast. Forced here by shrinking the budget conf to 1 sig.
+    val (corpus, shard) = scalarFixture()
+    spark.conf.set("spark.graft.wideband.maxDistinctSigs", "1")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.sigDedupIncremental(shard, corpus, 2, 256, wideThreshold = 1)
+          .count())
+      assert(e.getMessage.contains("broadcast budget"))
+      assert(e.getMessage.contains("Split the ingest batch"))
+    } finally spark.conf.unset("spark.graft.wideband.maxDistinctSigs")
+  }
+
+  test("spark.graft.wideband.threshold opts default-argument call sites in") {
+    // Observable via the budget guard: with the conf threshold at 1 and
+    // the budget at 1 sig, a default-wideThreshold call must take the
+    // WIDE path (and hit the budget refusal) — proving the conf engaged
+    // the widening without any per-call argument. Without the conf the
+    // same call stays narrow and completes.
+    val (corpus, shard) = scalarFixture()
+    spark.conf.set("spark.graft.wideband.threshold", "1")
+    spark.conf.set("spark.graft.wideband.maxDistinctSigs", "1")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.sigDedupIncremental(shard, corpus, 2, 256).count())
+      assert(e.getMessage.contains("wide banding"))
+    } finally {
+      spark.conf.unset("spark.graft.wideband.threshold")
+      spark.conf.unset("spark.graft.wideband.maxDistinctSigs")
+    }
+    assert(Dedup.sigDedupIncremental(shard, corpus, 2, 256).count() >= 0)
+  }
+
   test("widening is opt-in only — the default threshold is disabled") {
     // The A/B measurement (BENCH_NOTES §28) showed the widened scheme
     // losing 5-15x on local[32] (map-side explode + broadcast-hash
