@@ -600,6 +600,25 @@ object CurationPipeline {
     (r.getLong(0), r.getDecimal(1))
   }
 
+  /** The operation named by the newest `_purge/receipt-*` under a state
+    * dir, if any — [[explainShard]]'s attribution for folded-away
+    * shards. Receipts are tiny JSON lines written by the purge passes;
+    * a plain compaction writes none (then the fold alone is the
+    * answer).
+    */
+  private def latestFoldOp(
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir, "_purge")
+    if (!fs.exists(root)) None
+    else fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("receipt-"))
+      .sortBy(_.getPath.getName).lastOption.flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      }
+  }
+
   private def applyStepShard(
       df: DataFrame, step: Step, stepIdx: Int,
       stateDir: String, shardLabel: String,
@@ -1275,10 +1294,18 @@ object CurationPipeline {
     * docs — no single index row "wins", and naming one would be false
     * precision (the fate still names the index family).
     *
+    * Fold horizon: a compaction/purge that folded labels >= this
+    * shard's destroyed the strictly-earlier prior view, so per-step
+    * fates are unreconstructible (after an erasure purge, deliberately
+    * so). Such probes get the honest layout-level answer instead:
+    * fate = `folded into batch=c<k>` (plus `by <op>` when a `_purge/`
+    * receipt names the pass), null winner, no replay, nothing written.
+    *
     * @return one row per probe id: (doc_id, fate, winner) with fate =
-    *         the dropping step's name, `kept`, or `absent`, and winner
-    *         = the standing keeper's id for url/exact drops (else
-    *         null), ordered by doc_id.
+    *         the dropping step's name, `kept`, `absent`, or the
+    *         fold-horizon answer above, and winner = the standing
+    *         keeper's id for url/exact drops (else null), ordered by
+    *         doc_id.
     */
   def explainShard(shard: DataFrame, pipeline: Pipeline,
       stateDir: String, shardLabel: String, probeIds: DataFrame,
@@ -1306,24 +1333,17 @@ object CurationPipeline {
     // prior slices (and the shard's own slice) are gone, so the
     // recomputed increments could never verify against the fold — and
     // after an erasure purge the original view is unreconstructible by
-    // design. Refuse up front with the fold named, rather than letting
-    // the per-step verify fail on a missing slice.
-    fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+    // design.
+    val folds = fs
+      .listStatus(new org.apache.hadoop.fs.Path(stateDir))
       .filter(st => st.isDirectory && st.getPath.getName.matches("step[0-9]+=.*"))
-      .foreach { st =>
+      .flatMap { st =>
         fs.listStatus(st.getPath)
           .filter(c => c.isDirectory && c.getPath.getName.startsWith("batch=c"))
-          .foreach { c =>
-            val ord = StateCompaction.labelOrd(
-              c.getPath.getName.stripPrefix("batch="), "explainShard")
-            require(ord < shardLabel.toLong,
-              s"explainShard: ${st.getPath.getName}/${c.getPath.getName} folds " +
-                s"batches up to $ord — shard $shardLabel's strictly-earlier " +
-                "prior view is no longer reconstructible (after an erasure " +
-                "purge, deliberately so); explain is only valid for shards " +
-                "newer than the last compaction/purge fold")
-          }
+          .map(c => c.getPath.getName -> StateCompaction.labelOrd(
+            c.getPath.getName.stripPrefix("batch="), "explainShard"))
       }
+      .filter(_._2 >= shardLabel.toLong)
     require(probeIds.columns.length == 1,
       s"explainShard: probeIds must be a single-column id frame, got " +
         s"(${probeIds.columns.mkString(", ")})")
@@ -1334,6 +1354,19 @@ object CurationPipeline {
     require(probes.length <= 10000,
       "explainShard: more than 10k probe ids — provenance is an ops query " +
         "over a ticket-sized id set, not a corpus pass")
+    if (folds.nonEmpty) {
+      // The HONEST soft answer for a folded-away shard (instead of a
+      // hard refusal): per-step fates are unreconstructible, but the
+      // fold that consumed the shard's era is a fact the layout (and a
+      // purge's `_purge/` receipt, when one exists) still records —
+      // exactly what a takedown audit needs to hear. No replay runs and
+      // nothing is written.
+      val foldName = folds.maxBy(_._2)._1
+      val fate = s"folded into $foldName" +
+        latestFoldOp(fs, stateDir).map(op => s" by $op").getOrElse("")
+      return probes.toSeq.map(id => (id, fate, Option.empty[Long]))
+        .toDF("doc_id", "fate", "winner").orderBy("doc_id")
+    }
     val probeDf = probes.toSeq.toDF("__pid")
 
     // Replay with ORIGINAL step positions (state subdirs are keyed by

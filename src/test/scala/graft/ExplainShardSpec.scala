@@ -130,11 +130,12 @@ class ExplainShardSpec extends SparkSpec {
       s"wrong refusal: ${e.getMessage}")
   }
 
-  test("a compaction past the shard's label refuses the replay") {
+  test("a compaction past the shard's label answers from the fold, not a replay") {
     // After compactShardState folds batch=0/batch=1 into batch=c1, the
-    // strictly-earlier prior view of shard 1 is gone — a replay would
-    // bootstrap and write key-duplicating slices beside the fold (and
-    // after a purge, resurrect purged keys). Must refuse, not corrupt.
+    // strictly-earlier prior view of shard 1 is gone — per-step fates
+    // are unreconstructible, so every probe gets the honest
+    // layout-level answer naming the fold (and the purge op when a
+    // receipt exists), with no replay and nothing written.
     val p = graft.config.CurationConfig.fromYaml(pipelineYaml)
     val state = java.nio.file.Files.createTempDirectory("expl_compact").toString
     val shard0 = (0 until 10).map(i => (i.toLong, mk(i))).toDF("doc_id", "text")
@@ -142,11 +143,17 @@ class ExplainShardSpec extends SparkSpec {
     CurationPipeline.applyShard(shard0, p, state, "0")
     CurationPipeline.applyShard(shard1, p, state, "1")
     CurationPipeline.compactShardState(spark, state)
-    val err = intercept[IllegalArgumentException] {
-      CurationPipeline.explainShard(
-        shard1, p, state, "1", Seq(100L).toDF("doc_id"))
-    }
-    assert(err.getMessage.contains("folds batches"), err.getMessage)
+    val folded = CurationPipeline.explainShard(
+      shard1, p, state, "1", Seq(100L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+    assert(folded.toSeq === Seq((100L, "folded into batch=c1", true)), folded.toSeq)
+    // After an erasure purge the receipt names the pass.
+    CurationPipeline.purgeShardState(spark, state, Seq(3L).toDF("doc_id"))
+    val purged = CurationPipeline.explainShard(
+      shard1, p, state, "1", Seq(100L).toDF("doc_id"))
+      .collect().map(r => r.getString(1))
+    assert(purged.toSeq === Seq("folded into batch=c1 by purgeShardState"),
+      purged.toSeq)
     // A LATER shard against the compacted state still explains fine.
     val shard2 = Seq(
       (200L, mk(4)),
