@@ -38,12 +38,25 @@ object Integrity {
     * predates versioning (the v1 era) and is equally stale.
     */
   private def requireRecipe(manifest: DataFrame, where: String): Unit = {
-    val stamped =
-      if (!manifest.columns.contains("recipe")) 1
-      else manifest.select("recipe").head().getInt(0)
-    require(stamped == recipeVersion,
+    // ALL rows checked, not just the first: a manifest holding mixed
+    // recipe rows (a partial re-stamp, concatenated replica manifests)
+    // must not pass the gate on its first row and then report healthy
+    // slices as content_drift — the exact false alarm this gate exists
+    // to prevent.
+    val stamped: Seq[Int] =
+      if (!manifest.columns.contains("recipe")) Seq(1)
+      else manifest.select("recipe").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+    require(stamped.length == 1,
+      s"$where: the _integrity manifest holds rows from MIXED fingerprint " +
+        s"recipes (v${stamped.mkString(", v")}) — a partial re-stamp or " +
+        "concatenated replica manifests; slice statuses from different " +
+        "eras are not comparable. Re-stamp the whole release " +
+        "(Integrity.stamp/stampTar) after confirming its integrity by " +
+        "other means")
+    require(stamped.head == recipeVersion,
       s"$where: the _integrity manifest was stamped under fingerprint " +
-        s"recipe v$stamped but this build computes v$recipeVersion — " +
+        s"recipe v${stamped.head} but this build computes v$recipeVersion — " +
         "verifying would report every healthy slice as content_drift. " +
         "Re-stamp the release (Integrity.stamp/stampTar) after confirming " +
         "its integrity by other means (e.g. against a replica's manifest " +
@@ -127,9 +140,13 @@ object Integrity {
 
   /** Write the integrity manifest beside the data (`<dir>/_integrity`,
     * overwrite — hidden, so partition discovery and the slice-prefix
-    * protocols all ignore it). Stamp AFTER the release is complete and
-    * after any compaction (a fold rewrites slice names); re-stamping is
-    * idempotent.
+    * protocols all ignore it). Stamp AFTER the release is complete;
+    * re-stamping is idempotent. Folds keep the manifest honest
+    * automatically: compaction/purge/finalize drop a pre-fold manifest
+    * before their destructive phase and re-stamp the folded layout on
+    * success ([[StateCompaction.runProtocol]]), so a stamped release
+    * stays stamped and a mid-fold crash leaves verify refusing with the
+    * stamp-first hint instead of reporting every renamed slice as drift.
     */
   def stamp(
       spark: SparkSession, dir: String, prefix: String = "shard="): Unit =

@@ -219,13 +219,22 @@ object StateCompaction {
       numFiles: Int = 1,
       prefix: String = "batch=",
       minInputs: Int = 2
-  ): Unit =
-    runProtocol(spark, dir, prefix, "compactBatchDir", minInputs) { (inputs, tmp) =>
+  ): Unit = {
+    val restamp = runProtocol(
+        spark, dir, prefix, "compactBatchDir", minInputs) { (inputs, tmp) =>
       val all = spark.read.parquet(inputs: _*)
       val projected =
         if (select.isEmpty) all else all.select(select.head, select.tail: _*)
       rewrite(projected).coalesce(numFiles).write.mode("overwrite").parquet(tmp)
     }
+    // A stamped release stays stamped across folds: the protocol dropped
+    // the stale manifest (slice names just changed), so re-fingerprint
+    // the folded layout under the same recipe — one columnar scan,
+    // bounded by the fold that just rewrote the same bytes. A crash
+    // in between leaves no manifest, and verify refuses with the
+    // stamp-first hint rather than reporting every renamed slice.
+    if (restamp) Integrity.stamp(spark, dir, prefix)
+  }
 
   /** The shared crash-safe commit protocol: resume/clean any prior
     * attempt, list and validate the `prefix`-keyed slice dirs, run
@@ -233,11 +242,22 @@ object StateCompaction {
     * tmp, then commit (marker → delete inputs → rename tmp → drop
     * marker). The fold callback owns the artifact format (parquet
     * union, tar repack); everything crash-safety-critical lives here.
+    *
+    * A pre-fold [[Integrity]] `_integrity` manifest is DROPPED before
+    * the destructive phase: the fold rewrites every slice name, so a
+    * stale manifest could only make verify report healthy data as
+    * missing_slice/unstamped_slice — the false corruption alarm the
+    * recipe gate exists to prevent on its own axis. The delete comes
+    * BEFORE the commit marker, so a crash at any later point still
+    * leaves no stale manifest and a post-fold verify refuses with the
+    * crisp stamp-first hint instead. Returns whether the manifest was
+    * present, so format-aware callers (parquet vs tar) can re-stamp the
+    * folded layout and keep a stamped release stamped across folds.
     */
   private[graft] def runProtocol(
       spark: SparkSession, dir: String, prefix: String, where: String,
       minInputs: Int = 2, targetOrd: Option[Long] = None)(
-      fold: (Seq[String], String) => Unit): Unit = {
+      fold: (Seq[String], String) => Unit): Boolean = {
     require(minInputs >= 1, s"$where: minInputs must be >= 1, got $minInputs")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -280,7 +300,12 @@ object StateCompaction {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
     require(batchDirs.nonEmpty,
       s"$where: $dir holds no $prefix<id> subdirectories")
-    if (batchDirs.length < minInputs) return // nothing to fold
+    if (batchDirs.length < minInputs) return false // nothing to fold
+    // Stale-manifest discipline (see the scaladoc): drop a pre-fold
+    // _integrity before anything destructive happens.
+    val integ = new org.apache.hadoop.fs.Path(root, "_integrity")
+    val hadIntegrity = fs.exists(integ)
+    if (hadIntegrity) fs.delete(integ, true)
     // Validate every label BEFORE any work — a foreign dir must refuse
     // the whole fold, not die mid-protocol.
     val dirMax = batchDirs.map(st => labelOrd(
@@ -310,5 +335,6 @@ object StateCompaction {
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, target)),
       s"$where: rename of compacted output failed in $dir")
     fs.delete(marker, false)
+    hadIntegrity
   }
 }

@@ -521,8 +521,8 @@ object WebDataset {
       spark: SparkSession,
       dir: String,
       targetShardBytes: Long = 256L << 20
-  ): Unit =
-    graft.operators.StateCompaction.runProtocol(
+  ): Unit = {
+    val restamp = graft.operators.StateCompaction.runProtocol(
       spark, dir, "batch=", "compactTarRelease") { (inputs, tmp) =>
       // Ext discovery walks tar HEADERS only (readPayload = false seeks
       // past member bytes) — the release's payload is read once, inside
@@ -535,6 +535,12 @@ object WebDataset {
         targetShardBytes, "compactTarRelease")
       ()
     }
+    // A stamped tar release stays stamped across folds (the protocol
+    // dropped the stale manifest — shard labels just changed); a crash
+    // in between leaves no manifest and verifyTar refuses with the
+    // stamp-first hint.
+    if (restamp) graft.operators.Integrity.stampTar(spark, dir)
+  }
 
   /** DELETION PROPAGATION over an accumulated `batch=<id>` TAR release —
     * the takedown / erasure pass for the WebDataset face
@@ -564,7 +570,7 @@ object WebDataset {
     val keys = graft.plans.Materialize(purgeKeys
       .select(col(purgeKeys.columns.head).cast("string").as("__purge_key"))
       .na.drop().distinct())
-    graft.operators.StateCompaction.runProtocol(
+    val restamp = graft.operators.StateCompaction.runProtocol(
       spark, dir, "batch=", "purgeTarRelease", minInputs = 1) { (inputs, tmp) =>
       // Survivor-ext discovery (the purge-would-empty guard) anti-joins
       // the HEADER-only walk — keys and exts live in tar headers, so the
@@ -581,6 +587,10 @@ object WebDataset {
       repackMembers(m, exts, tmp, targetShardBytes, "purgeTarRelease")
       ()
     }
+    // Re-stamp a previously-stamped release over the purged fold — the
+    // manifest must fingerprint the POST-purge bytes, never the erased
+    // members.
+    if (restamp) graft.operators.Integrity.stampTar(spark, dir)
     graft.operators.StateCompaction.writePurgeReceipt(
       spark, dir, "purgeTarRelease", keys.count(), s"targetShardBytes=$targetShardBytes")
   }

@@ -71,6 +71,78 @@ class IntegritySpec extends SparkSpec {
     // Re-stamping under the current recipe heals it.
     Integrity.stamp(spark, dir)
     assert(Integrity.verify(spark, dir).filter(col("status") =!= "ok").count() == 0)
+    // A MIXED-recipe manifest (partial re-stamp / concatenated replica
+    // manifests) must refuse with its own message — the gate checks ALL
+    // rows, not just the first: a first-row-only read could pass on the
+    // current-recipe row and then report the other era's healthy slices
+    // as content_drift.
+    d.write.parquet(s"$dir/shard=1")
+    Integrity.stamp(spark, dir)
+    val good = spark.read.parquet(s"$dir/_integrity")
+    val mixedRows = good.withColumn("recipe",
+        when(col("slice") === "shard=1", lit(1)).otherwise(col("recipe")))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(mixedRows.toSeq), good.schema)
+      .write.mode("overwrite").parquet(s"$dir/_integrity")
+    spark.catalog.refreshByPath(s"$dir/_integrity")
+    val err3 = intercept[IllegalArgumentException](Integrity.verify(spark, dir))
+    assert(err3.getMessage.contains("MIXED"), err3.getMessage)
+    Integrity.stamp(spark, dir)
+    assert(Integrity.verify(spark, dir).filter(col("status") =!= "ok").count() == 0)
+  }
+
+  test("folds keep a stamped release stamped; unstamped releases stay unstamped") {
+    import graft.operators.CurationPipeline
+    // Parquet face: stamp → purge (a fold that rewrites slice names) →
+    // verify must be GREEN over the purged fold — the pre-round-16 bug
+    // was a stale manifest reporting every renamed slice as
+    // missing_slice/unstamped_slice.
+    val dir = java.nio.file.Files.createTempDirectory("integ_f").toString + "/rel"
+    val d = (0L until 40L).map(i => (i, s"f-$i")).toDF("doc_id", "v")
+    d.filter(col("doc_id") < 20).write.parquet(s"$dir/shard=0")
+    d.filter(col("doc_id") >= 20).write.parquet(s"$dir/shard=1")
+    Integrity.stamp(spark, dir)
+    CurationPipeline.purgeRelease(spark, dir, Seq(3L, 27L).toDF("doc_id"))
+    val post = Integrity.verify(spark, dir)
+    assert(post.filter(col("status") =!= "ok").count() == 0,
+      "post-purge verify must be green over the re-stamped fold")
+    assert(post.count() == 1, "one folded slice expected")
+    // The re-stamped manifest fingerprints the POST-purge bytes: a
+    // purged row resurrected by hand must surface as content_drift.
+    val folded = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("shard=")).head
+    spark.read.parquet(s"$dir/$folded")
+      .unionByName(d.filter(col("doc_id") === 3L))
+      .write.mode("overwrite").parquet(s"$dir/shard=9")
+    assert(Integrity.verify(spark, dir)
+      .filter(col("status") === "unstamped_slice").count() == 1)
+    // An UNSTAMPED release must not gain a manifest from a fold.
+    val dir2 = java.nio.file.Files.createTempDirectory("integ_f2").toString + "/rel"
+    d.filter(col("doc_id") < 20).write.parquet(s"$dir2/shard=0")
+    d.filter(col("doc_id") >= 20).write.parquet(s"$dir2/shard=1")
+    CurationPipeline.compactRelease(spark, dir2)
+    assert(!new java.io.File(s"$dir2/_integrity").exists(),
+      "a fold of an unstamped release must not invent a manifest")
+    val err = intercept[IllegalArgumentException](Integrity.verify(spark, dir2))
+    assert(err.getMessage.contains("stamp it first"), err.getMessage)
+    // Tar face: a stamped batch-keyed tar release folds (repacked
+    // members, new shard labels) and verifyTar stays green over the
+    // re-stamped fold.
+    import graft.sources.WebDataset
+    val trel = java.nio.file.Files.createTempDirectory("integ_f3").toString + "/rel"
+    val fix = (0L until 12L).map(i => (i, s"tar-payload-$i"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("t"))
+    WebDataset.writeTar(fix.filter(col("doc_id") < 6), s"$trel/batch=0",
+      shards = 2, keyCol = "doc_id", members = Seq("txt" -> "t"))
+    WebDataset.writeTar(fix.filter(col("doc_id") >= 6), s"$trel/batch=1",
+      shards = 2, keyCol = "doc_id", members = Seq("txt" -> "t"))
+    Integrity.stampTar(spark, trel)
+    WebDataset.compactTarRelease(spark, trel)
+    assert(Integrity.verifyTar(spark, trel)
+      .filter(col("status") =!= "ok").count() == 0,
+      "post-compaction verifyTar must be green over the re-stamped fold")
   }
 
   test("verify survives the worst damage: unreadable and fully-lost slices") {
