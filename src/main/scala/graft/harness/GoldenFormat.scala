@@ -17,15 +17,15 @@ object GoldenFormat {
       "dedup_embedding_incr", "dedup_semantic", "dedup_semantic_incr",
       "sim_ann_lsh", "sim_ann_ivf", "sim_ann_lsh_q", "sim_ann_ivf_q", "sim_ann_pq",
       "sim_ann_ivfpq", "sim_ann_ivfpq_idx", "text_fingerprint", "text_compress",
-      "dedup_winnow", "dedup_winnow_incr", "text_bpe_tokens", "text_quality_model",
-      "embedding_pca", "text_packing_bins", "corpus_profile", "corpus_profile_diff",
-      "curation_pipeline_qmodel", "text_quality_model_idx", "text_bpe_bytes",
+      "dedup_winnow", "dedup_winnow_incr", "text_bpe_tokens",
+      "embedding_pca", "text_packing_bins", "corpus_profile_diff",
+      "text_bpe_bytes",
       "corpus_profile_incr", "corpus_quantiles_incr", "corpus_profile_incr_diff",
       "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup",
       "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
       "decontaminate_embedding", "curation_release_tokens_bpe",
       "curation_release_tokens_unigram",
-      "streaming_embedding_replay", "streaming_quality_replay",
+      "streaming_embedding_replay",
       "tokenizer_stats_bpe", "tokenizer_stats_unigram",
       "curation_release_incr_near", "curation_release_incr_more",
       "curation_pipeline_winnow", "curation_pipeline_embdedup",

@@ -105,6 +105,19 @@ object QueryCatalog {
         dir.replaceAll("[^a-zA-Z0-9]", "_")
     })
 
+  /** Composed oracle for the quality-model scorers (the
+    * search_hybrid_idx SQL×VALUES pattern): the hashed-feature lookup
+    * has no SQL form, so the PRE-SIGMOID margins are pinned
+    * ([[PinnedOracles]], drift-guarded by PinnedOracleSpec + regenerated
+    * by graft.tools.PinnedOracleGen), while σ and the 4-dp rounding —
+    * the serve arithmetic — replay in DuckDB.
+    */
+  private def qualityScoreSql(margins: String): String =
+    s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(m AS DOUBLE) AS m
+       |  FROM (VALUES $margins) v(doc_id, m))
+       |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-m)), 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** documents with a deterministic 4-line decoration (doc-specific
     * substrings + a corpus-wide boilerplate header + a footer shared by
     * every third doc) — the line-dedup fixture, reproduced verbatim in
@@ -4582,8 +4595,10 @@ object QueryCatalog {
     // The model-quality half: score against a FITTED weight frame passed
     // to the compiler as a named auxiliary table (the serve topology —
     // the fit happened once, elsewhere), gate on the learned score, then
-    // exact dedup. Iterative fit upstream → golden fixture, like
-    // text_quality_model.
+    // exact dedup. Composed oracle: the margins are pinned (no SQL form
+    // for the hashed-feature fit), but σ, the 4-dp rounding, the ≥ 0.5
+    // gate and the downstream exact-dedup keeper election all replay in
+    // DuckDB.
     Q("curation_pipeline_qmodel", (s, dir) => {
       val d = docs(s, dir)
       // 16 iterations separate en from non-en well enough that the 0.5
@@ -4600,7 +4615,16 @@ object QueryCatalog {
         aux = Map("qmodel" -> model))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
-    }, None),
+    }, Some(
+      s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(m AS DOUBLE) AS m
+         |  FROM (VALUES ${PinnedOracles.qmodelMargins16}) v(doc_id, m)),
+         |gate AS (SELECT doc_id FROM m
+         |  WHERE ROUND(1.0 / (1.0 + EXP(-m)), 4) >= 0.5),
+         |kept AS (SELECT d.doc_id, d.lang, d.source, d.text
+         |  FROM documents d JOIN gate USING (doc_id)),
+         |keeper AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text)
+         |SELECT k.doc_id, k.lang, k.source
+         |FROM kept k JOIN keeper USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // Snapshot diff (dataset versioning): before = the documents table,
     // after = a deterministic mutation (every 17th doc dropped, every
@@ -5422,14 +5446,17 @@ object QueryCatalog {
 
     // Whole-table sketch profile: one aggregate pass emitting per-column
     // row/null counts, exact min/max, HLL++ distinct estimates, and
-    // approx quantiles (length-distribution for strings). Sketch
-    // estimates are engine-specific, so no cross-engine SQL oracle —
-    // ProfilingSpec asserts exact stats exactly and approx stats within
-    // error bounds vs brute force; the sf0.01 golden pins the exact
-    // values (sketches are deterministic — no RNG). The 100 TB ingest-QA
-    // scan: the only shuffle is per-partition sketch state. Quantiles
-    // are flattened to scalar q25/q50/q75 columns here (the array form
-    // stays the Profiling API) so scalar-only sinks can hash the rows.
+    // approx quantiles (length-distribution for strings). Composed
+    // oracle: every EXACT stat (counts, nulls, null_frac, min/max,
+    // means) recomputes in DuckDB from the raw table; only the
+    // engine-specific sketch columns (HLL distinct_est + approx
+    // quantiles — deterministic, no RNG) are pinned VALUES
+    // (PinnedOracles.profileSketch, drift-guarded). ProfilingSpec
+    // additionally asserts the sketches within error bounds vs brute
+    // force. The 100 TB ingest-QA scan: the only shuffle is
+    // per-partition sketch state. Quantiles are flattened to scalar
+    // q25/q50/q75 columns here (the array form stays the Profiling API)
+    // so scalar-only sinks can hash the rows.
     Q("corpus_profile", (s, dir) =>
       graft.operators.Profiling.flattenQuantiles(
           graft.operators.Profiling.corpusProfile(docs(s, dir)))
@@ -5437,7 +5464,42 @@ object QueryCatalog {
         // is not bitwise partition-order-independent; everything else
         // (counts, min/max, HLL registers, rank-based quantiles) is.
         .withColumn("mean", round(col("mean"), 4)),
-      None),
+      Some(
+        s"""WITH pin AS (SELECT c, CAST(de AS BIGINT) AS distinct_est,
+           |    CAST(a AS DOUBLE) AS q25, CAST(b AS DOUBLE) AS q50,
+           |    CAST(q AS DOUBLE) AS q75
+           |  FROM (VALUES ${PinnedOracles.profileSketch}) v(c, de, a, b, q)),
+           |s AS (
+           |  SELECT 'doc_id' AS c, 'bigint' AS dtype,
+           |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |    CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+           |    CAST(MAX(doc_id) AS VARCHAR) AS max_val,
+           |    ROUND(AVG(CAST(doc_id AS DOUBLE)), 4) AS mean FROM documents
+           |  UNION ALL
+           |  SELECT 'lang', 'string', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR),
+           |    ROUND(AVG(CAST(LENGTH(lang) AS DOUBLE)), 4) FROM documents
+           |  UNION ALL
+           |  SELECT 'n_chars', 'bigint', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+           |    ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) FROM documents
+           |  UNION ALL
+           |  SELECT 'source', 'string', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR),
+           |    ROUND(AVG(CAST(LENGTH(source) AS DOUBLE)), 4) FROM documents
+           |  UNION ALL
+           |  SELECT 'text', 'string', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR),
+           |    ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)), 4) FROM documents)
+           |SELECT s.c AS "column", s.dtype, s.n_rows, s.n_nulls,
+           |  ROUND(CAST(s.n_nulls AS DOUBLE) / GREATEST(s.n_rows, 1), 6) AS null_frac,
+           |  p.distinct_est, s.min_val, s.max_val, s.mean, p.q25, p.q50, p.q75
+           |FROM s JOIN pin p ON p.c = s.c ORDER BY 1""".stripMargin)),
 
     // Incremental profiling: each shard profiled INDEPENDENTLY (the
     // ingest-time pass), then folded by pure sufficient-statistic
@@ -5535,7 +5597,8 @@ object QueryCatalog {
     // regression over hashed n-gram features, trained by distributed
     // batch gradient descent against broadcast weights (label: is the
     // document English — separable from text, so the learned scores are
-    // meaningful). Iterative fit → golden fixture; determinism = zero
+    // meaningful). Composed oracle: pinned pre-sigmoid margins ×
+    // DuckDB σ + rounding (see qualityScoreSql); determinism = zero
     // init + fixed lr, no RNG.
     Q("text_quality_model", (s, dir) => {
       val d = docs(s, dir)
@@ -5543,7 +5606,8 @@ object QueryCatalog {
         d.withColumn("is_en", (col("lang") === "en").cast("int")),
         labelCol = "is_en", dim = 1024, iters = 32)
       QualityClassifier.score(d, model).orderBy("doc_id")
-    }, None, bench = true, warmup = true),
+    }, Some(qualityScoreSql(PinnedOracles.qmodelMargins32)),
+      bench = true, warmup = true),
 
     // Fit-once / serve-many quality model (the ivfpq_idx split applied
     // to the classifier): the weight frame is fit and persisted on first
@@ -5551,7 +5615,7 @@ object QueryCatalog {
     // join scoring pass — the production serve path, benched separately
     // so the 32-iteration fit's scheduler noise stays out of the serving
     // regression signal. Output ≡ text_quality_model (save/load parity
-    // is asserted in QualityClassifierSpec) → same-valued golden.
+    // is asserted in QualityClassifierSpec) → same composed oracle.
     Q("text_quality_model_idx", (s, dir) => {
       val d = docs(s, dir)
       // Cache keyed on fit-recipe version + corpus fingerprint (see
@@ -5563,7 +5627,8 @@ object QueryCatalog {
             labelCol = "is_en", dim = 1024, iters = 32)
           .write.mode("overwrite").parquet(mDir)
       QualityClassifier.score(d, s.read.parquet(mDir)).orderBy("doc_id")
-    }, None, bench = true, warmup = true),
+    }, Some(qualityScoreSql(PinnedOracles.qmodelMargins32)),
+      bench = true, warmup = true),
 
     // Real BPE (Sennrich 2016): merges learned from the corpus word-
     // frequency table (the bounded-dictionary learn), applied map-side
@@ -6062,8 +6127,8 @@ object QueryCatalog {
     // Streaming quality-model scoring replayed against the SAME cached
     // model frame text_quality_model_idx serves (fit-once / score-many):
     // scoring is stateless, so the replay simply re-derives every batch
-    // score through the streaming path. Adagrad weights have no SQL
-    // form → golden, like the batch entries.
+    // score through the streaming path — and must therefore equal the
+    // batch entries' composed oracle (pinned margins × DuckDB σ).
     Q("streaming_quality_replay", (s, dir) => {
       val d = docs(s, dir)
       val mDir = qualityModelDir(s, dir)
@@ -6082,7 +6147,7 @@ object QueryCatalog {
           df.toDF("doc_id", "text"), model))
         .select(col("doc_id"), round(col("quality"), 4).as("quality"))
         .orderBy("doc_id")
-    }, None),
+    }, Some(qualityScoreSql(PinnedOracles.qmodelMargins32))),
 
     // Streaming CCNet perplexity scoring replayed with the LM fit
     // batch-side on the same corpus (fit-once / score-many): stateless

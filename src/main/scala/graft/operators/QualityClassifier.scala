@@ -188,12 +188,13 @@ object QualityClassifier {
       .toSeq.toDF("feat", "w")
   }
 
-  /** Score documents with a fitted model: `(doc_id, quality)` where
-    * quality = σ(Σ w_f + bias), rounded to 4 decimals. One broadcast join
-    * + per-doc aggregate — zero corpus-sized exchanges beyond the feature
-    * explode's own doc-keyed aggregate.
+  /** Pre-sigmoid margins of a fitted model: `(doc_id, m)` with
+    * m = Σ w_f·x_f + bias, full double precision. This is the quantity
+    * the composed DuckDB oracles pin as literal VALUES (the hashed
+    * feature lookup has no SQL form, but σ + rounding do — see
+    * [[graft.tools.PinnedOracleGen]]); [[score]] is one sigmoid away.
     */
-  def score(
+  def margins(
       docs: DataFrame,
       model: DataFrame,
       idCol: String = "doc_id",
@@ -205,7 +206,21 @@ object QualityClassifier {
       .join(broadcast(model.where(col("feat") >= 0)), Seq("feat"), "left")
       .groupBy("doc_id")
       .agg(coalesce(sum(col("w") * col("x")), lit(0.0)).as("margin"))
-      .select(col("doc_id").as(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-(col("margin") + bias))), 4).as("quality"))
+      .select(col("doc_id").as(idCol), (col("margin") + bias).as("m"))
   }
+
+  /** Score documents with a fitted model: `(doc_id, quality)` where
+    * quality = σ(Σ w_f + bias), rounded to 4 decimals. One broadcast join
+    * + per-doc aggregate — zero corpus-sized exchanges beyond the feature
+    * explode's own doc-keyed aggregate.
+    */
+  def score(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    margins(docs, model, idCol, textCol)
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 4).as("quality"))
 }
