@@ -18,9 +18,9 @@ object GoldenFormat {
       "sim_ann_lsh", "sim_ann_ivf", "sim_ann_lsh_q", "sim_ann_ivf_q", "sim_ann_pq",
       "sim_ann_ivfpq", "sim_ann_ivfpq_idx", "text_fingerprint", "text_compress",
       "dedup_winnow", "dedup_winnow_incr", "text_bpe_tokens",
-      "embedding_pca", "text_packing_bins", "corpus_profile_diff",
+      "embedding_pca", "text_packing_bins",
       "text_bpe_bytes",
-      "corpus_profile_incr", "corpus_quantiles_incr", "corpus_profile_incr_diff",
+      "corpus_quantiles_incr",
       "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup",
       "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
       "decontaminate_embedding", "curation_release_tokens_bpe",

@@ -118,6 +118,44 @@ object QueryCatalog {
        |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-m)), 4) AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Per-column EXACT profile stats over `src` (a table or CTE name) as
+    * a 5-row UNION ALL — the shared relational half of the
+    * profile-family composed oracles (rows, nulls, min/max, raw mean;
+    * string columns profile their LENGTH, the corpusProfile
+    * convention).
+    */
+  private def profileStatsSql(src: String): String =
+    Seq("doc_id" -> true, "lang" -> false, "n_chars" -> true,
+      "source" -> false, "text" -> false).map { case (c, isNum) =>
+      val mean = if (isNum) s"CAST($c AS DOUBLE)" else s"CAST(LENGTH($c) AS DOUBLE)"
+      s"SELECT '$c' AS c, '${if (isNum) "bigint" else "string"}' AS dt, " +
+        s"CAST(COUNT(*) AS BIGINT) AS rows_, " +
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_, " +
+        s"CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val, " +
+        s"AVG($mean) AS mean_ FROM $src"
+    }.mkString(" UNION ALL ")
+
+  /** The profile-diff composed oracle shared by corpus_profile_diff and
+    * corpus_profile_incr_diff: all ratios/fracs/means replay exactly in
+    * SQL over the two sides; only the HLL estimates feeding
+    * distinct_ratio are pinned (per column, both sides).
+    */
+  private def profileDiffSql(
+      pins: String, oldSrc: String, newSrc: String, pre: String): String =
+    s"""WITH pin AS (SELECT c, CAST(dold AS DOUBLE) AS d_old,
+       |    CAST(dnew AS DOUBLE) AS d_new FROM (VALUES $pins) v(c, dold, dnew)),
+       |$pre
+       |o AS (${profileStatsSql(oldSrc)}),
+       |n AS (${profileStatsSql(newSrc)})
+       |SELECT o.c AS "column", o.dt AS dtype_old, n.dt AS dtype_new,
+       |  ROUND(CAST(n.rows_ AS DOUBLE) / o.rows_, 6) AS rows_ratio,
+       |  ROUND(CAST(o.nulls_ AS DOUBLE) / GREATEST(o.rows_, 1), 6) AS null_frac_old,
+       |  ROUND(CAST(n.nulls_ AS DOUBLE) / GREATEST(n.rows_, 1), 6) AS null_frac_new,
+       |  ROUND(p.d_new / p.d_old, 6) AS distinct_ratio,
+       |  ROUND(o.mean_, 4) AS mean_old, ROUND(n.mean_, 4) AS mean_new,
+       |  ROUND(n.mean_ / o.mean_, 6) AS mean_ratio
+       |FROM o JOIN n ON n.c = o.c JOIN pin p ON p.c = o.c ORDER BY 1""".stripMargin
+
   /** documents with a deterministic 4-line decoration (doc-specific
     * substrings + a corpus-wide boilerplate header + a footer shared by
     * every third doc) — the line-dedup fixture, reproduced verbatim in
@@ -5506,8 +5544,9 @@ object QueryCatalog {
     // algebra — counts/sums add, min/max compare by value, DataSketches
     // HLL sketches union — without rescanning old shards. The 100 TB
     // continuous-ingest QA shape (corpus_profile is the one-shot form).
-    // Sketch estimators are engine-specific → golden; fold-shape parity
-    // and error bounds are ProfilingSpec's.
+    // Composed oracle: exact stats replay in SQL; the merged-HLL
+    // distinct estimates are pinned. Fold-shape parity and error bounds
+    // are ProfilingSpec's.
     Q("corpus_profile_incr", (s, dir) => {
       val d = docs(s, dir)
       graft.operators.Profiling.profileFromShards(
@@ -5515,14 +5554,22 @@ object QueryCatalog {
           graft.operators.Profiling.shardProfile(d.filter(col("doc_id") < 250))
             .unionByName(
               graft.operators.Profiling.shardProfile(d.filter(col("doc_id") >= 250)))))
-    }, None),
+    }, Some(
+      s"""WITH pin AS (SELECT c, CAST(de AS BIGINT) AS distinct_est
+         |  FROM (VALUES ${PinnedOracles.profileIncrSketch}) v(c, de)),
+         |s AS (${profileStatsSql("documents")})
+         |SELECT s.c AS "column", s.dt AS dtype, s.rows_ AS n_rows,
+         |  s.nulls_ AS n_nulls,
+         |  ROUND(CAST(s.nulls_ AS DOUBLE) / GREATEST(s.rows_, 1), 6) AS null_frac,
+         |  p.distinct_est, s.min_val, s.max_val, ROUND(s.mean_, 4) AS mean
+         |FROM s JOIN pin p ON p.c = s.c ORDER BY 1""".stripMargin)),
 
     // The incremental QA loop closed: drift between the ACCEPTED
     // standing profile (first shard) and the profile after a second
     // shard folds in — the exact promote/alert comparison a continuous
     // ingest runs between batches, computed entirely from persisted
-    // shard profiles (no corpus rescan). Sketch estimates inside →
-    // golden.
+    // shard profiles (no corpus rescan). Composed oracle: ratio algebra
+    // in SQL, per-side merged-HLL estimates pinned.
     Q("corpus_profile_incr_diff", (s, dir) => {
       val d = docs(s, dir)
       // The first shard's profile serves BOTH sides (accepted snapshot,
@@ -5536,7 +5583,9 @@ object QueryCatalog {
       graft.operators.Profiling.profileDiff(prof(shardA), prof(shardA.unionByName(shardB)))
         .withColumn("mean_old", round(col("mean_old"), 4))
         .withColumn("mean_new", round(col("mean_new"), 4))
-    }, None),
+    }, Some(profileDiffSql(
+      PinnedOracles.profileIncrDiffSketch, "shard_a", "documents",
+      "shard_a AS (SELECT * FROM documents WHERE doc_id < 250),"))),
 
     // Mergeable quantiles (DDSketch log buckets): per-shard sketches
     // merged by adding bucket counts (exact, associative — the thing
@@ -5557,8 +5606,10 @@ object QueryCatalog {
     // (the promote/alert gate of an ingest pipeline). Here the "new"
     // snapshot is a deterministic half-corpus with synthesized nulls, so
     // rows_ratio ≈ 0.5 and lang's null_frac jumps — the drift the gate
-    // exists to catch. Inherits corpus_profile's sketch estimates → no
-    // cross-engine oracle; ProfilingSpec asserts the ratio algebra.
+    // exists to catch. Composed oracle: the whole ratio algebra replays
+    // in SQL over both sides; only the HLL estimates feeding
+    // distinct_ratio are pinned (ProfilingSpec additionally asserts the
+    // algebra).
     Q("corpus_profile_diff", (s, dir) => {
       val d = docs(s, dir)
       val drifted = d.filter(col("doc_id") % 2 === 0)
@@ -5568,7 +5619,10 @@ object QueryCatalog {
           graft.operators.Profiling.corpusProfile(drifted))
         .withColumn("mean_old", round(col("mean_old"), 4))
         .withColumn("mean_new", round(col("mean_new"), 4))
-    }, None),
+    }, Some(profileDiffSql(
+      PinnedOracles.profileDiffSketch, "documents", "drift",
+      """drift AS (SELECT doc_id, CASE WHEN doc_id % 4 <> 0 THEN lang END AS lang,
+        |    source, text, n_chars FROM documents WHERE doc_id % 2 = 0),""".stripMargin))),
 
     // Corpus profiling: per-(source, lang) exact counts + distribution
     // stats — one map-side-combined aggregate (the dataset-card numbers a

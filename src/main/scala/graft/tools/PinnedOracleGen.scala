@@ -83,6 +83,41 @@ object PinnedOracleGen {
         s"${r.getDouble(2)}, ${r.getDouble(3)}, ${r.getDouble(4)})").toSeq
   }
 
+  private def estOf(p: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    p.select("column", "distinct_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** HLL distinct-estimate pins for the three profile-family diff/incr
+    * entries, replicating each entry's exact frames: (diff old/new,
+    * incr merged, incr-diff shardA/merged).
+    */
+  def profileFamilyRows(
+      spark: SparkSession, sfDir: String): (Seq[String], Seq[String], Seq[String]) = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = estOf(Profiling.corpusProfile(d))
+    val drifted = d.filter(col("doc_id") % 2 === 0)
+      .withColumn("lang", when(col("doc_id") % 4 =!= 0, col("lang")))
+    val dnew = estOf(Profiling.corpusProfile(drifted))
+    val shardA = Profiling.shardProfile(d.filter(col("doc_id") < 250))
+    val shardB = Profiling.shardProfile(d.filter(col("doc_id") >= 250))
+    val merged = estOf(Profiling.profileFromShards(
+      Profiling.mergeShardProfiles(shardA.unionByName(shardB))))
+    // The incr_diff ENTRY materializes shard A's profile (it serves both
+    // sides there) — the HLL sketch BINARY depends on that plan shape,
+    // so the replication must match it exactly or the merged estimates
+    // drift by a few counts.
+    val shardAm = graft.plans.Materialize(
+      Profiling.shardProfile(d.filter(col("doc_id") < 250)))
+    val aOnly = estOf(Profiling.profileFromShards(
+      Profiling.mergeShardProfiles(shardAm)))
+    val mergedAB = estOf(Profiling.profileFromShards(
+      Profiling.mergeShardProfiles(shardAm.unionByName(shardB))))
+    val cols = full.keys.toSeq.sorted
+    (cols.map(c => s"('$c', ${full(c)}, ${dnew(c)})"),
+      cols.map(c => s"('$c', ${merged(c)})"),
+      cols.map(c => s"('$c', ${aOnly(c)}, ${mergedAB(c)})"))
+  }
+
   private def block(rows: Seq[String], perLine: Int): String =
     rows.grouped(perLine).map(_.mkString(", ")).mkString(",\n    |")
 
@@ -91,6 +126,10 @@ object PinnedOracleGen {
     val m16 = block(marginRows(spark, sfDir, iters = 16), 3)
     val m32 = block(marginRows(spark, sfDir, iters = 32), 3)
     val sk = block(sketchRows(spark, sfDir), 1)
+    val (diffRows, incrRows, incrDiffRows) = profileFamilyRows(spark, sfDir)
+    val skDiff = block(diffRows, 1)
+    val skIncr = block(incrRows, 1)
+    val skIncrDiff = block(incrDiffRows, 1)
     s"""package graft.harness
        |
        |/** GENERATED by `runMain graft.tools.PinnedOracleGen` — do not edit by
@@ -125,6 +164,24 @@ object PinnedOracleGen {
        |    */
        |  val profileSketch: String =
        |    \"\"\"$sk\"\"\".stripMargin.replace("\\n", " ")
+       |
+       |  /** (col, distinct_old, distinct_new) — corpus_profile_diff's HLL
+       |    * estimates over documents and its deterministic drifted view.
+       |    */
+       |  val profileDiffSketch: String =
+       |    \"\"\"$skDiff\"\"\".stripMargin.replace("\\n", " ")
+       |
+       |  /** (col, distinct_est) — corpus_profile_incr's MERGED-HLL
+       |    * estimates (two shard sketches folded).
+       |    */
+       |  val profileIncrSketch: String =
+       |    \"\"\"$skIncr\"\"\".stripMargin.replace("\\n", " ")
+       |
+       |  /** (col, distinct_a, distinct_ab) — corpus_profile_incr_diff's
+       |    * estimates for shard A alone and the A∪B fold.
+       |    */
+       |  val profileIncrDiffSketch: String =
+       |    \"\"\"$skIncrDiff\"\"\".stripMargin.replace("\\n", " ")
        |}
        |""".stripMargin
   }

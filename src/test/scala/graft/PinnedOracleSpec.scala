@@ -62,4 +62,16 @@ class PinnedOracleSpec extends SparkSpec {
       "profile sketches drifted from the pinned VALUES — the sketch " +
         "parameters changed; rerun graft.tools.PinnedOracleGen and commit")
   }
+
+  test("pinned diff/incr HLL estimates match fresh sketches on the live fixture") {
+    guard()
+    val (diff, incr, incrDiff) = PinnedOracleGen.profileFamilyRows(spark, sfDir)
+    for ((label, pinned, fresh) <- Seq(
+        ("diff", PinnedOracles.profileDiffSketch, diff),
+        ("incr", PinnedOracles.profileIncrSketch, incr),
+        ("incr_diff", PinnedOracles.profileIncrDiffSketch, incrDiff)))
+      assert(pinned == fresh.mkString(", "),
+        s"profile $label HLL estimates drifted from the pinned VALUES — " +
+          "rerun graft.tools.PinnedOracleGen and commit")
+  }
 }
