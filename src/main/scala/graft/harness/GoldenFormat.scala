@@ -15,7 +15,7 @@ object GoldenFormat {
     Seq("dedup_minhash", "dedup_minhash_incr", "dedup_simhash", "dedup_simhash_incr",
       "dedup_embedding_lsh",
       "dedup_embedding_incr", "dedup_semantic", "dedup_semantic_incr",
-      "sim_ann_lsh", "sim_ann_ivf", "sim_ann_lsh_q", "sim_ann_ivf_q", "sim_ann_pq",
+      "sim_ann_pq",
       "sim_ann_ivfpq", "sim_ann_ivfpq_idx", "text_fingerprint", "text_compress",
       "dedup_winnow", "dedup_winnow_incr", "text_bpe_tokens",
       "embedding_pca", "text_packing_bins",

@@ -156,6 +156,27 @@ object QueryCatalog {
        |  ROUND(n.mean_ / o.mean_, 6) AS mean_ratio
        |FROM o JOIN n ON n.c = o.c JOIN pin p ON p.c = o.c ORDER BY 1""".stripMargin
 
+  /** Composed oracle for the non-PQ ANN entries: the hash-bucketed /
+    * Lloyd-probed CANDIDATE pairs are pinned ([[PinnedOracles]] — no SQL
+    * form), while the exact cosine over the raw embeddings and the
+    * top-k ranking (desc sim, neighbor-id tiebreak) replay in DuckDB —
+    * the serve arithmetic is the validated half, exactly the
+    * search_hybrid dense-pin pattern one level deeper.
+    */
+  private def annCosineTopKSql(pins: String, k: Int): String =
+    s"""WITH cand AS (SELECT CAST(q AS BIGINT) AS query_id,
+       |    CAST(c AS BIGINT) AS neighbor_id FROM (VALUES $pins) v(q, c)),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ce.embedding AS DOUBLE[])) AS sim
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
+       |WHERE rk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** documents with a deterministic 4-line decoration (doc-specific
     * substrings + a corpus-wide boilerplate header + a footer shared by
     * every third doc) — the line-dedup fixture, reproduced verbatim in
@@ -2074,17 +2095,19 @@ object QueryCatalog {
         .orderBy("vec_id")
     }, None),
 
+    // Composed oracles (annCosineTopKSql): bucketed/probed candidates
+    // pinned, exact cosine + ranking replayed in DuckDB.
     Q("sim_ann_lsh", (s, dir) =>
       Similarity.lshTopK(emb(s, dir).filter(col("vec_id") < 50), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None),
+      Some(annCosineTopKSql(PinnedOracles.annLshCandidates, 5))),
 
     Q("sim_ann_ivf", (s, dir) =>
       Similarity.ivfTopK(emb(s, dir).filter(col("vec_id") < 100), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None),
+      Some(annCosineTopKSql(PinnedOracles.annIvfCandidates, 5))),
 
     Q("sim_ann_ivfpq", (s, dir) =>
       // Combined IVF-PQ: coarse clusters route each query to nprobe
@@ -2215,14 +2238,14 @@ object QueryCatalog {
 
     Q("sim_ann_lsh_q", (s, dir) =>
       // Asymmetric retrieval shape: a small disjoint query frame against
-      // the rest of the corpus (hash-seeded → golden-fixture oracle;
+      // the rest of the corpus (candidate pins × SQL cosine ranking;
       // recall vs the two-frame brute force in RECALL.json).
       Similarity.lshTopK(
         emb(s, dir).filter(col("vec_id") < 20), emb(s, dir).filter(col("vec_id") >= 20),
         k = 5, bands = 32, bitsPerBand = 4, idCol = "vec_id", vecCol = "embedding")
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None),
+      Some(annCosineTopKSql(PinnedOracles.annLshQCandidates, 5))),
 
     Q("sim_ann_ivf_q", (s, dir) =>
       Similarity.ivfTopK(
@@ -2230,7 +2253,7 @@ object QueryCatalog {
         k = 5, nlist = 16, nprobe = 12, refineIters = 2, idCol = "vec_id", vecCol = "embedding")
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk"),
-      None),
+      Some(annCosineTopKSql(PinnedOracles.annIvfQCandidates, 5))),
 
     Q("text_langid", (s, dir) =>
       docs(s, dir)

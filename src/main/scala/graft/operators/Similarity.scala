@@ -349,6 +349,26 @@ object Similarity {
   ): DataFrame = {
     // nprobe <= 0 against a pre-fitted index: derive from the actual
     // centroid count (nlist rows — the count is free).
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    ivfCandidateFrame(queries, corpus, centroids, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The probe↔cluster candidate join of [[ivfTopK]], BEFORE the exact
+    * cosine + dedup + rank — `(query_id, qv, cid, id, v)`, vectors still
+    * attached (zero plan change for the serving path, which continues
+    * from this frame). Exposed for the composed oracles: probe selection
+    * rides the hash-seeded Lloyd fit (no SQL form), so the candidate
+    * pairs are pinned and the cosine + ranking replay in DuckDB
+    * ([[graft.tools.PinnedOracleGen]]).
+    */
+  private[graft] def ivfCandidateFrame(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     val resolvedNprobe =
       if (nprobe > 0) nprobe else resolveNprobe(nprobe, centroids.count().toInt)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -364,15 +384,9 @@ object Similarity {
         explode(slice(col("ranked"), 1, resolvedNprobe)).as("t"))
       .select(col("query_id"), col("qv"), col("t.cid"))
 
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     probes
       .join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("sim"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** Per-band hyperplane bucket keys as ONE `array<long>` column (index =
@@ -504,15 +518,7 @@ object Similarity {
     val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cBase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    val a = hyperplaneBuckets(qBase, bands, bitsPerBand, "id", "v")
-      .select(col("band"), col("bucket"), col("id").as("query_id"))
-    val b = hyperplaneBuckets(cBase, bands, bitsPerBand, "id", "v")
-      .select(col("band"), col("bucket"), col("id").as("neighbor_id"))
-    val pairs = a
-      .join(b, Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
+    val pairs = lshCandidates(queries, corpus, bands, bitsPerBand, idCol, vecCol)
 
     val candidates = pairs
       .join(qBase.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
@@ -523,5 +529,28 @@ object Similarity {
         cosine(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The LSH candidate-pair set — `(query_id, neighbor_id)`, distinct,
+    * self-excluded — factored out of [[lshTopK]] (which ranks exactly
+    * this set by exact cosine). Exposed for the composed oracles: the
+    * bucketing is xxhash64-seeded (no SQL form), so the pairs are pinned
+    * and the cosine + ranking replay in DuckDB
+    * ([[graft.tools.PinnedOracleGen]]).
+    */
+  private[graft] def lshCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      bands: Int, bitsPerBand: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cBase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = hyperplaneBuckets(qBase, bands, bitsPerBand, "id", "v")
+      .select(col("band"), col("bucket"), col("id").as("query_id"))
+    val b = hyperplaneBuckets(cBase, bands, bitsPerBand, "id", "v")
+      .select(col("band"), col("bucket"), col("id").as("neighbor_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
   }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profiling, QualityClassifier}
+import graft.operators.{Profiling, QualityClassifier, Similarity}
 
 /** Regenerates `graft.harness.PinnedOracles` — the literal VALUES pins
   * inside the composed DuckDB oracles (the search_hybrid_idx pattern,
@@ -118,6 +118,49 @@ object PinnedOracleGen {
       cols.map(c => s"('$c', ${aOnly(c)}, ${mergedAB(c)})"))
   }
 
+  /** bit_xor(xxhash64(vec_id, embedding)) over the embeddings table —
+    * the fixture half the ANN candidate pins depend on (the
+    * HybridOracleSpec convention).
+    */
+  def embFingerprint(e: org.apache.spark.sql.DataFrame): Long =
+    e.agg(bit_xor(xxhash64(col("vec_id"), col("embedding").cast("string"))))
+      .head().getLong(0)
+
+  /** `(query_id, neighbor_id)` candidate-pair pins for the four non-PQ
+    * ANN entries — the hash-bucketed / Lloyd-probed candidate SET is the
+    * only non-SQL part of those operators (the exact cosine + top-k
+    * ranking over it replays in DuckDB). Each set replicates its entry's
+    * frames via the operators' own candidate faces.
+    */
+  def annCandidateRows(
+      spark: SparkSession, sfDir: String): Seq[(String, Seq[String])] = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .distinct().orderBy("query_id", "neighbor_id").collect()
+        .map(r => s"(${r.getLong(0)}, ${r.getLong(1)})").toSeq
+    def ivfCands(qs: org.apache.spark.sql.DataFrame,
+        corpus: org.apache.spark.sql.DataFrame,
+        nlist: Int, nprobe: Int, refineIters: Int) = {
+      val rn = Similarity.resolveNlist(corpus, nlist, "vec_id")
+      val cents = Similarity.ivfCentroids(corpus, rn, refineIters, "vec_id", "embedding")
+      Similarity.ivfCandidateFrame(qs, corpus, cents,
+          Similarity.resolveNprobe(nprobe, rn), "vec_id", "embedding")
+        .select(col("query_id"), col("id").as("neighbor_id"))
+    }
+    Seq(
+      "annLshCandidates" -> rows(Similarity.lshCandidates(
+        e.filter(col("vec_id") < 50), e.filter(col("vec_id") < 50),
+        32, 4, "vec_id", "embedding")),
+      "annLshQCandidates" -> rows(Similarity.lshCandidates(
+        e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+        32, 4, "vec_id", "embedding")),
+      "annIvfCandidates" -> rows(ivfCands(
+        e.filter(col("vec_id") < 100), e.filter(col("vec_id") < 100), 0, 0, 2)),
+      "annIvfQCandidates" -> rows(ivfCands(
+        e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20), 16, 12, 2)))
+  }
+
   private def block(rows: Seq[String], perLine: Int): String =
     rows.grouped(perLine).map(_.mkString(", ")).mkString(",\n    |")
 
@@ -130,6 +173,23 @@ object PinnedOracleGen {
     val skDiff = block(diffRows, 1)
     val skIncr = block(incrRows, 1)
     val skIncrDiff = block(incrDiffRows, 1)
+    val embFp = embFingerprint(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val ann = annCandidateRows(spark, sfDir).map { case (name, rows) =>
+      // JVM class files cap a String constant at 64 KB — the bigger
+      // candidate sets split into ~3k-tuple literals concatenated at
+      // class init (chunks are complete tuple lists, so the comma-join
+      // restores one VALUES list).
+      val chunks = rows.grouped(3000).map(c => block(c, 8)).toSeq
+      val lits = chunks
+        .map(c => "    \"\"\"" + c + "\"\"\".stripMargin.replace(\"\\n\", \" \")")
+        .mkString(",\n")
+      s"""|
+          |  /** (query_id, neighbor_id) candidate pairs (${rows.length} pins) —
+          |    * see PinnedOracleGen.annCandidateRows.
+          |    */
+          |  val $name: String = Seq(
+          |$lits).mkString(", ")""".stripMargin
+    }.mkString("\n")
     s"""package graft.harness
        |
        |/** GENERATED by `runMain graft.tools.PinnedOracleGen` — do not edit by
@@ -145,6 +205,11 @@ object PinnedOracleGen {
        |    * sf0.01 documents table the pins were generated from.
        |    */
        |  val docsFp: Long = ${fp}L
+       |
+       |  /** bit_xor(xxhash64(vec_id, embedding)) over the sf0.01 embeddings
+       |    * table (the ANN candidate pins' fixture half).
+       |    */
+       |  val embFp: Long = ${embFp}L
        |
        |  /** (doc_id, m) pre-sigmoid margins, is-English logistic fit,
        |    * dim = 1024, 16 Adagrad iterations (curation_pipeline_qmodel's
@@ -182,6 +247,7 @@ object PinnedOracleGen {
        |    */
        |  val profileIncrDiffSketch: String =
        |    \"\"\"$skIncrDiff\"\"\".stripMargin.replace("\\n", " ")
+       |$ann
        |}
        |""".stripMargin
   }

@@ -63,6 +63,23 @@ class PinnedOracleSpec extends SparkSpec {
         "parameters changed; rerun graft.tools.PinnedOracleGen and commit")
   }
 
+  test("pinned ANN candidate sets match fresh bucketing/probing on the live fixture") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val fp = PinnedOracleGen.embFingerprint(e)
+    assume(fp == PinnedOracles.embFp,
+      s"sf0.01 embeddings changed (fingerprint $fp) — rerun " +
+        "graft.tools.PinnedOracleGen (and GoldenGen), then commit.")
+    val fresh = PinnedOracleGen.annCandidateRows(spark, sfDir).toMap
+    for ((name, pinned) <- Seq(
+        "annLshCandidates" -> PinnedOracles.annLshCandidates,
+        "annLshQCandidates" -> PinnedOracles.annLshQCandidates,
+        "annIvfCandidates" -> PinnedOracles.annIvfCandidates,
+        "annIvfQCandidates" -> PinnedOracles.annIvfQCandidates))
+      assert(pinned == fresh(name).mkString(", "),
+        s"$name drifted from the pinned VALUES — the bucketing/probe " +
+          "recipe changed; rerun graft.tools.PinnedOracleGen and commit")
+  }
+
   test("pinned diff/incr HLL estimates match fresh sketches on the live fixture") {
     guard()
     val (diff, incr, incrDiff) = PinnedOracleGen.profileFamilyRows(spark, sfDir)
