@@ -13,7 +13,6 @@ object GoldenFormat {
   /** The catalog entries covered by golden fixtures. */
   val goldenNames: Seq[String] =
     Seq("dedup_minhash", "dedup_minhash_incr", "dedup_simhash", "dedup_simhash_incr",
-      "dedup_embedding_lsh",
       "dedup_embedding_incr", "dedup_semantic", "dedup_semantic_incr",
       "sim_ann_pq",
       "sim_ann_ivfpq", "sim_ann_ivfpq_idx", "text_fingerprint", "text_compress",
@@ -21,14 +20,13 @@ object GoldenFormat {
       "embedding_pca", "text_packing_bins",
       "text_bpe_bytes",
       "corpus_quantiles_incr",
-      "embedding_clusters", "sample_diverse", "curation_pipeline_simdedup",
+      "embedding_clusters", "sample_diverse",
       "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
       "decontaminate_embedding", "curation_release_tokens_bpe",
       "curation_release_tokens_unigram",
       "streaming_embedding_replay",
       "tokenizer_stats_bpe", "tokenizer_stats_unigram",
       "curation_release_incr_near", "curation_release_incr_more",
-      "curation_pipeline_winnow", "curation_pipeline_embdedup",
       "curation_release_incr_emb", "sim_ann_ivfpq_purge")
 
   def render(df: DataFrame): String = {

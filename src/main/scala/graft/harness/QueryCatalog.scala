@@ -177,6 +177,25 @@ object QueryCatalog {
        |      ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
        |WHERE rk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** The connected-component keeper election of Dedup.duplicateClusters
+    * as SQL CTEs over a `pairs(a, b)` CTE: symmetric edge closure, a
+    * recursive reachability CTE (UNION set semantics terminates it), the
+    * min-id representative, and `drops` = every non-representative
+    * member. Requires the oracle to open with WITH RECURSIVE.
+    */
+  private val clusterDropCtes: String =
+    """edges AS (SELECT a AS src, b AS dst FROM pairs
+      |  UNION SELECT b, a FROM pairs),
+      |reach AS (SELECT src AS id, src AS r FROM edges
+      |  UNION SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+      |drops AS (SELECT id FROM (
+      |  SELECT id, MIN(r) AS rep FROM reach GROUP BY id) WHERE id <> rep)""".stripMargin
+
+  /** The whitespace-token quality gate (`quality: { min_tokens: n }`) in
+    * the oracle's tokenization (the text_quality convention). */
+  private def qualityGateSql(minTokens: Int): String =
+    s"len(string_split(lower(text), ' ')) >= $minTokens"
+
   /** documents with a deterministic 4-line decoration (doc-specific
     * substrings + a corpus-wide boilerplate header + a footer shared by
     * every third doc) — the line-dedup fixture, reproduced verbatim in
@@ -1368,12 +1387,24 @@ object QueryCatalog {
              |SELECT doc_a, doc_b, ROUND(c, 3) AS cos FROM p WHERE c >= 0.4 ORDER BY 1, 2""".stripMargin)),
 
     Q("dedup_embedding_lsh", (s, dir) =>
-      // The LSH-bucketed scale path (hash-seeded → golden-fixture oracle;
-      // recall-vs-exact asserted in ExtensionsSpec).
+      // The LSH-bucketed scale path. Composed oracle: exact cosine +
+      // threshold + rounding replay in SQL over ALL pairs; the pin
+      // records only the true pairs the banding MISSED (usually the
+      // bare sentinel — recall-vs-exact asserted in ExtensionsSpec).
       Dedup.embeddingNearDup(emb(s, dir), threshold = 0.4, bands = 32, bitsPerBand = 2)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 3).as("cos"))
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(
+        s"""WITH miss AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+           |  FROM (VALUES ${PinnedOracles.embLshMiss}) v(a, b)),
+           |p AS (SELECT qa.vec_id AS doc_a, qb.vec_id AS doc_b,
+           |    list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+           |      CAST(qb.embedding AS DOUBLE[])) AS c
+           |  FROM embeddings qa JOIN embeddings qb ON qa.vec_id < qb.vec_id)
+           |SELECT doc_a, doc_b, ROUND(c, 3) AS cos FROM p
+           |WHERE c >= 0.4 AND NOT EXISTS (
+           |  SELECT 1 FROM miss WHERE miss.a = p.doc_a AND miss.b = p.doc_b)
+           |ORDER BY 1, 2""".stripMargin)),
 
     Q("dedup_embedding_incr", (s, dir) =>
       // Incremental shard-vs-corpus embedding near-dup — the ingest-loop
@@ -3669,6 +3700,8 @@ object QueryCatalog {
     // selection + shared-fp pairs + min-id clusters). xxhash-seeded
     // fingerprints have no SQL form -> golden, like dedup_winnow itself;
     // step-vs-operator parity is asserted in CurationPipelineSpec.
+    // Composed oracle: winnow fingerprint counts have no SQL form → the
+    // verified pair set is pinned; gate + keeper election replay in SQL.
     Q("curation_pipeline_winnow", (s, dir) =>
       CurationPipeline.fromYaml(docs(s, dir),
         """steps:
@@ -3677,7 +3710,14 @@ object QueryCatalog {
           |""".stripMargin)
         .select("doc_id", "lang")
         .orderBy("doc_id"),
-      None),
+      Some(
+        s"""WITH RECURSIVE pairs AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+           |  FROM (VALUES ${PinnedOracles.winnowPairs}) v(a, b)),
+           |gated AS (SELECT doc_id, lang FROM documents
+           |  WHERE ${qualityGateSql(10)}),
+           |$clusterDropCtes
+           |SELECT doc_id, lang FROM gated
+           |WHERE doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin)),
 
     // LSH-hyperplane embedding near-dup as a language STEP through the
     // auxiliary embeddings table (the dedup_semantic aux convention).
@@ -3685,6 +3725,10 @@ object QueryCatalog {
     // deterministic functions of the vector — hash-seeded → golden,
     // like dedup_embedding_lsh; step-vs-operator parity in
     // CurationPipelineSpec.
+    // Composed oracle: quality gate, exact cosine + threshold over the
+    // gated embeddings, the recursive-CTE keeper election and the drop
+    // anti-join ALL replay in SQL; the pin records only banding recall
+    // misses (sentinel when none).
     Q("curation_pipeline_embdedup", (s, dir) =>
       CurationPipeline.fromYaml(docs(s, dir),
         """steps:
@@ -3694,7 +3738,22 @@ object QueryCatalog {
         aux = Map("emb" -> Tables.table(s, dir, "embeddings")))
         .select("doc_id", "lang")
         .orderBy("doc_id"),
-      None),
+      Some(
+        s"""WITH RECURSIVE miss AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+           |  FROM (VALUES ${PinnedOracles.embdedupMiss}) v(a, b)),
+           |gated AS (SELECT doc_id, lang FROM documents
+           |  WHERE ${qualityGateSql(10)}),
+           |ge AS (SELECT e.vec_id, e.embedding FROM embeddings e
+           |  JOIN gated g ON g.doc_id = e.vec_id),
+           |pairs AS (SELECT qa.vec_id AS a, qb.vec_id AS b
+           |  FROM ge qa JOIN ge qb ON qa.vec_id < qb.vec_id
+           |  WHERE list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+           |      CAST(qb.embedding AS DOUBLE[])) >= 0.4
+           |    AND NOT EXISTS (SELECT 1 FROM miss
+           |      WHERE miss.a = qa.vec_id AND miss.b = qb.vec_id)),
+           |$clusterDropCtes
+           |SELECT doc_id, lang FROM gated
+           |WHERE doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin)),
 
     // …and the same step ingesting by SHARD through the persisted
     // (vec_id, embedding) index — deterministic hyperplanes mean no
@@ -4639,9 +4698,11 @@ object QueryCatalog {
              |FROM sel ORDER BY doc_id""".stripMargin)),
 
     // A non-minhash near-dup step in the language: SimHash banded
-    // Hamming dedup between a quality gate and the split — signatures
-    // are xxhash64-seeded (no SQL form) → golden fixture, like the
-    // standalone dedup_simhash entry.
+    // Hamming dedup between a quality gate and the split. Composed
+    // oracle: the hamming-verified pair set is pinned (signatures are
+    // xxhash64-seeded, no SQL form); the quality gate, the
+    // recursive-CTE keeper election AND the multiplicative-hash split
+    // all replay in SQL.
     Q("curation_pipeline_simdedup", (s, dir) =>
       CurationPipeline.fromYaml(docs(s, dir),
         """steps:
@@ -4651,7 +4712,19 @@ object QueryCatalog {
           |""".stripMargin)
         .select("doc_id", "lang", "split")
         .orderBy("doc_id"),
-      None),
+      Some(
+        s"""WITH RECURSIVE pairs AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+           |  FROM (VALUES ${PinnedOracles.simdedupPairs}) v(a, b)),
+           |gated AS (SELECT doc_id, lang FROM documents
+           |  WHERE ${qualityGateSql(5)}),
+           |$clusterDropCtes,
+           |kept AS (SELECT doc_id, lang FROM gated
+           |  WHERE doc_id NOT IN (SELECT id FROM drops)),
+           |r AS (SELECT doc_id, lang,
+           |    (doc_id % 1048576) * 2654435761 % 4294967296 AS rnd FROM kept)
+           |SELECT doc_id, lang, CASE WHEN rnd < 429496729 THEN 'test'
+           |  WHEN rnd < 3865470566 THEN 'train' ELSE 'val' END AS split
+           |FROM r ORDER BY doc_id""".stripMargin)),
 
     // The model-quality half: score against a FITTED weight frame passed
     // to the compiler as a named auxiliary table (the serve topology —

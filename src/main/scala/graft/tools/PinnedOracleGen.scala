@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profiling, QualityClassifier, Similarity}
+import graft.operators.{CurationPipeline, Dedup, Profiling, QualityClassifier, Similarity}
 
 /** Regenerates `graft.harness.PinnedOracles` — the literal VALUES pins
   * inside the composed DuckDB oracles (the search_hybrid_idx pattern,
@@ -161,6 +161,50 @@ object PinnedOracleGen {
         e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20), 16, 12, 2)))
   }
 
+  /** The dedup/cluster-family pins. Two kinds:
+    *
+    *   - RECALL-MISS pins (`embLshMiss`, `embdedupMiss`): for the
+    *     embedding near-dup entries everything EXCEPT the LSH candidate
+    *     generation is SQL (exact cosine, threshold, rounding, cluster
+    *     election) — so the pin records only the true pairs the banding
+    *     MISSED (exact-all-pairs minus banded), usually empty. A `(-1,
+    *     -1)` sentinel keeps the VALUES list non-empty.
+    *   - VERIFIED-PAIR pins (`simdedupPairs`, `winnowPairs`): simhash
+    *     hamming and winnow fingerprint counts have no SQL form, so the
+    *     verified pair set itself is pinned; the quality gate, the
+    *     connected-component keeper election (recursive CTE) and the
+    *     split assignment still replay in SQL.
+    */
+  def dedupFamilyRows(
+      spark: SparkSession, sfDir: String): Seq[(String, Seq[String])] = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .distinct().orderBy("doc_a", "doc_b").collect()
+        .map(r => s"(${r.getLong(0)}, ${r.getLong(1)})").toSeq
+    def missRows(exact: org.apache.spark.sql.DataFrame,
+        banded: org.apache.spark.sql.DataFrame): Seq[String] =
+      "(-1, -1)" +: pairRows(
+        exact.select("doc_a", "doc_b")
+          .except(banded.select("doc_a", "doc_b")))
+    def gated(minTokens: Int) = CurationPipeline.fromYaml(d,
+      s"steps:\n  - quality: { min_tokens: $minTokens }\n")
+    val gatedEmb10 = e.join(
+      gated(10).select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    Seq(
+      "embLshMiss" -> missRows(
+        Dedup.embeddingNearDupExact(e, threshold = 0.4),
+        Dedup.embeddingNearDup(e, threshold = 0.4, bands = 32, bitsPerBand = 2)),
+      "embdedupMiss" -> missRows(
+        Dedup.embeddingNearDupExact(gatedEmb10, threshold = 0.4),
+        Dedup.embeddingNearDup(gatedEmb10, threshold = 0.4, bands = 32, bitsPerBand = 2)),
+      "simdedupPairs" -> pairRows(
+        Dedup.simhash(gated(5), maxHamming = 10, maxBucketSize = 256)),
+      "winnowPairs" -> pairRows(
+        Dedup.winnow(gated(10), minShared = 2, k = 5, w = 4, maxBucketSize = 256)))
+  }
+
   private def block(rows: Seq[String], perLine: Int): String =
     rows.grouped(perLine).map(_.mkString(", ")).mkString(",\n    |")
 
@@ -174,7 +218,8 @@ object PinnedOracleGen {
     val skIncr = block(incrRows, 1)
     val skIncrDiff = block(incrDiffRows, 1)
     val embFp = embFingerprint(spark.read.parquet(s"$sfDir/embeddings.parquet"))
-    val ann = annCandidateRows(spark, sfDir).map { case (name, rows) =>
+    val ann = (annCandidateRows(spark, sfDir) ++ dedupFamilyRows(spark, sfDir))
+      .map { case (name, rows) =>
       // JVM class files cap a String constant at 64 KB — the bigger
       // candidate sets split into ~3k-tuple literals concatenated at
       // class init (chunks are complete tuple lists, so the comma-join
@@ -184,8 +229,8 @@ object PinnedOracleGen {
         .map(c => "    \"\"\"" + c + "\"\"\".stripMargin.replace(\"\\n\", \" \")")
         .mkString(",\n")
       s"""|
-          |  /** (query_id, neighbor_id) candidate pairs (${rows.length} pins) —
-          |    * see PinnedOracleGen.annCandidateRows.
+          |  /** Pinned id pairs (${rows.length} tuples) — see
+          |    * PinnedOracleGen.annCandidateRows / dedupFamilyRows.
           |    */
           |  val $name: String = Seq(
           |$lits).mkString(", ")""".stripMargin

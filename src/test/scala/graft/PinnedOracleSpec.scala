@@ -80,6 +80,22 @@ class PinnedOracleSpec extends SparkSpec {
           "recipe changed; rerun graft.tools.PinnedOracleGen and commit")
   }
 
+  test("pinned dedup pair/miss sets match fresh banding on the live fixture") {
+    guard() // simhash/winnow pairs ride the documents fixture
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assume(PinnedOracleGen.embFingerprint(e) == PinnedOracles.embFp,
+      "sf0.01 embeddings changed — rerun graft.tools.PinnedOracleGen.")
+    val fresh = PinnedOracleGen.dedupFamilyRows(spark, sfDir).toMap
+    for ((name, pinned) <- Seq(
+        "embLshMiss" -> PinnedOracles.embLshMiss,
+        "embdedupMiss" -> PinnedOracles.embdedupMiss,
+        "simdedupPairs" -> PinnedOracles.simdedupPairs,
+        "winnowPairs" -> PinnedOracles.winnowPairs))
+      assert(pinned == fresh(name).mkString(", "),
+        s"$name drifted from the pinned VALUES — the banding/verify " +
+          "recipe changed; rerun graft.tools.PinnedOracleGen and commit")
+  }
+
   test("pinned diff/incr HLL estimates match fresh sketches on the live fixture") {
     guard()
     val (diff, incr, incrDiff) = PinnedOracleGen.profileFamilyRows(spark, sfDir)
