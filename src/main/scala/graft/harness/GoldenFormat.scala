@@ -13,7 +13,7 @@ object GoldenFormat {
   /** The catalog entries covered by golden fixtures. */
   val goldenNames: Seq[String] =
     Seq("dedup_minhash", "dedup_minhash_incr", "dedup_simhash", "dedup_simhash_incr",
-      "dedup_embedding_incr", "dedup_semantic", "dedup_semantic_incr",
+      "dedup_semantic", "dedup_semantic_incr",
       "sim_ann_pq",
       "sim_ann_ivfpq", "sim_ann_ivfpq_idx", "text_fingerprint", "text_compress",
       "dedup_winnow", "dedup_winnow_incr", "text_bpe_tokens",
@@ -24,7 +24,6 @@ object GoldenFormat {
       "streaming_minhash_replay", "text_unigram_tokens", "sim_ann_ivfpq_filtered",
       "decontaminate_embedding", "curation_release_tokens_bpe",
       "curation_release_tokens_unigram",
-      "streaming_embedding_replay",
       "tokenizer_stats_bpe", "tokenizer_stats_unigram",
       "curation_release_incr_near", "curation_release_incr_more",
       "curation_release_incr_emb", "sim_ann_ivfpq_purge")

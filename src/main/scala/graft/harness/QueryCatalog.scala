@@ -1408,15 +1408,27 @@ object QueryCatalog {
 
     Q("dedup_embedding_incr", (s, dir) =>
       // Incremental shard-vs-corpus embedding near-dup — the ingest-loop
-      // shape; parity with the full union run asserted in ExtensionsSpec
-      // (hash-seeded → golden fixture).
+      // shape; parity with the full union run asserted in ExtensionsSpec.
+      // Composed oracle: exact cosine over shard-touching pairs in SQL,
+      // banding recall misses pinned (sentinel when none).
       Dedup.embeddingNearDupIncremental(
         emb(s, dir).filter(col("vec_id") >= 400),
         emb(s, dir).filter(col("vec_id") < 400),
         threshold = 0.4, bands = 32, bitsPerBand = 2)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 3).as("cos"))
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(
+        s"""WITH miss AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+           |  FROM (VALUES ${PinnedOracles.embIncrMiss}) v(a, b)),
+           |p AS (SELECT qa.vec_id AS doc_a, qb.vec_id AS doc_b,
+           |    list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+           |      CAST(qb.embedding AS DOUBLE[])) AS c
+           |  FROM embeddings qa JOIN embeddings qb ON qa.vec_id < qb.vec_id
+           |  WHERE qa.vec_id >= 400 OR qb.vec_id >= 400)
+           |SELECT doc_a, doc_b, ROUND(c, 3) AS cos FROM p
+           |WHERE c >= 0.4 AND NOT EXISTS (
+           |  SELECT 1 FROM miss WHERE miss.a = p.doc_a AND miss.b = p.doc_b)
+           |ORDER BY 1, 2""".stripMargin)),
 
     Q("dedup_semantic", (s, dir) =>
       // SemDeDup (Abbas et al. 2023): IVF clusters bound the quadratic
@@ -6195,7 +6207,17 @@ object QueryCatalog {
           threshold = 0.4, bands = 32, bitsPerBand = 2).toDF())
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
         .orderBy("doc_a", "doc_b")
-    }, None),
+    }, Some(
+      s"""WITH miss AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+         |  FROM (VALUES ${PinnedOracles.embStreamMiss}) v(a, b)),
+         |p AS (SELECT qa.vec_id AS doc_a, qb.vec_id AS doc_b,
+         |    list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+         |      CAST(qb.embedding AS DOUBLE[])) AS c
+         |  FROM embeddings qa JOIN embeddings qb ON qa.vec_id < qb.vec_id)
+         |SELECT doc_a, doc_b, ROUND(c, 4) AS cos FROM p
+         |WHERE c >= 0.4 AND NOT EXISTS (
+         |  SELECT 1 FROM miss WHERE miss.a = p.doc_a AND miss.b = p.doc_b)
+         |ORDER BY 1, 2""".stripMargin)),
 
     // Streaming perceptual-hash near-dup replayed over the synthetic BMP
     // corpus: the closed-form dHash family fixture (see dedup_phash)

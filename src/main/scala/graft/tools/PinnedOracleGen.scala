@@ -192,10 +192,34 @@ object PinnedOracleGen {
       s"steps:\n  - quality: { min_tokens: $minTokens }\n")
     val gatedEmb10 = e.join(
       gated(10).select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    // Streaming replay of the same near-dup topology — the entry's own
+    // replay, reproduced verbatim so the miss set reflects exactly what
+    // the stream surfaced.
+    val streamOut = {
+      import spark.implicits._
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+        .map { case (id, v) =>
+          (id, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), v) }
+      val batches = graft.harness.StreamReplay.timeOrderedBatches(rows, 4)
+      graft.harness.StreamReplay.replay(spark, batches, df =>
+        graft.streaming.StreamingPredicates.embeddingNearDupStream(
+          df.toDF("vec_id", "timestamp", "embedding")
+            .withWatermark("timestamp", "1 hour"),
+          threshold = 0.4, bands = 32, bitsPerBand = 2).toDF())
+    }
     Seq(
       "embLshMiss" -> missRows(
         Dedup.embeddingNearDupExact(e, threshold = 0.4),
         Dedup.embeddingNearDup(e, threshold = 0.4, bands = 32, bitsPerBand = 2)),
+      "embIncrMiss" -> missRows(
+        Dedup.embeddingNearDupExact(e, threshold = 0.4)
+          .filter(col("doc_a") >= 400 || col("doc_b") >= 400),
+        Dedup.embeddingNearDupIncremental(
+          e.filter(col("vec_id") >= 400), e.filter(col("vec_id") < 400),
+          threshold = 0.4, bands = 32, bitsPerBand = 2)),
+      "embStreamMiss" -> missRows(
+        Dedup.embeddingNearDupExact(e, threshold = 0.4), streamOut),
       "embdedupMiss" -> missRows(
         Dedup.embeddingNearDupExact(gatedEmb10, threshold = 0.4),
         Dedup.embeddingNearDup(gatedEmb10, threshold = 0.4, bands = 32, bitsPerBand = 2)),

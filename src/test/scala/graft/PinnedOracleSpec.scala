@@ -88,6 +88,8 @@ class PinnedOracleSpec extends SparkSpec {
     val fresh = PinnedOracleGen.dedupFamilyRows(spark, sfDir).toMap
     for ((name, pinned) <- Seq(
         "embLshMiss" -> PinnedOracles.embLshMiss,
+        "embIncrMiss" -> PinnedOracles.embIncrMiss,
+        "embStreamMiss" -> PinnedOracles.embStreamMiss,
         "embdedupMiss" -> PinnedOracles.embdedupMiss,
         "simdedupPairs" -> PinnedOracles.simdedupPairs,
         "winnowPairs" -> PinnedOracles.winnowPairs))
