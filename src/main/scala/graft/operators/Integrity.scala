@@ -43,10 +43,12 @@ object Integrity {
     // must not pass the gate on its first row and then report healthy
     // slices as content_drift — the exact false alarm this gate exists
     // to prevent.
+    // A null recipe cell (hand-spliced rows) counts as the
+    // pre-versioning era — v1 — rather than NPE-ing mid-gate.
     val stamped: Seq[Int] =
       if (!manifest.columns.contains("recipe")) Seq(1)
-      else manifest.select("recipe").distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
+      else manifest.select("recipe").distinct().collect()
+        .map(r => if (r.isNullAt(0)) 1 else r.getInt(0)).toSeq.distinct.sorted
     require(stamped.length == 1,
       s"$where: the _integrity manifest holds rows from MIXED fingerprint " +
         s"recipes (v${stamped.mkString(", v")}) — a partial re-stamp or " +
