@@ -65,10 +65,17 @@ object QualityClassifier {
         zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
           (a, b) => concat_ws(" ", a, b)))
         .otherwise(array().cast("array<string>")))
+    // ONE exchange for the whole feature pipeline: hash(doc_id)
+    // partitioning satisfies the (doc_id, feat) distinct as a subset
+    // clustering AND the per-doc normalization window AND every
+    // downstream doc-keyed aggregate (margins/score) — the former
+    // distinct-then-window shape paid two full exchanges of the
+    // exploded feature rows for the same result.
     val w = Window.partitionBy("doc_id")
     docs
       .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
       .select(col("doc_id"), pmod(xxhash64(col("gram"), lit("qc")), lit(dim.toLong)).cast("int").as("feat"))
+      .repartition(col("doc_id"))
       .distinct()
       .withColumn("x", lit(1.0) / sqrt(count(lit(1)).over(w)))
   }
@@ -81,13 +88,17 @@ object QualityClassifier {
     * crawls (measured 0.61–0.86 accuracy after 400 iterations on the
     * fixture task), Adagrad reaches 0.97 in 32.
     *
-    * Per iteration: margins = broadcast-weight join + per-doc sum;
-    * residuals `p − y`; gradient = per-feature residual sum (+ mean
-    * residual for the bias), collected (`≤ dim+1` rows — bounded), then
-    * the driver-side update `w ← w − lr·ĝ/√(Σ ĝ²)` with
-    * `ĝ = grad/N + l2·w`. Returns the weight table `(feat, w)` with the
-    * bias at `feat = −1` — a persistable model frame ([[score]] consumes
-    * it, fresh or read back from parquet).
+    * Per iteration: ONE zero-shuffle mapPartitions job over the cached
+    * CSR doc blocks ([[compactBlocks]]) computes margins, residuals
+    * `p − y` and the dense per-partition gradient in a single pass;
+    * only a `dim+1`-double array per partition reaches the driver
+    * (bounded, like the former ≤ dim+1-row collect), then the
+    * driver-side update `w ← w − lr·ĝ/√(Σ ĝ²)` with `ĝ = grad/N + l2·w`.
+    * [[gradientFrame]] is the SQL-equivalent specification of the step
+    * (parity asserted in QualityClassifierSpec). Returns the weight
+    * table `(feat, w)` with the bias at `feat = −1` — a persistable
+    * model frame ([[score]] consumes it, fresh or read back from
+    * parquet).
     */
   def train(
       docs: DataFrame,
@@ -119,25 +130,144 @@ object QualityClassifier {
     val n = labeled.count().toDouble
     require(n > 0, "cannot train on an empty corpus")
 
+    // Compact the hash(doc_id)-partitioned feature frame ONCE into
+    // per-partition CSR doc blocks and iterate over THOSE: each Adagrad
+    // step is then a single zero-shuffle mapPartitions job (dense
+    // per-partition gradient arrays of dim+1 doubles, summed on the
+    // driver in partition order) instead of the former broadcast-join +
+    // two hash aggregates + feat exchange + collect — the exact same
+    // margin/residual/gradient arithmetic over the exact same per-doc
+    // row groups ([[gradientFrame]] stays as the SQL-equivalent spec and
+    // QualityClassifierSpec asserts parity), just without `iters`×
+    // multi-stage scheduler latency. Per-group double-sum order shifts,
+    // which is the run-to-run ulp envelope the pinned-margin oracles
+    // already tolerate (PinnedOracleSpec compares at the rounded-quality
+    // grain for exactly this reason). At corpus scale the win is the
+    // same: the only remaining per-iteration traffic is one dim+1-double
+    // array per partition to the driver.
+    val blocks = compactBlocks(feats, dim)
+    val sc = spark.sparkContext
     val w = new Array[Double](dim)
     val acc = Array.fill(dim)(1e-8)
     var bias = 0.0
     var accBias = 1e-8
-    for (_ <- 1 to iters) {
-      val g = gradientFrame(feats, weightsDf(spark, w, bias))
-        .collect().map(row => (row.getInt(0), row.getDouble(1))).toMap
-      var f = 0
-      while (f < dim) {
-        val gf = g.getOrElse(f, 0.0) / n + l2 * w(f)
-        acc(f) += gf * gf
-        w(f) -= lr * gf / math.sqrt(acc(f))
-        f += 1
+    try {
+      for (_ <- 1 to iters) {
+        val g = rddGradient(blocks, dim, w, bias, sc)
+        var f = 0
+        while (f < dim) {
+          val gf = g(f) / n + l2 * w(f)
+          acc(f) += gf * gf
+          w(f) -= lr * gf / math.sqrt(acc(f))
+          f += 1
+        }
+        val gBias = g(dim) / n
+        accBias += gBias * gBias
+        bias -= lr * gBias / math.sqrt(accBias)
       }
-      val gBias = g.getOrElse(-1, 0.0) / n
-      accBias += gBias * gBias
-      bias -= lr * gBias / math.sqrt(accBias)
-    }
+    } finally blocks.unpersist(blocking = false)
     weightsDf(spark, w, bias)
+  }
+
+  /** Per-partition CSR layout of the training frame: doc d of a
+    * partition owns rows `offsets(d) until offsets(d+1)` of the parallel
+    * `feats`/`xs` arrays (bias rows keep feat = −1), with label `ys(d)`.
+    * Docs appear in first-encounter order and rows in partition row
+    * order — the same accumulation order the former per-group hash
+    * aggregate used.
+    */
+  private[graft] final case class DocBlocks(
+      ys: Array[Double],
+      offsets: Array[Int],
+      feats: Array[Int],
+      xs: Array[Double])
+
+  /** ONE Adagrad iteration's gradient over the compacted blocks — the
+    * zero-shuffle execution of [[gradientFrame]]'s arithmetic: index f
+    * of the returned array is grad_f = Σ_d∋f (σ(margin_d) − y_d)·x_df
+    * for f < dim, index dim is the bias gradient (pseudo-feature −1).
+    * One mapPartitions job; a dim+1-double array per partition crosses
+    * to the driver, summed in partition order.
+    */
+  private[graft] def rddGradient(
+      blocks: org.apache.spark.rdd.RDD[DocBlocks],
+      dim: Int,
+      w: Array[Double],
+      bias: Double,
+      sc: org.apache.spark.SparkContext): Array[Double] = {
+    val wB = sc.broadcast((w.clone(), bias))
+    try blocks
+      .map { part =>
+        val (wCur, biasCur) = wB.value
+        val grad = new Array[Double](wCur.length + 1)
+        var d = 0
+        while (d < part.ys.length) {
+          var margin = 0.0
+          var i = part.offsets(d)
+          val end = part.offsets(d + 1)
+          while (i < end) {
+            val f = part.feats(i)
+            margin += (if (f < 0) biasCur else wCur(f)) * part.xs(i)
+            i += 1
+          }
+          val r = 1.0 / (1.0 + math.exp(-margin)) - part.ys(d)
+          i = part.offsets(d)
+          while (i < end) {
+            val f = part.feats(i)
+            grad(if (f < 0) wCur.length else f) += r * part.xs(i)
+            i += 1
+          }
+          d += 1
+        }
+        grad
+      }
+      .collect()
+      .foldLeft(new Array[Double](dim + 1)) { (a, p) =>
+        var i = 0
+        while (i < a.length) { a(i) += p(i); i += 1 }
+        a
+      }
+    finally wB.destroy()
+  }
+
+  /** Compact `feats` (one materialized pass) into cached per-partition
+    * [[DocBlocks]] — the frame [[train]]'s per-iteration zero-shuffle
+    * gradient jobs scan. One element per partition; doc grouping is
+    * in-partition only (the frame is hash(doc_id)-partitioned, so every
+    * doc's rows share a partition by construction).
+    */
+  private[graft] def compactBlocks(
+      feats: DataFrame, dim: Int): org.apache.spark.rdd.RDD[DocBlocks] = {
+    val rdd = feats.select(col("doc_id"), col("y"), col("feat"), col("x"))
+      .rdd
+      .mapPartitions { rows =>
+        val docIdx = new scala.collection.mutable.HashMap[Any, Int]()
+        val ys = new scala.collection.mutable.ArrayBuffer[Double]()
+        val docFeats = new scala.collection.mutable.ArrayBuffer[
+          scala.collection.mutable.ArrayBuffer[Int]]()
+        val docXs = new scala.collection.mutable.ArrayBuffer[
+          scala.collection.mutable.ArrayBuffer[Double]]()
+        rows.foreach { row =>
+          val d = docIdx.getOrElseUpdate(row.get(0), {
+            ys += row.getDouble(1)
+            docFeats += new scala.collection.mutable.ArrayBuffer[Int]()
+            docXs += new scala.collection.mutable.ArrayBuffer[Double]()
+            ys.length - 1
+          })
+          val f = row.getInt(2)
+          require(f >= -1 && f < dim, s"feature id $f outside [-1, $dim)")
+          docFeats(d) += f
+          docXs(d) += row.getDouble(3)
+        }
+        val offsets = new Array[Int](ys.length + 1)
+        var d = 0
+        while (d < ys.length) { offsets(d + 1) = offsets(d) + docFeats(d).length; d += 1 }
+        Iterator.single(DocBlocks(
+          ys.toArray, offsets,
+          docFeats.iterator.flatten.toArray, docXs.iterator.flatten.toArray))
+      }
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd
   }
 
   /** ONE Adagrad iteration's gradient frame — margin_d = Σ_f w_f·x_df

@@ -693,24 +693,28 @@ object PlanAudit {
     println(s"${if (shufRange == 0) "OK " else "HOT"} shuffle-shard no global sort   rangeExchanges=$shufRange")
 
     // Quality-classifier SCORING (the serve-many shape): broadcast model
-    // join + per-doc aggregate — budget covers the feature distinct and
-    // the per-doc normalization window/aggregate; the corpus never meets
-    // a corpus-sized side.
+    // join + per-doc aggregate — ONE exchange total: the feature
+    // pipeline's single hash(doc_id) repartition satisfies the distinct
+    // (subset clustering), the normalization window AND the per-doc
+    // margin aggregate; the corpus never meets a corpus-sized side.
     val qcModel = graft.operators.QualityClassifier.train(
       docsT.limit(40).withColumn("y", (col("lang") === "en").cast("int")),
       labelCol = "y", dim = 64, iters = 2)
     val qcScore = graft.operators.QualityClassifier.score(docsT, qcModel)
-    audit("quality_model_score", qcScore, 3)
+    audit("quality_model_score", qcScore, 1)
     val qcBroadcasts = "BroadcastExchange".r
       .findAllIn(qcScore.queryExecution.executedPlan.toString).length
     println(s"${if (qcBroadcasts >= 1) "OK " else "HOT"} quality model broadcast        n=$qcBroadcasts")
 
-    // Quality-classifier FIT iteration: the feature frame materializes
-    // hash(doc_id)-partitioned, so one Adagrad step's gradient plan —
-    // margin aggregate (subset clustering), residual join, per-feature
-    // aggregate — carries exactly ONE exchange: the ≤dim+1-row feature
-    // rollup. The fit runs `iters` of these; an exchange regression
-    // here multiplies by the iteration count.
+    // Quality-classifier FIT iteration. The live fit now runs each
+    // Adagrad step as ONE zero-shuffle mapPartitions job over cached
+    // per-partition CSR doc blocks (only a dim+1-double array per
+    // partition reaches the driver); gradientFrame remains the
+    // SQL-equivalent specification of that step (QualityClassifierSpec
+    // asserts numeric parity between the two), and its plan — margin
+    // aggregate (subset clustering), residual join, per-feature
+    // aggregate — must keep carrying exactly ONE exchange: the
+    // ≤dim+1-row feature rollup.
     val qcFeats = graft.operators.QualityClassifier.trainingFeatures(
       docsT.limit(40).withColumn("y", (col("lang") === "en").cast("int")), "y", 64)
     audit("quality_model_fit_iter",

@@ -22,6 +22,35 @@ class QualityClassifierSpec extends SparkSpec {
     assert(f.forall { case (_, _, x) => math.abs(x - 1.0 / math.sqrt(f.size)) < 1e-12 })
   }
 
+  test("the zero-shuffle RDD gradient matches the SQL gradientFrame") {
+    // train() now executes each Adagrad step as one mapPartitions job
+    // over compacted CSR doc blocks; gradientFrame remains the
+    // SQL-equivalent specification of that step (and PlanAudit asserts
+    // its single-exchange shape). Parity between the two executions —
+    // at a tolerance far under the σ/rounding grain but above double
+    // sum-order ulp — is what licenses the swap.
+    val dim = 64
+    val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+    val feats = QualityClassifier.trainingFeatures(labeled, "y", dim)
+    // Non-trivial weights so the margin/residual path is exercised.
+    val w = Array.tabulate(dim)(i => math.sin(i.toDouble) / 8)
+    val bias = 0.125
+    val wDf = (w.zipWithIndex.map { case (v, i) => (i, v) } :+ (-1, bias))
+      .toSeq.toDF("feat", "w")
+    val sqlG = QualityClassifier.gradientFrame(feats, wDf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val blocks = QualityClassifier.compactBlocks(feats, dim)
+    try {
+      val rddG = QualityClassifier.rddGradient(
+        blocks, dim, w, bias, spark.sparkContext)
+      for (f <- 0 until dim)
+        assert(math.abs(rddG(f) - sqlG.getOrElse(f, 0.0)) < 1e-9,
+          s"feat $f: rdd=${rddG(f)} sql=${sqlG.getOrElse(f, 0.0)}")
+      assert(math.abs(rddG(dim) - sqlG.getOrElse(-1, 0.0)) < 1e-9,
+        s"bias: rdd=${rddG(dim)} sql=${sqlG.getOrElse(-1, 0.0)}")
+    } finally blocks.unpersist(blocking = false)
+  }
+
   test("classifier separates English from non-English documents") {
     val labeled = docs.withColumn("is_en", (col("lang") === "en").cast("int"))
     val model = QualityClassifier.train(labeled, "is_en", dim = 1024, iters = 32)
