@@ -174,6 +174,12 @@ object ProductQuant {
     * iterations under squared-L2 (the PQ assignment metric); empty
     * codewords drop out and ids are re-densified, so downstream layouts
     * are always gap-free. Honors `spark.graft.ivf.fitFraction`.
+    *
+    * All `m` subspace fits run as ONE combined frame keyed by `mi`
+    * (each vector exploded into its m sub-vectors in one pass): a full
+    * fit is `refineIters + 1` corpus scans and ~3 jobs total at any m,
+    * where the former per-subspace chains re-scanned the corpus
+    * m·(refineIters+1) times across ~3·m concurrently-submitted jobs.
     */
   def pqCodebooks(
       corpus: DataFrame,
@@ -187,67 +193,105 @@ object ProductQuant {
     require(dims % m == 0, s"vector dim $dims is not divisible by m=$m subspaces")
     val sub = dims / m
 
-    val base = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
     val fitFraction = corpus.sparkSession.conf
       .get("spark.graft.ivf.fitFraction", "1.0").toDouble
-    val fitBase =
-      if (fitFraction >= 1.0) base
-      else base.filter(
+    val rawBase = {
+      val b = corpus.select(col(idCol).as("id"), col(vecCol).as("__raw"))
+      if (fitFraction >= 1.0) b
+      else b.filter(
         pmod(xxhash64(col("id"), lit("pq-fit")), lit(1000000L)) <
           lit((fitFraction * 1000000).toLong))
-
-    // Dense 0-based numbering of ≤ks rows WITHOUT a partition-less
-    // window (WindowExec's single-partition warning would drown out
-    // real ones in CI logs): collapse to one row, sort, posexplode —
-    // the position IS the dense id. Only ever applied to ≤ks rows.
-    def denseIds(df: DataFrame, orderCol: String, payloadCol: String): DataFrame =
-      df.groupBy()
-        .agg(sort_array(collect_list(struct(col(orderCol), col(payloadCol)))).as("__arr"))
-        .select(posexplode(col("__arr")).as(Seq("cid", "__t")))
-        .select(col("cid"), col(s"__t.$payloadCol").as("cv"))
-
-    def fitSubspace(mi: Int): DataFrame = {
-      val sb = fitBase.select(col("id"), slice(col("v"), mi * sub + 1, sub).as("sv"))
-      var cents = denseIds(
-        sb.withColumn("__h", xxhash64(col("id"), lit(mi))).orderBy("__h").limit(ks),
-        "__h", "sv")
-
-      for (_ <- 1 to math.max(0, refineIters)) {
-        cents = assignSub(sb, cents)
-          .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos")
-          .agg(avg("x").as("mn"))
-          .groupBy("cid")
-          .agg(collect_list(struct(col("pos"), col("mn"))).as("dims"))
-          .select(
-            col("cid"),
-            transform(array_sort(col("dims")), d => d.getField("mn").cast("float")).as("cv"))
-        cents = graft.plans.Materialize(cents, eager = true)
-      }
-      // Re-densify ids (empty codewords drop out during Lloyd) so code
-      // values always index the per-subspace codeword list positionally.
-      denseIds(cents, "cid", "cv").withColumn("m", lit(mi))
     }
+    // Normalization (an interpreted higher-order lambda) runs AFTER the
+    // adaptive repartition below, so a low-parallelism input (one tiny
+    // parquet file = 1-2 scan tasks locally) doesn't serialize the whole
+    // fit's per-row math onto one core. The repartition only fires when
+    // the scan has fewer partitions than the session's parallelism — at
+    // corpus scale the scan already has thousands of splits and no
+    // exchange is added.
+    val fitBase = graft.plans.ParallelFloor(rawBase)
+      .select(col("id"), normalized(col("__raw")).as("v"))
 
-    // The m subspace fits are INDEPENDENT chains of small jobs (seed
-    // take + eager Lloyd materializations each) — run them as concurrent
-    // Spark actions, not a serial loop. Serially, fit wall-time is
-    // m × refineIters job latencies end-to-end (the dominant cost of
-    // every PQ call at bench scale); concurrently the scheduler
-    // interleaves them. Per-subspace lineage (and so every result bit)
-    // is unchanged by submission order.
-    val books = ConcurrentFits.run((0 until m).map(mi => () => fitSubspace(mi)))
-    books.reduce(_ unionByName _).select("m", "cid", "cv")
+    // Dense 0-based numbering of ≤ks rows PER SUBSPACE without a
+    // partition-less window (WindowExec's single-partition warning would
+    // drown out real ones in CI logs): collapse each subspace to one
+    // row, sort, posexplode — the position IS the dense id. Only ever
+    // applied to ≤ m·ks rows. Per-subspace content and order are
+    // identical to the former per-subspace global collapse (same
+    // struct(orderCol, payload) sort key within each `mi` group).
+    def denseIdsByMi(df: DataFrame, orderCol: String, payloadCol: String): DataFrame =
+      df.groupBy("mi")
+        .agg(sort_array(collect_list(struct(col(orderCol), col(payloadCol)))).as("__arr"))
+        .select(col("mi"), posexplode(col("__arr")).as(Seq("cid", "__t")))
+        .select(col("mi"), col("cid"), col(s"__t.$payloadCol").as("cv"))
+
+    // ALL m subspace fits run as ONE combined frame keyed by `mi`: the
+    // former per-subspace chains (m independent seed-take + eager-Lloyd
+    // job sequences, submitted concurrently) re-scanned the corpus
+    // m·(refineIters+1) times and paid ~3·m small-job latencies; the
+    // combined form explodes each vector into its m sub-vectors in one
+    // pass, so a full fit is refineIters+1 corpus scans and ~3 jobs
+    // TOTAL, at any m. Per-subspace arithmetic is unchanged: seeds are
+    // the same per-mi top-ks by xxhash64(id, mi); assignment joins each
+    // row to its own subspace's broadcast codewords (same argmin
+    // expression); the Lloyd mean groups by (mi, cid, pos) — the same
+    // groups the per-mi fits aggregated, with the same per-partition
+    // accumulation order (explode preserves row order), so results are
+    // bit-identical modulo the aggregate merge-order ulp the fits
+    // already carry run-to-run (parity asserted in PqFitProbe and the
+    // golden suite).
+    val sbAll = fitBase.select(
+      col("id"),
+      posexplode(array((0 until m).map(mi =>
+        slice(col("v"), mi * sub + 1, sub)): _*)).as(Seq("mi", "sv")))
+
+    // Seeds: per subspace, the ks rows with the smallest xxhash64(id, mi)
+    // — selected on a THIN (mi, id, hash) frame (no vector math rides
+    // the m sort subtrees), with the ≤ m·ks winners' sub-vectors joined
+    // back map-side afterwards (broadcast of the winner set; the
+    // normalization projection evaluates only for matching rows).
+    val seedIds = (0 until m)
+      .map { mi =>
+        rawBase.select(
+          lit(mi).as("mi"), col("id"), xxhash64(col("id"), lit(mi)).as("__h"))
+          .orderBy("__h").limit(ks)
+      }
+      .reduce(_ unionByName _)
+    val seedRows = fitBase
+      .join(broadcast(seedIds), Seq("id"))
+      .select(col("mi"),
+        slice(col("v"), col("mi") * sub + 1, lit(sub)).as("sv"), col("__h"))
+    var cents = denseIdsByMi(seedRows, "__h", "sv")
+
+    for (_ <- 1 to math.max(0, refineIters)) {
+      cents = assignSubByMi(sbAll, cents)
+        .select(col("mi"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("mi", "cid", "pos")
+        .agg(avg("x").as("mn"))
+        .groupBy("mi", "cid")
+        .agg(collect_list(struct(col("pos"), col("mn"))).as("dims"))
+        .select(
+          col("mi"),
+          col("cid"),
+          transform(array_sort(col("dims")), d => d.getField("mn").cast("float")).as("cv"))
+      cents = graft.plans.Materialize(cents, eager = true)
+    }
+    // Re-densify ids (empty codewords drop out during Lloyd) so code
+    // values always index the per-subspace codeword list positionally.
+    denseIdsByMi(cents, "cid", "cv")
+      .select(col("mi").as("m"), col("cid"), col("cv"))
   }
 
-  /** Map-side sub-vector assignment against broadcast codewords:
-    * (id, sv) → (id, sv, cid of the L2-nearest codeword).
+  /** Map-side sub-vector assignment against the per-subspace broadcast
+    * codewords: (mi, id, sv) → (mi, sv, cid of the L2-nearest codeword
+    * AMONG SUBSPACE mi's codewords) — the combined-frame form of
+    * the former per-subspace assignSub, same argmin expression per row.
     */
-  private def assignSub(sb: DataFrame, cents: DataFrame): DataFrame = {
-    val arr = cents.groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
-    sb.crossJoin(broadcast(arr))
+  private def assignSubByMi(sbAll: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = cents.groupBy("mi").agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
+    sbAll.join(broadcast(arr), Seq("mi"))
       .select(
-        col("id"),
+        col("mi"),
         col("sv"),
         element_at(
           array_sort(
@@ -409,10 +453,10 @@ object ProductQuant {
   /** Fit the full IVF-PQ index for a corpus — the fit-once half of the
     * serving loop (see [[IvfPqIndex]]). The coarse-centroid fit and the
     * PQ codebook fit are independent chains of Spark jobs and run as
-    * concurrent actions; corpus assignment and encoding are map-side
-    * against the broadcast fit results, so the only index-build exchange
-    * beyond the fits is the thin (id, cid) ⋈ (id, codes) join on id
-    * (m+12 bytes per row flat).
+    * concurrent actions; corpus assignment, encoding and the serving
+    * attributes are ONE fused map-side projection against the broadcast
+    * fit results ([[fusedCodes]]) — the index build exchanges nothing
+    * beyond the fits themselves.
     */
   /** @param attrCols metadata columns of `corpus` to STORE IN THE INDEX
     *                  alongside each row's codes (serving attributes for
@@ -439,24 +483,53 @@ object ProductQuant {
         eager = true),
       () => graft.plans.Materialize(
         pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)))
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val codesWithCid = Similarity.assignToCentroids(base, cents).select("id", "cid")
-      .join(pqEncodePacked(corpus, codebooks, idCol, vecCol), Seq("id"))
-    IvfPqIndex(cents, codebooks, withAttrs(codesWithCid, corpus, attrCols, idCol))
+    IvfPqIndex(cents, codebooks,
+      fusedCodes(corpus, cents, codebooks, attrCols, idCol, vecCol))
   }
 
-  /** Join the requested attribute columns onto the codes rows (thin
-    * id-keyed join at BUILD time, so serves filter map-side).
+  /** The (id, cid, codes[, attrs…]) index rows in ONE map-side pass:
+    * coarse assignment (broadcast centroid array), PQ encoding
+    * (broadcast codebook array) and the serving attributes are all
+    * per-row functions of the SAME corpus row, so computing them in one
+    * projection replaces the former three-way id-keyed join — which
+    * sort-merge-shuffled the corpus twice (assign side + encode side,
+    * plus once more per attr join) purely to re-unite columns that had
+    * never left the row. Zero corpus exchanges; bit-identical values
+    * (same assignment/encode expressions, same inputs).
     */
-  private def withAttrs(
-      codes: DataFrame, corpus: DataFrame, attrCols: Seq[String], idCol: String): DataFrame =
-    if (attrCols.isEmpty) codes
-    else {
-      attrCols.foreach(a => require(corpus.columns.contains(a),
-        s"attrCols: corpus has no column '$a' (have ${corpus.columns.mkString(", ")})"))
-      codes.join(
-        corpus.select(col(idCol).as("id") +: attrCols.map(col): _*), Seq("id"))
-    }
+  private def fusedCodes(
+      corpus: DataFrame,
+      cents: DataFrame,
+      codebooks: DataFrame,
+      attrCols: Seq[String],
+      idCol: String,
+      vecCol: String): DataFrame = {
+    attrCols.foreach(a => require(corpus.columns.contains(a),
+      s"attrCols: corpus has no column '$a' (have ${corpus.columns.mkString(", ")})"))
+    val (mCount, sizes, _, sub) = layoutOf(codebooks)
+    require(sizes.forall(_ <= 256),
+      s"byte-packed PQ codes need <=256 codewords per subspace, got max ${sizes.max}")
+    val base = corpus.select(
+      Seq(col(idCol).as("id"), col(vecCol).as("v"),
+        normalized(col(vecCol)).as("__vn")) ++ attrCols.map(col): _*)
+    Similarity.assignToCentroids(base, cents)
+      .crossJoin(broadcast(codebookArray(codebooks)))
+      .select(
+        Seq(
+          col("id"),
+          col("cid"),
+          VectorExpressions.packBytes(array((0 until mCount).map { mi =>
+            val cands = filter(col("cb"), c => c.getField("m") === mi)
+            element_at(
+              array_sort(
+                transform(cands, c =>
+                  struct(
+                    l2sq(slice(col("__vn"), mi * sub + 1, sub), c.getField("cv")).as("d"),
+                    c.getField("cid").as("cid"))),
+                byDistAsc _),
+              1).getField("cid")
+          }: _*)).as("codes")) ++ attrCols.map(col): _*)
+  }
 
   /** Append a new shard to a fitted IVF-PQ index WITHOUT refitting — the
     * ingest half of the serving loop: the shard is assigned to the
@@ -478,14 +551,11 @@ object ProductQuant {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): IvfPqIndex = {
-    val base = newVectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // An index built with attrCols must receive them from the shard too
     // — unionByName fails loudly on the column-set mismatch otherwise.
     val attrCols = index.codes.columns.filterNot(Seq("id", "cid", "codes").contains).toSeq
-    val shardCodes = withAttrs(
-      Similarity.assignToCentroids(base, index.centroids).select("id", "cid")
-        .join(pqEncodePacked(newVectors, index.codebooks, idCol, vecCol), Seq("id")),
-      newVectors, attrCols, idCol)
+    val shardCodes = fusedCodes(
+      newVectors, index.centroids, index.codebooks, attrCols, idCol, vecCol)
     index.copy(codes = index.codes.unionByName(shardCodes))
   }
 

@@ -157,13 +157,13 @@ object Similarity {
   private[operators] def scoredCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
     base
       .crossJoin(broadcast(centroidArray(centroids)))
-      .select(
-        col("id"),
-        col("v"),
+      .withColumn(
+        "ranked",
         array_sort(
           transform(col("cents"), c =>
             struct(cosine(col("v"), c.getField("cv")).as("csim"), c.getField("cid").as("cid"))),
-          byScoreDesc _).as("ranked"))
+          byScoreDesc _))
+      .drop("cents")
 
   /** Assign every vector to its max-cosine centroid.
     *
@@ -175,7 +175,8 @@ object Similarity {
     */
   private[graft] def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
     scoredCentroids(base, centroids)
-      .select(col("id"), col("v"), element_at(col("ranked"), 1).getField("cid").as("cid"))
+      .withColumn("cid", element_at(col("ranked"), 1).getField("cid"))
+      .drop("ranked")
 
   /** IVF (inverted-file) approximate nearest neighbors.
     *
