@@ -527,8 +527,13 @@ object Dedup {
       if (graft.plans.Materialize.mode(df) == "off") df.localCheckpoint(true)
       else graft.plans.Materialize(df, eager = true)
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // The symmetric edge list is STATIC across rounds — materialize it
+    // hash(dst)-partitioned once, so every round's neighbor join
+    // re-exchanges only the (much thinner, shrinking-churn) label side,
+    // never the edges.
     val edges = cut(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("dst")))
     var labels = cut(
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var changed = 1L
@@ -537,15 +542,18 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dlbl").as("nlbl"))
+      // The previous label rides the materialized frame as `old`, so the
+      // convergence check is a filter-count over the cut blocks instead
+      // of a second labels join (one fewer join + scan per round).
       val next = cut(
         labels
           .join(neighborMin, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .filter(col("lbl") =!= col("old"))
-        .count()
-      labels = next
+          .select(
+            col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            col("lbl").as("old")))
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
   }
