@@ -64,7 +64,10 @@ object Unigram {
       textCol: String = "text"
   ): DataFrame = {
     val spark = docs.sparkSession
-    val wordCounts = docs
+    // Parallelism floor: the tokenize/explode map side otherwise runs at
+    // scan parallelism (1-2 tasks on a small single-file input); a
+    // corpus-scale scan already exceeds the floor and adds no exchange.
+    val wordCounts = graft.plans.ParallelFloor(docs.select(col(textCol)), textCol)
       .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("c"))
@@ -131,9 +134,17 @@ object Unigram {
       * across passes — asserted in spec).
       */
     def emPass(): Double = {
-      val exp = mutable.HashMap.empty[String, Double]
-      var nll = 0.0
-      words.foreach { case (w, c) =>
+      // E-step in two phases so the expensive per-word lattice DP can
+      // run on all driver cores WITHOUT changing a single result bit:
+      // phase 1 computes each word's contributions independently
+      // (read-only over the frozen `logp`, results stored by word
+      // index), phase 2 accumulates them SEQUENTIALLY in the exact
+      // order — word order, (jj, ii) order within a word — the former
+      // single-threaded loop used, so every floating-point sum
+      // associates identically.
+      val perWord = new Array[(Double, Array[String], Array[Double])](words.length)
+      java.util.stream.IntStream.range(0, words.length).parallel().forEach { wi =>
+        val (w, c) = words(wi)
         val n = w.length
         val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
         val beta = Array.fill(n + 1)(Double.NegativeInfinity)
@@ -165,7 +176,8 @@ object Unigram {
         // Single chars are never pruned, so every dictionary word stays
         // segmentable; a -inf Z would mean the invariant broke.
         require(z > Double.NegativeInfinity, s"unsegmentable word '$w'")
-        nll -= c * z
+        val hitS = mutable.ArrayBuffer.empty[String]
+        val hitE = mutable.ArrayBuffer.empty[Double]
         var jj = 0
         while (jj < n) {
           var ii = jj + 1
@@ -173,12 +185,28 @@ object Unigram {
             val s = w.substring(jj, ii)
             logp.get(s).foreach { lp =>
               val e = math.exp(alpha(jj) + lp + beta(ii) - z) * c
-              if (e > 0) exp.update(s, exp.getOrElse(s, 0.0) + e)
+              if (e > 0) { hitS += s; hitE += e }
             }
             ii += 1
           }
           jj += 1
         }
+        perWord(wi) = (z, hitS.toArray, hitE.toArray)
+      }
+      val exp = mutable.HashMap.empty[String, Double]
+      var nll = 0.0
+      var wi = 0
+      while (wi < words.length) {
+        val c = words(wi)._2
+        val (z, hitS, hitE) = perWord(wi)
+        nll -= c * z
+        var h = 0
+        while (h < hitS.length) {
+          val s = hitS(h)
+          exp.update(s, exp.getOrElse(s, 0.0) + hitE(h))
+          h += 1
+        }
+        wi += 1
       }
       // M-step in sorted key order (bit-deterministic totals). Pieces
       // with no expected mass keep a floor mass so they stay in the
@@ -305,7 +333,10 @@ object Unigram {
     val floor = oovFloor(table.valuesIterator.min)
     val bc = spark.sparkContext.broadcast(table)
 
-    val base = docs.select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t"))
+    // Same parallelism floor as the learn: per-doc Viterbi is pure
+    // map-side CPU and must not serialize onto 1-2 scan tasks locally.
+    val base = graft.plans.ParallelFloor(
+      docs.select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t")))
     import spark.implicits._
     base.as[(Long, String)].mapPartitions { it =>
       val tab = bc.value

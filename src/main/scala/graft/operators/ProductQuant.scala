@@ -443,11 +443,18 @@ object ProductQuant {
       idCol: String,
       vecCol: String
   ): DataFrame = {
-    val resolvedNlist = Similarity.resolveNlist(corpus, nlist, idCol)
+    // ONE corpus count serves both derivations (auto-nlist and the
+    // auto-rerank budget) — at corpus scale each count() is a full scan.
+    val corpusN =
+      if (nlist <= 0 || rerankFactor <= 0) Some(corpus.select(idCol).count())
+      else None
+    val resolvedNlist =
+      if (nlist > 0) nlist else Similarity.resolveNlistN(corpusN.get, nlist)
     val resolvedNprobe = Similarity.resolveNprobe(nprobe, resolvedNlist)
-    ivfPqTopK(
-      queries, corpus, ivfPqIndex(corpus, resolvedNlist, m, ks, refineIters, idCol, vecCol),
-      k, resolvedNprobe, rerankFactor, idCol, vecCol)
+    serveIvfPq(
+      queries, corpus,
+      ivfPqIndex(corpus, resolvedNlist, m, ks, refineIters, idCol, vecCol),
+      None, k, resolvedNprobe, rerankFactor, idCol, vecCol, corpusN)
   }
 
   /** Fit the full IVF-PQ index for a corpus — the fit-once half of the
@@ -756,7 +763,8 @@ object ProductQuant {
       nprobe: Int,
       rerankFactor: Int,
       idCol: String,
-      vecCol: String
+      vecCol: String,
+      knownCorpusCount: Option[Long] = None
   ): DataFrame = {
     val cents = index.centroids
     val codebooks = index.codebooks
@@ -770,8 +778,9 @@ object ProductQuant {
     val rerankCands =
       if (rerankFactor > 0) rerankFactor * k
       else math.max(8 * k, math.ceil(2 * math.sqrt(
-        (if (pred.isDefined) codesWithCid.select("id") else corpus.select(idCol))
-          .count().toDouble)).toInt)
+        (if (pred.isDefined) codesWithCid.select("id").count()
+         else knownCorpusCount.getOrElse(corpus.select(idCol).count()))
+          .toDouble)).toInt)
 
     // Query side: top-nprobe clusters AND the ADC table, one row per
     // (query, probed cluster). Candidate rows stay vector-free — the

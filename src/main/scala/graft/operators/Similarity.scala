@@ -94,7 +94,15 @@ object Similarity {
     */
   private[graft] def resolveNlist(corpus: DataFrame, nlist: Int, idCol: String): Int =
     if (nlist > 0) nlist
-    else math.max(16, math.ceil(math.sqrt(corpus.select(idCol).count().toDouble)).toInt)
+    else resolveNlistN(corpus.select(idCol).count(), nlist)
+
+  /** [[resolveNlist]] from an already-known corpus count — callers that
+    * need the count for other derivations too (e.g. the rerank budget)
+    * pay the corpus scan once and share it.
+    */
+  private[graft] def resolveNlistN(n: Long, nlist: Int): Int =
+    if (nlist > 0) nlist
+    else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Resolve an `nprobe` request: positive = explicit; `<= 0` = the
     * configured fraction of the resolved centroid count —
