@@ -278,8 +278,16 @@ object ProductQuant {
     }
     // Re-densify ids (empty codewords drop out during Lloyd) so code
     // values always index the per-subspace codeword list positionally.
-    denseIdsByMi(cents, "cid", "cv")
-      .select(col("mi").as("m"), col("cid"), col("cv"))
+    // Materialized HERE (m·ks rows): the codebook frame has several
+    // consumers in every caller (driver layout collect, the broadcast
+    // codebook array, the ADC tables) — without the cut each one would
+    // re-execute the whole fit lineage, and the per-mi regroup's tiny
+    // hash exchange would ride into consumer plans (PlanAudit's encode
+    // budget counts it against the corpus-exchange-free contract).
+    graft.plans.Materialize(
+      denseIdsByMi(cents, "cid", "cv")
+        .select(col("mi").as("m"), col("cid"), col("cv")),
+      eager = true)
   }
 
   /** Map-side sub-vector assignment against the per-subspace broadcast
@@ -488,8 +496,8 @@ object ProductQuant {
       () => graft.plans.Materialize(
         Similarity.ivfCentroids(corpus, resolvedNlist, refineIters, idCol, vecCol),
         eager = true),
-      () => graft.plans.Materialize(
-        pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true)))
+      // pqCodebooks materializes its own result (several consumers).
+      () => pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol)))
     IvfPqIndex(cents, codebooks,
       fusedCodes(corpus, cents, codebooks, attrCols, idCol, vecCol))
   }
@@ -868,8 +876,7 @@ object ProductQuant {
   ): DataFrame =
     pqTopK(
       queries, corpus,
-      graft.plans.Materialize(
-        pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol), eager = true),
+      pqCodebooks(corpus, m, ks, refineIters, idCol, vecCol),
       k, rerankFactor, idCol, vecCol)
 
   /** Query a fitted PQ codebook table ([[pqCodebooks]], fresh or read
