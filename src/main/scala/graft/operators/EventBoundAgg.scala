@@ -58,7 +58,15 @@ object EventBoundAgg {
     val boundToRow = mode == "bound_to_row"
 
     // Offset-correction window bounds (reference: aggregate.py:969-995).
-    val aggdOverOffset: Option[DataFrame] =
+    // FUSED into the main frame instead of a separate
+    // [[TemporalWindowAgg]] pass + (subject_id, timestamp) join: the
+    // correction is the same difference-of-two-prefix-sums arithmetic
+    // over the same hash(subject_id)/ts ordering the cumsum window
+    // already establishes, so computing it as extra window columns on
+    // `withCum` drops one join and one full frame pass from the offset
+    // path (a left join on unique keys against a same-row-set frame is
+    // the identity attach — inlining is exact).
+    val offsetFrame: Option[(Long, Long)] =
       if (offsetUs == 0L) None
       else {
         val (li, ri) =
@@ -73,7 +81,7 @@ object EventBoundAgg {
               else !(closed == Closed.Right || closed == Closed.Both)
             (l, false)
           }
-        Some(TemporalWindowAgg(df, TemporalBounds(li, offsetUs, ri, 0L)))
+        Some(TemporalBounds(li, offsetUs, ri, 0L).inclusiveFrame)
       }
 
     // 1. Per-subject cumulative sums (reference: aggregate.py:997-1000).
@@ -88,13 +96,31 @@ object EventBoundAgg {
       .partitionBy("subject_id")
       .orderBy(TsUs)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Offset-correction sums as window columns (see `offsetFrame`): the
+    // [[TemporalWindowAgg]] difference-of-prefix-sums formulation,
+    // `S(t+hi) − S(t+lo−1µs)` over growing range frames — both frames
+    // share this select's (partitionBy, orderBy) and evaluate in the
+    // same WindowExec pass group, no extra shuffle or sort.
+    val offCols: Seq[Column] = offsetFrame.toSeq.flatMap { case (lo, hi) =>
+      if (lo > hi) predCols.map(c => lit(0L).as(s"__off_$c"))
+      else {
+        val wHi = Window.partitionBy("subject_id").orderBy(TsUs)
+          .rangeBetween(Window.unboundedPreceding, hi)
+        val wBelowLo = Window.partitionBy("subject_id").orderBy(TsUs)
+          .rangeBetween(Window.unboundedPreceding, lo - 1)
+        predCols.map(c =>
+          (coalesce(sum(col(c)).over(wHi), lit(0L)) -
+            coalesce(sum(col(c)).over(wBelowLo), lit(0L))).cast("long").as(s"__off_$c"))
+      }
+    }
     val withCum = withTs
       .withColumn("__is_boundary", boundaryExpr)
       .select(
         Seq(col("subject_id"), col("timestamp"), col(TsUs), col("__is_boundary")) ++
           predCols.map(col) ++
           predCols.map(c =>
-            (if (haveCums) col(s"__cum_$c") else sum(col(c)).over(wCum)).as(s"__cum_$c")): _*
+            (if (haveCums) col(s"__cum_$c") else sum(col(c)).over(wCum)).as(s"__cum_$c")) ++
+          offCols: _*
       )
 
     // 2. Bound timestamp per row. The reference's phantom shift (−1 µs for
@@ -171,36 +197,33 @@ object EventBoundAgg {
         col("timestamp"),
         startTs.as("timestamp_at_start"),
         endTs.as("timestamp_at_end")
-      ) ++ sumCols: _*
+      ) ++ sumCols ++ offsetFrame.toSeq.flatMap(_ =>
+        predCols.map(c => col(s"__off_$c"))): _*
     )
 
-    aggdOverOffset match {
+    offsetFrame match {
       case None =>
         resolved.select(
           Seq(col("subject_id"), col("timestamp"), col("timestamp_at_start"),
             col("timestamp_at_end")) ++
             predCols.map(c => coalesce(col(s"__sum_$c"), lit(0L)).cast("long").as(c)): _*
         )
-      case Some(aggd) =>
-        // 5. Offset-span correction join (reference: :1094-1126), also
-        // co-partitioned on subject_id.
+      case Some(_) =>
+        // 5. Offset-span correction (reference: :1094-1126) — the
+        // `__off_*` window columns computed up in `withCum` rode the
+        // boundary join here, so the former correction join (and its
+        // whole separate TemporalWindowAgg frame pass) is gone.
         val addOffsetPeriod = boundToRow == (offsetUs > 0)
-        val offs = aggd.select(
-          Seq(col("subject_id"), col("timestamp")) ++
-            predCols.map(c => col(c).as(s"__off_$c")): _*
+        resolved.select(
+          Seq(col("subject_id"), col("timestamp"), col("timestamp_at_start"),
+            col("timestamp_at_end")) ++
+            predCols.map { c =>
+              val combined =
+                if (addOffsetPeriod) col(s"__sum_$c") + col(s"__off_$c")
+                else col(s"__sum_$c") - col(s"__off_$c")
+              coalesce(combined, lit(0L)).cast("long").as(c)
+            }: _*
         )
-        resolved
-          .join(offs, Seq("subject_id", "timestamp"), "left")
-          .select(
-            Seq(col("subject_id"), col("timestamp"), col("timestamp_at_start"),
-              col("timestamp_at_end")) ++
-              predCols.map { c =>
-                val combined =
-                  if (addOffsetPeriod) col(s"__sum_$c") + col(s"__off_$c")
-                  else col(s"__sum_$c") - col(s"__off_$c")
-                coalesce(combined, lit(0L)).cast("long").as(c)
-              }: _*
-          )
     }
   }
 }

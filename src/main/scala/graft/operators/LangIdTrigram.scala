@@ -178,14 +178,27 @@ object LangIdTrigram {
     classifyFromTrigramRows(trigramRows(base), topK)
   }
 
-  /** (doc_id, tg) rows of per-token padded 1/2/3-grams (C&T pad tokens so
-    * n-grams never span a word boundary) for a (doc_id, __text) frame.
+  /** Weighted (doc_id, tg, tokn) rows of per-token padded 1/2/3-grams
+    * (C&T pad tokens so n-grams never span a word boundary) for a
+    * (doc_id, __text) frame: one row per (doc, DISTINCT token, gram
+    * position) carrying that token's occurrence count, so
+    * Σ tokn ≡ the per-occurrence gram count.
     *
-    * Formulation note: windows slide via explode-over-positions +
-    * projected `substring`s — whole-stage-codegen'd end to end. The
-    * `transform(sequence(...), substr)` alternative evaluates its lambda
-    * INTERPRETED per element (the [[graft.operators.Dedup.shingleRows]]
-    * lesson), which at corpus scale dominates this operator's wall time.
+    * Formulation notes:
+    *   - Windows slide via explode-over-positions + projected
+    *     `substring`s — whole-stage-codegen'd end to end. The
+    *     `transform(sequence(...), substr)` alternative evaluates its
+    *     lambda INTERPRETED per element (the
+    *     [[graft.operators.Dedup.shingleRows]] lesson), which at corpus
+    *     scale dominates this operator's wall time.
+    *   - Tokens pre-aggregate to (doc, tok, count) BEFORE the gram
+    *     explode: natural language repeats function words heavily
+    *     (measured 2.33× on the sf0.1 fixture), so every downstream
+    *     stage — the 3·L-per-token gram expansion, its string work, and
+    *     the (doc, tg) hash-aggregate input — shrinks by that factor
+    *     while the summed counts stay exactly the per-occurrence counts.
+    *     The pre-count is an in-partition aggregate (hash(doc_id)
+    *     clustering subsumes (doc_id, tok)); no exchange is added.
     */
   private def trigramRows(base: DataFrame): DataFrame =
     base
@@ -193,10 +206,14 @@ object LangIdTrigram {
         col("doc_id"),
         explode(split(regexp_replace(lower(col("__text")), "[^\\p{L}]+", " "), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col("doc_id"), concat(lit(" "), col("tok"), lit(" ")).as("ptok"))
-      .select(col("doc_id"), col("ptok"), explode(sequence(lit(1), length(col("ptok")))).as("i"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tokn"))
+      .select(col("doc_id"), concat(lit(" "), col("tok"), lit(" ")).as("ptok"), col("tokn"))
+      .select(col("doc_id"), col("ptok"), col("tokn"),
+        explode(sequence(lit(1), length(col("ptok")))).as("i"))
       .select(
         col("doc_id"),
+        col("tokn"),
         explode(array((1 to 3).map { n =>
           when(col("i") + (n - 1) <= length(col("ptok")), col("ptok").substr(col("i"), lit(n)))
         }: _*)).as("tg"))
@@ -209,7 +226,7 @@ object LangIdTrigram {
     val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("tg"))
     val docProfile = tgRows
       .groupBy("doc_id", "tg")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tokn")).as("cnt"))
       .withColumn("drank", row_number().over(wDoc))
       .filter(col("drank") <= topK)
       .select("doc_id", "tg", "drank")

@@ -247,16 +247,63 @@ object ProductQuant {
 
     // Seeds: per subspace, the ks rows with the smallest xxhash64(id, mi)
     // — selected on a THIN (mi, id, hash) frame (no vector math rides
-    // the m sort subtrees), with the ≤ m·ks winners' sub-vectors joined
+    // the sort subtrees), with the ≤ m·ks winners' sub-vectors joined
     // back map-side afterwards (broadcast of the winner set; the
     // normalization projection evaluates only for matching rows).
-    val seedIds = (0 until m)
-      .map { mi =>
-        rawBase.select(
-          lit(mi).as("mi"), col("id"), xxhash64(col("id"), lit(mi)).as("__h"))
-          .orderBy("__h").limit(ks)
+    //
+    // ONE id-column scan for all m subspaces (§6): the former form was m
+    // separate `orderBy(hash).limit(ks)` branches unioned — m full
+    // column-pruned corpus passes per fit. Here every partition keeps m
+    // bounded ks-smallest heaps over the codegen-projected hashes (m·ks
+    // tuples per task, no shuffle of the n·m hash rows), and the global
+    // per-mi top-ks runs as a window over the ≤ P·m·ks partial winners.
+    // Winner sets are identical (same per-mi ks-smallest-hash criterion;
+    // ties across equal 64-bit hashes were already selection-ambiguous
+    // in the TakeOrdered form). `.rdd` here is safe from the AQE
+    // double-execution hazard: `hashed` is scan+filter+project,
+    // exchange-free by construction.
+    val seedIds = {
+      val mLoc = m
+      val ksLoc = ks
+      val hashed = rawBase.select(
+        col("id") +: (0 until m).map(mi =>
+          xxhash64(col("id"), lit(mi)).as(s"__h$mi")): _*)
+      val idType = hashed.schema("id").dataType
+      val partial = hashed.rdd.mapPartitions { it =>
+        // Max-heaps of (h, id) by h: the root is the worst survivor, so
+        // a smaller incoming hash evicts it; equal hashes keep the
+        // earlier arrival (scan order — deterministic for a fixed input).
+        val heaps = Array.fill(mLoc)(
+          scala.collection.mutable.PriorityQueue.empty[(Long, Any)](
+            Ordering.by((t: (Long, Any)) => t._1)))
+        it.foreach { row =>
+          val id = row.get(0)
+          var mi = 0
+          while (mi < mLoc) {
+            val h = row.getLong(1 + mi)
+            val hp = heaps(mi)
+            if (hp.size < ksLoc) hp.enqueue((h, id))
+            else if (h < hp.head._1) { hp.dequeue(); hp.enqueue((h, id)) }
+            mi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (hp, mi) =>
+          hp.iterator.map { case (h, id) =>
+            org.apache.spark.sql.Row(mi, id, h)
+          }
+        }
       }
-      .reduce(_ unionByName _)
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      val cand = corpus.sparkSession.createDataFrame(
+        partial,
+        StructType(Seq(
+          StructField("mi", IntegerType, nullable = false),
+          StructField("id", idType),
+          StructField("__h", LongType, nullable = false))))
+      val wSeed = Window.partitionBy("mi").orderBy("__h")
+      cand.withColumn("__rn", row_number().over(wSeed))
+        .filter(col("__rn") <= ks).drop("__rn")
+    }
     val seedRows = fitBase
       .join(broadcast(seedIds), Seq("id"))
       .select(col("mi"),

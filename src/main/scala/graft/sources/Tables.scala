@@ -28,11 +28,32 @@ object Tables {
     * per window-tree level. Subset co-partitioning is semantically exact
     * here: both sides always descend from the same hash(subject_id)
     * exchange, so equal keys are co-located by construction.
+    *
+    * `adaptive.coalescePartitions.minPartitionSize=16k` (Spark default
+    * 1m): AQE coalesces post-shuffle partitions by SHUFFLE BYTES, but this
+    * engine's exchanges feed row-multiplying, CPU-heavy consumers —
+    * explode-based n-gram/shingle expansion (~15–50 output rows per input
+    * row), per-row interpreted lambdas on vector fits — where bytes
+    * under-represent downstream cost by that expansion factor. With the
+    * 1 MB floor, any query stage whose total shuffle output is under
+    * ~1 MB × cores collapses to a handful of partitions and SERIALIZES
+    * the expensive stage above it (measured on the sf0.1 bench:
+    * text_langid_trigram's whole explode+count+rank pipeline ran as ONE
+    * task, 4.3 s → 1.0 s with the floor lowered; dedup_minhash −46%,
+    * dedup_substring −52%). This is not a local-mode constant: a stage
+    * that is small relative to the cluster arises at every corpus scale
+    * (post-filter residues, hash-sampled Lloyd fit frames, per-shard
+    * increments), and the floor only ever binds on such small stages —
+    * large exchanges still coalesce toward the advisory size exactly as
+    * before. 16k is the measured saturation point (4k ≈ 16k ≪ 64k on the
+    * langid probe); scheduling overhead per extra task (~5–10 ms) is two
+    * orders below the serialized-stage cost it prevents.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
 
   /** Same settings for an externally-created session (driver harness):
     * every conf here is runtime-settable SQLConf.
@@ -41,6 +62,7 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
     spark
   }
 
