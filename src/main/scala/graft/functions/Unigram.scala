@@ -64,10 +64,18 @@ object Unigram {
       textCol: String = "text"
   ): DataFrame = {
     val spark = docs.sparkSession
+    VocabGuard.check(vocabLimit, "Unigram.learnPieces")
     // Parallelism floor: the tokenize/explode map side otherwise runs at
     // scan parallelism (1-2 tasks on a small single-file input); a
     // corpus-scale scan already exceeds the floor and adds no exchange.
-    val wordCounts = graft.plans.ParallelFloor(docs.select(col(textCol)), textCol)
+    // Keyed per ROW (not on the text value): duplicate-heavy corpora
+    // hash identical texts to one partition, re-serializing the work the
+    // floor exists to spread — and groupBy('w') makes row placement
+    // irrelevant to results. monotonically_increasing_id is
+    // deterministic for a fixed scan layout (partition id + row index),
+    // which is all a placement key needs.
+    val wordCounts = graft.plans.ParallelFloor(
+      docs.select(col(textCol)), monotonically_increasing_id())
       .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("c"))

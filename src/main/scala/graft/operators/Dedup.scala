@@ -906,15 +906,21 @@ object Dedup {
     * [[ngramIndex]], whose single consumer is a parquet write (a
     * lineage cut there would double the I/O for nothing).
     */
-  private def rankedShingleRows(inv0: DataFrame): DataFrame = {
-    val inv = inv0
+  private def rankedShingleRows(inv0: DataFrame): DataFrame =
+    // Document frequency as a whole-partition window count instead of
+    // the former groupBy(s) + join back: that shape consumed `inv0`
+    // TWICE (the window branch and the dfreq branch — the expensive
+    // shingle explode ran once per branch) and paid a third exchange
+    // for the aggregate side. Here inv0 computes once and the plan is
+    // exactly two exchanges: hash(s) for the df window, hash(doc_id)
+    // shared by the n window and the rk sort. Identical values — a
+    // partition-wide count over s IS count(*) group by s.
+    inv0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    inv.join(dfreq, Seq("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .select(col("doc_id"), col("n"), col("s"), col("rk"))
-  }
 
   /** Prefix-length bound `|x| − ⌈t·|x|⌉ + 1` (pigeonhole: a doc meeting
     * overlap ⌈t·|x|⌉ with anything must put at least one SHARED shingle

@@ -141,7 +141,7 @@ object ProductQuant {
     * from older fit code refits instead of silently diverging from a
     * fresh fit.
     */
-  val indexFormatVersion: Int = 1
+  val indexFormatVersion: Int = 2
 
   private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
   private def l2sq(a: Column, b: Column): Column = VectorExpressions.l2sq(a, b)
@@ -571,6 +571,10 @@ object ProductQuant {
     val (mCount, sizes, _, sub) = layoutOf(codebooks)
     require(sizes.forall(_ <= 256),
       s"byte-packed PQ codes need <=256 codewords per subspace, got max ${sizes.max}")
+    // NOTE: no parallelism floor here, deliberately — the encode path's
+    // ZERO-exchange shape is a PlanAudit-asserted contract (the corpus
+    // is never exchanged to build the index); a floor exchange would be
+    // a local-scan-only win bought by weakening that 100 TB evidence.
     val base = corpus.select(
       Seq(col(idCol).as("id"), col(vecCol).as("v"),
         normalized(col(vecCol)).as("__vn")) ++ attrCols.map(col): _*)

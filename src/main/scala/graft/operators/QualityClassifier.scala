@@ -39,7 +39,7 @@ object QualityClassifier {
     * `indexFormatVersion` pattern), so a persisted model fit by OLDER
     * code refits instead of silently serving stale scores.
     */
-  val modelFormatVersion = 2
+  val modelFormatVersion = 3
 
   /** Distinct hashed features of each document: unigrams and bigrams of
     * the whitespace tokens, `xxhash64(gram, "qc") mod dim`, each carrying
@@ -152,8 +152,30 @@ object QualityClassifier {
     var bias = 0.0
     var accBias = 1e-8
     try {
+      // Scale-adaptive iteration engine: each distributed step is one
+      // tiny job whose ~40 ms scheduler round-trip dominates at bench
+      // scale (×iters). When the compacted blocks fit
+      // `spark.graft.fit.localBlocksMaxBytes` (default 32 MB), collect
+      // them ONCE and run the steps on the driver — the same
+      // [[blockGradient]] per block, blocks folded in the same partition
+      // order, so the learned weights are BIT-IDENTICAL to the
+      // distributed path (asserted in QualityClassifierSpec); zero jobs
+      // per iteration. A corpus-scale training frame exceeds the bound
+      // and keeps the distributed path unchanged.
+      val localMaxBytes = spark.conf
+        .get("spark.graft.fit.localBlocksMaxBytes", (32L << 20).toString).toLong
+      val localBlocks: Option[Array[DocBlocks]] = {
+        val bytes = blocks
+          .map(b => 8L * b.ys.length + 4L * b.offsets.length +
+            4L * b.feats.length + 8L * b.xs.length)
+          .collect().sum
+        if (bytes <= localMaxBytes) Some(blocks.collect()) else None
+      }
       for (_ <- 1 to iters) {
-        val g = rddGradient(blocks, dim, w, bias, sc)
+        val g = localBlocks match {
+          case Some(bs) => localGradient(bs, dim, w, bias)
+          case None     => rddGradient(blocks, dim, w, bias, sc)
+        }
         var f = 0
         while (f < dim) {
           val gf = g(f) / n + l2 * w(f)
@@ -196,45 +218,117 @@ object QualityClassifier {
       bias: Double,
       sc: org.apache.spark.SparkContext): Array[Double] = {
     val wB = sc.broadcast((w.clone(), bias))
-    try blocks
-      .map { part =>
+    try {
+      val perPart = blocks.map { part =>
         val (wCur, biasCur) = wB.value
-        val grad = new Array[Double](wCur.length + 1)
-        var d = 0
-        while (d < part.ys.length) {
-          var margin = 0.0
-          var i = part.offsets(d)
-          val end = part.offsets(d + 1)
-          while (i < end) {
-            val f = part.feats(i)
-            margin += (if (f < 0) biasCur else wCur(f)) * part.xs(i)
-            i += 1
-          }
-          val r = 1.0 / (1.0 + math.exp(-margin)) - part.ys(d)
-          i = part.offsets(d)
-          while (i < end) {
-            val f = part.feats(i)
-            grad(if (f < 0) wCur.length else f) += r * part.xs(i)
-            i += 1
-          }
-          d += 1
+        QualityClassifier.blockGradient(part, wCur, biasCur)
+      }
+      pairwiseFold(perPart, dim)
+    } finally wB.destroy()
+  }
+
+  /** One block's dense gradient — the shared per-partition kernel of
+    * [[rddGradient]] (executor side) and [[localGradient]] (driver
+    * side): identical code, so the two engines agree bit-for-bit.
+    */
+  private[graft] def blockGradient(
+      part: DocBlocks, wCur: Array[Double], biasCur: Double): Array[Double] = {
+    val grad = new Array[Double](wCur.length + 1)
+    var d = 0
+    while (d < part.ys.length) {
+      var margin = 0.0
+      var i = part.offsets(d)
+      val end = part.offsets(d + 1)
+      while (i < end) {
+        val f = part.feats(i)
+        margin += (if (f < 0) biasCur else wCur(f)) * part.xs(i)
+        i += 1
+      }
+      val r = 1.0 / (1.0 + math.exp(-margin)) - part.ys(d)
+      i = part.offsets(d)
+      while (i < end) {
+        val f = part.feats(i)
+        grad(if (f < 0) wCur.length else f) += r * part.xs(i)
+        i += 1
+      }
+      d += 1
+    }
+    grad
+  }
+
+  /** Driver-local iteration step over collected blocks (see [[train]]'s
+    * scale switch): per-block gradients in parallel on driver cores
+    * (read-only inputs, results slotted by block index), then folded
+    * SEQUENTIALLY in block (= partition) order — the exact arithmetic
+    * and association of the distributed collect+fold path.
+    */
+  private[graft] def localGradient(
+      bs: Array[DocBlocks], dim: Int, w: Array[Double], bias: Double): Array[Double] = {
+    val grads = new Array[Array[Double]](bs.length)
+    java.util.stream.IntStream.range(0, bs.length).parallel()
+      .forEach(i => grads(i) = blockGradient(bs(i), w, bias))
+    grads.foldLeft(new Array[Double](dim + 1)) { (a, p) =>
+      var i = 0
+      while (i < a.length) { a(i) += p(i); i += 1 }
+      a
+    }
+  }
+
+  /** Sum the per-partition gradient arrays with BOUNDED driver inflow.
+    *
+    * Up to `spark.graft.fit.treeFoldMinPartitions` (default 1024)
+    * partitions, the arrays collect straight to the driver and fold in
+    * partition order — one dim+1-double array per partition, ≤ ~8 MB at
+    * dim=1024, and bit-identical to the historical linear fold. Above
+    * that (the 100 TB regime: 10⁴–10⁵ partitions would push 80–800 MB
+    * through the driver per iteration, ×32 iterations — guide §5
+    * driver-as-bottleneck), a deterministic two-level fold runs first:
+    * partitions group into ⌈√P⌉-sized contiguous pid ranges, each group
+    * sums IN PID ORDER on an executor, and the driver folds the ⌈√P⌉
+    * group sums in group order — deterministic at any scale (every fold
+    * is explicitly ordered), with driver inflow √P·(dim+1)·8 bytes. The
+    * two associativity shapes differ at float-ulp only, the run-to-run
+    * envelope the rounded-grain pinned oracles already tolerate; the
+    * threshold keeps bench-scale fits on the historical single-stage
+    * path (no extra shuffle per iteration where the driver is nowhere
+    * near its inflow bound).
+    */
+  private def pairwiseFold(
+      perPart: org.apache.spark.rdd.RDD[Array[Double]], dim: Int): Array[Double] = {
+    def sumInto(a: Array[Double], p: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += p(i); i += 1 }
+      a
+    }
+    val parts = perPart.getNumPartitions
+    val treeMin = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.fit.treeFoldMinPartitions"))
+      .map(_.toInt).getOrElse(1024)
+    if (parts <= treeMin)
+      perPart.collect().foldLeft(new Array[Double](dim + 1))(sumInto)
+    else {
+      val groupSize = math.ceil(math.sqrt(parts.toDouble)).toInt
+      val nGroups = (parts + groupSize - 1) / groupSize
+      perPart
+        .mapPartitionsWithIndex((pid, it) => it.map(g => (pid, g)))
+        .groupBy(t => t._1 / groupSize, nGroups)
+        .map { case (gid, ts) =>
+          (gid, ts.toSeq.sortBy(_._1).map(_._2)
+            .foldLeft(new Array[Double](dim + 1))(sumInto))
         }
-        grad
-      }
-      .collect()
-      .foldLeft(new Array[Double](dim + 1)) { (a, p) =>
-        var i = 0
-        while (i < a.length) { a(i) += p(i); i += 1 }
-        a
-      }
-    finally wB.destroy()
+        .collect().sortBy(_._1).map(_._2)
+        .foldLeft(new Array[Double](dim + 1))(sumInto)
+    }
   }
 
   /** Compact `feats` (one materialized pass) into cached per-partition
     * [[DocBlocks]] — the frame [[train]]'s per-iteration zero-shuffle
     * gradient jobs scan. One element per partition; doc grouping is
-    * in-partition only (the frame is hash(doc_id)-partitioned, so every
-    * doc's rows share a partition by construction).
+    * in-partition only — CORRECTNESS PRECONDITION: the input must be
+    * hash(doc_id)-partitioned (a doc split across partitions would yield
+    * two partial margins and a wrong gradient). [[trainingFeatures]], the
+    * one caller, establishes it with its up-front repartition; any new
+    * caller must do the same.
     */
   private[graft] def compactBlocks(
       feats: DataFrame, dim: Int): org.apache.spark.rdd.RDD[DocBlocks] = {
@@ -248,6 +342,11 @@ object QualityClassifier {
         val docXs = new scala.collection.mutable.ArrayBuffer[
           scala.collection.mutable.ArrayBuffer[Double]]()
         rows.foreach { row =>
+          // Null doc_id/label would silently coerce (null key grouping /
+          // getDouble(null) = 0.0) where the SQL gradientFrame spec
+          // would drop the doc — fail loudly instead.
+          require(!row.isNullAt(0) && !row.isNullAt(1),
+            "compactBlocks: null doc_id or label in the training frame")
           val d = docIdx.getOrElseUpdate(row.get(0), {
             ys += row.getDouble(1)
             docFeats += new scala.collection.mutable.ArrayBuffer[Int]()

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
 /** Floor a frame's parallelism at the session's default parallelism —
@@ -11,15 +11,35 @@ import org.apache.spark.sql.functions.col
   * corpus-scale scan already has orders of magnitude more splits than
   * cores and must NOT pay an extra exchange.
   *
-  * The check reads the physical partition count (plan-time metadata, no
-  * job); the repartition, when it fires, hashes on `keyCol` — a plain
-  * hash exchange, no round-robin pre-sort, deterministic row placement.
+  * PRECONDITION — scan-level inputs only, and it is now enforced: the
+  * partition-count read goes through `df.rdd`, which on an
+  * exchange-bearing plan under AQE would eagerly execute the upstream
+  * shuffle stages as real jobs and then re-execute that lineage in the
+  * caller (double execution). The guard below therefore leaves any plan
+  * containing an Exchange untouched instead of probing it — every
+  * intended call site is a scan+filter+project subtree, where `.rdd`
+  * is plan-assembly only (no job). The repartition, when it fires,
+  * hashes on `key` — a plain hash exchange, no round-robin pre-sort,
+  * deterministic row placement.
+  *
+  * `key` should be high-cardinality under the ACTUAL data: hashing a
+  * payload column collides for duplicate-heavy corpora (every identical
+  * text lands on one partition — the serialization this floor exists to
+  * prevent); prefer an id, or a per-row expression when no id rides the
+  * frame.
   */
 object ParallelFloor {
 
-  def apply(df: DataFrame, keyCol: String = "id"): DataFrame = {
+  def apply(df: DataFrame, keyCol: String = "id"): DataFrame =
+    apply(df, col(keyCol))
+
+  def apply(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, col(keyCol))
+    val hasExchange = df.queryExecution.sparkPlan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isDefined
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
   }
 }

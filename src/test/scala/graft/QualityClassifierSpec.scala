@@ -51,6 +51,60 @@ class QualityClassifierSpec extends SparkSpec {
     } finally blocks.unpersist(blocking = false)
   }
 
+  test("the two-level gradient fold matches the linear collect fold") {
+    // Above spark.graft.fit.treeFoldMinPartitions the per-partition
+    // gradient arrays group-sum on executors before reaching the driver
+    // (bounded inflow at corpus scale); parity with the linear fold — at
+    // a tolerance above merge-order ulp, far under the rounding grain —
+    // is what licenses the scale-adaptive switch.
+    val dim = 64
+    val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+    val feats = QualityClassifier.trainingFeatures(labeled, "y", dim)
+    val w = Array.tabulate(dim)(i => math.cos(i.toDouble) / 8)
+    val blocks = QualityClassifier.compactBlocks(feats, dim)
+    try {
+      val linear = QualityClassifier.rddGradient(
+        blocks, dim, w, 0.25, spark.sparkContext)
+      spark.conf.set("spark.graft.fit.treeFoldMinPartitions", "1")
+      val tree =
+        try QualityClassifier.rddGradient(blocks, dim, w, 0.25, spark.sparkContext)
+        finally spark.conf.unset("spark.graft.fit.treeFoldMinPartitions")
+      for (i <- 0 to dim)
+        assert(math.abs(tree(i) - linear(i)) < 1e-9,
+          s"slot $i: tree=${tree(i)} linear=${linear(i)}")
+    } finally blocks.unpersist(blocking = false)
+  }
+
+  test("the driver-local iteration engine is bit-identical to the RDD path") {
+    // train() collects the CSR blocks and iterates on the driver when
+    // they fit spark.graft.fit.localBlocksMaxBytes; same blockGradient
+    // kernel + same fold order ⇒ exact equality, asserted here.
+    val dim = 64
+    val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+    val feats = QualityClassifier.trainingFeatures(labeled, "y", dim)
+    val w = Array.tabulate(dim)(i => math.sin(2.0 * i) / 8)
+    val blocks = QualityClassifier.compactBlocks(feats, dim)
+    try {
+      val dist = QualityClassifier.rddGradient(
+        blocks, dim, w, -0.125, spark.sparkContext)
+      val local = QualityClassifier.localGradient(
+        blocks.collect(), dim, w, -0.125)
+      assert(dist.toSeq == local.toSeq)
+    } finally blocks.unpersist(blocking = false)
+  }
+
+  test("compactBlocks rejects null doc ids and labels loudly") {
+    val bad = Seq((Some(1L), Some(1.0), 3, 0.5), (None, Some(0.0), 4, 0.5))
+      .toDF("doc_id", "y", "feat", "x")
+    val blocks = QualityClassifier.compactBlocks(bad, dim = 16)
+    val e = intercept[org.apache.spark.SparkException] {
+      blocks.count()
+    }
+    assert(e.getMessage.contains("compactBlocks") ||
+      Option(e.getCause).exists(_.getMessage.contains("compactBlocks")))
+    blocks.unpersist(blocking = false)
+  }
+
   test("classifier separates English from non-English documents") {
     val labeled = docs.withColumn("is_en", (col("lang") === "en").cast("int"))
     val model = QualityClassifier.train(labeled, "is_en", dim = 1024, iters = 32)
