@@ -344,16 +344,15 @@ object ProductQuant {
     */
   private def assignSubByMi(sbAll: DataFrame, cents: DataFrame): DataFrame = {
     val arr = cents.groupBy("mi").agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
+    // Fused codegen argmin (same l2sq arithmetic, same byDistAsc
+    // selection order) — the former interpreted transform + comparator
+    // sort allocated a struct per codeword per row and was the PQ
+    // Lloyd pass's measured CPU (see Similarity.assignToCentroids).
     sbAll.join(broadcast(arr), Seq("mi"))
       .select(
         col("mi"),
         col("sv"),
-        element_at(
-          array_sort(
-            transform(col("cb"), c =>
-              struct(l2sq(col("sv"), c.getField("cv")).as("d"), c.getField("cid").as("cid"))),
-            byDistAsc _),
-          1).getField("cid").as("cid"))
+        VectorExpressions.l2ArgMinCid(col("sv"), col("cb")).as("cid"))
   }
 
   /** Driver-side codebook layout: (subspace count, per-subspace codeword
@@ -419,11 +418,16 @@ object ProductQuant {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val (_, sizes, _, _) = layoutOf(codebooks)
+    val (_, sizes, _, sub) = layoutOf(codebooks)
     require(sizes.forall(_ <= 256),
       s"byte-packed PQ codes need <=256 codewords per subspace, got max ${sizes.max}")
-    pqEncode(corpus, codebooks, idCol, vecCol)
-      .select(col("id"), VectorExpressions.packBytes(col("codes")).as("codes"))
+    // One fused codegen loop per row (see fusedCodes) — [[pqEncode]]'s
+    // array<int> form remains as the readable per-subspace reference
+    // (ExtensionsSpec asserts the two agree).
+    corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
+      .crossJoin(broadcast(codebookArray(codebooks)))
+      .select(col("id"),
+        VectorExpressions.pqEncodePacked(col("v"), col("cb"), sizes.toSeq, sub).as("codes"))
   }
 
   /** PQ ANN top-k, self-join form (fit + encode + scan in one call).
@@ -584,17 +588,13 @@ object ProductQuant {
         Seq(
           col("id"),
           col("cid"),
-          VectorExpressions.packBytes(array((0 until mCount).map { mi =>
-            val cands = filter(col("cb"), c => c.getField("m") === mi)
-            element_at(
-              array_sort(
-                transform(cands, c =>
-                  struct(
-                    l2sq(slice(col("__vn"), mi * sub + 1, sub), c.getField("cv")).as("d"),
-                    c.getField("cid").as("cid"))),
-                byDistAsc _),
-              1).getField("cid")
-          }: _*)).as("codes")) ++ attrCols.map(col): _*)
+          // Whole encode in ONE codegen loop (per-subspace l2sq argmin
+          // over the (m, cid)-sorted flat codebook, byte out per mi) —
+          // the former form ran m interpreted filter passes over the
+          // m·ks-element array plus m interpreted sort-argmins per row.
+          VectorExpressions.pqEncodePacked(
+            col("__vn"), col("cb"), sizes.toSeq, sub).as("codes")) ++
+          attrCols.map(col): _*)
   }
 
   /** Append a new shard to a fitted IVF-PQ index WITHOUT refitting — the

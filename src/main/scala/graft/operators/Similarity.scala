@@ -182,9 +182,21 @@ object Similarity {
     * over the corpus (PlanAudit asserts it).
     */
   private[graft] def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame =
-    scoredCentroids(base, centroids)
-      .withColumn("cid", element_at(col("ranked"), 1).getField("cid"))
-      .drop("ranked")
+    // ONE fused codegen loop per row (cosine + running argmax over the
+    // broadcast centroid array) instead of [[scoredCentroids]]'s
+    // interpreted transform + full comparator sort — the assignment
+    // needs only the winner, and at nlist=√N candidates per corpus row
+    // the per-element lambda interpretation and struct allocation were
+    // the Lloyd pass's measured CPU (480 s task-time on the 50×
+    // CoreScaleProbe corpus, core-ratio-flattening allocator pressure).
+    // Same winner by construction: cosine arithmetic is the identical
+    // expression, selection is the byScoreDesc total order (csim desc,
+    // cid asc). scoredCentroids remains for the probe paths, which need
+    // the full ranking.
+    base.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("cid",
+        org.apache.spark.sql.graft.VectorExpressions.cosArgMaxCid(col("v"), col("cents")))
+      .drop("cents")
 
   /** IVF (inverted-file) approximate nearest neighbors.
     *
